@@ -1,0 +1,79 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate.
+
+Usage: python3 scripts/selfcheck.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name> parquet (written by graft.Verify), runs the
+matching oracle SQL from oracle_sql.json in DuckDB with views over
+<sfDir>/*.parquet, then compares: columns sorted by name, rows sorted by all
+columns, exact value equality (floats compared exactly — the queries are
+designed to be bit-deterministic; see graft.queries.Q).
+"""
+import json
+import sys
+from pathlib import Path
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append(tuple(r[i] for i in order))
+    out.sort(key=lambda t: tuple((v is None, str(v)) for v in t))
+    return [cols[i] for i in order], out
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.loads(Path(out_dir, "oracle_sql.json").read_text())
+
+    n_pass = n_fail = 0
+    result_dirs = sorted(p for p in Path(out_dir).iterdir() if p.is_dir())
+    for rd in result_dirs:
+        name = rd.name
+        got = con.sql(f"SELECT * FROM '{rd}/*.parquet'")
+        got_cols, got_rows = canon(got.fetchall(), got.columns)
+        if name not in oracle:
+            print(f"  {name}: NO-ORACLE rows={len(got_rows)}")
+            continue
+        try:
+            exp = con.sql(oracle[name])
+            exp_cols, exp_rows = canon(exp.fetchall(), exp.columns)
+        except Exception as e:
+            print(f"✗ {name}: ORACLE SQL ERROR: {e}")
+            n_fail += 1
+            continue
+        if got_cols != exp_cols:
+            print(f"✗ {name}: COLUMN MISMATCH spark={got_cols} duckdb={exp_cols}")
+            n_fail += 1
+            continue
+        if got_rows == exp_rows:
+            print(f"✓ {name}: {len(got_rows)} rows")
+            n_pass += 1
+        else:
+            print(f"✗ {name}: VALUE MISMATCH ({len(got_rows)} vs {len(exp_rows)} rows)")
+            for i, (g, e) in enumerate(zip(got_rows, exp_rows)):
+                if g != e:
+                    print(f"    first diff row {i}: spark={g} duckdb={e}")
+                    break
+            if len(got_rows) != len(exp_rows):
+                sg, se = set(got_rows), set(exp_rows)
+                only_g = list(sg - se)[:3]
+                only_e = list(se - sg)[:3]
+                print(f"    only-spark: {only_g}\n    only-duckdb: {only_e}")
+            n_fail += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, "
+          f"{len(result_dirs) - n_pass - n_fail} no-oracle")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,13 +1,32 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries.{EventOps, Parity, Q, TextOps, VectorOps}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator claimed done has BOTH a `queries` entry and (when ANSI-SQL
+  * expressible) an `oracleSql` entry; the driver hash-compares our parquet
+  * output against DuckDB on the same tables (see graft.queries.Q for the
+  * determinism conventions that make that comparison exact).
+  */
 object SparkEntry {
+
+  private val modules: Seq[(String, (SparkSession, String) => DataFrame, String)] =
+    Parity.entries ++ EventOps.entries ++ TextOps.entries ++ VectorOps.entries
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q_groupby_agg")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    modules.map { case (n, fn, _) => n -> fn }.toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted only for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] =
+    modules.collect { case (n, _, sql) if sql != null && sql.nonEmpty => n -> sql }.toMap
 }

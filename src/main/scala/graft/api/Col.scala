@@ -1,0 +1,254 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.types._
+
+/** Handle on one column of a table — the Spark-native analogue of the
+  * reference's `Column` (reference: pandasdb/column.py:106-763).
+  *
+  * Holds no data: just the owning table's DataFrame, the column name, and the
+  * result cache. Scalar aggregates are memoized under the canonicalized plan
+  * (reference memoizes under the generated SQL string, column.py:132-304).
+  *
+  * All aggregates execute as distributed Spark jobs (partial aggregation
+  * map-side, single final combine) — at 100 TB each is one column-pruned scan;
+  * with parquet statistics min/max can be answered from footers.
+  */
+final class Col private[api] (
+    private[api] val table: Table,
+    val name: String) {
+
+  private def df: DataFrame = table.toDf
+  private def cache: QueryCache = table.cache
+  private def c: Column = col(name)
+  private def colDf: DataFrame = df.select(c)
+
+  /** Spark SQL type of the column (replaces the reference's PRAGMA probe,
+    * column.py:135-147 — schema is free in Spark).
+    */
+  def sqlType: DataType = df.schema(name).dataType
+
+  def isNumeric: Boolean = sqlType.isInstanceOf[NumericType]
+
+  private def requireNumeric(op: String): Unit =
+    if (!isNumeric)
+      throw new ColumnTypeError(
+        s"cannot compute $op() of non-numeric column '$name' (type ${sqlType.simpleString})")
+
+  // ---- aggregates (reference §2.4) -------------------------------------
+
+  /** Total row count of the owning table (reference: column.py:155-160). */
+  def len: Long = table.len
+
+  /** Non-null count (reference: column.py:162-166). */
+  def count: Long = cache.memo(colDf.agg(F.count(c))) {
+    df.agg(F.count(c)).head.getLong(0)
+  }
+
+  /** Null count (reference: column.py:168-172). */
+  def nullCount: Long = cache.memo(df.filter(c.isNull).select(c)) {
+    df.filter(c.isNull).count()
+  }
+
+  def min: Any = cache.memo(df.agg(Aggs.minAgg(c))) {
+    df.agg(Aggs.minAgg(c)).head.get(0)
+  }
+
+  def max: Any = cache.memo(df.agg(Aggs.maxAgg(c))) {
+    df.agg(Aggs.maxAgg(c)).head.get(0)
+  }
+
+  /** Sum; raises on non-numeric columns (reference: column.py:186-196). */
+  def sum: Double = {
+    requireNumeric("sum")
+    cache.memo(df.agg(Aggs.sumAgg(c))) {
+      val r = df.agg(Aggs.sumAgg(c)).head
+      if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+    }
+  }
+
+  /** Mean; raises on non-numeric columns (reference: column.py:198-208). */
+  def avg: Double = {
+    requireNumeric("avg")
+    val r = cache.memo(df.agg(Aggs.avgAgg(c)))(df.agg(Aggs.avgAgg(c)).head)
+    if (r.isNullAt(0)) Double.NaN else r.getDouble(0)
+  }
+
+  /** Exact median — the reference computes it exactly client-side
+    * (column.py:210-231) and its tests demand pandas equality to 4 places;
+    * Spark's `median` is an exact percentile, not approx (SURVEY.md §4.3.2).
+    */
+  def median: Double = {
+    requireNumeric("median")
+    val agg = df.agg(Aggs.medianAgg(c))
+    val r = cache.memo(agg)(agg.head)
+    if (r.isNullAt(0)) Double.NaN else r.getDouble(0)
+  }
+
+  /** All tied modes with their counts; null participates as a value
+    * (reference: column.py:233-249).
+    */
+  def mode: Map[Any, Long] = cache.memo(colDf.groupBy(c).count()) {
+    val counts = df.groupBy(c).agg(F.count(lit(1)).as("__cnt"))
+    val withMax = counts.withColumn("__mx", Aggs.maxOver("__cnt"))
+    withMax.filter(col("__cnt") === col("__mx"))
+      .select(c, col("__cnt"))
+      .collect()
+      .map(r => (r.get(0), r.getLong(1)))
+      .toMap
+  }
+
+  /** Distinct values incl. null (reference: column.py:281-287). */
+  def unique: Seq[Any] =
+    cache.memo(colDf.distinct())(colDf.distinct().collect().map(_.get(0)).toSeq)
+
+  /** Value → count, null excluded, ordered count DESC then value ASC
+    * (pandas semantics; reference: column.py:289-304).
+    */
+  def valueCounts: Seq[(Any, Long)] = {
+    val q = df.filter(c.isNotNull).groupBy(c).agg(F.count(lit(1)).as("count"))
+      .orderBy(desc("count"), asc(name))
+    cache.memo(q)(q.collect().map(r => (r.get(0), r.getLong(1))).toSeq)
+  }
+
+  /** Composite stats: numeric → len/count/min/max/sum/avg/median,
+    * text → len/count/min/max/unique (reference: column.py:251-279).
+    */
+  def describe: Map[String, Any] =
+    if (isNumeric)
+      Map("len" -> len, "count" -> count, "min" -> min, "max" -> max,
+        "sum" -> sum, "avg" -> avg, "median" -> median)
+    else
+      Map("len" -> len, "count" -> count, "min" -> min, "max" -> max,
+        "unique" -> unique.length)
+
+  // ---- predicates → Expr (reference §2.3) ------------------------------
+
+  private def expr(cond: Column): Expr = Expr(cond, table.name)
+
+  def >(v: Any): Expr = expr(c > lit(v))
+  def >=(v: Any): Expr = expr(c >= lit(v))
+  def <(v: Any): Expr = expr(c < lit(v))
+  def <=(v: Any): Expr = expr(c <= lit(v))
+
+  /** Null-aware equality: `=== null` compiles to IS NULL
+    * (reference: column.py:709-727).
+    */
+  def ===(v: Any): Expr = if (v == null) expr(c.isNull) else expr(c === lit(v))
+  def =!=(v: Any): Expr = if (v == null) expr(c.isNotNull) else expr(c =!= lit(v))
+
+  def isin(vs: Any*): Expr = expr(c.isin(vs: _*))
+  def between(lo: Any, hi: Any): Expr = expr(c.between(lit(lo), lit(hi)))
+
+  /** Case-INSENSITIVE pattern match: SQLite LIKE is case-insensitive
+    * (reference tests/test_column.py:685-695), so this maps to Spark `ilike`,
+    * not `like` (SURVEY.md §4.3.4).
+    */
+  def like(pattern: String): Expr = expr(c.ilike(pattern))
+
+  def notNull: Expr = expr(c.isNotNull)
+
+  /** Membership probe (`x in col`) as a limit-1 pushdown scan
+    * (reference: column.py:589-595).
+    */
+  def contains(v: Any): Boolean =
+    df.filter(if (v == null) c.isNull else c === lit(v)).limit(1).count() == 1L
+
+  // ---- derived views (reference §2.5) ----------------------------------
+
+  /** Single-column table view for chaining filter/sort/limit like the
+    * reference's ColumnView (column.py:766).
+    */
+  def view: Table = table.select(Seq(name))
+
+  def filter(e: Expr): Table = view.filter(e)
+  def sortValues(ascending: Boolean = true): Table =
+    new Table(table.db, colDf.orderBy(if (ascending) asc(name) else desc(name)),
+      table.name, cache, ordered = true)
+  def limit(n: Int): Table = view.limit(n)
+  def notNullView: Table = new Table(table.db, df.filter(c.isNotNull).select(c), table.name, cache)
+
+  // ---- materialization (reference §2.1 S7-S9) --------------------------
+
+  def data(limit: Int = -1): Seq[Any] = {
+    val d = if (limit >= 0) colDf.limit(limit) else colDf
+    d.collect().map(_.get(0)).toSeq
+  }
+  def toSeq: Seq[Any] = data()
+  def iterator: Iterator[Any] = colDf.toLocalIterator().asScala.map(_.get(0))
+
+  private implicit class RichIter[T](it: java.util.Iterator[T]) {
+    def asScala: Iterator[T] = new Iterator[T] {
+      def hasNext = it.hasNext; def next() = it.next()
+    }
+  }
+
+  // ---- element-wise arithmetic (reference §2.8 U3/U4) ------------------
+
+  /** Element-wise ops against a scalar or a same-table column; nulls
+    * propagate natively (reference: column.py:597-675). Cross-table zips —
+    * the reference's strict-length iterator zip — are row-index equi-joins,
+    * see Table.zipWith.
+    */
+  private def arith(f: Column => Column): DataFrame =
+    df.select(f(c).as(name))
+
+  def +(v: Any): DataFrame = v match {
+    case o: Col => arith(x => if (sqlType == StringType) concat(x, col(o.name)) else x + col(o.name))
+    case s: String => arith(x => concat(x, lit(s)))
+    case _ => arith(_ + lit(v))
+  }
+  def -(v: Any): DataFrame = v match {
+    case o: Col => arith(_ - col(o.name)); case _ => arith(_ - lit(v))
+  }
+  def *(v: Any): DataFrame = v match {
+    case o: Col => arith(_ * col(o.name)); case _ => arith(_ * lit(v))
+  }
+  def /(v: Any): DataFrame = v match {
+    case o: Col => arith(_ / col(o.name)); case _ => arith(_ / lit(v))
+  }
+  def floorDiv(v: Any): DataFrame = v match {
+    case o: Col => arith(x => floor(x / col(o.name)))
+    case _ => arith(x => floor(x / lit(v)))
+  }
+
+  /** Null-propagating per-element function application (reference `apply`,
+    * column.py:338-364, `ignore_na=True`). Typed overloads keep Spark
+    * Encoders happy; execution is a codegen'd map over the column.
+    */
+  def applyStr(f: String => String): DataFrame = {
+    val u = udf((s: String) => if (s == null) null else f(s))
+    df.select(u(c).as(name))
+  }
+  def applyDouble(f: Double => Double): DataFrame = {
+    val u = udf((d: java.lang.Double) =>
+      if (d == null) null else java.lang.Double.valueOf(f(d)))
+    df.select(u(c).as(name))
+  }
+  def applyLong(f: Long => Long): DataFrame = {
+    val u = udf((d: java.lang.Long) =>
+      if (d == null) null else java.lang.Long.valueOf(f(d)))
+    df.select(u(c).as(name))
+  }
+}
+
+/** Internal aggregate builders shared by Col (kept out of the class so cache
+  * keys canonicalize identically across Col instances).
+  */
+private[api] object Aggs {
+  def minAgg(c: Column): Column = org.apache.spark.sql.functions.min(c)
+  def maxAgg(c: Column): Column = org.apache.spark.sql.functions.max(c)
+  def sumAgg(c: Column): Column =
+    org.apache.spark.sql.functions.sum(c.cast(DoubleType))
+  def avgAgg(c: Column): Column =
+    org.apache.spark.sql.functions.avg(c.cast(DoubleType))
+  def medianAgg(c: Column): Column =
+    org.apache.spark.sql.functions.median(c.cast(DoubleType))
+  def maxOver(name: String): Column = {
+    import org.apache.spark.sql.expressions.Window
+    org.apache.spark.sql.functions.max(col(name))
+      .over(Window.partitionBy())
+  }
+}

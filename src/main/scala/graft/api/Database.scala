@@ -1,0 +1,126 @@
+package graft.api
+
+import java.io.File
+
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Catalog + entry point — the Spark-native analogue of the reference's
+  * `Database` (reference: pandasdb/connection.py:17-261).
+  *
+  * Opens a directory of parquet/csv files (one table per file), registers each
+  * as a temp view so raw SQL works, and hands out [[Table]] handles. Nothing
+  * is read until an action runs; the handle itself stays O(KB) no matter the
+  * data size — the reference's headline property (README.md:63-89) holds by
+  * construction on Spark.
+  */
+final class Database private (
+    val spark: SparkSession,
+    tableMap: Map[String, DataFrame],
+    val cache: QueryCache) {
+
+  /** Table names, like `db.tables` (reference: connection.py:112-120). */
+  def tables: Seq[String] = tableMap.keys.toSeq.sorted
+
+  /** `db['name']` (reference: connection.py:247-261). */
+  def apply(tableName: String): Table = table(tableName)
+
+  def table(tableName: String): Table =
+    tableMap.get(tableName) match {
+      case Some(df) => new Table(this, df, tableName, cache)
+      case None => throw new InvalidTableError(
+        s"table '$tableName' does not exist; available: ${tables.mkString(", ")}")
+    }
+
+  /** Column names of a table (reference: connection.py:150-160). */
+  def getColumns(tableName: String): Seq[String] = table(tableName).columns
+
+  /** (name, Table) pairs (reference: connection.py:162-166). */
+  def items: Seq[(String, Table)] = tables.map(n => n -> table(n))
+
+  /** Raw SQL pass-through with duplicate-output-column rename
+    * `a,a,a → a,a_2,a_3` (reference: connection.py:168-189 +
+    * utils.py:177-197). Full Catalyst lifecycle: the registered temp views
+    * resolve, optimizer picks broadcast vs sort-merge joins, AQE re-plans.
+    */
+  def query(sql: String): DataFrame = {
+    val out = spark.sql(sql)
+    Database.renameDuplicateCols(out)
+  }
+
+  /** Warm the scalar-stat cache for every column of every table, one Future
+    * per table (reference: connection.py:91-99 + cache.py:94-125). Distinct-
+    * heavy stats (mode/unique/valueCounts) are skipped for tables over
+    * `distinctStatMaxRows` rows (reference guard: cache.py:120).
+    */
+  def populateCache(distinctStatMaxRows: Long = 1000000L): Unit = {
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val futures = tables.map { tn =>
+      Future {
+        val t = table(tn)
+        val small = t.len <= distinctStatMaxRows
+        t.columns.foreach { cn =>
+          val c = t.col(cn)
+          c.count; c.nullCount; c.min; c.max
+          if (c.isNumeric) { c.sum; c.avg; c.median }
+          if (small) { c.mode; c.unique; c.valueCounts }
+        }
+      }
+    }
+    Await.result(Future.sequence(futures), Duration.Inf)
+  }
+
+  /** Drop this database's temp views (reference `exit`, connection.py:191-228;
+    * the SparkSession itself is owned by the caller).
+    */
+  def exit(): Unit =
+    tableMap.keys.foreach(n => spark.catalog.dropTempView(n))
+}
+
+object Database {
+
+  /** Open every `<table>.parquet` / `<table>.csv` in `dir` as a table.
+    * Unsupported files raise FileTypeError if explicitly requested via
+    * `open(path)` on a single file (reference: connection.py:77-78).
+    */
+  def open(
+      spark: SparkSession,
+      dir: String,
+      cacheEnabled: Boolean = true,
+      maxItemMb: Double = 2.0,
+      maxTotalMb: Double = 100.0,
+      populateCache: Boolean = false): Database = {
+    // Tolerate TIMESTAMP(NANOS) parquet columns (read as epoch-nanos long).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val files = Option(new File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile || f.isDirectory) // spark parquet "files" may be dirs
+      .filter(f => f.getName.endsWith(".parquet") || f.getName.endsWith(".csv"))
+    if (files.isEmpty)
+      throw new FileTypeError(s"no .parquet or .csv tables found under '$dir'")
+    val tableMap = files.map { f =>
+      val tname = f.getName.replaceAll("\\.(parquet|csv)$", "")
+      val df =
+        if (f.getName.endsWith(".parquet")) spark.read.parquet(f.getPath)
+        else spark.read.option("header", "true").option("inferSchema", "true").csv(f.getPath)
+      df.createOrReplaceTempView(tname)
+      tname -> df
+    }.toMap
+    val db = new Database(spark, tableMap,
+      new QueryCache(cacheEnabled, maxItemMb, maxTotalMb))
+    if (populateCache) db.populateCache()
+    db
+  }
+
+  /** `a,a,a → a,a_2,a_3` on query output (reference: utils.py:177-197). */
+  private[api] def renameDuplicateCols(df: DataFrame): DataFrame = {
+    val seen = scala.collection.mutable.Map.empty[String, Int]
+    val renamed = df.columns.map { cn =>
+      val n = seen.getOrElse(cn, 0) + 1
+      seen(cn) = n
+      if (n == 1) cn else s"${cn}_$n"
+    }
+    if (renamed.sameElements(df.columns)) df else df.toDF(renamed.toIndexedSeq: _*)
+  }
+}

@@ -1,0 +1,61 @@
+package graft.api
+
+import java.util.concurrent.ConcurrentHashMap
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.util.SizeEstimator
+
+/** Driver-side memo for scalar/small aggregate results, mirroring the
+  * reference's size-capped result cache (reference: pandasdb/cache.py:11-92;
+  * defaults 2 MB per item / 100 MB total, connection.py:23-24).
+  *
+  * The reference keys on the generated SQL string; the Spark-native
+  * equivalent is the *canonicalized analyzed plan*, so two differently-written
+  * but semantically identical queries share an entry
+  * (SURVEY.md §7.4 "cache keying").
+  *
+  * Scale note: this memoizes only final, already-collected scalar results on
+  * the driver — it never holds distributed data, so its footprint is bounded
+  * by `maxTotalMb` regardless of input size (the reference's headline claim:
+  * a handle stays O(KB) on an 18M-row table, README.md:63-89).
+  */
+final class QueryCache(
+    val enabled: Boolean = true,
+    val maxItemMb: Double = 2.0,
+    val maxTotalMb: Double = 100.0) {
+
+  private val store = new ConcurrentHashMap[String, Any]()
+
+  /** Canonical cache key for a DataFrame's logical plan. */
+  def keyOf(df: DataFrame): String =
+    df.queryExecution.analyzed.canonicalized.toString
+
+  private def mbOf(v: Any): Double = SizeEstimator.estimate(v.asInstanceOf[AnyRef]) / 1e6
+
+  def currentSizeMb: Double = store.asScala.keysIterator
+    .map(k => mbOf(k)).sum + store.asScala.valuesIterator.map(mbOf).sum
+
+  def size: Int = store.size()
+  def contains(key: String): Boolean = store.containsKey(key)
+  def clear(): Unit = store.clear()
+
+  /** Memoize `compute` under `key`; store only if it fits the caps
+    * (reference: cache.py:87-91).
+    */
+  def getOrElseUpdate[T](key: String)(compute: => T): T = {
+    if (!enabled) return compute
+    val hit = store.get(key)
+    if (hit != null) return hit.asInstanceOf[T]
+    val v: T = compute
+    if (v != null) {
+      val itemMb = mbOf(key) + mbOf(v)
+      if (itemMb <= maxItemMb && currentSizeMb + itemMb <= maxTotalMb)
+        store.put(key, v)
+    }
+    v
+  }
+
+  /** Memoize an aggregate computed from `df`, keyed on its canonical plan. */
+  def memo[T](df: DataFrame)(compute: => T): T = getOrElseUpdate(keyOf(df))(compute)
+}

@@ -1,0 +1,218 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Handle on a (possibly derived) table — the Spark-native analogue of the
+  * reference's `Table`/`TableView` (reference: pandasdb/table.py:109-541).
+  *
+  * A `Table` stores only `(db, plan, name, cache)` — never data — exactly like
+  * the reference stores `(conn, name, cache)` (table.py:113-127). Derived
+  * tables (filter/sort/limit/slice) are new lazy DataFrames, which is what the
+  * reference fakes with SQLite TEMP VIEWs (table.py:498-541): in Spark the
+  * logical plan IS the view, so no view machinery is needed.
+  *
+  * Row order / positional access: the reference leans on SQLite `_rowid_`;
+  * Spark DataFrames are unordered. We mint a `__rowid` lazily with
+  * `zipWithIndex` (partition-order-stable, no single-partition window — the
+  * scale path named in SURVEY.md §7.4.1) only when a positional op is used;
+  * purely relational ops never pay for it and keep full pushdown.
+  */
+final class Table private[api] (
+    private[api] val db: Database,
+    private val df: DataFrame,
+    val name: String,
+    private[api] val cache: QueryCache,
+    private val ordered: Boolean = false) {
+
+  import Table.ROWID
+
+  def spark: SparkSession = df.sparkSession
+
+  /** The underlying (user-visible) DataFrame. */
+  def toDf: DataFrame = df
+
+  /** User-visible columns — `__rowid` never leaks (reference: table.py:532-541). */
+  def columns: Seq[String] = df.columns.toSeq.filter(_ != ROWID)
+
+  def col(colName: String): Col = {
+    if (!columns.contains(colName))
+      throw new InvalidColumnError(s"column '$colName' does not exist in table '$name'")
+    new Col(this, colName)
+  }
+  def apply(colName: String): Col = col(colName)
+
+  // ---- size (reference §2.4 A1/A2) -------------------------------------
+
+  /** Row count, memoized like the reference's cached COUNT(*)
+    * (table.py:155-160) and its iloc length cache (table.py:21-22).
+    */
+  def len: Long = cache.memo(df.select(lit(1)))(df.count())
+
+  def shape: (Long, Int) = (len, columns.length)
+
+  // ---- projection (reference §2.2) -------------------------------------
+
+  def select(cols: Seq[String]): Table = {
+    val missing = cols.filterNot(columns.contains)
+    if (missing.nonEmpty)
+      throw new InvalidColumnError(
+        s"columns ${missing.mkString("[", ", ", "]")} do not exist in table '$name'")
+    new Table(db, df.select(cols.map(functionsCol): _*), name, cache, ordered)
+  }
+  private def functionsCol(s: String): Column = org.apache.spark.sql.functions.col(s)
+
+  // ---- filter (reference §2.3 F1) --------------------------------------
+
+  def filter(e: Expr): Table = {
+    if (e.table != name)
+      throw new ExpressionError(
+        s"expression belongs to table '${e.table}', not '$name'")
+    new Table(db, df.filter(e.cond), name, cache, ordered)
+  }
+
+  // ---- sort / limit / sample (reference §2.5) --------------------------
+
+  /** Sort by one or more columns; `spec` maps column → ascending?
+    * (reference: table.py:286-318 accepts str / list / dict).
+    * NULLs sort first on ASC, matching SQLite (SURVEY.md §4.3.5; Spark's
+    * default `asc` = nulls-first already matches, kept explicit).
+    */
+  def sortValues(spec: Seq[(String, Boolean)]): Table = {
+    spec.foreach { case (cn, _) =>
+      if (!columns.contains(cn))
+        throw new InvalidColumnError(s"column '$cn' does not exist in table '$name'")
+    }
+    val sortCols = spec.map { case (cn, asc0) =>
+      if (asc0) asc_nulls_first(cn) else desc_nulls_last(cn)
+    }
+    new Table(db, df.orderBy(sortCols: _*), name, cache, ordered = true)
+  }
+  def sortValues(colName: String, ascending: Boolean = true): Table =
+    sortValues(Seq(colName -> ascending))
+
+  /** First n rows in the table's current order (base parquet order for a base
+    * table — reference `limit` keeps base order, table.py:320-329).
+    * For an already-sorted view this is a distributed TakeOrdered top-k; for a
+    * base table it is a per-partition-prefix scan via the minted row index.
+    */
+  def limit(n: Int): Table =
+    if (ordered) new Table(db, df.limit(n), name, cache, ordered)
+    else new Table(db,
+      indexed.filter(functionsCol(ROWID) < n).sortWithinPartitions(ROWID)
+        .drop(ROWID), name, cache, ordered)
+
+  /** Exactly-n random sample without replacement (reference: table.py:195-203
+    * does ORDER BY RANDOM() LIMIT n; Bernoulli `df.sample` is NOT exact —
+    * SURVEY.md §4.3.6). Distributed top-k on a random key: no full sort.
+    */
+  def sample(n: Int, seed: Long = scala.util.Random.nextLong()): Table =
+    new Table(db, df.orderBy(rand(seed)).limit(n), name, cache)
+
+  // ---- positional access (reference §2.5 O5-O7, IndexLoc table.py:19-106) --
+
+  /** df + 0-based `__rowid` in stable base order. zipWithIndex preserves
+    * partition order and intra-partition order, and for a sorted parent the
+    * range-partitioned sort order — so the index is globally consistent
+    * without a single-partition window.
+    */
+  private[api] lazy val indexed: DataFrame = {
+    val schema = df.schema.add(ROWID, LongType, nullable = false)
+    val rdd = df.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  private def checkBounds(i: Long): Long = {
+    val n = len
+    val idx = if (i < 0) n + i else i
+    if (idx < 0 || idx >= n)
+      throw new IndexOutOfBoundsError(s"index $i out of range for table of length $n")
+    idx
+  }
+
+  /** iloc[int] — supports negative indices (reference: table.py:58-106). */
+  def iloc(i: Long): Row = {
+    val idx = checkBounds(i)
+    indexed.filter(functionsCol(ROWID) === idx).drop(ROWID).head()
+  }
+
+  /** iloc[start:stop:step] over the current order. */
+  def iloc(start: Long, stop: Long, step: Long = 1): Seq[Row] = {
+    require(step > 0, "step must be positive")
+    val n = len
+    val s0 = math.max(if (start < 0) n + start else start, 0L)
+    val s1 = math.min(if (stop < 0) n + stop else stop, n)
+    val rows = indexed
+      .filter(functionsCol(ROWID) >= s0 && functionsCol(ROWID) < s1 &&
+        (functionsCol(ROWID) - s0) % step === 0)
+      .orderBy(ROWID).collect()
+    rows.map(r => Row.fromSeq(r.toSeq.dropRight(1))).toSeq
+  }
+
+  /** iloc[[i1, i2, ...]] — duplicates and arbitrary order preserved by a
+    * driver-side reorder of the (small) collected result
+    * (reference: table.py:91-104 does exactly this client-side).
+    */
+  def iloc(ids: Seq[Long]): Seq[Row] = {
+    val resolved = ids.map(checkBounds)
+    val fetched = indexed
+      .filter(functionsCol(ROWID).isin(resolved.distinct: _*))
+      .collect()
+      .map(r => r.getLong(r.length - 1) -> Row.fromSeq(r.toSeq.dropRight(1)))
+      .toMap
+    resolved.map(fetched)
+  }
+
+  // ---- per-cell map (reference §2.8 U2) --------------------------------
+
+  /** Apply a string function to every string cell (typed analogue of the
+    * reference's applymap, table.py:211-234; nulls pass through).
+    */
+  def applymapStr(f: String => String): Table = {
+    val u = udf((s: String) => if (s == null) null else f(s))
+    val cols = df.schema.fields.map { fld =>
+      if (fld.dataType == StringType && fld.name != ROWID) u(functionsCol(fld.name)).as(fld.name)
+      else functionsCol(fld.name)
+    }
+    new Table(db, df.select(cols.toSeq: _*), name, cache, ordered)
+  }
+
+  // ---- stats (reference §2.4 A13) --------------------------------------
+
+  def describe: Map[String, Map[String, Any]] =
+    columns.map(cn => cn -> col(cn).describe).toMap
+
+  // ---- equality (reference §2.7, table.py:480-495) ---------------------
+
+  /** Strict shape + cell-wise equality in row order (null-safe), via a
+    * row-index equi-join — the distributed analogue of the reference's
+    * ordered tuple compare.
+    */
+  def equalsTable(other: Table): Boolean = {
+    if (columns != other.columns) return false
+    if (len != other.len) return false
+    val l = indexed.alias("l")
+    val r = other.indexed.alias("r")
+    val joined = l.join(r, functionsCol(s"l.$ROWID") === functionsCol(s"r.$ROWID"))
+    val neq = columns.map(cn =>
+      !(functionsCol(s"l.$cn") <=> functionsCol(s"r.$cn"))).reduce(_ || _)
+    joined.filter(neq).limit(1).count() == 0L
+  }
+
+  // ---- materialization (reference §2.1 S7-S9) --------------------------
+
+  def data(limit: Int = -1): Seq[Row] =
+    (if (limit >= 0) df.limit(limit) else df).collect().toSeq
+
+  def head(n: Int = 5): Seq[Row] = this.limit(n).toDf.collect().toSeq
+
+  def iterator: Iterator[Row] = {
+    val it = df.toLocalIterator()
+    new Iterator[Row] { def hasNext = it.hasNext; def next() = it.next() }
+  }
+}
+
+object Table {
+  private[api] val ROWID = "__rowid"
+}

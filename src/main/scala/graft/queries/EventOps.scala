@@ -1,0 +1,111 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Q._
+
+/** Event-stream analytics over the `events` table (batch form; the same
+  * plans run under Structured Streaming — see graft.streaming).
+  *
+  * `ts` arrives as epoch-nanos LongType (see Q.ensureNanosReadable). All
+  * time arithmetic is INTEGER division (`div`) — double division would lose
+  * precision above 2^53 and epoch-nanos is ~1.7e18. Outputs are epoch
+  * seconds/millis so the DuckDB oracle (which sees real timestamps) compares
+  * engine-neutrally.
+  */
+object EventOps {
+
+  type Fn = (SparkSession, String) => DataFrame
+
+  private val NS_PER_HOUR = 3600L * 1000 * 1000 * 1000
+  private val NS_PER_DAY = 24L * NS_PER_HOUR
+  private val NS_PER_MS = 1000000L
+
+  private def nsDiv(colName: String, divisor: Long): Column =
+    expr(s"$colName div ${divisor}L")
+
+  val entries: Seq[(String, Fn, String)] = Seq(
+
+    // -- tumbling-window (hourly) aggregation; in streaming this is
+    //    groupBy(window($"ts", "1 hour")) with a watermark ------------------
+    ("q_events_hourly",
+      (s: SparkSession, d: String) =>
+        t(s, d, "events")
+          .groupBy((nsDiv("ts", NS_PER_HOUR) * 3600L).as("hour_epoch"),
+            col("event_type"))
+          .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("val_sum"))
+          .orderBy("hour_epoch", "event_type"),
+      s"SELECT cast(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type, " +
+        s"count(*) AS cnt, ${sqlDsum("value")} AS val_sum FROM events " +
+        "GROUP BY 1, 2 ORDER BY 1, 2"),
+
+    // -- gap-based sessionization (30-min inactivity) via lag + running sum;
+    //    one shuffle on user_id, both windows reuse that partitioning -------
+    ("q_sessionize",
+      (s: SparkSession, d: String) => {
+        val byUser = Window.partitionBy("user_id").orderBy("ms")
+        val e = t(s, d, "events")
+          .select(col("user_id"), nsDiv("ts", NS_PER_MS).as("ms"))
+          .withColumn("prev_ms", lag(col("ms"), 1).over(byUser))
+          .withColumn("new_s",
+            when(col("prev_ms").isNull || col("ms") - col("prev_ms") > 1800000L, 1L)
+              .otherwise(0L))
+          .withColumn("sid", sum(col("new_s")).over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        e.groupBy("user_id")
+          .agg(countDistinct(col("sid")).as("n_sessions"), count(lit(1)).as("n_events"))
+          .orderBy("user_id")
+      },
+      """WITH e AS (
+        |  SELECT user_id, epoch_ms(ts) AS ms,
+        |         lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ms
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id,
+        |         sum(CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id ORDER BY ms ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM e)
+        |SELECT user_id, count(DISTINCT sid) AS n_sessions, count(*) AS n_events
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // -- A3/A4 count/null_count on the value column -----------------------
+    ("q_count_nulls",
+      (s: SparkSession, d: String) =>
+        t(s, d, "events").agg(
+          count(col("value")).as("cnt"),
+          sum(when(col("value").isNull, 1L).otherwise(0L)).as("null_cnt")),
+      "SELECT count(value) AS cnt, cast(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_cnt FROM events"),
+
+    // -- JSON property extraction from the props column (engine-neutral via
+    //    regexp; get_json_object covered in ScalaTest) ----------------------
+    ("q_json_props",
+      (s: SparkSession, d: String) =>
+        t(s, d, "events")
+          .select(col("event_type"),
+            regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast("long").as("k"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("cnt"), sum(col("k")).as("k_sum"))
+          .orderBy("event_type"),
+      "SELECT event_type, count(*) AS cnt, " +
+        "cast(sum(cast(regexp_extract(props, '\"k\": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS k_sum " +
+        "FROM events GROUP BY 1 ORDER BY 1"),
+
+    // -- daily conditional (pivot-style) aggregation ----------------------
+    ("q_events_daily_mix",
+      (s: SparkSession, d: String) =>
+        t(s, d, "events")
+          .groupBy((nsDiv("ts", NS_PER_DAY) * 86400L).as("day_epoch"))
+          .agg(
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("purchases"),
+            sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("errors"),
+            dsum(when(col("event_type") === "purchase", col("value")).otherwise(lit(0.0))).as("purchase_value"))
+          .orderBy("day_epoch"),
+      s"""SELECT cast(epoch(date_trunc('day', ts)) AS BIGINT) AS day_epoch,
+         |cast(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+         |cast(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors,
+         |round(cast(sum(cast(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE), 4) AS purchase_value
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
+  )
+}

@@ -1,0 +1,196 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import Q._
+
+/** Text-analysis + deduplication operators over the `documents` table —
+  * the training-data-pipeline layer (beyond the reference's surface).
+  *
+  * Everything is built from codegen'd catalyst expressions (no UDFs): token
+  * arrays via regexp_extract_all, shingles via sequence/slice/array_join,
+  * MinHash via md5 (identical in DuckDB, so signatures are oracle-checkable).
+  *
+  * Scale design: all dedup queries avoid O(n²) pairwise comparison — exact
+  * dedup is a hash groupBy; n-gram Jaccard uses an inverted shingle index
+  * (pairs only materialize for docs sharing a shingle); MinHash-LSH banding
+  * reduces candidate generation to an equi-join on (band, hash). At 100 TB
+  * add a document-frequency cap on shingles (drop shingles appearing in >X%
+  * of docs) to bound the inverted-index join fan-out.
+  */
+object TextOps {
+
+  type Fn = (SparkSession, String) => DataFrame
+
+  /** Whitespace-delimited tokens. */
+  private def toks(c: Column): Column = regexp_extract_all(c, lit("\\S+"), lit(0))
+
+  /** Distinct word 3-gram shingles; empty (not reversed!) when < 3 tokens. */
+  private def shingles(w: Column): Column =
+    when(size(w) >= 3,
+      array_distinct(transform(sequence(lit(1), size(w) - 2),
+        i => array_join(slice(w, i, lit(3)), " "))))
+      .otherwise(array().cast("array<string>"))
+
+  private val stopList = Seq("the", "a", "of", "to", "and", "in", "is", "on", "for", "with")
+
+  /** SQL fragment shared by the DuckDB oracles: doc_id + distinct 3-gram shingles. */
+  private val shingleCte: String =
+    """WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents),
+      |s AS (SELECT doc_id,
+      |        list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)]) AS sh
+      |      FROM t WHERE len(w) >= 3)""".stripMargin
+
+  val entries: Seq[(String, Fn, String)] = Seq(
+
+    // -- token counting + per-language stats ------------------------------
+    ("q_text_stats",
+      (s: SparkSession, d: String) =>
+        t(s, d, "documents")
+          .select(col("lang"), size(toks(col("text"))).cast("long").as("n_tok"), col("n_chars"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tok_sum"),
+            davg(col("n_chars")).as("avg_chars"))
+          .orderBy("lang"),
+      "SELECT lang, count(*) AS n_docs, cast(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS tok_sum, " +
+        s"${sqlDavg("n_chars")} AS avg_chars FROM documents GROUP BY 1 ORDER BY 1"),
+
+    // -- quality scoring: alpha ratio, token stats, composite score -------
+    ("q_text_quality",
+      (s: SparkSession, d: String) => {
+        val w = toks(col("text"))
+        val alpha = length(regexp_replace(col("text"), "[^a-z]", "")).cast("double")
+        val tlen = length(col("text")).cast("double")
+        val ntok = size(w).cast("double")
+        val stops = size(filter(w, x => x.isin(stopList.map(_.asInstanceOf[Any]): _*))).cast("double")
+        t(s, d, "documents").filter(col("doc_id") < 100)
+          .select(
+            col("doc_id"),
+            round(alpha / tlen, 4).as("alpha_ratio"),
+            ntok.cast("long").as("n_tok"),
+            round(tlen / ntok, 4).as("avg_tok_len"),
+            round(stops / ntok, 4).as("stop_ratio"),
+            round(lit(0.5) * (alpha / tlen) + lit(0.3) * least(tlen / 500.0, lit(1.0)) +
+              lit(0.2) * (stops / ntok), 4).as("quality"))
+          .orderBy("doc_id")
+      },
+      s"""WITH q AS (
+         |  SELECT doc_id,
+         |    length(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0 AS alpha,
+         |    length(text) * 1.0 AS tlen,
+         |    len(regexp_extract_all(text, '\\S+')) * 1.0 AS ntok,
+         |    len(list_filter(regexp_extract_all(text, '\\S+'),
+         |        x -> x IN (${stopList.map(w => s"'$w'").mkString(",")}))) * 1.0 AS stops
+         |  FROM documents WHERE doc_id < 100)
+         |SELECT doc_id, round(alpha / tlen, 4) AS alpha_ratio, cast(ntok AS BIGINT) AS n_tok,
+         |  round(tlen / ntok, 4) AS avg_tok_len, round(stops / ntok, 4) AS stop_ratio,
+         |  round(0.5 * (alpha / tlen) + 0.3 * least(tlen / 500.0, 1.0) + 0.2 * (stops / ntok), 4) AS quality
+         |FROM q ORDER BY doc_id""".stripMargin),
+
+    // -- language-ID heuristic (stopword-ratio n-gram-free variant) vs the
+    //    labeled lang column: confusion counts ----------------------------
+    ("q_lang_id",
+      (s: SparkSession, d: String) => {
+        val w = toks(col("text"))
+        val stops = size(filter(w, x => x.isin(stopList.map(_.asInstanceOf[Any]): _*))).cast("double")
+        val ratio = stops / size(w).cast("double")
+        t(s, d, "documents")
+          .select(col("lang"), when(ratio >= 0.03, "en").otherwise("other").as("predicted"))
+          .groupBy("lang", "predicted").agg(count(lit(1)).as("cnt"))
+          .orderBy("lang", "predicted")
+      },
+      s"""SELECT lang,
+         |  CASE WHEN len(list_filter(regexp_extract_all(text, '\\S+'),
+         |         x -> x IN (${stopList.map(w => s"'$w'").mkString(",")}))) * 1.0
+         |       / len(regexp_extract_all(text, '\\S+')) >= 0.03
+         |       THEN 'en' ELSE 'other' END AS predicted,
+         |  count(*) AS cnt
+         |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    // -- document fingerprinting (md5 content hash; rolling-hash variant in
+    //    graft.functions with ScalaTest coverage) --------------------------
+    ("q_fingerprint",
+      (s: SparkSession, d: String) =>
+        t(s, d, "documents").filter(col("doc_id") < 100)
+          .select(col("doc_id"), md5(col("text")).as("fp"))
+          .orderBy("doc_id"),
+      "SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id < 100 ORDER BY doc_id"),
+
+    // -- exact dedup: hash-groupBy, one shuffle on the content hash -------
+    ("q_dedup_exact",
+      (s: SparkSession, d: String) =>
+        t(s, d, "documents").agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(md5(col("text"))).as("n_unique")),
+      "SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique FROM documents"),
+
+    // -- n-gram Jaccard near-dup pairs (>= 0.8) via inverted shingle index:
+    //    pairs exist only for docs sharing >= 1 shingle; |A∩B| arrives from
+    //    a groupBy on the co-occurrence join, never a full cross join -------
+    ("q_dedup_ngram",
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), shingles(toks(col("text"))).as("sh"))
+          .filter(size(col("sh")) > 0)
+        val sizes = docs.select(col("doc_id"), size(col("sh")).as("sz"))
+        val ex = docs.select(col("doc_id"), explode(col("sh")).as("g"))
+        val common = ex.alias("x").join(ex.alias("y"),
+            col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
+          .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+          .agg(count(lit(1)).as("common"))
+        common
+          .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "sza"), "a")
+          .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "szb"), "b")
+          .withColumn("jac", round(col("common").cast("double") /
+            (col("sza") + col("szb") - col("common")), 4))
+          .filter(col("jac") >= 0.8)
+          .select("a", "b", "jac")
+          .orderBy("a", "b")
+      },
+      s"""$shingleCte,
+         |p AS (
+         |  SELECT a.doc_id AS a, b.doc_id AS b,
+         |    round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+         |          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jac
+         |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+         |SELECT a, b, jac FROM p WHERE jac >= 0.8 ORDER BY a, b""".stripMargin),
+
+    // -- MinHash + LSH banding: 16 md5 min-hashes, 4 bands × 4 rows;
+    //    candidates = equi-join on (band index, band hash). md5 is identical
+    //    in DuckDB, so the whole pipeline is oracle-checkable ---------------
+    ("q_dedup_minhash",
+      (s: SparkSession, d: String) => {
+        val base = t(s, d, "documents")
+          .select(col("doc_id"), shingles(toks(col("text"))).as("sh"))
+          .filter(size(col("sh")) > 0)
+        val sigCols = (0 until 16).map { i =>
+          array_min(transform(col("sh"), x => md5(concat(lit(s"$i|"), x)))).as(s"s$i")
+        }
+        val sig = base.select(col("doc_id") +: sigCols: _*)
+        val bandStructs = (0 until 4).map { j =>
+          struct(lit(j).as("j"),
+            md5(concat_ws("|", (0 until 4).map(r => col(s"s${4 * j + r}")): _*)).as("bh"))
+        }
+        val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
+          .select(col("doc_id"), col("b.j").as("j"), col("b.bh").as("bh"))
+        bands.alias("x").join(bands.alias("y"),
+            col("x.j") === col("y.j") && col("x.bh") === col("y.bh") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+          .distinct()
+          .orderBy("a", "b")
+      },
+      s"""$shingleCte,
+         |sig AS (
+         |  SELECT doc_id,
+         |    [list_min([md5(cast(i AS VARCHAR) || '|' || g) for g in sh]) for i in range(0, 16)] AS sg
+         |  FROM s WHERE len(sh) > 0),
+         |bands AS (
+         |  SELECT doc_id, j, md5(sg[4*j+1] || '|' || sg[4*j+2] || '|' || sg[4*j+3] || '|' || sg[4*j+4]) AS bh
+         |  FROM sig, unnest([0, 1, 2, 3]) AS u(j))
+         |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |FROM bands x JOIN bands y ON x.j = y.j AND x.bh = y.bh AND x.doc_id < y.doc_id
+         |ORDER BY a, b""".stripMargin)
+  )
+}

@@ -1,0 +1,87 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import Q._
+
+/** Similarity search over the `embeddings` table (Array[Float] column).
+  *
+  * Dot products are codegen'd higher-order functions (zip_with + aggregate),
+  * computed in double after an explicit float→double cast so the fold matches
+  * DuckDB's list arithmetic bit-for-bit (sequential left-to-right sum).
+  *
+  * Scale design: brute-force top-k broadcasts the (tiny) query side and is a
+  * single scan — the right baseline. All-pairs queries use cosine ranking on
+  * the full cross product at test scale; the 100 TB path is the LSH-bucketed
+  * variant in graft.ops.Similarity (random-hyperplane signatures → equi-join
+  * on bucket), which turns O(n²) into a per-bucket join.
+  */
+object VectorOps {
+
+  type Fn = (SparkSession, String) => DataFrame
+
+  private def vd(c: Column): Column = transform(c, _.cast("double"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def norm(a: Column): Column = sqrt(dot(a, a))
+
+  val entries: Seq[(String, Fn, String)] = Seq(
+
+    // -- brute-force cosine top-k against one query vector ----------------
+    ("q_knn",
+      (s: SparkSession, d: String) => {
+        val e = t(s, d, "embeddings").select(col("vec_id"), vd(col("embedding")).as("v"))
+        val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+        e.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= 0)
+          .select(col("vec_id"),
+            round(dot(col("v"), col("qv")) / (norm(col("v")) * norm(col("qv"))), 4).as("cos"))
+          .orderBy(desc("cos"), asc("vec_id"))
+          .limit(10)
+      },
+      """WITH e AS (SELECT vec_id, [cast(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+        |SELECT vec_id,
+        |  round(list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 4) AS cos
+        |FROM e, q WHERE vec_id <> 0 ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin),
+
+    // -- most-similar pairs (embedding near-dup detection, top-20) --------
+    ("q_sim_pairs",
+      (s: SparkSession, d: String) => {
+        val e = t(s, d, "embeddings").select(col("vec_id"), vd(col("embedding")).as("v"))
+        val a = e.select(col("vec_id").as("a"), col("v").as("va"), norm(col("v")).as("na"))
+        val b = e.select(col("vec_id").as("b"), col("v").as("vb"), norm(col("v")).as("nb"))
+        a.join(b, col("a") < col("b"))
+          .select(col("a"), col("b"),
+            round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4).as("cos"))
+          .orderBy(desc("cos"), asc("a"), asc("b"))
+          .limit(20)
+      },
+      """WITH e AS (SELECT vec_id, [cast(x AS DOUBLE) for x in embedding] AS v FROM embeddings)
+        |SELECT a.vec_id AS a, b.vec_id AS b,
+        |  round(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cos
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |ORDER BY cos DESC, a, b LIMIT 20""".stripMargin),
+
+    // -- per-label embedding stats (norm distribution) --------------------
+    ("q_embed_stats",
+      (s: SparkSession, d: String) => {
+        val e = t(s, d, "embeddings")
+          .select(col("label"), norm(vd(col("embedding"))).as("nrm"))
+        e.groupBy("label")
+          .agg(count(lit(1)).as("cnt"), davg(col("nrm")).as("avg_norm"),
+            round(min(col("nrm")), 4).as("min_norm"), round(max(col("nrm")), 4).as("max_norm"))
+          .orderBy("label")
+      },
+      s"""WITH e AS (
+         |  SELECT label, sqrt(list_dot_product([cast(x AS DOUBLE) for x in embedding],
+         |                                      [cast(x AS DOUBLE) for x in embedding])) AS nrm
+         |  FROM embeddings)
+         |SELECT label, count(*) AS cnt, ${sqlDavg("nrm")} AS avg_norm,
+         |  round(min(nrm), 4) AS min_norm, round(max(nrm), 4) AS max_norm
+         |FROM e GROUP BY 1 ORDER BY 1""".stripMargin)
+  )
+}
