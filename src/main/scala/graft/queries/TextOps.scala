@@ -1,7 +1,10 @@
 package graft.queries
 
+import scala.collection.concurrent.TrieMap
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import Q._
 
@@ -35,6 +38,48 @@ object TextOps {
 
   private val stopList = Seq("the", "a", "of", "to", "and", "in", "is", "on", "for", "with")
 
+  /** (doc_id, distinct shingles) — computed once per (session, dir) and
+    * persisted, because the dedup self-joins reference it from several plan
+    * branches and Spark has no cross-branch common-subexpression reuse: an
+    * unpersisted plan re-tokenizes the corpus once per branch.
+    */
+  private val shingleCache = TrieMap.empty[String, DataFrame]
+  private[graft] def shingleDf(s: SparkSession, d: String): DataFrame =
+    shingleCache.getOrElseUpdate(s"${System.identityHashCode(s)}|$d", {
+      // `w` is materialized as a real column BEFORE shingling: inlining the
+      // regexp tokenizer into the transform lambda would re-tokenize the
+      // document once per shingle (O(tokens²) per doc).
+      // Docs with < 3 tokens are excluded by a FILTER, not a when()-guard
+      // inside the shingle expression: wrapping the higher-order transform in
+      // a conditional measured ~4x slower (interpreted conditional around the
+      // HOF defeats its fast path).
+      t(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .withColumn("w", toks(col("text")))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"),
+          array_distinct(transform(sequence(lit(1), size(col("w")) - 2),
+            i => array_join(slice(col("w"), i, lit(3)), " "))).as("sh"))
+        .filter(size(col("sh")) > 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    })
+
+  /** (doc_id, s0..s15) MinHash signatures — 5000×17 strings at sf0.1, so the
+    * persisted form is a few MB; caching it keeps the band self-join's two
+    * branches from re-running the 16 md5 min-hash transforms.
+    */
+  private val sigCache = TrieMap.empty[String, DataFrame]
+  private[graft] def sigDf(s: SparkSession, d: String): DataFrame =
+    sigCache.getOrElseUpdate(s"${System.identityHashCode(s)}|$d", {
+      // one nested HOF instead of 16 unrolled projections: generates a loop,
+      // keeping the wholestage-codegen method small (fast to janino-compile)
+      val sigs = transform(sequence(lit(0), lit(15)),
+        i => array_min(transform(col("sh"),
+          x => md5(concat(i.cast("string"), lit("|"), x)))))
+      shingleDf(s, d).select(col("doc_id"), sigs.as("sg"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    })
+
   /** SQL fragment shared by the DuckDB oracles: doc_id + distinct 3-gram shingles. */
   private val shingleCte: String =
     """WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents),
@@ -59,12 +104,13 @@ object TextOps {
     // -- quality scoring: alpha ratio, token stats, composite score -------
     ("q_text_quality",
       (s: SparkSession, d: String) => {
-        val w = toks(col("text"))
+        val w = col("w")
         val alpha = length(regexp_replace(col("text"), "[^a-z]", "")).cast("double")
         val tlen = length(col("text")).cast("double")
         val ntok = size(w).cast("double")
         val stops = size(filter(w, x => x.isin(stopList.map(_.asInstanceOf[Any]): _*))).cast("double")
         t(s, d, "documents").filter(col("doc_id") < 100)
+          .withColumn("w", toks(col("text")))
           .select(
             col("doc_id"),
             round(alpha / tlen, 4).as("alpha_ratio"),
@@ -92,10 +138,11 @@ object TextOps {
     //    labeled lang column: confusion counts ----------------------------
     ("q_lang_id",
       (s: SparkSession, d: String) => {
-        val w = toks(col("text"))
+        val w = col("w")
         val stops = size(filter(w, x => x.isin(stopList.map(_.asInstanceOf[Any]): _*))).cast("double")
         val ratio = stops / size(w).cast("double")
         t(s, d, "documents")
+          .withColumn("w", toks(col("text")))
           .select(col("lang"), when(ratio >= 0.03, "en").otherwise("other").as("predicted"))
           .groupBy("lang", "predicted").agg(count(lit(1)).as("cnt"))
           .orderBy("lang", "predicted")
@@ -130,20 +177,27 @@ object TextOps {
     //    a groupBy on the co-occurrence join, never a full cross join -------
     ("q_dedup_ngram",
       (s: SparkSession, d: String) => {
-        val docs = t(s, d, "documents")
-          .select(col("doc_id"), shingles(toks(col("text"))).as("sh"))
-          .filter(size(col("sh")) > 0)
-        val sizes = docs.select(col("doc_id"), size(col("sh")).as("sz"))
-        val ex = docs.select(col("doc_id"), explode(col("sh")).as("g"))
-        val common = ex.alias("x").join(ex.alias("y"),
-            col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
-          .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-          .agg(count(lit(1)).as("common"))
-        common
-          .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "sza"), "a")
-          .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "szb"), "b")
+        // Prefix filtering (PPJoin family): order each doc's shingles by a
+        // global total order (md5), index only the first
+        // |sh| - ceil(0.8*|sh|) + 1 of them; any pair with jaccard >= 0.8
+        // must collide on an indexed prefix element. Exact — verified pairs
+        // compute the true intersection on the full sets.
+        val base = shingleDf(s, d)
+        val keyed = base.select(col("doc_id"),
+          array_sort(transform(col("sh"), g => md5(g))).as("keys"))
+        val prefix = keyed.select(col("doc_id"),
+          explode(slice(col("keys"), lit(1),
+            (size(col("keys")) - ceil(size(col("keys")) * lit(0.8)) + 1).cast("int"))).as("k"))
+        val cand = prefix.alias("x").join(prefix.alias("y"),
+            col("x.k") === col("y.k") && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+          .distinct()
+        cand
+          .join(base.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
+          .join(base.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
+          .withColumn("common", size(array_intersect(col("sha"), col("shb"))))
           .withColumn("jac", round(col("common").cast("double") /
-            (col("sza") + col("szb") - col("common")), 4))
+            (size(col("sha")) + size(col("shb")) - col("common")), 4))
           .filter(col("jac") >= 0.8)
           .select("a", "b", "jac")
           .orderBy("a", "b")
@@ -161,16 +215,11 @@ object TextOps {
     //    in DuckDB, so the whole pipeline is oracle-checkable ---------------
     ("q_dedup_minhash",
       (s: SparkSession, d: String) => {
-        val base = t(s, d, "documents")
-          .select(col("doc_id"), shingles(toks(col("text"))).as("sh"))
-          .filter(size(col("sh")) > 0)
-        val sigCols = (0 until 16).map { i =>
-          array_min(transform(col("sh"), x => md5(concat(lit(s"$i|"), x)))).as(s"s$i")
-        }
-        val sig = base.select(col("doc_id") +: sigCols: _*)
+        val sig = sigDf(s, d)
         val bandStructs = (0 until 4).map { j =>
           struct(lit(j).as("j"),
-            md5(concat_ws("|", (0 until 4).map(r => col(s"s${4 * j + r}")): _*)).as("bh"))
+            md5(concat_ws("|",
+              (0 until 4).map(r => element_at(col("sg"), 4 * j + r + 1)): _*)).as("bh"))
         }
         val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
           .select(col("doc_id"), col("b.j").as("j"), col("b.bh").as("bh"))

@@ -3,42 +3,41 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.VectorExprs.vecDot
 import Q._
 
 /** Similarity search over the `embeddings` table (Array[Float] column).
   *
-  * Dot products are codegen'd higher-order functions (zip_with + aggregate),
-  * computed in double after an explicit float→double cast so the fold matches
-  * DuckDB's list arithmetic bit-for-bit (sequential left-to-right sum).
+  * Dot products run through graft.functions.DotProduct — a native Catalyst
+  * expression generating a fused loop in whole-stage codegen (float read,
+  * double accumulate, sequential fold — bit-identical to DuckDB's
+  * list_dot_product over double-cast lists, so the oracle compare is exact,
+  * and ~10× cheaper than zip_with+aggregate which allocates per row).
   *
   * Scale design: brute-force top-k broadcasts the (tiny) query side and is a
-  * single scan — the right baseline. All-pairs queries use cosine ranking on
-  * the full cross product at test scale; the 100 TB path is the LSH-bucketed
-  * variant in graft.ops.Similarity (random-hyperplane signatures → equi-join
-  * on bucket), which turns O(n²) into a per-bucket join.
+  * single scan. All-pairs queries precompute each vector's norm ONCE in a
+  * projection before the join, so the O(n²) stage does exactly one dot per
+  * pair. The 100 TB path is the LSH-bucketed variant in graft.ops.Similarity
+  * (random-hyperplane signatures → equi-join on bucket).
   */
 object VectorOps {
 
   type Fn = (SparkSession, String) => DataFrame
-
-  private def vd(c: Column): Column = transform(c, _.cast("double"))
-
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-
-  private def norm(a: Column): Column = sqrt(dot(a, a))
 
   val entries: Seq[(String, Fn, String)] = Seq(
 
     // -- brute-force cosine top-k against one query vector ----------------
     ("q_knn",
       (s: SparkSession, d: String) => {
-        val e = t(s, d, "embeddings").select(col("vec_id"), vd(col("embedding")).as("v"))
-        val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+        val e = t(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").as("v"),
+            sqrt(vecDot(col("embedding"), col("embedding"))).as("nrm"))
+        val q = e.filter(col("vec_id") === 0)
+          .select(col("v").as("qv"), col("nrm").as("qnrm"))
         e.crossJoin(broadcast(q))
           .filter(col("vec_id") =!= 0)
           .select(col("vec_id"),
-            round(dot(col("v"), col("qv")) / (norm(col("v")) * norm(col("qv"))), 4).as("cos"))
+            round(vecDot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 4).as("cos"))
           .orderBy(desc("cos"), asc("vec_id"))
           .limit(10)
       },
@@ -48,15 +47,18 @@ object VectorOps {
         |  round(list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 4) AS cos
         |FROM e, q WHERE vec_id <> 0 ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin),
 
-    // -- most-similar pairs (embedding near-dup detection, top-20) --------
+    // -- most-similar pairs (embedding near-dup detection, top-20);
+    //    norms precomputed, one dot per pair in the O(n²) stage -------------
     ("q_sim_pairs",
       (s: SparkSession, d: String) => {
-        val e = t(s, d, "embeddings").select(col("vec_id"), vd(col("embedding")).as("v"))
-        val a = e.select(col("vec_id").as("a"), col("v").as("va"), norm(col("v")).as("na"))
-        val b = e.select(col("vec_id").as("b"), col("v").as("vb"), norm(col("v")).as("nb"))
+        val e = t(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").as("v"),
+            sqrt(vecDot(col("embedding"), col("embedding"))).as("nrm"))
+        val a = e.select(col("vec_id").as("a"), col("v").as("va"), col("nrm").as("na"))
+        val b = e.select(col("vec_id").as("b"), col("v").as("vb"), col("nrm").as("nb"))
         a.join(b, col("a") < col("b"))
           .select(col("a"), col("b"),
-            round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4).as("cos"))
+            round(vecDot(col("va"), col("vb")) / (col("na") * col("nb")), 4).as("cos"))
           .orderBy(desc("cos"), asc("a"), asc("b"))
           .limit(20)
       },
@@ -70,7 +72,7 @@ object VectorOps {
     ("q_embed_stats",
       (s: SparkSession, d: String) => {
         val e = t(s, d, "embeddings")
-          .select(col("label"), norm(vd(col("embedding"))).as("nrm"))
+          .select(col("label"), sqrt(vecDot(col("embedding"), col("embedding"))).as("nrm"))
         e.groupBy("label")
           .agg(count(lit(1)).as("cnt"), davg(col("nrm")).as("avg_norm"),
             round(min(col("nrm")), 4).as("min_norm"), round(max(col("nrm")), 4).as("max_norm"))
