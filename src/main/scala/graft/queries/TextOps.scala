@@ -240,6 +240,50 @@ object TextOps {
          |  FROM sig, unnest([0, 1, 2, 3]) AS u(j))
          |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
          |FROM bands x JOIN bands y ON x.j = y.j AND x.bh = y.bh AND x.doc_id < y.doc_id
-         |ORDER BY a, b""".stripMargin)
+         |ORDER BY a, b""".stripMargin),
+
+    // -- SimHash fingerprints (60-bit, md5-derived so DuckDB can replay the
+    //    identical computation): bit b = sign of sum over distinct tokens of
+    //    (2*bit_b(h(tok)) - 1). Library form with xxhash64 + Hamming band
+    //    join lives in graft.ops.Dedup ---------------------------------------
+    ("q_dedup_simhash",
+      (s: SparkSession, d: String) => {
+        val tok = t(s, d, "documents").filter(col("doc_id") < 200)
+          .withColumn("w", array_distinct(toks(col("text"))))
+          .select(col("doc_id"), explode(col("w")).as("tk"))
+          .withColumn("h", conv(substring(md5(col("tk")), 1, 15), 16, 10).cast("long"))
+        val bitSums = (0 until 60).map(b =>
+          sum(shiftrightunsigned(col("h"), b).bitwiseAND(1) * 2 - 1).as(s"b$b"))
+        tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+          .select(col("doc_id"),
+            (0 until 60).map(b =>
+              when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+              .reduce(_ bitwiseOR _).as("simhash"))
+          .orderBy("doc_id")
+      },
+      {
+        val sums = (0 until 60)
+          .map(b => s"sum((((h >> $b) & 1) * 2) - 1) AS b$b").mkString(", ")
+        val assemble = (0 until 60)
+          .map(b => s"CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+        s"""WITH tk AS (
+           |  SELECT doc_id, unnest(list_distinct(regexp_extract_all(text, '\\S+'))) AS tk
+           |  FROM documents WHERE doc_id < 200),
+           |h AS (SELECT doc_id, ('0x' || substr(md5(tk), 1, 15))::BIGINT AS h FROM tk),
+           |bits AS (SELECT doc_id, $sums FROM h GROUP BY 1)
+           |SELECT doc_id, cast($assemble AS BIGINT) AS simhash FROM bits ORDER BY doc_id""".stripMargin
+      }),
+
+    // -- multimodal: opaque binary payload column + metadata (decode /
+    //    feature plumbing in graft.ops.Multimodal) --------------------------
+    ("q_multimodal_meta",
+      (s: SparkSession, d: String) =>
+        t(s, d, "documents").filter(col("doc_id") < 100)
+          .select(col("doc_id"),
+            length(col("text").cast("binary")).cast("long").as("n_bytes"),
+            md5(col("text").cast("binary")).as("payload_md5"))
+          .orderBy("doc_id"),
+      "SELECT doc_id, cast(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
+        "md5(text) AS payload_md5 FROM documents WHERE doc_id < 100 ORDER BY doc_id")
   )
 }

@@ -84,6 +84,23 @@ object VectorOps {
          |  FROM embeddings)
          |SELECT label, count(*) AS cnt, ${sqlDavg("nrm")} AS avg_norm,
          |  round(min(nrm), 4) AS min_norm, round(max(nrm), 4) AS max_norm
-         |FROM e GROUP BY 1 ORDER BY 1""".stripMargin)
+         |FROM e GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // -- approximate NN via random-hyperplane LSH (the 100 TB path): bucket
+    //    join + exact re-rank. Not ANSI-SQL-expressible (seeded gaussian
+    //    planes) -> rows-only driver check; recall is asserted against
+    //    bruteTopK in graft.ops.OpsSpec --------------------------------------
+    ("q_ann_lsh",
+      (s: SparkSession, d: String) => {
+        val emb = t(s, d, "embeddings")
+        val queries = emb.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("qid"), col("embedding"))
+        val corpus = emb.filter(col("vec_id") >= 3).select("vec_id", "embedding")
+        graft.ops.Similarity.lshTopK(corpus, queries, "vec_id", "qid", "embedding",
+            k = 5, tables = 16, bits = 6)
+          .select(col("qid"), col("vec_id"), round(col("cos"), 4).as("cos"))
+          .orderBy("qid", "vec_id")
+      },
+      null)
   )
 }

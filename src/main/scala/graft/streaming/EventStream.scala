@@ -1,0 +1,106 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming layer over event streams (engine extension — the
+  * reference has no streaming surface at all, SURVEY.md §2.9).
+  *
+  * The batch queries in graft.queries.EventOps and these streaming versions
+  * share semantics: an hourly tumbling-window count/sum, and gap-based
+  * sessionization. Batch is `groupBy(window(...))`; streaming adds a
+  * watermark for state eviction and runs incrementally.
+  *
+  * Scale notes: windowed aggregation state is partitioned by (window, key)
+  * and evicted by the watermark, so state size is bounded by
+  * (#keys x watermark/window-size), independent of stream length.
+  * Sessionization keeps one state row per active user; `flatMapGroupsWithState`
+  * emits sessions as they close (event-time timeout via the watermark).
+  */
+object EventStream {
+
+  /** Schema of the events table (ts as TimestampType — streaming sources
+    * deliver proper timestamps; the batch parquet's TIMESTAMP(NANOS) quirk
+    * is a storage detail).
+    */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-based streaming source over a directory of event parquet/json. */
+  def readEvents(spark: SparkSession, dir: String, format: String = "parquet"): DataFrame =
+    spark.readStream.schema(eventSchema).format(format).load(dir)
+
+  /** Hourly tumbling-window aggregation with a 1h watermark — streaming twin
+    * of q_events_hourly.
+    */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("val_sum"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("cnt"), col("val_sum"))
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  case class SessionState(start: Long, lastMs: Long, nEvents: Long)
+  case class Session(user_id: Long, start_ms: Long, end_ms: Long, n_events: Long)
+
+  /** Gap-based sessionization (30-min inactivity) via flatMapGroupsWithState:
+    * one state row per active user; sessions emit on gap or event-time
+    * timeout. Streaming twin of q_sessionize.
+    */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, s.start, s.lastMs, s.nEvents))
+          } else {
+            val sorted = batch.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { e =>
+              val ms = e.ts.getTime
+              cur match {
+                case Some(s) if ms - s.lastMs <= gapMs =>
+                  cur = Some(s.copy(lastMs = ms, nEvents = s.nEvents + 1))
+                case Some(s) =>
+                  closed += Session(userId, s.start, s.lastMs, s.nEvents)
+                  cur = Some(SessionState(ms, ms, 1))
+                case None =>
+                  cur = Some(SessionState(ms, ms, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastMs + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** Run a streaming DataFrame to a named in-memory sink until all source
+    * data is processed (synchronous smoke path for tests/demos).
+    */
+  def runToMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Append): StreamingQuery = {
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    q
+  }
+}

@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Library-level specs for the training-data-pipeline operators. */
+class OpsSpec extends SparkSuite {
+
+  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+  private lazy val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  /** Brute-force word-3-gram Jaccard for a small corpus, driver-side. */
+  private def bruteJaccard(limit: Int): Map[(Long, Long), Double] = {
+    val sets = docs.filter(col("doc_id") < limit)
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val w = r.getString(1).split("\\s+").filter(_.nonEmpty)
+        val sh = w.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+        r.getLong(0) -> sh
+      }.toMap
+    (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      inter = (sa & sb).size
+      if inter > 0
+    } yield (a, b) -> inter.toDouble / (sa.size + sb.size - inter)).toMap
+  }
+
+  test("Dedup.exact keeps lowest id per duplicate group") {
+    import spark.implicits._
+    val df = Seq((1L, "x"), (2L, "y"), (3L, "x"), (4L, "x"), (5L, "z"))
+      .toDF("id", "t")
+    val out = Dedup.exact(df, "id", Seq("t")).orderBy("id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 5L))
+  }
+
+  test("Dedup.ngramJaccardPairs matches brute force exactly") {
+    val brute = bruteJaccard(200).filter(_._2 >= 0.8)
+    val got = Dedup.ngramJaccardPairs(
+        docs.filter(col("doc_id") < 200), "doc_id", "text", 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.keySet == brute.keySet)
+    got.foreach { case (k, v) => assert(math.abs(v - brute(k)) < 1e-12) }
+    assert(got.nonEmpty) // fixture contains near-dups
+  }
+
+  test("Dedup.minhashLshPairs recalls all very-high-jaccard pairs") {
+    val brute = bruteJaccard(200)
+    val high = brute.filter(_._2 >= 0.95).keySet
+    val cand = Dedup.minhashLshPairs(
+        docs.filter(col("doc_id") < 200), "doc_id", "text", k = 32, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(high.nonEmpty)
+    // 8 bands x 4 rows: P(miss) = (1-j^4)^8 = 1.5e-5 at j=0.95
+    assert(high.subsetOf(cand))
+    // and LSH candidates should not explode: bounded fan-out
+    assert(cand.size < 2000)
+  }
+
+  test("Dedup.simhash64 + simhashNearPairs find perturbed near-dups") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again until done"
+    val df = Seq(
+      (1L, base),
+      (2L, base),                       // exact dup -> hamming 0
+      (3L, base + " extra"),            // tiny perturbation -> small hamming
+      (4L, "completely different words describing spark catalyst optimizer internals plan")
+    ).toDF("id", "text")
+    val sim = Dedup.simhash64(df, "id", "text")
+    val fp = sim.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fp(1L), fp(3L)) <= 8)
+    assert(ham(fp(1L), fp(4L)) > 8)
+    val pairs = Dedup.simhashNearPairs(sim, "id", maxDist = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)))
+    assert(!pairs.contains((1L, 4L)))
+  }
+
+  test("Similarity.bruteTopK is exact; lshTopK returns true cosines with recall") {
+    val queries = emb.filter(col("vec_id") < 5)
+      .withColumnRenamed("vec_id", "qid").select("qid", "embedding")
+    val corpus = emb.filter(col("vec_id") >= 5).select("vec_id", "embedding")
+
+    val brute = Similarity.bruteTopK(corpus, queries, "vec_id", "qid", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(brute.count(_._1._1 == 0L) == 10)
+
+    val lsh = Similarity.lshTopK(corpus, queries, "vec_id", "qid", "embedding", 10,
+      tables = 16, bits = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // cosines reported by LSH are the true cosines (exact re-rank)
+    lsh.foreach { case (k, v) =>
+      brute.get(k).foreach(bv => assert(math.abs(v - bv) < 1e-12))
+    }
+    // recall@10 over 5 queries on uniform random vectors with 16x6-bit tables
+    val recall = lsh.keySet.intersect(brute.keySet).size.toDouble / brute.size
+    assert(recall >= 0.2, s"recall=$recall")
+  }
+
+  test("Multimodal: binary payload plumbing + batched feature extraction") {
+    val media = Multimodal.syntheticMediaTable(spark,
+      docs.filter(col("doc_id") < 50), "doc_id", "text")
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.length == 50)
+    val byId = feats.map(f => f.media_id -> f).toMap
+    val nchars = docs.filter(col("doc_id") < 50)
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byId.foreach { case (id, f) =>
+      assert(f.n_bytes == nchars(id)) // ascii text -> 1 byte per char
+      assert(f.mean_intensity > 0.0 && f.mean_intensity <= 1.0)
+      assert(f.frame_offsets.length == (f.n_bytes + 1023) / 1024)
+    }
+  }
+}

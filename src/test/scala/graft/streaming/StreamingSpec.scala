@@ -1,0 +1,56 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSuite
+
+/** Structured Streaming smoke: a JSON file source drives the same semantics
+  * as the batch event queries (hourly windows, gap sessions).
+  */
+class StreamingSpec extends SparkSuite {
+
+  private def writeEventsJson(): String = {
+    val dir = Files.createTempDirectory("graftstream").toString
+    // user 1: two sessions (gap > 30min); user 2: one session
+    val lines = Seq(
+      """{"event_id":1,"ts":"2024-01-01T00:00:00.000Z","user_id":1,"event_type":"view","value":1.0,"props":"{}"}""",
+      """{"event_id":2,"ts":"2024-01-01T00:10:00.000Z","user_id":1,"event_type":"click","value":2.0,"props":"{}"}""",
+      """{"event_id":3,"ts":"2024-01-01T01:30:00.000Z","user_id":1,"event_type":"view","value":3.0,"props":"{}"}""",
+      """{"event_id":4,"ts":"2024-01-01T00:05:00.000Z","user_id":2,"event_type":"purchase","value":4.0,"props":"{}"}""",
+      """{"event_id":5,"ts":"2024-01-01T00:20:00.000Z","user_id":2,"event_type":"view","value":5.0,"props":"{}"}""")
+    Files.write(java.nio.file.Paths.get(dir, "events.json"),
+      lines.mkString("\n").getBytes)
+    dir
+  }
+
+  test("hourly windowed aggregation over a file stream") {
+    val dir = writeEventsJson()
+    val agg = EventStream.hourlyAgg(EventStream.readEvents(spark, dir, "json"))
+    EventStream.runToMemory(agg, "hourly_out", OutputMode.Complete)
+    val rows = spark.sql(
+      "SELECT cast(hour_start AS STRING) h, event_type, cnt, val_sum FROM hourly_out ORDER BY 1, 2")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.toSeq == Seq(
+      ("2024-01-01 00:00:00", "click", 1L, 2.0),
+      ("2024-01-01 00:00:00", "purchase", 1L, 4.0),
+      ("2024-01-01 00:00:00", "view", 2L, 6.0),
+      ("2024-01-01 01:00:00", "view", 1L, 3.0)))
+  }
+
+  test("stateful gap sessionization emits closed sessions") {
+    import spark.implicits._
+    val dir = writeEventsJson()
+    val events = EventStream.readEvents(spark, dir, "json")
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventStream.Event]
+    val sessions = EventStream.sessionize(events)
+    EventStream.runToMemory(sessions.toDF(), "sessions_out", OutputMode.Append)
+    val rows = spark.sql("SELECT user_id, n_events FROM sessions_out ORDER BY 1")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // user 1's first session (2 events) closes in-batch via the 80-min gap;
+    // open sessions (user 1 second, user 2 only) remain in state
+    assert(rows.toSeq == Seq((1L, 2L)))
+  }
+}
