@@ -218,6 +218,23 @@ final class Col private[api] (
     * column.py:338-364, `ignore_na=True`). Typed overloads keep Spark
     * Encoders happy; execution is a codegen'd map over the column.
     */
+  /** Cross-table element-wise combine — the reference's strict iterator zip
+    * (column.py:604-607, strict=True raises on length mismatch). Distributed
+    * form: row-index equi-join on both tables' minted __rowid, after an
+    * explicit length check (SURVEY.md §7.4.4).
+    */
+  def zipWith(other: Col, f: (Column, Column) => Column): DataFrame = {
+    if (table.len != other.table.len)
+      throw new IndexOutOfBoundsError(
+        s"cannot zip columns of different lengths: ${table.len} vs ${other.table.len}")
+    import Table.ROWID
+    val l = table.indexed.select(col(ROWID), c.as("__l"))
+    val r = other.table.indexed.select(col(ROWID), col(other.name).as("__r"))
+    l.join(r, ROWID)
+      .orderBy(ROWID)
+      .select(f(col("__l"), col("__r")).as(name))
+  }
+
   def applyStr(f: String => String): DataFrame = {
     val u = udf((s: String) => if (s == null) null else f(s))
     df.select(u(c).as(name))

@@ -34,6 +34,20 @@ final class Database private (
         s"table '$tableName' does not exist; available: ${tables.mkString(", ")}")
     }
 
+  /** Temp views registered in the session beyond this database's base
+    * tables (reference `db.views` / `temp_tables`, connection.py:122-148).
+    */
+  def views: Seq[String] =
+    spark.catalog.listTables().collect()
+      .filter(t => t.tableType == "TEMPORARY" && !tableMap.contains(t.name))
+      .map(_.name).toSeq.sorted
+
+  /** Register a derived table as a named temp view (the reference's
+    * TableView machinery; in Spark a view is just a named lazy plan).
+    */
+  def createView(name: String, table: Table): Unit =
+    table.toDf.createOrReplaceTempView(name)
+
   /** Column names of a table (reference: connection.py:150-160). */
   def getColumns(tableName: String): Seq[String] = table(tableName).columns
 

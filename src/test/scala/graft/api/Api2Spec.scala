@@ -1,0 +1,103 @@
+package graft.api
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions.{col => fcol}
+
+import graft.SparkSuite
+
+/** Second API spec batch: ingestion, views, iteration, zip arithmetic,
+  * cache warm-up, expression OR.
+  */
+class Api2Spec extends SparkSuite {
+
+  lazy val db: Database = Database.open(spark, sfDir)
+
+  test("CSV ingestion (reference convert_csvs_to_db, utils.py:214-239)") {
+    val dir = Files.createTempDirectory("graftcsv").toString
+    Files.write(java.nio.file.Paths.get(dir, "people.csv"),
+      "id,name,score\n1,ann,9.5\n2,bob,7.25\n3,cy,\n".getBytes)
+    val cdb = Database.open(spark, dir)
+    assert(cdb.tables == Seq("people"))
+    val t = cdb("people")
+    assert(t.len == 3)
+    assert(t.col("score").nullCount == 1)
+    assert(t.col("score").sum == 16.75)
+    cdb.exit()
+  }
+
+  test("FileTypeError on directory without tables") {
+    val dir = Files.createTempDirectory("graftempty").toString
+    intercept[FileTypeError](Database.open(spark, dir))
+  }
+
+  test("views: createView registers, exit drops base views") {
+    val vdb = Database.open(spark, sfDir)
+    vdb.createView("big_orders",
+      vdb("orders").filter(vdb("orders")("o_totalprice") > 1000.0))
+    assert(vdb.views.contains("big_orders"))
+    assert(vdb.query("SELECT count(*) AS c FROM big_orders").head.getLong(0) > 0)
+    spark.catalog.dropTempView("big_orders")
+  }
+
+  test("iterator streams rows without collect (reference table.py:355-360)") {
+    val it = db("region").iterator
+    assert(it.take(3).size == 3)
+    val cit = db("region").col("r_name").iterator
+    assert(cit.toSeq.size == 5)
+  }
+
+  test("expression OR and negation compose") {
+    val c = db("customer")
+    val either = c.filter(
+      (c("c_mktsegment") === "BUILDING") || (c("c_mktsegment") === "AUTOMOBILE"))
+    val neither = c.filter(
+      !((c("c_mktsegment") === "BUILDING") || (c("c_mktsegment") === "AUTOMOBILE")))
+    assert(either.len + neither.len == c.len)
+  }
+
+  test("zipWith: cross-table strict-length zip (SURVEY §7.4.4)") {
+    val a = db("nation")
+    val b = db("nation")
+    val summed = a.col("n_nationkey").zipWith(b.col("n_regionkey"), _ + _)
+      .collect().map(_.getInt(0)).sorted
+    val expect = a.toDf.select(fcol("n_nationkey") + fcol("n_regionkey"))
+      .collect().map(_.getInt(0)).sorted
+    assert(summed.toSeq == expect.toSeq)
+    intercept[IndexOutOfBoundsError](
+      db("nation").col("n_nationkey").zipWith(db("region").col("r_regionkey"), _ + _))
+  }
+
+  test("populateCache warms scalar stats for every column (cache.py:94-125)") {
+    val dir = Files.createTempDirectory("graftwarm").toString
+    import spark.implicits._
+    Seq((1L, "a", 2.0), (2L, "b", 3.5)).toDF("id", "s", "v")
+      .write.parquet(s"$dir/t.parquet")
+    val wdb = Database.open(spark, dir, populateCache = true)
+    val before = wdb.cache.size
+    assert(before > 0)
+    // a warmed aggregate is a cache hit: size does not grow
+    wdb("t").col("v").sum
+    wdb("t").col("s").valueCounts
+    assert(wdb.cache.size == before)
+  }
+
+  test("winnowing fingerprints: shared long substring => shared fingerprint") {
+    import graft.functions.TextExprs.winnowFingerprints
+    import spark.implicits._
+    val common = "the catalyst optimizer rewrites logical plans"
+    val df = Seq(
+      (1L, s"prefix one $common suffix alpha"),
+      (2L, s"other beginning $common different end"),
+      (3L, "entirely unrelated content with no overlap at all here")
+    ).toDF("id", "text")
+    val fps = df.select(fcol("id"), winnowFingerprints(fcol("text"), 5, 4).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert((fps(1L) & fps(2L)).nonEmpty)   // winnowing guarantee
+    assert(fps(1L) != fps(3L))
+    // deterministic
+    val again = df.select(winnowFingerprints(fcol("text"), 5, 4)).collect()
+      .map(_.getSeq[Long](0).toSet)
+    assert(again(0) == fps(1L))
+  }
+}
