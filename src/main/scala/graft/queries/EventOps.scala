@@ -106,6 +106,30 @@ object EventOps {
          |cast(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
          |cast(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors,
          |round(cast(sum(cast(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE), 4) AS purchase_value
-         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // -- as-of join: for each error event, the user's most recent prior (or
+    //    simultaneous) purchase value. Spark side = graft.ops.AsofJoin
+    //    (union + LOCF window, one shuffle); oracle = DuckDB's native
+    //    ASOF JOIN ---------------------------------------------------------
+    ("q_asof_join",
+      (s: SparkSession, d: String) => {
+        val ev = t(s, d, "events")
+          .select(col("event_id"), col("user_id"), nsDiv("ts", NS_PER_MS).as("ms"),
+            col("event_type"), col("value"))
+        val errors = ev.filter(col("event_type") === "error")
+          .select("event_id", "user_id", "ms")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ms"), col("value").as("purchase_value"))
+        graft.ops.AsofJoin.asof(errors, purchases, "user_id", "ms", "ms",
+            Seq("purchase_value"))
+          .select(col("event_id"), col("user_id"), col("purchase_value"))
+          .orderBy("event_id")
+      },
+      """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ms FROM events WHERE event_type = 'error'),
+        |p AS (SELECT user_id, epoch_ms(ts) AS ms, value AS purchase_value FROM events WHERE event_type = 'purchase')
+        |SELECT e.event_id, e.user_id, p.purchase_value
+        |FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ms >= p.ms
+        |ORDER BY e.event_id""".stripMargin)
   )
 }

@@ -330,6 +330,40 @@ object Parity {
       "SELECT o_custkey, o_orderkey, o_totalprice FROM " +
         "(SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER " +
         "(PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn FROM orders) " +
-        "WHERE rn = 1 ORDER BY o_custkey")
+        "WHERE rn = 1 ORDER BY o_custkey"),
+
+    // -- exact distributional stats beyond the reference (stddev, corr) via
+    //    order-independent decimal power sums: partial aggregation is exact,
+    //    so Spark's shuffle tree and DuckDB's serial scan agree bit-for-bit -
+    ("q_stats_exact",
+      (s: SparkSession, d: String) => {
+        val x = col("l_quantity")
+        val y = col("l_extendedprice")
+        def dsum38(c: org.apache.spark.sql.Column) =
+          sum(c.cast(DecimalType(38, 8))).cast("double")
+        t(s, d, "lineitem")
+          .agg(
+            count(lit(1)).cast("double").as("n"),
+            dsum38(x).as("sx"), dsum38(x * x).as("sxx"),
+            dsum38(y).as("sy"), dsum38(y * y).as("syy"),
+            dsum38(x * y).as("sxy"))
+          .select(
+            round(sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)), 4)
+              .as("stddev_qty"),
+            round((col("n") * col("sxy") - col("sx") * col("sy")) /
+              sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+                (col("n") * col("syy") - col("sy") * col("sy"))), 6)
+              .as("corr_qty_price"))
+      },
+      """WITH s AS (SELECT cast(count(*) AS DOUBLE) AS n,
+        |  cast(sum(cast(l_quantity AS DECIMAL(38,8))) AS DOUBLE) AS sx,
+        |  cast(sum(cast(l_quantity * l_quantity AS DECIMAL(38,8))) AS DOUBLE) AS sxx,
+        |  cast(sum(cast(l_extendedprice AS DECIMAL(38,8))) AS DOUBLE) AS sy,
+        |  cast(sum(cast(l_extendedprice * l_extendedprice AS DECIMAL(38,8))) AS DOUBLE) AS syy,
+        |  cast(sum(cast(l_quantity * l_extendedprice AS DECIMAL(38,8))) AS DOUBLE) AS sxy
+        |  FROM lineitem)
+        |SELECT round(sqrt((sxx - sx * sx / n) / (n - 1)), 4) AS stddev_qty,
+        |  round((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr_qty_price
+        |FROM s""".stripMargin)
   )
 }
