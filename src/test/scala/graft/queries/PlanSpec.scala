@@ -1,0 +1,64 @@
+package graft.queries
+
+import graft.SparkEntry
+import graft.SparkSuite
+
+/** Physical-plan assertions: the properties that make these queries hold up
+  * at 100 TB (filter pushdown into the parquet scan, column pruning,
+  * broadcast joins for small dims, top-k instead of full sort, partial
+  * aggregation). Executable evidence for the `.explain` review the brief
+  * demands — if an optimization regresses, this suite fails.
+  */
+class PlanSpec extends SparkSuite {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("filter is pushed into the parquet scan and columns are pruned") {
+    val p = plan("q_filter_eq")
+    assert(p.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)]"),
+      s"no pushdown in:\n$p")
+    assert(p.contains("ReadSchema") && p.contains("c_custkey") && !p.contains("c_acctbal"),
+      "scan should read only the projected columns")
+  }
+
+  test("range filter pushes both bounds") {
+    val p = plan("q_between")
+    // PushedFilters renders truncated; DataFilters carries the full list
+    assert(p.contains("(o_totalprice#") && p.contains(">= 1000.0") &&
+      p.contains("<= 5000.0") && p.contains("PushedFilters: [IsNotNull(o_totalprice), GreaterThanOrEqual"),
+      s"missing pushed bounds in:\n$p")
+  }
+
+  test("small dimension joins broadcast (no shuffle of the big side)") {
+    val p = plan("q_join_agg")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+    val p2 = plan("q_sql_join")
+    assert(p2.contains("BroadcastHashJoin"), s"raw-SQL join should broadcast dims:\n$p2")
+  }
+
+  test("sort+limit compiles to distributed top-k, not a global sort") {
+    val p = plan("q_sort_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
+  }
+
+  test("group-by aggregates partially before the shuffle (map-side combine)") {
+    val p = plan("q_groupby_agg")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"expected partial aggregation:\n$p")
+    assert(p.contains("HashAggregate"), "expected hash aggregation")
+  }
+
+  test("knn broadcasts the single query vector, scans corpus once") {
+    val p = plan("q_knn")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query side should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), "must not cartesian-shuffle the corpus")
+  }
+
+  test("whole-stage codegen covers the hot aggregation path") {
+    val qe = graft.SparkEntry.queries("q_groupby_agg")(spark, sfDir).queryExecution
+    val p = qe.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    assert(p.contains("WholeStageCodegen"), s"expected codegen spans:\n${p.take(2000)}")
+  }
+}
