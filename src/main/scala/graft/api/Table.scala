@@ -178,6 +178,21 @@ final class Table private[api] (
     new Table(db, df.select(cols.toSeq: _*), name, cache, ordered)
   }
 
+  // ---- group-by (the reference's own unchecked TODO, README.md:643;
+  //      M5 extension in SURVEY §7.2) -------------------------------------
+
+  /** Grouped aggregation: `t.groupBy(Seq("a")).agg("x" -> "sum", "y" -> "avg")`.
+    * Executes as partial (map-side) + final hash aggregation — one shuffle
+    * on the group keys.
+    */
+  def groupBy(keys: Seq[String]): GroupedTable = {
+    val missing = keys.filterNot(columns.contains)
+    if (missing.nonEmpty)
+      throw new InvalidColumnError(
+        s"columns ${missing.mkString("[", ", ", "]")} do not exist in table '$name'")
+    new GroupedTable(this, keys)
+  }
+
   // ---- stats (reference §2.4 A13) --------------------------------------
 
   def describe: Map[String, Map[String, Any]] =
@@ -210,6 +225,40 @@ final class Table private[api] (
   def iterator: Iterator[Row] = {
     val it = df.toLocalIterator()
     new Iterator[Row] { def hasNext = it.hasNext; def next() = it.next() }
+  }
+}
+
+/** Result of Table.groupBy: aggregate with (column -> function) pairs.
+  * Functions: count, sum, avg, min, max, median, count_distinct.
+  * Numeric-only functions enforce the same type guard as Col.
+  */
+final class GroupedTable private[api] (parent: Table, keys: Seq[String]) {
+
+  def agg(specs: (String, String)*): Table = {
+    val df = parent.toDf
+    val aggCols = specs.map { case (cn, fn) =>
+      if (!parent.columns.contains(cn))
+        throw new InvalidColumnError(s"column '$cn' does not exist in table '${parent.name}'")
+      val numericOnly = Set("sum", "avg", "median")
+      if (numericOnly(fn) && !df.schema(cn).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+        throw new ColumnTypeError(s"cannot compute $fn() of non-numeric column '$cn'")
+      val c = org.apache.spark.sql.functions.col(cn)
+      val out = s"${fn}_$cn"
+      fn match {
+        case "count" => org.apache.spark.sql.functions.count(c).as(out)
+        case "count_distinct" => org.apache.spark.sql.functions.countDistinct(c).as(out)
+        case "sum" => org.apache.spark.sql.functions.sum(c).as(out)
+        case "avg" => org.apache.spark.sql.functions.avg(c).as(out)
+        case "min" => org.apache.spark.sql.functions.min(c).as(out)
+        case "max" => org.apache.spark.sql.functions.max(c).as(out)
+        case "median" => org.apache.spark.sql.functions.median(c).as(out)
+        case other => throw new IllegalArgumentException(s"unknown aggregate '$other'")
+      }
+    }
+    new Table(parent.db,
+      df.groupBy(keys.map(org.apache.spark.sql.functions.col): _*)
+        .agg(aggCols.head, aggCols.tail: _*),
+      parent.name, parent.cache)
   }
 }
 

@@ -82,6 +82,18 @@ class Api2Spec extends SparkSuite {
     assert(wdb.cache.size == before)
   }
 
+  test("groupBy API: keyed aggregation with type guards") {
+    val t = db("lineitem")
+    val out = t.groupBy(Seq("l_returnflag"))
+      .agg("l_quantity" -> "sum", "l_quantity" -> "avg", "l_orderkey" -> "count_distinct")
+    assert(out.columns == Seq("l_returnflag", "sum_l_quantity", "avg_l_quantity",
+      "count_distinct_l_orderkey"))
+    val direct = t.toDf.groupBy("l_returnflag").count().count()
+    assert(out.len == direct)
+    intercept[ColumnTypeError](t.groupBy(Seq("l_returnflag")).agg("l_linestatus" -> "sum"))
+    intercept[InvalidColumnError](t.groupBy(Seq("nope")))
+  }
+
   test("winnowing fingerprints: shared long substring => shared fingerprint") {
     import graft.functions.TextExprs.winnowFingerprints
     import spark.implicits._
