@@ -1,0 +1,97 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import Q._
+
+/** TPC-H-style multi-join analytics adapted to the driver's star schema —
+  * the "headline" bench queries exercising Catalyst's join planning:
+  * dimension broadcasts, filter pushdown below joins, partial aggregation,
+  * top-k. Dates are compared as timestamps (identical parquet values in both
+  * engines) and emitted as epoch seconds.
+  */
+object TpchOps {
+
+  type Fn = (SparkSession, String) => DataFrame
+
+  private def revenueSum = sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+    .cast(DecimalType(18, 6))).cast("double")
+
+  private val sqlRevenueSum =
+    "cast(sum(cast(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)"
+
+  val entries: Seq[(String, Fn, String)] = Seq(
+
+    // -- Q3 analogue: shipping-priority revenue — filters push below a
+    //    3-way join; customer dim broadcasts; top-10 via TakeOrdered --------
+    ("q_tpch_q3",
+      (s: SparkSession, d: String) =>
+        t(s, d, "lineitem")
+          .filter(col("l_shipdate") > lit("1997-06-30").cast("timestamp"))
+          .join(t(s, d, "orders")
+            .filter(col("o_orderdate") < lit("1997-06-30").cast("timestamp")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t(s, d, "customer")
+            .filter(col("c_mktsegment") === "BUILDING")),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("l_orderkey"),
+            unix_timestamp(col("o_orderdate")).as("orderdate_epoch"))
+          .agg(round(revenueSum, 4).as("revenue"))
+          .orderBy(desc("revenue"), asc("l_orderkey"))
+          .limit(10),
+      s"""SELECT l_orderkey, cast(epoch(o_orderdate) AS BIGINT) AS orderdate_epoch,
+         |  round($sqlRevenueSum, 4) AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE l_shipdate > TIMESTAMP '1997-06-30'
+         |  AND o_orderdate < TIMESTAMP '1997-06-30'
+         |  AND c_mktsegment = 'BUILDING'
+         |GROUP BY 1, 2 ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin),
+
+    // -- Q5 analogue: revenue by nation where customer and supplier share
+    //    the nation — 6-table join, all dims broadcast ----------------------
+    ("q_tpch_q5",
+      (s: SparkSession, d: String) =>
+        t(s, d, "lineitem")
+          .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(round(revenueSum, 4).as("revenue"), count(lit(1)).as("n_items"))
+          .orderBy("r_name", "n_name"),
+      s"""SELECT r_name, n_name, round($sqlRevenueSum, 4) AS revenue, count(*) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    // -- Q10 analogue: top returning customers by lost revenue --------------
+    ("q_tpch_q10",
+      (s: SparkSession, d: String) =>
+        t(s, d, "lineitem")
+          .filter(col("l_returnflag") === "R")
+          .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+          .agg(round(revenueSum, 4).as("revenue"))
+          .orderBy(desc("revenue"), asc("c_custkey"))
+          .limit(20),
+      s"""SELECT c_custkey, c_name, n_name, round($sqlRevenueSum, 4) AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE l_returnflag = 'R'
+         |GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin)
+  )
+}
