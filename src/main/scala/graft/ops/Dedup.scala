@@ -23,20 +23,14 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Tokenize, then distinct word n-gram shingles, as columns.
-    * `w` must be a materialized token-array column (inlining the tokenizer
-    * into the transform lambda re-tokenizes per shingle).
+  /** (idCol, "sh") distinct-shingle table; docs with < n tokens drop out.
+    * Shingling runs through the native one-pass WordShingles expression
+    * (value-equal to the composable HOF form — ShingleExprSpec).
     */
-  private def shingleExpr(w: Column, n: Int): Column =
-    array_distinct(transform(sequence(lit(1), size(w) - (n - 1)),
-      i => array_join(slice(w, i, lit(n)), " ")))
-
-  /** (idCol, "sh") distinct-shingle table; docs with < n tokens drop out. */
   def shingled(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
     docs
-      .withColumn("__w", regexp_extract_all(col(textCol), lit("\\S+"), lit(0)))
-      .filter(size(col("__w")) >= n)
-      .select(col(idCol), shingleExpr(col("__w"), n).as("sh"))
+      .select(col(idCol),
+        graft.functions.ShingleExpr.wordShingles(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
 
   /** Exact dedup: keep the lowest-id row per distinct value of `cols`.
