@@ -1,8 +1,5 @@
 package graft
 
-import java.lang.management.ManagementFactory
-import scala.jdk.CollectionConverters._
-
 import org.apache.spark.sql.SparkSession
 
 /** Ad-hoc profiling main (not part of the driver contract). */
@@ -17,20 +14,18 @@ object Scratch {
     spark.sparkContext.setLogLevel("WARN")
     val d = "/root/testdata/sf0.1"
 
-    val jit = ManagementFactory.getCompilationMXBean
-    def codeCacheMb: Double = ManagementFactory.getMemoryPoolMXBeans.asScala
-      .filter(_.getName.contains("CodeHeap")).map(_.getUsage.getUsed / 1e6).sum
-
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val j0 = jit.getTotalCompilationTime
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    SparkEntry.queries.foreach { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, d).count() catch { case e: Throwable => println(s"ERR $name: $e"); -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      val dj = jit.getTotalCompilationTime - j0
-      if (dt > 1.0) println(f"SLOW $name: $dt%.2f s (jit ${dj}ms, codecache ${codeCacheMb}%.0f MB)")
-      name -> dt
+      val df = fn(spark, d)
+      val t1 = System.nanoTime()
+      df.count()
+      val t2 = System.nanoTime()
+      val build = (t1 - t0) / 1e9
+      val exec = (t2 - t1) / 1e9
+      if (build + exec > 1.0)
+        println(f"SLOW $name: build $build%.2f s, exec $exec%.2f s")
     }
-    println(f"TOTAL ${results.values.sum}%.1f s, final codecache ${codeCacheMb}%.0f MB")
     spark.stop()
   }
 }

@@ -108,9 +108,19 @@ object Database {
       populateCache: Boolean = false): Database = {
     // Tolerate TIMESTAMP(NANOS) parquet columns (read as epoch-nanos long).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val files = Option(new File(dir).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile || f.isDirectory) // spark parquet "files" may be dirs
-      .filter(f => f.getName.endsWith(".parquet") || f.getName.endsWith(".csv"))
+    val target = new File(dir)
+    // single-file open, like the reference's Database('file.db')
+    // (connection.py:64-78: unsupported extensions raise FileTypeError)
+    if (target.isFile) {
+      if (!dir.endsWith(".parquet") && !dir.endsWith(".csv"))
+        throw new FileTypeError(
+          s"unsupported file type '$dir' — expected .parquet or .csv")
+    }
+    val files =
+      if (target.isFile) Array(target)
+      else Option(target.listFiles()).getOrElse(Array.empty[File])
+        .filter(f => f.isFile || f.isDirectory) // spark parquet "files" may be dirs
+        .filter(f => f.getName.endsWith(".parquet") || f.getName.endsWith(".csv"))
     if (files.isEmpty)
       throw new FileTypeError(s"no .parquet or .csv tables found under '$dir'")
     val tableMap = files.map { f =>
