@@ -59,14 +59,19 @@ object Similarity {
       when(vecDot(vec, planeCol) >= 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
 
-  /** (id, table, bucket) index rows for a vector table. */
+  /** (id, vec, norm, table, bucket) index rows for a vector table — one
+    * pass: norms and signatures in the same projection, no re-read.
+    */
   private def buckets(df: DataFrame, idCol: String, vecCol: String,
-      planes: Array[Array[Array[Double]]]): DataFrame = {
+      normName: String, planes: Array[Array[Array[Double]]]): DataFrame = {
     val sigs = planes.zipWithIndex.map { case (tablePlanes, t) =>
       struct(lit(t).as("t"), signature(col(vecCol), tablePlanes).as("sig"))
     }
-    df.select(col(idCol), col(vecCol), explode(array(sigs: _*)).as("b"))
-      .select(col(idCol), col(vecCol), col("b.t").as("__t"), col("b.sig").as("__sig"))
+    df.select(col(idCol), col(vecCol),
+        sqrt(vecDot(col(vecCol), col(vecCol))).as(normName),
+        explode(array(sigs: _*)).as("b"))
+      .select(col(idCol), col(vecCol), col(normName),
+        col("b.t").as("__t"), col("b.sig").as("__sig"))
   }
 
   /** LSH-bucketed approximate cosine top-k: candidates share a
@@ -77,10 +82,8 @@ object Similarity {
       tables: Int = 8, bits: Int = 10, seed: Long = 42L): DataFrame = {
     val dim = 64 // embeddings fixture dimension; derive from data if needed
     val planes = hyperplanes(seed, tables, bits, dim)
-    val cb = buckets(withNorm(corpus, vecCol, "__nc"), idCol, vecCol, planes)
-      .join(withNorm(corpus, vecCol, "__nc").select(col(idCol), col("__nc")), idCol)
-    val qb = buckets(withNorm(queries, vecCol, "__nq"), qidCol, vecCol, planes)
-      .join(withNorm(queries, vecCol, "__nq").select(col(qidCol), col("__nq")), qidCol)
+    val cb = buckets(corpus, idCol, vecCol, "__nc", planes)
+    val qb = buckets(queries, qidCol, vecCol, "__nq", planes)
       .withColumnRenamed(vecCol, "__qv")
     val cand = cb.join(broadcast(qb),
         cb("__t") === qb("__t") && cb("__sig") === qb("__sig"))

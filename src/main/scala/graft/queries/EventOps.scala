@@ -92,6 +92,20 @@ object EventOps {
         "cast(sum(cast(regexp_extract(props, '\"k\": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS k_sum " +
         "FROM events GROUP BY 1 ORDER BY 1"),
 
+    // -- typed JSON parsing: from_json with an explicit schema (Spark) vs
+    //    DuckDB's json extension — engine-native JSON paths on both sides ---
+    ("q_json_typed",
+      (s: SparkSession, d: String) =>
+        t(s, d, "events")
+          .select(col("event_id"),
+            from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("k",
+                org.apache.spark.sql.types.LongType)))).getField("k").as("k"))
+          .filter(col("event_id") < 500)
+          .orderBy("event_id"),
+      "SELECT event_id, cast(json_extract_string(props, '$.k') AS BIGINT) AS k " +
+        "FROM events WHERE event_id < 500 ORDER BY event_id"),
+
     // -- daily conditional (pivot-style) aggregation ----------------------
     ("q_events_daily_mix",
       (s: SparkSession, d: String) =>
