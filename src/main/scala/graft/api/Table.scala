@@ -99,9 +99,16 @@ final class Table private[api] (
     */
   def limit(n: Int): Table =
     if (ordered) new Table(db, df.limit(n), name, cache, ordered)
-    else new Table(db,
-      indexed.filter(functionsCol(ROWID) < n).sortWithinPartitions(ROWID)
-        .drop(ROWID), name, cache, ordered)
+    else {
+      // base-order head-n without minting the row index:
+      // monotonically_increasing_id is (partitionId << 33) + offset, whose
+      // ordering IS base order — so this compiles to TakeOrderedAndProject
+      // (n rows per partition, no zipWithIndex job, stays columnar)
+      val mid = monotonically_increasing_id()
+      new Table(db,
+        df.withColumn(ROWID, mid).orderBy(ROWID).limit(n).drop(ROWID),
+        name, cache, ordered)
+    }
 
   /** Exactly-n random sample without replacement (reference: table.py:195-203
     * does ORDER BY RANDOM() LIMIT n; Bernoulli `df.sample` is NOT exact —
