@@ -29,13 +29,6 @@ object TextOps {
   /** Whitespace-delimited tokens. */
   private def toks(c: Column): Column = regexp_extract_all(c, lit("\\S+"), lit(0))
 
-  /** Distinct word 3-gram shingles; empty (not reversed!) when < 3 tokens. */
-  private def shingles(w: Column): Column =
-    when(size(w) >= 3,
-      array_distinct(transform(sequence(lit(1), size(w) - 2),
-        i => array_join(slice(w, i, lit(3)), " "))))
-      .otherwise(array().cast("array<string>"))
-
   private val stopList = Seq("the", "a", "of", "to", "and", "in", "is", "on", "for", "with")
 
   /** (doc_id, distinct shingles) — computed once per (session, dir) and
