@@ -1,0 +1,142 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import Q._
+
+/** Second coverage batch: set operations, semi-joins, HAVING, CASE
+  * bucketing, and the scalar string/date/null function surface — all
+  * oracle-paired.
+  */
+object MoreOps {
+
+  type Fn = (SparkSession, String) => DataFrame
+
+  val entries: Seq[(String, Fn, String)] = Seq(
+
+    // -- multi-column DISTINCT --------------------------------------------
+    ("q_distinct_multi",
+      (s: SparkSession, d: String) =>
+        t(s, d, "orders").select("o_orderstatus", "o_orderpriority")
+          .distinct().orderBy("o_orderstatus", "o_orderpriority"),
+      "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders ORDER BY 1, 2"),
+
+    // -- group-by + HAVING -------------------------------------------------
+    ("q_having",
+      (s: SparkSession, d: String) =>
+        t(s, d, "orders").groupBy("o_custkey")
+          .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("spend"))
+          .filter(col("n_orders") >= 15)
+          .orderBy("o_custkey"),
+      s"SELECT o_custkey, count(*) AS n_orders, ${sqlDsum("o_totalprice")} AS spend " +
+        "FROM orders GROUP BY 1 HAVING count(*) >= 15 ORDER BY 1"),
+
+    // -- CASE WHEN bucketing ----------------------------------------------
+    ("q_case_bands",
+      (s: SparkSession, d: String) =>
+        t(s, d, "orders")
+          .select(when(col("o_totalprice") < 50000.0, "low")
+            .when(col("o_totalprice") < 200000.0, "mid")
+            .otherwise("high").as("band"), col("o_totalprice"))
+          .groupBy("band")
+          .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sm"))
+          .orderBy("band"),
+      "SELECT CASE WHEN o_totalprice < 50000.0 THEN 'low' " +
+        "WHEN o_totalprice < 200000.0 THEN 'mid' ELSE 'high' END AS band, " +
+        s"count(*) AS cnt, ${sqlDsum("o_totalprice")} AS sm FROM orders GROUP BY 1 ORDER BY 1"),
+
+    // -- set operations: union / intersect / except (distinct semantics
+    //    both engines) -----------------------------------------------------
+    ("q_set_ops",
+      (s: SparkSession, d: String) => {
+        val c = t(s, d, "customer")
+        val building = c.filter(col("c_mktsegment") === "BUILDING").select("c_nationkey")
+        val auto = c.filter(col("c_mktsegment") === "AUTOMOBILE").select("c_nationkey")
+        val u = building.union(auto).distinct().count()
+        val i = building.intersect(auto).count()
+        val e = building.except(auto).count()
+        val spark = s
+        import spark.implicits._
+        Seq((u, i, e)).toDF("n_union", "n_intersect", "n_except")
+      },
+      """SELECT
+        |  (SELECT count(*) FROM (SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |    UNION SELECT c_nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')) AS n_union,
+        |  (SELECT count(*) FROM (SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |    INTERSECT SELECT c_nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')) AS n_intersect,
+        |  (SELECT count(*) FROM (SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |    EXCEPT SELECT c_nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')) AS n_except""".stripMargin),
+
+    // -- EXISTS / semi-join: orders with >= 5 line items --------------------
+    ("q_exists_semi",
+      (s: SparkSession, d: String) => {
+        val big = t(s, d, "lineitem").groupBy("l_orderkey")
+          .agg(count(lit(1)).as("n")).filter(col("n") >= 5)
+          .select(col("l_orderkey"))
+        t(s, d, "orders")
+          .join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
+          .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sm"))
+      },
+      s"SELECT count(*) AS cnt, ${sqlDsum("o_totalprice")} AS sm FROM orders " +
+        "WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem GROUP BY 1 HAVING count(*) >= 5)"),
+
+    // -- scalar string functions ------------------------------------------
+    ("q_string_funcs",
+      (s: SparkSession, d: String) =>
+        t(s, d, "customer").filter(col("c_custkey") < 50)
+          .select(
+            col("c_custkey"),
+            upper(col("c_mktsegment")).as("seg_up"),
+            lower(col("c_name")).as("name_lo"),
+            substring(col("c_name"), 10, 6).as("name_mid"),
+            regexp_replace(col("c_name"), "Customer", "C").as("name_short"),
+            lpad(col("c_custkey").cast("string"), 8, "0").as("key_pad"),
+            length(col("c_name")).cast("long").as("name_len"),
+            trim(concat(lit("  "), col("c_mktsegment"), lit(" "))).as("seg_trim"))
+          .orderBy("c_custkey"),
+      """SELECT c_custkey, upper(c_mktsegment) AS seg_up, lower(c_name) AS name_lo,
+        |substr(c_name, 10, 6) AS name_mid,
+        |regexp_replace(c_name, 'Customer', 'C', 'g') AS name_short,
+        |lpad(cast(c_custkey AS VARCHAR), 8, '0') AS key_pad,
+        |cast(length(c_name) AS BIGINT) AS name_len,
+        |trim('  ' || c_mktsegment || ' ') AS seg_trim
+        |FROM customer WHERE c_custkey < 50 ORDER BY c_custkey""".stripMargin),
+
+    // -- date part extraction (dayofweek: Spark is 1=Sunday, DuckDB
+    //    0=Sunday — oracle shifts by one) -----------------------------------
+    ("q_date_funcs",
+      (s: SparkSession, d: String) =>
+        t(s, d, "orders").filter(col("o_orderkey") < 100)
+          .select(
+            col("o_orderkey"),
+            year(col("o_orderdate")).cast("long").as("y"),
+            month(col("o_orderdate")).cast("long").as("m"),
+            dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+            quarter(col("o_orderdate")).cast("long").as("q"),
+            dayofweek(col("o_orderdate")).cast("long").as("dow_sun1"))
+          .orderBy("o_orderkey"),
+      """SELECT o_orderkey, cast(year(o_orderdate) AS BIGINT) AS y,
+        |cast(month(o_orderdate) AS BIGINT) AS m,
+        |cast(day(o_orderdate) AS BIGINT) AS dom,
+        |cast(quarter(o_orderdate) AS BIGINT) AS q,
+        |cast(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow_sun1
+        |FROM orders WHERE o_orderkey < 100 ORDER BY o_orderkey""".stripMargin),
+
+    // -- null-handling functions: nullif / coalesce / null flags ----------
+    ("q_null_funcs",
+      (s: SparkSession, d: String) =>
+        t(s, d, "lineitem").filter(col("l_orderkey") < 50)
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            nullif(col("l_discount"), lit(0.0)).as("disc_or_null"),
+            coalesce(nullif(col("l_discount"), lit(0.0)), lit(-1.0)).as("disc_or_neg1"),
+            nullif(col("l_discount"), lit(0.0)).isNull.as("zero_disc"))
+          .orderBy("l_orderkey", "l_linenumber"),
+      """SELECT l_orderkey, l_linenumber,
+        |nullif(l_discount, 0.0) AS disc_or_null,
+        |coalesce(nullif(l_discount, 0.0), -1.0) AS disc_or_neg1,
+        |nullif(l_discount, 0.0) IS NULL AS zero_disc
+        |FROM lineitem WHERE l_orderkey < 50 ORDER BY l_orderkey, l_linenumber""".stripMargin)
+  )
+}
