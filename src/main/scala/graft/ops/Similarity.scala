@@ -96,6 +96,58 @@ object Similarity {
       .filter(col("__rk") <= k).drop("__rk")
   }
 
+  /** IVF (inverted-file) approximate top-k: k-means over L2-normalized
+    * vectors partitions the corpus into `nCells` cells; each query probes
+    * its `nProbe` nearest cells and re-ranks exactly inside them.
+    *
+    * The 100 TB layout: write the corpus bucketed by cell id
+    * (Partitioning.saveBucketed) so a query touches only its probed
+    * buckets' files. With nProbe == nCells this is exhaustive and equals
+    * bruteTopK exactly (asserted in OpsSpec).
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      qidCol: String, vecCol: String, k: Int,
+      nCells: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val unit = normalized(corpus, vecCol)
+    val feats = unit.withColumn("__f", array_to_vector(col("__unit")))
+    val model = new KMeans().setK(nCells).setSeed(seed)
+      .setFeaturesCol("__f").setPredictionCol("__cell")
+      .fit(feats.select("__f"))
+    val assigned = model.transform(feats)
+      .select(col(idCol), col(vecCol),
+        sqrt(vecDot(col(vecCol), col(vecCol))).as("__nc"), col("__cell"))
+
+    // nProbe nearest centroids per query (centroid set is tiny -> broadcast)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = model.clusterCenters.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toArray) }.toDF("__cell", "__centroid")
+    val qunit = normalized(queries, vecCol)
+      .select(col(qidCol), col(vecCol).as("__qv"),
+        sqrt(vecDot(col(vecCol), col(vecCol))).as("__nq"), col("__unit"))
+    val probed = qunit.crossJoin(broadcast(centroids))
+      .withColumn("__qdist", -vecDot(col("__unit"), col("__centroid")))
+      .withColumn("__pr", row_number().over(
+        Window.partitionBy(qidCol).orderBy(col("__qdist"), col("__cell"))))
+      .filter(col("__pr") <= nProbe)
+      .select(col(qidCol), col("__qv"), col("__nq"), col("__cell"))
+
+    assigned.join(probed, "__cell")
+      .select(col(qidCol), col(idCol),
+        cosine(col(vecCol), col("__qv"), col("__nc"), col("__nq")).as("cos"))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(qidCol).orderBy(desc("cos"), asc(idCol))))
+      .filter(col("__rk") <= k).drop("__rk")
+  }
+
+  /** L2-normalize `vecCol` into a double-array `__unit` column. */
+  private def normalized(df: DataFrame, vecCol: String): DataFrame =
+    df.withColumn("__unit",
+      transform(col(vecCol), x => x.cast("double") / sqrt(vecDot(col(vecCol), col(vecCol)))))
+
   /** All pairs with cosine >= threshold (exact, O(n²) dot products — for
     * bounded corpora; use lshPairs at scale).
     */

@@ -99,6 +99,27 @@ class OpsSpec extends SparkSuite {
     assert(recall >= 0.2, s"recall=$recall")
   }
 
+  test("Similarity.ivfTopK: exhaustive probe equals brute force; partial probe recalls") {
+    val queries = emb.filter(col("vec_id") < 3)
+      .withColumnRenamed("vec_id", "qid").select("qid", "embedding")
+    val corpus = emb.filter(col("vec_id") >= 3).select("vec_id", "embedding")
+    val brute = Similarity.bruteTopK(corpus, queries, "vec_id", "qid", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // probing ALL cells is exhaustive -> identical result set
+    val full = Similarity.ivfTopK(corpus, queries, "vec_id", "qid", "embedding", 5,
+      nCells = 8, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == brute)
+
+    // partial probe: valid subset with reasonable recall
+    val part = Similarity.ivfTopK(corpus, queries, "vec_id", "qid", "embedding", 5,
+      nCells = 8, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = part.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.2, s"recall=$recall")
+  }
+
   test("Multimodal: binary payload plumbing + batched feature extraction") {
     val media = Multimodal.syntheticMediaTable(spark,
       docs.filter(col("doc_id") < 50), "doc_id", "text")
