@@ -5,6 +5,8 @@ import java.io.File
 import scala.concurrent.{Await, ExecutionContext, Future}
 import scala.concurrent.duration.Duration
 
+import scala.language.dynamics
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Catalog + entry point — the Spark-native analogue of the reference's
@@ -91,6 +93,22 @@ final class Database private (
     */
   def exit(): Unit =
     tableMap.keys.foreach(n => spark.catalog.dropTempView(n))
+
+  /** Attribute-style access sugar, the reference's `db.orders.total`
+    * (connection.py:230-245; SURVEY §7.4.6): `db.dyn.orders.total.avg`.
+    * Unknown names raise the same InvalidTableError/InvalidColumnError.
+    */
+  def dyn: DynDatabase = new DynDatabase(this)
+}
+
+/** `db.dyn.<table>` — resolves table names as members via scala.Dynamic. */
+final class DynDatabase private[api] (db: Database) extends scala.Dynamic {
+  def selectDynamic(tableName: String): DynTable = new DynTable(db(tableName))
+}
+
+/** `db.dyn.<table>.<column>` — resolves column names as members. */
+final class DynTable private[api] (val table: Table) extends scala.Dynamic {
+  def selectDynamic(colName: String): Col = table.col(colName)
 }
 
 object Database {

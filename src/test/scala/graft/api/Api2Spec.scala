@@ -82,6 +82,14 @@ class Api2Spec extends SparkSuite {
     assert(wdb.cache.size == before)
   }
 
+  test("dynamic attribute access: db.dyn.orders.o_totalprice (SURVEY §7.4.6)") {
+    val avg1 = db.dyn.orders.o_totalprice.avg
+    val avg2 = db("orders").col("o_totalprice").avg
+    assert(avg1 == avg2)
+    intercept[InvalidTableError](db.dyn.nope)
+    intercept[InvalidColumnError](db.dyn.orders.nope)
+  }
+
   test("groupBy API: keyed aggregation with type guards") {
     val t = db("lineitem")
     val out = t.groupBy(Seq("l_returnflag"))
