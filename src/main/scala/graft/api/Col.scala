@@ -172,8 +172,15 @@ final class Col private[api] (
 
   // ---- materialization (reference §2.1 S7-S9) --------------------------
 
+  /** Values; with a limit, the FIRST n in base order (reference
+    * data(limit) is head-n, column.py:314-326 — a bare Spark limit takes
+    * arbitrary rows).
+    */
   def data(limit: Int = -1): Seq[Any] = {
-    val d = if (limit >= 0) colDf.limit(limit) else colDf
+    val d =
+      if (limit < 0) colDf
+      else df.select(c, monotonically_increasing_id().as("__mid"))
+        .orderBy("__mid").limit(limit).drop("__mid")
     d.collect().map(_.get(0)).toSeq
   }
   def toSeq: Seq[Any] = data()
@@ -195,22 +202,33 @@ final class Col private[api] (
   private def arith(f: Column => Column): DataFrame =
     df.select(f(c).as(name))
 
+  /** Column-column ops: same-table columns combine in one projection;
+    * columns from ANOTHER table zip positionally via the strict row-index
+    * join (the reference zips arbitrary equal-length iterables,
+    * column.py:604-607 — resolving the other table's column name against
+    * this table would be silently wrong).
+    */
+  private def combine(o: Col, f: (Column, Column) => Column): DataFrame =
+    if (o.table eq table) arith(x => f(x, col(o.name)))
+    else zipWith(o, f)
+
   def +(v: Any): DataFrame = v match {
-    case o: Col => arith(x => if (sqlType == StringType) concat(x, col(o.name)) else x + col(o.name))
+    case o: Col => combine(o,
+      (x, y) => if (sqlType == StringType) concat(x, y) else x + y)
     case s: String => arith(x => concat(x, lit(s)))
     case _ => arith(_ + lit(v))
   }
   def -(v: Any): DataFrame = v match {
-    case o: Col => arith(_ - col(o.name)); case _ => arith(_ - lit(v))
+    case o: Col => combine(o, _ - _); case _ => arith(_ - lit(v))
   }
   def *(v: Any): DataFrame = v match {
-    case o: Col => arith(_ * col(o.name)); case _ => arith(_ * lit(v))
+    case o: Col => combine(o, _ * _); case _ => arith(_ * lit(v))
   }
   def /(v: Any): DataFrame = v match {
-    case o: Col => arith(_ / col(o.name)); case _ => arith(_ / lit(v))
+    case o: Col => combine(o, _ / _); case _ => arith(_ / lit(v))
   }
   def floorDiv(v: Any): DataFrame = v match {
-    case o: Col => arith(x => floor(x / col(o.name)))
+    case o: Col => combine(o, (x, y) => floor(x / y))
     case _ => arith(x => floor(x / lit(v)))
   }
 

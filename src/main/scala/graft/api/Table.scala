@@ -224,8 +224,11 @@ final class Table private[api] (
 
   // ---- materialization (reference §2.1 S7-S9) --------------------------
 
+  /** Rows; with a limit, the FIRST n in the table's order (reference
+    * data(limit) is head-n, table.py:183-193).
+    */
   def data(limit: Int = -1): Seq[Row] =
-    (if (limit >= 0) df.limit(limit) else df).collect().toSeq
+    (if (limit >= 0) this.limit(limit).toDf else df).collect().toSeq
 
   def head(n: Int = 5): Seq[Row] = this.limit(n).toDf.collect().toSeq
 
@@ -259,6 +262,7 @@ final class Table private[api] (
 final class GroupedTable private[api] (parent: Table, keys: Seq[String]) {
 
   def agg(specs: (String, String)*): Table = {
+    require(specs.nonEmpty, "agg requires at least one (column -> function) pair")
     val df = parent.toDf
     val aggCols = specs.map { case (cn, fn) =>
       if (!parent.columns.contains(cn))

@@ -102,6 +102,25 @@ class Api2Spec extends SparkSuite {
     intercept[InvalidColumnError](t.groupBy(Seq("nope")))
   }
 
+  test("cross-table column arithmetic zips positionally (not by name resolution)") {
+    val a = db("nation")
+    val b = db("nation") // distinct Table instances over the same data
+    val summed = (a.col("n_nationkey") + b.col("n_regionkey"))
+      .collect().map(_.getInt(0)).sorted
+    val expect = a.toDf
+      .selectExpr("n_nationkey + n_regionkey").collect().map(_.getInt(0)).sorted
+    assert(summed.toSeq == expect.toSeq)
+  }
+
+  test("data(limit) returns head-n in base order") {
+    val li = db("lineitem")
+    val viaData = li.data(7).map(_.toSeq)
+    val viaLimit = li.limit(7).toDf.collect().map(_.toSeq).toSeq
+    assert(viaData == viaLimit)
+    val colData = li.col("l_orderkey").data(7)
+    assert(colData == viaLimit.map(_.head))
+  }
+
   test("winnowing fingerprints: shared long substring => shared fingerprint") {
     import graft.functions.TextExprs.winnowFingerprints
     import spark.implicits._
