@@ -137,6 +137,36 @@ object MoreOps {
         |nullif(l_discount, 0.0) AS disc_or_null,
         |coalesce(nullif(l_discount, 0.0), -1.0) AS disc_or_neg1,
         |nullif(l_discount, 0.0) IS NULL AS zero_disc
-        |FROM lineitem WHERE l_orderkey < 50 ORDER BY l_orderkey, l_linenumber""".stripMargin)
+        |FROM lineitem WHERE l_orderkey < 50 ORDER BY l_orderkey, l_linenumber""".stripMargin),
+
+    // -- pivot: event counts per type as columns (CASE-sum oracle) --------
+    ("q_pivot",
+      (s: SparkSession, d: String) =>
+        t(s, d, "events")
+          .select(expr("ts div 86400000000000").as("day"), col("event_type"))
+          .groupBy("day")
+          .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+          .agg(count(lit(1)))
+          .na.fill(0L)
+          .orderBy("day"),
+      """SELECT cast(epoch(date_trunc('day', ts)) / 86400 AS BIGINT) AS day,
+        |cast(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |cast(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        |cast(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |cast(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |cast(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // -- rollup: subtotal rows over (returnflag, linestatus); Spark sorts
+    //    nulls first on ASC, DuckDB last -> explicit NULLS FIRST ------------
+    ("q_rollup",
+      (s: SparkSession, d: String) =>
+        t(s, d, "lineitem")
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("qty"))
+          .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
+      s"""SELECT l_returnflag, l_linestatus, count(*) AS cnt, ${sqlDsum("l_quantity")} AS qty
+         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
   )
 }
