@@ -101,6 +101,22 @@ object VectorOps {
           .select(col("qid"), col("vec_id"), round(col("cos"), 4).as("cos"))
           .orderBy("qid", "vec_id")
       },
+      null),
+
+    // -- IVF ANN (k-means cells + probe + exact re-rank); seeded k-means is
+    //    not ANSI-SQL-expressible -> rows-only; exhaustive-probe equivalence
+    //    to brute force asserted in OpsSpec ---------------------------------
+    ("q_ann_ivf",
+      (s: SparkSession, d: String) => {
+        val emb = t(s, d, "embeddings")
+        val queries = emb.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("qid"), col("embedding"))
+        val corpus = emb.filter(col("vec_id") >= 3).select("vec_id", "embedding")
+        graft.ops.Similarity.ivfTopK(corpus, queries, "vec_id", "qid", "embedding",
+            k = 5, nCells = 16, nProbe = 4)
+          .select(col("qid"), col("vec_id"), round(col("cos"), 4).as("cos"))
+          .orderBy("qid", "vec_id")
+      },
       null)
   )
 }

@@ -94,6 +94,27 @@ object EventStream {
       }
   }
 
+  /** Stream-stream join: each error event joined to the same user's
+    * purchases within the preceding `windowMinutes`. Both sides carry
+    * watermarks so join state is evicted; the time-range predicate bounds
+    * how long a purchase is buffered.
+    */
+  def errorsAfterPurchases(events: DataFrame, windowMinutes: Int = 30): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("value").as("purchase_value"))
+      .withWatermark("p_ts", "1 hour")
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id").as("e_user"), col("ts").as("e_ts"))
+      .withWatermark("e_ts", "1 hour")
+    errors.join(purchases,
+      col("e_user") === col("p_user") &&
+        col("p_ts") <= col("e_ts") &&
+        col("p_ts") >= col("e_ts") - expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("event_id"), col("e_user").as("user_id"),
+        col("e_ts"), col("p_ts"), col("purchase_value"))
+  }
+
   /** Run a streaming DataFrame to a named in-memory sink until all source
     * data is processed (synchronous smoke path for tests/demos).
     */

@@ -39,6 +39,25 @@ class StreamingSpec extends SparkSuite {
       ("2024-01-01 01:00:00", "view", 1L, 3.0)))
   }
 
+  test("stream-stream join: errors matched to recent purchases per user") {
+    val dir = java.nio.file.Files.createTempDirectory("graftss").toString
+    val lines = Seq(
+      """{"event_id":1,"ts":"2024-01-01T00:00:00.000Z","user_id":1,"event_type":"purchase","value":9.5,"props":"{}"}""",
+      """{"event_id":2,"ts":"2024-01-01T00:10:00.000Z","user_id":1,"event_type":"error","value":0.0,"props":"{}"}""",
+      """{"event_id":3,"ts":"2024-01-01T02:00:00.000Z","user_id":1,"event_type":"error","value":0.0,"props":"{}"}""",
+      """{"event_id":4,"ts":"2024-01-01T00:05:00.000Z","user_id":2,"event_type":"error","value":0.0,"props":"{}"}""")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "e.json"),
+      lines.mkString("\n").getBytes)
+    val joined = EventStream.errorsAfterPurchases(
+      EventStream.readEvents(spark, dir, "json"))
+    EventStream.runToMemory(joined, "ss_out", OutputMode.Append)
+    val rows = spark.sql("SELECT event_id, purchase_value FROM ss_out ORDER BY 1")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // only error #2 is within 30 min of user 1's purchase; #3 is 2h later,
+    // user 2 has no purchase
+    assert(rows.toSeq == Seq((2L, 9.5)))
+  }
+
   test("stateful gap sessionization emits closed sessions") {
     import spark.implicits._
     val dir = writeEventsJson()
