@@ -167,6 +167,27 @@ object MoreOps {
           .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
       s"""SELECT l_returnflag, l_linestatus, count(*) AS cnt, ${sqlDsum("l_quantity")} AS qty
          |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
-         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin),
+
+    // -- array explode with ordinality ------------------------------------
+    ("q_explode",
+      (s: SparkSession, d: String) =>
+        t(s, d, "embeddings").filter(col("vec_id") < 3)
+          .select(col("vec_id"), posexplode(col("embedding")))
+          .select(col("vec_id"), (col("pos") + 1).as("pos"), col("col").as("val"))
+          .orderBy("vec_id", "pos"),
+      """SELECT vec_id, cast(i AS INT) AS pos, embedding[i] AS val
+        |FROM embeddings, range(1, 65) r(i) WHERE vec_id < 3
+        |ORDER BY vec_id, pos""".stripMargin),
+
+    // -- array aggregation (deterministic via sorted distinct) ------------
+    ("q_array_agg",
+      (s: SparkSession, d: String) =>
+        t(s, d, "lineitem").groupBy(col("l_returnflag"))
+          .agg(sort_array(collect_set(col("l_linestatus"))).as("statuses"),
+            count(lit(1)).as("cnt"))
+          .orderBy("l_returnflag"),
+      """SELECT l_returnflag, list_sort(list(DISTINCT l_linestatus)) AS statuses, count(*) AS cnt
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 }

@@ -1,0 +1,12 @@
+package graft
+
+/** The driver's smoke contract: entry() returns rows on sf0.001. */
+class EntrySpec extends SparkSuite {
+  test("SparkEntry.entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+  test("every query has a name and runs on sf0.001") {
+    assert(SparkEntry.queries.size == 65)
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+}
