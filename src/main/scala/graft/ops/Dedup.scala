@@ -96,6 +96,41 @@ object Dedup {
       .distinct()
   }
 
+  /** MinHash-LSH candidates verified with the exact Jaccard on full shingle
+    * sets — the production pipeline: cheap candidate generation, exact
+    * filter, no false positives.
+    */
+  def minhashVerifiedPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 16, bands: Int = 4, threshold: Double = 0.8): DataFrame = {
+    val base = shingled(docs, idCol, textCol, n)
+    minhashLshPairs(docs, idCol, textCol, n, k, bands)
+      .join(base.select(col(idCol).as("a"), col("sh").as("sha")), "a")
+      .join(base.select(col(idCol).as("b"), col("sh").as("shb")), "b")
+      .withColumn("common", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard", col("common").cast("double") /
+        (size(col("sha")) + size(col("shb")) - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select("a", "b", "jaccard")
+  }
+
+  /** Containment/plagiarism pairs via winnowing fingerprints: documents
+    * sharing >= minShared fingerprints (guaranteed for any common substring
+    * of length >= w + k - 1). Inverted index on fingerprints — same
+    * scale shape as the shingle index, but robust to reordering and
+    * insertion of surrounding text.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, w: Int = 4, minShared: Int = 2): DataFrame = {
+    val fp = docs.select(col(idCol),
+      explode(array_distinct(
+        graft.functions.TextExprs.winnowFingerprints(col(textCol), k, w))).as("f"))
+    fp.alias("x").join(fp.alias("y"),
+        col("x.f") === col("y.f") && col(s"x.$idCol") < col(s"y.$idCol"))
+      .groupBy(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"))
+      .agg(count(lit(1)).as("shared_fp"))
+      .filter(col("shared_fp") >= minShared)
+  }
+
   /** 64-bit SimHash fingerprint per document from distinct-token hashes:
     * bit b of the fingerprint is the sign of Σ_tokens (2·bit_b(h(token))−1).
     */

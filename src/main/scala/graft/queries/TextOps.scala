@@ -263,6 +263,37 @@ object TextOps {
            |SELECT doc_id, cast($assemble AS BIGINT) AS simhash FROM bits ORDER BY doc_id""".stripMargin
       }),
 
+    // -- end-to-end training-data pipeline: quality gate -> exact dedup ->
+    //    per-language yield stats. Composition of verified pieces; shows the
+    //    whole cleanse path as ONE lazy plan (one scan + one dedup shuffle) -
+    ("q_pipeline",
+      (s: SparkSession, d: String) => {
+        val w = col("w")
+        val quality = t(s, d, "documents")
+          .withColumn("w", toks(col("text")))
+          .withColumn("alpha_ratio",
+            length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") /
+              length(col("text")).cast("double"))
+          .filter(col("alpha_ratio") >= 0.75 && size(w) >= 20)
+        val deduped = quality
+          .withColumn("rk", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+          .filter(col("rk") === 1)
+        deduped.groupBy("lang")
+          .agg(count(lit(1)).as("kept"), davg(col("n_chars")).as("avg_chars"))
+          .orderBy("lang")
+      },
+      s"""WITH q AS (
+         |  SELECT doc_id, lang, n_chars, text,
+         |    length(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0 / length(text) AS alpha_ratio,
+         |    len(regexp_extract_all(text, '\\S+')) AS ntok
+         |  FROM documents),
+         |f AS (SELECT * FROM q WHERE alpha_ratio >= 0.75 AND ntok >= 20),
+         |d AS (SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk FROM f)
+         |SELECT lang, count(*) AS kept, ${sqlDavg("n_chars")} AS avg_chars
+         |FROM d WHERE rk = 1 GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // -- multimodal: opaque binary payload column + metadata (decode /
     //    feature plumbing in graft.ops.Multimodal) --------------------------
     ("q_multimodal_meta",

@@ -120,6 +120,31 @@ class OpsSpec extends SparkSuite {
     assert(recall >= 0.2, s"recall=$recall")
   }
 
+  test("minhashVerifiedPairs == exact ngram pairs (no false positives/negatives at high j)") {
+    val exact = Dedup.ngramJaccardPairs(
+        docs.filter(col("doc_id") < 200), "doc_id", "text", 3, 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val verified = Dedup.minhashVerifiedPairs(
+        docs.filter(col("doc_id") < 200), "doc_id", "text", 3, 32, 8, 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(verified == exact) // P(LSH miss at j>=0.95 with 8x4 bands) ~ 1.5e-5
+    assert(exact.nonEmpty)
+  }
+
+  test("containmentPairs finds embedded common substrings") {
+    import spark.implicits._
+    val core = "spark catalyst turns logical plans into physical plans with codegen"
+    val df = Seq(
+      (1L, s"intro text before. $core and some trailing words"),
+      (2L, s"completely different framing here: $core"),
+      (3L, "no overlap with anything else in this corpus at all today")
+    ).toDF("id", "text")
+    val pairs = Dedup.containmentPairs(df, "id", "text", minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("Multimodal: binary payload plumbing + batched feature extraction") {
     val media = Multimodal.syntheticMediaTable(spark,
       docs.filter(col("doc_id") < 50), "doc_id", "text")
