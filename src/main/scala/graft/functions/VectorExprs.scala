@@ -37,7 +37,11 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) {
+      throw new IllegalArgumentException(
+        s"vec_dot: array length mismatch (${n} vs ${y.numElements()})")
+    }
     val lf = elemType(left) == FloatType
     val rf = elemType(right) == FloatType
     var s = 0.0
@@ -51,15 +55,30 @@ case class DotProduct(left: Expression, right: Expression)
     s
   }
 
+  // Local names MUST come from ctx.freshName: when both inputs are
+  // non-nullable, nullSafeCodeGen inlines this block without braces, so two
+  // DotProducts in one codegen'd function (vecCosine = 3 dots in one
+  // projection) would otherwise declare duplicate locals and fail janino
+  // compilation — silently falling back to interpreted execution. The block
+  // is additionally brace-wrapped for defense in depth.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val getX = if (elemType(left) == FloatType) s"(double) $a.getFloat(i)" else s"$a.getDouble(i)"
-      val getY = if (elemType(right) == FloatType) s"(double) $b.getFloat(i)" else s"$b.getDouble(i)"
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val getX = if (elemType(left) == FloatType) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val getY = if (elemType(right) == FloatType) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double s = 0.0;
-         |for (int i = 0; i < n; i++) { s += ($getX) * ($getY); }
-         |${ev.value} = s;
+         |{
+         |  int $n = $a.numElements();
+         |  if ($n != $b.numElements()) {
+         |    throw new IllegalArgumentException(
+         |      "vec_dot: array length mismatch (" + $n + " vs " + $b.numElements() + ")");
+         |  }
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) { $s += ($getX) * ($getY); }
+         |  ${ev.value} = $s;
+         |}
        """.stripMargin
     })
 

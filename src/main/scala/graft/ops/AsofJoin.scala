@@ -40,7 +40,16 @@ object AsofJoin {
       col(key) +: col(rightTime).as("__t") +: lit(0).as("__tag") +:
         (payload.map(p => col(p).as(s"__p_$p")) ++
           lRest.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
-    val w = Window.partitionBy(key).orderBy(col("__t"), col("__tag"))
+    // Ordering ends with the payload columns as a deterministic tiebreaker:
+    // when several right rows share the same (key, time), `last(...)` would
+    // otherwise attach whichever sorted last under the ambient partitioning —
+    // nondeterministic across runs. With the tiebreaker the largest payload
+    // tuple wins on every run (right rows: __tag=0 sorts them before left
+    // rows at equal time, so "<=" matches are preserved; left rows all have
+    // null payloads so the tiebreaker never reorders a left row relative to
+    // the right rows it must follow at equal (__t, __tag)).
+    val w = Window.partitionBy(key)
+      .orderBy(col("__t") +: col("__tag") +: payload.map(p => col(s"__p_$p")): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lu.unionByName(ru)
       .select(

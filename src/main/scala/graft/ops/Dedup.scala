@@ -35,12 +35,19 @@ object Dedup {
 
   /** Exact dedup: keep the lowest-id row per distinct value of `cols`.
     * Returns the deduplicated table (all original columns).
+    *
+    * The window partitions on (hash, actual values): the hash alone is NOT
+    * exact — at multi-billion-row scale 64-bit birthday collisions are
+    * expected (~50% at 4B rows) and would silently drop distinct rows.
+    * Prepending the hash keeps the shuffle key comparison cheap (equal
+    * hashes short-circuit to full-value compare only within a hash bucket);
+    * the values make the grouping exact.
     */
   def exact(df: DataFrame, idCol: String, cols: Seq[String]): DataFrame = {
     val h = xxhash64(cols.map(col): _*)
     df.withColumn("__h", h)
       .withColumn("__rk", row_number().over(
-        Window.partitionBy("__h").orderBy(col(idCol))))
+        Window.partitionBy(col("__h") +: cols.map(col): _*).orderBy(col(idCol))))
       .filter(col("__rk") === 1)
       .drop("__h", "__rk")
   }

@@ -79,9 +79,13 @@ object Similarity {
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       qidCol: String, vecCol: String, k: Int,
-      tables: Int = 8, bits: Int = 10, seed: Long = 42L): DataFrame = {
-    val dim = 64 // embeddings fixture dimension; derive from data if needed
-    val planes = hyperplanes(seed, tables, bits, dim)
+      tables: Int = 8, bits: Int = 10, seed: Long = 42L,
+      dim: Int = -1): DataFrame = {
+    // Hyperplanes must span the FULL vector dimension: a shorter plane would
+    // silently hash only the vector's first components (DotProduct raises on
+    // mismatch, but derive-from-data avoids ever building a wrong plane).
+    val d = if (dim > 0) dim else vectorDim(corpus, vecCol)
+    val planes = hyperplanes(seed, tables, bits, d)
     val cb = buckets(corpus, idCol, vecCol, "__nc", planes)
     val qb = buckets(queries, qidCol, vecCol, "__nq", planes)
       .withColumnRenamed(vecCol, "__qv")
@@ -117,8 +121,7 @@ object Similarity {
       .setFeaturesCol("__f").setPredictionCol("__cell")
       .fit(feats.select("__f"))
     val assigned = model.transform(feats)
-      .select(col(idCol), col(vecCol),
-        sqrt(vecDot(col(vecCol), col(vecCol))).as("__nc"), col("__cell"))
+      .select(col(idCol), col(vecCol), col("__vnorm").as("__nc"), col("__cell"))
 
     // nProbe nearest centroids per query (centroid set is tiny -> broadcast)
     val spark = corpus.sparkSession
@@ -127,7 +130,7 @@ object Similarity {
       .map { case (c, i) => (i, c.toArray) }.toDF("__cell", "__centroid")
     val qunit = normalized(queries, vecCol)
       .select(col(qidCol), col(vecCol).as("__qv"),
-        sqrt(vecDot(col(vecCol), col(vecCol))).as("__nq"), col("__unit"))
+        col("__vnorm").as("__nq"), col("__unit"))
     val probed = qunit.crossJoin(broadcast(centroids))
       .withColumn("__qdist", -vecDot(col("__unit"), col("__centroid")))
       .withColumn("__pr", row_number().over(
@@ -143,10 +146,23 @@ object Similarity {
       .filter(col("__rk") <= k).drop("__rk")
   }
 
-  /** L2-normalize `vecCol` into a double-array `__unit` column. */
+  /** Embedding dimension, read from the first corpus row (one tiny job);
+    * fails fast on an empty corpus instead of defaulting silently.
+    */
+  private[ops] def vectorDim(df: DataFrame, vecCol: String): Int = {
+    val head = df.select(size(col(vecCol)).as("d")).limit(1).collect()
+    require(head.nonEmpty, s"cannot derive vector dimension: $vecCol table is empty")
+    head(0).getInt(0)
+  }
+
+  /** L2-normalize `vecCol` into a double-array `__unit` column. The norm is
+    * hoisted into its own column FIRST: an expression inlined into the
+    * transform lambda re-evaluates per element (O(d²) per row — the HOF
+    * inlining pitfall this repo documents in TextOps.shingleDf).
+    */
   private def normalized(df: DataFrame, vecCol: String): DataFrame =
-    df.withColumn("__unit",
-      transform(col(vecCol), x => x.cast("double") / sqrt(vecDot(col(vecCol), col(vecCol)))))
+    df.withColumn("__vnorm", sqrt(vecDot(col(vecCol), col(vecCol))))
+      .withColumn("__unit", transform(col(vecCol), x => x.cast("double") / col("__vnorm")))
 
   /** All pairs with cosine >= threshold (exact, O(n²) dot products — for
     * bounded corpora; use lshPairs at scale).

@@ -180,14 +180,20 @@ object MoreOps {
         |FROM embeddings, range(1, 65) r(i) WHERE vec_id < 3
         |ORDER BY vec_id, pos""".stripMargin),
 
-    // -- array aggregation (deterministic via sorted distinct) ------------
+    // -- array aggregation (deterministic via sorted distinct). The array is
+    //    serialized to a CSV string in BOTH engines: the driver's comparator
+    //    (pandas sort_values + hash) cannot order ndarray cells, so an
+    //    array-typed output column would fail the compare infrastructure
+    //    even when values agree (observed in CORRECTNESS_r01) ----------------
     ("q_array_agg",
       (s: SparkSession, d: String) =>
         t(s, d, "lineitem").groupBy(col("l_returnflag"))
-          .agg(sort_array(collect_set(col("l_linestatus"))).as("statuses"),
+          .agg(array_join(sort_array(collect_set(col("l_linestatus"))), ",").as("statuses"),
             count(lit(1)).as("cnt"))
           .orderBy("l_returnflag"),
-      """SELECT l_returnflag, list_sort(list(DISTINCT l_linestatus)) AS statuses, count(*) AS cnt
+      """SELECT l_returnflag,
+        |  array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
+        |  count(*) AS cnt
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 }
