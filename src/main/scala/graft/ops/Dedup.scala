@@ -78,11 +78,12 @@ object Dedup {
       .select("a", "b", "jaccard")
   }
 
-  /** MinHash-LSH candidate pairs: `k` min-hashes in `bands` bands; pairs
-    * sharing any band bucket. (Candidates, not verified pairs — pipe into
-    * an exact Jaccard check when false positives matter.)
+  /** (id, __j, __bh) MinHash band-bucket projection: `k` min-hashes split
+    * into `bands` bands, one row per (doc, band). This is the shared LSH
+    * index shape for batch pair-mining AND streaming near-dup screening
+    * (column expressions only — runs unchanged on a streaming DataFrame).
     */
-  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+  def minhashBands(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 16, bands: Int = 4): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val rows = k / bands
@@ -94,8 +95,17 @@ object Dedup {
       struct(lit(j).as("j"),
         xxhash64((0 until rows).map(r => element_at(col("sg"), j * rows + r + 1)): _*).as("bh"))
     }
-    val bandDf = sig.select(col(idCol), explode(array(bandCols: _*)).as("b"))
+    sig.select(col(idCol), explode(array(bandCols: _*)).as("b"))
       .select(col(idCol), col("b.j").as("__j"), col("b.bh").as("__bh"))
+  }
+
+  /** MinHash-LSH candidate pairs: pairs sharing any band bucket.
+    * (Candidates, not verified pairs — pipe into an exact Jaccard check
+    * when false positives matter.)
+    */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 16, bands: Int = 4): DataFrame = {
+    val bandDf = minhashBands(docs, idCol, textCol, n, k, bands)
     bandDf.alias("x").join(bandDf.alias("y"),
         col("x.__j") === col("y.__j") && col("x.__bh") === col("y.__bh") &&
           col(s"x.$idCol") < col(s"y.$idCol"))
