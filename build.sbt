@@ -15,6 +15,13 @@ run / fork := true
 // the driver parses graft.Bench's single JSON line from captured output, and
 // the prefix broke that parse in round 1 (BENCH_r01.json "parsed": null).
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and nothing may FOLLOW that JSON line either: sbt's "[success] Total
+// time: ..." epilogue after the forked run kept the parse failing in round 2
+// (BENCH_r02.json "parsed": null — the JSON was in the tail, success line
+// after it). showSuccess=false drops the epilogue so the bench JSON is the
+// final stdout line.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -28,7 +28,13 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Durable copy in case the driver's stdout parse is disturbed by sbt noise
+    // (round-1/2 "parsed": null): same single JSON line, fixed path.
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_last.json"),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    println(json)
     spark.stop()
   }
 }

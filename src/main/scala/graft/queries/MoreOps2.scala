@@ -109,17 +109,23 @@ object MoreOps2 {
         |  round(quantile_cont(l_extendedprice, 0.9), 4) AS price_p90
         |FROM lineitem""".stripMargin),
 
-    // -- anti join: customers that never ordered ----------------------------
+    // -- anti join: customers with no URGENT order (restricting the orders
+    //    side keeps the result genuinely non-empty at every tested SF —
+    //    unfiltered, TPC-H custkeys all have orders and the check is vacuous) -
     ("q_anti_join",
       (s: SparkSession, d: String) => {
-        val o = t(s, d, "orders").select(col("o_custkey"))
+        val o = t(s, d, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey"))
         t(s, d, "customer")
           .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
           .select("c_custkey", "c_nationkey", "c_mktsegment")
           .orderBy("c_custkey")
       },
       """SELECT c_custkey, c_nationkey, c_mktsegment FROM customer c
-        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderpriority = '1-URGENT')
         |ORDER BY c_custkey""".stripMargin),
 
     // -- full outer join of two aggregates (asymmetric sides so both outer
@@ -150,12 +156,15 @@ object MoreOps2 {
     //    exactly (day bins, binWidth = interval length) ----------------------
     ("q_range_join",
       (s: SparkSession, d: String) => {
-        val points = t(s, d, "lineitem")
-          .select(expr("unix_millis(l_shipdate) div 86400000").as("p_day"))
+        // day-number via datediff on DATE: tz-independent and valid on the
+        // TIMESTAMP_NTZ parquet columns (unix_millis rejects NTZ input)
+        val dayNum = (c: String) =>
+          expr(s"cast(datediff(cast($c as date), DATE'1970-01-01') as bigint)")
+        val points = t(s, d, "lineitem").select(dayNum("l_shipdate").as("p_day"))
         val intervals = t(s, d, "orders").filter(col("o_totalprice") > 450000.0)
           .select(col("o_orderkey"),
-            expr("unix_millis(o_orderdate) div 86400000").as("start_day"),
-            (expr("unix_millis(o_orderdate) div 86400000") + 7L).as("end_day"))
+            dayNum("o_orderdate").as("start_day"),
+            (dayNum("o_orderdate") + 7L).as("end_day"))
         graft.ops.RangeJoin.pointInInterval(points, intervals,
             "p_day", "start_day", "end_day", binWidth = 7L)
           .groupBy("o_orderkey").agg(count(lit(1)).as("n_shipped"))
@@ -192,8 +201,7 @@ object MoreOps2 {
         |  FROM events WHERE event_type = 'click' GROUP BY 1),
         |b AS (SELECT min(epoch_ms(ts) // 3600000) AS mn,
         |             max(epoch_ms(ts) // 3600000) AS mx FROM events),
-        |hrs AS (SELECT g.generate_series AS h
-        |        FROM generate_series((SELECT mn FROM b), (SELECT mx FROM b)) g)
+        |hrs AS (SELECT unnest(generate_series(mn, mx)) AS h FROM b)
         |SELECT h * 3600 AS hour_epoch, coalesce(cnt, 0) AS cnt
         |FROM hrs LEFT JOIN c USING (h) ORDER BY hour_epoch""".stripMargin),
 
