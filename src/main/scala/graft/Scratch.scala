@@ -13,18 +13,18 @@ object Scratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val d = "/root/testdata/sf0.1"
-
     spark.range(1000000).selectExpr("sum(id)").collect()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val df = fn(spark, d)
-      val t1 = System.nanoTime()
-      df.count()
-      val t2 = System.nanoTime()
-      val build = (t1 - t0) / 1e9
-      val exec = (t2 - t1) / 1e9
-      if (build + exec > 1.0)
-        println(f"SLOW $name: build $build%.2f s, exec $exec%.2f s")
+
+    val names = Seq("q_dedup_ngram", "q_dedup_minhash", "q_ann_lsh",
+      "q_ann_ivf", "q_sim_pairs", "q_knn")
+    for (name <- names) {
+      val fn = SparkEntry.queries(name)
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, d).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"  $name%-20s ${ts.map(t => f"$t%.2f").mkString(" ")}")
     }
     spark.stop()
   }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
 
 /** Native Catalyst dot product over two numeric arrays (float or double
   * elements), accumulating in double, sequential left-to-right — the same
@@ -87,6 +87,107 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** All random-hyperplane LSH signatures of a vector in ONE expression:
+  * result[t] = Σ_b (dot(vec, plane[t][b]) >= 0 ? 1<<b : 0) for t tables.
+  *
+  * Exists because composing this from `tables × bits` separate DotProduct
+  * calls (the obvious form) builds an expression tree with thousands of
+  * literal plane coefficients — every stage that touches it (projection,
+  * join, broadcast build) pays ~1 s of analysis + janino compilation even
+  * on a 2000-row input, and the cost recurs per stage because each fused
+  * WholeStageCodegen method inlines the whole tree. Here the planes ride
+  * along as ONE flat double[] reference object and the generated code is a
+  * triple loop — tiny source, compiled once.
+  *
+  * @param flatPlanes row-major [t][b][i] → flat(((t*bits)+b)*dim + i)
+  */
+case class LshSignatures(child: Expression, flatPlanes: Array[Double],
+    tables: Int, bits: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(tables > 0 && bits > 0 && bits <= 30, "bad tables/bits")
+  require(flatPlanes.length % (tables * bits) == 0, "planes shape mismatch")
+  private val dim: Int = flatPlanes.length / (tables * bits)
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"lsh_signatures expects array<float|double>, got ${t.sql}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    if (v.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"lsh_signatures: vector dim ${v.numElements()} != plane dim $dim")
+    val f = isFloat
+    val out = new Array[Int](tables)
+    var t = 0
+    while (t < tables) {
+      var sig = 0
+      var b = 0
+      while (b < bits) {
+        val off = (t * bits + b) * dim
+        var s = 0.0
+        var i = 0
+        while (i < dim) {
+          s += flatPlanes(off + i) * (if (f) v.getFloat(i).toDouble else v.getDouble(i))
+          i += 1
+        }
+        if (s >= 0) sig |= (1 << b)
+        b += 1
+      }
+      out(t) = sig
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val planesRef = ctx.addReferenceObj("lshPlanes", flatPlanes, "double[]")
+      val out = ctx.freshName("out")
+      val t = ctx.freshName("t")
+      val b = ctx.freshName("b")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val sig = ctx.freshName("sig")
+      val off = ctx.freshName("off")
+      val getV = if (isFloat) s"(double) $v.getFloat($i)" else s"$v.getDouble($i)"
+      s"""
+         |{
+         |  if ($v.numElements() != $dim) {
+         |    throw new IllegalArgumentException(
+         |      "lsh_signatures: vector dim " + $v.numElements() + " != plane dim " + $dim);
+         |  }
+         |  int[] $out = new int[$tables];
+         |  for (int $t = 0; $t < $tables; $t++) {
+         |    int $sig = 0;
+         |    for (int $b = 0; $b < $bits; $b++) {
+         |      int $off = ($t * $bits + $b) * $dim;
+         |      double $s = 0.0;
+         |      for (int $i = 0; $i < $dim; $i++) { $s += $planesRef[$off + $i] * ($getV); }
+         |      if ($s >= 0) $sig |= (1 << $b);
+         |    }
+         |    $out[$t] = $sig;
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExprs {
   import org.apache.spark.sql.GraftBridge
 
@@ -99,5 +200,14 @@ object VectorExprs {
   def vecCosine(a: Column, b: Column): Column = {
     import org.apache.spark.sql.functions.sqrt
     vecDot(a, b) / (sqrt(vecDot(a, a)) * sqrt(vecDot(b, b)))
+  }
+
+  /** array<int> of per-table LSH sign signatures (see [[LshSignatures]]). */
+  def lshSignatures(vec: Column, planes: Array[Array[Array[Double]]]): Column = {
+    val tables = planes.length
+    val bits = planes.head.length
+    val flat = planes.flatten.flatten
+    GraftBridge.column(
+      LshSignatures(GraftBridge.expression(vec), flat, tables, bits))
   }
 }

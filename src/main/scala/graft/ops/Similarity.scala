@@ -52,27 +52,19 @@ object Similarity {
     Array.fill(tables, bits, dim)(rnd.nextGaussian())
   }
 
-  /** b-bit sign signature of `vec` under one table's planes, as an int. */
-  private def signature(vec: Column, planes: Array[Array[Double]]): Column =
-    planes.zipWithIndex.map { case (p, i) =>
-      val planeCol = array(p.map(lit): _*)
-      when(vecDot(vec, planeCol) >= 0, lit(1 << i)).otherwise(lit(0))
-    }.reduce(_ + _)
-
   /** (id, vec, norm, table, bucket) index rows for a vector table — one
-    * pass: norms and signatures in the same projection, no re-read.
+    * pass: norm and ALL table signatures in the same projection via the
+    * fused LshSignatures expression (one tiny expression instead of
+    * tables×bits DotProducts whose literal planes bloat every downstream
+    * stage's analysis + codegen), then posexplode to (table, sig) rows.
     */
   private def buckets(df: DataFrame, idCol: String, vecCol: String,
-      normName: String, planes: Array[Array[Array[Double]]]): DataFrame = {
-    val sigs = planes.zipWithIndex.map { case (tablePlanes, t) =>
-      struct(lit(t).as("t"), signature(col(vecCol), tablePlanes).as("sig"))
-    }
+      normName: String, planes: Array[Array[Array[Double]]]): DataFrame =
     df.select(col(idCol), col(vecCol),
         sqrt(vecDot(col(vecCol), col(vecCol))).as(normName),
-        explode(array(sigs: _*)).as("b"))
-      .select(col(idCol), col(vecCol), col(normName),
-        col("b.t").as("__t"), col("b.sig").as("__sig"))
-  }
+        posexplode(graft.functions.VectorExprs.lshSignatures(col(vecCol), planes)))
+      .withColumnRenamed("pos", "__t")
+      .withColumnRenamed("col", "__sig")
 
   /** LSH-bucketed approximate cosine top-k: candidates share a
     * (table, signature) bucket with the query; exact re-rank on candidates.
@@ -111,7 +103,20 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       qidCol: String, vecCol: String, k: Int,
-      nCells: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame = {
+      nCells: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame =
+    ivfTopK(ivfIndex(corpus, idCol, vecCol, nCells, seed), queries,
+      idCol, qidCol, vecCol, k, nProbe)
+
+  /** A built IVF index: per-vector cell assignments + the centroid table.
+    * Build ONCE (k-means training scans the corpus repeatedly), then serve
+    * any number of query batches against it; `assigned` is the thing to
+    * persist in memory for a session or write out bucketed by `__cell`
+    * (Partitioning.saveBucketed) so probes touch only their cells' files.
+    */
+  final case class IvfIndex(assigned: DataFrame, centroids: DataFrame)
+
+  def ivfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int = 16, seed: Long = 42L): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
@@ -122,12 +127,20 @@ object Similarity {
       .fit(feats.select("__f"))
     val assigned = model.transform(feats)
       .select(col(idCol), col(vecCol), col("__vnorm").as("__nc"), col("__cell"))
-
-    // nProbe nearest centroids per query (centroid set is tiny -> broadcast)
     val spark = corpus.sparkSession
     import spark.implicits._
     val centroids = model.clusterCenters.zipWithIndex.toSeq
       .map { case (c, i) => (i, c.toArray) }.toDF("__cell", "__centroid")
+    IvfIndex(assigned, centroids)
+  }
+
+  /** Probe a prebuilt [[IvfIndex]]: nProbe nearest cells per query, exact
+    * cosine re-rank inside the probed cells.
+    */
+  def ivfTopK(index: IvfIndex, queries: DataFrame, idCol: String,
+      qidCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame = {
+    val assigned = index.assigned
+    val centroids = index.centroids
     val qunit = normalized(queries, vecCol)
       .select(col(qidCol), col(vecCol).as("__qv"),
         col("__vnorm").as("__nq"), col("__unit"))
@@ -170,7 +183,11 @@ object Similarity {
   def thresholdPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
     val e = withNorm(df, vecCol, "__n")
-    val a = e.select(col(idCol).as("a"), col(vecCol).as("__va"), col("__n").as("__na"))
+    // the pair join is a broadcast-nested-loop whose parallelism equals the
+    // stream side's partition count — a single-file source would run the
+    // whole O(n²) stage on one core without this
+    val a = e.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("a"), col(vecCol).as("__va"), col("__n").as("__na"))
     val b = e.select(col(idCol).as("b"), col(vecCol).as("__vb"), col("__n").as("__nb"))
     a.join(b, col("a") < col("b"))
       .select(col("a"), col("b"),

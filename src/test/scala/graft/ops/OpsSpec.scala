@@ -44,6 +44,29 @@ class OpsSpec extends SparkSuite {
     assert(got.nonEmpty) // fixture contains near-dups
   }
 
+  test("Dedup.ngramJaccardPairs dfCap is conservative (subset of exact)") {
+    import spark.implicits._
+    // 40 docs all sharing one hot prefix shingle; docs 0/1 and 2/3 are
+    // near-dup pairs whose similarity survives without the hot shingle
+    val hot = "alpha beta gamma"
+    val df = (0 until 40).map { i =>
+      val body = i match {
+        case 0 | 1 => "one two three four five six seven eight nine ten"
+        case 2 | 3 => "red orange yellow green blue indigo violet pink black white"
+        case _     => s"unique$i filler$i words$i more$i stuff$i here$i now$i then$i"
+      }
+      (i.toLong, s"$hot $body")
+    }.toDF("doc_id", "text")
+    def pairs(cap: Long) =
+      Dedup.ngramJaccardPairs(df, "doc_id", "text", 3, 0.6, dfCap = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(0L)
+    val capped = pairs(5L) // every doc holds the hot shingles -> df=40 > 5
+    assert(exact.contains((0L, 1L)) && exact.contains((2L, 3L)))
+    assert(capped.subsetOf(exact))
+    assert(capped.contains((0L, 1L)) && capped.contains((2L, 3L)))
+  }
+
   test("Dedup.minhashLshPairs recalls all very-high-jaccard pairs") {
     val brute = bruteJaccard(200)
     val high = brute.filter(_._2 >= 0.95).keySet
