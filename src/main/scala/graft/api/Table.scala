@@ -125,9 +125,17 @@ final class Table private[api] (
     * without a single-partition window.
     */
   private[api] lazy val indexed: DataFrame = {
-    val schema = df.schema.add(ROWID, LongType, nullable = false)
-    val rdd = df.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
-    spark.createDataFrame(rdd, schema)
+    // memoized on the canonicalized plan, not per Table instance: positional
+    // sessions re-derive equal-plan tables constantly (db.t.iloc(0),
+    // db.t.iloc(1), ... each mints a new Table) and would re-run
+    // zipWithIndex for each without the shared memo
+    val key = (spark, df.queryExecution.analyzed.canonicalized)
+    Table.indexedMemo.getOrElseUpdate(key, {
+      if (Table.indexedMemo.size >= Table.indexedMemoMax) Table.indexedMemo.clear()
+      val schema = df.schema.add(ROWID, LongType, nullable = false)
+      val rdd = df.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
+      spark.createDataFrame(rdd, schema)
+    })
   }
 
   private def checkBounds(i: Long): Long = {
@@ -292,4 +300,13 @@ final class GroupedTable private[api] (parent: Table, keys: Seq[String]) {
 
 object Table {
   private[api] val ROWID = "__rowid"
+
+  /** (session, canonicalized plan) → row-indexed DataFrame. Bounded: the
+    * memo holds logical plans (small) and lazy DataFrames (no data), but is
+    * cleared wholesale at the cap to keep long sessions from accumulating
+    * plan trees.
+    */
+  private[api] val indexedMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan), DataFrame]
+  private[api] val indexedMemoMax = 64
 }

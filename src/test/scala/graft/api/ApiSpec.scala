@@ -148,6 +148,16 @@ class ApiSpec extends SparkSuite {
     intercept[IndexOutOfBoundsError](r.iloc(-6))
   }
 
+  test("row-index memo: equal-plan derived tables share one indexed DataFrame") {
+    // an iloc session re-derives equal-plan tables per call; the plan-keyed
+    // memo must hand back the SAME indexed frame (no repeat zipWithIndex job)
+    val a = db("region").sortValues("r_regionkey")
+    val b = db("region").sortValues("r_regionkey")
+    assert(a.iloc(0).getInt(0) == 0)
+    assert(b.iloc(1).getInt(0) == 1) // hits the memo from `a`'s plan
+    assert((a ne b) && (a.indexed eq b.indexed))
+  }
+
   test("column slice + equals (reference test_table.py:365-377)") {
     val li = db("lineitem")
     val sliced = li.select(Seq("l_orderkey", "l_quantity"))

@@ -27,6 +27,42 @@ class PartitioningSpec extends SparkSuite {
     }
   }
 
+  test("IVF index persisted bucketed by cell: probe joins without shuffling the corpus side") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    try {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val queries = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      val corpus = emb.filter(col("vec_id") >= 3).select("vec_id", "embedding")
+      val idx = Similarity.ivfIndex(corpus, "vec_id", "embedding", nCells = 8)
+
+      // the 100 TB layout: assignments on disk, bucketed by cell id
+      Partitioning.saveBucketed(idx.assigned, "ivf_cells", "__cell", 8)
+      val fromDisk = idx.copy(assigned = spark.table("ivf_cells"))
+
+      val probe = Similarity.ivfTopK(fromDisk, queries, "vec_id", "qid",
+        "embedding", k = 5, nProbe = 8)
+      // bucketed corpus side needs no Exchange: in the plan text the join's
+      // first child (the ivf_cells scan, printed directly below it) must
+      // reach the bucket-aware FileScan without an intervening shuffle
+      val plan = probe.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), plan)
+      val joinToScan = plan.substring(
+        plan.indexOf("SortMergeJoin"), plan.indexOf("ivf_cells"))
+      assert(!joinToScan.contains("Exchange"),
+        s"corpus side of the probe join should not shuffle:\n$plan")
+
+      val inMem = Similarity.ivfTopK(idx, queries, "vec_id", "qid",
+        "embedding", k = 5, nProbe = 8)
+      val a = probe.select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val b = inMem.select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(a == b && a.size == 15)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS ivf_cells")
+    }
+  }
+
   test("saltedJoin equals the plain join and spreads the hot key") {
     import spark.implicits._
     // heavily skewed: 90% of rows share one key

@@ -72,4 +72,31 @@ class StreamingSpec extends SparkSuite {
     // open sessions (user 1 second, user 2 only) remain in state
     assert(rows.toSeq == Seq((1L, 2L)))
   }
+
+  test("streaming MinHash near-dup screen against a static corpus") {
+    import spark.implicits._
+    val body = "the quick brown fox jumps over the lazy dog and then naps " +
+      "under the old oak tree while birds sing softly in the warm afternoon sun"
+    val corpus = Seq(
+      (100L, body),
+      (101L, "entirely different text about catalyst optimizer rules and physical plan selection in distributed query engines today")
+    ).toDF("doc_id", "text")
+
+    val dir = Files.createTempDirectory("graftdocs").toString
+    def esc(s: String) = s // no special chars in fixtures
+    val lines = Seq(
+      s"""{"doc_id":1,"text":"${esc(body)}","lang":"en","source":"s1","n_chars":${body.length}}""",
+      s"""{"doc_id":2,"text":"totally fresh content no overlap with anything stored before today","lang":"en","source":"s1","n_chars":60}""")
+    Files.write(java.nio.file.Paths.get(dir, "docs.json"),
+      lines.mkString("\n").getBytes)
+
+    val flagged = DocStream.nearDupAgainstCorpus(
+      DocStream.readDocs(spark, dir), corpus)
+    EventStream.runToMemory(flagged, "neardup_out", OutputMode.Append)
+    val rows = spark.sql("SELECT doc_id, corpus_doc_id FROM neardup_out ORDER BY 1, 2")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // doc 1 IS corpus doc 100 (jaccard 1.0 -> every band collides);
+    // doc 2 matches nothing
+    assert(rows.toSeq == Seq((1L, 100L)))
+  }
 }
