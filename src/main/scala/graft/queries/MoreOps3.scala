@@ -1,0 +1,120 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import Q._
+
+/** Round-3 coverage batch: BPE-style tokenization, explicit GROUPING SETS,
+  * and the end-to-end verified MinHash pipeline (LSH candidates + exact
+  * Jaccard confirmation) as a driver-graded query.
+  *
+  * All entries follow the determinism conventions in [[Q]].
+  */
+object MoreOps3 {
+
+  type Fn = (SparkSession, String) => DataFrame
+
+  /** BPE-ish pre-tokenizer: letter runs, digit runs, single non-space
+    * symbols — the classic pre-merge segmentation (same regex both engines).
+    */
+  private val bpeRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  val entries: Seq[(String, Fn, String)] = Seq(
+
+    // -- token counting with a BPE-style pre-tokenizer (letters / digits /
+    //    punctuation split, the segmentation a BPE vocab trains over) -------
+    ("q_token_bpe",
+      (s: SparkSession, d: String) => {
+        val toks = regexp_extract_all(col("text"), lit(bpeRe), lit(0))
+        t(s, d, "documents")
+          .withColumn("tk", toks)
+          .select(col("doc_id"),
+            size(col("tk")).cast("long").as("n_bpe"),
+            size(array_distinct(col("tk"))).cast("long").as("n_uniq"),
+            size(filter(col("tk"), x => x.rlike("^[0-9]+$"))).cast("long").as("n_num"))
+          .filter(col("doc_id") < 150)
+          .orderBy("doc_id")
+      },
+      s"""WITH q AS (SELECT doc_id, regexp_extract_all(text, '$bpeRe') AS tk
+         |           FROM documents WHERE doc_id < 150)
+         |SELECT doc_id,
+         |  cast(len(tk) AS BIGINT) AS n_bpe,
+         |  cast(len(list_distinct(tk)) AS BIGINT) AS n_uniq,
+         |  cast(len(list_filter(tk, x -> regexp_full_match(x, '[0-9]+'))) AS BIGINT) AS n_num
+         |FROM q ORDER BY doc_id""".stripMargin),
+
+    // -- explicit GROUPING SETS (beyond cube/rollup): hand-picked levels in
+    //    one pass — still a single shuffle with map-side partial agg --------
+    ("q_grouping_sets",
+      (s: SparkSession, d: String) =>
+        s.sql(s"""
+          |SELECT l_returnflag, l_linestatus,
+          |  cast(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
+          |  count(*) AS cnt, ${sqlDsum("l_quantity")} AS qty
+          |FROM parquet.`$d/lineitem.parquet`
+          |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+          |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+          |""".stripMargin),
+      s"""SELECT l_returnflag, l_linestatus,
+         |  cast(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+         |  count(*) AS cnt, ${sqlDsum("l_quantity")} AS qty
+         |FROM lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+         |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin),
+
+    // -- verified MinHash pipeline: LSH band candidates (q_dedup_minhash's
+    //    index) confirmed with the exact Jaccard — the production near-dup
+    //    path (cheap generation, no false positives) in ONE graded query.
+    //    Intersection counts ride the co-occurrence groupBy (no arrays
+    //    shuffled); candidate pairs equi-join on (a, b) ----------------------
+    ("q_dedup_verified",
+      (s: SparkSession, d: String) => {
+        val base = TextOps.shingleDf(s, d)
+        val sig = TextOps.sigDf(s, d)
+        val bandStructs = (0 until 4).map { j =>
+          struct(lit(j).as("j"),
+            md5(concat_ws("|",
+              (0 until 4).map(r => element_at(col("sg"), 4 * j + r + 1)): _*)).as("bh"))
+        }
+        val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
+          .select(col("doc_id"), col("b.j").as("j"), col("b.bh").as("bh"))
+        val cand = bands.alias("x").join(bands.alias("y"),
+            col("x.j") === col("y.j") && col("x.bh") === col("y.bh") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+          .distinct()
+        val sizes = base.select(col("doc_id"), size(col("sh")).as("n"))
+        val inv = base.select(col("doc_id"), explode(col("sh")).as("g"))
+        val common = inv.alias("x").join(inv.alias("y"),
+            col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
+          .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+          .agg(count(lit(1)).as("common"))
+        cand.join(common, Seq("a", "b"))
+          .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
+          .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+          .withColumn("jac", round(col("common").cast("double") /
+            (col("na") + col("nb") - col("common")), 4))
+          .filter(col("jac") >= 0.8)
+          .select("a", "b", "jac")
+          .orderBy("a", "b")
+      },
+      s"""${TextOps.shingleCte},
+         |sig AS (
+         |  SELECT doc_id,
+         |    [list_min([md5(cast(i AS VARCHAR) || '|' || g) for g in sh]) for i in range(0, 16)] AS sg
+         |  FROM s WHERE len(sh) > 0),
+         |bands AS (
+         |  SELECT doc_id, j, md5(sg[4*j+1] || '|' || sg[4*j+2] || '|' || sg[4*j+3] || '|' || sg[4*j+4]) AS bh
+         |  FROM sig, unnest([0, 1, 2, 3]) AS u(j)),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bands x JOIN bands y ON x.j = y.j AND x.bh = y.bh AND x.doc_id < y.doc_id),
+         |p AS (
+         |  SELECT c.a, c.b,
+         |    round(len(list_intersect(sa.sh, sb.sh)) * 1.0 /
+         |          (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4) AS jac
+         |  FROM cand c JOIN s sa ON sa.doc_id = c.a JOIN s sb ON sb.doc_id = c.b)
+         |SELECT a, b, jac FROM p WHERE jac >= 0.8 ORDER BY a, b""".stripMargin)
+  )
+}

@@ -70,7 +70,7 @@ object TextOps {
     })
 
   /** SQL fragment shared by the DuckDB oracles: doc_id + distinct 3-gram shingles. */
-  private val shingleCte: String =
+  private[queries] val shingleCte: String =
     """WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents),
       |s AS (SELECT doc_id,
       |        list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)]) AS sh
