@@ -20,7 +20,109 @@ object MoreOps3 {
     */
   private val bpeRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
+  private val sqlDiscPrice =
+    "cast(sum(cast(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)"
+
   val entries: Seq[(String, Fn, String)] = Seq(
+
+    // -- TPC-H Q1 analogue: the pricing summary — one scan, map-side partial
+    //    agg over a 6-value grouping key, every aggregate in a single pass --
+    ("q_tpch_q1",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.types.DecimalType
+        def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 6))
+        t(s, d, "lineitem")
+          .filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_base_price"),
+            round(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+              .cast("double"), 4).as("sum_disc_price"),
+            round(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+              * (lit(1.0) + col("l_tax")))).cast("double"), 4).as("sum_charge"),
+            davg(col("l_quantity")).as("avg_qty"),
+            davg(col("l_discount")).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${sqlDsum("l_quantity")} AS sum_qty,
+         |  ${sqlDsum("l_extendedprice")} AS sum_base_price,
+         |  round($sqlDiscPrice, 4) AS sum_disc_price,
+         |  round(cast(sum(cast(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)
+         |    AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_charge,
+         |  ${sqlDavg("l_quantity")} AS avg_qty,
+         |  ${sqlDavg("l_discount")} AS avg_disc,
+         |  count(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    // -- TPC-H Q6 analogue: forecast revenue — pure scan + pushed filters,
+    //    no join, no shuffle beyond the final 1-row agg ---------------------
+    ("q_tpch_q6",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.types.DecimalType
+        t(s, d, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+            col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+          .agg(round(sum((col("l_extendedprice") * col("l_discount"))
+            .cast(DecimalType(18, 6))).cast("double"), 4).as("revenue"))
+      },
+      """SELECT round(cast(sum(cast(l_extendedprice * l_discount AS DECIMAL(18,6)))
+        |  AS DOUBLE), 4) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin),
+
+    // -- TPC-H Q12 analogue (schema has no shipmode): late-shipment counts
+    //    by order priority — join + conditional aggregation -----------------
+    ("q_tpch_q12",
+      (s: SparkSession, d: String) => {
+        val late = datediff(col("l_shipdate").cast("date"),
+          col("o_orderdate").cast("date")) > 90
+        t(s, d, "orders")
+          .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(sum(when(late, 1L).otherwise(0L)).as("late_count"),
+            sum(when(late, 0L).otherwise(1L)).as("ontime_count"))
+          .orderBy("o_orderpriority")
+      },
+      """SELECT o_orderpriority,
+        |  sum(CASE WHEN date_diff('day', cast(o_orderdate AS DATE),
+        |                 cast(l_shipdate AS DATE)) > 90 THEN 1 ELSE 0 END) AS late_count,
+        |  sum(CASE WHEN date_diff('day', cast(o_orderdate AS DATE),
+        |                 cast(l_shipdate AS DATE)) > 90 THEN 0 ELSE 1 END) AS ontime_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // -- TPC-H Q14 analogue: promo revenue share — part dim broadcasts,
+    //    conditional numerator over one joined scan -------------------------
+    ("q_tpch_q14",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.types.DecimalType
+        def disc = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(DecimalType(18, 6))
+        t(s, d, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+          .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
+          .agg(round(lit(100.0) *
+            sum(when(col("p_type") === "PROMO", disc).otherwise(lit(0).cast(DecimalType(18, 6))))
+              .cast("double") /
+            sum(disc).cast("double"), 4).as("promo_revenue_pct"))
+      },
+      """SELECT round(100.0 *
+        |  cast(sum(CASE WHEN p_type = 'PROMO'
+        |       THEN cast(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))
+        |       ELSE cast(0 AS DECIMAL(18,6)) END) AS DOUBLE) /
+        |  cast(sum(cast(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 4)
+        |  AS promo_revenue_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+        |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin),
 
     // -- token counting with a BPE-style pre-tokenizer (letters / digits /
     //    punctuation split, the segmentation a BPE vocab trains over) -------

@@ -51,4 +51,40 @@ object DocStream {
       .select(col("doc_id"), col("corpus_doc_id"))
       .dropDuplicates("doc_id", "corpus_doc_id")
   }
+
+  /** The full curation ingest loop: per micro-batch, exact-dedup the batch,
+    * screen it against everything already admitted to `curatedDir`, and
+    * append only the novel documents. Because the corpus is re-read per
+    * batch, batch N+1 screens against batch N's admissions — the
+    * read-your-own-writes loop a curation pipeline needs, without any
+    * streaming state store (the curated table IS the state, checkpointed
+    * exactly-once by the sink's batch id tracking... here idempotent-enough
+    * append; a production sink would write a transactional table format).
+    */
+  def curateStream(streamDocs: DataFrame, curatedDir: String,
+      checkpointDir: String, n: Int = 3, k: Int = 16,
+      bands: Int = 4): org.apache.spark.sql.streaming.StreamingQuery =
+    streamDocs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val fresh = Dedup.exact(batch, "doc_id", Seq("text"))
+        val curated =
+          try spark.read.schema(docSchema).parquet(curatedDir)
+          catch {
+            case _: Throwable =>
+              spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], docSchema)
+          }
+        val novel =
+          if (curated.isEmpty) fresh
+          else {
+            val dupIds = nearDupAgainstCorpus(fresh, curated, n, k, bands)
+              .select("doc_id").distinct()
+            fresh.join(dupIds, Seq("doc_id"), "left_anti")
+          }
+        novel.write.mode("append").parquet(curatedDir)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
 }

@@ -99,4 +99,35 @@ class StreamingSpec extends SparkSuite {
     // doc 2 matches nothing
     assert(rows.toSeq == Seq((1L, 100L)))
   }
+
+  test("curation ingest loop: later batches screen against earlier admissions") {
+    val body = "the quick brown fox jumps over the lazy dog and then naps " +
+      "under the old oak tree while birds sing softly in the warm afternoon sun"
+    val other = "catalyst rewrites logical plans into physical operators using " +
+      "cost estimates statistics and pluggable strategies during query planning"
+    val srcDir = Files.createTempDirectory("graftcurate_src").toString
+    val curated = Files.createTempDirectory("graftcurate_out").toString + "/curated"
+    val ckpt = Files.createTempDirectory("graftcurate_ck").toString
+
+    def doc(id: Long, text: String) =
+      s"""{"doc_id":$id,"text":"$text","lang":"en","source":"s","n_chars":${text.length}}"""
+
+    // batch 1: two novel docs (plus an in-batch exact dup of doc 1)
+    Files.write(java.nio.file.Paths.get(srcDir, "b1.json"),
+      Seq(doc(1, body), doc(2, other), doc(3, body)).mkString("\n").getBytes)
+    DocStream.curateStream(DocStream.readDocs(spark, srcDir), curated, ckpt)
+      .awaitTermination()
+    // batch 2 (same checkpoint -> only the new file): a near-dup of doc 1
+    // (one word appended) and one genuinely new doc
+    Files.write(java.nio.file.Paths.get(srcDir, "b2.json"),
+      Seq(doc(4, body + " again"),
+        doc(5, "totally new content about shuffle partitioning and adaptive execution at runtime today")).mkString("\n").getBytes)
+    DocStream.curateStream(DocStream.readDocs(spark, srcDir), curated, ckpt)
+      .awaitTermination()
+
+    val admitted = spark.read.parquet(curated)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // 3 dropped in-batch (exact dup), 4 dropped against batch-1 admissions
+    assert(admitted == Set(1L, 2L, 5L))
+  }
 }
