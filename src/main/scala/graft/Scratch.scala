@@ -15,8 +15,7 @@ object Scratch {
     val d = "/root/testdata/sf0.1"
     spark.range(1000000).selectExpr("sum(id)").collect()
 
-    val names = Seq("q_dedup_ngram", "q_dedup_minhash", "q_ann_lsh",
-      "q_ann_ivf", "q_sim_pairs", "q_knn")
+    val names = Seq("q_range_join", "q_dedup_verified", "q_tpch_q1", "q_tpch_q12", "q_tpch_q14")
     for (name <- names) {
       val fn = SparkEntry.queries(name)
       val ts = (1 to 3).map { _ =>

@@ -160,14 +160,20 @@ object MoreOps2 {
         // TIMESTAMP_NTZ parquet columns (unix_millis rejects NTZ input)
         val dayNum = (c: String) =>
           expr(s"cast(datediff(cast($c as date), DATE'1970-01-01') as bigint)")
-        val points = t(s, d, "lineitem").select(dayNum("l_shipdate").as("p_day"))
+        // pre-aggregate points per day BEFORE the bin join: the downstream
+        // is a per-interval count, so point multiplicity collapses to a
+        // weight — the join sees ~2.4k distinct days instead of 600k rows
+        // (the generic weightless form is ops.RangeJoin on raw points)
+        val points = t(s, d, "lineitem")
+          .groupBy(dayNum("l_shipdate").as("p_day"))
+          .agg(count(lit(1)).as("day_cnt"))
         val intervals = t(s, d, "orders").filter(col("o_totalprice") > 450000.0)
           .select(col("o_orderkey"),
             dayNum("o_orderdate").as("start_day"),
             (dayNum("o_orderdate") + 7L).as("end_day"))
         graft.ops.RangeJoin.pointInInterval(points, intervals,
             "p_day", "start_day", "end_day", binWidth = 7L)
-          .groupBy("o_orderkey").agg(count(lit(1)).as("n_shipped"))
+          .groupBy("o_orderkey").agg(sum(col("day_cnt")).as("n_shipped"))
           .orderBy("o_orderkey")
       },
       s"""SELECT o_orderkey, count(*) AS n_shipped
