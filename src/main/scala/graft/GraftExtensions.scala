@@ -22,13 +22,17 @@ import graft.functions.{DotProduct, WinnowFingerprints, WordShingles}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import GraftExtensions._
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     builders.foreach { case (name, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft.functions", name),
         builder))
     }
+    // between-join -> binned equi-join rewrite (off until
+    // spark.graft.rangeJoin.binWidth is set > 0)
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRule)
+  }
 }
 
 object GraftExtensions {

@@ -56,6 +56,19 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), "must not cartesian-shuffle the corpus")
   }
 
+  test("binned range join plans as an equi join, never nested-loop/cartesian") {
+    val p = plan("q_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join must not fall back to O(n*m):\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"), s"expected an equi join on the bin:\n$p")
+  }
+
+  test("promo-share join broadcasts the part dimension") {
+    val p = plan("q_tpch_q14")
+    assert(p.contains("BroadcastHashJoin"), s"part dim should broadcast:\n$p")
+  }
+
   test("whole-stage codegen covers the hot aggregation path") {
     val qe = graft.SparkEntry.queries("q_groupby_agg")(spark, sfDir).queryExecution
     val p = qe.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
