@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, WinnowFingerprints, WordShingles}
+import graft.functions.{DotProduct, LshSignatures, MinHashSignature, SimHash64, WinnowFingerprints, WordShingles}
 
 /** SparkSessionExtensions entry point: registers graft's custom Catalyst
   * expressions as SQL functions, so `spark.sql` users get them without the
@@ -57,6 +57,30 @@ object GraftExtensions {
       case Seq(c) => WinnowFingerprints(c, 5, 4)
       case Seq(c, k, w) => WinnowFingerprints(c, intLit(k, "k"), intLit(w, "w"))
       case _ => throw new IllegalArgumentException("winnow_fingerprints(text[, k, w])")
+    },
+    "simhash64" -> {
+      case Seq(c) => SimHash64(c)
+      case _ => throw new IllegalArgumentException("simhash64(text)")
+    },
+    "minhash_sig" -> {
+      case Seq(c) => MinHashSignature(c, 3, 16)
+      case Seq(c, n, k) =>
+        MinHashSignature(c, intLit(n, "shingle size"), intLit(k, "num hashes"))
+      case _ => throw new IllegalArgumentException("minhash_sig(text[, n, k])")
+    },
+    // lsh_signatures(vec, dim, seed, tables, bits): sign-random-projection
+    // signatures with hyperplanes derived deterministically from the seed —
+    // the SQL route to graft.ops.Similarity's LSH index (dim must be given
+    // as a literal because the planes are baked at plan time)
+    "lsh_signatures" -> {
+      case Seq(c, dim, seed, tables, bits) =>
+        val t = intLit(tables, "tables")
+        val b = intLit(bits, "bits")
+        val planes = graft.ops.Similarity.hyperplanes(
+          intLit(seed, "seed").toLong, t, b, intLit(dim, "dim"))
+        LshSignatures(c, planes.flatten.flatten, t, b)
+      case _ => throw new IllegalArgumentException(
+        "lsh_signatures(vec, dim, seed, tables, bits)")
     })
 
   /** Register the same functions into an already-running session (the

@@ -104,10 +104,13 @@ object Dedup {
       n: Int = 3, k: Int = 16, bands: Int = 4): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val rows = k / bands
-    val base = shingled(docs, idCol, textCol, n)
-    val sigs = transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(col("sh"), x => xxhash64(i, x))))
-    val sig = base.select(col(idCol), sigs.as("sg"))
+    // fused one-pass signature (== the HOF chain transform/array_min/xxhash64,
+    // asserted in FingerprintExprsSpec, without k interpreted array passes)
+    val sig = docs.select(col(idCol),
+        graft.functions.FingerprintExprs.minhashSig(col(textCol), n, k).as("sg"))
+      // docs with < n tokens have all-null signatures: drop them, matching
+      // the shingled() path's size(sh) > 0 filter
+      .filter(element_at(col("sg"), 1).isNotNull)
     val bandCols = (0 until bands).map { j =>
       struct(lit(j).as("j"),
         xxhash64((0 until rows).map(r => element_at(col("sg"), j * rows + r + 1)): _*).as("bh"))
@@ -167,19 +170,18 @@ object Dedup {
 
   /** 64-bit SimHash fingerprint per document from distinct-token hashes:
     * bit b of the fingerprint is the sign of Σ_tokens (2·bit_b(h(token))−1).
+    *
+    * Computed by the fused [[graft.functions.SimHash64]] expression — a
+    * map-only scan, where the equivalent relational form (explode tokens →
+    * groupBy(doc) with 64 bit-sums; asserted equal in FingerprintExprsSpec)
+    * shuffles every token row. Docs with no tokens drop out, as the explode
+    * form would drop them.
     */
-  def simhash64(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = docs
+  def simhash64(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .filter(col(textCol).isNotNull && col(textCol).rlike("\\S"))
       .select(col(idCol),
-        explode(array_distinct(regexp_extract_all(col(textCol), lit("\\S+"), lit(0)))).as("t"))
-      .withColumn("__h", xxhash64(col("t")))
-    val bitSums = (0 until 64).map(b =>
-      sum(shiftrightunsigned(col("__h"), b).bitwiseAND(1) * 2 - 1).as(s"b$b"))
-    tok.groupBy(idCol).agg(bitSums.head, bitSums.tail: _*)
-      .select(col(idCol),
-        (0 until 64).map(b =>
-          when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ bitwiseOR _).as("simhash"))
-  }
+        graft.functions.FingerprintExprs.simhash64(col(textCol)).as("simhash"))
 
   /** Pairs with Hamming(simhash) <= maxDist via the pigeonhole band trick:
     * split 64 bits into maxDist+1 chunks; any qualifying pair matches

@@ -47,7 +47,7 @@ object Similarity {
   }
 
   /** Deterministic random hyperplanes: L tables × b planes × dim, seeded. */
-  private[ops] def hyperplanes(seed: Long, tables: Int, bits: Int, dim: Int): Array[Array[Array[Double]]] = {
+  private[graft] def hyperplanes(seed: Long, tables: Int, bits: Int, dim: Int): Array[Array[Array[Double]]] = {
     val rnd = new java.util.Random(seed)
     Array.fill(tables, bits, dim)(rnd.nextGaussian())
   }
