@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable-sketch aggregation — the incremental-analytics pattern for
+  * 100 TB corpora. An exact COUNT(DISTINCT) over a petabyte-scale key space
+  * must shuffle every distinct value to a single reducer per group; an HLL
+  * sketch is a few KB per group, combines associatively (partial aggregation
+  * map-side, merge reduce-side — Spark plans hll_sketch_agg exactly like
+  * sum), and — crucially — persists: per-partition/per-day sketches written
+  * once can answer any later rollup by union WITHOUT rescanning the data.
+  *
+  * Built on Spark 4's bundled Apache DataSketches HLL functions
+  * (`hll_sketch_agg` / `hll_union_agg` / `hll_sketch_estimate`): standard
+  * error ≈ 1.04/√2^lgK (~1.6% at the default lgK=12).
+  *
+  * The reference has no approximate aggregates at all (SURVEY §2.4 lists
+  * exact COUNT/SUM/AVG only — reference column.py:162-208); this is part of
+  * the scale extension, alongside dedup and ANN.
+  */
+object Sketches {
+
+  /** Per-group HLL sketches of `valueCol` distinct values: one binary
+    * sketch column per group row. Persist this table (e.g. one row per
+    * (day, dimension)) and later rollups never rescan the raw data.
+    */
+  def hllSketch(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      lgK: Int = 12): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(hll_sketch_agg(col(valueCol), lit(lgK)).as("sketch"))
+
+  /** Roll sketches up to a coarser grouping: union the sketches, estimate.
+    * `keep` ⊆ the grouping of the sketch table.
+    */
+  def rollup(sketches: DataFrame, keep: Seq[String],
+      estimateAs: String = "approx_distinct"): DataFrame =
+    sketches.groupBy(keep.map(col): _*)
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch")))
+        .as(estimateAs))
+
+  /** Global estimate from a sketch table (union all groups). */
+  def estimateAll(sketches: DataFrame): Long =
+    sketches.agg(hll_sketch_estimate(hll_union_agg(col("sketch"))))
+      .head().getLong(0)
+
+  /** Approximate distinct count per group in one shot (sketch + estimate
+    * fused — no persisted sketch table).
+    */
+  def approxDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      lgK: Int = 12): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(hll_sketch_estimate(hll_sketch_agg(col(valueCol), lit(lgK)))
+        .as("approx_distinct"))
+
+  /** Approximate quantiles via the positional-error sketch behind
+    * `percentile_approx`: mergeable the same way (partial per partition,
+    * merged on the reducer), bounded memory regardless of input size —
+    * where the exact `median`/`percentile` must materialize the full sorted
+    * column per group.
+    */
+  def approxQuantiles(valueCol: String, probabilities: Seq[Double],
+      accuracy: Int = 10000): Column =
+    percentile_approx(col(valueCol),
+      array(probabilities.map(lit): _*), lit(accuracy))
+}

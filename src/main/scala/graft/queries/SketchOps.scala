@@ -1,0 +1,50 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import Q._
+
+/** Mergeable-sketch queries over the `events` table (graft.ops.Sketches).
+  *
+  * At the verified scale factors the key spaces are far below the sketch's
+  * coupon capacity, so the DataSketches HLL estimate is exact and the
+  * queries are oracle-checked against DuckDB's exact COUNT(DISTINCT) —
+  * the approximation-error regime is covered by SketchesSpec instead
+  * (estimates within the published 1.04/√2^lgK bound of exact, and
+  * union-of-partial-sketches == whole-table sketch).
+  */
+object SketchOps {
+
+  type Fn = (SparkSession, String) => DataFrame
+
+  private val NS_PER_DAY = 24L * 3600L * 1000 * 1000 * 1000
+
+  val entries: Seq[(String, Fn, String)] = Seq(
+
+    // -- per-type approx distinct users via HLL sketch + estimate; plans as
+    //    partial objHashAggregate map-side + merge, like any sum ------------
+    ("q_hll_distinct",
+      (s: SparkSession, d: String) =>
+        graft.ops.Sketches.approxDistinct(
+            t(s, d, "events"), Seq("event_type"), "user_id")
+          .orderBy("event_type"),
+      "SELECT event_type, count(DISTINCT user_id) AS approx_distinct " +
+        "FROM events GROUP BY 1 ORDER BY 1"),
+
+    // -- the persisted-sketch pattern: daily (day, type) sketches built
+    //    once, rolled up to per-day distinct users by sketch UNION — the
+    //    raw table is scanned exactly once no matter how many rollups ------
+    ("q_hll_rollup",
+      (s: SparkSession, d: String) => {
+        val daily = graft.ops.Sketches.hllSketch(
+          t(s, d, "events")
+            .withColumn("day_epoch", expr(s"ts div ${NS_PER_DAY}L") * 86400L),
+          Seq("day_epoch", "event_type"), "user_id")
+        graft.ops.Sketches.rollup(daily, Seq("day_epoch"))
+          .orderBy("day_epoch")
+      },
+      "SELECT cast(epoch(date_trunc('day', ts)) AS BIGINT) AS day_epoch, " +
+        "count(DISTINCT user_id) AS approx_distinct " +
+        "FROM events GROUP BY 1 ORDER BY 1"))
+}
