@@ -46,5 +46,28 @@ object SketchOps {
       },
       "SELECT cast(epoch(date_trunc('day', ts)) AS BIGINT) AS day_epoch, " +
         "count(DISTINCT user_id) AS approx_distinct " +
-        "FROM events GROUP BY 1 ORDER BY 1"))
+        "FROM events GROUP BY 1 ORDER BY 1"),
+
+    // -- mergeable positional quantile sketch (percentile_approx). Accuracy
+    //    is pinned above the verified group sizes so the sketch retains every
+    //    value and returns the exact nearest-rank quantile — which is what
+    //    DuckDB's quantile_disc computes, making the query oracle-checkable;
+    //    at 100 TB you lower the accuracy and trade exactness for the GK
+    //    sketch's bounded memory (graft.ops.Sketches.approxQuantiles) -------
+    ("q_approx_quantile",
+      (s: SparkSession, d: String) => {
+        val qs = graft.ops.Sketches.approxQuantiles(
+          "l_quantity", Seq(0.25, 0.5, 0.75), accuracy = 1000000)
+        t(s, d, "lineitem")
+          .groupBy("l_returnflag").agg(qs.as("q"))
+          .select(col("l_returnflag"),
+            element_at(col("q"), 1).as("q25"),
+            element_at(col("q"), 2).as("q50"),
+            element_at(col("q"), 3).as("q75"))
+          .orderBy("l_returnflag")
+      },
+      "SELECT l_returnflag, quantile_disc(l_quantity, 0.25) AS q25, " +
+        "quantile_disc(l_quantity, 0.5) AS q50, " +
+        "quantile_disc(l_quantity, 0.75) AS q75 " +
+        "FROM lineitem GROUP BY 1 ORDER BY 1"))
 }

@@ -64,6 +64,13 @@ class PlanSpec extends SparkSuite {
       p.contains("ShuffledHashJoin"), s"expected an equi join on the bin:\n$p")
   }
 
+  test("rank-1 window filter pushes down as WindowGroupLimit") {
+    // rn = 1 must plan a per-partition group limit (bounded heap) before the
+    // full Window sort, not rank every row then filter
+    val p = plan("q_window_rank")
+    assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit pushdown:\n$p")
+  }
+
   test("promo-share join broadcasts the part dimension") {
     val p = plan("q_tpch_q14")
     assert(p.contains("BroadcastHashJoin"), s"part dim should broadcast:\n$p")
