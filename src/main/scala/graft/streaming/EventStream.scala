@@ -48,6 +48,21 @@ object EventStream {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("cnt"), col("val_sum"))
 
+  /** Hourly distinct users per event type as a streaming HLL sketch
+    * aggregation — incremental `approx_count_distinct` over event-time
+    * windows. Exact streaming COUNT(DISTINCT) would need unbounded
+    * per-window key state; the sketch is a few KB per (window, type) no
+    * matter the user cardinality, and the same binary sketches can be
+    * sunk to a table and rolled up later (graft.ops.Sketches.rollup).
+    */
+  def hourlyDistinctUsers(events: DataFrame, lgK: Int = 12): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(hll_sketch_agg(col("user_id"), lit(lgK)).as("sketch"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        hll_sketch_estimate(col("sketch")).as("approx_users"), col("sketch"))
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
   case class SessionState(start: Long, lastMs: Long, nEvents: Long)

@@ -39,6 +39,23 @@ class StreamingSpec extends SparkSuite {
       ("2024-01-01 01:00:00", "view", 1L, 3.0)))
   }
 
+  test("streaming HLL sketch: hourly distinct users per type, exact at this scale") {
+    val dir = writeEventsJson()
+    val agg = EventStream.hourlyDistinctUsers(EventStream.readEvents(spark, dir, "json"))
+    EventStream.runToMemory(agg, "hll_out", OutputMode.Complete)
+    val rows = spark.sql(
+      "SELECT cast(hour_start AS STRING) h, event_type, approx_users FROM hll_out ORDER BY 1, 2")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(rows.toSeq == Seq(
+      ("2024-01-01 00:00:00", "click", 1L),
+      ("2024-01-01 00:00:00", "purchase", 1L),
+      ("2024-01-01 00:00:00", "view", 2L),
+      ("2024-01-01 01:00:00", "view", 1L)))
+    // the emitted binary sketches roll up like the batch sketch table
+    val total = spark.sql("SELECT * FROM hll_out")
+    assert(graft.ops.Sketches.estimateAll(total) == 2L) // users 1 and 2
+  }
+
   test("stream-stream join: errors matched to recent purchases per user") {
     val dir = java.nio.file.Files.createTempDirectory("graftss").toString
     val lines = Seq(
