@@ -86,4 +86,53 @@ class PartitioningSpec extends SparkSuite {
       }.collect()
     assert(perPartSorted.forall(identity))
   }
+
+  test("zValue interleaves bits") {
+    import org.apache.spark.sql.functions._
+    val r = spark.range(1).select(
+      Partitioning.zValue(lit(3L), lit(1L)),
+      Partitioning.zValue(lit(0L), lit(0L)),
+      Partitioning.zValue(lit(65535L), lit(0L)),
+      Partitioning.zValue(lit(0L), lit(65535L))).head()
+    assert(r.getLong(0) == 7L)            // a=0b11 -> 0b0101; b=0b01 -> 0b0010
+    assert(r.getLong(1) == 0L)
+    assert(r.getLong(2) == 0x55555555L)   // all even bits
+    assert(r.getLong(3) == 0xAAAAAAAAL)   // all odd bits
+  }
+
+  test("z-order layout bounds every file in BOTH dimensions; linear sort does not") {
+    import org.apache.spark.sql.functions._
+    val events = {
+      graft.queries.Q.ensureNanosReadable(spark)
+      spark.read.parquet(s"$sfDir/events.parquet").select("user_id", "value")
+    }
+    val nParts = 16
+    val zdir = java.nio.file.Files.createTempDirectory("graftz").toString
+    val ldir = java.nio.file.Files.createTempDirectory("graftl").toString
+    Partitioning.zOrderLayout(events, "user_id", "value", nParts)
+      .write.mode("overwrite").parquet(zdir)
+    Partitioning.sortedLayout(events, Seq("user_id"), nParts)
+      .write.mode("overwrite").parquet(ldir)
+
+    // per-file min/max of `value` — exactly the stats parquet footers carry
+    // and scans prune with
+    def valueRanges(dir: String): Array[(Double, Double)] =
+      spark.read.parquet(dir)
+        .groupBy(input_file_name()).agg(min("value"), max("value"))
+        .collect().map(r => (r.getDouble(1), r.getDouble(2)))
+
+    val vMin = events.agg(min("value")).head().getDouble(0)
+    // value-only box: the bottom decile of the DATA (value is skewed, so 10%
+    // of the range would cover ~half the rows and prove nothing)
+    val boxHi = events.stat.approxQuantile("value", Array(0.1), 0.0).head
+
+    val zr = valueRanges(zdir)
+    val lr = valueRanges(ldir)
+    val zHit = zr.count { case (lo, hi) => lo <= boxHi && hi >= vMin }
+    val lHit = lr.count { case (lo, hi) => lo <= boxHi && hi >= vMin }
+    // user_id-sorted files each span ~the whole value domain: no pruning
+    assert(lHit == lr.length, s"expected no pruning under linear layout ($lHit/${lr.length})")
+    // z-ordered files are value-bounded: most files skip the box entirely
+    assert(zHit <= zr.length / 2, s"expected <=half the z files to intersect ($zHit/${zr.length})")
+  }
 }
