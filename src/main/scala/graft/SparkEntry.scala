@@ -29,4 +29,20 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     modules.collect { case (n, _, sql) if sql != null && sql.nonEmpty => n -> sql }.toMap
+
+  /** Execution schedule for the sequential runners (Bench/Verify): plain
+    * queries first, then each persisted-cache-consuming group consecutively
+    * with its clear hook after the last member — so helper frames
+    * (TextOps.shingleDf/sigDf, VectorOps ivf index) never occupy executor
+    * memory beyond their consumers in an 80+-query session.
+    */
+  def schedule: Seq[(Seq[String], () => Unit)] = {
+    val all = queries.keySet
+    val text = TextOps.cacheConsumers.toSeq.sorted.filter(all)
+    val vec = VectorOps.cacheConsumers.toSeq.sorted.filter(all)
+    val plain = (all -- TextOps.cacheConsumers -- VectorOps.cacheConsumers).toSeq.sorted
+    Seq((plain, () => ()),
+      (text, () => TextOps.clearCaches()),
+      (vec, () => VectorOps.clearCaches()))
+  }
 }

@@ -91,10 +91,10 @@ object MoreOps3 {
           .orderBy("o_orderpriority")
       },
       """SELECT o_orderpriority,
-        |  sum(CASE WHEN date_diff('day', cast(o_orderdate AS DATE),
-        |                 cast(l_shipdate AS DATE)) > 90 THEN 1 ELSE 0 END) AS late_count,
-        |  sum(CASE WHEN date_diff('day', cast(o_orderdate AS DATE),
-        |                 cast(l_shipdate AS DATE)) > 90 THEN 0 ELSE 1 END) AS ontime_count
+        |  cast(sum(CASE WHEN date_diff('day', cast(o_orderdate AS DATE),
+        |                 cast(l_shipdate AS DATE)) > 90 THEN 1 ELSE 0 END) AS BIGINT) AS late_count,
+        |  cast(sum(CASE WHEN date_diff('day', cast(o_orderdate AS DATE),
+        |                 cast(l_shipdate AS DATE)) > 90 THEN 0 ELSE 1 END) AS BIGINT) AS ontime_count
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin),
 

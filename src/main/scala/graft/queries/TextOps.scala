@@ -69,6 +69,23 @@ object TextOps {
         .persist(StorageLevel.MEMORY_AND_DISK)
     })
 
+  /** Query names that read [[shingleDf]]/[[sigDf]] — Bench/Verify schedule
+    * these consecutively and call [[clearCaches]] after the last one, so the
+    * persisted frames don't occupy executor memory for the rest of an
+    * 80+-query session (the round-3 bench showed exactly that pressure as
+    * broad ~0.5 s slowdowns on unrelated queries).
+    */
+  val cacheConsumers: Set[String] =
+    Set("q_dedup_ngram", "q_dedup_minhash", "q_dedup_verified")
+
+  /** Unpersist + drop every cached helper frame (idempotent). */
+  def clearCaches(): Unit = {
+    sigCache.values.foreach(df => try df.unpersist(false) catch { case _: Throwable => () })
+    sigCache.clear()
+    shingleCache.values.foreach(df => try df.unpersist(false) catch { case _: Throwable => () })
+    shingleCache.clear()
+  }
+
   /** SQL fragment shared by the DuckDB oracles: doc_id + distinct 3-gram shingles. */
   private[queries] val shingleCte: String =
     """WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents),

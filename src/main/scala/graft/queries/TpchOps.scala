@@ -57,7 +57,11 @@ object TpchOps {
       (s: SparkSession, d: String) =>
         t(s, d, "lineitem")
           .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
-          .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+          // customer is a dimension relative to lineitem×orders: broadcast
+          // keeps the fact table's partitioning intact (one fewer shuffle);
+          // at cluster scale AQE would make the same call from stats, the
+          // hint pins it in this stats-free parquet-scan session
+          .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
           .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey") &&
             col("c_nationkey") === col("s_nationkey"))
           .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))

@@ -32,6 +32,19 @@ object VectorOps {
     */
   private val ivfCache =
     scala.collection.concurrent.TrieMap.empty[String, graft.ops.Similarity.IvfIndex]
+
+  /** Query names that read the persisted IVF index — see
+    * TextOps.cacheConsumers for the scheduling contract.
+    */
+  val cacheConsumers: Set[String] = Set("q_ann_ivf", "q_ann_ivf_exhaustive")
+
+  /** Unpersist + drop the cached IVF assignments (idempotent). */
+  def clearCaches(): Unit = {
+    ivfCache.values.foreach(i =>
+      try i.assigned.unpersist(false) catch { case _: Throwable => () })
+    ivfCache.clear()
+  }
+
   private def ivfIdx(s: SparkSession, d: String): graft.ops.Similarity.IvfIndex =
     ivfCache.getOrElseUpdate(s"${System.identityHashCode(s)}|$d", {
       val corpus = t(s, d, "embeddings").filter(col("vec_id") >= 3)
@@ -125,9 +138,37 @@ object VectorOps {
       },
       null),
 
+    // -- IVF ANN, exhaustive probe (nProbe == nCells): identical to brute
+    //    force by construction, so the whole IVF path (k-means assignment,
+    //    cell probe, in-cell re-rank) runs end-to-end under the DRIVER's
+    //    oracle gate — the oracle is plain brute-force cosine top-k ---------
+    ("q_ann_ivf_exhaustive",
+      (s: SparkSession, d: String) => {
+        val queries = t(s, d, "embeddings").filter(col("vec_id") < 3)
+          .select(col("vec_id").as("qid"), col("embedding"))
+        graft.ops.Similarity.ivfTopK(ivfIdx(s, d), queries, "vec_id", "qid",
+            "embedding", k = 5, nProbe = 16)
+          .select(col("qid"), col("vec_id"), round(col("cos"), 4).as("cos"))
+          .orderBy("qid", "vec_id")
+      },
+      """WITH e AS (SELECT vec_id, [cast(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 3),
+        |c AS (SELECT vec_id, v FROM e WHERE vec_id >= 3),
+        |scored AS (
+        |  SELECT qid, vec_id,
+        |    list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) AS cos
+        |  FROM c, q),
+        |ranked AS (
+        |  SELECT qid, vec_id, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+        |  FROM scored)
+        |SELECT qid, vec_id, round(cos, 4) AS cos FROM ranked WHERE rk <= 5
+        |ORDER BY qid, vec_id""".stripMargin),
+
     // -- IVF ANN (k-means cells + probe + exact re-rank); seeded k-means is
     //    not ANSI-SQL-expressible -> rows-only; exhaustive-probe equivalence
-    //    to brute force asserted in OpsSpec ---------------------------------
+    //    to brute force asserted in OpsSpec AND oracle-checked end-to-end by
+    //    q_ann_ivf_exhaustive above ----------------------------------------
     ("q_ann_ivf",
       (s: SparkSession, d: String) => {
         val queries = t(s, d, "embeddings").filter(col("vec_id") < 3)

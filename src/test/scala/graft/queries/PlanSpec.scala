@@ -71,6 +71,17 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit pushdown:\n$p")
   }
 
+  test("q5 six-table join: only the lineitem⋈orders join shuffles") {
+    // customer/supplier/nation/region all broadcast, so the single
+    // sort-merge join (lineitem⋈orders) plus the final aggregation are the
+    // only exchanges — the shape that survives a 100× scale-up
+    val p = plan("q_tpch_q5")
+    assert(p.split("BroadcastHashJoin").length - 1 >= 4,
+      s"expected 4 broadcast dim joins:\n$p")
+    val exchanges = "(?<!Broadcast)Exchange".r.findAllIn(p).length
+    assert(exchanges <= 3, s"expected <=3 shuffle exchanges, got $exchanges:\n$p")
+  }
+
   test("promo-share join broadcasts the part dimension") {
     val p = plan("q_tpch_q14")
     assert(p.contains("BroadcastHashJoin"), s"part dim should broadcast:\n$p")
