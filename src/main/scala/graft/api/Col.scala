@@ -91,13 +91,20 @@ final class Col private[api] (
     * (reference: column.py:233-249).
     */
   def mode: Map[Any, Long] = cache.memo(colDf.groupBy(c).count()) {
+    modePlan.collect().map(r => (r.get(0), r.getLong(1))).toMap
+  }
+
+  /** The distributed mode plan: agg-max + broadcast equality join (the
+    * q_mode_hc pattern). A global window would sort ALL distinct values on
+    * one partition — a choke point on a high-cardinality column at scale;
+    * here the 1-row max broadcasts and the counts stay distributed.
+    * Exposed for the plan assertion in ApiSpec.
+    */
+  private[graft] def modePlan: DataFrame = {
     val counts = df.groupBy(c).agg(F.count(lit(1)).as("__cnt"))
-    val withMax = counts.withColumn("__mx", Aggs.maxOver("__cnt"))
-    withMax.filter(col("__cnt") === col("__mx"))
+    val mx = counts.agg(F.max(col("__cnt")).as("__mx"))
+    counts.join(F.broadcast(mx), col("__cnt") === col("__mx"))
       .select(c, col("__cnt"))
-      .collect()
-      .map(r => (r.get(0), r.getLong(1)))
-      .toMap
   }
 
   /** Distinct values incl. null (reference: column.py:281-287). */
@@ -281,9 +288,4 @@ private[api] object Aggs {
     org.apache.spark.sql.functions.avg(c.cast(DoubleType))
   def medianAgg(c: Column): Column =
     org.apache.spark.sql.functions.median(c.cast(DoubleType))
-  def maxOver(name: String): Column = {
-    import org.apache.spark.sql.expressions.Window
-    org.apache.spark.sql.functions.max(col(name))
-      .over(Window.partitionBy())
-  }
 }

@@ -26,6 +26,10 @@ final class QueryCache(
     val maxTotalMb: Double = 100.0) {
 
   private val store = new ConcurrentHashMap[String, Any]()
+  // running byte total of stored (key, value) pairs — sized once at insert,
+  // not re-estimated by walking the whole store per insert (that walk made
+  // aggregate insertion cost O(n²))
+  private val storedBytes = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Canonical cache key for a DataFrame's logical plan. */
   def keyOf(df: DataFrame): String =
@@ -33,12 +37,11 @@ final class QueryCache(
 
   private def mbOf(v: Any): Double = SizeEstimator.estimate(v.asInstanceOf[AnyRef]) / 1e6
 
-  def currentSizeMb: Double = store.asScala.keysIterator
-    .map(k => mbOf(k)).sum + store.asScala.valuesIterator.map(mbOf).sum
+  def currentSizeMb: Double = storedBytes.get() / 1e6
 
   def size: Int = store.size()
   def contains(key: String): Boolean = store.containsKey(key)
-  def clear(): Unit = store.clear()
+  def clear(): Unit = { store.clear(); storedBytes.set(0L) }
 
   /** Memoize `compute` under `key`; store only if it fits the caps
     * (reference: cache.py:87-91).
@@ -50,8 +53,9 @@ final class QueryCache(
     val v: T = compute
     if (v != null) {
       val itemMb = mbOf(key) + mbOf(v)
-      if (itemMb <= maxItemMb && currentSizeMb + itemMb <= maxTotalMb)
-        store.put(key, v)
+      if (itemMb <= maxItemMb && currentSizeMb + itemMb <= maxTotalMb &&
+          store.putIfAbsent(key, v) == null)
+        storedBytes.addAndGet((itemMb * 1e6).toLong)
     }
     v
   }

@@ -130,8 +130,7 @@ final class Table private[api] (
     // db.t.iloc(1), ... each mints a new Table) and would re-run
     // zipWithIndex for each without the shared memo
     val key = (spark, df.queryExecution.analyzed.canonicalized)
-    Table.indexedMemo.getOrElseUpdate(key, {
-      if (Table.indexedMemo.size >= Table.indexedMemoMax) Table.indexedMemo.clear()
+    Table.indexedMemo.computeIfAbsent(key, { _ =>
       val schema = df.schema.add(ROWID, LongType, nullable = false)
       val rdd = df.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
       spark.createDataFrame(rdd, schema)
@@ -301,12 +300,23 @@ final class GroupedTable private[api] (parent: Table, keys: Seq[String]) {
 object Table {
   private[api] val ROWID = "__rowid"
 
-  /** (session, canonicalized plan) → row-indexed DataFrame. Bounded: the
-    * memo holds logical plans (small) and lazy DataFrames (no data), but is
-    * cleared wholesale at the cap to keep long sessions from accumulating
-    * plan trees.
-    */
-  private[api] val indexedMemo = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan), DataFrame]
   private[api] val indexedMemoMax = 64
+
+  /** (session, canonicalized plan) → row-indexed DataFrame. A synchronized
+    * access-order LinkedHashMap: true LRU eviction one entry at a time (a
+    * wholesale clear() at the cap meant a thundering rebuild of every live
+    * memoized plan), and computeIfAbsent runs under the map's mutex so
+    * concurrent callers observe ONE `indexed` frame per plan (the ApiSpec
+    * `eq` invariant). Entries of a closed session simply age out.
+    */
+  private[api] val indexedMemo: java.util.Map[
+      (SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan), DataFrame] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[
+          (SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan), DataFrame](
+          indexedMemoMax, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan), DataFrame]): Boolean =
+          size() > indexedMemoMax
+      })
 }

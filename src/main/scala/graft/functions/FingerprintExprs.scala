@@ -14,15 +14,23 @@ import org.apache.spark.unsafe.types.UTF8String
   * (same whitespace semantics as [[WordShingles]]).
   */
 private[functions] object Tok {
+  /** The Java-regex `\s` character class (NOT Character.isWhitespace, which
+    * also matches U+2028/U+0085/...): the spec-asserted equivalences against
+    * the relational `regexp_extract_all(text, "\\S+")` forms and the DuckDB
+    * oracles must hold for any input, not just ASCII-whitespace corpora.
+    */
+  @inline private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
   /** Whitespace-delimited tokens of `s`, in order. */
   def words(s: String): mutable.ArrayBuffer[String] = {
     val toks = mutable.ArrayBuffer.empty[String]
     var i = 0
     val len = s.length
     while (i < len) {
-      while (i < len && Character.isWhitespace(s.charAt(i))) i += 1
+      while (i < len && isWs(s.charAt(i))) i += 1
       val start = i
-      while (i < len && !Character.isWhitespace(s.charAt(i))) i += 1
+      while (i < len && !isWs(s.charAt(i))) i += 1
       if (i > start) toks += s.substring(start, i)
     }
     toks

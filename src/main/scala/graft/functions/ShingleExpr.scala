@@ -1,6 +1,5 @@
 package graft.functions
 
-import scala.collection.mutable
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
@@ -28,32 +27,11 @@ case class WordShingles(child: Expression, n: Int)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
   override protected def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
-    // tokenize on runs of whitespace (same as regexp \S+)
-    val toks = mutable.ArrayBuffer.empty[String]
-    var i = 0
-    val len = s.length
-    while (i < len) {
-      while (i < len && Character.isWhitespace(s.charAt(i))) i += 1
-      val start = i
-      while (i < len && !Character.isWhitespace(s.charAt(i))) i += 1
-      if (i > start) toks += s.substring(start, i)
-    }
-    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
-    val seen = new java.util.LinkedHashSet[String]()
-    val sb = new java.lang.StringBuilder()
-    var j = 0
-    while (j + n <= toks.length) {
-      sb.setLength(0)
-      var k = 0
-      while (k < n) {
-        if (k > 0) sb.append(' ')
-        sb.append(toks(j + k))
-        k += 1
-      }
-      seen.add(sb.toString)
-      j += 1
-    }
+    // Tok tokenizes on the Java-regex \s charset — exactly what the
+    // composable regexp_extract_all(text, "\\S+") form and the DuckDB
+    // oracles split on (Character.isWhitespace would diverge on
+    // U+2028/U+0085 etc.)
+    val seen = Tok.shingles(Tok.words(input.asInstanceOf[UTF8String].toString), n)
     val out = new Array[Any](seen.size())
     val it = seen.iterator()
     var p = 0

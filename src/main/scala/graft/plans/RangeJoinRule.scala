@@ -39,6 +39,9 @@ object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
   val BinWidthConf = "spark.graft.rangeJoin.binWidth"
   private val BinName = "__graft_bin"
+  // same contract as RangeJoin.pointInInterval's maxBinsPerInterval: a
+  // mis-chosen width raises instead of silently exploding a huge array
+  private val MaxBinsPerInterval = 10000L
 
   private def integral(e: Expression): Boolean = e.dataType match {
     case ByteType | ShortType | IntegerType | LongType => true
@@ -46,12 +49,17 @@ object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val w = conf.getConfString(BinWidthConf, "0").toLong
-    if (w <= 0) plan
-    else plan.transformUp {
-      case j @ Join(_, _, Inner, Some(cond), _)
-          if !cond.references.exists(_.name.startsWith(BinName)) =>
-        rewrite(j, w).getOrElse(j)
+    // Defensive parse: this rule runs on EVERY plan in the session, so an
+    // unparseable conf value must mean "disabled", never an exception that
+    // breaks all queries.
+    scala.util.Try(conf.getConfString(BinWidthConf, "0").trim.toLong)
+      .toOption.filter(_ > 0) match {
+      case None => plan
+      case Some(w) => plan.transformUp {
+        case j @ Join(_, _, Inner, Some(cond), _)
+            if !cond.references.exists(_.name.startsWith(BinName)) =>
+          rewrite(j, w).getOrElse(j)
+      }
     }
   }
 
@@ -102,10 +110,27 @@ object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       val pBin = Alias(binOf(p), BinName)()
       val newPoint = Project(pointPlan.output :+ pBin, pointPlan)
       val genOut = AttributeReference(BinName + "_g", LongType, nullable = false)()
+      val lo = binOf(s)
+      val hi = binOf(e)
+      // Fan-out guard, inline in the exploded expression (a separate dropped
+      // column would be pruned before it ran): one wide interval under a
+      // small binWidth raises a clear error instead of materializing a huge
+      // per-row array. RaiseError is minted LongType so the If stays
+      // type-consistent post-analysis (no coercion runs in the optimizer).
+      val guardedHi = If(
+        GreaterThanOrEqual(Subtract(hi, lo), Literal(MaxBinsPerInterval)),
+        new RaiseError(Literal("USER_RAISED_EXCEPTION"),
+          CreateMap(Seq(Literal("errorMessage"),
+            Concat(Seq(
+              Literal(s"range join fan-out exceeds $MaxBinsPerInterval bins: "),
+              Cast(Add(Subtract(hi, lo), Literal(1L)), StringType),
+              Literal(" (spark.graft.rangeJoin.binWidth too small)"))))),
+          LongType),
+        hi)
       // timeZoneId must be supplied: optimizer-injected expressions never see
       // ResolveTimeZone, and a TimeZoneAwareExpression without it is unresolved
       val newInterval = Generate(
-        Explode(Sequence(binOf(s), binOf(e), None, Some(conf.sessionLocalTimeZone))),
+        Explode(Sequence(lo, guardedHi, None, Some(conf.sessionLocalTimeZone))),
         unrequiredChildIndex = Nil, outer = false, qualifier = None,
         generatorOutput = Seq(genOut), child = intervalPlan)
       val binEq = EqualTo(pBin.toAttribute, genOut)

@@ -69,12 +69,19 @@ object DocStream {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
         val fresh = Dedup.exact(batch, "doc_id", Seq("text"))
+        // Only "corpus doesn't exist yet" (first batch) may yield an empty
+        // corpus; any other read failure (FS hiccup, corrupt footer,
+        // permissions) must fail the batch so the checkpoint retries it —
+        // otherwise the near-dup screen silently disengages and the batch's
+        // duplicates are admitted.
+        val curatedExists = {
+          val p = new org.apache.hadoop.fs.Path(curatedDir)
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+        }
         val curated =
-          try spark.read.schema(docSchema).parquet(curatedDir)
-          catch {
-            case _: Throwable =>
-              spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], docSchema)
-          }
+          if (curatedExists) spark.read.schema(docSchema).parquet(curatedDir)
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], docSchema)
         val novel =
           if (curated.isEmpty) fresh
           else {

@@ -71,6 +71,12 @@ class ApiSpec extends SparkSuite {
     assert(m.values.forall(_ == maxCnt))
     assert(m.keySet == vc.filter(_._2 == maxCnt).map(_._1).toSet)
     assert(c.unique.toSet == vc.map(_._1).toSet) // no nulls in fixture
+    // scale guard: mode must not plan a single-partition Window over the
+    // distinct values (agg-max + broadcast join instead)
+    val plan = c.modePlan.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"mode plan must not use a window:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row max should broadcast:\n$plan")
   }
 
   test("describe variants") {

@@ -46,4 +46,17 @@ class ShingleExprSpec extends SparkSuite {
     assert(out(3L).sorted == Seq("x y x", "y x y"))
     assert(out(4L) == null)
   }
+
+  test("unicode whitespace follows the Java-regex \\s charset, not isWhitespace") {
+    import spark.implicits._
+    // U+2028 (line separator) is Character.isWhitespace but NOT regex \s:
+    // \S+ keeps "a b" as ONE token, and so must the fused expression —
+    // otherwise the spec-asserted equivalence above holds only for ASCII.
+    val df = Seq((1L, "a b c d e")).toDF("id", "text")
+      .withColumn("__w", regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+    val r = df.select(wordShingles(col("text"), 3).as("fast"), composable(3).as("ref"))
+      .head()
+    assert(r.getSeq[String](0) == r.getSeq[String](1))
+    assert(r.getSeq[String](0) == Seq("a b c d", "c d e"))
+  }
 }

@@ -78,6 +78,42 @@ class RangeJoinRuleSpec extends SparkSuite {
     }
   }
 
+  test("unparseable binWidth conf disables the rule instead of breaking the session") {
+    val (points, intervals) = fixtures
+    val before = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = before :+ RangeJoinRule
+    spark.conf.set(RangeJoinRule.BinWidthConf, "1.5days")
+    try {
+      // the rule runs on EVERY plan — a throwing parse would fail even this
+      assert(spark.range(10).count() == 10)
+      val joined = points.join(intervals,
+        col("v") >= col("lo") && col("v") <= col("hi"))
+      assert(!joined.queryExecution.executedPlan.toString.contains("Generate explode"))
+      joined.collect()
+    } finally {
+      spark.experimental.extraOptimizations = before
+      spark.conf.unset(RangeJoinRule.BinWidthConf)
+    }
+  }
+
+  test("fan-out guard raises on a wide interval instead of exploding it") {
+    val (points, intervals) = fixtures // iid=5 spans 2000..3000
+    withRule(16L) {
+      intervals.join(points, col("v") >= col("lo") && col("v") <= col("hi")).collect()
+    }
+    // binWidth=1 over a 10M-wide interval → 10M bins per row: must raise
+    import spark.implicits._
+    val wide = Seq((1L, 0L, 10000000L)).toDF("iid", "lo", "hi")
+    withRule(1L) {
+      val e = intercept[Exception] {
+        fixtures._1.join(wide, col("v") >= col("lo") && col("v") <= col("hi")).collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("fan-out exceeds")), s"got: ${msgs(e)}")
+    }
+  }
+
   test("rule is inert without the conf") {
     val (points, intervals) = fixtures
     val before = spark.experimental.extraOptimizations
