@@ -193,6 +193,13 @@ final class Col private[api] (
   def toSeq: Seq[Any] = data()
   def iterator: Iterator[Any] = colDf.toLocalIterator().asScala.map(_.get(0))
 
+  /** Exactly-n random values (reference: column.py:328-336 does
+    * `ORDER BY RANDOM() LIMIT n`). Distributed top-k on a random key —
+    * TakeOrderedAndProject, no full sort, same shape as Table.sample.
+    */
+  def sample(n: Int = 10, seed: Long = scala.util.Random.nextLong()): Seq[Any] =
+    colDf.orderBy(rand(seed)).limit(n).collect().map(_.get(0)).toSeq
+
   private implicit class RichIter[T](it: java.util.Iterator[T]) {
     def asScala: Iterator[T] = new Iterator[T] {
       def hasNext = it.hasNext; def next() = it.next()

@@ -14,8 +14,12 @@ final case class Expr(cond: Column, table: String) {
 
   private def requireSameTable(other: Expr, op: String): Unit =
     if (other.table != table)
+      // wording matches the reference's asserted regex (tests/
+      // test_expression.py:23-29); its other asserted message — combining
+      // with a non-Expression — is unrepresentable here (type-checked)
       throw new ExpressionError(
-        s"cannot combine expressions from tables '$table' and '${other.table}' with $op")
+        "Cannot concatenate two expressions from different tables " +
+          s"('$table' $op '${other.table}')")
 
   def &&(other: Expr): Expr = {
     requireSameTable(other, "AND")

@@ -141,7 +141,9 @@ final class Table private[api] (
     val n = len
     val idx = if (i < 0) n + i else i
     if (idx < 0 || idx >= n)
-      throw new IndexOutOfBoundsError(s"index $i out of range for table of length $n")
+      // wording matches the reference's asserted regex "Given index out of
+      // range" (tests/test_table.py:224-233)
+      throw new IndexOutOfBoundsError(s"Given index out of range: $i (table length $n)")
     idx
   }
 
@@ -187,6 +189,26 @@ final class Table private[api] (
     val u = udf((s: String) => if (s == null) null else f(s))
     val cols = df.schema.fields.map { fld =>
       if (fld.dataType == StringType && fld.name != ROWID) u(functionsCol(fld.name)).as(fld.name)
+      else functionsCol(fld.name)
+    }
+    new Table(db, df.select(cols.toSeq: _*), name, cache, ordered)
+  }
+
+  /** Apply a numeric function to every numeric cell (the non-string half of
+    * the reference's any-type applymap, table.py:211-234; nulls pass through
+    * — its `ignore_na=True` default). Numeric cells surface as double, like
+    * the reference's Python funcs returning float.
+    */
+  def applymapNum(f: Double => Double): Table = {
+    val u = udf((d: java.lang.Double) =>
+      if (d == null) null else java.lang.Double.valueOf(f(d.doubleValue())))
+    val numeric: Set[DataType] =
+      Set(ByteType, ShortType, IntegerType, LongType, FloatType, DoubleType)
+    val cols = df.schema.fields.map { fld =>
+      val isNum = numeric.contains(fld.dataType) ||
+        fld.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType]
+      if (isNum && fld.name != ROWID)
+        u(functionsCol(fld.name).cast(DoubleType)).as(fld.name)
       else functionsCol(fld.name)
     }
     new Table(db, df.select(cols.toSeq: _*), name, cache, ordered)

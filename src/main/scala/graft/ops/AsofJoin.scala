@@ -30,16 +30,25 @@ object AsofJoin {
     *                  names must not collide with left's columns
     */
   def asof(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String, payload: Seq[String]): DataFrame =
+    asofKeys(left, right, Seq(key), leftTime, rightTime, payload)
+
+  /** Grouped (composite-key) as-of join: same LOCF composition, partitioned
+    * by ALL of `keys` — e.g. (user, day) attaches the latest same-day match
+    * only. Still one shuffle; the window reuses the hash partitioning.
+    */
+  def asofKeys(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String, payload: Seq[String]): DataFrame = {
-    val lRest = left.columns.toSeq.filterNot(_ == key)
+    require(keys.nonEmpty, "asof join needs at least one equi key")
+    val lRest = left.columns.toSeq.filterNot(keys.contains)
     val lu = left.select(
-      col(key) +: col(leftTime).as("__t") +: lit(1).as("__tag") +:
+      keys.map(col) ++ (col(leftTime).as("__t") +: lit(1).as("__tag") +:
         (payload.map(p => lit(null).cast(right.schema(p).dataType).as(s"__p_$p")) ++
-          lRest.map(col)): _*)
+          lRest.map(col))): _*)
     val ru = right.select(
-      col(key) +: col(rightTime).as("__t") +: lit(0).as("__tag") +:
+      keys.map(col) ++ (col(rightTime).as("__t") +: lit(0).as("__tag") +:
         (payload.map(p => col(p).as(s"__p_$p")) ++
-          lRest.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+          lRest.map(c => lit(null).cast(left.schema(c).dataType).as(c)))): _*)
     // Ordering ends with the payload columns as a deterministic tiebreaker:
     // when several right rows share the same (key, time), `last(...)` would
     // otherwise attach whichever sorted last under the ambient partitioning —
@@ -48,14 +57,14 @@ object AsofJoin {
     // rows at equal time, so "<=" matches are preserved; left rows all have
     // null payloads so the tiebreaker never reorders a left row relative to
     // the right rows it must follow at equal (__t, __tag)).
-    val w = Window.partitionBy(key)
+    val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t") +: col("__tag") +: payload.map(p => col(s"__p_$p")): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lu.unionByName(ru)
       .select(
-        col(key) +: col("__tag") +:
+        keys.map(col) ++ (col("__tag") +:
           (lRest.map(col) ++
-            payload.map(p => last(col(s"__p_$p"), ignoreNulls = true).over(w).as(p))): _*)
+            payload.map(p => last(col(s"__p_$p"), ignoreNulls = true).over(w).as(p)))): _*)
       .filter(col("__tag") === 1)
       .drop("__tag")
   }

@@ -144,6 +144,33 @@ object EventOps {
         |p AS (SELECT user_id, epoch_ms(ts) AS ms, value AS purchase_value FROM events WHERE event_type = 'purchase')
         |SELECT e.event_id, e.user_id, p.purchase_value
         |FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ms >= p.ms
+        |ORDER BY e.event_id""".stripMargin),
+
+    // -- grouped as-of join on the composite key (user, day): the latest
+    //    SAME-DAY purchase before each error — AsofJoin.asofKeys' multi-key
+    //    path under the oracle (DuckDB ASOF with two equalities) ------------
+    ("q_asof_grouped",
+      (s: SparkSession, d: String) => {
+        val ev = t(s, d, "events")
+          .select(col("event_id"), col("user_id"), nsDiv("ts", NS_PER_MS).as("ms"),
+            nsDiv("ts", NS_PER_DAY).as("day"), col("event_type"), col("value"))
+        val errors = ev.filter(col("event_type") === "error")
+          .select("event_id", "user_id", "day", "ms")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("day"), col("ms"),
+            col("value").as("purchase_value"))
+        graft.ops.AsofJoin.asofKeys(errors, purchases, Seq("user_id", "day"),
+            "ms", "ms", Seq("purchase_value"))
+          .select(col("event_id"), col("user_id"), col("day"), col("purchase_value"))
+          .orderBy("event_id")
+      },
+      """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) // 86400000 AS day, epoch_ms(ts) AS ms
+        |           FROM events WHERE event_type = 'error'),
+        |p AS (SELECT user_id, epoch_ms(ts) // 86400000 AS day, epoch_ms(ts) AS ms, value AS purchase_value
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT e.event_id, e.user_id, e.day, p.purchase_value
+        |FROM e ASOF LEFT JOIN p
+        |  ON e.user_id = p.user_id AND e.day = p.day AND e.ms >= p.ms
         |ORDER BY e.event_id""".stripMargin)
   )
 }

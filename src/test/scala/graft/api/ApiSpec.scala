@@ -144,6 +144,16 @@ class ApiSpec extends SparkSuite {
     assert(li.sample(17, seed = 1).toDf.count() == 17)
   }
 
+  test("column sample: exactly n values from the column (reference column.py:328-336)") {
+    val c = db("customer").col("c_custkey")
+    val s = c.sample(12)
+    assert(s.length == 12)
+    val all = c.toSeq.toSet
+    assert(s.forall(all.contains))
+    // seeded draws are deterministic
+    assert(c.sample(5, seed = 7L) == c.sample(5, seed = 7L))
+  }
+
   test("iloc: int, negative, slice, list, bounds error (reference table.py:19-106)") {
     val r = db("region").sortValues("r_regionkey")
     assert(r.iloc(0).getInt(0) == 0)
@@ -182,6 +192,27 @@ class ApiSpec extends SparkSuite {
     val doubled = n.col("n_regionkey").applyLong(_ * 2)
     val orig = n.col("n_regionkey").toSeq.map(_.asInstanceOf[Int].toLong)
     assert(doubled.collect().map(_.getLong(0)).toSeq == orig.map(_ * 2))
+  }
+
+  test("applymapNum maps every numeric cell, leaves text alone (reference table.py:211-234)") {
+    val r = db("region").sortValues("r_regionkey")
+    val out = r.applymapNum(_ * 10.0)
+    assert(out.col("r_regionkey").toSeq.map(_.asInstanceOf[Double]).sorted ==
+      Seq(0.0, 10.0, 20.0, 30.0, 40.0))
+    assert(out.col("r_name").toSeq == r.col("r_name").toSeq) // strings untouched
+  }
+
+  test("error messages match the reference's asserted regexes") {
+    // "Given index out of range" — reference tests/test_table.py:224-233
+    val r = db("region")
+    val ix = intercept[IndexOutOfBoundsError](r.iloc(99))
+    assert(ix.getMessage.contains("Given index out of range"), ix.getMessage)
+    // "Cannot concatenate two expressions from different tables" —
+    // reference tests/test_expression.py:23-29
+    val ex = intercept[ExpressionError](
+      (db("lineitem")("l_quantity") > 5) && (db("orders")("o_totalprice") > 100))
+    assert(ex.getMessage.contains("Cannot concatenate two expressions from different tables"),
+      ex.getMessage)
   }
 
   test("arithmetic: scalar broadcast, column-column, floor division") {
