@@ -36,19 +36,50 @@ final class Database private (
         s"table '$tableName' does not exist; available: ${tables.mkString(", ")}")
     }
 
-  /** Temp views registered in the session beyond this database's base
-    * tables (reference `db.views` / `temp_tables`, connection.py:122-148).
+  // names registered via createTempTable — the reference distinguishes
+  // session-scoped TABLES (materialized) from VIEWS (named queries),
+  // connection.py:122-148
+  private val tempTableNames = scala.collection.mutable.LinkedHashSet.empty[String]
+
+  /** Temp VIEWS registered in the session beyond this database's base
+    * tables — named lazy plans (reference `db.views` / `temp_views`,
+    * connection.py:122-131, 141-148).
     */
   def views: Seq[String] =
     spark.catalog.listTables().collect()
-      .filter(t => t.tableType == "TEMPORARY" && !tableMap.contains(t.name))
+      .filter(t => t.tableType == "TEMPORARY" && !tableMap.contains(t.name) &&
+        !tempTableNames.contains(t.name))
       .map(_.name).toSeq.sorted
+
+  /** Session-scoped temp TABLES — materialized, dropped at exit (reference
+    * `db.temp_tables`, connection.py:133-139: "lasts only as long as the
+    * session"). The Spark-native analogue of CREATE TEMP TABLE is a
+    * persisted plan registered under a name.
+    */
+  def tempTables: Seq[String] = tempTableNames.toSeq.sorted
+
+  // views registered through THIS database, so exit() can drop them (the
+  // reference's exit closes the connection, which drops all temp entities)
+  private val viewNames = scala.collection.mutable.LinkedHashSet.empty[String]
 
   /** Register a derived table as a named temp view (the reference's
     * TableView machinery; in Spark a view is just a named lazy plan).
     */
-  def createView(name: String, table: Table): Unit =
+  def createView(name: String, table: Table): Unit = {
     table.toDf.createOrReplaceTempView(name)
+    viewNames += name
+  }
+
+  /** Materialize a derived table as a session-scoped temp TABLE: the plan
+    * is persisted (computed once, held in executor memory/disk like
+    * SQLite's temp_master tables) and registered for SQL. Dropped and
+    * unpersisted by [[exit]].
+    */
+  def createTempTable(name: String, table: Table): Unit = {
+    val df = table.toDf.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    df.createOrReplaceTempView(name)
+    tempTableNames += name
+  }
 
   /** Column names of a table (reference: connection.py:150-160). */
   def getColumns(tableName: String): Seq[String] = table(tableName).columns
@@ -71,6 +102,17 @@ final class Database private (
     * heavy stats (mode/unique/valueCounts) are skipped for tables over
     * `distinctStatMaxRows` rows (reference guard: cache.py:120).
     */
+  // tables whose stats have been fully warmed — the reference's readiness
+  // counter (cache.py:62-68 `is_ready`)
+  private val populatedTables =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** True once every base table's stats are warmed (reference
+    * `Cache.is_ready`, cache.py:62-68). Meaningful while a concurrent
+    * populateCache is in flight.
+    */
+  def cacheReady: Boolean = tables.forall(populatedTables.contains)
+
   def populateCache(distinctStatMaxRows: Long = 1000000L): Unit = {
     implicit val ec: ExecutionContext = ExecutionContext.global
     val futures = tables.map { tn =>
@@ -83,16 +125,25 @@ final class Database private (
           if (c.isNumeric) { c.sum; c.avg; c.median }
           if (small) { c.mode; c.unique; c.valueCounts }
         }
+        populatedTables.add(tn)
       }
     }
     Await.result(Future.sequence(futures), Duration.Inf)
   }
 
-  /** Drop this database's temp views (reference `exit`, connection.py:191-228;
-    * the SparkSession itself is owned by the caller).
+  /** Drop this database's temp views and temp tables (reference `exit`,
+    * connection.py:191-228; the SparkSession itself is owned by the caller).
     */
-  def exit(): Unit =
+  def exit(): Unit = {
+    tempTableNames.foreach { n =>
+      try spark.table(n).unpersist(false) catch { case _: Throwable => () }
+      spark.catalog.dropTempView(n)
+    }
+    tempTableNames.clear()
+    viewNames.foreach(spark.catalog.dropTempView)
+    viewNames.clear()
     tableMap.keys.foreach(n => spark.catalog.dropTempView(n))
+  }
 
   /** Attribute-style access sugar, the reference's `db.orders.total`
     * (connection.py:230-245; SURVEY §7.4.6): `db.dyn.orders.total.avg`.

@@ -40,6 +40,28 @@ class Api2Spec extends SparkSuite {
     spark.catalog.dropTempView("big_orders")
   }
 
+  test("temp tables vs views: distinct listings, exit drops both (connection.py:122-148)") {
+    val vdb = Database.open(spark, sfDir)
+    vdb.createView("v_nation", vdb("nation"))
+    vdb.createTempTable("tt_region", vdb("region"))
+    assert(vdb.views.contains("v_nation") && !vdb.views.contains("tt_region"))
+    assert(vdb.tempTables == Seq("tt_region"))
+    // the temp table is queryable and materialized (persisted storage level)
+    assert(vdb.query("SELECT count(*) AS c FROM tt_region").head.getLong(0) == 5)
+    assert(spark.table("tt_region").storageLevel.useMemory)
+    vdb.exit()
+    assert(!spark.catalog.tableExists("tt_region") && !spark.catalog.tableExists("v_nation"))
+    // reopen for other tests (exit dropped the base views)
+    Database.open(spark, sfDir)
+  }
+
+  test("cacheReady flips once every table's stats are warmed (cache.py:62-68)") {
+    val vdb = Database.open(spark, sfDir)
+    assert(!vdb.cacheReady)
+    vdb.populateCache()
+    assert(vdb.cacheReady)
+  }
+
   test("iterator streams rows without collect (reference table.py:355-360)") {
     val it = db("region").iterator
     assert(it.take(3).size == 3)
