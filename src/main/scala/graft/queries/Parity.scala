@@ -126,7 +126,7 @@ object Parity {
     //    reference table.py:252-284, expression.py:37-47) ------------------
     ("q_filter_compound",
       (s: SparkSession, d: String) => {
-        val db = Database.open(s, d)
+        val db = Q.db(s, d)
         val li = db("lineitem")
         li.filter((li("l_quantity") >= 30) && (li("l_discount") > 0.05))
           .select(Seq("l_orderkey", "l_linenumber", "l_quantity", "l_discount"))
@@ -214,7 +214,7 @@ object Parity {
     // -- P1 column slice (reference table.py:387-396) ---------------------
     ("q_proj",
       (s: SparkSession, d: String) => {
-        val db = Database.open(s, d)
+        val db = Q.db(s, d)
         db("nation").select(Seq("n_name", "n_regionkey")).toDf.orderBy("n_name")
       },
       "SELECT n_name, n_regionkey FROM nation ORDER BY n_name"),
@@ -223,7 +223,7 @@ object Parity {
     //    (reference connection.py:168-189; Catalyst picks broadcast joins) --
     ("q_sql_join",
       (s: SparkSession, d: String) => {
-        val db = Database.open(s, d)
+        val db = Q.db(s, d)
         db.query(
           """SELECT r_name, count(*) AS n_cust,
             |round(cast(sum(cast(c_acctbal AS DECIMAL(18,6))) AS DOUBLE), 4) AS acctbal
@@ -240,7 +240,7 @@ object Parity {
     //    (reference utils.py:177-197) --------------------------------------
     ("q_dup_rename",
       (s: SparkSession, d: String) => {
-        val db = Database.open(s, d)
+        val db = Q.db(s, d)
         db.query(
           """SELECT n_name AS name, r_name AS name
             |FROM nation JOIN region ON n_regionkey = r_regionkey

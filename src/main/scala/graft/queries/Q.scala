@@ -32,6 +32,17 @@ object Q {
     s.read.parquet(s"$dir/$name.parquet")
   }
 
+  /** One Database per (session, dir) for the query inventory: open() lists
+    * the directory and reads every table's parquet footer, so re-opening per
+    * query charged ~0.5 s of pure catalog setup to each Database-routed
+    * bench entry. The handle holds only lazy plans — nothing to unpersist.
+    */
+  private val dbCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.api.Database]
+  def db(s: SparkSession, dir: String): graft.api.Database =
+    dbCache.getOrElseUpdate(s"${System.identityHashCode(s)}|$dir",
+      graft.api.Database.open(s, dir))
+
   /** Order-independent exact sum of a double column, rounded to 4 places. */
   def dsum(c: Column): Column =
     round(sum(c.cast(DecimalType(18, 6))).cast("double"), 4)

@@ -1,0 +1,110 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Q._
+
+/** Training-data curation operators a large-scale pipeline needs beyond
+  * dedup/similarity: stratified sampling, sequence packing into
+  * fixed-token-budget shards, and benchmark decontamination. All three are
+  * deterministic (hash-ordered "randomness", no rand()) so they sit under
+  * the driver's DuckDB oracle gate.
+  */
+object TrainOps {
+
+  type Fn = (SparkSession, String) => DataFrame
+
+  val entries: Seq[(String, Fn, String)] = Seq(
+
+    // -- stratified sampling: exactly k docs per language, chosen by a
+    //    deterministic hash order (md5 of the id = reproducible "random").
+    //    Per-group top-k plans as WindowGroupLimit — a bounded heap per
+    //    partition, never a global sort; the 100 TB shape for "n per
+    //    stratum" sampling ------------------------------------------------
+    ("q_stratified_sample",
+      (s: SparkSession, d: String) => {
+        val w = Window.partitionBy("lang")
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        t(s, d, "documents")
+          .select(col("lang"), col("doc_id"))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 3)
+          .orderBy("lang", "rk")
+      },
+      """SELECT lang, doc_id, rk FROM (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(cast(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 3 ORDER BY lang, rk""".stripMargin),
+
+    // -- sequence packing: assign docs (in stable id order, per language) to
+    //    fixed-token-budget shards via the exclusive running token count —
+    //    the scan-friendly greedy packer. Partitioned by lang, so the window
+    //    is distributed; emits per-shard stats (small output). At 100 TB the
+    //    partition key is whatever unit a writer owns (lang, path prefix,
+    //    bucket id) --------------------------------------------------------
+    ("q_pack_sequences",
+      (s: SparkSession, d: String) => {
+        val budget = 2048L
+        val ntok = size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+          .cast("long")
+        val w = Window.partitionBy("lang").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        t(s, d, "documents")
+          .select(col("lang"), col("doc_id"), ntok.as("n_tok"))
+          .withColumn("before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+          .withColumn("shard", expr(s"before div ${budget}L"))
+          .groupBy("lang", "shard")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tok_sum"),
+            min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+          .orderBy("lang", "shard")
+      },
+      """WITH d AS (
+        |  SELECT lang, doc_id,
+        |    cast(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |p AS (
+        |  SELECT lang, doc_id, n_tok,
+        |    coalesce(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+        |  FROM d)
+        |SELECT lang, before // 2048 AS shard, count(*) AS n_docs,
+        |  cast(sum(n_tok) AS BIGINT) AS tok_sum,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    // -- benchmark decontamination: corpus docs sharing any 5-gram shingle
+    //    with the held-out set (doc_id < 50 stands in for the benchmark).
+    //    Inverted-index equi-join on the shingle — candidate pairs exist
+    //    only where a shingle co-occurs, never all-pairs; the (small,
+    //    distinct) benchmark side broadcasts at any corpus scale -----------
+    ("q_decontaminate",
+      (s: SparkSession, d: String) => {
+        val sh = t(s, d, "documents")
+          .select(col("doc_id"),
+            graft.functions.ShingleExpr.wordShingles(col("text"), 5).as("sh"))
+          .filter(size(col("sh")) > 0)
+        val bench = sh.filter(col("doc_id") < 50)
+          .select(explode(col("sh")).as("g")).distinct()
+        val corpus = sh.filter(col("doc_id") >= 50)
+          .select(col("doc_id"), explode(col("sh")).as("g"))
+        corpus.join(broadcast(bench), "g")
+          .groupBy("doc_id")
+          .agg(countDistinct(col("g")).as("n_shared"))
+          .orderBy("doc_id")
+      },
+      """WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents),
+        |s AS (SELECT doc_id,
+        |        list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+        |                       w[i+3] || ' ' || w[i+4]
+        |                       for i in range(1, len(w) - 3)]) AS sh
+        |      FROM t WHERE len(w) >= 5),
+        |b AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id < 50),
+        |c AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id >= 50)
+        |SELECT c.doc_id, cast(count(DISTINCT c.g) AS BIGINT) AS n_shared
+        |FROM c JOIN b USING (g) GROUP BY 1 ORDER BY 1""".stripMargin)
+  )
+}

@@ -87,6 +87,13 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin"), s"part dim should broadcast:\n$p")
   }
 
+  test("stratified sample plans per-group top-k (WindowGroupLimit), decontamination broadcasts the benchmark") {
+    val p = plan("q_stratified_sample")
+    assert(p.contains("WindowGroupLimit"), s"rk<=3 should push a group limit:\n$p")
+    val p2 = plan("q_decontaminate")
+    assert(p2.contains("BroadcastHashJoin"), s"benchmark side should broadcast:\n$p2")
+  }
+
   test("whole-stage codegen covers the hot aggregation path") {
     val qe = graft.SparkEntry.queries("q_groupby_agg")(spark, sfDir).queryExecution
     val p = qe.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
