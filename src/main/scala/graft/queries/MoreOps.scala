@@ -53,12 +53,11 @@ object MoreOps {
         val c = t(s, d, "customer")
         val building = c.filter(col("c_mktsegment") === "BUILDING").select("c_nationkey")
         val auto = c.filter(col("c_mktsegment") === "AUTOMOBILE").select("c_nationkey")
-        val u = building.union(auto).distinct().count()
-        val i = building.intersect(auto).count()
-        val e = building.except(auto).count()
-        val spark = s
-        import spark.implicits._
-        Seq((u, i, e)).toDF("n_union", "n_intersect", "n_except")
+        // one lazy plan: three 1-row aggregates cross-joined (broadcast),
+        // not three eager .count() actions on the driver
+        building.union(auto).distinct().agg(count(lit(1)).as("n_union"))
+          .crossJoin(building.intersect(auto).agg(count(lit(1)).as("n_intersect")))
+          .crossJoin(building.except(auto).agg(count(lit(1)).as("n_except")))
       },
       """SELECT
         |  (SELECT count(*) FROM (SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'

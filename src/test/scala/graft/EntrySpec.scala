@@ -9,4 +9,11 @@ class EntrySpec extends SparkSuite {
     assert(SparkEntry.queries.size >= 60)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
+  test("schedule covers every query exactly once (Bench/Verify run from it)") {
+    val scheduled = SparkEntry.schedule.flatMap(_._1)
+    assert(scheduled.size == scheduled.distinct.size, "duplicate scheduled query")
+    assert(scheduled.toSet == SparkEntry.queries.keySet,
+      s"schedule drift: ${(scheduled.toSet diff SparkEntry.queries.keySet) ++
+        (SparkEntry.queries.keySet diff scheduled.toSet)}")
+  }
 }
