@@ -84,7 +84,9 @@ object TpchOps {
         t(s, d, "lineitem")
           .filter(col("l_returnflag") === "R")
           .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
-          .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+          // customer is a dimension vs lineitem×orders — broadcast, same
+          // rationale as q_tpch_q5
+          .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
           .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
           .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
           .agg(round(revenueSum, 4).as("revenue"))
