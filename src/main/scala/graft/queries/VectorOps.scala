@@ -55,6 +55,28 @@ object VectorOps {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     })
 
+  /** Hyperplanes shared between q_ann_lsh_oracle's Spark plan and its
+    * GENERATED oracle SQL: the seeded gaussians are embedded as double
+    * literals (Double.toString round-trips exactly), so the "seeded planes
+    * aren't ANSI-SQL" objection disappears for a small-parameter variant
+    * and the whole LSH path (signature → bucket join → re-rank) sits under
+    * the driver's hash-compare. dim pinned to the embeddings tables' 64.
+    */
+  private val lshOracleDim = 64
+  private val lshOraclePlanes =
+    graft.ops.Similarity.hyperplanes(seed = 7L, tables = 2, bits = 4, dim = lshOracleDim)
+
+  private def planeLit(p: Array[Double]): String =
+    p.map(java.lang.Double.toString).mkString("[", ", ", "]")
+
+  /** DuckDB signature of vector column `v` for table `t`: bit b set iff the
+    * sequential dot with plane (t, b) is >= 0 — LshSignatures' convention.
+    */
+  private def sigSql(v: String, t: Int): String =
+    (0 until 4).map { b =>
+      s"(CASE WHEN list_dot_product(${planeLit(lshOraclePlanes(t)(b))}, $v) >= 0 THEN ${1 << b} ELSE 0 END)"
+    }.mkString(" + ")
+
   val entries: Seq[(String, Fn, String)] = Seq(
 
     // -- brute-force cosine top-k against one query vector ----------------
@@ -137,6 +159,44 @@ object VectorOps {
           .orderBy("qid", "vec_id")
       },
       null),
+
+    // -- random-hyperplane LSH with the planes embedded in the oracle SQL
+    //    as double literals: the full LSH pipeline (fused signature expr →
+    //    (table, bucket) equi-join → exact re-rank → per-query top-k) under
+    //    the driver's hash-compare. Small parameters (2 tables × 4 bits) to
+    //    keep the generated SQL compact; q_ann_lsh keeps the production
+    //    parameters with the recall spec ------------------------------------
+    ("q_ann_lsh_oracle",
+      (s: SparkSession, d: String) => {
+        val emb = t(s, d, "embeddings")
+        val queries = emb.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("qid"), col("embedding"))
+        val corpus = emb.filter(col("vec_id") >= 3).select("vec_id", "embedding")
+        graft.ops.Similarity.lshTopK(corpus, queries, "vec_id", "qid", "embedding",
+            k = 5, tables = 2, bits = 4, seed = 7L, dim = lshOracleDim)
+          .select(col("qid"), col("vec_id"), round(col("cos"), 4).as("cos"))
+          .orderBy("qid", "vec_id")
+      },
+      s"""WITH e AS (SELECT vec_id, [cast(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+         |q0 AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 3),
+         |c0 AS (SELECT vec_id, v FROM e WHERE vec_id >= 3),
+         |cb AS (SELECT vec_id, v, 0 AS t, ${sigSql("v", 0)} AS sig FROM c0
+         |       UNION ALL
+         |       SELECT vec_id, v, 1 AS t, ${sigSql("v", 1)} AS sig FROM c0),
+         |qb AS (SELECT qid, qv, 0 AS t, ${sigSql("qv", 0)} AS sig FROM q0
+         |       UNION ALL
+         |       SELECT qid, qv, 1 AS t, ${sigSql("qv", 1)} AS sig FROM q0),
+         |cand AS (
+         |  SELECT DISTINCT qb.qid, cb.vec_id,
+         |    list_dot_product(cb.v, qb.qv) /
+         |      (sqrt(list_dot_product(cb.v, cb.v)) * sqrt(list_dot_product(qb.qv, qb.qv))) AS cos
+         |  FROM cb JOIN qb ON cb.t = qb.t AND cb.sig = qb.sig),
+         |ranked AS (
+         |  SELECT qid, vec_id, cos,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+         |  FROM cand)
+         |SELECT qid, vec_id, round(cos, 4) AS cos FROM ranked WHERE rk <= 5
+         |ORDER BY qid, vec_id""".stripMargin),
 
     // -- IVF ANN, exhaustive probe (nProbe == nCells): identical to brute
     //    force by construction, so the whole IVF path (k-means assignment,
