@@ -147,4 +147,24 @@ class StreamingSpec extends SparkSuite {
     // 3 dropped in-batch (exact dup), 4 dropped against batch-1 admissions
     assert(admitted == Set(1L, 2L, 5L))
   }
+
+  test("curation loop FAILS the batch on a corrupt corpus instead of admitting dups") {
+    // a real read failure must not be mistaken for "first batch, empty
+    // corpus" — that would silently disengage the near-dup screen
+    val srcDir = Files.createTempDirectory("graftcorrupt_src").toString
+    val curated = Files.createTempDirectory("graftcorrupt_out").toString + "/curated"
+    val ckpt = Files.createTempDirectory("graftcorrupt_ck").toString
+    Files.createDirectories(java.nio.file.Paths.get(curated))
+    Files.write(java.nio.file.Paths.get(curated, "part-0000.parquet"),
+      "this is not a parquet file".getBytes)
+    Files.write(java.nio.file.Paths.get(srcDir, "b1.json"),
+      """{"doc_id":1,"text":"some document text here","lang":"en","source":"s","n_chars":23}""".getBytes)
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      DocStream.curateStream(DocStream.readDocs(spark, srcDir), curated, ckpt)
+        .awaitTermination()
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") + msgs(t.getCause)
+    assert(msgs(ex).toLowerCase.contains("parquet") || msgs(ex).nonEmpty)
+  }
 }
