@@ -133,19 +133,46 @@ object Dedup {
       .distinct()
   }
 
-  /** MinHash-LSH candidates verified with the exact Jaccard on full shingle
-    * sets — the production pipeline: cheap candidate generation, exact
-    * filter, no false positives.
+  /** MinHash-LSH candidates verified with the exact Jaccard — the
+    * production pipeline: cheap candidate generation, exact filter, no
+    * false positives.
+    *
+    * The verify stage is CANDIDATE-DRIVEN: the inverted shingle index is
+    * first semi-joined to the (small) set of doc ids appearing in any
+    * candidate pair, so co-occurrence counting runs over candidate docs
+    * only — never the whole corpus (that would cost the same as exact
+    * n-gram dedup and defeat LSH). No shingle array crosses a shuffle;
+    * |A∩B| rides a groupBy on the filtered index, |A| and |B| join in from
+    * per-doc set sizes. At 100 TB persist the candidate set before this
+    * (here the branches re-derive it from cached signatures).
     */
   def minhashVerifiedPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 16, bands: Int = 4, threshold: Double = 0.8): DataFrame = {
     val base = shingled(docs, idCol, textCol, n)
-    minhashLshPairs(docs, idCol, textCol, n, k, bands)
-      .join(base.select(col(idCol).as("a"), col("sh").as("sha")), "a")
-      .join(base.select(col(idCol).as("b"), col("sh").as("shb")), "b")
-      .withColumn("common", size(array_intersect(col("sha"), col("shb"))))
-      .withColumn("jaccard", col("common").cast("double") /
-        (size(col("sha")) + size(col("shb")) - col("common")))
+    val bandDf = minhashBands(docs, idCol, textCol, n, k, bands)
+    val cand = bandDf.alias("x").join(bandDf.alias("y"),
+        col("x.__j") === col("y.__j") && col("x.__bh") === col("y.__bh") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"))
+      .distinct()
+    // id set of all candidate docs = docs in any band bucket with >= 2
+    // members — one agg + semi-join, no second band self-join
+    val hot = bandDf.groupBy("__j", "__bh").agg(count(lit(1)).as("__bc"))
+      .filter(col("__bc") >= 2)
+    val ids = bandDf.join(hot, Seq("__j", "__bh"), "left_semi")
+      .select(col(idCol)).distinct()
+    val inv = base.select(col(idCol), explode(col("sh")).as("__g"))
+      .join(broadcast(ids), idCol)
+    val sizes = base.select(col(idCol), size(col("sh")).as("__n"))
+    val common = inv.alias("x").join(inv.alias("y"),
+        col("x.__g") === col("y.__g") && col(s"x.$idCol") < col(s"y.$idCol"))
+      .groupBy(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"))
+      .agg(count(lit(1)).as("__common"))
+    cand.join(common, Seq("a", "b"))
+      .join(sizes.select(col(idCol).as("a"), col("__n").as("__na")), "a")
+      .join(sizes.select(col(idCol).as("b"), col("__n").as("__nb")), "b")
+      .withColumn("jaccard", col("__common").cast("double") /
+        (col("__na") + col("__nb") - col("__common")))
       .filter(col("jaccard") >= threshold)
       .select("a", "b", "jaccard")
   }

@@ -187,7 +187,18 @@ object MoreOps3 {
           .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
           .distinct()
         val sizes = base.select(col("doc_id"), size(col("sh")).as("n"))
+        // candidate-driven verify: restrict the inverted index to docs that
+        // appear in some candidate pair BEFORE co-occurrence counting —
+        // counting over the full corpus would cost the same as exact n-gram
+        // dedup and defeat the LSH stage. The id set = docs in any band
+        // bucket with >= 2 members (identical to the docs of `cand`, but one
+        // cheap agg + semi-join instead of re-running the band self-join)
+        val hot = bands.groupBy("j", "bh").agg(count(lit(1)).as("bc"))
+          .filter(col("bc") >= 2)
+        val ids = bands.join(hot, Seq("j", "bh"), "left_semi")
+          .select("doc_id").distinct()
         val inv = base.select(col("doc_id"), explode(col("sh")).as("g"))
+          .join(broadcast(ids), "doc_id")
         val common = inv.alias("x").join(inv.alias("y"),
             col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
           .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
