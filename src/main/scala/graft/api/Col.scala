@@ -193,6 +193,33 @@ final class Col private[api] (
   def toSeq: Seq[Any] = data()
   def iterator: Iterator[Any] = colDf.toLocalIterator().asScala.map(_.get(0))
 
+  /** Pandas-Series-style rendering (reference `__repr__`,
+    * column.py:581-587): first/last values with an ellipsis when longer
+    * than `maxRows`, plus the `Name: ..., dtype: ...` footer. Reads at most
+    * `maxRows` rows.
+    */
+  def repr(maxRows: Int = 10): String = {
+    val v = view
+    val n = v.len
+    val half = math.max(maxRows / 2, 1)
+    val (idx, rows) =
+      if (n <= maxRows) ((0L until n), v.iloc(0L, n))
+      else ((0L until half) ++ (n - half until n),
+        v.iloc(0L, half) ++ v.iloc(n - half, n))
+    val vals = rows.map(r => if (r.isNullAt(0)) "NaN" else r.get(0).toString)
+    val entries = {
+      val z = idx.map(_.toString).zip(vals)
+      if (n <= maxRows) z
+      else { val (t, b) = z.splitAt(half); (t :+ ("..." -> "...")) ++ b }
+    }
+    val iw = entries.map(_._1.length).max
+    val vw = entries.map(_._2.length).max
+    entries.map { case (i, x) =>
+      (" " * (iw - i.length)) + i + "  " + (" " * (vw - x.length)) + x
+    }.mkString("\n") +
+      s"\nName: $name, dtype: ${df.schema(name).dataType.simpleString}"
+  }
+
   /** Exactly-n random values (reference: column.py:328-336 does
     * `ORDER BY RANDOM() LIMIT n`). Distributed top-k on a random key —
     * TakeOrderedAndProject, no full sort, same shape as Table.sample.

@@ -234,6 +234,37 @@ final class Table private[api] (
   def describe: Map[String, Map[String, Any]] =
     columns.map(cn => cn -> col(cn).describe).toMap
 
+  /** Pandas-style string rendering (reference `__repr__`, table.py:445-474):
+    * first/last rows with an ellipsis row when the table is longer than
+    * `maxRows`, right-aligned cells, and the `[n rows x m columns]` footer.
+    * Reads at most `maxRows` rows (two positional slices), never the table.
+    */
+  def repr(maxRows: Int = 10): String = {
+    val (n, m) = shape
+    val half = math.max(maxRows / 2, 1)
+    val (idx, rows) =
+      if (n <= maxRows) ((0L until n), iloc(0L, n))
+      else ((0L until half) ++ (n - half until n),
+        iloc(0L, half) ++ iloc(n - half, n))
+    def cell(v: Any): String = if (v == null) "NaN" else v.toString
+    val grid = rows.map(r => (0 until m).map(i => cell(r.get(i))))
+    val shrunk = n > maxRows
+    val header = "" +: columns
+    val body = idx.zip(grid).map { case (i, cs) => i.toString +: cs }
+    val withEll =
+      if (!shrunk) body
+      else {
+        val (top, bot) = body.splitAt(half)
+        (top :+ Seq.fill(m + 1)("...")) ++ bot
+      }
+    val widths = (header +: withEll).transpose.map(_.map(_.length).max)
+    def fmt(r: Seq[String]): String =
+      r.zip(widths).map { case (s, w) => " " * (w - s.length) + s }
+        .mkString("  ").stripTrailing()
+    (fmt(header) +: withEll.map(fmt)).mkString("\n") +
+      s"\n\n[$n rows x $m columns]"
+  }
+
   // ---- equality (reference §2.7, table.py:480-495) ---------------------
 
   /** Strict shape + cell-wise equality in row order (null-safe), via a

@@ -202,6 +202,20 @@ class ApiSpec extends SparkSuite {
     assert(out.col("r_name").toSeq == r.col("r_name").toSeq) // strings untouched
   }
 
+  test("repr: pandas-style first/last rows with ellipsis + shape footer (reference table.py:445-474)") {
+    val li = db("lineitem").sortValues("l_orderkey")
+    val r = li.repr()
+    assert(r.endsWith(s"[${li.len} rows x ${li.columns.length} columns]"), r.takeRight(60))
+    assert(r.contains("..."), "long table should shrink")
+    assert(r.linesIterator.next().contains("l_orderkey"), "header row")
+    val small = db("region").repr()
+    assert(!small.contains("...") &&
+      small.endsWith(s"[5 rows x ${db("region").columns.length} columns]"), small)
+    val cr = db("region").col("r_name").repr()
+    assert(cr.endsWith("Name: r_name, dtype: string"), cr)
+    assert(cr.linesIterator.size == 6, cr) // 5 values + footer
+  }
+
   test("error messages match the reference's asserted regexes") {
     // "Given index out of range" — reference tests/test_table.py:224-233
     val r = db("region")
