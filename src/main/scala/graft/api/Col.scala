@@ -171,6 +171,15 @@ final class Col private[api] (
   def view: Table = table.select(Seq(name))
 
   def filter(e: Expr): Table = view.filter(e)
+
+  /** Positional access on the column (reference `Column.iloc`,
+    * column.py:338-353 via IndexLoc): int (± negative), slice, and id-list
+    * forms, each returning bare values.
+    */
+  def iloc(i: Long): Any = view.iloc(i).get(0)
+  def iloc(start: Long, stop: Long, step: Long = 1): Seq[Any] =
+    view.iloc(start, stop, step).map(_.get(0))
+  def iloc(ids: Seq[Long]): Seq[Any] = view.iloc(ids).map(_.get(0))
   def sortValues(ascending: Boolean = true): Table =
     new Table(table.db, colDf.orderBy(if (ascending) asc(name) else desc(name)),
       table.name, cache, ordered = true)

@@ -229,6 +229,11 @@ final class Table private[api] (
     new GroupedTable(this, keys)
   }
 
+  /** (column_name, column_handle) pairs (reference `Table.items`,
+    * table.py:204-209).
+    */
+  def items: Seq[(String, Col)] = columns.map(cn => cn -> col(cn))
+
   // ---- stats (reference §2.4 A13) --------------------------------------
 
   def describe: Map[String, Map[String, Any]] =

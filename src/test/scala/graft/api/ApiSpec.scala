@@ -164,6 +164,17 @@ class ApiSpec extends SparkSuite {
     intercept[IndexOutOfBoundsError](r.iloc(-6))
   }
 
+  test("Col.iloc positional forms + Table.items (reference column.py:338-353, table.py:204-209)") {
+    val r = db("region").sortValues("r_regionkey")
+    val c = r.col("r_regionkey")
+    assert(c.iloc(0) == 0 && c.iloc(-1) == 4)
+    assert(c.iloc(0L, 5L, 2L) == Seq(0, 2, 4))
+    assert(c.iloc(Seq(3L, 1L, 3L)) == Seq(3, 1, 3))
+    intercept[IndexOutOfBoundsError](c.iloc(9))
+    assert(r.items.map(_._1) == r.columns)
+    assert(r.items.head._2.name == r.columns.head)
+  }
+
   test("row-index memo: equal-plan derived tables share one indexed DataFrame") {
     // an iloc session re-derives equal-plan tables per call; the plan-keyed
     // memo must hand back the SAME indexed frame (no repeat zipWithIndex job)
