@@ -21,10 +21,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final class Database private (
     val spark: SparkSession,
     tableMap: Map[String, DataFrame],
-    val cache: QueryCache) {
+    val cache: QueryCache,
+    val path: String) {
 
   /** Table names, like `db.tables` (reference: connection.py:112-120). */
   def tables: Seq[String] = tableMap.keys.toSeq.sorted
+
+  /** Number of tables (reference `__len__`, connection.py:268-270). */
+  def len: Int = tableMap.size
+
+  /** Database(db_path=...) (reference `__repr__`, connection.py:272-274). */
+  def repr: String = "Database(db_path='" + path + "')"
 
   /** `db['name']` (reference: connection.py:247-261). */
   def apply(tableName: String): Table = table(tableName)
@@ -201,7 +208,7 @@ object Database {
       tname -> df
     }.toMap
     val db = new Database(spark, tableMap,
-      new QueryCache(cacheEnabled, maxItemMb, maxTotalMb))
+      new QueryCache(cacheEnabled, maxItemMb, maxTotalMb), dir)
     if (populateCache) db.populateCache()
     db
   }

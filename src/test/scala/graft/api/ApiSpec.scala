@@ -17,6 +17,8 @@ class ApiSpec extends SparkSuite {
     assert(db.tables.contains("lineitem") && db.tables.contains("region"))
     assert(db.getColumns("region") == Seq("r_regionkey", "r_name"))
     assert(db.items.map(_._1) == db.tables)
+    assert(db.len == db.tables.length)
+    assert(db.repr == s"Database(db_path='$sfDir')")
     intercept[InvalidTableError](db("nope"))
     intercept[InvalidColumnError](db("region").col("nope"))
   }
