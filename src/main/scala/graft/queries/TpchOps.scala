@@ -98,6 +98,65 @@ object TpchOps {
          |JOIN customer ON o_custkey = c_custkey
          |JOIN nation ON c_nationkey = n_nationkey
          |WHERE l_returnflag = 'R'
-         |GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin)
+         |GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin),
+
+    // -- Q18 analogue (large-volume orders): aggregate-then-semi-join — the
+    //    hot-order set comes from a HAVING aggregate and is SMALL, so it
+    //    broadcasts against orders; decimal sums keep the > threshold
+    //    decision identical across engines (a double sum could flip rows at
+    //    the boundary) ------------------------------------------------------
+    ("q_tpch_q18",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.types.DecimalType
+        val hot = t(s, d, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(sum(col("l_quantity").cast(DecimalType(18, 6))).as("qty"))
+          .filter(col("qty") > 250)
+          .select(col("l_orderkey").as("hot_key"), col("qty"))
+        t(s, d, "orders")
+          .join(broadcast(hot), col("o_orderkey") === col("hot_key"))
+          .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+          .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+            unix_timestamp(col("o_orderdate")).as("orderdate_epoch"),
+            col("o_totalprice"),
+            round(col("qty").cast("double"), 4).as("qty_sum"))
+          .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+          .limit(10)
+      },
+      """WITH hot AS (
+        |  SELECT l_orderkey, sum(cast(l_quantity AS DECIMAL(18,6))) AS qty
+        |  FROM lineitem GROUP BY 1
+        |  HAVING sum(cast(l_quantity AS DECIMAL(18,6))) > 250)
+        |SELECT c_custkey, c_name, o_orderkey,
+        |  cast(epoch(o_orderdate) AS BIGINT) AS orderdate_epoch, o_totalprice,
+        |  round(cast(qty AS DOUBLE), 4) AS qty_sum
+        |FROM orders
+        |JOIN hot ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin),
+
+    // -- argmin join: per part, the supplier rows achieving the minimum
+    //    extended price — agg-min + equality join back (all ties kept), the
+    //    scale-safe alternative to a per-group sort/rank; the 1-row-per-part
+    //    mins table broadcasts --------------------------------------------
+    ("q_argmin_join",
+      (s: SparkSession, d: String) => {
+        val li = t(s, d, "lineitem").filter(col("l_partkey") < 200)
+          .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+        val mins = li.groupBy(col("l_partkey"))
+          .agg(min(col("l_extendedprice")).as("min_price"))
+          .withColumnRenamed("l_partkey", "mp")
+        li.join(broadcast(mins),
+            col("l_partkey") === col("mp") && col("l_extendedprice") === col("min_price"))
+          .select(col("l_partkey"), col("l_suppkey"), col("min_price"))
+          .orderBy("l_partkey", "l_suppkey")
+      },
+      """WITH li AS (SELECT l_partkey, l_suppkey, l_extendedprice
+        |            FROM lineitem WHERE l_partkey < 200),
+        |m AS (SELECT l_partkey AS mp, min(l_extendedprice) AS min_price
+        |      FROM li GROUP BY 1)
+        |SELECT l_partkey, l_suppkey, min_price
+        |FROM li JOIN m ON l_partkey = mp AND l_extendedprice = min_price
+        |ORDER BY 1, 2""".stripMargin)
   )
 }
