@@ -135,6 +135,37 @@ object TpchOps {
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin),
 
+    // -- Q17 analogue (small-quantity-order revenue): the correlated scalar
+    //    subquery "0.2 * avg quantity for this part" DECORRELATES into a
+    //    per-part aggregate + equi-join. The filter is algebraically
+    //    rearranged to 5·qty·cnt < qty_sum — pure exact-decimal products,
+    //    no division, so the row set is identical across engines (a double
+    //    avg could flip boundary rows) ---------------------------------------
+    ("q_tpch_q17",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.types.DecimalType
+        val li = t(s, d, "lineitem")
+          .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+        val pa = li.groupBy(col("l_partkey"))
+          .agg(sum(col("l_quantity").cast(DecimalType(18, 6))).as("qty_sum"),
+            count(lit(1)).as("cnt"))
+        li.join(pa, "l_partkey")
+          .filter(col("l_quantity").cast(DecimalType(18, 6)) * lit(5) * col("cnt")
+            < col("qty_sum"))
+          .agg(
+            round(sum(col("l_extendedprice").cast(DecimalType(18, 6))).cast("double") / 7.0,
+              4).as("avg_yearly"),
+            count(lit(1)).as("n_items"))
+      },
+      """WITH pa AS (
+        |  SELECT l_partkey, sum(cast(l_quantity AS DECIMAL(18,6))) AS qty_sum,
+        |         count(*) AS cnt
+        |  FROM lineitem GROUP BY 1)
+        |SELECT round(cast(sum(cast(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0, 4) AS avg_yearly,
+        |  cast(count(*) AS BIGINT) AS n_items
+        |FROM lineitem JOIN pa USING (l_partkey)
+        |WHERE cast(l_quantity AS DECIMAL(18,6)) * 5 * cnt < qty_sum""".stripMargin),
+
     // -- argmin join: per part, the supplier rows achieving the minimum
     //    extended price — agg-min + equality join back (all ties kept), the
     //    scale-safe alternative to a per-group sort/rank; the 1-row-per-part
