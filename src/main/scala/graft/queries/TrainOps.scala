@@ -76,6 +76,40 @@ object TrainOps {
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
 
+    // -- weighted (quality-proportional) systematic sampling: a doc is
+    //    selected iff its weight interval [cum-w, cum) crosses a multiple of
+    //    the per-language step — docs with twice the weight have twice the
+    //    selection probability, yet the outcome is fully deterministic
+    //    (integer arithmetic only, no rand()). Windowed per language, so
+    //    prefix sums distribute; the tiny per-language totals broadcast ----
+    ("q_weighted_sample",
+      (s: SparkSession, d: String) => {
+        val target = 5L // ~docs selected per language
+        val docs = t(s, d, "documents")
+          .select(col("lang"), col("doc_id"), col("n_chars").cast("long").as("w"))
+        val totals = docs.groupBy("lang")
+          .agg(sum(col("w")).as("tot"))
+          .withColumn("step", expr(s"greatest(tot div ${target}L, 1)"))
+        val w = Window.partitionBy("lang").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        docs
+          .withColumn("cum", sum(col("w")).over(w))
+          .join(broadcast(totals.select("lang", "step")), "lang")
+          .filter(expr("(cum - w) div step") < expr("cum div step"))
+          .select("lang", "doc_id", "w")
+          .orderBy("lang", "doc_id")
+      },
+      """WITH d AS (SELECT lang, doc_id, cast(n_chars AS BIGINT) AS w FROM documents),
+        |c AS (SELECT lang, doc_id, w,
+        |        sum(w) OVER (PARTITION BY lang ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM d),
+        |t AS (SELECT lang, greatest(sum(w) // 5, 1) AS step FROM d GROUP BY 1)
+        |SELECT c.lang, c.doc_id, c.w
+        |FROM c JOIN t ON c.lang = t.lang
+        |WHERE (c.cum - c.w) // t.step < c.cum // t.step
+        |ORDER BY 1, 2""".stripMargin),
+
     // -- benchmark decontamination: corpus docs sharing any 5-gram shingle
     //    with the held-out set (doc_id < 50 stands in for the benchmark).
     //    Inverted-index equi-join on the shingle — candidate pairs exist
