@@ -87,6 +87,15 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin"), s"part dim should broadcast:\n$p")
   }
 
+  test("q18 aggregate-then-semi-join: hot set and customer broadcast, top-k not global sort") {
+    val p = plan("q_tpch_q18")
+    assert(p.split("BroadcastHashJoin").length - 1 >= 2,
+      s"hot set + customer should both broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"limit should plan as top-k:\n$p")
+    val exchanges = "(?<!Broadcast)Exchange".r.findAllIn(p).length
+    assert(exchanges <= 2, s"only the lineitem aggregation may shuffle, got $exchanges:\n$p")
+  }
+
   test("stratified sample plans per-group top-k (WindowGroupLimit), decontamination broadcasts the benchmark") {
     val p = plan("q_stratified_sample")
     assert(p.contains("WindowGroupLimit"), s"rk<=3 should push a group limit:\n$p")
