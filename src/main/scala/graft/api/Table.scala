@@ -234,6 +234,14 @@ final class Table private[api] (
     */
   def items: Seq[(String, Col)] = columns.map(cn => cn -> col(cn))
 
+  /** Typed view: `Dataset[T]` over the same lazy plan, for callers who want
+    * compile-time row types (`db.t("region").toDs[Region]`). Column names
+    * resolve by case-class field name; stays columnar until a typed lambda
+    * actually needs objects.
+    */
+  def toDs[T: org.apache.spark.sql.Encoder]: org.apache.spark.sql.Dataset[T] =
+    df.as[T]
+
   // ---- stats (reference §2.4 A13) --------------------------------------
 
   def describe: Map[String, Map[String, Any]] =

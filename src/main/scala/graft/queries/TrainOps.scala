@@ -110,6 +110,52 @@ object TrainOps {
         |WHERE (c.cum - c.w) // t.step < c.cum // t.step
         |ORDER BY 1, 2""".stripMargin),
 
+    // -- curriculum bucketing: ntile(4) over a quality proxy per language —
+    //    equal-count difficulty tiers for staged training. Partitioned
+    //    window (distributed); output is per-tier stats ---------------------
+    ("q_curriculum_ntile",
+      (s: SparkSession, d: String) => {
+        val w = Window.partitionBy("lang").orderBy(col("n_chars"), col("doc_id"))
+        t(s, d, "documents")
+          .select(col("lang"), col("doc_id"), col("n_chars"))
+          .withColumn("tier", ntile(4).over(w).cast("long"))
+          .groupBy("lang", "tier")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars").cast("long")).as("chars_sum"))
+          .orderBy("lang", "tier")
+      },
+      """SELECT lang, tier, count(*) AS n_docs,
+        |  cast(sum(cast(n_chars AS BIGINT)) AS BIGINT) AS chars_sum
+        |FROM (SELECT lang, doc_id, n_chars,
+        |        ntile(4) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS tier
+        |      FROM documents)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    // -- mixture upsampling: repeat each source's docs by a per-source
+    //    factor (high-quality sources seen multiple epochs) via a sequence
+    //    explode — deterministic, no sampling; fan-out bounded by the factor
+    //    table ------------------------------------------------------------
+    ("q_mixture_upsample",
+      (s: SparkSession, d: String) => {
+        val rep = when(col("source") === "src1", 3)
+          .when(col("source") === "src2", 2).otherwise(1)
+        t(s, d, "documents")
+          .select(col("source"), col("doc_id"), rep.as("rep"))
+          .withColumn("epoch", explode(sequence(lit(1), col("rep"))))
+          .groupBy("source")
+          .agg(countDistinct(col("doc_id")).as("n_docs"),
+            count(lit(1)).as("n_upsampled"))
+          .orderBy("source")
+      },
+      """SELECT source, cast(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  cast(count(*) AS BIGINT) AS n_upsampled
+        |FROM (SELECT source, doc_id,
+        |        unnest(range(1, (CASE WHEN source = 'src1' THEN 3
+        |                              WHEN source = 'src2' THEN 2
+        |                              ELSE 1 END) + 1)) AS epoch
+        |      FROM documents)
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // -- benchmark decontamination: corpus docs sharing any 5-gram shingle
     //    with the held-out set (doc_id < 50 stands in for the benchmark).
     //    Inverted-index equi-join on the shingle — candidate pairs exist

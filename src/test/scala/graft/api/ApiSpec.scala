@@ -177,6 +177,12 @@ class ApiSpec extends SparkSuite {
     assert(r.items.head._2.name == r.columns.head)
   }
 
+  test("toDs: typed Dataset view over the same plan") {
+    import spark.implicits._
+    val ds = db("region").toDs[(Int, String)] // region: (r_regionkey, r_name)
+    assert(ds.filter(_._2.startsWith("A")).collect().map(_._1).sorted.toSeq == Seq(0, 1, 2))
+  }
+
   test("row-index memo: equal-plan derived tables share one indexed DataFrame") {
     // an iloc session re-derives equal-plan tables per call; the plan-keyed
     // memo must hand back the SAME indexed frame (no repeat zipWithIndex job)
