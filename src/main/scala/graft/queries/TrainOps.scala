@@ -156,6 +156,33 @@ object TrainOps {
         |      FROM documents)
         |GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // -- chunking for embedding/RAG prep: overlapping fixed-width character
+    //    windows (width 500, stride 400) via sequence explode + substring —
+    //    map-only, fan-out = ceil(n_chars/stride), no shuffle until the
+    //    final stats. Long docs chunk on whatever executor holds them ------
+    ("q_chunk_split",
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), col("text"), length(col("text")).as("n"))
+          .filter(col("n") > 0)
+        docs
+          .withColumn("start", explode(sequence(lit(1), col("n"), lit(400))))
+          .select(col("doc_id"), col("start"),
+            length(substring(col("text"), col("start"), lit(500))).cast("long").as("chunk_len"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_chunks"), sum(col("chunk_len")).as("len_sum"))
+          .filter(col("n_chunks") > 1)
+          .orderBy("doc_id")
+      },
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    cast(len(substr(text, cast(start AS BIGINT), 500)) AS BIGINT) AS chunk_len
+        |  FROM (SELECT doc_id, text,
+        |          unnest(range(1, len(text) + 1, 400)) AS start
+        |        FROM documents WHERE len(text) > 0))
+        |SELECT doc_id, count(*) AS n_chunks, cast(sum(chunk_len) AS BIGINT) AS len_sum
+        |FROM c GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""".stripMargin),
+
     // -- benchmark decontamination: corpus docs sharing any 5-gram shingle
     //    with the held-out set (doc_id < 50 stands in for the benchmark).
     //    Inverted-index equi-join on the shingle — candidate pairs exist
