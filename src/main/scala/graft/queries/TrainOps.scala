@@ -7,10 +7,11 @@ import org.apache.spark.sql.functions._
 import Q._
 
 /** Training-data curation operators a large-scale pipeline needs beyond
-  * dedup/similarity: stratified sampling, sequence packing into
-  * fixed-token-budget shards, and benchmark decontamination. All three are
-  * deterministic (hash-ordered "randomness", no rand()) so they sit under
-  * the driver's DuckDB oracle gate.
+  * dedup/similarity: stratified and weighted sampling, sequence packing
+  * into fixed-token-budget shards, curriculum bucketing, mixture
+  * upsampling, chunking, and benchmark decontamination. All deterministic
+  * (hash-ordered or integer-systematic "randomness", no rand()) so every
+  * entry sits under the driver's DuckDB oracle gate.
   */
 object TrainOps {
 
