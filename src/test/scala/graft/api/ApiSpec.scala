@@ -177,6 +177,19 @@ class ApiSpec extends SparkSuite {
     assert(r.items.head._2.name == r.columns.head)
   }
 
+  test("empty-table edge cases: stats, repr, sample, iloc bounds") {
+    val e = db("region").filter(db("region")("r_regionkey") > 999)
+    assert(e.len == 0 && e.shape == (0L, e.columns.length))
+    assert(e.data().isEmpty && e.sample(3).toDf.count() == 0)
+    val c = e.col("r_regionkey")
+    assert(c.count == 0 && c.nullCount == 0)
+    assert(c.mode == Map.empty[Any, Long])
+    assert(c.unique.isEmpty && c.valueCounts.isEmpty)
+    assert(c.median.isNaN)
+    assert(e.repr().endsWith(s"[0 rows x ${e.columns.length} columns]"))
+    intercept[IndexOutOfBoundsError](e.iloc(0))
+  }
+
   test("toDs: typed Dataset view over the same plan") {
     import spark.implicits._
     val ds = db("region").toDs[(Int, String)] // region: (r_regionkey, r_name)
