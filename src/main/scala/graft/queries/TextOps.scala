@@ -316,6 +316,25 @@ object TextOps {
             md5(col("text").cast("binary")).as("payload_md5"))
           .orderBy("doc_id"),
       "SELECT doc_id, cast(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
-        "md5(text) AS payload_md5 FROM documents WHERE doc_id < 100 ORDER BY doc_id")
+        "md5(text) AS payload_md5 FROM documents WHERE doc_id < 100 ORDER BY doc_id"),
+
+    // -- multimodal frame sampling arithmetic: fixed-interval frame offsets
+    //    over a per-row "duration" via sequence explode — the relational
+    //    half of Multimodal.features' frame_offsets (the codec itself is
+    //    the stubbed, non-relational half). Map-only, bounded fan-out ------
+    ("q_multimodal_frames",
+      (s: SparkSession, d: String) =>
+        t(s, d, "documents").filter(col("doc_id") < 100)
+          .select(col("doc_id"), (col("n_chars").cast("long") * 10).as("duration_ms"))
+          .withColumn("off", explode(sequence(lit(0L), col("duration_ms"), lit(2500L))))
+          .groupBy("doc_id", "duration_ms")
+          .agg(count(lit(1)).as("n_frames"), max(col("off")).as("last_off"))
+          .orderBy("doc_id"),
+      """SELECT doc_id, duration_ms, count(*) AS n_frames,
+        |  cast(max(off) AS BIGINT) AS last_off
+        |FROM (SELECT doc_id, cast(n_chars AS BIGINT) * 10 AS duration_ms,
+        |        unnest(range(0, cast(n_chars AS BIGINT) * 10 + 1, 2500)) AS off
+        |      FROM documents WHERE doc_id < 100)
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin)
   )
 }
