@@ -171,6 +171,37 @@ object EventOps {
         |SELECT e.event_id, e.user_id, e.day, p.purchase_value
         |FROM e ASOF LEFT JOIN p
         |  ON e.user_id = p.user_id AND e.day = p.day AND e.ms >= p.ms
-        |ORDER BY e.event_id""".stripMargin)
+        |ORDER BY e.event_id""".stripMargin),
+
+    // -- funnel: users progressing view → click → purchase in strict time
+    //    order. Each stage is a per-user min-time aggregate joined to the
+    //    previous stage's anchor — one shuffle per stage on user_id (all
+    //    three reuse the same key partitioning), no window, no
+    //    per-user driver loop ----------------------------------------------
+    ("q_funnel",
+      (s: SparkSession, d: String) => {
+        val ev = t(s, d, "events")
+          .select(col("user_id"), col("event_type"), nsDiv("ts", NS_PER_MS).as("ms"))
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("ms")).as("t1"))
+        val c = ev.filter(col("event_type") === "click")
+          .join(v, "user_id").filter(col("ms") > col("t1"))
+          .groupBy("user_id").agg(min(col("ms")).as("t2"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .join(c, "user_id").filter(col("ms") > col("t2"))
+          .groupBy("user_id").agg(min(col("ms")).as("t3"))
+        v.agg(count(lit(1)).as("n_view"))
+          .crossJoin(c.agg(count(lit(1)).as("n_click_after")))
+          .crossJoin(p.agg(count(lit(1)).as("n_purchase_after")))
+      },
+      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+        |v AS (SELECT user_id, min(ms) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(ms) AS t2 FROM e JOIN v USING (user_id)
+        |      WHERE event_type = 'click' AND ms > t1 GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(ms) AS t3 FROM e JOIN c USING (user_id)
+        |      WHERE event_type = 'purchase' AND ms > t2 GROUP BY e.user_id)
+        |SELECT (SELECT count(*) FROM v) AS n_view,
+        |  (SELECT count(*) FROM c) AS n_click_after,
+        |  (SELECT count(*) FROM p) AS n_purchase_after""".stripMargin)
   )
 }
