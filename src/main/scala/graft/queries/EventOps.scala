@@ -202,6 +202,32 @@ object EventOps {
         |      WHERE event_type = 'purchase' AND ms > t2 GROUP BY e.user_id)
         |SELECT (SELECT count(*) FROM v) AS n_view,
         |  (SELECT count(*) FROM c) AS n_click_after,
-        |  (SELECT count(*) FROM p) AS n_purchase_after""".stripMargin)
+        |  (SELECT count(*) FROM p) AS n_purchase_after""".stripMargin),
+
+    // -- cohort retention: users grouped by signup week, counted distinct in
+    //    each subsequent week — cohort anchor is a per-user min aggregate,
+    //    the matrix a distinct-count groupBy; integer week arithmetic is
+    //    exact in both engines ---------------------------------------------
+    ("q_cohort_retention",
+      (s: SparkSession, d: String) => {
+        val msWeek = 604800000L
+        val ev = t(s, d, "events")
+          .select(col("user_id"), col("event_type"),
+            expr(s"(ts div ${NS_PER_MS}L) div ${msWeek}L").as("w"))
+        val cohort = ev.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min(col("w")).as("w0"))
+        ev.join(cohort, "user_id")
+          .withColumn("dw", col("w") - col("w0"))
+          .filter(col("dw").between(0, 3))
+          .groupBy("w0", "dw")
+          .agg(countDistinct(col("user_id")).as("n_active"))
+          .orderBy("w0", "dw")
+      },
+      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) // 604800000 AS w FROM events),
+        |c AS (SELECT user_id, min(w) AS w0 FROM e WHERE event_type = 'signup' GROUP BY 1)
+        |SELECT w0, e.w - c.w0 AS dw, cast(count(DISTINCT e.user_id) AS BIGINT) AS n_active
+        |FROM e JOIN c USING (user_id)
+        |WHERE e.w - c.w0 BETWEEN 0 AND 3
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
   )
 }
