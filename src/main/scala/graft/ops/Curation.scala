@@ -85,6 +85,19 @@ object Curation {
       .withColumn("chunk", substring(col(textCol), col("chunk_start"), lit(width)))
   }
 
+  /** Repeat each row `factors(key)` times (default 1) — deterministic
+    * mixture upsampling (high-quality sources seen multiple epochs). Adds
+    * an `epoch` column in 1..factor; fan-out bounded by the factor table.
+    */
+  def upsampleMixture(df: DataFrame, keyCol: String,
+      factors: Map[String, Int]): DataFrame = {
+    require(factors.values.forall(_ >= 1), "factors must be >= 1")
+    val rep = factors.foldLeft(lit(1)) { case (acc, (k, f)) =>
+      when(col(keyCol) === k, f).otherwise(acc)
+    }
+    df.withColumn("epoch", explode(sequence(lit(1), rep)))
+  }
+
   /** Docs of `corpus` sharing at least `minShared` distinct n-gram shingles
     * with `benchmark` (benchmark-overlap decontamination). The benchmark's
     * distinct shingles broadcast; candidate pairs exist only where a

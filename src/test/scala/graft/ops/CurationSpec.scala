@@ -70,6 +70,16 @@ class CurationSpec extends SparkSuite {
     assert(out.toSeq == Seq((1, "abcd"), (4, "defg"), (7, "ghij"), (10, "j")))
   }
 
+  test("upsampleMixture: per-key repetition with epoch column") {
+    val got = Curation.upsampleMixture(
+      docs.select("source", "doc_id"), "source", Map("src1" -> 3, "src2" -> 2))
+    val q = graft.SparkEntry.queries("q_mixture_upsample")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val lib = got.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(lib == q)
+  }
+
   test("decontaminate: flags exactly the docs sharing shingles with the benchmark") {
     val bench = docs.filter(col("doc_id") < 50)
     val corpus = docs.filter(col("doc_id") >= 50)
