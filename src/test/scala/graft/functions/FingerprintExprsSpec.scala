@@ -38,6 +38,36 @@ class FingerprintExprsSpec extends SparkSuite {
     assert(!plan.contains("Exchange"), s"fused simhash must be map-only:\n$plan")
   }
 
+  test("simhash64/minhash_sig follow the \\s charset on unicode whitespace") {
+    import spark.implicits._
+    // U+2028 is Character.isWhitespace but NOT regex \s: the fused
+    // expressions must keep "a b" one token, like the relational \S+
+    // forms the equivalence specs compare against
+    val df = Seq((1L, "a b c d e"), (2L, "x  y z w")).toDF("doc_id", "text")
+    val relSim = {
+      val tok = df.select(col("doc_id"),
+          explode(array_distinct(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))).as("t"))
+        .withColumn("__h", xxhash64(col("t")))
+      val bitSums = (0 until 64).map(b =>
+        sum(shiftrightunsigned(col("__h"), b).bitwiseAND(1) * 2 - 1).as(s"b$b"))
+      tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+        .select(col("doc_id"),
+          (0 until 64).map(b =>
+            when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+            .reduce(_ bitwiseOR _).as("ref"))
+    }
+    val fused = df.select(col("doc_id"), simhash64(col("text")).as("simhash"))
+    assert(fused.join(relSim, "doc_id")
+      .filter(col("simhash") =!= col("ref")).count() == 0)
+    val hof = df.select(col("doc_id"),
+      transform(sequence(lit(0), lit(15)),
+        i => array_min(transform(
+          graft.functions.ShingleExpr.wordShingles(col("text"), 3),
+          x => xxhash64(i, x)))).as("ref"))
+    val sig = df.select(col("doc_id"), minhashSig(col("text"), 3, 16).as("sg"))
+    assert(sig.join(hof, "doc_id").filter(!(col("sg") <=> col("ref"))).count() == 0)
+  }
+
   test("minhash_sig equals the transform/array_min HOF chain") {
     val hof = graft.ops.Dedup.shingled(docs, "doc_id", "text", 3)
       .select(col("doc_id"),
