@@ -177,11 +177,24 @@ object Similarity {
     df.withColumn("__vnorm", sqrt(vecDot(col(vecCol), col(vecCol))))
       .withColumn("__unit", transform(col(vecCol), x => x.cast("double") / col("__vnorm")))
 
-  /** All pairs with cosine >= threshold (exact, O(n²) dot products — for
-    * bounded corpora; use lshPairs at scale).
+  /** All pairs with cosine >= threshold (exact, O(n²) dot products — the
+    * recall oracle for bounded corpora; `lshTopK` / `Dedup.minhashLshPairs`
+    * are the scale paths).
+    *
+    * Guarded: refuses corpora above `maxRows` (overridable) so the exact
+    * baseline cannot be pointed at a large corpus by accident — at 1M rows
+    * this stage is ~5·10¹¹ dot products, a cluster-killer however it is
+    * partitioned. The probe is a `limit(maxRows+1).count()`, which stops
+    * scanning once the cap is disproved rather than counting the corpus.
     */
   def thresholdPairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, maxRows: Long = 100000L): DataFrame = {
+    val probed = df.limit((maxRows + 1).min(Int.MaxValue).toInt).count()
+    require(probed <= maxRows,
+      s"thresholdPairs is an exact O(n^2) baseline guarded at $maxRows rows; " +
+        s"corpus exceeds the cap. Use Similarity.lshTopK (bucketed ANN) or " +
+        s"Dedup.minhashLshPairs (banded near-dup) at scale, or raise maxRows " +
+        s"explicitly if the quadratic cost is intended.")
     val e = withNorm(df, vecCol, "__n")
     // the pair join is a broadcast-nested-loop whose parallelism equals the
     // stream side's partition count — a single-file source would run the

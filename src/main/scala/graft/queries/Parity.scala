@@ -67,10 +67,14 @@ object Parity {
     // -- A9 mode: ALL tied modes, null included (reference column.py:233-249)
     ("q_mode",
       (s: SparkSession, d: String) => {
+        // agg-max + broadcast equality join (same plan as Col.modePlan /
+        // q_mode_hc): counts stay distributed, only the 1-row max broadcasts.
+        // A Window.partitionBy() global-max would sort all distinct values
+        // on one partition — a choke point at high cardinality.
         val counts = t(s, d, "lineitem").groupBy(col("l_quantity"))
           .agg(count(lit(1)).as("cnt"))
-        counts.withColumn("mx", max(col("cnt")).over(Window.partitionBy()))
-          .filter(col("cnt") === col("mx"))
+        val mx = counts.agg(max(col("cnt")).as("mx"))
+        counts.join(broadcast(mx), col("cnt") === col("mx"))
           .select(col("l_quantity").as("value"), col("cnt"))
           .orderBy("value")
       },

@@ -72,7 +72,7 @@ object TrainOps {
         |    coalesce(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
         |  FROM d)
-        |SELECT lang, before // 2048 AS shard, count(*) AS n_docs,
+        |SELECT lang, cast(before // 2048 AS BIGINT) AS shard, count(*) AS n_docs,
         |  cast(sum(n_tok) AS BIGINT) AS tok_sum,
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),

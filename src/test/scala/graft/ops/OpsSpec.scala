@@ -122,6 +122,18 @@ class OpsSpec extends SparkSuite {
     assert(recall >= 0.2, s"recall=$recall")
   }
 
+  test("thresholdPairs guard refuses a corpus above maxRows, directing to LSH") {
+    // under the cap: runs and finds exact pairs
+    val small = emb.limit(20).select("vec_id", "embedding")
+    assert(Similarity.thresholdPairs(small, "vec_id", "embedding", -1.0).count() ==
+      20L * 19 / 2)
+    // over the cap: refuses with a message naming the scale paths
+    val err = intercept[IllegalArgumentException] {
+      Similarity.thresholdPairs(emb, "vec_id", "embedding", 0.9, maxRows = 10L)
+    }
+    assert(err.getMessage.contains("lshTopK"), err.getMessage)
+  }
+
   test("Similarity.ivfTopK: exhaustive probe equals brute force; partial probe recalls") {
     val queries = emb.filter(col("vec_id") < 3)
       .withColumnRenamed("vec_id", "qid").select("qid", "embedding")

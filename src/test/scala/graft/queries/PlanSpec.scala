@@ -103,6 +103,34 @@ class PlanSpec extends SparkSuite {
     assert(p2.contains("BroadcastHashJoin"), s"benchmark side should broadcast:\n$p2")
   }
 
+  test("no unpartitioned Window over an unbounded input in any query plan") {
+    // A Window with an empty partitionSpec funnels every row through one
+    // partition — the classic scale choke point. Sweep the optimized logical
+    // plan of EVERY SparkEntry query. The only sanctioned shape is a global
+    // window whose input is already bounded by a Limit (q_iloc_slice windows
+    // over a 1010-row top-k), which the optimizer keeps as a Limit child.
+    import org.apache.spark.sql.catalyst.plans.logical
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.optimizedPlan
+      val bad = plan.collect {
+        case w: logical.Window if w.partitionSpec.isEmpty &&
+          w.collectFirst { case l: logical.GlobalLimit => l }.isEmpty => w
+        case w: logical.WindowGroupLimit if w.partitionSpec.isEmpty &&
+          w.collectFirst { case l: logical.GlobalLimit => l }.isEmpty => w
+      }
+      if (bad.nonEmpty) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned unbounded Window in: ${offenders.mkString(", ")}")
+  }
+
+  test("q_mode plans as agg-max + broadcast join, not a global window") {
+    val p = plan("q_mode")
+    assert(!p.contains("Window"), s"q_mode must not use a window:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"1-row max should broadcast:\n$p")
+  }
+
   test("whole-stage codegen covers the hot aggregation path") {
     val qe = graft.SparkEntry.queries("q_groupby_agg")(spark, sfDir).queryExecution
     val p = qe.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
