@@ -19,6 +19,14 @@ object Bench {
     // Cache-consuming query groups run LAST and their persisted helper
     // frames are unpersisted right after the group — round-3 showed the
     // session-lifetime caches as broad memory pressure on unrelated queries.
+    // The ANN/dedup cluster showed a 1.7x swing between rounds with
+    // unchanged code (host contention on this VM) — a third sample there
+    // damps the variance where it has actually been observed; everything
+    // else keeps min-of-2.
+    val minOf3 = Set(
+      "q_ann_lsh", "q_ann_lsh_oracle", "q_ann_ivf", "q_ann_ivf_exhaustive",
+      "q_knn", "q_sim_pairs", "q_dedup_exact", "q_dedup_minhash",
+      "q_dedup_ngram", "q_dedup_simhash", "q_dedup_verified")
     val results = SparkEntry.schedule.flatMap { case (names, after) =>
       val rs = names.map { name =>
         val fn = SparkEntry.queries(name)
@@ -27,8 +35,8 @@ object Bench {
           try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
           (System.nanoTime() - t0) / 1e9
         }
-        val a = once(); val b = once()
-        name -> math.min(a, b)
+        val runs = if (minOf3(name)) 3 else 2
+        name -> Seq.fill(runs)(once()).min
       }
       after()
       rs
