@@ -303,6 +303,23 @@ final class Col private[api] (
       .select(f(col("__l"), col("__r")).as(name))
   }
 
+  /** Generic cell-wise apply with extra positional/keyword arguments —
+    * the full reference arity (column.py:338-364: `apply(func, *,
+    * ignore_na=True, args=(), **kwargs)` yields `func(cell, *args,
+    * **kwargs)` per cell, a driver-side generator, with nulls passed
+    * through unevaluated when `ignore_na`). Same contract here: a lazy
+    * iterator over `func(cell, args, kwargs)` — deliberately NOT a
+    * distributed plan, because an arbitrary `Any => Any` closure over
+    * untyped cells is driver territory; the typed applyStr/Double/Long
+    * overloads below are the distributed (codegen-UDF) path.
+    */
+  def apply[T](func: (Any, Seq[Any], Map[String, Any]) => T,
+      ignoreNa: Boolean = true, args: Seq[Any] = Nil,
+      kwargs: Map[String, Any] = Map.empty): Iterator[Any] =
+    iterator.map { cell =>
+      if (cell == null && ignoreNa) null else func(cell, args, kwargs)
+    }
+
   def applyStr(f: String => String): DataFrame = {
     val u = udf((s: String) => if (s == null) null else f(s))
     df.select(u(c).as(name))

@@ -99,9 +99,12 @@ final class Database private (
     * utils.py:177-197). Full Catalyst lifecycle: the registered temp views
     * resolve, optimizer picks broadcast vs sort-merge joins, AQE re-plans.
     */
-  def query(sql: String): DataFrame = {
+  def query(sql: String, renameDuplicates: Boolean = true): DataFrame = {
     val out = spark.sql(sql)
-    Database.renameDuplicateCols(out)
+    // reference connection.py:168-189: rename_duplicates=False returns the
+    // raw duplicate column names untouched (Spark DataFrames permit them;
+    // they only fail on by-name resolution, same as the reference's pandas)
+    if (renameDuplicates) Database.renameDuplicateCols(out) else out
   }
 
   /** Warm the scalar-stat cache for every column of every table, one Future

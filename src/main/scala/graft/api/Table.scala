@@ -154,16 +154,44 @@ final class Table private[api] (
   }
 
   /** iloc[start:stop:step] over the current order. */
-  def iloc(start: Long, stop: Long, step: Long = 1): Seq[Row] = {
-    require(step > 0, "step must be positive")
+  def iloc(start: Long, stop: Long, step: Long = 1): Seq[Row] =
+    ilocSlice(Some(start), Some(stop), step)
+
+  /** Full Python `slice.indices` semantics (reference table.py:83-89 feeds
+    * `index.indices(self.len)` straight from the user's slice): omitted
+    * bounds default by step sign, out-of-range bounds clamp, negative
+    * indices count from the end, negative step walks backwards
+    * (`iloc[::-1]` = reversed table), zero step raises. The selection is a
+    * distributed modular filter on the row index — never an IN-list of
+    * every position — then one ordered collect of only the surviving rows.
+    */
+  def ilocSlice(start: Option[Long] = None, stop: Option[Long] = None,
+      step: Long = 1): Seq[Row] = {
+    if (step == 0) throw new IllegalArgumentException("slice step cannot be zero")
     val n = len
-    val s0 = math.max(if (start < 0) n + start else start, 0L)
-    val s1 = math.min(if (stop < 0) n + stop else stop, n)
-    val rows = indexed
-      .filter(functionsCol(ROWID) >= s0 && functionsCol(ROWID) < s1 &&
-        (functionsCol(ROWID) - s0) % step === 0)
-      .orderBy(ROWID).collect()
-    rows.map(r => Row.fromSeq(r.toSeq.dropRight(1))).toSeq
+    // clamp exactly as CPython slice.indices: valid positions are
+    // [0, n) going forward, [-1, n-1] going backward
+    val (lower, upper) = if (step < 0) (-1L, n - 1) else (0L, n)
+    def clamp(vOpt: Option[Long], dflt: Long): Long = vOpt match {
+      case None => dflt
+      case Some(v0) =>
+        val v = if (v0 < 0) v0 + n else v0
+        math.min(math.max(v, lower), upper)
+    }
+    val s0 = clamp(start, if (step < 0) upper else lower)
+    val s1 = clamp(stop, if (step < 0) lower else upper)
+    val rid = functionsCol(ROWID)
+    val selected =
+      if (step > 0) {
+        if (s0 >= s1) return Seq.empty
+        indexed.filter(rid >= s0 && rid < s1 && (rid - s0) % step === 0)
+          .orderBy(asc(ROWID))
+      } else {
+        if (s0 <= s1) return Seq.empty
+        indexed.filter(rid <= s0 && rid > s1 && (lit(s0) - rid) % (-step) === 0)
+          .orderBy(desc(ROWID))
+      }
+    selected.collect().map(r => Row.fromSeq(r.toSeq.dropRight(1))).toSeq
   }
 
   /** iloc[[i1, i2, ...]] — duplicates and arbitrary order preserved by a

@@ -166,6 +166,46 @@ class ApiSpec extends SparkSuite {
     intercept[IndexOutOfBoundsError](r.iloc(-6))
   }
 
+  test("ilocSlice: full Python slice.indices semantics incl. negative step (reference table.py:83-89)") {
+    val r = db("region").sortValues("r_regionkey")
+    def ids(s: Seq[org.apache.spark.sql.Row]) = s.map(_.getInt(0))
+    // every (start, stop, step) in a small grid must equal CPython's
+    // list(range(5))[start:stop:step]
+    val pyRef = for {
+      start <- Seq[Option[Long]](None, Some(0L), Some(2L), Some(-1L), Some(-7L), Some(9L))
+      stop  <- Seq[Option[Long]](None, Some(0L), Some(3L), Some(-2L), Some(-9L), Some(8L))
+      step  <- Seq(1L, 2L, -1L, -2L)
+    } yield (start, stop, step)
+    pyRef.foreach { case (a, b, st) =>
+      // oracle: materialize slice.indices locally over 0..4
+      val n = 5L
+      val (lower, upper) = if (st < 0) (-1L, n - 1) else (0L, n)
+      def cl(v: Option[Long], d: Long) =
+        v.map(x => math.min(math.max(if (x < 0) x + n else x, lower), upper)).getOrElse(d)
+      val s0 = cl(a, if (st < 0) upper else lower)
+      val s1 = cl(b, if (st < 0) lower else upper)
+      val expect = (s0 until s1 by st).map(_.toInt)
+      assert(ids(r.ilocSlice(a, b, st)) == expect, s"slice($a,$b,$st)")
+    }
+    // the canonical reversal + explicit spot checks
+    assert(ids(r.ilocSlice(step = -1L)) == Seq(4, 3, 2, 1, 0))
+    assert(ids(r.ilocSlice(Some(3L), Some(0L), -2L)) == Seq(3, 1))
+    assert(ids(r.ilocSlice(Some(-1L), None, -2L)) == Seq(4, 2, 0))
+    intercept[IllegalArgumentException](r.ilocSlice(step = 0L))
+  }
+
+  test("generic apply with args/kwargs and ignoreNa (reference column.py:338-364, test_column.py:253-254)") {
+    val c = db("region").sortValues("r_regionkey").col("r_regionkey")
+    // func(cell, *args): add the positional arg, like round(x, 1) in the ref test
+    val plus = c.apply((cell, args, _) =>
+      cell.asInstanceOf[Int] + args.head.asInstanceOf[Int], args = Seq(10)).toSeq
+    assert(plus == Seq(10, 11, 12, 13, 14))
+    // kwargs reach the function
+    val kw = c.apply((cell, _, kwargs) =>
+      s"${kwargs("prefix")}${cell}", kwargs = Map("prefix" -> "r")).toSeq
+    assert(kw == Seq("r0", "r1", "r2", "r3", "r4"))
+  }
+
   test("Col.iloc positional forms + Table.items (reference column.py:338-353, table.py:204-209)") {
     val r = db("region").sortValues("r_regionkey")
     val c = r.col("r_regionkey")
@@ -277,6 +317,13 @@ class ApiSpec extends SparkSuite {
     val out = db.query(
       "SELECT n_name AS x, r_name AS x, r_regionkey AS x FROM nation JOIN region ON n_regionkey = r_regionkey")
     assert(out.columns.toSeq == Seq("x", "x_2", "x_3"))
+    // rename_duplicates=False keeps the raw duplicate names
+    // (reference connection.py:168-189)
+    val raw = db.query(
+      "SELECT n_name AS x, r_name AS x FROM nation JOIN region ON n_regionkey = r_regionkey",
+      renameDuplicates = false)
+    assert(raw.columns.toSeq == Seq("x", "x"))
+    assert(raw.count() == 25)
   }
 
   test("query cache: memo hit, size caps, disabled bypass (reference cache.py)") {
