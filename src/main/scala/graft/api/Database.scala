@@ -191,9 +191,19 @@ object Database {
     // single-file open, like the reference's Database('file.db')
     // (connection.py:64-78: unsupported extensions raise FileTypeError)
     if (target.isFile) {
+      // .sql dumps are the reference's native input (connection.py:64-78,
+      // utils.py:242-265) — replayed here by graft.sources.SqlDump instead
+      // of SQLite. Binary .db needs a SQLite driver this build deliberately
+      // does not ship; `sqlite3 file.db .dump` exports to the supported form.
+      if (dir.endsWith(".sql")) {
+        val tableMap = graft.sources.SqlDump.open(spark, dir)
+        tableMap.foreach { case (n, df) => df.createOrReplaceTempView(n) }
+        return new Database(spark, tableMap,
+          new QueryCache(cacheEnabled, maxItemMb, maxTotalMb), dir)
+      }
       if (!dir.endsWith(".parquet") && !dir.endsWith(".csv"))
         throw new FileTypeError(
-          s"unsupported file type '$dir' — expected .parquet or .csv")
+          s"unsupported file type '$dir' — expected .parquet, .csv or .sql")
     }
     val files =
       if (target.isFile) Array(target)

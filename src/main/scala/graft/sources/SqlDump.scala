@@ -1,0 +1,160 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Reader for SQL dump files (`.sql`) — the reference engine's native
+  * ingestion format (connection.py:64-78 routes `.sql` through
+  * `load_sql_and_create_db`, utils.py:242-265, which replays the script
+  * into SQLite). The reference's own fixture `data/parch-and-posey.sql`
+  * is this shape: `CREATE TABLE` blocks plus one `INSERT INTO t VALUES
+  * (...);` statement per line, which is also what `sqlite3 .dump` and
+  * `pg_dump --inserts` emit.
+  *
+  * Spark-first split of the work:
+  *  - DDL is tiny and ordered → parsed on the driver (non-INSERT lines are
+  *    filtered out distributed, then collected with their line numbers so
+  *    multi-line `CREATE TABLE` blocks reassemble in order).
+  *  - INSERT rows are the bulk and embarrassingly parallel → parsed inside
+  *    `mapPartitions` on executors, one pass per table over the cached
+  *    text, then cast column-wise from the parsed strings to the DDL
+  *    types. No driver-side row loop at any size.
+  *
+  * The binary SQLite `.db` format itself stays out of scope: reading it
+  * needs a SQLite driver, and this build deliberately adds no dependencies
+  * beyond Spark (README "Interchange formats"). A user exports with
+  * `sqlite3 file.db .dump` and opens the dump here.
+  *
+  * Type affinities follow SQLite's text-first model so results match the
+  * reference: integer-family → long, numeric/decimal(p,s) → decimal,
+  * real/float/double → double, everything else (including `timestamp`,
+  * which SQLite stores as TEXT and the reference reads as strings) → string.
+  */
+object SqlDump {
+
+  final case class ColDef(name: String, sqlType: String) {
+    def sparkType: DataType = {
+      val t = sqlType.toLowerCase
+      val dec = """(?:numeric|decimal)\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)""".r
+      t match {
+        case dec(p, s) => DecimalType(p.toInt, s.toInt)
+        case _ if t.startsWith("int") || t.startsWith("bigint") ||
+          t.startsWith("smallint") || t.startsWith("tinyint") => LongType
+        case _ if t.startsWith("real") || t.startsWith("float") ||
+          t.startsWith("double") => DoubleType
+        case _ if t.startsWith("bool") => BooleanType
+        case _ => StringType // text, varchar, bpchar, timestamp, date, blob…
+      }
+    }
+  }
+  final case class TableDef(name: String, cols: Seq[ColDef]) {
+    def schema: StructType =
+      StructType(cols.map(c => StructField(c.name, c.sparkType, nullable = true)))
+  }
+
+  /** Parse `CREATE TABLE name ( col type, ... );` blocks from the DDL text
+    * (INSERTs already removed). Constraint lines (PRIMARY KEY, FOREIGN KEY,
+    * UNIQUE, CHECK) are skipped; quoted identifiers are unquoted.
+    */
+  private[sources] def parseDdl(ddl: String): Seq[TableDef] = {
+    val create = """(?is)CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?("?[\w.]+"?)\s*\((.*?)\)\s*;""".r
+    create.findAllMatchIn(ddl).map { m =>
+      val name = m.group(1).replaceAll("\"", "").split('.').last
+      // split the column body on commas that sit at paren depth 0
+      val body = m.group(2)
+      val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+      var depth = 0; val cur = new StringBuilder
+      body.foreach {
+        case ',' if depth == 0 => parts += cur.toString; cur.clear()
+        case ch =>
+          if (ch == '(') depth += 1 else if (ch == ')') depth -= 1
+          cur += ch
+      }
+      if (cur.nonEmpty) parts += cur.toString
+      val constraint = Set("primary", "foreign", "unique", "check", "constraint")
+      val cols = parts.map(_.trim).filter(_.nonEmpty)
+        .filterNot(p => constraint(p.split("\\s+")(0).toLowerCase))
+        .map { p =>
+          val toks = p.split("\\s+", 2)
+          ColDef(toks(0).replaceAll("\"", ""), if (toks.length > 1) toks(1) else "text")
+        }
+      TableDef(name, cols.toSeq)
+    }.toSeq
+  }
+
+  /** Parse the VALUES tuples of one INSERT statement into rows of
+    * nullable strings. Handles `''`-escaped quotes inside literals, bare
+    * NULLs, and multi-tuple `VALUES (...),(...)` statements.
+    */
+  private[sources] def parseValues(stmt: String, arity: Int): Seq[Seq[String]] = {
+    val i0 = {
+      val up = stmt.toUpperCase.indexOf("VALUES")
+      if (up < 0) return Seq.empty
+      up + "VALUES".length
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+    var row = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var inQuote = false; var inTuple = false; var sawQuote = false
+    var i = i0
+    def endField(): Unit = {
+      val raw = cur.toString
+      row += (if (!sawQuote && raw.trim.equalsIgnoreCase("null")) null
+              else if (sawQuote) raw else raw.trim)
+      cur.clear(); sawQuote = false
+    }
+    while (i < stmt.length) {
+      val ch = stmt.charAt(i)
+      if (inQuote) {
+        if (ch == '\'') {
+          if (i + 1 < stmt.length && stmt.charAt(i + 1) == '\'') { cur += '\''; i += 1 }
+          else inQuote = false
+        } else cur += ch
+      } else ch match {
+        case '\'' => inQuote = true; sawQuote = true
+        case '(' if !inTuple => inTuple = true
+        case ')' if inTuple =>
+          endField()
+          if (row.size == arity) out += row.toSeq
+          row = scala.collection.mutable.ArrayBuffer.empty[String]
+          inTuple = false
+        case ',' if inTuple => endField()
+        case _ if inTuple => cur += ch
+        case _ => // between tuples: skip commas/whitespace/semicolon
+      }
+      i += 1
+    }
+    out.toSeq
+  }
+
+  /** Open every table in the dump as a typed DataFrame. */
+  def open(spark: SparkSession, path: String): Map[String, DataFrame] = {
+    import spark.implicits._
+    val lines: Dataset[String] = spark.read.textFile(path)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // DDL: drop the INSERT bulk distributed, collect the remnant in file
+    // order (zipWithIndex preserves a single text file's line order)
+    val ddl = lines.rdd.zipWithIndex()
+      .filter { case (l, _) => !l.trim.toUpperCase.startsWith("INSERT ") }
+      .collect().sortBy(_._2).map(_._1).mkString("\n")
+    val defs = parseDdl(ddl)
+    require(defs.nonEmpty, s"no CREATE TABLE statements found in '$path'")
+
+    defs.map { td =>
+      val prefixes = Seq(s"INSERT INTO ${td.name} ", s"INSERT INTO ${td.name}(",
+        s"""INSERT INTO "${td.name}" """).map(_.toUpperCase)
+      val arity = td.cols.size
+      val strSchema = StructType(td.cols.map(c => StructField(c.name, StringType, true)))
+      val parsed = lines
+        .filter(l => { val u = l.trim.toUpperCase; prefixes.exists(u.startsWith) })
+        .mapPartitions(_.flatMap(parseValues(_, arity)))(
+          org.apache.spark.sql.Encoders.kryo[Seq[String]])
+      val rows = parsed.rdd.map(vals => Row.fromSeq(vals))
+      val typed = spark.createDataFrame(rows, strSchema)
+        .select(td.cols.map(c => col(c.name).cast(c.sparkType).as(c.name)): _*)
+      td.name -> typed
+    }.toMap
+  }
+}
