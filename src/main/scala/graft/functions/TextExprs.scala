@@ -22,7 +22,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * here — the expression is itself a tight O(n) loop, not a composition the
   * optimizer needs to see through.
   */
-case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+case class WinnowFingerprints(child: Expression, k: Int, w: Int,
+    md5Mode: Boolean = false)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -34,22 +35,11 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
     val n = bytes.length
     if (n < k) return new GenericArrayData(Array.empty[Long])
 
-    // rolling k-gram hashes: h_i = sum b[i+j] * BASE^(k-1-j), wrap-around 2^64
-    var pow = 1L
-    var j = 1
-    while (j < k) { pow *= BASE; j += 1 }
     val nh = n - k + 1
-    val hashes = new Array[Long](nh)
-    var h = 0L
+    val hashes =
+      if (md5Mode) md5Hashes(bytes, nh)
+      else rollingHashes(bytes, nh)
     var i = 0
-    while (i < k) { h = h * BASE + (bytes(i) & 0xff); i += 1 }
-    hashes(0) = h
-    i = 1
-    while (i < nh) {
-      h = (h - (bytes(i - 1) & 0xff) * pow) * BASE + (bytes(i + k - 1) & 0xff)
-      hashes(i) = h
-      i += 1
-    }
 
     if (nh <= w) {
       var mn = hashes(0); i = 1
@@ -76,6 +66,53 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
     new GenericArrayData(out.result())
   }
 
+  /** Rabin-Karp rolling k-gram hashes: h_i = sum b[i+j]·BASE^(k-1-j),
+    * wrap-around 2^64. The fast production hash (one pass, no allocation
+    * per gram).
+    */
+  private def rollingHashes(bytes: Array[Byte], nh: Int): Array[Long] = {
+    var pow = 1L
+    var j = 1
+    while (j < k) { pow *= BASE; j += 1 }
+    val hashes = new Array[Long](nh)
+    var h = 0L
+    var i = 0
+    while (i < k) { h = h * BASE + (bytes(i) & 0xff); i += 1 }
+    hashes(0) = h
+    i = 1
+    while (i < nh) {
+      h = (h - (bytes(i - 1) & 0xff) * pow) * BASE + (bytes(i + k - 1) & 0xff)
+      hashes(i) = h
+      i += 1
+    }
+    hashes
+  }
+
+  /** Cross-engine 60-bit k-gram hash: the value DuckDB computes as
+    * `('0x'||substr(md5(substr(text,i,k)),1,15))::BIGINT` — first 15 hex
+    * chars of the gram's md5, i.e. bytes 0-6 plus the high nibble of byte
+    * 7. Byte-k-grams equal character-k-grams on 1-byte (ASCII) text, which
+    * is the oracle's domain; the winnowing guarantee itself holds under
+    * any deterministic hash. Always non-negative, so signed and unsigned
+    * window minima agree with DuckDB's BIGINT min.
+    */
+  private def md5Hashes(bytes: Array[Byte], nh: Int): Array[Long] = {
+    val md = WinnowFingerprints.digest.get()
+    val hashes = new Array[Long](nh)
+    var i = 0
+    while (i < nh) {
+      md.reset()
+      md.update(bytes, i, k)
+      val d = md.digest()
+      var v = 0L
+      var b = 0
+      while (b < 7) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+      hashes(i) = (v << 4) | ((d(7) >> 4) & 0xfL)
+      i += 1
+    }
+    hashes
+  }
+
   private def unsignedLt(a: Long, b: Long): Boolean =
     java.lang.Long.compareUnsigned(a, b) < 0
 
@@ -83,8 +120,22 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
     copy(child = newChild)
 }
 
+object WinnowFingerprints {
+  /** MessageDigest is stateful and not thread-safe; expression instances
+    * are shared across local-mode task threads.
+    */
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+}
+
 object TextExprs {
-  /** Winnowing fingerprints of a string column. */
-  def winnowFingerprints(c: Column, k: Int = 5, w: Int = 4): Column =
-    GraftBridge.column(WinnowFingerprints(GraftBridge.expression(c), k, w))
+  /** Winnowing fingerprints of a string column. `md5Mode` switches the
+    * k-gram hash from the fast Rabin-Karp rolling hash to the 60-bit
+    * md5 prefix that DuckDB can replicate (the q_containment oracle).
+    */
+  def winnowFingerprints(c: Column, k: Int = 5, w: Int = 4,
+      md5Mode: Boolean = false): Column =
+    GraftBridge.column(WinnowFingerprints(GraftBridge.expression(c), k, w, md5Mode))
 }

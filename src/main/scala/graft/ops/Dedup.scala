@@ -184,10 +184,11 @@ object Dedup {
     * insertion of surrounding text.
     */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 5, w: Int = 4, minShared: Int = 2): DataFrame = {
+      k: Int = 5, w: Int = 4, minShared: Int = 2,
+      md5Mode: Boolean = false): DataFrame = {
     val fp = docs.select(col(idCol),
       explode(array_distinct(
-        graft.functions.TextExprs.winnowFingerprints(col(textCol), k, w))).as("f"))
+        graft.functions.TextExprs.winnowFingerprints(col(textCol), k, w, md5Mode))).as("f"))
     fp.alias("x").join(fp.alias("y"),
         col("x.f") === col("y.f") && col(s"x.$idCol") < col(s"y.$idCol"))
       .groupBy(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"))

@@ -170,6 +170,37 @@ object TextOps {
           .orderBy("doc_id"),
       "SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id < 100 ORDER BY doc_id"),
 
+    // -- winnowing containment pairs (MOSS, Schleimer et al. SIGMOD'03)
+    //    under the oracle: k-gram hashes via the cross-engine 60-bit md5
+    //    prefix, min of each w-window (robust winnowing's fingerprint VALUE
+    //    set == the distinct window minima, which a windowed min + DISTINCT
+    //    expresses in SQL), inverted fingerprint index, pairs sharing >=2.
+    //    Detects any shared substring of length >= w + k - 1 = 27 chars.
+    //    The fast Rabin-Karp hash stays the production default (spec'd in
+    //    OpsSpec); same pipeline, different gram hash ------------------------
+    ("q_containment",
+      (s: SparkSession, d: String) =>
+        graft.ops.Dedup.containmentPairs(
+            t(s, d, "documents").select(col("doc_id"), col("text")),
+            "doc_id", "text", k = 20, w = 8, minShared = 2, md5Mode = true)
+          .select(col("a"), col("b"), col("shared_fp").cast("long").as("shared_fp"))
+          .orderBy("a", "b"),
+      """WITH g AS (
+        |  SELECT doc_id, i,
+        |    ('0x'||substr(md5(substr(text, cast(i AS BIGINT), 20)),1,15))::BIGINT AS h
+        |  FROM (SELECT doc_id, text, unnest(range(1, len(text)-20+2)) AS i
+        |        FROM documents WHERE len(text) >= 20)),
+        |wm AS (
+        |  SELECT doc_id, i,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS f,
+        |    count(*) OVER (PARTITION BY doc_id) AS nh
+        |  FROM g),
+        |fp AS (SELECT DISTINCT doc_id, f FROM wm WHERE i <= greatest(nh-8+1, 1))
+        |SELECT x.doc_id AS a, y.doc_id AS b, cast(count(*) AS BIGINT) AS shared_fp
+        |FROM fp x JOIN fp y ON x.f = y.f AND x.doc_id < y.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY 1, 2""".stripMargin),
+
     // -- exact dedup: hash-groupBy, one shuffle on the content hash -------
     ("q_dedup_exact",
       (s: SparkSession, d: String) =>

@@ -161,4 +161,33 @@ class Api2Spec extends SparkSuite {
       .map(_.getSeq[Long](0).toSet)
     assert(again(0) == fps(1L))
   }
+
+  test("md5-mode winnowing: guarantee holds; 60-bit gram hash matches the hex-prefix definition") {
+    import graft.functions.TextExprs.winnowFingerprints
+    import spark.implicits._
+    val common = "the catalyst optimizer rewrites logical plans"
+    val df = Seq(
+      (1L, s"prefix one $common suffix alpha"),
+      (2L, s"other beginning $common different end")
+    ).toDF("id", "text")
+    val fps = df.select(fcol("id"),
+        winnowFingerprints(fcol("text"), 5, 4, md5Mode = true).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert((fps(1L) & fps(2L)).nonEmpty)
+    assert(fps.values.forall(_.forall(_ >= 0L)), "60-bit values are non-negative")
+
+    // independent definition: first 15 hex chars of md5(gram), parsed base-16
+    // (what DuckDB's ('0x'||substr(md5(g),1,15))::BIGINT computes)
+    def hex60(gram: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(gram.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val text = "abcdefgh" // k=5, w=4 → nh=4 <= w → single global-min fingerprint
+    val expect = (0 to 3).map(i => hex60(text.substring(i, i + 5))).min
+    val got = Seq((1L, text)).toDF("id", "text")
+      .select(winnowFingerprints(fcol("text"), 5, 4, md5Mode = true))
+      .head.getSeq[Long](0)
+    assert(got == Seq(expect))
+  }
 }
