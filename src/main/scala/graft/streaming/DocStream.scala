@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
 import graft.ops.Dedup
@@ -94,4 +95,74 @@ object DocStream {
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
+
+  // ---- stateful sequence packing (streaming twin of q_pack_sequences) ----
+
+  case class PackDoc(lang: String, doc_id: Long, n_tok: Long)
+  case class PackState(cumTokens: Long, nDocs: Long)
+  case class ShardAssignment(lang: String, doc_id: Long, n_tok: Long, shard: Long)
+  case class PackProgress(lang: String, n_docs: Long, cum_tokens: Long,
+      open_shard: Long, tokens_into_shard: Long)
+
+  /** Tokenize a document stream into the packer's input shape (whitespace
+    * token count, the q_pack_sequences convention).
+    */
+  def toPackDocs(streamDocs: DataFrame): Dataset[PackDoc] = {
+    import streamDocs.sparkSession.implicits._
+    streamDocs.select(col("lang"), col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+          .cast("long").as("n_tok"))
+      .as[PackDoc]
+  }
+
+  /** Assign each arriving doc to a fixed-token-budget shard, continuing
+    * across micro-batches: the keyed state is one running token counter per
+    * language, so `shard = floor(tokens-before-this-doc / budget)` — the
+    * exclusive-prefix greedy packer of q_pack_sequences, as a stream. A
+    * doc's shard is decided the moment it arrives and never revised, which
+    * is what lets a downstream writer close and ship shard files while the
+    * stream is still running.
+    *
+    * flatMapGroupsWithState (not foreachBatch): the counter is genuinely
+    * cross-batch state, checkpointed with the query, one row per language —
+    * state size is O(#languages) no matter the stream length. Within a
+    * batch, docs pack in doc_id order for determinism under file-source
+    * batching.
+    */
+  def packStream(docs: Dataset[PackDoc], budget: Long): Dataset[ShardAssignment] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.lang)
+      .flatMapGroupsWithState[PackState, ShardAssignment](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (lang: String, batch: Iterator[PackDoc], state: GroupState[PackState]) =>
+          var s = state.getOption.getOrElse(PackState(0L, 0L))
+          val out = batch.toSeq.sortBy(_.doc_id).map { d =>
+            val shard = s.cumTokens / budget
+            s = PackState(s.cumTokens + d.n_tok, s.nDocs + 1)
+            ShardAssignment(lang, d.doc_id, d.n_tok, shard)
+          }
+          state.update(s)
+          out.iterator
+      }
+  }
+
+  /** Per-language packing progress via mapGroupsWithState — exactly one
+    * updated summary row per language per trigger (Update-mode sink shows
+    * the open shard and how full it is). Same state row as a packStream
+    * query would hold; useful as the monitoring face of the packer.
+    */
+  def packProgress(docs: Dataset[PackDoc], budget: Long): Dataset[PackProgress] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.lang)
+      .mapGroupsWithState[PackState, PackProgress](GroupStateTimeout.NoTimeout) {
+        (lang: String, batch: Iterator[PackDoc], state: GroupState[PackState]) =>
+          var s = state.getOption.getOrElse(PackState(0L, 0L))
+          batch.toSeq.sortBy(_.doc_id).foreach { d =>
+            s = PackState(s.cumTokens + d.n_tok, s.nDocs + 1)
+          }
+          state.update(s)
+          PackProgress(lang, s.nDocs, s.cumTokens,
+            s.cumTokens / budget, s.cumTokens % budget)
+      }
+  }
 }

@@ -167,4 +167,40 @@ class StreamingSpec extends SparkSuite {
       if (t == null) "" else Option(t.getMessage).getOrElse("") + msgs(t.getCause)
     assert(msgs(ex).toLowerCase.contains("parquet") || msgs(ex).nonEmpty)
   }
+
+  test("stateful streaming packer: shard counter carries across micro-batches") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graftpack").toString
+    def doc(id: Long, lang: String, words: Int) =
+      s"""{"doc_id":$id,"text":"${Seq.fill(words)("w").mkString(" ")}","lang":"$lang","source":"s","n_chars":${2 * words}}"""
+    // batch 1: en docs 1 (6 tok) + 2 (5 tok); batch 2: en doc 3 (4 tok), fr doc 4 (2 tok)
+    val f0 = java.nio.file.Paths.get(dir, "b0.json")
+    val f1 = java.nio.file.Paths.get(dir, "b1.json")
+    Files.write(f0, Seq(doc(1, "en", 6), doc(2, "en", 5)).mkString("\n").getBytes)
+    Files.write(f1, Seq(doc(3, "en", 4), doc(4, "fr", 2)).mkString("\n").getBytes)
+    f0.toFile.setLastModified(1000000L) // force b0 before b1 in the source log
+    f1.toFile.setLastModified(2000000L)
+
+    val stream = spark.readStream.schema(DocStream.docSchema)
+      .option("maxFilesPerTrigger", 1).json(dir)
+    val packed = DocStream.packStream(DocStream.toPackDocs(stream), budget = 10L)
+    EventStream.runToMemory(packed.toDF(), "pack_out", OutputMode.Append)
+    val rows = spark.sql("SELECT lang, doc_id, shard FROM pack_out ORDER BY lang, doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // en: doc1 before=0 → shard 0; doc2 before=6 → shard 0; doc3 arrives in
+    // batch 2 with before=11 → shard 1 ONLY if state survived the batch
+    // boundary (stateless would restart at shard 0)
+    assert(rows.toSeq == Seq(("en", 1L, 0L), ("en", 2L, 0L), ("en", 3L, 1L),
+      ("fr", 4L, 0L)))
+
+    // the mapGroupsWithState monitoring face: latest per-lang summary
+    val prog = DocStream.packProgress(DocStream.toPackDocs(
+      spark.readStream.schema(DocStream.docSchema).json(dir)), budget = 10L)
+    EventStream.runToMemory(prog.toDF(), "pack_prog", OutputMode.Update)
+    val p = spark.sql(
+      "SELECT lang, n_docs, cum_tokens, open_shard, tokens_into_shard FROM pack_prog " +
+      "WHERE (lang, n_docs) IN (SELECT lang, max(n_docs) FROM pack_prog GROUP BY lang) ORDER BY lang")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(p.toSeq == Seq(("en", 3L, 15L, 1L, 5L), ("fr", 1L, 2L, 0L, 2L)))
+  }
 }
