@@ -177,6 +177,41 @@ object Similarity {
     df.withColumn("__vnorm", sqrt(vecDot(col(vecCol), col(vecCol))))
       .withColumn("__unit", transform(col(vecCol), x => x.cast("double") / col("__vnorm")))
 
+  /** SemDeDup-style semantic near-duplicate grouping: LSH buckets propose
+    * candidate pairs (equi-join, never all-pairs), exact cosine confirms,
+    * and each confirmed duplicate points at its lowest-id confirmed
+    * neighbor as representative — the star-shaped single-pass
+    * approximation of connected components that large-scale semantic
+    * dedup uses instead of an iterative transitive closure. Returns one
+    * row per DUPLICATE: (idCol, rep_id, cos), where cos is the exact
+    * cosine to the representative; rows absent from the output are
+    * keepers.
+    *
+    * 100 TB shape: bucket equi-join fan-out is controlled by `bits`
+    * (bucket size ~ n/2^b per table); everything downstream of the join
+    * touches only confirmed-candidate pairs.
+    */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, tables: Int = 8, bits: Int = 10, seed: Long = 42L,
+      dim: Int = -1): DataFrame = {
+    val d = if (dim > 0) dim else vectorDim(corpus, vecCol)
+    val planes = hyperplanes(seed, tables, bits, d)
+    val cb = buckets(corpus, idCol, vecCol, "__n", planes)
+    val a = cb.select(col(idCol).as("__a"), col(vecCol).as("__va"),
+      col("__n").as("__na"), col("__t"), col("__sig"))
+    val b = cb.select(col(idCol).as("__b"), col(vecCol).as("__vb"),
+      col("__n").as("__nb"), col("__t"), col("__sig"))
+    val pairs = a.join(b, Seq("__t", "__sig"))
+      .filter(col("__a") < col("__b"))
+      .dropDuplicates("__a", "__b")
+      .select(col("__a"), col("__b"),
+        cosine(col("__va"), col("__vb"), col("__na"), col("__nb")).as("__cos"))
+      .filter(col("__cos") >= threshold)
+    val rep = pairs.groupBy(col("__b")).agg(min(col("__a")).as("rep_id"))
+    rep.join(pairs, rep("__b") === pairs("__b") && col("rep_id") === pairs("__a"))
+      .select(rep("__b").as(idCol), col("rep_id"), col("__cos").as("cos"))
+  }
+
   /** All pairs with cosine >= threshold (exact, O(n²) dot products — the
     * recall oracle for bounded corpora; `lshTopK` / `Dedup.minhashLshPairs`
     * are the scale paths).

@@ -170,6 +170,72 @@ object TextOps {
           .orderBy("doc_id"),
       "SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id < 100 ORDER BY doc_id"),
 
+    // -- intra-document repetition filter (the Gopher/RefinedWeb "rep"
+    //    rule): fraction of duplicated word 3-grams per doc; docs above the
+    //    threshold get flagged for removal. Map-only per doc (the shingle
+    //    expression is a fused scan), exact integer arithmetic + one IEEE
+    //    division — deterministic across engines ---------------------------
+    ("q_rep_ngrams",
+      (s: SparkSession, d: String) => {
+        val words = size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+          .cast("long")
+        t(s, d, "documents")
+          .select(col("doc_id"), words.as("n_words"),
+            size(graft.functions.ShingleExpr.wordShingles(col("text"), 3))
+              .cast("long").as("distinct_3grams"))
+          .filter(col("n_words") >= 3)
+          .withColumn("total_3grams", col("n_words") - 2)
+          .withColumn("rep_frac", round(
+            (col("total_3grams") - col("distinct_3grams")).cast("double") /
+              col("total_3grams"), 4))
+          .withColumn("flagged",
+            (col("total_3grams") - col("distinct_3grams")).cast("double") /
+              col("total_3grams") > 0.2)
+          .select("doc_id", "total_3grams", "distinct_3grams", "rep_frac", "flagged")
+          .orderBy("doc_id")
+      },
+      """WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents),
+        |d AS (SELECT doc_id, cast(len(w) - 2 AS BIGINT) AS total_3grams,
+        |        cast(len(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                                for i in range(1, len(w) - 1)])) AS BIGINT)
+        |          AS distinct_3grams
+        |      FROM t WHERE len(w) >= 3)
+        |SELECT doc_id, total_3grams, distinct_3grams,
+        |  round(cast(total_3grams - distinct_3grams AS DOUBLE) / total_3grams, 4)
+        |    AS rep_frac,
+        |  cast(total_3grams - distinct_3grams AS DOUBLE) / total_3grams > 0.2
+        |    AS flagged
+        |FROM d ORDER BY doc_id""".stripMargin),
+
+    // -- corpus-frequency quality score: per doc, the average corpus-wide
+    //    occurrence count of its tokens — a unigram-LM commonness proxy
+    //    with exact integer arithmetic (no log floats to drift). Shape at
+    //    scale: one shuffle to build the vocabulary counts, which then
+    //    BROADCAST back against the exploded corpus (vocabularies are
+    //    ~millions of rows when corpora are billions) ----------------------
+    ("q_word_freq_score",
+      (s: SparkSession, d: String) => {
+        val tok = t(s, d, "documents")
+          .select(col("doc_id"),
+            explode(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).as("word"))
+        val vocab = tok.groupBy("word").agg(count(lit(1)).as("wc"))
+        tok.join(broadcast(vocab), "word")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_words"),
+            round(sum(col("wc")).cast("double") / count(lit(1)), 4)
+              .as("avg_word_freq"))
+          .filter(col("doc_id") < 100)
+          .orderBy("doc_id")
+      },
+      """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS word
+        |             FROM documents),
+        |v AS (SELECT word, cast(count(*) AS BIGINT) AS wc FROM tok GROUP BY 1)
+        |SELECT doc_id, cast(count(*) AS BIGINT) AS n_words,
+        |  round(cast(sum(wc) AS DOUBLE) / count(*), 4) AS avg_word_freq
+        |FROM tok JOIN v USING (word)
+        |WHERE doc_id < 100
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // -- winnowing containment pairs (MOSS, Schleimer et al. SIGMOD'03)
     //    under the oracle: k-gram hashes via the cross-engine 60-bit md5
     //    prefix, min of each w-window (robust winnowing's fingerprint VALUE

@@ -198,6 +198,39 @@ object VectorOps {
          |SELECT qid, vec_id, round(cos, 4) AS cos FROM ranked WHERE rk <= 5
          |ORDER BY qid, vec_id""".stripMargin),
 
+    // -- semantic near-dup grouping (SemDeDup-style): LSH buckets propose,
+    //    exact cosine confirms, each duplicate points at its lowest-id
+    //    confirmed neighbor — single-pass star grouping, no transitive
+    //    closure iteration. Small-parameter planes embedded as literals in
+    //    the generated SQL (the q_ann_lsh_oracle house trick) so the whole
+    //    pipeline sits under the driver's hash gate --------------------------
+    ("q_semdedup",
+      (s: SparkSession, d: String) =>
+        graft.ops.Similarity.semanticDedup(
+            t(s, d, "embeddings").select("vec_id", "embedding"),
+            "vec_id", "embedding", threshold = 0.40,
+            tables = 2, bits = 4, seed = 7L, dim = lshOracleDim)
+          .select(col("vec_id"), col("rep_id"), round(col("cos"), 4).as("cos"))
+          .orderBy("vec_id"),
+      s"""WITH e AS (SELECT vec_id, [cast(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+         |cb AS (SELECT vec_id, v, 0 AS t, ${sigSql("v", 0)} AS sig FROM e
+         |       UNION ALL
+         |       SELECT vec_id, v, 1 AS t, ${sigSql("v", 1)} AS sig FROM e),
+         |cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+         |         FROM cb x JOIN cb y ON x.t = y.t AND x.sig = y.sig
+         |           AND x.vec_id < y.vec_id),
+         |conf AS (
+         |  SELECT c.a, c.b,
+         |    list_dot_product(ea.v, eb.v) /
+         |      (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) AS cos
+         |  FROM cand c JOIN e ea ON c.a = ea.vec_id JOIN e eb ON c.b = eb.vec_id
+         |  WHERE list_dot_product(ea.v, eb.v) /
+         |      (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) >= 0.40),
+         |rep AS (SELECT b AS vec_id, min(a) AS rep_id FROM conf GROUP BY 1)
+         |SELECT r.vec_id, r.rep_id, round(c.cos, 4) AS cos
+         |FROM rep r JOIN conf c ON c.a = r.rep_id AND c.b = r.vec_id
+         |ORDER BY r.vec_id""".stripMargin),
+
     // -- IVF ANN, exhaustive probe (nProbe == nCells): identical to brute
     //    force by construction, so the whole IVF path (k-means assignment,
     //    cell probe, in-cell re-rank) runs end-to-end under the DRIVER's

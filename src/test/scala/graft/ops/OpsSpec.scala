@@ -122,6 +122,25 @@ class OpsSpec extends SparkSuite {
     assert(recall >= 0.2, s"recall=$recall")
   }
 
+  test("semanticDedup: star grouping over confirmed LSH candidates") {
+    val corpus = emb.select("vec_id", "embedding")
+    // coarse buckets (1 bit × 8 tables) → near-exhaustive candidate recall
+    val dups = Similarity.semanticDedup(corpus, "vec_id", "embedding",
+        threshold = 0.40, tables = 8, bits = 1, seed = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(dups.nonEmpty)
+    // every duplicate points at a strictly smaller representative with a
+    // confirmed cosine; a doc appears at most once as a duplicate
+    assert(dups.forall { case (id, rep, cos) => rep < id && cos >= 0.40 })
+    assert(dups.map(_._1).distinct.length == dups.length)
+    // confirmed pairs are TRUE cosines: spot-check against the exact value
+    val exact = Similarity.thresholdPairs(corpus, "vec_id", "embedding", 0.40)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    dups.foreach { case (id, rep, cos) =>
+      assert(math.abs(exact((rep, id)) - cos) < 1e-12)
+    }
+  }
+
   test("thresholdPairs guard refuses a corpus above maxRows, directing to LSH") {
     // under the cap: runs and finds exact pairs
     val small = emb.limit(20).select("vec_id", "embedding")
