@@ -196,14 +196,24 @@ object Similarity {
       dim: Int = -1): DataFrame = {
     val d = if (dim > 0) dim else vectorDim(corpus, vecCol)
     val planes = hyperplanes(seed, tables, bits, d)
-    val cb = buckets(corpus, idCol, vecCol, "__n", planes)
-    val a = cb.select(col(idCol).as("__a"), col(vecCol).as("__va"),
-      col("__n").as("__na"), col("__t"), col("__sig"))
-    val b = cb.select(col(idCol).as("__b"), col(vecCol).as("__vb"),
-      col("__n").as("__nb"), col("__t"), col("__sig"))
-    val pairs = a.join(b, Seq("__t", "__sig"))
-      .filter(col("__a") < col("__b"))
-      .dropDuplicates("__a", "__b")
+    // Candidate ids FIRST, vectors later: the bucket join fans out (every
+    // co-bucketed pair, per table), so it must shuffle only (a, b) id
+    // pairs — carrying the vectors through it and deduping wide rows
+    // measured ~2x slower even at bench scale, and is catastrophic at
+    // corpus scale. The unique pairs then join the corpus twice by id to
+    // fetch vectors, and each cosine is computed once per pair.
+    val sig = buckets(corpus.select(col(idCol), col(vecCol)), idCol, vecCol,
+        "__n", planes)
+      .select(col(idCol), col("__t"), col("__sig"))
+    val cand = sig.alias("x").join(sig.alias("y"),
+        col("x.__t") === col("y.__t") && col("x.__sig") === col("y.__sig") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("__a"), col(s"y.$idCol").as("__b"))
+      .distinct()
+    val e = withNorm(corpus, vecCol, "__n")
+    val ea = e.select(col(idCol).as("__a"), col(vecCol).as("__va"), col("__n").as("__na"))
+    val eb = e.select(col(idCol).as("__b"), col(vecCol).as("__vb"), col("__n").as("__nb"))
+    val pairs = cand.join(ea, "__a").join(eb, "__b")
       .select(col("__a"), col("__b"),
         cosine(col("__va"), col("__vb"), col("__na"), col("__nb")).as("__cos"))
       .filter(col("__cos") >= threshold)
