@@ -124,6 +124,17 @@ class PlanSpec extends SparkSuite {
       s"unpartitioned unbounded Window in: ${offenders.mkString(", ")}")
   }
 
+  test("new pipeline ops keep scale-safe shapes: vocab broadcasts, semdedup equi-joins") {
+    val p = plan("q_word_freq_score")
+    assert(p.contains("BroadcastHashJoin"), s"vocabulary should broadcast:\n$p")
+    val p2 = plan("q_semdedup")
+    assert(!p2.contains("CartesianProduct") && !p2.contains("BroadcastNestedLoopJoin"),
+      s"semdedup must stay equi-join only (bucket + id joins):\n$p2")
+    val p3 = plan("q_containment")
+    assert(!p3.contains("CartesianProduct"),
+      s"containment must pair only via the fingerprint index:\n$p3")
+  }
+
   test("q_mode plans as agg-max + broadcast join, not a global window") {
     val p = plan("q_mode")
     assert(!p.contains("Window"), s"q_mode must not use a window:\n$p")
