@@ -180,6 +180,8 @@ final class Col private[api] (
   def iloc(start: Long, stop: Long, step: Long = 1): Seq[Any] =
     view.iloc(start, stop, step).map(_.get(0))
   def iloc(ids: Seq[Long]): Seq[Any] = view.iloc(ids).map(_.get(0))
+  def ilocSlice(start: Option[Long] = None, stop: Option[Long] = None,
+      step: Long = 1): Seq[Any] = view.ilocSlice(start, stop, step).map(_.get(0))
   def sortValues(ascending: Boolean = true): Table =
     new Table(table.db, colDf.orderBy(if (ascending) asc(name) else desc(name)),
       table.name, cache, ordered = true)

@@ -3,6 +3,7 @@ package graft.queries
 import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -169,6 +170,50 @@ object TextOps {
           .select(col("doc_id"), md5(col("text")).as("fp"))
           .orderBy("doc_id"),
       "SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id < 100 ORDER BY doc_id"),
+
+    // -- characteristic terms per source via tf-idf (rational idf
+    //    n_docs/df instead of a log — tf·n_docs/df is two exact integer
+    //    products and one IEEE division, so both engines agree bitwise).
+    //    Shapes: doc-frequency agg (shuffle on word), term-frequency agg
+    //    (shuffle on source,word), 1-row corpus count broadcast, per-source
+    //    top-5 as a WindowGroupLimit bounded heap — never a global sort ----
+    ("q_tfidf_terms",
+      (s: SparkSession, d: String) => {
+        val tok = t(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            explode(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).as("word"))
+        val dfw = tok.select("doc_id", "word").distinct()
+          .groupBy("word").agg(count(lit(1)).as("df"))
+        val n = t(s, d, "documents").agg(count(lit(1)).as("n_docs"))
+        val tf = tok.groupBy("source", "word").agg(count(lit(1)).as("tf"))
+        val scored = tf.join(broadcast(dfw), "word").crossJoin(broadcast(n))
+          .withColumn("score",
+            round(col("tf").cast("double") * col("n_docs") / col("df"), 4))
+        val w = Window.partitionBy("source")
+          .orderBy(desc("score"), asc("word"))
+        scored
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 5)
+          .select("source", "rk", "word", "tf", "df", "score")
+          .orderBy("source", "rk")
+      },
+      """WITH tok AS (SELECT doc_id, source, unnest(regexp_extract_all(text, '\S+')) AS word
+        |             FROM documents),
+        |dfw AS (SELECT word, cast(count(*) AS BIGINT) AS df
+        |        FROM (SELECT DISTINCT doc_id, word FROM tok) GROUP BY 1),
+        |n AS (SELECT cast(count(*) AS BIGINT) AS n_docs FROM documents),
+        |tf AS (SELECT source, word, cast(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT source, word, tf, df,
+        |    round(cast(tf AS DOUBLE) * n_docs / df, 4) AS score
+        |  FROM tf JOIN dfw USING (word) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT source, word, tf, df, score,
+        |    cast(row_number() OVER (PARTITION BY source
+        |      ORDER BY score DESC, word) AS BIGINT) AS rk
+        |  FROM scored)
+        |SELECT source, rk, word, tf, df, score FROM ranked
+        |WHERE rk <= 5 ORDER BY source, rk""".stripMargin),
 
     // -- intra-document repetition filter (the Gopher/RefinedWeb "rep"
     //    rule): fraction of duplicated word 3-grams per doc; docs above the

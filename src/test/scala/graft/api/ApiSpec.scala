@@ -211,6 +211,7 @@ class ApiSpec extends SparkSuite {
     val c = r.col("r_regionkey")
     assert(c.iloc(0) == 0 && c.iloc(-1) == 4)
     assert(c.iloc(0L, 5L, 2L) == Seq(0, 2, 4))
+    assert(c.ilocSlice(step = -1L) == Seq(4, 3, 2, 1, 0))
     assert(c.iloc(Seq(3L, 1L, 3L)) == Seq(3, 1, 3))
     intercept[IndexOutOfBoundsError](c.iloc(9))
     assert(r.items.map(_._1) == r.columns)
