@@ -83,6 +83,15 @@ object SqlDump {
     }.toSeq
   }
 
+  /** Column order of an explicit `INSERT INTO t (a, b, c) VALUES` list,
+    * or None for the bare positional form.
+    */
+  private[sources] def insertColumns(stmt: String): Option[Seq[String]] = {
+    val m = """(?is)^\s*INSERT\s+INTO\s+"?[\w.]+"?\s*\(([^)]*)\)\s*VALUES""".r
+    m.findFirstMatchIn(stmt).map(_.group(1).split(',')
+      .map(_.trim.replaceAll("\"", "")).toSeq)
+  }
+
   /** Parse the VALUES tuples of one INSERT statement into rows of
     * nullable strings. Handles `''`-escaped quotes inside literals, bare
     * NULLs, and multi-tuple `VALUES (...),(...)` statements.
@@ -112,7 +121,11 @@ object SqlDump {
           else inQuote = false
         } else cur += ch
       } else ch match {
-        case '\'' => inQuote = true; sawQuote = true
+        case '\'' =>
+          // whitespace between the comma and the opening quote is not part
+          // of the literal ("VALUES (1, 'y')")
+          if (!sawQuote && cur.toString.trim.isEmpty) cur.clear()
+          inQuote = true; sawQuote = true
         case '(' if !inTuple => inTuple = true
         case ')' if inTuple =>
           endField()
@@ -144,13 +157,25 @@ object SqlDump {
 
     defs.map { td =>
       val prefixes = Seq(s"INSERT INTO ${td.name} ", s"INSERT INTO ${td.name}(",
-        s"""INSERT INTO "${td.name}" """).map(_.toUpperCase)
+        s"""INSERT INTO "${td.name}" """, s"""INSERT INTO "${td.name}"(""")
+        .map(_.toUpperCase)
       val arity = td.cols.size
+      val ddlOrder = td.cols.map(_.name)
       val strSchema = StructType(td.cols.map(c => StructField(c.name, StringType, true)))
       val parsed = lines
         .filter(l => { val u = l.trim.toUpperCase; prefixes.exists(u.startsWith) })
-        .mapPartitions(_.flatMap(parseValues(_, arity)))(
-          org.apache.spark.sql.Encoders.kryo[Seq[String]])
+        .mapPartitions(_.flatMap { stmt =>
+          // an explicit (a, c, b) column list reorders/sparsifies the tuple:
+          // map each parsed tuple back into DDL order, nulling omitted cols
+          insertColumns(stmt) match {
+            case None => parseValues(stmt, arity)
+            case Some(cs) =>
+              val idx = cs.map(_.toLowerCase).zipWithIndex.toMap
+              parseValues(stmt, cs.size).map { vals =>
+                ddlOrder.map(c => idx.get(c.toLowerCase).map(vals).orNull)
+              }
+          }
+        })(org.apache.spark.sql.Encoders.kryo[Seq[String]])
       val rows = parsed.rdd.map(vals => Row.fromSeq(vals))
       val typed = spark.createDataFrame(rows, strSchema)
         .select(td.cols.map(c => col(c.name).cast(c.sparkType).as(c.name)): _*)

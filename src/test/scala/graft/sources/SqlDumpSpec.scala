@@ -42,6 +42,19 @@ class SqlDumpSpec extends SparkSuite {
     assert(multi == Seq(Seq("1", "a"), Seq("2", "b"), Seq("3", null)))
   }
 
+  test("explicit column-list INSERT reorders into DDL order, nulls omitted columns") {
+    val dir = java.nio.file.Files.createTempDirectory("graftsqldump").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "d.sql"),
+      """CREATE TABLE t (a integer, b text, c integer);
+        |INSERT INTO t (c, a) VALUES (30, 1);
+        |INSERT INTO t (b, a, c) VALUES ('x', 2, 60);
+        |INSERT INTO t VALUES (3, 'y', 90);""".stripMargin.getBytes)
+    val tables = SqlDump.open(spark, dir + "/d.sql")
+    val rows = tables("t").orderBy("a").collect()
+      .map(r => (r.get(0), r.get(1), r.get(2))).toSeq
+    assert(rows == Seq((1L, null, 30L), (2L, "x", 60L), (3L, "y", 90L)))
+  }
+
   test("opens the reference parch-and-posey dump: catalog, counts, golden join") {
     val dump = new java.io.File("/root/reference/data/parch-and-posey.sql")
     assume(dump.isFile, "reference fixture not present in this environment")
