@@ -203,4 +203,34 @@ class StreamingSpec extends SparkSuite {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     assert(p.toSeq == Seq(("en", 3L, 15L, 1L, 5L), ("fr", 1L, 2L, 0L, 2L)))
   }
+
+  test("packStream over the documents table equals the batch packer (q_pack_sequences semantics)") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // stream the real sf0.001 documents parquet (file source needs a
+    // directory; stage the single file into one); within-batch order is
+    // doc_id per the packer contract, matching the batch window's ORDER BY
+    val stageDir = Files.createTempDirectory("graftpackdocs")
+    Files.copy(java.nio.file.Paths.get(s"$sfDir/documents.parquet"),
+      stageDir.resolve("documents.parquet"))
+    val stream = spark.readStream.schema(DocStream.docSchema)
+      .parquet(stageDir.toString)
+    val packed = DocStream.packStream(DocStream.toPackDocs(stream), budget = 2048L)
+    EventStream.runToMemory(packed.toDF(), "pack_docs_out", OutputMode.Append)
+    val streamed = spark.sql("SELECT lang, doc_id, shard FROM pack_docs_out")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+    val ntok = size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).cast("long")
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val batch = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("lang"), col("doc_id"), ntok.as("n_tok"))
+      .withColumn("shard",
+        (coalesce(sum(col("n_tok")).over(w), lit(0L)) / 2048L).cast("long"))
+      .select("lang", "doc_id", "shard")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+    assert(streamed.nonEmpty && streamed == batch)
+  }
 }
