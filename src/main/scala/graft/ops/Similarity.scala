@@ -121,6 +121,17 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
 
     val unit = normalized(corpus, vecCol)
+    // nCells == 1 is the exhaustive degenerate (Spark ML KMeans requires
+    // k > 1): everything in cell 0, centroid unused by a 1-cell probe
+    if (nCells == 1) {
+      val assigned = unit.select(col(idCol), col(vecCol),
+        col("__vnorm").as("__nc"), lit(0).as("__cell"))
+      val spark = corpus.sparkSession
+      import spark.implicits._
+      val d = vectorDim(corpus, vecCol)
+      val centroids = Seq((0, Array.fill(d)(0.0))).toDF("__cell", "__centroid")
+      return IvfIndex(assigned, centroids)
+    }
     val feats = unit.withColumn("__f", array_to_vector(col("__unit")))
     val model = new KMeans().setK(nCells).setSeed(seed)
       .setFeaturesCol("__f").setPredictionCol("__cell")
@@ -158,6 +169,42 @@ object Similarity {
         Window.partitionBy(qidCol).orderBy(desc("cos"), asc(idCol))))
       .filter(col("__rk") <= k).drop("__rk")
   }
+
+  /** SemDeDup proper (Abbas et al. 2023): k-means cells bound the pair
+    * search — candidate pairs exist only WITHIN a cell, so the pair stage
+    * is Σ_cells |cell|² instead of n², tunable by nCells. Same star
+    * grouping and output contract as [[semanticDedup]] (the LSH-bucketed
+    * variant); near-dups straddling a cell boundary are missed, which is
+    * the algorithm's documented recall trade — raise nCells for speed,
+    * lower for recall, or run the LSH variant when boundary pairs matter.
+    * With nCells = 1 the cell stage is exhaustive and the result equals
+    * exact all-pairs star grouping (the q_semdedup_cells oracle).
+    *
+    * 100 TB: `index.assigned` written bucketed by `__cell`
+    * (Partitioning.saveBucketed) makes the self-join shuffle-free.
+    */
+  def semanticDedupByCell(index: IvfIndex, idCol: String,
+      threshold: Double): DataFrame = {
+    val a = index.assigned.select(col("__cell"), col(idCol).as("__a"),
+      col(vecColName(index)).as("__va"), col("__nc").as("__na"))
+    val b = index.assigned.select(col("__cell"), col(idCol).as("__b"),
+      col(vecColName(index)).as("__vb"), col("__nc").as("__nb"))
+    val pairs = a.join(b, "__cell")
+      .filter(col("__a") < col("__b"))
+      .select(col("__a"), col("__b"),
+        cosine(col("__va"), col("__vb"), col("__na"), col("__nb")).as("__cos"))
+      .filter(col("__cos") >= threshold)
+    val rep = pairs.groupBy(col("__b")).agg(min(col("__a")).as("rep_id"))
+    rep.join(pairs, rep("__b") === pairs("__b") && col("rep_id") === pairs("__a"))
+      .select(rep("__b").as(idCol), col("rep_id"), col("__cos").as("cos"))
+  }
+
+  /** The vector column name inside an IvfIndex's `assigned` frame (the
+    * non-reserved column that is not the id): assigned is
+    * (idCol, vecCol, __nc, __cell) by construction.
+    */
+  private def vecColName(index: IvfIndex): String =
+    index.assigned.columns.filterNot(c => c.startsWith("__")).apply(1)
 
   /** Embedding dimension, read from the first corpus row (one tiny job);
     * fails fast on an empty corpus instead of defaulting silently.

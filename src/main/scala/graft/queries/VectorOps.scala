@@ -231,6 +231,33 @@ object VectorOps {
          |FROM rep r JOIN conf c ON c.a = r.rep_id AND c.b = r.vec_id
          |ORDER BY r.vec_id""".stripMargin),
 
+    // -- SemDeDup proper (k-means cells bound the pair search): with
+    //    nCells = 1 the within-cell stage is exhaustive, so the ENTIRE
+    //    code path (k-means assign → within-cell pairs → exact cosine →
+    //    star grouping) equals exact all-pairs star grouping and runs
+    //    under the driver's hash gate — the q_ann_ivf_exhaustive trick.
+    //    Production uses nCells >> 1 (Σ|cell|² work) --------------------------
+    ("q_semdedup_cells",
+      (s: SparkSession, d: String) => {
+        val idx = graft.ops.Similarity.ivfIndex(
+          t(s, d, "embeddings").select("vec_id", "embedding"),
+          "vec_id", "embedding", nCells = 1, seed = 5L)
+        graft.ops.Similarity.semanticDedupByCell(idx, "vec_id", threshold = 0.40)
+          .select(col("vec_id"), col("rep_id"), round(col("cos"), 4).as("cos"))
+          .orderBy("vec_id")
+      },
+      """WITH e AS (SELECT vec_id, [cast(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+        |scored AS (
+        |  SELECT x.vec_id AS a, y.vec_id AS b,
+        |    list_dot_product(x.v, y.v) /
+        |      (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) AS cos
+        |  FROM e x JOIN e y ON x.vec_id < y.vec_id),
+        |conf AS (SELECT * FROM scored WHERE cos >= 0.40),
+        |rep AS (SELECT b AS vec_id, min(a) AS rep_id FROM conf GROUP BY 1)
+        |SELECT r.vec_id, r.rep_id, round(c.cos, 4) AS cos
+        |FROM rep r JOIN conf c ON c.a = r.rep_id AND c.b = r.vec_id
+        |ORDER BY r.vec_id""".stripMargin),
+
     // -- IVF ANN, exhaustive probe (nProbe == nCells): identical to brute
     //    force by construction, so the whole IVF path (k-means assignment,
     //    cell probe, in-cell re-rank) runs end-to-end under the DRIVER's

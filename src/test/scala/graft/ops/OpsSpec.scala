@@ -141,6 +141,27 @@ class OpsSpec extends SparkSuite {
     }
   }
 
+  test("semanticDedupByCell: within-cell star grouping; nCells=1 is exhaustive") {
+    val corpus = emb.select("vec_id", "embedding")
+    // exhaustive: one cell == exact all-pairs star grouping
+    val one = Similarity.semanticDedupByCell(
+        Similarity.ivfIndex(corpus, "vec_id", "embedding", nCells = 1, seed = 5L),
+        "vec_id", threshold = 0.40)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactPairs = Similarity.thresholdPairs(corpus, "vec_id", "embedding", 0.40)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expect = exactPairs.groupBy(_._2).map { case (b, ps) => (b, ps.map(_._1).min) }.toSet
+    assert(one == expect && one.nonEmpty)
+    // partitioned: a valid subset (cell boundaries may drop pairs, never invent)
+    val part = Similarity.semanticDedupByCell(
+        Similarity.ivfIndex(corpus, "vec_id", "embedding", nCells = 4, seed = 5L),
+        "vec_id", threshold = 0.40)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val exactMap = exactPairs.map { case (a, b) => (a, b) }.toSet
+    assert(part.forall { case (id, rep, cos) => rep < id && cos >= 0.40 &&
+      exactMap.contains((rep, id)) })
+  }
+
   test("thresholdPairs guard refuses a corpus above maxRows, directing to LSH") {
     // under the cap: runs and finds exact pairs
     val small = emb.limit(20).select("vec_id", "embedding")
