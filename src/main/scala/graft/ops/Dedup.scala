@@ -186,7 +186,13 @@ object Dedup {
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 5, w: Int = 4, minShared: Int = 2,
       md5Mode: Boolean = false): DataFrame = {
-    val fp = docs.select(col(idCol),
+    // single-file sources arrive as ONE partition and the fingerprint scan
+    // is the expensive stage (one hash per character) — spread it BEFORE
+    // computing; it also runs once per self-join branch (no cross-branch
+    // CSE), doubling whatever it costs
+    val spread = docs.repartition(
+      docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
+    val fp = spread.select(col(idCol),
       explode(array_distinct(
         graft.functions.TextExprs.winnowFingerprints(col(textCol), k, w, md5Mode))).as("f"))
     fp.alias("x").join(fp.alias("y"),
