@@ -63,4 +63,21 @@ object Sketches {
       accuracy: Int = 10000): Column =
     percentile_approx(col(valueCol),
       array(probabilities.map(lit): _*), lit(accuracy))
+
+  /** Frequent items via Spark 4's ApproxTopK sketch (a Misra-Gries-family
+    * summary): top `k` items with estimated counts, tracking up to
+    * `maxItemsTracked` distinct values in bounded memory. Mergeable like
+    * the other sketches (partial per partition, merged on the reducer) —
+    * the heavy-hitters primitive for vocabulary/domain/source audits at
+    * corpus scale. Counts are EXACT while the true distinct count stays
+    * under maxItemsTracked; past it they become lower-bound estimates.
+    * Returns (item, cnt) rows ordered (cnt DESC, item) — a deterministic
+    * total order.
+    */
+  def frequentItems(df: DataFrame, itemCol: String, k: Int,
+      maxItemsTracked: Int = 10000): DataFrame =
+    df.agg(expr(s"approx_top_k($itemCol, $k, $maxItemsTracked)").as("__tk"))
+      .select(explode(col("__tk")).as("__e"))
+      .select(col("__e.item").as("item"), col("__e.count").cast("long").as("cnt"))
+      .orderBy(desc("cnt"), asc("item"))
 }

@@ -69,5 +69,22 @@ object SketchOps {
       "SELECT l_returnflag, quantile_disc(l_quantity, 0.25) AS q25, " +
         "quantile_disc(l_quantity, 0.5) AS q50, " +
         "quantile_disc(l_quantity, 0.75) AS q75 " +
-        "FROM lineitem GROUP BY 1 ORDER BY 1"))
+        "FROM lineitem GROUP BY 1 ORDER BY 1"),
+
+    // -- heavy hitters via the ApproxTopK sketch: full vocabulary audit of
+    //    the corpus (k exceeds the true distinct count here, so the sketch
+    //    tracks every item and counts are exact → DuckDB's exact
+    //    GROUP BY is the oracle; at real scale the same query returns
+    //    bounded-memory lower-bound estimates). Mergeable partial
+    //    aggregation — one scan, no word-level shuffle of raw rows --------
+    ("q_topk_freq",
+      (s: SparkSession, d: String) => {
+        val tok = t(s, d, "documents")
+          .select(explode(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).as("word"))
+        graft.ops.Sketches.frequentItems(tok, "word", k = 40)
+          .select(col("item").as("word"), col("cnt"))
+      },
+      """SELECT word, cast(count(*) AS BIGINT) AS cnt
+        |FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS word FROM documents)
+        |GROUP BY 1 ORDER BY cnt DESC, word""".stripMargin))
 }

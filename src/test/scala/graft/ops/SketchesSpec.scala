@@ -44,6 +44,20 @@ class SketchesSpec extends SparkSuite {
       direct.map(r => (r.getString(0), r.getLong(1))).toSeq)
   }
 
+  test("frequentItems: exact counts under maxItemsTracked, top-k selection, skewed tail") {
+    // skewed synthetic: item i appears 2^(10-i) times, i in 0..9
+    val rows = (0 until 10).flatMap(i => Seq.fill(1 << (10 - i))(s"item_$i"))
+    import spark.implicits._
+    val df = rows.toDF("w").repartition(4)
+    val top3 = Sketches.frequentItems(df, "w", k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(top3.toSeq == Seq(("item_0", 1024L), ("item_1", 512L), ("item_2", 256L)))
+    // k beyond the vocabulary returns every item, still exact
+    val all = Sketches.frequentItems(df, "w", k = 40)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(all.size == 10 && (0 until 10).forall(i => all(s"item_$i") == (1L << (10 - i))))
+  }
+
   test("sketch aggregation plans with a map-side partial") {
     val events = spark.read.parquet(s"$sfDir/events.parquet")
     val plan = Sketches.approxDistinct(events, Seq("event_type"), "user_id")
