@@ -477,6 +477,31 @@ object TextOps {
         |FROM (SELECT doc_id, cast(n_chars AS BIGINT) * 10 AS duration_ms,
         |        unnest(range(0, cast(n_chars AS BIGINT) * 10 + 1, 2500)) AS off
         |      FROM documents WHERE doc_id < 100)
-        |GROUP BY 1, 2 ORDER BY 1""".stripMargin)
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin),
+
+    // -- multimodal resize planning: aspect-preserving fit into 224×224
+    //    (scale = min(224/w, 224/h), integer floor) + output byte budget —
+    //    the relational half of Multimodal.features' resized_w/h; pure
+    //    integer arithmetic (fake per-doc dims derived like
+    //    syntheticMediaTable's), map-only, so the planner runs at metadata
+    //    cost without touching payloads --------------------------------------
+    ("q_multimodal_resize",
+      (s: SparkSession, d: String) => {
+        val w = (pmod(col("doc_id"), lit(64)) + 32).cast("long")
+        val h = (pmod(col("doc_id") * 7, lit(96)) + 16).cast("long")
+        t(s, d, "documents").filter(col("doc_id") < 200)
+          .select(col("doc_id"), w.as("w"), h.as("h"))
+          .withColumn("rw", expr("(w * 224) div greatest(w, h)"))
+          .withColumn("rh", expr("(h * 224) div greatest(w, h)"))
+          .withColumn("out_bytes", col("rw") * col("rh") * 3L)
+          .orderBy("doc_id")
+      },
+      """SELECT doc_id, w, h,
+        |  (w * 224) // greatest(w, h) AS rw,
+        |  (h * 224) // greatest(w, h) AS rh,
+        |  ((w * 224) // greatest(w, h)) * ((h * 224) // greatest(w, h)) * 3 AS out_bytes
+        |FROM (SELECT doc_id, (doc_id % 64) + 32 AS w, ((doc_id * 7) % 96) + 16 AS h
+        |      FROM documents WHERE doc_id < 200)
+        |ORDER BY doc_id""".stripMargin)
   )
 }
