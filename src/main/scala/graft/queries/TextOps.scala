@@ -479,6 +479,33 @@ object TextOps {
         |      FROM documents WHERE doc_id < 100)
         |GROUP BY 1, 2 ORDER BY 1""".stripMargin),
 
+    // -- fuzzy entity lookup with blocking: probes (catalog names with a
+    //    deterministic typo — first char dropped) resolve back to the
+    //    catalog via an equi-join on the blocking key (second word), THEN
+    //    edit-distance ≤ 2 filters within blocks — the entity-resolution
+    //    shape that replaces the O(n·m) all-pairs distance matrix; the
+    //    distinct catalog side broadcasts -----------------------------------
+    ("q_fuzzy_lookup",
+      (s: SparkSession, d: String) => {
+        val names = t(s, d, "part").select(col("p_name")).distinct()
+        val probes = t(s, d, "part")
+          .select(expr("substr(p_name, 2)").as("probe")).distinct()
+        probes.join(broadcast(names),
+            element_at(split(col("probe"), " "), 2) ===
+              element_at(split(col("p_name"), " "), 2))
+          .withColumn("dist", levenshtein(col("probe"), col("p_name")).cast("long"))
+          .filter(col("dist") <= 2)
+          .select(col("probe"), col("p_name").as("matched"), col("dist"))
+          .orderBy("probe", "matched")
+      },
+      """WITH n AS (SELECT DISTINCT p_name FROM part),
+        |p AS (SELECT DISTINCT substr(p_name, 2) AS probe FROM part)
+        |SELECT p.probe, n.p_name AS matched,
+        |  cast(levenshtein(p.probe, n.p_name) AS BIGINT) AS dist
+        |FROM p JOIN n ON split_part(p.probe, ' ', 2) = split_part(n.p_name, ' ', 2)
+        |WHERE levenshtein(p.probe, n.p_name) <= 2
+        |ORDER BY probe, matched""".stripMargin),
+
     // -- multimodal resize planning: aspect-preserving fit into 224×224
     //    (scale = min(224/w, 224/h), integer floor) + output byte budget —
     //    the relational half of Multimodal.features' resized_w/h; pure
