@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** PII detection and redaction for training-data curation: scan a text
+  * column for e-mail addresses, phone numbers, and IPv4 literals, count
+  * them, and rewrite them to typed placeholder tokens.
+  *
+  * Everything is a codegen'd built-in (`regexp_extract_all` /
+  * `regexp_replace`) — map-only, no shuffle, no UDF — so a redaction pass
+  * over 100 TB is a single scan that parallelizes per input split. The
+  * patterns deliberately stay inside the regex subset shared by Java's
+  * engine and RE2 (no lookbehind, no backrefs) so the same patterns drive
+  * the DuckDB oracle for q_pii_redact bit-identically.
+  */
+object Privacy {
+
+  /** user@host.tld — local part, @, dotted domain, 2+ letter TLD. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** North-American-style short dial string: 3 digits, dash, 4 digits. */
+  val PhoneRe = "\\b\\d{3}-\\d{4}\\b"
+
+  /** Dotted-quad IPv4 literal (syntactic — no octet range check). */
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  private def count(c: Column, re: String): Column =
+    size(regexp_extract_all(c, lit(re), lit(0))).cast("long")
+
+  /** Adds `n_emails`, `n_phones`, `n_ips` (long) counting matches in
+    * `textCol`. One scan, three codegen'd extractions.
+    */
+  def detect(df: DataFrame, textCol: String): DataFrame = {
+    val c = col(textCol)
+    df.withColumn("n_emails", count(c, EmailRe))
+      .withColumn("n_phones", count(c, PhoneRe))
+      .withColumn("n_ips", count(c, Ipv4Re))
+  }
+
+  /** The redaction expression alone: e-mails first (their domains can
+    * contain dotted digit runs an IP pass would half-eat), then IPv4,
+    * then phone strings.
+    */
+  def redactExpr(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailRe, "[EMAIL]"),
+        Ipv4Re, "[IP]"),
+      PhoneRe, "[PHONE]")
+
+  /** Replaces `textCol` in place with its redacted form. */
+  def redact(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn(textCol, redactExpr(col(textCol)))
+}

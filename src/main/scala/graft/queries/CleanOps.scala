@@ -1,0 +1,126 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import Q._
+
+/** Corpus-cleaning operators: PII redaction and C4-style line-level
+  * boilerplate filtering — the scrub passes a training-data pipeline runs
+  * before dedup/packing. Both are map-only scans of codegen'd built-ins
+  * (regex + higher-order array functions, no UDFs), so at 100 TB they
+  * parallelize per input split and shuffle only the final small stats.
+  *
+  * The synthetic `documents` text contains no real PII, so q_pii_redact
+  * first injects deterministic PII strings derived from doc_id — both
+  * engines build the identical enriched text, then the Spark side must
+  * detect and redact exactly what the oracle does.
+  */
+object CleanOps {
+
+  type Fn = (SparkSession, String) => DataFrame
+
+  val entries: Seq[(String, Fn, String)] = Seq(
+
+    // -- PII detection + redaction (ops/Privacy): inject deterministic
+    //    emails/phones/IPs keyed off doc_id, count matches per class, and
+    //    measure chars removed by the placeholder rewrite. Patterns stay in
+    //    the Java∩RE2 regex subset so both engines see identical matches ----
+    ("q_pii_redact",
+      (s: SparkSession, d: String) => {
+        val id = col("doc_id")
+        val enriched = concat(col("text"),
+          when(id % 3 === 0, concat(lit(" contact u"), id.cast("string"),
+            lit("@ex"), (id % 10).cast("string"), lit(".com"))).otherwise(lit("")),
+          when(id % 7 === 3, concat(lit(" call 555-"),
+            lpad((id % 10000).cast("string"), 4, "0"))).otherwise(lit("")),
+          when(id % 9 === 5, concat(lit(" host 10."), (id % 256).cast("string"),
+            lit(".0."), (id % 100).cast("string"))).otherwise(lit("")))
+        val base = t(s, d, "documents")
+          .select(col("source"), col("doc_id"), enriched.as("t0"))
+        graft.ops.Privacy.detect(base, "t0")
+          .withColumn("t1", graft.ops.Privacy.redactExpr(col("t0")))
+          .groupBy("source")
+          .agg(
+            sum(when(col("n_emails") + col("n_phones") + col("n_ips") > 0, 1L)
+              .otherwise(0L)).as("n_docs_flagged"),
+            sum(col("n_emails")).as("emails"),
+            sum(col("n_phones")).as("phones"),
+            sum(col("n_ips")).as("ips"),
+            sum((length(col("t0")) - length(col("t1"))).cast("long"))
+              .as("chars_removed"))
+          .orderBy("source")
+      },
+      """WITH e AS (
+        |  SELECT source, doc_id,
+        |    text ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN ' contact u' || doc_id || '@ex' ||
+        |       (doc_id % 10) || '.com' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 7 = 3 THEN ' call 555-' ||
+        |       lpad(cast(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END) ||
+        |    (CASE WHEN doc_id % 9 = 5 THEN ' host 10.' || (doc_id % 256) ||
+        |       '.0.' || (doc_id % 100) ELSE '' END) AS t0
+        |  FROM documents),
+        |c AS (
+        |  SELECT source,
+        |    cast(len(regexp_extract_all(t0,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |    cast(len(regexp_extract_all(t0, '\b\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+        |    cast(len(regexp_extract_all(t0,
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |    cast(len(t0) - len(regexp_replace(regexp_replace(regexp_replace(t0,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+        |      '\b\d{3}-\d{4}\b', '[PHONE]', 'g')) AS BIGINT) AS removed
+        |  FROM e)
+        |SELECT source,
+        |  cast(sum(CASE WHEN n_emails + n_phones + n_ips > 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_docs_flagged,
+        |  cast(sum(n_emails) AS BIGINT) AS emails,
+        |  cast(sum(n_phones) AS BIGINT) AS phones,
+        |  cast(sum(n_ips) AS BIGINT) AS ips,
+        |  cast(sum(removed) AS BIGINT) AS chars_removed
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // -- C4-style line-level boilerplate filter: tokenize once (materialized
+    //    column — HOF lambdas re-evaluate inlined expressions per element),
+    //    reshape into 8-word "lines", keep lines containing a stopword
+    //    ('the'/'a' — the stopword-presence rule; real C4 also wants
+    //    terminal punctuation, absent from this corpus), reassemble, and
+    //    report per-source retention. transform/filter/exists/flatten are
+    //    all codegen-adjacent array built-ins — map-only until the final
+    //    stats shuffle --------------------------------------------------
+    ("q_line_filter",
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+          .select(col("source"), col("doc_id"),
+            regexp_extract_all(col("text"), lit("\\S+"), lit(0)).as("w"))
+          .withColumn("nl", expr("size(w) div 8").cast("int"))
+          .filter(col("nl") >= 1)
+          .withColumn("lines", transform(sequence(lit(0), col("nl") - 1),
+            i => slice(col("w"), i * 8 + 1, lit(8))))
+          .withColumn("kept", filter(col("lines"),
+            l => exists(l, wd => wd.isin("the", "a"))))
+        docs.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("nl").cast("long")).as("n_lines"),
+            sum(size(col("kept")).cast("long")).as("n_kept"),
+            sum(length(array_join(flatten(col("kept")), " ")).cast("long"))
+              .as("kept_chars"))
+          .orderBy("source")
+      },
+      """WITH t AS (SELECT source, doc_id,
+        |             regexp_extract_all(text, '\S+') AS w FROM documents),
+        |d AS (SELECT source, doc_id, len(w) // 8 AS nl,
+        |        [w[i*8+1 : i*8+8] for i in range(0, len(w) // 8)] AS lines
+        |      FROM t WHERE len(w) >= 8),
+        |k AS (SELECT source, nl,
+        |        list_filter(lines,
+        |          l -> len(list_filter(l, x -> x IN ('the', 'a'))) > 0) AS kept
+        |      FROM d)
+        |SELECT source, count(*) AS n_docs, cast(sum(nl) AS BIGINT) AS n_lines,
+        |  cast(sum(len(kept)) AS BIGINT) AS n_kept,
+        |  cast(sum(len(array_to_string(flatten(kept), ' '))) AS BIGINT) AS kept_chars
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin)
+  )
+}

@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+class PrivacySpec extends SparkSuite {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "write to bob.smith+x@mail-host.co.uk or call 555-0199 now"),
+    (2L, "server at 192.168.0.1 and 10.0.0.255, no contact"),
+    (3L, "plain text, nothing sensitive"),
+    (4L, "a@b.io a@b.io 555-1234")
+  ).toDF("id", "text")
+
+  test("detect counts each PII class") {
+    val got = Privacy.detect(docs, "text")
+      .select("id", "n_emails", "n_phones", "n_ips")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got === Array(
+      (1L, 1L, 1L, 0L), (2L, 0L, 0L, 2L), (3L, 0L, 0L, 0L), (4L, 2L, 1L, 0L)))
+  }
+
+  test("redact rewrites every match to its placeholder, in place") {
+    val got = Privacy.redact(docs, "text")
+      .orderBy("id").as[(Long, String)].collect().map(_._2)
+    assert(got(0) === "write to [EMAIL] or call [PHONE] now")
+    assert(got(1) === "server at [IP] and [IP], no contact")
+    assert(got(2) === "plain text, nothing sensitive")
+    assert(got(3) === "[EMAIL] [EMAIL] [PHONE]")
+  }
+
+  test("redaction leaves non-PII digit runs alone") {
+    val df = Seq((1L, "version 1.2 of chapter 12-3456 sold 1234 units")).toDF("id", "text")
+    // "12-3456" has a 2-digit prefix — not the 3-3-4 phone shape; "1.2" is
+    // not a dotted quad.
+    val out = Privacy.redact(df, "text").as[(Long, String)].collect().head._2
+    assert(out === "version 1.2 of chapter 12-3456 sold 1234 units")
+  }
+
+  test("detect is a map-only plan — no shuffle") {
+    val plan = Privacy.detect(docs, "text").queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+}
