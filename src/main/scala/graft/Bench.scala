@@ -13,20 +13,16 @@ object Bench {
     // JVM/session warmup so the first measured query doesn't absorb
     // context + codegen startup cost
     spark.range(1000000).selectExpr("sum(id)").collect()
-    // two runs per query, report the min: steady-state timing (first run
+    // three runs per query, report the min: steady-state timing (first run
     // absorbs codegen + cache materialization; this host also shows sporadic
-    // multi-second contention spikes that a single sample would misattribute)
+    // multi-second contention spikes that a single sample would misattribute).
+    // Rounds 4/5 both burned a review cycle on 2-4x "regressions" on
+    // unchanged code that were single-sample VM noise outside the old
+    // min-of-3 ANN/dedup cluster — min-of-3 everywhere ends that ambiguity
+    // for ~1.5x bench wall time.
     // Cache-consuming query groups run LAST and their persisted helper
     // frames are unpersisted right after the group — round-3 showed the
     // session-lifetime caches as broad memory pressure on unrelated queries.
-    // The ANN/dedup cluster showed a 1.7x swing between rounds with
-    // unchanged code (host contention on this VM) — a third sample there
-    // damps the variance where it has actually been observed; everything
-    // else keeps min-of-2.
-    val minOf3 = Set(
-      "q_ann_lsh", "q_ann_lsh_oracle", "q_ann_ivf", "q_ann_ivf_exhaustive",
-      "q_knn", "q_sim_pairs", "q_dedup_exact", "q_dedup_minhash",
-      "q_dedup_ngram", "q_dedup_simhash", "q_dedup_verified")
     val results = SparkEntry.schedule.flatMap { case (names, after) =>
       val rs = names.map { name =>
         val fn = SparkEntry.queries(name)
@@ -35,8 +31,7 @@ object Bench {
           try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
           (System.nanoTime() - t0) / 1e9
         }
-        val runs = if (minOf3(name)) 3 else 2
-        name -> Seq.fill(runs)(once()).min
+        name -> Seq.fill(3)(once()).min
       }
       after()
       rs

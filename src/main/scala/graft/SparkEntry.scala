@@ -26,9 +26,13 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted only for non-SQL-expressible ops.
+    * VectorOps.dynamicOracles adds entries whose SQL needs runtime-derived
+    * literals (trained k-means centroids) — populated once the query has
+    * run, which Verify's run-then-dump order guarantees.
     */
   def oracleSql: Map[String, String] =
-    modules.collect { case (n, _, sql) if sql != null && sql.nonEmpty => n -> sql }.toMap
+    modules.collect { case (n, _, sql) if sql != null && sql.nonEmpty => n -> sql }.toMap ++
+      VectorOps.dynamicOracles
 
   /** Execution schedule for the sequential runners (Bench/Verify): plain
     * queries first, then each persisted-cache-consuming group consecutively

@@ -153,6 +153,9 @@ final class Database private (
     viewNames.foreach(spark.catalog.dropTempView)
     viewNames.clear()
     tableMap.keys.foreach(n => spark.catalog.dropTempView(n))
+    // a .sql-dump database pins the dump text in the block-manager cache;
+    // exit is the reference's connection-close, so drop it here
+    if (path.endsWith(".sql")) graft.sources.SqlDump.release(path)
   }
 
   /** Attribute-style access sugar, the reference's `db.orders.total`
@@ -213,10 +216,20 @@ object Database {
     if (files.isEmpty)
       throw new FileTypeError(s"no .parquet or .csv tables found under '$dir'")
     val tableMap = files.map { f =>
-      val tname = f.getName.replaceAll("\\.(parquet|csv)$", "")
+      val isCsv = f.getName.endsWith(".csv")
+      val stem = f.getName.replaceAll("\\.(parquet|csv)$", "")
+      // CSV ingestion normalizes names like the reference's
+      // convert_csvs_to_db (utils.py:233-238): spaces/hyphens -> '_' in the
+      // table name and headers, headers lowercased
+      val tname = if (isCsv) stem.replace(' ', '_').replace('-', '_') else stem
+      val raw =
+        if (isCsv) spark.read.option("header", "true").option("inferSchema", "true").csv(f.getPath)
+        else spark.read.parquet(f.getPath)
       val df =
-        if (f.getName.endsWith(".parquet")) spark.read.parquet(f.getPath)
-        else spark.read.option("header", "true").option("inferSchema", "true").csv(f.getPath)
+        if (isCsv)
+          raw.toDF(raw.columns.toIndexedSeq
+            .map(_.replace(' ', '_').replace('-', '_').toLowerCase): _*)
+        else raw
       df.createOrReplaceTempView(tname)
       tname -> df
     }.toMap

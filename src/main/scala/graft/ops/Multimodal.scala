@@ -8,11 +8,12 @@ import org.apache.spark.sql.types._
   * opaque `binary` columns with a typed metadata struct; decode and feature
   * extraction run batched per partition.
   *
-  * The actual codec step is STUBBED (this environment has no image/audio
-  * libraries): `decodeStub` derives deterministic fake "pixels" from the
-  * bytes. Everything around it — schema, batching, partitioning, the
-  * mapPartitions contract — is the real plumbing a production decoder drops
-  * into (swap `decodeStub` for an actual JNI/javacv call).
+  * The codec step is pluggable ([[MediaCodec]]): [[ImageIoCodec]] is a REAL
+  * decoder — JDK-only `javax.imageio` (PNG/JPEG/GIF/BMP), no external
+  * dependency — and [[StubCodec]] keeps the deterministic fake-pixel path
+  * for synthetic payloads (the `documents`-derived media fixtures are text
+  * bytes, not encoded images). Audio/video codecs are not in the JDK; they
+  * drop into the same interface (a JNI/javacv call behind `decode`).
   *
   * Scale notes: media blobs make rows wide, so feature extraction uses
   * mapPartitions (one decoder init per partition, not per row) and the
@@ -62,9 +63,77 @@ object Multimodal {
       .as[MediaRow]
   }
 
-  /** STUB decoder: deterministic fake pixel intensities from raw bytes.
-    * A real build replaces this with an image library call; the signature
-    * (bytes → row-major intensities) is what such a decoder provides.
+  /** The decode contract: payload bytes → (actual width, actual height,
+    * row-major intensities in [0, 1]). Serializable so an instance can ride
+    * into a mapPartitions closure; implementations needing native handles
+    * should lazy-init them per partition (see [[extractFeatures]]).
+    */
+  trait MediaCodec extends Serializable {
+    def decode(payload: Array[Byte], declaredW: Int, declaredH: Int): (Int, Int, Array[Double])
+  }
+
+  /** Deterministic fake-pixel decoder for synthetic payloads (text bytes
+    * posing as media): intensities derived from the raw bytes, dimensions
+    * taken from the declared metadata.
+    */
+  object StubCodec extends MediaCodec {
+    override def decode(payload: Array[Byte], w: Int, h: Int): (Int, Int, Array[Double]) =
+      (w, h, decodeStub(payload, w, h))
+  }
+
+  /** REAL image decoder on the JDK's `javax.imageio` (PNG/JPEG/GIF/BMP —
+    * zero external dependencies). Dimensions come from the decoded image,
+    * not the declared metadata; intensities are ITU-R BT.601 luma of the
+    * sRGB pixels, row-major, in [0, 1]. Fails loudly on undecodable bytes
+    * rather than returning fake pixels.
+    */
+  object ImageIoCodec extends MediaCodec {
+    override def decode(payload: Array[Byte], declaredW: Int, declaredH: Int): (Int, Int, Array[Double]) = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      require(img != null, s"ImageIoCodec: payload (${payload.length} bytes) is not a decodable image")
+      val w = img.getWidth
+      val h = img.getHeight
+      val out = new Array[Double](w * h)
+      var y = 0
+      var i = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val r = (rgb >> 16) & 0xff
+          val g = (rgb >> 8) & 0xff
+          val b = rgb & 0xff
+          out(i) = (0.299 * r + 0.587 * g + 0.114 * b) / 255.0
+          i += 1
+          x += 1
+        }
+        y += 1
+      }
+      (w, h, out)
+    }
+  }
+
+  /** Re-encode an image payload at new dimensions (bilinear-ish smooth
+    * scale, PNG out) — the real counterpart of q_multimodal_resize's
+    * metadata-cost planning. JDK-only; runs inside mapPartitions on
+    * executors, payload in → payload out, nothing touches the driver.
+    */
+  def resizePng(payload: Array[Byte], newW: Int, newH: Int): Array[Byte] = {
+    require(newW > 0 && newH > 0, s"bad resize target ${newW}x$newH")
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    require(img != null, s"resizePng: payload (${payload.length} bytes) is not a decodable image")
+    val scaled = img.getScaledInstance(newW, newH, java.awt.Image.SCALE_SMOOTH)
+    val out = new java.awt.image.BufferedImage(newW, newH,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = out.createGraphics()
+    try g.drawImage(scaled, 0, 0, null) finally g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(out, "png", bos)
+    bos.toByteArray
+  }
+
+  /** STUB decoder body: deterministic fake pixel intensities from raw bytes
+    * (kept for synthetic fixtures; [[ImageIoCodec]] is the real path).
     */
   private[ops] def decodeStub(payload: Array[Byte], w: Int, h: Int): Array[Double] = {
     val out = new Array[Double](w * h)
@@ -77,21 +146,24 @@ object Multimodal {
     out
   }
 
-  /** Batched feature extraction: decode → mean intensity, resize-stub dims,
+  /** Batched feature extraction: decode → mean intensity, resize dims,
     * frame-sample offsets. One decoder context per partition (the
     * mapPartitions contract production decoders need), payload dropped on
-    * output.
+    * output. Output width/height are the DECODED dimensions halved (for
+    * StubCodec these equal the declared metadata, preserving the oracle
+    * contract of q_multimodal_meta/frames).
     */
-  def extractFeatures(media: Dataset[MediaRow], frameEvery: Int = 1024): Dataset[MediaFeatures] = {
+  def extractFeatures(media: Dataset[MediaRow], frameEvery: Int = 1024,
+      codec: MediaCodec = StubCodec): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       // per-partition decoder init would go here (e.g. native lib handle)
       rows.map { r =>
-        val pixels = decodeStub(r.payload, r.width, r.height)
+        val (w, h, pixels) = codec.decode(r.payload, r.width, r.height)
         val mean = if (pixels.isEmpty) 0.0 else pixels.sum / pixels.length
         val offsets = 0L.until(r.payload.length.toLong, frameEvery.toLong)
         MediaFeatures(r.media_id, r.payload.length.toLong, r.format,
-          mean, r.width / 2, r.height / 2, offsets)
+          mean, w / 2, h / 2, offsets)
       }
     }
   }

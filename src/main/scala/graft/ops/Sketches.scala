@@ -76,7 +76,9 @@ object Sketches {
     */
   def frequentItems(df: DataFrame, itemCol: String, k: Int,
       maxItemsTracked: Int = 10000): DataFrame =
-    df.agg(expr(s"approx_top_k($itemCol, $k, $maxItemsTracked)").as("__tk"))
+    // backquoted (with ` doubled) so names needing quoting — dots, spaces,
+    // hyphens — parse as one identifier instead of a path expression
+    df.agg(expr(s"approx_top_k(`${itemCol.replace("`", "``")}`, $k, $maxItemsTracked)").as("__tk"))
       .select(explode(col("__tk")).as("__e"))
       .select(col("__e.item").as("item"), col("__e.count").cast("long").as("cnt"))
       .orderBy(desc("cnt"), asc("item"))

@@ -86,5 +86,5 @@ object SketchOps {
       },
       """SELECT word, cast(count(*) AS BIGINT) AS cnt
         |FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS word FROM documents)
-        |GROUP BY 1 ORDER BY cnt DESC, word""".stripMargin))
+        |GROUP BY 1 ORDER BY cnt DESC, word LIMIT 40""".stripMargin))
 }

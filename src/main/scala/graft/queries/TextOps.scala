@@ -145,11 +145,22 @@ object TextOps {
     //    labeled lang column: confusion counts ----------------------------
     ("q_lang_id",
       (s: SparkSession, d: String) => {
-        val w = col("w")
-        val stops = size(filter(w, x => x.isin(stopList.map(_.asInstanceOf[Any]): _*))).cast("double")
-        val ratio = stops / size(w).cast("double")
-        t(s, d, "documents")
-          .withColumn("w", toks(col("text")))
+        // Explode to one row per token so the stopword membership test is a
+        // codegen'd In() over a flat column — the HOF alternative
+        // (filter(w, _.isin(...))) evaluates the lambda interpreted per
+        // element and was the suite's slowest plan. Per-doc agg is one
+        // shuffle on doc_id with map-side partial combine; explode_outer +
+        // count(x) keeps zero-token docs (n_tok=0 -> NaN ratio -> 'en',
+        // matching the pre-explode semantics on both engines).
+        val tok = t(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            explode_outer(toks(col("text"))).as("x"))
+        val per = tok.groupBy("doc_id", "lang")
+          .agg(count(col("x")).as("n_tok"),
+            sum(when(col("x").isin(stopList.map(_.asInstanceOf[Any]): _*), 1L)
+              .otherwise(0L)).as("n_stop"))
+        val ratio = col("n_stop").cast("double") / col("n_tok").cast("double")
+        per
           .select(col("lang"), when(ratio >= 0.03, "en").otherwise("other").as("predicted"))
           .groupBy("lang", "predicted").agg(count(lit(1)).as("cnt"))
           .orderBy("lang", "predicted")

@@ -51,9 +51,20 @@ object VectorOps {
         .select("vec_id", "embedding")
       val idx = graft.ops.Similarity.ivfIndex(corpus, "vec_id", "embedding",
         nCells = 16, seed = 42L)
+      // Capture the trained centroids driver-side (16 x 64 doubles — tiny):
+      // they are the only non-ANSI-SQL ingredient of the q_ann_ivf plan, so
+      // embedding them as literals lets dynamicOracles emit a full DuckDB
+      // oracle for the PRODUCTION ivf path. Verify dumps oracle_sql.json
+      // after the queries run, so the capture is populated there by
+      // construction.
+      capturedCentroids = idx.centroids.collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1)
       idx.copy(assigned = idx.assigned
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     })
+
+  @volatile private var capturedCentroids: Array[(Int, Array[Double])] = Array.empty
 
   /** Hyperplanes shared between q_ann_lsh_oracle's Spark plan and its
     * GENERATED oracle SQL: the seeded gaussians are embedded as double
@@ -76,6 +87,105 @@ object VectorOps {
     (0 until 4).map { b =>
       s"(CASE WHEN list_dot_product(${planeLit(lshOraclePlanes(t)(b))}, $v) >= 0 THEN ${1 << b} ELSE 0 END)"
     }.mkString(" + ")
+
+  /** PRODUCTION-parameter LSH planes (the exact array q_ann_lsh's Spark plan
+    * uses: seed 42, 16 tables x 6 bits, dim 64), for the generated DuckDB
+    * oracle below. 96 planes x 64 doubles is ~130 KB of literals — too big
+    * to inline per signature bit the way sigSql does, so they go into ONE
+    * `(t, b, pl)` VALUES table and signatures are computed relationally:
+    * sig(vec, t) = sum_b (1<<b when list_dot_product(pl, v) >= 0).
+    */
+  private val lshProdTables = 16
+  private val lshProdBits = 6
+  private val lshProdPlanes =
+    graft.ops.Similarity.hyperplanes(seed = 42L, tables = lshProdTables,
+      bits = lshProdBits, dim = lshOracleDim)
+
+  private def planesValues(planes: Array[Array[Array[Double]]]): String =
+    (for {
+      t <- planes.indices
+      b <- planes(t).indices
+    } yield s"($t, $b, ${planeLit(planes(t)(b))})").mkString(",\n    ")
+
+  /** Generated oracle for q_ann_lsh at production parameters: the full LSH
+    * pipeline (per-table bit signature -> (table, bucket) equi-join ->
+    * exact cosine re-rank -> per-query top-k) in ANSI-ish DuckDB SQL with
+    * the seeded planes as a VALUES table. Signature arithmetic matches
+    * LshSignatures bit-for-bit: plane-first sequential dot, >= 0 sets bit b.
+    */
+  private def lshProdOracle: String =
+    s"""WITH e AS (SELECT vec_id, [cast(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+       |planes AS (SELECT * FROM (VALUES
+       |    ${planesValues(lshProdPlanes)}) AS p(t, b, pl)),
+       |q0 AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 3),
+       |c0 AS (SELECT vec_id, v FROM e WHERE vec_id >= 3),
+       |cs AS (SELECT c0.vec_id, p.t,
+       |         cast(sum(CASE WHEN list_dot_product(p.pl, c0.v) >= 0 THEN (1 << p.b) ELSE 0 END) AS INTEGER) AS sig
+       |       FROM c0 CROSS JOIN planes p GROUP BY 1, 2),
+       |cb AS (SELECT cs.vec_id, c0.v, cs.t, cs.sig FROM cs JOIN c0 USING (vec_id)),
+       |qs AS (SELECT q0.qid, p.t,
+       |         cast(sum(CASE WHEN list_dot_product(p.pl, q0.qv) >= 0 THEN (1 << p.b) ELSE 0 END) AS INTEGER) AS sig
+       |       FROM q0 CROSS JOIN planes p GROUP BY 1, 2),
+       |qb AS (SELECT qs.qid, q0.qv, qs.t, qs.sig FROM qs JOIN q0 USING (qid)),
+       |cand AS (
+       |  SELECT DISTINCT qb.qid, cb.vec_id,
+       |    list_dot_product(cb.v, qb.qv) /
+       |      (sqrt(list_dot_product(cb.v, cb.v)) * sqrt(list_dot_product(qb.qv, qb.qv))) AS cos
+       |  FROM cb JOIN qb ON cb.t = qb.t AND cb.sig = qb.sig),
+       |ranked AS (
+       |  SELECT qid, vec_id, cos,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+       |  FROM cand)
+       |SELECT qid, vec_id, round(cos, 4) AS cos FROM ranked WHERE rk <= 5
+       |ORDER BY qid, vec_id""".stripMargin
+
+  /** Generated oracle for q_ann_ivf, available once ivfIdx has trained in
+    * this JVM (always true under Verify's run-then-dump order): centroids as
+    * literals, cell assignment = argmin Euclidean distance over the
+    * L2-normalized vector (KMeans' EuclideanDistanceMeasure keeps the FIRST
+    * of tied minima, matched here by the `ORDER BY dist, cell` row_number),
+    * probe = nProbe nearest cells by -dot(unit, centroid), exact cosine
+    * re-rank inside probed cells.
+    */
+  private def ivfProdOracle(cents: Array[(Int, Array[Double])]): String = {
+    val values = cents.map { case (i, c) => s"($i, ${planeLit(c)})" }
+      .mkString(",\n    ")
+    s"""WITH e AS (SELECT vec_id, [cast(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+       |u AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+       |        [x / sqrt(list_dot_product(v, v)) for x in v] AS unit FROM e),
+       |cents AS (SELECT * FROM (VALUES
+       |    $values) AS c(cell, cv)),
+       |assigned AS (
+       |  SELECT vec_id, v, nrm, cell FROM (
+       |    SELECT u.vec_id, u.v, u.nrm, c.cell,
+       |      row_number() OVER (PARTITION BY u.vec_id
+       |        ORDER BY list_distance(u.unit, c.cv), c.cell) AS rk
+       |    FROM u CROSS JOIN cents c WHERE u.vec_id >= 3) WHERE rk = 1),
+       |probed AS (
+       |  SELECT qid, qv, qnrm, cell FROM (
+       |    SELECT u.vec_id AS qid, u.v AS qv, u.nrm AS qnrm, c.cell,
+       |      row_number() OVER (PARTITION BY u.vec_id
+       |        ORDER BY -list_dot_product(u.unit, c.cv), c.cell) AS pr
+       |    FROM u CROSS JOIN cents c WHERE u.vec_id < 3) WHERE pr <= 4),
+       |scored AS (
+       |  SELECT p.qid, a.vec_id, list_dot_product(a.v, p.qv) / (a.nrm * p.qnrm) AS cos
+       |  FROM assigned a JOIN probed p USING (cell)),
+       |ranked AS (
+       |  SELECT qid, vec_id, cos,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+       |  FROM scored)
+       |SELECT qid, vec_id, round(cos, 4) AS cos FROM ranked WHERE rk <= 5
+       |ORDER BY qid, vec_id""".stripMargin
+  }
+
+  /** Oracles that need runtime-derived literals (trained k-means centroids).
+    * Empty until q_ann_ivf's index builds; SparkEntry.oracleSql merges this
+    * in, and Verify's run-then-dump order guarantees it is populated there.
+    */
+  def dynamicOracles: Map[String, String] =
+    if (capturedCentroids.nonEmpty)
+      Map("q_ann_ivf" -> ivfProdOracle(capturedCentroids))
+    else Map.empty
 
   val entries: Seq[(String, Fn, String)] = Seq(
 
@@ -144,9 +254,12 @@ object VectorOps {
          |FROM e GROUP BY 1 ORDER BY 1""".stripMargin),
 
     // -- approximate NN via random-hyperplane LSH (the 100 TB path): bucket
-    //    join + exact re-rank. Not ANSI-SQL-expressible (seeded gaussian
-    //    planes) -> rows-only driver check; recall is asserted against
-    //    bruteTopK in graft.ops.OpsSpec --------------------------------------
+    //    join + exact re-rank at PRODUCTION parameters. The seeded planes
+    //    are embedded in the generated oracle as a (t, b, plane) VALUES
+    //    table (~130 KB of double literals), putting the production path
+    //    under the driver's hash gate; recall is additionally asserted
+    //    against bruteTopK in graft.ops.OpsSpec. dim pinned to the table's
+    //    64 so the Spark planes and the oracle literals are the same array --
     ("q_ann_lsh",
       (s: SparkSession, d: String) => {
         val emb = t(s, d, "embeddings")
@@ -154,11 +267,12 @@ object VectorOps {
           .select(col("vec_id").as("qid"), col("embedding"))
         val corpus = emb.filter(col("vec_id") >= 3).select("vec_id", "embedding")
         graft.ops.Similarity.lshTopK(corpus, queries, "vec_id", "qid", "embedding",
-            k = 5, tables = 16, bits = 6)
+            k = 5, tables = lshProdTables, bits = lshProdBits, seed = 42L,
+            dim = lshOracleDim)
           .select(col("qid"), col("vec_id"), round(col("cos"), 4).as("cos"))
           .orderBy("qid", "vec_id")
       },
-      null),
+      lshProdOracle),
 
     // -- random-hyperplane LSH with the planes embedded in the oracle SQL
     //    as double literals: the full LSH pipeline (fused signature expr →

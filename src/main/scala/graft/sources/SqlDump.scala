@@ -92,15 +92,36 @@ object SqlDump {
       .map(_.trim.replaceAll("\"", "")).toSeq)
   }
 
+  // The VALUES keyword AFTER the table name (and optional column list) —
+  // anchoring here instead of indexOf("VALUES") keeps a table named e.g.
+  // `tvalues` with an explicit column list from starting tuple parsing at
+  // the column list and injecting a garbage row.
+  private val valuesAnchor =
+    """(?is)^\s*INSERT\s+INTO\s+"?[\w.]+"?\s*(?:\([^)]*\)\s*)?VALUES""".r
+
   /** Parse the VALUES tuples of one INSERT statement into rows of
     * nullable strings. Handles `''`-escaped quotes inside literals, bare
     * NULLs, and multi-tuple `VALUES (...),(...)` statements.
+    *
+    * FAILS LOUDLY (IllegalArgumentException) instead of dropping data when
+    * the statement is truncated or malformed: an unterminated quote or
+    * tuple at end-of-input (the signature of a quoted value containing a
+    * literal newline under line-based splitting — sqlite3 .dump and
+    * pg_dump --inserts emit those), a tuple whose field count differs from
+    * `arity`, or an INSERT that yields no complete tuple at all (the
+    * `INSERT INTO t VALUES\n(...)` multi-line style).
     */
   private[sources] def parseValues(stmt: String, arity: Int): Seq[Seq[String]] = {
-    val i0 = {
-      val up = stmt.toUpperCase.indexOf("VALUES")
-      if (up < 0) return Seq.empty
-      up + "VALUES".length
+    def fail(reason: String): Nothing = throw new IllegalArgumentException(
+      s"SqlDump: $reason in INSERT statement " +
+        s"'${stmt.take(120)}${if (stmt.length > 120) "…" else ""}' — if the dump " +
+        "contains multi-line INSERT statements (quoted values with embedded " +
+        "newlines, or tuples on their own lines), re-export with one complete " +
+        "statement per line (sqlite3 .dump does this unless the DATA contains " +
+        "newlines).")
+    val i0 = valuesAnchor.findFirstMatchIn(stmt) match {
+      case Some(m) => m.end
+      case None => return Seq.empty
     }
     val out = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
     var row = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -129,7 +150,9 @@ object SqlDump {
         case '(' if !inTuple => inTuple = true
         case ')' if inTuple =>
           endField()
-          if (row.size == arity) out += row.toSeq
+          if (row.size != arity)
+            fail(s"tuple arity ${row.size} != expected $arity")
+          out += row.toSeq
           row = scala.collection.mutable.ArrayBuffer.empty[String]
           inTuple = false
         case ',' if inTuple => endField()
@@ -138,17 +161,50 @@ object SqlDump {
       }
       i += 1
     }
+    if (inQuote) fail("unterminated quoted literal at end of line")
+    if (inTuple) fail("unterminated VALUES tuple at end of line")
+    if (out.isEmpty) fail("no complete VALUES tuple on the statement line")
     out.toSeq
   }
+
+  // Dump text persisted per path, released via [[release]] (Database.exit
+  // calls it) — without a release hook every .sql open would pin the full
+  // file in the block-manager cache for the session lifetime.
+  private val openDumps =
+    scala.collection.concurrent.TrieMap.empty[String, Dataset[String]]
+
+  /** Unpersist the cached dump text for `path` (idempotent). The returned
+    * DataFrames re-parse from disk afterwards; callers keeping tables hot
+    * should persist those tables instead.
+    */
+  def release(path: String): Unit =
+    openDumps.remove(path).foreach(ds =>
+      try ds.unpersist(false) catch { case _: Throwable => () })
+
+  /** Collected non-INSERT text cap: DDL for any sane schema is KBs. A dump
+    * whose bulk is COPY blocks or comments would otherwise flood the driver
+    * through the DDL collect — fail with a crisp message instead.
+    */
+  private val maxDdlBytes = 8L << 20
 
   /** Open every table in the dump as a typed DataFrame. */
   def open(spark: SparkSession, path: String): Map[String, DataFrame] = {
     import spark.implicits._
-    val lines: Dataset[String] = spark.read.textFile(path)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lines: Dataset[String] = openDumps.getOrElseUpdate(path,
+      spark.read.textFile(path)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
     // DDL: drop the INSERT bulk distributed, collect the remnant in file
-    // order (zipWithIndex preserves a single text file's line order)
+    // order (zipWithIndex preserves a single text file's line order).
+    // Guarded: the non-INSERT remnant must stay driver-sized.
+    val ddlBytes = lines
+      .filter(l => !l.trim.toUpperCase.startsWith("INSERT "))
+      .agg(sum(length(col("value")))).as[Option[Long]].head().getOrElse(0L)
+    require(ddlBytes <= maxDdlBytes,
+      s"'$path': non-INSERT content is $ddlBytes bytes (cap $maxDdlBytes). " +
+        "This reader collects DDL to the driver and expects the dump bulk to " +
+        "be one-line INSERT statements (sqlite3 .dump / pg_dump --inserts " +
+        "form); COPY-based or comment-heavy dumps are not supported.")
     val ddl = lines.rdd.zipWithIndex()
       .filter { case (l, _) => !l.trim.toUpperCase.startsWith("INSERT ") }
       .collect().sortBy(_._2).map(_._1).mkString("\n")

@@ -130,6 +130,44 @@ object EventStream {
         col("e_ts"), col("p_ts"), col("purchase_value"))
   }
 
+  /** Incremental HLL sketch store: every micro-batch appends its own
+    * per-(hour, event_type) user sketch rows to `storePath` — "sketches as
+    * incremental state". No streaming aggregation state or watermark is
+    * involved because HLL union is associative: the append-only store IS
+    * the state, and [[servedDistinctUsers]] answers any later rollup by
+    * pure sketch union without rescanning raw events. At 100 TB this is
+    * the pattern that keeps distinct-user serving O(groups × KB): the
+    * stream writes KB-sized sketch rows, never raw ids, and re-aggregation
+    * cost is proportional to the store, not the history.
+    */
+  def sketchStoreSink(events: DataFrame, storePath: String,
+      checkpoint: String, lgK: Int = 12): StreamingQuery = {
+    val q = events.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch
+          .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
+          .agg(hll_sketch_agg(col("user_id"), lit(lgK)).as("sketch"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(storePath)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    q
+  }
+
+  /** Serve hourly-or-coarser distinct-user rollups from a [[sketchStoreSink]]
+    * store by sketch union (graft.ops.Sketches.rollup): `keep` ⊆
+    * (hour_start, event_type). Estimates are IDENTICAL to a batch
+    * `approx_count_distinct` at the same lgK — HLL union is a lossless
+    * merge of the per-batch sketches.
+    */
+  def servedDistinctUsers(spark: SparkSession, storePath: String,
+      keep: Seq[String]): DataFrame =
+    graft.ops.Sketches.rollup(spark.read.parquet(storePath), keep,
+      estimateAs = "approx_users")
+
   /** Run a streaming DataFrame to a named in-memory sink until all source
     * data is processed (synchronous smoke path for tests/demos).
     */

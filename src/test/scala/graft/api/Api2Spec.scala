@@ -26,6 +26,22 @@ class Api2Spec extends SparkSuite {
     cdb.exit()
   }
 
+  test("CSV header/table-name sanitization (reference utils.py:233-238: ' '/'-' -> '_', lowercase)") {
+    val dir = Files.createTempDirectory("graftcsvnorm").toString
+    Files.write(java.nio.file.Paths.get(dir, "First Survey-2024.csv"),
+      "First Name,Last-Name,Total Score\nann,lee,9.5\nbob,ray,7.0\n".getBytes)
+    val cdb = Database.open(spark, dir)
+    assert(cdb.tables == Seq("First_Survey_2024")) // stem: separators only, case kept
+    val t = cdb("First_Survey_2024")
+    assert(t.columns == Seq("first_name", "last_name", "total_score"))
+    assert(t.col("total_score").sum == 16.5)
+    // the sanitized names are SQL-addressable through the registered view
+    assert(cdb.query(
+      "SELECT first_name FROM First_Survey_2024 ORDER BY total_score DESC")
+      .head.getString(0) == "ann")
+    cdb.exit()
+  }
+
   test("FileTypeError on directory without tables") {
     val dir = Files.createTempDirectory("graftempty").toString
     intercept[FileTypeError](Database.open(spark, dir))

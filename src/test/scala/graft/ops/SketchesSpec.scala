@@ -58,6 +58,17 @@ class SketchesSpec extends SparkSuite {
     assert(all.size == 10 && (0 until 10).forall(i => all(s"item_$i") == (1L << (10 - i))))
   }
 
+  test("frequentItems accepts column names needing backquoting (dots, spaces, hyphens)") {
+    import spark.implicits._
+    val df = Seq("a", "a", "b").toDF("the word")
+      .withColumn("dot.ted", org.apache.spark.sql.functions.col("`the word`"))
+    assert(Sketches.frequentItems(df, "the word", k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("a", 2L), ("b", 1L)))
+    assert(Sketches.frequentItems(df, "dot.ted", k = 1)
+      .head().getString(0) == "a")
+  }
+
   test("sketch aggregation plans with a map-side partial") {
     val events = spark.read.parquet(s"$sfDir/events.parquet")
     val plan = Sketches.approxDistinct(events, Seq("event_type"), "user_id")

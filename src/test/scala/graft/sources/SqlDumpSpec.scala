@@ -42,6 +42,69 @@ class SqlDumpSpec extends SparkSuite {
     assert(multi == Seq(Seq("1", "a"), Seq("2", "b"), Seq("3", null)))
   }
 
+  test("parseValues anchors on the statement's VALUES keyword, not a VALUES-ish table name") {
+    // a table named `tvalues` with an explicit column list: indexOf("VALUES")
+    // would start at the column list and inject a garbage ("a","b") row
+    assert(SqlDump.parseValues("INSERT INTO tvalues (a, b) VALUES (1, 2);", 2) ==
+      Seq(Seq("1", "2")))
+    assert(SqlDump.parseValues("""INSERT INTO "tvalues" VALUES (7, 'x');""", 2) ==
+      Seq(Seq("7", "x")))
+  }
+
+  test("parseValues fails loudly on truncated statements instead of dropping rows") {
+    // quoted value with an embedded newline: line-splitting leaves an
+    // unterminated literal on the first physical line
+    val e1 = intercept[IllegalArgumentException] {
+      SqlDump.parseValues("INSERT INTO t VALUES (1, 'line one", 2)
+    }
+    assert(e1.getMessage.contains("unterminated quoted literal"))
+    // tuple split across lines -> unterminated tuple
+    val e2 = intercept[IllegalArgumentException] {
+      SqlDump.parseValues("INSERT INTO t VALUES (1, 2", 2)
+    }
+    assert(e2.getMessage.contains("unterminated VALUES tuple"))
+    // pg_dump multi-row style with tuples on their own lines -> the VALUES
+    // line itself yields nothing
+    val e3 = intercept[IllegalArgumentException] {
+      SqlDump.parseValues("INSERT INTO t VALUES", 2)
+    }
+    assert(e3.getMessage.contains("no complete VALUES tuple"))
+    // arity mismatch is a parse error, not a silent drop
+    val e4 = intercept[IllegalArgumentException] {
+      SqlDump.parseValues("INSERT INTO t VALUES (1, 2, 3);", 2)
+    }
+    assert(e4.getMessage.contains("arity"))
+  }
+
+  test("open refuses a dump whose non-INSERT bulk would flood the driver") {
+    val dir = java.nio.file.Files.createTempDirectory("graftsqlbulk").toString
+    val p = java.nio.file.Paths.get(dir, "bulk.sql")
+    val w = java.nio.file.Files.newBufferedWriter(p)
+    try {
+      w.write("CREATE TABLE t (a integer);\n")
+      w.write("INSERT INTO t VALUES (1);\n")
+      val comment = "-- " + ("x" * 997) + "\n"
+      (0 until 9000).foreach(_ => w.write(comment)) // ~9 MB of comments
+    } finally w.close()
+    val e = intercept[IllegalArgumentException] {
+      SqlDump.open(spark, p.toString)
+    }
+    assert(e.getMessage.contains("non-INSERT content"))
+    SqlDump.release(p.toString)
+  }
+
+  test("release drops the cached dump text and is idempotent; exit releases") {
+    val dir = java.nio.file.Files.createTempDirectory("graftsqlrel").toString
+    val p = java.nio.file.Paths.get(dir, "r.sql")
+    java.nio.file.Files.write(p,
+      "CREATE TABLE t (a integer);\nINSERT INTO t VALUES (1);\n".getBytes)
+    val db = Database.open(spark, p.toString)
+    assert(db("t").len == 1)
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty)
+    db.exit() // releases the dump text via SqlDump.release
+    SqlDump.release(p.toString) // idempotent
+  }
+
   test("explicit column-list INSERT reorders into DDL order, nulls omitted columns") {
     val dir = java.nio.file.Files.createTempDirectory("graftsqldump").toString
     java.nio.file.Files.write(java.nio.file.Paths.get(dir, "d.sql"),
@@ -53,6 +116,38 @@ class SqlDumpSpec extends SparkSuite {
     val rows = tables("t").orderBy("a").collect()
       .map(r => (r.get(0), r.get(1), r.get(2))).toSeq
     assert(rows == Seq((1L, null, 30L), (2L, "x", 60L), (3L, "y", 90L)))
+  }
+
+  test("the documented .db workaround end-to-end: sqlite3 .dump output of forestation.db opens") {
+    // binary SQLite .db stays out of scope (no SQLite driver in a zero-dep
+    // build; Database.open raises FileTypeError on it) — the documented
+    // workaround is `sqlite3 forestation.db .dump > forestation.sql` then
+    // Database.open("forestation.sql"). The fixture is real `.dump`-format
+    // output of the reference's data/forestation.db (schema + 40 rows/table).
+    val res = getClass.getResource("/forestation_subset.sql")
+    assume(res != null, "forestation dump fixture missing")
+    val db = Database.open(spark, res.getPath)
+    assert(db.tables == Seq("forest_area", "land_area", "regions"))
+    // typed per SQLite affinity: INTEGER -> bigint, REAL -> double
+    val fa = db("forest_area").toDf
+    assert(fa.schema("year").dataType.simpleString == "bigint")
+    assert(fa.schema("forest_area_sqkm").dataType.simpleString == "double")
+    // golden rows vs the reference database content
+    val aruba = db.query(
+      "SELECT year, forest_area_sqkm FROM forest_area WHERE country_code = 'ABW' ORDER BY year DESC LIMIT 1")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(aruba == Seq((2016L, 4.199999869)))
+    val la = db.query(
+      "SELECT total_area_sq_mi FROM land_area WHERE country_code = 'ABW' AND year = 2016")
+      .collect().map(_.getDouble(0)).toSeq
+    assert(la == Seq(69.5))
+    assert(db("regions").toDf.where("income_group = 'Low income'").count() > 0)
+    db.exit()
+    // and the direct .db open fails with the pointer, as documented
+    val err = intercept[graft.api.FileTypeError] {
+      Database.open(spark, "/root/reference/data/forestation.db")
+    }
+    assert(err.getMessage.contains(".sql"))
   }
 
   test("opens the reference parch-and-posey dump: catalog, counts, golden join") {

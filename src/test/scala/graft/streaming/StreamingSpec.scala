@@ -56,6 +56,56 @@ class StreamingSpec extends SparkSuite {
     assert(graft.ops.Sketches.estimateAll(total) == 2L) // users 1 and 2
   }
 
+  test("HLL sketch store: per-batch sketches union to exactly the batch estimate") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graftsketch_src").toString
+    val store = Files.createTempDirectory("graftsketch_store").toString + "/sketches"
+    val ckpt = Files.createTempDirectory("graftsketch_ck").toString
+    def ev(id: Long, ts: String, user: Long, typ: String) =
+      s"""{"event_id":$id,"ts":"$ts","user_id":$user,"event_type":"$typ","value":1.0,"props":"{}"}"""
+    // two micro-batches with overlapping users across batches and hours
+    val f0 = java.nio.file.Paths.get(dir, "b0.json")
+    val f1 = java.nio.file.Paths.get(dir, "b1.json")
+    Files.write(f0, Seq(
+      ev(1, "2024-01-01T00:01:00.000Z", 1, "view"),
+      ev(2, "2024-01-01T00:02:00.000Z", 2, "view"),
+      ev(3, "2024-01-01T00:03:00.000Z", 1, "click")).mkString("\n").getBytes)
+    Files.write(f1, Seq(
+      ev(4, "2024-01-01T00:40:00.000Z", 2, "view"),
+      ev(5, "2024-01-01T00:41:00.000Z", 3, "view"),
+      ev(6, "2024-01-01T01:05:00.000Z", 1, "view")).mkString("\n").getBytes)
+    f0.toFile.setLastModified(1000000L)
+    f1.toFile.setLastModified(2000000L)
+
+    val stream = spark.readStream.schema(EventStream.eventSchema)
+      .option("maxFilesPerTrigger", 1).json(dir)
+    EventStream.sketchStoreSink(stream, store, ckpt)
+
+    // the store really is per-batch (two micro-batches appended separately)
+    val sk = spark.read.parquet(store)
+    assert(sk.select("batch_id").distinct().count() == 2)
+    // hour 00 'view' has sketch rows from BOTH batches (users {1,2} and {2,3})
+    assert(sk.filter(col("event_type") === "view" &&
+      hour(col("hour_start")) === 0).count() == 2)
+
+    // serving by union == one-shot batch estimate on the raw data, exactly
+    val served = EventStream.servedDistinctUsers(spark, store,
+        Seq("hour_start", "event_type"))
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSet
+    val batch = spark.read.schema(EventStream.eventSchema).json(dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12))).as("approx_users"))
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSet
+    assert(served == batch && served.nonEmpty)
+    // exact at this cardinality: hour-0 view = users {1,2,3}
+    assert(served.exists { case (h, t, n) => h.startsWith("2024-01-01 00") && t == "view" && n == 3L })
+
+    // coarser rollups reuse the SAME store — no raw-event rescan
+    val byType = EventStream.servedDistinctUsers(spark, store, Seq("event_type"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(byType == Map("view" -> 3L, "click" -> 1L))
+  }
+
   test("stream-stream join: errors matched to recent purchases per user") {
     val dir = java.nio.file.Files.createTempDirectory("graftss").toString
     val lines = Seq(
