@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Encoder}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Exact-k per-stratum uniform sampling as a MERGEABLE bounded-heap
+  * aggregation — the reservoir-style twin of Curation.stratifiedSample for
+  * strata of unknown (and possibly enormous) size.
+  *
+  * Both produce the same sample: the k rows with the SMALLEST deterministic
+  * hash key per stratum ("bottom-k by hash", the classic mergeable uniform
+  * sample without replacement — any fixed hash of a unique id is a uniform
+  * permutation, so its k smallest are a uniform k-subset, and bottom-k sets
+  * merge associatively by keep-k-smallest). The difference is the plan:
+  *
+  *  - window variant (Curation.stratifiedSample): shuffles EVERY row to its
+  *    stratum's partition, then rank-limits (Spark's WindowGroupLimit
+  *    bounds the sort, but the full-row shuffle remains) — fine when the
+  *    sample is a large fraction;
+  *  - this variant: a typed Aggregator whose buffer is the k smallest
+  *    (key, id) pairs, planned by Spark as partial-per-partition +
+  *    final-merge (like sum) — each partition ships AT MOST k candidate
+  *    pairs per stratum across the shuffle, never the rows. At 100 TB with
+  *    k=1000 per language, the shuffle is KBs per partition instead of the
+  *    corpus.
+  *
+  * Sampled rows are then fetched by a semi-join on id (broadcast when the
+  * total sample is small). Determinism: md5 of the id string — stable
+  * across runs, engines (DuckDB computes the identical key), and cluster
+  * topology; OpsSpec asserts equality with the window variant.
+  */
+object Reservoir {
+
+  /** One sampling candidate: the hash key and the row id it belongs to. */
+  final case class Cand(key: String, id: Long)
+
+  /** Keep-k-smallest merge of two sorted candidate lists (each ≤ k). */
+  private def mergeK(a: Seq[Cand], b: Seq[Cand], k: Int): Seq[Cand] = {
+    val out = new scala.collection.mutable.ArrayBuffer[Cand](k)
+    var i = 0; var j = 0
+    while (out.length < k && (i < a.length || j < b.length)) {
+      val takeA = j >= b.length ||
+        (i < a.length && (a(i).key < b(j).key ||
+          (a(i).key == b(j).key && a(i).id <= b(j).id)))
+      if (takeA) { out += a(i); i += 1 } else { out += b(j); j += 1 }
+    }
+    out.toSeq
+  }
+
+  /** Mergeable bottom-k aggregator: buffer = the k smallest candidates seen,
+    * sorted ascending by (key, id). reduce is an O(k) insertion, merge an
+    * O(k) two-pointer merge — both bounded regardless of stratum size.
+    */
+  final class BottomK(k: Int)(implicit enc: Encoder[Seq[Cand]])
+      extends Aggregator[Cand, Seq[Cand], Seq[Cand]] {
+    override def zero: Seq[Cand] = Vector.empty
+    override def reduce(buf: Seq[Cand], c: Cand): Seq[Cand] = mergeK(buf, Seq(c), k)
+    override def merge(a: Seq[Cand], b: Seq[Cand]): Seq[Cand] = mergeK(a, b, k)
+    override def finish(r: Seq[Cand]): Seq[Cand] = r
+    override def bufferEncoder: Encoder[Seq[Cand]] = enc
+    override def outputEncoder: Encoder[Seq[Cand]] = enc
+  }
+
+  /** Exact-k uniform sample per stratum. Returns (stratumCol, idCol) rows —
+    * join back on idCol for payload columns. `idCol` must be unique per row
+    * (it seeds the hash key).
+    */
+  def sampleK(df: DataFrame, stratumCol: String, idCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyed = df.select(col(stratumCol).cast("string").as("__s"),
+        md5(col(idCol).cast("string")).as("key"), col(idCol).cast("long").as("id"))
+      .as[(String, String, Long)]
+      .map { case (s, key, id) => (s, Cand(key, id)) }
+    keyed.groupByKey(_._1).mapValues(_._2)
+      .agg(new BottomK(k).toColumn.name("cands"))
+      .flatMap { case (s, cands) => cands.map(c => (s, c.id)) }
+      .toDF(stratumCol, idCol)
+  }
+}

@@ -41,6 +41,25 @@ object TrainOps {
         |  FROM documents)
         |WHERE rk <= 3 ORDER BY lang, rk""".stripMargin),
 
+    // -- the SAME bottom-k-by-hash sample computed the reservoir way: a
+    //    mergeable bounded-heap Aggregator (graft.ops.Reservoir) planned as
+    //    partial-per-partition + final-merge, so each partition ships at
+    //    most k candidate (key, id) pairs per stratum across the shuffle —
+    //    never the rows. The unknown-stratum-size / tiny-sample-fraction
+    //    scale shape; oracle identical to the window formulation by
+    //    construction ----------------------------------------------------
+    ("q_reservoir_sample",
+      (s: SparkSession, d: String) =>
+        graft.ops.Reservoir.sampleK(
+            t(s, d, "documents").select("lang", "doc_id"), "lang", "doc_id", k = 3)
+          .orderBy("lang", "doc_id"),
+      """SELECT lang, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(cast(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 3 ORDER BY lang, doc_id""".stripMargin),
+
     // -- sequence packing: assign docs (in stable id order, per language) to
     //    fixed-token-budget shards via the exclusive running token count —
     //    the scan-friendly greedy packer. Partitioned by lang, so the window

@@ -261,6 +261,29 @@ class OpsSpec extends SparkSuite {
     }
   }
 
+  test("Reservoir.sampleK == window bottom-k-by-hash; merges partially; k caps strata") {
+    import org.apache.spark.sql.expressions.Window
+    val src = docs.select(col("lang"), col("doc_id"))
+    val res = Reservoir.sampleK(src, "lang", "doc_id", k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // identical sample to the window formulation (same bottom-k-by-md5 set)
+    val w = Window.partitionBy("lang")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val win = src.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(res == win && res.nonEmpty)
+    // exactly min(k, |stratum|) per stratum
+    val perLang = res.groupBy(_._1).map { case (l, s) => l -> s.size }
+    val sizes = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perLang == sizes.map { case (l, n) => l -> math.min(5L, n).toInt })
+    // the aggregation is partial (map-side combine of bounded buffers),
+    // not a full-row shuffle: two ObjectHashAggregate stages
+    val plan = Reservoir.sampleK(src, "lang", "doc_id", 5)
+      .queryExecution.executedPlan.toString
+    assert("ObjectHashAggregate".r.findAllIn(plan).length >= 2, plan)
+  }
+
   /** In-memory PNG with every pixel set to gray level `v` (R=G=B=v). */
   private def grayPng(w: Int, h: Int, v: Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(w, h,

@@ -142,6 +142,25 @@ class PlanSpec extends SparkSuite {
       s"1-row max should broadcast:\n$p")
   }
 
+  test("lang-id stopword counting stays codegen'd: explode + In, no interpreted HOF") {
+    val p = plan("q_lang_id")
+    // the pre-round-6 plan was filter(w, _.isin(...)) — an ArrayFilter HOF
+    // whose lambda evaluates interpreted per token (the suite's slowest
+    // query); the fix explodes to a flat column so the membership test is
+    // a codegen'd In and the per-doc count is a partial hash aggregate
+    assert(!p.contains("array_filter") && !p.contains("ArrayFilter"),
+      s"stopword test regressed to an interpreted HOF:\n$p")
+    assert(p.contains("Generate explode"), s"expected explode:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"expected map-side partial aggregation:\n$p")
+  }
+
+  test("reservoir sample aggregates bounded buffers partially (no full-row shuffle)") {
+    val p = plan("q_reservoir_sample")
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+      s"expected partial+final object hash aggregate:\n$p")
+  }
+
   test("whole-stage codegen covers the hot aggregation path") {
     val qe = graft.SparkEntry.queries("q_groupby_agg")(spark, sfDir).queryExecution
     val p = qe.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
