@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over a pair list — the cluster-closure
+  * step of large-scale dedup. MinHash/SimHash/semantic passes emit PAIRS;
+  * grouping them into components is what turns "a~b, b~c" into one cluster
+  * with one canonical representative (the min id), including chains the
+  * single-pass star grouping in Similarity.semanticDedup deliberately
+  * approximates away.
+  *
+  * Algorithm: alternating large-star / small-star contraction (Kiveris et
+  * al., "Connected Components in MapReduce and Beyond", SoCC 2014) — each
+  * round is two aggregate+join rounds over the edge list, and the edge set
+  * converges to per-component stars rooted at the component minimum in
+  * O(log n) rounds in practice. Both phases are plain groupBy-min +
+  * equi-join (no per-node adjacency materialization, no collect_list), so
+  * a round shuffles O(|E|) tuples of two longs no matter how skewed the
+  * graph — the 100 TB shape. An iterative min-label propagation would need
+  * O(diameter) rounds; star contraction collapses long chains
+  * exponentially.
+  *
+  * Convergence is detected by an order-insensitive edge-set checksum
+  * (count + sum of xxhash64(u, v)) — two tiny driver-side aggregates per
+  * round; intermediate edge sets are persisted per round and the previous
+  * round unpersisted.
+  */
+object ConnectedComponents {
+
+  /** One large-star round: every node connects its LARGER neighbors to its
+    * minimum neighbor (or itself if smaller). Input/output edges oriented
+    * big → small.
+    */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val mins = sym.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
+    sym.join(mins, "u").filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+  }
+
+  /** One small-star round: every node connects its SMALLER neighbors (and
+    * itself) to the smallest of them. Requires big → small orientation,
+    * preserves it.
+    */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val mins = e.groupBy("u").agg(min(col("v")).as("m"))
+    e.join(mins, "u").select(col("v").as("u"), col("m").as("v"))
+      .union(mins.select(col("u"), col("m").as("v")))
+      .filter(col("u") =!= col("v")).distinct()
+  }
+
+  /** Order-insensitive edge-set fingerprint: (|E|, Σ xxhash64(u, v) mod p).
+    * The hash is bounded below 2³⁰ before summing so the sum cannot
+    * overflow a long (ANSI mode throws on overflow) until ~2³³ edges,
+    * far past any converged star forest this runs on.
+    */
+  private def checksum(e: DataFrame): (Long, Long) = {
+    val r = e.agg(count(lit(1)),
+      coalesce(sum(pmod(xxhash64(col("u"), col("v")), lit(1000000007L))), lit(0L))).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Component label (the minimum member id) for every node appearing in
+    * `pairs`. Returns (idCol, component) rows; singleton nodes of the pair
+    * graph label themselves (a node only appears if it is in some pair).
+    */
+  def components(pairs: DataFrame, aCol: String, bCol: String,
+      maxIters: Int = 50): DataFrame = {
+    val e0 = pairs
+      .select(greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("u"),
+        least(col(aCol).cast("long"), col(bCol).cast("long")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    // Each round MUST truncate lineage, not just cache: persist shortcuts
+    // execution but the logical plan still nests the whole iteration
+    // history, so analysis/explain grow exponentially with rounds. An eager
+    // localCheckpoint rebases the plan on the materialized partitions
+    // (blocks are reclaimed by the ContextCleaner once a round's frame is
+    // unreferenced); on a cluster with lossy executors use reliable
+    // checkpoint dirs instead.
+    var edges = e0.localCheckpoint(true)
+    var sig = checksum(edges)
+    var converged = false
+    var iters = 0
+    while (!converged && iters < maxIters) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val nextSig = checksum(next)
+      converged = nextSig == sig
+      edges = next
+      sig = nextSig
+      iters += 1
+    }
+    require(converged, s"connected components did not converge in $maxIters rounds")
+    // at convergence the edge set is a star forest (u, root); nodes absent
+    // as a star leaf are component roots and label themselves
+    val nodes = pairs.select(col(aCol).cast("long").as("id"))
+      .union(pairs.select(col(bCol).cast("long").as("id"))).distinct()
+    nodes.join(edges.withColumnRenamed("u", "id"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("v"), col("id")).as("component"))
+  }
+}

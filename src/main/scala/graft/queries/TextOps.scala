@@ -77,7 +77,8 @@ object TextOps {
     * broad ~0.5 s slowdowns on unrelated queries).
     */
   val cacheConsumers: Set[String] =
-    Set("q_dedup_ngram", "q_dedup_minhash", "q_dedup_verified")
+    Set("q_dedup_ngram", "q_dedup_minhash", "q_dedup_verified",
+      "q_dedup_components")
 
   /** Unpersist + drop every cached helper frame (idempotent). */
   def clearCaches(): Unit = {
@@ -363,6 +364,43 @@ object TextOps {
          |          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jac
          |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
          |SELECT a, b, jac FROM p WHERE jac >= 0.8 ORDER BY a, b""".stripMargin),
+
+    // -- dedup cluster closure: near-dup PAIRS (n-gram jaccard >= 0.5) →
+    //    full connected components via alternating star contraction
+    //    (graft.ops.ConnectedComponents) — the step that turns "a~b, b~c"
+    //    into one cluster with a canonical min-id representative, including
+    //    chains that single-pass star grouping approximates away. Oracle:
+    //    the same pair graph closed by a DuckDB recursive CTE ---------------
+    ("q_dedup_components",
+      (s: SparkSession, d: String) => {
+        val base = shingleDf(s, d)
+        val sizes = base.select(col("doc_id"), size(col("sh")).as("n"))
+        val inv = base.select(col("doc_id"), explode(col("sh")).as("g"))
+        val pairs = inv.alias("x").join(inv.alias("y"),
+            col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
+          .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+          .agg(count(lit(1)).as("common"))
+          .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
+          .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+          .filter(col("common").cast("double") /
+            (col("na") + col("nb") - col("common")) >= 0.5)
+          .select("a", "b")
+        graft.ops.ConnectedComponents.components(pairs, "a", "b")
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id")
+      },
+      s"""WITH RECURSIVE ${shingleCte.stripPrefix("WITH ")},
+         |p AS (
+         |  SELECT a.doc_id AS a, b.doc_id AS b
+         |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+         |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+         |e AS (SELECT a AS u, b AS v FROM p UNION SELECT b, a FROM p),
+         |walk(u, v) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM e)
+         |  UNION
+         |  SELECT w.u, e.v FROM walk w JOIN e ON w.v = e.u)
+         |SELECT u AS doc_id, min(v) AS component FROM walk GROUP BY 1 ORDER BY 1""".stripMargin),
 
     // -- MinHash + LSH banding: 16 md5 min-hashes, 4 bands × 4 rows;
     //    candidates = equi-join on (band index, band hash). md5 is identical
