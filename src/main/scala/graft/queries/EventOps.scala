@@ -28,6 +28,27 @@ object EventOps {
 
   val entries: Seq[(String, Fn, String)] = Seq(
 
+    // -- skew-salted shuffle join (graft.ops.Skew): the fact side's hot
+    //    keys spread over 8 sub-keys, the dim side replicated per sub-key;
+    //    merge hint forces the shuffled join the technique exists for
+    //    (broadcast would bypass it at bench scale). Result provably equals
+    //    the plain join — the oracle IS the plain join ---------------------
+    ("q_salted_join",
+      (s: SparkSession, d: String) => {
+        val ev = t(s, d, "events").select("event_id", "event_type")
+        val dim = ev.groupBy("event_type").agg(min("event_id").as("base_id"))
+        graft.ops.Skew.saltedJoin(ev, dim.hint("merge"), "event_type", salt = 8)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("event_id") - col("base_id")).as("drift"))
+          .orderBy("event_type")
+      },
+      """WITH d AS (SELECT event_type, min(event_id) AS base_id FROM events GROUP BY 1)
+        |SELECT e.event_type, count(*) AS cnt,
+        |  cast(sum(e.event_id - d.base_id) AS BIGINT) AS drift
+        |FROM events e JOIN d USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // -- tumbling-window (hourly) aggregation; in streaming this is
     //    groupBy(window($"ts", "1 hour")) with a watermark ------------------
     ("q_events_hourly",

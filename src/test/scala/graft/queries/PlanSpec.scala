@@ -155,6 +155,13 @@ class PlanSpec extends SparkSuite {
       s"expected map-side partial aggregation:\n$p")
   }
 
+  test("salted join plans as a shuffled join on (key, salt), not broadcast") {
+    val p = plan("q_salted_join")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"salting is pointless under a broadcast join:\n$p")
+    assert(p.contains("__salt"), s"join keys should include the salt:\n$p")
+  }
+
   test("reservoir sample aggregates bounded buffers partially (no full-row shuffle)") {
     val p = plan("q_reservoir_sample")
     assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
