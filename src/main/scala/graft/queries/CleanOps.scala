@@ -22,6 +22,28 @@ object CleanOps {
 
   val entries: Seq[(String, Fn, String)] = Seq(
 
+    // -- Bloom-prefiltered exact decontamination (ops/Bloom + the native
+    //    BloomMightContain predicate): benchmark fingerprints become a
+    //    broadcast Bloom sketch; corpus rows the sketch rules out skip the
+    //    anti-join shuffle entirely, the maybe-fraction confirms exactly.
+    //    Result == plain anti-join (no false negatives; false positives
+    //    removed by the confirm), so the oracle is the exact NOT IN --------
+    ("q_decontaminate_bloom",
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        val bench = docs.filter(col("doc_id") < 50).select(md5(col("text")).as("fp"))
+        val corpus = docs.filter(col("doc_id") >= 50)
+          .select(col("lang"), md5(col("text")).as("fp"))
+        graft.ops.Bloom.bloomAntiJoin(corpus, bench, "fp")
+          .groupBy("lang").agg(count(lit(1)).as("kept"))
+          .orderBy("lang")
+      },
+      """WITH bench AS (SELECT md5(text) AS fp FROM documents WHERE doc_id < 50),
+        |corpus AS (SELECT lang, md5(text) AS fp FROM documents WHERE doc_id >= 50)
+        |SELECT lang, count(*) AS kept FROM corpus
+        |WHERE fp NOT IN (SELECT fp FROM bench)
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // -- PII detection + redaction (ops/Privacy): inject deterministic
     //    emails/phones/IPs keyed off doc_id, count matches per class, and
     //    measure chars removed by the placeholder rewrite. Patterns stay in
