@@ -188,6 +188,159 @@ object TpchOps {
         |      FROM li GROUP BY 1)
         |SELECT l_partkey, l_suppkey, min_price
         |FROM li JOIN m ON l_partkey = mp AND l_extendedprice = min_price
-        |ORDER BY 1, 2""".stripMargin)
+        |ORDER BY 1, 2""".stripMargin),
+
+    // -- Q4 analogue (order priority checking): orders in a quarter having
+    //    at least one LATE lineitem (shipped > 60 days after order) — the
+    //    correlated-EXISTS shape, planned as a left-semi join so the fact
+    //    table is probed once, never row-subqueried --------------------------
+    ("q_tpch_q4",
+      (s: SparkSession, d: String) => {
+        val o = t(s, d, "orders")
+          .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+        val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+        o.join(li,
+            col("l_orderkey") === col("o_orderkey") &&
+              col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+            "left_semi")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy("o_orderpriority")
+      },
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // -- Q7 analogue (volume shipping): revenue between a chosen nation
+    //    pair, both directions, by ship year — two broadcast copies of the
+    //    nation dim under different aliases, disjunctive pair predicate -----
+    ("q_tpch_q7",
+      (s: SparkSession, d: String) => {
+        val n1 = broadcast(t(s, d, "nation")
+          .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation")))
+        val n2 = broadcast(t(s, d, "nation")
+          .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation")))
+        t(s, d, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+          .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+          .join(n1, col("s_nationkey") === col("sn_key"))
+          .join(n2, col("c_nationkey") === col("cn_key"))
+          .filter((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_7") ||
+            (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).cast("long").as("l_year"))
+          .agg(round(revenueSum, 4).as("revenue"))
+          .orderBy("supp_nation", "cust_nation", "l_year")
+      },
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |  year(l_shipdate) AS l_year, round($sqlRevenueSum, 4) AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |  AND l_shipdate < TIMESTAMP '1998-01-01'
+         |  AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+         |    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin),
+
+    // -- Q13 analogue (customer order-count distribution): LEFT join with a
+    //    join-side filter (non-urgent orders only), then a histogram of the
+    //    per-customer counts — null-preserving outer join + double agg ------
+    ("q_tpch_q13",
+      (s: SparkSession, d: String) => {
+        val o = t(s, d, "orders")
+          .filter(col("o_orderpriority") =!= "1-URGENT")
+          .select(col("o_custkey"), col("o_orderkey"))
+        val per = t(s, d, "customer")
+          .join(o, col("c_custkey") === col("o_custkey"), "left")
+          .groupBy("c_custkey")
+          .agg(count(col("o_orderkey")).as("c_count"))
+        per.groupBy("c_count").agg(count(lit(1)).as("custdist"))
+          .orderBy(desc("custdist"), desc("c_count"))
+      },
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY 1)
+        |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin),
+
+    // -- Q19 analogue (discounted revenue, OR-of-ANDs): three disjoint
+    //    brand/size/quantity bands — the disjunctive-predicate pushdown
+    //    test; part is a broadcast dim, the common l_quantity <= 30 bound
+    //    is factorable and should reach the lineitem scan ------------------
+    ("q_tpch_q19",
+      (s: SparkSession, d: String) => {
+        val li = t(s, d, "lineitem")
+          .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
+          .filter(
+            (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+              col("l_quantity").between(1, 11)) ||
+            (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+              col("l_quantity").between(10, 20)) ||
+            (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+              col("l_quantity").between(20, 30)))
+        li.agg(round(revenueSum, 4).as("revenue"),
+          count(lit(1)).as("n_items"))
+      },
+      s"""SELECT round($sqlRevenueSum, 4) AS revenue, count(*) AS n_items
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+         |        AND l_quantity BETWEEN 1 AND 11)
+         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+         |        AND l_quantity BETWEEN 10 AND 20)
+         |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+         |        AND l_quantity BETWEEN 20 AND 30)""".stripMargin),
+
+    // -- Q22 analogue (global sales opportunity): customers with
+    //    above-average balance and no URGENT orders, by nation (every
+    //    synthetic customer has SOME order, so the classic no-orders form
+    //    returns empty — the urgent-filtered NOT IN keeps the same
+    //    anti-join shape with a non-trivial result). The average is a
+    //    1-row broadcast; the comparison is done in exact decimals as
+    //    c_acctbal * n > sum (multiply-through instead of divide) so both
+    //    engines agree bit-for-bit at the boundary; anti join for NOT IN ----
+    ("q_tpch_q22",
+      (s: SparkSession, d: String) => {
+        val cust = t(s, d, "customer")
+        val tot = cust.filter(col("c_acctbal") > 0.0)
+          .agg(sum(col("c_acctbal").cast(DecimalType(18, 6))).as("s"),
+            count(col("c_acctbal")).as("n"))
+        cust.crossJoin(broadcast(tot))
+          // multiply-through in bounded decimals: (18,6) × (12,0) stays
+          // inside precision 38 in BOTH engines, so no rounding can differ
+          .filter(col("c_acctbal").cast(DecimalType(18, 6)) *
+            col("n").cast(DecimalType(12, 0)) > col("s"))
+          .join(t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT")
+            .select(col("o_custkey")),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+          .groupBy("n_name")
+          .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
+          .orderBy("n_name")
+      },
+      s"""WITH tot AS (SELECT sum(cast(c_acctbal AS DECIMAL(18,6))) AS s,
+         |                    count(c_acctbal) AS n
+         |             FROM customer WHERE c_acctbal > 0.0)
+         |SELECT n_name, count(*) AS numcust, ${sqlDsum("c_acctbal")} AS totacctbal
+         |FROM customer
+         |JOIN nation ON c_nationkey = n_nationkey
+         |CROSS JOIN tot
+         |WHERE cast(c_acctbal AS DECIMAL(18,6)) * cast(n AS DECIMAL(12,0)) > s
+         |  AND c_custkey NOT IN (SELECT o_custkey FROM orders
+         |                        WHERE o_orderpriority = '1-URGENT')
+         |GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 }
