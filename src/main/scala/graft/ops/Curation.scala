@@ -98,6 +98,23 @@ object Curation {
     df.withColumn("epoch", explode(sequence(lit(1), rep)))
   }
 
+  /** End-to-end dedup APPLY: near-dup pairs → full cluster closure
+    * (ConnectedComponents star contraction) → drop every cluster member
+    * except the minimum id → the filtered corpus. This is the step after
+    * any pair-producing pass (MinHash, SimHash, semantic): unlike keeping
+    * "rows absent from the pair list", it correctly keeps exactly ONE doc
+    * per transitive cluster — a-b + b-c drops b AND c, never strands c
+    * because it only paired with b. The drop list is one id per duplicate
+    * (small vs the corpus) and anti-joins against it.
+    */
+  def applyDedup(corpus: DataFrame, pairs: DataFrame, idCol: String,
+      aCol: String = "a", bCol: String = "b"): DataFrame = {
+    val comp = ConnectedComponents.components(pairs, aCol, bCol)
+    val drop = comp.filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    corpus.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** Docs of `corpus` sharing at least `minShared` distinct n-gram shingles
     * with `benchmark` (benchmark-overlap decontamination). The benchmark's
     * distinct shingles broadcast; candidate pairs exist only where a

@@ -78,7 +78,7 @@ object TextOps {
     */
   val cacheConsumers: Set[String] =
     Set("q_dedup_ngram", "q_dedup_minhash", "q_dedup_verified",
-      "q_dedup_components")
+      "q_dedup_components", "q_dedup_apply")
 
   /** Unpersist + drop every cached helper frame (idempotent). */
   def clearCaches(): Unit = {
@@ -401,6 +401,44 @@ object TextOps {
          |  UNION
          |  SELECT w.u, e.v FROM walk w JOIN e ON w.v = e.u)
          |SELECT u AS doc_id, min(v) AS component FROM walk GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // -- end-to-end dedup APPLY (Curation.applyDedup): the same pair graph
+    //    closed into clusters, every member but the cluster minimum dropped,
+    //    corpus filtered by anti-join — what a pipeline actually ships.
+    //    Per-lang kept counts keep the output small -------------------------
+    ("q_dedup_apply",
+      (s: SparkSession, d: String) => {
+        val base = shingleDf(s, d)
+        val sizes = base.select(col("doc_id"), size(col("sh")).as("n"))
+        val inv = base.select(col("doc_id"), explode(col("sh")).as("g"))
+        val pairs = inv.alias("x").join(inv.alias("y"),
+            col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
+          .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+          .agg(count(lit(1)).as("common"))
+          .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
+          .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+          .filter(col("common").cast("double") /
+            (col("na") + col("nb") - col("common")) >= 0.5)
+          .select("a", "b")
+        graft.ops.Curation.applyDedup(t(s, d, "documents"), pairs, "doc_id")
+          .groupBy("lang").agg(count(lit(1)).as("kept"))
+          .orderBy("lang")
+      },
+      s"""WITH RECURSIVE ${shingleCte.stripPrefix("WITH ")},
+         |p AS (
+         |  SELECT a.doc_id AS a, b.doc_id AS b
+         |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+         |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+         |e AS (SELECT a AS u, b AS v FROM p UNION SELECT b, a FROM p),
+         |walk(u, v) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM e)
+         |  UNION
+         |  SELECT w.u, e.v FROM walk w JOIN e ON w.v = e.u),
+         |dropped AS (SELECT u FROM walk GROUP BY u HAVING min(v) <> u)
+         |SELECT lang, count(*) AS kept FROM documents
+         |WHERE doc_id NOT IN (SELECT u FROM dropped)
+         |GROUP BY 1 ORDER BY 1""".stripMargin),
 
     // -- MinHash + LSH banding: 16 md5 min-hashes, 4 bands × 4 rows;
     //    candidates = equi-join on (band index, band hash). md5 is identical

@@ -80,6 +80,17 @@ class CurationSpec extends SparkSuite {
     assert(lib == q)
   }
 
+  test("applyDedup keeps exactly one doc per transitive cluster") {
+    import spark.implicits._
+    val corpus = (1L to 10L).map(i => (i, s"payload$i")).toDF("doc_id", "text")
+    // cluster {2,3,4} via a chain (2-3, 3-4: 4 never pairs with 2 directly),
+    // cluster {7,8}; the rest untouched
+    val pairs = Seq((2L, 3L), (3L, 4L), (7L, 8L)).toDF("a", "b")
+    val kept = Curation.applyDedup(corpus, pairs, "doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 5L, 6L, 7L, 9L, 10L))
+  }
+
   test("decontaminate: flags exactly the docs sharing shingles with the benchmark") {
     val bench = docs.filter(col("doc_id") < 50)
     val corpus = docs.filter(col("doc_id") >= 50)

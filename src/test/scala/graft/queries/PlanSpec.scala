@@ -155,6 +155,18 @@ class PlanSpec extends SparkSuite {
       s"expected map-side partial aggregation:\n$p")
   }
 
+  test("q4 correlated EXISTS plans as a single semi join of the fact table") {
+    val p = plan("q_tpch_q4")
+    assert(p.contains("LeftSemi"), s"expected left-semi join:\n$p")
+  }
+
+  test("q22 NOT IN plans as broadcast scalar + anti join, no subquery per row") {
+    val p = plan("q_tpch_q22")
+    assert(p.contains("LeftAnti"), s"expected anti join:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the 1-row aggregate should broadcast:\n$p")
+  }
+
   test("salted join plans as a shuffled join on (key, salt), not broadcast") {
     val p = plan("q_salted_join")
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
