@@ -68,9 +68,15 @@ object ConnectedComponents {
     */
   def components(pairs: DataFrame, aCol: String, bCol: String,
       maxIters: Int = 50): DataFrame = {
-    val e0 = pairs
-      .select(greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("u"),
-        least(col(aCol).cast("long"), col(bCol).cast("long")).as("v"))
+    // materialize the pair list ONCE: the caller's pair subplan is often
+    // expensive (an inverted-index similarity join), and this function
+    // reads it for the edge set AND twice for the node universe — without
+    // this checkpoint the subplan would execute three times
+    val p0 = pairs
+      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .localCheckpoint(true)
+    val e0 = p0
+      .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
     // Each round MUST truncate lineage, not just cache: persist shortcuts
     // execution but the logical plan still nests the whole iteration
@@ -94,8 +100,8 @@ object ConnectedComponents {
     require(converged, s"connected components did not converge in $maxIters rounds")
     // at convergence the edge set is a star forest (u, root); nodes absent
     // as a star leaf are component roots and label themselves
-    val nodes = pairs.select(col(aCol).cast("long").as("id"))
-      .union(pairs.select(col(bCol).cast("long").as("id"))).distinct()
+    val nodes = p0.select(col("a").as("id"))
+      .union(p0.select(col("b").as("id"))).distinct()
     nodes.join(edges.withColumnRenamed("u", "id"), Seq("id"), "left")
       .select(col("id"), coalesce(col("v"), col("id")).as("component"))
   }
