@@ -39,6 +39,7 @@ object Partitioning {
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       saltFactor: Int): DataFrame = {
+    require(saltFactor > 1, s"saltFactor must exceed 1, got $saltFactor")
     val saltedBig = big.withColumn("__salt",
       (rand(42) * saltFactor).cast("int"))
     val saltedSmall = small

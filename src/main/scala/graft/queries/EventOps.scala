@@ -28,16 +28,19 @@ object EventOps {
 
   val entries: Seq[(String, Fn, String)] = Seq(
 
-    // -- skew-salted shuffle join (graft.ops.Skew): the fact side's hot
-    //    keys spread over 8 sub-keys, the dim side replicated per sub-key;
-    //    merge hint forces the shuffled join the technique exists for
-    //    (broadcast would bypass it at bench scale). Result provably equals
-    //    the plain join — the oracle IS the plain join ---------------------
+    // -- skew-salted shuffle join (graft.ops.Partitioning.saltedJoin): the
+    //    fact side's hot keys spread over 8 sub-keys, the dim side
+    //    replicated per sub-key; merge hint forces the shuffled join the
+    //    technique exists for (broadcast would bypass it at bench scale).
+    //    Result provably equals the plain join — the salt only routes rows,
+    //    every fact row still meets exactly its key's dim row — so the
+    //    oracle IS the plain join ------------------------------------------
     ("q_salted_join",
       (s: SparkSession, d: String) => {
         val ev = t(s, d, "events").select("event_id", "event_type")
         val dim = ev.groupBy("event_type").agg(min("event_id").as("base_id"))
-        graft.ops.Skew.saltedJoin(ev, dim.hint("merge"), "event_type", salt = 8)
+        graft.ops.Partitioning.saltedJoin(ev, dim.hint("merge"), "event_type",
+            saltFactor = 8)
           .groupBy("event_type")
           .agg(count(lit(1)).as("cnt"),
             sum(col("event_id") - col("base_id")).as("drift"))

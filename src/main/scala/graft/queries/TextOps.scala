@@ -70,6 +70,30 @@ object TextOps {
         .persist(StorageLevel.MEMORY_AND_DISK)
     })
 
+  /** (a, b) near-dup pairs at n-gram jaccard >= 0.5 — the pair graph both
+    * cluster queries (q_dedup_components closes it, q_dedup_apply filters
+    * by it) consume; computed once per (session, dir) and persisted like
+    * the other shared dedup frames. Inverted shingle index → co-occurrence
+    * counts → jaccard filter, ids only.
+    */
+  private val pairCache = TrieMap.empty[String, DataFrame]
+  private[graft] def pairDf(s: SparkSession, d: String): DataFrame =
+    pairCache.getOrElseUpdate(s"${System.identityHashCode(s)}|$d", {
+      val base = shingleDf(s, d)
+      val sizes = base.select(col("doc_id"), size(col("sh")).as("n"))
+      val inv = base.select(col("doc_id"), explode(col("sh")).as("g"))
+      inv.alias("x").join(inv.alias("y"),
+          col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .agg(count(lit(1)).as("common"))
+        .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
+        .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+        .filter(col("common").cast("double") /
+          (col("na") + col("nb") - col("common")) >= 0.5)
+        .select("a", "b")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    })
+
   /** Query names that read [[shingleDf]]/[[sigDf]] — Bench/Verify schedule
     * these consecutively and call [[clearCaches]] after the last one, so the
     * persisted frames don't occupy executor memory for the rest of an
@@ -86,6 +110,8 @@ object TextOps {
     sigCache.clear()
     shingleCache.values.foreach(df => try df.unpersist(false) catch { case _: Throwable => () })
     shingleCache.clear()
+    pairCache.values.foreach(df => try df.unpersist(false) catch { case _: Throwable => () })
+    pairCache.clear()
   }
 
   /** SQL fragment shared by the DuckDB oracles: doc_id + distinct 3-gram shingles. */
@@ -372,23 +398,10 @@ object TextOps {
     //    chains that single-pass star grouping approximates away. Oracle:
     //    the same pair graph closed by a DuckDB recursive CTE ---------------
     ("q_dedup_components",
-      (s: SparkSession, d: String) => {
-        val base = shingleDf(s, d)
-        val sizes = base.select(col("doc_id"), size(col("sh")).as("n"))
-        val inv = base.select(col("doc_id"), explode(col("sh")).as("g"))
-        val pairs = inv.alias("x").join(inv.alias("y"),
-            col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
-          .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-          .agg(count(lit(1)).as("common"))
-          .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
-          .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
-          .filter(col("common").cast("double") /
-            (col("na") + col("nb") - col("common")) >= 0.5)
-          .select("a", "b")
-        graft.ops.ConnectedComponents.components(pairs, "a", "b")
+      (s: SparkSession, d: String) =>
+        graft.ops.ConnectedComponents.components(pairDf(s, d), "a", "b")
           .withColumnRenamed("id", "doc_id")
-          .orderBy("doc_id")
-      },
+          .orderBy("doc_id"),
       s"""WITH RECURSIVE ${shingleCte.stripPrefix("WITH ")},
          |p AS (
          |  SELECT a.doc_id AS a, b.doc_id AS b
@@ -407,23 +420,10 @@ object TextOps {
     //    corpus filtered by anti-join — what a pipeline actually ships.
     //    Per-lang kept counts keep the output small -------------------------
     ("q_dedup_apply",
-      (s: SparkSession, d: String) => {
-        val base = shingleDf(s, d)
-        val sizes = base.select(col("doc_id"), size(col("sh")).as("n"))
-        val inv = base.select(col("doc_id"), explode(col("sh")).as("g"))
-        val pairs = inv.alias("x").join(inv.alias("y"),
-            col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
-          .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-          .agg(count(lit(1)).as("common"))
-          .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
-          .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
-          .filter(col("common").cast("double") /
-            (col("na") + col("nb") - col("common")) >= 0.5)
-          .select("a", "b")
-        graft.ops.Curation.applyDedup(t(s, d, "documents"), pairs, "doc_id")
+      (s: SparkSession, d: String) =>
+        graft.ops.Curation.applyDedup(t(s, d, "documents"), pairDf(s, d), "doc_id")
           .groupBy("lang").agg(count(lit(1)).as("kept"))
-          .orderBy("lang")
-      },
+          .orderBy("lang"),
       s"""WITH RECURSIVE ${shingleCte.stripPrefix("WITH ")},
          |p AS (
          |  SELECT a.doc_id AS a, b.doc_id AS b

@@ -69,10 +69,19 @@ class PartitioningSpec extends SparkSuite {
     val big = (1 to 10000).map(i => (if (i % 10 == 0) i.toLong else 7L, i))
       .toDF("k", "v")
     val small = Seq((7L, "hot"), (10L, "a"), (20L, "b")).toDF("k", "tag")
-    val plain = big.join(small, "k")
+    val plain = big.join(small, "k").select("k", "v", "tag")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
     val salted = Partitioning.saltedJoin(big, small, "k", saltFactor = 8)
-    assert(salted.count() == plain.count())
-    assert(salted.agg(sum("v")).head.getLong(0) == plain.agg(sum("v")).head.getLong(0))
+      .select("k", "v", "tag")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(salted == plain && salted.nonEmpty)
+    // the hot key's rows really occupy multiple sub-keys
+    val salts = big.withColumn("__salt", (rand(42) * 8).cast("int"))
+      .filter(col("k") === 7L).select("__salt").distinct().count()
+    assert(salts >= 3, s"expected the hot key spread over >=3 of 8 sub-keys, got $salts")
+    // a salt that cannot spread is rejected
+    intercept[IllegalArgumentException](
+      Partitioning.saltedJoin(big, small, "k", saltFactor = 1))
   }
 
   test("sortedLayout range-partitions and sorts within partitions") {
