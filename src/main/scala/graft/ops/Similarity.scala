@@ -145,6 +145,26 @@ object Similarity {
     IvfIndex(assigned, centroids)
   }
 
+  /** Persist a built [[IvfIndex]]: assignments partitioned by cell id (a
+    * probe reads ONLY its probed cells' directories — parquet partition
+    * pruning does the file skipping), centroids as one tiny table. This is
+    * the serve-later half of "train k-means once": any number of later
+    * sessions [[loadIvfIndex]] and probe without rescanning or retraining.
+    */
+  def saveIvfIndex(index: IvfIndex, dir: String): Unit = {
+    index.assigned.write.mode("overwrite")
+      .partitionBy("__cell").parquet(s"$dir/assigned")
+    index.centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+  }
+
+  /** Load an [[IvfIndex]] written by [[saveIvfIndex]]; probes against it
+    * are partition-pruned to the probed cells.
+    */
+  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String): IvfIndex =
+    IvfIndex(
+      spark.read.parquet(s"$dir/assigned"),
+      spark.read.parquet(s"$dir/centroids"))
+
   /** Probe a prebuilt [[IvfIndex]]: nProbe nearest cells per query, exact
     * cosine re-rank inside the probed cells.
     */

@@ -61,10 +61,24 @@ object DocStream {
     * streaming state store (the curated table IS the state, checkpointed
     * exactly-once by the sink's batch id tracking... here idempotent-enough
     * append; a production sink would write a transactional table format).
+    *
+    * With `exactPrefilter` on, a driver-side Bloom filter of admitted text
+    * fingerprints rides across batches as INCREMENTAL state: seeded from
+    * the curated table once (so restarts recover it), then merged with
+    * each batch's admissions (mergeable at a fixed capacity, like the HLL
+    * sketch store). Docs the filter rules out are definitely-novel at the
+    * exact-duplicate level and skip the fingerprint anti-join; "maybe"
+    * docs confirm exactly, so admissions are IDENTICAL with the prefilter
+    * on or off — it only cuts per-batch screen cost (the near-dup band
+    * screen still runs on what survives).
     */
   def curateStream(streamDocs: DataFrame, curatedDir: String,
       checkpointDir: String, n: Int = 3, k: Int = 16,
-      bands: Int = 4): org.apache.spark.sql.streaming.StreamingQuery =
+      bands: Int = 4, exactPrefilter: Boolean = true,
+      bloomCapacity: Long = 1L << 20): org.apache.spark.sql.streaming.StreamingQuery = {
+    // fixed-capacity so per-batch filters stay mergeInPlace-compatible
+    var admittedFp: org.apache.spark.util.sketch.BloomFilter = null
+    def fpOf(df: DataFrame): DataFrame = df.select(md5(col("text")).as("__fp"))
     streamDocs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -83,18 +97,46 @@ object DocStream {
           if (curatedExists) spark.read.schema(docSchema).parquet(curatedDir)
           else spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], docSchema)
-        val novel =
-          if (curated.isEmpty) fresh
+        if (exactPrefilter && admittedFp == null && !curated.isEmpty) {
+          // restart/seed path: one distributed pass over the admitted table
+          admittedFp = fpOf(curated).stat.bloomFilter("__fp", bloomCapacity, 0.01)
+        }
+        val screened =
+          if (admittedFp == null) fresh
           else {
-            val dupIds = nearDupAgainstCorpus(fresh, curated, n, k, bands)
-              .select("doc_id").distinct()
-            fresh.join(dupIds, Seq("doc_id"), "left_anti")
+            val f = fresh.withColumn("__fp", md5(col("text")))
+            val probe = graft.functions.BloomExprs.mightContain(col("__fp"), admittedFp)
+            // no false negatives: !probe rows cannot be exact dups of any
+            // admitted doc; probe rows confirm against the real fingerprints
+            f.filter(!probe)
+              .unionByName(f.filter(probe)
+                .join(fpOf(curated), Seq("__fp"), "left_anti"))
+              .drop("__fp")
           }
-        novel.write.mode("append").parquet(curatedDir)
+        val novel =
+          if (curated.isEmpty) screened
+          else {
+            val dupIds = nearDupAgainstCorpus(screened, curated, n, k, bands)
+              .select("doc_id").distinct()
+            screened.join(dupIds, Seq("doc_id"), "left_anti")
+          }
+        // novel is LAZY over the curated table, and persist() would NOT pin
+        // it: the parquet append fires recacheByPath on curatedDir, which
+        // RECOMPUTES any cache reading that path against the just-written
+        // files — the anti-join would erase novel after its own write. An
+        // eager localCheckpoint severs the lineage entirely.
+        val pinned = novel.localCheckpoint(true)
+        val hasNovel = !pinned.isEmpty
+        pinned.write.mode("append").parquet(curatedDir)
+        if (exactPrefilter && hasNovel) {
+          val nb = fpOf(pinned).stat.bloomFilter("__fp", bloomCapacity, 0.01)
+          if (admittedFp == null) admittedFp = nb else admittedFp.mergeInPlace(nb)
+        }
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
+  }
 
   // ---- stateful sequence packing (streaming twin of q_pack_sequences) ----
 

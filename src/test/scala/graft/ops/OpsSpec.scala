@@ -220,6 +220,20 @@ class OpsSpec extends SparkSuite {
     assert(recall >= 0.2, s"recall=$recall")
   }
 
+  test("IvfIndex save/load round-trip: probes against the reloaded index are identical") {
+    val queries = emb.filter(col("vec_id") < 3)
+      .withColumnRenamed("vec_id", "qid").select("qid", "embedding")
+    val corpus = emb.filter(col("vec_id") >= 3).select("vec_id", "embedding")
+    val built = Similarity.ivfIndex(corpus, "vec_id", "embedding", nCells = 8, seed = 11L)
+    val dir = java.nio.file.Files.createTempDirectory("graftivf").toString + "/idx"
+    Similarity.saveIvfIndex(built, dir)
+    val loaded = Similarity.loadIvfIndex(spark, dir)
+    def probe(i: Similarity.IvfIndex) =
+      Similarity.ivfTopK(i, queries, "vec_id", "qid", "embedding", k = 5, nProbe = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(probe(loaded) == probe(built) && probe(built).nonEmpty)
+  }
+
   test("minhashVerifiedPairs == exact ngram pairs (no false positives/negatives at high j)") {
     val exact = Dedup.ngramJaccardPairs(
         docs.filter(col("doc_id") < 200), "doc_id", "text", 3, 0.95)

@@ -198,6 +198,37 @@ class StreamingSpec extends SparkSuite {
     assert(admitted == Set(1L, 2L, 5L))
   }
 
+  test("curation bloom prefilter changes cost, never admissions") {
+    val body = "the quick brown fox jumps over the lazy dog and then naps " +
+      "under the old oak tree while birds sing softly in the warm afternoon sun"
+    def doc(id: Long, text: String) =
+      s"""{"doc_id":$id,"text":"$text","lang":"en","source":"s","n_chars":${text.length}}"""
+    def runLoop(exactPrefilter: Boolean): Set[Long] = {
+      val srcDir = Files.createTempDirectory("graftbloomcur_src").toString
+      val curated = Files.createTempDirectory("graftbloomcur_out").toString + "/curated"
+      val ckpt = Files.createTempDirectory("graftbloomcur_ck").toString
+      // batch 1: two novel docs + an in-batch exact dup
+      Files.write(java.nio.file.Paths.get(srcDir, "b1.json"),
+        Seq(doc(1, body), doc(2, "some completely distinct second document"),
+          doc(3, body)).mkString("\n").getBytes)
+      DocStream.curateStream(DocStream.readDocs(spark, srcDir), curated, ckpt,
+        exactPrefilter = exactPrefilter).awaitTermination()
+      // batch 2: an exact dup of an admitted doc (the bloom-probe + confirm
+      // path), a near-dup (caught by the band screen AFTER the prefilter
+      // passes it), and one genuinely new doc
+      Files.write(java.nio.file.Paths.get(srcDir, "b2.json"),
+        Seq(doc(4, body), doc(5, body + " again"),
+          doc(6, "fresh text about adaptive query execution and shuffles"))
+          .mkString("\n").getBytes)
+      DocStream.curateStream(DocStream.readDocs(spark, srcDir), curated, ckpt,
+        exactPrefilter = exactPrefilter).awaitTermination()
+      spark.read.parquet(curated).select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    val withBloom = runLoop(exactPrefilter = true)
+    assert(withBloom == Set(1L, 2L, 6L))      // 3 in-batch dup, 4 exact dup, 5 near-dup
+    assert(withBloom == runLoop(exactPrefilter = false))
+  }
+
   test("curation loop FAILS the batch on a corrupt corpus instead of admitting dups") {
     // a real read failure must not be mistaken for "first batch, empty
     // corpus" — that would silently disengage the near-dup screen
