@@ -79,4 +79,69 @@ object Reservoir {
       .flatMap { case (s, cands) => cands.map(c => (s, c.id)) }
       .toDF(stratumCol, idCol)
   }
+
+  /** Deterministic uniform in (0, 1) from an id: the md5's top 60 bits,
+    * offset by 0.5 ulp-of-grid so 0 (and thus ln(0)) is unreachable.
+    */
+  private[ops] def hashUniform(id: Long): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString.take(15)
+    (java.lang.Long.parseLong(hex, 16) + 0.5) / (1L << 60).toDouble
+  }
+
+  /** One weighted candidate: Efraimidis–Spirakis priority + id. */
+  final case class WCand(key: Double, id: Long)
+
+  /** Bottom-k by double priority — same bounded mergeable shape as
+    * [[BottomK]] (≤ k candidates cross the shuffle per stratum per
+    * partition), ordered ascending by (key, id).
+    */
+  final class BottomKW(k: Int)(implicit enc: Encoder[Seq[WCand]])
+      extends Aggregator[WCand, Seq[WCand], Seq[WCand]] {
+    private def mergeW(a: Seq[WCand], b: Seq[WCand]): Seq[WCand] = {
+      val out = new scala.collection.mutable.ArrayBuffer[WCand](k)
+      var i = 0; var j = 0
+      while (out.length < k && (i < a.length || j < b.length)) {
+        val takeA = j >= b.length ||
+          (i < a.length && (a(i).key < b(j).key ||
+            (a(i).key == b(j).key && a(i).id <= b(j).id)))
+        if (takeA) { out += a(i); i += 1 } else { out += b(j); j += 1 }
+      }
+      out.toSeq
+    }
+    override def zero: Seq[WCand] = Vector.empty
+    override def reduce(buf: Seq[WCand], c: WCand): Seq[WCand] = mergeW(buf, Seq(c))
+    override def merge(a: Seq[WCand], b: Seq[WCand]): Seq[WCand] = mergeW(a, b)
+    override def finish(r: Seq[WCand]): Seq[WCand] = r
+    override def bufferEncoder: Encoder[Seq[WCand]] = enc
+    override def outputEncoder: Encoder[Seq[WCand]] = enc
+  }
+
+  /** Exact-k WEIGHTED sample without replacement per stratum
+    * (Efraimidis–Spirakis A-ES, mergeable form): each row draws a
+    * deterministic uniform u from its id and gets priority -ln(u)/w; the k
+    * SMALLEST priorities are the sample, and P(selected) scales with
+    * weight exactly as weighted sampling without replacement demands.
+    * Bottom-k sets merge associatively, so the plan is the same
+    * partial+final bounded-heap aggregation as [[sampleK]]. Rows with
+    * null/non-positive weight are excluded (a zero weight must never be
+    * drawn; A-ES priorities are undefined there).
+    */
+  def weightedSampleK(df: DataFrame, stratumCol: String, idCol: String,
+      weightCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyed = df
+      .filter(col(weightCol).isNotNull && col(weightCol) > 0.0)
+      .select(col(stratumCol).cast("string").as("__s"),
+        col(idCol).cast("long").as("id"), col(weightCol).cast("double").as("w"))
+      .as[(String, Long, Double)]
+      .map { case (s, id, w) => (s, WCand(-math.log(hashUniform(id)) / w, id)) }
+    keyed.groupByKey(_._1).mapValues(_._2)
+      .agg(new BottomKW(k).toColumn.name("cands"))
+      .flatMap { case (s, cands) => cands.map(c => (s, c.id)) }
+      .toDF(stratumCol, idCol)
+  }
 }

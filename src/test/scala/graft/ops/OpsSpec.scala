@@ -298,6 +298,35 @@ class OpsSpec extends SparkSuite {
     assert("ObjectHashAggregate".r.findAllIn(plan).length >= 2, plan)
   }
 
+  test("Reservoir.weightedSampleK: deterministic A-ES, exact-k, weight-sensitive") {
+    import spark.implicits._
+    val rows = (1L to 40L).map(i => ("s", i, if (i == 13L) 1e12 else 1.0)) ++
+      (1L to 5L).map(i => ("t", 100L + i, i.toDouble))
+    val df = rows.toDF("g", "id", "w").repartition(4)
+    val got = Reservoir.weightedSampleK(df, "g", "id", "w", k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // expected = the same A-ES formula computed driver-side
+    def expect(stratum: Seq[(Long, Double)], k: Int): Set[Long] =
+      stratum.map { case (id, w) =>
+        id -> (-math.log(Reservoir.hashUniform(id)) / w)
+      }.sortBy { case (id, p) => (p, id) }.take(k).map(_._1).toSet
+    val exp = expect((1L to 40L).map(i => i -> (if (i == 13L) 1e12 else 1.0)), 3).map(("s", _)) ++
+      expect((1L to 5L).map(i => (100L + i) -> i.toDouble), 3).map(("t", _))
+    assert(got == exp)
+    // the overwhelming weight is always drawn; strata cap at min(k, n)
+    assert(got.contains(("s", 13L)))
+    assert(got.count(_._1 == "t") == 3)
+    // determinism across runs
+    val again = Reservoir.weightedSampleK(df, "g", "id", "w", k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(again == got)
+    // zero/null weights are never drawn
+    val withZero = Reservoir.weightedSampleK(
+      (rows :+ (("t", 999L, 0.0))).toDF("g", "id", "w"), "g", "id", "w", 50)
+      .collect().map(_.getLong(1)).toSet
+    assert(!withZero.contains(999L))
+  }
+
   /** In-memory PNG with every pixel set to gray level `v` (R=G=B=v). */
   private def grayPng(w: Int, h: Int, v: Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(w, h,
