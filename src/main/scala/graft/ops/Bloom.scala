@@ -38,4 +38,19 @@ object Bloom {
       .join(bad.select(col(key)).distinct(), Seq(key), "left_anti")
     definitelyClean.unionByName(confirmed)
   }
+
+  /** `corpus` rows whose `key` DOES appear in `keep(key)` — exact
+    * left-semi semantics, Bloom-accelerated (the keep-list counterpart of
+    * [[bloomAntiJoin]]: rows the sketch rules out are dropped at the scan,
+    * only the maybe-fraction pays the semi-join confirm).
+    */
+  def bloomSemiJoin(corpus: DataFrame, keep: DataFrame, key: String,
+      expectedItems: Long = -1L, fpp: Double = 0.01): DataFrame = {
+    val n = if (expectedItems > 0) expectedItems else keep.count()
+    // empty keep set selects nothing (and stat.bloomFilter NPEs on empty)
+    if (if (expectedItems > 0) keep.isEmpty else n == 0) return corpus.limit(0)
+    val bf = keep.stat.bloomFilter(key, math.max(n, 1L), fpp)
+    corpus.filter(mightContain(col(key), bf))
+      .join(keep.select(col(key)).distinct(), Seq(key), "left_semi")
+  }
 }

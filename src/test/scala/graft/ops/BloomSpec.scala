@@ -35,4 +35,14 @@ class BloomSpec extends SparkSuite {
     val bad = corpus.filter(col("id") < 0)
     assert(Bloom.bloomAntiJoin(corpus, bad, "id").count() == 50)
   }
+
+  test("bloomSemiJoin == exact left-semi join; empty keep list selects nothing") {
+    import spark.implicits._
+    val corpus = (1L to 1000L).toDF("id")
+    val keep = (1L to 1000L by 13).toDF("id")
+    val got = Bloom.bloomSemiJoin(corpus, keep, "id", fpp = 0.3)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == (1L to 1000L by 13).toSet)
+    assert(Bloom.bloomSemiJoin(corpus, keep.filter(col("id") < 0), "id").count() == 0)
+  }
 }
