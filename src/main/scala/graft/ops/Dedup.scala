@@ -119,6 +119,35 @@ object Dedup {
       .select(col(idCol), col("b.j").as("__j"), col("b.bh").as("__bh"))
   }
 
+  /** Persist a corpus band index (the [[minhashBands]] projection) for
+    * serve-later screening, partitioned by band id so a probe's equi-join
+    * prunes to matching band directories — the text-dedup sibling of
+    * Similarity.saveIvfIndex. Build once over the corpus; any later batch
+    * or stream screens against it without re-fingerprinting the corpus.
+    */
+  def saveBandIndex(docs: DataFrame, idCol: String, textCol: String,
+      dir: String, n: Int = 3, k: Int = 16, bands: Int = 4): Unit =
+    minhashBands(docs, idCol, textCol, n, k, bands)
+      .write.mode("overwrite").partitionBy("__j").parquet(dir)
+
+  /** Load a band index written by [[saveBandIndex]]. */
+  def loadBandIndex(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
+
+  /** Screen `probeDocs` against a PREBUILT corpus band index: one row per
+    * (probe doc, corpus doc) candidate sharing any band bucket — the same
+    * contract as DocStream.nearDupAgainstCorpus, minus the per-call corpus
+    * fingerprinting.
+    */
+  def nearDupAgainstIndex(probeDocs: DataFrame, idCol: String, textCol: String,
+      index: DataFrame, n: Int = 3, k: Int = 16, bands: Int = 4): DataFrame = {
+    val probeIdx = minhashBands(probeDocs, idCol, textCol, n, k, bands)
+    val corpusIdx = index.withColumnRenamed(index.columns.head, "__corpus_id")
+    probeIdx.join(corpusIdx, Seq("__j", "__bh"))
+      .select(col(idCol), col("__corpus_id").as("corpus_" + idCol))
+      .dropDuplicates(idCol, "corpus_" + idCol)
+  }
+
   /** MinHash-LSH candidate pairs: pairs sharing any band bucket.
     * (Candidates, not verified pairs — pipe into an exact Jaccard check
     * when false positives matter.)

@@ -36,7 +36,7 @@ object Reservoir {
   final case class Cand(key: String, id: Long)
 
   /** Keep-k-smallest merge of two sorted candidate lists (each ≤ k). */
-  private def mergeK(a: Seq[Cand], b: Seq[Cand], k: Int): Seq[Cand] = {
+  private[ops] def mergeK(a: Seq[Cand], b: Seq[Cand], k: Int): Seq[Cand] = {
     val out = new scala.collection.mutable.ArrayBuffer[Cand](k)
     var i = 0; var j = 0
     while (out.length < k && (i < a.length || j < b.length)) {

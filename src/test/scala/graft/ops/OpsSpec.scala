@@ -220,6 +220,24 @@ class OpsSpec extends SparkSuite {
     assert(recall >= 0.2, s"recall=$recall")
   }
 
+  test("band index save/load: screening against the reloaded index == direct screen") {
+    val corpus = docs.filter(col("doc_id") >= 100 && col("doc_id") < 300)
+      .select("doc_id", "text")
+    // guarantee at least one certain hit: a probe that IS a corpus doc
+    val planted = corpus.filter(col("doc_id") === 100)
+      .select((col("doc_id") + 999000L).as("doc_id"), col("text"))
+    val probes = docs.filter(col("doc_id") < 100).select("doc_id", "text")
+      .unionByName(planted)
+    val dir = java.nio.file.Files.createTempDirectory("graftband").toString + "/idx"
+    Dedup.saveBandIndex(corpus, "doc_id", "text", dir)
+    val viaIndex = Dedup.nearDupAgainstIndex(probes, "doc_id", "text",
+        Dedup.loadBandIndex(spark, dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct = graft.streaming.DocStream.nearDupAgainstCorpus(probes, corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaIndex == direct && viaIndex.contains((999100L, 100L)))
+  }
+
   test("IvfIndex save/load round-trip: probes against the reloaded index are identical") {
     val queries = emb.filter(col("vec_id") < 3)
       .withColumnRenamed("vec_id", "qid").select("qid", "embedding")
@@ -296,6 +314,21 @@ class OpsSpec extends SparkSuite {
     val plan = Reservoir.sampleK(src, "lang", "doc_id", 5)
       .queryExecution.executedPlan.toString
     assert("ObjectHashAggregate".r.findAllIn(plan).length >= 2, plan)
+  }
+
+  test("Reservoir.mergeK == sort-and-take over randomized bounded inputs") {
+    val rnd = new scala.util.Random(7)
+    (1 to 300).foreach { i =>
+      val k = 1 + rnd.nextInt(8)
+      def gen(): Seq[Reservoir.Cand] =
+        Seq.fill(rnd.nextInt(12))(
+          Reservoir.Cand(rnd.nextInt(6).toString, rnd.nextInt(50).toLong))
+          .sortBy(c => (c.key, c.id)).take(k)
+      val a = gen(); val b = gen()
+      val got = Reservoir.mergeK(a, b, k)
+      val exp = (a ++ b).sortBy(c => (c.key, c.id)).take(k)
+      assert(got == exp, s"case $i: k=$k a=$a b=$b")
+    }
   }
 
   test("Reservoir.weightedSampleK: deterministic A-ES, exact-k, weight-sensitive") {
