@@ -255,6 +255,83 @@ object TpchOps {
          |    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
          |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin),
 
+    // -- Q8 analogue (national market share): NATION_3 suppliers' share of
+    //    EUROPE-customer revenue per order year — ONE conditional
+    //    aggregation computes nation and total revenue together (no second
+    //    join pass); the share divides two doubles derived from identical
+    //    exact decimal sums, so both engines agree bit-for-bit ------------
+    ("q_tpch_q8",
+      (s: SparkSession, d: String) => {
+        val natRev = sum(when(col("supp_nation") === "NATION_3",
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(DecimalType(18, 6))).otherwise(lit(0).cast(DecimalType(18, 6))))
+          .cast("double")
+        t(s, d, "lineitem")
+          .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, d, "nation")
+            .select(col("n_nationkey").as("cn_key"), col("n_regionkey"))),
+            col("c_nationkey") === col("cn_key"))
+          .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+          .filter(col("r_name") === "EUROPE")
+          .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(t(s, d, "nation")
+            .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))),
+            col("s_nationkey") === col("sn_key"))
+          .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+          .agg(round(natRev / revenueSum, 4).as("mkt_share"),
+            round(revenueSum, 4).as("total_rev"))
+          .orderBy("o_year")
+      },
+      s"""SELECT year(o_orderdate) AS o_year,
+         |  round(cast(sum(CASE WHEN n2.n_name = 'NATION_3'
+         |          THEN cast(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))
+         |          ELSE cast(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+         |    / $sqlRevenueSum, 4) AS mkt_share,
+         |  round($sqlRevenueSum, 4) AS total_rev
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+         |JOIN region ON n1.n_regionkey = r_regionkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+         |WHERE r_name = 'EUROPE'
+         |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // -- Q9 analogue (product-line profit by nation and year): derived
+    //    amount = revenue − retailprice·quantity, every product cast to
+    //    exact decimal BEFORE the subtraction; LIKE filter on p_name pushes
+    //    into the broadcast part dim ---------------------------------------
+    ("q_tpch_q9",
+      (s: SparkSession, d: String) => {
+        val amount = sum(
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(DecimalType(18, 6)) -
+          (col("p_retailprice") * col("l_quantity")).cast(DecimalType(18, 6)))
+          .cast("double")
+        t(s, d, "lineitem")
+          .join(broadcast(t(s, d, "part").filter(col("p_name").like("%red%"))),
+            col("l_partkey") === col("p_partkey"))
+          .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name").as("nation"),
+            year(col("o_orderdate")).cast("long").as("o_year"))
+          .agg(round(amount, 4).as("profit"))
+          .orderBy(asc("nation"), desc("o_year"))
+      },
+      """SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        |  round(cast(sum(cast(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))
+        |               - cast(p_retailprice * l_quantity AS DECIMAL(18,6))) AS DOUBLE), 4) AS profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY 1, 2 ORDER BY nation ASC, o_year DESC""".stripMargin),
+
     // -- Q13 analogue (customer order-count distribution): LEFT join with a
     //    join-side filter (non-urgent orders only), then a histogram of the
     //    per-customer counts — null-preserving outer join + double agg ------
