@@ -332,6 +332,37 @@ object TpchOps {
         |WHERE p_name LIKE '%red%'
         |GROUP BY 1, 2 ORDER BY nation ASC, o_year DESC""".stripMargin),
 
+    // -- Q15 analogue (top supplier): quarterly revenue per supplier, then
+    //    the suppliers achieving the global maximum — the scalar-argmax
+    //    shape (1-row max broadcast + equality join, ALL ties kept). The
+    //    comparison happens on exact decimal sums, never doubles, so the
+    //    winning set cannot differ between engines -------------------------
+    ("q_tpch_q15",
+      (s: SparkSession, d: String) => {
+        val revD = sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(DecimalType(18, 6)))
+        val rev = t(s, d, "lineitem")
+          .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+          .groupBy(col("l_suppkey")).agg(revD.as("tr"))
+        val mx = rev.agg(max(col("tr")).as("mx"))
+        rev.crossJoin(broadcast(mx)).filter(col("tr") === col("mx"))
+          .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"),
+            round(col("tr").cast("double"), 4).as("total_rev"))
+          .orderBy("s_suppkey")
+      },
+      """WITH r AS (
+        |  SELECT l_suppkey, sum(cast(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS tr
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, round(cast(tr AS DOUBLE), 4) AS total_rev
+        |FROM r JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE tr = (SELECT max(tr) FROM r)
+        |ORDER BY 1""".stripMargin),
+
     // -- Q13 analogue (customer order-count distribution): LEFT join with a
     //    join-side filter (non-urgent orders only), then a histogram of the
     //    per-customer counts — null-preserving outer join + double agg ------
