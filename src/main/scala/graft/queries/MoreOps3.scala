@@ -23,6 +23,54 @@ object MoreOps3 {
   private val sqlDiscPrice =
     "cast(sum(cast(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)"
 
+  /** (a, b, jac) verified near-dup pairs: md5-MinHash LSH band candidates
+    * confirmed by the exact Jaccard (>= 0.8), candidate-driven — the
+    * inverted index is semi-joined to the docs appearing in a >= 2-member
+    * band bucket BEFORE co-occurrence counting, so the verify stage scales
+    * with candidates rather than the corpus. Shared by q_dedup_verified
+    * (graded directly) and q_dedup_e2e (closed into clusters and applied).
+    */
+  private[queries] def verifiedPairs(s: SparkSession, d: String): DataFrame = {
+    val base = TextOps.shingleDf(s, d)
+    val sig = TextOps.sigDf(s, d)
+    val bandStructs = (0 until 4).map { j =>
+      struct(lit(j).as("j"),
+        md5(concat_ws("|",
+          (0 until 4).map(r => element_at(col("sg"), 4 * j + r + 1)): _*)).as("bh"))
+    }
+    val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
+      .select(col("doc_id"), col("b.j").as("j"), col("b.bh").as("bh"))
+    val cand = bands.alias("x").join(bands.alias("y"),
+        col("x.j") === col("y.j") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    val sizes = base.select(col("doc_id"), size(col("sh")).as("n"))
+    // candidate-driven verify: restrict the inverted index to docs that
+    // appear in some candidate pair BEFORE co-occurrence counting —
+    // counting over the full corpus would cost the same as exact n-gram
+    // dedup and defeat the LSH stage. The id set = docs in any band
+    // bucket with >= 2 members (identical to the docs of `cand`, but one
+    // cheap agg + semi-join instead of re-running the band self-join)
+    val hot = bands.groupBy("j", "bh").agg(count(lit(1)).as("bc"))
+      .filter(col("bc") >= 2)
+    val ids = bands.join(hot, Seq("j", "bh"), "left_semi")
+      .select("doc_id").distinct()
+    val inv = base.select(col("doc_id"), explode(col("sh")).as("g"))
+      .join(broadcast(ids), "doc_id")
+    val common = inv.alias("x").join(inv.alias("y"),
+        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("common"))
+    cand.join(common, Seq("a", "b"))
+      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+      .withColumn("jac", round(col("common").cast("double") /
+        (col("na") + col("nb") - col("common")), 4))
+      .filter(col("jac") >= 0.8)
+      .select("a", "b", "jac")
+  }
+
   val entries: Seq[(String, Fn, String)] = Seq(
 
     // -- TPC-H Q1 analogue: the pricing summary — one scan, map-side partial
@@ -171,47 +219,8 @@ object MoreOps3 {
     //    Intersection counts ride the co-occurrence groupBy (no arrays
     //    shuffled); candidate pairs equi-join on (a, b) ----------------------
     ("q_dedup_verified",
-      (s: SparkSession, d: String) => {
-        val base = TextOps.shingleDf(s, d)
-        val sig = TextOps.sigDf(s, d)
-        val bandStructs = (0 until 4).map { j =>
-          struct(lit(j).as("j"),
-            md5(concat_ws("|",
-              (0 until 4).map(r => element_at(col("sg"), 4 * j + r + 1)): _*)).as("bh"))
-        }
-        val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
-          .select(col("doc_id"), col("b.j").as("j"), col("b.bh").as("bh"))
-        val cand = bands.alias("x").join(bands.alias("y"),
-            col("x.j") === col("y.j") && col("x.bh") === col("y.bh") &&
-              col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-          .distinct()
-        val sizes = base.select(col("doc_id"), size(col("sh")).as("n"))
-        // candidate-driven verify: restrict the inverted index to docs that
-        // appear in some candidate pair BEFORE co-occurrence counting —
-        // counting over the full corpus would cost the same as exact n-gram
-        // dedup and defeat the LSH stage. The id set = docs in any band
-        // bucket with >= 2 members (identical to the docs of `cand`, but one
-        // cheap agg + semi-join instead of re-running the band self-join)
-        val hot = bands.groupBy("j", "bh").agg(count(lit(1)).as("bc"))
-          .filter(col("bc") >= 2)
-        val ids = bands.join(hot, Seq("j", "bh"), "left_semi")
-          .select("doc_id").distinct()
-        val inv = base.select(col("doc_id"), explode(col("sh")).as("g"))
-          .join(broadcast(ids), "doc_id")
-        val common = inv.alias("x").join(inv.alias("y"),
-            col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
-          .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-          .agg(count(lit(1)).as("common"))
-        cand.join(common, Seq("a", "b"))
-          .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
-          .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
-          .withColumn("jac", round(col("common").cast("double") /
-            (col("na") + col("nb") - col("common")), 4))
-          .filter(col("jac") >= 0.8)
-          .select("a", "b", "jac")
-          .orderBy("a", "b")
-      },
+      (s: SparkSession, d: String) =>
+        verifiedPairs(s, d).orderBy("a", "b"),
       s"""${TextOps.shingleCte},
          |sig AS (
          |  SELECT doc_id,
@@ -228,6 +237,45 @@ object MoreOps3 {
          |    round(len(list_intersect(sa.sh, sb.sh)) * 1.0 /
          |          (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4) AS jac
          |  FROM cand c JOIN s sa ON sa.doc_id = c.a JOIN s sb ON sb.doc_id = c.b)
-         |SELECT a, b, jac FROM p WHERE jac >= 0.8 ORDER BY a, b""".stripMargin)
+         |SELECT a, b, jac FROM p WHERE jac >= 0.8 ORDER BY a, b""".stripMargin),
+
+    // -- THE production dedup chain end-to-end under one hash gate:
+    //    MinHash-LSH candidates → exact-Jaccard verify → connected-component
+    //    closure (star contraction) → keep one doc per cluster → filtered
+    //    corpus. Every stage is the scale path (no all-pairs anywhere);
+    //    the oracle replays candidates + verify in SQL and closes them with
+    //    a recursive CTE --------------------------------------------------
+    ("q_dedup_e2e",
+      (s: SparkSession, d: String) =>
+        graft.ops.Curation.applyDedup(t(s, d, "documents"),
+            verifiedPairs(s, d).select("a", "b"), "doc_id")
+          .groupBy("lang").agg(count(lit(1)).as("kept"))
+          .orderBy("lang"),
+      s"""WITH RECURSIVE ${TextOps.shingleCte.stripPrefix("WITH ")},
+         |sig AS (
+         |  SELECT doc_id,
+         |    [list_min([md5(cast(i AS VARCHAR) || '|' || g) for g in sh]) for i in range(0, 16)] AS sg
+         |  FROM s WHERE len(sh) > 0),
+         |bands AS (
+         |  SELECT doc_id, j, md5(sg[4*j+1] || '|' || sg[4*j+2] || '|' || sg[4*j+3] || '|' || sg[4*j+4]) AS bh
+         |  FROM sig, unnest([0, 1, 2, 3]) AS u(j)),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bands x JOIN bands y ON x.j = y.j AND x.bh = y.bh AND x.doc_id < y.doc_id),
+         |p AS (
+         |  SELECT c.a, c.b,
+         |    round(len(list_intersect(sa.sh, sb.sh)) * 1.0 /
+         |          (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4) AS jac
+         |  FROM cand c JOIN s sa ON sa.doc_id = c.a JOIN s sb ON sb.doc_id = c.b),
+         |vp AS (SELECT a, b FROM p WHERE jac >= 0.8),
+         |e AS (SELECT a AS u, b AS v FROM vp UNION SELECT b, a FROM vp),
+         |walk(u, v) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM e)
+         |  UNION
+         |  SELECT w.u, e.v FROM walk w JOIN e ON w.v = e.u),
+         |dropped AS (SELECT u FROM walk GROUP BY u HAVING min(v) <> u)
+         |SELECT lang, count(*) AS kept FROM documents
+         |WHERE doc_id NOT IN (SELECT u FROM dropped)
+         |GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 }

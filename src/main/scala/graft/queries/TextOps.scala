@@ -102,7 +102,7 @@ object TextOps {
     */
   val cacheConsumers: Set[String] =
     Set("q_dedup_ngram", "q_dedup_minhash", "q_dedup_verified",
-      "q_dedup_components", "q_dedup_apply")
+      "q_dedup_components", "q_dedup_apply", "q_dedup_e2e")
 
   /** Unpersist + drop every cached helper frame (idempotent). */
   def clearCaches(): Unit = {
