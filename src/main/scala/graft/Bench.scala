@@ -59,8 +59,8 @@ object Bench {
       "q_range_join", "q_iloc_slice", "q_events_hourly",
       "q_stratified_sample", "q_pack_sequences", "q_decontaminate",
       "q_semdedup", "q_semdedup_cells", "q_containment", "q_topk_freq",
-      "q_dedup_components", "q_dedup_apply", "q_reservoir_sample",
-      "q_salted_join", "q_decontaminate_bloom")
+      "q_dedup_components", "q_dedup_apply", "q_dedup_e2e",
+      "q_reservoir_sample", "q_salted_join", "q_decontaminate_bloom")
     val hq = headline.flatMap(n => results.get(n).map(v => f""""$n":$v%.3f"""))
       .mkString("{", ",", "}")
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$hq,"n_queries":${results.size}%d,"full":"bench_last.json","sf":"$sfDir"}""")
