@@ -27,15 +27,23 @@ object Bloom {
     */
   def bloomAntiJoin(corpus: DataFrame, bad: DataFrame, key: String,
       expectedItems: Long = -1L, fpp: Double = 0.01): DataFrame = {
-    val n = if (expectedItems > 0) expectedItems else bad.count()
+    // materialize the bad keys once: without this the bad subplan would
+    // execute up to three times (count, sketch build, confirm join); the
+    // checkpointed frame is keys-only and cleaned by the ContextCleaner
+    // when the result is dropped
+    val keys = bad.select(col(key)).localCheckpoint(true)
+    val n = if (expectedItems > 0) expectedItems else keys.count()
     // an empty bad set means everything is clean — and stat.bloomFilter
     // NPEs on empty input (no partial sketch to merge), so short-circuit
-    if (if (expectedItems > 0) bad.isEmpty else n == 0) return corpus
-    val bf = bad.stat.bloomFilter(key, math.max(n, 1L), fpp)
+    if (if (expectedItems > 0) keys.isEmpty else n == 0) return corpus
+    val bf = keys.stat.bloomFilter(key, math.max(n, 1L), fpp)
     val probe = mightContain(col(key), bf)
-    val definitelyClean = corpus.filter(!probe)
+    // null-key rows match nothing in a left-anti join, so they are KEPT —
+    // the probe null-propagates (both filters would drop them), hence the
+    // explicit isNull arm to preserve exact anti-join semantics
+    val definitelyClean = corpus.filter(col(key).isNull || !probe)
     val confirmed = corpus.filter(probe)
-      .join(bad.select(col(key)).distinct(), Seq(key), "left_anti")
+      .join(keys.distinct(), Seq(key), "left_anti")
     definitelyClean.unionByName(confirmed)
   }
 
@@ -46,11 +54,14 @@ object Bloom {
     */
   def bloomSemiJoin(corpus: DataFrame, keep: DataFrame, key: String,
       expectedItems: Long = -1L, fpp: Double = 0.01): DataFrame = {
-    val n = if (expectedItems > 0) expectedItems else keep.count()
-    // empty keep set selects nothing (and stat.bloomFilter NPEs on empty)
-    if (if (expectedItems > 0) keep.isEmpty else n == 0) return corpus.limit(0)
-    val bf = keep.stat.bloomFilter(key, math.max(n, 1L), fpp)
+    val keys = keep.select(col(key)).localCheckpoint(true)
+    val n = if (expectedItems > 0) expectedItems else keys.count()
+    // empty keep set selects nothing (and stat.bloomFilter NPEs on empty).
+    // Null-key corpus rows need no special arm here: a left-semi join
+    // drops them, and so does the null-propagating probe filter.
+    if (if (expectedItems > 0) keys.isEmpty else n == 0) return corpus.limit(0)
+    val bf = keys.stat.bloomFilter(key, math.max(n, 1L), fpp)
     corpus.filter(mightContain(col(key), bf))
-      .join(keep.select(col(key)).distinct(), Seq(key), "left_semi")
+      .join(keys.distinct(), Seq(key), "left_semi")
   }
 }

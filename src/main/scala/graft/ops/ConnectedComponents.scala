@@ -68,6 +68,16 @@ object ConnectedComponents {
     */
   def components(pairs: DataFrame, aCol: String, bCol: String,
       maxIters: Int = 50): DataFrame = {
+    // ids must be integral: the silent alternative (cast to long) would
+    // null out string/UUID ids under non-ANSI mode and collapse the edge
+    // set to empty — applyDedup would then "deduplicate" nothing, quietly.
+    // Map non-numeric ids through a dense-rank or xxhash64 surrogate first.
+    Seq(aCol, bCol).foreach { c =>
+      val dt = pairs.schema(c).dataType
+      require(Seq("bigint", "int", "smallint", "tinyint").contains(dt.simpleString),
+        s"components: id column '$c' must be integral, got ${dt.simpleString} — " +
+          "assign a surrogate id (dense_rank or xxhash64) before closing pairs")
+    }
     // materialize the pair list ONCE: the caller's pair subplan is often
     // expensive (an inverted-index similarity join), and this function
     // reads it for the edge set AND twice for the node universe — without

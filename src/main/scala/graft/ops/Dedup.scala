@@ -126,23 +126,54 @@ object Dedup {
     * or stream screens against it without re-fingerprinting the corpus.
     */
   def saveBandIndex(docs: DataFrame, idCol: String, textCol: String,
-      dir: String, n: Int = 3, k: Int = 16, bands: Int = 4): Unit =
+      dir: String, n: Int = 3, k: Int = 16, bands: Int = 4): Unit = {
     minhashBands(docs, idCol, textCol, n, k, bands)
-      .write.mode("overwrite").partitionBy("__j").parquet(dir)
+      .write.mode("overwrite").partitionBy("__j").parquet(s"$dir/bands")
+    // the signature recipe is part of the index: a probe hashed with
+    // different (n, k, bands) would silently match (almost) nothing, so
+    // persist the parameters and let the probe path read them back
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Seq((n, k, bands)).toDF("n", "k", "bands")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
+  }
 
-  /** Load a band index written by [[saveBandIndex]]. */
-  def loadBandIndex(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
-    spark.read.parquet(dir)
+  /** Load a band index written by [[saveBandIndex]]: (bands frame,
+    * (n, k, bands) recipe).
+    */
+  def loadBandIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (DataFrame, (Int, Int, Int)) = {
+    val p = spark.read.parquet(s"$dir/params").head()
+    (spark.read.parquet(s"$dir/bands"), (p.getInt(0), p.getInt(1), p.getInt(2)))
+  }
 
-  /** Screen `probeDocs` against a PREBUILT corpus band index: one row per
+  /** Screen `probeDocs` against a saved corpus band index: one row per
     * (probe doc, corpus doc) candidate sharing any band bucket — the same
     * contract as DocStream.nearDupAgainstCorpus, minus the per-call corpus
-    * fingerprinting.
+    * fingerprinting. The probe side is hashed with the recipe STORED with
+    * the index, so a parameter mismatch cannot silently disable the screen.
+    */
+  def nearDupAgainstSavedIndex(probeDocs: DataFrame, idCol: String,
+      textCol: String, spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val (index, (n, k, bands)) = loadBandIndex(spark, dir)
+    nearDupAgainstIndex(probeDocs, idCol, textCol, index, n, k, bands)
+  }
+
+  /** Screen against an in-memory band index frame. (n, k, bands) MUST be
+    * the recipe the index was built with — prefer [[nearDupAgainstSavedIndex]]
+    * which reads the stored recipe. The index's id column is its single
+    * non-`__`-prefixed column (position-independent).
     */
   def nearDupAgainstIndex(probeDocs: DataFrame, idCol: String, textCol: String,
       index: DataFrame, n: Int = 3, k: Int = 16, bands: Int = 4): DataFrame = {
     val probeIdx = minhashBands(probeDocs, idCol, textCol, n, k, bands)
-    val corpusIdx = index.withColumnRenamed(index.columns.head, "__corpus_id")
+    val indexIdCol = index.columns.filterNot(_.startsWith("__")) match {
+      case Array(one) => one
+      case other => throw new IllegalArgumentException(
+        s"band index must have exactly one id column (plus __j/__bh), got ${other.mkString(", ")}")
+    }
+    val corpusIdx = index.withColumnRenamed(indexIdCol, "__corpus_id")
     probeIdx.join(corpusIdx, Seq("__j", "__bh"))
       .select(col(idCol), col("__corpus_id").as("corpus_" + idCol))
       .dropDuplicates(idCol, "corpus_" + idCol)

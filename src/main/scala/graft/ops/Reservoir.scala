@@ -35,18 +35,25 @@ object Reservoir {
   /** One sampling candidate: the hash key and the row id it belongs to. */
   final case class Cand(key: String, id: Long)
 
-  /** Keep-k-smallest merge of two sorted candidate lists (each ≤ k). */
-  private[ops] def mergeK(a: Seq[Cand], b: Seq[Cand], k: Int): Seq[Cand] = {
-    val out = new scala.collection.mutable.ArrayBuffer[Cand](k)
+  /** Keep-k-smallest two-pointer merge of sorted candidate lists (each
+    * ≤ k), generic over the (key, id) extraction so the uniform (String
+    * key) and weighted (Double key) aggregators share ONE tested merge.
+    */
+  private def mergeSorted[C, K](a: Seq[C], b: Seq[C], k: Int)
+      (key: C => K, id: C => Long)(implicit ord: Ordering[K]): Seq[C] = {
+    val out = new scala.collection.mutable.ArrayBuffer[C](k)
     var i = 0; var j = 0
     while (out.length < k && (i < a.length || j < b.length)) {
       val takeA = j >= b.length ||
-        (i < a.length && (a(i).key < b(j).key ||
-          (a(i).key == b(j).key && a(i).id <= b(j).id)))
+        (i < a.length && (ord.lt(key(a(i)), key(b(j))) ||
+          (ord.equiv(key(a(i)), key(b(j))) && id(a(i)) <= id(b(j)))))
       if (takeA) { out += a(i); i += 1 } else { out += b(j); j += 1 }
     }
     out.toSeq
   }
+
+  private[ops] def mergeK(a: Seq[Cand], b: Seq[Cand], k: Int): Seq[Cand] =
+    mergeSorted(a, b, k)(_.key, _.id)
 
   /** Mergeable bottom-k aggregator: buffer = the k smallest candidates seen,
     * sorted ascending by (key, id). reduce is an O(k) insertion, merge an
@@ -95,21 +102,12 @@ object Reservoir {
 
   /** Bottom-k by double priority — same bounded mergeable shape as
     * [[BottomK]] (≤ k candidates cross the shuffle per stratum per
-    * partition), ordered ascending by (key, id).
+    * partition), ordered ascending by (key, id), sharing the tested merge.
     */
   final class BottomKW(k: Int)(implicit enc: Encoder[Seq[WCand]])
       extends Aggregator[WCand, Seq[WCand], Seq[WCand]] {
-    private def mergeW(a: Seq[WCand], b: Seq[WCand]): Seq[WCand] = {
-      val out = new scala.collection.mutable.ArrayBuffer[WCand](k)
-      var i = 0; var j = 0
-      while (out.length < k && (i < a.length || j < b.length)) {
-        val takeA = j >= b.length ||
-          (i < a.length && (a(i).key < b(j).key ||
-            (a(i).key == b(j).key && a(i).id <= b(j).id)))
-        if (takeA) { out += a(i); i += 1 } else { out += b(j); j += 1 }
-      }
-      out.toSeq
-    }
+    private def mergeW(a: Seq[WCand], b: Seq[WCand]): Seq[WCand] =
+      mergeSorted(a, b, k)(_.key, _.id)
     override def zero: Seq[WCand] = Vector.empty
     override def reduce(buf: Seq[WCand], c: WCand): Seq[WCand] = mergeW(buf, Seq(c))
     override def merge(a: Seq[WCand], b: Seq[WCand]): Seq[WCand] = mergeW(a, b)
@@ -133,12 +131,19 @@ object Reservoir {
     require(k > 0, s"k must be positive, got $k")
     val spark = df.sparkSession
     import spark.implicits._
+    // the priority is computed COLUMNAR (codegen'd md5/conv/log built-ins
+    // mirroring hashUniform exactly — asserted in OpsSpec), not per row in
+    // the lambda: a JCA MessageDigest lookup per row would dominate the
+    // scan at corpus scale
+    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("double") + lit(0.5)) / lit((1L << 60).toDouble)
     val keyed = df
       .filter(col(weightCol).isNotNull && col(weightCol) > 0.0)
       .select(col(stratumCol).cast("string").as("__s"),
-        col(idCol).cast("long").as("id"), col(weightCol).cast("double").as("w"))
+        col(idCol).cast("long").as("id"),
+        (-log(u) / col(weightCol).cast("double")).as("p"))
       .as[(String, Long, Double)]
-      .map { case (s, id, w) => (s, WCand(-math.log(hashUniform(id)) / w, id)) }
+      .map { case (s, id, p) => (s, WCand(p, id)) }
     keyed.groupByKey(_._1).mapValues(_._2)
       .agg(new BottomKW(k).toColumn.name("cands"))
       .flatMap { case (s, cands) => cands.map(c => (s, c.id)) }

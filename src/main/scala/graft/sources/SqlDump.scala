@@ -167,19 +167,27 @@ object SqlDump {
     out.toSeq
   }
 
-  // Dump text persisted per path, released via [[release]] (Database.exit
-  // calls it) — without a release hook every .sql open would pin the full
-  // file in the block-manager cache for the session lifetime.
+  // Dump text persisted per (session, path) — keyed on the session too,
+  // else a second session opening the same path would get a Dataset bound
+  // to the first (possibly stopped) session. Released via [[release]]
+  // (Database.exit calls it) — without a release hook every .sql open
+  // would pin the full file in the block-manager cache for the session
+  // lifetime.
   private val openDumps =
     scala.collection.concurrent.TrieMap.empty[String, Dataset[String]]
 
-  /** Unpersist the cached dump text for `path` (idempotent). The returned
-    * DataFrames re-parse from disk afterwards; callers keeping tables hot
-    * should persist those tables instead.
+  private def dumpKey(spark: SparkSession, path: String): String =
+    s"${System.identityHashCode(spark)}|$path"
+
+  /** Unpersist the cached dump text for `path` across all sessions
+    * (idempotent). The returned DataFrames re-parse from disk afterwards;
+    * callers keeping tables hot should persist those tables instead.
     */
   def release(path: String): Unit =
-    openDumps.remove(path).foreach(ds =>
-      try ds.unpersist(false) catch { case _: Throwable => () })
+    openDumps.keys.filter(_.endsWith(s"|$path")).foreach { k =>
+      openDumps.remove(k).foreach(ds =>
+        try ds.unpersist(false) catch { case _: Throwable => () })
+    }
 
   /** Collected non-INSERT text cap: DDL for any sane schema is KBs. A dump
     * whose bulk is COPY blocks or comments would otherwise flood the driver
@@ -190,10 +198,23 @@ object SqlDump {
   /** Open every table in the dump as a typed DataFrame. */
   def open(spark: SparkSession, path: String): Map[String, DataFrame] = {
     import spark.implicits._
-    val lines: Dataset[String] = openDumps.getOrElseUpdate(path,
+    val key = dumpKey(spark, path)
+    val lines: Dataset[String] = openDumps.getOrElseUpdate(key,
       spark.read.textFile(path)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // a failed open must not leave the dump pinned with no owner to
+    // release it — drop the cache entry before rethrowing
+    try openImpl(spark, path, lines)
+    catch { case e: Throwable =>
+      openDumps.remove(key).foreach(ds =>
+        try ds.unpersist(false) catch { case _: Throwable => () })
+      throw e
+    }
+  }
 
+  private def openImpl(spark: SparkSession, path: String,
+      lines: Dataset[String]): Map[String, DataFrame] = {
+    import spark.implicits._
     // DDL: drop the INSERT bulk distributed, collect the remnant in file
     // order (zipWithIndex preserves a single text file's line order).
     // Guarded: the non-INSERT remnant must stay driver-sized.

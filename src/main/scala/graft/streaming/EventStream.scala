@@ -141,8 +141,10 @@ object EventStream {
     * cost is proportional to the store, not the history.
     */
   def sketchStoreSink(events: DataFrame, storePath: String,
-      checkpoint: String, lgK: Int = 12): StreamingQuery = {
-    val q = events.writeStream
+      checkpoint: String, lgK: Int = 12): StreamingQuery =
+    // returns the LIVE query (await it like curateStream's) so multiple
+    // sinks can run concurrently and callers keep a usable handle
+    events.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         batch
           .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
@@ -153,9 +155,6 @@ object EventStream {
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    q
-  }
 
   /** Serve hourly-or-coarser distinct-user rollups from a [[sketchStoreSink]]
     * store by sketch union (graft.ops.Sketches.rollup): `keep` ⊆

@@ -29,6 +29,18 @@ class BloomSpec extends SparkSuite {
     assert(got == (1L to 1000L).filterNot(i => (i - 1) % 3 == 0).toSet)
   }
 
+  test("bloomAntiJoin keeps null-key rows, exactly like a left-anti join") {
+    import spark.implicits._
+    val corpus = Seq(Some("a"), Some("b"), None, Some("c"), None)
+      .toDF("key")
+    val bad = Seq("b").toDF("key")
+    val got = Bloom.bloomAntiJoin(corpus, bad, "key")
+      .collect().map(r => Option(r.getString(0))).toSeq.sortBy(_.getOrElse(""))
+    val exact = corpus.join(bad, Seq("key"), "left_anti")
+      .collect().map(r => Option(r.getString(0))).toSeq.sortBy(_.getOrElse(""))
+    assert(got == exact && got.count(_.isEmpty) == 2)
+  }
+
   test("empty bad set keeps the whole corpus") {
     import spark.implicits._
     val corpus = (1L to 50L).toDF("id")

@@ -58,6 +58,15 @@ class ConnectedComponentsSpec extends SparkSuite {
     }
   }
 
+  test("non-integral id columns are rejected, not silently nulled") {
+    import spark.implicits._
+    val e = intercept[IllegalArgumentException] {
+      ConnectedComponents.components(
+        Seq(("doc-1", "doc-2")).toDF("a", "b"), "a", "b")
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
   test("empty pair set yields empty components") {
     import spark.implicits._
     assert(ConnectedComponents.components(

@@ -230,8 +230,8 @@ class OpsSpec extends SparkSuite {
       .unionByName(planted)
     val dir = java.nio.file.Files.createTempDirectory("graftband").toString + "/idx"
     Dedup.saveBandIndex(corpus, "doc_id", "text", dir)
-    val viaIndex = Dedup.nearDupAgainstIndex(probes, "doc_id", "text",
-        Dedup.loadBandIndex(spark, dir))
+    // the stored recipe drives the probe hashing — no way to mismatch
+    val viaIndex = Dedup.nearDupAgainstSavedIndex(probes, "doc_id", "text", spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val direct = graft.streaming.DocStream.nearDupAgainstCorpus(probes, corpus)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

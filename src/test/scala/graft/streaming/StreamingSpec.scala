@@ -79,7 +79,7 @@ class StreamingSpec extends SparkSuite {
 
     val stream = spark.readStream.schema(EventStream.eventSchema)
       .option("maxFilesPerTrigger", 1).json(dir)
-    EventStream.sketchStoreSink(stream, store, ckpt)
+    EventStream.sketchStoreSink(stream, store, ckpt).awaitTermination()
 
     // the store really is per-batch (two micro-batches appended separately)
     val sk = spark.read.parquet(store)
