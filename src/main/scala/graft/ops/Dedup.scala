@@ -69,8 +69,17 @@ object Dedup {
     * when dfCap = 0 (disabled).
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, threshold: Double = 0.8, dfCap: Long = 0L): DataFrame = {
-    val base = shingled(docs, idCol, textCol, n)
+      n: Int = 3, threshold: Double = 0.8, dfCap: Long = 0L): DataFrame =
+    jaccardPairsFromShingles(shingled(docs, idCol, textCol, n), idCol,
+      threshold, dfCap)
+
+  /** The ngramJaccardPairs core over an ALREADY-shingled (idCol, "sh")
+    * frame — for callers holding a persisted shingle table (e.g. the
+    * bench's shared shingleDf) so one cached shingling serves several
+    * pair-mining thresholds.
+    */
+  def jaccardPairsFromShingles(base: DataFrame, idCol: String,
+      threshold: Double, dfCap: Long = 0L): DataFrame = {
     val sizes = base.select(col(idCol), size(col("sh")).as("__n"))
     val inv0 = base.select(col(idCol), explode(col("sh")).as("__g"))
     val inv =

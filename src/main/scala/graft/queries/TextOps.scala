@@ -78,21 +78,11 @@ object TextOps {
     */
   private val pairCache = TrieMap.empty[String, DataFrame]
   private[graft] def pairDf(s: SparkSession, d: String): DataFrame =
-    pairCache.getOrElseUpdate(s"${System.identityHashCode(s)}|$d", {
-      val base = shingleDf(s, d)
-      val sizes = base.select(col("doc_id"), size(col("sh")).as("n"))
-      val inv = base.select(col("doc_id"), explode(col("sh")).as("g"))
-      inv.alias("x").join(inv.alias("y"),
-          col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
-        .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-        .agg(count(lit(1)).as("common"))
-        .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
-        .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
-        .filter(col("common").cast("double") /
-          (col("na") + col("nb") - col("common")) >= 0.5)
+    pairCache.getOrElseUpdate(s"${System.identityHashCode(s)}|$d",
+      graft.ops.Dedup.jaccardPairsFromShingles(shingleDf(s, d), "doc_id",
+          threshold = 0.5)
         .select("a", "b")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    })
+        .persist(StorageLevel.MEMORY_AND_DISK))
 
   /** Query names that read [[shingleDf]]/[[sigDf]] — Bench/Verify schedule
     * these consecutively and call [[clearCaches]] after the last one, so the
