@@ -104,6 +104,31 @@ object Dedup {
       .select("a", "b", "jaccard")
   }
 
+  /** Probability that a pair with Jaccard similarity `j` shares at least
+    * one of `bands` band buckets with `k / bands` rows per band — the LSH
+    * S-curve 1 - (1 - j^r)^b. Use to size (k, bands) for a recall target.
+    */
+  def lshCollisionProb(j: Double, k: Int, bands: Int): Double = {
+    require(bands > 0 && k % bands == 0, s"k=$k must divide into bands=$bands")
+    val r = k / bands
+    1.0 - math.pow(1.0 - math.pow(j, r), bands)
+  }
+
+  /** The `bands` choice (a divisor of `k`) whose S-curve threshold — the
+    * similarity where collision probability crosses 1/2, ≈ (1/b)^(1/r) —
+    * sits closest to `targetJaccard`. Saves every MinHash caller the
+    * band-math: more bands catch lower similarities (higher recall, more
+    * candidates), fewer bands push the threshold up.
+    */
+  def bandsForThreshold(targetJaccard: Double, k: Int = 16): Int = {
+    require(targetJaccard > 0 && targetJaccard < 1, s"bad target $targetJaccard")
+    val divisors = (1 to k).filter(k % _ == 0)
+    divisors.minBy { b =>
+      val threshold = math.pow(1.0 / b, b.toDouble / k)
+      math.abs(threshold - targetJaccard)
+    }
+  }
+
   /** (id, __j, __bh) MinHash band-bucket projection: `k` min-hashes split
     * into `bands` bands, one row per (doc, band). This is the shared LSH
     * index shape for batch pair-mining AND streaming near-dup screening

@@ -84,3 +84,31 @@ object DedupProperties extends Properties("graft.ops.Dedup") {
       }
     }
 }
+
+/** Band-math helpers: the S-curve and its inversion. */
+object LshMathProperties extends Properties("graft.ops.Dedup.lshMath") {
+
+  property("collision probability is monotone in j and bounded in [0,1]") =
+    forAll(Gen.chooseNum(0.05, 0.95), Gen.chooseNum(0.05, 0.95)) { (j1, j2) =>
+      val (lo, hi) = if (j1 <= j2) (j1, j2) else (j2, j1)
+      val p1 = Dedup.lshCollisionProb(lo, 16, 4)
+      val p2 = Dedup.lshCollisionProb(hi, 16, 4)
+      p1 >= 0.0 && p2 <= 1.0 && p1 <= p2
+    }
+
+  property("bandsForThreshold returns a divisor whose threshold is closest") =
+    forAll(Gen.chooseNum(0.1, 0.9)) { t =>
+      val k = 16
+      val b = Dedup.bandsForThreshold(t, k)
+      def thr(bb: Int) = math.pow(1.0 / bb, bb.toDouble / k)
+      k % b == 0 &&
+        (1 to k).filter(k % _ == 0).forall(bb =>
+          math.abs(thr(b) - t) <= math.abs(thr(bb) - t) + 1e-12)
+    }
+
+  property("more bands never lowers recall at fixed k") =
+    forAll(Gen.chooseNum(0.2, 0.9)) { j =>
+      val probs = Seq(1, 2, 4, 8, 16).map(b => Dedup.lshCollisionProb(j, 16, b))
+      probs.zip(probs.tail).forall { case (a, b) => a <= b + 1e-12 }
+    }
+}
