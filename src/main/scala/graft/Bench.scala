@@ -23,23 +23,45 @@ object Bench {
     // Cache-consuming query groups run LAST and their persisted helper
     // frames are unpersisted right after the group — round-3 showed the
     // session-lifetime caches as broad memory pressure on unrelated queries.
-    val results = SparkEntry.schedule.flatMap { case (names, after) =>
-      val rs = names.map { name =>
+    // Schedule order is shuffled WITHIN each cache group, seeded by round:
+    // a sustained host-contention window then hits a different query set
+    // each round instead of pinning the same alphabetical block (round 6's
+    // q_tpch_q3/q5/q6 + q_events_hourly spike cluster was consecutive in
+    // the sorted schedule). Seed = SPARK_GRAFT_ROUND if set, else the count
+    // of BENCH_r*.json files in cwd — deterministic within a round.
+    val roundSeed: Long = sys.env.get("SPARK_GRAFT_ROUND").flatMap(_.toLongOption)
+      .getOrElse {
+        try {
+          val d = new java.io.File(".").listFiles()
+          if (d == null) 0L
+          else d.count(f => f.getName.matches("BENCH_r\\d+\\.json")).toLong
+        } catch { case _: Throwable => 0L }
+      }
+    val rng = new scala.util.Random(roundSeed)
+    // samples: name -> the 3 run times sorted ascending (min, med, max)
+    val samples = SparkEntry.schedule.flatMap { case (names, after) =>
+      val rs = rng.shuffle(names).map { name =>
         val fn = SparkEntry.queries(name)
         def once(): Double = {
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
           (System.nanoTime() - t0) / 1e9
         }
-        name -> Seq.fill(3)(once()).min
+        name -> Seq.fill(3)(once()).sorted
       }
       after()
       rs
     }.toMap
+    val results = samples.map { case (k, v) => k -> v.head }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // per-query [min, med, max] — makes a contention spike self-evident
+    // (max >> min on unchanged code) instead of a round-over-round mystery
+    val disp = samples.toSeq.sortBy(_._1).map { case (k, v) =>
+      f""""$k":[${v(0)}%.3f,${v(1)}%.3f,${v(2)}%.3f]"""
+    }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"dispersion":$disp,"seed":$roundSeed,"sf":"$sfDir"}"""
     // Durable full-detail copy: every query at full precision, fixed path.
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_last.json"),
       (json + "\n").getBytes("UTF-8"))
@@ -59,11 +81,20 @@ object Bench {
       "q_range_join", "q_iloc_slice", "q_events_hourly",
       "q_stratified_sample", "q_pack_sequences", "q_decontaminate",
       "q_semdedup", "q_semdedup_cells", "q_containment", "q_topk_freq",
-      "q_dedup_components", "q_dedup_apply", "q_dedup_e2e",
+      "q_dedup_components", "q_dedup_apply", "q_dedup_e2e", "q_dedup_cc_minhash",
       "q_reservoir_sample", "q_salted_join", "q_decontaminate_bloom")
     val hq = headline.flatMap(n => results.get(n).map(v => f""""$n":$v%.3f"""))
       .mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$hq,"n_queries":${results.size}%d,"full":"bench_last.json","sf":"$sfDir"}""")
+    // worst-spread queries as name:[min,max] — a max >> min row IS the
+    // host-contention evidence (the min is the steady-state number the
+    // round-over-round comparison should use)
+    val spread = samples.toSeq
+      .filter { case (_, v) => v(2) > v(0) * 1.5 + 0.05 }
+      .sortBy { case (_, v) => -(v(2) / (v(0) max 1e-9)) }
+      .take(8)
+      .map { case (k, v) => f""""$k":[${v(0)}%.2f,${v(2)}%.2f]""" }
+      .mkString("{", ",", "}")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$hq,"spread_minmax":$spread,"n_queries":${results.size}%d,"seed":$roundSeed%d,"full":"bench_last.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

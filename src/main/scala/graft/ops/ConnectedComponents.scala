@@ -102,7 +102,13 @@ object ConnectedComponents {
     while (!converged && iters < maxIters) {
       val next = smallStar(largeStar(edges)).localCheckpoint(true)
       val nextSig = checksum(next)
-      converged = nextSig == sig
+      // checksum equality is probabilistic; this path's whole point is
+      // EXACT cluster closure, so confirm with a set-equality check on the
+      // two (converged, tiny, already-materialized) frames. Runs only on
+      // checksum match — once per call in the common case — and turns a
+      // hash collision from silent wrong labels into one extra round.
+      converged = nextSig == sig &&
+        next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
       edges = next
       sig = nextSig
       iters += 1

@@ -177,8 +177,12 @@ object Dedup {
     */
   def loadBandIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): (DataFrame, (Int, Int, Int)) = {
+    // read by NAME, not ordinal: a rewritten params file with another
+    // column order would silently swap n/k/bands and the probe hashing
+    // would mismatch — the exact failure saveBandIndex exists to prevent
     val p = spark.read.parquet(s"$dir/params").head()
-    (spark.read.parquet(s"$dir/bands"), (p.getInt(0), p.getInt(1), p.getInt(2)))
+    (spark.read.parquet(s"$dir/bands"),
+      (p.getAs[Int]("n"), p.getAs[Int]("k"), p.getAs[Int]("bands")))
   }
 
   /** Screen `probeDocs` against a saved corpus band index: one row per
@@ -255,8 +259,13 @@ object Dedup {
       .filter(col("__bc") >= 2)
     val ids = bandDf.join(hot, Seq("__j", "__bh"), "left_semi")
       .select(col(idCol)).distinct()
+    // No broadcast hint on the candidate-id semi-join: on a near-dup-heavy
+    // corpus the candidate set is a large fraction of all doc ids and a
+    // forced broadcast OOMs; AQE broadcasts when the set IS small (the
+    // bench plan stays a BroadcastHashJoin) and shuffles when it isn't —
+    // same rationale as jaccardPairsFromShingles above.
     val inv = base.select(col(idCol), explode(col("sh")).as("__g"))
-      .join(broadcast(ids), idCol)
+      .join(ids, Seq(idCol), "left_semi")
     val sizes = base.select(col(idCol), size(col("sh")).as("__n"))
     val common = inv.alias("x").join(inv.alias("y"),
         col("x.__g") === col("y.__g") && col(s"x.$idCol") < col(s"y.$idCol"))

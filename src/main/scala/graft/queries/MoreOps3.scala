@@ -56,8 +56,11 @@ object MoreOps3 {
       .filter(col("bc") >= 2)
     val ids = bands.join(hot, Seq("j", "bh"), "left_semi")
       .select("doc_id").distinct()
+    // hint-free semi-join (same rationale as Dedup.minhashVerifiedPairs):
+    // AQE broadcasts the candidate-id set when small — as here — without
+    // pinning the scale path to a forced broadcast
     val inv = base.select(col("doc_id"), explode(col("sh")).as("g"))
-      .join(broadcast(ids), "doc_id")
+      .join(ids, Seq("doc_id"), "left_semi")
     val common = inv.alias("x").join(inv.alias("y"),
         col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))

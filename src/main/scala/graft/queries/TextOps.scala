@@ -92,7 +92,8 @@ object TextOps {
     */
   val cacheConsumers: Set[String] =
     Set("q_dedup_ngram", "q_dedup_minhash", "q_dedup_verified",
-      "q_dedup_components", "q_dedup_apply", "q_dedup_e2e")
+      "q_dedup_components", "q_dedup_apply", "q_dedup_e2e",
+      "q_dedup_cc_minhash")
 
   /** Unpersist + drop every cached helper frame (idempotent). */
   def clearCaches(): Unit = {
@@ -461,6 +462,51 @@ object TextOps {
          |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
          |FROM bands x JOIN bands y ON x.j = y.j AND x.bh = y.bh AND x.doc_id < y.doc_id
          |ORDER BY a, b""".stripMargin),
+
+    // -- CC over MinHash band candidates at PRODUCTION parameters: the same
+    //    16 md5 min-hashes re-banded 8 bands × 2 rows — S-curve threshold
+    //    (1/8)^(1/2) ≈ 0.35, so the candidate graph is denser and more
+    //    skewed than q_dedup_components' jaccard >= 0.5 edges — closed into
+    //    exact components by alternating star contraction. This is the
+    //    cluster-closure stage as it actually runs in a dedup pipeline:
+    //    directly over LSH candidates, no verify in between. Oracle: same
+    //    bands in DuckDB, closed by a recursive CTE -------------------------
+    ("q_dedup_cc_minhash",
+      (s: SparkSession, d: String) => {
+        val sig = sigDf(s, d)
+        val bandStructs = (0 until 8).map { j =>
+          struct(lit(j).as("j"),
+            md5(concat_ws("|",
+              (0 until 2).map(r => element_at(col("sg"), 2 * j + r + 1)): _*)).as("bh"))
+        }
+        val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
+          .select(col("doc_id"), col("b.j").as("j"), col("b.bh").as("bh"))
+        val pairs = bands.alias("x").join(bands.alias("y"),
+            col("x.j") === col("y.j") && col("x.bh") === col("y.bh") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+          .distinct()
+        graft.ops.ConnectedComponents.components(pairs, "a", "b")
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id")
+      },
+      s"""WITH RECURSIVE ${shingleCte.stripPrefix("WITH ")},
+         |sig AS (
+         |  SELECT doc_id,
+         |    [list_min([md5(cast(i AS VARCHAR) || '|' || g) for g in sh]) for i in range(0, 16)] AS sg
+         |  FROM s WHERE len(sh) > 0),
+         |bands AS (
+         |  SELECT doc_id, j, md5(sg[2*j+1] || '|' || sg[2*j+2]) AS bh
+         |  FROM sig, unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS u(j)),
+         |p AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bands x JOIN bands y ON x.j = y.j AND x.bh = y.bh AND x.doc_id < y.doc_id),
+         |e AS (SELECT a AS u, b AS v FROM p UNION SELECT b, a FROM p),
+         |walk(u, v) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM e)
+         |  UNION
+         |  SELECT w.u, e.v FROM walk w JOIN e ON w.v = e.u)
+         |SELECT u AS doc_id, min(v) AS component FROM walk GROUP BY 1 ORDER BY 1""".stripMargin),
 
     // -- SimHash fingerprints (60-bit, md5-derived so DuckDB can replay the
     //    identical computation): bit b = sign of sum over distinct tokens of

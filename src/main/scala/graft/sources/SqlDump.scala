@@ -199,9 +199,19 @@ object SqlDump {
   def open(spark: SparkSession, path: String): Map[String, DataFrame] = {
     import spark.implicits._
     val key = dumpKey(spark, path)
-    val lines: Dataset[String] = openDumps.getOrElseUpdate(key,
-      spark.read.textFile(path)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // putIfAbsent, not getOrElseUpdate: the TrieMap default getOrElseUpdate
+    // is not atomic, so two concurrent opens could each persist the dump
+    // and the loser's pinned Dataset would be unreachable by release().
+    // Building the (lazy, unexecuted) Dataset twice is free; only one wins
+    // the map slot and the loser's handle is dropped before any job pins it.
+    val candidate = spark.read.textFile(path)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lines: Dataset[String] = openDumps.putIfAbsent(key, candidate) match {
+      case Some(existing) =>
+        try candidate.unpersist(false) catch { case _: Throwable => () }
+        existing
+      case None => candidate
+    }
     // a failed open must not leave the dump pinned with no owner to
     // release it — drop the cache entry before rethrowing
     try openImpl(spark, path, lines)

@@ -107,9 +107,13 @@ object DocStream {
             val f = fresh.withColumn("__fp", md5(col("text")))
             val probe = graft.functions.BloomExprs.mightContain(col("__fp"), admittedFp)
             // no false negatives: !probe rows cannot be exact dups of any
-            // admitted doc; probe rows confirm against the real fingerprints
-            f.filter(!probe)
-              .unionByName(f.filter(probe)
+            // admitted doc; probe rows confirm against the real fingerprints.
+            // null-text docs need an explicit arm: __fp is null, the probe
+            // null-propagates, and BOTH filter arms would drop the row —
+            // admissions must be identical with the prefilter on or off
+            // (schema allows null text, and the band screen admits them).
+            f.filter(col("__fp").isNull || !probe)
+              .unionByName(f.filter(col("__fp").isNotNull && probe)
                 .join(fpOf(curated), Seq("__fp"), "left_anti"))
               .drop("__fp")
           }

@@ -159,8 +159,10 @@ object EventStream {
   /** Serve hourly-or-coarser distinct-user rollups from a [[sketchStoreSink]]
     * store by sketch union (graft.ops.Sketches.rollup): `keep` ⊆
     * (hour_start, event_type). Estimates are IDENTICAL to a batch
-    * `approx_count_distinct` at the same lgK — HLL union is a lossless
-    * merge of the per-batch sketches.
+    * `hll_sketch_estimate(hll_sketch_agg(...))` at the same lgK — HLL union
+    * is a lossless merge of the per-batch sketches. (NOT the same algorithm
+    * as `approx_count_distinct`, which is Spark's relativeSD-parameterized
+    * HLL++; StreamingSpec asserts against the sketch form.)
     */
   def servedDistinctUsers(spark: SparkSession, storePath: String,
       keep: Seq[String]): DataFrame =
