@@ -22,7 +22,8 @@ final class Database private (
     val spark: SparkSession,
     tableMap: Map[String, DataFrame],
     val cache: QueryCache,
-    val path: String) {
+    val path: String,
+    cacheDir: Option[String] = None) {
 
   /** Table names, like `db.tables` (reference: connection.py:112-120). */
   def tables: Seq[String] = tableMap.keys.toSeq.sorted
@@ -144,7 +145,15 @@ final class Database private (
   /** Drop this database's temp views and temp tables (reference `exit`,
     * connection.py:191-228; the SparkSession itself is owned by the caller).
     */
+  /** Spill the stat memo to this database's cacheDir (no-op without one).
+    * Called by [[exit]]; public so long-lived sessions can checkpoint the
+    * warm cache without closing.
+    */
+  def saveCache(): Unit =
+    cacheDir.foreach(d => try cache.saveTo(spark, d) catch { case _: Throwable => () })
+
   def exit(): Unit = {
+    saveCache()
     tempTableNames.foreach { n =>
       try spark.table(n).unpersist(false) catch { case _: Throwable => () }
       spark.catalog.dropTempView(n)
@@ -181,13 +190,20 @@ object Database {
     * Unsupported files raise FileTypeError if explicitly requested via
     * `open(path)` on a single file (reference: connection.py:77-78).
     */
+  /** @param cacheDir when non-null, the stat cache persists across sessions:
+    *   `open` reloads any prior spill from this directory and `exit()` (or
+    *   `saveCache()`) writes the current memo back — the reference's cache
+    *   story (cache.py:39-92) upgraded with durability. Caps still apply on
+    *   reload.
+    */
   def open(
       spark: SparkSession,
       dir: String,
       cacheEnabled: Boolean = true,
       maxItemMb: Double = 2.0,
       maxTotalMb: Double = 100.0,
-      populateCache: Boolean = false): Database = {
+      populateCache: Boolean = false,
+      cacheDir: String = null): Database = {
     // Tolerate TIMESTAMP(NANOS) parquet columns (read as epoch-nanos long).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val target = new File(dir)
@@ -201,8 +217,9 @@ object Database {
       if (dir.endsWith(".sql")) {
         val tableMap = graft.sources.SqlDump.open(spark, dir)
         tableMap.foreach { case (n, df) => df.createOrReplaceTempView(n) }
-        return new Database(spark, tableMap,
-          new QueryCache(cacheEnabled, maxItemMb, maxTotalMb), dir)
+        val qc = new QueryCache(cacheEnabled, maxItemMb, maxTotalMb)
+        if (cacheDir != null) qc.loadFrom(spark, cacheDir)
+        return new Database(spark, tableMap, qc, dir, Option(cacheDir))
       }
       if (!dir.endsWith(".parquet") && !dir.endsWith(".csv"))
         throw new FileTypeError(
@@ -233,8 +250,9 @@ object Database {
       df.createOrReplaceTempView(tname)
       tname -> df
     }.toMap
-    val db = new Database(spark, tableMap,
-      new QueryCache(cacheEnabled, maxItemMb, maxTotalMb), dir)
+    val qc = new QueryCache(cacheEnabled, maxItemMb, maxTotalMb)
+    if (cacheDir != null) qc.loadFrom(spark, cacheDir)
+    val db = new Database(spark, tableMap, qc, dir, Option(cacheDir))
     if (populateCache) db.populateCache()
     db
   }

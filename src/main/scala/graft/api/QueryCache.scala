@@ -62,4 +62,66 @@ final class QueryCache(
 
   /** Memoize an aggregate computed from `df`, keyed on its canonical plan. */
   def memo[T](df: DataFrame)(compute: => T): T = getOrElseUpdate(keyOf(df))(compute)
+
+  // ---- cross-session durability ----------------------------------------
+  // The reference's cache dies with the connection (cache.py:39-92); Spark
+  // makes a durable upgrade natural: spill the driver-side memo to one tiny
+  // parquet of (plan-key, java-serialized value) rows and reload it on the
+  // next Database.open. Canonicalized plan strings normalize expression ids,
+  // so the same query over the same source paths re-derives the same key in
+  // a fresh session (asserted in Api2Spec). Values are small driver scalars
+  // (Long/Double/Row/Map) bounded by maxItemMb — the file stays O(MB).
+
+  private def serialize(v: Any): Option[Array[Byte]] =
+    try {
+      val bos = new java.io.ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(bos)
+      oos.writeObject(v)
+      oos.close()
+      Some(bos.toByteArray)
+    } catch { case _: java.io.NotSerializableException => None }
+
+  /** Spill the memo to `dir` (overwrites). Non-serializable values are
+    * skipped — they just recompute next session.
+    */
+  def saveTo(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    import spark.implicits._
+    val rows = store.asScala.toSeq.flatMap { case (k, v) =>
+      serialize(v).map(b => (k, b))
+    }
+    // driver-sized by the caps (<= maxTotalMb): one file, no shuffle
+    rows.toDF("key", "value").coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  /** Reload a [[saveTo]] spill, re-applying the size caps (a spill written
+    * under looser caps cannot overfill a tighter cache). Missing/unreadable
+    * dirs are a no-op — a cold start, not an error. Returns entries loaded.
+    */
+  def loadFrom(spark: org.apache.spark.sql.SparkSession, dir: String): Int = {
+    if (!enabled) return 0
+    val rows =
+      try spark.read.parquet(dir).collect()
+      catch { case _: Throwable => return 0 }
+    var n = 0
+    rows.foreach { r =>
+      val key = r.getString(0)
+      val v =
+        try {
+          val ois = new java.io.ObjectInputStream(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          val x = ois.readObject()
+          ois.close()
+          x
+        } catch { case _: Throwable => null }
+      if (v != null) {
+        val itemMb = mbOf(key) + mbOf(v)
+        if (itemMb <= maxItemMb && currentSizeMb + itemMb <= maxTotalMb &&
+            store.putIfAbsent(key, v) == null) {
+          storedBytes.addAndGet((itemMb * 1e6).toLong)
+          n += 1
+        }
+      }
+    }
+    n
+  }
 }

@@ -206,4 +206,29 @@ class Api2Spec extends SparkSuite {
       .head.getSeq[Long](0)
     assert(got == Seq(expect))
   }
+
+  test("cross-session persisted cache: open -> warm -> exit -> reopen -> hit without recompute") {
+    val cdir = Files.createTempDirectory("graftcache").toString + "/spill"
+    val db1 = Database.open(spark, sfDir, cacheDir = cdir)
+    val c1 = db1("orders").col("o_totalprice")
+    val (n, s, m) = (c1.count, c1.sum, c1.median)
+    val warm = db1.cache.size
+    assert(warm >= 3)
+    db1.exit() // spills the memo to cdir
+    // fresh Database + fresh QueryCache over the same cacheDir: the spill
+    // reloads in full (caps unchanged, so nothing is dropped)
+    val db2 = Database.open(spark, sfDir, cacheDir = cdir)
+    assert(db2.cache.size == warm)
+    // the same aggregates re-derive the SAME canonical plan keys: pure
+    // hits — if any key failed to match, the recompute would insert a new
+    // entry and grow the cache
+    val c2 = db2("orders").col("o_totalprice")
+    assert(c2.count == n && c2.sum == s && c2.median == m)
+    assert(db2.cache.size == warm, "reopened cache answered without recompute")
+    // caps survive the round-trip: a tiny-cap reopen loads nothing big
+    val db3 = Database.open(spark, sfDir, maxItemMb = 1e-9, cacheDir = cdir)
+    assert(db3.cache.size == 0)
+    db3.exit()
+    db2.exit()
+  }
 }

@@ -45,6 +45,29 @@ class ParchPoseySpec extends SparkSuite {
     assert(filtered.len == sqlCount)
   }
 
+  test("README front-page workflows, golden values (README.md:440-489,602-628)") {
+    val o = db("orders")
+    // flow 1: df[df.total.between(300, 500)] -> "[1698 rows x 11 columns]"
+    val between = o.filter(o("total").between(300, 500))
+    assert(between.shape == ((1698L, 11)))
+    // flow 2: df[(df.total >= 500) & (df.total_amt_usd > 6700)] -> 779 rows
+    assert(o.filter((o("total") >= 500) && (o("total_amt_usd") > 6700.0)).len == 779)
+    // flow 3: saved handle -> .shape == (1491, 11), then
+    // .account_id.value_counts() head {3411: 33, 2591: 30, 4211: 30,
+    // 1561: 29, 2181: 29} (count DESC, value ASC within ties)
+    val filtered = o.filter((o("total") >= 500) && (o("total_amt_usd") > 4700.0))
+    assert(filtered.shape == ((1491L, 11)))
+    val vc = filtered.col("account_id").valueCounts
+    assert(vc.take(5).map { case (v, n) => (v.toString.toLong, n) } ==
+      Seq((3411L, 33L), (2591L, 30L), (4211L, 30L), (1561L, 29L), (2181L, 29L)))
+    // flow 4 (the join demo's full shape): 351 rows x 12 columns
+    val joined = db.query(
+      """SELECT * FROM accounts
+        |JOIN sales_reps ON accounts.sales_rep_id = sales_reps.id
+        |JOIN region ON sales_reps.region_id = region.id""".stripMargin)
+    assert(joined.count() == 351 && joined.columns.length == 12)
+  }
+
   test("two-key equi-join column order (tests/test_connection.py:144-162 pattern)") {
     val out = db.query(
       """SELECT w.id, w.channel, a.name FROM web_events w

@@ -144,4 +144,45 @@ class PartitioningSpec extends SparkSuite {
     // z-ordered files are value-bounded: most files skip the box entirely
     assert(zHit <= zr.length / 2, s"expected <=half the z files to intersect ($zHit/${zr.length})")
   }
+
+  test("row-group pruning measured through the reader: value-box scan reads fewer rows under z layout") {
+    import org.apache.spark.sql.functions._
+    val events = {
+      graft.queries.Q.ensureNanosReadable(spark)
+      spark.read.parquet(s"$sfDir/events.parquet").select("user_id", "value")
+    }
+    val nParts = 16
+    val zdir = java.nio.file.Files.createTempDirectory("graftzrg").toString
+    val ldir = java.nio.file.Files.createTempDirectory("graftlrg").toString
+    Partitioning.zOrderLayout(events, "user_id", "value", nParts)
+      .write.mode("overwrite").parquet(zdir)
+    Partitioning.sortedLayout(events, Seq("user_id"), nParts)
+      .write.mode("overwrite").parquet(ldir)
+    val total = events.count()
+    val boxHi = events.stat.approxQuantile("value", Array(0.1), 0.0).head
+
+    // rows EMITTED BY THE SCAN (parquet row-group stats pruning + pushed
+    // filter), not rows surviving the exact Filter — this is the metric
+    // file layout actually moves. AQE off so the executed plan is direct.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def scanned(dir: String): (Long, Long) = {
+        val df = spark.read.parquet(dir).where(col("value") <= boxHi).select("value")
+        val kept = df.collect().length.toLong
+        val scans = df.queryExecution.executedPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+        }
+        (scans.map(_.metrics("numOutputRows").value).sum, kept)
+      }
+      val (zScanned, zKept) = scanned(zdir)
+      val (lScanned, lKept) = scanned(ldir)
+      assert(zKept == lKept, "both layouts return the same result")
+      // linear layout sorted on user_id: every file's value range spans the
+      // domain, no row group prunes, the reader materializes everything
+      assert(lScanned == total, s"expected full scan under linear layout ($lScanned/$total)")
+      // z layout: row groups outside the value box never leave the footer
+      assert(zScanned <= total / 2,
+        s"expected <=half the rows materialized under z layout ($zScanned/$total)")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }
