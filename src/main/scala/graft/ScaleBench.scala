@@ -1,0 +1,91 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Scaling harness for SCALE.md: run a named subset of SparkEntry.queries
+  * against an arbitrary data dir (e.g. the 10x sf1 fixture built by
+  * scripts/gen_sf1.py) and print one JSON line of per-query times — the
+  * evidence side of the "would this survive a 100x scale-up" claim, instead
+  * of the assertion.
+  *
+  * Usage: runMain graft.ScaleBench <dir> [query ...]
+  * Env: SPARK_GRAFT_RUNS (samples per query, min reported; default 2),
+  *      SPARK_GRAFT_CPUS (default 32).
+  */
+object ScaleBench {
+
+  /** Default set = the most expensive shapes: multi-join TPC-H analogues,
+    * the full dedup chain, semantic dedup, containment, one agg flagship.
+    */
+  val defaultSet: Set[String] = Set(
+    "q_tpch_q3", "q_tpch_q5", "q_tpch_q7", "q_tpch_q8", "q_tpch_q9",
+    "q_groupby_agg", "q_events_hourly",
+    "q_dedup_exact", "q_dedup_ngram", "q_dedup_minhash", "q_dedup_verified",
+    "q_dedup_components", "q_dedup_apply", "q_dedup_e2e", "q_dedup_cc_minhash",
+    "q_containment", "q_semdedup", "q_semdedup_cells")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val want: Set[String] = if (args.length > 1) args.drop(1).toSet else defaultSet
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    // reuse the bench schedule so cache-consuming dedup queries share one
+    // shingling pass and release it after their group, like Bench/Verify
+    val results = SparkEntry.schedule.flatMap { case (names, after) =>
+      val rs = names.filter(want).map { name =>
+        val fn = SparkEntry.queries(name)
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          (System.nanoTime() - t0) / 1e9
+        }
+        name -> Seq.fill(runs)(once()).min
+      }
+      after()
+      rs
+    }.toMap
+    // Production-parameter semantic dedup, alongside the oracle-gated
+    // queries: q_semdedup_cells deliberately runs nCells = 1 (exhaustive,
+    // so DuckDB can replay it) and q_semdedup runs 16 LSH buckets — both
+    // are O(n²/buckets) BY CONSTRUCTION and scale super-linearly when the
+    // corpus grows but the bucket count doesn't. The production discipline
+    // is cells ∝ corpus (constant expected cell size); these two entries
+    // measure exactly that and should scale ~linearly.
+    val prod = {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select("vec_id", "embedding")
+      val n = emb.count()
+      val nCells = math.max(1L, n / 500L).toInt        // ~500 vectors/cell
+      val bits = math.max(4, (math.log(n / 16.0) / math.log(2)).round.toInt) // ~16/bucket
+      def timeIt(body: => Unit): Double = {
+        val samples = Seq.fill(runs) {
+          val t0 = System.nanoTime()
+          try body catch { case _: Throwable => () }
+          (System.nanoTime() - t0) / 1e9
+        }
+        samples.min
+      }
+      val cells = timeIt {
+        val idx = graft.ops.Similarity.ivfIndex(emb, "vec_id", "embedding",
+          nCells = nCells, seed = 5L)
+        graft.ops.Similarity.semanticDedupByCell(idx, "vec_id", threshold = 0.40).count()
+      }
+      val lsh = timeIt {
+        graft.ops.Similarity.semanticDedup(emb, "vec_id", "embedding",
+          threshold = 0.40, tables = 2, bits = bits, seed = 7L).count()
+      }
+      Map(s"prod_semdedup_cells[nCells=$nCells]" -> cells,
+        s"prod_semdedup_lsh[bits=$bits]" -> lsh)
+    }
+    val qs = (results ++ prod).toSeq.sortBy(_._1)
+      .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale","queries":$qs,"runs":$runs,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}
