@@ -91,10 +91,27 @@ object Bench {
     val spread = samples.toSeq
       .filter { case (_, v) => v(2) > v(0) * 1.5 + 0.05 }
       .sortBy { case (_, v) => -(v(2) / (v(0) max 1e-9)) }
-      .take(8)
+      .take(6)
       .map { case (k, v) => f""""$k":[${v(0)}%.2f,${v(2)}%.2f]""" }
       .mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$hq,"spread_minmax":$spread,"n_queries":${results.size}%d,"seed":$roundSeed%d,"full":"bench_last.json","sf":"$sfDir"}""")
+    // DuckDB absolute yardstick (BENCH.md round 7): scripts/duckbench.py
+    // times each headline query's oracle SQL on the same sf0.1 parquet and
+    // writes BASELINE_DUCKDB.json; pass it through so the per-round record
+    // carries the duckdb column. Negative value = hit the 120 s cap (the
+    // all-pairs oracle forms). Absent file → omitted.
+    val duck: String =
+      try {
+        // the baseline was measured at sf0.1 — don't attach it to other sfs
+        if (!sfDir.contains("sf0.1")) throw new RuntimeException("sf mismatch")
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("BASELINE_DUCKDB.json")), "UTF-8")
+        val kv = """"([A-Za-z0-9_]+)":\s*(-?[0-9.]+)""".r
+        val entries = kv.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble)
+          .filter { case (k, _) => results.contains(k) }
+          .map { case (k, v) => f""""$k":$v%.2f""" }.toSeq
+        if (entries.isEmpty) "" else entries.mkString(""","duckdb":{""", ",", "}")
+      } catch { case _: Throwable => "" }
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$hq,"spread_minmax":$spread$duck%s,"n_queries":${results.size}%d,"seed":$roundSeed%d,"full":"bench_last.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }
