@@ -143,6 +143,112 @@ object Multimodal {
     out
   }
 
+  // ---- audio -----------------------------------------------------------
+
+  /** An audio row: opaque payload + container format tag. */
+  case class AudioRow(media_id: Long, payload: Array[Byte], format: String)
+
+  /** Per-clip features a training-data pipeline filters on: duration for
+    * length screens, RMS/peak for silence and clipping detection,
+    * zero-crossing rate as a cheap spectral proxy.
+    */
+  case class AudioFeatures(
+      media_id: Long,
+      n_bytes: Long,
+      sample_rate: Double,
+      n_samples: Long,
+      duration_s: Double,
+      rms: Double,
+      peak: Double,
+      zero_cross_rate: Double)
+
+  /** REAL audio decode on the JDK's `javax.sound.sampled` (WAV containers:
+    * PCM signed/unsigned/float, A-law, µ-law — zero external dependencies):
+    * payload bytes → (sample rate, first-channel amplitudes in [-1, 1]).
+    * Compressed codecs (mp3/ogg) are not in the JDK; they drop into the
+    * same decode-to-PCM seam via JNI/javacv. Fails loudly on undecodable
+    * bytes — a corrupt clip must surface, not score as silence.
+    */
+  def decodeWav(payload: Array[Byte]): (Double, Array[Double]) = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    val in = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+    try {
+      val src = in.getFormat
+      // normalize every WAV flavor to 16-bit signed little-endian PCM once,
+      // instead of hand-decoding each encoding/endianness/width combination
+      val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        src.getSampleRate, 16, src.getChannels, src.getChannels * 2,
+        src.getSampleRate, false)
+      val pcm = AudioSystem.getAudioInputStream(target, in)
+      try {
+        val bytes = pcm.readAllBytes()
+        val channels = target.getChannels
+        val n = bytes.length / (2 * channels)
+        val out = new Array[Double](n)
+        var i = 0
+        while (i < n) {
+          val base = i * 2 * channels // first channel of the interleaved frame
+          val s = ((bytes(base + 1) << 8) | (bytes(base) & 0xff)).toShort
+          out(i) = s / 32768.0
+          i += 1
+        }
+        (target.getSampleRate.toDouble, out)
+      } finally pcm.close()
+    } finally in.close()
+  }
+
+  /** Deterministic WAV synthesis (16-bit mono PCM sine) for fixtures — the
+    * audio twin of [[syntheticMediaTable]]'s fake pixels, except the bytes
+    * are a VALID WAV container so the real decoder exercises end-to-end.
+    */
+  def sineWav(freqHz: Double, amplitude: Double, seconds: Double,
+      sampleRate: Float = 8000f): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val n = (seconds * sampleRate).toInt
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = (amplitude * math.sin(2 * math.Pi * freqHz * i / sampleRate) * 32767).toInt
+      pcm(i * 2) = (s & 0xff).toByte
+      pcm(i * 2 + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, sampleRate, 16, 1, 2, sampleRate, false)
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Batched audio feature extraction — same scale shape as
+    * [[extractFeatures]]: mapPartitions, payload dropped on output, only
+    * the thin feature row ever shuffles.
+    */
+  def extractAudioFeatures(audio: Dataset[AudioRow]): Dataset[AudioFeatures] = {
+    import audio.sparkSession.implicits._
+    audio.mapPartitions { rows =>
+      rows.map { r =>
+        val (rate, samples) = decodeWav(r.payload)
+        val n = samples.length
+        var sumSq = 0.0
+        var peak = 0.0
+        var crossings = 0L
+        var i = 0
+        while (i < n) {
+          val s = samples(i)
+          sumSq += s * s
+          if (math.abs(s) > peak) peak = math.abs(s)
+          if (i > 0 && (s >= 0) != (samples(i - 1) >= 0)) crossings += 1
+          i += 1
+        }
+        val rms = if (n == 0) 0.0 else math.sqrt(sumSq / n)
+        val zcr = if (n > 1) crossings.toDouble / (n - 1) else 0.0
+        AudioFeatures(r.media_id, r.payload.length.toLong, rate, n.toLong,
+          if (rate > 0) n / rate else 0.0, rms, peak, zcr)
+      }
+    }
+  }
+
   /** Batched feature extraction: decode → mean intensity, resize dims,
     * frame-sample offsets. One decoder context per partition (the
     * mapPartitions contract production decoders need), payload dropped on

@@ -405,4 +405,32 @@ class OpsSpec extends SparkSuite {
       Multimodal.ImageIoCodec.decode("not an image".getBytes, 4, 4)
     }
   }
+
+  test("Multimodal: REAL javax.sound WAV decode — sine features match closed forms") {
+    import spark.implicits._
+    // a pure sine of amplitude a has RMS a/sqrt(2) and crosses zero 2f
+    // times per second; duration and sample count come from the container
+    val rows = Seq(
+      Multimodal.AudioRow(1L, Multimodal.sineWav(440.0, 0.5, 1.0), "wav"),
+      Multimodal.AudioRow(2L, Multimodal.sineWav(100.0, 1.0, 0.5), "wav"),
+      Multimodal.AudioRow(3L, Multimodal.sineWav(440.0, 0.0, 0.25), "wav"))
+    val f = Multimodal.extractAudioFeatures(rows.toDS())
+      .collect().map(a => a.media_id -> a).toMap
+    assert(f(1L).sample_rate == 8000.0 && f(1L).n_samples == 8000L)
+    assert(math.abs(f(1L).duration_s - 1.0) < 1e-9)
+    assert(math.abs(f(1L).rms - 0.5 / math.sqrt(2)) < 0.01)
+    assert(math.abs(f(1L).peak - 0.5) < 0.01)
+    assert(math.abs(f(1L).zero_cross_rate - 2 * 440.0 / 8000.0) < 0.01)
+    assert(math.abs(f(2L).rms - 1.0 / math.sqrt(2)) < 0.01)
+    assert(math.abs(f(2L).zero_cross_rate - 2 * 100.0 / 8000.0) < 0.005)
+    assert(f(2L).n_samples == 4000L)
+    // silence: zero RMS/peak, no crossings (sign is constant at +0)
+    assert(f(3L).rms == 0.0 && f(3L).peak == 0.0 && f(3L).zero_cross_rate == 0.0)
+  }
+
+  test("Multimodal: WAV decode fails loudly on undecodable bytes") {
+    intercept[Exception] {
+      Multimodal.decodeWav("definitely not a wav container".getBytes)
+    }
+  }
 }

@@ -180,6 +180,26 @@ class PlanSpec extends SparkSuite {
       s"expected partial+final object hash aggregate:\n$p")
   }
 
+  test("verified-MinHash candidate restriction is a hint-free semi-join (AQE decides, scale-safe)") {
+    // r6 verdict item 2: the candidate-doc id set is unbounded on a
+    // near-dup-heavy corpus, so a FORCED broadcast(ids) is a cluster-killer.
+    // The contract now: left_semi with no hint — the analyzed plan carries
+    // no ResolvedHint anywhere in the verify path, and AQE still broadcasts
+    // the (tiny, at bench scale) set on its own.
+    val df = SparkEntry.queries("q_dedup_verified")(spark, sfDir)
+    val analyzed = df.queryExecution.analyzed.toString
+    assert(!analyzed.contains("ResolvedHint"),
+      "no forced broadcast hint in the dedup verify path")
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("LeftSemi"),
+      s"candidate restriction should be a semi-join:\n${optimized.take(2000)}")
+    // same contract for the library form
+    val lib = graft.ops.Dedup.minhashVerifiedPairs(
+      spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text")
+    assert(!lib.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "no forced broadcast hint in Dedup.minhashVerifiedPairs")
+  }
+
   test("whole-stage codegen covers the hot aggregation path") {
     val qe = graft.SparkEntry.queries("q_groupby_agg")(spark, sfDir).queryExecution
     val p = qe.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
