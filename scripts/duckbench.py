@@ -36,10 +36,13 @@ def main():
     sf_dir, oracle_path = sys.argv[1], sys.argv[2]
     out_path = sys.argv[3] if len(sys.argv) > 3 else None
     oracle = json.loads(Path(oracle_path).read_text())
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     import threading
+
+    def fresh_con():
+        c = duckdb.connect()
+        for t in TABLES:
+            c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        return c
 
     cap = float(sys.argv[4]) if len(sys.argv) > 4 else 120.0
     times = {}
@@ -50,16 +53,28 @@ def main():
         samples = []
         capped = False
         for _ in range(3):
+            # fresh connection per sample: a Timer that fires in the gap
+            # between query completion and cancel() would leave a stale
+            # interrupt flag that aborts the NEXT query on a shared
+            # connection, mis-recording a healthy query as capped
+            con = fresh_con()
             timer = threading.Timer(cap, con.interrupt)
             timer.start()
             t0 = time.perf_counter()
             try:
                 con.execute(sql).fetchall()
                 samples.append(time.perf_counter() - t0)
-            except Exception:  # interrupt surfaces as duckdb.InterruptException
-                capped = True
+            except Exception:
+                # only a long-running abort is the cap; an instant error is
+                # a broken oracle (binder error, typo) and must SURFACE,
+                # not masquerade as a 120 s lower bound
+                if time.perf_counter() - t0 >= cap * 0.9:
+                    capped = True
+                else:
+                    raise
             finally:
                 timer.cancel()
+                con.close()
             # adaptive: one sample is plenty once a query is in the tens of
             # seconds (noise is a fraction of a percent there; min-of-3 is
             # for sub-second scheduling jitter)

@@ -17,7 +17,10 @@ linearly instead of quadratically:
   copy-specific random +-1 sign pattern — an isometry that PRESERVES every
   within-copy dot product exactly while decorrelating cross-copy cosines
   (E[cos] = 0), so semantic-dedup density also scales linearly.
-- events: event_id/ts offset by copy; user_id offset keeps sessions intact.
+- events: event_id/user_id offset per copy; TIMESTAMPS are replicated
+  verbatim, so the time window stays fixed and hour buckets gain N x rows
+  at constant group cardinality — the shape of 10x traffic growth over
+  the same period (not a longer history).
 """
 import sys
 

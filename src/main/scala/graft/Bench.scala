@@ -101,8 +101,11 @@ object Bench {
     // all-pairs oracle forms). Absent file → omitted.
     val duck: String =
       try {
-        // the baseline was measured at sf0.1 — don't attach it to other sfs
-        if (!sfDir.contains("sf0.1")) throw new RuntimeException("sf mismatch")
+        // the baseline was measured at sf0.1 — attach it only when the dir
+        // IS sf0.1 (basename match, not substring: "/tmp/sf0.1_x10" is a
+        // different scale and must not inherit these numbers)
+        if (sfDir.stripSuffix("/").split('/').lastOption != Some("sf0.1"))
+          throw new RuntimeException("sf mismatch")
         val txt = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get("BASELINE_DUCKDB.json")), "UTF-8")
         val kv = """"([A-Za-z0-9_]+)":\s*(-?[0-9.]+)""".r

@@ -57,7 +57,11 @@ object ScaleBench {
     // corpus grows but the bucket count doesn't. The production discipline
     // is cells ∝ corpus (constant expected cell size); these two entries
     // measure exactly that and should scale ~linearly.
-    val prod = {
+    // runs only with the default set (an explicit query list means the
+    // caller wants exactly those), and a missing/unreadable embeddings
+    // table degrades to no prod rows instead of losing the whole run's
+    // output on a crash after all the timing work
+    val prod: Map[String, Double] = if (args.length > 1) Map.empty else try {
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
         .select("vec_id", "embedding")
       val n = emb.count()
@@ -82,7 +86,7 @@ object ScaleBench {
       }
       Map(s"prod_semdedup_cells[nCells=$nCells]" -> cells,
         s"prod_semdedup_lsh[bits=$bits]" -> lsh)
-    }
+    } catch { case _: Throwable => Map.empty }
     val qs = (results ++ prod).toSeq.sortBy(_._1)
       .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     println(s"""{"metric":"scale","queries":$qs,"runs":$runs,"sf":"$sfDir"}""")

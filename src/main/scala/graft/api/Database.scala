@@ -147,10 +147,13 @@ final class Database private (
     */
   /** Spill the stat memo to this database's cacheDir (no-op without one).
     * Called by [[exit]]; public so long-lived sessions can checkpoint the
-    * warm cache without closing.
+    * warm cache without closing. A disabled or EMPTY cache never writes —
+    * otherwise a cache-off (or failed-reload) session's exit would
+    * overwrite a previous session's warm spill with nothing.
     */
   def saveCache(): Unit =
-    cacheDir.foreach(d => try cache.saveTo(spark, d) catch { case _: Throwable => () })
+    if (cache.enabled && cache.size > 0)
+      cacheDir.foreach(d => try cache.saveTo(spark, d) catch { case _: Throwable => () })
 
   def exit(): Unit = {
     saveCache()

@@ -202,14 +202,15 @@ object SqlDump {
     // putIfAbsent, not getOrElseUpdate: the TrieMap default getOrElseUpdate
     // is not atomic, so two concurrent opens could each persist the dump
     // and the loser's pinned Dataset would be unreachable by release().
-    // Building the (lazy, unexecuted) Dataset twice is free; only one wins
-    // the map slot and the loser's handle is dropped before any job pins it.
+    // Building the (lazy, unexecuted) Dataset twice is free. The loser's
+    // handle is simply DROPPED, not unpersisted: Spark's CacheManager keys
+    // cache entries on the logical plan, so both persist() calls marked the
+    // SAME entry — an unpersist here would evict the winner's cache too.
+    // One entry exists either way, and release() reaches it via the winner.
     val candidate = spark.read.textFile(path)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val lines: Dataset[String] = openDumps.putIfAbsent(key, candidate) match {
-      case Some(existing) =>
-        try candidate.unpersist(false) catch { case _: Throwable => () }
-        existing
+      case Some(existing) => existing
       case None => candidate
     }
     // a failed open must not leave the dump pinned with no owner to

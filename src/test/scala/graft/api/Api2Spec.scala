@@ -228,7 +228,12 @@ class Api2Spec extends SparkSuite {
     // caps survive the round-trip: a tiny-cap reopen loads nothing big
     val db3 = Database.open(spark, sfDir, maxItemMb = 1e-9, cacheDir = cdir)
     assert(db3.cache.size == 0)
+    // and a session whose cache is EMPTY must not clobber the warm spill
+    // on exit — the durable cache survives cache-off/tight-cap sessions
     db3.exit()
+    val db4 = Database.open(spark, sfDir, cacheDir = cdir)
+    assert(db4.cache.size == warm, "empty-cache exit preserved the spill")
+    db4.exit()
     db2.exit()
   }
 }
