@@ -215,17 +215,22 @@ class StreamingSpec extends SparkSuite {
         exactPrefilter = exactPrefilter).awaitTermination()
       // batch 2: an exact dup of an admitted doc (the bloom-probe + confirm
       // path), a near-dup (caught by the band screen AFTER the prefilter
-      // passes it), and one genuinely new doc
+      // passes it), one genuinely new doc, and a NULL-text doc — md5(null)
+      // is null, so without the explicit null arm the probe null-propagates
+      // and both prefilter branches would drop it, breaking the
+      // admissions-identical invariant this test asserts
       Files.write(java.nio.file.Paths.get(srcDir, "b2.json"),
         Seq(doc(4, body), doc(5, body + " again"),
-          doc(6, "fresh text about adaptive query execution and shuffles"))
+          doc(6, "fresh text about adaptive query execution and shuffles"),
+          s"""{"doc_id":7,"text":null,"lang":"en","source":"s","n_chars":0}""")
           .mkString("\n").getBytes)
       DocStream.curateStream(DocStream.readDocs(spark, srcDir), curated, ckpt,
         exactPrefilter = exactPrefilter).awaitTermination()
       spark.read.parquet(curated).select("doc_id").collect().map(_.getLong(0)).toSet
     }
     val withBloom = runLoop(exactPrefilter = true)
-    assert(withBloom == Set(1L, 2L, 6L))      // 3 in-batch dup, 4 exact dup, 5 near-dup
+    // 3 in-batch dup, 4 exact dup, 5 near-dup; 7 (null text) ADMITTED
+    assert(withBloom == Set(1L, 2L, 6L, 7L))
     assert(withBloom == runLoop(exactPrefilter = false))
   }
 
