@@ -93,7 +93,7 @@ object TextOps {
   val cacheConsumers: Set[String] =
     Set("q_dedup_ngram", "q_dedup_minhash", "q_dedup_verified",
       "q_dedup_components", "q_dedup_apply", "q_dedup_e2e",
-      "q_dedup_cc_minhash")
+      "q_dedup_cc_minhash", "q_index_probe")
 
   /** Unpersist + drop every cached helper frame (idempotent). */
   def clearCaches(): Unit = {
@@ -462,6 +462,49 @@ object TextOps {
          |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
          |FROM bands x JOIN bands y ON x.j = y.j AND x.bh = y.bh AND x.doc_id < y.doc_id
          |ORDER BY a, b""".stripMargin),
+
+    // -- PERSISTED band-index serving under the hash gate: the md5 band
+    //    projection is written to parquet partitioned by band id (so a
+    //    probe's equi-join prunes to matching band directories), read back,
+    //    and probed with a query subset — the save → load → screen cycle of
+    //    Dedup.saveBandIndex/nearDupAgainstSavedIndex (which use xxhash64,
+    //    not DuckDB-replayable) in its oracle-checkable md5 form. Output =
+    //    (probe doc, corpus doc) pairs sharing any band bucket, self-matches
+    //    included (a probe doc present in the corpus MUST match itself —
+    //    it shares all 4 buckets) ------------------------------------------
+    ("q_index_probe",
+      (s: SparkSession, d: String) => {
+        val sig = sigDf(s, d)
+        val bandStructs = (0 until 4).map { j =>
+          struct(lit(j).as("j"),
+            md5(concat_ws("|",
+              (0 until 4).map(r => element_at(col("sg"), 4 * j + r + 1)): _*)).as("bh"))
+        }
+        val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
+          .select(col("doc_id"), col("b.j").as("j"), col("b.bh").as("bh"))
+        val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_bandidx_${new java.io.File(d).getName}").getAbsolutePath
+        bands.write.mode("overwrite").partitionBy("j").parquet(dir)
+        val idx = s.read.parquet(dir).select("doc_id", "j", "bh")
+        val probe = bands.filter(col("doc_id") < 50)
+        probe.alias("x").join(idx.alias("y"),
+            col("x.j") === col("y.j") && col("x.bh") === col("y.bh"))
+          .select(col("x.doc_id").as("probe_id"), col("y.doc_id").as("corpus_id"))
+          .distinct()
+          .orderBy("probe_id", "corpus_id")
+      },
+      s"""$shingleCte,
+         |sig AS (
+         |  SELECT doc_id,
+         |    [list_min([md5(cast(i AS VARCHAR) || '|' || g) for g in sh]) for i in range(0, 16)] AS sg
+         |  FROM s WHERE len(sh) > 0),
+         |bands AS (
+         |  SELECT doc_id, j, md5(sg[4*j+1] || '|' || sg[4*j+2] || '|' || sg[4*j+3] || '|' || sg[4*j+4]) AS bh
+         |  FROM sig, unnest([0, 1, 2, 3]) AS u(j))
+         |SELECT DISTINCT x.doc_id AS probe_id, y.doc_id AS corpus_id
+         |FROM bands x JOIN bands y ON x.j = y.j AND x.bh = y.bh
+         |WHERE x.doc_id < 50
+         |ORDER BY 1, 2""".stripMargin),
 
     // -- CC over MinHash band candidates at PRODUCTION parameters: the same
     //    16 md5 min-hashes re-banded 8 bands × 2 rows — S-curve threshold
