@@ -32,14 +32,7 @@ object MoreOps3 {
     */
   private[queries] def verifiedPairs(s: SparkSession, d: String): DataFrame = {
     val base = TextOps.shingleDf(s, d)
-    val sig = TextOps.sigDf(s, d)
-    val bandStructs = (0 until 4).map { j =>
-      struct(lit(j).as("j"),
-        md5(concat_ws("|",
-          (0 until 4).map(r => element_at(col("sg"), 4 * j + r + 1)): _*)).as("bh"))
-    }
-    val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
-      .select(col("doc_id"), col("b.j").as("j"), col("b.bh").as("bh"))
+    val bands = TextOps.md5BandsDf(s, d, nBands = 4, rows = 4)
     val cand = bands.alias("x").join(bands.alias("y"),
         col("x.j") === col("y.j") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -225,13 +218,8 @@ object MoreOps3 {
       (s: SparkSession, d: String) =>
         verifiedPairs(s, d).orderBy("a", "b"),
       s"""${TextOps.shingleCte},
-         |sig AS (
-         |  SELECT doc_id,
-         |    [list_min([md5(cast(i AS VARCHAR) || '|' || g) for g in sh]) for i in range(0, 16)] AS sg
-         |  FROM s WHERE len(sh) > 0),
-         |bands AS (
-         |  SELECT doc_id, j, md5(sg[4*j+1] || '|' || sg[4*j+2] || '|' || sg[4*j+3] || '|' || sg[4*j+4]) AS bh
-         |  FROM sig, unnest([0, 1, 2, 3]) AS u(j)),
+         |${TextOps.sigCte},
+         |${TextOps.bandsCte(4, 4)},
          |cand AS (
          |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
          |  FROM bands x JOIN bands y ON x.j = y.j AND x.bh = y.bh AND x.doc_id < y.doc_id),
@@ -255,13 +243,8 @@ object MoreOps3 {
           .groupBy("lang").agg(count(lit(1)).as("kept"))
           .orderBy("lang"),
       s"""WITH RECURSIVE ${TextOps.shingleCte.stripPrefix("WITH ")},
-         |sig AS (
-         |  SELECT doc_id,
-         |    [list_min([md5(cast(i AS VARCHAR) || '|' || g) for g in sh]) for i in range(0, 16)] AS sg
-         |  FROM s WHERE len(sh) > 0),
-         |bands AS (
-         |  SELECT doc_id, j, md5(sg[4*j+1] || '|' || sg[4*j+2] || '|' || sg[4*j+3] || '|' || sg[4*j+4]) AS bh
-         |  FROM sig, unnest([0, 1, 2, 3]) AS u(j)),
+         |${TextOps.sigCte},
+         |${TextOps.bandsCte(4, 4)},
          |cand AS (
          |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
          |  FROM bands x JOIN bands y ON x.j = y.j AND x.bh = y.bh AND x.doc_id < y.doc_id),

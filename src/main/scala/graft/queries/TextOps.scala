@@ -95,7 +95,10 @@ object TextOps {
       "q_dedup_components", "q_dedup_apply", "q_dedup_e2e",
       "q_dedup_cc_minhash", "q_index_probe")
 
-  /** Unpersist + drop every cached helper frame (idempotent). */
+  /** Unpersist + drop every cached helper frame (idempotent), and sweep
+    * the q_index_probe band-index dirs out of the temp dir — the persisted
+    * twin of the in-memory frames this hook already releases.
+    */
   def clearCaches(): Unit = {
     sigCache.values.foreach(df => try df.unpersist(false) catch { case _: Throwable => () })
     sigCache.clear()
@@ -103,6 +106,19 @@ object TextOps {
     shingleCache.clear()
     pairCache.values.foreach(df => try df.unpersist(false) catch { case _: Throwable => () })
     pairCache.clear()
+    try {
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+      Option(tmp.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("graft_bandidx_"))
+        .foreach(deleteRecursively)
+    } catch { case _: Throwable => () }
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete()
+    ()
   }
 
   /** SQL fragment shared by the DuckDB oracles: doc_id + distinct 3-gram shingles. */
@@ -111,6 +127,40 @@ object TextOps {
       |s AS (SELECT doc_id,
       |        list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)]) AS sh
       |      FROM t WHERE len(w) >= 3)""".stripMargin
+
+  /** The (doc_id, j, bh) md5 band projection of [[sigDf]]'s 16 min-hashes,
+    * `nBands` bands × `rows` rows — ONE derivation shared by
+    * q_dedup_minhash (4×4), q_dedup_cc_minhash (8×2), q_index_probe (4×4)
+    * and MoreOps3.verifiedPairs, so the banding recipe cannot silently
+    * desynchronize between queries (or from the SQL twin [[bandsCte]]).
+    */
+  private[queries] def md5BandsDf(s: SparkSession, d: String,
+      nBands: Int, rows: Int): DataFrame = {
+    val bandStructs = (0 until nBands).map { j =>
+      struct(lit(j).as("j"),
+        md5(concat_ws("|",
+          (0 until rows).map(r => element_at(col("sg"), rows * j + r + 1)): _*)).as("bh"))
+    }
+    sigDf(s, d).select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
+      .select(col("doc_id"), col("b.j").as("j"), col("b.bh").as("bh"))
+  }
+
+  /** SQL twins of [[md5BandsDf]]: the sig CTE (16 md5 min-hashes over the
+    * shingle CTE) and the bands CTE at (nBands × rows).
+    */
+  private[queries] val sigCte: String =
+    """sig AS (
+      |  SELECT doc_id,
+      |    [list_min([md5(cast(i AS VARCHAR) || '|' || g) for g in sh]) for i in range(0, 16)] AS sg
+      |  FROM s WHERE len(sh) > 0)""".stripMargin
+
+  private[queries] def bandsCte(nBands: Int, rows: Int): String = {
+    val expr = (1 to rows).map(r => s"sg[$rows*j+$r]").mkString(" || '|' || ")
+    val js = (0 until nBands).mkString(", ")
+    s"""bands AS (
+       |  SELECT doc_id, j, md5($expr) AS bh
+       |  FROM sig, unnest([$js]) AS u(j))""".stripMargin
+  }
 
   val entries: Seq[(String, Fn, String)] = Seq(
 
@@ -436,14 +486,7 @@ object TextOps {
     //    in DuckDB, so the whole pipeline is oracle-checkable ---------------
     ("q_dedup_minhash",
       (s: SparkSession, d: String) => {
-        val sig = sigDf(s, d)
-        val bandStructs = (0 until 4).map { j =>
-          struct(lit(j).as("j"),
-            md5(concat_ws("|",
-              (0 until 4).map(r => element_at(col("sg"), 4 * j + r + 1)): _*)).as("bh"))
-        }
-        val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
-          .select(col("doc_id"), col("b.j").as("j"), col("b.bh").as("bh"))
+        val bands = md5BandsDf(s, d, nBands = 4, rows = 4)
         bands.alias("x").join(bands.alias("y"),
             col("x.j") === col("y.j") && col("x.bh") === col("y.bh") &&
               col("x.doc_id") < col("y.doc_id"))
@@ -452,13 +495,8 @@ object TextOps {
           .orderBy("a", "b")
       },
       s"""$shingleCte,
-         |sig AS (
-         |  SELECT doc_id,
-         |    [list_min([md5(cast(i AS VARCHAR) || '|' || g) for g in sh]) for i in range(0, 16)] AS sg
-         |  FROM s WHERE len(sh) > 0),
-         |bands AS (
-         |  SELECT doc_id, j, md5(sg[4*j+1] || '|' || sg[4*j+2] || '|' || sg[4*j+3] || '|' || sg[4*j+4]) AS bh
-         |  FROM sig, unnest([0, 1, 2, 3]) AS u(j))
+         |$sigCte,
+         |${bandsCte(4, 4)}
          |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
          |FROM bands x JOIN bands y ON x.j = y.j AND x.bh = y.bh AND x.doc_id < y.doc_id
          |ORDER BY a, b""".stripMargin),
@@ -474,16 +512,17 @@ object TextOps {
     //    it shares all 4 buckets) ------------------------------------------
     ("q_index_probe",
       (s: SparkSession, d: String) => {
-        val sig = sigDf(s, d)
-        val bandStructs = (0 until 4).map { j =>
-          struct(lit(j).as("j"),
-            md5(concat_ws("|",
-              (0 until 4).map(r => element_at(col("sg"), 4 * j + r + 1)): _*)).as("bh"))
-        }
-        val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
-          .select(col("doc_id"), col("b.j").as("j"), col("b.bh").as("bh"))
+        val bands = md5BandsDf(s, d, nBands = 4, rows = 4)
+        // dir keyed on a hash of the FULL dataset path: basenames collide
+        // across checkouts ("data"/"data"), full paths don't. Cleaned up by
+        // clearCaches (the schedule's group hook). Concurrent runs against
+        // the SAME dataset still share a dir — the driver runs Verify/Bench
+        // sequentially, which is the supported execution model.
+        val dirKey = java.security.MessageDigest.getInstance("MD5")
+          .digest(new java.io.File(d).getAbsolutePath.getBytes("UTF-8"))
+          .take(8).map("%02x".format(_)).mkString
         val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
-          s"graft_bandidx_${new java.io.File(d).getName}").getAbsolutePath
+          s"graft_bandidx_$dirKey").getAbsolutePath
         bands.write.mode("overwrite").partitionBy("j").parquet(dir)
         val idx = s.read.parquet(dir).select("doc_id", "j", "bh")
         val probe = bands.filter(col("doc_id") < 50)
@@ -494,13 +533,8 @@ object TextOps {
           .orderBy("probe_id", "corpus_id")
       },
       s"""$shingleCte,
-         |sig AS (
-         |  SELECT doc_id,
-         |    [list_min([md5(cast(i AS VARCHAR) || '|' || g) for g in sh]) for i in range(0, 16)] AS sg
-         |  FROM s WHERE len(sh) > 0),
-         |bands AS (
-         |  SELECT doc_id, j, md5(sg[4*j+1] || '|' || sg[4*j+2] || '|' || sg[4*j+3] || '|' || sg[4*j+4]) AS bh
-         |  FROM sig, unnest([0, 1, 2, 3]) AS u(j))
+         |$sigCte,
+         |${bandsCte(4, 4)}
          |SELECT DISTINCT x.doc_id AS probe_id, y.doc_id AS corpus_id
          |FROM bands x JOIN bands y ON x.j = y.j AND x.bh = y.bh
          |WHERE x.doc_id < 50
@@ -516,14 +550,7 @@ object TextOps {
     //    bands in DuckDB, closed by a recursive CTE -------------------------
     ("q_dedup_cc_minhash",
       (s: SparkSession, d: String) => {
-        val sig = sigDf(s, d)
-        val bandStructs = (0 until 8).map { j =>
-          struct(lit(j).as("j"),
-            md5(concat_ws("|",
-              (0 until 2).map(r => element_at(col("sg"), 2 * j + r + 1)): _*)).as("bh"))
-        }
-        val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
-          .select(col("doc_id"), col("b.j").as("j"), col("b.bh").as("bh"))
+        val bands = md5BandsDf(s, d, nBands = 8, rows = 2)
         val pairs = bands.alias("x").join(bands.alias("y"),
             col("x.j") === col("y.j") && col("x.bh") === col("y.bh") &&
               col("x.doc_id") < col("y.doc_id"))
@@ -534,13 +561,8 @@ object TextOps {
           .orderBy("doc_id")
       },
       s"""WITH RECURSIVE ${shingleCte.stripPrefix("WITH ")},
-         |sig AS (
-         |  SELECT doc_id,
-         |    [list_min([md5(cast(i AS VARCHAR) || '|' || g) for g in sh]) for i in range(0, 16)] AS sg
-         |  FROM s WHERE len(sh) > 0),
-         |bands AS (
-         |  SELECT doc_id, j, md5(sg[2*j+1] || '|' || sg[2*j+2]) AS bh
-         |  FROM sig, unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS u(j)),
+         |$sigCte,
+         |${bandsCte(8, 2)},
          |p AS (
          |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
          |  FROM bands x JOIN bands y ON x.j = y.j AND x.bh = y.bh AND x.doc_id < y.doc_id),

@@ -71,6 +71,14 @@ object DocStream {
     * docs confirm exactly, so admissions are IDENTICAL with the prefilter
     * on or off — it only cuts per-batch screen cost (the near-dup band
     * screen still runs on what survives).
+    *
+    * Null-text contract: null-text docs collapse to one WITHIN a batch
+    * (Dedup.exact's window groups nulls together) but are never
+    * cross-batch duplicates — SQL null-equality semantics: a null text
+    * matches nothing, has no fingerprint, and produces no bands, so one
+    * such doc is admitted per batch that carries any (identically with
+    * the prefilter on or off; StreamingSpec pins it). Screen empty docs
+    * out upstream with a quality filter if they are unwanted.
     */
   def curateStream(streamDocs: DataFrame, curatedDir: String,
       checkpointDir: String, n: Int = 3, k: Int = 16,
