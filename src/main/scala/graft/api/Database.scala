@@ -23,7 +23,8 @@ final class Database private (
     tableMap: Map[String, DataFrame],
     val cache: QueryCache,
     val path: String,
-    cacheDir: Option[String] = None) {
+    cacheDir: Option[String] = None,
+    sourceFp: String = "") {
 
   /** Table names, like `db.tables` (reference: connection.py:112-120). */
   def tables: Seq[String] = tableMap.keys.toSeq.sorted
@@ -153,7 +154,9 @@ final class Database private (
     */
   def saveCache(): Unit =
     if (cache.enabled && cache.size > 0)
-      cacheDir.foreach(d => try cache.saveTo(spark, d) catch { case _: Throwable => () })
+      cacheDir.foreach(d =>
+        try cache.saveTo(spark, d, Some(sourceFp))
+        catch { case scala.util.control.NonFatal(_) => () })
 
   def exit(): Unit = {
     saveCache()
@@ -197,7 +200,12 @@ object Database {
     *   `open` reloads any prior spill from this directory and `exit()` (or
     *   `saveCache()`) writes the current memo back — the reference's cache
     *   story (cache.py:39-92) upgraded with durability. Caps still apply on
-    *   reload.
+    *   reload. The spill is stamped with a fingerprint of the source files
+    *   (path + size + mtime) and discarded when they changed since it was
+    *   written — stale stats are never served. The fingerprint is taken at
+    *   open: data under `dir` is assumed immutable for the session's
+    *   lifetime (the same assumption every plan-keyed memo entry already
+    *   makes in-session).
     */
   def open(
       spark: SparkSession,
@@ -221,8 +229,9 @@ object Database {
         val tableMap = graft.sources.SqlDump.open(spark, dir)
         tableMap.foreach { case (n, df) => df.createOrReplaceTempView(n) }
         val qc = new QueryCache(cacheEnabled, maxItemMb, maxTotalMb)
-        if (cacheDir != null) qc.loadFrom(spark, cacheDir)
-        return new Database(spark, tableMap, qc, dir, Option(cacheDir))
+        val fp = sourceFingerprint(Seq(target))
+        if (cacheDir != null) qc.loadFrom(spark, cacheDir, Some(fp))
+        return new Database(spark, tableMap, qc, dir, Option(cacheDir), fp)
       }
       if (!dir.endsWith(".parquet") && !dir.endsWith(".csv"))
         throw new FileTypeError(
@@ -254,10 +263,30 @@ object Database {
       tname -> df
     }.toMap
     val qc = new QueryCache(cacheEnabled, maxItemMb, maxTotalMb)
-    if (cacheDir != null) qc.loadFrom(spark, cacheDir)
-    val db = new Database(spark, tableMap, qc, dir, Option(cacheDir))
+    val fp = sourceFingerprint(files.toIndexedSeq)
+    if (cacheDir != null) qc.loadFrom(spark, cacheDir, Some(fp))
+    val db = new Database(spark, tableMap, qc, dir, Option(cacheDir), fp)
     if (populateCache) db.populateCache()
     db
+  }
+
+  /** Digest of the table sources' identity: absolute path + byte length +
+    * mtime of every regular file (parquet "files" that are directories are
+    * walked), order-insensitive. Stamped into cache spills so a reopened
+    * session can tell whether the data a spill's stats describe is still
+    * the data on disk.
+    */
+  private[api] def sourceFingerprint(files: Seq[File]): String = {
+    def walk(f: File): Seq[File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty[File]).toSeq.flatMap(walk)
+      else Seq(f)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    files.flatMap(walk)
+      .map(f => s"${f.getAbsolutePath}|${f.length}|${f.lastModified}")
+      .sorted
+      .foreach(s => md.update(s.getBytes("UTF-8")))
+    md.digest().map("%02x".format(_)).mkString
   }
 
   /** `a,a,a → a,a_2,a_3` on query output (reference: utils.py:177-197). */

@@ -104,11 +104,13 @@ object ConnectedComponents {
       val nextSig = checksum(next)
       // checksum equality is probabilistic; this path's whole point is
       // EXACT cluster closure, so confirm with a set-equality check on the
-      // two (converged, tiny, already-materialized) frames. Runs only on
+      // two (converged, tiny, already-materialized) frames. Both are
+      // deduplicated (distinct), and the checksum's count component already
+      // matched, so equal cardinality + one empty one-sided exceptAll
+      // proves set equality in a single distributed action. Runs only on
       // checksum match — once per call in the common case — and turns a
       // hash collision from silent wrong labels into one extra round.
-      converged = nextSig == sig &&
-        next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      converged = nextSig == sig && next.exceptAll(edges).isEmpty
       edges = next
       sig = nextSig
       iters += 1

@@ -125,9 +125,13 @@ object Curation {
     def sh(df: DataFrame): DataFrame = df.select(col(idCol),
       graft.functions.ShingleExpr.wordShingles(col(textCol), n).as("__sh"))
       .filter(size(col("__sh")) > 0)
+    // hint-free: benchmarks are usually tiny and AQE broadcasts them on its
+    // own, but a forced broadcast() would OOM the build side if a caller
+    // points this at a corpus-sized "benchmark" — same treatment as the
+    // verified-MinHash semi-join.
     val bench = sh(benchmark).select(explode(col("__sh")).as("__g")).distinct()
     sh(corpus).select(col(idCol), explode(col("__sh")).as("__g"))
-      .join(broadcast(bench), "__g")
+      .join(bench, "__g")
       .groupBy(idCol)
       .agg(countDistinct(col("__g")).as("n_shared"))
       .filter(col("n_shared") >= minShared)

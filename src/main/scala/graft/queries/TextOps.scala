@@ -95,9 +95,24 @@ object TextOps {
       "q_dedup_components", "q_dedup_apply", "q_dedup_e2e",
       "q_dedup_cc_minhash", "q_index_probe")
 
+  /** Per-JVM root for q_index_probe's persisted band indexes. A random
+    * per-process directory (not a predictable name in the shared tmpdir)
+    * so a concurrently running graft JVM — Bench and ScaleBench on
+    * different datasets — can never have its index swept mid-query by this
+    * JVM's [[clearCaches]], and another local user can't pre-create the
+    * path. Removed on JVM exit.
+    */
+  private[queries] lazy val bandIdxRoot: java.io.File = {
+    val root = java.nio.file.Files.createTempDirectory("graft_bandidx_").toFile
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(root)))
+    root
+  }
+
   /** Unpersist + drop every cached helper frame (idempotent), and sweep
-    * the q_index_probe band-index dirs out of the temp dir — the persisted
-    * twin of the in-memory frames this hook already releases.
+    * the q_index_probe band-index dirs out of THIS JVM's band-index root —
+    * the persisted twin of the in-memory frames this hook already releases.
+    * Only this process's root is touched; other graft JVMs' indexes are
+    * invisible to the sweep.
     */
   def clearCaches(): Unit = {
     sigCache.values.foreach(df => try df.unpersist(false) catch { case _: Throwable => () })
@@ -106,12 +121,8 @@ object TextOps {
     shingleCache.clear()
     pairCache.values.foreach(df => try df.unpersist(false) catch { case _: Throwable => () })
     pairCache.clear()
-    try {
-      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
-      Option(tmp.listFiles()).getOrElse(Array.empty)
-        .filter(_.getName.startsWith("graft_bandidx_"))
-        .foreach(deleteRecursively)
-    } catch { case _: Throwable => () }
+    try Option(bandIdxRoot.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    catch { case scala.util.control.NonFatal(_) => () }
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {
@@ -514,15 +525,14 @@ object TextOps {
       (s: SparkSession, d: String) => {
         val bands = md5BandsDf(s, d, nBands = 4, rows = 4)
         // dir keyed on a hash of the FULL dataset path: basenames collide
-        // across checkouts ("data"/"data"), full paths don't. Cleaned up by
-        // clearCaches (the schedule's group hook). Concurrent runs against
-        // the SAME dataset still share a dir — the driver runs Verify/Bench
-        // sequentially, which is the supported execution model.
+        // across checkouts ("data"/"data"), full paths don't. Lives under
+        // the per-JVM bandIdxRoot (cleaned up by clearCaches, the
+        // schedule's group hook) so concurrent graft JVMs never sweep each
+        // other's indexes.
         val dirKey = java.security.MessageDigest.getInstance("MD5")
           .digest(new java.io.File(d).getAbsolutePath.getBytes("UTF-8"))
           .take(8).map("%02x".format(_)).mkString
-        val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
-          s"graft_bandidx_$dirKey").getAbsolutePath
+        val dir = new java.io.File(bandIdxRoot, dirKey).getAbsolutePath
         bands.write.mode("overwrite").partitionBy("j").parquet(dir)
         val idx = s.read.parquet(dir).select("doc_id", "j", "bh")
         val probe = bands.filter(col("doc_id") < 50)

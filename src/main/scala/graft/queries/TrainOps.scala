@@ -218,7 +218,9 @@ object TrainOps {
           .select(explode(col("sh")).as("g")).distinct()
         val corpus = sh.filter(col("doc_id") >= 50)
           .select(col("doc_id"), explode(col("sh")).as("g"))
-        corpus.join(broadcast(bench), "g")
+        // hint-free like Curation.decontaminate: AQE still broadcasts the
+        // small bench-shingle side at this scale (pinned in PlanSpec)
+        corpus.join(bench, "g")
           .groupBy("doc_id")
           .agg(countDistinct(col("g")).as("n_shared"))
           .orderBy("doc_id")

@@ -236,4 +236,68 @@ class Api2Spec extends SparkSuite {
     db4.exit()
     db2.exit()
   }
+
+  test("stale spill is discarded: fingerprint mismatch loads 0 entries") {
+    import spark.implicits._
+    val cdir = Files.createTempDirectory("graftstale").toString + "/spill"
+    val qc = new QueryCache()
+    qc.getOrElseUpdate("some plan key")(42L)
+    qc.saveTo(spark, cdir, Some("fp-when-written"))
+    // same fingerprint → loads; changed sources (different fp) → discarded
+    val fresh1 = new QueryCache()
+    assert(fresh1.loadFrom(spark, cdir, Some("fp-when-written")) == 1)
+    val fresh2 = new QueryCache()
+    assert(fresh2.loadFrom(spark, cdir, Some("fp-after-data-changed")) == 0)
+    assert(fresh2.size == 0)
+    // an UNSTAMPED spill is stale-by-default when a fingerprint is expected
+    Seq(("k", Array[Byte](1, 2, 3))).toDF("key", "value")
+      .write.mode("overwrite").parquet(cdir)
+    val fresh3 = new QueryCache()
+    assert(fresh3.loadFrom(spark, cdir, Some("any")) == 0)
+  }
+
+  test("hostile spill: corrupt bytes and disallowed classes load 0 entries without throwing") {
+    import spark.implicits._
+    val cdir = Files.createTempDirectory("grafthostile").toString + "/spill"
+    // entry 1: garbage bytes (not a serialization stream)
+    val garbage = ("k1", Array.fill[Byte](64)(0x7f))
+    // entry 2: a well-formed stream of a class OUTSIDE the allow-list —
+    // stands in for a deserialization-gadget payload; the ObjectInputFilter
+    // must reject it before readObject resolves it
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    oos.writeObject(new java.io.File("/etc/passwd"))
+    oos.close()
+    val gadget = ("k2", bos.toByteArray)
+    // entry 3: a legitimate boxed scalar — must still load
+    val bos2 = new java.io.ByteArrayOutputStream()
+    val oos2 = new java.io.ObjectOutputStream(bos2)
+    oos2.writeObject(java.lang.Long.valueOf(7L))
+    oos2.close()
+    val ok = ("k3", bos2.toByteArray)
+    Seq(garbage, gadget, ok).toDF("key", "value").write.mode("overwrite").parquet(cdir)
+    val qc = new QueryCache()
+    assert(qc.loadFrom(spark, cdir) == 1, "only the allow-listed scalar loads")
+    assert(!qc.contains("k1") && !qc.contains("k2") && qc.contains("k3"))
+    assert(qc.getOrElseUpdate[Any]("k3")(fail("must be a hit")) == 7L)
+  }
+
+  test("LRU eviction: filling past maxTotalMb evicts oldest, hot keys survive") {
+    // ~0.008 MB per Array[Long](1000) value; cap the store at ~5 of them
+    val qc = new QueryCache(enabled = true, maxItemMb = 1.0, maxTotalMb = 0.05)
+    (1 to 5).foreach(i => qc.getOrElseUpdate(s"k$i")(Array.fill(1000)(i.toLong)))
+    assert((1 to 5).forall(i => qc.contains(s"k$i")))
+    // touch k1 so it is the hottest entry, then overflow the cap
+    qc.getOrElseUpdate[Array[Long]]("k1")(fail("must be a hit"))
+    (6 to 8).foreach(i => qc.getOrElseUpdate(s"k$i")(Array.fill(1000)(i.toLong)))
+    assert(qc.contains("k1"), "recently-used entry survives eviction")
+    assert(qc.contains("k7") && qc.contains("k8"), "new entries inserted")
+    assert(!qc.contains("k2") && !qc.contains("k3"), "cold entries evicted oldest-first")
+    assert(qc.currentSizeMb <= 0.05 + 1e-9, "byte budget holds after eviction")
+    // reference per-item refusal is unchanged: an oversized item is returned
+    // but never stored, and evicts nothing
+    val before = qc.size
+    qc.getOrElseUpdate("huge")(Array.fill(1000000)(1L))
+    assert(!qc.contains("huge") && qc.size == before)
+  }
 }

@@ -164,6 +164,7 @@ class PartitioningSpec extends SparkSuite {
     // rows EMITTED BY THE SCAN (parquet row-group stats pruning + pushed
     // filter), not rows surviving the exact Filter — this is the metric
     // file layout actually moves. AQE off so the executed plan is direct.
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       def scanned(dir: String): (Long, Long) = {
@@ -183,6 +184,6 @@ class PartitioningSpec extends SparkSuite {
       // z layout: row groups outside the value box never leave the footer
       assert(zScanned <= total / 2,
         s"expected <=half the rows materialized under z layout ($zScanned/$total)")
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
   }
 }

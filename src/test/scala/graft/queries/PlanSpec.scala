@@ -99,8 +99,20 @@ class PlanSpec extends SparkSuite {
   test("stratified sample plans per-group top-k (WindowGroupLimit), decontamination broadcasts the benchmark") {
     val p = plan("q_stratified_sample")
     assert(p.contains("WindowGroupLimit"), s"rk<=3 should push a group limit:\n$p")
-    val p2 = plan("q_decontaminate")
+    // hint-free since round 8 (r7 verdict item 5): AQE must still choose the
+    // broadcast on its own, and the analyzed plan must carry no ResolvedHint
+    // so a corpus-sized "benchmark" can't OOM a forced build side
+    val df2 = SparkEntry.queries("q_decontaminate")(spark, sfDir)
+    assert(!df2.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "no forced broadcast hint in the decontamination path")
+    val p2 = df2.queryExecution.executedPlan.toString
     assert(p2.contains("BroadcastHashJoin"), s"benchmark side should broadcast:\n$p2")
+    val lib = graft.ops.Curation.decontaminate(
+      spark.read.parquet(s"$sfDir/documents.parquet").filter("doc_id >= 50"),
+      spark.read.parquet(s"$sfDir/documents.parquet").filter("doc_id < 50"),
+      "doc_id", "text")
+    assert(!lib.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "no forced broadcast hint in Curation.decontaminate")
   }
 
   test("no unpartitioned Window over an unbounded input in any query plan") {
