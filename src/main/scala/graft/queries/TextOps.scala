@@ -727,6 +727,66 @@ object TextOps {
         |  ((w * 224) // greatest(w, h)) * ((h * 224) // greatest(w, h)) * 3 AS out_bytes
         |FROM (SELECT doc_id, (doc_id % 64) + 32 AS w, ((doc_id * 7) % 96) + 16 AS h
         |      FROM documents WHERE doc_id < 200)
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin),
+
+    // -- multimodal audio: the REAL javax.sound WAV decoder under the
+    //    oracle gate. Each doc_id < 8 parameterizes a synthetic sine clip
+    //    (freq, amplitude, length all derived from doc_id); the Spark side
+    //    synthesizes a genuine WAV container and runs the full
+    //    decode→features path (Multimodal.decodeWav + extractAudioFeatures,
+    //    the same code a corpus of real clips would hit). The oracle never
+    //    decodes: it computes the expected features in closed form from the
+    //    same parameters. Frequencies are rate/4 and rate/8 ON PURPOSE —
+    //    sample phases then land on exact multiples of π/4, so the
+    //    quantized 16-bit pattern per period is analytic:
+    //      rate/4 → [0, +q2, 0, −q2]            (q2 = trunc(amp·32767))
+    //      rate/8 → [0,+q1,+q2,+q1,0,−q1,−q2,−q1] (q1 = trunc((amp·sin(π/4))·32767))
+    //    giving rms = sqrt(Σq²/period)/32768, peak = q2/32768, and
+    //    zcr = (n/2−1)/(n−1) resp. (n/4−1)/(n−1) exactly (clip lengths are
+    //    multiples of 8 samples so periods tile). trunc((amp·sin)·32767)
+    //    mirrors sineWav's evaluation order and .toInt truncation
+    //    (Multimodal.scala:211); phase-zero samples quantize to exactly 0
+    //    regardless of sin(kπ) sign noise, so the sign pattern is stable.
+    //    Both sides round the derived doubles to 4 places ------------------
+    ("q_audio_features",
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        val ids = t(s, d, "documents").filter(col("doc_id") < 8)
+          .select(col("doc_id").cast("long")).as[Long]
+        val audio = ids.map { id =>
+          val freq = if (id % 2 == 0) 2000.0 else 1000.0 // rate/4 | rate/8
+          val amp = (1 + id % 8) / 10.0
+          val n = 1000L * (2 + id % 4) // 2000..5000 samples, all % 8 == 0
+          graft.ops.Multimodal.AudioRow(
+            id, graft.ops.Multimodal.sineWav(freq, amp, n / 8000.0), "wav")
+        }
+        graft.ops.Multimodal.extractAudioFeatures(audio)
+          .select(col("media_id"), col("n_samples"),
+            round(col("duration_s"), 4).as("duration_s"),
+            round(col("rms"), 4).as("rms"),
+            round(col("peak"), 4).as("peak"),
+            round(col("zero_cross_rate"), 4).as("zcr"))
+          .orderBy("media_id")
+      },
+      """WITH p AS (
+        |  SELECT doc_id AS media_id,
+        |    doc_id % 2 = 0 AS hi,
+        |    CAST(1 + doc_id % 8 AS DOUBLE) / CAST(10 AS DOUBLE) AS amp,
+        |    1000 * (2 + doc_id % 4) AS n
+        |  FROM documents WHERE doc_id < 8),
+        |q AS (
+        |  SELECT media_id, hi, n,
+        |    trunc((amp * sin(pi() / 4)) * 32767) AS q1,
+        |    trunc(amp * 32767) AS q2
+        |  FROM p)
+        |SELECT media_id,
+        |  CAST(n AS BIGINT) AS n_samples,
+        |  round(n / CAST(8000 AS DOUBLE), 4) AS duration_s,
+        |  round(CASE WHEN hi THEN sqrt((2*q2*q2) / CAST(4 AS DOUBLE)) / 32768
+        |             ELSE sqrt((2*q2*q2 + 4*q1*q1) / CAST(8 AS DOUBLE)) / 32768 END, 4) AS rms,
+        |  round(q2 / CAST(32768 AS DOUBLE), 4) AS peak,
+        |  round(CASE WHEN hi THEN (n//2 - 1) / CAST(n - 1 AS DOUBLE)
+        |             ELSE (n//4 - 1) / CAST(n - 1 AS DOUBLE) END, 4) AS zcr
+        |FROM q ORDER BY media_id""".stripMargin)
   )
 }
