@@ -223,8 +223,9 @@ object Database {
     if (target.isFile) {
       // .sql dumps are the reference's native input (connection.py:64-78,
       // utils.py:242-265) — replayed here by graft.sources.SqlDump instead
-      // of SQLite. Binary .db needs a SQLite driver this build deliberately
-      // does not ship; `sqlite3 file.db .dump` exports to the supported form.
+      // of SQLite. Binary .db opens through graft.sources.SqliteJdbc WHEN a
+      // sqlite-jdbc driver jar is on the classpath (the build itself stays
+      // zero-dep); otherwise fail loudly with the `.dump` workaround.
       if (dir.endsWith(".sql")) {
         val tableMap = graft.sources.SqlDump.open(spark, dir)
         tableMap.foreach { case (n, df) => df.createOrReplaceTempView(n) }
@@ -233,9 +234,24 @@ object Database {
         if (cacheDir != null) qc.loadFrom(spark, cacheDir, Some(fp))
         return new Database(spark, tableMap, qc, dir, Option(cacheDir), fp)
       }
+      if (Seq(".db", ".sqlite", ".sqlite3").exists(dir.endsWith)) {
+        if (!graft.sources.SqliteJdbc.driverAvailable)
+          throw new FileTypeError(
+            s"opening binary SQLite '$dir' needs a sqlite-jdbc driver on the " +
+              "classpath (this build ships none). Add one (--jars " +
+              "sqlite-jdbc-<version>.jar), or export the dump and open that: " +
+              s"sqlite3 '$dir' .dump > out.sql; Database.open(spark, \"out.sql\")")
+        val tableMap = graft.sources.SqliteJdbc.open(spark, dir)
+        tableMap.foreach { case (n, df) => df.createOrReplaceTempView(n) }
+        val qc = new QueryCache(cacheEnabled, maxItemMb, maxTotalMb)
+        val fp = sourceFingerprint(Seq(target))
+        if (cacheDir != null) qc.loadFrom(spark, cacheDir, Some(fp))
+        return new Database(spark, tableMap, qc, dir, Option(cacheDir), fp)
+      }
       if (!dir.endsWith(".parquet") && !dir.endsWith(".csv"))
         throw new FileTypeError(
-          s"unsupported file type '$dir' — expected .parquet, .csv or .sql")
+          s"unsupported file type '$dir' — expected .parquet, .csv, .sql, " +
+            ".db, .sqlite or .sqlite3")
     }
     val files =
       if (target.isFile) Array(target)
