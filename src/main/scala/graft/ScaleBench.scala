@@ -35,17 +35,46 @@ object ScaleBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect()
+    // Shuffle-volume instrumentation: wall-clock linearity on a 32-core box
+    // is weak scaling evidence (everything is memory-speed); shuffle WRITE
+    // bytes ∝ data is the property that decides whether a plan survives a
+    // real cluster. One listener sums task shuffle-write bytes; per query we
+    // report the minimum over runs (caches warm = the steady-state plan).
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    })
+    // the listener bus is async: drain it before reading the counter so a
+    // run's last tasks land in ITS window, not the next one's (private API,
+    // so reflection with a sleep fallback — this is measurement code)
+    def drainListenerBus(): Unit =
+      try {
+        val sc = spark.sparkContext
+        val m = sc.getClass.getMethod("listenerBus")
+        val bus = m.invoke(sc)
+        bus.getClass.getMethods.find(x =>
+          x.getName == "waitUntilEmpty" && x.getParameterCount == 0)
+          .foreach(_.invoke(bus))
+      } catch { case _: Throwable => Thread.sleep(200) }
     // reuse the bench schedule so cache-consuming dedup queries share one
     // shingling pass and release it after their group, like Bench/Verify
     val results = SparkEntry.schedule.flatMap { case (names, after) =>
       val rs = names.filter(want).map { name =>
         val fn = SparkEntry.queries(name)
-        def once(): Double = {
+        def once(): (Double, Long) = {
+          drainListenerBus()
+          val b0 = shuffleBytes.get()
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-          (System.nanoTime() - t0) / 1e9
+          val t = (System.nanoTime() - t0) / 1e9
+          drainListenerBus()
+          (t, shuffleBytes.get() - b0)
         }
-        name -> Seq.fill(runs)(once()).min
+        val samples = Seq.fill(runs)(once())
+        name -> ((samples.map(_._1).min, samples.map(_._2).min))
       }
       after()
       rs
@@ -61,19 +90,23 @@ object ScaleBench {
     // caller wants exactly those), and a missing/unreadable embeddings
     // table degrades to no prod rows instead of losing the whole run's
     // output on a crash after all the timing work
-    val prod: Map[String, Double] = if (args.length > 1) Map.empty else try {
+    val prod: Map[String, (Double, Long)] = if (args.length > 1) Map.empty else try {
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
         .select("vec_id", "embedding")
       val n = emb.count()
       val nCells = math.max(1L, n / 500L).toInt        // ~500 vectors/cell
       val bits = math.max(4, (math.log(n / 16.0) / math.log(2)).round.toInt) // ~16/bucket
-      def timeIt(body: => Unit): Double = {
+      def timeIt(body: => Unit): (Double, Long) = {
         val samples = Seq.fill(runs) {
+          drainListenerBus()
+          val b0 = shuffleBytes.get()
           val t0 = System.nanoTime()
           try body catch { case _: Throwable => () }
-          (System.nanoTime() - t0) / 1e9
+          val t = (System.nanoTime() - t0) / 1e9
+          drainListenerBus()
+          (t, shuffleBytes.get() - b0)
         }
-        samples.min
+        (samples.map(_._1).min, samples.map(_._2).min)
       }
       val cells = timeIt {
         val idx = graft.ops.Similarity.ivfIndex(emb, "vec_id", "embedding",
@@ -87,9 +120,13 @@ object ScaleBench {
       Map(s"prod_semdedup_cells[nCells=$nCells]" -> cells,
         s"prod_semdedup_lsh[bits=$bits]" -> lsh)
     } catch { case _: Throwable => Map.empty }
-    val qs = (results ++ prod).toSeq.sortBy(_._1)
-      .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
-    println(s"""{"metric":"scale","queries":$qs,"runs":$runs,"sf":"$sfDir"}""")
+    val all: Map[String, (Double, Long)] = results ++ prod
+    val qs = all.toSeq.sortBy(_._1)
+      .map { case (k, (t, _)) => f""""$k":$t%.3f""" }.mkString("{", ",", "}")
+    // per-query min-of-runs shuffle write MB
+    val sh = all.toSeq.sortBy(_._1)
+      .map { case (k, (_, b)) => f""""$k":${b / 1e6}%.1f""" }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale","queries":$qs,"shuffle_mb":$sh,"runs":$runs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
