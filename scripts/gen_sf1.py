@@ -61,8 +61,32 @@ def salt_tokens(texts, copy):
 
 def main():
     src, dst, copies = sys.argv[1], sys.argv[2], int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    # "shared-docs" mode: write ONLY the documents table, WITHOUT token
+    # salting — doc ids stay disjoint but every copy carries the SAME
+    # shingles, so shingle document-frequency grows with the copy count.
+    # This is the adversarial corpus (boilerplate shared corpus-wide) that
+    # makes inverted-index fan-out quadratic: the negative control for the
+    # dfCap guard, the way the fixed-bucket semdedup rows are the negative
+    # control for bucket scaling.
+    shared_docs = len(sys.argv) > 4 and sys.argv[4] == "shared-docs"
     import os
     os.makedirs(dst, exist_ok=True)
+
+    if shared_docs:
+        docs = pq.read_table(f"{src}/documents.parquet")
+        dmax = max_key(docs, "doc_id")
+        parts = []
+        for c in range(copies):
+            cols = {}
+            for name in docs.column_names:
+                if name == "doc_id":
+                    cols[name] = pc.add(docs[name], c * (dmax + 1))
+                else:
+                    cols[name] = docs[name]
+            parts.append(pa.table(cols))
+        pq.write_table(pa.concat_tables(parts), f"{dst}/documents.parquet")
+        print("documents (shared shingles) ->", sum(p.num_rows for p in parts), "rows")
+        return
 
     for t in ["region", "nation"]:
         pq.write_table(pq.read_table(f"{src}/{t}.parquet"), f"{dst}/{t}.parquet")

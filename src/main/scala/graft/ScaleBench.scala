@@ -25,7 +25,15 @@ object ScaleBench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val want: Set[String] = if (args.length > 1) args.drop(1).toSet else defaultSet
+    // explicit query names select a subset; the pseudo-name "prod" asks for
+    // the production-parameter semdedup rows alongside an explicit subset
+    // (they always run with the default set)
+    val explicit = args.drop(1).toSet
+    val wantProd = args.length <= 1 || explicit.contains("prod")
+    val want: Set[String] = {
+      val q = explicit - "prod"
+      if (q.nonEmpty) q else defaultSet
+    }
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -59,22 +67,25 @@ object ScaleBench {
           x.getName == "waitUntilEmpty" && x.getParameterCount == 0)
           .foreach(_.invoke(bus))
       } catch { case _: Throwable => Thread.sleep(200) }
+    // (time, shuffle-write bytes) of `body`, min over `runs` samples each
+    def timeIt(body: => Unit): (Double, Long) = {
+      val samples = Seq.fill(runs) {
+        drainListenerBus()
+        val b0 = shuffleBytes.get()
+        val t0 = System.nanoTime()
+        try body catch { case _: Throwable => () }
+        val t = (System.nanoTime() - t0) / 1e9
+        drainListenerBus()
+        (t, shuffleBytes.get() - b0)
+      }
+      (samples.map(_._1).min, samples.map(_._2).min)
+    }
     // reuse the bench schedule so cache-consuming dedup queries share one
     // shingling pass and release it after their group, like Bench/Verify
     val results = SparkEntry.schedule.flatMap { case (names, after) =>
       val rs = names.filter(want).map { name =>
         val fn = SparkEntry.queries(name)
-        def once(): (Double, Long) = {
-          drainListenerBus()
-          val b0 = shuffleBytes.get()
-          val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-          val t = (System.nanoTime() - t0) / 1e9
-          drainListenerBus()
-          (t, shuffleBytes.get() - b0)
-        }
-        val samples = Seq.fill(runs)(once())
-        name -> ((samples.map(_._1).min, samples.map(_._2).min))
+        name -> timeIt { fn(spark, sfDir).count() }
       }
       after()
       rs
@@ -90,24 +101,12 @@ object ScaleBench {
     // caller wants exactly those), and a missing/unreadable embeddings
     // table degrades to no prod rows instead of losing the whole run's
     // output on a crash after all the timing work
-    val prod: Map[String, (Double, Long)] = if (args.length > 1) Map.empty else try {
+    val prod: Map[String, (Double, Long)] = if (!wantProd) Map.empty else try {
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
         .select("vec_id", "embedding")
       val n = emb.count()
       val nCells = math.max(1L, n / 500L).toInt        // ~500 vectors/cell
       val bits = math.max(4, (math.log(n / 16.0) / math.log(2)).round.toInt) // ~16/bucket
-      def timeIt(body: => Unit): (Double, Long) = {
-        val samples = Seq.fill(runs) {
-          drainListenerBus()
-          val b0 = shuffleBytes.get()
-          val t0 = System.nanoTime()
-          try body catch { case _: Throwable => () }
-          val t = (System.nanoTime() - t0) / 1e9
-          drainListenerBus()
-          (t, shuffleBytes.get() - b0)
-        }
-        (samples.map(_._1).min, samples.map(_._2).min)
-      }
       val cells = timeIt {
         val idx = graft.ops.Similarity.ivfIndex(emb, "vec_id", "embedding",
           nCells = nCells, seed = 5L)
@@ -120,7 +119,43 @@ object ScaleBench {
       Map(s"prod_semdedup_cells[nCells=$nCells]" -> cells,
         s"prod_semdedup_lsh[bits=$bits]" -> lsh)
     } catch { case _: Throwable => Map.empty }
-    val all: Map[String, (Double, Long)] = results ++ prod
+    // dfCap guard effect on the inverted-index forms, capped vs uncapped on
+    // the same corpus — the number behind SCALE.md's Σ df² story. The cap is
+    // an ABSOLUTE constant (~10-100× expected dup-cluster size), not a
+    // corpus fraction: on a natural corpus (bounded df) it drops nothing and
+    // costs one groupBy over the index; on a shared-shingle corpus
+    // (gen_sf1.py shared-docs mode: df ∝ copies) it bounds the join fan-out
+    // that otherwise grows quadratically. Piggybacks on the index queries'
+    // presence in the requested set.
+    val guard: Map[String, (Double, Long)] =
+      if (!want("q_dedup_ngram") && !want("q_containment")) Map.empty
+      else try {
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select("doc_id", "text")
+        val cap = 50L
+        val m = scala.collection.mutable.Map.empty[String, (Double, Long)]
+        if (want("q_dedup_ngram")) {
+          m += s"guard_ngram[dfCap=$cap]" -> timeIt {
+            graft.ops.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+              n = 3, threshold = 0.5, dfCap = cap).count()
+          }
+          m += "guard_ngram[uncapped]" -> timeIt {
+            graft.ops.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+              n = 3, threshold = 0.5).count()
+          }
+        }
+        if (want("q_containment")) {
+          m += s"guard_containment[dfCap=$cap]" -> timeIt {
+            graft.ops.Dedup.containmentPairs(docs, "doc_id", "text",
+              dfCap = cap).count()
+          }
+          m += "guard_containment[uncapped]" -> timeIt {
+            graft.ops.Dedup.containmentPairs(docs, "doc_id", "text").count()
+          }
+        }
+        m.toMap
+      } catch { case _: Throwable => Map.empty }
+    val all: Map[String, (Double, Long)] = results ++ prod ++ guard
     val qs = all.toSeq.sortBy(_._1)
       .map { case (k, (t, _)) => f""""$k":$t%.3f""" }.mkString("{", ",", "}")
     // per-query min-of-runs shuffle write MB

@@ -285,19 +285,34 @@ object Dedup {
     * of length >= w + k - 1). Inverted index on fingerprints — same
     * scale shape as the shingle index, but robust to reordering and
     * insertion of surrounding text.
+    *
+    * `dfCap` is the same guard [[ngramJaccardPairs]] carries: the self-join
+    * fan-out is Σ_f df(f)², quadratic when one fingerprint (corpus-wide
+    * boilerplate) appears in a corpus-scale fraction of docs. Capping drops
+    * fingerprints with document frequency > cap from the index; shared_fp
+    * counts only shrink, so the capped result is a conservative subset —
+    * exact when 0 (disabled). Size the cap as an ABSOLUTE constant around
+    * 10-100× the expected duplicate-cluster size, never a corpus fraction
+    * (a fraction re-admits the quadratic term as the corpus grows).
     */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 5, w: Int = 4, minShared: Int = 2,
-      md5Mode: Boolean = false): DataFrame = {
+      md5Mode: Boolean = false, dfCap: Long = 0L): DataFrame = {
     // single-file sources arrive as ONE partition and the fingerprint scan
     // is the expensive stage (one hash per character) — spread it BEFORE
     // computing; it also runs once per self-join branch (no cross-branch
     // CSE), doubling whatever it costs
     val spread = docs.repartition(
       docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
-    val fp = spread.select(col(idCol),
+    val fp0 = spread.select(col(idCol),
       explode(array_distinct(
         graft.functions.TextExprs.winnowFingerprints(col(textCol), k, w, md5Mode))).as("f"))
+    val fp =
+      if (dfCap <= 0L) fp0
+      else fp0.join(
+        fp0.groupBy("f").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > dfCap).select("f"),
+        Seq("f"), "left_anti")
     fp.alias("x").join(fp.alias("y"),
         col("x.f") === col("y.f") && col(s"x.$idCol") < col(s"y.$idCol"))
       .groupBy(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"))

@@ -67,6 +67,32 @@ class OpsSpec extends SparkSuite {
     assert(capped.contains((0L, 1L)) && capped.contains((2L, 3L)))
   }
 
+  test("Dedup.containmentPairs dfCap is conservative (subset of exact)") {
+    import spark.implicits._
+    // every doc shares one hot boilerplate span (its fingerprints reach
+    // df = 40); docs 0/1 and 2/3 additionally share long private spans
+    // whose fingerprints survive the cap
+    val hot = "alpha beta gamma delta epsilon zeta eta theta"
+    val df = (0 until 40).map { i =>
+      val body = i match {
+        case 0 | 1 => "one two three four five six seven eight nine ten eleven twelve"
+        case 2 | 3 => "red orange yellow green blue indigo violet pink black white grey brown"
+        case _     => s"unique$i filler$i words$i more$i stuff$i here$i now$i then$i extra$i end$i"
+      }
+      (i.toLong, s"$hot $body")
+    }.toDF("doc_id", "text")
+    def pairs(cap: Long) =
+      Dedup.containmentPairs(df, "doc_id", "text", dfCap = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(0L)
+    val capped = pairs(5L) // boilerplate fingerprints have df = 40 > 5
+    assert(exact.contains((0L, 1L)) && exact.contains((2L, 3L)))
+    assert(capped.subsetOf(exact))
+    assert(capped.contains((0L, 1L)) && capped.contains((2L, 3L)))
+    // a cap above every fingerprint's df changes nothing
+    assert(pairs(1000L) == exact)
+  }
+
   test("Dedup.minhashLshPairs recalls all very-high-jaccard pairs") {
     val brute = bruteJaccard(200)
     val high = brute.filter(_._2 >= 0.95).keySet
