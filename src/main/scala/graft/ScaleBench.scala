@@ -133,24 +133,28 @@ object ScaleBench {
         val docs = spark.read.parquet(s"$sfDir/documents.parquet")
           .select("doc_id", "text")
         val cap = 50L
+        // parameters mirror the oracle-gated queries (word 3-grams at 0.8;
+        // winnowing k=20 w=8 — rolling-hash mode, the production setting);
+        // the guard rows differ ONLY in dfCap so the delta is the guard
         val m = scala.collection.mutable.Map.empty[String, (Double, Long)]
         if (want("q_dedup_ngram")) {
           m += s"guard_ngram[dfCap=$cap]" -> timeIt {
             graft.ops.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-              n = 3, threshold = 0.5, dfCap = cap).count()
+              n = 3, threshold = 0.8, dfCap = cap).count()
           }
           m += "guard_ngram[uncapped]" -> timeIt {
             graft.ops.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-              n = 3, threshold = 0.5).count()
+              n = 3, threshold = 0.8).count()
           }
         }
         if (want("q_containment")) {
           m += s"guard_containment[dfCap=$cap]" -> timeIt {
             graft.ops.Dedup.containmentPairs(docs, "doc_id", "text",
-              dfCap = cap).count()
+              k = 20, w = 8, dfCap = cap).count()
           }
           m += "guard_containment[uncapped]" -> timeIt {
-            graft.ops.Dedup.containmentPairs(docs, "doc_id", "text").count()
+            graft.ops.Dedup.containmentPairs(docs, "doc_id", "text",
+              k = 20, w = 8).count()
           }
         }
         m.toMap
