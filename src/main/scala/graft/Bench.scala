@@ -7,13 +7,26 @@ object Bench {
   /** Highest round number among `BENCH_r*.json` files in cwd (the driver's
     * per-round records), or None when none are present.
     */
-  private def maxBenchRound: Option[Long] =
+  private[graft] def maxBenchRound(dir: String = "."): Option[Long] =
     try {
       val re = "BENCH_r(\\d+)\\.json".r
-      Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+      Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
         .flatMap(f => re.findFirstMatchIn(f.getName).map(_.group(1).toLong))
         .reduceOption(_ max _)
     } catch { case _: Throwable => None }
+
+  /** Suspect selection for the end-of-suite re-run pass: queries whose
+    * scheduled min landed >1.5x the prior round's min AND >50 ms over it
+    * (the absolute floor keeps sub-100 ms queries from tripping on
+    * scheduler jitter), worst relative offenders first, at most `cap`.
+    */
+  private[graft] def pickSuspects(results: Map[String, Double],
+      prior: Map[String, Double], cap: Int = 8): Seq[(String, Double, Double)] =
+    results.toSeq
+      .flatMap { case (k, cur) => prior.get(k).map(p => (k, cur, p)) }
+      .filter { case (_, cur, p) => cur > p * 1.5 && cur > p + 0.05 }
+      .sortBy { case (_, cur, p) => -(cur / p) }
+      .take(cap)
 
   /** Previous round's per-query bench mins, read from the max-round
     * `BENCH_r{N}.json` in cwd — the driver's record of its own last run, so
@@ -24,11 +37,11 @@ object Bench {
     * the prior round measured a different scale factor (mins at another sf
     * are not comparable).
     */
-  private def priorRoundMins(sfDir: String): Map[String, Double] =
+  private[graft] def priorRoundMins(sfDir: String, dir: String = "."): Map[String, Double] =
     try {
-      val n = maxBenchRound.getOrElse(return Map.empty)
+      val n = maxBenchRound(dir).getOrElse(return Map.empty)
       val txt = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(f"BENCH_r$n%02d.json")), "UTF-8")
+        java.nio.file.Paths.get(dir, f"BENCH_r$n%02d.json")), "UTF-8")
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       val parsed = mapper.readTree(txt).path("parsed")
       val priorSf = parsed.path("sf").asText("")
@@ -73,7 +86,7 @@ object Bench {
     // once the CURRENT round's file lands — schedule-comparable re-runs
     // within a round must set SPARK_GRAFT_ROUND explicitly.
     val roundSeed: Long = sys.env.get("SPARK_GRAFT_ROUND").flatMap(_.toLongOption)
-      .getOrElse(maxBenchRound.getOrElse(0))
+      .getOrElse(maxBenchRound().getOrElse(0))
     val rng = new scala.util.Random(roundSeed)
     // samples: name -> the 3 run times sorted ascending (min, med, max)
     val samples = SparkEntry.schedule.flatMap { case (names, after) =>
@@ -100,11 +113,7 @@ object Bench {
     // that reproduces here. rerun mins at prior levels = contention;
     // reproducibly slow = regression, bisect it.
     val prior = priorRoundMins(sfDir)
-    val suspects = results.toSeq
-      .flatMap { case (k, cur) => prior.get(k).map(p => (k, cur, p)) }
-      .filter { case (_, cur, p) => cur > p * 1.5 && cur > p + 0.05 }
-      .sortBy { case (_, cur, p) => -(cur / p) }
-      .take(8) // bound the pass: worst offenders first
+    val suspects = pickSuspects(results, prior) // bound: worst offenders first
     val groupHook: Map[String, () => Unit] = SparkEntry.schedule
       .flatMap { case (names, after) => names.map(_ -> after) }.toMap
     val rerun: Seq[(String, Seq[Double])] = suspects.map { case (name, _, _) =>

@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The driver-facing bench bookkeeping: prior-round record discovery,
+  * scale-factor guard, and suspect selection for the end-of-suite re-run
+  * pass. Pure JVM logic — no SparkSession.
+  */
+class BenchLogicSpec extends AnyFunSuite {
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft_benchspec_").toFile.getAbsolutePath
+
+  private def write(dir: String, name: String, body: String): Unit =
+    Files.write(java.nio.file.Paths.get(dir, name), body.getBytes("UTF-8"))
+
+  test("maxBenchRound picks the MAX round number, not the file count") {
+    val d = tmpDir()
+    // a sparse layout (r03 missing) must still yield 7 — the seed/prior
+    // lookup keys off the max, so deleting an old record can't shift it
+    write(d, "BENCH_r01.json", "{}")
+    write(d, "BENCH_r02.json", "{}")
+    write(d, "BENCH_r07.json", "{}")
+    assert(Bench.maxBenchRound(d).contains(7L))
+  }
+
+  test("maxBenchRound is None on an empty or missing dir") {
+    assert(Bench.maxBenchRound(tmpDir()).isEmpty)
+    assert(Bench.maxBenchRound("/nonexistent/graft").isEmpty)
+  }
+
+  test("priorRoundMins reads the max-round record and keeps positive mins") {
+    val d = tmpDir()
+    write(d, "BENCH_r04.json",
+      """{"parsed":{"sf":"/old/sf0.1","queries":{"q_a":9.9}}}""")
+    write(d, "BENCH_r05.json",
+      """{"parsed":{"sf":"/root/testdata/sf0.1",
+        |"queries":{"q_a":0.25,"q_b":1.5,"q_bad":-1.0}}}""".stripMargin)
+    val m = Bench.priorRoundMins("/root/testdata/sf0.1", d)
+    assert(m == Map("q_a" -> 0.25, "q_b" -> 1.5)) // r05 wins; -1 dropped
+  }
+
+  test("priorRoundMins is empty when the prior round measured another sf") {
+    val d = tmpDir()
+    write(d, "BENCH_r05.json",
+      """{"parsed":{"sf":"/root/testdata/sf0.01","queries":{"q_a":0.25}}}""")
+    assert(Bench.priorRoundMins("/root/testdata/sf0.1", d).isEmpty)
+    // ...but dir-spelling differences of the SAME sf still match
+    assert(Bench.priorRoundMins("/elsewhere/sf0.01/", d) ==
+      Map("q_a" -> 0.25))
+  }
+
+  test("priorRoundMins survives malformed JSON") {
+    val d = tmpDir()
+    write(d, "BENCH_r05.json", "not json at all {")
+    assert(Bench.priorRoundMins("/root/testdata/sf0.1", d).isEmpty)
+  }
+
+  test("pickSuspects applies both the 1.5x ratio and the 50 ms floor") {
+    val prior = Map("fast" -> 0.02, "mid" -> 0.4, "slow" -> 2.0,
+      "gone" -> 1.0)
+    val results = Map(
+      "fast" -> 0.06, // 3x prior but only +40 ms — jitter, not a suspect
+      "mid" -> 0.9, // 2.25x and +500 ms — suspect
+      "slow" -> 2.4, // +400 ms but only 1.2x — not a suspect
+      "new" -> 5.0) // no prior record — can't be compared
+    val s = Bench.pickSuspects(results, prior)
+    assert(s.map(_._1) == Seq("mid"))
+    assert(s.head._2 == 0.9 && s.head._3 == 0.4)
+  }
+
+  test("pickSuspects ranks worst relative offenders first and caps the pass") {
+    val prior = (1 to 12).map(i => s"q$i" -> 0.1).toMap
+    val results = (1 to 12).map(i => s"q$i" -> (0.1 * (i + 1))).toMap
+    val s = Bench.pickSuspects(results, prior, cap = 8)
+    assert(s.size == 8)
+    assert(s.head._1 == "q12") // 13x, the worst
+    assert(s.map(t => t._2 / t._3).sliding(2).forall(w => w(0) >= w(1)))
+  }
+}
