@@ -115,6 +115,17 @@ object Similarity {
     */
   final case class IvfIndex(assigned: DataFrame, centroids: DataFrame)
 
+  /** Training points per centroid for the sampled k-means fit: the full
+    * corpus is only scanned ONCE (assignment); the iterated clustering runs
+    * on a bounded sample of ~`TrainPointsPerCell x nCells` vectors. Without
+    * the sample, training cost is iterations x n x nCells — with the
+    * production sizing nCells ∝ n that is O(n²) per iteration, the term
+    * the 100x ScaleBench point caught. 128/centroid sits inside the
+    * 30–256/centroid band FAISS documents as sufficient for quantizer
+    * training (faiss/Clustering.cpp max_points_per_centroid).
+    */
+  private val TrainPointsPerCell = 128L
+
   def ivfIndex(corpus: DataFrame, idCol: String, vecCol: String,
       nCells: Int = 16, seed: Long = 42L): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
@@ -133,9 +144,19 @@ object Similarity {
       return IvfIndex(assigned, centroids)
     }
     val feats = unit.withColumn("__f", array_to_vector(col("__unit")))
+    // Sampled quantizer training (seeded Bernoulli, 1.2x headroom so the
+    // realized sample stays comfortably >= the target even at small n);
+    // corpora at or under the cap train on every vector, so bench-scale
+    // results — and the captured-centroid oracles — are byte-identical.
+    val trainCap = TrainPointsPerCell * nCells
+    val n = feats.count()
+    val train =
+      if (n <= trainCap) feats
+      else feats.sample(withReplacement = false,
+        math.min(1.0, trainCap * 1.2 / n), seed)
     val model = new KMeans().setK(nCells).setSeed(seed)
       .setFeaturesCol("__f").setPredictionCol("__cell")
-      .fit(feats.select("__f"))
+      .fit(train.select("__f"))
     val assigned = model.transform(feats)
       .select(col(idCol), col(vecCol), col("__vnorm").as("__nc"), col("__cell"))
     val spark = corpus.sparkSession
