@@ -186,29 +186,68 @@ object Similarity {
       spark.read.parquet(s"$dir/assigned"),
       spark.read.parquet(s"$dir/centroids"))
 
+  /** (qidCol, __qv, __nq, __cell) — each query row exploded to its `nProbe`
+    * nearest cells. The centroid table is collected driver-side (it is
+    * driver-sized by construction: nCells x dim, the same bound the
+    * broadcast in earlier rounds assumed) and embedded as an array literal,
+    * so cell selection is per-row array arithmetic: distance to every
+    * centroid via the native dot product, `array_sort` on (dist, cell)
+    * structs — field order IS the sort order, ties to the lowest cell id —
+    * then `slice`. No window, no shuffle, no join: the same plan fragment
+    * runs on a batch OR STREAMING query frame (streams support neither
+    * `row_number` windows nor the crossJoin+rank shape this replaces).
+    */
+  private def probedCells(index: IvfIndex, queries: DataFrame, qidCol: String,
+      vecCol: String, nProbe: Int): DataFrame = {
+    val cents: Seq[(Int, Seq[Double])] = index.centroids
+      .select(col("__cell"), col("__centroid")).collect().toSeq
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+    val centLit = typedLit(cents) // array<struct<_1: cell, _2: centroid>>
+    normalized(queries, vecCol)
+      .withColumn("__pc", explode(slice(array_sort(
+        transform(centLit, c => struct(
+          (-vecDot(col("__unit"), c("_2"))).as("d"), c("_1").as("cell")))),
+        1, nProbe)))
+      .select(col(qidCol), col(vecCol).as("__qv"),
+        col("__vnorm").as("__nq"), col("__pc.cell").as("__cell"))
+  }
+
   /** Probe a prebuilt [[IvfIndex]]: nProbe nearest cells per query, exact
     * cosine re-rank inside the probed cells.
     */
   def ivfTopK(index: IvfIndex, queries: DataFrame, idCol: String,
       qidCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame = {
-    val assigned = index.assigned
-    val centroids = index.centroids
-    val qunit = normalized(queries, vecCol)
-      .select(col(qidCol), col(vecCol).as("__qv"),
-        col("__vnorm").as("__nq"), col("__unit"))
-    val probed = qunit.crossJoin(broadcast(centroids))
-      .withColumn("__qdist", -vecDot(col("__unit"), col("__centroid")))
-      .withColumn("__pr", row_number().over(
-        Window.partitionBy(qidCol).orderBy(col("__qdist"), col("__cell"))))
-      .filter(col("__pr") <= nProbe)
-      .select(col(qidCol), col("__qv"), col("__nq"), col("__cell"))
-
-    assigned.join(probed, "__cell")
+    val probed = probedCells(index, queries, qidCol, vecCol, nProbe)
+    index.assigned.join(probed, "__cell")
       .select(col(qidCol), col(idCol),
         cosine(col(vecCol), col("__qv"), col("__nc"), col("__nq")).as("cos"))
       .withColumn("__rk", row_number().over(
         Window.partitionBy(qidCol).orderBy(desc("cos"), asc(idCol))))
       .filter(col("__rk") <= k).drop("__rk")
+  }
+
+  /** [[ivfTopK]] for a STREAMING query frame: same probed-cell selection
+    * (per-row array ops — see [[probedCells]]), a stream-static inner join
+    * against the prebuilt index, and a streaming-legal top-k — windows are
+    * unavailable on streams, so the per-query rank becomes
+    * `collect_list(struct(-cos, id))` + `array_sort` + `slice`, whose
+    * (-cos asc, id asc) struct order reproduces the batch tie-break
+    * (cos desc, id asc) exactly. Per-query state is bounded by the probed
+    * cells' contents per trigger; run with Update/Complete output (or add a
+    * watermark upstream on the query stream for Append). Emits the batch
+    * contract: (qidCol, idCol, cos).
+    */
+  def ivfTopKStream(index: IvfIndex, queries: DataFrame, idCol: String,
+      qidCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame = {
+    val probed = probedCells(index, queries, qidCol, vecCol, nProbe)
+    index.assigned.join(probed, "__cell")
+      .select(col(qidCol), col(idCol),
+        cosine(col(vecCol), col("__qv"), col("__nc"), col("__nq")).as("cos"))
+      .groupBy(qidCol)
+      .agg(slice(array_sort(collect_list(
+        struct((-col("cos")).as("nc"), col(idCol).as("id")))), 1, k).as("__top"))
+      .select(col(qidCol), explode(col("__top")).as("__t"))
+      .select(col(qidCol), col("__t.id").as(idCol), (-col("__t.nc")).as("cos"))
   }
 
   /** SemDeDup proper (Abbas et al. 2023): k-means cells bound the pair

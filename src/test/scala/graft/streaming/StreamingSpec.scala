@@ -290,6 +290,39 @@ class StreamingSpec extends SparkSuite {
     assert(p.toSeq == Seq(("en", 3L, 15L, 1L, 5L), ("fr", 1L, 2L, 0L, 2L)))
   }
 
+  test("streaming IVF probe equals batch ivfTopK on the same queries") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.Similarity
+    val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val idx = Similarity.ivfIndex(corpus, "vec_id", "embedding",
+      nCells = 4, seed = 5L)
+    // query frame: 10 corpus vectors under their own qid, staged to a dir
+    // so the file source can stream them
+    val stageDir = Files.createTempDirectory("graftivfq").toString
+    corpus.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding"))
+      .write.mode("overwrite").parquet(stageDir)
+    val qSchema = spark.read.parquet(stageDir).schema
+    val stream = spark.readStream.schema(qSchema).parquet(stageDir)
+    val topk = Similarity.ivfTopKStream(idx, stream,
+      "vec_id", "qid", "embedding", k = 3, nProbe = 2)
+    // no watermark on the query stream -> Complete output to the memory sink
+    EventStream.runToMemory(topk, "ivf_stream_out", OutputMode.Complete)
+    val streamed = spark.sql(
+      "SELECT qid, vec_id, round(cos, 9) c FROM ivf_stream_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    val batchQ = spark.read.parquet(stageDir)
+    val batch = Similarity.ivfTopK(idx, batchQ,
+        "vec_id", "qid", "embedding", k = 3, nProbe = 2)
+      .select(col("qid"), col("vec_id"), round(col("cos"), 9).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    assert(streamed.nonEmpty && streamed == batch)
+    assert(streamed.groupBy(_._1).forall(_._2.size == 3)) // k rows per query
+  }
+
   test("packStream over the documents table equals the batch packer (q_pack_sequences semantics)") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
