@@ -73,18 +73,29 @@ object ScaleBench {
           x.getName == "waitUntilEmpty" && x.getParameterCount == 0)
           .foreach(_.invoke(bus))
       } catch { case _: Throwable => Thread.sleep(200) }
-    // (time, shuffle-write bytes) of `body`, min over `runs` samples each
+    // (time, shuffle-write bytes) of `body`, min over `runs` samples each.
+    // A crashed sample must NOT masquerade as a fast run (time-to-crash can
+    // be tiny): any failure poisons the query's result to (-1, 0) and logs
+    // the cause to stderr, so a -1 in the JSON reads as "failed", never
+    // "fast".
     def timeIt(body: => Unit): (Double, Long) = {
+      var failed = false
       val samples = Seq.fill(runs) {
         drainListenerBus()
         val b0 = shuffleBytes.get()
         val t0 = System.nanoTime()
-        try body catch { case _: Throwable => () }
+        try body catch {
+          case e: Throwable =>
+            failed = true
+            System.err.println(
+              s"[scalebench] FAILED: ${e.getClass.getName}: ${e.getMessage}")
+        }
         val t = (System.nanoTime() - t0) / 1e9
         drainListenerBus()
         (t, shuffleBytes.get() - b0)
       }
-      (samples.map(_._1).min, samples.map(_._2).min)
+      if (failed) (-1.0, 0L)
+      else (samples.map(_._1).min, samples.map(_._2).min)
     }
     // reuse the bench schedule so cache-consuming dedup queries share one
     // shingling pass and release it after their group, like Bench/Verify

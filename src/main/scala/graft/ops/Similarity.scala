@@ -274,9 +274,12 @@ object Similarity {
       .select(col("__a"), col("__b"),
         cosine(col("__va"), col("__vb"), col("__na"), col("__nb")).as("__cos"))
       .filter(col("__cos") >= threshold)
-    val rep = pairs.groupBy(col("__b")).agg(min(col("__a")).as("rep_id"))
-    rep.join(pairs, rep("__b") === pairs("__b") && col("rep_id") === pairs("__a"))
-      .select(rep("__b").as(idCol), col("rep_id"), col("__cos").as("cos"))
+    // the grouped side renames its key BEFORE the self-join: rep("__b") and
+    // pairs("__b") share attribute lineage, and joining them directly leans
+    // on plan-id disambiguation (and logs a trivially-true-predicate warning)
+    val rep = pairs.groupBy(col("__b").as("__rb")).agg(min(col("__a")).as("rep_id"))
+    rep.join(pairs, col("__rb") === col("__b") && col("rep_id") === col("__a"))
+      .select(col("__b").as(idCol), col("rep_id"), col("__cos").as("cos"))
   }
 
   /** The vector column name inside an IvfIndex's `assigned` frame (the
@@ -344,9 +347,12 @@ object Similarity {
       .select(col("__a"), col("__b"),
         cosine(col("__va"), col("__vb"), col("__na"), col("__nb")).as("__cos"))
       .filter(col("__cos") >= threshold)
-    val rep = pairs.groupBy(col("__b")).agg(min(col("__a")).as("rep_id"))
-    rep.join(pairs, rep("__b") === pairs("__b") && col("rep_id") === pairs("__a"))
-      .select(rep("__b").as(idCol), col("rep_id"), col("__cos").as("cos"))
+    // the grouped side renames its key BEFORE the self-join: rep("__b") and
+    // pairs("__b") share attribute lineage, and joining them directly leans
+    // on plan-id disambiguation (and logs a trivially-true-predicate warning)
+    val rep = pairs.groupBy(col("__b").as("__rb")).agg(min(col("__a")).as("rep_id"))
+    rep.join(pairs, col("__rb") === col("__b") && col("rep_id") === col("__a"))
+      .select(col("__b").as(idCol), col("rep_id"), col("__cos").as("cos"))
   }
 
   /** All pairs with cosine >= threshold (exact, O(n²) dot products — the
