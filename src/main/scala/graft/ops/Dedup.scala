@@ -359,4 +359,54 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxDist)
   }
+
+  /** Exact-substring duplicate spans: maximal token runs that appear
+    * (as a k-token gram somewhere within them) in >= minDocs documents —
+    * the distributed relational form of the suffix-array "ExactSubstr"
+    * dedup of Lee et al. 2021 (arXiv:2107.06499), which removes verbatim
+    * repeated spans rather than whole near-duplicate documents.
+    *
+    * Algorithm: positioned k-grams (one row per token position) → gram
+    * document frequency (one shuffle on the gram) → keep positions whose
+    * gram occurs in >= minDocs docs → merge positions into maximal spans
+    * per document (gaps-and-islands over a doc-partitioned window: a new
+    * island starts when the next duplicated position is > k tokens after
+    * the previous one, i.e. the k-gram windows no longer overlap or touch)
+    * → spans of >= minSpanTokens tokens.
+    *
+    * Scale: every stage is linear in total token count — the gram groupBy
+    * and the position⋈dup-gram join both shuffle on the gram key (never
+    * pairs of documents, unlike the Jaccard index forms: a gram shared by
+    * d docs contributes d rows here, not d² candidate pairs), and the
+    * island merge is a per-document window. No Σ df² term, so no dfCap
+    * needed.
+    *
+    * Output: (idCol, span_start, span_tokens), span_start 1-based.
+    */
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, minDocs: Int = 2, minSpanTokens: Int = 8): DataFrame = {
+    val grams = docs
+      .select(col(idCol),
+        posexplode(graft.functions.ShingleExpr.orderedShingles(col(textCol), k))
+          .as(Seq("p0", "gram")))
+      .select(col(idCol), (col("p0") + 1).cast("long").as("p"), col("gram"))
+    val dup = grams.groupBy("gram")
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select("gram")
+    // hint-free: the duplicated-gram side is usually small but is corpus-
+    // dependent (boilerplate-heavy corpora); AQE picks broadcast vs shuffle
+    val dupPos = grams.join(dup, "gram").select(col(idCol), col("p"))
+    val wOrd = Window.partitionBy(idCol).orderBy("p")
+    dupPos
+      .withColumn("__b",
+        when(col("p") - lag(col("p"), 1).over(wOrd) <= k, lit(0)).otherwise(lit(1)))
+      .withColumn("__island", sum(col("__b")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("__island"))
+      .agg(min(col("p")).as("span_start"),
+        (max(col("p")) + k - min(col("p"))).as("span_tokens"))
+      .filter(col("span_tokens") >= minSpanTokens)
+      .select(col(idCol), col("span_start"), col("span_tokens"))
+  }
 }

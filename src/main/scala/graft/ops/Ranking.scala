@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Query-relevance ranking over a text corpus — the retrieval-side
+  * counterpart of the TF-IDF scoring in graft.queries.TextOps.
+  */
+object Ranking {
+
+  /** Okapi BM25 top-k documents for a bag of query terms (Robertson et al.,
+    * TREC-3; the `+1` idf smoothing is the Lucene variant, which keeps idf
+    * positive for terms in more than half the corpus).
+    *
+    * Determinism (cross-engine hash-exact under the DuckDB oracle gate):
+    * idf is pre-rounded to 6 decimals, each per-term contribution is
+    * rounded to 6 decimals and summed as DECIMAL(18,6) — the sum is exact
+    * and independent of partial-aggregation order — then the final score
+    * rounds to 4. All remaining arithmetic is single IEEE ops written in
+    * the same order on both sides. Ties at the top-k boundary break on the
+    * id.
+    *
+    * Scale: the token explode is map-side and immediately filtered to the
+    * query terms (a handful of rows per matching doc survive); dl/avgdl
+    * are one count-shaped aggregate; the per-term frames are tiny and the
+    * joins hint-free — AQE broadcasts them at any realistic term count.
+    * Nothing here is quadratic in corpus size.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+      topK: Int = 20): DataFrame = {
+    require(terms.nonEmpty, "bm25TopK needs at least one query term")
+    val tok = docs.select(col(idCol),
+      explode(regexp_extract_all(col(textCol), lit("\\S+"), lit(0))).as("word"))
+    val dl = tok.groupBy(idCol).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = tok.filter(col("word").isin(terms: _*))
+      .groupBy(idCol, "word").agg(count(lit(1)).as("tf"))
+    val dfw = tf.groupBy("word").agg(countDistinct(col(idCol)).as("df"))
+    val idf = dfw.crossJoin(stats.select("n_docs"))
+      .select(col("word"),
+        round(log(lit(1) + (col("n_docs") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5))), 6).as("idf"))
+    val contrib = tf.join(idf, "word").join(dl, idCol)
+      .crossJoin(stats.select("avgdl"))
+      .select(col(idCol),
+        round(col("idf") * col("tf") * (lit(k1) + lit(1)) /
+          (col("tf") + lit(k1) * (lit(1) - lit(b) + lit(b) * col("dl") / col("avgdl"))), 6)
+          .cast(DecimalType(18, 6)).as("contrib"))
+    contrib.groupBy(idCol)
+      .agg(round(sum(col("contrib")).cast("double"), 4).as("bm25"))
+      .orderBy(col("bm25").desc, col(idCol))
+      .limit(topK)
+  }
+}

@@ -1,0 +1,109 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import Q._
+
+/** Exact-substring span dedup (Lee et al. 2021, arXiv:2107.06499) and BM25
+  * retrieval — the span-granular half of the dedup story (the doc-granular
+  * half lives in TextOps/MoreOps3) plus query-relevance ranking. All
+  * entries sit under the DuckDB oracle gate; determinism notes in
+  * [[graft.ops.Dedup.duplicateSpans]] and [[graft.ops.Ranking.bm25TopK]].
+  */
+object SpanOps {
+
+  type Fn = (SparkSession, String) => DataFrame
+
+  /** Shared DuckDB CTE chain: positioned 5-grams → grams in >= 2 docs →
+    * gaps-and-islands merge into maximal spans of >= 8 tokens. Mirrors
+    * Dedup.duplicateSpans(k=5, minDocs=2, minSpanTokens=8) stage by stage.
+    */
+  private val spanCte =
+    """WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents),
+      |g AS (SELECT doc_id, p, array_to_string(w[p:p+4], ' ') AS gram
+      |      FROM (SELECT doc_id, w, unnest(range(1, len(w) - 5 + 2)) AS p
+      |            FROM t WHERE len(w) >= 5)),
+      |dup AS (SELECT gram FROM g GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+      |dp AS (SELECT g.doc_id, g.p FROM g JOIN dup USING (gram)),
+      |brk AS (SELECT doc_id, p,
+      |          CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= 5
+      |               THEN 0 ELSE 1 END AS b
+      |        FROM dp),
+      |isl AS (SELECT doc_id, p,
+      |          sum(b) OVER (PARTITION BY doc_id ORDER BY p) AS island
+      |        FROM brk),
+      |spans AS (SELECT doc_id, cast(min(p) AS BIGINT) AS span_start,
+      |            cast(max(p) + 5 - min(p) AS BIGINT) AS span_tokens
+      |          FROM isl GROUP BY doc_id, island
+      |          HAVING max(p) + 5 - min(p) >= 8)""".stripMargin
+
+  val entries: Seq[(String, Fn, String)] = Seq(
+
+    // -- exact-substring duplicate spans: maximal token runs whose 5-grams
+    //    recur in >= 2 documents — removes verbatim boilerplate/quotation
+    //    overlap that doc-level near-dup keeps. Linear in token count: the
+    //    shuffle key is the gram (d rows per gram, never d² pairs), the
+    //    island merge a doc-partitioned window ----------------------------
+    ("q_dup_spans",
+      (s: SparkSession, d: String) =>
+        graft.ops.Dedup.duplicateSpans(
+            t(s, d, "documents"), "doc_id", "text",
+            k = 5, minDocs = 2, minSpanTokens = 8)
+          .orderBy("doc_id", "span_start"),
+      spanCte +
+        "\nSELECT doc_id, span_start, span_tokens FROM spans ORDER BY doc_id, span_start"),
+
+    // -- the apply side: per-doc removal stats. Islands are disjoint by
+    //    construction, so summed span_tokens = tokens a span-removal pass
+    //    would drop; keep_ratio is what survives ---------------------------
+    ("q_dup_span_stats",
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        val nt = docs.select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+            .cast("long").as("n_tok"))
+        val dup = graft.ops.Dedup.duplicateSpans(docs, "doc_id", "text",
+            k = 5, minDocs = 2, minSpanTokens = 8)
+          .groupBy("doc_id").agg(sum(col("span_tokens")).as("dup_tok"))
+        nt.join(dup, "doc_id")
+          .select(col("doc_id"), col("n_tok"), col("dup_tok"),
+            round(lit(1) - col("dup_tok") / col("n_tok"), 4).as("keep_ratio"))
+          .orderBy("doc_id")
+      },
+      spanCte +
+        """
+          |, agg AS (SELECT doc_id, cast(sum(span_tokens) AS BIGINT) AS dup_tok
+          |          FROM spans GROUP BY 1)
+          |SELECT t.doc_id, cast(len(t.w) AS BIGINT) AS n_tok, agg.dup_tok,
+          |  round(1 - agg.dup_tok / len(t.w), 4) AS keep_ratio
+          |FROM t JOIN agg USING (doc_id) ORDER BY t.doc_id""".stripMargin),
+
+    // -- BM25 top-20 for a 3-term query: tf explode filtered to the terms
+    //    at the scan, idf/avgdl from one count-shaped aggregate, per-term
+    //    contributions decimal-summed for order independence ---------------
+    ("q_bm25",
+      (s: SparkSession, d: String) =>
+        graft.ops.Ranking.bm25TopK(t(s, d, "documents"), "doc_id", "text",
+          terms = Seq("spark", "join", "merge"), k1 = 1.2, b = 0.75, topK = 20),
+      """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS word
+        |             FROM documents),
+        |dl AS (SELECT doc_id, cast(count(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
+        |stats AS (SELECT cast(count(*) AS BIGINT) AS n_docs,
+        |            cast(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, word, cast(count(*) AS BIGINT) AS tf FROM tok
+        |       WHERE word IN ('spark', 'join', 'merge') GROUP BY 1, 2),
+        |dfw AS (SELECT word, cast(count(DISTINCT doc_id) AS BIGINT) AS df
+        |        FROM tf GROUP BY 1),
+        |idf AS (SELECT word,
+        |          round(ln(1 + (n_docs - df + 0.5) / (df + 0.5)), 6) AS idf
+        |        FROM dfw CROSS JOIN stats),
+        |c AS (SELECT tf.doc_id,
+        |        cast(round(idf.idf * tf.tf * (1.2 + 1) /
+        |          (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)), 6)
+        |          AS DECIMAL(18,6)) AS contrib
+        |      FROM tf JOIN idf USING (word) JOIN dl USING (doc_id) CROSS JOIN stats)
+        |SELECT doc_id, round(cast(sum(contrib) AS DOUBLE), 4) AS bm25
+        |FROM c GROUP BY 1 ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin)
+  )
+}

@@ -47,6 +47,37 @@ class ShingleExprSpec extends SparkSuite {
     assert(out(4L) == null)
   }
 
+  test("orderedShingles: identical to transform(...) without dedupe, in order") {
+    val n = 5
+    val w = col("__w")
+    val composableOrdered = transform(
+      sequence(lit(1), greatest(size(w) - (n - 1), lit(0))),
+      i => array_join(slice(w, i, lit(n)), " "))
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .withColumn("__w", regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+    val mismatches = docs.select(
+        ShingleExpr.orderedShingles(col("text"), n).as("fast"),
+        composableOrdered.as("ref"))
+      .filter(not(col("fast") <=> col("ref")))
+      .count()
+    assert(mismatches == 0)
+  }
+
+  test("orderedShingles edge cases: duplicates kept, short text, null") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "x y x y x y"),  // repeats kept, positional order
+      (2L, "a b"),          // < n tokens -> empty
+      (3L, null.asInstanceOf[String])
+    ).toDF("id", "text")
+    val out = df.select(col("id"), ShingleExpr.orderedShingles(col("text"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[String](1).toSeq)).toMap
+    assert(out(1L) == Seq("x y x", "y x y", "x y x", "y x y"))
+    assert(out(2L) == Seq())
+    assert(out(3L) == null)
+  }
+
   test("unicode whitespace follows the Java-regex \\s charset, not isWhitespace") {
     import spark.implicits._
     // U+2028 (line separator) is Character.isWhitespace but NOT regex \s:
