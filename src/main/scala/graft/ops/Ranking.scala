@@ -21,22 +21,27 @@ object Ranking {
     * the same order on both sides. Ties at the top-k boundary break on the
     * id.
     *
-    * Scale: the token explode is map-side and immediately filtered to the
-    * query terms (a handful of rows per matching doc survive); dl/avgdl
-    * are one count-shaped aggregate; the per-term frames are tiny and the
-    * joins hint-free — AQE broadcasts them at any realistic term count.
-    * Nothing here is quadratic in corpus size.
+    * Scale: document length is a map-side `size(tokens)` — the token rows
+    * themselves are never shuffled for it (the explode-and-count form would
+    * exchange every token); the explode feeding tf is filtered to the query
+    * terms before its aggregate, so only matching-term rows reach a
+    * shuffle; the per-term frames are tiny and the joins hint-free — AQE
+    * broadcasts them at any realistic term count. Nothing here is
+    * quadratic in corpus size. N/avgdl count every document, including
+    * zero-token ones (the standard BM25 convention).
     */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
       terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
       topK: Int = 20): DataFrame = {
     require(terms.nonEmpty, "bm25TopK needs at least one query term")
-    val tok = docs.select(col(idCol),
-      explode(regexp_extract_all(col(textCol), lit("\\S+"), lit(0))).as("word"))
-    val dl = tok.groupBy(idCol).agg(count(lit(1)).as("dl"))
+    val dl = docs.select(col(idCol),
+      size(regexp_extract_all(col(textCol), lit("\\S+"), lit(0)))
+        .cast("long").as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-    val tf = tok.filter(col("word").isin(terms: _*))
+    val tf = docs.select(col(idCol),
+        explode(regexp_extract_all(col(textCol), lit("\\S+"), lit(0))).as("word"))
+      .filter(col("word").isin(terms: _*))
       .groupBy(idCol, "word").agg(count(lit(1)).as("tf"))
     val dfw = tf.groupBy("word").agg(countDistinct(col(idCol)).as("df"))
     val idf = dfw.crossJoin(stats.select("n_docs"))

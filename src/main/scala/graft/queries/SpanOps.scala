@@ -86,11 +86,13 @@ object SpanOps {
       (s: SparkSession, d: String) =>
         graft.ops.Ranking.bm25TopK(t(s, d, "documents"), "doc_id", "text",
           terms = Seq("spark", "join", "merge"), k1 = 1.2, b = 0.75, topK = 20),
-      """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS word
-        |             FROM documents),
-        |dl AS (SELECT doc_id, cast(count(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
+      """WITH dl AS (SELECT doc_id,
+        |        cast(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS dl
+        |      FROM documents),
         |stats AS (SELECT cast(count(*) AS BIGINT) AS n_docs,
         |            cast(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        |tok AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS word
+        |        FROM documents),
         |tf AS (SELECT doc_id, word, cast(count(*) AS BIGINT) AS tf FROM tok
         |       WHERE word IN ('spark', 'join', 'merge') GROUP BY 1, 2),
         |dfw AS (SELECT word, cast(count(DISTINCT doc_id) AS BIGINT) AS df
