@@ -1,0 +1,123 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.ShingleExpr
+
+/** Reference-LM quality scoring and importance weighting for corpus
+  * curation — the two model-based filters of the standard LLM data
+  * pipeline that sit between the heuristic rules (TextOps quality /
+  * repetition) and dedup:
+  *
+  *  - [[unigramCrossEntropy]]: CCNet-style (Wenzek et al. 2020,
+  *    arXiv:1911.00359) scoring of every document against a language
+  *    model trained on a trusted reference slice. CCNet uses a KenLM
+  *    5-gram; the add-one-smoothed unigram form here is the exactly
+  *    SQL-expressible baseline with the same filtering semantics
+  *    (rank by cross-entropy, drop the worst tail).
+  *  - [[dsirLogWeights]]: DSIR (Xie et al. 2023, arXiv:2302.03169)
+  *    hashed n-gram importance weights ln(p_target(f)/p_raw(f)) summed
+  *    over each document's features — the importance-resampling score
+  *    for matching a raw crawl to a target distribution.
+  *
+  * Determinism (both engines must hash-match): every ln() is rounded to
+  * 6 decimals and carried as DECIMAL(18,6), so per-doc sums are exact
+  * and order-independent; the only IEEE ops are single divisions and the
+  * final round-4 (the BM25 recipe, [[Ranking.bm25TopK]]).
+  *
+  * Scale shape (100 TB corpus): the token/feature explode is map-side;
+  * per-doc term frequencies shuffle once on (id, term); the model side
+  * collapses to a vocabulary (millions of rows) or a fixed bucket table
+  * (`buckets` rows) that broadcasts back — no shuffle is ever keyed on
+  * anything that grows with corpus size except the document id itself.
+  */
+object LangModel {
+
+  private def toks(c: Column): Column =
+    regexp_extract_all(c, lit("\\S+"), lit(0))
+
+  private val LnScale = 6
+
+  private def dec6(c: Column): Column =
+    round(c, LnScale).cast(org.apache.spark.sql.types.DecimalType(18, 6))
+
+  /** Per-document cross-entropy (nats/token) under an add-one-smoothed
+    * unigram LM trained on the `refPred` slice of `docs`:
+    * p(w) = (c_ref(w) + 1) / (N_ref + V_ref + 1), OOV words take the
+    * c=0 floor. Output: (idCol, n_tok, xent) for every document with at
+    * least one token, ordered by nothing (caller sorts). Perplexity is
+    * exp(xent) — monotone, so threshold filtering is equivalent.
+    *
+    * Reference behavior: pandas-db has no model-based scoring; this is
+    * pipeline breadth per the build brief (quality scoring beyond
+    * length/punct heuristics).
+    */
+  def unigramCrossEntropy(docs: DataFrame, idCol: String, textCol: String,
+      refPred: Column): DataFrame = {
+    val tok = docs.select(col(idCol),
+      explode(toks(col(textCol))).as("word"))
+    val tf = tok.groupBy(idCol, "word").agg(count(lit(1)).as("tf"))
+    val vocab = docs.filter(refPred)
+      .select(explode(toks(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("wc"))
+    val stats = vocab.agg(sum(col("wc")).as("n_ref"),
+      count(lit(1)).as("v_ref"))
+    // lnp is computed per (doc, word) row rather than per vocab word so
+    // OOV words (absent from vocab) share the same expression tree; the
+    // inputs (wc, n_ref, v_ref) are integers, so the double division and
+    // ln see bit-identical arguments in any engine.
+    tf.join(broadcast(vocab), Seq("word"), "left")
+      .crossJoin(broadcast(stats))
+      .withColumn("lnp", dec6(log(
+        (coalesce(col("wc"), lit(0L)) + lit(1)).cast("double") /
+          (col("n_ref") + col("v_ref") + lit(1)).cast("double"))))
+      .groupBy(idCol)
+      .agg(sum(col("tf")).as("n_tok"),
+        round((-sum(col("tf") * col("lnp"))).cast("double") / sum(col("tf")), 4)
+          .as("xent"))
+  }
+
+  /** Cross-engine 60-bit md5 prefix → non-negative bucket in [0, buckets).
+    * Matches DuckDB `('0x'||substr(md5(f),1,15))::BIGINT % buckets`.
+    */
+  private def bucketOf(c: Column, buckets: Int): Column =
+    pmod(conv(substring(md5(c), 1, 15), 16, 10).cast("long"), lit(buckets))
+
+  /** DSIR log importance weight per document over hashed unigram+bigram
+    * features: logw(d) = Σ_f n_d(f) · [ln p_target(bucket(f)) −
+    * ln p_raw(bucket(f))] with add-one smoothing over `buckets` buckets,
+    * target = the `targetPred` slice, raw = all of `docs`. Output:
+    * (idCol, n_feat, logw); higher = more target-like. The two lns are
+    * rounded to 6 decimals independently and differenced in DECIMAL, so
+    * the per-doc sum is exact.
+    */
+  def dsirLogWeights(docs: DataFrame, idCol: String, textCol: String,
+      targetPred: Column, buckets: Int = 1024): DataFrame = {
+    require(buckets > 0, "dsirLogWeights needs a positive bucket count")
+    def feats(df: DataFrame, cols: Column*): DataFrame =
+      df.select(cols :+ explode(concat(toks(col(textCol)),
+        ShingleExpr.orderedShingles(col(textCol), 2))).as("feat"): _*)
+        .withColumn("bk", bucketOf(col("feat"), buckets))
+    val raw = feats(docs).groupBy("bk").agg(count(lit(1)).as("cr"))
+    val tgt = feats(docs.filter(targetPred)).groupBy("bk")
+      .agg(count(lit(1)).as("ct"))
+    val nr = raw.agg(sum(col("cr")).as("nr"))
+    val nt = tgt.agg(sum(col("ct")).as("nt"))
+    // raw covers every occupied bucket (target ⊆ raw), so the llr table
+    // is keyed on raw's buckets — ≤ `buckets` rows, broadcast both ways.
+    val llr = raw.join(tgt, Seq("bk"), "left")
+      .crossJoin(nr).crossJoin(nt)
+      .select(col("bk"),
+        (dec6(log((coalesce(col("ct"), lit(0L)) + lit(1)).cast("double") /
+          (col("nt") + lit(buckets)).cast("double"))) -
+         dec6(log((col("cr") + lit(1)).cast("double") /
+           (col("nr") + lit(buckets)).cast("double")))).as("llr"))
+    feats(docs, col(idCol)).groupBy(idCol, "bk")
+      .agg(count(lit(1)).as("nb"))
+      .join(broadcast(llr), "bk")
+      .groupBy(idCol)
+      .agg(sum(col("nb")).as("n_feat"),
+        round(sum(col("nb") * col("llr")).cast("double"), 4).as("logw"))
+  }
+}
