@@ -15,8 +15,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Local-iteration filter: SPARK_GRAFT_ONLY=q_a,q_b runs just those
+    // queries (unset — the driver's case — runs everything).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     SparkEntry.schedule.foreach { case (names, after) =>
-      names.foreach { name =>
+      names.filter(n => only.forall(_.contains(n))).foreach { name =>
         try SparkEntry.queries(name)(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>

@@ -409,4 +409,49 @@ object Dedup {
       .filter(col("span_tokens") >= minSpanTokens)
       .select(col(idCol), col("span_start"), col("span_tokens"))
   }
+
+  /** C4-style corpus-wide line-level dedup (reference scope: the pipeline
+    * layer beyond pandas-db's SQL surface; cf. the C4 paper's three-sentence
+    * span rule): each document is split into consecutive `width`-token
+    * lines (trailing remainder dropped), a duplicated line survives only at
+    * its FIRST corpus occurrence — minimal (id, position) — and documents
+    * are reassembled from their surviving lines in order.
+    *
+    * Returns (idCol, n_lines, n_kept, rebuilt) — `rebuilt` is NULL when
+    * every line of the document was a later duplicate.
+    *
+    * Scale: one shuffle keyed on the LINE TEXT itself (exact — no hash
+    * collision can merge distinct lines), one shuffle-join back (AQE
+    * decides broadcast vs shuffle from the first-occurrence frame's runtime
+    * size), one shuffle on id to reassemble. The line key is ≤ width
+    * tokens, so shuffle rows stay bounded; no global window anywhere.
+    */
+  def lineDedup(docs: DataFrame, idCol: String, textCol: String,
+      width: Int = 8): DataFrame = {
+    val base = docs
+      .select(col(idCol),
+        regexp_extract_all(col(textCol), lit("\\S+"), lit(0)).as("__w"))
+      .withColumn("__nl", expr(s"size(__w) div $width").cast("int"))
+      .filter(col("__nl") >= 1)
+    val lines = base
+      .withColumn("__lines", transform(sequence(lit(0), col("__nl") - 1),
+        i => array_join(slice(col("__w"), i * width + 1, lit(width)), " ")))
+      .select(col(idCol), col("__nl"),
+        posexplode(col("__lines")).as(Seq("pos", "line")))
+    // first corpus occurrence per line value: struct min orders by
+    // (id, pos) lexicographically — one exact shuffle on the line text
+    val firsts = lines.groupBy("line")
+      .agg(min(struct(col(idCol), col("pos"))).as("__first"))
+    val kept = lines.join(firsts, "line")
+      .filter(struct(col(idCol), col("pos")) === col("__first"))
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line")), " ").as("rebuilt"))
+    base.select(col(idCol), col("__nl").cast("long").as("n_lines"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"), col("rebuilt"))
+  }
 }

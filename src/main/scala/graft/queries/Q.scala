@@ -18,18 +18,29 @@ import org.apache.spark.sql.types.DecimalType
   *  - no rand()/sampling in verified queries.
   */
 object Q {
-  /** The driver's `events` table stores TIMESTAMP(NANOS), which Spark's
-    * parquet reader rejects by default; this legacy conf reads nanos as a
-    * LongType epoch-nanos column instead (event queries do integer
-    * arithmetic on it — never double division, which loses precision above
-    * 2^53).
+  /** The driver's `events` table has shipped `ts` in two parquet encodings
+    * across testdata generations: TIMESTAMP(NANOS) — which Spark's reader
+    * rejects unless this legacy conf maps it to an epoch-nanos LongType —
+    * and plain micros TIMESTAMP. The conf handles the former; t() below
+    * normalizes the latter to the same epoch-nanos long contract, so event
+    * queries always do integer time arithmetic (double division would lose
+    * precision above 2^53 and epoch-nanos is ~1.7e18).
     */
   def ensureNanosReadable(s: SparkSession): Unit =
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
   def t(s: SparkSession, dir: String, name: String): DataFrame = {
     ensureNanosReadable(s)
-    s.read.parquet(s"$dir/$name.parquet")
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    df.schema.fields.find(_.name == "ts") match {
+      case Some(f) if f.dataType == org.apache.spark.sql.types.TimestampType ||
+          f.dataType == org.apache.spark.sql.types.TimestampNTZType =>
+        // micros → the epoch-nanos long contract (exact integer ×1000);
+        // the UTC session timezone makes the NTZ→TIMESTAMP cast
+        // shift-free, matching DuckDB's naive-as-UTC epoch()/epoch_ms()
+        df.withColumn("ts", expr("unix_micros(cast(ts AS TIMESTAMP)) * 1000L"))
+      case _ => df
+    }
   }
 
   /** One Database per (session, dir) for the query inventory: open() lists

@@ -449,6 +449,215 @@ object TpchOps {
          |WHERE cast(c_acctbal AS DECIMAL(18,6)) * cast(n AS DECIMAL(12,0)) > s
          |  AND c_custkey NOT IN (SELECT o_custkey FROM orders
          |                        WHERE o_orderpriority = '1-URGENT')
-         |GROUP BY 1 ORDER BY 1""".stripMargin)
+         |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // -- Q2 analogue (minimum-cost supplier): the schema has no partsupp
+    //    table, so the part-supplier catalog derives from lineitem —
+    //    supplycost := min unit price ever charged by that supplier for
+    //    that part (an exact double min over identical values in both
+    //    engines, so the correlated-min equality join below is bit-safe).
+    //    Shape: region-restricted argmin per part + equality join back,
+    //    the scale-safe form of Q2's correlated scalar subquery. The
+    //    per-part mins frame is part-bounded; the join stays hint-free so
+    //    AQE sizes it from runtime stats -----------------------------------
+    ("q_tpch_q2",
+      (s: SparkSession, d: String) => {
+        val ps = t(s, d, "lineitem")
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(min(col("l_extendedprice").cast("double") /
+            col("l_quantity").cast("double")).as("supplycost"))
+        val eurSupp = t(s, d, "supplier")
+          .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(t(s, d, "region").filter(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("s_suppkey"), col("s_name"), col("n_name"))
+        val psEur = ps.join(broadcast(eurSupp), col("l_suppkey") === col("s_suppkey"))
+        val minCost = psEur.groupBy(col("l_partkey").as("mk"))
+          .agg(min(col("supplycost")).as("min_cost"))
+        psEur
+          .join(broadcast(t(s, d, "part").filter(col("p_size") === 15)),
+            col("l_partkey") === col("p_partkey"))
+          .join(minCost,
+            col("l_partkey") === col("mk") && col("supplycost") === col("min_cost"))
+          .select(col("p_partkey"), col("p_brand"), col("s_name"), col("n_name"),
+            round(col("supplycost"), 4).as("cost"))
+          .orderBy("p_partkey", "s_name")
+      },
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey,
+        |         min(cast(l_extendedprice AS DOUBLE) / cast(l_quantity AS DOUBLE))
+        |           AS supplycost
+        |  FROM lineitem GROUP BY 1, 2),
+        |pse AS (
+        |  SELECT l_partkey, l_suppkey, supplycost, s_name, n_name
+        |  FROM ps JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |mc AS (SELECT l_partkey AS mk, min(supplycost) AS min_cost
+        |       FROM pse GROUP BY 1)
+        |SELECT p_partkey, p_brand, s_name, n_name, round(supplycost, 4) AS cost
+        |FROM pse JOIN part ON l_partkey = p_partkey
+        |JOIN mc ON l_partkey = mk AND supplycost = min_cost
+        |WHERE p_size = 15
+        |ORDER BY p_partkey, s_name""".stripMargin),
+
+    // -- Q11 analogue (important stock): per-part value restricted to one
+    //    region's suppliers, kept where value exceeds 1/1000 of the total —
+    //    Q22's global-scalar-threshold shape applied per group. Decimal
+    //    sums keep both the per-part values and the 1-row total exact;
+    //    multiply-through (v * 1000 > s) instead of dividing the total so
+    //    the boundary decision is integer-exact in both engines ------------
+    ("q_tpch_q11",
+      (s: SparkSession, d: String) => {
+        val values = t(s, d, "lineitem")
+          .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(t(s, d, "region").filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("l_partkey"))
+          .agg(sum(col("l_extendedprice").cast(DecimalType(18, 6))).as("v"))
+        val tot = values.agg(sum(col("v")).as("s"))
+        values.crossJoin(broadcast(tot))
+          .filter(col("v") * lit(1000) > col("s"))
+          .select(col("l_partkey"),
+            round(col("v").cast("double"), 4).as("value"))
+          .orderBy(desc("value"), asc("l_partkey"))
+      },
+      """WITH val AS (
+        |  SELECT l_partkey, sum(cast(l_extendedprice AS DECIMAL(18,6))) AS v
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'ASIA' GROUP BY 1),
+        |tot AS (SELECT sum(v) AS s FROM val)
+        |SELECT l_partkey, round(cast(v AS DOUBLE), 4) AS value
+        |FROM val CROSS JOIN tot
+        |WHERE v * 1000 > s
+        |ORDER BY value DESC, l_partkey ASC""".stripMargin),
+
+    // -- Q16 analogue (parts/supplier relationship): distinct supplier
+    //    count per part attribute triple, excluding one brand, one type
+    //    family, and "complaint" suppliers (negative balance stands in for
+    //    the comment scan) — distinct pairs from lineitem stand in for
+    //    partsupp; the exclusion list is an anti join; part is a broadcast
+    //    dim --------------------------------------------------------------
+    ("q_tpch_q16",
+      (s: SparkSession, d: String) => {
+        val ps = t(s, d, "lineitem").select(col("l_partkey"), col("l_suppkey")).distinct()
+        val bad = t(s, d, "supplier").filter(col("s_acctbal") < 0.0)
+          .select(col("s_suppkey"))
+        ps.join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+          .join(broadcast(t(s, d, "part")
+            .filter(col("p_brand") =!= "Brand#45" && col("p_type") =!= "PROMO" &&
+              col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+          .orderBy(desc("supplier_cnt"), asc("p_brand"), asc("p_type"), asc("p_size"))
+      },
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        |SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM ps JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#45' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, 1, 2, 3""".stripMargin),
+
+    // -- Q20 analogue (potential part promotion): suppliers in one nation
+    //    who shipped more than half their all-time quantity of some red
+    //    part during 1997 — availqty derives from lineitem totals (no
+    //    partsupp), the threshold is decimal multiply-through
+    //    (2 * qty97 > availqty), and the qualifying-supplier set feeds a
+    //    hint-free semi join so AQE sizes it at runtime --------------------
+    ("q_tpch_q20",
+      (s: SparkSession, d: String) => {
+        val li = t(s, d, "lineitem")
+        val ps = li.groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(sum(col("l_quantity").cast(DecimalType(18, 6))).as("availqty"))
+        val sh = li
+          .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(sum(col("l_quantity").cast(DecimalType(18, 6))).as("qty97"))
+        val qual = ps.join(sh, Seq("l_partkey", "l_suppkey"))
+          .join(broadcast(t(s, d, "part").filter(col("p_name").like("red%"))
+            .select(col("p_partkey"))),
+            col("l_partkey") === col("p_partkey"))
+          .filter(col("qty97") * lit(2) > col("availqty"))
+          .select(col("l_suppkey"))
+        t(s, d, "supplier")
+          .join(broadcast(t(s, d, "nation").filter(col("n_name") === "NATION_5")),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(qual, col("s_suppkey") === col("l_suppkey"), "left_semi")
+          .select(col("s_name"), col("s_acctbal"))
+          .orderBy("s_name")
+      },
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey, sum(cast(l_quantity AS DECIMAL(18,6))) AS availqty
+        |  FROM lineitem GROUP BY 1, 2),
+        |sh AS (
+        |  SELECT l_partkey, l_suppkey, sum(cast(l_quantity AS DECIMAL(18,6))) AS qty97
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  GROUP BY 1, 2)
+        |SELECT s_name, s_acctbal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_5' AND s_suppkey IN (
+        |  SELECT ps.l_suppkey FROM ps JOIN sh USING (l_partkey, l_suppkey)
+        |  JOIN part ON ps.l_partkey = p_partkey
+        |  WHERE p_name LIKE 'red%' AND qty97 * 2 > availqty)
+        |ORDER BY s_name""".stripMargin),
+
+    // -- Q21 analogue (suppliers who kept orders waiting): on finished
+    //    multi-supplier orders, the supplier whose lineitem was the ONLY
+    //    late one (late := shipped > 120 days after order, the schema's
+    //    stand-in for receipt > commit) — the EXISTS/NOT-EXISTS pair plans
+    //    as a semi join + anti join over aliased lineitem scans, never a
+    //    per-row subquery; supplier is a broadcast dim; no nation filter
+    //    (100 synthetic suppliers — top-25 keeps the result sized like the
+    //    classic per-nation form) ------------------------------------------
+    ("q_tpch_q21",
+      (s: SparkSession, d: String) => {
+        val late = expr("INTERVAL 120 DAYS")
+        val l1 = t(s, d, "lineitem")
+          .join(t(s, d, "orders").filter(col("o_orderstatus") === "F"),
+            col("l_orderkey") === col("o_orderkey"))
+          .filter(col("l_shipdate") > col("o_orderdate") + late)
+          .select(col("l_orderkey").as("o1"), col("l_suppkey").as("s1"))
+        val l2 = t(s, d, "lineitem")
+          .select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+        val l3 = t(s, d, "lineitem")
+          .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .filter(col("l_shipdate") > col("o_orderdate") + late)
+          .select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
+        l1.join(l2, col("o1") === col("o2") && col("s1") =!= col("s2"), "left_semi")
+          .join(l3, col("o1") === col("o3") && col("s1") =!= col("s3"), "left_anti")
+          .join(broadcast(t(s, d, "supplier")), col("s1") === col("s_suppkey"))
+          .groupBy(col("s_name"))
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(desc("numwait"), asc("s_name"))
+          .limit(25)
+      },
+      """WITH l1 AS (
+        |  SELECT l_orderkey, l_suppkey
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |    AND l_shipdate > o_orderdate + INTERVAL 120 DAY)
+        |SELECT s_name, count(*) AS numwait
+        |FROM l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 120 DAY)
+        |GROUP BY 1
+        |ORDER BY numwait DESC, s_name ASC
+        |LIMIT 25""".stripMargin)
   )
 }

@@ -31,7 +31,9 @@ class SketchesSpec extends SparkSuite {
   }
 
   test("rollup over a persisted sketch table matches direct estimates") {
-    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    // Q.t normalizes ts to the epoch-nanos long contract regardless of the
+    // parquet encoding generation (nanos vs micros)
+    val events = graft.queries.Q.t(spark, sfDir, "events")
     // "persist" daily sketches (the write-once table), then roll up
     val daily = Sketches.hllSketch(
       events.withColumn("day", expr("ts div 86400000000000")),
