@@ -136,4 +136,49 @@ object Curation {
       .agg(countDistinct(col("__g")).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** Quality-ordered token-budget cut: keep documents in (scoreCol DESC,
+    * idCol ASC) order while the running token total stays ≤ budget — "take
+    * the best B tokens", the final selection step of a data-mixture build.
+    *
+    * The naive form is a global-ORDER-BY window — a single-partition
+    * exchange that serializes the whole corpus through one task at scale.
+    * Instead: range-repartition on the sort key (each partition owns a
+    * contiguous score range), per-partition running sums via a window
+    * PARTITIONED on spark_partition_id, and cross-partition offsets from a
+    * #partitions-sized aggregate collected to the driver (bounded by
+    * cluster width, not data; the broadcast join back is a rows=#partitions
+    * frame). Two jobs plan the range exchange independently, but the
+    * sampler is seeded per partition index, so both see identical bounds
+    * over the same input.
+    *
+    * Adds `cum_tokens` (running total including the row itself).
+    */
+  def takeTokenBudget(df: DataFrame, scoreCol: String, idCol: String,
+      tokenCol: String, budget: Long): DataFrame = {
+    val spark = df.sparkSession
+    val ordered = df
+      .repartitionByRange(col(scoreCol).desc, col(idCol).asc)
+      .withColumn("__pid", spark_partition_id())
+    val partSums = ordered.groupBy(col("__pid"))
+      .agg(sum(col(tokenCol).cast("long")).as("__psum"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val sortedPids = partSums.keys.toSeq.sorted
+    val offsets = sortedPids.zip(
+      sortedPids.scanLeft(0L)((acc, pid) => acc + partSums(pid)).init)
+    val offsetDf = broadcast(
+      spark.createDataFrame(offsets).toDF("__pid", "__off"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid"))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    ordered
+      .withColumn("__within", sum(col(tokenCol).cast("long")).over(w))
+      .join(offsetDf, "__pid")
+      .withColumn("cum_tokens", col("__off") + col("__within"))
+      .filter(col("cum_tokens") <= budget)
+      .drop("__pid", "__off", "__within")
+  }
 }

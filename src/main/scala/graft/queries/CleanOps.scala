@@ -143,6 +143,85 @@ object CleanOps {
         |SELECT source, count(*) AS n_docs, cast(sum(nl) AS BIGINT) AS n_lines,
         |  cast(sum(len(kept)) AS BIGINT) AS n_kept,
         |  cast(sum(len(array_to_string(flatten(kept), ' '))) AS BIGINT) AS kept_chars
-        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // -- C4-style corpus-wide line DEDUP (ops/Dedup.lineDedup): a
+    //    duplicated 8-word line survives only at its first corpus
+    //    occurrence — min (doc_id, pos) — and each document is reassembled
+    //    from its surviving lines. The dedup key is the LINE TEXT itself
+    //    (collision-exact); the rebuilt text is md5-compared so the whole
+    //    reassembly is under the hash gate without shipping full text into
+    //    the result. Oracle = the same first-occurrence rule via a
+    //    row_number window --------------------------------------------------
+    ("q_line_dedup",
+      (s: SparkSession, d: String) =>
+        graft.ops.Dedup.lineDedup(t(s, d, "documents"), "doc_id", "text", 8)
+          .select(col("doc_id"), col("n_lines"), col("n_kept"),
+            md5(col("rebuilt")).as("rebuilt_md5"))
+          .orderBy("doc_id"),
+      """WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w
+        |           FROM documents),
+        |d AS (SELECT doc_id, len(w) // 8 AS nl, i - 1 AS pos,
+        |        array_to_string(w[(i-1)*8+1 : (i-1)*8+8], ' ') AS line
+        |      FROM t, unnest(generate_series(1, len(w) // 8)) AS r(i)),
+        |k AS (SELECT doc_id, nl, pos, line,
+        |        row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+        |      FROM d),
+        |kept AS (SELECT doc_id, pos, line FROM k WHERE rn = 1),
+        |base AS (SELECT doc_id, max(nl) AS n_lines FROM d GROUP BY 1),
+        |reb AS (SELECT doc_id, count(*) AS n_kept,
+        |          md5(string_agg(line, ' ' ORDER BY pos)) AS rebuilt_md5
+        |        FROM kept GROUP BY 1)
+        |SELECT base.doc_id, cast(n_lines AS BIGINT) AS n_lines,
+        |  cast(coalesce(n_kept, 0) AS BIGINT) AS n_kept, rebuilt_md5
+        |FROM base LEFT JOIN reb USING (doc_id)
+        |ORDER BY doc_id""".stripMargin),
+
+    // -- Gopher-style quality rule set: word-count bounds, mean word
+    //    length, stopword presence, and single-word-repetition cap, each an
+    //    integer-exact multiply-through decision (4n ≤ Σlen ≤ 10n, 5·maxfreq
+    //    ≤ n) so no float boundary can differ between engines. One explode +
+    //    two doc_id-keyed aggregations — shuffles scale with token count,
+    //    no window, no UDF ---------------------------------------------------
+    ("q_gopher_rules",
+      (s: SparkSession, d: String) => {
+        val words = t(s, d, "documents")
+          .select(col("doc_id"),
+            explode(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+              .as("word"))
+        val freq = words.groupBy(col("doc_id"), col("word"))
+          .agg(count(lit(1)).as("c"))
+        val m = freq.groupBy(col("doc_id"))
+          .agg(sum(col("c")).as("n"),
+            sum(col("c") * length(col("word")).cast("long")).as("sl"),
+            sum(when(col("word").isin("the", "a"), col("c")).otherwise(0L))
+              .as("stp"),
+            max(col("c")).as("mf"))
+        m.select(col("doc_id"), col("n").as("n_words"),
+            col("n").between(50L, 100000L).as("r_wordcount"),
+            (col("sl") >= col("n") * 4 && col("sl") <= col("n") * 10)
+              .as("r_meanlen"),
+            (col("stp") >= 2L).as("r_stopwords"),
+            (col("mf") * 5 <= col("n")).as("r_repetition"))
+          .withColumn("pass",
+            col("r_wordcount") && col("r_meanlen") && col("r_stopwords") &&
+              col("r_repetition"))
+          .orderBy("doc_id")
+      },
+      """WITH e AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS word
+        |           FROM documents),
+        |f AS (SELECT doc_id, word, count(*) AS c FROM e GROUP BY 1, 2),
+        |m AS (SELECT doc_id, sum(c) AS n, sum(c * len(word)) AS sl,
+        |        sum(CASE WHEN word IN ('the', 'a') THEN c ELSE 0 END) AS stp,
+        |        max(c) AS mf
+        |      FROM f GROUP BY 1)
+        |SELECT doc_id, cast(n AS BIGINT) AS n_words,
+        |  n BETWEEN 50 AND 100000 AS r_wordcount,
+        |  sl >= n * 4 AND sl <= n * 10 AS r_meanlen,
+        |  stp >= 2 AS r_stopwords,
+        |  mf * 5 <= n AS r_repetition,
+        |  (n BETWEEN 50 AND 100000) AND (sl >= n * 4 AND sl <= n * 10)
+        |    AND stp >= 2 AND mf * 5 <= n AS pass
+        |FROM m ORDER BY doc_id""".stripMargin)
   )
 }

@@ -234,6 +234,40 @@ object TrainOps {
         |b AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id < 50),
         |c AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id >= 50)
         |SELECT c.doc_id, cast(count(DISTINCT c.g) AS BIGINT) AS n_shared
-        |FROM c JOIN b USING (g) GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM c JOIN b USING (g) GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // -- token-budget selection (ops/Curation.takeTokenBudget): keep the
+    //    best documents — (n_chars DESC, doc_id) order — until 60% of the
+    //    corpus's tokens are spent. The Spark side is the range-partitioned
+    //    two-phase prefix sum (NO single-partition global window — the
+    //    driver-side piece is a #partitions-sized offset table); the oracle
+    //    states the same semantics as the naive global running-sum window.
+    //    Budget = (total*3) div 5 in exact integers on both sides ----------
+    ("q_token_budget",
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), col("n_chars"),
+            size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+              .cast("long").as("tokens"))
+        // 1-row driver probe for the budget scalar (same class as the
+        // cache-stat memos — bounded, not a data path)
+        val total = docs.agg(sum(col("tokens"))).head().getLong(0)
+        graft.ops.Curation.takeTokenBudget(docs, "n_chars", "doc_id",
+            "tokens", total * 3 / 5)
+          .select(col("doc_id"), col("tokens"), col("cum_tokens"))
+          .orderBy("cum_tokens", "doc_id")
+      },
+      """WITH d AS (SELECT doc_id, n_chars,
+        |             cast(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS tokens
+        |           FROM documents),
+        |tot AS (SELECT sum(tokens) AS t FROM d),
+        |c AS (SELECT doc_id, tokens,
+        |        sum(tokens) OVER (ORDER BY n_chars DESC, doc_id ASC
+        |                          ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        |      FROM d)
+        |SELECT doc_id, tokens, cast(cum_tokens AS BIGINT) AS cum_tokens
+        |FROM c CROSS JOIN tot
+        |WHERE cum_tokens <= (t * 3) // 5
+        |ORDER BY cum_tokens, doc_id""".stripMargin)
   )
 }

@@ -100,4 +100,49 @@ class CurationSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == q)
   }
+
+  test("takeTokenBudget: equals the naive global running-sum cut") {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs.select(col("doc_id"), col("n_chars"),
+      size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+        .cast("long").as("tokens"))
+    val total = d.agg(sum(col("tokens"))).head().getLong(0)
+    val budget = total * 3 / 5
+    val got = Curation.takeTokenBudget(d, "n_chars", "doc_id", "tokens", budget)
+      .select("doc_id", "cum_tokens")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val naive = d.withColumn("cum", sum(col("tokens")).over(
+        Window.orderBy(col("n_chars").desc, col("doc_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("cum") <= budget)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got == naive)
+    assert(got.nonEmpty && got.values.max <= budget)
+  }
+
+  test("takeTokenBudget plans without a single-partition exchange") {
+    val d = docs.select(col("doc_id"), col("n_chars"), col("n_chars").as("tokens"))
+    val plan = Curation.takeTokenBudget(d, "n_chars", "doc_id", "tokens", 1000000L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"global-window single-partition exchange in plan:\n$plan")
+  }
+
+  test("lineDedup: duplicated lines survive only at their first occurrence") {
+    import spark.implicits._
+    // doc 1 owns "a b c d"; doc 2 repeats it (dropped) + keeps its own line;
+    // doc 3 is entirely a later duplicate -> NULL rebuilt
+    val d = Seq(
+      (1L, "a b c d x y z w"),
+      (2L, "a b c d q r s t"),
+      (3L, "a b c d")).toDF("doc_id", "text")
+    val got = Dedup.lineDedup(d, "doc_id", "text", width = 4)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.getString(3))))
+    assert(got.toSeq == Seq(
+      (1L, 2L, 2L, Some("a b c d x y z w")),
+      (2L, 2L, 1L, Some("q r s t")),
+      (3L, 1L, 0L, None)))
+  }
 }
