@@ -160,7 +160,8 @@ object Bench {
       "q_stratified_sample", "q_pack_sequences", "q_decontaminate",
       "q_semdedup", "q_semdedup_cells", "q_containment", "q_topk_freq",
       "q_dedup_components", "q_dedup_apply", "q_dedup_e2e", "q_dedup_cc_minhash",
-      "q_reservoir_sample", "q_salted_join", "q_decontaminate_bloom")
+      "q_reservoir_sample", "q_salted_join", "q_decontaminate_bloom",
+      "q_tpch_q21", "q_line_dedup", "q_token_budget")
     val hq = headline.flatMap(n => results.get(n).map(v => f""""$n":$v%.3f"""))
       .mkString("{", ",", "}")
     // worst-spread queries as name:[min,max] — a max >> min row IS the

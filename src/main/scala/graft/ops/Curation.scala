@@ -143,14 +143,18 @@ object Curation {
     *
     * The naive form is a global-ORDER-BY window — a single-partition
     * exchange that serializes the whole corpus through one task at scale.
-    * Instead: range-repartition on the sort key (each partition owns a
-    * contiguous score range), per-partition running sums via a window
-    * PARTITIONED on spark_partition_id, and cross-partition offsets from a
-    * #partitions-sized aggregate collected to the driver (bounded by
-    * cluster width, not data; the broadcast join back is a rows=#partitions
-    * frame). Two jobs plan the range exchange independently, but the
-    * sampler is seeded per partition index, so both see identical bounds
-    * over the same input.
+    * (A spark_partition_id-partitioned window doesn't help either: the
+    * window's hash-distribution requirement inserts a SECOND full-data
+    * exchange on top of the range one.) Instead: ONE range exchange on the
+    * sort key (each partition owns a contiguous score range, rows sorted
+    * within), then the classic two-phase prefix sum as per-partition
+    * imperative logic — pass 1 collects one token total per partition
+    * (bounded by cluster width, not data), the driver prefix-sums them into
+    * offsets, pass 2 streams each partition adding its offset and STOPS at
+    * the first row past the budget (partitions wholly past the cut emit
+    * nothing). Both passes map over the same RDD instance, so the shuffle
+    * output — and with it the partition layout — is computed once and
+    * reused, never resampled.
     *
     * Adds `cum_tokens` (running total including the row itself).
     */
@@ -159,26 +163,30 @@ object Curation {
     val spark = df.sparkSession
     val ordered = df
       .repartitionByRange(col(scoreCol).desc, col(idCol).asc)
-      .withColumn("__pid", spark_partition_id())
-    val partSums = ordered.groupBy(col("__pid"))
-      .agg(sum(col(tokenCol).cast("long")).as("__psum"))
-      .collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val sortedPids = partSums.keys.toSeq.sorted
-    val offsets = sortedPids.zip(
-      sortedPids.scanLeft(0L)((acc, pid) => acc + partSums(pid)).init)
-    val offsetDf = broadcast(
-      spark.createDataFrame(offsets).toDF("__pid", "__off"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__pid"))
-      .orderBy(col(scoreCol).desc, col(idCol).asc)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    ordered
-      .withColumn("__within", sum(col(tokenCol).cast("long")).over(w))
-      .join(offsetDf, "__pid")
-      .withColumn("cum_tokens", col("__off") + col("__within"))
-      .filter(col("cum_tokens") <= budget)
-      .drop("__pid", "__off", "__within")
+      .sortWithinPartitions(col(scoreCol).desc, col(idCol).asc)
+    val tokIdx = ordered.schema.fieldIndex(tokenCol)
+    val rdd = ordered.rdd
+    val partSums = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var s = 0L
+      it.foreach(r => s += r.getAs[Number](tokIdx).longValue)
+      Iterator((pid, s))
+    }.collect().toMap
+    val offsets = (0 until rdd.getNumPartitions)
+      .scanLeft(0L)((acc, p) => acc + partSums.getOrElse(p, 0L)).init.toArray
+    val bOff = spark.sparkContext.broadcast(offsets)
+    val outSchema = ordered.schema.add("cum_tokens",
+      org.apache.spark.sql.types.LongType, nullable = false)
+    val cut = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var acc = bOff.value(pid)
+      if (acc > budget) Iterator.empty
+      else it.map { r =>
+        acc += r.getAs[Number](tokIdx).longValue
+        (acc, r)
+      }.takeWhile(_._1 <= budget)
+        .map { case (cum, r) =>
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ cum)
+        }
+    }
+    spark.createDataFrame(cut, outSchema)
   }
 }

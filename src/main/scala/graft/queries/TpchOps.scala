@@ -622,16 +622,18 @@ object TpchOps {
     ("q_tpch_q21",
       (s: SparkSession, d: String) => {
         val late = expr("INTERVAL 120 DAYS")
-        val l1 = t(s, d, "lineitem")
-          .join(t(s, d, "orders").filter(col("o_orderstatus") === "F"),
-            col("l_orderkey") === col("o_orderkey"))
+        // one late-lineitems subplan feeds BOTH the probe side (status-F
+        // filter on top) and the NOT-EXISTS side — identical scans/joins so
+        // the exchange is computed once and reused
+        val lateAll = t(s, d, "lineitem")
+          .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
           .filter(col("l_shipdate") > col("o_orderdate") + late)
+          .select(col("l_orderkey"), col("l_suppkey"), col("o_orderstatus"))
+        val l1 = lateAll.filter(col("o_orderstatus") === "F")
           .select(col("l_orderkey").as("o1"), col("l_suppkey").as("s1"))
         val l2 = t(s, d, "lineitem")
           .select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
-        val l3 = t(s, d, "lineitem")
-          .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
-          .filter(col("l_shipdate") > col("o_orderdate") + late)
+        val l3 = lateAll
           .select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
         l1.join(l2, col("o1") === col("o2") && col("s1") =!= col("s2"), "left_semi")
           .join(l3, col("o1") === col("o3") && col("s1") =!= col("s3"), "left_anti")
