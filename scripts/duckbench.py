@@ -29,6 +29,9 @@ HEADLINE = [
     "q_dedup_minhash", "q_dedup_verified", "q_dedup_components",
     "q_dedup_apply", "q_dedup_e2e", "q_dedup_cc_minhash", "q_containment",
     "q_topk_freq", "q_sessionize",
+    # round 9: the new TPC-H shapes + pipeline operators
+    "q_tpch_q2", "q_tpch_q11", "q_tpch_q16", "q_tpch_q20", "q_tpch_q21",
+    "q_line_dedup", "q_gopher_rules", "q_token_budget",
 ]
 
 

@@ -102,7 +102,12 @@ object ScaleBench {
     val results = SparkEntry.schedule.flatMap { case (names, after) =>
       val rs = names.filter(want).map { name =>
         val fn = SparkEntry.queries(name)
-        name -> timeIt { fn(spark, sfDir).count() }
+        // noop sink, not count(): count(1) lets Catalyst prune aggregate
+        // expressions and projection work (see Bench.materialize) — the
+        // shuffle-byte column especially must reflect the FULL plan
+        name -> timeIt {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        }
       }
       after()
       rs
