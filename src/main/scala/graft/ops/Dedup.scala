@@ -426,18 +426,30 @@ object Dedup {
     * size), one shuffle on id to reassemble. The line key is ≤ width
     * tokens, so shuffle rows stay bounded; no global window anywhere.
     */
-  def lineDedup(docs: DataFrame, idCol: String, textCol: String,
-      width: Int = 8): DataFrame = {
-    val base = docs
+  /** (idCol, __nl, pos, line) — each document's consecutive `width`-token
+    * lines with their position; trailing sub-width remainders drop. The
+    * shared line frame of [[lineDedup]] and the streaming screen (which
+    * re-derives a curated doc's lines from its rebuilt text — valid
+    * because every kept line is exactly `width` tokens).
+    */
+  def docLines(docs: DataFrame, idCol: String, textCol: String,
+      width: Int): DataFrame =
+    docs
       .select(col(idCol),
         regexp_extract_all(col(textCol), lit("\\S+"), lit(0)).as("__w"))
       .withColumn("__nl", expr(s"size(__w) div $width").cast("int"))
       .filter(col("__nl") >= 1)
-    val lines = base
       .withColumn("__lines", transform(sequence(lit(0), col("__nl") - 1),
         i => array_join(slice(col("__w"), i * width + 1, lit(width)), " ")))
       .select(col(idCol), col("__nl"),
         posexplode(col("__lines")).as(Seq("pos", "line")))
+
+  def lineDedup(docs: DataFrame, idCol: String, textCol: String,
+      width: Int = 8): DataFrame = {
+    val lines = docLines(docs, idCol, textCol, width)
+    // (id, n_lines) of every line-bearing doc WITHOUT re-tokenizing the
+    // full text: one small distinct over the already-derived line frame
+    val base = lines.select(col(idCol), col("__nl")).distinct()
     // first corpus occurrence per line value: struct min orders by
     // (id, pos) lexicographically — one exact shuffle on the line text
     val firsts = lines.groupBy("line")

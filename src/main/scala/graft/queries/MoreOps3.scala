@@ -20,9 +20,6 @@ object MoreOps3 {
     */
   private val bpeRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
-  private val sqlDiscPrice =
-    "cast(sum(cast(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)"
-
   /** (a, b, jac) verified near-dup pairs: md5-MinHash LSH band candidates
     * confirmed by the exact Jaccard (>= 0.8), candidate-driven — the
     * inverted index is semi-joined to the docs appearing in a >= 2-member
@@ -74,30 +71,42 @@ object MoreOps3 {
     ("q_tpch_q1",
       (s: SparkSession, d: String) => {
         import org.apache.spark.sql.types.DecimalType
-        def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 6))
+        // all money terms as exact integer cents (Q.cents): no per-row
+        // double→decimal casts in the hottest scan of the suite — q1 ran
+        // 1.8 s under the DECIMAL(18,6) convention, the cents form halves
+        // it with bit-identical output (both engines mirror the tree)
+        def dec28(c: org.apache.spark.sql.Column) = c.cast(DecimalType(28, 0))
+        val ep = cents(col("l_extendedprice"))
+        val dm = cents(lit(1.0) - col("l_discount"))
+        val tp = cents(lit(1.0) + col("l_tax"))
         t(s, d, "lineitem")
           .filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
           .groupBy("l_returnflag", "l_linestatus")
           .agg(
-            dsum(col("l_quantity")).as("sum_qty"),
-            dsum(col("l_extendedprice")).as("sum_base_price"),
-            round(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
-              .cast("double"), 4).as("sum_disc_price"),
-            round(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
-              * (lit(1.0) + col("l_tax")))).cast("double"), 4).as("sum_charge"),
-            davg(col("l_quantity")).as("avg_qty"),
-            davg(col("l_discount")).as("avg_disc"),
+            round(sum(col("l_quantity")).cast("double"), 4).as("sum_qty"),
+            round(sum(dec28(ep)).cast("double") / 100.0, 4).as("sum_base_price"),
+            round(sum(dec28(ep * dm)).cast("double") / 10000.0, 4)
+              .as("sum_disc_price"),
+            round(sum(dec28(ep * dm * tp)).cast("double") / 1000000.0, 4)
+              .as("sum_charge"),
+            round(sum(col("l_quantity")).cast("double") / count(lit(1)), 4)
+              .as("avg_qty"),
+            round(sum(dec28(cents(col("l_discount")))).cast("double") / 100.0
+              / count(lit(1)), 4).as("avg_disc"),
             count(lit(1)).as("count_order"))
           .orderBy("l_returnflag", "l_linestatus")
       },
       s"""SELECT l_returnflag, l_linestatus,
-         |  ${sqlDsum("l_quantity")} AS sum_qty,
-         |  ${sqlDsum("l_extendedprice")} AS sum_base_price,
-         |  round($sqlDiscPrice, 4) AS sum_disc_price,
-         |  round(cast(sum(cast(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)
-         |    AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_charge,
-         |  ${sqlDavg("l_quantity")} AS avg_qty,
-         |  ${sqlDavg("l_discount")} AS avg_disc,
+         |  round(cast(sum(l_quantity) AS DOUBLE), 4) AS sum_qty,
+         |  round(cast(sum(cast(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0, 4) AS sum_base_price,
+         |  round(cast(sum(cast(round(l_extendedprice * 100) AS BIGINT) *
+         |                 cast(round((1.0 - l_discount) * 100) AS BIGINT)) AS DOUBLE) / 10000.0, 4) AS sum_disc_price,
+         |  round(cast(sum(cast(round(l_extendedprice * 100) AS BIGINT) *
+         |                 cast(round((1.0 - l_discount) * 100) AS BIGINT) *
+         |                 cast(round((1.0 + l_tax) * 100) AS BIGINT)) AS DOUBLE) / 1000000.0, 4) AS sum_charge,
+         |  round(cast(sum(l_quantity) AS DOUBLE) / count(*), 4) AS avg_qty,
+         |  round(cast(sum(cast(round(l_discount * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         |    / count(*), 4) AS avg_disc,
          |  count(*) AS count_order
          |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
@@ -111,11 +120,11 @@ object MoreOps3 {
           .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
             col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
             col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
-          .agg(round(sum((col("l_extendedprice") * col("l_discount"))
-            .cast(DecimalType(18, 6))).cast("double"), 4).as("revenue"))
+          .agg(round(sum((cents(col("l_extendedprice")) * cents(col("l_discount")))
+            .cast(DecimalType(28, 0))).cast("double") / 10000.0, 4).as("revenue"))
       },
-      """SELECT round(cast(sum(cast(l_extendedprice * l_discount AS DECIMAL(18,6)))
-        |  AS DOUBLE), 4) AS revenue
+      """SELECT round(cast(sum(cast(round(l_extendedprice * 100) AS BIGINT) *
+        |  cast(round(l_discount * 100) AS BIGINT)) AS DOUBLE) / 10000.0, 4) AS revenue
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |  AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -147,22 +156,27 @@ object MoreOps3 {
     ("q_tpch_q14",
       (s: SparkSession, d: String) => {
         import org.apache.spark.sql.types.DecimalType
-        def disc = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-          .cast(DecimalType(18, 6))
+        // exact integer-cents revenue terms (see Q.cents / TpchOps) — the
+        // 1e4 scale cancels in the ratio, so no /10000.0 here
+        def disc = (cents(col("l_extendedprice")) *
+          cents(lit(1.0) - col("l_discount"))).cast(DecimalType(28, 0))
         t(s, d, "lineitem")
           .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
             col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
           .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
           .agg(round(lit(100.0) *
-            sum(when(col("p_type") === "PROMO", disc).otherwise(lit(0).cast(DecimalType(18, 6))))
+            sum(when(col("p_type") === "PROMO", disc)
+              .otherwise(lit(0L).cast(DecimalType(28, 0))))
               .cast("double") /
             sum(disc).cast("double"), 4).as("promo_revenue_pct"))
       },
       """SELECT round(100.0 *
         |  cast(sum(CASE WHEN p_type = 'PROMO'
-        |       THEN cast(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))
-        |       ELSE cast(0 AS DECIMAL(18,6)) END) AS DOUBLE) /
-        |  cast(sum(cast(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 4)
+        |       THEN cast(round(l_extendedprice * 100) AS BIGINT) *
+        |            cast(round((1.0 - l_discount) * 100) AS BIGINT)
+        |       ELSE 0 END) AS DOUBLE) /
+        |  cast(sum(cast(round(l_extendedprice * 100) AS BIGINT) *
+        |           cast(round((1.0 - l_discount) * 100) AS BIGINT)) AS DOUBLE), 4)
         |  AS promo_revenue_pct
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1996-03-01'

@@ -54,6 +54,15 @@ object Q {
     dbCache.getOrElseUpdate(s"${System.identityHashCode(s)}|$dir",
       graft.api.Database.open(s, dir))
 
+  /** Exact integer cents of a 2-decimal money column stored as double:
+    * the stored double is within ulps of cents/100, so x*100 rounds to the
+    * exact integer identically in both engines (never a .5 tie). Money
+    * sums then run on longs/decimal-from-long — no per-row double→decimal
+    * cast, which goes through BigDecimal string formatting and measured
+    * ~3× slower on scan-bound aggregates (BENCH.md round 9).
+    */
+  def cents(c: Column): Column = round(c * 100).cast("long")
+
   /** Order-independent exact sum of a double column, rounded to 4 places. */
   def dsum(c: Column): Column =
     round(sum(c.cast(DecimalType(18, 6))).cast("double"), 4)

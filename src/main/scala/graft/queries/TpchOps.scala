@@ -16,11 +16,26 @@ object TpchOps {
 
   type Fn = (SparkSession, String) => DataFrame
 
-  private def revenueSum = sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-    .cast(DecimalType(18, 6))).cast("double")
+  /** Revenue line = extendedprice·(1−discount), computed EXACTLY as an
+    * integer product of cents (Q.cents) and summed in DECIMAL(28,0) — the
+    * long-backed decimal path, no per-row double→decimal conversion
+    * (~3× faster on scan-bound aggregates; see Q.cents). The /10000.0
+    * restores the 2+2-decimal scale; DuckDB mirrors the identical
+    * expression tree (its BIGINT sum widens to HUGEINT — same exact
+    * integer, same nearest-double cast), so results stay bit-identical.
+    * DECIMAL(28,0) keeps per-group totals exact past 1e11 rows — a plain
+    * long sum would overflow a 100 TB lineitem's groups.
+    */
+  private def centsProd2 =
+    (cents(col("l_extendedprice")) * cents(lit(1.0) - col("l_discount")))
+      .cast(DecimalType(28, 0))
+  private def revenueSum = sum(centsProd2).cast("double") / 10000.0
 
+  private val sqlCentsProd2 =
+    "(cast(round(l_extendedprice * 100) AS BIGINT) * " +
+      "cast(round((1.0 - l_discount) * 100) AS BIGINT))"
   private val sqlRevenueSum =
-    "cast(sum(cast(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)"
+    s"(cast(sum($sqlCentsProd2) AS DOUBLE) / 10000.0)"
 
   val entries: Seq[(String, Fn, String)] = Seq(
 
@@ -262,10 +277,9 @@ object TpchOps {
     //    exact decimal sums, so both engines agree bit-for-bit ------------
     ("q_tpch_q8",
       (s: SparkSession, d: String) => {
-        val natRev = sum(when(col("supp_nation") === "NATION_3",
-          (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-            .cast(DecimalType(18, 6))).otherwise(lit(0).cast(DecimalType(18, 6))))
-          .cast("double")
+        val natRev = sum(when(col("supp_nation") === "NATION_3", centsProd2)
+          .otherwise(lit(0L).cast(DecimalType(28, 0))))
+          .cast("double") / 10000.0
         t(s, d, "lineitem")
           .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
           .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
@@ -284,9 +298,9 @@ object TpchOps {
           .orderBy("o_year")
       },
       s"""SELECT year(o_orderdate) AS o_year,
-         |  round(cast(sum(CASE WHEN n2.n_name = 'NATION_3'
-         |          THEN cast(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))
-         |          ELSE cast(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+         |  round((cast(sum(CASE WHEN n2.n_name = 'NATION_3'
+         |          THEN $sqlCentsProd2
+         |          ELSE 0 END) AS DOUBLE) / 10000.0)
          |    / $sqlRevenueSum, 4) AS mkt_share,
          |  round($sqlRevenueSum, 4) AS total_rev
          |FROM lineitem
@@ -305,11 +319,12 @@ object TpchOps {
     //    into the broadcast part dim ---------------------------------------
     ("q_tpch_q9",
       (s: SparkSession, d: String) => {
-        val amount = sum(
-          (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-            .cast(DecimalType(18, 6)) -
-          (col("p_retailprice") * col("l_quantity")).cast(DecimalType(18, 6)))
-          .cast("double")
+        // both terms on the same 1e4 integer scale: revenue = cents×cents,
+        // cost = retail-cents × qty × 100 (quantity is integral)
+        val amount = sum(centsProd2 -
+          (cents(col("p_retailprice")) * col("l_quantity") * lit(100L))
+            .cast(DecimalType(28, 0)))
+          .cast("double") / 10000.0
         t(s, d, "lineitem")
           .join(broadcast(t(s, d, "part").filter(col("p_name").like("%red%"))),
             col("l_partkey") === col("p_partkey"))
@@ -321,9 +336,10 @@ object TpchOps {
           .agg(round(amount, 4).as("profit"))
           .orderBy(asc("nation"), desc("o_year"))
       },
-      """SELECT n_name AS nation, year(o_orderdate) AS o_year,
-        |  round(cast(sum(cast(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))
-        |               - cast(p_retailprice * l_quantity AS DECIMAL(18,6))) AS DOUBLE), 4) AS profit
+      s"""SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        |  round(cast(sum($sqlCentsProd2
+        |               - cast(round(p_retailprice * 100) AS BIGINT) * l_quantity * 100)
+        |          AS DOUBLE) / 10000.0, 4) AS profit
         |FROM lineitem
         |JOIN part ON l_partkey = p_partkey
         |JOIN orders ON l_orderkey = o_orderkey
@@ -339,8 +355,9 @@ object TpchOps {
     //    winning set cannot differ between engines -------------------------
     ("q_tpch_q15",
       (s: SparkSession, d: String) => {
-        val revD = sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-          .cast(DecimalType(18, 6)))
+        // exact integer-cents revenue (scale 1e4); the argmax equality
+        // compares the exact integers, so the winning set cannot differ
+        val revD = sum(centsProd2)
         val rev = t(s, d, "lineitem")
           .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
             col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
@@ -349,16 +366,16 @@ object TpchOps {
         rev.crossJoin(broadcast(mx)).filter(col("tr") === col("mx"))
           .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
           .select(col("s_suppkey"), col("s_name"),
-            round(col("tr").cast("double"), 4).as("total_rev"))
+            round(col("tr").cast("double") / 10000.0, 4).as("total_rev"))
           .orderBy("s_suppkey")
       },
-      """WITH r AS (
-        |  SELECT l_suppkey, sum(cast(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS tr
+      s"""WITH r AS (
+        |  SELECT l_suppkey, sum($sqlCentsProd2) AS tr
         |  FROM lineitem
         |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
         |    AND l_shipdate < TIMESTAMP '1997-04-01'
         |  GROUP BY 1)
-        |SELECT s_suppkey, s_name, round(cast(tr AS DOUBLE), 4) AS total_rev
+        |SELECT s_suppkey, s_name, round(cast(tr AS DOUBLE) / 10000.0, 4) AS total_rev
         |FROM r JOIN supplier ON l_suppkey = s_suppkey
         |WHERE tr = (SELECT max(tr) FROM r)
         |ORDER BY 1""".stripMargin),

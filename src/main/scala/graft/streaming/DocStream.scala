@@ -219,4 +219,67 @@ object DocStream {
             s.cumTokens / budget, s.cumTokens % budget)
       }
   }
+
+  // ---- streaming line-level dedup (twin of ops.Dedup.lineDedup) ----
+
+  /** Corpus-wide line dedup over a document STREAM: per micro-batch,
+    * first-occurrence line dedup WITHIN the batch (ops.Dedup.lineDedup),
+    * then every line already present in the curated table is stripped, and
+    * docs that still have lines append (doc_id, text=rebuilt, n_lines,
+    * n_kept). Same read-your-own-writes shape as [[curateStream]]: the
+    * curated table IS the cross-batch state, so batch N+1 dedups against
+    * batch N's admissions and a restart recovers state by re-reading the
+    * table — no state store holds the (unbounded) line set.
+    *
+    * The curated side's lines re-derive from its rebuilt text: every kept
+    * line is exactly `width` tokens, so re-chunking the rebuilt text
+    * reproduces the kept lines verbatim ([[Dedup.docLines]]). The strip is
+    * an exact anti-join on the line text (no sketch, no false positives) —
+    * admissions equal batch lineDedup over the concatenated stream when
+    * ids follow arrival order. Docs whose every line is a duplicate are
+    * dropped entirely (the batch twin reports them as NULL rebuilt).
+    *
+    * At 100 TB: the per-batch anti-join reads the curated table's lines —
+    * persist the curated table bucketed on a line-hash-derived key (or keep
+    * a compacted distinct-line side table) so the stream's shuffle
+    * co-locates instead of re-deriving corpus lines per batch.
+    */
+  def lineDedupStream(streamDocs: DataFrame, curatedDir: String,
+      checkpointDir: String,
+      width: Int = 8): org.apache.spark.sql.streaming.StreamingQuery =
+    streamDocs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val within = Dedup.lineDedup(batch, "doc_id", "text", width)
+          .filter(col("n_kept") > 0)
+          .select(col("doc_id"), col("rebuilt").as("text"),
+            col("n_lines"), col("n_kept"))
+        val p = new org.apache.hadoop.fs.Path(curatedDir)
+        val exists =
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+        val out =
+          if (!exists) within
+          else {
+            val curLines = Dedup
+              .docLines(spark.read.parquet(curatedDir), "doc_id", "text", width)
+              .select(col("line")).distinct()
+            val lines = Dedup.docLines(within, "doc_id", "text", width)
+              .join(curLines, Seq("line"), "left_anti")
+            lines.groupBy(col("doc_id"))
+              .agg(count(lit(1)).as("n_kept"),
+                array_join(transform(
+                  array_sort(collect_list(struct(col("pos"), col("line")))),
+                  x => x.getField("line")), " ").as("text"))
+              .join(within.select(col("doc_id"), col("n_lines")), "doc_id")
+              .select(col("doc_id"), col("text"), col("n_lines"), col("n_kept"))
+          }
+        // sever lineage before the append — same recacheByPath hazard as
+        // curateStream: `out` reads curatedDir and the write invalidates it
+        val pinned = out.localCheckpoint(true)
+        if (!pinned.isEmpty) pinned.write.mode("append").parquet(curatedDir)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
 }

@@ -198,6 +198,49 @@ class StreamingSpec extends SparkSuite {
     assert(admitted == Set(1L, 2L, 5L))
   }
 
+  test("streaming line dedup equals batch lineDedup over the concatenated stream") {
+    val srcDir = Files.createTempDirectory("graftline_src").toString
+    val curated = Files.createTempDirectory("graftline_out").toString + "/curated"
+    val ckpt = Files.createTempDirectory("graftline_ck").toString
+    def doc(id: Long, text: String) =
+      s"""{"doc_id":$id,"text":"$text","lang":"en","source":"s","n_chars":${text.length}}"""
+    // width-4 lines; "a b c d" recurs within batch 1 AND again in batch 2
+    val b1 = Seq(
+      doc(1, "a b c d x y z w"),
+      doc(2, "a b c d q r s t"))
+    val b2 = Seq(
+      doc(3, "a b c d n o p q"), // line 1 dup of batch-1 admission
+      doc(4, "x y z w"))         // entirely a duplicate -> dropped
+    Files.write(java.nio.file.Paths.get(srcDir, "b1.json"),
+      b1.mkString("\n").getBytes)
+    DocStream.lineDedupStream(DocStream.readDocs(spark, srcDir), curated, ckpt,
+      width = 4).awaitTermination()
+    Files.write(java.nio.file.Paths.get(srcDir, "b2.json"),
+      b2.mkString("\n").getBytes)
+    DocStream.lineDedupStream(DocStream.readDocs(spark, srcDir), curated, ckpt,
+      width = 4).awaitTermination()
+
+    val got = spark.read.parquet(curated)
+      .select("doc_id", "text", "n_lines", "n_kept")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1)
+    // batch twin over the whole input (ids follow arrival order), minus
+    // the all-duplicate docs the stream drops
+    import spark.implicits._
+    val all = (b1 ++ b2).map { j =>
+      val id = """"doc_id":(\d+)""".r.findFirstMatchIn(j).get.group(1).toLong
+      val tx = """"text":"([^"]*)"""".r.findFirstMatchIn(j).get.group(1)
+      (id, tx)
+    }.toDF("doc_id", "text")
+    val expect = graft.ops.Dedup.lineDedup(all, "doc_id", "text", width = 4)
+      .filter($"n_kept" > 0)
+      .select($"doc_id", $"rebuilt", $"n_lines", $"n_kept")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1)
+    assert(got.toSeq == expect.toSeq)
+    assert(!got.map(_._1).contains(4L))
+  }
+
   test("curation bloom prefilter changes cost, never admissions") {
     val body = "the quick brown fox jumps over the lazy dog and then naps " +
       "under the old oak tree while birds sing softly in the warm afternoon sun"
