@@ -82,9 +82,16 @@ final class Col private[api] (
     */
   def median: Double = {
     requireNumeric("median")
+    // memo key stays the canonical median-agg plan; the VALUE is computed
+    // by distributed order-statistic selection (StatsOps.exactPercentiles)
+    // — the built-in median aggregate merges the full value→count map on
+    // ONE reducer, a choke point on high-cardinality columns at scale
     val agg = df.agg(Aggs.medianAgg(c))
-    val r = cache.memo(agg)(agg.head)
-    if (r.isNullAt(0)) Double.NaN else r.getDouble(0)
+    cache.memo(agg) {
+      val proj = df.select(c.cast("double").as("__m"))
+      try graft.ops.StatsOps.exactPercentiles(proj, "__m", Seq(0.5)).head
+      catch { case _: IllegalArgumentException => Double.NaN }
+    }
   }
 
   /** All tied modes with their counts; null participates as a value

@@ -26,6 +26,72 @@ object StatsOps {
       probabilities: Seq[Double], relErr: Double = 0.001): Seq[Double] =
     df.stat.approxQuantile(column, probabilities.toArray, relErr).toSeq
 
+  /** EXACT continuous-interpolation percentiles (quantile_cont semantics:
+    * rank r = frac·(n−1), result = v⌊r⌋ + (v⌈r⌉ − v⌊r⌋)·(r−⌊r⌋)) by
+    * distributed order-statistic SELECTION, not aggregation.
+    *
+    * Spark's built-in exact `percentile`/`median` aggregates a
+    * value→count map per partition and MERGES THE FULL MAP ON ONE REDUCER
+    * — on a high-cardinality column at 100 TB that single task holds
+    * every distinct value and dies. Here: ONE range exchange of the bare
+    * column (each partition owns a contiguous value range, sorted
+    * within), a #partitions-sized count collect, then each partition
+    * streams to just the globally-indexed rows it owns (early-stop).
+    * Nothing ever concentrates: memory per task is O(1), shuffle is the
+    * column itself. Same shared-RDD two-phase machinery as
+    * Curation.takeTokenBudget.
+    *
+    * NaNs sort high (Spark double ordering) like the built-in; nulls are
+    * dropped. Returns one value per requested fraction.
+    */
+  def exactPercentiles(df: DataFrame, column: String,
+      fracs: Seq[Double]): Seq[Double] = {
+    val vals = df.select(col(column).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+    val ordered = vals.repartitionByRange(col("__v").asc)
+      .sortWithinPartitions(col("__v").asc)
+    val rdd = ordered.rdd
+    val counts = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var n = 0L; while (it.hasNext) { it.next(); n += 1 }; Iterator((pid, n))
+    }.collect().toMap
+    val nParts = rdd.getNumPartitions
+    val offsets = (0 until nParts)
+      .scanLeft(0L)((acc, p) => acc + counts.getOrElse(p, 0L)).init
+    val n = counts.values.sum
+    require(n > 0, s"exactPercentiles: no non-null values in $column")
+    // global row indices needed: floor and ceil rank per fraction
+    val ranks = fracs.map(f => f * (n - 1))
+    val wanted = ranks.flatMap(r => Seq(r.toLong, math.ceil(r).toLong)).distinct.sorted
+    val byPart: Map[Int, Seq[Long]] = wanted.groupBy { idx =>
+      // owning partition: last pid whose offset <= idx
+      (0 until nParts).filter(p => offsets(p) <= idx &&
+        idx < offsets(p) + counts.getOrElse(p, 0L)).head
+    }.map { case (p, idxs) => p -> idxs.map(_ - offsets(p)).sorted.toSeq }
+    val sc = df.sparkSession.sparkContext
+    val bNeed = sc.broadcast(byPart)
+    val bOff = sc.broadcast(offsets.toArray)
+    val picked: Map[Long, Double] = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val want = bNeed.value.getOrElse(pid, Seq.empty)
+      if (want.isEmpty) Iterator.empty
+      else {
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+        var next = 0
+        var i = 0L
+        while (it.hasNext && next < want.size) {
+          val v = it.next().getDouble(0)
+          if (i == want(next)) { out += ((bOff.value(pid) + i, v)); next += 1 }
+          i += 1
+        }
+        out.iterator
+      }
+    }.collect().toMap
+    ranks.map { r =>
+      val lo = picked(r.toLong)
+      val hi = picked(math.ceil(r).toLong)
+      lo + (hi - lo) * (r - math.floor(r))
+    }
+  }
+
   /** One-pass profile of every column: rows, nulls, min, max, approx
     * distinct. Output: one row per column.
     */

@@ -95,14 +95,22 @@ object MoreOps2 {
         |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
         |ORDER BY o_orderpriority, o_totalprice, o_orderkey""".stripMargin),
 
-    // -- exact quantiles (continuous interpolation — matches quantile_cont) --
+    // -- exact quantiles (continuous interpolation — matches quantile_cont)
+    //    via StatsOps.exactPercentiles: range-sort + index selection, no
+    //    single-reducer value-count map (the built-in percentile's merge) --
     ("q_quantiles",
-      (s: SparkSession, d: String) =>
-        t(s, d, "lineitem").agg(
-          round(expr("percentile(l_quantity, 0.25)"), 4).as("qty_p25"),
-          round(expr("percentile(l_quantity, 0.5)"), 4).as("qty_p50"),
-          round(expr("percentile(l_quantity, 0.75)"), 4).as("qty_p75"),
-          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("price_p90")),
+      (s: SparkSession, d: String) => {
+        val li = t(s, d, "lineitem")
+        val qs = graft.ops.StatsOps
+          .exactPercentiles(li, "l_quantity", Seq(0.25, 0.5, 0.75))
+        val p90 = graft.ops.StatsOps
+          .exactPercentiles(li, "l_extendedprice", Seq(0.9)).head
+        li.sparkSession.range(1).select(
+          round(lit(qs(0)), 4).as("qty_p25"),
+          round(lit(qs(1)), 4).as("qty_p50"),
+          round(lit(qs(2)), 4).as("qty_p75"),
+          round(lit(p90), 4).as("price_p90"))
+      },
       """SELECT round(quantile_cont(l_quantity, 0.25), 4) AS qty_p25,
         |  round(quantile_cont(l_quantity, 0.5), 4) AS qty_p50,
         |  round(quantile_cont(l_quantity, 0.75), 4) AS qty_p75,

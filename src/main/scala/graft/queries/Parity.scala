@@ -56,12 +56,19 @@ object Parity {
       s"SELECT ${sqlDsum("l_quantity")} AS sum_qty, ${sqlDavg("l_quantity")} AS avg_qty, " +
         s"${sqlDsum("l_extendedprice")} AS sum_price, ${sqlDavg("l_extendedprice")} AS avg_price FROM lineitem"),
 
-    // -- A8 exact median (reference column.py:210-231, SURVEY §4.3.2) -----
+    // -- A8 exact median (reference column.py:210-231, SURVEY §4.3.2) —
+    //    via distributed order-statistic SELECTION (StatsOps
+    //    .exactPercentiles): built-in `median` merges the full value→count
+    //    map on one reducer, a choke point on high-cardinality columns ----
     ("q_median",
-      (s: SparkSession, d: String) =>
-        t(s, d, "lineitem").agg(
-          round(median(col("l_quantity")), 4).as("med_qty"),
-          round(median(col("l_extendedprice")), 4).as("med_price")),
+      (s: SparkSession, d: String) => {
+        val li = t(s, d, "lineitem")
+        val mq = graft.ops.StatsOps.exactPercentiles(li, "l_quantity", Seq(0.5)).head
+        val mp = graft.ops.StatsOps.exactPercentiles(li, "l_extendedprice", Seq(0.5)).head
+        li.sparkSession.range(1).select(
+          round(lit(mq), 4).as("med_qty"),
+          round(lit(mp), 4).as("med_price"))
+      },
       "SELECT round(median(l_quantity), 4) AS med_qty, round(median(l_extendedprice), 4) AS med_price FROM lineitem"),
 
     // -- A9 mode: ALL tied modes, null included (reference column.py:233-249)
@@ -101,15 +108,19 @@ object Parity {
 
     // -- A12 describe, numeric column (reference column.py:251-279) -------
     ("q_describe_num",
-      (s: SparkSession, d: String) =>
-        t(s, d, "lineitem").agg(
+      (s: SparkSession, d: String) => {
+        val li = t(s, d, "lineitem")
+        val med = graft.ops.StatsOps
+          .exactPercentiles(li, "l_extendedprice", Seq(0.5)).head
+        li.agg(
           count(lit(1)).as("len_rows"),
           count(col("l_extendedprice")).as("cnt"),
           min(col("l_extendedprice")).as("mn"),
           max(col("l_extendedprice")).as("mx"),
           dsum(col("l_extendedprice")).as("sm"),
           davg(col("l_extendedprice")).as("av"),
-          round(median(col("l_extendedprice")), 4).as("med")),
+          round(lit(med), 4).as("med"))
+      },
       s"SELECT count(*) AS len_rows, count(l_extendedprice) AS cnt, min(l_extendedprice) AS mn, " +
         s"max(l_extendedprice) AS mx, ${sqlDsum("l_extendedprice")} AS sm, ${sqlDavg("l_extendedprice")} AS av, " +
         "round(median(l_extendedprice), 4) AS med FROM lineitem"),

@@ -60,6 +60,30 @@ class MiscSpec extends AnyFunSuite {
     assert(rows("l_orderkey").getLong(2) == 0L)
   }
 
+  test("exactPercentiles: selection equals the built-in percentile aggregate") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    for (colName <- Seq("l_quantity", "l_extendedprice")) {
+      val fracs = Seq(0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 1.0)
+      val got = StatsOps.exactPercentiles(li, colName, fracs)
+      val exp = li.select(expr(
+          s"percentile($colName, array(${fracs.mkString(",")}))"))
+        .head.getSeq[Double](0)
+      got.zip(exp).foreach { case (g, e) =>
+        assert(math.abs(g - e) <= math.abs(e) * 1e-12 + 1e-12,
+          s"$colName: $g != $e") }
+    }
+    // interpolation + duplicate values + a partition-boundary-sized set
+    import spark.implicits._
+    val tiny = Seq(1.0, 2.0, 2.0, 3.0, 10.0).toDF("v")
+    assert(StatsOps.exactPercentiles(tiny, "v", Seq(0.5)) == Seq(2.0))
+    // r = 0.25*(5-1) = 1 exactly -> v[1] = 2.0; r = 0.875*4 = 3.5 -> 6.5
+    assert(StatsOps.exactPercentiles(tiny, "v", Seq(0.25, 0.875)) ==
+      Seq(2.0, 6.5))
+    // nulls dropped
+    val withNull = Seq(Some(1.0), None, Some(3.0)).toDF("v")
+    assert(StatsOps.exactPercentiles(withNull, "v", Seq(0.5)) == Seq(2.0))
+  }
+
   test("streaming exact dedup: dropDuplicates with watermark drops replays") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graftdedup").toString
