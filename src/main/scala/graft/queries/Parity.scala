@@ -352,16 +352,21 @@ object Parity {
     //    so Spark's shuffle tree and DuckDB's serial scan agree bit-for-bit -
     ("q_stats_exact",
       (s: SparkSession, d: String) => {
+        // power sums in exact integers: quantity is integral, price is
+        // 2-decimal money -> cents (Q.cents). cents² and x·cents stay
+        // exact in DECIMAL(38,0) (cents² ≤ 1e14/row — a long sum would
+        // overflow by ~1e5 rows x 1e14); /100-scale restored in double
+        // AFTER the exact sums, mirrored by the oracle tree
         val x = col("l_quantity")
-        val y = col("l_extendedprice")
-        def dsum38(c: org.apache.spark.sql.Column) =
-          sum(c.cast(DecimalType(38, 8))).cast("double")
+        val cy = cents(col("l_extendedprice"))
+        def s38(c: org.apache.spark.sql.Column) =
+          sum(c.cast(DecimalType(38, 0))).cast("double")
         t(s, d, "lineitem")
           .agg(
             count(lit(1)).cast("double").as("n"),
-            dsum38(x).as("sx"), dsum38(x * x).as("sxx"),
-            dsum38(y).as("sy"), dsum38(y * y).as("syy"),
-            dsum38(x * y).as("sxy"))
+            s38(x).as("sx"), s38(x * x).as("sxx"),
+            (s38(cy) / 100.0).as("sy"), (s38(cy * cy) / 10000.0).as("syy"),
+            (s38(x * cy) / 100.0).as("sxy"))
           .select(
             round(sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)), 4)
               .as("stddev_qty"),
@@ -370,13 +375,16 @@ object Parity {
                 (col("n") * col("syy") - col("sy") * col("sy"))), 6)
               .as("corr_qty_price"))
       },
-      """WITH s AS (SELECT cast(count(*) AS DOUBLE) AS n,
-        |  cast(sum(cast(l_quantity AS DECIMAL(38,8))) AS DOUBLE) AS sx,
-        |  cast(sum(cast(l_quantity * l_quantity AS DECIMAL(38,8))) AS DOUBLE) AS sxx,
-        |  cast(sum(cast(l_extendedprice AS DECIMAL(38,8))) AS DOUBLE) AS sy,
-        |  cast(sum(cast(l_extendedprice * l_extendedprice AS DECIMAL(38,8))) AS DOUBLE) AS syy,
-        |  cast(sum(cast(l_quantity * l_extendedprice AS DECIMAL(38,8))) AS DOUBLE) AS sxy
-        |  FROM lineitem)
+      """WITH c AS (SELECT l_quantity AS x,
+        |             cast(round(l_extendedprice * 100) AS BIGINT) AS cy
+        |           FROM lineitem),
+        |s AS (SELECT cast(count(*) AS DOUBLE) AS n,
+        |  cast(sum(x) AS DOUBLE) AS sx,
+        |  cast(sum(x * x) AS DOUBLE) AS sxx,
+        |  cast(sum(cy) AS DOUBLE) / 100.0 AS sy,
+        |  cast(sum(cy * cy) AS DOUBLE) / 10000.0 AS syy,
+        |  cast(sum(x * cy) AS DOUBLE) / 100.0 AS sxy
+        |  FROM c)
         |SELECT round(sqrt((sxx - sx * sx / n) / (n - 1)), 4) AS stddev_qty,
         |  round((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr_qty_price
         |FROM s""".stripMargin)
