@@ -1,0 +1,147 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import Q._
+
+/** Sink-path queries under the hash gate: each writes a real on-disk layout
+  * (partitioned parquet, compacted parquet, ORC), reads it BACK, and
+  * aggregates — so the oracle compare proves the write→read cycle is
+  * byte-lossless, not just that the aggregation is right. DuckDB's side
+  * reads the original parquet tables; any row lost, duplicated, or mangled
+  * by the sink shows up as a hash mismatch.
+  *
+  * The layout ops themselves (one-file-per-partition clustering, compaction
+  * swap, pruned reads) are asserted structurally in LayoutSpec; these
+  * entries put their DATA path under the same gate as every other operator.
+  */
+object SinkOps {
+
+  type Fn = (SparkSession, String) => DataFrame
+
+  /** Per-JVM root for the written stores — same isolation reasoning as
+    * TextOps.bandIdxRoot: a random per-process dir so concurrent graft JVMs
+    * (Bench + ScaleBench) never overwrite each other's stores, removed on
+    * JVM exit.
+    */
+  private lazy val sinkRoot: java.io.File = {
+    val root = java.nio.file.Files.createTempDirectory("graft_sink_").toFile
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(root)))
+    root
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete()
+    ()
+  }
+
+  /** Store dir keyed on (store name, full dataset path) — q_index_probe's
+    * dirKey recipe: basenames collide across checkouts, full paths don't.
+    */
+  private def storeDir(name: String, d: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(new java.io.File(d).getAbsolutePath.getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
+    new java.io.File(sinkRoot, s"${name}_$key").getAbsolutePath
+  }
+
+  val entries: Seq[(String, Fn, String)] = Seq(
+
+    // -- partitioned-directory write + pruned read-back: documents land as
+    //    lang=XX/ dirs sorted by doc_id; the read filters two langs, so the
+    //    scan opens only those directories (pruning asserted in LayoutSpec
+    //    via inputFiles). Oracle reads the ORIGINAL parquet — equality
+    //    proves the partitioned store is lossless ---------------------------
+    ("q_layout_roundtrip",
+      (s: SparkSession, d: String) => {
+        val dir = storeDir("layout", d)
+        graft.ops.Layout.writePartitioned(
+          t(s, d, "documents"), dir, "lang", Seq("doc_id"))
+        s.read.parquet(dir)
+          .filter(col("lang").isin("en", "fr"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("chars"),
+            min(col("doc_id")).as("first_id"),
+            max(col("doc_id")).as("last_id"))
+          .orderBy("lang")
+      },
+      """SELECT lang, count(*) AS n_docs, cast(sum(n_chars) AS BIGINT) AS chars,
+        |  min(doc_id) AS first_id, max(doc_id) AS last_id
+        |FROM documents WHERE lang IN ('en', 'fr') GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // -- small-file accumulation + compaction: write the store fragmented
+    //    (maxRecordsPerFile=16 → many files per lang dir), compact back to
+    //    one sorted file per dir, read the COMPACTED store. Equality proves
+    //    the rewrite-and-swap preserved every row -------------------------
+    ("q_compact_roundtrip",
+      (s: SparkSession, d: String) => {
+        val dir = storeDir("compact", d)
+        graft.ops.Layout.writePartitioned(
+          t(s, d, "documents"), dir, "lang", Seq("doc_id"),
+          maxRecordsPerFile = 16L)
+        graft.ops.Layout.compact(s, dir, "lang", Seq("doc_id"))
+        s.read.parquet(dir)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("chars"),
+            countDistinct(col("lang")).as("n_langs"))
+          .orderBy("source")
+      },
+      """SELECT source, count(*) AS n_docs, cast(sum(n_chars) AS BIGINT) AS chars,
+        |  count(DISTINCT lang) AS n_langs
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // -- ORC sink/source round trip: the columnar-format escape hatch for
+    //    pipelines whose downstream reader is ORC-native (Hive/Trino
+    //    ecosystems). Money sums in exact integer cents (Q.cents) ----------
+    ("q_orc_roundtrip",
+      (s: SparkSession, d: String) => {
+        val dir = storeDir("orc", d)
+        t(s, d, "lineitem")
+          .select("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
+          .write.mode("overwrite").orc(dir)
+        s.read.orc(dir)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("long")).as("qty"),
+            sum(cents(col("l_extendedprice"))).as("revenue_cents"))
+          .orderBy("l_returnflag")
+      },
+      """SELECT l_returnflag, count(*) AS n,
+        |  cast(sum(cast(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+        |  cast(sum(cast(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // -- Morton (Z-order) codes under the hash gate: the exact bit
+    //    interleave Partitioning.zValue computes, replayed in DuckDB with
+    //    the same magic-mask shifts. The layout/skipping effect is measured
+    //    in PartitioningSpec; this pins the CODE ITSELF cross-engine -------
+    ("q_zorder",
+      (s: SparkSession, d: String) => {
+        val p = t(s, d, "part").filter(col("p_partkey") < 200)
+          .select(col("p_partkey"),
+            col("p_size").cast("long").as("xv"),
+            pmod(col("p_partkey"), lit(1024L)).as("yv"))
+        p.select(col("p_partkey"),
+            graft.ops.Partitioning.zValue(col("xv"), col("yv")).cast("long").as("z"))
+          .orderBy("p_partkey")
+      },
+      """WITH b AS (SELECT p_partkey, cast(p_size AS BIGINT) AS xv,
+        |             p_partkey % 1024 AS yv
+        |           FROM part WHERE p_partkey < 200),
+        |s1 AS (SELECT p_partkey, xv & 65535 AS x, yv & 65535 AS y FROM b),
+        |s2 AS (SELECT p_partkey, (x | (x << 8)) & 16711935 AS x,
+        |              (y | (y << 8)) & 16711935 AS y FROM s1),
+        |s3 AS (SELECT p_partkey, (x | (x << 4)) & 252645135 AS x,
+        |              (y | (y << 4)) & 252645135 AS y FROM s2),
+        |s4 AS (SELECT p_partkey, (x | (x << 2)) & 858993459 AS x,
+        |              (y | (y << 2)) & 858993459 AS y FROM s3),
+        |s5 AS (SELECT p_partkey, (x | (x << 1)) & 1431655765 AS x,
+        |              (y | (y << 1)) & 1431655765 AS y FROM s4)
+        |SELECT p_partkey, cast(x | (y << 1) AS BIGINT) AS z FROM s5
+        |ORDER BY p_partkey""".stripMargin))
+}

@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Structural assertions for the partition-directory layout path:
+  * clustering (one file per partition dir), pruned reads (only matching
+  * directories opened), fragmentation + compaction, and in-file sort order.
+  * The data path (write → read → aggregate equality vs the original table)
+  * is under the DuckDB hash gate via SinkOps' q_layout_roundtrip /
+  * q_compact_roundtrip / q_orc_roundtrip.
+  */
+class LayoutSpec extends SparkSuite {
+
+  private def freshDir(): String = {
+    val d = java.nio.file.Files.createTempDirectory("layout_spec_").toFile
+    d.deleteOnExit()
+    new java.io.File(d, "store").getAbsolutePath
+  }
+
+  private def docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+  test("writePartitioned lands ONE file per partition directory") {
+    val dir = freshDir()
+    Layout.writePartitioned(docs, dir, "lang", Seq("doc_id"))
+    val fpp = Layout.filesPerPartition(dir)
+    assert(fpp.nonEmpty)
+    assert(fpp.values.forall(_ == 1), s"expected 1 file/dir, got $fpp")
+  }
+
+  test("a lang filter on the partitioned store opens only that directory") {
+    val dir = freshDir()
+    Layout.writePartitioned(docs, dir, "lang", Seq("doc_id"))
+    val totalFiles = Layout.filesPerPartition(dir).values.sum
+    assert(totalFiles > 1, "need multiple partition dirs for pruning to mean anything")
+    // numFiles is a SCAN metric, so it reflects partition pruning (unlike
+    // df.inputFiles, which lists the relation's files before pruning).
+    // AQE off so executedPlan is the direct physical plan.
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val pruned = spark.read.parquet(dir).filter(col("lang") === "en")
+      // collect() (not count()) so the inspected queryExecution is the one
+      // that actually ran — count() plans a separate aggregate query
+      val n = pruned.collect().length.toLong
+      assert(n === docs.filter(col("lang") === "en").count())
+      val scans = pruned.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scans.nonEmpty)
+      val opened = scans.map(_.metrics("numFiles").value).sum
+      assert(opened === 1L,
+        s"pruned scan opened $opened of $totalFiles files; expected 1 (lang=en only)")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+  }
+
+  test("maxRecordsPerFile fragments; compact rewrites to one sorted file per dir") {
+    val dir = freshDir()
+    Layout.writePartitioned(docs, dir, "lang", Seq("doc_id"), maxRecordsPerFile = 8L)
+    val before = Layout.filesPerPartition(dir)
+    assert(before.values.sum > before.size, s"expected fragmentation, got $before")
+
+    Layout.compact(spark, dir, "lang", Seq("doc_id"))
+    val after = Layout.filesPerPartition(dir)
+    assert(after.values.forall(_ == 1), s"compaction left multiple files: $after")
+
+    // every row survived the rewrite-and-swap, and files are sorted inside:
+    // reading one file's rows in file order must show non-decreasing doc_id
+    val back = spark.read.parquet(dir)
+    assert(back.count() === docs.count())
+    val oneFile = back.inputFiles.head
+    val ids = spark.read.parquet(oneFile).select("doc_id")
+      .collect().map(_.getLong(0))
+    assert(ids.sameElements(ids.sorted), "rows inside a compacted file are not sorted by doc_id")
+  }
+
+  test("ORC round trip preserves rows and schema") {
+    val dir = freshDir()
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_returnflag", "l_extendedprice")
+    li.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.schema === li.schema)
+    assert(back.count() === li.count())
+    assert(back.exceptAll(li).isEmpty && li.exceptAll(back).isEmpty)
+  }
+}
