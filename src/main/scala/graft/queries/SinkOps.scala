@@ -74,15 +74,18 @@ object SinkOps {
         |FROM documents WHERE lang IN ('en', 'fr') GROUP BY 1 ORDER BY 1""".stripMargin),
 
     // -- small-file accumulation + compaction: write the store fragmented
-    //    (maxRecordsPerFile=16 → many files per lang dir), compact back to
-    //    one sorted file per dir, read the COMPACTED store. Equality proves
-    //    the rewrite-and-swap preserved every row -------------------------
+    //    (~8 files per lang dir — scale-RELATIVE, a fixed records-per-file
+    //    would mean 31k files at sf10), compact back to one sorted file per
+    //    dir, read the COMPACTED store. Equality proves the rewrite-and-swap
+    //    preserved every row; the cap only shapes files, never data --------
     ("q_compact_roundtrip",
       (s: SparkSession, d: String) => {
         val dir = storeDir("compact", d)
+        val docs = t(s, d, "documents")
+        val perFile = (docs.count() / 40L + 1L) max 16L
         graft.ops.Layout.writePartitioned(
-          t(s, d, "documents"), dir, "lang", Seq("doc_id"),
-          maxRecordsPerFile = 16L)
+          docs, dir, "lang", Seq("doc_id"),
+          maxRecordsPerFile = perFile)
         graft.ops.Layout.compact(s, dir, "lang", Seq("doc_id"))
         s.read.parquet(dir)
           .groupBy("source")

@@ -212,6 +212,17 @@ class PlanSpec extends SparkSuite {
       "no forced broadcast hint in Dedup.minhashVerifiedPairs")
   }
 
+  test("export queries: seeded shuffle is top-k; shard rank has no Window at all") {
+    val p = plan("q_shuffle_order")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"seeded-shuffle head should plan as distributed top-k:\n$p")
+    // global rank comes from the two-phase RDD scheme — the physical plan
+    // must contain no Window operator of any kind
+    val p2 = plan("q_shard_assign")
+    assert(!p2.contains("Window"),
+      s"shard rank must not use a window operator:\n$p2")
+  }
+
   test("whole-stage codegen covers the hot aggregation path") {
     val qe = graft.SparkEntry.queries("q_groupby_agg")(spark, sfDir).queryExecution
     val p = qe.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
