@@ -82,4 +82,35 @@ object Sketches {
       .select(explode(col("__tk")).as("__e"))
       .select(col("__e.item").as("item"), col("__e.count").cast("long").as("cnt"))
       .orderBy(desc("cnt"), asc("item"))
+
+  /** Per-group THETA sketches of `valueCol` — like [[hllSketch]] but the
+    * sketch also supports INTERSECTION and DIFFERENCE (`theta_intersection`
+    * / `theta_difference`), the set questions HLL cannot answer: audience
+    * overlap, day-over-day churn. Same persistence story: write one sketch
+    * row per (period, dimension), answer any later set-algebra question in
+    * sketch space. Spark 4.1 bundles the full theta function set
+    * (`theta_sketch_agg` plans like sum: partial map-side, merge
+    * reduce-side); below the 2^lgK capacity the sketch retains every hash
+    * and estimates — including of intersections/differences — are exact.
+    */
+  def thetaSketch(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      lgK: Int = 12): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(theta_sketch_agg(col(valueCol), lgK).as("sketch"))
+
+  /** Consecutive-period retention/churn from a per-period sketch table:
+    * for each period p with a successor p+1 — |active(p) ∩ active(p+1)|,
+    * |active(p) \ active(p+1)|, |active(p) ∪ active(p+1)|. One self-join
+    * of the TINY sketch table (one row per period); raw data is scanned
+    * exactly once, by [[thetaSketch]].
+    */
+  def retention(sketches: DataFrame, periodCol: String): DataFrame = {
+    val a = sketches.select(col(periodCol).as("__p"), col("sketch").as("__sa"))
+    val b = sketches.select(col(periodCol).as("__pn"), col("sketch").as("__sb"))
+    a.join(b, col("__pn") === col("__p") + 1)
+      .select(col("__p").as(periodCol),
+        theta_sketch_estimate(theta_intersection(col("__sa"), col("__sb"))).as("retained"),
+        theta_sketch_estimate(theta_difference(col("__sa"), col("__sb"))).as("churned"),
+        theta_sketch_estimate(theta_union(col("__sa"), col("__sb"))).as("either"))
+  }
 }

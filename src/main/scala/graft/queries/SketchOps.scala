@@ -86,5 +86,34 @@ object SketchOps {
       },
       """SELECT word, cast(count(*) AS BIGINT) AS cnt
         |FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS word FROM documents)
-        |GROUP BY 1 ORDER BY cnt DESC, word LIMIT 40""".stripMargin))
+        |GROUP BY 1 ORDER BY cnt DESC, word LIMIT 40""".stripMargin),
+
+    // -- theta-sketch set algebra: day-over-day retention/churn from ONE
+    //    scan of events. Per-day theta sketches of user_id (mergeable,
+    //    planned like sum), then a self-join of the tiny sketch table
+    //    computes |d ∩ d+1| / |d \ d+1| / |d ∪ d+1| in sketch space — the
+    //    intersection/difference HLL cannot do. Below sketch capacity the
+    //    estimates are exact, so DuckDB's exact distinct-set joins are the
+    //    oracle (the estimation regime is SketchesSpec's) -----------------
+    ("q_theta_retention",
+      (s: SparkSession, d: String) => {
+        // `div` = exact integer division (ts is epoch-nanos LONG; a double
+        // `/` would round the 1.7e18 numerator at ulp ~256 ns)
+        val ev = t(s, d, "events")
+          .withColumn("day", expr(s"ts div ${NS_PER_DAY}L"))
+        val sk = graft.ops.Sketches.thetaSketch(ev, Seq("day"), "user_id")
+        graft.ops.Sketches.retention(sk, "day").orderBy("day")
+      },
+      """WITH du AS (SELECT DISTINCT epoch_ms(ts) // 86400000 AS day, user_id
+        |            FROM events),
+        |n AS (SELECT day, count(*) AS nd FROM du GROUP BY 1),
+        |j AS (SELECT x.day AS day, count(*) AS n_both
+        |      FROM du x JOIN du y ON y.day = x.day + 1 AND y.user_id = x.user_id
+        |      GROUP BY 1)
+        |SELECT n1.day, coalesce(j.n_both, 0) AS retained,
+        |  n1.nd - coalesce(j.n_both, 0) AS churned,
+        |  n1.nd + n2.nd - coalesce(j.n_both, 0) AS either
+        |FROM n n1 JOIN n n2 ON n2.day = n1.day + 1
+        |LEFT JOIN j ON j.day = n1.day
+        |ORDER BY 1""".stripMargin))
 }

@@ -78,4 +78,52 @@ class SketchesSpec extends SparkSuite {
     val aggs = "ObjectHashAggregate".r.findAllIn(plan).length
     assert(aggs >= 2, s"expected partial+final ObjectHashAggregate:\n$plan")
   }
+
+  test("theta sketches: exact union/intersect/difference below capacity") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    // A = {0..99}, B = {50..149}: |A∩B| = 50, |A\B| = 50, |A∪B| = 150
+    val df = Seq.tabulate(100)(i => ("a", i.toLong)) ++
+      Seq.tabulate(100)(i => ("b", i.toLong + 50))
+    val sk = Sketches.thetaSketch(df.toDF("g", "id"), Seq("g"), "id")
+    val row = sk.groupBy().pivot("g").agg(first("sketch"))
+      .select(
+        theta_sketch_estimate(theta_intersection(col("a"), col("b"))).as("i"),
+        theta_sketch_estimate(theta_difference(col("a"), col("b"))).as("d"),
+        theta_sketch_estimate(theta_union(col("a"), col("b"))).as("u"))
+      .head()
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) === ((50L, 50L, 150L)))
+  }
+
+  test("theta union agg rolls a sketch table up to the direct sketch") {
+    import org.apache.spark.sql.functions._
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val perType = Sketches.thetaSketch(events, Seq("event_type"), "user_id")
+    val rolled = perType.agg(
+      theta_sketch_estimate(theta_union_agg(col("sketch"))).as("n")).head().getLong(0)
+    val direct = events.select(countDistinct("user_id")).head().getLong(0)
+    assert(rolled === direct)
+  }
+
+  test("theta sketches stay mergeable across partitionings (repartition-invariant)") {
+    import org.apache.spark.sql.functions._
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    def est(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(theta_sketch_estimate(theta_sketch_agg(col("user_id"))).as("n"))
+        .head().getLong(0)
+    assert(est(events) === est(events.repartition(13)))
+  }
+
+  test("theta estimation regime: error within the published bound past capacity") {
+    import org.apache.spark.sql.functions._
+    val n = 100000L
+    val lgK = 10 // capacity 1024 << n: deep estimation mode
+    val df = spark.range(n)
+    val got = df.agg(theta_sketch_estimate(theta_sketch_agg(col("id"), lgK)).as("n"))
+      .head().getLong(0)
+    val rse = 1.0 / math.sqrt(1 << lgK) // theta sketch RSE ~ 1/sqrt(k)
+    assert(math.abs(got - n) < n * 5 * rse,
+      s"estimate $got outside 5 RSE of $n")
+  }
 }
