@@ -119,6 +119,34 @@ object SinkOps {
         |  cast(sum(cast(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // -- JSON-lines sink/source round trip: the interchange format of every
+    //    crawl/annotation pipeline. Schema pinned explicitly on read (no
+    //    inference pass over the data); strings and longs round-trip
+    //    exactly through JSON text ---------------------------------------
+    ("q_json_roundtrip",
+      (s: SparkSession, d: String) => {
+        val dir = storeDir("json", d)
+        t(s, d, "documents").write.mode("overwrite").json(dir)
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("lang",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n_chars",
+            org.apache.spark.sql.types.LongType)))
+        s.read.schema(schema).json(dir)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("chars"),
+            sum(length(col("text")).cast("long")).as("text_len"))
+          .orderBy("lang")
+      },
+      """SELECT lang, count(*) AS n_docs, cast(sum(n_chars) AS BIGINT) AS chars,
+        |  cast(sum(length(text)) AS BIGINT) AS text_len
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // -- Morton (Z-order) codes under the hash gate: the exact bit
     //    interleave Partitioning.zValue computes, replayed in DuckDB with
     //    the same magic-mask shifts. The layout/skipping effect is measured
