@@ -257,7 +257,8 @@ object Database {
       if (target.isFile) Array(target)
       else Option(target.listFiles()).getOrElse(Array.empty[File])
         .filter(f => f.isFile || f.isDirectory) // spark parquet "files" may be dirs
-        .filter(f => f.getName.endsWith(".parquet") || f.getName.endsWith(".csv"))
+        .filter(f => f.getName.endsWith(".parquet") || f.getName.endsWith(".csv") ||
+          isPartitionedStore(f)) // graft.ops.Layout stores: dirs of key=value/ subdirs
     if (files.isEmpty)
       throw new FileTypeError(s"no .parquet or .csv tables found under '$dir'")
     val tableMap = files.map { f =>
@@ -285,6 +286,19 @@ object Database {
     if (populateCache) db.populateCache()
     db
   }
+
+  /** A hive-partitioned parquet store as [[graft.ops.Layout]] writes them:
+    * a directory whose data lives in `key=value/` subdirectories. Spark's
+    * parquet reader handles the layout natively (partition column recovered
+    * from the path, directory-level pruning on it), so such a store
+    * registers as a table under its directory name — no `.parquet` suffix
+    * required.
+    */
+  private def isPartitionedStore(f: File): Boolean =
+    f.isDirectory && !f.getName.contains("=") && {
+      val subs = Option(f.listFiles()).getOrElse(Array.empty[File])
+      subs.nonEmpty && subs.exists(s => s.isDirectory && s.getName.contains("="))
+    }
 
   /** Digest of the table sources' identity: absolute path + byte length +
     * mtime of every regular file (parquet "files" that are directories are

@@ -75,6 +75,20 @@ class LayoutSpec extends SparkSuite {
     assert(ids.sameElements(ids.sorted), "rows inside a compacted file are not sorted by doc_id")
   }
 
+  test("Database.open discovers a Layout store as a table (no .parquet suffix)") {
+    val dbDir = java.nio.file.Files.createTempDirectory("layout_db_").toFile
+    dbDir.deleteOnExit()
+    // one plain table + one partitioned store side by side
+    docs.limit(10).write.parquet(new java.io.File(dbDir, "plain.parquet").getAbsolutePath)
+    Layout.writePartitioned(docs, new java.io.File(dbDir, "docstore").getAbsolutePath,
+      "lang", Seq("doc_id"))
+    val db = graft.api.Database.open(spark, dbDir.getAbsolutePath)
+    assert(db.tables.toSet === Set("plain", "docstore"))
+    val en = db("docstore")
+    assert(en.toDf.where(col("lang") === "en").count() ===
+      docs.filter(col("lang") === "en").count())
+  }
+
   test("ORC round trip preserves rows and schema") {
     val dir = freshDir()
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
