@@ -57,6 +57,43 @@ object Layout {
     ()
   }
 
+  /** Append a batch to an existing partitioned store — same per-value
+    * clustering and in-file sort as [[writePartitioned]], but additive:
+    * each append lands ONE new file per touched partition directory.
+    * Fragmentation grows by one file per batch per value; [[compact]] is
+    * the periodic remedy (spec'd together in LayoutSpec).
+    */
+  def append(df: DataFrame, dir: String, partitionCol: String,
+      sortCols: Seq[String]): Unit = {
+    df.repartition(col(partitionCol))
+      .sortWithinPartitions((partitionCol +: sortCols).map(col): _*)
+      .write.mode("append").partitionBy(partitionCol).parquet(dir)
+  }
+
+  /** Dedup-screened incremental ingest: append only the rows of `batch`
+    * whose `keyExpr` (a content key — e.g. `md5(col("text"))`) does not
+    * already exist in the store. The screen scans ONLY the key expression's
+    * input columns of the existing store (column-pruned parquet scan) and
+    * anti-joins — rows duplicated WITHIN the batch are both kept, matching
+    * append semantics; pre-dedup the batch first when that matters.
+    *
+    * At 100 TB the anti-join's store side is keys-only (a fraction of the
+    * data width) and AQE picks broadcast when the BATCH side is small —
+    * and a [[Bloom.bloomAntiJoin]] prefilter can screen the obvious
+    * non-dups before the exact join (same pattern as the streaming
+    * curation loop in DocStream.curateStream).
+    */
+  def ingest(batch: DataFrame, dir: String, partitionCol: String,
+      sortCols: Seq[String], keyExpr: org.apache.spark.sql.Column): Unit = {
+    val spark = batch.sparkSession
+    val existingKeys = spark.read.parquet(dir)
+      .select(keyExpr.as("__k")).distinct()
+    val fresh = batch.withColumn("__k", keyExpr)
+      .join(existingKeys, Seq("__k"), "left_anti")
+      .drop("__k")
+    append(fresh, dir, partitionCol, sortCols)
+  }
+
   /** Data files per partition directory — the compaction health metric. */
   def filesPerPartition(dir: String): Map[String, Int] =
     Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)

@@ -119,6 +119,37 @@ object SinkOps {
         |  cast(sum(cast(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // -- dedup-screened incremental ingest: seed the store with the even
+    //    half of the corpus, re-ingest the WHOLE corpus keyed on md5(text)
+    //    — evens drop (self-match), odds drop iff their text already
+    //    appears among evens. Final store = evens ∪ text-fresh odds; the
+    //    oracle recomputes that set relationally. Proves the append path
+    //    and the key screen in one pass ---------------------------------
+    ("q_ingest_dedup",
+      (s: SparkSession, d: String) => {
+        val dir = storeDir("ingest", d)
+        val docs = t(s, d, "documents")
+        // fresh store per run: the query must be idempotent across the
+        // bench's three samples (ingest into last run's store would not be)
+        deleteRecursively(new java.io.File(dir))
+        graft.ops.Layout.writePartitioned(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 0), dir, "lang", Seq("doc_id"))
+        graft.ops.Layout.ingest(docs, dir, "lang", Seq("doc_id"), md5(col("text")))
+        s.read.parquet(dir)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("chars"),
+            countDistinct(col("doc_id")).as("n_ids"))
+          .orderBy("lang")
+      },
+      """WITH olds AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+        |fresh AS (SELECT * FROM documents
+        |          WHERE md5(text) NOT IN (SELECT md5(text) FROM olds)),
+        |store AS (SELECT * FROM olds UNION ALL SELECT * FROM fresh)
+        |SELECT lang, count(*) AS n_docs, cast(sum(n_chars) AS BIGINT) AS chars,
+        |  count(DISTINCT doc_id) AS n_ids
+        |FROM store GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // -- JSON-lines sink/source round trip: the interchange format of every
     //    crawl/annotation pipeline. Schema pinned explicitly on read (no
     //    inference pass over the data); strings and longs round-trip

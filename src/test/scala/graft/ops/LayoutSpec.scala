@@ -89,6 +89,26 @@ class LayoutSpec extends SparkSuite {
       docs.filter(col("lang") === "en").count())
   }
 
+  test("append fragments one file per batch per dir; ingest screens store dups") {
+    val dir = freshDir()
+    val even = docs.filter(col("doc_id") % 2 === 0)
+    Layout.writePartitioned(even, dir, "lang", Seq("doc_id"))
+    // plain append of the odd half: every touched dir gains exactly 1 file
+    Layout.append(docs.filter(col("doc_id") % 2 === 1), dir, "lang", Seq("doc_id"))
+    assert(Layout.filesPerPartition(dir).values.forall(_ == 2))
+    assert(spark.read.parquet(dir).count() === docs.count())
+    // screened ingest of the SAME corpus again: every text already present
+    Layout.ingest(docs, dir, "lang", Seq("doc_id"), md5(col("text")))
+    assert(spark.read.parquet(dir).count() === docs.count(),
+      "re-ingesting already-stored content must append nothing")
+    // a genuinely new row passes the screen
+    val extra = docs.limit(1)
+      .withColumn("doc_id", lit(999999L))
+      .withColumn("text", lit("a string no other fixture doc contains xq"))
+    Layout.ingest(extra, dir, "lang", Seq("doc_id"), md5(col("text")))
+    assert(spark.read.parquet(dir).count() === docs.count() + 1)
+  }
+
   test("ORC round trip preserves rows and schema") {
     val dir = freshDir()
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
