@@ -591,14 +591,21 @@ object TpchOps {
     ("q_tpch_q20",
       (s: SparkSession, d: String) => {
         val li = t(s, d, "lineitem")
-        val ps = li.groupBy(col("l_partkey"), col("l_suppkey"))
-          .agg(sum(col("l_quantity").cast(DecimalType(18, 6))).as("availqty"))
-        val sh = li
-          .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
-            col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
-          .groupBy(col("l_partkey"), col("l_suppkey"))
-          .agg(sum(col("l_quantity").cast(DecimalType(18, 6))).as("qty97"))
-        val qual = ps.join(sh, Seq("l_partkey", "l_suppkey"))
+        // ONE aggregation computes both the all-time and the 1997 sums as a
+        // conditional pair — the ps ⋈ sh two-shuffle + join form scanned
+        // lineitem twice for the same grouping (round-9 rewrite: 2.3 → ~1 s
+        // local). qty97 > 0 reproduces the inner join's "shipped in 1997"
+        // membership (quantities are ≥ 1, so the conditional sum is positive
+        // iff any 1997 row exists). Quantity is integral → exact long sums,
+        // no per-row decimal casts; the threshold compare is scale-free.
+        val y97 = col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp")
+        val both = li.groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(sum(col("l_quantity").cast("long")).as("availqty"),
+            sum(when(y97, col("l_quantity")).otherwise(lit(0)).cast("long"))
+              .as("qty97"))
+          .filter(col("qty97") > 0)
+        val qual = both
           .join(broadcast(t(s, d, "part").filter(col("p_name").like("red%"))
             .select(col("p_partkey"))),
             col("l_partkey") === col("p_partkey"))

@@ -395,4 +395,27 @@ class StreamingSpec extends SparkSuite {
 
     assert(streamed.nonEmpty && streamed == batch)
   }
+
+  test("export hash split runs unchanged on a streaming frame (stateless)") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graftsplit").toString
+    val lines = (1 to 40).map(i =>
+      s"""{"doc_id":$i,"text":"doc number $i","lang":"en","source":"s1","n_chars":12}""")
+    Files.write(java.nio.file.Paths.get(dir, "docs.json"),
+      lines.mkString("\n").getBytes)
+    // the same stateless plan fragment as batch: withColumn over md5 —
+    // no state store, no watermark needed, Append mode
+    val split = graft.ops.Export.hashSplit(
+      DocStream.readDocs(spark, dir).select("doc_id"), "doc_id", "s1")
+    EventStream.runToMemory(split, "split_out", OutputMode.Append)
+    val got = spark.sql("SELECT doc_id, split FROM split_out")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // byte-identical to the batch assignment of the same ids
+    val spark2 = spark
+    import spark2.implicits._
+    val batch = graft.ops.Export.hashSplit(
+      (1 to 40).map(_.toLong).toDF("doc_id"), "doc_id", "s1")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === batch)
+  }
 }
