@@ -301,19 +301,27 @@ object Parity {
     // -- M5 group-by (the reference's own unchecked TODO README.md:643):
     //    TPC-H Q1-style flagship --------------------------------------------
     ("q_groupby_agg",
-      (s: SparkSession, d: String) =>
+      (s: SparkSession, d: String) => {
+        // exact-integer aggregation paths (the q1 cents treatment):
+        // quantity is integral → long sums; price is 2-dec money → cents;
+        // ep·dm has ≤4 decimal places so the cents product over 10^4 equals
+        // the oracle's DECIMAL(18,6) cast of the double product exactly —
+        // no per-row double→decimal cast survives in the hot scan
+        val qy = col("l_quantity").cast("long")
+        val ep = cents(col("l_extendedprice"))
+        val dm = cents(lit(1.0) - col("l_discount"))
+        def dec28(c: org.apache.spark.sql.Column) = c.cast(DecimalType(28, 0))
         t(s, d, "lineitem")
           .groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(
-            dsum(col("l_quantity")).as("sum_qty"),
-            dsum(col("l_extendedprice")).as("sum_base"),
-            sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-              .cast(DecimalType(18, 6))).cast("double").as("sum_disc_raw"),
+            round(sum(qy).cast("double"), 4).as("sum_qty"),
+            round(sum(dec28(ep)).cast("double") / 100.0, 4).as("sum_base"),
+            round(sum(dec28(ep * dm)).cast("double") / 10000.0, 4).as("sum_disc"),
             count(lit(1)).as("n"),
-            davg(col("l_quantity")).as("avg_qty"))
-          .withColumn("sum_disc", round(col("sum_disc_raw"), 4))
-          .drop("sum_disc_raw")
-          .orderBy("l_returnflag", "l_linestatus"),
+            round(sum(qy).cast("double") / count(col("l_quantity")), 4)
+              .as("avg_qty"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
       s"SELECT l_returnflag, l_linestatus, ${sqlDsum("l_quantity")} AS sum_qty, " +
         s"${sqlDsum("l_extendedprice")} AS sum_base, count(*) AS n, ${sqlDavg("l_quantity")} AS avg_qty, " +
         "round(cast(sum(cast(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_disc " +
