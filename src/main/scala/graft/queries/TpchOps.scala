@@ -122,10 +122,11 @@ object TpchOps {
     //    the boundary) ------------------------------------------------------
     ("q_tpch_q18",
       (s: SparkSession, d: String) => {
-        import org.apache.spark.sql.types.DecimalType
+        // quantity is integral: exact long sums replace the per-row decimal
+        // cast (same > 250 decision, same double rendering of the sum)
         val hot = t(s, d, "lineitem")
           .groupBy(col("l_orderkey"))
-          .agg(sum(col("l_quantity").cast(DecimalType(18, 6))).as("qty"))
+          .agg(sum(col("l_quantity").cast("long")).as("qty"))
           .filter(col("qty") > 250)
           .select(col("l_orderkey").as("hot_key"), col("qty"))
         t(s, d, "orders")
@@ -159,27 +160,30 @@ object TpchOps {
     ("q_tpch_q17",
       (s: SparkSession, d: String) => {
         import org.apache.spark.sql.types.DecimalType
+        // integral quantities → exact long sums and a pure-integer
+        // 5·qty·cnt < qty_sum decision; revenue in integer cents summed in
+        // DECIMAL(28,0), /100 after the exact sum (oracle mirrors the tree)
         val li = t(s, d, "lineitem")
           .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
         val pa = li.groupBy(col("l_partkey"))
-          .agg(sum(col("l_quantity").cast(DecimalType(18, 6))).as("qty_sum"),
+          .agg(sum(col("l_quantity").cast("long")).as("qty_sum"),
             count(lit(1)).as("cnt"))
         li.join(pa, "l_partkey")
-          .filter(col("l_quantity").cast(DecimalType(18, 6)) * lit(5) * col("cnt")
+          .filter(col("l_quantity").cast("long") * lit(5) * col("cnt")
             < col("qty_sum"))
           .agg(
-            round(sum(col("l_extendedprice").cast(DecimalType(18, 6))).cast("double") / 7.0,
-              4).as("avg_yearly"),
+            round(sum(cents(col("l_extendedprice")).cast(DecimalType(28, 0)))
+              .cast("double") / 100.0 / 7.0, 4).as("avg_yearly"),
             count(lit(1)).as("n_items"))
       },
       """WITH pa AS (
-        |  SELECT l_partkey, sum(cast(l_quantity AS DECIMAL(18,6))) AS qty_sum,
+        |  SELECT l_partkey, cast(sum(l_quantity) AS BIGINT) AS qty_sum,
         |         count(*) AS cnt
         |  FROM lineitem GROUP BY 1)
-        |SELECT round(cast(sum(cast(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0, 4) AS avg_yearly,
+        |SELECT round(cast(sum(cast(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 / 7.0, 4) AS avg_yearly,
         |  cast(count(*) AS BIGINT) AS n_items
         |FROM lineitem JOIN pa USING (l_partkey)
-        |WHERE cast(l_quantity AS DECIMAL(18,6)) * 5 * cnt < qty_sum""".stripMargin),
+        |WHERE cast(l_quantity AS BIGINT) * 5 * cnt < qty_sum""".stripMargin),
 
     // -- argmin join: per part, the supplier rows achieving the minimum
     //    extended price — agg-min + equality join back (all ties kept), the
