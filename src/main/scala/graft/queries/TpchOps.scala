@@ -483,10 +483,16 @@ object TpchOps {
     //    AQE sizes it from runtime stats -----------------------------------
     ("q_tpch_q2",
       (s: SparkSession, d: String) => {
+        // unit price as an exact integer in 1e-4 units: (200·cents + qty)
+        // div (2·qty) is half-up rounding of cents·100/qty in pure integer
+        // arithmetic — a double ep/qty hit an IEEE 4-dp rounding tie at
+        // sf0.001 (26.24125 rendered 26.2412 vs 26.2413 across engines).
+        // min, the equality join, and the output all stay integer-exact.
         val ps = t(s, d, "lineitem")
+          .withColumn("__epc", cents(col("l_extendedprice")))
+          .withColumn("__q", col("l_quantity").cast("long"))
           .groupBy(col("l_partkey"), col("l_suppkey"))
-          .agg(min(col("l_extendedprice").cast("double") /
-            col("l_quantity").cast("double")).as("supplycost"))
+          .agg(min(expr("(__epc * 200 + __q) div (2 * __q)")).as("supplycost"))
         val eurSupp = t(s, d, "supplier")
           .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
           .join(broadcast(t(s, d, "region").filter(col("r_name") === "EUROPE")),
@@ -501,13 +507,14 @@ object TpchOps {
           .join(minCost,
             col("l_partkey") === col("mk") && col("supplycost") === col("min_cost"))
           .select(col("p_partkey"), col("p_brand"), col("s_name"), col("n_name"),
-            round(col("supplycost"), 4).as("cost"))
+            (col("supplycost").cast("double") / 10000.0).as("cost"))
           .orderBy("p_partkey", "s_name")
       },
       """WITH ps AS (
         |  SELECT l_partkey, l_suppkey,
-        |         min(cast(l_extendedprice AS DOUBLE) / cast(l_quantity AS DOUBLE))
-        |           AS supplycost
+        |         min((cast(round(l_extendedprice * 100) AS BIGINT) * 200 +
+        |              cast(l_quantity AS BIGINT))
+        |             // (2 * cast(l_quantity AS BIGINT))) AS supplycost
         |  FROM lineitem GROUP BY 1, 2),
         |pse AS (
         |  SELECT l_partkey, l_suppkey, supplycost, s_name, n_name
@@ -517,7 +524,8 @@ object TpchOps {
         |  WHERE r_name = 'EUROPE'),
         |mc AS (SELECT l_partkey AS mk, min(supplycost) AS min_cost
         |       FROM pse GROUP BY 1)
-        |SELECT p_partkey, p_brand, s_name, n_name, round(supplycost, 4) AS cost
+        |SELECT p_partkey, p_brand, s_name, n_name,
+        |  cast(supplycost AS DOUBLE) / 10000.0 AS cost
         |FROM pse JOIN part ON l_partkey = p_partkey
         |JOIN mc ON l_partkey = mk AND supplycost = min_cost
         |WHERE p_size = 15
