@@ -13,20 +13,52 @@ object Bench {
       Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
         .flatMap(f => re.findFirstMatchIn(f.getName).map(_.group(1).toLong))
         .reduceOption(_ max _)
-    } catch { case _: Throwable => None }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Suspect selection for the end-of-suite re-run pass: queries whose
     * scheduled min landed >1.5x the prior round's min AND >50 ms over it
     * (the absolute floor keeps sub-100 ms queries from tripping on
-    * scheduler jitter), worst relative offenders first, at most `cap`.
+    * scheduler jitter), worst relative offenders first — PLUS queries with
+    * no prior at all (brand-new headline entries) whose min exceeds
+    * `newFloor`: their scheduled number would otherwise ship with zero
+    * in-run evidence, exactly the blind spot round 9's q_tpch_q20 verdict
+    * flagged (driver 2.36 s vs local 1.21 s, unadjudicable). No-prior
+    * suspects carry prior = -1 and ride after the relative offenders
+    * within the same cap.
     */
   private[graft] def pickSuspects(results: Map[String, Double],
-      prior: Map[String, Double], cap: Int = 8): Seq[(String, Double, Double)] =
-    results.toSeq
+      prior: Map[String, Double], cap: Int = 8,
+      newFloor: Double = 0.3): Seq[(String, Double, Double)] = {
+    val regressed = results.toSeq
       .flatMap { case (k, cur) => prior.get(k).map(p => (k, cur, p)) }
       .filter { case (_, cur, p) => cur > p * 1.5 && cur > p + 0.05 }
       .sortBy { case (_, cur, p) => -(cur / p) }
-      .take(cap)
+    val unseen = results.toSeq
+      .filter { case (k, cur) => !prior.contains(k) && cur > newFloor }
+      .sortBy { case (_, cur) => -cur }
+      .map { case (k, cur) => (k, cur, -1.0) }
+    (regressed ++ unseen).take(cap)
+  }
+
+  /** Per-query mins from the LAST LOCAL run's `bench_last.json` (full
+    * detail, every query) — the fallback prior for queries the driver's
+    * BENCH_r{N}.json headline never carried (its tail-truncated line only
+    * holds the headline cluster). Read BEFORE this run overwrites the
+    * file. Empty on sf mismatch, absence, or parse failure.
+    */
+  private[graft] def localPriorMins(sfDir: String, dir: String = "."): Map[String, Double] =
+    try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir, "bench_last.json")), "UTF-8")
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val parsed = mapper.readTree(txt)
+      val base = (d: String) => d.stripSuffix("/").split('/').lastOption.getOrElse("")
+      if (base(parsed.path("sf").asText("")) != base(sfDir)) return Map.empty
+      val qs = parsed.path("queries")
+      qs.fieldNames().asScala
+        .map(k => k -> qs.path(k).asDouble(-1.0))
+        .filter(_._2 > 0).toMap
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
 
   /** Previous round's per-query bench mins, read from the max-round
     * `BENCH_r{N}.json` in cwd — the driver's record of its own last run, so
@@ -64,8 +96,22 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JVM/session warmup so the first measured query doesn't absorb
-    // context + codegen startup cost
+    // context + codegen startup cost. The range-sum alone proved too
+    // narrow: round 9's FIRST scheduled query (q_groupby_agg) timed 7.3 s
+    // scheduled vs 0.6 s on rerun because the real path — parquet
+    // footer/reader init, whole-stage-codegen compilation of a
+    // scan→hash-aggregate, the noop DataWriter — was all still cold. Warm
+    // exactly that shape twice (second run hits the codegen cache, so
+    // what's left warm is what the measured queries actually reuse).
     spark.range(1000000).selectExpr("sum(id)").collect()
+    for (_ <- 1 to 2)
+      try spark.read.parquet(s"$sfDir/customer.parquet")
+        .groupBy("c_nationkey")
+        .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n"),
+          org.apache.spark.sql.functions.sum("c_acctbal").as("s"))
+        .write.format("noop").mode("overwrite").save()
+      catch { case scala.util.control.NonFatal(_) => () }
     // three runs per query, report the min: steady-state timing (first run
     // absorbs codegen + cache materialization; this host also shows sporadic
     // multi-second contention spikes that a single sample would misattribute).
@@ -100,21 +146,33 @@ object Bench {
     // a one-time methodology step, called out in BENCH.md.
     def materialize(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
-    // samples: name -> the 3 run times sorted ascending (min, med, max)
+    // A sample that THROWS is a failure, not a time: recording the fast
+    // exception path as a legitimate min (pre-round-10 behavior) would let
+    // a broken sink query "win" the benchmark by crashing early. Failed
+    // samples are dropped from the series, counted in `failed`, and a
+    // query with zero successes reports value -1 (excluded from total).
+    val failed = scala.collection.mutable.Map.empty[String, Int]
+    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
+      val t0 = System.nanoTime()
+      try { materialize(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          failed(name) = failed.getOrElse(name, 0) + 1
+          System.err.println(s"[bench] $name sample FAILED: " +
+            s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+          None
+      }
+    }
+    // samples: name -> the successful run times sorted ascending (up to 3)
     val samples = SparkEntry.schedule.flatMap { case (names, after) =>
       val rs = rng.shuffle(names).map { name =>
         val fn = SparkEntry.queries(name)
-        def once(): Double = {
-          val t0 = System.nanoTime()
-          try { materialize(fn(spark, sfDir)) } catch { case _: Throwable => () }
-          (System.nanoTime() - t0) / 1e9
-        }
-        name -> Seq.fill(3)(once()).sorted
+        name -> Seq.fill(3)(timeOne(name, fn)).flatten.sorted
       }
       after()
       rs
     }.toMap
-    val results = samples.map { case (k, v) => k -> v.head }
+    val results = samples.map { case (k, v) => k -> v.headOption.getOrElse(-1.0) }
     // Suspect re-run pass (round 8): any query whose min-of-3 landed >1.5x
     // its previous-round driver min gets a FRESH min-of-3, out of schedule
     // order, caches cold (every group hook has run by now; each rerun query
@@ -124,37 +182,39 @@ object Bench {
     // into an end-of-suite replay minutes later — from a real regression
     // that reproduces here. rerun mins at prior levels = contention;
     // reproducibly slow = regression, bisect it.
-    val prior = priorRoundMins(sfDir)
-    val suspects = pickSuspects(results, prior) // bound: worst offenders first
+    // driver prior where present, local bench_last.json min as the
+    // fallback for queries the driver headline never carried; queries new
+    // in BOTH (no prior anywhere) are rerun when slow enough to matter
+    // (pickSuspects' no-prior arm) — read BEFORE bench_last is overwritten
+    val prior = localPriorMins(sfDir) ++ priorRoundMins(sfDir)
+    val suspects = pickSuspects(results.filter(_._2 >= 0), prior)
     val groupHook: Map[String, () => Unit] = SparkEntry.schedule
       .flatMap { case (names, after) => names.map(_ -> after) }.toMap
     val rerun: Seq[(String, Seq[Double])] = suspects.map { case (name, _, _) =>
       val fn = SparkEntry.queries(name)
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try { materialize(fn(spark, sfDir)) } catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
-      }
-      val times = Seq.fill(3)(once()).sorted
+      val times = Seq.fill(3)(timeOne(name, fn)).flatten.sorted
       groupHook.get(name).foreach(h => h())
       name -> times
     }
-    val rerunJson = rerun.map { case (k, v) =>
-      f""""$k":[${v(0)}%.3f,${v(1)}%.3f,${v(2)}%.3f]"""
-    }.mkString("{", ",", "}")
+    def seriesJson(v: Seq[Double]): String =
+      v.map(x => f"$x%.3f").mkString("[", ",", "]")
+    val rerunJson = rerun.map { case (k, v) => s""""$k":${seriesJson(v)}""" }
+      .mkString("{", ",", "}")
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // per-query [min, med, max] — makes a contention spike self-evident
     // (max >> min on unchanged code) instead of a round-over-round mystery
     val disp = samples.toSeq.sortBy(_._1).map { case (k, v) =>
-      f""""$k":[${v(0)}%.3f,${v(1)}%.3f,${v(2)}%.3f]"""
+      s""""$k":${seriesJson(v)}"""
     }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"dispersion":$disp,"rerun":$rerunJson,"seed":$roundSeed,"sf":"$sfDir"}"""
+    val total = results.values.filter(_ >= 0).sum
+    val failedJson = failed.toSeq.sortBy(_._1)
+      .map { case (k, n) => s""""$k":$n""" }.mkString("{", ",", "}")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"dispersion":$disp,"rerun":$rerunJson,"failed":$failedJson,"seed":$roundSeed,"sf":"$sfDir"}"""
     // Durable full-detail copy: every query at full precision, fixed path.
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_last.json"),
       (json + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => () }
+    catch { case scala.util.control.NonFatal(_) => () }
     println(json)
     // The driver parses only the LAST ~2000 chars of captured stdout
     // (BENCH_r03.json's "tail" starts mid-line): the full ~3 KB line above
@@ -179,16 +239,16 @@ object Bench {
     // host-contention evidence (the min is the steady-state number the
     // round-over-round comparison should use)
     val spread = samples.toSeq
-      .filter { case (_, v) => v(2) > v(0) * 1.5 + 0.05 }
-      .sortBy { case (_, v) => -(v(2) / (v(0) max 1e-9)) }
+      .filter { case (_, v) => v.nonEmpty && v.last > v.head * 1.5 + 0.05 }
+      .sortBy { case (_, v) => -(v.last / (v.head max 1e-9)) }
       .take(if (rerun.nonEmpty) 4 else 6) // keep the final line under the
       // driver's ~2000-char stdout tail when a rerun map is also present
-      .map { case (k, v) => f""""$k":[${v(0)}%.2f,${v(2)}%.2f]""" }
+      .map { case (k, v) => f""""$k":[${v.head}%.2f,${v.last}%.2f]""" }
       .mkString("{", ",", "}")
     // the suspect-rerun verdicts, compact: these are the rows that settle a
     // round-over-round "regression" with data, so they ride in the headline
     val rerunHead = rerun.take(6).map { case (k, v) =>
-      f""""$k":[${v(0)}%.2f,${v(1)}%.2f,${v(2)}%.2f]"""
+      s""""$k":${v.map(x => f"$x%.2f").mkString("[", ",", "]")}"""
     }.mkString("{", ",", "}")
     // DuckDB absolute yardstick (BENCH.md round 7): scripts/duckbench.py
     // times each headline query's oracle SQL on the same sf0.1 parquet and
@@ -209,8 +269,9 @@ object Bench {
           .filter { case (k, _) => results.contains(k) }
           .map { case (k, v) => f""""$k":$v%.2f""" }.toSeq
         if (entries.isEmpty) "" else entries.mkString(""","duckdb":{""", ",", "}")
-      } catch { case _: Throwable => "" }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$hq,"spread_minmax":$spread,"rerun":$rerunHead$duck%s,"n_queries":${results.size}%d,"seed":$roundSeed%d,"full":"bench_last.json","sf":"$sfDir"}""")
+      } catch { case scala.util.control.NonFatal(_) => "" }
+    val failHead = if (failed.isEmpty) "" else s""","failed":$failedJson"""
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$hq,"spread_minmax":$spread,"rerun":$rerunHead$duck%s$failHead%s,"n_queries":${results.size}%d,"seed":$roundSeed%d,"full":"bench_last.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

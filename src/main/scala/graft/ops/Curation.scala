@@ -47,7 +47,9 @@ object Curation {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     weighted
       .withColumn("__cum", sum(col("__w")).over(w))
-      .join(broadcast(totals), strataCol)
+      // hint-free: totals is one row per stratum, AQE broadcasts it on its
+      // own — same convention as the dedup verify joins
+      .join(totals, strataCol)
       .filter(expr("(__cum - __w) div __step") < expr("__cum div __step"))
       .drop("__w", "__cum", "__step")
   }
@@ -153,8 +155,14 @@ object Curation {
     * offsets, pass 2 streams each partition adding its offset and STOPS at
     * the first row past the budget (partitions wholly past the cut emit
     * nothing). Both passes map over the same RDD instance, so the shuffle
-    * output — and with it the partition layout — is computed once and
-    * reused, never resampled.
+    * output — and with it the partition layout — is normally computed once
+    * and reused. Shuffle reuse is best-effort, though: an executor lost
+    * between the passes recomputes its partitions, and the two passes then
+    * agree only because the range-partitioned sort key (scoreCol desc,
+    * idCol asc) is a TOTAL order — recomputation reproduces the identical
+    * layout. Any caller adapting this two-pass pattern to a non-total
+    * ordering must persist() the shuffled RDD across the passes instead
+    * (same caveat noted on StatsOps.exactPercentiles).
     *
     * Adds `cum_tokens` (running total including the row itself).
     */

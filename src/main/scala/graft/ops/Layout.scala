@@ -42,18 +42,61 @@ object Layout {
 
   /** Rewrite a partitioned store in place with one file per partition
     * directory, rows re-sorted by `sortCols` — the compaction pass that
-    * undoes small-file accumulation from incremental appends. Writes to a
-    * sibling temp dir, then atomically swaps (local-FS rename; on an object
-    * store this would be a two-phase commit via the committer protocol).
+    * undoes small-file accumulation from incremental appends.
+    *
+    * Crash-safe swap: the rewrite lands in `dir__compacting`, then the
+    * live dir is renamed ASIDE to `dir__old` (not deleted), the rewrite
+    * renamed into place, and only then is `dir__old` dropped. At every
+    * instant at least one complete copy of the data exists on disk, and
+    * [[recover]] (run automatically at the start of compact) rolls any
+    * interrupted swap forward or back from the leftovers. Renames use
+    * ATOMIC_MOVE; if the second rename fails the live dir is restored
+    * from `dir__old` before rethrowing. (Local-FS protocol; on an object
+    * store this would be the committer's two-phase commit instead.)
     */
   def compact(spark: SparkSession, dir: String, partitionCol: String,
       sortCols: Seq[String]): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    recover(dir)
     val tmp = dir.stripSuffix("/") + "__compacting"
     writePartitioned(spark.read.parquet(dir), tmp, partitionCol, sortCols)
-    val dirP = java.nio.file.Paths.get(dir)
-    val tmpP = java.nio.file.Paths.get(tmp)
-    deleteRecursively(dirP.toFile)
-    java.nio.file.Files.move(tmpP, dirP)
+    val dirP = Paths.get(dir)
+    val tmpP = Paths.get(tmp)
+    val oldP = Paths.get(dir.stripSuffix("/") + "__old")
+    Files.move(dirP, oldP, StandardCopyOption.ATOMIC_MOVE)
+    try Files.move(tmpP, dirP, StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case e: Throwable =>
+        // restore the live dir so the store is intact before we rethrow
+        Files.move(oldP, dirP, StandardCopyOption.ATOMIC_MOVE)
+        throw e
+    }
+    deleteRecursively(oldP.toFile)
+    ()
+  }
+
+  /** Roll an interrupted [[compact]] forward or back from its on-disk
+    * leftovers. Safe to call on a healthy store (no-op). The cases, in
+    * crash-order through compact's phases:
+    *  - `dir` present + `dir__old` present: crash after the swap completed
+    *    but before cleanup — the live dir is already the compacted copy;
+    *    drop `dir__old`.
+    *  - `dir` MISSING + `dir__old` present: crash between the two renames —
+    *    roll back by restoring `dir__old` as the live dir.
+    *  - `dir__compacting` present (any time): an incomplete or unswapped
+    *    rewrite — drop it; compact always rebuilds it from the live dir.
+    */
+  def recover(dir: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val base = dir.stripSuffix("/")
+    val dirP = Paths.get(base)
+    val oldP = Paths.get(base + "__old")
+    val tmpP = Paths.get(base + "__compacting")
+    if (Files.exists(oldP)) {
+      if (Files.exists(dirP)) deleteRecursively(oldP.toFile)
+      else Files.move(oldP, dirP, StandardCopyOption.ATOMIC_MOVE)
+    }
+    if (Files.exists(tmpP)) deleteRecursively(tmpP.toFile)
     ()
   }
 
@@ -80,16 +123,59 @@ object Layout {
     * At 100 TB the anti-join's store side is keys-only (a fraction of the
     * data width) and AQE picks broadcast when the BATCH side is small —
     * and a [[Bloom.bloomAntiJoin]] prefilter can screen the obvious
-    * non-dups before the exact join (same pattern as the streaming
-    * curation loop in DocStream.curateStream).
+    * non-dups before the exact join (see [[ingestBloom]]).
+    *
+    * NULL keys compare null-safely (`IS NOT DISTINCT FROM`): a NULL-key
+    * batch row is screened out iff the store already holds a NULL-key
+    * row — the same "two NULLs are the same content" reading an exact
+    * dedup wants, and the semantics a plain `left_anti` equi-join would
+    * silently break (NULL never equi-matches, so every NULL-key row
+    * would pass the screen on every re-ingest, duplicating forever).
+    * An absent store dir degrades to a plain first append.
     */
   def ingest(batch: DataFrame, dir: String, partitionCol: String,
       sortCols: Seq[String], keyExpr: org.apache.spark.sql.Column): Unit = {
     val spark = batch.sparkSession
+    if (!new java.io.File(dir).exists()) {
+      append(batch, dir, partitionCol, sortCols); return
+    }
     val existingKeys = spark.read.parquet(dir)
       .select(keyExpr.as("__k")).distinct()
-    val fresh = batch.withColumn("__k", keyExpr)
-      .join(existingKeys, Seq("__k"), "left_anti")
+    val withK = batch.withColumn("__k", keyExpr)
+    // EqualNullSafe is a planner-recognized equi-join key, so this still
+    // hashes (and AQE still broadcasts a small side) — no BNLJ risk.
+    val fresh = withK
+      .join(existingKeys, withK("__k") <=> existingKeys("__k"), "left_anti")
+      .drop("__k")
+    append(fresh, dir, partitionCol, sortCols)
+  }
+
+  /** [[ingest]] with a Bloom prefilter on the store's key set — the
+    * mostly-fresh-batch fast path. The exact anti-join screen shuffles
+    * every batch row whose key might match; with a Bloom sketch of the
+    * store keys broadcast to the scan, rows the sketch rules out
+    * ("definitely not stored" — no false negatives) skip the join
+    * entirely and only the ~`fpp` fraction pays the exact confirm
+    * ([[Bloom.bloomAntiJoin]] mechanics; result EQUALS the exact screen).
+    *
+    * When the batch is mostly fresh — the normal crawl-ingest case —
+    * this turns the screen's shuffle from |batch| rows into
+    * ~fpp·|batch| + |true dups|. Keys are compared as strings with
+    * NULL coalesced to a private sentinel, preserving [[ingest]]'s
+    * null-safe key semantics (NULL-key row screened iff the store has
+    * one); `stat.bloomFilter` only ingests string/long keys anyway.
+    */
+  def ingestBloom(batch: DataFrame, dir: String, partitionCol: String,
+      sortCols: Seq[String], keyExpr: org.apache.spark.sql.Column,
+      fpp: Double = 0.01): Unit = {
+    val spark = batch.sparkSession
+    if (!new java.io.File(dir).exists()) {
+      append(batch, dir, partitionCol, sortCols); return
+    }
+    val k = coalesce(keyExpr.cast("string"), lit("\u0000__graft_null_key__"))
+    val storeKeys = spark.read.parquet(dir).select(k.as("__k"))
+    val fresh = Bloom.bloomAntiJoin(
+        batch.withColumn("__k", k), storeKeys, "__k", fpp = fpp)
       .drop("__k")
     append(fresh, dir, partitionCol, sortCols)
   }

@@ -39,7 +39,13 @@ object StatsOps {
     * streams to just the globally-indexed rows it owns (early-stop).
     * Nothing ever concentrates: memory per task is O(1), shuffle is the
     * column itself. Same shared-RDD two-phase machinery as
-    * Curation.takeTokenBudget.
+    * Curation.takeTokenBudget — and the same recompute-determinism caveat:
+    * shuffle reuse between the count pass and the pick pass is best-effort
+    * (an executor lost in between recomputes its partitions). Here a
+    * recompute is harmless even though `__v` alone is NOT a total order —
+    * equal values are interchangeable, so any tie permutation yields the
+    * same selected STATISTIC. Adapting this machinery to pick by a
+    * non-interchangeable key would require persist() across the passes.
     *
     * NaNs sort high (Spark double ordering) like the built-in; nulls are
     * dropped. Returns one value per requested fraction.

@@ -322,9 +322,15 @@ object Parity {
               .as("avg_qty"))
           .orderBy("l_returnflag", "l_linestatus")
       },
+      // oracle mirrors the cents tree term-for-term (q_tpch_q1 convention):
+      // both engines sum exact integer cents and divide once at the end, so
+      // the equality is bit-identity by construction — not a coincidence of
+      // double rounding that a larger SF could break
       s"SELECT l_returnflag, l_linestatus, ${sqlDsum("l_quantity")} AS sum_qty, " +
-        s"${sqlDsum("l_extendedprice")} AS sum_base, count(*) AS n, ${sqlDavg("l_quantity")} AS avg_qty, " +
-        "round(cast(sum(cast(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_disc " +
+        "round(cast(sum(cast(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0, 4) AS sum_base, " +
+        s"count(*) AS n, ${sqlDavg("l_quantity")} AS avg_qty, " +
+        "round(cast(sum(cast(round(l_extendedprice * 100) AS BIGINT) * " +
+        "cast(round((1.0 - l_discount) * 100) AS BIGINT)) AS DOUBLE) / 10000.0, 4) AS sum_disc " +
         "FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"),
 
     // -- M5 join+agg: revenue per nation; small dims broadcast ------------

@@ -143,8 +143,38 @@ object SinkOps {
           .orderBy("lang")
       },
       """WITH olds AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
-        |fresh AS (SELECT * FROM documents
-        |          WHERE md5(text) NOT IN (SELECT md5(text) FROM olds)),
+        |fresh AS (SELECT d.* FROM documents d
+        |          WHERE NOT EXISTS (SELECT 1 FROM olds o
+        |                            WHERE md5(o.text) IS NOT DISTINCT FROM md5(d.text))),
+        |store AS (SELECT * FROM olds UNION ALL SELECT * FROM fresh)
+        |SELECT lang, count(*) AS n_docs, cast(sum(n_chars) AS BIGINT) AS chars,
+        |  count(DISTINCT doc_id) AS n_ids
+        |FROM store GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // -- Bloom-prefiltered ingest, same gate: seed with every 10th doc,
+    //    ingest the WHOLE corpus through the sketch-screened path (90%
+    //    fresh — the case the prefilter exists for). The oracle is the
+    //    EXACT null-safe screen; equality proves the bloom fast path is a
+    //    pure accelerator, not an approximation -------------------------
+    ("q_ingest_bloom",
+      (s: SparkSession, d: String) => {
+        val dir = storeDir("ingestbloom", d)
+        val docs = t(s, d, "documents")
+        deleteRecursively(new java.io.File(dir))
+        graft.ops.Layout.writePartitioned(
+          docs.filter(pmod(col("doc_id"), lit(10)) === 0), dir, "lang", Seq("doc_id"))
+        graft.ops.Layout.ingestBloom(docs, dir, "lang", Seq("doc_id"), md5(col("text")))
+        s.read.parquet(dir)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("chars"),
+            countDistinct(col("doc_id")).as("n_ids"))
+          .orderBy("lang")
+      },
+      """WITH olds AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
+        |fresh AS (SELECT d.* FROM documents d
+        |          WHERE NOT EXISTS (SELECT 1 FROM olds o
+        |                            WHERE md5(o.text) IS NOT DISTINCT FROM md5(d.text))),
         |store AS (SELECT * FROM olds UNION ALL SELECT * FROM fresh)
         |SELECT lang, count(*) AS n_docs, cast(sum(n_chars) AS BIGINT) AS chars,
         |  count(DISTINCT doc_id) AS n_ids

@@ -65,10 +65,33 @@ class BenchLogicSpec extends AnyFunSuite {
       "fast" -> 0.06, // 3x prior but only +40 ms — jitter, not a suspect
       "mid" -> 0.9, // 2.25x and +500 ms — suspect
       "slow" -> 2.4, // +400 ms but only 1.2x — not a suspect
-      "new" -> 5.0) // no prior record — can't be compared
+      "new" -> 5.0) // no prior record — the no-prior arm picks it up
     val s = Bench.pickSuspects(results, prior)
-    assert(s.map(_._1) == Seq("mid"))
+    assert(s.map(_._1) == Seq("mid", "new"))
     assert(s.head._2 == 0.9 && s.head._3 == 0.4)
+    assert(s(1)._3 == -1.0) // no-prior marker
+  }
+
+  test("pickSuspects no-prior arm: slow new queries rerun, trivial ones don't") {
+    val results = Map("new_slow" -> 2.4, "new_slower" -> 5.0,
+      "new_fast" -> 0.1) // under the 0.3 s floor — never worth a rerun slot
+    val s = Bench.pickSuspects(results, Map.empty)
+    assert(s.map(_._1) == Seq("new_slower", "new_slow")) // slowest first
+    assert(s.forall(_._3 == -1.0))
+    // regressed queries outrank no-prior ones within the cap
+    val s2 = Bench.pickSuspects(
+      Map("reg" -> 1.0, "brand_new" -> 9.9), Map("reg" -> 0.2), cap = 1)
+    assert(s2.map(_._1) == Seq("reg"))
+  }
+
+  test("localPriorMins reads bench_last.json under the same sf guard") {
+    val d = tmpDir()
+    write(d, "bench_last.json",
+      """{"metric":"total","queries":{"q_a":0.5,"q_bad":-1.0},
+        |"sf":"/root/testdata/sf0.1"}""".stripMargin)
+    assert(Bench.localPriorMins("/elsewhere/sf0.1", d) == Map("q_a" -> 0.5))
+    assert(Bench.localPriorMins("/root/testdata/sf0.01", d).isEmpty)
+    assert(Bench.localPriorMins("/root/testdata/sf0.1", tmpDir()).isEmpty)
   }
 
   test("pickSuspects ranks worst relative offenders first and caps the pass") {

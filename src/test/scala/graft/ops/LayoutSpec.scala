@@ -109,6 +109,78 @@ class LayoutSpec extends SparkSuite {
     assert(spark.read.parquet(dir).count() === docs.count() + 1)
   }
 
+  test("compact swap is crash-recoverable at every phase") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = freshDir()
+    Layout.writePartitioned(docs, dir, "lang", Seq("doc_id"))
+    val total = docs.count()
+
+    // phase-1 crash: rewrite finished into __compacting, nothing swapped.
+    // recover drops the orphan rewrite; the live dir is untouched.
+    val tmpP = Paths.get(dir + "__compacting")
+    Files.createDirectories(tmpP)
+    Layout.recover(dir)
+    assert(!Files.exists(tmpP))
+    assert(spark.read.parquet(dir).count() === total)
+
+    // phase-2 crash: live dir renamed aside to __old, new dir not yet in
+    // place (the exact window the old delete-then-move protocol destroyed
+    // the store in). recover rolls BACK: __old is restored as the live dir.
+    val dirP = Paths.get(dir)
+    val oldP = Paths.get(dir + "__old")
+    Files.move(dirP, oldP, StandardCopyOption.ATOMIC_MOVE)
+    assert(!Files.exists(dirP), "simulated crash: live dir is gone")
+    Layout.recover(dir)
+    assert(Files.exists(dirP) && !Files.exists(oldP))
+    assert(spark.read.parquet(dir).count() === total)
+
+    // phase-3 crash: swap completed, stale __old not yet deleted. recover
+    // rolls FORWARD: keeps the live (already-compacted) dir, drops __old.
+    Files.createDirectories(oldP)
+    Files.write(oldP.resolve("stale"), Array[Byte](1))
+    Layout.recover(dir)
+    assert(Files.exists(dirP) && !Files.exists(oldP))
+    assert(spark.read.parquet(dir).count() === total)
+
+    // and compact() itself self-recovers from a phase-2 crash leftover
+    Files.move(dirP, oldP, StandardCopyOption.ATOMIC_MOVE)
+    Layout.compact(spark, dir, "lang", Seq("doc_id"))
+    assert(spark.read.parquet(dir).count() === total)
+    assert(Layout.filesPerPartition(dir).values.forall(_ == 1))
+  }
+
+  test("ingest: null keys screen null-safely; absent store degrades to append") {
+    val dir = freshDir()
+    val twoNulls = docs.limit(4)
+      .withColumn("text", when(col("doc_id") % 2 === 0, col("text")))
+    // absent store dir: ingest must not throw, it IS the first append
+    Layout.ingest(twoNulls, dir, "lang", Seq("doc_id"), md5(col("text")))
+    val n = spark.read.parquet(dir).count()
+    assert(n === 4)
+    // re-ingest the same batch: the NULL-key rows must ALSO be screened
+    // (null-safe compare) — a plain equi-anti-join would re-append them
+    // on every ingest forever
+    Layout.ingest(twoNulls, dir, "lang", Seq("doc_id"), md5(col("text")))
+    assert(spark.read.parquet(dir).count() === n,
+      "null-key rows duplicated on re-ingest: key compare is not null-safe")
+  }
+
+  test("ingestBloom equals exact ingest on a mostly-fresh batch") {
+    val dirA = freshDir()
+    val dirB = freshDir()
+    val seed = docs.filter(col("doc_id") % 10 === 0)
+    val batch = docs // 10% dups, 90% fresh — the bloom win case
+    Layout.writePartitioned(seed, dirA, "lang", Seq("doc_id"))
+    Layout.writePartitioned(seed, dirB, "lang", Seq("doc_id"))
+    Layout.ingest(batch, dirA, "lang", Seq("doc_id"), md5(col("text")))
+    Layout.ingestBloom(batch, dirB, "lang", Seq("doc_id"), md5(col("text")))
+    val a = spark.read.parquet(dirA)
+    val b = spark.read.parquet(dirB)
+    assert(a.count() === b.count())
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "bloom-prefiltered ingest diverged from the exact screen")
+  }
+
   test("ORC round trip preserves rows and schema") {
     val dir = freshDir()
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
