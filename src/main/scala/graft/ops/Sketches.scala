@@ -113,4 +113,28 @@ object Sketches {
         theta_sketch_estimate(theta_difference(col("__sa"), col("__sb"))).as("churned"),
         theta_sketch_estimate(theta_union(col("__sa"), col("__sb"))).as("either"))
   }
+
+  /** Pairwise audience-overlap matrix across a dimension, from ONE sketch
+    * table: for every unordered pair a < b of `dimCol` values — |A|, |B|,
+    * |A ∩ B|, |A ∪ B|. [[retention]] generalized from consecutive periods
+    * to the full cross of a dimension (which segments share users? which
+    * event types co-occur?).
+    *
+    * The raw data is scanned exactly once, by [[thetaSketch]]; this join is
+    * over the SKETCH table — one row per dimension value — so the quadratic
+    * pair blowup is over dim-cardinality (tens to thousands), never over
+    * rows. The non-equi `<` condition plans as a broadcast nested-loop of
+    * that tiny table: the right shape, because every pair genuinely IS
+    * needed. Below sketch capacity (2^lgK) all four numbers are exact.
+    */
+  def audienceMatrix(sketches: DataFrame, dimCol: String): DataFrame = {
+    val a = sketches.select(col(dimCol).as("dim_a"), col("sketch").as("__sa"))
+    val b = sketches.select(col(dimCol).as("dim_b"), col("sketch").as("__sb"))
+    a.join(b, col("dim_a") < col("dim_b"))
+      .select(col("dim_a"), col("dim_b"),
+        theta_sketch_estimate(col("__sa")).as("n_a"),
+        theta_sketch_estimate(col("__sb")).as("n_b"),
+        theta_sketch_estimate(theta_intersection(col("__sa"), col("__sb"))).as("overlap"),
+        theta_sketch_estimate(theta_union(col("__sa"), col("__sb"))).as("either"))
+  }
 }

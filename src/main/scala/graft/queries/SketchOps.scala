@@ -115,5 +115,32 @@ object SketchOps {
         |  n1.nd + n2.nd - coalesce(j.n_both, 0) AS either
         |FROM n n1 JOIN n n2 ON n2.day = n1.day + 1
         |LEFT JOIN j ON j.day = n1.day
-        |ORDER BY 1""".stripMargin))
+        |ORDER BY 1""".stripMargin),
+
+    // -- theta audience matrix: pairwise user-overlap of ALL event-type
+    //    pairs from ONE sketch table (retention generalized across a
+    //    dimension). The pair join is over 5 sketch rows, not events rows;
+    //    below the 2^12 capacity every estimate is exact, which is what
+    //    lets DuckDB's exact COUNT(DISTINCT) act as the oracle ------------
+    ("q_theta_audience",
+      (s: SparkSession, d: String) => {
+        val sk = graft.ops.Sketches.thetaSketch(
+          t(s, d, "events"), Seq("event_type"), "user_id")
+        graft.ops.Sketches.audienceMatrix(sk, "event_type")
+          .orderBy("dim_a", "dim_b")
+      },
+      """WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+        |n AS (SELECT event_type, count(*) AS nd FROM du GROUP BY 1),
+        |ov AS (SELECT x.event_type AS dim_a, y.event_type AS dim_b,
+        |         count(*) AS n_both
+        |       FROM du x JOIN du y
+        |         ON x.user_id = y.user_id AND x.event_type < y.event_type
+        |       GROUP BY 1, 2)
+        |SELECT na.event_type AS dim_a, nb.event_type AS dim_b,
+        |  na.nd AS n_a, nb.nd AS n_b,
+        |  coalesce(ov.n_both, 0) AS overlap,
+        |  na.nd + nb.nd - coalesce(ov.n_both, 0) AS either
+        |FROM n na JOIN n nb ON na.event_type < nb.event_type
+        |LEFT JOIN ov ON ov.dim_a = na.event_type AND ov.dim_b = nb.event_type
+        |ORDER BY 1, 2""".stripMargin))
 }

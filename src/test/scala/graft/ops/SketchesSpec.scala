@@ -96,6 +96,25 @@ class SketchesSpec extends SparkSuite {
     assert((row.getLong(0), row.getLong(1), row.getLong(2)) === ((50L, 50L, 150L)))
   }
 
+  test("audienceMatrix: every unordered pair, exact counts below capacity") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    // A = {0..99}, B = {50..149}, C = {0..9}: known pairwise overlaps
+    val df = (Seq.tabulate(100)(i => ("a", i.toLong)) ++
+      Seq.tabulate(100)(i => ("b", i.toLong + 50)) ++
+      Seq.tabulate(10)(i => ("c", i.toLong))).toDF("g", "id")
+    val m = Sketches.audienceMatrix(Sketches.thetaSketch(df, Seq("g"), "id"), "g")
+      .orderBy("dim_a", "dim_b")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(m.toSeq === Seq(
+      ("a", "b", 100L, 100L, 50L, 150L),
+      ("a", "c", 100L, 10L, 10L, 100L),
+      ("b", "c", 100L, 10L, 0L, 110L)))
+  }
+
   test("theta union agg rolls a sketch table up to the direct sketch") {
     import org.apache.spark.sql.functions._
     val events = spark.read.parquet(s"$sfDir/events.parquet")
