@@ -1,0 +1,113 @@
+#!/usr/bin/env python3
+"""Regenerate the binary SQLite test fixtures under src/test/resources/.
+
+Two files, both committed (small, deterministic):
+
+- forestation_subset.db: the byte-for-byte SQLite twin of
+  forestation_subset.sql (executescript of the dump). SqliteFileSpec
+  opens BOTH through their respective readers and asserts identical
+  schemas and row sets — the ".db matches its .dump" integration proof.
+
+- sqlite_edge_cases.db: adversarial page/record structure for the pure-JVM
+  reader: 512-byte pages, an INTEGER PRIMARY KEY rowid alias, every integer
+  serial-type width (1/2/3/4/6/8 bytes + the 0/1 constants), floats, NULLs,
+  unicode + empty text, blobs (empty / binary / all-256-bytes), a ~60 KB
+  text payload that spills across an overflow-page chain, and enough rows
+  (5000) to force interior b-tree pages at 512-byte page size.
+
+Run from the repo root: python3 scripts/gen_sqlite_fixtures.py
+"""
+import os
+import sqlite3
+
+RES = os.path.join(os.path.dirname(__file__), "..", "src", "test", "resources")
+
+
+def gen_forestation():
+    path = os.path.join(RES, "forestation_subset.db")
+    if os.path.exists(path):
+        os.remove(path)
+    con = sqlite3.connect(path)
+    with open(os.path.join(RES, "forestation_subset.sql")) as f:
+        con.executescript(f.read())
+    con.commit()
+    con.close()
+    print(f"wrote {path} ({os.path.getsize(path)} bytes)")
+
+
+def gen_edge_cases():
+    path = os.path.join(RES, "sqlite_edge_cases.db")
+    if os.path.exists(path):
+        os.remove(path)
+    con = sqlite3.connect(path)
+    cur = con.cursor()
+    cur.execute("PRAGMA page_size = 512")
+    cur.execute("""CREATE TABLE typed (
+        id INTEGER PRIMARY KEY,
+        i INTEGER,
+        r REAL,
+        t TEXT,
+        b BLOB
+    )""")
+    rows = [
+        (1, 0, 0.0, "", b""),
+        (2, 1, 1.5, "plain ascii", b"\x00\x01\x02"),
+        (3, -1, -2.25, "unicodé ✓ \U0001f600", bytes(range(256))),
+        (4, 127, 3.141592653589793, "tab\tnewline\nquote'", None),
+        (5, -128, -0.0, None, b"\xff\xfe"),
+        (6, 32767, 1e308, "x", b"x"),
+        (7, -32768, -1e-300, "y", None),
+        (8, 8388607, 2.0, None, None),
+        (9, -8388608, None, "z", None),
+        (10, 2147483647, None, None, None),
+        (11, -2147483648, 0.5, "w", b"w"),
+        (12, 140737488355327, 0.25, "48bit", None),       # 6-byte int
+        (13, -140737488355328, 0.125, "-48bit", None),
+        (14, 9223372036854775807, None, "max", None),      # 8-byte int
+        (15, -9223372036854775808, None, "min", None),
+        (16, None, None, None, None),                      # all-NULL payload
+    ]
+    cur.executemany("INSERT INTO typed VALUES (?,?,?,?,?)", rows)
+    # overflow chain: one ~60 KB text value at 512-byte pages spans >100
+    # overflow pages
+    big_text = ("abcdefghij" * 6000) + "END"
+    cur.execute("CREATE TABLE overflow (k INTEGER PRIMARY KEY, payload TEXT)")
+    cur.execute("INSERT INTO overflow VALUES (1, ?)", (big_text,))
+    cur.execute("INSERT INTO overflow VALUES (2, 'small')")
+    # interior pages: 5000 rows at 512-byte pages = a multi-level table tree
+    cur.execute("CREATE TABLE many (n INTEGER PRIMARY KEY, sq INTEGER, txt TEXT)")
+    cur.executemany("INSERT INTO many VALUES (?,?,?)",
+                    [(n, n * n, f"row-{n}") for n in range(1, 5001)])
+    con.commit()
+    con.close()
+    print(f"wrote {path} ({os.path.getsize(path)} bytes)")
+
+
+def gen_unsupported():
+    """Tiny fixtures for the reader's fail-loud paths."""
+    p1 = os.path.join(RES, "sqlite_without_rowid.db")
+    if os.path.exists(p1):
+        os.remove(p1)
+    con = sqlite3.connect(p1)
+    con.execute("CREATE TABLE wr (k TEXT PRIMARY KEY, v INTEGER) WITHOUT ROWID")
+    con.execute("INSERT INTO wr VALUES ('a', 1)")
+    con.commit()
+    con.close()
+    print(f"wrote {p1} ({os.path.getsize(p1)} bytes)")
+
+    p2 = os.path.join(RES, "sqlite_utf16.db")
+    if os.path.exists(p2):
+        os.remove(p2)
+    con = sqlite3.connect(p2)
+    con.execute("PRAGMA encoding = 'UTF-16'")
+    con.execute("CREATE TABLE t (x TEXT)")
+    con.execute("INSERT INTO t VALUES ('é')")
+    con.commit()
+    con.close()
+    print(f"wrote {p2} ({os.path.getsize(p2)} bytes)")
+
+
+if __name__ == "__main__":
+    gen_forestation()
+    gen_edge_cases()
+    gen_unsupported()

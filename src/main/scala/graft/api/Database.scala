@@ -235,13 +235,14 @@ object Database {
         return new Database(spark, tableMap, qc, dir, Option(cacheDir), fp)
       }
       if (Seq(".db", ".sqlite", ".sqlite3").exists(dir.endsWith)) {
-        if (!graft.sources.SqliteJdbc.driverAvailable)
-          throw new FileTypeError(
-            s"opening binary SQLite '$dir' needs a sqlite-jdbc driver on the " +
-              "classpath (this build ships none). Add one (--jars " +
-              "sqlite-jdbc-<version>.jar), or export the dump and open that: " +
-              s"sqlite3 '$dir' .dump > out.sql; Database.open(spark, \"out.sql\")")
-        val tableMap = graft.sources.SqliteJdbc.open(spark, dir)
+        // JDBC route when a sqlite-jdbc jar happens to be on the classpath
+        // (it streams table scans); otherwise graft's own pure-JVM reader
+        // parses the b-tree pages directly — the reference's direct-.db
+        // open (connection.py:64-78) with zero added dependencies either way
+        val tableMap =
+          if (graft.sources.SqliteJdbc.driverAvailable)
+            graft.sources.SqliteJdbc.open(spark, dir)
+          else graft.sources.SqliteFile.open(spark, dir)
         tableMap.foreach { case (n, df) => df.createOrReplaceTempView(n) }
         val qc = new QueryCache(cacheEnabled, maxItemMb, maxTotalMb)
         val fp = sourceFingerprint(Seq(target))

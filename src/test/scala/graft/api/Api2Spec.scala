@@ -237,16 +237,15 @@ class Api2Spec extends SparkSuite {
     db2.exit()
   }
 
-  test("binary sqlite without a driver: FileTypeError carrying the .dump workaround") {
-    // this build ships no sqlite-jdbc jar, so the .db path must fail loudly
-    // with the export recipe — never a silent stub. (With a driver jar on
-    // the classpath the same call opens the file via SqliteJdbc.)
+  test("binary sqlite: a corrupt .db fails loudly, never a silent stub") {
+    // without a sqlite-jdbc jar the .db path runs graft's pure-JVM reader
+    // (SqliteFileSpec covers real files); garbage bytes must raise the
+    // reference's FileTypeError, not return empty tables
     assert(!graft.sources.SqliteJdbc.driverAvailable)
     val f = Files.createTempDirectory("graftdb").resolve("forestation.db")
     Files.write(f, Array[Byte](1, 2, 3))
     val e = intercept[FileTypeError] { Database.open(spark, f.toString) }
-    assert(e.getMessage.contains("sqlite-jdbc"))
-    assert(e.getMessage.contains(".dump"))
+    assert(e.getMessage.contains("truncated") || e.getMessage.contains("magic"))
   }
 
   test("stale spill is discarded: fingerprint mismatch loads 0 entries") {

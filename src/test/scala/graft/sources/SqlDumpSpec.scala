@@ -119,11 +119,11 @@ class SqlDumpSpec extends SparkSuite {
   }
 
   test("the documented .db workaround end-to-end: sqlite3 .dump output of forestation.db opens") {
-    // binary SQLite .db stays out of scope (no SQLite driver in a zero-dep
-    // build; Database.open raises FileTypeError on it) — the documented
-    // workaround is `sqlite3 forestation.db .dump > forestation.sql` then
-    // Database.open("forestation.sql"). The fixture is real `.dump`-format
-    // output of the reference's data/forestation.db (schema + 40 rows/table).
+    // the `.dump` route remains supported alongside the direct binary open
+    // (SqliteFileSpec): `sqlite3 forestation.db .dump > forestation.sql`
+    // then Database.open("forestation.sql"). The fixture is real
+    // `.dump`-format output of the reference's data/forestation.db
+    // (schema + 40 rows/table).
     val res = getClass.getResource("/forestation_subset.sql")
     assume(res != null, "forestation dump fixture missing")
     val db = Database.open(spark, res.getPath)
@@ -143,11 +143,14 @@ class SqlDumpSpec extends SparkSuite {
     assert(la == Seq(69.5))
     assert(db("regions").toDf.where("income_group = 'Low income'").count() > 0)
     db.exit()
-    // and the direct .db open fails with the pointer, as documented
-    val err = intercept[graft.api.FileTypeError] {
-      Database.open(spark, "/root/reference/data/forestation.db")
+    // the direct .db open now succeeds too — through the pure-JVM binary
+    // reader (no JDBC jar in this build); equivalence with the dump twin
+    // is asserted table-by-table in SqliteFileSpec
+    if (new java.io.File("/root/reference/data/forestation.db").isFile) {
+      val direct = Database.open(spark, "/root/reference/data/forestation.db")
+      assert(direct.tables === Seq("forest_area", "land_area", "regions"))
+      direct.exit()
     }
-    assert(err.getMessage.contains(".sql"))
   }
 
   test("opens the reference parch-and-posey dump: catalog, counts, golden join") {
