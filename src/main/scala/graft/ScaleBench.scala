@@ -183,7 +183,87 @@ object ScaleBench {
         }
         m.toMap
       } catch { case _: Throwable => Map.empty }
-    val all: Map[String, (Double, Long)] = results ++ prod ++ guard
+    // Exact-percentile scaling A/B (request with the pseudo-name "pct"):
+    // StatsOps.exactPercentiles (range-exchange + index selection, nothing
+    // concentrates) vs Spark's built-in exact `percentile` (every
+    // partition's value→count map merged on ONE reducer — the known
+    // scale-killer the selection path was built to replace). Both run on
+    // the same HIGH-CARDINALITY derived column (distinct ∝ rows, via the
+    // per-copy-offset orderkey) because l_extendedprice alone repeats
+    // across gen_sf1 copies and would hold the built-in's merge map at
+    // sf0.1 size, hiding the pathology.
+    val pct: Map[String, (Double, Long)] =
+      if (!explicit.contains("pct")) Map.empty
+      else try {
+        val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .selectExpr("l_extendedprice + l_orderkey * 1e-7 AS v")
+        val fr = Seq(0.25, 0.5, 0.75, 0.9)
+        val sel = timeIt { graft.ops.StatsOps.exactPercentiles(li, "v", fr) }
+        val bi = timeIt {
+          li.agg(org.apache.spark.sql.functions.expr(
+            s"percentile(v, array(${fr.mkString(",")}))")).collect()
+          ()
+        }
+        Map("pct_selection[hc]" -> sel, "pct_builtin_1reducer[hc]" -> bi)
+      } catch { case scala.util.control.NonFatal(_) => Map.empty }
+    // Ingest-screen A/B (pseudo-name "ingest"): Layout.ingest (exact
+    // anti-join screen) vs Layout.ingestBloom (sketch prefilter + exact
+    // confirm) on the shape the prefilter exists for — a BIG store (90% of
+    // the corpus: at sf10 its 540k-key set is past the broadcast
+    // threshold, so the exact screen must shuffle the full-width batch)
+    // and a mostly-fresh batch (the withheld 10% + a 10%-of-batch dup
+    // sliver). Store rebuild happens OUTSIDE the timed window; each
+    // sample re-seeds so the ingest always runs against the same store
+    // state. At sf0.1 the key set is broadcastable and the two variants
+    // should tie — the crossover itself is the measurement.
+    val ing: Map[String, (Double, Long)] =
+      if (!explicit.contains("ingest")) Map.empty
+      else try {
+        import org.apache.spark.sql.functions.{col, md5, pmod, lit}
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        val seed = docs.filter(pmod(col("doc_id"), lit(10)) =!= 3)
+        val batch = docs.filter(pmod(col("doc_id"), lit(10)) === 3)
+          .unionByName(docs.filter(pmod(col("doc_id"), lit(100)) === 7))
+        val root = java.nio.file.Files.createTempDirectory("graft_scale_ing_")
+          .toFile.getAbsolutePath
+        def del(f: java.io.File): Unit = {
+          if (f.isDirectory)
+            Option(f.listFiles()).getOrElse(Array.empty).foreach(del)
+          f.delete(); ()
+        }
+        def sample(dir: String)(screen: => Unit): (Double, Long) = {
+          var failed = false
+          val samples = Seq.fill(runs) {
+            del(new java.io.File(dir))
+            graft.ops.Layout.writePartitioned(seed, dir, "lang", Seq("doc_id"))
+            drainListenerBus()
+            val b0 = shuffleBytes.get()
+            val t0 = System.nanoTime()
+            try screen catch {
+              case e: Throwable =>
+                failed = true
+                System.err.println(
+                  s"[scalebench] ingest FAILED: ${e.getClass.getName}: ${e.getMessage}")
+            }
+            val t = (System.nanoTime() - t0) / 1e9
+            drainListenerBus()
+            (t, shuffleBytes.get() - b0)
+          }
+          if (failed) (-1.0, 0L)
+          else (samples.map(_._1).min, samples.map(_._2).min)
+        }
+        val exact = sample(s"$root/exact") {
+          graft.ops.Layout.ingest(
+            batch, s"$root/exact", "lang", Seq("doc_id"), md5(col("text")))
+        }
+        val bloom = sample(s"$root/bloom") {
+          graft.ops.Layout.ingestBloom(
+            batch, s"$root/bloom", "lang", Seq("doc_id"), md5(col("text")))
+        }
+        Map("ingest_exact[big_store]" -> exact,
+          "ingest_bloom[big_store]" -> bloom)
+      } catch { case scala.util.control.NonFatal(_) => Map.empty }
+    val all: Map[String, (Double, Long)] = results ++ prod ++ guard ++ pct ++ ing
     val qs = all.toSeq.sortBy(_._1)
       .map { case (k, (t, _)) => f""""$k":$t%.3f""" }.mkString("{", ",", "}")
     // per-query min-of-runs shuffle write MB
