@@ -78,6 +78,17 @@ def gen_edge_cases():
     cur.execute("CREATE TABLE many (n INTEGER PRIMARY KEY, sq INTEGER, txt TEXT)")
     cur.executemany("INSERT INTO many VALUES (?,?,?)",
                     [(n, n * n, f"row-{n}") for n in range(1, 5001)])
+    # ALTER TABLE ADD COLUMN: rows 1-2 predate the new columns, so their
+    # on-disk records are SHORT and readers must serve the DDL DEFAULTs
+    # (7 / 'it''s' / NULL), exactly as SQLite does — not NULL across the
+    # board. Row 3 is inserted after and stores all five values.
+    cur.execute("CREATE TABLE altered (a INTEGER, t TEXT)")
+    cur.executemany("INSERT INTO altered VALUES (?,?)",
+                    [(1, "one"), (2, "two")])
+    cur.execute("ALTER TABLE altered ADD COLUMN d INTEGER DEFAULT 7")
+    cur.execute("ALTER TABLE altered ADD COLUMN s TEXT DEFAULT 'it''s'")
+    cur.execute("ALTER TABLE altered ADD COLUMN n REAL")
+    cur.execute("INSERT INTO altered VALUES (3, 'three', 30, 'later', 2.5)")
     con.commit()
     con.close()
     print(f"wrote {path} ({os.path.getsize(path)} bytes)")
