@@ -72,7 +72,7 @@ object ScaleBench {
         bus.getClass.getMethods.find(x =>
           x.getName == "waitUntilEmpty" && x.getParameterCount == 0)
           .foreach(_.invoke(bus))
-      } catch { case _: Throwable => Thread.sleep(200) }
+      } catch { case scala.util.control.NonFatal(_) => Thread.sleep(200) }
     // (time, shuffle-write bytes) of `body`, min over `runs` samples each.
     // A crashed sample must NOT masquerade as a fast run (time-to-crash can
     // be tiny): any failure poisons the query's result to (-1, 0) and logs
@@ -140,7 +140,7 @@ object ScaleBench {
       }
       Map(s"prod_semdedup_cells[nCells=$nCells]" -> cells,
         s"prod_semdedup_lsh[bits=$bits]" -> lsh)
-    } catch { case _: Throwable => Map.empty }
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
     // dfCap guard effect on the inverted-index forms, capped vs uncapped on
     // the same corpus — the number behind SCALE.md's Σ df² story. The cap is
     // an ABSOLUTE constant (~10-100× expected dup-cluster size), not a
@@ -182,7 +182,7 @@ object ScaleBench {
             }
         }
         m.toMap
-      } catch { case _: Throwable => Map.empty }
+      } catch { case scala.util.control.NonFatal(_) => Map.empty }
     // Exact-percentile scaling A/B (request with the pseudo-name "pct"):
     // StatsOps.exactPercentiles (range-exchange + index selection, nothing
     // concentrates) vs Spark's built-in exact `percentile` (every

@@ -161,7 +161,7 @@ final class Database private (
   def exit(): Unit = {
     saveCache()
     tempTableNames.foreach { n =>
-      try spark.table(n).unpersist(false) catch { case _: Throwable => () }
+      try spark.table(n).unpersist(false) catch { case scala.util.control.NonFatal(_) => () }
       spark.catalog.dropTempView(n)
     }
     tempTableNames.clear()

@@ -115,11 +115,11 @@ object TextOps {
     * invisible to the sweep.
     */
   def clearCaches(): Unit = {
-    sigCache.values.foreach(df => try df.unpersist(false) catch { case _: Throwable => () })
+    sigCache.values.foreach(df => try df.unpersist(false) catch { case scala.util.control.NonFatal(_) => () })
     sigCache.clear()
-    shingleCache.values.foreach(df => try df.unpersist(false) catch { case _: Throwable => () })
+    shingleCache.values.foreach(df => try df.unpersist(false) catch { case scala.util.control.NonFatal(_) => () })
     shingleCache.clear()
-    pairCache.values.foreach(df => try df.unpersist(false) catch { case _: Throwable => () })
+    pairCache.values.foreach(df => try df.unpersist(false) catch { case scala.util.control.NonFatal(_) => () })
     pairCache.clear()
     try Option(bandIdxRoot.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
     catch { case scala.util.control.NonFatal(_) => () }

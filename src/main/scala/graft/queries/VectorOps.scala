@@ -41,7 +41,7 @@ object VectorOps {
   /** Unpersist + drop the cached IVF assignments (idempotent). */
   def clearCaches(): Unit = {
     ivfCache.values.foreach(i =>
-      try i.assigned.unpersist(false) catch { case _: Throwable => () })
+      try i.assigned.unpersist(false) catch { case scala.util.control.NonFatal(_) => () })
     ivfCache.clear()
   }
 

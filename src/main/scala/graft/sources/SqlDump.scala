@@ -186,7 +186,7 @@ object SqlDump {
   def release(path: String): Unit =
     openDumps.keys.filter(_.endsWith(s"|$path")).foreach { k =>
       openDumps.remove(k).foreach(ds =>
-        try ds.unpersist(false) catch { case _: Throwable => () })
+        try ds.unpersist(false) catch { case scala.util.control.NonFatal(_) => () })
     }
 
   /** Collected non-INSERT text cap: DDL for any sane schema is KBs. A dump
@@ -218,7 +218,7 @@ object SqlDump {
     try openImpl(spark, path, lines)
     catch { case e: Throwable =>
       openDumps.remove(key).foreach(ds =>
-        try ds.unpersist(false) catch { case _: Throwable => () })
+        try ds.unpersist(false) catch { case scala.util.control.NonFatal(_) => () })
       throw e
     }
   }
