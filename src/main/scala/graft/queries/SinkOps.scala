@@ -208,6 +208,47 @@ object SinkOps {
         |  cast(sum(length(text)) AS BIGINT) AS text_len
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // -- CSV sink/source round trip, quote-hardened: the fixture text is
+    //    CSV-benign, so a suffix with a comma, an embedded quote, and a
+    //    NEWLINE is appended BEFORE the write — the written file exercises
+    //    quoting, escaping, and multi-line records. The oracle applies the
+    //    same suffix to the ORIGINAL table; equality proves the CSV
+    //    write→read cycle is lossless even for adversarial content -------
+    ("q_csv_roundtrip",
+      (s: SparkSession, d: String) => {
+        val dir = storeDir("csv", d)
+        // CSV is positional: pin the column order at the WRITE so the
+        // reader's explicit schema (no inference pass) lines up
+        t(s, d, "documents")
+          .select("doc_id", "lang", "text", "n_chars")
+          .withColumn("text", concat(col("text"), lit(", \"q\"\nline2")))
+          .write.option("header", true).mode("overwrite").csv(dir)
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("lang",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n_chars",
+            org.apache.spark.sql.types.LongType)))
+        s.read.schema(schema).option("header", true).option("multiLine", true)
+          .csv(dir)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("chars"),
+            sum(length(col("text")).cast("long")).as("text_len"),
+            min(col("doc_id")).as("first_id"))
+          .orderBy("lang")
+      },
+      """WITH x AS (SELECT doc_id, lang, n_chars,
+        |             text || ', "q"' || chr(10) || 'line2' AS text
+        |           FROM documents)
+        |SELECT lang, count(*) AS n_docs, cast(sum(n_chars) AS BIGINT) AS chars,
+        |  cast(sum(length(text)) AS BIGINT) AS text_len,
+        |  min(doc_id) AS first_id
+        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // -- Morton (Z-order) codes under the hash gate: the exact bit
     //    interleave Partitioning.zValue computes, replayed in DuckDB with
     //    the same magic-mask shifts. The layout/skipping effect is measured
