@@ -52,4 +52,30 @@ object Privacy {
   /** Replaces `textCol` in place with its redacted form. */
   def redact(df: DataFrame, textCol: String): DataFrame =
     df.withColumn(textCol, redactExpr(col(textCol)))
+
+  /** Adds `group_size`: how many rows share this row's quasi-identifier
+    * combination — the k-anonymity measure (a row is k-anonymous iff
+    * group_size ≥ k). A PARTITIONED window count: one hash exchange on
+    * the quasi-identifier columns, state bounded per group, no global
+    * window — the same shuffle a groupBy would pay, but keeping every
+    * row so the caller can audit or suppress.
+    */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(quasiCols.map(col): _*)
+    // functions.count, not this object's private regex-count helper
+    df.withColumn("group_size",
+      org.apache.spark.sql.functions.count(lit(1)).over(w))
+  }
+
+  /** Rows whose quasi-identifier combination occurs at least `k` times —
+    * the suppression pass that makes a release k-anonymous (rows in
+    * smaller groups are re-identifiable and dropped). The helper column
+    * does not survive.
+    */
+  def suppressSmallGroups(df: DataFrame, quasiCols: Seq[String],
+      k: Long): DataFrame =
+    kAnonymity(df, quasiCols)
+      .filter(col("group_size") >= k)
+      .drop("group_size")
 }

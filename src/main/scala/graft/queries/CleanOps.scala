@@ -222,6 +222,29 @@ object CleanOps {
         |  mf * 5 <= n AS r_repetition,
         |  (n BETWEEN 50 AND 100000) AND (sl >= n * 4 AND sl <= n * 10)
         |    AND stp >= 2 AND mf * 5 <= n AS pass
-        |FROM m ORDER BY doc_id""".stripMargin)
+        |FROM m ORDER BY doc_id""".stripMargin),
+
+    // -- k-anonymity suppression (ops/Privacy.suppressSmallGroups): rows
+    //    whose (nationkey, mktsegment) quasi-identifier combination occurs
+    //    fewer than k=8 times are re-identifiable and dropped before
+    //    "release"; the aggregate over the survivors is the audit. One
+    //    partitioned-window count — the same hash exchange a groupBy pays,
+    //    no global window ------------------------------------------------
+    ("q_k_anonymity",
+      (s: SparkSession, d: String) =>
+        graft.ops.Privacy.suppressSmallGroups(
+            t(s, d, "customer"), Seq("c_nationkey", "c_mktsegment"), k = 8L)
+          .groupBy("c_nationkey")
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("c_mktsegment")).as("n_segments"),
+            sum(cents(col("c_acctbal"))).as("acctbal_cents"))
+          .orderBy("c_nationkey"),
+      """WITH g AS (SELECT *, count(*) OVER (PARTITION BY c_nationkey, c_mktsegment) AS gs
+        |           FROM customer),
+        |a AS (SELECT * FROM g WHERE gs >= 8)
+        |SELECT c_nationkey, count(*) AS n_rows,
+        |  count(DISTINCT c_mktsegment) AS n_segments,
+        |  cast(sum(cast(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents
+        |FROM a GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 }

@@ -43,4 +43,25 @@ class PrivacySpec extends SparkSuite {
     val plan = Privacy.detect(docs, "text").queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("kAnonymity counts quasi-identifier groups; suppression drops small ones") {
+    val df = Seq(
+      ("us", "a"), ("us", "a"), ("us", "a"),   // group of 3
+      ("us", "b"), ("us", "b"),                // group of 2
+      ("fr", "a")                              // singleton — re-identifiable
+    ).toDF("country", "seg")
+    val sized = Privacy.kAnonymity(df, Seq("country", "seg"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(sized.count(_ == (("us", "a", 3L))) === 3)
+    assert(sized.count(_ == (("us", "b", 2L))) === 2)
+    assert(sized.count(_ == (("fr", "a", 1L))) === 1)
+    val k2 = Privacy.suppressSmallGroups(df, Seq("country", "seg"), k = 2L)
+    assert(k2.count() === 5 && k2.columns.toSeq === Seq("country", "seg"))
+    val k3 = Privacy.suppressSmallGroups(df, Seq("country", "seg"), k = 3L)
+    assert(k3.count() === 3)
+    // the window is PARTITIONED by the quasi-ids — never a global window
+    val plan = Privacy.kAnonymity(df, Seq("country", "seg"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("no partition defined"))
+  }
 }
