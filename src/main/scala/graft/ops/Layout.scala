@@ -100,6 +100,77 @@ object Layout {
     ()
   }
 
+  /** Compact ONLY the partition directories whose file count exceeds
+    * `maxFiles` — the 100 TB form of [[compact]]: a store with thousands
+    * of partition values accumulates appends unevenly, and rewriting the
+    * whole store to fix a handful of hot directories is a full-corpus
+    * write. Each fragmented directory is rewritten to one sorted file
+    * and swapped with the same crash-safe rename-aside protocol as
+    * [[compact]] (per directory: at least one complete copy on disk at
+    * every instant; [[recover]] on the subdirectory rolls an interrupted
+    * swap forward or back). Untouched directories are not read, not
+    * written, not even opened.
+    *
+    * Returns the partition directory names that were compacted.
+    */
+  def compactPartitions(spark: SparkSession, dir: String, sortCols: Seq[String],
+      maxFiles: Int = 1): Seq[String] = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    recoverPartitions(dir)
+    val base = dir.stripSuffix("/")
+    val fragmented = filesPerPartition(dir).filter(_._2 > maxFiles).keys.toSeq.sorted
+    fragmented.foreach { pd =>
+      val sub = s"$base/$pd"
+      // scratch names are DOT-prefixed so Spark's file index ignores them:
+      // a concurrent reader of the store mid-compact must never see a
+      // half-written `lang=...__tmp` directory parse as a partition value
+      val tmp = s"$base/.__compacting__$pd"
+      val old = s"$base/.__old__$pd"
+      // the partition column lives in the DIRECTORY NAME, not the files —
+      // reading the subdir yields the data columns only, which is exactly
+      // what the rewritten files must contain
+      spark.read.parquet(sub)
+        .repartition(1)
+        .sortWithinPartitions(sortCols.map(col): _*)
+        .write.mode("overwrite").parquet(tmp)
+      val subP = Paths.get(sub)
+      val tmpP = Paths.get(tmp)
+      val oldP = Paths.get(old)
+      Files.move(subP, oldP, StandardCopyOption.ATOMIC_MOVE)
+      try Files.move(tmpP, subP, StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case e: Throwable =>
+          Files.move(oldP, subP, StandardCopyOption.ATOMIC_MOVE)
+          throw e
+      }
+      deleteRecursively(oldP.toFile)
+    }
+    fragmented
+  }
+
+  /** Roll interrupted [[compactPartitions]] swaps forward or back from
+    * their dot-prefixed scratch leftovers — the per-directory analogue of
+    * [[recover]], run automatically at the start of compactPartitions.
+    * Safe on a healthy store (no-op).
+    */
+  def recoverPartitions(dir: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val base = dir.stripSuffix("/")
+    val entries = Option(new java.io.File(base).listFiles())
+      .getOrElse(Array.empty).map(_.getName)
+    entries.filter(_.startsWith(".__old__")).foreach { n =>
+      val pd = n.stripPrefix(".__old__")
+      val live = Paths.get(s"$base/$pd")
+      val oldP = Paths.get(s"$base/$n")
+      if (Files.exists(live)) deleteRecursively(oldP.toFile)
+      else Files.move(oldP, live, StandardCopyOption.ATOMIC_MOVE)
+    }
+    entries.filter(_.startsWith(".__compacting__")).foreach { n =>
+      deleteRecursively(new java.io.File(s"$base/$n"))
+    }
+    ()
+  }
+
   /** Append a batch to an existing partitioned store — same per-value
     * clustering and in-file sort as [[writePartitioned]], but additive:
     * each append lands ONE new file per touched partition directory.
@@ -180,10 +251,14 @@ object Layout {
     append(fresh, dir, partitionCol, sortCols)
   }
 
-  /** Data files per partition directory — the compaction health metric. */
+  /** Data files per partition directory — the compaction health metric.
+    * Dot/underscore-prefixed entries are skipped, matching Spark's file
+    * index (they are metadata or compaction scratch, never partitions).
+    */
   def filesPerPartition(dir: String): Map[String, Int] =
     Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.contains("="))
+      .filter(f => f.isDirectory && f.getName.contains("=") &&
+        !f.getName.startsWith(".") && !f.getName.startsWith("_"))
       .map(d => d.getName ->
         Option(d.listFiles()).getOrElse(Array.empty)
           .count(f => f.getName.endsWith(".parquet") || f.getName.endsWith(".orc")))

@@ -119,6 +119,34 @@ object SinkOps {
         |  cast(sum(cast(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // -- PARTITION-LEVEL compaction under the hash gate: fragment one
+    //    language dir by appending its slice, compact only-what's-
+    //    fragmented, read the whole store back. Equality (incl. the
+    //    doubled slice) proves the per-directory rewrite-and-swap kept
+    //    every row while the cold dirs were never rewritten (structural
+    //    half asserted in LayoutSpec) ------------------------------------
+    ("q_compact_partial",
+      (s: SparkSession, d: String) => {
+        val dir = storeDir("compactp", d)
+        val docs = t(s, d, "documents")
+        deleteRecursively(new java.io.File(dir))
+        graft.ops.Layout.writePartitioned(docs, dir, "lang", Seq("doc_id"))
+        graft.ops.Layout.append(
+          docs.filter(col("lang") === "en"), dir, "lang", Seq("doc_id"))
+        graft.ops.Layout.compactPartitions(s, dir, Seq("doc_id"))
+        s.read.parquet(dir)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("chars"),
+            countDistinct(col("doc_id")).as("n_ids"))
+          .orderBy("lang")
+      },
+      """WITH store AS (SELECT * FROM documents
+        |               UNION ALL SELECT * FROM documents WHERE lang = 'en')
+        |SELECT lang, count(*) AS n_docs, cast(sum(n_chars) AS BIGINT) AS chars,
+        |  count(DISTINCT doc_id) AS n_ids
+        |FROM store GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // -- dedup-screened incremental ingest: seed the store with the even
     //    half of the corpus, re-ingest the WHOLE corpus keyed on md5(text)
     //    — evens drop (self-match), odds drop iff their text already

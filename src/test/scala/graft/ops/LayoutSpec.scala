@@ -149,6 +149,55 @@ class LayoutSpec extends SparkSuite {
     assert(Layout.filesPerPartition(dir).values.forall(_ == 1))
   }
 
+  test("compactPartitions rewrites ONLY fragmented dirs, crash-recoverably") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = freshDir()
+    Layout.writePartitioned(docs, dir, "lang", Seq("doc_id"))
+    // fragment exactly ONE language by appending its slice again twice
+    val langs = Layout.filesPerPartition(dir).keys.toSeq.sorted
+    assert(langs.size > 1)
+    val hot = langs.head.stripPrefix("lang=")
+    val slice = docs.filter(col("lang") === hot)
+    Layout.append(slice, dir, "lang", Seq("doc_id"))
+    Layout.append(slice, dir, "lang", Seq("doc_id"))
+    val expected = docs.count() + 2 * slice.count()
+    // record the untouched dirs' file listing — partition-level compaction
+    // must not even rewrite them
+    def listing(pd: String): Seq[String] =
+      Option(new java.io.File(s"$dir/$pd").listFiles()).getOrElse(Array.empty)
+        .map(f => f.getName + ":" + f.lastModified).toSeq.sorted
+    val coldBefore = langs.tail.map(pd => pd -> listing(pd)).toMap
+
+    val compacted = Layout.compactPartitions(spark, dir, Seq("doc_id"))
+    assert(compacted === Seq(s"lang=$hot"))
+    val after = Layout.filesPerPartition(dir)
+    assert(after(s"lang=$hot") === 1, s"hot dir not compacted: $after")
+    langs.tail.foreach(pd =>
+      assert(listing(pd) === coldBefore(pd), s"cold dir $pd was touched"))
+    assert(spark.read.parquet(dir).count() === expected)
+    // and rows inside the rewritten file are sorted
+    val ids = spark.read.parquet(s"$dir/lang=$hot")
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(ids.sameElements(ids.sorted))
+
+    // crash simulation: partition renamed aside, nothing swapped in — the
+    // dot-prefixed scratch is invisible to a plain reader, and
+    // recoverPartitions rolls it back
+    val live = Paths.get(s"$dir/lang=$hot")
+    val oldP = Paths.get(s"$dir/.__old__lang=$hot")
+    Files.move(live, oldP, StandardCopyOption.ATOMIC_MOVE)
+    assert(spark.read.parquet(dir).count() === expected - slice.count() * 3,
+      "reader mid-crash must see the store minus the in-flight partition, " +
+        "never a scratch dir parsed as a partition value")
+    Layout.recoverPartitions(dir)
+    assert(spark.read.parquet(dir).count() === expected)
+    // leftover scratch from an interrupted rewrite is swept
+    Files.createDirectories(Paths.get(s"$dir/.__compacting__lang=$hot"))
+    Layout.compactPartitions(spark, dir, Seq("doc_id"))
+    assert(!Files.exists(Paths.get(s"$dir/.__compacting__lang=$hot")))
+    assert(spark.read.parquet(dir).count() === expected)
+  }
+
   test("ingest: null keys screen null-safely; absent store degrades to append") {
     val dir = freshDir()
     val twoNulls = docs.limit(4)
