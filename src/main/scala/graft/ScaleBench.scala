@@ -263,7 +263,61 @@ object ScaleBench {
         Map("ingest_exact[big_store]" -> exact,
           "ingest_bloom[big_store]" -> bloom)
       } catch { case scala.util.control.NonFatal(_) => Map.empty }
-    val all: Map[String, (Double, Long)] = results ++ prod ++ guard ++ pct ++ ing
+    // Compaction A/B (pseudo-name "compact"): full-store compact vs
+    // partition-level compactPartitions on the SAME fragmentation state —
+    // one hot language appended twice, the other dirs clean. The partial
+    // pass must win by roughly the cold-data fraction, because it never
+    // opens the cold directories at all.
+    val cmp: Map[String, (Double, Long)] =
+      if (!explicit.contains("compact")) Map.empty
+      else try {
+        import org.apache.spark.sql.functions.col
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        val hot = docs.filter(col("lang") === "en")
+        val root = java.nio.file.Files.createTempDirectory("graft_scale_cmp_")
+          .toFile.getAbsolutePath
+        def del(f: java.io.File): Unit = {
+          if (f.isDirectory)
+            Option(f.listFiles()).getOrElse(Array.empty).foreach(del)
+          f.delete(); ()
+        }
+        def seeded(dir: String): Unit = {
+          del(new java.io.File(dir))
+          graft.ops.Layout.writePartitioned(docs, dir, "lang", Seq("doc_id"))
+          graft.ops.Layout.append(hot, dir, "lang", Seq("doc_id"))
+          graft.ops.Layout.append(hot, dir, "lang", Seq("doc_id"))
+        }
+        def sample(dir: String)(body: => Unit): (Double, Long) = {
+          var failed = false
+          val samples = Seq.fill(runs) {
+            seeded(dir)
+            drainListenerBus()
+            val b0 = shuffleBytes.get()
+            val t0 = System.nanoTime()
+            try body catch {
+              case e: Throwable =>
+                failed = true
+                System.err.println(
+                  s"[scalebench] compact FAILED: ${e.getClass.getName}: ${e.getMessage}")
+            }
+            val t = (System.nanoTime() - t0) / 1e9
+            drainListenerBus()
+            (t, shuffleBytes.get() - b0)
+          }
+          if (failed) (-1.0, 0L)
+          else (samples.map(_._1).min, samples.map(_._2).min)
+        }
+        val full = sample(s"$root/full") {
+          graft.ops.Layout.compact(spark, s"$root/full", "lang", Seq("doc_id"))
+        }
+        val part = sample(s"$root/part") {
+          graft.ops.Layout.compactPartitions(spark, s"$root/part", Seq("doc_id"))
+          ()
+        }
+        Map("compact_full[1_hot_lang]" -> full,
+          "compact_partitions[1_hot_lang]" -> part)
+      } catch { case scala.util.control.NonFatal(_) => Map.empty }
+    val all: Map[String, (Double, Long)] = results ++ prod ++ guard ++ pct ++ ing ++ cmp
     val qs = all.toSeq.sortBy(_._1)
       .map { case (k, (t, _)) => f""""$k":$t%.3f""" }.mkString("{", ",", "}")
     // per-query min-of-runs shuffle write MB
