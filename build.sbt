@@ -39,3 +39,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// Surface deprecation sites at compile time (kept on since round 10).
+ThisBuild / scalacOptions += "-deprecation"

@@ -44,7 +44,7 @@ final class Col private[api] (
 
   /** Non-null count (reference: column.py:162-166). */
   def count: Long = cache.memo(colDf.agg(F.count(c))) {
-    df.agg(F.count(c)).head.getLong(0)
+    df.agg(F.count(c)).head().getLong(0)
   }
 
   /** Null count (reference: column.py:168-172). */
@@ -53,18 +53,18 @@ final class Col private[api] (
   }
 
   def min: Any = cache.memo(df.agg(Aggs.minAgg(c))) {
-    df.agg(Aggs.minAgg(c)).head.get(0)
+    df.agg(Aggs.minAgg(c)).head().get(0)
   }
 
   def max: Any = cache.memo(df.agg(Aggs.maxAgg(c))) {
-    df.agg(Aggs.maxAgg(c)).head.get(0)
+    df.agg(Aggs.maxAgg(c)).head().get(0)
   }
 
   /** Sum; raises on non-numeric columns (reference: column.py:186-196). */
   def sum: Double = {
     requireNumeric("sum")
     cache.memo(df.agg(Aggs.sumAgg(c))) {
-      val r = df.agg(Aggs.sumAgg(c)).head
+      val r = df.agg(Aggs.sumAgg(c)).head()
       if (r.isNullAt(0)) 0.0 else r.getDouble(0)
     }
   }
@@ -72,7 +72,7 @@ final class Col private[api] (
   /** Mean; raises on non-numeric columns (reference: column.py:198-208). */
   def avg: Double = {
     requireNumeric("avg")
-    val r = cache.memo(df.agg(Aggs.avgAgg(c)))(df.agg(Aggs.avgAgg(c)).head)
+    val r = cache.memo(df.agg(Aggs.avgAgg(c)))(df.agg(Aggs.avgAgg(c)).head())
     if (r.isNullAt(0)) Double.NaN else r.getDouble(0)
   }
 

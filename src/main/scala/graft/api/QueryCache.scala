@@ -30,8 +30,7 @@ final class QueryCache(
     val enabled: Boolean = true,
     val maxItemMb: Double = 2.0,
     val maxTotalMb: Double = 100.0) {
-
-  private final case class Entry(value: Any, bytes: Long)
+  import QueryCache.Entry
 
   // access-order LinkedHashMap (same shape as Table.indexedMemo): get/put
   // bump recency, eviction pops the eldest. All access goes through the
@@ -199,4 +198,9 @@ final class QueryCache(
     }
     n
   }
+}
+
+object QueryCache {
+  // top-level so the pattern-match type test needs no outer-instance check
+  private[api] final case class Entry(value: Any, bytes: Long)
 }
