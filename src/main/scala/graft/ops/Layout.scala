@@ -184,6 +184,53 @@ object Layout {
       .write.mode("append").partitionBy(partitionCol).parquet(dir)
   }
 
+  /** Batch-VERSIONED append: rows land under
+    * `partitionCol=X/ingest_batch=N/` with N = 1 + the highest batch id
+    * already in the store (0-based first batch). The second partition
+    * level turns "reprocess everything since my last checkpoint" — the
+    * incremental-consumer pattern of every downstream trainer — into a
+    * DIRECTORY-PRUNED scan via [[readSince]]: consuming batch N+1..M of a
+    * 100 TB store opens only those batches' files, no matter how big the
+    * history is. Returns the batch id it wrote.
+    *
+    * Same one-file-per-value clustering as [[append]]; fragmentation per
+    * batch is one file per touched partition value, and old batches are
+    * immutable once written (compaction would merge batch dirs and break
+    * the checkpoint contract — deliberately not offered for versioned
+    * stores).
+    */
+  def appendBatch(df: DataFrame, dir: String, partitionCol: String,
+      sortCols: Seq[String]): Long = {
+    val next = nextBatchId(dir)
+    df.withColumn("ingest_batch", lit(next))
+      .repartition(col(partitionCol))
+      .sortWithinPartitions((partitionCol +: sortCols).map(col): _*)
+      .write.mode("append").partitionBy(partitionCol, "ingest_batch").parquet(dir)
+    next
+  }
+
+  /** 1 + the highest `ingest_batch=` id present under any partition dir
+    * of `dir`; 0 for an absent or empty store. Pure directory listing —
+    * no file is opened.
+    */
+  def nextBatchId(dir: String): Long = {
+    val parts = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.contains("=") &&
+        !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+    val ids = parts.flatMap(p =>
+      Option(p.listFiles()).getOrElse(Array.empty)
+        .filter(b => b.isDirectory && b.getName.startsWith("ingest_batch="))
+        .flatMap(b => b.getName.stripPrefix("ingest_batch=").toLongOption))
+    if (ids.isEmpty) 0L else ids.max + 1L
+  }
+
+  /** Rows of batches `fromBatch` and later — the incremental consume.
+    * The `ingest_batch >= fromBatch` filter prunes at the DIRECTORY level
+    * (asserted via scan metrics in LayoutSpec): history never rescans.
+    */
+  def readSince(spark: SparkSession, dir: String, fromBatch: Long): DataFrame =
+    spark.read.parquet(dir).filter(col("ingest_batch") >= fromBatch)
+
   /** Dedup-screened incremental ingest: append only the rows of `batch`
     * whose `keyExpr` (a content key — e.g. `md5(col("text"))`) does not
     * already exist in the store. The screen scans ONLY the key expression's

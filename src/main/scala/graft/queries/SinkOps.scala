@@ -208,6 +208,36 @@ object SinkOps {
         |  count(DISTINCT doc_id) AS n_ids
         |FROM store GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // -- batch-versioned store + incremental consume: three thirds of the
+    //    corpus appended as batches 0/1/2, the consumer reads "since batch
+    //    1". The oracle recomputes that slice relationally; equality proves
+    //    batch assignment and the pruned incremental read (pruning itself
+    //    asserted via scan metrics in LayoutSpec) -------------------------
+    ("q_ingest_since",
+      (s: SparkSession, d: String) => {
+        val dir = storeDir("since", d)
+        val docs = t(s, d, "documents")
+        deleteRecursively(new java.io.File(dir))
+        graft.ops.Layout.appendBatch(
+          docs.filter(pmod(col("doc_id"), lit(3)) === 0), dir, "lang", Seq("doc_id"))
+        graft.ops.Layout.appendBatch(
+          docs.filter(pmod(col("doc_id"), lit(3)) === 1), dir, "lang", Seq("doc_id"))
+        graft.ops.Layout.appendBatch(
+          docs.filter(pmod(col("doc_id"), lit(3)) === 2), dir, "lang", Seq("doc_id"))
+        graft.ops.Layout.readSince(s, dir, 1L)
+          // partition-dir values infer as INT; pin LONG to match the oracle
+          .groupBy(col("lang"), col("ingest_batch").cast("long").as("ingest_batch"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("chars"),
+            min(col("doc_id")).as("first_id"))
+          .orderBy("lang", "ingest_batch")
+      },
+      """SELECT lang, cast(doc_id % 3 AS BIGINT) AS ingest_batch,
+        |  count(*) AS n_docs, cast(sum(n_chars) AS BIGINT) AS chars,
+        |  min(doc_id) AS first_id
+        |FROM documents WHERE doc_id % 3 >= 1
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
     // -- JSON-lines sink/source round trip: the interchange format of every
     //    crawl/annotation pipeline. Schema pinned explicitly on read (no
     //    inference pass over the data); strings and longs round-trip

@@ -230,6 +230,38 @@ class LayoutSpec extends SparkSuite {
       "bloom-prefiltered ingest diverged from the exact screen")
   }
 
+  test("appendBatch versions the store; readSince prunes history directories") {
+    val dir = freshDir()
+    val b0 = docs.filter(col("doc_id") % 3 === 0)
+    val b1 = docs.filter(col("doc_id") % 3 === 1)
+    val b2 = docs.filter(col("doc_id") % 3 === 2)
+    assert(Layout.appendBatch(b0, dir, "lang", Seq("doc_id")) === 0L)
+    assert(Layout.appendBatch(b1, dir, "lang", Seq("doc_id")) === 1L)
+    assert(Layout.appendBatch(b2, dir, "lang", Seq("doc_id")) === 2L)
+    assert(Layout.nextBatchId(dir) === 3L)
+    // full read sees everything; incremental read sees batches 1..2 only
+    assert(spark.read.parquet(dir).count() === docs.count())
+    val since1 = Layout.readSince(spark, dir, 1L)
+    assert(since1.count() === b1.count() + b2.count())
+    // and the batch filter prunes at the DIRECTORY level: the scan opens
+    // no batch-0 file (numFiles metric, AQE off — the LayoutSpec pruning
+    // recipe)
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val totalFiles = spark.read.parquet(dir).inputFiles.length
+      val pruned = Layout.readSince(spark, dir, 2L)
+      val n = pruned.collect().length.toLong
+      assert(n === b2.count())
+      val scans = pruned.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      val opened = scans.map(_.metrics("numFiles").value).sum
+      assert(opened < totalFiles / 2,
+        s"readSince(2) opened $opened of $totalFiles files — batch pruning lost")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+  }
+
   test("ORC round trip preserves rows and schema") {
     val dir = freshDir()
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
