@@ -176,12 +176,49 @@ object Layout {
     * each append lands ONE new file per touched partition directory.
     * Fragmentation grows by one file per batch per value; [[compact]] is
     * the periodic remedy (spec'd together in LayoutSpec).
+    *
+    * Schema drift fails LOUD: appending a batch whose columns differ
+    * from the store (a crawl pipeline that renamed or retyped a field)
+    * would otherwise succeed silently and surface later as NULLs in
+    * whichever files lack the column — the worst kind of corruption at
+    * 100 TB, discovered by a trainer weeks later. One footer-only schema
+    * read guards every append.
     */
   def append(df: DataFrame, dir: String, partitionCol: String,
       sortCols: Seq[String]): Unit = {
+    requireSchemaMatch(df, dir)
     df.repartition(col(partitionCol))
       .sortWithinPartitions((partitionCol +: sortCols).map(col): _*)
       .write.mode("append").partitionBy(partitionCol).parquet(dir)
+  }
+
+  /** Fail-loud guard: the batch's (name → type) map must equal the
+    * store's (partition columns included — they come back from directory
+    * names on read). No-op when the store does not exist yet. Column
+    * ORDER is not compared; parquet is by-name.
+    */
+  private[ops] def requireSchemaMatch(df: DataFrame, dir: String): Unit = {
+    if (!new java.io.File(dir).exists()) return
+    val store = df.sparkSession.read.parquet(dir).schema
+    def sig(s: org.apache.spark.sql.types.StructType): Map[String, String] =
+      s.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    val batchSig = sig(df.schema).filterNot(_._1 == "ingest_batch")
+    val storeSig = sig(store)
+      // partition values inferred from dir names may come back narrower
+      // (e.g. ingest_batch=0 infers int); the batch id column is managed
+      // by appendBatch, not the caller — exclude it from the contract
+      .filterNot(_._1 == "ingest_batch")
+    if (batchSig != storeSig) {
+      val missing = storeSig.keySet -- batchSig.keySet
+      val extra = batchSig.keySet -- storeSig.keySet
+      val retyped = (batchSig.keySet & storeSig.keySet)
+        .filter(k => batchSig(k) != storeSig(k))
+        .map(k => s"$k: store ${storeSig(k)} vs batch ${batchSig(k)}")
+      throw new IllegalArgumentException(
+        s"append to '$dir' refused — batch schema drifted from the store. " +
+          s"missing=${missing.mkString(",")} extra=${extra.mkString(",")} " +
+          s"retyped=${retyped.mkString(";")}")
+    }
   }
 
   /** Batch-VERSIONED append: rows land under
@@ -201,6 +238,7 @@ object Layout {
     */
   def appendBatch(df: DataFrame, dir: String, partitionCol: String,
       sortCols: Seq[String]): Long = {
+    requireSchemaMatch(df, dir)
     val next = nextBatchId(dir)
     df.withColumn("ingest_batch", lit(next))
       .repartition(col(partitionCol))

@@ -262,6 +262,32 @@ class LayoutSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
   }
 
+  test("append refuses a schema-drifted batch, loudly and specifically") {
+    val dir = freshDir()
+    Layout.writePartitioned(docs, dir, "lang", Seq("doc_id"))
+    // renamed column
+    val renamed = docs.withColumnRenamed("n_chars", "nchars")
+    val e1 = intercept[IllegalArgumentException] {
+      Layout.append(renamed, dir, "lang", Seq("doc_id"))
+    }
+    assert(e1.getMessage.contains("missing=n_chars") &&
+      e1.getMessage.contains("extra=nchars"))
+    // retyped column
+    val retyped = docs.withColumn("n_chars", col("n_chars").cast("int"))
+    val e2 = intercept[IllegalArgumentException] {
+      Layout.append(retyped, dir, "lang", Seq("doc_id"))
+    }
+    assert(e2.getMessage.contains("n_chars: store bigint vs batch int"))
+    // matching batch still appends; versioned stores get the same guard
+    Layout.append(docs.limit(5), dir, "lang", Seq("doc_id"))
+    val vdir = freshDir()
+    Layout.appendBatch(docs, vdir, "lang", Seq("doc_id"))
+    intercept[IllegalArgumentException] {
+      Layout.appendBatch(renamed, vdir, "lang", Seq("doc_id"))
+    }
+    Layout.appendBatch(docs.limit(3), vdir, "lang", Seq("doc_id")) // still fine
+  }
+
   test("ORC round trip preserves rows and schema") {
     val dir = freshDir()
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
