@@ -269,6 +269,63 @@ object Layout {
   def readSince(spark: SparkSession, dir: String, fromBatch: Long): DataFrame =
     spark.read.parquet(dir).filter(col("ingest_batch") >= fromBatch)
 
+  // ---- per-consumer checkpoints on a versioned store --------------------
+  // A named consumer records the last batch it fully processed; its next
+  // run reads exactly the batches it has not seen. The records live in an
+  // UNDERSCORE-prefixed sidecar dir (readers ignore it, like _SUCCESS),
+  // one file per consumer, written atomically (tmp + ATOMIC_MOVE) so a
+  // crash mid-commit leaves the previous checkpoint intact.
+
+  private def checkpointFile(dir: String, consumer: String): java.io.File = {
+    require(consumer.matches("[A-Za-z0-9._-]+"),
+      s"consumer name '$consumer' must be a plain token (it names a file)")
+    new java.io.File(s"${dir.stripSuffix("/")}/_graft_checkpoints/$consumer")
+  }
+
+  /** Last batch id `consumer` committed for this store, or -1 for a
+    * first-time consumer.
+    */
+  def lastCheckpoint(dir: String, consumer: String): Long = {
+    val f = checkpointFile(dir, consumer)
+    if (!f.isFile) -1L
+    else new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      .trim.toLong
+  }
+
+  /** Record that `consumer` has fully processed batches up to and
+    * including `batch`. Atomic replace; concurrent consumers use
+    * different names and never contend.
+    */
+  def commitCheckpoint(dir: String, consumer: String, batch: Long): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
+    val f = checkpointFile(dir, consumer)
+    Files.createDirectories(f.getParentFile.toPath)
+    val tmp = new java.io.File(f.getParentFile, s".${f.getName}.tmp").toPath
+    Files.write(tmp, batch.toString.getBytes("UTF-8"))
+    Files.move(tmp, f.toPath, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
+  /** The batches `consumer` has not yet processed (empty frame when none),
+    * paired with the last batch id currently in the store — commit THAT id
+    * after processing succeeds:
+    * {{{
+    *   val (fresh, upTo) = Layout.readNew(spark, dir, "tokenizer-v2")
+    *   process(fresh)
+    *   Layout.commitCheckpoint(dir, "tokenizer-v2", upTo)
+    * }}}
+    * Read-then-commit keeps at-least-once semantics: a batch appended
+    * between the read and the commit is NOT skipped (the committed id is
+    * the one captured at read time, not "latest at commit time").
+    */
+  def readNew(spark: SparkSession, dir: String,
+      consumer: String): (DataFrame, Long) = {
+    val upTo = nextBatchId(dir) - 1L
+    val from = lastCheckpoint(dir, consumer) + 1L
+    (readSince(spark, dir, from).filter(col("ingest_batch") <= upTo), upTo)
+  }
+
   /** Dedup-screened incremental ingest: append only the rows of `batch`
     * whose `keyExpr` (a content key — e.g. `md5(col("text"))`) does not
     * already exist in the store. The screen scans ONLY the key expression's

@@ -262,6 +262,34 @@ class LayoutSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
   }
 
+  test("consumer checkpoints: readNew sees exactly the unprocessed batches") {
+    val dir = freshDir()
+    val b0 = docs.filter(col("doc_id") % 3 === 0)
+    val b1 = docs.filter(col("doc_id") % 3 === 1)
+    val b2 = docs.filter(col("doc_id") % 3 === 2)
+    Layout.appendBatch(b0, dir, "lang", Seq("doc_id"))
+    Layout.appendBatch(b1, dir, "lang", Seq("doc_id"))
+    // first-time consumer sees everything
+    assert(Layout.lastCheckpoint(dir, "trainer") === -1L)
+    val (fresh1, upTo1) = Layout.readNew(spark, dir, "trainer")
+    assert(fresh1.count() === b0.count() + b1.count() && upTo1 === 1L)
+    Layout.commitCheckpoint(dir, "trainer", upTo1)
+    // nothing new until another batch lands
+    val (none, upTo2) = Layout.readNew(spark, dir, "trainer")
+    assert(none.count() === 0L && upTo2 === 1L)
+    Layout.appendBatch(b2, dir, "lang", Seq("doc_id"))
+    val (fresh2, upTo3) = Layout.readNew(spark, dir, "trainer")
+    assert(fresh2.count() === b2.count() && upTo3 === 2L)
+    // independent consumers do not share state
+    assert(Layout.readNew(spark, dir, "embedder")._1.count() === docs.count())
+    // the sidecar dir is invisible to plain readers of the store
+    assert(spark.read.parquet(dir).count() === docs.count())
+    // a name that would escape the sidecar dir is refused
+    intercept[IllegalArgumentException] {
+      Layout.commitCheckpoint(dir, "../evil", 0L)
+    }
+  }
+
   test("append refuses a schema-drifted batch, loudly and specifically") {
     val dir = freshDir()
     Layout.writePartitioned(docs, dir, "lang", Seq("doc_id"))
