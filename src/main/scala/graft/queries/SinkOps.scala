@@ -238,6 +238,37 @@ object SinkOps {
         |FROM documents WHERE doc_id % 3 >= 1
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
 
+    // -- checkpointed consume: same three-batch store, but the consumer
+    //    has already committed batch 0 — readNew must return exactly
+    //    batches 1..2 (the at-least-once read-then-commit loop). Oracle
+    //    recomputes the slice relationally ------------------------------
+    ("q_consume_new",
+      (s: SparkSession, d: String) => {
+        val dir = storeDir("consume", d)
+        val docs = t(s, d, "documents")
+        deleteRecursively(new java.io.File(dir))
+        graft.ops.Layout.appendBatch(
+          docs.filter(pmod(col("doc_id"), lit(3)) === 0), dir, "lang", Seq("doc_id"))
+        graft.ops.Layout.appendBatch(
+          docs.filter(pmod(col("doc_id"), lit(3)) === 1), dir, "lang", Seq("doc_id"))
+        graft.ops.Layout.appendBatch(
+          docs.filter(pmod(col("doc_id"), lit(3)) === 2), dir, "lang", Seq("doc_id"))
+        graft.ops.Layout.commitCheckpoint(dir, "gate_consumer", 0L)
+        val (fresh, upTo) = graft.ops.Layout.readNew(s, dir, "gate_consumer")
+        fresh
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("chars"),
+            max(col("ingest_batch").cast("long")).as("max_batch"),
+            lit(upTo).as("up_to"))
+          .orderBy("lang")
+      },
+      """SELECT lang, count(*) AS n_docs, cast(sum(n_chars) AS BIGINT) AS chars,
+        |  cast(max(doc_id % 3) AS BIGINT) AS max_batch,
+        |  cast(2 AS BIGINT) AS up_to
+        |FROM documents WHERE doc_id % 3 >= 1
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // -- JSON-lines sink/source round trip: the interchange format of every
     //    crawl/annotation pipeline. Schema pinned explicitly on read (no
     //    inference pass over the data); strings and longs round-trip
