@@ -106,6 +106,16 @@ def gen_unsupported():
     con.close()
     print(f"wrote {p1} ({os.path.getsize(p1)} bytes)")
 
+    p3 = os.path.join(RES, "sqlite_virtual.db")
+    if os.path.exists(p3):
+        os.remove(p3)
+    con = sqlite3.connect(p3)
+    con.execute("CREATE VIRTUAL TABLE ft USING fts5(content)")
+    con.execute("INSERT INTO ft VALUES ('hello virtual world')")
+    con.commit()
+    con.close()
+    print(f"wrote {p3} ({os.path.getsize(p3)} bytes)")
+
     p2 = os.path.join(RES, "sqlite_utf16.db")
     if os.path.exists(p2):
         os.remove(p2)
