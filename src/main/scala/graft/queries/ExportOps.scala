@@ -34,6 +34,32 @@ object ExportOps {
         |       ELSE 'test' END AS split
         |FROM b ORDER BY doc_id""".stripMargin),
 
+    // -- GROUP-level holdout: split keyed on `source` instead of doc_id,
+    //    so every document of a source lands in the SAME split — the
+    //    leakage-free eval discipline when documents within a source are
+    //    correlated (near-dups, shared boilerplate). The aggregate proves
+    //    both the assignment and the invariant: n_splits_per_source = 1
+    //    for every source, recomputed relationally by the oracle ----------
+    ("q_group_split",
+      (s: SparkSession, d: String) =>
+        graft.ops.Export.hashSplit(
+            t(s, d, "documents").select("doc_id", "source"), "source", "grp")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("split")).as("n_splits"),
+            min(col("split")).as("split"))
+          .orderBy("source"),
+      """WITH b AS (SELECT doc_id, source,
+        |  ('0x' || substr(md5(source || '|grp'), 1, 8))::BIGINT % 100 AS bucket
+        |  FROM documents),
+        |sp AS (SELECT doc_id, source,
+        |  CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |  FROM b)
+        |SELECT source, count(*) AS n_docs,
+        |  count(DISTINCT split) AS n_splits, min(split) AS split
+        |FROM sp GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // -- seeded global shuffle as a distributed sort: training order =
     //    ORDER BY md5(doc_id | seed). No RNG state, retry-stable, and the
     //    top-k here plans as TakeOrderedAndProject (no full result pull) --
