@@ -94,6 +94,71 @@ def gen_edge_cases():
     print(f"wrote {path} ({os.path.getsize(path)} bytes)")
 
 
+def gen_pk_forms():
+    """Every rowid-alias declaration shape plus the documented exceptions
+    (sqlite.org/lang_createtable.html#rowid), with inserted values chosen
+    so an alias mistake is VISIBLE: ids never equal what the rowid would
+    be if the reader confused the two."""
+    path = os.path.join(RES, "sqlite_pk_forms.db")
+    if os.path.exists(path):
+        os.remove(path)
+    con = sqlite3.connect(path)
+    cur = con.cursor()
+    # alias via table-level constraint
+    cur.execute("CREATE TABLE t_table_pk (id INTEGER, v TEXT, PRIMARY KEY(id))")
+    cur.executemany("INSERT INTO t_table_pk VALUES (?,?)",
+                    [(100, "a"), (205, "b")])
+    # alias with intervening NOT NULL
+    cur.execute("CREATE TABLE t_nn_pk (id INTEGER NOT NULL PRIMARY KEY, v TEXT)")
+    cur.executemany("INSERT INTO t_nn_pk VALUES (?,?)", [(300, "c"), (41, "d")])
+    # the documented NON-alias exception: column-level PRIMARY KEY DESC
+    cur.execute("CREATE TABLE t_desc_pk (id INTEGER PRIMARY KEY DESC, v TEXT)")
+    cur.executemany("INSERT INTO t_desc_pk VALUES (?,?)", [(500, "e"), (77, "f")])
+    # NON-alias: type INT (integer AFFINITY but not the exact word INTEGER)
+    cur.execute("CREATE TABLE t_int_pk (id INT PRIMARY KEY, v TEXT)")
+    cur.executemany("INSERT INTO t_int_pk VALUES (?,?)", [(900, "g"), (13, "h")])
+    # defaults: exponent form is REAL 100000.0; a CHECK clause containing
+    # the text 'DEFAULT 9' must NOT be parsed as a default
+    cur.execute("CREATE TABLE t_defaults (a INTEGER)")
+    cur.execute("INSERT INTO t_defaults VALUES (1)")
+    cur.execute("ALTER TABLE t_defaults ADD COLUMN r REAL DEFAULT 1e5")
+    cur.execute("ALTER TABLE t_defaults ADD COLUMN s TEXT "
+                "CHECK (s IS NULL OR s <> 'DEFAULT 9')")
+    cur.execute("INSERT INTO t_defaults VALUES (2, 2.5, 'x')")
+    con.commit()
+    con.close()
+    print(f"wrote {path} ({os.path.getsize(path)} bytes)")
+
+    # strict + without rowid table options in combination (3.37+)
+    p2 = os.path.join(RES, "sqlite_wr_strict.db")
+    if os.path.exists(p2):
+        os.remove(p2)
+    con = sqlite3.connect(p2)
+    con.execute("CREATE TABLE wrs (k TEXT PRIMARY KEY, v INTEGER) "
+                "WITHOUT ROWID, STRICT")
+    con.execute("INSERT INTO wrs VALUES ('a', 1)")
+    con.commit()
+    con.close()
+    print(f"wrote {p2} ({os.path.getsize(p2)} bytes)")
+
+    # hot vs cold rollback journals: same tiny db, sibling -journal files
+    for name, hot in (("sqlite_hot_journal.db", True),
+                      ("sqlite_cold_journal.db", False)):
+        p = os.path.join(RES, name)
+        if os.path.exists(p):
+            os.remove(p)
+        con = sqlite3.connect(p)
+        con.execute("CREATE TABLE t (x INTEGER)")
+        con.execute("INSERT INTO t VALUES (1)")
+        con.commit()
+        con.close()
+        magic = bytes([0xd9, 0xd5, 0x05, 0xf9, 0x20, 0xa1, 0x63, 0xd7])
+        header = (magic if hot else b"\x00" * 8) + b"\x00" * 24
+        with open(p + "-journal", "wb") as f:
+            f.write(header)
+        print(f"wrote {p} (+{'hot' if hot else 'cold'} journal)")
+
+
 def gen_unsupported():
     """Tiny fixtures for the reader's fail-loud paths."""
     p1 = os.path.join(RES, "sqlite_without_rowid.db")
@@ -131,4 +196,5 @@ def gen_unsupported():
 if __name__ == "__main__":
     gen_forestation()
     gen_edge_cases()
+    gen_pk_forms()
     gen_unsupported()

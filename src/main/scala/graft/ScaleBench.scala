@@ -252,16 +252,18 @@ object ScaleBench {
           if (failed) (-1.0, 0L)
           else (samples.map(_._1).min, samples.map(_._2).min)
         }
-        val exact = sample(s"$root/exact") {
-          graft.ops.Layout.ingest(
-            batch, s"$root/exact", "lang", Seq("doc_id"), md5(col("text")))
-        }
-        val bloom = sample(s"$root/bloom") {
-          graft.ops.Layout.ingestBloom(
-            batch, s"$root/bloom", "lang", Seq("doc_id"), md5(col("text")))
-        }
-        Map("ingest_exact[big_store]" -> exact,
-          "ingest_bloom[big_store]" -> bloom)
+        try {
+          val exact = sample(s"$root/exact") {
+            graft.ops.Layout.ingest(
+              batch, s"$root/exact", "lang", Seq("doc_id"), md5(col("text")))
+          }
+          val bloom = sample(s"$root/bloom") {
+            graft.ops.Layout.ingestBloom(
+              batch, s"$root/bloom", "lang", Seq("doc_id"), md5(col("text")))
+          }
+          Map("ingest_exact[big_store]" -> exact,
+            "ingest_bloom[big_store]" -> bloom)
+        } finally del(new java.io.File(root)) // multi-GB at sf10 — never leak
       } catch { case scala.util.control.NonFatal(_) => Map.empty }
     // Compaction A/B (pseudo-name "compact"): full-store compact vs
     // partition-level compactPartitions on the SAME fragmentation state —
@@ -307,15 +309,17 @@ object ScaleBench {
           if (failed) (-1.0, 0L)
           else (samples.map(_._1).min, samples.map(_._2).min)
         }
-        val full = sample(s"$root/full") {
-          graft.ops.Layout.compact(spark, s"$root/full", "lang", Seq("doc_id"))
-        }
-        val part = sample(s"$root/part") {
-          graft.ops.Layout.compactPartitions(spark, s"$root/part", Seq("doc_id"))
-          ()
-        }
-        Map("compact_full[1_hot_lang]" -> full,
-          "compact_partitions[1_hot_lang]" -> part)
+        try {
+          val full = sample(s"$root/full") {
+            graft.ops.Layout.compact(spark, s"$root/full", "lang", Seq("doc_id"))
+          }
+          val part = sample(s"$root/part") {
+            graft.ops.Layout.compactPartitions(spark, s"$root/part", Seq("doc_id"))
+            ()
+          }
+          Map("compact_full[1_hot_lang]" -> full,
+            "compact_partitions[1_hot_lang]" -> part)
+        } finally del(new java.io.File(root)) // full-corpus copies — never leak
       } catch { case scala.util.control.NonFatal(_) => Map.empty }
     val all: Map[String, (Double, Long)] = results ++ prod ++ guard ++ pct ++ ing ++ cmp
     val qs = all.toSeq.sortBy(_._1)

@@ -186,28 +186,41 @@ object Layout {
     */
   def append(df: DataFrame, dir: String, partitionCol: String,
       sortCols: Seq[String]): Unit = {
-    requireSchemaMatch(df, dir)
+    // an EMPTY first batch must not create a schema-less store (a dir
+    // holding only _SUCCESS cannot be read back and poisons later opens)
+    if (!new java.io.File(dir).exists() && df.isEmpty) return
+    requireSchemaMatch(df, dir, partitionCol)
     df.repartition(col(partitionCol))
       .sortWithinPartitions((partitionCol +: sortCols).map(col): _*)
       .write.mode("append").partitionBy(partitionCol).parquet(dir)
   }
 
   /** Fail-loud guard: the batch's (name → type) map must equal the
-    * store's (partition columns included — they come back from directory
-    * names on read). No-op when the store does not exist yet. Column
-    * ORDER is not compared; parquet is by-name.
+    * store's. No-op when the store does not exist yet. Column ORDER is
+    * not compared; parquet is by-name. Partition columns (the caller's
+    * `partitionCol` and the managed `ingest_batch`) are compared by NAME
+    * only: their store-side type comes from DIRECTORY-NAME inference,
+    * which narrows (day='2020-01-01' infers date, shard='42' infers int)
+    * — a type mismatch there is an inference artifact, not drift.
     */
-  private[ops] def requireSchemaMatch(df: DataFrame, dir: String): Unit = {
-    if (!new java.io.File(dir).exists()) return
+  private[ops] def requireSchemaMatch(df: DataFrame, dir: String,
+      partitionCol: String): Unit = {
+    // "exists" is not "has data": a checkpoint sidecar (or _SUCCESS) can
+    // create the directory before any batch lands — nothing to drift from
+    val entries = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+    val hasData = entries.exists(f =>
+      (f.isDirectory && f.getName.contains("=") &&
+        !f.getName.startsWith(".") && !f.getName.startsWith("_")) ||
+        f.getName.endsWith(".parquet"))
+    if (!hasData) return
     val store = df.sparkSession.read.parquet(dir).schema
+    val byName = Set(partitionCol, "ingest_batch")
     def sig(s: org.apache.spark.sql.types.StructType): Map[String, String] =
-      s.fields.map(f => f.name -> f.dataType.simpleString).toMap
-    val batchSig = sig(df.schema).filterNot(_._1 == "ingest_batch")
-    val storeSig = sig(store)
-      // partition values inferred from dir names may come back narrower
-      // (e.g. ingest_batch=0 infers int); the batch id column is managed
-      // by appendBatch, not the caller — exclude it from the contract
-      .filterNot(_._1 == "ingest_batch")
+      s.fields.map(f =>
+        f.name -> (if (byName(f.name)) "<partition>" else f.dataType.simpleString))
+        .toMap
+    val batchSig = sig(df.schema) - "ingest_batch"
+    val storeSig = sig(store) - "ingest_batch"
     if (batchSig != storeSig) {
       val missing = storeSig.keySet -- batchSig.keySet
       val extra = batchSig.keySet -- storeSig.keySet
@@ -238,7 +251,12 @@ object Layout {
     */
   def appendBatch(df: DataFrame, dir: String, partitionCol: String,
       sortCols: Seq[String]): Long = {
-    requireSchemaMatch(df, dir)
+    // an empty batch writes no directory and must not hand out a batch id
+    // (the next real batch would reuse it, mis-attributing its rows to
+    // whoever recorded the phantom id) — and on a fresh store it would
+    // create an unreadable schema-less dir. Returns -1: nothing written.
+    if (df.isEmpty) return -1L
+    requireSchemaMatch(df, dir, partitionCol)
     val next = nextBatchId(dir)
     df.withColumn("ingest_batch", lit(next))
       .repartition(col(partitionCol))
@@ -265,9 +283,14 @@ object Layout {
   /** Rows of batches `fromBatch` and later — the incremental consume.
     * The `ingest_batch >= fromBatch` filter prunes at the DIRECTORY level
     * (asserted via scan metrics in LayoutSpec): history never rescans.
+    * A store that has never received a batch (absent dir) yields a
+    * zero-column empty frame — there is no schema to serve yet; callers
+    * that need columns should gate on [[nextBatchId]] > 0 first (readNew
+    * surfaces this as upTo = -1).
     */
   def readSince(spark: SparkSession, dir: String, fromBatch: Long): DataFrame =
-    spark.read.parquet(dir).filter(col("ingest_batch") >= fromBatch)
+    if (!new java.io.File(dir).exists()) spark.emptyDataFrame
+    else spark.read.parquet(dir).filter(col("ingest_batch") >= fromBatch)
 
   // ---- per-consumer checkpoints on a versioned store --------------------
   // A named consumer records the last batch it fully processed; its next
@@ -322,6 +345,10 @@ object Layout {
   def readNew(spark: SparkSession, dir: String,
       consumer: String): (DataFrame, Long) = {
     val upTo = nextBatchId(dir) - 1L
+    // no batch ever written: nothing to consume and no schema to serve —
+    // zero-column empty frame + upTo = -1 (committing -1 is a no-op
+    // checkpoint: the next read still starts at batch 0)
+    if (upTo < 0L) return (spark.emptyDataFrame, -1L)
     val from = lastCheckpoint(dir, consumer) + 1L
     (readSince(spark, dir, from).filter(col("ingest_batch") <= upTo), upTo)
   }

@@ -44,8 +44,12 @@ object SqliteFile {
     try {
       val tables = db.masterTables()
       tables.map { case (name, rootPage, createSql) =>
-        // sqlite_master stores DDL without the trailing ';' parseDdl anchors on
-        if (createSql.toLowerCase.matches("(?s).*\\)\\s*without\\s+rowid\\s*$"))
+        // table options after the closing paren: WITHOUT ROWID in any
+        // combination/order with STRICT (3.37+ allows "WITHOUT ROWID,
+        // STRICT"). STRICT alone is fine — strict tables are ordinary
+        // rowid tables on disk.
+        val tableOpts = createSql.substring(createSql.lastIndexOf(')') + 1)
+        if ("(?is).*without\\s+rowid.*".r.matches(tableOpts))
           throw new FileTypeError(
             s"table '$name' in '$path' is WITHOUT ROWID (index-b-tree layout" +
               s" — unsupported); export the dump instead: sqlite3 '$path'" +
@@ -60,10 +64,7 @@ object SqliteFile {
         if (defs.isEmpty)
           throw new FileTypeError(s"cannot parse DDL for table '$name' in '$path'")
         val cols = defs.head.cols
-        // the one rowid-aliasing shape: a column declared INTEGER PRIMARY KEY
-        // stores NULL in the record; its value IS the b-tree rowid key
-        val ipkIdx = cols.indexWhere(c =>
-          c.sqlType.toLowerCase.matches("(?s)integer\\s+primary\\s+key\\b.*"))
+        val ipkIdx = rowidAliasIndex(cols, createSql)
         val fields = cols.map { c =>
           val t = if (c.sqlType.toLowerCase.startsWith("blob")) BinaryType
                   else c.sparkType
@@ -91,6 +92,46 @@ object SqliteFile {
     } finally db.close()
   }
 
+  /** Index of the rowid-ALIAS column, or -1. SQLite's rule
+    * (sqlite.org/lang_createtable.html#rowid): a column aliases the rowid
+    * iff its declared type is exactly INTEGER and it is the table's
+    * PRIMARY KEY, declared either as a column constraint (`id INTEGER
+    * PRIMARY KEY`, other constraints like NOT NULL may intervene) or as a
+    * single-column table constraint (`..., PRIMARY KEY(id)`). The ONE
+    * documented exception: the column-constraint form `INTEGER PRIMARY
+    * KEY DESC` does NOT alias (while the table-constraint form with DESC
+    * does). Aliased columns store NULL in the record; serving the stored
+    * value would be all-NULL, serving the rowid for a non-alias would
+    * overwrite real data — both silent corruption, hence the care here.
+    */
+  private[sources] def rowidAliasIndex(cols: Seq[SqlDump.ColDef],
+      createSql: String): Int = {
+    def isIntegerType(sqlType: String): Boolean =
+      sqlType.trim.split("[\\s(]", 2)(0).equalsIgnoreCase("integer")
+    // column-constraint form: INTEGER type, PRIMARY KEY present in the
+    // trailing constraints, and not the PRIMARY KEY DESC exception
+    val colLevel = cols.indexWhere { c =>
+      val t = c.sqlType.toLowerCase
+      isIntegerType(c.sqlType) &&
+        "(?s).*\\bprimary\\s+key\\b.*".r.matches(t) &&
+        !"(?s).*\\bprimary\\s+key\\s+desc\\b.*".r.matches(t)
+    }
+    if (colLevel >= 0) return colLevel
+    // table-constraint form: PRIMARY KEY ( one_column [ASC|DESC] ) —
+    // parseDdl strips constraint entries, so recover it from the raw DDL.
+    // Sort order does NOT matter in this form (the exception is
+    // column-level only). Multi-column PKs never alias.
+    val tablePk = """(?is)[(,]\s*primary\s+key\s*\(\s*"?([\w]+)"?\s*(?:asc|desc)?\s*\)"""
+      .r.findFirstMatchIn(createSql)
+    tablePk match {
+      case Some(m) =>
+        val pkCol = m.group(1)
+        cols.indexWhere(c =>
+          c.name.equalsIgnoreCase(pkCol) && isIntegerType(c.sqlType))
+      case None => -1
+    }
+  }
+
   /** The DEFAULT constant from a column's DDL type string (everything
     * after the name — SqlDump.ColDef keeps constraints there), decoded to
     * the storage classes coerce() accepts. Only constant literals — the
@@ -99,21 +140,56 @@ object SqliteFile {
     * records. NULL / absent / non-constant → null.
     */
   private[sources] def defaultLiteral(sqlType: String): Any = {
-    val m = """(?is)\bDEFAULT\s+(?:('(?:[^']|'')*')|([-+]?\d+\.\d+(?:e[-+]?\d+)?)|([-+]?\d+)|(NULL|TRUE|FALSE))"""
-      .r.findFirstMatchIn(sqlType)
-    m match {
-      case None => null
-      case Some(g) =>
-        if (g.group(1) != null) {
-          val s = g.group(1)
-          s.substring(1, s.length - 1).replace("''", "'")
-        } else if (g.group(2) != null) java.lang.Double.valueOf(g.group(2))
-        else if (g.group(3) != null) java.lang.Long.valueOf(g.group(3))
-        else g.group(4).toUpperCase match {
-          case "TRUE" => java.lang.Long.valueOf(1L)
-          case "FALSE" => java.lang.Long.valueOf(0L)
-          case _ => null
-        }
+    // scan at paren/quote depth 0 only: "DEFAULT" inside CHECK(...) or a
+    // quoted string (e.g. CHECK (s <> 'DEFAULT 9')) is NOT this column's
+    // default clause
+    val s = sqlType
+    var i = 0
+    var depth = 0
+    var at = -1
+    while (i < s.length && at < 0) {
+      s.charAt(i) match {
+        case '(' => depth += 1; i += 1
+        case ')' => depth -= 1; i += 1
+        case '\'' => // skip the quoted string, '' escapes
+          i += 1
+          while (i < s.length &&
+            !(s.charAt(i) == '\'' &&
+              (i + 1 >= s.length || s.charAt(i + 1) != '\''))) {
+            if (s.charAt(i) == '\'' ) i += 2 else i += 1
+          }
+          i += 1
+        case _ =>
+          if (depth == 0 && s.regionMatches(true, i, "default", 0, 7) &&
+            (i == 0 || !Character.isLetterOrDigit(s.charAt(i - 1))) &&
+            (i + 7 >= s.length || !Character.isLetterOrDigit(s.charAt(i + 7))))
+            at = i + 7
+          else i += 1
+      }
+    }
+    if (at < 0) return null
+    val rest = s.substring(at).trim
+    val quoted = """^'((?:[^']|'')*)'""".r
+    val num = """^[-+]?(\d+(?:\.\d+)?(?:[eE][-+]?\d+)?)""".r
+    val word = """^(?i)(NULL|TRUE|FALSE)\b""".r
+    quoted.findFirstMatchIn(rest) match {
+      case Some(m) => return m.group(1).replace("''", "'")
+      case None =>
+    }
+    num.findFirstMatchIn(rest) match {
+      case Some(m) =>
+        val lit = rest.substring(0, m.matched.length)
+        // integer iff no decimal point and no exponent (1e5 is a REAL
+        // 100000.0 in SQLite, not an int)
+        return if (lit.exists(c => c == '.' || c == 'e' || c == 'E'))
+          java.lang.Double.valueOf(lit)
+        else java.lang.Long.valueOf(lit)
+      case None =>
+    }
+    word.findFirstMatchIn(rest).map(_.group(1).toUpperCase) match {
+      case Some("TRUE") => java.lang.Long.valueOf(1L)
+      case Some("FALSE") => java.lang.Long.valueOf(0L)
+      case _ => null
     }
   }
 
@@ -131,8 +207,14 @@ object SqliteFile {
       case (l: java.lang.Long, LongType) => l
       case (d: java.lang.Double, LongType) =>
         // INTEGER-affinity columns may hold a non-integral real (SQLite
-        // keeps it as REAL when the int conversion would be lossy)
-        if (d.doubleValue.isWhole) java.lang.Long.valueOf(d.longValue) else bad()
+        // keeps it as REAL when the int conversion would be lossy). Whole
+        // doubles OUTSIDE Long range would silently saturate through
+        // longValue — reject them; 2^63 itself is out (Long.MaxValue's
+        // double rounds UP to 2^63, so require strictly below it).
+        val v = d.doubleValue
+        if (v.isWhole && v >= Long.MinValue.toDouble && v < 9.223372036854776e18)
+          java.lang.Long.valueOf(d.longValue)
+        else bad()
       case (l: java.lang.Long, DoubleType) => java.lang.Double.valueOf(l.doubleValue)
       case (d: java.lang.Double, DoubleType) => d
       case (l: java.lang.Long, _: DecimalType) => BigDecimal(l)
@@ -184,6 +266,25 @@ object SqliteFile {
         if (wal.exists() && wal.length() > 32)
           fail("WAL database with pending -wal frames — checkpoint it first" +
             " (sqlite3 file.db 'PRAGMA wal_checkpoint(TRUNCATE)') or export the dump")
+      }
+      // rollback-journal mode (write-version 1): a HOT -journal means a
+      // writer crashed mid-commit and the main file holds a torn state
+      // SQLite itself would roll back on open. A hot journal starts with
+      // the 8-byte magic d9 d5 05 f9 20 a1 63 d7; a zeroed/truncated
+      // header is a cold leftover and the main file is consistent.
+      locally {
+        val j = new java.io.File(path + "-journal")
+        if (j.isFile && j.length() >= 8) {
+          val in = new java.io.FileInputStream(j)
+          val magic = try { val b = new Array[Byte](8); in.read(b); b }
+          finally in.close()
+          val hot = Array(0xd9, 0xd5, 0x05, 0xf9, 0x20, 0xa1, 0x63, 0xd7)
+            .map(_.toByte)
+          if (magic.sameElements(hot))
+            fail("hot rollback journal present (-journal) — the main file " +
+              "holds an uncommitted torn state; open the db once with " +
+              "sqlite3 to roll back, or export the dump")
+        }
       }
     }
 

@@ -316,6 +316,39 @@ class LayoutSpec extends SparkSuite {
     Layout.appendBatch(docs.limit(3), vdir, "lang", Seq("doc_id")) // still fine
   }
 
+  test("schema guard: numeric-looking partition values do not false-refuse") {
+    // partitioning on a STRING column whose values look like ints: the
+    // store reads the partition column back as int (directory-name
+    // inference) while the batch declares string — that is an inference
+    // artifact, not drift, and the append must go through
+    val dir = freshDir()
+    val df = docs.withColumn("shard",
+      pmod(col("doc_id"), lit(4)).cast("string"))
+    Layout.writePartitioned(df, dir, "shard", Seq("doc_id"))
+    Layout.append(df.limit(7), dir, "shard", Seq("doc_id"))
+    assert(spark.read.parquet(dir).count() === docs.count() + 7)
+  }
+
+  test("empty batches: no phantom ids, no schema-less stores, readNew before first batch") {
+    val dir = freshDir()
+    val none = docs.limit(0)
+    // empty first append creates nothing — a later open cannot hit an
+    // unreadable _SUCCESS-only directory
+    Layout.append(none, dir, "lang", Seq("doc_id"))
+    assert(!new java.io.File(dir).exists())
+    // consumer ahead of the producer: empty zero-column frame, upTo = -1,
+    // and committing that is a no-op (next read still starts at batch 0)
+    val (pre, upTo0) = Layout.readNew(spark, dir, "early")
+    assert(pre.count() === 0L && upTo0 === -1L)
+    Layout.commitCheckpoint(dir, "early", upTo0)
+    // empty appendBatch hands out NO id; the next real batch takes 0 and
+    // the early consumer sees it in full
+    assert(Layout.appendBatch(none, dir, "lang", Seq("doc_id")) === -1L)
+    assert(Layout.appendBatch(docs.limit(9), dir, "lang", Seq("doc_id")) === 0L)
+    val (fresh, upTo1) = Layout.readNew(spark, dir, "early")
+    assert(fresh.count() === 9L && upTo1 === 0L)
+  }
+
   test("ORC round trip preserves rows and schema") {
     val dir = freshDir()
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
