@@ -117,6 +117,38 @@ object SketchOps {
         |LEFT JOIN j ON j.day = n1.day
         |ORDER BY 1""".stripMargin),
 
+    // -- two-level sketch rollup: ONE (day × event_type) sketch table
+    //    built from one scan answers BOTH "distinct users per day" (union
+    //    across types) and "per type overall" (union across days) without
+    //    touching events again — the persist-once/re-aggregate-anywhere
+    //    property that makes sketch tables the 100 TB profiling layer.
+    //    theta_union_agg is the rollup operator; exact below capacity ----
+    ("q_theta_rollup",
+      (s: SparkSession, d: String) => {
+        val sk = graft.ops.Sketches.thetaSketch(
+          t(s, d, "events").withColumn("day", expr(s"ts div ${NS_PER_DAY}L")),
+          Seq("day", "event_type"), "user_id")
+        val perDay = sk.groupBy("day")
+          .agg(theta_sketch_estimate(theta_union_agg(col("sketch")))
+            .as("users"))
+          .select(col("day").cast("string").as("grp"),
+            lit("day").as("level"), col("users"))
+        val perType = sk.groupBy("event_type")
+          .agg(theta_sketch_estimate(theta_union_agg(col("sketch")))
+            .as("users"))
+          .select(col("event_type").as("grp"),
+            lit("type").as("level"), col("users"))
+        perDay.unionByName(perType).orderBy("level", "grp")
+      },
+      """WITH du AS (SELECT DISTINCT epoch_ms(ts) // 86400000 AS day,
+        |              event_type, user_id FROM events),
+        |d AS (SELECT cast(day AS VARCHAR) AS grp, 'day' AS level,
+        |        count(DISTINCT user_id) AS users FROM du GROUP BY 1),
+        |t AS (SELECT event_type AS grp, 'type' AS level,
+        |        count(DISTINCT user_id) AS users FROM du GROUP BY 1)
+        |SELECT * FROM (SELECT * FROM d UNION ALL SELECT * FROM t)
+        |ORDER BY level, grp""".stripMargin),
+
     // -- theta audience matrix: pairwise user-overlap of ALL event-type
     //    pairs from ONE sketch table (retention generalized across a
     //    dimension). The pair join is over 5 sketch rows, not events rows;
