@@ -248,6 +248,12 @@ object Layout {
     * immutable once written (compaction would merge batch dirs and break
     * the checkpoint contract — deliberately not offered for versioned
     * stores).
+    *
+    * SINGLE-PRODUCER protocol: the batch id comes from a directory
+    * listing, so two concurrent writers could allocate the same id.
+    * Run one ingest writer per store (the normal crawl-pipeline shape);
+    * concurrent CONSUMERS are fine — they only read and write their own
+    * checkpoint files.
     */
   def appendBatch(df: DataFrame, dir: String, partitionCol: String,
       sortCols: Seq[String]): Long = {
