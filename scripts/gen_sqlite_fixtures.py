@@ -117,6 +117,28 @@ def gen_pk_forms():
     # NON-alias: type INT (integer AFFINITY but not the exact word INTEGER)
     cur.execute("CREATE TABLE t_int_pk (id INT PRIMARY KEY, v TEXT)")
     cur.executemany("INSERT INTO t_int_pk VALUES (?,?)", [(900, "g"), (13, "h")])
+    # alias via NAMED table constraint (the ORM/SQLAlchemy shape) and via
+    # decorated single-column forms (AUTOINCREMENT / COLLATE / DESC are
+    # all aliases in the TABLE-constraint position)
+    cur.execute("CREATE TABLE t_named_pk (id INTEGER, v TEXT, "
+                "CONSTRAINT pk PRIMARY KEY (id))")
+    cur.executemany("INSERT INTO t_named_pk VALUES (?,?)",
+                    [(600, "i"), (42, "j")])
+    cur.execute("CREATE TABLE t_auto_pk (id INTEGER, v TEXT, "
+                "PRIMARY KEY(id AUTOINCREMENT))")
+    cur.executemany("INSERT INTO t_auto_pk VALUES (?,?)", [(700, "k")])
+    cur.execute("CREATE TABLE t_tdesc_pk (id INTEGER, v TEXT, "
+                "PRIMARY KEY(id DESC))")
+    cur.executemany("INSERT INTO t_tdesc_pk VALUES (?,?)", [(800, "l")])
+    # a string containing 'primary key' inside a CHECK must not fake an
+    # alias on the INTEGER column next to it
+    cur.execute("CREATE TABLE t_check_str (name TEXT PRIMARY KEY, "
+                "kind INTEGER CHECK (name <> 'primary key'))")
+    cur.executemany("INSERT INTO t_check_str VALUES (?,?)",
+                    [("x", 55), ("y", 66)])
+    # STRICT-only table options: ordinary rowid layout, must read fine
+    cur.execute("CREATE TABLE t_strict (k TEXT, v INTEGER) STRICT")
+    cur.executemany("INSERT INTO t_strict VALUES (?,?)", [("s1", 1), ("s2", 2)])
     # defaults: exponent form is REAL 100000.0; a CHECK clause containing
     # the text 'DEFAULT 9' must NOT be parsed as a default
     cur.execute("CREATE TABLE t_defaults (a INTEGER)")

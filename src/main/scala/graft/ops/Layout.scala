@@ -186,14 +186,31 @@ object Layout {
     */
   def append(df: DataFrame, dir: String, partitionCol: String,
       sortCols: Seq[String]): Unit = {
-    // an EMPTY first batch must not create a schema-less store (a dir
-    // holding only _SUCCESS cannot be read back and poisons later opens)
-    if (!new java.io.File(dir).exists() && df.isEmpty) return
+    // an EMPTY batch into a DATA-LESS store (absent, or existing with
+    // only a checkpoint sidecar / _SUCCESS) must not create a schema-less
+    // store that poisons later opens. The isEmpty job only runs in that
+    // rare no-data case — never on the hot append path.
+    if (!hasData(dir) && df.isEmpty) return
     requireSchemaMatch(df, dir, partitionCol)
     df.repartition(col(partitionCol))
       .sortWithinPartitions((partitionCol +: sortCols).map(col): _*)
       .write.mode("append").partitionBy(partitionCol).parquet(dir)
   }
+
+  /** A real partition directory (`key=value/`), as opposed to metadata
+    * (`_SUCCESS`, `_graft_checkpoints`) or compaction scratch (dot
+    * prefix) — the ONE definition every store listing shares.
+    */
+  private def isPartitionDir(f: java.io.File): Boolean =
+    f.isDirectory && f.getName.contains("=") &&
+      !f.getName.startsWith(".") && !f.getName.startsWith("_")
+
+  /** True when the store holds any data file or partition directory —
+    * "exists" is not enough (a checkpoint sidecar creates the dir).
+    */
+  private def hasData(dir: String): Boolean =
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .exists(f => isPartitionDir(f) || f.getName.endsWith(".parquet"))
 
   /** Fail-loud guard: the batch's (name → type) map must equal the
     * store's. No-op when the store does not exist yet. Column ORDER is
@@ -205,14 +222,7 @@ object Layout {
     */
   private[ops] def requireSchemaMatch(df: DataFrame, dir: String,
       partitionCol: String): Unit = {
-    // "exists" is not "has data": a checkpoint sidecar (or _SUCCESS) can
-    // create the directory before any batch lands — nothing to drift from
-    val entries = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
-    val hasData = entries.exists(f =>
-      (f.isDirectory && f.getName.contains("=") &&
-        !f.getName.startsWith(".") && !f.getName.startsWith("_")) ||
-        f.getName.endsWith(".parquet"))
-    if (!hasData) return
+    if (!hasData(dir)) return // nothing to drift from yet
     val store = df.sparkSession.read.parquet(dir).schema
     val byName = Set(partitionCol, "ingest_batch")
     def sig(s: org.apache.spark.sql.types.StructType): Map[String, String] =
@@ -257,18 +267,21 @@ object Layout {
     */
   def appendBatch(df: DataFrame, dir: String, partitionCol: String,
       sortCols: Seq[String]): Long = {
-    // an empty batch writes no directory and must not hand out a batch id
-    // (the next real batch would reuse it, mis-attributing its rows to
-    // whoever recorded the phantom id) — and on a fresh store it would
-    // create an unreadable schema-less dir. Returns -1: nothing written.
-    if (df.isEmpty) return -1L
+    // empty batches must not hand out a batch id (the next real batch
+    // would reuse it, mis-attributing its rows to whoever recorded the
+    // phantom id) nor create an unreadable schema-less dir on a fresh
+    // store. The pre-write isEmpty job runs only in the rare fresh-store
+    // case; on an existing store emptiness is detected for free AFTER the
+    // write (no ingest_batch dir appeared). Returns -1: nothing written.
+    if (!hasData(dir) && df.isEmpty) return -1L
     requireSchemaMatch(df, dir, partitionCol)
     val next = nextBatchId(dir)
     df.withColumn("ingest_batch", lit(next))
       .repartition(col(partitionCol))
       .sortWithinPartitions((partitionCol +: sortCols).map(col): _*)
       .write.mode("append").partitionBy(partitionCol, "ingest_batch").parquet(dir)
-    next
+    // new ingest_batch dir appeared → the id was really written
+    if (nextBatchId(dir) > next) next else -1L
   }
 
   /** 1 + the highest `ingest_batch=` id present under any partition dir
@@ -277,8 +290,7 @@ object Layout {
     */
   def nextBatchId(dir: String): Long = {
     val parts = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.contains("=") &&
-        !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+      .filter(isPartitionDir)
     val ids = parts.flatMap(p =>
       Option(p.listFiles()).getOrElse(Array.empty)
         .filter(b => b.isDirectory && b.getName.startsWith("ingest_batch="))
@@ -432,8 +444,7 @@ object Layout {
     */
   def filesPerPartition(dir: String): Map[String, Int] =
     Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.contains("=") &&
-        !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+      .filter(isPartitionDir)
       .map(d => d.getName ->
         Option(d.listFiles()).getOrElse(Array.empty)
           .count(f => f.getName.endsWith(".parquet") || f.getName.endsWith(".orc")))

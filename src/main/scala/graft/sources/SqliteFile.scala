@@ -44,12 +44,16 @@ object SqliteFile {
     try {
       val tables = db.masterTables()
       tables.map { case (name, rootPage, createSql) =>
-        // table options after the closing paren: WITHOUT ROWID in any
-        // combination/order with STRICT (3.37+ allows "WITHOUT ROWID,
-        // STRICT"). STRICT alone is fine — strict tables are ordinary
-        // rowid tables on disk.
-        val tableOpts = createSql.substring(createSql.lastIndexOf(')') + 1)
-        if ("(?is).*without\\s+rowid.*".r.matches(tableOpts))
+        // split the DDL at the paren that CLOSES the column-list body
+        // (comment/quote-aware — lastIndexOf(')') would be fooled by a
+        // trailing comment containing one). Table options after it:
+        // WITHOUT ROWID in any combination/order with STRICT (3.37+
+        // allows "WITHOUT ROWID, STRICT"). STRICT alone is fine — strict
+        // tables are ordinary rowid tables on disk.
+        val bodyEndIdx = bodyEnd(createSql)
+        val tableOpts =
+          if (bodyEndIdx >= 0) createSql.substring(bodyEndIdx + 1) else ""
+        if ("(?is).*\\bwithout\\s+rowid\\b.*".r.matches(stripComments(tableOpts)))
           throw new FileTypeError(
             s"table '$name' in '$path' is WITHOUT ROWID (index-b-tree layout" +
               s" — unsupported); export the dump instead: sqlite3 '$path'" +
@@ -60,7 +64,12 @@ object SqliteFile {
           throw new FileTypeError(
             s"table '$name' in '$path' is a virtual table (rootpage 0) — " +
               s"unsupported; export the dump instead: sqlite3 '$path' .dump > out.sql")
-        val defs = SqlDump.parseDdl(createSql + ";")
+        // parseDdl anchors on ');' — feed it the DDL up to the body's
+        // closing paren so table options (STRICT, WITHOUT ROWID already
+        // rejected above) never break the parse
+        val defs = SqlDump.parseDdl(
+          (if (bodyEndIdx >= 0) createSql.substring(0, bodyEndIdx + 1)
+           else createSql) + ";")
         if (defs.isEmpty)
           throw new FileTypeError(s"cannot parse DDL for table '$name' in '$path'")
         val cols = defs.head.cols
@@ -108,28 +117,153 @@ object SqliteFile {
       createSql: String): Int = {
     def isIntegerType(sqlType: String): Boolean =
       sqlType.trim.split("[\\s(]", 2)(0).equalsIgnoreCase("integer")
-    // column-constraint form: INTEGER type, PRIMARY KEY present in the
-    // trailing constraints, and not the PRIMARY KEY DESC exception
+    // column-constraint form: INTEGER type with PRIMARY KEY among the
+    // trailing constraints. Token-scanned at paren/quote depth 0 — a
+    // CHECK expression or string containing the words 'primary key' must
+    // not fake (or hide) the constraint — and not the documented
+    // `PRIMARY KEY DESC` non-alias exception.
     val colLevel = cols.indexWhere { c =>
-      val t = c.sqlType.toLowerCase
-      isIntegerType(c.sqlType) &&
-        "(?s).*\\bprimary\\s+key\\b.*".r.matches(t) &&
-        !"(?s).*\\bprimary\\s+key\\s+desc\\b.*".r.matches(t)
+      isIntegerType(c.sqlType) && (wordsAtDepth0(c.sqlType) match {
+        case ws =>
+          val i = ws.indexOfSlice(Seq("primary", "key"))
+          i >= 0 && ws.lift(i + 2) != Some("desc")
+      })
     }
     if (colLevel >= 0) return colLevel
-    // table-constraint form: PRIMARY KEY ( one_column [ASC|DESC] ) —
-    // parseDdl strips constraint entries, so recover it from the raw DDL.
-    // Sort order does NOT matter in this form (the exception is
-    // column-level only). Multi-column PKs never alias.
-    val tablePk = """(?is)[(,]\s*primary\s+key\s*\(\s*"?([\w]+)"?\s*(?:asc|desc)?\s*\)"""
-      .r.findFirstMatchIn(createSql)
-    tablePk match {
-      case Some(m) =>
-        val pkCol = m.group(1)
-        cols.indexWhere(c =>
-          c.name.equalsIgnoreCase(pkCol) && isIntegerType(c.sqlType))
-      case None => -1
+    // table-constraint form: [CONSTRAINT name] PRIMARY KEY ( col [extras] )
+    // with exactly ONE column — found by scanning the body's depth-1
+    // comma-separated entries (so strings/CHECKs can't confuse it).
+    // Sort order and AUTOINCREMENT/COLLATE decorations do NOT matter in
+    // this form (the DESC exception is column-level only).
+    val end = bodyEnd(createSql)
+    val start = createSql.indexOf('(')
+    if (end < 0 || start < 0) return -1
+    val entries = splitDepth0(createSql.substring(start + 1, end))
+    val pkEntry = """(?is)^(?:constraint\s+(?:"[^"]*"|\w+)\s+)?primary\s+key\s*\((.*)\)\s*$""".r
+    entries.map(_.trim).collectFirst {
+      case e if pkEntry.findFirstMatchIn(e).isDefined =>
+        val inner = pkEntry.findFirstMatchIn(e).get.group(1)
+        val pkCols = splitDepth0(inner).map(_.trim).filter(_.nonEmpty)
+        if (pkCols.length != 1) -1 // multi-column PKs never alias
+        else {
+          val colName = pkCols.head.split("\\s+")(0).replaceAll("\"", "")
+          cols.indexWhere(c =>
+            c.name.equalsIgnoreCase(colName) && isIntegerType(c.sqlType))
+        }
+    }.getOrElse(-1)
+  }
+
+  /** Lower-cased word tokens of `s` that sit OUTSIDE parens and quoted
+    * strings — the token stream constraint detection may look at.
+    */
+  private def wordsAtDepth0(s: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var i = 0
+    def flush(): Unit = { if (cur.nonEmpty) { out += cur.toString; cur.clear() }; () }
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      ch match {
+        case '(' => flush(); depth += 1; i += 1
+        case ')' => flush(); depth -= 1; i += 1
+        case '\'' =>
+          flush(); i += 1
+          while (i < s.length && s.charAt(i) != '\'') i += 1
+          i += 1
+        case c if Character.isLetterOrDigit(c) || c == '_' =>
+          if (depth == 0) cur += Character.toLowerCase(c)
+          i += 1
+        case _ => flush(); i += 1
+      }
     }
+    flush()
+    out.result()
+  }
+
+  /** Index of the ')' closing the FIRST '(' of a CREATE TABLE, skipping
+    * quoted strings ('' escape), double-quoted identifiers, and SQL
+    * comments (`--` to end of line, `/* */`); -1 when unbalanced.
+    */
+  private[sources] def bodyEnd(sql: String): Int = {
+    var depth = 0
+    var i = 0
+    var opened = false
+    while (i < sql.length) {
+      sql.charAt(i) match {
+        case '(' => depth += 1; opened = true; i += 1
+        case ')' =>
+          depth -= 1
+          if (opened && depth == 0) return i
+          i += 1
+        case '\'' =>
+          i += 1
+          while (i < sql.length && sql.charAt(i) != '\'') i += 1
+          i += 1
+        case '"' =>
+          i += 1
+          while (i < sql.length && sql.charAt(i) != '"') i += 1
+          i += 1
+        case '-' if i + 1 < sql.length && sql.charAt(i + 1) == '-' =>
+          while (i < sql.length && sql.charAt(i) != '\n') i += 1
+        case '/' if i + 1 < sql.length && sql.charAt(i + 1) == '*' =>
+          i += 2
+          while (i + 1 < sql.length &&
+            !(sql.charAt(i) == '*' && sql.charAt(i + 1) == '/')) i += 1
+          i += 2
+        case _ => i += 1
+      }
+    }
+    -1
+  }
+
+  /** SQL text with `--` and block comments removed (quote-aware). */
+  private[sources] def stripComments(sql: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    while (i < sql.length) {
+      sql.charAt(i) match {
+        case '\'' =>
+          out += '\''; i += 1
+          while (i < sql.length && sql.charAt(i) != '\'') { out += sql.charAt(i); i += 1 }
+          if (i < sql.length) { out += '\''; i += 1 }
+        case '-' if i + 1 < sql.length && sql.charAt(i + 1) == '-' =>
+          while (i < sql.length && sql.charAt(i) != '\n') i += 1
+        case '/' if i + 1 < sql.length && sql.charAt(i + 1) == '*' =>
+          i += 2
+          while (i + 1 < sql.length &&
+            !(sql.charAt(i) == '*' && sql.charAt(i + 1) == '/')) i += 1
+          i += 2
+        case c => out += c; i += 1
+      }
+    }
+    out.toString
+  }
+
+  /** Comma-split at paren depth 0, skipping quoted strings/identifiers. */
+  private[sources] def splitDepth0(s: String): Seq[String] = {
+    val parts = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case ',' if depth == 0 => parts += cur.toString; cur.clear(); i += 1
+        case c @ ('(') => depth += 1; cur += c; i += 1
+        case c @ (')') => depth -= 1; cur += c; i += 1
+        case '\'' =>
+          cur += '\''; i += 1
+          while (i < s.length && s.charAt(i) != '\'') { cur += s.charAt(i); i += 1 }
+          if (i < s.length) { cur += '\''; i += 1 }
+        case '"' =>
+          cur += '"'; i += 1
+          while (i < s.length && s.charAt(i) != '"') { cur += s.charAt(i); i += 1 }
+          if (i < s.length) { cur += '"'; i += 1 }
+        case c => cur += c; i += 1
+      }
+    }
+    if (cur.nonEmpty) parts += cur.toString
+    parts.result()
   }
 
   /** The DEFAULT constant from a column's DDL type string (everything
@@ -160,9 +294,12 @@ object SqliteFile {
           }
           i += 1
         case _ =>
+          // word boundary = not letter/digit/underscore on either side
+          // (an identifier like t_default must not read as the keyword)
+          def ident(c: Char) = Character.isLetterOrDigit(c) || c == '_'
           if (depth == 0 && s.regionMatches(true, i, "default", 0, 7) &&
-            (i == 0 || !Character.isLetterOrDigit(s.charAt(i - 1))) &&
-            (i + 7 >= s.length || !Character.isLetterOrDigit(s.charAt(i + 7))))
+            (i == 0 || !ident(s.charAt(i - 1))) &&
+            (i + 7 >= s.length || !ident(s.charAt(i + 7))))
             at = i + 7
           else i += 1
       }
@@ -276,8 +413,17 @@ object SqliteFile {
         val j = new java.io.File(path + "-journal")
         if (j.isFile && j.length() >= 8) {
           val in = new java.io.FileInputStream(j)
-          val magic = try { val b = new Array[Byte](8); in.read(b); b }
-          finally in.close()
+          // read-until-full: a short read's zero tail would misclassify a
+          // hot journal as cold (same discipline as readAt)
+          val magic = try {
+            val b = new Array[Byte](8)
+            var off = 0
+            while (off < 8) {
+              val n = in.read(b, off, 8 - off)
+              if (n < 0) off = 8 else off += n
+            }
+            b
+          } finally in.close()
           val hot = Array(0xd9, 0xd5, 0x05, 0xf9, 0x20, 0xa1, 0x63, 0xd7)
             .map(_.toByte)
           if (magic.sameElements(hot))
