@@ -282,4 +282,32 @@ object DocStream {
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
+
+  /** Stream → batch-VERSIONED store: every non-empty micro-batch lands as
+    * its own `ingest_batch=N` level under the partition dirs
+    * ([[graft.ops.Layout.appendBatch]]), so downstream consumers follow
+    * the live stream incrementally with [[graft.ops.Layout.readNew]] —
+    * directory-pruned "everything since my checkpoint", no streaming
+    * state store, consumers fully decoupled from the ingest query.
+    *
+    * The one-streaming-query-per-store rule IS appendBatch's
+    * single-producer protocol; Spark already enforces one active query
+    * per checkpoint. Batch-id semantics across restarts: Layout batch ids
+    * are allocated per WRITE, so a replayed micro-batch (failure between
+    * write and checkpoint commit) appends again under a NEW id —
+    * at-least-once, like the other append sinks here; consumers needing
+    * exactly-once dedup the replay by content key downstream
+    * ([[graft.ops.Layout.ingest]]'s screen composes for that).
+    */
+  def versionedSink(streamDocs: DataFrame, dir: String, checkpointDir: String,
+      partitionCol: String, sortCols: Seq[String]):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    streamDocs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.Layout.appendBatch(batch, dir, partitionCol, sortCols)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
 }

@@ -167,6 +167,40 @@ class StreamingSpec extends SparkSuite {
     assert(rows.toSeq == Seq((1L, 100L)))
   }
 
+  test("versioned sink: each micro-batch lands as its own ingest_batch; consumers follow") {
+    val srcDir = Files.createTempDirectory("graftvsink_src").toString
+    val storeDir = new java.io.File(
+      Files.createTempDirectory("graftvsink_store").toFile, "store").toString
+    def writeDocs(name: String, ids: Seq[Long]): Unit = {
+      val lines = ids.map(i =>
+        s"""{"doc_id":$i,"text":"doc number $i","lang":"${if (i % 2 == 0) "en" else "fr"}","source":"s1","n_chars":12}""")
+      Files.write(java.nio.file.Paths.get(srcDir, name),
+        lines.mkString("\n").getBytes)
+      ()
+    }
+    writeDocs("b0.json", Seq(1L, 2L))
+    val ckpt = Files.createTempDirectory("graftvsink_ck").toString
+    def runOnce(): Unit = {
+      val q = DocStream.versionedSink(
+        DocStream.readDocs(spark, srcDir), storeDir, ckpt, "lang", Seq("doc_id"))
+      q.awaitTermination()
+    }
+    runOnce()
+    // consumer sees batch 0 in full, commits, then a second file arrives
+    val (fresh0, upTo0) = graft.ops.Layout.readNew(spark, storeDir, "trainer")
+    assert(fresh0.select("doc_id").collect().map(_.getLong(0)).toSet ===
+      Set(1L, 2L))
+    graft.ops.Layout.commitCheckpoint(storeDir, "trainer", upTo0)
+    writeDocs("b1.json", Seq(3L, 4L, 5L))
+    runOnce() // AvailableNow restart from the same checkpoint: only b1 is new
+    val (fresh1, upTo1) = graft.ops.Layout.readNew(spark, storeDir, "trainer")
+    assert(fresh1.select("doc_id").collect().map(_.getLong(0)).toSet ===
+      Set(3L, 4L, 5L))
+    assert(upTo1 > upTo0)
+    // the store itself holds everything exactly once
+    assert(spark.read.parquet(storeDir).count() === 5L)
+  }
+
   test("curation ingest loop: later batches screen against earlier admissions") {
     val body = "the quick brown fox jumps over the lazy dog and then naps " +
       "under the old oak tree while birds sing softly in the warm afternoon sun"
