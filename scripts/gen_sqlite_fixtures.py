@@ -181,18 +181,106 @@ def gen_pk_forms():
         print(f"wrote {p} (+{'hot' if hot else 'cold'} journal)")
 
 
-def gen_unsupported():
-    """Tiny fixtures for the reader's fail-loud paths."""
-    p1 = os.path.join(RES, "sqlite_without_rowid.db")
-    if os.path.exists(p1):
-        os.remove(p1)
-    con = sqlite3.connect(p1)
-    con.execute("CREATE TABLE wr (k TEXT PRIMARY KEY, v INTEGER) WITHOUT ROWID")
-    con.execute("INSERT INTO wr VALUES ('a', 1)")
+def gen_without_rowid():
+    """WITHOUT ROWID tables: index-b-tree layout, PK-first record column
+    permutation, interior index pages that carry real entries, index-page
+    overflow thresholds, ALTER ADD COLUMN short records. A .sql dump twin
+    is written alongside so the spec can hash-compare the binary read
+    against the independent SqlDump path."""
+    path = os.path.join(RES, "sqlite_without_rowid.db")
+    if os.path.exists(path):
+        os.remove(path)
+    con = sqlite3.connect(path)
+    cur = con.cursor()
+    cur.execute("PRAGMA page_size = 512")
+    # simple single-column TEXT PK
+    cur.execute("CREATE TABLE wr (k TEXT PRIMARY KEY, v INTEGER) WITHOUT ROWID")
+    cur.executemany("INSERT INTO wr VALUES (?,?)",
+                    [("a", 1), ("c", 3), ("b", 2)])
+    # multi-column PK, PK columns NOT first in declaration and in a
+    # different order than declared: record order is (a, b, v, extra)
+    # while the declared order is (v, b, a, extra) — the permutation test
+    cur.execute("CREATE TABLE wr_multi (v TEXT, b INTEGER, a TEXT, "
+                "extra REAL, PRIMARY KEY (a, b)) WITHOUT ROWID")
+    cur.executemany("INSERT INTO wr_multi VALUES (?,?,?,?)",
+                    [("val1", 10, "k1", 1.5), ("val2", 20, "k1", 2.5),
+                     ("val3", 5, "k2", None), (None, 7, "k3", 0.25)])
+    # INTEGER PRIMARY KEY in a WITHOUT ROWID table is NOT a rowid alias —
+    # the value is stored literally in the record; ids chosen so an alias
+    # confusion (sequential small ints) would be visible
+    cur.execute("CREATE TABLE wr_ipk (id INTEGER PRIMARY KEY, v TEXT) "
+                "WITHOUT ROWID")
+    cur.executemany("INSERT INTO wr_ipk VALUES (?,?)",
+                    [(400, "x"), (150, "y")])
+    # column-level PRIMARY KEY DESC: the b-tree stores keys descending
+    cur.execute("CREATE TABLE wr_desc (k INTEGER PRIMARY KEY DESC, v TEXT) "
+                "WITHOUT ROWID")
+    cur.executemany("INSERT INTO wr_desc VALUES (?,?)",
+                    [(1, "one"), (2, "two"), (3, "three")])
+    # 3000 rows at 512-byte pages -> multi-level INDEX tree whose interior
+    # cells hold real entries the traversal must yield (not separators)
+    cur.execute("CREATE TABLE wr_many (grp TEXT, n INTEGER, sq INTEGER, "
+                "PRIMARY KEY (grp, n)) WITHOUT ROWID")
+    cur.executemany("INSERT INTO wr_many VALUES (?,?,?)",
+                    [(f"g{n % 7}", n, n * n) for n in range(1, 3001)])
+    # index-page overflow chains: a ~60 KB non-PK value AND a ~20 KB value
+    # inside the PK itself (index maxLocal is smaller than table maxLocal,
+    # so these exercise the index-specific threshold)
+    big = ("0123456789" * 6000) + "END"
+    bigkey = ("kkkkkkkkkk" * 2000) + "KEY"
+    cur.execute("CREATE TABLE wr_overflow (k TEXT PRIMARY KEY, payload TEXT) "
+                "WITHOUT ROWID")
+    cur.executemany("INSERT INTO wr_overflow VALUES (?,?)",
+                    [("big", big), (bigkey, "keyed"), ("small", "s")])
+    # ALTER ADD COLUMN appends at the END of the record order, so the
+    # pre-ALTER short records truncate at the tail and serve DEFAULTs
+    cur.execute("CREATE TABLE wr_altered (k TEXT PRIMARY KEY, v INTEGER) "
+                "WITHOUT ROWID")
+    cur.executemany("INSERT INTO wr_altered VALUES (?,?)",
+                    [("p", 1), ("q", 2)])
+    cur.execute("ALTER TABLE wr_altered ADD COLUMN d INTEGER DEFAULT 9")
+    cur.execute("INSERT INTO wr_altered VALUES ('r', 3, 33)")
     con.commit()
+    # the .sql dump twin, read back through the independent SqlDump path
+    dump = os.path.join(RES, "sqlite_without_rowid.sql")
+    with open(dump, "w") as f:
+        for line in con.iterdump():
+            f.write(line + "\n")
     con.close()
-    print(f"wrote {p1} ({os.path.getsize(p1)} bytes)")
+    print(f"wrote {path} ({os.path.getsize(path)} bytes) + dump twin")
 
+
+def gen_utf16():
+    """UTF-16LE and UTF-16BE databases: every text value in the file —
+    including the sqlite_master DDL — is stored in the 2-byte encoding,
+    and serial-type lengths count BYTES, so a long value also checks the
+    overflow math under UTF-16."""
+    for suffix, pragma in (("le", "UTF-16le"), ("be", "UTF-16be")):
+        p = os.path.join(RES, f"sqlite_utf16{suffix}.db")
+        if os.path.exists(p):
+            os.remove(p)
+        con = sqlite3.connect(p)
+        cur = con.cursor()
+        cur.execute(f"PRAGMA encoding = '{pragma}'")
+        cur.execute("PRAGMA page_size = 512")
+        cur.execute("CREATE TABLE t (id INTEGER PRIMARY KEY, x TEXT)")
+        long_text = "étoile✓" * 3000  # ~42 KB in UTF-16 -> overflow chain
+        cur.executemany("INSERT INTO t VALUES (?,?)",
+                        [(1, "é"), (2, "plain"), (3, ""),
+                         (4, "unicodé ✓ \U0001f600"), (5, None),
+                         (6, long_text)])
+        # a WITHOUT ROWID table in a UTF-16 db: both features at once
+        cur.execute("CREATE TABLE twr (k TEXT PRIMARY KEY, v TEXT) "
+                    "WITHOUT ROWID")
+        cur.executemany("INSERT INTO twr VALUES (?,?)",
+                        [("α", "alpha"), ("β", "beta")])
+        con.commit()
+        con.close()
+        print(f"wrote {p} ({os.path.getsize(p)} bytes)")
+
+
+def gen_unsupported():
+    """Tiny fixtures for the reader's remaining fail-loud paths."""
     p3 = os.path.join(RES, "sqlite_virtual.db")
     if os.path.exists(p3):
         os.remove(p3)
@@ -203,20 +291,11 @@ def gen_unsupported():
     con.close()
     print(f"wrote {p3} ({os.path.getsize(p3)} bytes)")
 
-    p2 = os.path.join(RES, "sqlite_utf16.db")
-    if os.path.exists(p2):
-        os.remove(p2)
-    con = sqlite3.connect(p2)
-    con.execute("PRAGMA encoding = 'UTF-16'")
-    con.execute("CREATE TABLE t (x TEXT)")
-    con.execute("INSERT INTO t VALUES ('é')")
-    con.commit()
-    con.close()
-    print(f"wrote {p2} ({os.path.getsize(p2)} bytes)")
-
 
 if __name__ == "__main__":
     gen_forestation()
     gen_edge_cases()
     gen_pk_forms()
+    gen_without_rowid()
+    gen_utf16()
     gen_unsupported()

@@ -58,7 +58,11 @@ object SqlDump {
     * UNIQUE, CHECK) are skipped; quoted identifiers are unquoted.
     */
   private[sources] def parseDdl(ddl: String): Seq[TableDef] = {
-    val create = """(?is)CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?("?[\w.]+"?)\s*\((.*?)\)\s*;""".r
+    // the closing paren may be followed by table options before the ';'
+    // (sqlite3 .dump emits them: WITHOUT ROWID, STRICT, or both in either
+    // order) — without this alternative the whole table silently vanishes
+    // from the parse
+    val create = """(?is)CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?("?[\w.]+"?)\s*\((.*?)\)\s*(?:(?:WITHOUT\s+ROWID|STRICT)\s*(?:,\s*(?:WITHOUT\s+ROWID|STRICT)\s*)*)?;""".r
     create.findAllMatchIn(ddl).map { m =>
       val name = m.group(1).replaceAll("\"", "").split('.').last
       // split the column body on commas that sit at paren depth 0

@@ -22,9 +22,14 @@ import graft.api.FileTypeError
   *  - ordinary rowid tables: table b-trees (leaf 0x0d / interior 0x05),
   *    record serial types 0-9 and text/blob, overflow-page chains,
   *    INTEGER-PRIMARY-KEY rowid aliasing;
-  *  - UTF-8 databases (encodings 2/3 — UTF-16 — are rejected);
-  *  - WITHOUT ROWID tables, and WAL databases with an unapplied `-wal`
-  *    file, raise FileTypeError with the `.dump` workaround.
+  *  - WITHOUT ROWID tables: index b-trees (leaf 0x0a / interior 0x02,
+  *    whose interior cells carry real entries, not separators), the
+  *    index-page local-payload thresholds, and the record column
+  *    permutation (PRIMARY KEY columns first, in PK-declaration order);
+  *  - all three text encodings (UTF-8 / UTF-16LE / UTF-16BE);
+  *  - WAL databases with an unapplied `-wal` file, hot rollback
+  *    journals, and virtual tables raise FileTypeError with the
+  *    `.dump` workaround.
   *
   * Scale note, same as [[SqlDump]]/[[SqliteJdbc]]: a SQLite file is an
   * inherently single-reader, single-node artifact. Rows are decoded
@@ -53,11 +58,8 @@ object SqliteFile {
         val bodyEndIdx = bodyEnd(createSql)
         val tableOpts =
           if (bodyEndIdx >= 0) createSql.substring(bodyEndIdx + 1) else ""
-        if ("(?is).*\\bwithout\\s+rowid\\b.*".r.matches(stripComments(tableOpts)))
-          throw new FileTypeError(
-            s"table '$name' in '$path' is WITHOUT ROWID (index-b-tree layout" +
-              s" — unsupported); export the dump instead: sqlite3 '$path'" +
-              " .dump > out.sql")
+        val withoutRowid =
+          "(?is).*\\bwithout\\s+rowid\\b.*".r.matches(stripComments(tableOpts))
         // virtual tables (FTS, rtree, …) have no b-tree of their own —
         // rootpage 0 — and their content lives in module shadow tables
         if (rootPage <= 0)
@@ -65,15 +67,14 @@ object SqliteFile {
             s"table '$name' in '$path' is a virtual table (rootpage 0) — " +
               s"unsupported; export the dump instead: sqlite3 '$path' .dump > out.sql")
         // parseDdl anchors on ');' — feed it the DDL up to the body's
-        // closing paren so table options (STRICT, WITHOUT ROWID already
-        // rejected above) never break the parse
+        // closing paren so table options (STRICT, WITHOUT ROWID) never
+        // break the parse
         val defs = SqlDump.parseDdl(
           (if (bodyEndIdx >= 0) createSql.substring(0, bodyEndIdx + 1)
            else createSql) + ";")
         if (defs.isEmpty)
           throw new FileTypeError(s"cannot parse DDL for table '$name' in '$path'")
         val cols = defs.head.cols
-        val ipkIdx = rowidAliasIndex(cols, createSql)
         val fields = cols.map { c =>
           val t = if (c.sqlType.toLowerCase.startsWith("blob")) BinaryType
                   else c.sparkType
@@ -85,16 +86,47 @@ object SqliteFile {
         // them (NULL when none). Mirror that: pre-decode each column's
         // DEFAULT literal from the DDL once.
         val defaults: Seq[Any] = cols.map(c => defaultLiteral(c.sqlType))
-        val rows = db.tableRows(rootPage).map { case (rowid, rec) =>
-          val vals = fields.zipWithIndex.map { case (f, i) =>
-            val raw =
-              if (i == ipkIdx) java.lang.Long.valueOf(rowid)
-              else if (i < rec.length) rec(i)
-              else defaults(i)
-            coerce(raw, f.dataType, name, f.name)
+        val rows: Seq[Row] =
+          if (withoutRowid) {
+            // Index-b-tree layout: each entry's record holds the PRIMARY
+            // KEY columns first (in PK-declaration order), then the
+            // remaining columns in CREATE TABLE order. ALTER ADD COLUMN
+            // appends at the END of that record order, so short records
+            // still truncate at the tail and the DEFAULT rule applies
+            // unchanged. INTEGER PRIMARY KEY does NOT alias anything
+            // here — the value is stored literally in the record.
+            val pkIdxs = pkColumnIndexes(cols, createSql)
+            if (pkIdxs.isEmpty)
+              throw new FileTypeError(
+                s"table '$name' in '$path' is WITHOUT ROWID but its PRIMARY" +
+                  " KEY columns could not be resolved from the DDL")
+            val perm = pkIdxs ++ cols.indices.filterNot(pkIdxs.contains)
+            val posInRecord = {
+              val a = new Array[Int](cols.length)
+              perm.zipWithIndex.foreach { case (decl, pos) => a(decl) = pos }
+              a
+            }
+            db.indexRows(rootPage).map { rec =>
+              val vals = fields.zipWithIndex.map { case (f, i) =>
+                val pos = posInRecord(i)
+                val raw = if (pos < rec.length) rec(pos) else defaults(i)
+                coerce(raw, f.dataType, name, f.name, db.textCharset)
+              }
+              Row.fromSeq(vals)
+            }.toSeq
+          } else {
+            val ipkIdx = rowidAliasIndex(cols, createSql)
+            db.tableRows(rootPage).map { case (rowid, rec) =>
+              val vals = fields.zipWithIndex.map { case (f, i) =>
+                val raw =
+                  if (i == ipkIdx) java.lang.Long.valueOf(rowid)
+                  else if (i < rec.length) rec(i)
+                  else defaults(i)
+                coerce(raw, f.dataType, name, f.name, db.textCharset)
+              }
+              Row.fromSeq(vals)
+            }.toSeq
           }
-          Row.fromSeq(vals)
-        }.toSeq
         import scala.jdk.CollectionConverters._
         name -> spark.createDataFrame(rows.asJava, schema)
       }.toMap
@@ -151,6 +183,38 @@ object SqliteFile {
             c.name.equalsIgnoreCase(colName) && isIntegerType(c.sqlType))
         }
     }.getOrElse(-1)
+  }
+
+  /** Declared-column indexes of the PRIMARY KEY, in PK-declaration order —
+    * the record column order of a WITHOUT ROWID table's index b-tree
+    * (fileformat2.html §2.6: PK columns first, in the order they appear in
+    * the PRIMARY KEY definition, then the rest in CREATE TABLE order).
+    * Both declaration forms: a column-level `PRIMARY KEY` constraint
+    * (token-scanned at depth 0, so CHECK bodies and strings can't fake
+    * it — DESC is NOT an exception here, that quirk is rowid-alias-only),
+    * or a table-level `PRIMARY KEY (a, b DESC, c COLLATE nocase)` whose
+    * entries are stripped of their decorations. Empty when unresolvable
+    * (caller fails loud — a silent wrong permutation would serve rows
+    * with columns swapped).
+    */
+  private[sources] def pkColumnIndexes(cols: Seq[SqlDump.ColDef],
+      createSql: String): Seq[Int] = {
+    val colLevel = cols.indexWhere(c =>
+      wordsAtDepth0(c.sqlType).containsSlice(Seq("primary", "key")))
+    if (colLevel >= 0) return Seq(colLevel)
+    val end = bodyEnd(createSql)
+    val start = createSql.indexOf('(')
+    if (end < 0 || start < 0) return Seq.empty
+    val entries = splitDepth0(createSql.substring(start + 1, end))
+    val pkEntry = """(?is)^(?:constraint\s+(?:"[^"]*"|\w+)\s+)?primary\s+key\s*\((.*)\)\s*$""".r
+    entries.map(_.trim).collectFirst {
+      case e if pkEntry.findFirstMatchIn(e).isDefined =>
+        val inner = pkEntry.findFirstMatchIn(e).get.group(1)
+        val pkCols = splitDepth0(inner).map(_.trim).filter(_.nonEmpty)
+          .map(_.split("\\s+")(0).replaceAll("\"", ""))
+        val idxs = pkCols.map(n => cols.indexWhere(_.name.equalsIgnoreCase(n)))
+        if (idxs.contains(-1)) Seq.empty else idxs.distinct
+    }.getOrElse(Seq.empty)
   }
 
   /** Lower-cased word tokens of `s` that sit OUTSIDE parens and quoted
@@ -335,7 +399,8 @@ object SqliteFile {
     * Spark type. SQLite is dynamically typed per VALUE; mismatches a
     * lossless conversion can't fix fail loud rather than corrupt.
     */
-  private def coerce(v: Any, t: DataType, table: String, colName: String): Any = {
+  private def coerce(v: Any, t: DataType, table: String, colName: String,
+      charset: java.nio.charset.Charset): Any = {
     def bad(): Nothing = throw new FileTypeError(
       s"$table.$colName: stored value class ${v.getClass.getSimpleName} " +
         s"does not fit declared column type $t")
@@ -364,7 +429,9 @@ object SqliteFile {
       case (l: java.lang.Long, StringType) => l.toString
       case (d: java.lang.Double, StringType) => d.toString
       case (b: Array[Byte], BinaryType) => b
-      case (b: Array[Byte], StringType) => new String(b, "UTF-8")
+      // a BLOB value in a TEXT-affinity column: interpret the bytes in the
+      // DATABASE text encoding, as SQLite's blob→text cast does
+      case (b: Array[Byte], StringType) => new String(b, charset)
       case _ => bad()
     }
   }
@@ -391,10 +458,17 @@ object SqliteFile {
     }
     private val reserved: Int = header.get(20) & 0xff
     private val usable: Int = pageSize - reserved
+    /** Database text encoding (header offset 56): 1 = UTF-8, 2 = UTF-16LE,
+      * 3 = UTF-16BE. Applies to every text value in the file, including
+      * the sqlite_master DDL strings themselves.
+      */
+    val textCharset: java.nio.charset.Charset = header.getInt(56) match {
+      case 1 => java.nio.charset.StandardCharsets.UTF_8
+      case 2 => java.nio.charset.StandardCharsets.UTF_16LE
+      case 3 => java.nio.charset.StandardCharsets.UTF_16BE
+      case other => fail(s"unknown text encoding $other (header byte 56)")
+    }
     locally {
-      val enc = header.getInt(56)
-      if (enc != 1) fail(s"text encoding $enc (UTF-16) unsupported — UTF-8 only;" +
-        " export the dump instead")
       // write-version 2 = WAL journal. The file alone is complete only if
       // no -wal frames are pending; with a non-trivial -wal present we
       // cannot see committed-but-uncheckpointed data, so refuse.
@@ -503,29 +577,72 @@ object SqliteFile {
     private def readLeafCell(pg: ByteBuffer, cellOff: Int): (Long, Array[Any]) = {
       val (payloadLen, n1) = varint(pg, cellOff)
       val (rowid, n2) = varint(pg, cellOff + n1)
-      val bodyOff = cellOff + n1 + n2
-      // local-vs-overflow split, straight from the format spec
-      val maxLocal = usable - 35
-      val payload: ByteBuffer =
-        if (payloadLen <= maxLocal) pg.slice(bodyOff, payloadLen.toInt)
-        else {
-          val minLocal = (usable - 12) * 32 / 255 - 23
-          val k = minLocal + ((payloadLen - minLocal) % (usable - 4)).toInt
-          val local = if (k <= maxLocal) k else minLocal
-          val out = ByteBuffer.allocate(payloadLen.toInt)
-          out.put(pg.slice(bodyOff, local))
-          var next = pg.getInt(bodyOff + local)
-          while (next != 0) {
-            val op = page(next)
-            val take = math.min(usable - 4, out.remaining())
-            out.put(op.slice(4, take))
-            next = if (out.hasRemaining) op.getInt(0) else 0
-          }
-          if (out.hasRemaining) fail("overflow chain ended short of payload")
-          out.flip()
-          out
-        }
+      // table-page local-payload ceiling, straight from the format spec
+      val payload = readPayload(pg, cellOff + n1 + n2, payloadLen, usable - 35)
       (rowid, decodeRecord(payload))
+    }
+
+    /** Assemble a cell payload of `payloadLen` bytes starting at `bodyOff`,
+      * following the overflow chain when it exceeds `maxLocal` (which
+      * differs between table and index pages — that difference is the
+      * caller's to supply; everything else is shared).
+      */
+    private def readPayload(pg: ByteBuffer, bodyOff: Int, payloadLen: Long,
+        maxLocal: Int): ByteBuffer =
+      if (payloadLen <= maxLocal) pg.slice(bodyOff, payloadLen.toInt)
+      else {
+        val minLocal = (usable - 12) * 32 / 255 - 23
+        val k = minLocal + ((payloadLen - minLocal) % (usable - 4)).toInt
+        val local = if (k <= maxLocal) k else minLocal
+        val out = ByteBuffer.allocate(payloadLen.toInt)
+        out.put(pg.slice(bodyOff, local))
+        var next = pg.getInt(bodyOff + local)
+        while (next != 0) {
+          val op = page(next)
+          val take = math.min(usable - 4, out.remaining())
+          out.put(op.slice(4, take))
+          next = if (out.hasRemaining) op.getInt(0) else 0
+        }
+        if (out.hasRemaining) fail("overflow chain ended short of payload")
+        out.flip()
+        out
+      }
+
+    /** All decoded records of the index b-tree rooted at `root`, in key
+      * order — the row iterator for WITHOUT ROWID tables. Unlike table
+      * trees, index INTERIOR cells carry real entries (each key appears
+      * exactly once in the whole tree), so the traversal is in-order:
+      * child(0), key(0), child(1), key(1), …, rightmost child.
+      */
+    def indexRows(root: Int): Iterator[Array[Any]] = walkIndex(root)
+
+    private def walkIndex(pageNo: Int): Iterator[Array[Any]] = {
+      val pg = page(pageNo)
+      val hdr = if (pageNo == 1) 100 else 0
+      val typ = pg.get(hdr) & 0xff
+      val nCells = pg.getShort(hdr + 3) & 0xffff
+      // index-page local-payload ceiling (smaller than table pages: keys
+      // are meant to stay shallow so searches touch fewer overflow pages)
+      val maxLocal = (usable - 12) * 64 / 255 - 23
+      typ match {
+        case 0x0a => // index leaf: varint payloadLen, payload
+          (0 until nCells).iterator.map { i =>
+            val cellOff = pg.getShort(hdr + 8 + 2 * i) & 0xffff
+            val (payloadLen, n1) = varint(pg, cellOff)
+            decodeRecord(readPayload(pg, cellOff + n1, payloadLen, maxLocal))
+          }
+        case 0x02 => // index interior: 4-byte left child, then the entry
+          (0 until nCells).iterator.flatMap { i =>
+            val cellOff = pg.getShort(hdr + 12 + 2 * i) & 0xffff
+            val (payloadLen, n1) = varint(pg, cellOff + 4)
+            val rec = decodeRecord(
+              readPayload(pg, cellOff + 4 + n1, payloadLen, maxLocal))
+            walkIndex(pg.getInt(cellOff)) ++ Iterator.single(rec)
+          } ++ walkIndex(pg.getInt(hdr + 8))
+        case other =>
+          fail(f"page $pageNo: unexpected b-tree page type 0x$other%02x" +
+            " in an index tree (corrupt file or table root)")
+      }
     }
 
     /** SQLite record format: varint header size, varint serial type per
@@ -567,9 +684,9 @@ object SqliteFile {
             val b = new Array[Byte](len); rec.get(bp, b)
             out(i) = b; bp += len
           case n if n >= 13 =>
-            val len = ((n - 13) / 2).toInt
+            val len = ((n - 13) / 2).toInt // byte length in ANY encoding
             val b = new Array[Byte](len); rec.get(bp, b)
-            out(i) = new String(b, "UTF-8"); bp += len
+            out(i) = new String(b, textCharset); bp += len
           case n => fail(s"reserved record serial type $n")
         }
         i += 1
