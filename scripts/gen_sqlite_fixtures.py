@@ -279,6 +279,38 @@ def gen_utf16():
         print(f"wrote {p} ({os.path.getsize(p)} bytes)")
 
 
+def gen_views():
+    """Persistent views stored in the file (sqlite_master type='view'):
+    plain, aggregating, explicit-column-list, and view-on-view shapes,
+    plus a string literal containing 'CREATE VIEW' that must not confuse
+    the statement scanner. Dump twin written for the .sql path."""
+    path = os.path.join(RES, "sqlite_views.db")
+    if os.path.exists(path):
+        os.remove(path)
+    con = sqlite3.connect(path)
+    cur = con.cursor()
+    cur.execute("CREATE TABLE people (id INTEGER PRIMARY KEY, name TEXT, "
+                "age INTEGER, city TEXT)")
+    cur.executemany("INSERT INTO people VALUES (?,?,?,?)",
+                    [(1, "ann", 34, "oslo"), (2, "bob", 12, "oslo"),
+                     (3, "cat", 19, "bergen"), (4, "dan", 71, "bergen"),
+                     (5, "eve; CREATE VIEW fake AS SELECT 1", 25, "oslo")])
+    cur.execute("CREATE VIEW adults AS SELECT id, name, age FROM people "
+                "WHERE age >= 18")
+    # view over a view, with an explicit output-column list
+    cur.execute("CREATE VIEW v_cols (pid, pname) AS "
+                "SELECT id, name FROM adults")
+    cur.execute("CREATE VIEW city_counts AS "
+                "SELECT city, count(*) AS n FROM people GROUP BY city")
+    con.commit()
+    dump = os.path.join(RES, "sqlite_views.sql")
+    with open(dump, "w") as f:
+        for line in con.iterdump():
+            f.write(line + "\n")
+    con.close()
+    print(f"wrote {path} ({os.path.getsize(path)} bytes) + dump twin")
+
+
 def gen_unsupported():
     """Tiny fixtures for the reader's remaining fail-loud paths."""
     p3 = os.path.join(RES, "sqlite_virtual.db")
@@ -298,4 +330,5 @@ if __name__ == "__main__":
     gen_pk_forms()
     gen_without_rowid()
     gen_utf16()
+    gen_views()
     gen_unsupported()

@@ -90,8 +90,22 @@ final class Database private (
     tempTableNames += name
   }
 
-  /** Column names of a table (reference: connection.py:150-160). */
-  def getColumns(tableName: String): Seq[String] = table(tableName).columns
+  // persistent views defined IN the opened file (CREATE VIEW rows of
+  // sqlite_master / a dump's DDL), registered by Database.open — listed by
+  // [[views]] via the catalog and dropped by exit() like created views
+  private[api] def adoptFileViews(names: Seq[String]): Unit = {
+    viewNames ++= names; ()
+  }
+
+  /** Column names of a table or view (reference: connection.py:150-160
+    * accepts `self.tables + self.views`; a Table handle is still only
+    * handed out for base tables, matching `__getitem__`).
+    */
+  def getColumns(tableName: String): Seq[String] =
+    if (tableMap.contains(tableName)) table(tableName).columns
+    else if (views.contains(tableName) || tempTableNames.contains(tableName))
+      spark.table(tableName).columns.toSeq
+    else table(tableName).columns // throws InvalidTableError listing tables
 
   /** (name, Table) pairs (reference: connection.py:162-166). */
   def items: Seq[(String, Table)] = tables.map(n => n -> table(n))
@@ -192,6 +206,52 @@ final class DynTable private[api] (val table: Table) extends scala.Dynamic {
 
 object Database {
 
+  /** Register the persistent views a file-based database defines
+    * (reference: `db.views` lists sqlite_master type='view' rows,
+    * connection.py:123-131) as Spark temp views, returning the registered
+    * names. Views may reference other views in any order, so registration
+    * runs to a fixpoint; a view that never resolves fails LOUD — silently
+    * dropping it would make `db.views` misrepresent the file. A view name
+    * colliding with a table would shadow the table's temp view, so that
+    * fails loud too (SQLite itself forbids the collision; seeing one means
+    * a corrupt or hand-edited schema).
+    */
+  private[graft] def registerFileViews(spark: SparkSession, tableNames: Set[String],
+      defs: Seq[graft.sources.SqlDump.ViewDef]): Seq[String] = {
+    defs.find(v => tableNames.contains(v.name)).foreach { v =>
+      throw new FileTypeError(
+        s"view '${v.name}' collides with a table of the same name")
+    }
+    var pending = defs.toList
+    var lastErr = Map.empty[String, Throwable]
+    var progress = true
+    while (pending.nonEmpty && progress) {
+      progress = false
+      val still = List.newBuilder[graft.sources.SqlDump.ViewDef]
+      pending.foreach { v =>
+        try {
+          val df0 = spark.sql(v.body)
+          val df = if (v.cols.nonEmpty) df0.toDF(v.cols: _*) else df0
+          df.createOrReplaceTempView(v.name)
+          progress = true
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            lastErr += v.name -> e; still += v
+        }
+      }
+      pending = still.result()
+    }
+    if (pending.nonEmpty) {
+      val v = pending.head
+      val why = Option(lastErr(v.name).getMessage).getOrElse("")
+        .linesIterator.take(2).mkString(" ")
+      throw new FileTypeError(
+        s"view '${v.name}' could not be registered (its SELECT body does " +
+          s"not resolve in Spark SQL): $why")
+    }
+    defs.map(_.name)
+  }
+
   /** Open every `<table>.parquet` / `<table>.csv` in `dir` as a table.
     * Unsupported files raise FileTypeError if explicitly requested via
     * `open(path)` on a single file (reference: connection.py:77-78).
@@ -229,25 +289,34 @@ object Database {
       if (dir.endsWith(".sql")) {
         val tableMap = graft.sources.SqlDump.open(spark, dir)
         tableMap.foreach { case (n, df) => df.createOrReplaceTempView(n) }
+        val fileViews = registerFileViews(spark, tableMap.keySet,
+          graft.sources.SqlDump.viewDefs(spark, dir))
         val qc = new QueryCache(cacheEnabled, maxItemMb, maxTotalMb)
         val fp = sourceFingerprint(Seq(target))
         if (cacheDir != null) qc.loadFrom(spark, cacheDir, Some(fp))
-        return new Database(spark, tableMap, qc, dir, Option(cacheDir), fp)
+        val db = new Database(spark, tableMap, qc, dir, Option(cacheDir), fp)
+        db.adoptFileViews(fileViews)
+        return db
       }
       if (Seq(".db", ".sqlite", ".sqlite3").exists(dir.endsWith)) {
         // JDBC route when a sqlite-jdbc jar happens to be on the classpath
         // (it streams table scans); otherwise graft's own pure-JVM reader
         // parses the b-tree pages directly — the reference's direct-.db
         // open (connection.py:64-78) with zero added dependencies either way
+        val jdbc = graft.sources.SqliteJdbc.driverAvailable
         val tableMap =
-          if (graft.sources.SqliteJdbc.driverAvailable)
-            graft.sources.SqliteJdbc.open(spark, dir)
+          if (jdbc) graft.sources.SqliteJdbc.open(spark, dir)
           else graft.sources.SqliteFile.open(spark, dir)
         tableMap.foreach { case (n, df) => df.createOrReplaceTempView(n) }
+        val fileViews = registerFileViews(spark, tableMap.keySet,
+          if (jdbc) graft.sources.SqliteJdbc.views(dir)
+          else graft.sources.SqliteFile.views(dir))
         val qc = new QueryCache(cacheEnabled, maxItemMb, maxTotalMb)
         val fp = sourceFingerprint(Seq(target))
         if (cacheDir != null) qc.loadFrom(spark, cacheDir, Some(fp))
-        return new Database(spark, tableMap, qc, dir, Option(cacheDir), fp)
+        val db = new Database(spark, tableMap, qc, dir, Option(cacheDir), fp)
+        db.adoptFileViews(fileViews)
+        return db
       }
       if (!dir.endsWith(".parquet") && !dir.endsWith(".csv"))
         throw new FileTypeError(

@@ -21,10 +21,10 @@ import org.apache.spark.sql.types._
   *    text, then cast column-wise from the parsed strings to the DDL
   *    types. No driver-side row loop at any size.
   *
-  * The binary SQLite `.db` format itself stays out of scope: reading it
-  * needs a SQLite driver, and this build deliberately adds no dependencies
-  * beyond Spark (README "Interchange formats"). A user exports with
-  * `sqlite3 file.db .dump` and opens the dump here.
+  * The binary SQLite `.db` format is handled separately: [[SqliteJdbc]]
+  * when a driver jar is on the classpath, [[SqliteFile]] (pure-JVM b-tree
+  * reader) otherwise — this build deliberately adds no dependencies
+  * beyond Spark (README "Interchange formats").
   *
   * Type affinities follow SQLite's text-first model so results match the
   * reference: integer-family → long, numeric/decimal(p,s) → decimal,
@@ -86,6 +86,138 @@ object SqlDump {
       TableDef(name, cols.toSeq)
     }.toSeq
   }
+
+  /** A persistent view stored in the database file: name, optional
+    * explicit output-column list, and the SELECT body (reference
+    * connection.py:123-131 lists these from `sqlite_master
+    * WHERE type='view'`; Database.open registers each as a Spark temp
+    * view so `db.views` / `get_columns` / raw SQL see them).
+    */
+  final case class ViewDef(name: String, cols: Seq[String], body: String)
+
+  /** Parse `CREATE [TEMP] VIEW [IF NOT EXISTS] name [(cols)] AS select`
+    * statements out of DDL text. Statement-split and token-scanned
+    * quote-aware, so `CREATE VIEW` inside a string literal or a view body
+    * containing `;` in a string cannot confuse it. Views whose text does
+    * not fit the shape fail loud (a silently dropped view would make
+    * `db.views` lie about the file's contents).
+    */
+  private[sources] def parseViews(ddl: String): Seq[ViewDef] = {
+    val head = """(?is)^\s*CREATE\s+(?:TEMP(?:ORARY)?\s+)?VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?""".r
+    splitStatements(ddl).flatMap { stmt =>
+      head.findFirstMatchIn(stmt).map { m =>
+        var i = m.end
+        def ws(): Unit = { while (i < stmt.length && stmt.charAt(i).isWhitespace) i += 1 }
+        def ident(): String = {
+          ws()
+          if (i < stmt.length && stmt.charAt(i) == '"') {
+            val end = stmt.indexOf('"', i + 1)
+            require(end > i, s"unterminated quoted name in: $stmt")
+            val n = stmt.substring(i + 1, end); i = end + 1; n
+          } else {
+            val start = i
+            while (i < stmt.length &&
+              (stmt.charAt(i).isLetterOrDigit || "_.$".contains(stmt.charAt(i)))) i += 1
+            require(i > start, s"cannot parse view name in: ${stmt.take(80)}")
+            stmt.substring(start, i)
+          }
+        }
+        // schema-qualified `main.v` keeps the last component, like tables
+        val name = ident().split('.').last
+        ws()
+        // optional explicit output-column list before AS
+        val cols: Seq[String] =
+          if (i < stmt.length && stmt.charAt(i) == '(') {
+            var depth = 0
+            val start = i
+            var end = -1
+            var j = i
+            while (j < stmt.length && end < 0) {
+              stmt.charAt(j) match {
+                case '(' => depth += 1
+                case ')' => depth -= 1; if (depth == 0) end = j
+                case '\'' => j += 1; while (j < stmt.length && stmt.charAt(j) != '\'') j += 1
+                case '"' => j += 1; while (j < stmt.length && stmt.charAt(j) != '"') j += 1
+                case _ =>
+              }
+              j += 1
+            }
+            require(end > start, s"unbalanced column list in view '$name'")
+            i = end + 1
+            stmt.substring(start + 1, end).split(',')
+              .map(_.trim.replaceAll("\"", "")).filter(_.nonEmpty).toSeq
+          } else Seq.empty
+        ws()
+        require(stmt.regionMatches(true, i, "as", 0, 2) &&
+          (i + 2 >= stmt.length || !stmt.charAt(i + 2).isLetterOrDigit),
+          s"expected AS in CREATE VIEW '$name'")
+        ViewDef(name, cols, stmt.substring(i + 2).trim)
+      }
+    }
+  }
+
+  /** Split SQL text into `;`-terminated statements, honoring `'…'` / `"…"`
+    * quoting (with `''` escapes) and `--` / block comments; a trailing
+    * unterminated statement is emitted too (sqlite_master stores CREATE
+    * text without the `;`).
+    */
+  private[sources] def splitStatements(sql: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var i = 0
+    while (i < sql.length) {
+      sql.charAt(i) match {
+        case ';' => out += cur.toString; cur.clear(); i += 1
+        case '\'' =>
+          cur += '\''; i += 1
+          while (i < sql.length &&
+            !(sql.charAt(i) == '\'' &&
+              (i + 1 >= sql.length || sql.charAt(i + 1) != '\''))) {
+            cur += sql.charAt(i)
+            if (sql.charAt(i) == '\'') { cur += '\''; i += 2 } else i += 1
+          }
+          if (i < sql.length) { cur += '\''; i += 1 }
+        case '"' =>
+          cur += '"'; i += 1
+          while (i < sql.length && sql.charAt(i) != '"') { cur += sql.charAt(i); i += 1 }
+          if (i < sql.length) { cur += '"'; i += 1 }
+        case '-' if i + 1 < sql.length && sql.charAt(i + 1) == '-' =>
+          while (i < sql.length && sql.charAt(i) != '\n') i += 1
+        case '/' if i + 1 < sql.length && sql.charAt(i + 1) == '*' =>
+          i += 2
+          while (i + 1 < sql.length &&
+            !(sql.charAt(i) == '*' && sql.charAt(i + 1) == '/')) i += 1
+          i += 2
+        case c => cur += c; i += 1
+      }
+    }
+    if (cur.toString.trim.nonEmpty) out += cur.toString
+    out.result().filter(_.trim.nonEmpty)
+  }
+
+  /** The view definitions of an opened dump. Reuses the session-cached
+    * dump text when [[open]] has already pinned it; otherwise one local
+    * pass over the file's non-INSERT lines (same driver-size cap as the
+    * DDL collect).
+    */
+  def viewDefs(spark: SparkSession, path: String): Seq[ViewDef] =
+    openDumps.get(dumpKey(spark, path)) match {
+      case Some(lines) =>
+        parseViews(collectDdl(spark, path, lines))
+      case None =>
+        val src = scala.io.Source.fromFile(path, "UTF-8")
+        try {
+          val sb = new StringBuilder
+          src.getLines().foreach { l =>
+            if (!l.trim.toUpperCase.startsWith("INSERT ")) {
+              sb.append(l).append('\n')
+              require(sb.length <= maxDdlBytes,
+                s"'$path': non-INSERT content exceeds $maxDdlBytes bytes")
+            }
+          }
+          parseViews(sb.toString)
+        } finally src.close()
+    }
 
   /** Column order of an explicit `INSERT INTO t (a, b, c) VALUES` list,
     * or None for the bare positional form.
@@ -227,12 +359,13 @@ object SqlDump {
     }
   }
 
-  private def openImpl(spark: SparkSession, path: String,
-      lines: Dataset[String]): Map[String, DataFrame] = {
+  /** DDL text of a dump: drop the INSERT bulk distributed, collect the
+    * remnant in file order (zipWithIndex preserves a single text file's
+    * line order). Guarded: the non-INSERT remnant must stay driver-sized.
+    */
+  private def collectDdl(spark: SparkSession, path: String,
+      lines: Dataset[String]): String = {
     import spark.implicits._
-    // DDL: drop the INSERT bulk distributed, collect the remnant in file
-    // order (zipWithIndex preserves a single text file's line order).
-    // Guarded: the non-INSERT remnant must stay driver-sized.
     val ddlBytes = lines
       .filter(l => !l.trim.toUpperCase.startsWith("INSERT "))
       .agg(sum(length(col("value")))).as[Option[Long]].head().getOrElse(0L)
@@ -241,9 +374,15 @@ object SqlDump {
         "This reader collects DDL to the driver and expects the dump bulk to " +
         "be one-line INSERT statements (sqlite3 .dump / pg_dump --inserts " +
         "form); COPY-based or comment-heavy dumps are not supported.")
-    val ddl = lines.rdd.zipWithIndex()
+    lines.rdd.zipWithIndex()
       .filter { case (l, _) => !l.trim.toUpperCase.startsWith("INSERT ") }
       .collect().sortBy(_._2).map(_._1).mkString("\n")
+  }
+
+  private def openImpl(spark: SparkSession, path: String,
+      lines: Dataset[String]): Map[String, DataFrame] = {
+    import spark.implicits._
+    val ddl = collectDdl(spark, path, lines)
     val defs = parseDdl(ddl)
     require(defs.nonEmpty, s"no CREATE TABLE statements found in '$path'")
 

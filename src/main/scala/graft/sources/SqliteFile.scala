@@ -133,6 +133,17 @@ object SqliteFile {
     } finally db.close()
   }
 
+  /** The `CREATE VIEW` statements stored in the file, parsed to
+    * [[SqlDump.ViewDef]]s in sqlite_master order (reference
+    * connection.py:123-131: `db.views` lists type='view' rows).
+    * Registration into the session is [[graft.api.Database]]'s job.
+    */
+  def views(path: String): Seq[SqlDump.ViewDef] = {
+    val db = new Reader(path)
+    try db.masterViews().flatMap(sql => SqlDump.parseViews(sql))
+    finally db.close()
+  }
+
   /** Index of the rowid-ALIAS column, or -1. SQLite's rule
     * (sqlite.org/lang_createtable.html#rowid): a column aliases the rowid
     * iff its declared type is exactly INTEGER and it is the table's
@@ -713,6 +724,16 @@ object SqliteFile {
               case _ => fail(s"sqlite_master sql for '$name' missing")
             }
             Some((name, root, sql))
+          case _ => None
+        }
+      }.toSeq
+
+    /** CREATE sql of every view, from the same schema table. */
+    def masterViews(): Seq[String] =
+      tableRows(1).flatMap { case (_, rec) =>
+        (rec(0), rec(1), rec(4)) match {
+          case (t: String, name: String, sql: String)
+            if t == "view" && !name.startsWith("sqlite_") => Some(sql)
           case _ => None
         }
       }.toSeq

@@ -55,4 +55,20 @@ object SqliteJdbc {
         .load()
     }.toMap
   }
+
+  /** The file's `CREATE VIEW` statements parsed to [[SqlDump.ViewDef]]s,
+    * via one tiny driver-side sqlite_master query (reference
+    * connection.py:123-131).
+    */
+  def views(path: String): Seq[SqlDump.ViewDef] = {
+    val conn = java.sql.DriverManager.getConnection(s"jdbc:sqlite:$path")
+    try {
+      val rs = conn.createStatement().executeQuery(
+        "SELECT sql FROM sqlite_master WHERE type = 'view' " +
+          "AND name NOT LIKE 'sqlite_%' ORDER BY rowid")
+      val b = Seq.newBuilder[String]
+      while (rs.next()) b += rs.getString(1)
+      b.result().flatMap(sql => SqlDump.parseViews(sql))
+    } finally conn.close()
+  }
 }
