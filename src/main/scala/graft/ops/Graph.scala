@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph centrality over an edge list — the link-graph quality signal of
+  * web-corpus curation (PageRank-family scores over the crawl's link or
+  * click graph rank sources/pages for retention and sampling weight, the
+  * same role the harmonic/centrality columns play in public crawl-data
+  * releases). Complements [[ConnectedComponents]], which answers "which
+  * nodes form one cluster" where this answers "how central is each node".
+  *
+  * Exact fixed-point arithmetic: ranks are carried as integer mass units
+  * (`scale` total, default 10^12) and every step is integer arithmetic —
+  * truncating `div`, order-independent long sums — so the result is
+  * EXACTLY reproducible across engines, partitionings and reruns, where a
+  * double-precision power iteration drifts with reduction order. That
+  * determinism is what lets a 100 TB pipeline treat rank as a stable
+  * content key (retry-safe, resumable) and what lets the DuckDB oracle
+  * match hash-for-hash. Truncation leaks ≤1 unit of mass per node per
+  * step — bounded and identical everywhere, by construction.
+  */
+object Graph {
+
+  /** PageRank by `iters` rounds of power iteration over `edges` (one row
+    * per edge; parallel edges weight naturally). Returns (node, pr) with
+    * `pr` the integer rank mass out of ~`scale`.
+    *
+    * Per round: one equi-join of edges to ranks on src (contributions,
+    * share = rank div outdeg), one aggregation keyed on dst, one left
+    * join back to the node list, plus two scalar aggregates (total and
+    * dangling mass) broadcast into the update — dangling mass is
+    * redistributed uniformly, damping is the integer ratio
+    * dampingNum/dampingDen. Each round's ranks are eagerly
+    * localCheckpoint'ed: the frame is read three times by the next round,
+    * and lineage would otherwise nest the whole iteration history
+    * (same discipline as [[ConnectedComponents.components]]).
+    *
+    * Scale notes: node ids stay in their source type (no cast), the
+    * heavy shuffle is the per-round groupBy(dst) over O(|E|) rows, and
+    * `scale` should dwarf the node count — at 10^12 the per-node initial
+    * mass is still ~1000 units for a billion-node graph. For skewed
+    * in-degree (a few mega-hub pages) pre-salt the dst aggregation or
+    * let AQE's skew handling split it.
+    */
+  def pageRank(edges0: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 3, dampingNum: Long = 85L, dampingDen: Long = 100L,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1, "pageRank: iters must be >= 1")
+    require(dampingDen > 0 && dampingNum >= 0 && dampingNum <= dampingDen,
+      "pageRank: damping must satisfy 0 <= num <= den")
+    // materialize the edge list once — it is read every round and the
+    // caller's subplan (often a window over the raw events) is expensive
+    val edges = edges0
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint(true)
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    val outDeg = edges.groupBy(col("src").as("onode"))
+      .agg(count(lit(1)).as("outdeg"))
+    val base = nodes.join(outDeg, col("node") === col("onode"), "left")
+      .select(col("node"), coalesce(col("outdeg"), lit(0L)).as("outdeg"))
+    val n1 = base.agg(count(lit(1)).as("n"))
+    var ranks = base.crossJoin(broadcast(n1))
+      .selectExpr("node", "outdeg", s"${scale}L div n AS pr")
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      // total mass (shrinks slowly by truncation) and the mass parked on
+      // dangling nodes, both spread uniformly in the update below
+      val scalars = ranks.agg(
+        count(lit(1)).as("n"),
+        sum(col("pr")).as("total"),
+        sum(when(col("outdeg") === 0L, col("pr")).otherwise(0L)).as("dangling"))
+      val shares = ranks.filter(col("outdeg") > 0L)
+        .selectExpr("node AS snode", "pr div outdeg AS share")
+      val contrib = edges.join(shares, col("src") === col("snode"))
+        .groupBy(col("dst").as("cnode"))
+        .agg(sum(col("share")).as("contrib"))
+      ranks = ranks.join(contrib, col("node") === col("cnode"), "left")
+        .crossJoin(broadcast(scalars))
+        .selectExpr("node", "outdeg",
+          s"((${dampingDen - dampingNum}L * (total div n)) div ${dampingDen}L) + " +
+            s"((${dampingNum}L * (coalesce(contrib, 0L) + (dangling div n))) " +
+            s"div ${dampingDen}L) AS pr")
+        .localCheckpoint(true)
+    }
+    ranks.select("node", "pr")
+  }
+}

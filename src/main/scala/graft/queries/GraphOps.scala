@@ -1,0 +1,75 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Q._
+
+/** Link-graph centrality queries: the events table's per-user click paths
+  * induce a page-transition graph (src page → next page within a user's
+  * timeline), and [[graft.ops.Graph.pageRank]] scores each page on it —
+  * the curation signal that ranks crawl sources/pages for retention. The
+  * DuckDB oracle replays the SAME integer fixed-point power iteration
+  * unrolled as chained CTEs: because every step is integer arithmetic,
+  * the two engines agree hash-for-hash, no float tolerance needed.
+  */
+object GraphOps {
+
+  type Fn = (SparkSession, String) => DataFrame
+
+  private val Iters = 3
+
+  /** The r0 → rN iteration CTEs, mirroring Graph.pageRank term for term
+    * (85/100 damping, uniform dangling redistribution, truncating
+    * division). Kept in one place so the Scala and SQL sides cannot
+    * drift silently.
+    */
+  private def oracleIterCtes(iters: Int): String =
+    (1 to iters).map { i =>
+      s"""s$i AS (SELECT count(*) AS n, sum(pr) AS total,
+         |  sum(CASE WHEN outdeg = 0 THEN pr ELSE 0 END) AS dangling FROM r${i - 1}),
+         |c$i AS (SELECT e.dst AS cnode, sum(r.pr // r.outdeg) AS contrib
+         |  FROM edges e JOIN r${i - 1} r ON e.src = r.node WHERE r.outdeg > 0
+         |  GROUP BY 1),
+         |r$i AS (SELECT b.node, b.outdeg,
+         |  ((15 * (total // n)) // 100)
+         |  + ((85 * (coalesce(contrib, 0) + (dangling // n))) // 100) AS pr
+         |  FROM r${i - 1} b LEFT JOIN c$i ON b.node = c$i.cnode CROSS JOIN s$i)""".stripMargin
+    }.mkString(",\n")
+
+  val entries: Seq[(String, Fn, String)] = Seq(
+
+    // -- PageRank over the click graph: per-user consecutive page visits
+    //    (props.k) are the edges; 3 power-iteration rounds in exact
+    //    integer mass units. One window for edge derivation, then one
+    //    shuffle on dst per round -----------------------------------------
+    ("q_pagerank",
+      (s: SparkSession, d: String) => {
+        val ev = t(s, d, "events").select(col("user_id"), col("ts"),
+          col("event_id"),
+          regexp_extract(col("props"), "\"k\": ([0-9]+)", 1)
+            .cast("long").as("page"))
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val edges = ev.withColumn("next", lead("page", 1).over(w))
+          .filter(col("next").isNotNull)
+          .select(col("page").as("src"), col("next").as("dst"))
+        graft.ops.Graph.pageRank(edges, "src", "dst", iters = Iters)
+          .orderBy("node")
+      },
+      s"""WITH ev AS (SELECT user_id, ts, event_id,
+         |  CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS page FROM events),
+         |eg AS (SELECT page AS src,
+         |  lead(page) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst FROM ev),
+         |edges AS (SELECT src, dst FROM eg WHERE dst IS NOT NULL),
+         |nodes AS (SELECT DISTINCT node FROM
+         |  (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges) q),
+         |od AS (SELECT src AS onode, count(*) AS outdeg FROM edges GROUP BY 1),
+         |base AS (SELECT node, coalesce(outdeg, 0) AS outdeg
+         |  FROM nodes LEFT JOIN od ON node = onode),
+         |r0 AS (SELECT node, outdeg,
+         |  1000000000000 // (SELECT count(*) FROM base) AS pr FROM base),
+         |${oracleIterCtes(Iters)}
+         |SELECT node, CAST(pr AS BIGINT) AS pr FROM r$Iters ORDER BY node""".stripMargin)
+  )
+}
