@@ -50,15 +50,17 @@ final class Database private (
   // connection.py:122-148
   private val tempTableNames = scala.collection.mutable.LinkedHashSet.empty[String]
 
-  /** Temp VIEWS registered in the session beyond this database's base
-    * tables — named lazy plans (reference `db.views` / `temp_views`,
-    * connection.py:122-131, 141-148).
+  /** Temp VIEWS registered through THIS database — named lazy plans
+    * (reference `db.views` / `temp_views`, connection.py:122-131,
+    * 141-148): [[createView]], views defined in the opened file, and
+    * `CREATE VIEW` statements executed via [[query]]. The reference's
+    * connection owns its views; the Spark analogue must NOT list the whole
+    * shared-session catalog, which would surface views belonging to other
+    * Database instances in the same SparkSession. Names are confirmed
+    * against the catalog so a view dropped behind our back disappears.
     */
   def views: Seq[String] =
-    spark.catalog.listTables().collect()
-      .filter(t => t.tableType == "TEMPORARY" && !tableMap.contains(t.name) &&
-        !tempTableNames.contains(t.name))
-      .map(_.name).toSeq.sorted
+    viewNames.toSeq.filter(spark.catalog.tableExists).sorted
 
   /** Session-scoped temp TABLES — materialized, dropped at exit (reference
     * `db.temp_tables`, connection.py:133-139: "lasts only as long as the
@@ -117,6 +119,12 @@ final class Database private (
     */
   def query(sql: String, renameDuplicates: Boolean = true): DataFrame = {
     val out = spark.sql(sql)
+    // a CREATE VIEW executed through this connection belongs to this
+    // database (the reference's views live on the connection) — adopt it
+    // so views/getColumns serve it and exit() drops it
+    Database.createdViewName(sql).foreach { v =>
+      if (spark.catalog.tableExists(v)) viewNames += v
+    }
     // reference connection.py:168-189: rename_duplicates=False returns the
     // raw duplicate column names untouched (Spark DataFrames permit them;
     // they only fail on by-name resolution, same as the reference's pandas)
@@ -387,6 +395,26 @@ object Database {
       .sorted
       .foreach(s => md.update(s.getBytes("UTF-8")))
     md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** The view name a `CREATE [OR REPLACE] [GLOBAL] [TEMP[ORARY]] VIEW`
+    * statement defines, or None for any other statement. A lexical scan
+    * of the statement HEAD only (never the body — a string literal
+    * containing "CREATE VIEW" cannot match because it cannot start the
+    * statement). Backticked names are unquoted; qualified names keep
+    * their last component (temp views are unqualified in Spark).
+    */
+  private[api] def createdViewName(sql: String): Option[String] = {
+    val re = ("(?is)^\\s*CREATE\\s+(?:OR\\s+REPLACE\\s+)?(?:GLOBAL\\s+)?" +
+      "(?:TEMP(?:ORARY)?\\s+)?VIEW\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?" +
+      "(`(?:[^`]|``)+`|[A-Za-z_][A-Za-z0-9_.]*)").r
+    re.findPrefixMatchOf(sql).map { m =>
+      val raw = m.group(1)
+      val unq = if (raw.startsWith("`"))
+        raw.stripPrefix("`").stripSuffix("`").replace("``", "`")
+      else raw.split('.').last
+      unq
+    }
   }
 
   /** `a,a,a → a,a_2,a_3` on query output (reference: utils.py:177-197). */

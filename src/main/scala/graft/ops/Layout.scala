@@ -438,6 +438,127 @@ object Layout {
     append(fresh, dir, partitionCol, sortCols)
   }
 
+  /** Snapshot read of a batch-versioned store AS OF `upToBatch` — the
+    * rows of batches 0..`upToBatch` inclusive: the reproducibility
+    * complement of [[readSince]]. A trainer that records the batch id it
+    * consumed can re-read the IDENTICAL corpus later, no matter how many
+    * batches have been appended since (old batches are immutable — see
+    * [[appendBatch]]). Same directory-level pruning as readSince: history
+    * later than the snapshot is never opened.
+    */
+  def readAsOf(spark: SparkSession, dir: String, upToBatch: Long): DataFrame =
+    if (!new java.io.File(dir).exists()) spark.emptyDataFrame
+    else spark.read.parquet(dir).filter(col("ingest_batch") <= upToBatch)
+
+  /** MERGE (upsert) by key into a partitioned store: each batch row
+    * REPLACES every store row sharing its `keyCols` value; batch rows with
+    * no match are inserted. The update primitive the append-only paths
+    * ([[append]]/[[ingest]]) deliberately lack — re-crawled documents,
+    * corrected labels, late-arriving fixes.
+    *
+    * PARTITION-PRUNED: only the partition directories whose
+    * `partitionCol` values appear in the batch are read, rewritten, and
+    * swapped. At 100 TB a merge touching 3 of 10 000 day-partitions scans
+    * and writes 3 directories; the other 9 997 are never opened. Each
+    * touched directory swaps via the crash-safe rename-aside protocol of
+    * [[compactPartitions]] (dot-prefixed scratch, [[recoverPartitions]]
+    * rolls an interrupted swap forward or back), so the merge is atomic
+    * PER DIRECTORY, not across the store; re-running the same merge is
+    * idempotent (replace-by-key twice = once), which is the recovery
+    * story for a crash between directory swaps.
+    *
+    * Fail-loud contract, checked in ONE aggregate pass over the batch
+    * (the same job that collects the touched partition values):
+    *  - `keyCols` must be non-null (SQL equality cannot address a store
+    *    row by NULL — the row would silently duplicate on every merge);
+    *  - `partitionCol` must be non-null (no directory to merge into);
+    *  - a key may appear at most once in the batch (two updates to one
+    *    key in one batch has no defined winner under shuffle — refused,
+    *    not guessed).
+    * The batch must carry the store's exact schema
+    * ([[requireSchemaMatch]]). Keys need NOT be unique in the store: all
+    * store rows matching a batch key are replaced by that one batch row
+    * (a multiset store collapses to the upserted row). A merge cannot
+    * MOVE a row across partition values: a key living under a different
+    * value than the batch row's is not seen (that directory is pruned) —
+    * repartitioning a row is delete-then-insert, not merge.
+    *
+    * Returns the touched partition-directory names (sorted).
+    */
+  def merge(batch: DataFrame, dir: String, partitionCol: String,
+      keyCols: Seq[String], sortCols: Seq[String]): Seq[String] = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    require(keyCols.nonEmpty, "merge needs at least one key column")
+    val spark = batch.sparkSession
+    if (!hasData(dir)) { // first write: plain partitioned layout
+      writePartitioned(batch, dir, partitionCol, sortCols)
+      return filesPerPartition(dir).keys.toSeq.sorted
+    }
+    requireSchemaMatch(batch, dir, partitionCol)
+    recoverPartitions(dir)
+    val base = dir.stripSuffix("/")
+    val scratch = new java.io.File(s"$base/.__merging__")
+    if (scratch.exists()) deleteRecursively(scratch) // stale crashed merge
+    // one pass: touched values + null screens + in-batch key-dup screen
+    val keyStruct = struct(keyCols.map(col): _*)
+    val stats = batch.groupBy(col(partitionCol).as("__p"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(keyCols.map(col(_).isNull).reduce(_ || _), 1L)
+          .otherwise(0L)).as("__null_keys"),
+        countDistinct(keyStruct).as("__distinct_keys"))
+      .collect()
+    if (stats.isEmpty) return Seq.empty // empty batch: nothing to merge
+    if (stats.exists(_.isNullAt(0)))
+      throw new IllegalArgumentException(
+        s"merge into '$dir' refused — NULL $partitionCol in the batch has " +
+          "no partition directory")
+    val nullKeys = stats.map(_.getAs[Long]("__null_keys")).sum
+    if (nullKeys > 0)
+      throw new IllegalArgumentException(
+        s"merge into '$dir' refused — $nullKeys batch row(s) with NULL in " +
+          s"key columns ${keyCols.mkString(",")} cannot address store rows")
+    val dups = stats.map(r =>
+      r.getAs[Long]("__n") - r.getAs[Long]("__distinct_keys")).sum
+    if (dups > 0)
+      throw new IllegalArgumentException(
+        s"merge into '$dir' refused — $dups batch row(s) share a key with " +
+          "another batch row; one batch may carry one row per key")
+    val touchedVals = stats.map(_.get(0)).toSeq
+    // read ONLY the touched directories (partition filter prunes at the
+    // file index — untouched directories are not opened), drop the rows
+    // being replaced, union the batch, rewrite to dot-prefixed scratch
+    val live = spark.read.parquet(dir)
+      .filter(col(partitionCol).isInCollection(touchedVals))
+    val retained = live.join(
+      batch.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
+    retained.unionByName(batch)
+      .repartition(col(partitionCol))
+      .sortWithinPartitions((partitionCol +: sortCols).map(col): _*)
+      .write.mode("overwrite").partitionBy(partitionCol)
+      .parquet(scratch.getAbsolutePath)
+    // swap each rewritten directory into place, one crash-safe rename
+    // pair at a time (new partition values just move in — no live dir)
+    val rewritten = Option(scratch.listFiles()).getOrElse(Array.empty)
+      .filter(isPartitionDir).map(_.getName).sorted.toSeq
+    rewritten.foreach { pd =>
+      val liveP = Paths.get(s"$base/$pd")
+      val tmpP = Paths.get(s"${scratch.getAbsolutePath}/$pd")
+      val oldP = Paths.get(s"$base/.__old__$pd")
+      if (Files.exists(liveP)) {
+        Files.move(liveP, oldP, StandardCopyOption.ATOMIC_MOVE)
+        try Files.move(tmpP, liveP, StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          case e: Throwable =>
+            Files.move(oldP, liveP, StandardCopyOption.ATOMIC_MOVE)
+            throw e
+        }
+        deleteRecursively(oldP.toFile)
+      } else Files.move(tmpP, liveP, StandardCopyOption.ATOMIC_MOVE)
+    }
+    deleteRecursively(scratch)
+    rewritten
+  }
+
   /** Data files per partition directory — the compaction health metric.
     * Dot/underscore-prefixed entries are skipped, matching Spark's file
     * index (they are metadata or compaction scratch, never partitions).

@@ -1,0 +1,134 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality validation — constraint checks over a corpus,
+  * all computed in ONE aggregation pass (Deequ-style, arXiv:1809.04446's
+  * "unit tests for data" model re-expressed on plain Spark aggregates).
+  *
+  * Every [[Check]] contributes one aggregate metric column; [[run]] folds
+  * the whole suite into a single `df.agg(...)` — one column-pruned scan,
+  * map-side partial aggregation, a one-row exchange — then explodes the
+  * row into a (check_name, observed, passed) result table without ever
+  * collecting to the driver. At 100 TB the validation suite costs exactly
+  * one pass over the columns it mentions, independent of how many checks
+  * it contains.
+  *
+  * Scale note on DISTINCT metrics: each exact [[Checks.uniqueness]] adds
+  * an Expand duplicate of the scan rows to the aggregate (Spark's
+  * multi-distinct rewrite). For routine 100 TB health checks prefer
+  * [[Checks.approxUniqueness]] (HLL, no Expand, ~2% error) and reserve
+  * the exact form for release gates.
+  *
+  * Reference scope: pandas-db exposes per-column profiling (describe,
+  * null_count, value_counts — table.py/column.py); this is the
+  * pipeline-facing composition of those metrics into pass/fail gates.
+  */
+object Validate {
+
+  /** One constraint: a named aggregate metric and a predicate over it.
+    * The metric must be an AGGREGATE expression (it runs inside one
+    * `agg(...)` with every other check's metric); the predicate is a
+    * plain column function applied to the metric's value.
+    */
+  final case class Check(name: String, metric: Column, pass: Column => Column)
+
+  /** Run the suite in one pass. Returns (check_name, observed, passed),
+    * one row per check, ordered by check_name — observed cast to double
+    * for a uniform schema (counts stay exact: longs below 2^53).
+    */
+  def run(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "empty check suite")
+    require(checks.map(_.name).distinct.size == checks.size,
+      "check names must be unique — they key the result table")
+    val metrics = checks.zipWithIndex.map { case (c, i) => c.metric.as(s"__m$i") }
+    val one = df.agg(metrics.head, metrics.tail: _*)
+    val rows = checks.zipWithIndex.map { case (c, i) =>
+      struct(lit(c.name).as("check_name"),
+        col(s"__m$i").cast("double").as("observed"),
+        c.pass(col(s"__m$i")).as("passed"))
+    }
+    one.select(explode(array(rows: _*)).as("r")).select("r.*")
+      .orderBy("check_name")
+  }
+
+  /** True iff every check in the suite passed — the single-boolean gate a
+    * pipeline branches on. One extra tiny aggregation over [[run]]'s
+    * already-one-row plan.
+    */
+  def passes(df: DataFrame, checks: Seq[Check]): Boolean =
+    run(df, checks).agg(min(col("passed"))).head().getBoolean(0)
+
+  /** The standard constraint library. Ratio metrics are rounded to 4
+    * places (the repo-wide double convention, Q.scala) so observed values
+    * are reproducible across aggregation orders.
+    */
+  object Checks {
+    /** Fraction of rows with `c` non-null ≥ `atLeast`. */
+    def completeness(c: String, atLeast: Double = 1.0): Check =
+      Check(s"completeness:$c",
+        round(count(col(c)).cast("double") / count(lit(1)), 4),
+        _ >= atLeast)
+
+    /** Distinct values / non-null values ≥ `atLeast` (1.0 = unique key). */
+    def uniqueness(c: String, atLeast: Double = 1.0): Check =
+      Check(s"uniqueness:$c",
+        round(countDistinct(col(c)).cast("double") / count(col(c)), 4),
+        _ >= atLeast)
+
+    /** HLL-approximate [[uniqueness]] — no Expand, bounded error. For
+      * health monitoring; `atLeast` should leave ~2% slack.
+      */
+    def approxUniqueness(c: String, atLeast: Double): Check =
+      Check(s"approx_uniqueness:$c",
+        round(approx_count_distinct(col(c)).cast("double") / count(col(c)), 4),
+        _ >= atLeast)
+
+    /** min(c) ≥ lo — nulls ignored (SQL min semantics). */
+    def minBound(c: String, lo: Double): Check =
+      Check(s"min:$c", min(col(c)).cast("double"), _ >= lo)
+
+    /** max(c) ≤ hi. */
+    def maxBound(c: String, hi: Double): Check =
+      Check(s"max:$c", max(col(c)).cast("double"), _ <= hi)
+
+    /** Exact decimal mean of a double column within [lo, hi] (order-
+      * independent — Q.davg mechanics).
+      */
+    def meanBetween(c: String, lo: Double, hi: Double): Check =
+      Check(s"mean:$c",
+        round(sum(col(c).cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double") / count(col(c)), 4),
+        m => m >= lo && m <= hi)
+
+    /** Fraction of NON-NULL values inside `allowed` ≥ `atLeast`. */
+    def containedIn(c: String, allowed: Seq[String], atLeast: Double = 1.0): Check =
+      Check(s"contained_in:$c",
+        round(count(when(col(c).isin(allowed: _*), lit(1))).cast("double") /
+          count(col(c)), 4),
+        _ >= atLeast)
+
+    /** Fraction of NON-NULL values fully matching `regex` ≥ `atLeast`. */
+    def matches(c: String, regex: String, atLeast: Double = 1.0): Check =
+      Check(s"matches:$c",
+        round(count(when(regexp_like(col(c), lit(regex)), lit(1))).cast("double") /
+          count(col(c)), 4),
+        _ >= atLeast)
+
+    /** Row count within [lo, hi] (hi = Long.MaxValue for "at least"). */
+    def sizeBetween(lo: Long, hi: Long = Long.MaxValue): Check =
+      Check("size", count(lit(1)),
+        m => m >= lo && m <= hi)
+
+    /** Fraction of rows satisfying an arbitrary row predicate ≥ `atLeast`
+      * — the compliance escape hatch for cross-column constraints
+      * (e.g. `col("ship") <= col("receipt")`). NULL predicate counts as
+      * non-compliant (the conservative reading).
+      */
+    def compliance(name: String, predicate: Column, atLeast: Double = 1.0): Check =
+      Check(s"compliance:$name",
+        round(count(when(predicate, lit(1))).cast("double") / count(lit(1)), 4),
+        _ >= atLeast)
+  }
+}

@@ -1,0 +1,146 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import Q._
+
+/** Corpus profiling + data-quality gating under the DuckDB hash gate:
+  * the one-pass validation suite (ops/Validate), equi-width histograms,
+  * and exact decimal correlation — the health-check pass a pipeline runs
+  * over an incoming 100 TB drop before spending cluster time on it.
+  */
+object ProfileOps {
+
+  type Fn = (SparkSession, String) => DataFrame
+
+  val entries: Seq[(String, Fn, String)] = Seq(
+
+    // -- one-pass validation suite: nine constraints over lineitem in a
+    //    single agg (one scan; the plan shape is asserted in ValidateSpec).
+    //    The suite deliberately includes a FAILING check (uniqueness of
+    //    l_orderkey at 1.0 — lineitem has ~4 rows per order) so the gate
+    //    pins both verdict polarities. Booleans emitted as 0/1 longs -----
+    ("q_validate",
+      (s: SparkSession, d: String) => {
+        import graft.ops.Validate
+        import graft.ops.Validate.Checks._
+        val li = t(s, d, "lineitem")
+        Validate.run(li, Seq(
+            completeness("l_returnflag"),
+            uniqueness("l_orderkey"), // FAILS: ~4 lines per order
+            minBound("l_quantity", 1.0),
+            maxBound("l_discount", 0.11),
+            meanBetween("l_tax", 0.0, 0.08),
+            containedIn("l_linestatus", Seq("O", "F")),
+            matches("l_returnflag", "^[ANR]$"),
+            sizeBetween(1L),
+            compliance("price_positive",
+              col("l_extendedprice") > 0 && col("l_quantity") <= 60)))
+          .withColumn("passed", col("passed").cast("long"))
+          .orderBy("check_name")
+      },
+      """WITH m AS (SELECT
+        |  round(count(l_returnflag) * 1.0 / count(*), 4) AS completeness_rf,
+        |  round(count(DISTINCT l_orderkey) * 1.0 / count(l_orderkey), 4) AS uniq_ok,
+        |  cast(min(l_quantity) AS DOUBLE) AS min_qty,
+        |  cast(max(l_discount) AS DOUBLE) AS max_disc,
+        |  round(cast(sum(cast(l_tax AS DECIMAL(18,6))) AS DOUBLE) / count(l_tax), 4) AS mean_tax,
+        |  round(count(CASE WHEN l_linestatus IN ('O','F') THEN 1 END) * 1.0 / count(l_linestatus), 4) AS contained_ls,
+        |  round(count(CASE WHEN regexp_matches(l_returnflag, '^[ANR]$') THEN 1 END) * 1.0 / count(l_returnflag), 4) AS matches_rf,
+        |  cast(count(*) AS DOUBLE) AS sz,
+        |  round(count(CASE WHEN l_extendedprice > 0 AND l_quantity <= 60 THEN 1 END) * 1.0 / count(*), 4) AS compl_price
+        |FROM lineitem)
+        |SELECT * FROM (
+        |  SELECT 'completeness:l_returnflag' AS check_name, completeness_rf AS observed,
+        |    CASE WHEN completeness_rf >= 1.0 THEN 1 ELSE 0 END AS passed FROM m
+        |  UNION ALL SELECT 'uniqueness:l_orderkey', uniq_ok,
+        |    CASE WHEN uniq_ok >= 1.0 THEN 1 ELSE 0 END FROM m
+        |  UNION ALL SELECT 'min:l_quantity', min_qty,
+        |    CASE WHEN min_qty >= 1.0 THEN 1 ELSE 0 END FROM m
+        |  UNION ALL SELECT 'max:l_discount', max_disc,
+        |    CASE WHEN max_disc <= 0.11 THEN 1 ELSE 0 END FROM m
+        |  UNION ALL SELECT 'mean:l_tax', mean_tax,
+        |    CASE WHEN mean_tax >= 0.0 AND mean_tax <= 0.08 THEN 1 ELSE 0 END FROM m
+        |  UNION ALL SELECT 'contained_in:l_linestatus', contained_ls,
+        |    CASE WHEN contained_ls >= 1.0 THEN 1 ELSE 0 END FROM m
+        |  UNION ALL SELECT 'matches:l_returnflag', matches_rf,
+        |    CASE WHEN matches_rf >= 1.0 THEN 1 ELSE 0 END FROM m
+        |  UNION ALL SELECT 'size', sz,
+        |    CASE WHEN sz >= 1 THEN 1 ELSE 0 END FROM m
+        |  UNION ALL SELECT 'compliance:price_positive', compl_price,
+        |    CASE WHEN compl_price >= 1.0 THEN 1 ELSE 0 END FROM m
+        |) ORDER BY check_name""".stripMargin),
+
+    // -- equi-width histogram with FIXED bucket arithmetic (floor of the
+    //    same IEEE double division in both engines — no two-pass min/max,
+    //    so the layout is one scan + one hash agg). Overflow bucket
+    //    clamped with least(): at 100 TB the bucket count, not the data,
+    //    bounds the result size ------------------------------------------
+    ("q_histogram",
+      (s: SparkSession, d: String) => {
+        val li = t(s, d, "lineitem")
+        li.select(least(floor(col("l_extendedprice") / 10000.0), lit(10L))
+            .cast("long").as("bucket"),
+            col("l_extendedprice"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"),
+            sum(cents(col("l_extendedprice"))).as("sum_cents"))
+          .orderBy("bucket")
+      },
+      """SELECT least(cast(floor(l_extendedprice / 10000.0) AS BIGINT), 10) AS bucket,
+        |  count(*) AS n,
+        |  cast(sum(cast(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // -- exact Pearson correlation from integer-exact moments: quantity
+    //    (small ints stored as double) vs extendedprice in exact cents.
+    //    Naive double corr() differs between engines in the last ulps
+    //    (different partial-sum orders); sums of LONG products carried in
+    //    DECIMAL(38,0) are order-independent and identical, so the final
+    //    double formula rounds identically. One scan, one-row exchange --
+    ("q_corr",
+      (s: SparkSession, d: String) => {
+        val li = t(s, d, "lineitem")
+          .select(col("l_quantity").cast("long").as("q"),
+            cents(col("l_extendedprice")).as("p"))
+        val dec = DecimalType(38, 0)
+        val agg = li.agg(
+          count(lit(1)).cast(dec).as("n"),
+          sum(col("q").cast(dec)).as("sq"),
+          sum(col("p").cast(dec)).as("sp"),
+          sum((col("q") * col("q")).cast(dec)).as("sqq"),
+          sum((col("p") * col("p")).cast(dec)).as("spp"),
+          sum((col("q") * col("p")).cast(dec)).as("sqp"))
+        // the moments are EXACT (decimal); the closed-form combination
+        // runs in doubles with the IDENTICAL expression tree as the
+        // oracle SQL below — same IEEE ops in the same order → the same
+        // bits, before the defensive round(…, 6)
+        val nd = col("n").cast("double"); val sqd = col("sq").cast("double")
+        val spd = col("sp").cast("double"); val sqqd = col("sqq").cast("double")
+        val sppd = col("spp").cast("double"); val sqpd = col("sqp").cast("double")
+        agg.select(
+          round((nd * sqpd - sqd * spd) /
+            sqrt((nd * sqqd - sqd * sqd) * (nd * sppd - spd * spd)), 6)
+            .as("corr_qty_price"),
+          col("n").cast("long").as("n_rows"))
+      },
+      """WITH b AS (SELECT cast(l_quantity AS BIGINT) AS q,
+        |             cast(round(l_extendedprice * 100) AS BIGINT) AS p
+        |           FROM lineitem),
+        |a AS (SELECT cast(count(*) AS DOUBLE) AS n,
+        |  cast(sum(cast(q AS DECIMAL(38,0))) AS DOUBLE) AS sq,
+        |  cast(sum(cast(p AS DECIMAL(38,0))) AS DOUBLE) AS sp,
+        |  cast(sum(cast(q * q AS DECIMAL(38,0))) AS DOUBLE) AS sqq,
+        |  cast(sum(cast(p * p AS DECIMAL(38,0))) AS DOUBLE) AS spp,
+        |  cast(sum(cast(q * p AS DECIMAL(38,0))) AS DOUBLE) AS sqp,
+        |  count(*) AS nn
+        |FROM b)
+        |SELECT round((n * sqp - sq * sp) /
+        |  sqrt((n * sqq - sq * sq) * (n * spp - sp * sp)), 6)
+        |  AS corr_qty_price,
+        |  cast(nn AS BIGINT) AS n_rows
+        |FROM a""".stripMargin)
+  )
+}

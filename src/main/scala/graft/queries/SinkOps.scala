@@ -365,5 +365,77 @@ object SinkOps {
         |s5 AS (SELECT p_partkey, (x | (x << 1)) & 1431655765 AS x,
         |              (y | (y << 1)) & 1431655765 AS y FROM s4)
         |SELECT p_partkey, cast(x | (y << 1) AS BIGINT) AS z FROM s5
-        |ORDER BY p_partkey""".stripMargin))
+        |ORDER BY p_partkey""".stripMargin),
+
+    // -- MERGE (upsert) round trip: documents become the store; an update
+    //    batch rewrites every doc_id % 5 row (source → 'merged', n_chars
+    //    bumped) and inserts brand-new ids (doc_id + 10M from the % 7
+    //    slice, source 'fresh'). The oracle replays the upsert
+    //    relationally (anti-join + union); equality proves replace-by-key,
+    //    insert-on-miss, and the untouched-row retention all at once.
+    //    Pruning (untouched lang dirs never rewritten) is asserted in
+    //    LayoutSpec ------------------------------------------------------
+    ("q_merge_upsert",
+      (s: SparkSession, d: String) => {
+        val dir = storeDir("merge", d)
+        val docs = t(s, d, "documents")
+        deleteRecursively(new java.io.File(dir))
+        graft.ops.Layout.writePartitioned(docs, dir, "lang", Seq("doc_id"))
+        val updates = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+          .withColumn("source", lit("merged"))
+          .withColumn("n_chars", col("n_chars") + lit(1000000L))
+        val inserts = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+          .withColumn("doc_id", col("doc_id") + lit(10000000L))
+          .withColumn("source", lit("fresh"))
+        graft.ops.Layout.merge(updates.unionByName(inserts), dir,
+          "lang", Seq("doc_id"), Seq("doc_id"))
+        s.read.parquet(dir)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("chars"),
+            countDistinct(col("doc_id")).as("n_ids"),
+            max(col("doc_id")).as("max_id"))
+          .orderBy("source")
+      },
+      """WITH batch AS (
+        |  SELECT doc_id, text, lang, 'merged' AS source,
+        |         n_chars + 1000000 AS n_chars
+        |  FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, text, lang, 'fresh', n_chars
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |merged AS (
+        |  SELECT * FROM documents
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM batch)
+        |  UNION ALL SELECT * FROM batch)
+        |SELECT source, count(*) AS n_docs, cast(sum(n_chars) AS BIGINT) AS chars,
+        |  count(DISTINCT doc_id) AS n_ids, max(doc_id) AS max_id
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // -- snapshot (time-travel) read: three batches appended, the consumer
+    //    pins AS OF batch 1 — exactly batches 0..1, regardless of batch 2
+    //    existing. The reproducibility contract a trainer needs to re-read
+    //    the corpus version it trained on --------------------------------
+    ("q_read_asof",
+      (s: SparkSession, d: String) => {
+        val dir = storeDir("asof_store", d)
+        val docs = t(s, d, "documents")
+        deleteRecursively(new java.io.File(dir))
+        graft.ops.Layout.appendBatch(
+          docs.filter(pmod(col("doc_id"), lit(3)) === 0), dir, "lang", Seq("doc_id"))
+        graft.ops.Layout.appendBatch(
+          docs.filter(pmod(col("doc_id"), lit(3)) === 1), dir, "lang", Seq("doc_id"))
+        graft.ops.Layout.appendBatch(
+          docs.filter(pmod(col("doc_id"), lit(3)) === 2), dir, "lang", Seq("doc_id"))
+        graft.ops.Layout.readAsOf(s, dir, 1L)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("chars"),
+            max(col("ingest_batch").cast("long")).as("max_batch"))
+          .orderBy("lang")
+      },
+      """SELECT lang, count(*) AS n_docs, cast(sum(n_chars) AS BIGINT) AS chars,
+        |  cast(max(doc_id % 3) AS BIGINT) AS max_batch
+        |FROM documents WHERE doc_id % 3 <= 1
+        |GROUP BY 1 ORDER BY 1""".stripMargin))
 }

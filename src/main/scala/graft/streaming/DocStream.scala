@@ -283,6 +283,40 @@ object DocStream {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** STATE-STORE exact dedup of a document stream: Spark's native
+    * streaming `dropDuplicates` keyed on a content fingerprint
+    * (md5(text)) — first arrival of each content wins, across micro
+    * batches, with the seen-set held in the checkpointed state store
+    * instead of being re-derived from the curated table every batch
+    * ([[curateStream]]'s read-your-own-writes shape). The complementary
+    * trade: O(1) per-row probe and no per-batch corpus scan, but state
+    * grows with distinct content forever unless bounded.
+    *
+    * `withinWatermark` bounds it: with an `arrival_ts` watermark of that
+    * duration, Spark's `dropDuplicatesWithinWatermark` evicts fingerprints
+    * older than the horizon — the "duplicates arrive near each other"
+    * contract of a crawl frontier (re-crawls beyond the horizon
+    * re-admit; compose [[graft.ops.Layout.ingest]] downstream when
+    * cross-horizon exactness matters). At 100 TB/day ingest, unbounded
+    * state is a leak, so production streams should always pass a horizon.
+    *
+    * Returns the deduped stream (append output mode) — compose with any
+    * sink, e.g. [[versionedSink]].
+    */
+  def dedupStream(streamDocs: DataFrame,
+      withinWatermark: Option[String] = None): DataFrame = {
+    val fp = streamDocs.withColumn("__fp", md5(col("text")))
+    val out = withinWatermark match {
+      case Some(horizon) =>
+        fp.withColumn("arrival_ts", current_timestamp())
+          .withWatermark("arrival_ts", horizon)
+          .dropDuplicatesWithinWatermark("__fp")
+          .drop("arrival_ts")
+      case None => fp.dropDuplicates("__fp")
+    }
+    out.drop("__fp")
+  }
+
   /** Stream → batch-VERSIONED store: every non-empty micro-batch lands as
     * its own `ingest_batch=N` level under the partition dirs
     * ([[graft.ops.Layout.appendBatch]]), so downstream consumers follow

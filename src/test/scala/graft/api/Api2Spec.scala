@@ -56,6 +56,30 @@ class Api2Spec extends SparkSuite {
     spark.catalog.dropTempView("big_orders")
   }
 
+  test("views are PER-DATABASE: raw-SQL CREATE VIEW adopted, foreign views invisible") {
+    val vdb = Database.open(spark, sfDir)
+    // CREATE VIEW through db.query is adopted (the reference's connection
+    // owns views made through it)
+    vdb.query("CREATE OR REPLACE TEMP VIEW q_made AS SELECT 1 AS one")
+    assert(vdb.views.contains("q_made"))
+    assert(vdb.getColumns("q_made") === Seq("one"))
+    // a temp view registered OUTSIDE this database (another suite, another
+    // Database on the shared session) must not leak into its listing
+    spark.range(1).createOrReplaceTempView("foreign_view_xyz")
+    assert(!vdb.views.contains("foreign_view_xyz"))
+    // name scanner: head-anchored (no phantom view from a body literal),
+    // backtick unquoting, qualifier stripping
+    assert(Database.createdViewName(
+      "  create temporary view if not exists `weird``name` as select 1")
+      .contains("weird`name"))
+    assert(Database.createdViewName("SELECT 'CREATE VIEW fake AS x'").isEmpty)
+    assert(Database.createdViewName("CREATE VIEW a.b AS SELECT 1").contains("b"))
+    spark.catalog.dropTempView("foreign_view_xyz")
+    vdb.exit()
+    assert(!spark.catalog.tableExists("q_made"))
+    Database.open(spark, sfDir)
+  }
+
   test("temp tables vs views: distinct listings, exit drops both (connection.py:122-148)") {
     val vdb = Database.open(spark, sfDir)
     vdb.createView("v_nation", vdb("nation"))

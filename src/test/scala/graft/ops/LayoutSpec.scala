@@ -349,6 +349,72 @@ class LayoutSpec extends SparkSuite {
     assert(fresh.count() === 9L && upTo1 === 0L)
   }
 
+  test("merge upserts by key, prunes untouched dirs, refuses bad batches") {
+    val dir = freshDir()
+    val base = docs.filter(col("lang").isin("en", "fr", "de"))
+    Layout.writePartitioned(base, dir, "lang", Seq("doc_id"))
+    // fingerprint the files of a lang the merge will NOT touch
+    def dirFiles(pd: String): Set[String] =
+      Option(new java.io.File(s"$dir/$pd").listFiles()).getOrElse(Array.empty)
+        .map(f => s"${f.getName}:${f.lastModified}:${f.length}").toSet
+    val deBefore = dirFiles("lang=de")
+    // update one en row, insert one brand-new fr row
+    val enRow = base.filter(col("lang") === "en").orderBy("doc_id").limit(1)
+    val updates = enRow.withColumn("source", lit("upd"))
+    val inserts = enRow.withColumn("lang", lit("fr"))
+      .withColumn("doc_id", col("doc_id") + lit(999999999L))
+      .withColumn("source", lit("ins"))
+    val touched = Layout.merge(updates.unionByName(inserts), dir,
+      "lang", Seq("doc_id"), Seq("doc_id"))
+    assert(touched.toSet === Set("lang=en", "lang=fr"))
+    assert(dirFiles("lang=de") === deBefore, "untouched dir was rewritten")
+    val after = spark.read.parquet(dir)
+    assert(after.filter(col("source") === "upd").count() === 1L)
+    assert(after.filter(col("source") === "ins").count() === 1L)
+    assert(after.count() === base.count() + 1L) // one insert, one replace
+    // replaced row's old source value is gone for that doc_id
+    val updId = enRow.select("doc_id").head().getLong(0)
+    assert(after.filter(col("doc_id") === updId && col("lang") === "en")
+      .select("source").head().getString(0) === "upd")
+    // refusals: duplicate key in one batch, NULL key, NULL partition value
+    val dupBatch = updates.unionByName(updates)
+    val eDup = intercept[IllegalArgumentException] {
+      Layout.merge(dupBatch, dir, "lang", Seq("doc_id"), Seq("doc_id")) }
+    assert(eDup.getMessage.contains("share a key"))
+    val eNullK = intercept[IllegalArgumentException] {
+      Layout.merge(updates.withColumn("doc_id", lit(null).cast("long")),
+        dir, "lang", Seq("doc_id"), Seq("doc_id")) }
+    assert(eNullK.getMessage.contains("NULL"))
+    val eNullP = intercept[IllegalArgumentException] {
+      Layout.merge(updates.withColumn("lang", lit(null).cast("string")),
+        dir, "lang", Seq("doc_id"), Seq("doc_id")) }
+    assert(eNullP.getMessage.contains("partition"))
+    // idempotence: re-running the same merge changes nothing
+    val snap = after.orderBy("lang", "doc_id").collect()
+    Layout.merge(updates.unionByName(inserts), dir,
+      "lang", Seq("doc_id"), Seq("doc_id"))
+    assert(spark.read.parquet(dir).orderBy("lang", "doc_id").collect()
+      .sameElements(snap))
+  }
+
+  test("merge on an absent store is a first write; readAsOf pins a snapshot") {
+    val dir = freshDir()
+    val third = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+    val touched = Layout.merge(third, dir, "lang", Seq("doc_id"), Seq("doc_id"))
+    assert(touched.nonEmpty && spark.read.parquet(dir).count() === third.count())
+    // versioned store: snapshot at batch 0 must not see batch 1
+    val vdir = freshDir()
+    Layout.appendBatch(docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+      vdir, "lang", Seq("doc_id"))
+    Layout.appendBatch(docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+      vdir, "lang", Seq("doc_id"))
+    val snap0 = Layout.readAsOf(spark, vdir, 0L)
+    assert(snap0.count() ===
+      docs.filter(pmod(col("doc_id"), lit(2)) === 0).count())
+    assert(snap0.select(max(col("ingest_batch").cast("long"))).head().getLong(0) === 0L)
+    assert(Layout.readAsOf(spark, freshDir() + "/absent", 5L).isEmpty)
+  }
+
   test("ORC round trip preserves rows and schema") {
     val dir = freshDir()
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")

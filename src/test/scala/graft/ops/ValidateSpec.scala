@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.ops.Validate.Checks._
+
+/** Structural + behavioral assertions for the one-pass validation suite.
+  * The data path (observed values vs DuckDB) is under the hash gate via
+  * ProfileOps' q_validate.
+  */
+class ValidateSpec extends SparkSuite {
+
+  private def li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+
+  test("run computes the whole suite; passes() gates on the worst check") {
+    val res = Validate.run(li, Seq(
+      completeness("l_returnflag"),
+      minBound("l_quantity", 1.0),
+      maxBound("l_quantity", 100.0),
+      sizeBetween(1L))).collect()
+    assert(res.length === 4)
+    assert(res.forall(_.getBoolean(2)))
+    assert(Validate.passes(li, Seq(completeness("l_returnflag"))))
+    // a violated bound flips only its own row, and the gate
+    val mixed = Validate.run(li, Seq(
+      minBound("l_quantity", 1000.0), // fails: quantities are ≤ 50
+      sizeBetween(1L))).collect()
+    assert(mixed.count(_.getBoolean(2)) === 1)
+    assert(!Validate.passes(li, Seq(minBound("l_quantity", 1000.0))))
+  }
+
+  test("null and set semantics: completeness counts nulls, containedIn ignores them") {
+    import spark.implicits._
+    val df = Seq(Some("a"), Some("b"), None, Some("zz"))
+      .toDF("v")
+    val byName = Validate.run(df, Seq(
+        completeness("v", 0.5),
+        containedIn("v", Seq("a", "b"), 0.5),
+        matches("v", "^[ab]$", 0.5),
+        uniqueness("v")))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getBoolean(2)))
+      .toMap
+    assert(byName("completeness:v") === ((0.75, true)))
+    // 2 of 3 NON-null values in the set
+    assert(byName("contained_in:v")._1 === 0.6667)
+    assert(byName("matches:v")._1 === 0.6667)
+    assert(byName("uniqueness:v") === ((1.0, true)))
+  }
+
+  test("the suite is ONE aggregation pass: a single scan of the input") {
+    val plan = Validate.run(li, Seq(
+      completeness("l_returnflag"),
+      minBound("l_quantity", 1.0),
+      meanBetween("l_tax", 0.0, 1.0),
+      compliance("pos", col("l_extendedprice") > 0)))
+      .queryExecution.executedPlan.toString
+    val scans = "FileScan parquet".r.findAllIn(plan).length
+    assert(scans === 1, s"expected one scan, plan:\n$plan")
+  }
+
+  test("duplicate check names and empty suites are refused") {
+    intercept[IllegalArgumentException] {
+      Validate.run(li, Seq(sizeBetween(1L), sizeBetween(2L)))
+    }
+    intercept[IllegalArgumentException] { Validate.run(li, Seq.empty) }
+  }
+}

@@ -232,6 +232,39 @@ class StreamingSpec extends SparkSuite {
     assert(admitted == Set(1L, 2L, 5L))
   }
 
+  test("state-store dedup: first content arrival wins across micro-batches") {
+    val srcDir = Files.createTempDirectory("graftss_src").toString
+    val outDir = Files.createTempDirectory("graftss_out").toString + "/out"
+    val ckpt = Files.createTempDirectory("graftss_ck").toString
+    def doc(id: Long, text: String) =
+      s"""{"doc_id":$id,"text":"$text","lang":"en","source":"s","n_chars":${text.length}}"""
+    def runOnce(): Unit =
+      DocStream.dedupStream(DocStream.readDocs(spark, srcDir))
+        .writeStream.option("checkpointLocation", ckpt)
+        .format("parquet").option("path", outDir)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+    // batch 1: a + b, plus an in-batch dup of a
+    Files.write(java.nio.file.Paths.get(srcDir, "b1.json"),
+      Seq(doc(1, "alpha content"), doc(2, "beta content"),
+        doc(3, "alpha content")).mkString("\n").getBytes)
+    runOnce()
+    // batch 2: cross-batch dup of b (state store remembers), plus new c
+    Files.write(java.nio.file.Paths.get(srcDir, "b2.json"),
+      Seq(doc(4, "beta content"), doc(5, "gamma content")).mkString("\n").getBytes)
+    runOnce()
+    val kept = spark.read.parquet(outDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // one of {1,3} survives the in-batch dup (arrival order within a
+    // partition is not contractual); 4 is deduped against batch-1 STATE,
+    // not a table scan
+    assert(kept.intersect(Set(1L, 3L)).size == 1 &&
+      kept.contains(2L) && kept.contains(5L) && !kept.contains(4L),
+      s"kept=$kept")
+    // the fingerprint working column never leaks into the output schema
+    assert(!spark.read.parquet(outDir).columns.contains("__fp"))
+  }
+
   test("streaming line dedup equals batch lineDedup over the concatenated stream") {
     val srcDir = Files.createTempDirectory("graftline_src").toString
     val curated = Files.createTempDirectory("graftline_out").toString + "/curated"
