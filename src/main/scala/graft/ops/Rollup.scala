@@ -1,0 +1,162 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, FloatType}
+
+/** Incrementally-maintained aggregate rollups over a batch-versioned store
+  * — materialized-view maintenance for the additive aggregates
+  * (count / sum / min / max) that cover most corpus dashboards.
+  *
+  * The point at 100 TB: a per-(lang, source) corpus summary recomputed
+  * from scratch costs a full-history scan on every refresh; folding only
+  * the batches appended since the last refresh costs a directory-pruned
+  * scan of the NEW data plus a re-aggregation of the (tiny) rollup table.
+  * [[Layout.appendBatch]]'s immutable `ingest_batch=N` levels make "the
+  * new data" a precise, replayable set.
+  *
+  * EXACTLY-ONCE by construction: the rollup's high-water batch id lives
+  * in a `_rollup_version` file INSIDE the rollup directory, and every
+  * refresh rewrites data + version together behind one atomic directory
+  * swap ([[Layout.compact]]'s rename-aside protocol). A crash anywhere
+  * leaves either the old rollup (old version — the next run refolds the
+  * same batches) or the new one (new version — the next run skips them);
+  * a half-applied fold cannot exist, so batches are never double-counted
+  * — the failure mode a naive "append partials, then checkpoint"
+  * maintenance loop has.
+  *
+  * Aggregate schema per `sumCols` entry `c`: `sum_c`, `min_c`, `max_c`,
+  * plus one `n_rows` count. Float/double sums are carried as
+  * DECIMAL(30,6) — exact and re-aggregation-order-independent, so a
+  * rollup folded in 3 refreshes equals one folded in 1 (asserted in
+  * RollupSpec); integral sums stay long. Types are pinned per generation
+  * (re-aggregation would otherwise widen decimals each refresh and drift
+  * the schema).
+  */
+object Rollup {
+
+  private val VERSION_FILE = "_rollup_version"
+
+  /** Last store batch id folded into the rollup at `dir`, or -1 for an
+    * absent/never-maintained rollup.
+    */
+  def version(dir: String): Long = {
+    val f = new java.io.File(dir, VERSION_FILE)
+    if (!f.isFile) -1L
+    else new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      .trim.toLong
+  }
+
+  /** Roll an interrupted [[maintain]] swap forward or back — the
+    * [[Layout.recover]] protocol on the rollup directory's sibling
+    * scratch names. Safe on a healthy rollup (no-op); run automatically
+    * at the start of maintain.
+    */
+  def recover(dir: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val base = dir.stripSuffix("/")
+    val dirP = Paths.get(base)
+    val oldP = Paths.get(base + "__old")
+    val nextP = Paths.get(base + "__next")
+    if (Files.exists(oldP)) {
+      if (Files.exists(dirP)) deleteRecursively(oldP.toFile)
+      else Files.move(oldP, dirP, StandardCopyOption.ATOMIC_MOVE)
+    }
+    if (Files.exists(nextP)) deleteRecursively(nextP.toFile)
+    ()
+  }
+
+  /** Fold every store batch newer than the rollup's version into the
+    * rollup at `rollupDir`, atomically. Returns the new version (the
+    * highest batch id folded), or the unchanged current version when the
+    * store has nothing new. Grouping is by `groupCols`; each of
+    * `sumCols` contributes sum/min/max plus the shared `n_rows` count.
+    *
+    * Costs one scan of the NEW batches (directory-pruned) + one scan of
+    * the previous rollup (aggregate-sized, not corpus-sized). Single
+    * maintainer per rollup dir (the swap is not concurrency-safe), same
+    * single-producer shape as [[Layout.appendBatch]].
+    */
+  def maintain(spark: SparkSession, storeDir: String, rollupDir: String,
+      groupCols: Seq[String], sumCols: Seq[String]): Long = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    require(groupCols.nonEmpty, "rollup needs at least one group column")
+    recover(rollupDir)
+    val v = version(rollupDir)
+    val latest = Layout.nextBatchId(storeDir) - 1L
+    if (latest <= v) return v // nothing new (or store absent/empty)
+    val fresh = Layout.readSince(spark, storeDir, v + 1L)
+      .filter(col("ingest_batch") <= latest) // pin: batches may land mid-run
+    val partial = aggregate(fresh, groupCols, sumCols)
+    val base = rollupDir.stripSuffix("/")
+    val combined =
+      if (v < 0L) partial
+      else merge(spark.read.parquet(base).unionByName(partial),
+        groupCols, sumCols)
+    val nextP = Paths.get(base + "__next")
+    combined.write.mode("overwrite").parquet(nextP.toString)
+    Files.write(nextP.resolve(VERSION_FILE),
+      latest.toString.getBytes("UTF-8"))
+    val dirP = Paths.get(base)
+    val oldP = Paths.get(base + "__old")
+    if (Files.exists(dirP)) {
+      Files.move(dirP, oldP, StandardCopyOption.ATOMIC_MOVE)
+      try Files.move(nextP, dirP, StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case e: Throwable =>
+          Files.move(oldP, dirP, StandardCopyOption.ATOMIC_MOVE)
+          throw e
+      }
+      deleteRecursively(oldP.toFile)
+    } else Files.move(nextP, dirP, StandardCopyOption.ATOMIC_MOVE)
+    latest
+  }
+
+  /** The rollup's current contents (schema: groupCols, n_rows, and
+    * sum_/min_/max_ per sum column). Empty-schema frame when never
+    * maintained.
+    */
+  def read(spark: SparkSession, dir: String): DataFrame =
+    if (version(dir) < 0L) spark.emptyDataFrame
+    else spark.read.parquet(dir.stripSuffix("/"))
+
+  // first-level aggregation of raw rows
+  private def aggregate(df: DataFrame, groupCols: Seq[String],
+      sumCols: Seq[String]): DataFrame = {
+    val aggs: Seq[Column] = count(lit(1)).as("n_rows") +:
+      sumCols.flatMap { c =>
+        val isFp = df.schema(c).dataType match {
+          case DoubleType | FloatType => true
+          case _ => false
+        }
+        val s = if (isFp)
+          sum(col(c).cast(DecimalType(18, 6))).cast(DecimalType(30, 6))
+        else sum(col(c)).cast("long")
+        Seq(s.as(s"sum_$c"), min(col(c)).as(s"min_$c"),
+          max(col(c)).as(s"max_$c"))
+      }
+    df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  // re-aggregation of rollup rows (old rollup ∪ new partial): counts and
+  // sums add, min/max fold — types re-pinned so generations never drift
+  private def merge(df: DataFrame, groupCols: Seq[String],
+      sumCols: Seq[String]): DataFrame = {
+    val aggs: Seq[Column] = sum(col("n_rows")).cast("long").as("n_rows") +:
+      sumCols.flatMap { c =>
+        val isFp = df.schema(s"sum_$c").dataType.isInstanceOf[DecimalType]
+        val s = if (isFp) sum(col(s"sum_$c")).cast(DecimalType(30, 6))
+        else sum(col(s"sum_$c")).cast("long")
+        Seq(s.as(s"sum_$c"), min(col(s"min_$c")).as(s"min_$c"),
+          max(col(s"max_$c")).as(s"max_$c"))
+      }
+    df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete()
+    ()
+  }
+}

@@ -437,5 +437,38 @@ object SinkOps {
       """SELECT lang, count(*) AS n_docs, cast(sum(n_chars) AS BIGINT) AS chars,
         |  cast(max(doc_id % 3) AS BIGINT) AS max_batch
         |FROM documents WHERE doc_id % 3 <= 1
-        |GROUP BY 1 ORDER BY 1""".stripMargin))
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // -- incrementally-maintained rollup: the store grows in three
+    //    batches, the per-lang summary is refreshed after EACH batch
+    //    (three folds, each reading only the new batch + the tiny rollup),
+    //    and the final rollup must equal the direct full-corpus aggregate.
+    //    Exactly-once fold semantics (version-in-dir atomic swap) are
+    //    crash-tested in RollupSpec -------------------------------------
+    ("q_rollup_incremental",
+      (s: SparkSession, d: String) => {
+        val store = storeDir("rollup_store", d)
+        val roll = storeDir("rollup_view", d)
+        val docs = t(s, d, "documents")
+        deleteRecursively(new java.io.File(store))
+        deleteRecursively(new java.io.File(roll))
+        for (i <- 0 to 2) {
+          graft.ops.Layout.appendBatch(
+            docs.filter(pmod(col("doc_id"), lit(3)) === i),
+            store, "lang", Seq("doc_id"))
+          graft.ops.Rollup.maintain(s, store, roll,
+            Seq("lang"), Seq("n_chars", "doc_id"))
+        }
+        graft.ops.Rollup.read(s, roll)
+          .select(col("lang"), col("n_rows"),
+            col("sum_n_chars").as("chars"),
+            col("min_doc_id").as("first_id"),
+            col("max_doc_id").as("last_id"),
+            lit(graft.ops.Rollup.version(roll)).as("rollup_version"))
+          .orderBy("lang")
+      },
+      """SELECT lang, count(*) AS n_rows, cast(sum(n_chars) AS BIGINT) AS chars,
+        |  min(doc_id) AS first_id, max(doc_id) AS last_id,
+        |  cast(2 AS BIGINT) AS rollup_version
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin))
 }
