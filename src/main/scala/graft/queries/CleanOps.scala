@@ -245,6 +245,40 @@ object CleanOps {
         |SELECT c_nationkey, count(*) AS n_rows,
         |  count(DISTINCT c_mktsegment) AS n_segments,
         |  cast(sum(cast(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents
-        |FROM a GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM a GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // -- Unicode NFC normalization (functions.NormalizeText) pinned
+    //    cross-engine against DuckDB's utf8proc nfc_normalize: each doc's
+    //    text gets a decomposed/combining suffix appended (built from
+    //    chr() codepoints on BOTH sides — é as e+U+0301, Å as A+U+030A,
+    //    Hangul jamo 가 as U+1100+U+1161), is normalized, and the result
+    //    is hex-encoded so the compare is on raw UTF-8 bytes (two
+    //    independent Unicode-normalization implementations must agree
+    //    byte-for-byte). n_bytes shrinking below raw proves composition
+    //    actually happened --------------------------------------------
+    ("q_normalize_nfc",
+      (s: SparkSession, d: String) => {
+ // DECOMPOSED on purpose (explicit escapes): e+combining-acute,
+        // A+combining-ring, Hangul jamo pair — NFC must compose all three
+        val suffix = " caf" + "e\u0301" + " A\u030A " + "\u1100\u1161"
+        val raw = concat(substring(col("text"), 1, 24), lit(suffix))
+        t(s, d, "documents").filter(col("doc_id") < 300)
+          .select(col("doc_id"),
+            hex(encode(graft.functions.NormalizeExpr.normalize(raw, "NFC"),
+              "UTF-8")).as("nfc_hex"),
+            length(graft.functions.NormalizeExpr.normalize(raw, "NFC"))
+              .cast("long").as("n_chars_nfc"),
+            length(raw).cast("long").as("n_chars_raw"))
+          .orderBy("doc_id")
+      },
+      """SELECT doc_id,
+        |  hex(encode(nfc_normalize(r))) AS nfc_hex,
+        |  cast(length(nfc_normalize(r)) AS BIGINT) AS n_chars_nfc,
+        |  cast(length(r) AS BIGINT) AS n_chars_raw
+        |FROM (SELECT doc_id,
+        |        substr(text, 1, 24) || ' caf' || 'e' || chr(769) ||
+        |        ' A' || chr(778) || ' ' || chr(4352) || chr(4449) AS r
+        |      FROM documents WHERE doc_id < 300)
+        |ORDER BY doc_id""".stripMargin)
   )
 }

@@ -141,6 +141,52 @@ object ProfileOps {
         |  sqrt((n * sqq - sq * sq) * (n * spp - sp * sp)), 6)
         |  AS corr_qty_price,
         |  cast(nn AS BIGINT) AS n_rows
-        |FROM a""".stripMargin)
+        |FROM a""".stripMargin),
+
+    // -- z-score outlier screen from the same exact-moment machinery as
+    //    q_corr: global mean/std of extendedprice from DECIMAL(38,0) cent
+    //    sums (one scan, one-row broadcast back onto the rows), flag
+    //    |x - mean| > 1.5σ (the synthetic prices are ~uniform, whose
+    //    max deviation is ~1.7σ — 2.5σ would select nothing anywhere). The one-row side joins with a broadcast, so
+    //    nothing corpus-sized shuffles; boundary comparisons are safe
+    //    cross-engine because both sides evaluate the IDENTICAL double
+    //    expression tree over identical exact sums ----------------------
+    ("q_outliers",
+      (s: SparkSession, d: String) => {
+        val dec = DecimalType(38, 0)
+        val li = t(s, d, "lineitem")
+          .select(col("l_returnflag"), cents(col("l_extendedprice")).as("p"))
+        val m = li.agg(
+          count(lit(1)).cast(dec).as("n"),
+          sum(col("p").cast(dec)).as("sp"),
+          sum((col("p") * col("p")).cast(dec)).as("spp"))
+        val nd = col("n").cast("double"); val spd = col("sp").cast("double")
+        val sppd = col("spp").cast("double")
+        val stats = m.select(
+          (spd / nd).as("mean"),
+          sqrt((sppd - spd * spd / nd) / (nd - 1.0)).as("sd"))
+        li.crossJoin(broadcast(stats))
+          .filter(abs(col("p").cast("double") - col("mean")) >
+            col("sd") * 1.5)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_outliers"),
+            min(col("p")).as("min_cents"),
+            max(col("p")).as("max_cents"))
+          .orderBy("l_returnflag")
+      },
+      """WITH b AS (SELECT l_returnflag,
+        |             cast(round(l_extendedprice * 100) AS BIGINT) AS p
+        |           FROM lineitem),
+        |a AS (SELECT cast(count(*) AS DOUBLE) AS n,
+        |        cast(sum(cast(p AS DECIMAL(38,0))) AS DOUBLE) AS sp,
+        |        cast(sum(cast(p * p AS DECIMAL(38,0))) AS DOUBLE) AS spp
+        |      FROM b),
+        |st AS (SELECT sp / n AS mean,
+        |         sqrt((spp - sp * sp / n) / (n - 1.0)) AS sd FROM a)
+        |SELECT l_returnflag, count(*) AS n_outliers,
+        |  min(p) AS min_cents, max(p) AS max_cents
+        |FROM b CROSS JOIN st
+        |WHERE abs(cast(p AS DOUBLE) - mean) > sd * 1.5
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 }

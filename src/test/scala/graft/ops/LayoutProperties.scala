@@ -80,4 +80,53 @@ object LayoutProperties extends Properties("graft.ops.Layout") {
       }
       fullOk && sinceOk && consumeOk
     }
+
+  /** Random store + random upsert batch: existing keys get new payloads
+    * (possibly under a DIFFERENT partition value), plus brand-new keys.
+    * Batch keys are unique and non-null by construction — merge's
+    * documented precondition.
+    */
+  private val mergeGen: Gen[(Seq[(Long, String, Long)], Seq[(Long, String, Long)])] =
+    for {
+      n <- Gen.choose(5, 25)
+      parts <- Gen.listOfN(n, Gen.oneOf("a", "b", "c"))
+      pick <- Gen.listOfN(n, Gen.oneOf(true, false))
+      nNew <- Gen.choose(0, 5)
+      newParts <- Gen.listOfN(nNew, Gen.oneOf("a", "b", "c", "d"))
+      movedParts <- Gen.listOfN(n, Gen.oneOf("a", "b", "c"))
+    } yield {
+      val store = parts.zipWithIndex.map { case (p, i) => (i.toLong, p, i * 7L) }
+      val updates = store.zip(pick).zip(movedParts).collect {
+        case (((id, _, pay), true), mp) => (id, mp, pay + 1000L)
+      }
+      val inserts = newParts.zipWithIndex.map { case (p, j) =>
+        (1000L + j, p, -j.toLong)
+      }
+      (store, updates ++ inserts)
+    }
+
+  property("merge = per-touched-partition replace-by-key + insert, rest untouched") =
+    forAll(mergeGen) { case (store, batch) =>
+      val sp = spark
+      import sp.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("merge_prop_")
+        .resolve("store").toString
+      Layout.writePartitioned(store.toDF("id", "part", "payload"), dir,
+        "part", Seq("id"))
+      Layout.merge(batch.toDF("id", "part", "payload"), dir,
+        "part", Seq("id"), Seq("id"))
+      // the documented contract, computed independently: rows in untouched
+      // partitions always survive; in touched partitions only non-batch
+      // keys survive; every batch row lands
+      val touched = batch.map(_._2).toSet
+      val batchKeys = batch.map(_._1).toSet
+      val expected = (store.filterNot(r => touched(r._2)) ++
+        store.filter(r => touched(r._2) && !batchKeys(r._1)) ++
+        batch).groupBy(identity).view.mapValues(_.size).toMap
+      val got = spark.read.parquet(dir)
+        .select("id", "part", "payload").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      got == expected
+    }
 }
