@@ -78,4 +78,31 @@ object Privacy {
     kAnonymity(df, quasiCols)
       .filter(col("group_size") >= k)
       .drop("group_size")
+
+  /** Deterministic keyed pseudonymization of an identifier column:
+    * sha256(secret ‖ length-framed value), hex. The same value under the
+    * same secret always maps to the same token, so tokenized datasets
+    * still JOIN and GROUP consistently — the standard release shape when
+    * raw user ids cannot leave the boundary — while reversal requires
+    * the secret (length framing blocks the trivial concat ambiguity
+    * sha256(k ‖ v) has: (k="s", v="1x") vs (k="s1", v="x")). NULL stays
+    * NULL (a present-but-tokenized null would fabricate a joinable
+    * value). Codegen'd built-ins only — one map-side expression, no
+    * shuffle, no UDF.
+    *
+    * NOT encryption: a secret holder can confirm a GUESSED value by
+    * recomputing (dictionary attack on low-entropy ids) — for release
+    * gates compose with [[suppressSmallGroups]] so rare identifiers are
+    * gone before tokens are published.
+    */
+  def tokenizeExpr(c: Column, secret: String): Column =
+    when(c.isNotNull,
+      sha2(concat(
+        lit(secret.length.toString), lit("|"), lit(secret),
+        length(c.cast("string")).cast("string"), lit("|"), c.cast("string")),
+        256))
+
+  /** Replaces `idCol` in place with its token. */
+  def tokenize(df: DataFrame, idCol: String, secret: String): DataFrame =
+    df.withColumn(idCol, tokenizeExpr(col(idCol), secret))
 }

@@ -60,6 +60,33 @@ object Validate {
   def passes(df: DataFrame, checks: Seq[Check]): Boolean =
     run(df, checks).agg(min(col("passed"))).head().getBoolean(0)
 
+  /** Per-group validation: the same one-pass fold, keyed by `groupCols` —
+    * "is every SOURCE healthy", not just the corpus in aggregate (a
+    * poisoned crawl seed hides inside a global average). One hash
+    * aggregate (partial map-side), result size = groups × checks; at
+    * 100 TB the scan still happens once no matter how many checks run.
+    * Returns (groupCols…, check_name, observed, passed).
+    */
+  def runGrouped(df: DataFrame, groupCols: Seq[String],
+      checks: Seq[Check]): DataFrame = {
+    require(groupCols.nonEmpty, "use run() for ungrouped validation")
+    require(checks.nonEmpty, "empty check suite")
+    require(checks.map(_.name).distinct.size == checks.size,
+      "check names must be unique — they key the result table")
+    val metrics = checks.zipWithIndex.map { case (c, i) => c.metric.as(s"__m$i") }
+    val agg = df.groupBy(groupCols.map(col): _*)
+      .agg(metrics.head, metrics.tail: _*)
+    val rows = checks.zipWithIndex.map { case (c, i) =>
+      struct(lit(c.name).as("check_name"),
+        col(s"__m$i").cast("double").as("observed"),
+        c.pass(col(s"__m$i")).as("passed"))
+    }
+    agg.select(groupCols.map(col) :+ explode(array(rows: _*)).as("r"): _*)
+      .select(groupCols.map(col) :+ col("r.check_name") :+
+        col("r.observed") :+ col("r.passed"): _*)
+      .orderBy(groupCols.map(col) :+ col("check_name"): _*)
+  }
+
   /** The standard constraint library. Ratio metrics are rounded to 4
     * places (the repo-wide double convention, Q.scala) so observed values
     * are reproducible across aggregation orders.
@@ -109,7 +136,10 @@ object Validate {
           count(col(c)), 4),
         _ >= atLeast)
 
-    /** Fraction of NON-NULL values fully matching `regex` ≥ `atLeast`. */
+    /** Fraction of NON-NULL values where `regex` FINDS a match ≥
+      * `atLeast` (RLIKE search semantics, not a full-string match —
+      * anchor with ^…$ when full-match is meant, as q_validate does).
+      */
     def matches(c: String, regex: String, atLeast: Double = 1.0): Check =
       Check(s"matches:$c",
         round(count(when(regexp_like(col(c), lit(regex)), lit(1))).cast("double") /

@@ -143,6 +143,68 @@ object ProfileOps {
         |  cast(nn AS BIGINT) AS n_rows
         |FROM a""".stripMargin),
 
+    // -- keyed pseudonymization (Privacy.tokenize): customer and order
+    //    keys tokenized INDEPENDENTLY under one secret, then joined ON
+    //    THE TOKENS — equality with the raw-key join proves deterministic
+    //    consistency, and min(token) pins the exact sha256 bytes
+    //    cross-engine. Map-side expression; the join shape is unchanged --
+    ("q_tokenize",
+      (s: SparkSession, d: String) => {
+        val secret = "s3cret"
+        val cust = t(s, d, "customer").select(
+          graft.ops.Privacy.tokenizeExpr(col("c_custkey"), secret).as("tok"),
+          col("c_mktsegment"))
+        val ord = t(s, d, "orders").select(
+          graft.ops.Privacy.tokenizeExpr(col("o_custkey"), secret).as("tok"),
+          col("o_totalprice"))
+        cust.join(ord, "tok")
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(cents(col("o_totalprice"))).as("total_cents"),
+            min(col("tok")).as("min_token"))
+          .orderBy("c_mktsegment")
+      },
+      """WITH c AS (SELECT sha256('6|s3cret' ||
+        |    length(cast(c_custkey AS VARCHAR)) || '|' ||
+        |    cast(c_custkey AS VARCHAR)) AS tok, c_mktsegment
+        |  FROM customer),
+        |o AS (SELECT sha256('6|s3cret' ||
+        |    length(cast(o_custkey AS VARCHAR)) || '|' ||
+        |    cast(o_custkey AS VARCHAR)) AS tok, o_totalprice
+        |  FROM orders)
+        |SELECT c_mktsegment, count(*) AS n_orders,
+        |  cast(sum(cast(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+        |  min(tok) AS min_token
+        |FROM c JOIN o USING (tok)
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // -- per-GROUP validation: the same one-pass suite keyed by source —
+    //    a poisoned crawl seed hides inside a global average, so the gate
+    //    runs per origin. Three checks × sources, one hash aggregate ----
+    ("q_validate_by_source",
+      (s: SparkSession, d: String) => {
+        import graft.ops.Validate
+        import graft.ops.Validate.Checks._
+        Validate.runGrouped(t(s, d, "documents"), Seq("source"), Seq(
+            completeness("text"),
+            meanBetween("n_chars", 100.0, 2000.0),
+            uniqueness("doc_id")))
+          .withColumn("passed", col("passed").cast("long"))
+      },
+      """WITH m AS (SELECT source,
+        |  round(count(text) * 1.0 / count(*), 4) AS compl,
+        |  round(cast(sum(cast(n_chars AS DECIMAL(18,6))) AS DOUBLE) / count(n_chars), 4) AS mean_nc,
+        |  round(count(DISTINCT doc_id) * 1.0 / count(doc_id), 4) AS uniq
+        |FROM documents GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT source, 'completeness:text' AS check_name, compl AS observed,
+        |    CASE WHEN compl >= 1.0 THEN 1 ELSE 0 END AS passed FROM m
+        |  UNION ALL SELECT source, 'mean:n_chars', mean_nc,
+        |    CASE WHEN mean_nc >= 100.0 AND mean_nc <= 2000.0 THEN 1 ELSE 0 END FROM m
+        |  UNION ALL SELECT source, 'uniqueness:doc_id', uniq,
+        |    CASE WHEN uniq >= 1.0 THEN 1 ELSE 0 END FROM m
+        |) ORDER BY source, check_name""".stripMargin),
+
     // -- z-score outlier screen from the same exact-moment machinery as
     //    q_corr: global mean/std of extendedprice from DECIMAL(38,0) cent
     //    sums (one scan, one-row broadcast back onto the rows), flag

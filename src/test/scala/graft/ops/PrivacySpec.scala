@@ -64,4 +64,25 @@ class PrivacySpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.toLowerCase.contains("no partition defined"))
   }
+
+  test("tokenize: deterministic, null-preserving, framing-unambiguous, secret-sensitive") {
+    import spark.implicits._
+    val df = Seq(Some("u1"), Some("u1"), Some("u2"), None).toDF("id")
+    val toks = Privacy.tokenize(df, "id", "k").collect().map(r =>
+      if (r.isNullAt(0)) null else r.getString(0))
+    assert(toks(0) == toks(1) && toks(0) != toks(2), "same in → same token")
+    assert(toks(3) == null, "NULL must stay NULL, not become a joinable token")
+    assert(toks(0).matches("[0-9a-f]{64}"))
+    // length framing: (secret "s", value "1x") must differ from
+    // (secret "s1", value "x") even though the naive concat collides
+    def tok1(secret: String, v: String): String =
+      Privacy.tokenize(Seq(v).toDF("id"), "id", secret)
+        .head().getString(0)
+    assert(tok1("s", "1x") != tok1("s1", "x"))
+    assert(tok1("k", "u1") != tok1("K", "u1"), "secret changes every token")
+    // map-only: tokenization adds no exchange
+    val plan = Privacy.tokenize(df, "id", "k")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
 }

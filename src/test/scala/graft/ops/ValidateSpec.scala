@@ -59,6 +59,20 @@ class ValidateSpec extends SparkSuite {
     assert(scans === 1, s"expected one scan, plan:\n$plan")
   }
 
+  test("runGrouped: per-group verdicts differ where the data differs") {
+    import spark.implicits._
+    val df = Seq(("a", 1L), ("a", 2L), ("b", 2L), ("b", 2L))
+      .toDF("g", "v")
+    val rows = Validate.runGrouped(df, Seq("g"), Seq(uniqueness("v")))
+      .collect().map(r => (r.getString(0), r.getBoolean(3))).toMap
+    assert(rows === Map("a" -> true, "b" -> false))
+    // still ONE scan for the whole grouped suite
+    val plan = Validate.runGrouped(df, Seq("g"),
+      Seq(uniqueness("v"), completeness("v"), minBound("v", 0.0)))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Union"), "grouped suite must not fan into unions")
+  }
+
   test("duplicate check names and empty suites are refused") {
     intercept[IllegalArgumentException] {
       Validate.run(li, Seq(sizeBetween(1L), sizeBetween(2L)))
