@@ -85,6 +85,13 @@ object ScaleBench {
           x.getName == "waitUntilEmpty" && x.getParameterCount == 0)
           .foreach(_.invoke(bus))
       } catch { case scala.util.control.NonFatal(_) => Thread.sleep(200) }
+    // shared store-teardown helper for the A/B sections below (was four
+    // identical local copies)
+    def del(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(del)
+      f.delete(); ()
+    }
     // (time, shuffle-write bytes) of `body`, min over `runs` samples each.
     // A crashed sample must NOT masquerade as a fast run (time-to-crash can
     // be tiny): any failure poisons the query's result to (-1, 0) and logs
@@ -238,11 +245,6 @@ object ScaleBench {
           .unionByName(docs.filter(pmod(col("doc_id"), lit(100)) === 7))
         val root = java.nio.file.Files.createTempDirectory("graft_scale_ing_")
           .toFile.getAbsolutePath
-        def del(f: java.io.File): Unit = {
-          if (f.isDirectory)
-            Option(f.listFiles()).getOrElse(Array.empty).foreach(del)
-          f.delete(); ()
-        }
         def sample(dir: String)(screen: => Unit): (Double, Long) = {
           var failed = false
           val samples = Seq.fill(runs) {
@@ -290,11 +292,6 @@ object ScaleBench {
         val hot = docs.filter(col("lang") === "en")
         val root = java.nio.file.Files.createTempDirectory("graft_scale_cmp_")
           .toFile.getAbsolutePath
-        def del(f: java.io.File): Unit = {
-          if (f.isDirectory)
-            Option(f.listFiles()).getOrElse(Array.empty).foreach(del)
-          f.delete(); ()
-        }
         def seeded(dir: String): Unit = {
           del(new java.io.File(dir))
           graft.ops.Layout.writePartitioned(docs, dir, "lang", Seq("doc_id"))
@@ -359,11 +356,6 @@ object ScaleBench {
           .withColumn("source", lit("upd"))
           .write.mode("overwrite").parquet(s"$root/batch")
         val batch = spark.read.parquet(s"$root/batch")
-        def del(f: java.io.File): Unit = {
-          if (f.isDirectory)
-            Option(f.listFiles()).getOrElse(Array.empty).foreach(del)
-          f.delete(); ()
-        }
         def sample(name: String, dir: String)(body: => Unit): (Double, Long) = {
           var failed = false
           val samples = Seq.fill(runs) {
@@ -423,11 +415,6 @@ object ScaleBench {
         val docs = spark.read.parquet(s"$sfDir/documents.parquet")
         val root = java.nio.file.Files.createTempDirectory("graft_scale_rup_")
           .toFile.getAbsolutePath
-        def del(f: java.io.File): Unit = {
-          if (f.isDirectory)
-            Option(f.listFiles()).getOrElse(Array.empty).foreach(del)
-          f.delete(); ()
-        }
         def copyDir(src: java.io.File, dst: java.io.File): Unit = {
           if (src.isDirectory) {
             dst.mkdirs()

@@ -187,7 +187,13 @@ final class Database private (
       spark.catalog.dropTempView(n)
     }
     tempTableNames.clear()
-    viewNames.foreach(spark.catalog.dropTempView)
+    viewNames.foreach { v =>
+      // global temp views live in the global_temp database and need the
+      // matching drop call — plain dropTempView would miss them silently
+      if (v.startsWith("global_temp."))
+        spark.catalog.dropGlobalTempView(v.stripPrefix("global_temp."))
+      else spark.catalog.dropTempView(v)
+    }
     viewNames.clear()
     tableMap.keys.foreach(n => spark.catalog.dropTempView(n))
     // a .sql-dump database pins the dump text in the block-manager cache;
@@ -401,19 +407,49 @@ object Database {
     * statement defines, or None for any other statement. A lexical scan
     * of the statement HEAD only (never the body — a string literal
     * containing "CREATE VIEW" cannot match because it cannot start the
-    * statement). Backticked names are unquoted; qualified names keep
-    * their last component (temp views are unqualified in Spark).
+    * statement). Leading `--` line comments and `/* */` block comments
+    * are skipped first (a commented header must not hide the CREATE from
+    * adoption). Backticked names are unquoted; qualified names keep
+    * their last component — prefixed with `global_temp.` for GLOBAL temp
+    * views, whose catalog home that is.
     */
   private[api] def createdViewName(sql: String): Option[String] = {
-    val re = ("(?is)^\\s*CREATE\\s+(?:OR\\s+REPLACE\\s+)?(?:GLOBAL\\s+)?" +
+    // strip leading whitespace/comments without touching the body
+    var head = sql
+    var stripped = true
+    while (stripped) {
+      val t = head.dropWhile(_.isWhitespace)
+      if (t.startsWith("--"))
+        head = t.dropWhile(_ != '\n')
+      else if (t.startsWith("/*")) {
+        val end = t.indexOf("*/", 2)
+        if (end < 0) return None // unterminated comment: not a CREATE head
+        head = t.substring(end + 2)
+      } else { head = t; stripped = false }
+    }
+    val ident = "`(?:[^`]|``)+`|[A-Za-z_][A-Za-z0-9_]*"
+    val re = ("(?is)^CREATE\\s+(?:OR\\s+REPLACE\\s+)?(GLOBAL\\s+)?" +
       "(?:TEMP(?:ORARY)?\\s+)?VIEW\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?" +
-      "(`(?:[^`]|``)+`|[A-Za-z_][A-Za-z0-9_.]*)").r
-    re.findPrefixMatchOf(sql).map { m =>
-      val raw = m.group(1)
-      val unq = if (raw.startsWith("`"))
-        raw.stripPrefix("`").stripSuffix("`").replace("``", "`")
-      else raw.split('.').last
-      unq
+      s"((?:$ident)(?:\\s*\\.\\s*(?:$ident))*)").r
+    def unquote(part: String): String = {
+      val p = part.trim
+      if (p.startsWith("`"))
+        p.stripPrefix("`").stripSuffix("`").replace("``", "`")
+      else p
+    }
+    re.findPrefixMatchOf(head).map { m =>
+      // split on dots OUTSIDE backticks, keep the last component
+      val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+      val sb = new StringBuilder
+      var inTick = false
+      m.group(2).foreach {
+        case '`' => inTick = !inTick; sb.append('`')
+        case '.' if !inTick => parts += sb.toString; sb.clear()
+        case ch => sb.append(ch)
+      }
+      parts += sb.toString
+      val name = unquote(parts.last)
+      if (m.group(1) != null) s"global_temp.$name" else name
     }
   }
 

@@ -4,6 +4,7 @@ import java.text.Normalizer
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, StringType}
@@ -32,6 +33,14 @@ case class NormalizeText(child: Expression, form: String)
     extends UnaryExpression {
 
   private val normForm = Normalizer.Form.valueOf(form.toUpperCase)
+
+  // analysis-time type error, not a per-row ClassCastException at
+  // execution (the BloomExprs/FingerprintExprs convention)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"unicode_normalize expects a string column, got ${t.simpleString}")
+  }
 
   override def dataType: DataType = StringType
 

@@ -86,12 +86,20 @@ object Layout {
     *  - `dir__compacting` present (any time): an incomplete or unswapped
     *    rewrite — drop it; compact always rebuilds it from the live dir.
     */
-  def recover(dir: String): Unit = {
+  def recover(dir: String): Unit = recoverSwap(dir, "__compacting")
+
+  /** The ONE rename-aside recovery state machine, shared by every
+    * whole-directory swap in this package ([[recover]]'s `__compacting`
+    * scratch, [[Rollup.recover]]'s `__next`): restore `dir` from
+    * `dir__old` if the second rename never happened, drop `dir__old` if
+    * it did, and discard any scratch leftovers.
+    */
+  private[ops] def recoverSwap(dir: String, scratchSuffix: String): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val base = dir.stripSuffix("/")
     val dirP = Paths.get(base)
     val oldP = Paths.get(base + "__old")
-    val tmpP = Paths.get(base + "__compacting")
+    val tmpP = Paths.get(base + scratchSuffix)
     if (Files.exists(oldP)) {
       if (Files.exists(dirP)) deleteRecursively(oldP.toFile)
       else Files.move(oldP, dirP, StandardCopyOption.ATOMIC_MOVE)
@@ -467,8 +475,9 @@ object Layout {
     * idempotent (replace-by-key twice = once), which is the recovery
     * story for a crash between directory swaps.
     *
-    * Fail-loud contract, checked in ONE aggregate pass over the batch
-    * (the same job that collects the touched partition values):
+    * Fail-loud contract, checked in two batch-sized aggregate passes
+    * (per-value screens ride the job that collects the touched partition
+    * values; the key-dup screen needs a batch-GLOBAL distinct):
     *  - `keyCols` must be non-null (SQL equality cannot address a store
     *    row by NULL — the row would silently duplicate on every merge);
     *  - `partitionCol` must be non-null (no directory to merge into);
@@ -491,6 +500,9 @@ object Layout {
     require(keyCols.nonEmpty, "merge needs at least one key column")
     val spark = batch.sparkSession
     if (!hasData(dir)) { // first write: plain partitioned layout
+      // empty batch + absent store: writing would leave a _SUCCESS-only
+      // schema-less dir that poisons later opens (same guard as append)
+      if (batch.isEmpty) return Seq.empty
       writePartitioned(batch, dir, partitionCol, sortCols)
       return filesPerPartition(dir).keys.toSeq.sorted
     }
@@ -499,13 +511,15 @@ object Layout {
     val base = dir.stripSuffix("/")
     val scratch = new java.io.File(s"$base/.__merging__")
     if (scratch.exists()) deleteRecursively(scratch) // stale crashed merge
-    // one pass: touched values + null screens + in-batch key-dup screen
+    // screen pass 1 (per partition value): touched values + null screens.
+    // The key-dup count is NOT taken from these per-value groups — a key
+    // appearing under TWO partition values would count distinct in each —
+    // it needs the batch-GLOBAL distinct in pass 2 below.
     val keyStruct = struct(keyCols.map(col): _*)
     val stats = batch.groupBy(col(partitionCol).as("__p"))
       .agg(count(lit(1)).as("__n"),
         sum(when(keyCols.map(col(_).isNull).reduce(_ || _), 1L)
-          .otherwise(0L)).as("__null_keys"),
-        countDistinct(keyStruct).as("__distinct_keys"))
+          .otherwise(0L)).as("__null_keys"))
       .collect()
     if (stats.isEmpty) return Seq.empty // empty batch: nothing to merge
     if (stats.exists(_.isNullAt(0)))
@@ -517,12 +531,17 @@ object Layout {
       throw new IllegalArgumentException(
         s"merge into '$dir' refused — $nullKeys batch row(s) with NULL in " +
           s"key columns ${keyCols.mkString(",")} cannot address store rows")
-    val dups = stats.map(r =>
-      r.getAs[Long]("__n") - r.getAs[Long]("__distinct_keys")).sum
+    // screen pass 2 (global): one key = one batch row, across ALL
+    // partition values — two rows sharing a key under different values
+    // would otherwise both land and duplicate the key forever
+    val g = batch.agg(count(lit(1)).as("__n"),
+      countDistinct(keyStruct).as("__d")).head()
+    val dups = g.getAs[Long]("__n") - g.getAs[Long]("__d")
     if (dups > 0)
       throw new IllegalArgumentException(
         s"merge into '$dir' refused — $dups batch row(s) share a key with " +
-          "another batch row; one batch may carry one row per key")
+          "another batch row (possibly under different partition values); " +
+          "one batch may carry one row per key")
     val touchedVals = stats.map(_.get(0)).toSeq
     // read ONLY the touched directories (partition filter prunes at the
     // file index — untouched directories are not opened), drop the rows
@@ -581,7 +600,7 @@ object Layout {
           .count(f => f.getName.endsWith(".parquet") || f.getName.endsWith(".orc")))
       .toMap
 
-  private def deleteRecursively(f: java.io.File): Unit = {
+  private[ops] def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory)
       Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
     f.delete()

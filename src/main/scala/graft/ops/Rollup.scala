@@ -47,24 +47,12 @@ object Rollup {
       .trim.toLong
   }
 
-  /** Roll an interrupted [[maintain]] swap forward or back — the
-    * [[Layout.recover]] protocol on the rollup directory's sibling
-    * scratch names. Safe on a healthy rollup (no-op); run automatically
-    * at the start of maintain.
+  /** Roll an interrupted [[maintain]] swap forward or back — the one
+    * shared [[Layout.recoverSwap]] state machine on the rollup dir's
+    * `__next` scratch. Safe on a healthy rollup (no-op); run
+    * automatically at the start of maintain.
     */
-  def recover(dir: String): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    val base = dir.stripSuffix("/")
-    val dirP = Paths.get(base)
-    val oldP = Paths.get(base + "__old")
-    val nextP = Paths.get(base + "__next")
-    if (Files.exists(oldP)) {
-      if (Files.exists(dirP)) deleteRecursively(oldP.toFile)
-      else Files.move(oldP, dirP, StandardCopyOption.ATOMIC_MOVE)
-    }
-    if (Files.exists(nextP)) deleteRecursively(nextP.toFile)
-    ()
-  }
+  def recover(dir: String): Unit = Layout.recoverSwap(dir, "__next")
 
   /** Fold every store batch newer than the rollup's version into the
     * rollup at `rollupDir`, atomically. Returns the new version (the
@@ -107,7 +95,7 @@ object Rollup {
           Files.move(oldP, dirP, StandardCopyOption.ATOMIC_MOVE)
           throw e
       }
-      deleteRecursively(oldP.toFile)
+      Layout.deleteRecursively(oldP.toFile)
     } else Files.move(nextP, dirP, StandardCopyOption.ATOMIC_MOVE)
     latest
   }
@@ -120,43 +108,48 @@ object Rollup {
     if (version(dir) < 0L) spark.emptyDataFrame
     else spark.read.parquet(dir.stripSuffix("/"))
 
+  /** The pinned carry type for a sum over `dt`: integrals stay long,
+    * float/double go through exact DECIMAL(30,6), and decimal inputs keep
+    * THEIR OWN scale with widened precision — casting a decimal sum to
+    * long would silently truncate cents from every refresh.
+    */
+  private def sumType(dt: org.apache.spark.sql.types.DataType):
+      org.apache.spark.sql.types.DataType = dt match {
+    case DoubleType | FloatType => DecimalType(30, 6)
+    case d: DecimalType => DecimalType(math.min(38, d.precision + 10), d.scale)
+    case _ => org.apache.spark.sql.types.LongType
+  }
+
   // first-level aggregation of raw rows
   private def aggregate(df: DataFrame, groupCols: Seq[String],
       sumCols: Seq[String]): DataFrame = {
     val aggs: Seq[Column] = count(lit(1)).as("n_rows") +:
       sumCols.flatMap { c =>
-        val isFp = df.schema(c).dataType match {
-          case DoubleType | FloatType => true
-          case _ => false
+        val st = sumType(df.schema(c).dataType)
+        val in = df.schema(c).dataType match {
+          case DoubleType | FloatType => col(c).cast(DecimalType(18, 6))
+          case _ => col(c)
         }
-        val s = if (isFp)
-          sum(col(c).cast(DecimalType(18, 6))).cast(DecimalType(30, 6))
-        else sum(col(c)).cast("long")
-        Seq(s.as(s"sum_$c"), min(col(c)).as(s"min_$c"),
+        Seq(sum(in).cast(st).as(s"sum_$c"), min(col(c)).as(s"min_$c"),
           max(col(c)).as(s"max_$c"))
       }
     df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
   // re-aggregation of rollup rows (old rollup ∪ new partial): counts and
-  // sums add, min/max fold — types re-pinned so generations never drift
+  // sums add, min/max fold — each sum re-pinned to ITS OWN stored type so
+  // generations never drift (decimal precision would otherwise widen per
+  // refresh until it hit 38 and changed the schema)
   private def merge(df: DataFrame, groupCols: Seq[String],
       sumCols: Seq[String]): DataFrame = {
     val aggs: Seq[Column] = sum(col("n_rows")).cast("long").as("n_rows") +:
       sumCols.flatMap { c =>
-        val isFp = df.schema(s"sum_$c").dataType.isInstanceOf[DecimalType]
-        val s = if (isFp) sum(col(s"sum_$c")).cast(DecimalType(30, 6))
-        else sum(col(s"sum_$c")).cast("long")
-        Seq(s.as(s"sum_$c"), min(col(s"min_$c")).as(s"min_$c"),
+        val st = df.schema(s"sum_$c").dataType
+        Seq(sum(col(s"sum_$c")).cast(st).as(s"sum_$c"),
+          min(col(s"min_$c")).as(s"min_$c"),
           max(col(s"max_$c")).as(s"max_$c"))
       }
     df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory)
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
-    f.delete()
-    ()
-  }
 }

@@ -47,7 +47,11 @@ object Validate {
     val rows = checks.zipWithIndex.map { case (c, i) =>
       struct(lit(c.name).as("check_name"),
         col(s"__m$i").cast("double").as("observed"),
-        c.pass(col(s"__m$i")).as("passed"))
+        // a null metric (0/0 ratio on an EMPTY input, null min/max) is a
+        // FAILED check, not a null verdict: the accidentally-empty drop
+        // is precisely what a gate must catch, and a null `passed` would
+        // NPE the caller's getBoolean instead of failing the gate
+        coalesce(c.pass(col(s"__m$i")), lit(false)).as("passed"))
     }
     one.select(explode(array(rows: _*)).as("r")).select("r.*")
       .orderBy("check_name")
@@ -79,7 +83,7 @@ object Validate {
     val rows = checks.zipWithIndex.map { case (c, i) =>
       struct(lit(c.name).as("check_name"),
         col(s"__m$i").cast("double").as("observed"),
-        c.pass(col(s"__m$i")).as("passed"))
+        coalesce(c.pass(col(s"__m$i")), lit(false)).as("passed"))
     }
     agg.select(groupCols.map(col) :+ explode(array(rows: _*)).as("r"): _*)
       .select(groupCols.map(col) :+ col("r.check_name") :+
@@ -87,21 +91,28 @@ object Validate {
       .orderBy(groupCols.map(col) :+ col("check_name"): _*)
   }
 
-  /** The standard constraint library. Ratio metrics are rounded to 4
-    * places (the repo-wide double convention, Q.scala) so observed values
-    * are reproducible across aggregation orders.
+  /** The standard constraint library. Ratios divide with try_divide:
+    * under ANSI mode (Spark 4 default) a plain 0/0 on an EMPTY input
+    * would THROW instead of yielding the null that run() converts to a
+    * clean failed verdict. Count-based ratios are left at
+    * FULL precision: they are one IEEE division of exact longs (already
+    * reproducible across aggregation orders), and rounding BEFORE the
+    * threshold would let a strict `atLeast = 1.0` gate pass with up to
+    * ~0.005% violations — 5 000 bad rows per 100 M. Only the decimal
+    * mean rounds (Q.davg convention), and its bounds are range checks,
+    * not strict-equality gates.
     */
   object Checks {
     /** Fraction of rows with `c` non-null ≥ `atLeast`. */
     def completeness(c: String, atLeast: Double = 1.0): Check =
       Check(s"completeness:$c",
-        round(count(col(c)).cast("double") / count(lit(1)), 4),
+        try_divide(count(col(c)).cast("double"), count(lit(1))),
         _ >= atLeast)
 
     /** Distinct values / non-null values ≥ `atLeast` (1.0 = unique key). */
     def uniqueness(c: String, atLeast: Double = 1.0): Check =
       Check(s"uniqueness:$c",
-        round(countDistinct(col(c)).cast("double") / count(col(c)), 4),
+        try_divide(countDistinct(col(c)).cast("double"), count(col(c))),
         _ >= atLeast)
 
     /** HLL-approximate [[uniqueness]] — no Expand, bounded error. For
@@ -109,7 +120,7 @@ object Validate {
       */
     def approxUniqueness(c: String, atLeast: Double): Check =
       Check(s"approx_uniqueness:$c",
-        round(approx_count_distinct(col(c)).cast("double") / count(col(c)), 4),
+        try_divide(approx_count_distinct(col(c)).cast("double"), count(col(c))),
         _ >= atLeast)
 
     /** min(c) ≥ lo — nulls ignored (SQL min semantics). */
@@ -125,15 +136,16 @@ object Validate {
       */
     def meanBetween(c: String, lo: Double, hi: Double): Check =
       Check(s"mean:$c",
-        round(sum(col(c).cast(org.apache.spark.sql.types.DecimalType(18, 6)))
-          .cast("double") / count(col(c)), 4),
+        round(try_divide(
+          sum(col(c).cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+            .cast("double"), count(col(c))), 4),
         m => m >= lo && m <= hi)
 
     /** Fraction of NON-NULL values inside `allowed` ≥ `atLeast`. */
     def containedIn(c: String, allowed: Seq[String], atLeast: Double = 1.0): Check =
       Check(s"contained_in:$c",
-        round(count(when(col(c).isin(allowed: _*), lit(1))).cast("double") /
-          count(col(c)), 4),
+        try_divide(count(when(col(c).isin(allowed: _*), lit(1)))
+          .cast("double"), count(col(c))),
         _ >= atLeast)
 
     /** Fraction of NON-NULL values where `regex` FINDS a match ≥
@@ -142,8 +154,8 @@ object Validate {
       */
     def matches(c: String, regex: String, atLeast: Double = 1.0): Check =
       Check(s"matches:$c",
-        round(count(when(regexp_like(col(c), lit(regex)), lit(1))).cast("double") /
-          count(col(c)), 4),
+        try_divide(count(when(regexp_like(col(c), lit(regex)), lit(1)))
+          .cast("double"), count(col(c))),
         _ >= atLeast)
 
     /** Row count within [lo, hi] (hi = Long.MaxValue for "at least"). */
@@ -158,7 +170,8 @@ object Validate {
       */
     def compliance(name: String, predicate: Column, atLeast: Double = 1.0): Check =
       Check(s"compliance:$name",
-        round(count(when(predicate, lit(1))).cast("double") / count(lit(1)), 4),
+        try_divide(count(when(predicate, lit(1))).cast("double"),
+          count(lit(1))),
         _ >= atLeast)
   }
 }

@@ -42,15 +42,15 @@ object ProfileOps {
           .orderBy("check_name")
       },
       """WITH m AS (SELECT
-        |  round(count(l_returnflag) * 1.0 / count(*), 4) AS completeness_rf,
-        |  round(count(DISTINCT l_orderkey) * 1.0 / count(l_orderkey), 4) AS uniq_ok,
+        |  count(l_returnflag) * 1.0 / count(*) AS completeness_rf,
+        |  count(DISTINCT l_orderkey) * 1.0 / count(l_orderkey) AS uniq_ok,
         |  cast(min(l_quantity) AS DOUBLE) AS min_qty,
         |  cast(max(l_discount) AS DOUBLE) AS max_disc,
         |  round(cast(sum(cast(l_tax AS DECIMAL(18,6))) AS DOUBLE) / count(l_tax), 4) AS mean_tax,
-        |  round(count(CASE WHEN l_linestatus IN ('O','F') THEN 1 END) * 1.0 / count(l_linestatus), 4) AS contained_ls,
-        |  round(count(CASE WHEN regexp_matches(l_returnflag, '^[ANR]$') THEN 1 END) * 1.0 / count(l_returnflag), 4) AS matches_rf,
+        |  count(CASE WHEN l_linestatus IN ('O','F') THEN 1 END) * 1.0 / count(l_linestatus) AS contained_ls,
+        |  count(CASE WHEN regexp_matches(l_returnflag, '^[ANR]$') THEN 1 END) * 1.0 / count(l_returnflag) AS matches_rf,
         |  cast(count(*) AS DOUBLE) AS sz,
-        |  round(count(CASE WHEN l_extendedprice > 0 AND l_quantity <= 60 THEN 1 END) * 1.0 / count(*), 4) AS compl_price
+        |  count(CASE WHEN l_extendedprice > 0 AND l_quantity <= 60 THEN 1 END) * 1.0 / count(*) AS compl_price
         |FROM lineitem)
         |SELECT * FROM (
         |  SELECT 'completeness:l_returnflag' AS check_name, completeness_rf AS observed,
@@ -192,9 +192,9 @@ object ProfileOps {
           .withColumn("passed", col("passed").cast("long"))
       },
       """WITH m AS (SELECT source,
-        |  round(count(text) * 1.0 / count(*), 4) AS compl,
+        |  count(text) * 1.0 / count(*) AS compl,
         |  round(cast(sum(cast(n_chars AS DECIMAL(18,6))) AS DOUBLE) / count(n_chars), 4) AS mean_nc,
-        |  round(count(DISTINCT doc_id) * 1.0 / count(doc_id), 4) AS uniq
+        |  count(DISTINCT doc_id) * 1.0 / count(doc_id) AS uniq
         |FROM documents GROUP BY 1)
         |SELECT * FROM (
         |  SELECT source, 'completeness:text' AS check_name, compl AS observed,

@@ -74,6 +74,22 @@ class Api2Spec extends SparkSuite {
       .contains("weird`name"))
     assert(Database.createdViewName("SELECT 'CREATE VIEW fake AS x'").isEmpty)
     assert(Database.createdViewName("CREATE VIEW a.b AS SELECT 1").contains("b"))
+    // leading comments must not hide the CREATE from adoption
+    assert(Database.createdViewName(
+      "-- nightly refresh\n  /* v2 */ CREATE TEMP VIEW cv AS SELECT 1")
+      .contains("cv"))
+    // …and end-to-end: a comment-headed CREATE through db.query is
+    // adopted and dropped on exit like any other
+    vdb.query("-- header\nCREATE OR REPLACE TEMP VIEW cv2 AS SELECT 2 AS two")
+    assert(vdb.views.contains("cv2"))
+    // backtick-QUALIFIED names keep the last component, unquoted
+    assert(Database.createdViewName(
+      "CREATE VIEW `sch ema`.`v iew` AS SELECT 1").contains("v iew"))
+    // global temp views adopt under their real catalog home
+    assert(Database.createdViewName(
+      "CREATE GLOBAL TEMP VIEW gv AS SELECT 1").contains("global_temp.gv"))
+    // an unterminated block comment can't be a CREATE head
+    assert(Database.createdViewName("/* oops CREATE VIEW x AS 1").isEmpty)
     spark.catalog.dropTempView("foreign_view_xyz")
     vdb.exit()
     assert(!spark.catalog.tableExists("q_made"))

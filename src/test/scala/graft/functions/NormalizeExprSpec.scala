@@ -66,4 +66,11 @@ class NormalizeExprSpec extends SparkSuite {
       Seq("x").toDF("v").select(normalize(col("v"), "NFX")).head()
     }
   }
+
+  test("a non-string input is an ANALYSIS error, not a per-row cast crash") {
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(1L).toDF("n").select(normalize(col("n"), "NFC")).head()
+    }
+    assert(e.getMessage.toLowerCase.contains("string"))
+  }
 }

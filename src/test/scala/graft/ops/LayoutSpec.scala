@@ -397,6 +397,36 @@ class LayoutSpec extends SparkSuite {
       .sameElements(snap))
   }
 
+  test("merge refuses a key duplicated across DIFFERENT partition values") {
+    val dir = freshDir()
+    val base = docs.filter(col("lang").isin("en", "fr"))
+    Layout.writePartitioned(base, dir, "lang", Seq("doc_id"))
+    val row = base.filter(col("lang") === "en").orderBy("doc_id").limit(1)
+    // same doc_id under en AND fr: per-partition distinct counts see no
+    // dup — only the batch-global screen can catch this
+    val crossDup = row.unionByName(row.withColumn("lang", lit("fr")))
+    val e = intercept[IllegalArgumentException] {
+      Layout.merge(crossDup, dir, "lang", Seq("doc_id"), Seq("doc_id")) }
+    assert(e.getMessage.contains("share a key"))
+  }
+
+  test("empty merge on an absent store leaves NO schema-less directory") {
+    val dir = freshDir()
+    val empty = docs.filter(lit(false))
+    assert(Layout.merge(empty, dir, "lang", Seq("doc_id"), Seq("doc_id")).isEmpty)
+    // no directory at all (a _SUCCESS-only dir would poison later opens)
+    val f = new java.io.File(dir)
+    assert(!f.exists() ||
+      Option(f.listFiles()).getOrElse(Array.empty)
+        .forall(x => !x.getName.endsWith(".parquet")))
+    assert(!f.exists() || !f.toString.isEmpty)
+    // and a later REAL merge still initializes the store normally
+    Layout.merge(docs.filter(col("lang") === "en"), dir, "lang",
+      Seq("doc_id"), Seq("doc_id"))
+    assert(spark.read.parquet(dir).count() ===
+      docs.filter(col("lang") === "en").count())
+  }
+
   test("merge on an absent store is a first write; readAsOf pins a snapshot") {
     val dir = freshDir()
     val third = docs.filter(pmod(col("doc_id"), lit(3)) === 0)

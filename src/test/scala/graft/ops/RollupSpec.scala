@@ -89,6 +89,25 @@ class RollupSpec extends SparkSuite {
     assert(fin === docs.count(), "a replayed fold double-counted rows")
   }
 
+  test("DECIMAL sum columns keep their scale — no silent cents truncation") {
+    import spark.implicits._
+    val b = freshBase()
+    val store = s"$b/store"; val roll = s"$b/roll"
+    val df = Seq(("en", BigDecimal("10.25")), ("en", BigDecimal("0.50")),
+      ("fr", BigDecimal("3.99"))).toDF("lang", "price")
+      .select(col("lang"), col("price").cast(
+        org.apache.spark.sql.types.DecimalType(18, 2)).as("price"))
+    Layout.appendBatch(df, store, "lang", Seq("price"))
+    Rollup.maintain(spark, store, roll, Seq("lang"), Seq("price"))
+    val sums = Rollup.read(spark, roll)
+      .select(col("lang"), col("sum_price").cast("string"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(sums("en") === "10.75" && sums("fr") === "3.99",
+      s"decimal sum truncated: $sums")
+    assert(Rollup.read(spark, roll).schema("sum_price").dataType ===
+      org.apache.spark.sql.types.DecimalType(28, 2))
+  }
+
   test("absent store and empty rollup read") {
     val b = freshBase()
     assert(Rollup.maintain(spark, s"$b/nostore", s"$b/noroll",

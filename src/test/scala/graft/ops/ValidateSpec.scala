@@ -42,9 +42,9 @@ class ValidateSpec extends SparkSuite {
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getBoolean(2)))
       .toMap
     assert(byName("completeness:v") === ((0.75, true)))
-    // 2 of 3 NON-null values in the set
-    assert(byName("contained_in:v")._1 === 0.6667)
-    assert(byName("matches:v")._1 === 0.6667)
+    // 2 of 3 NON-null values in the set (full precision — no pre-rounding)
+    assert(math.abs(byName("contained_in:v")._1 - 2.0 / 3.0) < 1e-12)
+    assert(math.abs(byName("matches:v")._1 - 2.0 / 3.0) < 1e-12)
     assert(byName("uniqueness:v") === ((1.0, true)))
   }
 
@@ -57,6 +57,30 @@ class ValidateSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     val scans = "FileScan parquet".r.findAllIn(plan).length
     assert(scans === 1, s"expected one scan, plan:\n$plan")
+  }
+
+  test("an EMPTY input fails the gate (null metrics → failed, never NPE)") {
+    import spark.implicits._
+    val empty = Seq.empty[(String, Long)].toDF("t", "v")
+    // ratio checks on zero rows are 0/0 = null observed — the verdict
+    // must be a clean FAIL, not a null that NPEs the caller
+    assert(!Validate.passes(empty, Seq(
+      completeness("t"), uniqueness("v"), minBound("v", 0.0))))
+    val rows = Validate.run(empty, Seq(completeness("t"))).collect()
+    assert(rows.length === 1 && !rows(0).getBoolean(2))
+    assert(rows(0).isNullAt(1)) // observed stays null — honest "no data"
+    // sizeBetween(0) is the one check an empty input can legitimately pass
+    assert(Validate.passes(empty, Seq(sizeBetween(0L))))
+  }
+
+  test("strict 1.0 gates are NOT rounded past small violations") {
+    // 20 001 rows with ONE duplicate key: ratio 20000/20001 = 0.99995…
+    // A 4-decimal pre-round would report 1.0 and pass the release gate
+    val df = spark.range(20000).toDF("id")
+      .unionByName(spark.range(1).toDF("id"))
+    val r = Validate.run(df, Seq(uniqueness("id"))).collect()(0)
+    assert(!r.getBoolean(2), "a duplicate key slipped through the 1.0 gate")
+    assert(r.getDouble(1) < 1.0)
   }
 
   test("runGrouped: per-group verdicts differ where the data differs") {
