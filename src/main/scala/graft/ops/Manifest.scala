@@ -1,0 +1,103 @@
+package graft.ops
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet-footer manifests — the data-skipping health report of a store.
+  *
+  * Every parquet file footer already carries per-row-group row counts and
+  * per-column min/max statistics; row-group skipping (and [[Layout]]'s
+  * whole design of sorting rows inside files) is only as good as those
+  * stats are TIGHT. This reads footers ONLY — a metadata scan of a 100 TB
+  * store touches a few KB per file, distributed over the executors (one
+  * task per batch of files), never a data page — and reports, per
+  * (file, row group): row count, min, max of a chosen column. From that a
+  * caller sees immediately whether ranges overlap (skipping degraded —
+  * time to [[Layout.compact]]) or are disjoint (every point lookup prunes
+  * to one group).
+  *
+  * Stats are reported as STRINGS in parquet's logical-type reading
+  * (the same surface DuckDB's parquet_metadata exposes, which the
+  * q_manifest oracle hash-matches against our decode).
+  */
+object Manifest {
+
+  /** One row per (file, row group) of `path` — a single `.parquet` file
+    * or a directory tree of them (partition directories included; dot/
+    * underscore entries skipped like Spark's file index). Columns:
+    * file (basename), row_group, n_rows, min_value, max_value — stats
+    * null when the footer carries none for `column`.
+    */
+  def manifest(spark: SparkSession, path: String, column: String): DataFrame = {
+    import spark.implicits._
+    val files = listParquet(new java.io.File(path))
+    require(files.nonEmpty, s"no parquet files under '$path'")
+    spark.sparkContext.parallelize(files, math.min(files.size, 32).max(1))
+      .mapPartitions { it =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        it.flatMap(f => readFooter(f, column, conf))
+      }
+      .toDF("file", "row_group", "n_rows", "min_value", "max_value")
+      .orderBy("file", "row_group")
+  }
+
+  /** True iff no two row groups of the manifest overlap on
+    * [min_value, max_value] when compared as the column's native order —
+    * the "is my layout still skippable" one-liner. Values compare as
+    * BIGINT when every stat parses as one, else lexicographically.
+    */
+  def disjointRanges(m: DataFrame): Boolean = {
+    val rows = m.select("min_value", "max_value").collect()
+      .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+      .map(r => (r.getString(0), r.getString(1)))
+    val numeric = rows.forall { case (a, b) =>
+      a.toLongOption.isDefined && b.toLongOption.isDefined }
+    val sorted =
+      if (numeric) rows.map { case (a, b) => (a.toLong, b.toLong) }
+        .sortBy(_._1).map { case (a, b) => (a.toString, b.toString) }
+      else rows.sortBy(_._1)
+    sorted.sliding(2).forall {
+      case Array((_, hi), (lo, _)) =>
+        if (numeric) hi.toLong < lo.toLong else hi < lo
+      case _ => true
+    }
+  }
+
+  private def listParquet(f: java.io.File): Seq[String] =
+    if (f.isFile) {
+      if (f.getName.endsWith(".parquet")) Seq(f.getAbsolutePath) else Seq.empty
+    } else
+      Option(f.listFiles()).getOrElse(Array.empty).toSeq
+        .filterNot(c => c.getName.startsWith(".") ||
+          (c.getName.startsWith("_") && c.isFile))
+        .flatMap(listParquet)
+
+  private def readFooter(file: String, column: String,
+      conf: org.apache.hadoop.conf.Configuration)
+      : Seq[(String, Int, Long, String, String)] = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(new org.apache.hadoop.fs.Path(s"file://$file"), conf)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val name = new java.io.File(file).getName
+      reader.getFooter.getBlocks.asScala.toSeq.zipWithIndex.map {
+        case (block, i) =>
+          val cc = block.getColumns.asScala
+            .find(_.getPath.toDotString == column)
+            .getOrElse(throw new IllegalArgumentException(
+              s"column '$column' not found in $file footer"))
+          val st = cc.getStatistics
+          val (mn, mx) =
+            if (st == null || !st.hasNonNullValue) (null, null)
+            else (statString(st.genericGetMin), statString(st.genericGetMax))
+          (name, i, block.getRowCount, mn, mx)
+      }
+    } finally reader.close()
+  }
+
+  private def statString(v: Any): String = v match {
+    case b: org.apache.parquet.io.api.Binary => b.toStringUsingUTF8
+    case other => other.toString
+  }
+}

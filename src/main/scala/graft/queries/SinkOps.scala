@@ -439,6 +439,34 @@ object SinkOps {
         |FROM documents WHERE doc_id % 3 <= 1
         |GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // -- parquet-footer manifest (ops/Manifest): row counts and column
+    //    min/max decoded from FOOTERS ONLY must agree with the relational
+    //    facts computed from the data — the stats a 100 TB store's
+    //    row-group skipping lives on, checked against ground truth. The
+    //    per-file/per-group granularity (and the disjoint-ranges layout
+    //    health check) is ManifestSpec's; this pins the stat decode ----
+    ("q_manifest",
+      (s: SparkSession, d: String) => {
+        def one(tbl: String, key: String) =
+          graft.ops.Manifest.manifest(s, s"$d/$tbl.parquet", key)
+            .agg(sum(col("n_rows")).as("n_rows"),
+              min(col("min_value").cast("long")).as("min_key"),
+              max(col("max_value").cast("long")).as("max_key"))
+            .withColumn("tbl", lit(tbl))
+            .select("tbl", "n_rows", "min_key", "max_key")
+        one("documents", "doc_id")
+          .unionByName(one("lineitem", "l_orderkey"))
+          .unionByName(one("events", "event_id"))
+          .orderBy("tbl")
+      },
+      """SELECT 'documents' AS tbl, count(*) AS n_rows,
+        |  min(doc_id) AS min_key, max(doc_id) AS max_key FROM documents
+        |UNION ALL SELECT 'events', count(*), min(event_id), max(event_id)
+        |FROM events
+        |UNION ALL SELECT 'lineitem', count(*), min(l_orderkey), max(l_orderkey)
+        |FROM lineitem
+        |ORDER BY tbl""".stripMargin),
+
     // -- incrementally-maintained rollup: the store grows in three
     //    batches, the per-lang summary is refreshed after EACH batch
     //    (three folds, each reading only the new batch + the tiny rollup),
