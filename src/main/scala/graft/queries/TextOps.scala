@@ -787,6 +787,49 @@ object TextOps {
         |  round(q2 / CAST(32768 AS DOUBLE), 4) AS peak,
         |  round(CASE WHEN hi THEN (n//2 - 1) / CAST(n - 1 AS DOUBLE)
         |             ELSE (n//4 - 1) / CAST(n - 1 AS DOUBLE) END, 4) AS zcr
-        |FROM q ORDER BY media_id""".stripMargin)
+        |FROM q ORDER BY media_id""".stripMargin),
+
+    // -- script-mix profile: per-document character counts by Unicode
+    //    block (Latin letters, CJK Unified, Cyrillic) — the evidence
+    //    column a language-ID pass sanity-checks against, and the router
+    //    for script-specific tokenizers. The fixture text is ASCII, so
+    //    CJK/Cyrillic runs are injected deterministically from doc_id on
+    //    BOTH sides (q_pii_redact convention); ranges are spelled as
+    //    \x{hhhh} codepoint intervals, the regex subset Java and RE2
+    //    read identically. Map-only scan; counts via strip-and-measure --
+    ("q_script_mix",
+      (s: SparkSession, d: String) => {
+        val id = col("doc_id")
+        val t0 = concat(col("text"),
+          when(pmod(id, lit(4)) === 1,
+            lit(" \u4e2d\u6587\u6587\u672c\u8a9e\u6599")).otherwise(lit("")),
+          when(pmod(id, lit(4)) === 2,
+            lit(" \u0440\u0443\u0441\u0441\u043a\u0438\u0439")).otherwise(lit("")),
+          when(pmod(id, lit(4)) === 3,
+            lit(" \u4e2d\u6587 \u0442\u0435\u043a\u0441\u0442")).otherwise(lit("")))
+        def nOf(pat: String) =
+          length(regexp_replace(t0, lit(pat), lit("")))
+        t(s, d, "documents").filter(id < 400)
+          .select(id.as("doc_id"),
+            length(t0).cast("long").as("n_chars"),
+            (length(t0) - nOf("[A-Za-z]")).cast("long").as("n_latin"),
+            (length(t0) - nOf("[\\x{4e00}-\\x{9fff}]")).cast("long").as("n_cjk"),
+            (length(t0) - nOf("[\\x{0400}-\\x{04ff}]")).cast("long").as("n_cyrillic"))
+          .orderBy("doc_id")
+      },
+      """WITH e AS (SELECT doc_id, text ||
+        |    (CASE WHEN doc_id % 4 = 1 THEN ' ' || chr(20013) || chr(25991) ||
+        |       chr(25991) || chr(26412) || chr(35486) || chr(26009) ELSE '' END) ||
+        |    (CASE WHEN doc_id % 4 = 2 THEN ' ' || chr(1088) || chr(1091) ||
+        |       chr(1089) || chr(1089) || chr(1082) || chr(1080) || chr(1081) ELSE '' END) ||
+        |    (CASE WHEN doc_id % 4 = 3 THEN ' ' || chr(20013) || chr(25991) || ' ' ||
+        |       chr(1090) || chr(1077) || chr(1082) || chr(1089) || chr(1090) ELSE '' END)
+        |    AS t0
+        |  FROM documents WHERE doc_id < 400)
+        |SELECT doc_id, cast(length(t0) AS BIGINT) AS n_chars,
+        |  cast(length(t0) - length(regexp_replace(t0, '[A-Za-z]', '', 'g')) AS BIGINT) AS n_latin,
+        |  cast(length(t0) - length(regexp_replace(t0, '[\x{4e00}-\x{9fff}]', '', 'g')) AS BIGINT) AS n_cjk,
+        |  cast(length(t0) - length(regexp_replace(t0, '[\x{0400}-\x{04ff}]', '', 'g')) AS BIGINT) AS n_cyrillic
+        |FROM e ORDER BY doc_id""".stripMargin)
   )
 }
