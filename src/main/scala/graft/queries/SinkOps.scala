@@ -439,6 +439,40 @@ object SinkOps {
         |FROM documents WHERE doc_id % 3 <= 1
         |GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // -- WebDataset tar-shard round trip (sources/Tar): the corpus is
+    //    packed into 8 USTAR shards (one task per shard, name-sorted
+    //    deterministic bytes), read BACK through the checksum-verifying
+    //    parser, and aggregated. Oracle reads the original table —
+    //    equality proves the tar encode/decode cycle is byte-lossless
+    //    through real text. Format golden-bytes + GNU-tar interop live in
+    //    TarSpec -------------------------------------------------------
+    ("q_tar_roundtrip",
+      (s: SparkSession, d: String) => {
+        val dir = storeDir("tarshards", d)
+        deleteRecursively(new java.io.File(dir))
+        val df = t(s, d, "documents")
+          .select(pmod(col("doc_id"), lit(8)).as("shard"),
+            concat(col("doc_id").cast("string"), lit(".txt")).as("name"),
+            encode(col("text"), "UTF-8").as("payload"))
+        graft.sources.Tar.writeShards(df, dir, "shard", "name", "payload")
+        graft.sources.Tar.readShards(s, dir)
+          .select(
+            regexp_extract(col("name"), "^(\\d+)\\.txt$", 1).cast("long").as("doc_id"),
+            decode(col("payload"), "UTF-8").as("text"),
+            col("shard_file"))
+          .groupBy(pmod(col("doc_id"), lit(8)).as("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("doc_id")).as("n_ids"),
+            sum(length(col("text")).cast("long")).as("text_chars"),
+            min(col("doc_id")).as("first_id"))
+          .orderBy("shard")
+      },
+      """SELECT doc_id % 8 AS shard, count(*) AS n_docs,
+        |  count(DISTINCT doc_id) AS n_ids,
+        |  cast(sum(length(text)) AS BIGINT) AS text_chars,
+        |  min(doc_id) AS first_id
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // -- parquet-footer manifest (ops/Manifest): row counts and column
     //    min/max decoded from FOOTERS ONLY must agree with the relational
     //    facts computed from the data — the stats a 100 TB store's

@@ -1,0 +1,195 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** WebDataset-style tar shards — the interchange format for multimodal
+  * training corpora (a shard is a plain `.tar`; each sample is one or
+  * more adjacent entries named `<key>.<ext>`; trainers stream shards
+  * sequentially and shuffle at the shard level). Spark writes and reads
+  * them here with a self-contained USTAR (POSIX.1-1988) implementation —
+  * fixed 512-byte headers, octal fields, the space-initialized checksum —
+  * so shards interoperate with `tar`/`tarfile` and no archive library is
+  * needed.
+  *
+  * Scale shape: one task per shard group (rows arrive clustered and
+  * sorted), each streaming its rows straight into one sequential file —
+  * the write parallelizes across shards, payloads never shuffle twice,
+  * and the reader parallelizes across shard FILES (headers tell it where
+  * every entry is without scanning payload bytes... though tar, having no
+  * index, is always a sequential read per shard — exactly the access
+  * pattern trainers use it for).
+  */
+object Tar {
+
+  private val BLOCK = 512
+
+  /** Fail-loud name limit: USTAR's name field is 100 bytes (the prefix
+    * field could extend it, but WebDataset keys are short by convention —
+    * a longer name is almost certainly a bug upstream).
+    */
+  private def checkName(name: String): Array[Byte] = {
+    val b = name.getBytes("UTF-8")
+    require(b.length <= 100 && b.nonEmpty,
+      s"tar entry name must be 1..100 bytes, got ${b.length}: '$name'")
+    b
+  }
+
+  /** One USTAR entry (header + payload + padding), deterministic: mtime
+    * 0, mode 0644, uid/gid 0, empty uname/gname — byte-identical output
+    * for identical input, so shard files are reproducible artifacts.
+    */
+  private[sources] def entryBytes(name: String, payload: Array[Byte]): Array[Byte] = {
+    val nameB = checkName(name)
+    val h = new Array[Byte](BLOCK)
+    def putOctal(value: Long, off: Int, len: Int): Unit = {
+      // len-1 octal digits, NUL terminated (the classic encoding)
+      val s = java.lang.Long.toOctalString(value)
+      val padded = ("0" * (len - 1 - s.length)) + s
+      require(padded.length == len - 1, s"octal overflow: $value in $len")
+      System.arraycopy(padded.getBytes("US-ASCII"), 0, h, off, len - 1)
+      h(off + len - 1) = 0
+    }
+    System.arraycopy(nameB, 0, h, 0, nameB.length)
+    putOctal(0x1a4, 100, 8)            // mode 0644
+    putOctal(0, 108, 8)                // uid
+    putOctal(0, 116, 8)                // gid
+    putOctal(payload.length.toLong, 124, 12) // size
+    putOctal(0, 136, 12)               // mtime
+    java.util.Arrays.fill(h, 148, 156, ' '.toByte) // chksum: spaces first
+    h(156) = '0'                       // typeflag: regular file
+    System.arraycopy("ustar".getBytes("US-ASCII"), 0, h, 257, 5)
+    h(262) = 0
+    System.arraycopy("00".getBytes("US-ASCII"), 0, h, 263, 2)
+    val sum = h.foldLeft(0L)((a, b) => a + (b & 0xff))
+    // checksum: 6 octal digits, NUL, space
+    val cs = java.lang.Long.toOctalString(sum)
+    val csPad = ("0" * (6 - cs.length)) + cs
+    System.arraycopy(csPad.getBytes("US-ASCII"), 0, h, 148, 6)
+    h(154) = 0
+    h(155) = ' '.toByte
+    val padLen = (BLOCK - payload.length % BLOCK) % BLOCK
+    val out = new Array[Byte](BLOCK + payload.length + padLen)
+    System.arraycopy(h, 0, out, 0, BLOCK)
+    System.arraycopy(payload, 0, out, BLOCK, payload.length)
+    out
+  }
+
+  /** Parse every regular-file entry of a tar byte stream, verifying each
+    * header checksum — a corrupt or truncated shard fails LOUD, never
+    * yields silently clipped samples.
+    */
+  private[sources] def readEntries(in: java.io.InputStream,
+      context: String): Iterator[(String, Array[Byte])] =
+    new Iterator[(String, Array[Byte])] {
+      private var nextEntry: (String, Array[Byte]) = null
+      private var done = false
+      private def readFully(n: Int): Array[Byte] = {
+        val b = new Array[Byte](n)
+        var off = 0
+        while (off < n) {
+          val r = in.read(b, off, n - off)
+          if (r < 0) throw new java.io.IOException(
+            s"truncated tar in $context: wanted $n bytes, got $off")
+          off += r
+        }
+        b
+      }
+      private def advance(): Unit = {
+        if (done) return
+        val h = readFully(BLOCK)
+        if (h.forall(_ == 0)) { done = true; return } // end-of-archive
+        val stored = new String(h, 148, 8, "US-ASCII")
+          .takeWhile(c => c >= '0' && c <= '7')
+        java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+        val sum = h.foldLeft(0L)((a, b) => a + (b & 0xff))
+        require(java.lang.Long.parseLong(stored, 8) == sum,
+          s"tar header checksum mismatch in $context")
+        val name = new String(h.takeWhile(_ != 0), "UTF-8")
+        val size = java.lang.Long.parseLong(
+          new String(h, 124, 12, "US-ASCII").trim.takeWhile(_ != 0), 8)
+        require(size <= Int.MaxValue, s"oversized tar entry in $context")
+        val payload = readFully(size.toInt)
+        val pad = ((BLOCK - size % BLOCK) % BLOCK).toInt
+        if (pad > 0) readFully(pad)
+        val typeflag = h(156)
+        if (typeflag == '0' || typeflag == 0) nextEntry = (name, payload)
+        else advance() // skip directories/links, keep scanning
+      }
+      override def hasNext: Boolean = {
+        if (nextEntry == null && !done) advance()
+        nextEntry != null
+      }
+      override def next(): (String, Array[Byte]) = {
+        if (!hasNext) throw new NoSuchElementException
+        val e = nextEntry; nextEntry = null; e
+      }
+    }
+
+  /** Write `df` as `dir/shard-<value>.tar` files. Required columns:
+    * `shardCol` (integral shard id), `nameCol` (entry name, ≤100 bytes,
+    * unique per shard), `payloadCol` (binary). Rows cluster by shard
+    * (each value lands in ONE task) and entries are written in name
+    * order — deterministic shard bytes. Returns the shard file names.
+    */
+  def writeShards(df: DataFrame, dir: String, shardCol: String,
+      nameCol: String, payloadCol: String): Seq[String] = {
+    new java.io.File(dir).mkdirs()
+    val rows = df.select(col(shardCol).cast("long").as("s"),
+        col(nameCol).cast("string").as("n"), col(payloadCol).as("p"))
+      .repartition(col("s"))
+      .sortWithinPartitions("s", "n")
+    val written = rows.mapPartitions { it =>
+      // partition holds whole shards, rows sorted (shard, name): stream
+      // each shard straight into its file, switching on shard change
+      var out: java.io.OutputStream = null
+      var cur = Long.MinValue
+      var files = List.empty[String]
+      var lastName: String = null
+      def close(): Unit = if (out != null) {
+        out.write(new Array[Byte](BLOCK * 2)) // end-of-archive blocks
+        out.close(); out = null
+      }
+      it.foreach { r =>
+        val s = r.getLong(0); val n = r.getString(1)
+        val p = r.getAs[Array[Byte]](2)
+        if (s != cur) {
+          close(); cur = s; lastName = null
+          val f = new java.io.File(dir, s"shard-$s.tar")
+          files ::= f.getName
+          out = new java.io.BufferedOutputStream(
+            new java.io.FileOutputStream(f), 1 << 16)
+        }
+        require(n != lastName,
+          s"duplicate entry name '$n' in shard $s — keys must be unique")
+        lastName = n
+        out.write(entryBytes(n, p))
+      }
+      close()
+      files.reverseIterator
+    }(org.apache.spark.sql.Encoders.STRING).collect().toSeq.sorted
+    written
+  }
+
+  /** Read every `shard-*.tar` under `dir` back as (shard_file, name,
+    * payload) — one task per shard file, checksum-verified.
+    */
+  def readShards(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val files = Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".tar"))
+      .map(_.getAbsolutePath).sorted.toSeq
+    require(files.nonEmpty, s"no .tar shards under '$dir'")
+    spark.sparkContext.parallelize(files, files.size)
+      .flatMap { f =>
+        val in = new java.io.BufferedInputStream(
+          new java.io.FileInputStream(f), 1 << 16)
+        try readEntries(in, f)
+          .map { case (n, p) => (new java.io.File(f).getName, n, p) }
+          .toVector
+        finally in.close()
+      }
+      .toDF("shard_file", "name", "payload")
+  }
+}
