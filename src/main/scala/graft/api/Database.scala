@@ -422,9 +422,20 @@ object Database {
       if (t.startsWith("--"))
         head = t.dropWhile(_ != '\n')
       else if (t.startsWith("/*")) {
-        val end = t.indexOf("*/", 2)
+        // Spark's bracketed comments NEST — scan with a depth counter,
+        // not indexOf("*/"), or "/* a /* b */ c */" leaves "c */" behind
+        var depth = 0
+        var i = 0
+        var end = -1
+        while (end < 0 && i < t.length - 1) {
+          if (t(i) == '/' && t(i + 1) == '*') { depth += 1; i += 2 }
+          else if (t(i) == '*' && t(i + 1) == '/') {
+            depth -= 1; i += 2
+            if (depth == 0) end = i
+          } else i += 1
+        }
         if (end < 0) return None // unterminated comment: not a CREATE head
-        head = t.substring(end + 2)
+        head = t.substring(end)
       } else { head = t; stripped = false }
     }
     val ident = "`(?:[^`]|``)+`|[A-Za-z_][A-Za-z0-9_]*"

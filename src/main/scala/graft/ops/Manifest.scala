@@ -43,24 +43,34 @@ object Manifest {
   }
 
   /** True iff no two row groups of the manifest overlap on
-    * [min_value, max_value] when compared as the column's native order —
-    * the "is my layout still skippable" one-liner. Values compare as
-    * BIGINT when every stat parses as one, else lexicographically.
+    * [min_value, max_value] when compared in the column's native order —
+    * the "is my layout still skippable" one-liner. Stats compare
+    * NUMERICALLY when every value parses as a number (integers, doubles,
+    * decimals — lexicographic order would put "10.5" before "9.2"), else
+    * lexicographically (strings).
     */
   def disjointRanges(m: DataFrame): Boolean = {
+    // Vector, not Array: the Seq patterns below never match an Array
     val rows = m.select("min_value", "max_value").collect()
       .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
-      .map(r => (r.getString(0), r.getString(1)))
+      .map(r => (r.getString(0), r.getString(1))).toVector
+    def num(s: String): Option[BigDecimal] =
+      try Some(BigDecimal(s)) catch { case _: NumberFormatException => None }
     val numeric = rows.forall { case (a, b) =>
-      a.toLongOption.isDefined && b.toLongOption.isDefined }
-    val sorted =
-      if (numeric) rows.map { case (a, b) => (a.toLong, b.toLong) }
-        .sortBy(_._1).map { case (a, b) => (a.toString, b.toString) }
-      else rows.sortBy(_._1)
-    sorted.sliding(2).forall {
-      case Array((_, hi), (lo, _)) =>
-        if (numeric) hi.toLong < lo.toLong else hi < lo
-      case _ => true
+      num(a).isDefined && num(b).isDefined }
+    if (numeric) {
+      val sorted = rows.map { case (a, b) => (BigDecimal(a), BigDecimal(b)) }
+        .sortBy(_._1)
+      sorted.sliding(2).forall {
+        case Seq((_, hi), (lo, _)) => hi < lo
+        case _ => true
+      }
+    } else {
+      val sorted = rows.sortBy(_._1)
+      sorted.sliding(2).forall {
+        case Seq((_, hi), (lo, _)) => hi < lo
+        case _ => true
+      }
     }
   }
 
@@ -69,8 +79,7 @@ object Manifest {
       if (f.getName.endsWith(".parquet")) Seq(f.getAbsolutePath) else Seq.empty
     } else
       Option(f.listFiles()).getOrElse(Array.empty).toSeq
-        .filterNot(c => c.getName.startsWith(".") ||
-          (c.getName.startsWith("_") && c.isFile))
+        .filterNot(c => c.getName.startsWith(".") || c.getName.startsWith("_"))
         .flatMap(listParquet)
 
   private def readFooter(file: String, column: String,

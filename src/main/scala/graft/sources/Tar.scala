@@ -105,7 +105,10 @@ object Tar {
         val sum = h.foldLeft(0L)((a, b) => a + (b & 0xff))
         require(java.lang.Long.parseLong(stored, 8) == sum,
           s"tar header checksum mismatch in $context")
-        val name = new String(h.takeWhile(_ != 0), "UTF-8")
+        // the name field is BYTES 0..99 — a full 100-byte name has no
+        // NUL terminator, so scanning the whole header would run into
+        // the mode field
+        val name = new String(h.take(100).takeWhile(_ != 0), "UTF-8")
         val size = java.lang.Long.parseLong(
           new String(h, 124, 12, "US-ASCII").trim.takeWhile(_ != 0), 8)
         require(size <= Int.MaxValue, s"oversized tar entry in $context")
@@ -134,7 +137,14 @@ object Tar {
     */
   def writeShards(df: DataFrame, dir: String, shardCol: String,
       nameCol: String, payloadCol: String): Seq[String] = {
-    new java.io.File(dir).mkdirs()
+    val dirF = new java.io.File(dir)
+    dirF.mkdirs()
+    // OVERWRITE semantics: stale shard files from a previous export with
+    // a different shard count would otherwise survive and be read back
+    // mixed into the new corpus by readShards' glob
+    Option(dirF.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.matches("shard-\\d+\\.tar"))
+      .foreach(_.delete())
     val rows = df.select(col(shardCol).cast("long").as("s"),
         col(nameCol).cast("string").as("n"), col(payloadCol).as("p"))
       .repartition(col("s"))
@@ -183,12 +193,16 @@ object Tar {
     require(files.nonEmpty, s"no .tar shards under '$dir'")
     spark.sparkContext.parallelize(files, files.size)
       .flatMap { f =>
+        // STREAM the shard: one entry in memory at a time (shards are
+        // routinely ~1 GB — materializing a whole shard per task would
+        // defeat the sequential-access design). The stream closes with
+        // the task, covering both exhaustion and mid-read task kills.
         val in = new java.io.BufferedInputStream(
           new java.io.FileInputStream(f), 1 << 16)
-        try readEntries(in, f)
-          .map { case (n, p) => (new java.io.File(f).getName, n, p) }
-          .toVector
-        finally in.close()
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => in.close()))
+        val base = new java.io.File(f).getName
+        readEntries(in, f).map { case (n, p) => (base, n, p) }
       }
       .toDF("shard_file", "name", "payload")
   }

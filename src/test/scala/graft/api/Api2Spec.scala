@@ -90,6 +90,11 @@ class Api2Spec extends SparkSuite {
       "CREATE GLOBAL TEMP VIEW gv AS SELECT 1").contains("global_temp.gv"))
     // an unterminated block comment can't be a CREATE head
     assert(Database.createdViewName("/* oops CREATE VIEW x AS 1").isEmpty)
+    // bracketed comments NEST in Spark SQL — the scanner must track depth
+    assert(Database.createdViewName(
+      "/* outer /* inner */ still comment */ CREATE TEMP VIEW nv AS SELECT 1")
+      .contains("nv"))
+    assert(Database.createdViewName("/* a /* b */ never closed").isEmpty)
     spark.catalog.dropTempView("foreign_view_xyz")
     vdb.exit()
     assert(!spark.catalog.tableExists("q_made"))

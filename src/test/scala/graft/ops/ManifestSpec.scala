@@ -50,6 +50,41 @@ class ManifestSpec extends SparkSuite {
       Option(e.getCause).exists(_.getMessage.contains("no_such_col")))
   }
 
+  test("underscore/dot entries are invisible, matching Spark's file index") {
+    val dir = java.nio.file.Files.createTempDirectory("manifest_tmp_")
+      .resolve("store").toString
+    docs.limit(100).write.parquet(dir)
+    val clean = Manifest.manifest(spark, dir, "doc_id")
+      .agg(sum("n_rows")).head().getLong(0)
+    // a crashed write's _temporary attempt files must NOT be counted —
+    // Spark's reader ignores them, so the health report must too
+    val tmp = new java.io.File(s"$dir/_temporary/0")
+    tmp.mkdirs()
+    docs.limit(7).write.mode("overwrite")
+      .parquet(s"$dir/_temporary/0/attempt.parquet")
+    assert(Manifest.manifest(spark, dir, "doc_id")
+      .agg(sum("n_rows")).head().getLong(0) === clean)
+    assert(clean === 100L)
+  }
+
+  test("disjointRanges compares NUMERICALLY for non-integer stats") {
+    import spark.implicits._
+    // [9.2, 9.9] and [10.5, 11.0] are disjoint; lexicographic order
+    // ("10.5" < "9.2") would report them overlapping
+    val disjoint = Seq(("f1", 0, 10L, "9.2", "9.9"),
+      ("f2", 0, 10L, "10.5", "11.0"))
+      .toDF("file", "row_group", "n_rows", "min_value", "max_value")
+    assert(Manifest.disjointRanges(disjoint))
+    val overlap = Seq(("f1", 0, 10L, "9.2", "10.7"),
+      ("f2", 0, 10L, "10.5", "11.0"))
+      .toDF("file", "row_group", "n_rows", "min_value", "max_value")
+    assert(!Manifest.disjointRanges(overlap))
+    // strings still compare lexicographically
+    val strs = Seq(("f1", 0, 10L, "aa", "am"), ("f2", 0, 10L, "an", "az"))
+      .toDF("file", "row_group", "n_rows", "min_value", "max_value")
+    assert(Manifest.disjointRanges(strs))
+  }
+
   test("manifest is metadata-only: no data pages are read") {
     // the whole-documents manifest must complete while reading orders of
     // magnitude fewer bytes than the table holds; proxy assertion: the
