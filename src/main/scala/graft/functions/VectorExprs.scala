@@ -188,6 +188,95 @@ case class LshSignatures(child: Expression, flatPlanes: Array[Double],
     copy(child = newChild)
 }
 
+/** Argmin-cluster assignment against a fixed codebook in ONE expression:
+  * result = the index j in [0, k) minimizing Σ_i (v[i] - c[j][i])², ties
+  * broken toward the SMALLEST j (strict `<` keeps the first minimum) — the
+  * per-row kernel of Lloyd's k-means ([[graft.ops.Lloyd]]).
+  *
+  * Operates on the QUANTIZED integer vectors Lloyd trains on (array<long>),
+  * so distances are exact integer sums — reproducible across engines,
+  * partitionings and reruns, which is what lets the training fixed point
+  * itself sit under a hash-compare oracle. The centroids ride along as one
+  * flat long[] reference object (same trick as [[LshSignatures]]): tiny
+  * generated source compiled once, no per-row allocation, k×dim multiplies
+  * in a fused loop inside whole-stage codegen.
+  *
+  * @param flatCentroids row-major [j][i] → flat(j*dim + i)
+  */
+case class NearestCentroid(child: Expression, flatCentroids: Array[Long],
+    k: Int, dim: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(k > 0 && dim > 0 && flatCentroids.length == k * dim,
+    "nearest_centroid: centroids shape mismatch")
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"nearest_centroid expects array<bigint>, got ${t.sql}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    if (v.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"nearest_centroid: vector dim ${v.numElements()} != $dim")
+    var best = 0
+    var bestD = Long.MaxValue
+    var j = 0
+    while (j < k) {
+      var s = 0L
+      var i = 0
+      while (i < dim) {
+        val d = v.getLong(i) - flatCentroids(j * dim + i)
+        s += d * d
+        i += 1
+      }
+      if (s < bestD) { bestD = s; best = j }
+      j += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val centsRef = ctx.addReferenceObj("centroids", flatCentroids, "long[]")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      s"""
+         |{
+         |  if ($v.numElements() != $dim) {
+         |    throw new IllegalArgumentException(
+         |      "nearest_centroid: vector dim " + $v.numElements() + " != $dim");
+         |  }
+         |  int $best = 0;
+         |  long $bestD = Long.MAX_VALUE;
+         |  for (int $j = 0; $j < $k; $j++) {
+         |    long $s = 0L;
+         |    for (int $i = 0; $i < $dim; $i++) {
+         |      long $d = $v.getLong($i) - $centsRef[$j * $dim + $i];
+         |      $s += $d * $d;
+         |    }
+         |    if ($s < $bestD) { $bestD = $s; $best = $j; }
+         |  }
+         |  ${ev.value} = $best;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExprs {
   import org.apache.spark.sql.GraftBridge
 
@@ -200,6 +289,14 @@ object VectorExprs {
   def vecCosine(a: Column, b: Column): Column = {
     import org.apache.spark.sql.functions.sqrt
     vecDot(a, b) / (sqrt(vecDot(a, a)) * sqrt(vecDot(b, b)))
+  }
+
+  /** Argmin cluster against a flat codebook (see [[NearestCentroid]]). */
+  def nearestCentroid(vec: Column, centroids: Array[Array[Long]]): Column = {
+    val k = centroids.length
+    val dim = centroids.head.length
+    GraftBridge.column(
+      NearestCentroid(GraftBridge.expression(vec), centroids.flatten, k, dim))
   }
 
   /** array<int> of per-table LSH sign signatures (see [[LshSignatures]]). */

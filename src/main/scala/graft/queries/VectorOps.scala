@@ -187,6 +187,11 @@ object VectorOps {
       Map("q_ann_ivf" -> ivfProdOracle(capturedCentroids))
     else Map.empty
 
+  private val KmK = 8
+  private val KmIters = 3
+  private val KmDim = 64
+  private val KmQuant = 1000000L
+
   val entries: Seq[(String, Fn, String)] = Seq(
 
     // -- brute-force cosine top-k against one query vector ----------------
@@ -412,6 +417,87 @@ object VectorOps {
           .select(col("qid"), col("vec_id"), round(col("cos"), 4).as("cos"))
           .orderBy("qid", "vec_id")
       },
-      null)
+      null),
+
+    // -- exact-integer Lloyd's k-means: the TRAINING fixed point itself
+    //    under the hash gate (deterministic smallest-id init, quantized
+    //    long distances, truncating-division means — graft.ops.Lloyd). The
+    //    oracle replays all 3 rounds as unrolled CTEs, PageRank-style ------
+    ("q_kmeans",
+      (s: SparkSession, d: String) => {
+        val emb = t(s, d, "embeddings").filter(col("vec_id") >= 3)
+        val m = graft.ops.Lloyd.train(emb, "vec_id", "embedding",
+          k = KmK, iters = KmIters)
+        graft.ops.Lloyd.centroidsDf(s, m).orderBy("cluster", "pos")
+      },
+      s"""$kmeansCtes
+         |SELECT cl AS cluster, cast(n AS BIGINT) AS n, cast(pos AS BIGINT) AS pos, cval
+         |FROM (SELECT cl, n, unnest(c) AS cval, unnest(range(0, $KmDim)) AS pos
+         |      FROM c$KmIters)
+         |ORDER BY cluster, pos""".stripMargin),
+
+    // -- the trained codebook in use: one assignment pass with the FINAL
+    //    model (cells for IVF / SemDeDup), label mix per cell. The oracle
+    //    runs a 4th assignment-only round against c3 ------------------------
+    ("q_kmeans_cells",
+      (s: SparkSession, d: String) => {
+        val emb = t(s, d, "embeddings").filter(col("vec_id") >= 3)
+        val m = graft.ops.Lloyd.train(emb, "vec_id", "embedding",
+          k = KmK, iters = KmIters)
+        graft.ops.Lloyd.assign(emb, "vec_id", "embedding", m)
+          .join(t(s, d, "embeddings").select(col("vec_id").as("id"),
+            col("label").cast("long").as("label")), "id")
+          .groupBy("cluster", "label").agg(count(lit(1)).as("cnt"))
+          .orderBy("cluster", "label")
+      },
+      s"""$kmeansCtes,
+         |d4 AS (
+         |  SELECT e.vec_id, c.cl,
+         |    cast(list_sum([ (e.q[i]-c.c[i])*(e.q[i]-c.c[i]) for i in range(1, ${KmDim + 1}) ]) AS BIGINT) AS dist
+         |  FROM e CROSS JOIN c$KmIters c),
+         |a4 AS (
+         |  SELECT vec_id, cl FROM (
+         |    SELECT vec_id, cl, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rk FROM d4)
+         |  WHERE rk = 1)
+         |SELECT a.cl AS cluster, cast(m.label AS BIGINT) AS label, count(*) AS cnt
+         |FROM a4 a JOIN embeddings m ON a.vec_id = m.vec_id
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
   )
+
+  /** The e/c0/d_i/a_i/m_i/c_i CTE chain mirroring Lloyd.train term for
+    * term: quantize (floor of the identical IEEE double product), init =
+    * k smallest vec_ids, per round argmin assignment (ties to the smallest
+    * cluster — the `ORDER BY dist, cl` row_number matches NearestCentroid's
+    * strict `<`), exact truncating-division means (DuckDB's `//` truncates
+    * toward zero like Spark's `div` — verified on negatives), empty
+    * clusters carry their centroid with n = 0.
+    */
+  private def kmeansIterCte(i: Int): String = {
+    val prev = s"c${i - 1}"
+    s"""d$i AS (
+       |  SELECT e.vec_id, e.q, c.cl,
+       |    cast(list_sum([ (e.q[i]-c.c[i])*(e.q[i]-c.c[i]) for i in range(1, ${KmDim + 1}) ]) AS BIGINT) AS dist
+       |  FROM e CROSS JOIN $prev c),
+       |a$i AS (
+       |  SELECT vec_id, q, cl FROM (
+       |    SELECT vec_id, q, cl, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rk FROM d$i)
+       |  WHERE rk = 1),
+       |m$i AS (
+       |  SELECT cl, pos, cast(sum(val) // count(*) AS BIGINT) AS cval, count(*) AS n
+       |  FROM (SELECT cl, unnest(q) AS val, unnest(range(0, $KmDim)) AS pos FROM a$i)
+       |  GROUP BY 1, 2),
+       |c$i AS (
+       |  SELECT cl, list(cval ORDER BY pos) AS c, any_value(n) AS n FROM m$i GROUP BY 1
+       |  UNION ALL
+       |  SELECT cl, c, 0 AS n FROM $prev WHERE cl NOT IN (SELECT cl FROM a$i))""".stripMargin
+  }
+
+  private lazy val kmeansCtes: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, [ cast(floor(cast(x AS DOUBLE) * $KmQuant) AS BIGINT) for x in embedding ] AS q
+       |  FROM embeddings WHERE vec_id >= 3),
+       |c0 AS (
+       |  SELECT cast(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cl, q AS c, cast(0 AS BIGINT) AS n
+       |  FROM (SELECT vec_id, q FROM e ORDER BY vec_id LIMIT $KmK)),
+       |${(1 to KmIters).map(kmeansIterCte).mkString(",\n")}""".stripMargin
 }
