@@ -26,6 +26,13 @@ object EventOps {
   private def nsDiv(colName: String, divisor: Long): Column =
     expr(s"$colName div ${divisor}L")
 
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete()
+    ()
+  }
+
   val entries: Seq[(String, Fn, String)] = Seq(
 
     // -- skew-salted shuffle join (graft.ops.Partitioning.saltedJoin): the
@@ -252,6 +259,53 @@ object EventOps {
         |SELECT w0, e.w - c.w0 AS dw, cast(count(DISTINCT e.user_id) AS BIGINT) AS n_active
         |FROM e JOIN c USING (user_id)
         |WHERE e.w - c.w0 BETWEEN 0 AND 3
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    // -- STRUCTURED STREAMING under the oracle gate: the hourly windowed
+    //    aggregation executed as a real streaming query (file source →
+    //    window() + watermark → AvailableNow → memory sink) whose final
+    //    result hash-compares against the BATCH oracle — the replayability
+    //    contract a lambda/kappa pipeline depends on (stream a table in,
+    //    get the batch answer out). Complete mode so the watermark governs
+    //    state eviction semantics without dropping the unfinalized tail
+    //    (Append would hold back the last window; the streaming-vs-batch
+    //    Append semantics are spec-gated in StreamingSpec). val_sum rides
+    //    the decimal-exact dsum convention — streaming partial aggregation
+    //    order differs from batch, decimal makes the sum order-free --------
+    ("q_stream_window",
+      (s: SparkSession, d: String) => {
+        val src = java.nio.file.Files.createTempDirectory("graft_stream_src")
+        try {
+          // normalize either ts generation (nanos-long / micros-ts) to the
+          // epoch-nanos long contract, restream from a single-file copy
+          t(s, d, "events").select("ts", "event_type", "value")
+            .coalesce(1).write.mode("overwrite").parquet(src.toString)
+          val schema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("ts",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("event_type",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("value",
+              org.apache.spark.sql.types.DoubleType)))
+          val stream = s.readStream.schema(schema).parquet(src.toString)
+            .withColumn("tss", timestamp_micros(expr("ts div 1000L")))
+            .withWatermark("tss", "1 hour")
+            .groupBy(window(col("tss"), "1 hour"), col("event_type"))
+            .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("val_sum"))
+            .select(expr("unix_micros(window.start) div 1000000L").as("hour_epoch"),
+              col("event_type"), col("cnt"), col("val_sum"))
+          val sink = "graft_stream_window_out"
+          s.catalog.dropTempView(sink)
+          graft.streaming.EventStream.runToMemory(stream, sink,
+            org.apache.spark.sql.streaming.OutputMode.Complete)
+          // the memory sink holds only the O(#windows × #types) result
+          s.table(sink).orderBy("hour_epoch", "event_type")
+        } finally {
+          deleteRecursively(src.toFile)
+        }
+      },
+      s"SELECT cast(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type, " +
+        s"count(*) AS cnt, ${sqlDsum("value")} AS val_sum FROM events " +
+        "GROUP BY 1, 2 ORDER BY 1, 2")
   )
 }
