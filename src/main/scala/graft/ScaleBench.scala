@@ -483,7 +483,44 @@ object ScaleBench {
             "rollup_recompute[full_scan]" -> rec)
         } finally del(new java.io.File(root)) // 10-batch corpus copy — never leak
       } catch { case scala.util.control.NonFatal(_) => Map.empty }
-    val all: Map[String, (Double, Long)] = results ++ prod ++ guard ++ pct ++ ing ++ cmp ++ mrg ++ rup
+    // k-means assignment A/B (pseudo-name "kmeans"): Lloyd's codegen'd
+    // NearestCentroid kernel (fused k×dim loop, centroids as one reference
+    // object) vs the composable zip_with+aggregate argmin (k per-row array
+    // allocations, interpreted lambdas — higher-order array functions are
+    // CodegenFallback) over the SAME quantized corpus and model — the
+    // measured reason the native expression exists. kmeans_train3 is the
+    // full three-round training loop end to end.
+    val km: Map[String, (Double, Long)] =
+      if (!explicit.contains("kmeans")) Map.empty
+      else try {
+        import org.apache.spark.sql.functions._
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .filter(col("vec_id") >= 3)
+        val train = timeIt {
+          graft.ops.Lloyd.train(emb, "vec_id", "embedding", k = 8, iters = 3)
+          ()
+        }
+        val m = graft.ops.Lloyd.train(emb, "vec_id", "embedding", k = 8, iters = 1)
+        val q = graft.ops.Lloyd.quantize(emb, "vec_id", "embedding", 1000000L)
+          .localCheckpoint(true)
+        val native = timeIt {
+          q.select(col("id"), graft.functions.VectorExprs
+              .nearestCentroid(col("q"), m.centroids).as("c"))
+            .write.format("noop").mode("overwrite").save()
+        }
+        val hof = timeIt {
+          val dists = m.centroids.map(c =>
+            aggregate(zip_with(col("q"), typedLit(c.toSeq),
+              (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x))
+          val darr = array(dists.toIndexedSeq: _*)
+          q.select(col("id"),
+              (array_position(darr, array_min(darr)) - 1L).as("c"))
+            .write.format("noop").mode("overwrite").save()
+        }
+        Map("kmeans_train3" -> train, "kmeans_assign_native" -> native,
+          "kmeans_assign_hof" -> hof)
+      } catch { case scala.util.control.NonFatal(_) => Map.empty }
+    val all: Map[String, (Double, Long)] = results ++ prod ++ guard ++ pct ++ ing ++ cmp ++ mrg ++ rup ++ km
     val qs = all.toSeq.sortBy(_._1)
       .map { case (k, (t, _)) => f""""$k":$t%.3f""" }.mkString("{", ",", "}")
     // per-query min-of-runs shuffle write MB
