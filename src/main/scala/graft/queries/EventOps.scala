@@ -306,6 +306,74 @@ object EventOps {
       },
       s"SELECT cast(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type, " +
         s"count(*) AS cnt, ${sqlDsum("value")} AS val_sum FROM events " +
-        "GROUP BY 1, 2 ORDER BY 1, 2")
+        "GROUP BY 1, 2 ORDER BY 1, 2"),
+
+    // -- STATEFUL streaming under the oracle gate: gap sessionization via
+    //    flatMapGroupsWithState (custom per-user state, event-time
+    //    timeout), run to completion over the real events table and
+    //    hash-compared against the BATCH window-function oracle. Trailing
+    //    sessions would stay parked in state at stream end (the watermark
+    //    never passes their timeout inside one AvailableNow batch), so a
+    //    flush sentinel per user — 2 h after the global max, > the 30-min
+    //    gap from ANY real event — closes every real session inline; the
+    //    sentinel's own session never emits and is invisible to the
+    //    aggregate. Sessions whose events tie on ts are order-insensitive
+    //    for counting (a tie can never straddle a gap), so the result is
+    //    deterministic without an event_id tiebreak --------------------
+    ("q_stream_sessionize",
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        val src = java.nio.file.Files.createTempDirectory("graft_stream_sess")
+        try {
+          val ev = t(s, d, "events")
+            .select(col("event_id"), expr("ts div 1000000L").as("ms"),
+              col("user_id"), col("event_type"),
+              coalesce(col("value"), lit(0.0)).as("value"))
+          val maxMs = ev.agg(max(col("ms"))).head().getLong(0)
+          val flush = ev.select(col("user_id")).distinct()
+            .select(lit(-1L).as("event_id"),
+              lit(maxMs + 7200000L).as("ms"), col("user_id"),
+              lit("flush").as("event_type"), lit(0.0).as("value"))
+          ev.unionByName(flush).coalesce(1)
+            .write.mode("overwrite").parquet(src.toString)
+          val schema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("event_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("ms",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("user_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("event_type",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("value",
+              org.apache.spark.sql.types.DoubleType)))
+          val stream = s.readStream.schema(schema).parquet(src.toString)
+            .select(col("event_id"), timestamp_millis(col("ms")).as("ts"),
+              col("user_id"), col("event_type"), col("value"))
+            .as[graft.streaming.EventStream.Event]
+          val sess = graft.streaming.EventStream.sessionize(stream)
+          val sink = "graft_stream_sess_out"
+          s.catalog.dropTempView(sink)
+          graft.streaming.EventStream.runToMemory(sess.toDF(), sink,
+            org.apache.spark.sql.streaming.OutputMode.Append)
+          s.table(sink).groupBy("user_id")
+            .agg(count(lit(1)).as("n_sessions"),
+              sum(col("n_events")).as("n_events"))
+            .orderBy("user_id")
+        } finally {
+          deleteRecursively(src.toFile)
+        }
+      },
+      """WITH e AS (
+        |  SELECT user_id, epoch_ms(ts) AS ms,
+        |         lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ms
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id,
+        |         sum(CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id ORDER BY ms ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM e)
+        |SELECT user_id, count(DISTINCT sid) AS n_sessions, cast(count(*) AS BIGINT) AS n_events
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 }
