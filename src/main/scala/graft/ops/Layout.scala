@@ -458,6 +458,144 @@ object Layout {
     if (!new java.io.File(dir).exists()) spark.emptyDataFrame
     else spark.read.parquet(dir).filter(col("ingest_batch") <= upToBatch)
 
+  /** Every consumer with a committed checkpoint on this store, with its
+    * last committed batch id.
+    */
+  def consumers(dir: String): Map[String, Long] = {
+    val d = new java.io.File(s"${dir.stripSuffix("/")}/_graft_checkpoints")
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && !f.getName.startsWith("."))
+      .map(f => f.getName -> lastCheckpoint(dir, f.getName)).toMap
+  }
+
+  /** HISTORY RETENTION for a batch-versioned store: consolidate every
+    * `ingest_batch` directory with id <= `upTo` into ONE directory per
+    * partition value, labeled with S = the highest batch id <= `upTo`
+    * present anywhere in the store — the Delta-checkpoint/VACUUM analogue
+    * for the [[appendBatch]] layout. A store that ingests hourly for a
+    * year accrues ~9k batch dirs per partition value; every full read
+    * then lists and opens 9k directories. Squashing bounds history
+    * fragmentation while keeping the contracts that matter:
+    *
+    *  - [[readSince]]`(k)` for k > S and [[readAsOf]]`(k)` for k >= S are
+    *    byte-identical before and after (surviving batch dirs untouched);
+    *  - [[readAsOf]]`(k)` for k < S becomes the retention FLOOR (history
+    *    below S is no longer separately addressable — that is the point);
+    *  - consumer checkpoints stay valid: the call REFUSES to squash past
+    *    any outstanding checkpoint (a consumer at c < S would re-consume
+    *    the whole squashed mass as "new" on its next [[readNew]]).
+    *
+    * Crash-safe per partition directory, same discipline as
+    * [[compactPartitions]] (dot-prefixed scratch so a concurrent reader
+    * never parses half-written dirs as partition values): the merged
+    * rewrite lands in scratch first, a commit MARKER records the ids
+    * being replaced, only then are old dirs deleted and the scratch moved
+    * in, and the marker removed. [[recoverSquash]] — run automatically on
+    * entry — rolls an interrupted squash forward from the marker (scratch
+    * still present: redo deletes, complete the move; scratch gone: the
+    * move completed, finish the deletes), and sweeps markerless scratch
+    * (pre-commit crash: originals are intact). At every instant each
+    * partition directory holds at least one complete copy of its rows.
+    *
+    * Returns the partition directory names that were squashed.
+    */
+  def squashHistory(spark: SparkSession, dir: String, upTo: Long,
+      sortCols: Seq[String] = Seq.empty): Seq[String] = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    recoverSquash(dir)
+    val base = dir.stripSuffix("/")
+    val parts = Option(new java.io.File(base).listFiles())
+      .getOrElse(Array.empty).filter(isPartitionDir)
+    def batchIds(p: java.io.File): Seq[Long] =
+      Option(p.listFiles()).getOrElse(Array.empty)
+        .filter(b => b.isDirectory && b.getName.startsWith("ingest_batch="))
+        .flatMap(b => b.getName.stripPrefix("ingest_batch=").toLongOption)
+        .toSeq
+    val allIds = parts.flatMap(batchIds).filter(_ <= upTo)
+    if (allIds.isEmpty) return Seq.empty
+    val s = allIds.max
+    val lagging = consumers(dir).filter { case (_, c) => c >= 0 && c < s }
+    require(lagging.isEmpty,
+      s"squashHistory($dir, upTo=$upTo) refused — consumer(s) " +
+        s"${lagging.keys.toSeq.sorted.mkString(",")} are checkpointed below " +
+        s"batch $s and would re-consume the squashed history; advance or " +
+        "drop their checkpoints first")
+    val touched = parts.flatMap { p =>
+      val ids = batchIds(p).filter(_ <= upTo).sorted
+      // a partition already holding exactly one dir labeled S is done
+      if (ids.isEmpty || ids == Seq(s)) None
+      else {
+        val pd = p.getName
+        val tmp = s"$base/.__squashtmp__$pd"
+        val mark = Paths.get(s"$base/.__squashmark__$pd")
+        val srcs = ids.map(i => s"$base/$pd/ingest_batch=$i")
+        // the partition cols live in directory names; the merged files
+        // must carry data columns only, exactly like compactPartitions
+        var merged = spark.read.parquet(srcs: _*).repartition(1)
+        if (sortCols.nonEmpty)
+          merged = merged.sortWithinPartitions(sortCols.map(col): _*)
+        merged.write.mode("overwrite").parquet(tmp)
+        // commit point: marker lists the ids being replaced + the target
+        val tmpMark = Paths.get(s"$base/.__squashmark__$pd.tmp")
+        Files.write(tmpMark,
+          (s.toString +: ids.map(_.toString)).mkString("\n").getBytes("UTF-8"))
+        Files.move(tmpMark, mark, StandardCopyOption.ATOMIC_MOVE)
+        ids.foreach(i =>
+          deleteRecursively(new java.io.File(s"$base/$pd/ingest_batch=$i")))
+        Files.move(Paths.get(tmp), Paths.get(s"$base/$pd/ingest_batch=$s"),
+          StandardCopyOption.ATOMIC_MOVE)
+        Files.delete(mark)
+        Some(pd)
+      }
+    }
+    touched.toSeq.sorted
+  }
+
+  /** Roll interrupted [[squashHistory]] swaps forward from their commit
+    * markers; sweep pre-commit scratch. Safe on a healthy store (no-op).
+    */
+  def recoverSquash(dir: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val base = dir.stripSuffix("/")
+    val entries = Option(new java.io.File(base).listFiles())
+      .getOrElse(Array.empty).map(_.getName)
+    entries.filter(n => n.startsWith(".__squashmark__") && !n.endsWith(".tmp"))
+      .foreach { n =>
+        val pd = n.stripPrefix(".__squashmark__")
+        val lines = new String(
+          Files.readAllBytes(Paths.get(s"$base/$n")), "UTF-8").trim
+          .split("\n").toSeq
+        val target = lines.head.toLong
+        val ids = lines.tail.map(_.toLong)
+        val tmp = Paths.get(s"$base/.__squashtmp__$pd")
+        if (Files.exists(tmp)) {
+          // deletes may be partial; the move has not happened (scratch is
+          // the only complete copy) — redo both
+          ids.foreach(i =>
+            deleteRecursively(new java.io.File(s"$base/$pd/ingest_batch=$i")))
+          Files.move(tmp, Paths.get(s"$base/$pd/ingest_batch=$target"),
+            StandardCopyOption.ATOMIC_MOVE)
+        } else {
+          // move completed: the target dir holds the squashed data — finish
+          // deleting the replaced ids EXCEPT the target itself
+          ids.filter(_ != target).foreach(i =>
+            deleteRecursively(new java.io.File(s"$base/$pd/ingest_batch=$i")))
+        }
+        Files.delete(Paths.get(s"$base/$n"))
+        ()
+      }
+    // markerless scratch = crash before the commit point: originals intact
+    entries.filter(_.startsWith(".__squashtmp__")).foreach { n =>
+      if (!Files.exists(Paths.get(
+          s"$base/.__squashmark__${n.stripPrefix(".__squashtmp__")}")))
+        deleteRecursively(new java.io.File(s"$base/$n"))
+    }
+    // half-written markers from a crash inside the marker write
+    entries.filter(n => n.startsWith(".__squashmark__") && n.endsWith(".tmp"))
+      .foreach(n => Files.deleteIfExists(Paths.get(s"$base/$n")))
+    ()
+  }
+
   /** MERGE (upsert) by key into a partitioned store: each batch row
     * REPLACES every store row sharing its `keyCols` value; batch rows with
     * no match are inserted. The update primitive the append-only paths

@@ -269,6 +269,39 @@ object SinkOps {
         |FROM documents WHERE doc_id % 3 >= 1
         |GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // -- history retention: 4 versioned batches, consumers current, squash
+    //    everything <= batch 2 into ONE dir per partition (Layout.
+    //    squashHistory — Delta-checkpoint analogue, crash recovery in
+    //    SquashSpec). The read-back proves rows survive byte-identically,
+    //    ids <= 2 relabel to the squash floor, batch 3 is untouched, and
+    //    the still-checkpointed consumer sees exactly its unseen batch ----
+    ("q_squash_history",
+      (s: SparkSession, d: String) => {
+        val dir = storeDir("squash", d)
+        val docs = t(s, d, "documents")
+        deleteRecursively(new java.io.File(dir))
+        (0 to 3).foreach(b => graft.ops.Layout.appendBatch(
+          docs.filter(pmod(col("doc_id"), lit(4)) === b), dir, "lang", Seq("doc_id")))
+        graft.ops.Layout.commitCheckpoint(dir, "squash_consumer", 2L)
+        graft.ops.Layout.squashHistory(s, dir, upTo = 2L, Seq("doc_id"))
+        val (fresh, _) = graft.ops.Layout.readNew(s, dir, "squash_consumer")
+        val full = s.read.parquet(dir)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"),
+            countDistinct(col("ingest_batch").cast("long")).as("n_batches"),
+            min(col("ingest_batch").cast("long")).as("floor_batch"))
+        val unseen = fresh.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_fresh"))
+        full.join(unseen, "lang")
+          .select("lang", "n_docs", "chars", "n_batches", "floor_batch", "n_fresh")
+          .orderBy("lang")
+      },
+      """SELECT lang, count(*) AS n_docs, cast(sum(n_chars) AS BIGINT) AS chars,
+        |  cast(2 AS BIGINT) AS n_batches, cast(2 AS BIGINT) AS floor_batch,
+        |  cast(sum(CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_fresh
+        |FROM documents
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // -- JSON-lines sink/source round trip: the interchange format of every
     //    crawl/annotation pipeline. Schema pinned explicitly on read (no
     //    inference pass over the data); strings and longs round-trip
