@@ -520,7 +520,60 @@ object ScaleBench {
         Map("kmeans_train3" -> train, "kmeans_assign_native" -> native,
           "kmeans_assign_hof" -> hof)
       } catch { case scala.util.control.NonFatal(_) => Map.empty }
-    val all: Map[String, (Double, Long)] = results ++ prod ++ guard ++ pct ++ ing ++ cmp ++ mrg ++ rup ++ km
+    // History-squash A/B (pseudo-name "squash"): a versioned store built
+    // as 48 hourly-style batches vs the same store squashed to 2 dirs per
+    // partition — timing (a) the full-scan read cost against history
+    // fragmentation (listing + footer opens ∝ dirs×values), (b) the
+    // squash itself (∝ squashed mass: it rewrites history once so every
+    // later read stops paying for it), and (c) the incremental consume
+    // (readSince above the floor), which must stay CONSTANT — directory
+    // pruning means fragmentation of the past never taxes the future.
+    val sqz: Map[String, (Double, Long)] =
+      if (!explicit.contains("squash")) Map.empty
+      else try {
+        import org.apache.spark.sql.functions.{col, count, lit, pmod, sum}
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select("doc_id", "lang", "n_chars")
+        val root = java.nio.file.Files.createTempDirectory("graft_scale_sqz_")
+          .toFile.getAbsolutePath
+        val dir = s"$root/store"
+        try {
+          (0 until 48).foreach(b => graft.ops.Layout.appendBatch(
+            docs.filter(pmod(col("doc_id"), lit(48)) === b), dir, "lang",
+            Seq("doc_id")))
+          def fullScan(): Unit = {
+            spark.read.parquet(dir)
+              .groupBy("lang").agg(count(lit(1)), sum("n_chars"))
+              .write.format("noop").mode("overwrite").save()
+          }
+          def consume(): Unit = {
+            graft.ops.Layout.readSince(spark, dir, 47L)
+              .groupBy("lang").agg(count(lit(1)))
+              .write.format("noop").mode("overwrite").save()
+          }
+          val pre = timeIt { fullScan() }
+          val cPre = timeIt { consume() }
+          // ONE sample — a second squash is a no-op and min-of-runs would
+          // report the no-op, not the rewrite
+          val sq = {
+            drainListenerBus()
+            val b0 = shuffleBytes.get()
+            val t0 = System.nanoTime()
+            graft.ops.Layout.squashHistory(spark, dir, 46L, Seq("doc_id"))
+            val t = (System.nanoTime() - t0) / 1e9
+            drainListenerBus()
+            (t, shuffleBytes.get() - b0)
+          }
+          val post = timeIt { fullScan() }
+          val cPost = timeIt { consume() }
+          Map("squash_fullscan[48_dirs]" -> pre,
+            "squash_fullscan[2_dirs]" -> post,
+            "squash_rewrite" -> sq,
+            "squash_consume_incr[pre]" -> cPre,
+            "squash_consume_incr[post]" -> cPost)
+        } finally del(new java.io.File(root))
+      } catch { case scala.util.control.NonFatal(_) => Map.empty }
+    val all: Map[String, (Double, Long)] = results ++ prod ++ guard ++ pct ++ ing ++ cmp ++ mrg ++ rup ++ km ++ sqz
     val qs = all.toSeq.sortBy(_._1)
       .map { case (k, (t, _)) => f""""$k":$t%.3f""" }.mkString("{", ",", "}")
     // per-query min-of-runs shuffle write MB
