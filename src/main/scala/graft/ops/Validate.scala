@@ -174,4 +174,57 @@ object Validate {
           count(lit(1))),
         _ >= atLeast)
   }
+
+  /** Exact distribution-drift report between a REFERENCE and a CURRENT
+    * frame over one numeric column — "did this week's crawl shift the
+    * length/score distribution", the monitoring complement of the
+    * constraint suite above (checks catch absolute violations; drift
+    * catches a distribution that is individually valid but no longer
+    * looks like last week's).
+    *
+    * Buckets are fixed equi-width (`floor((x - lo) / width)` clamped to
+    * [-1, buckets] — -1 = underflow, `buckets` = overflow; NULLs are
+    * excluded, the completeness check owns those). One aggregation per
+    * side, a full-outer join on the bucket id (result size = buckets,
+    * never data-sized), missing buckets count 0. Everything is exact
+    * integer arithmetic — identical across engines and partitionings.
+    */
+  def driftHistogram(ref: DataFrame, cur: DataFrame, column: String,
+      lo: Double, width: Double, buckets: Int): DataFrame = {
+    require(width > 0 && buckets >= 1, "driftHistogram: bad bucket spec")
+    def side(df: DataFrame, as: String): DataFrame =
+      df.filter(col(column).isNotNull)
+        .select(least(greatest(
+          floor((col(column).cast("double") - lo) / width), lit(-1L)),
+          lit(buckets.toLong)).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as(as))
+    side(ref, "n_ref").join(side(cur, "n_cur"), Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+  }
+
+  /** Total-variation distance of a [[driftHistogram]] result, exact until
+    * the one final division: TV = Σ|p_ref - p_cur| / 2 computed as the
+    * cross-multiplied integer L1 — Σ|n_ref·N_cur - n_cur·N_ref| carried
+    * in DECIMAL(38,0) (long×long overflows past ~3 G rows) over
+    * 2·N_ref·N_cur — rounded to 6 places. One row:
+    * (n_ref, n_cur, tv). TV is 0 for identical distributions, 1 for
+    * disjoint ones; alert thresholds are domain policy.
+    */
+  def totalVariation(drift: DataFrame): DataFrame = {
+    // DECIMAL(19,0) inputs -> exact DECIMAL(38,0) products (counts are
+    // < 1e12 even at 100 TB; 19+19 digits never truncates)
+    val dec = org.apache.spark.sql.types.DecimalType(19, 0)
+    val totals = drift.agg(sum(col("n_ref")).as("t_ref"),
+      sum(col("n_cur")).as("t_cur"))
+    drift.crossJoin(broadcast(totals))
+      .agg(first(col("t_ref")).as("n_ref"), first(col("t_cur")).as("n_cur"),
+        sum(abs(col("n_ref").cast(dec) * col("t_cur").cast(dec) -
+          col("n_cur").cast(dec) * col("t_ref").cast(dec))).as("l1"))
+      .select(col("n_ref"), col("n_cur"),
+        round(col("l1").cast("double") /
+          (lit(2.0) * col("n_ref").cast("double") * col("n_cur").cast("double")),
+          6).as("tv"))
+  }
 }

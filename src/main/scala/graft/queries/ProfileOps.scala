@@ -249,6 +249,47 @@ object ProfileOps {
         |  min(p) AS min_cents, max(p) AS max_cents
         |FROM b CROSS JOIN st
         |WHERE abs(cast(p AS DOUBLE) - mean) > sd * 1.5
-        |GROUP BY 1 ORDER BY 1""".stripMargin)
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // -- distribution drift between corpus versions (Validate.
+    //    driftHistogram + totalVariation): the current side simulates a
+    //    shifted re-crawl (long docs truncated away, short docs doubled);
+    //    the report is the per-bucket histogram pair plus the exact
+    //    total-variation distance (cross-multiplied integer L1 over
+    //    2·N_ref·N_cur, one final rounded division). Two aggregations +
+    //    a buckets-sized join — never data-sized ------------------------
+    ("q_drift",
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        val cur = docs.filter(col("n_chars") <= 450)
+          .unionByName(docs.filter(col("n_chars") < 150))
+        val drift = graft.ops.Validate.driftHistogram(
+          docs, cur, "n_chars", lo = 0.0, width = 50.0, buckets = 10)
+        drift.crossJoin(broadcast(
+            graft.ops.Validate.totalVariation(drift).select(col("tv"))))
+          .orderBy("bucket")
+      },
+      """WITH ref AS (
+        |  SELECT cast(least(greatest(floor((cast(n_chars AS DOUBLE) - 0.0) / 50.0), -1), 10) AS BIGINT) AS bucket,
+        |         count(*) AS n_ref
+        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+        |cur0 AS (
+        |  SELECT n_chars FROM documents WHERE n_chars <= 450
+        |  UNION ALL SELECT n_chars FROM documents WHERE n_chars < 150),
+        |cur AS (
+        |  SELECT cast(least(greatest(floor((cast(n_chars AS DOUBLE) - 0.0) / 50.0), -1), 10) AS BIGINT) AS bucket,
+        |         count(*) AS n_cur
+        |  FROM cur0 WHERE n_chars IS NOT NULL GROUP BY 1),
+        |j AS (
+        |  SELECT coalesce(r.bucket, c.bucket) AS bucket,
+        |         coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+        |  FROM ref r FULL OUTER JOIN cur c ON r.bucket = c.bucket),
+        |t AS (SELECT cast(sum(n_ref) AS BIGINT) AS tr,
+        |             cast(sum(n_cur) AS BIGINT) AS tc FROM j),
+        |l AS (SELECT sum(abs(cast(n_ref AS HUGEINT) * tc - cast(n_cur AS HUGEINT) * tr)) AS l1
+        |      FROM j, t)
+        |SELECT bucket, n_ref, n_cur,
+        |  round(cast(l1 AS DOUBLE) / (2.0 * tr * tc), 6) AS tv
+        |FROM j, t, l ORDER BY bucket""".stripMargin)
   )
 }

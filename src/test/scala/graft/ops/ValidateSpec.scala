@@ -103,4 +103,30 @@ class ValidateSpec extends SparkSuite {
     }
     intercept[IllegalArgumentException] { Validate.run(li, Seq.empty) }
   }
+
+  test("driftHistogram: identical distributions have TV 0, disjoint TV 1") {
+    import spark.implicits._
+    val a = Seq(1.0, 2.0, 3.0, 11.0, 12.0).toDF("x")
+    val same = Validate.driftHistogram(a, a.orderBy(desc("x")), "x", 0.0, 10.0, 3)
+    val tv0 = Validate.totalVariation(same).head()
+    assert(tv0.getLong(0) == 5L && tv0.getLong(1) == 5L && tv0.getDouble(2) == 0.0)
+    val b = Seq(21.0, 22.0).toDF("x")
+    val tv1 = Validate.totalVariation(
+      Validate.driftHistogram(a, b, "x", 0.0, 10.0, 3)).head()
+    assert(tv1.getDouble(2) == 1.0)
+  }
+
+  test("driftHistogram: under/overflow clamp, null exclusion, zero-count buckets") {
+    import spark.implicits._
+    val ref = Seq(Some(-5.0), Some(5.0), Some(95.0), None).toDF("x")
+    val cur = Seq(Some(5.0)).toDF("x")
+    val rows = Validate.driftHistogram(ref, cur, "x", 0.0, 10.0, 9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // -1 underflow, bucket 0, bucket 9 overflow; the null row never counts
+    assert(rows == Set((-1L, 1L, 0L), (0L, 1L, 1L), (9L, 1L, 0L)))
+    // TV = (|1*1-0*3| + |1*1-1*3| + |1*1-0*3|) / (2*3*1) = 4/6
+    val tv = Validate.totalVariation(
+      Validate.driftHistogram(ref, cur, "x", 0.0, 10.0, 9)).head().getDouble(2)
+    assert(math.abs(tv - 4.0 / 6.0) < 1e-6)
+  }
 }
