@@ -61,13 +61,19 @@ object Diff {
       "diff needs key and value columns")
     val left = collapse(a, keyCols, valueCols, "_a")
     val right = collapse(b, keyCols, valueCols, "_b")
-    left.join(right, keyCols, "full_outer")
+      .withColumnsRenamed(keyCols.map(k => k -> s"__r_$k").toMap)
+    // NULL-SAFE key equality: a NULL key is one addressable key like any
+    // other (a plain equi-join would never match NULL to NULL and report
+    // the same NULL-key content as added+removed on every diff)
+    val cond = keyCols.map(k => col(k) <=> col(s"__r_$k")).reduce(_ && _)
+    left.join(right, cond, "full_outer")
       .withColumn("change_type",
         when(col("cnt_a").isNull, "added")
           .when(col("cnt_b").isNull, "removed")
           .when(col("cnt_a") =!= col("cnt_b") ||
             col("hsum_a") =!= col("hsum_b"), "changed"))
       .filter(col("change_type").isNotNull)
-      .select((keyCols.map(col) :+ col("change_type")): _*)
+      .select(keyCols.map(k =>
+        coalesce(col(k), col(s"__r_$k")).as(k)) :+ col("change_type"): _*)
   }
 }

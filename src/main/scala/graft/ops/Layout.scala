@@ -494,8 +494,19 @@ object Layout {
     * entry — rolls an interrupted squash forward from the marker (scratch
     * still present: redo deletes, complete the move; scratch gone: the
     * move completed, finish the deletes), and sweeps markerless scratch
-    * (pre-commit crash: originals are intact). At every instant each
-    * partition directory holds at least one complete copy of its rows.
+    * (pre-commit crash: originals are intact). At every instant at least
+    * one complete copy of each partition's rows exists ON DISK (the
+    * scratch counts) — but a complete copy is not always VISIBLE to
+    * readers: between the deletes and the move, a concurrent full read or
+    * readAsOf observes the partition with its squashed history missing
+    * (the same reader-race window every rename-aside swap in this file
+    * has — compact/compactPartitions/merge). Run squash as the store's
+    * single writer in a maintenance window with respect to full-history
+    * readers; incremental consumers above the floor only lose listing
+    * work. After a crash the gap PERSISTS until recoverSquash runs —
+    * reads do not self-heal — so schedule squash via a wrapper that
+    * always recovers first (this method does) or call recoverSquash at
+    * store-open, like compact's recover.
     *
     * Returns the partition directory names that were squashed.
     */
@@ -738,7 +749,7 @@ object Layout {
           .count(f => f.getName.endsWith(".parquet") || f.getName.endsWith(".orc")))
       .toMap
 
-  private[ops] def deleteRecursively(f: java.io.File): Unit = {
+  private[graft] def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory)
       Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
     f.delete()

@@ -59,12 +59,11 @@ object Lloyd {
       iters: Int, quant: Long = 1000000L): Model = {
     require(k >= 1 && iters >= 1, "kMeans: k and iters must be >= 1")
     val q = quantize(points, idCol, vecCol, quant).localCheckpoint(true)
+    // orderBy + limit + collect returns rows IN sort order (GlobalLimit
+    // preserves it) — cluster j is the j-th smallest id for ANY orderable
+    // id type, no driver-side re-sort (a hashCode re-sort would scramble
+    // string ids)
     val init = q.orderBy(col("id")).limit(k).collect()
-      .sortBy(r => r.get(0) match {
-        case l: java.lang.Long => l.longValue()
-        case i: java.lang.Integer => i.longValue()
-        case o => o.hashCode().toLong
-      })
     require(init.length == k, s"kMeans: need >= $k points, got ${init.length}")
     var cents: Array[Array[Long]] =
       init.map(_.getSeq[Long](1).toArray)

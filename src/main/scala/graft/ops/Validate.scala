@@ -219,12 +219,19 @@ object Validate {
     val totals = drift.agg(sum(col("n_ref")).as("t_ref"),
       sum(col("n_cur")).as("t_cur"))
     drift.crossJoin(broadcast(totals))
-      .agg(first(col("t_ref")).as("n_ref"), first(col("t_cur")).as("n_cur"),
+      .agg(coalesce(first(col("t_ref")), lit(0L)).as("n_ref"),
+        coalesce(first(col("t_cur")), lit(0L)).as("n_cur"),
         sum(abs(col("n_ref").cast(dec) * col("t_cur").cast(dec) -
           col("n_cur").cast(dec) * col("t_ref").cast(dec))).as("l1"))
       .select(col("n_ref"), col("n_cur"),
-        round(col("l1").cast("double") /
-          (lit(2.0) * col("n_ref").cast("double") * col("n_cur").cast("double")),
-          6).as("tv"))
+        // poles, not NaN: one empty side is MAXIMAL drift (tv = 1) — an
+        // empty current crawl must trip, not NaN past, a tv threshold;
+        // two empty sides have nothing to compare (tv = 0). The general
+        // case divides the exact L1 once.
+        when(col("n_ref") === 0L && col("n_cur") === 0L, lit(0.0))
+          .when(col("n_ref") === 0L || col("n_cur") === 0L, lit(1.0))
+          .otherwise(round(col("l1").cast("double") /
+            (lit(2.0) * col("n_ref").cast("double") * col("n_cur").cast("double")),
+            6)).as("tv"))
   }
 }

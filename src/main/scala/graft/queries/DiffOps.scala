@@ -33,7 +33,9 @@ object DiffOps {
             when(pmod(col("doc_id"), lit(7)) === 0, col("n_chars") + 1L)
               .otherwise(col("n_chars")))
           .unionByName(docs.filter(pmod(col("doc_id"), lit(11)) === 0)
-            .withColumn("doc_id", col("doc_id") + 10000000L))
+            // negated ids can never collide with a real doc_id (>= 0 by
+            // construction at every SF) — a +offset could, at 100x
+            .withColumn("doc_id", -(col("doc_id") + 1L)))
         graft.ops.Diff.keyed(docs, v2, Seq("doc_id"), vals)
           .groupBy("change_type")
           .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"),
@@ -45,7 +47,7 @@ object DiffOps {
         |  UNION ALL
         |  SELECT doc_id, 'changed' FROM documents WHERE doc_id % 7 = 0 AND doc_id % 13 <> 0
         |  UNION ALL
-        |  SELECT doc_id + 10000000, 'added' FROM documents WHERE doc_id % 11 = 0)
+        |  SELECT -(doc_id + 1), 'added' FROM documents WHERE doc_id % 11 = 0)
         |SELECT change_type, count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM cls GROUP BY 1 ORDER BY 1""".stripMargin)
   )

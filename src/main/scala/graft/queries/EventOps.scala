@@ -26,12 +26,8 @@ object EventOps {
   private def nsDiv(colName: String, divisor: Long): Column =
     expr(s"$colName div ${divisor}L")
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory)
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
-    f.delete()
-    ()
-  }
+  private def deleteRecursively(f: java.io.File): Unit =
+    graft.ops.Layout.deleteRecursively(f)
 
   val entries: Seq[(String, Fn, String)] = Seq(
 

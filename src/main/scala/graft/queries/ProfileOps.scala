@@ -263,8 +263,12 @@ object ProfileOps {
         val docs = t(s, d, "documents")
         val cur = docs.filter(col("n_chars") <= 450)
           .unionByName(docs.filter(col("n_chars") < 150))
+        // the drift result is buckets-sized — materialize it ONCE so the
+        // fan-out (output rows + the two aggregations inside
+        // totalVariation) does not re-scan documents per consumer
         val drift = graft.ops.Validate.driftHistogram(
-          docs, cur, "n_chars", lo = 0.0, width = 50.0, buckets = 10)
+            docs, cur, "n_chars", lo = 0.0, width = 50.0, buckets = 10)
+          .localCheckpoint(true)
         drift.crossJoin(broadcast(
             graft.ops.Validate.totalVariation(drift).select(col("tv"))))
           .orderBy("bucket")

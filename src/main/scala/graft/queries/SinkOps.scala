@@ -31,12 +31,8 @@ object SinkOps {
     root
   }
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory)
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
-    f.delete()
-    ()
-  }
+  private def deleteRecursively(f: java.io.File): Unit =
+    graft.ops.Layout.deleteRecursively(f)
 
   /** Store dir keyed on (store name, full dataset path) — q_index_probe's
     * dirKey recipe: basenames collide across checkouts, full paths don't.
@@ -292,7 +288,10 @@ object SinkOps {
             min(col("ingest_batch").cast("long")).as("floor_batch"))
         val unseen = fresh.groupBy(col("lang"))
           .agg(count(lit(1)).as("n_fresh"))
-        full.join(unseen, "lang")
+        // LEFT join + 0-fill: a lang with no doc_id%4==3 rows must still
+        // report (the oracle emits it with n_fresh = 0)
+        full.join(unseen, Seq("lang"), "left")
+          .withColumn("n_fresh", coalesce(col("n_fresh"), lit(0L)))
           .select("lang", "n_docs", "chars", "n_batches", "floor_batch", "n_fresh")
           .orderBy("lang")
       },

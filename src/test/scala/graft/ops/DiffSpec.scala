@@ -48,6 +48,17 @@ class DiffSpec extends SparkSuite {
     assert(diffMap(c, d) == Map(1L -> "changed"))
   }
 
+  test("NULL keys are addressable keys: identical NULL-key rows diff to empty") {
+    val a = Seq((Some(1L), "x", 1L), (None, "z", 9L)).toDF("id", "v", "w")
+    val b = Seq((Some(1L), "x", 1L), (None, "z", 9L)).toDF("id", "v", "w")
+    assert(Diff.keyed(a, b, Seq("id"), Seq("v", "w")).count() == 0L)
+    // and a CHANGED null-key row reports once as changed — not added+removed
+    val c = Seq((Some(1L), "x", 1L), (None, "z", 10L)).toDF("id", "v", "w")
+    val rows = Diff.keyed(a, c, Seq("id"), Seq("v", "w")).collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0))) -> r.getString(1))
+    assert(rows.toSeq == Seq(None -> "changed"))
+  }
+
   test("value-column order is part of the canonical form") {
     val a = Seq((1L, "x", "y")).toDF("id", "v", "w")
     val b = Seq((1L, "y", "x")).toDF("id", "v", "w")

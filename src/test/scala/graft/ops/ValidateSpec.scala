@@ -116,6 +116,18 @@ class ValidateSpec extends SparkSuite {
     assert(tv1.getDouble(2) == 1.0)
   }
 
+  test("totalVariation poles: an empty side is TV 1 (not NaN); two empty sides TV 0") {
+    import spark.implicits._
+    val ref = Seq(1.0, 2.0).toDF("x")
+    val none = Seq.empty[Double].toDF("x")
+    val oneEmpty = Validate.totalVariation(
+      Validate.driftHistogram(ref, none, "x", 0.0, 10.0, 3)).head()
+    assert(oneEmpty.getDouble(2) == 1.0)
+    val bothEmpty = Validate.totalVariation(
+      Validate.driftHistogram(none, none, "x", 0.0, 10.0, 3)).head()
+    assert(bothEmpty.getLong(0) == 0L && bothEmpty.getDouble(2) == 0.0)
+  }
+
   test("driftHistogram: under/overflow clamp, null exclusion, zero-count buckets") {
     import spark.implicits._
     val ref = Seq(Some(-5.0), Some(5.0), Some(95.0), None).toDF("x")
