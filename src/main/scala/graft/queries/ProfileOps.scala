@@ -294,6 +294,39 @@ object ProfileOps {
         |      FROM j, t)
         |SELECT bucket, n_ref, n_cur,
         |  round(cast(l1 AS DOUBLE) / (2.0 * tr * tc), 6) AS tv
-        |FROM j, t, l ORDER BY bucket""".stripMargin)
+        |FROM j, t, l ORDER BY bucket""".stripMargin),
+
+    // -- per-group EXACT percentiles (discrete: the value at rank
+    //    ceil(p·n)) — the per-source SLA/length report. One shuffle on the
+    //    group key; the rank and count windows share that partitioning.
+    //    Ties in the sort are harmless: the VALUE at rank k is unique even
+    //    when row order among equals is not. For groups too large to sort
+    //    within a partition, the global selection machinery
+    //    (StatsOps.exactPercentiles) applies per group instead ------------
+    ("q_group_quantiles",
+      (s: SparkSession, d: String) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang").orderBy("n_chars")
+        val wAll = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+        t(s, d, "documents").select(col("lang"), col("n_chars"))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(wAll))
+          .groupBy("lang")
+          .agg(first(col("n")).as("n"),
+            max(when(col("rn") === ceil(col("n") * 0.5).cast("long"),
+              col("n_chars"))).as("p50"),
+            max(when(col("rn") === ceil(col("n") * 0.9).cast("long"),
+              col("n_chars"))).as("p90"))
+          .orderBy("lang")
+      },
+      """WITH r AS (
+        |  SELECT lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents)
+        |SELECT lang, cast(max(n) AS BIGINT) AS n,
+        |  max(CASE WHEN rn = cast(ceil(n * 0.5) AS BIGINT) THEN n_chars END) AS p50,
+        |  max(CASE WHEN rn = cast(ceil(n * 0.9) AS BIGINT) THEN n_chars END) AS p90
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 }

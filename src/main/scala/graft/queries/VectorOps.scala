@@ -191,6 +191,7 @@ object VectorOps {
   private val KmIters = 3
   private val KmDim = 64
   private val KmQuant = 1000000L
+  private val KmNProbe = 3
 
   val entries: Seq[(String, Fn, String)] = Seq(
 
@@ -461,7 +462,87 @@ object VectorOps {
          |  WHERE rk = 1)
          |SELECT a.cl AS cluster, cast(m.label AS BIGINT) AS label, count(*) AS cnt
          |FROM a4 a JOIN embeddings m ON a.vec_id = m.vec_id
-         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    // -- IVF ANN over the EXACT-trained codebook: because Lloyd's whole
+    //    training fixed point is SQL-replayable, the complete production
+    //    IVF path — train → assign cells → probe nProbe nearest cells →
+    //    exact cosine re-rank — sits under ONE STATIC oracle, no runtime
+    //    centroid capture (q_ann_ivf needs dynamicOracles for its
+    //    seeded-MLlib codebook). Corpus side: one codegen-kernel scan for
+    //    cells; query side: the O(#queries × k) probe runs driver-side
+    //    (query batches are tiny by nature), candidates ride a broadcast
+    //    join on cell id --------------------------------------------------
+    ("q_ann_ivf_lloyd",
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        val emb = t(s, d, "embeddings")
+        val corpus = emb.filter(col("vec_id") >= 3)
+        val m = graft.ops.Lloyd.train(corpus, "vec_id", "embedding",
+          k = KmK, iters = KmIters)
+        val withCell = corpus.select(col("vec_id"), col("embedding"),
+          graft.functions.VectorExprs.nearestCentroid(
+            transform(col("embedding"),
+              x => floor(x.cast("double") * lit(KmQuant.toDouble))),
+            m.centroids).cast("long").as("cluster"))
+        val probes = graft.ops.Lloyd
+          .quantize(emb.filter(col("vec_id") < 3), "vec_id", "embedding", KmQuant)
+          .collect()
+          .flatMap { r =>
+            val qid = r.getLong(0)
+            val qv = r.getSeq[Long](1).toArray
+            m.centroids.zipWithIndex.map { case (c, j) =>
+              (qid, j.toLong,
+                c.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum)
+            }.sortBy(t => (t._3, t._2)).take(KmNProbe).map(t => (t._1, t._2))
+          }.toSeq.toDF("qid", "cluster")
+        val queries = emb.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+            sqrt(vecDot(col("embedding"), col("embedding"))).as("qnrm"))
+        withCell.join(broadcast(probes), "cluster")
+          .join(broadcast(queries), "qid")
+          .select(col("qid"), col("vec_id"),
+            round(vecDot(col("embedding"), col("qv")) /
+              (sqrt(vecDot(col("embedding"), col("embedding"))) * col("qnrm")),
+              4).as("cos"))
+          .withColumn("rk", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("qid").orderBy(desc("cos"), asc("vec_id"))))
+          .filter(col("rk") <= 5).drop("rk")
+          .orderBy("qid", "vec_id")
+      },
+      s"""$kmeansCtes,
+         |asn AS (
+         |  SELECT vec_id, cl FROM (
+         |    SELECT e.vec_id, c.cl,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        cast(list_sum([ (e.q[i]-c.c[i])*(e.q[i]-c.c[i]) for i in range(1, ${KmDim + 1}) ]) AS BIGINT), c.cl) AS rk
+         |    FROM e CROSS JOIN c$KmIters c) WHERE rk = 1),
+         |qq AS (
+         |  SELECT vec_id AS qid,
+         |    [ cast(floor(cast(x AS DOUBLE) * $KmQuant) AS BIGINT) for x in embedding ] AS q,
+         |    [ cast(x AS DOUBLE) for x in embedding ] AS qv
+         |  FROM embeddings WHERE vec_id < 3),
+         |qp AS (
+         |  SELECT qid, cl FROM (
+         |    SELECT qq.qid, c.cl,
+         |      row_number() OVER (PARTITION BY qq.qid ORDER BY
+         |        cast(list_sum([ (qq.q[i]-c.c[i])*(qq.q[i]-c.c[i]) for i in range(1, ${KmDim + 1}) ]) AS BIGINT), c.cl) AS rk
+         |    FROM qq CROSS JOIN c$KmIters c) WHERE rk <= $KmNProbe),
+         |ce AS (SELECT vec_id, [ cast(x AS DOUBLE) for x in embedding ] AS v
+         |       FROM embeddings WHERE vec_id >= 3),
+         |scored AS (
+         |  SELECT qp.qid, a.vec_id,
+         |    list_dot_product(ce.v, qq.qv) /
+         |      (sqrt(list_dot_product(ce.v, ce.v)) * sqrt(list_dot_product(qq.qv, qq.qv))) AS cos
+         |  FROM qp JOIN asn a USING (cl) JOIN ce ON ce.vec_id = a.vec_id
+         |  JOIN qq ON qq.qid = qp.qid),
+         |ranked AS (
+         |  SELECT qid, vec_id, cos,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+         |  FROM scored)
+         |SELECT qid, vec_id, round(cos, 4) AS cos FROM ranked WHERE rk <= 5
+         |ORDER BY qid, vec_id""".stripMargin)
   )
 
   /** The e/c0/d_i/a_i/m_i/c_i CTE chain mirroring Lloyd.train term for
