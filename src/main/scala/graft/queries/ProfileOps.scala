@@ -327,6 +327,49 @@ object ProfileOps {
         |SELECT lang, cast(max(n) AS BIGINT) AS n,
         |  max(CASE WHEN rn = cast(ceil(n * 0.5) AS BIGINT) THEN n_chars END) AS p50,
         |  max(CASE WHEN rn = cast(ceil(n * 0.9) AS BIGINT) THEN n_chars END) AS p90
-        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // -- whole-table column profile in ONE scan: per column (as rows) the
+    //    null count, exact distinct count, and min/max rendered as text —
+    //    the catalog-statistics snapshot a planner or a data contract
+    //    wants. The exact countDistinct per column rides one Expand (rows
+    //    × columns — the documented price of exactness; the HLL form is
+    //    the monitoring variant, q_validate's approxUniqueness) ----------
+    ("q_column_profile",
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        val cols = Seq("doc_id", "lang", "source", "n_chars")
+        val aggs = cols.flatMap(c => Seq(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"),
+          countDistinct(col(c)).as(s"ndv_$c"),
+          min(col(c)).cast("string").as(s"min_$c"),
+          max(col(c)).cast("string").as(s"max_$c")))
+        val one = docs.agg(aggs.head, aggs.tail: _*)
+        val rows = cols.map(c => struct(lit(c).as("col_name"),
+          col(s"nulls_$c").as("nulls"), col(s"ndv_$c").as("ndv"),
+          col(s"min_$c").as("min_s"), col(s"max_$c").as("max_s")))
+        one.select(explode(array(rows: _*)).as("r")).select("r.*")
+          .orderBy("col_name")
+      },
+      """WITH m AS (SELECT
+        |  cast(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_doc_id,
+        |  count(DISTINCT doc_id) AS ndv_doc_id,
+        |  cast(min(doc_id) AS VARCHAR) AS min_doc_id, cast(max(doc_id) AS VARCHAR) AS max_doc_id,
+        |  cast(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_lang,
+        |  count(DISTINCT lang) AS ndv_lang,
+        |  min(lang) AS min_lang, max(lang) AS max_lang,
+        |  cast(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_source,
+        |  count(DISTINCT source) AS ndv_source,
+        |  min(source) AS min_source, max(source) AS max_source,
+        |  cast(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_n_chars,
+        |  count(DISTINCT n_chars) AS ndv_n_chars,
+        |  cast(min(n_chars) AS VARCHAR) AS min_n_chars, cast(max(n_chars) AS VARCHAR) AS max_n_chars
+        |FROM documents)
+        |SELECT 'doc_id' AS col_name, nulls_doc_id AS nulls, ndv_doc_id AS ndv,
+        |       min_doc_id AS min_s, max_doc_id AS max_s FROM m
+        |UNION ALL SELECT 'lang', nulls_lang, ndv_lang, min_lang, max_lang FROM m
+        |UNION ALL SELECT 'n_chars', nulls_n_chars, ndv_n_chars, min_n_chars, max_n_chars FROM m
+        |UNION ALL SELECT 'source', nulls_source, ndv_source, min_source, max_source FROM m
+        |ORDER BY col_name""".stripMargin)
   )
 }

@@ -99,6 +99,17 @@ class LloydSpec extends SparkSuite {
     assert(viaDf == 1L)
   }
 
+  test("string ids: init order is the engine sort order, not hashCode order") {
+    import spark.implicits._
+    // "a" < "b" < "z" lexically, but String.hashCode order differs; the
+    // j-th centroid must be the j-th SMALLEST id
+    val df = Seq(("z", Seq(30.0)), ("a", Seq(10.0)), ("b", Seq(20.0)))
+      .toDF("id", "v")
+      .select(col("id"), col("v").cast("array<float>").as("v"))
+    val m = Lloyd.train(df, "id", "v", k = 3, iters = 1, quant = 1000L)
+    assert(m.centroids.map(_.head).toSeq == Seq(10000L, 20000L, 30000L))
+  }
+
   test("dim mismatch fails loud") {
     val df = mkPoints(Seq((0L, Seq(1.0, 2.0, 3.0))))
     val m = Lloyd.Model(Array(Array(0L, 0L)), Array(0L), 1000L)
