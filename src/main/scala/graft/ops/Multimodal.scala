@@ -270,4 +270,67 @@ object Multimodal {
       }
     }
   }
+
+  // ---- perceptual image hashing ----------------------------------------
+
+  /** Difference-hash (dHash) bits of a decoded intensity grid: sample a
+    * `dh` × `(dw+1)` grid nearest-neighbor from the `w`×`h` pixels, set
+    * bit `r·dw + c` iff grid(r, c) > grid(r, c+1). Strictly integer
+    * index arithmetic (`(r·h) / dh`, `(c·w) / (dw+1)` — truncating
+    * division) and a strict `>` comparison, so the hash is exactly
+    * reproducible from the same decode in any engine. Row-gradient dHash
+    * is the classic cheap perceptual fingerprint: stable under re-
+    * encoding/resizing, flipped by content changes.
+    */
+  private[ops] def dHashBits(pix: Array[Double], w: Int, h: Int,
+      dw: Int, dh: Int): Array[Boolean] = {
+    val bits = new Array[Boolean](dw * dh)
+    var r = 0
+    while (r < dh) {
+      val sr = r * h / dh
+      var c = 0
+      while (c < dw) {
+        val a = pix(sr * w + c * w / (dw + 1))
+        val b = pix(sr * w + (c + 1) * w / (dw + 1))
+        bits(r * dw + c) = a > b
+        c += 1
+      }
+      r += 1
+    }
+    bits
+  }
+
+  /** Per-image 64-bit dHash, emitted as two 32-bit halves
+    * (`media_id`, `dhash_hi` = bits 32..63, `dhash_lo` = bits 0..31) so
+    * both halves are non-negative longs on every engine — no sign-bit
+    * games in a cross-engine compare. One mapPartitions decode pass, the
+    * same distributed shape as [[extractFeatures]]; near-dup pairing
+    * downstream is a bucket join on hash bands exactly like
+    * [[Dedup]]'s SimHash path (exact dups group on the full hash).
+    */
+  def dHash(media: Dataset[MediaRow], codec: MediaCodec = StubCodec,
+      dw: Int = 8, dh: Int = 8): DataFrame = {
+    require(dw * dh <= 64, "dHash: at most 64 bits")
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, pix) = codec.decode(r.payload, r.width, r.height)
+        val bits = dHashBits(pix, w, h, dw, dh)
+        var hi = 0L
+        var lo = 0L
+        var i = 0
+        while (i < bits.length) {
+          if (bits(i)) {
+            if (i >= 32) hi |= 1L << (i - 32) else lo |= 1L << i
+          }
+          i += 1
+        }
+        (r.media_id, hi, lo)
+      }
+    }.toDF("media_id", "dhash_hi", "dhash_lo")
+  }
+
+  /** Hamming distance between two (hi, lo) dHash pairs. */
+  def dHashDistance(hi1: Long, lo1: Long, hi2: Long, lo2: Long): Int =
+    java.lang.Long.bitCount(hi1 ^ hi2) + java.lang.Long.bitCount(lo1 ^ lo2)
 }

@@ -729,6 +729,38 @@ object TextOps {
         |      FROM documents WHERE doc_id < 200)
         |ORDER BY doc_id""".stripMargin),
 
+    // -- perceptual image fingerprint (dHash) through the REAL decode
+    //    pipeline shape: syntheticMediaTable → mapPartitions codec decode
+    //    → 8×9 nearest-neighbor grid → row-gradient bits. The stub codec's
+    //    fake pixels are payload bytes (the corpus is pure ASCII — byte ==
+    //    codepoint), so the oracle replays the ENTIRE hash bit-for-bit via
+    //    ord(substr(…)); the real-image half (javax.imageio decode,
+    //    near-dup stability under pixel edits) is spec-gated in
+    //    MultimodalSpec. Emitted as two 32-bit halves: no sign-bit games --
+    ("q_image_dhash",
+      (s: SparkSession, d: String) => {
+        val media = graft.ops.Multimodal.syntheticMediaTable(s,
+          t(s, d, "documents")
+            .filter(col("doc_id") < 200 && length(col("text")) > 0),
+          "doc_id", "text")
+        graft.ops.Multimodal.dHash(media).orderBy("media_id")
+      },
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, text,
+        |    (doc_id % 64) + 32 AS w, (doc_id % 48) + 24 AS h,
+        |    octet_length(encode(text)) AS len
+        |  FROM documents WHERE doc_id < 200 AND length(text) > 0),
+        |b AS (
+        |  SELECT media_id,
+        |    [ CASE WHEN ord(substr(text, ((((i // 8) * h) // 8) * w + ((i % 8) * w) // 9) % len + 1, 1)) >
+        |                ord(substr(text, ((((i // 8) * h) // 8) * w + (((i % 8) + 1) * w) // 9) % len + 1, 1))
+        |           THEN 1 ELSE 0 END for i in range(0, 64) ] AS bits
+        |  FROM m)
+        |SELECT media_id,
+        |  cast(list_sum([ bits[i + 33] * (1::BIGINT << i) for i in range(0, 32) ]) AS BIGINT) AS dhash_hi,
+        |  cast(list_sum([ bits[i + 1] * (1::BIGINT << i) for i in range(0, 32) ]) AS BIGINT) AS dhash_lo
+        |FROM b ORDER BY media_id""".stripMargin),
+
     // -- multimodal audio: the REAL javax.sound WAV decoder under the
     //    oracle gate. Each doc_id < 8 parameterizes a synthetic sine clip
     //    (freq, amplitude, length all derived from doc_id); the Spark side

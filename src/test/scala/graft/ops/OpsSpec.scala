@@ -432,6 +432,71 @@ class OpsSpec extends SparkSuite {
     }
   }
 
+  /** PNG with a horizontal gray gradient (left dark → right bright),
+    * optionally perturbed at a handful of pixels.
+    */
+  private def gradientPng(w: Int, h: Int,
+      perturb: Set[(Int, Int)] = Set.empty): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = if (perturb((x, y))) 255 else x * 255 / (w - 1)
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("Multimodal: dHash — exact dups identical, pixel edits near, inversion far") {
+    import spark.implicits._
+    val base = gradientPng(32, 32)
+    val copy = gradientPng(32, 32)
+    val nearDup = gradientPng(32, 32, perturb = Set((5, 5), (20, 11)))
+    // vertical inversion of the gradient direction: every row-gradient
+    // bit flips
+    val inverted = {
+      val img = new java.awt.image.BufferedImage(32, 32,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 32; x <- 0 until 32) {
+        val v = (31 - x) * 255 / 31
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      Multimodal.MediaRow(1L, base, "png", 32, 32),
+      Multimodal.MediaRow(2L, copy, "png", 32, 32),
+      Multimodal.MediaRow(3L, nearDup, "png", 32, 32),
+      Multimodal.MediaRow(4L, inverted, "png", 32, 32))
+    val hs = Multimodal.dHash(rows.toDS(), Multimodal.ImageIoCodec)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def dist(a: Long, b: Long): Int =
+      Multimodal.dHashDistance(hs(a)._1, hs(a)._2, hs(b)._1, hs(b)._2)
+    assert(dist(1L, 2L) == 0, "byte-identical content -> identical hash")
+    assert(dist(1L, 3L) <= 6, s"two edited pixels stay near (${dist(1L, 3L)})")
+    assert(dist(1L, 4L) >= 48, s"inverted gradient is far (${dist(1L, 4L)})")
+    // monotone INCREASING gradient: left sample < right sample everywhere,
+    // so no bit is set; the inverted image is the all-ones complement
+    assert(hs(1L) == ((0L, 0L)))
+    assert(hs(4L) == ((0xFFFFFFFFL, 0xFFFFFFFFL)))
+  }
+
+  test("Multimodal: dHash resize invariance — the property pHash families exist for") {
+    import spark.implicits._
+    val big = gradientPng(64, 64)
+    val small = Multimodal.resizePng(big, 16, 16)
+    val rows = Seq(
+      Multimodal.MediaRow(1L, big, "png", 64, 64),
+      Multimodal.MediaRow(2L, small, "png", 16, 16))
+    val hs = Multimodal.dHash(rows.toDS(), Multimodal.ImageIoCodec)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(Multimodal.dHashDistance(
+      hs(1L)._1, hs(1L)._2, hs(2L)._1, hs(2L)._2) <= 4)
+  }
+
   test("Multimodal: REAL javax.sound WAV decode — sine features match closed forms") {
     import spark.implicits._
     // a pure sine of amplitude a has RMS a/sqrt(2) and crosses zero 2f
