@@ -542,7 +542,65 @@ object VectorOps {
          |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
          |  FROM scored)
          |SELECT qid, vec_id, round(cos, 4) AS cos FROM ranked WHERE rk <= 5
-         |ORDER BY qid, vec_id""".stripMargin)
+         |ORDER BY qid, vec_id""".stripMargin),
+
+    // -- contrastive TRIPLET mining for embedding training: per anchor one
+    //    same-label positive and one cross-label negative, both picked by
+    //    a deterministic md5 rank over (anchor, candidate) — seedless,
+    //    engine-replayable pseudo-randomness (the shuffle/split/shard
+    //    convention), with the anchor-candidate margins alongside. The
+    //    bench shape joins a bounded anchor set against the corpus; at
+    //    100 TB negatives come from a broadcast global sample or an LSH
+    //    bucket (Similarity's machinery) instead of the full cross
+    //    product — the hash-rank selection is unchanged ------------------
+    ("q_contrastive",
+      (s: SparkSession, d: String) => {
+        val e = t(s, d, "embeddings").filter(col("vec_id") >= 3)
+          .select(col("vec_id"), col("label"), col("embedding").as("v"),
+            sqrt(vecDot(col("embedding"), col("embedding"))).as("nrm"))
+        val a = e.filter(col("vec_id") < 23)
+          .select(col("vec_id").as("anchor"), col("label").as("albl"),
+            col("v").as("av"), col("nrm").as("anrm"))
+        def pick(sameLabel: Boolean, outId: String, outCos: String) = {
+          val cond = if (sameLabel)
+            col("label") === col("albl") && col("vec_id") =!= col("anchor")
+          else col("label") =!= col("albl")
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("anchor")
+            .orderBy(md5(concat_ws("|", col("anchor").cast("string"),
+              col("vec_id").cast("string"))))
+          a.join(e, cond)
+            .withColumn("rk", row_number().over(w))
+            .filter(col("rk") === 1)
+            .select(col("anchor"), col("vec_id").as(outId),
+              round(vecDot(col("v"), col("av")) / (col("nrm") * col("anrm")), 4)
+                .as(outCos))
+        }
+        pick(sameLabel = true, "pos_id", "pos_cos")
+          .join(pick(sameLabel = false, "neg_id", "neg_cos"), "anchor")
+          .orderBy("anchor")
+      },
+      """WITH e AS (
+        |  SELECT vec_id, label, [cast(x AS DOUBLE) for x in embedding] AS v
+        |  FROM embeddings WHERE vec_id >= 3),
+        |a AS (SELECT vec_id AS anchor, label AS albl, v AS av FROM e WHERE vec_id < 23),
+        |pos AS (
+        |  SELECT anchor, vec_id AS pos_id,
+        |    round(list_dot_product(v, av) /
+        |      (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(av, av))), 4) AS pos_cos,
+        |    row_number() OVER (PARTITION BY anchor
+        |      ORDER BY md5(cast(anchor AS VARCHAR) || '|' || cast(vec_id AS VARCHAR))) AS rk
+        |  FROM a JOIN e ON e.label = a.albl AND e.vec_id <> a.anchor),
+        |neg AS (
+        |  SELECT anchor, vec_id AS neg_id,
+        |    round(list_dot_product(v, av) /
+        |      (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(av, av))), 4) AS neg_cos,
+        |    row_number() OVER (PARTITION BY anchor
+        |      ORDER BY md5(cast(anchor AS VARCHAR) || '|' || cast(vec_id AS VARCHAR))) AS rk
+        |  FROM a JOIN e ON e.label <> a.albl)
+        |SELECT p.anchor, p.pos_id, p.pos_cos, n.neg_id, n.neg_cos
+        |FROM pos p JOIN neg n ON p.anchor = n.anchor AND p.rk = 1 AND n.rk = 1
+        |ORDER BY p.anchor""".stripMargin)
   )
 
   /** The e/c0/d_i/a_i/m_i/c_i CTE chain mirroring Lloyd.train term for
