@@ -284,6 +284,11 @@ object Multimodal {
     */
   private[ops] def dHashBits(pix: Array[Double], w: Int, h: Int,
       dw: Int, dh: Int): Array[Boolean] = {
+    // fail loudly, not with an executor-deep ArrayIndexOutOfBounds: a
+    // zero-area decode has no gradient to hash (same contract style as
+    // ImageIoCodec/resizePng)
+    require(w > 0 && h > 0 && pix.length >= w * h,
+      s"dHash: need a positive ${w}x$h pixel grid, got ${pix.length} pixels")
     val bits = new Array[Boolean](dw * dh)
     var r = 0
     while (r < dh) {

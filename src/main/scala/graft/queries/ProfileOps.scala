@@ -307,6 +307,9 @@ object ProfileOps {
       (s: SparkSession, d: String) => {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("lang").orderBy("n_chars")
+        // the count window is NOT redundant with max(rn): the rank test
+        // rn = ceil(p*n) needs n PER ROW, before aggregation; both windows
+        // share the one group-keyed exchange
         val wAll = org.apache.spark.sql.expressions.Window.partitionBy("lang")
         t(s, d, "documents").select(col("lang"), col("n_chars"))
           .withColumn("rn", row_number().over(w))

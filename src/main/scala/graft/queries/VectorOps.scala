@@ -499,16 +499,20 @@ object VectorOps {
         val queries = emb.filter(col("vec_id") < 3)
           .select(col("vec_id").as("qid"), col("embedding").as("qv"),
             sqrt(vecDot(col("embedding"), col("embedding"))).as("qnrm"))
+        // rank on the RAW cosine, round only in the output — the oracle's
+        // ranked CTE orders unrounded, and ranking on a rounded value
+        // would break 4-dp ties differently at the rk=5 boundary
         withCell.join(broadcast(probes), "cluster")
           .join(broadcast(queries), "qid")
           .select(col("qid"), col("vec_id"),
-            round(vecDot(col("embedding"), col("qv")) /
-              (sqrt(vecDot(col("embedding"), col("embedding"))) * col("qnrm")),
-              4).as("cos"))
+            (vecDot(col("embedding"), col("qv")) /
+              (sqrt(vecDot(col("embedding"), col("embedding"))) * col("qnrm")))
+              .as("cos_raw"))
           .withColumn("rk", row_number().over(
             org.apache.spark.sql.expressions.Window
-              .partitionBy("qid").orderBy(desc("cos"), asc("vec_id"))))
-          .filter(col("rk") <= 5).drop("rk")
+              .partitionBy("qid").orderBy(desc("cos_raw"), asc("vec_id"))))
+          .filter(col("rk") <= 5)
+          .select(col("qid"), col("vec_id"), round(col("cos_raw"), 4).as("cos"))
           .orderBy("qid", "vec_id")
       },
       s"""$kmeansCtes,

@@ -484,6 +484,15 @@ class OpsSpec extends SparkSuite {
     assert(hs(4L) == ((0xFFFFFFFFL, 0xFFFFFFFFL)))
   }
 
+  test("Multimodal: dHash fails loudly on a zero-area grid") {
+    import spark.implicits._
+    val rows = Seq(Multimodal.MediaRow(1L, "abc".getBytes, "fakeimg", 0, 8))
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.dHash(rows.toDS()).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("Multimodal: dHash resize invariance — the property pHash families exist for") {
     import spark.implicits._
     val big = gradientPng(64, 64)
