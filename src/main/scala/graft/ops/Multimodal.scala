@@ -338,4 +338,42 @@ object Multimodal {
   /** Hamming distance between two (hi, lo) dHash pairs. */
   def dHashDistance(hi1: Long, lo1: Long, hi2: Long, lo2: Long): Int =
     java.lang.Long.bitCount(hi1 ^ hi2) + java.lang.Long.bitCount(lo1 ^ lo2)
+
+  /** Near-duplicate image pairs at Hamming distance <= `maxDist` over a
+    * [[dHash]] table `(idCol, dhash_hi, dhash_lo)` — the pairing half of
+    * perceptual dedup, O(candidates) not O(n²): the 64 bits split into
+    * FOUR 16-bit bands, candidates equi-join on (band index, band value),
+    * and the exact distance verifies. Pigeonhole guarantee: maxDist <= 3
+    * differing bits cannot touch all 4 bands, so at least one band
+    * matches — the candidate set PROVABLY contains every true pair (same
+    * structure as [[Dedup]]'s SimHash banding). maxDist > 3 weakens the
+    * guarantee to best-effort recall; refused here so callers cannot
+    * silently rely on it.
+    */
+  def dHashNearDupPairs(hashes: DataFrame, idCol: String,
+      maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      "dHashNearDupPairs: the 4x16 banding only guarantees recall to distance 3")
+    import org.apache.spark.sql.functions.{shiftrightunsigned => srl}
+    val bandStructs = (0 until 4).map { j =>
+      val src = if (j < 2) col("dhash_lo") else col("dhash_hi")
+      struct(lit(j).as("band"),
+        srl(src, (j % 2) * 16).bitwiseAND(lit(0xFFFFL)).as("bv"))
+    }
+    val banded = hashes.select(col(idCol), col("dhash_hi"), col("dhash_lo"),
+        explode(array(bandStructs: _*)).as("b"))
+      .select(col(idCol), col("dhash_hi"), col("dhash_lo"),
+        col("b.band").as("band"), col("b.bv").as("bv"))
+    val a = banded.select(col(idCol).as("a"), col("dhash_hi").as("ha"),
+      col("dhash_lo").as("la"), col("band"), col("bv"))
+    val b = banded.select(col(idCol).as("b"), col("dhash_hi").as("hb"),
+      col("dhash_lo").as("lb"), col("band"), col("bv"))
+    a.join(b, Seq("band", "bv"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        (bit_count(col("ha").bitwiseXOR(col("hb"))) +
+          bit_count(col("la").bitwiseXOR(col("lb")))).cast("long").as("dist"))
+      .filter(col("dist") <= maxDist)
+      .distinct()
+  }
 }

@@ -761,6 +761,62 @@ object TextOps {
         |  cast(list_sum([ bits[i + 1] * (1::BIGINT << i) for i in range(0, 32) ]) AS BIGINT) AS dhash_lo
         |FROM b ORDER BY media_id""".stripMargin),
 
+    // -- perceptual near-dup PAIRING under the gate: the corpus plus an
+    //    exact copy (+1000, same declared dims) and a one-character edit
+    //    (+2000) per doc, dHashed, then paired via the 4×16-bit band join
+    //    (Multimodal.dHashNearDupPairs — pigeonhole-complete for Hamming
+    //    <= 3, O(candidates) not O(n²)). The oracle computes ALL-pairs
+    //    Hamming over the replayed stub hashes — equality proves the
+    //    banded join misses nothing the brute force finds ---------------
+    ("q_image_neardup",
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        val base = t(s, d, "documents")
+          .filter(col("doc_id") < 200 && length(col("text")) >= 20)
+          .select(col("doc_id"), col("text"),
+            (pmod(col("doc_id"), lit(64)) + 32).cast("int").as("width"),
+            (pmod(col("doc_id"), lit(48)) + 24).cast("int").as("height"))
+        val media = base.select(col("doc_id").as("media_id"),
+            col("text"), col("width"), col("height"))
+          .unionByName(base.select((col("doc_id") + 1000L).as("media_id"),
+            col("text"), col("width"), col("height")))
+          .unionByName(base.select((col("doc_id") + 2000L).as("media_id"),
+            expr("substr(text, 1, 9) || 'Z' || substr(text, 11)").as("text"),
+            col("width"), col("height")))
+          .select(col("media_id"), col("text").cast("binary").as("payload"),
+            lit("fakeimg").as("format"), col("width"), col("height"))
+          .as[graft.ops.Multimodal.MediaRow]
+        graft.ops.Multimodal.dHashNearDupPairs(
+            graft.ops.Multimodal.dHash(media), "media_id", maxDist = 3)
+          .orderBy("a", "b")
+      },
+      """WITH src AS (
+        |  SELECT doc_id, text, (doc_id % 64) + 32 AS w, (doc_id % 48) + 24 AS h
+        |  FROM documents WHERE doc_id < 200 AND length(text) >= 20),
+        |m AS (
+        |  SELECT doc_id AS media_id, text, w, h, octet_length(encode(text)) AS len FROM src
+        |  UNION ALL
+        |  SELECT doc_id + 1000, text, w, h, octet_length(encode(text)) FROM src
+        |  UNION ALL
+        |  SELECT doc_id + 2000, substr(text, 1, 9) || 'Z' || substr(text, 11), w, h,
+        |    octet_length(encode(substr(text, 1, 9) || 'Z' || substr(text, 11))) FROM src),
+        |b AS (
+        |  SELECT media_id,
+        |    [ CASE WHEN ord(substr(text, ((((i // 8) * h) // 8) * w + ((i % 8) * w) // 9) % len + 1, 1)) >
+        |                ord(substr(text, ((((i // 8) * h) // 8) * w + (((i % 8) + 1) * w) // 9) % len + 1, 1))
+        |           THEN 1 ELSE 0 END for i in range(0, 64) ] AS bits
+        |  FROM m),
+        |hx AS (
+        |  SELECT media_id,
+        |    cast(list_sum([ bits[i + 33] * (1::BIGINT << i) for i in range(0, 32) ]) AS BIGINT) AS hi,
+        |    cast(list_sum([ bits[i + 1] * (1::BIGINT << i) for i in range(0, 32) ]) AS BIGINT) AS lo
+        |  FROM b)
+        |SELECT a, b, dist FROM (
+        |  SELECT h1.media_id AS a, h2.media_id AS b,
+        |    cast(bit_count(xor(h1.hi, h2.hi)) + bit_count(xor(h1.lo, h2.lo)) AS BIGINT) AS dist
+        |  FROM hx h1 JOIN hx h2 ON h1.media_id < h2.media_id)
+        |WHERE dist <= 3 ORDER BY a, b""".stripMargin),
+
     // -- multimodal audio: the REAL javax.sound WAV decoder under the
     //    oracle gate. Each doc_id < 8 parameterizes a synthetic sine clip
     //    (freq, amplitude, length all derived from doc_id); the Spark side
