@@ -270,35 +270,40 @@ object EventOps {
     //    order differs from batch, decimal makes the sum order-free --------
     ("q_stream_window",
       (s: SparkSession, d: String) => {
-        val src = java.nio.file.Files.createTempDirectory("graft_stream_src")
-        try {
-          // normalize either ts generation (nanos-long / micros-ts) to the
-          // epoch-nanos long contract, restream from a single-file copy
-          t(s, d, "events").select("ts", "event_type", "value")
-            .coalesce(1).write.mode("overwrite").parquet(src.toString)
-          val schema = org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("ts",
-              org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("event_type",
-              org.apache.spark.sql.types.StringType),
-            org.apache.spark.sql.types.StructField("value",
-              org.apache.spark.sql.types.DoubleType)))
-          val stream = s.readStream.schema(schema).parquet(src.toString)
-            .withColumn("tss", timestamp_micros(expr("ts div 1000L")))
-            .withWatermark("tss", "1 hour")
-            .groupBy(window(col("tss"), "1 hour"), col("event_type"))
-            .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("val_sum"))
-            .select(expr("unix_micros(window.start) div 1000000L").as("hour_epoch"),
-              col("event_type"), col("cnt"), col("val_sum"))
-          val sink = "graft_stream_window_out"
-          s.catalog.dropTempView(sink)
-          graft.streaming.EventStream.runToMemory(stream, sink,
-            org.apache.spark.sql.streaming.OutputMode.Complete)
-          // the memory sink holds only the O(#windows × #types) result
-          s.table(sink).orderBy("hour_epoch", "event_type")
-        } finally {
-          deleteRecursively(src.toFile)
+        // stream the SOURCE parquet directly — no normalization copy. The
+        // testdata's ts has shipped in two physical generations (see Q.t);
+        // one footer read decides which, and the streaming schema + event-
+        // time column adapt. Complete mode's final state is independent of
+        // how AvailableNow slices the input into micro-batches, so a
+        // multi-file source is fine too
+        val batchSchema = { ensureNanosReadable(s)
+          s.read.parquet(s"$d/events.parquet").schema }
+        val fields = Seq("ts", "event_type", "value")
+          .map(n => batchSchema(batchSchema.fieldIndex(n)))
+        // the file source wants a DIRECTORY; the dataset dir + a glob on
+        // the table's file name streams exactly the events table
+        val stream0 = s.readStream
+          .schema(org.apache.spark.sql.types.StructType(fields))
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(d)
+        val tss = fields.head.dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            timestamp_micros(expr("ts div 1000L")) // epoch-nanos generation
+          case _ => col("ts").cast("timestamp") // micros TS/NTZ (UTC session)
         }
+        val stream = stream0
+          .withColumn("tss", tss)
+          .withWatermark("tss", "1 hour")
+          .groupBy(window(col("tss"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("val_sum"))
+          .select(expr("unix_micros(window.start) div 1000000L").as("hour_epoch"),
+            col("event_type"), col("cnt"), col("val_sum"))
+        val sink = "graft_stream_window_out"
+        s.catalog.dropTempView(sink)
+        graft.streaming.EventStream.runToMemory(stream, sink,
+          org.apache.spark.sql.streaming.OutputMode.Complete)
+        // the memory sink holds only the O(#windows × #types) result
+        s.table(sink).orderBy("hour_epoch", "event_type")
       },
       s"SELECT cast(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type, " +
         s"count(*) AS cnt, ${sqlDsum("value")} AS val_sum FROM events " +
