@@ -817,6 +817,72 @@ object TextOps {
         |  FROM hx h1 JOIN hx h2 ON h1.media_id < h2.media_id)
         |WHERE dist <= 3 ORDER BY a, b""".stripMargin),
 
+    // -- the image-dedup loop CLOSED: near-dup pairs → connected
+    //    components → per-cluster membership stats (keep-one = the min
+    //    member, exactly applyDedup's rule). Same star-contraction closure
+    //    as the text path; the oracle re-derives the pairs brute-force and
+    //    closes them with a recursive CTE ------------------------------
+    ("q_image_cluster",
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        val base = t(s, d, "documents")
+          .filter(col("doc_id") < 200 && length(col("text")) >= 20)
+          .select(col("doc_id"), col("text"),
+            (pmod(col("doc_id"), lit(64)) + 32).cast("int").as("width"),
+            (pmod(col("doc_id"), lit(48)) + 24).cast("int").as("height"))
+        val media = base.select(col("doc_id").as("media_id"),
+            col("text"), col("width"), col("height"))
+          .unionByName(base.select((col("doc_id") + 1000L).as("media_id"),
+            col("text"), col("width"), col("height")))
+          .unionByName(base.select((col("doc_id") + 2000L).as("media_id"),
+            expr("substr(text, 1, 9) || 'Z' || substr(text, 11)").as("text"),
+            col("width"), col("height")))
+          .select(col("media_id"), col("text").cast("binary").as("payload"),
+            lit("fakeimg").as("format"), col("width"), col("height"))
+          .as[graft.ops.Multimodal.MediaRow]
+        val pairs = graft.ops.Multimodal.dHashNearDupPairs(
+          graft.ops.Multimodal.dHash(media), "media_id", maxDist = 3)
+          .select("a", "b")
+        graft.ops.ConnectedComponents.components(pairs, "a", "b")
+          .groupBy(col("component"))
+          .agg(count(lit(1)).as("size"), min(col("id")).as("keep"),
+            max(col("id")).as("max_member"))
+          .orderBy("component")
+      },
+      """WITH RECURSIVE src AS (
+        |  SELECT doc_id, text, (doc_id % 64) + 32 AS w, (doc_id % 48) + 24 AS h
+        |  FROM documents WHERE doc_id < 200 AND length(text) >= 20),
+        |m AS (
+        |  SELECT doc_id AS media_id, text, w, h, octet_length(encode(text)) AS len FROM src
+        |  UNION ALL
+        |  SELECT doc_id + 1000, text, w, h, octet_length(encode(text)) FROM src
+        |  UNION ALL
+        |  SELECT doc_id + 2000, substr(text, 1, 9) || 'Z' || substr(text, 11), w, h,
+        |    octet_length(encode(substr(text, 1, 9) || 'Z' || substr(text, 11))) FROM src),
+        |b AS (
+        |  SELECT media_id,
+        |    [ CASE WHEN ord(substr(text, ((((i // 8) * h) // 8) * w + ((i % 8) * w) // 9) % len + 1, 1)) >
+        |                ord(substr(text, ((((i // 8) * h) // 8) * w + (((i % 8) + 1) * w) // 9) % len + 1, 1))
+        |           THEN 1 ELSE 0 END for i in range(0, 64) ] AS bits
+        |  FROM m),
+        |hx AS (
+        |  SELECT media_id,
+        |    cast(list_sum([ bits[i + 33] * (1::BIGINT << i) for i in range(0, 32) ]) AS BIGINT) AS hi,
+        |    cast(list_sum([ bits[i + 1] * (1::BIGINT << i) for i in range(0, 32) ]) AS BIGINT) AS lo
+        |  FROM b),
+        |p AS (
+        |  SELECT h1.media_id AS a, h2.media_id AS b
+        |  FROM hx h1 JOIN hx h2 ON h1.media_id < h2.media_id
+        |  WHERE bit_count(xor(h1.hi, h2.hi)) + bit_count(xor(h1.lo, h2.lo)) <= 3),
+        |e AS (SELECT a AS u, b AS v FROM p UNION SELECT b, a FROM p),
+        |walk(u, v) AS (
+        |  SELECT u, u FROM (SELECT DISTINCT u FROM e)
+        |  UNION
+        |  SELECT w.u, e.v FROM walk w JOIN e ON w.v = e.u)
+        |SELECT component, count(*) AS size, min(u) AS keep, max(u) AS max_member
+        |FROM (SELECT u, min(v) AS component FROM walk GROUP BY 1)
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // -- multimodal audio: the REAL javax.sound WAV decoder under the
     //    oracle gate. Each doc_id < 8 parameterizes a synthetic sine clip
     //    (freq, amplitude, length all derived from doc_id); the Spark side
