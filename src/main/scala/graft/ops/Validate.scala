@@ -212,6 +212,49 @@ object Validate {
     * (n_ref, n_cur, tv). TV is 0 for identical distributions, 1 for
     * disjoint ones; alert thresholds are domain policy.
     */
+  /** [[driftHistogram]] keyed by `groupCol` — per-source drift, the shape
+    * that catches one poisoned crawl seed hiding inside a healthy global
+    * histogram (the same argument as [[runGrouped]]). Result size =
+    * groups × buckets.
+    */
+  def driftHistogramBy(ref: DataFrame, cur: DataFrame, groupCol: String,
+      column: String, lo: Double, width: Double, buckets: Int): DataFrame = {
+    require(width > 0 && buckets >= 1, "driftHistogramBy: bad bucket spec")
+    def side(df: DataFrame, as: String): DataFrame =
+      df.filter(col(column).isNotNull)
+        .select(col(groupCol), least(greatest(
+          floor((col(column).cast("double") - lo) / width), lit(-1L)),
+          lit(buckets.toLong)).as("bucket"))
+        .groupBy(groupCol, "bucket").agg(count(lit(1)).as(as))
+    side(ref, "n_ref")
+      .join(side(cur, "n_cur"), Seq(groupCol, "bucket"), "full_outer")
+      .select(col(groupCol),
+        col("bucket"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+  }
+
+  /** Per-group [[totalVariation]] over a [[driftHistogramBy]] result: one
+    * row per group — (groupCol, n_ref, n_cur, tv), same poles (a group
+    * empty on one side is maximal drift).
+    */
+  def totalVariationBy(drift: DataFrame, groupCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(19, 0)
+    val totals = drift.groupBy(groupCol)
+      .agg(sum(col("n_ref")).as("t_ref"), sum(col("n_cur")).as("t_cur"))
+    drift.join(broadcast(totals), groupCol)
+      .groupBy(groupCol)
+      .agg(first(col("t_ref")).as("n_ref"), first(col("t_cur")).as("n_cur"),
+        sum(abs(col("n_ref").cast(dec) * col("t_cur").cast(dec) -
+          col("n_cur").cast(dec) * col("t_ref").cast(dec))).as("l1"))
+      .select(col(groupCol), col("n_ref"), col("n_cur"),
+        when(col("n_ref") === 0L && col("n_cur") === 0L, lit(0.0))
+          .when(col("n_ref") === 0L || col("n_cur") === 0L, lit(1.0))
+          .otherwise(round(col("l1").cast("double") /
+            (lit(2.0) * col("n_ref").cast("double") * col("n_cur").cast("double")),
+            6)).as("tv"))
+  }
+
   def totalVariation(drift: DataFrame): DataFrame = {
     // DECIMAL(19,0) inputs -> exact DECIMAL(38,0) products (counts are
     // < 1e12 even at 100 TB; 19+19 digits never truncates)

@@ -332,6 +332,49 @@ object ProfileOps {
         |  max(CASE WHEN rn = cast(ceil(n * 0.9) AS BIGINT) THEN n_chars END) AS p90
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // -- PER-SOURCE drift: the same shifted re-crawl, keyed by source —
+    //    a poisoned seed's distribution shift is visible per group where
+    //    the global histogram averages it away. One aggregation per side,
+    //    groups×buckets join, per-group exact TV ------------------------
+    ("q_drift_by_source",
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        val cur = docs.filter(col("n_chars") <= 450)
+          .unionByName(docs.filter(col("n_chars") < 150))
+        val drift = graft.ops.Validate.driftHistogramBy(
+          docs, cur, "source", "n_chars", lo = 0.0, width = 50.0, buckets = 10)
+        graft.ops.Validate.totalVariationBy(drift, "source")
+          .orderBy("source")
+      },
+      """WITH ref AS (
+        |  SELECT source,
+        |    cast(least(greatest(floor((cast(n_chars AS DOUBLE) - 0.0) / 50.0), -1), 10) AS BIGINT) AS bucket,
+        |    count(*) AS n_ref
+        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+        |cur0 AS (
+        |  SELECT source, n_chars FROM documents WHERE n_chars <= 450
+        |  UNION ALL SELECT source, n_chars FROM documents WHERE n_chars < 150),
+        |cur AS (
+        |  SELECT source,
+        |    cast(least(greatest(floor((cast(n_chars AS DOUBLE) - 0.0) / 50.0), -1), 10) AS BIGINT) AS bucket,
+        |    count(*) AS n_cur
+        |  FROM cur0 WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+        |j AS (
+        |  SELECT coalesce(r.source, c.source) AS source,
+        |         coalesce(r.bucket, c.bucket) AS bucket,
+        |         coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+        |  FROM ref r FULL OUTER JOIN cur c ON r.source = c.source AND r.bucket = c.bucket),
+        |t AS (SELECT source, cast(sum(n_ref) AS BIGINT) AS tr,
+        |             cast(sum(n_cur) AS BIGINT) AS tc FROM j GROUP BY 1),
+        |l AS (SELECT j.source,
+        |        sum(abs(cast(n_ref AS HUGEINT) * tc - cast(n_cur AS HUGEINT) * tr)) AS l1
+        |      FROM j JOIN t ON j.source = t.source GROUP BY 1)
+        |SELECT t.source, tr AS n_ref, tc AS n_cur,
+        |  CASE WHEN tr = 0 AND tc = 0 THEN 0.0
+        |       WHEN tr = 0 OR tc = 0 THEN 1.0
+        |       ELSE round(cast(l1 AS DOUBLE) / (2.0 * tr * tc), 6) END AS tv
+        |FROM t JOIN l ON t.source = l.source ORDER BY t.source""".stripMargin),
+
     // -- whole-table column profile in ONE scan: per column (as rows) the
     //    null count, exact distinct count, and min/max rendered as text —
     //    the catalog-statistics snapshot a planner or a data contract

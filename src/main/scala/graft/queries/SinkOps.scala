@@ -301,6 +301,42 @@ object SinkOps {
         |FROM documents
         |GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // -- snapshot-to-snapshot AUDIT: Diff.keyed over two readAsOf views of
+    //    one versioned store — "what did batch 1 actually change". Batch 1
+    //    adds the %3==1 keys AND re-appends the %15==0 keys with a bumped
+    //    n_chars (a re-crawl); the multiset diff classifies the former
+    //    added, the latter changed (the key gained a second, different
+    //    row), and — append-only store — nothing is ever removed. The
+    //    oracle derives the classes from the modulo construction ---------
+    ("q_snapshot_diff",
+      (s: SparkSession, d: String) => {
+        val dir = storeDir("snapdiff", d)
+        val docs = t(s, d, "documents")
+        deleteRecursively(new java.io.File(dir))
+        graft.ops.Layout.appendBatch(
+          docs.filter(pmod(col("doc_id"), lit(3)) === 0), dir, "lang", Seq("doc_id"))
+        graft.ops.Layout.appendBatch(
+          docs.filter(pmod(col("doc_id"), lit(3)) === 1)
+            .unionByName(docs.filter(pmod(col("doc_id"), lit(15)) === 0)
+              .withColumn("n_chars", col("n_chars") + 7L)),
+          dir, "lang", Seq("doc_id"))
+        val vals = Seq("text", "lang", "source", "n_chars")
+        graft.ops.Diff.keyed(
+            graft.ops.Layout.readAsOf(s, dir, 0L).select("doc_id", vals: _*),
+            graft.ops.Layout.readAsOf(s, dir, 1L).select("doc_id", vals: _*),
+            Seq("doc_id"), vals)
+          .groupBy("change_type")
+          .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"),
+            max(col("doc_id")).as("max_id"))
+          .orderBy("change_type")
+      },
+      """WITH cls AS (
+        |  SELECT doc_id, 'added' AS change_type FROM documents WHERE doc_id % 3 = 1
+        |  UNION ALL
+        |  SELECT doc_id, 'changed' FROM documents WHERE doc_id % 15 = 0)
+        |SELECT change_type, count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM cls GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // -- JSON-lines sink/source round trip: the interchange format of every
     //    crawl/annotation pipeline. Schema pinned explicitly on read (no
     //    inference pass over the data); strings and longs round-trip
