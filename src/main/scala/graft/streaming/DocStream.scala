@@ -344,4 +344,51 @@ object DocStream {
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
+
+  /** STREAMING drift monitor: per micro-batch, the exact total-variation
+    * distance of `column`'s equi-width histogram against a PINNED
+    * reference histogram, appended as one row
+    * (batch_id, n_ref, n_cur, tv) to `monitorDir` — the alarm wire of a
+    * live ingest ("this hour's crawl no longer looks like the accepted
+    * corpus"), built from the SAME exact machinery the batch gate uses
+    * ([[graft.ops.Validate.driftHistogram]]/totalVariation), so a
+    * streaming alert is replayable as a batch query after the fact.
+    *
+    * The reference is captured ONCE up front (buckets-sized, reused by
+    * every batch from the driver); per batch the stream side is one
+    * map-side histogram aggregation — state-free, so stream length never
+    * grows anything. Alert policy (threshold on `tv`) is the consumer's.
+    */
+  def driftMonitor(streamDocs: DataFrame, reference: DataFrame,
+      column: String, lo: Double, width: Double, buckets: Int,
+      monitorDir: String, checkpointDir: String):
+      org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.ops.Validate
+    // pin the reference histogram now — buckets-sized rows on the driver
+    val refRows = Validate
+      .driftHistogram(reference, reference.limit(0), column, lo, width, buckets)
+      .select(col("bucket"), col("n_ref"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    streamDocs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import batch.sparkSession.implicits._
+        val ref = refRows.toDF("bucket", "n_ref")
+        val cur = batch.filter(col(column).isNotNull)
+          .select(least(greatest(
+            floor((col(column).cast("double") - lo) / width), lit(-1L)),
+            lit(buckets.toLong)).as("bucket"))
+          .groupBy("bucket").agg(count(lit(1)).as("n_cur"))
+        val drift = ref.join(cur, Seq("bucket"), "full_outer")
+          .select(col("bucket"),
+            coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+            coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+        Validate.totalVariation(drift)
+          .withColumn("batch_id", lit(batchId))
+          .select("batch_id", "n_ref", "n_cur", "tv")
+          .write.mode("append").parquet(monitorDir)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
 }

@@ -463,6 +463,40 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("streaming drift monitor: per-batch TV against a pinned reference") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val ref = (1 to 100).map(i => 100.0 + i % 50).toDF("v")
+    val src = Files.createTempDirectory("graftdrift").toString
+    // same-bucket values -> TV 0 vs the reference; disjoint bucket -> TV 1
+    Files.write(java.nio.file.Paths.get(src, "a.json"),
+      (1 to 80).map(i => s"""{"v":${110.0 + i % 30}}""").mkString("\n").getBytes)
+    Files.write(java.nio.file.Paths.get(src, "b.json"),
+      (1 to 40).map(i => s"""{"v":${400.0 + i % 10}}""").mkString("\n").getBytes)
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.DoubleType))))
+      .option("maxFilesPerTrigger", 1) // one micro-batch per file
+      .json(src)
+    val mon = Files.createTempDirectory("graftdriftmon").toString + "/out"
+    val ckpt = Files.createTempDirectory("graftdriftck").toString
+    val q = DocStream.driftMonitor(stream, ref, "v",
+      lo = 0.0, width = 50.0, buckets = 10, mon, ckpt)
+    q.awaitTermination()
+    val rows = spark.read.parquet(mon)
+      .collect().map(r => r.getLong(2) -> r.getDouble(3)).toMap // n_cur -> tv
+    assert(rows.keySet == Set(80L, 40L))
+    assert(rows(80L) == 0.0, "identically-bucketed batch drifts 0")
+    assert(rows(40L) == 1.0, "disjoint batch is maximal drift")
+    // replayability: the streaming alert equals the batch-gate computation
+    val batchTv = graft.ops.Validate.totalVariation(
+      graft.ops.Validate.driftHistogram(ref,
+        (1 to 40).map(i => 400.0 + i % 10).toDF("v"), "v", 0.0, 50.0, 10))
+      .head().getDouble(2)
+    assert(batchTv == rows(40L))
+  }
+
   test("export hash split runs unchanged on a streaming frame (stateless)") {
     import org.apache.spark.sql.functions._
     val dir = Files.createTempDirectory("graftsplit").toString
