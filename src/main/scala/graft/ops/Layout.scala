@@ -636,10 +636,16 @@ object Layout {
     * The batch must carry the store's exact schema
     * ([[requireSchemaMatch]]). Keys need NOT be unique in the store: all
     * store rows matching a batch key are replaced by that one batch row
-    * (a multiset store collapses to the upserted row). A merge cannot
-    * MOVE a row across partition values: a key living under a different
-    * value than the batch row's is not seen (that directory is pruned) —
-    * repartitioning a row is delete-then-insert, not merge.
+    * (a multiset store collapses to the upserted row). Replacement is
+    * strictly within the batch row's OWN partition value — the partition
+    * value is part of the row's address, so a store row whose key matches
+    * a batch key but lives under a DIFFERENT partition value always
+    * survives, even when that directory happens to be touched by other
+    * batch rows (the anti-join keys on partitionCol + keyCols, never on
+    * the key alone, so the outcome cannot depend on which directories the
+    * rest of the batch visits). A merge therefore cannot MOVE a row
+    * across partition values — repartitioning a row is
+    * delete-then-insert, not merge.
     *
     * Returns the touched partition-directory names (sorted).
     */
@@ -697,8 +703,13 @@ object Layout {
     // being replaced, union the batch, rewrite to dot-prefixed scratch
     val live = spark.read.parquet(dir)
       .filter(col(partitionCol).isInCollection(touchedVals))
+    // anti-join on (partition value + key), NOT the key alone: a store
+    // row under a different partition value than the batch row's must
+    // survive deterministically, not depend on whether unrelated batch
+    // rows happened to touch its directory (see scaladoc contract)
     val retained = live.join(
-      batch.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
+      batch.select((partitionCol +: keyCols).map(col): _*).distinct(),
+      partitionCol +: keyCols, "left_anti")
     // repartitionByRange, NOT repartition(partitionCol): clustering by
     // value alone would funnel each touched directory through ONE task —
     // a merge touching a hot day-partition would rewrite it single-

@@ -85,8 +85,11 @@ object Manifest {
   private def readFooter(file: String, column: String,
       conf: org.apache.hadoop.conf.Configuration)
       : Seq[(String, Int, Long, String, String)] = {
+    // Path-from-URI, not string concat: "file://$file" mis-parses paths
+    // carrying URI-special characters (spaces, %, #)
     val in = org.apache.parquet.hadoop.util.HadoopInputFile
-      .fromPath(new org.apache.hadoop.fs.Path(s"file://$file"), conf)
+      .fromPath(
+        new org.apache.hadoop.fs.Path(new java.io.File(file).toURI), conf)
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
     try {
       val name = new java.io.File(file).getName

@@ -112,6 +112,14 @@ object Rollup {
     * float/double go through exact DECIMAL(30,6), and decimal inputs keep
     * THEIR OWN scale with widened precision — casting a decimal sum to
     * long would silently truncate cents from every refresh.
+    *
+    * Precision contract for float/double inputs: values are summed as
+    * DECIMAL(30,6), so fractional digits beyond the 6th are truncated
+    * per row (rollup sums are order-independent and exactly mergeable
+    * across refreshes AT that scale, which is the point — a double sum
+    * would drift with aggregation order), and |x| >= 1e24 overflows the
+    * cast. Inputs needing more fractional precision should be scaled to
+    * integers (e.g. micros) upstream.
     */
   private def sumType(dt: org.apache.spark.sql.types.DataType):
       org.apache.spark.sql.types.DataType = dt match {
@@ -126,8 +134,12 @@ object Rollup {
     val aggs: Seq[Column] = count(lit(1)).as("n_rows") +:
       sumCols.flatMap { c =>
         val st = sumType(df.schema(c).dataType)
+        // per-row cast matches the DECIMAL(30,6) carry type: a narrower
+        // cast (e.g. 18,6) overflows at |x| >= 1e12 — NULL under non-ANSI,
+        // silently vanishing from the sum. Fractional digits beyond 6 are
+        // truncated by contract (see sumType's scaladoc).
         val in = df.schema(c).dataType match {
-          case DoubleType | FloatType => col(c).cast(DecimalType(18, 6))
+          case DoubleType | FloatType => col(c).cast(DecimalType(30, 6))
           case _ => col(c)
         }
         Seq(sum(in).cast(st).as(s"sum_$c"), min(col(c)).as(s"min_$c"),

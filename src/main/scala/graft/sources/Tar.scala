@@ -153,6 +153,7 @@ object Tar {
       // partition holds whole shards, rows sorted (shard, name): stream
       // each shard straight into its file, switching on shard change
       var out: java.io.OutputStream = null
+      var curFile: java.io.File = null
       var cur = Long.MinValue
       var files = List.empty[String]
       var lastName: String = null
@@ -160,22 +161,35 @@ object Tar {
         out.write(new Array[Byte](BLOCK * 2)) // end-of-archive blocks
         out.close(); out = null
       }
-      it.foreach { r =>
-        val s = r.getLong(0); val n = r.getString(1)
-        val p = r.getAs[Array[Byte]](2)
-        if (s != cur) {
-          close(); cur = s; lastName = null
-          val f = new java.io.File(dir, s"shard-$s.tar")
-          files ::= f.getName
-          out = new java.io.BufferedOutputStream(
-            new java.io.FileOutputStream(f), 1 << 16)
+      // on ANY failure mid-shard (e.g. the duplicate-name require), close
+      // the stream and delete the in-progress file — a truncated archive
+      // without end-of-archive blocks must not be readable back as data
+      try {
+        it.foreach { r =>
+          val s = r.getLong(0); val n = r.getString(1)
+          val p = r.getAs[Array[Byte]](2)
+          if (s != cur) {
+            close(); cur = s; lastName = null
+            curFile = new java.io.File(dir, s"shard-$s.tar")
+            files ::= curFile.getName
+            out = new java.io.BufferedOutputStream(
+              new java.io.FileOutputStream(curFile), 1 << 16)
+          }
+          require(n != lastName,
+            s"duplicate entry name '$n' in shard $s — keys must be unique")
+          lastName = n
+          out.write(entryBytes(n, p))
         }
-        require(n != lastName,
-          s"duplicate entry name '$n' in shard $s — keys must be unique")
-        lastName = n
-        out.write(entryBytes(n, p))
+        close()
+      } catch {
+        case e: Throwable =>
+          if (out != null) {
+            try out.close() catch { case _: Throwable => () }
+            out = null
+          }
+          if (curFile != null) curFile.delete()
+          throw e
       }
-      close()
       files.reverseIterator
     }(org.apache.spark.sql.Encoders.STRING).collect().toSeq.sorted
     written

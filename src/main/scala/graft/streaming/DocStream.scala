@@ -300,13 +300,21 @@ object DocStream {
     * cross-horizon exactness matters). At 100 TB/day ingest, unbounded
     * state is a leak, so production streams should always pass a horizon.
     *
+    * NULL text carries no content to be duplicate OF, and
+    * `dropDuplicates` treats NULL keys as equal — fingerprinting
+    * `md5(text)` directly would silently drop every null-text document
+    * after the first as a "duplicate" of it. Null-text rows therefore
+    * bypass the dedup state entirely and pass through unchanged.
+    *
     * Returns the deduped stream (append output mode) — compose with any
     * sink, e.g. [[versionedSink]].
     */
   def dedupStream(streamDocs: DataFrame,
       withinWatermark: Option[String] = None): DataFrame = {
-    val fp = streamDocs.withColumn("__fp", md5(col("text")))
-    val out = withinWatermark match {
+    val nulls = streamDocs.filter(col("text").isNull)
+    val fp = streamDocs.filter(col("text").isNotNull)
+      .withColumn("__fp", md5(col("text")))
+    val deduped = withinWatermark match {
       case Some(horizon) =>
         fp.withColumn("arrival_ts", current_timestamp())
           .withWatermark("arrival_ts", horizon)
@@ -314,7 +322,7 @@ object DocStream {
           .drop("arrival_ts")
       case None => fp.dropDuplicates("__fp")
     }
-    out.drop("__fp")
+    deduped.drop("__fp").unionByName(nulls)
   }
 
   /** Stream → batch-VERSIONED store: every non-empty micro-batch lands as

@@ -115,13 +115,13 @@ object LayoutProperties extends Properties("graft.ops.Layout") {
         "part", Seq("id"))
       Layout.merge(batch.toDF("id", "part", "payload"), dir,
         "part", Seq("id"), Seq("id"))
-      // the documented contract, computed independently: rows in untouched
-      // partitions always survive; in touched partitions only non-batch
-      // keys survive; every batch row lands
-      val touched = batch.map(_._2).toSet
-      val batchKeys = batch.map(_._1).toSet
-      val expected = (store.filterNot(r => touched(r._2)) ++
-        store.filter(r => touched(r._2) && !batchKeys(r._1)) ++
+      // the documented contract, computed independently: a store row is
+      // replaced iff a batch row carries the same (partition value, key) —
+      // a matching key under a DIFFERENT partition value always survives,
+      // regardless of which directories the rest of the batch touches;
+      // every batch row lands
+      val batchAddrs = batch.map(b => (b._2, b._1)).toSet
+      val expected = (store.filterNot(r => batchAddrs((r._2, r._1))) ++
         batch).groupBy(identity).view.mapValues(_.size).toMap
       val got = spark.read.parquet(dir)
         .select("id", "part", "payload").collect()

@@ -397,6 +397,33 @@ class LayoutSpec extends SparkSuite {
       .sameElements(snap))
   }
 
+  test("merge replaces strictly within the batch row's partition value") {
+    val dir = freshDir()
+    val base = docs.filter(col("lang").isin("en", "fr"))
+    Layout.writePartitioned(base, dir, "lang", Seq("doc_id"))
+    // store key K lives under fr; the batch writes K under en AND touches
+    // fr with an unrelated insert — the fr copy of K must survive anyway
+    // (replacement keys on partition value + key, so the outcome cannot
+    // depend on which directories other batch rows happen to touch)
+    val k = base.filter(col("lang") === "fr").orderBy("doc_id")
+      .select("doc_id").head().getLong(0)
+    val moved = base.filter(col("lang") === "fr" && col("doc_id") === k)
+      .withColumn("lang", lit("en")).withColumn("source", lit("moved"))
+    val frIns = base.filter(col("lang") === "fr").orderBy("doc_id").limit(1)
+      .withColumn("doc_id", col("doc_id") + lit(888888888L))
+      .withColumn("source", lit("fr_ins"))
+    Layout.merge(moved.unionByName(frIns), dir,
+      "lang", Seq("doc_id"), Seq("doc_id"))
+    val after = spark.read.parquet(dir)
+    // the original fr row with key K is untouched (even though lang=fr was
+    // rewritten for the insert), and the en copy landed
+    assert(after.filter(col("doc_id") === k && col("lang") === "fr")
+      .count() === 1L)
+    assert(after.filter(col("doc_id") === k && col("lang") === "en" &&
+      col("source") === "moved").count() === 1L)
+    assert(after.filter(col("source") === "fr_ins").count() === 1L)
+  }
+
   test("merge refuses a key duplicated across DIFFERENT partition values") {
     val dir = freshDir()
     val base = docs.filter(col("lang").isin("en", "fr"))

@@ -36,6 +36,24 @@ class ManifestSpec extends SparkSuite {
       "overlapping appends must show up as degraded skipping")
   }
 
+  test("paths with URI-special characters (space, %, #) still read footers") {
+    // Spark can write to a space path; the %/# dir is populated by file
+    // copy (those chars are legal on the filesystem but illegal in a raw
+    // URI — exactly what the string-concat Path construction mis-parsed)
+    val base = java.nio.file.Files.createTempDirectory("manifest spec ")
+    val plain = base.resolve("st ore").toString
+    docs.limit(100).coalesce(1).write.parquet(plain)
+    assert(Manifest.manifest(spark, plain, "doc_id")
+      .collect().map(_.getLong(2)).sum === 100L)
+    val nasty = base.resolve("100% #frag")
+    java.nio.file.Files.createDirectories(nasty)
+    val src = new java.io.File(plain).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(src.toPath, nasty.resolve(src.getName))
+    assert(Manifest.manifest(spark, nasty.toString, "doc_id")
+      .collect().map(_.getLong(2)).sum === 100L)
+  }
+
   test("string columns decode via UTF8; unknown columns fail loud") {
     val m = Manifest.manifest(spark, s"$sfDir/documents.parquet", "lang")
       .collect()

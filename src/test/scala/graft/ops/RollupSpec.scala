@@ -89,6 +89,23 @@ class RollupSpec extends SparkSuite {
     assert(fin === docs.count(), "a replayed fold double-counted rows")
   }
 
+  test("double values >= 1e12 survive the per-row cast — no silent overflow") {
+    val sp = spark
+    import sp.implicits._
+    val b = freshBase()
+    val store = s"$b/store"; val roll = s"$b/roll"
+    // 3e12 overflowed the old DECIMAL(18,6) per-row cast to NULL under
+    // non-ANSI, silently vanishing from sum_v
+    val big = Seq(("a", 3.0e12), ("a", 1.5), ("b", -2.0e12))
+      .toDF("k", "v")
+    Layout.appendBatch(big, store, "k", Seq("v"))
+    Rollup.maintain(spark, store, roll, Seq("k"), Seq("v"))
+    val got = Rollup.read(spark, roll).orderBy("k")
+      .select(col("k"), col("sum_v").cast("double"), col("n_rows"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("a", 3.0e12 + 1.5, 2L), ("b", -2.0e12, 1L)))
+  }
+
   test("DECIMAL sum columns keep their scale — no silent cents truncation") {
     import spark.implicits._
     val b = freshBase()

@@ -162,11 +162,17 @@ class TarSpec extends SparkSuite {
         java.nio.file.Paths.get(dir2, f))
       assert(java.util.Arrays.equals(a, b), s"$f not deterministic")
     }
-    // duplicate names within a shard are refused
+    // duplicate names within a shard are refused — and the failure must
+    // not leave a truncated in-progress shard (no end-of-archive blocks)
+    // behind for readShards to pick up as data
+    val dupDir = java.nio.file.Files.createTempDirectory("tar_dup_").toString
     intercept[org.apache.spark.SparkException] {
       Tar.writeShards(df.withColumn("name", lit("same.txt")),
-        java.nio.file.Files.createTempDirectory("tar_dup_").toString,
-        "shard", "name", "payload")
+        dupDir, "shard", "name", "payload")
     }
+    val leftover = Option(new java.io.File(dupDir).listFiles())
+      .getOrElse(Array.empty).filter(_.getName.endsWith(".tar"))
+    assert(leftover.isEmpty,
+      s"crashed export left truncated shards: ${leftover.map(_.getName).toSeq}")
   }
 }

@@ -265,6 +265,34 @@ class StreamingSpec extends SparkSuite {
     assert(!spark.read.parquet(outDir).columns.contains("__fp"))
   }
 
+  test("state-store dedup: null-text documents all pass through, never deduped") {
+    val srcDir = Files.createTempDirectory("graftssn_src").toString
+    val outDir = Files.createTempDirectory("graftssn_out").toString + "/out"
+    val ckpt = Files.createTempDirectory("graftssn_ck").toString
+    def doc(id: Long, text: String) = {
+      val t = if (text == null) "null" else s""""$text""""
+      s"""{"doc_id":$id,"text":$t,"lang":"en","source":"s","n_chars":0}"""
+    }
+    def runOnce(): Unit =
+      DocStream.dedupStream(DocStream.readDocs(spark, srcDir))
+        .writeStream.option("checkpointLocation", ckpt)
+        .format("parquet").option("path", outDir)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+    // three null-text docs across two batches plus a real dup pair: nulls
+    // carry no content to be duplicate OF (md5(NULL) keys would otherwise
+    // compare equal and drop 7 and 9 silently)
+    Files.write(java.nio.file.Paths.get(srcDir, "b1.json"),
+      Seq(doc(6, null), doc(7, null), doc(8, "real content")).mkString("\n").getBytes)
+    runOnce()
+    Files.write(java.nio.file.Paths.get(srcDir, "b2.json"),
+      Seq(doc(9, null), doc(10, "real content")).mkString("\n").getBytes)
+    runOnce()
+    val kept = spark.read.parquet(outDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(6L, 7L, 8L, 9L), s"kept=$kept")
+  }
+
   test("streaming line dedup equals batch lineDedup over the concatenated stream") {
     val srcDir = Files.createTempDirectory("graftline_src").toString
     val curated = Files.createTempDirectory("graftline_out").toString + "/curated"
