@@ -553,10 +553,13 @@ object VectorOps {
     //    a deterministic md5 rank over (anchor, candidate) — seedless,
     //    engine-replayable pseudo-randomness (the shuffle/split/shard
     //    convention), with the anchor-candidate margins alongside. The
-    //    bench shape joins a bounded anchor set against the corpus; at
-    //    100 TB negatives come from a broadcast global sample or an LSH
-    //    bucket (Similarity's machinery) instead of the full cross
-    //    product — the hash-rank selection is unchanged ------------------
+    //    per-anchor winner is a min_by AGGREGATION, not a row_number
+    //    window: a hash-agg computes the same row map-side-combined in
+    //    one pass with parallelism unbounded by the anchor count, where
+    //    the window had to SORT every anchor's full candidate set. The
+    //    bench shape joins a bounded anchor set against the corpus; the
+    //    100 TB negative source is the hash-sampled broadcast pool gated
+    //    as q_contrastive_sampled below ----------------------------------
     ("q_contrastive",
       (s: SparkSession, d: String) => {
         val e = t(s, d, "embeddings").filter(col("vec_id") >= 3)
@@ -569,16 +572,10 @@ object VectorOps {
           val cond = if (sameLabel)
             col("label") === col("albl") && col("vec_id") =!= col("anchor")
           else col("label") =!= col("albl")
-          val w = org.apache.spark.sql.expressions.Window
-            .partitionBy("anchor")
-            .orderBy(md5(concat_ws("|", col("anchor").cast("string"),
-              col("vec_id").cast("string"))))
-          a.join(e, cond)
-            .withColumn("rk", row_number().over(w))
-            .filter(col("rk") === 1)
-            .select(col("anchor"), col("vec_id").as(outId),
-              round(vecDot(col("v"), col("av")) / (col("nrm") * col("anrm")), 4)
-                .as(outCos))
+          // anchors are the bounded side — broadcast them so the corpus
+          // is never exchanged (the label equi-join would otherwise
+          // shuffle every embedding; 54.8 MB at 100×, 0 after this)
+          pickMinByHash(broadcast(a).join(e, cond), outId, outCos)
         }
         pick(sameLabel = true, "pos_id", "pos_cos")
           .join(pick(sameLabel = false, "neg_id", "neg_cos"), "anchor")
@@ -604,8 +601,73 @@ object VectorOps {
         |  FROM a JOIN e ON e.label <> a.albl)
         |SELECT p.anchor, p.pos_id, p.pos_cos, n.neg_id, n.neg_cos
         |FROM pos p JOIN neg n ON p.anchor = n.anchor AND p.rk = 1 AND n.rk = 1
-        |ORDER BY p.anchor""".stripMargin)
+        |ORDER BY p.anchor""".stripMargin),
+
+    // -- the 100 TB negative source for contrastive mining: instead of
+    //    anchors × the whole cross-label corpus, candidates come from a
+    //    DETERMINISTIC hash-sampled pool (~20%: md5('negpool|'||vec_id)
+    //    mod 5 — content-addressed like split/shard assignment, so the
+    //    pool is stable across runs and engines and the oracle replays
+    //    it exactly). The pool is corpus-rate-sized and broadcast: the
+    //    join is map-side, no shuffle of the corpus, and the md5-rank
+    //    winner falls out of the same min_by aggregation — anchors ×
+    //    pool replaces anchors × corpus, collapsing the quadratic term
+    //    by the sample rate while keeping selection seedless ------------
+    ("q_contrastive_sampled",
+      (s: SparkSession, d: String) => {
+        val e = t(s, d, "embeddings").filter(col("vec_id") >= 3)
+          .select(col("vec_id"), col("label"), col("embedding").as("v"),
+            sqrt(vecDot(col("embedding"), col("embedding"))).as("nrm"))
+        val a = e.filter(col("vec_id") < 23)
+          .select(col("vec_id").as("anchor"), col("label").as("albl"),
+            col("v").as("av"), col("nrm").as("anrm"))
+        val pool = e.filter(
+          conv(substring(md5(concat(lit("negpool|"),
+            col("vec_id").cast("string"))), 1, 15), 16, 10)
+            .cast("long") % 5 === 0)
+        pickMinByHash(a.join(broadcast(pool), col("label") =!= col("albl")),
+          "neg_id", "neg_cos")
+          .orderBy("anchor")
+      },
+      """WITH e AS (
+        |  SELECT vec_id, label, [cast(x AS DOUBLE) for x in embedding] AS v
+        |  FROM embeddings WHERE vec_id >= 3),
+        |a AS (SELECT vec_id AS anchor, label AS albl, v AS av FROM e WHERE vec_id < 23),
+        |pool AS (SELECT * FROM e
+        |  WHERE ('0x'||substr(md5('negpool|'||cast(vec_id AS VARCHAR)),1,15))::BIGINT % 5 = 0),
+        |neg AS (
+        |  SELECT anchor, vec_id AS neg_id,
+        |    round(list_dot_product(v, av) /
+        |      (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(av, av))), 4) AS neg_cos,
+        |    row_number() OVER (PARTITION BY anchor
+        |      ORDER BY md5(cast(anchor AS VARCHAR) || '|' || cast(vec_id AS VARCHAR))) AS rk
+        |  FROM a JOIN pool ON pool.label <> a.albl)
+        |SELECT anchor, neg_id, neg_cos FROM neg WHERE rk = 1
+        |ORDER BY anchor""".stripMargin)
   )
+
+  /** Per-anchor winner under the deterministic md5 rank, as ONE hash
+    * aggregation: `min_by` over a struct carrying the candidate id and its
+    * cosine. Partial (map-side) aggregation reduces each task to one
+    * candidate per anchor before the exchange and nothing ever sorts —
+    * the `row_number` window this replaced sorted every anchor's FULL
+    * candidate set with parallelism bounded by the anchor count (the
+    * round-10 suite's worst 100× scaling row; see SCALE.md round 11).
+    * Expects the joined frame's columns: anchor, vec_id, v, nrm, av, anrm.
+    */
+  private def pickMinByHash(cands: DataFrame, outId: String,
+      outCos: String): DataFrame =
+    cands
+      .select(col("anchor"),
+        md5(concat_ws("|", col("anchor").cast("string"),
+          col("vec_id").cast("string"))).as("__rk"),
+        struct(col("vec_id").as("id"),
+          round(vecDot(col("v"), col("av")) / (col("nrm") * col("anrm")), 4)
+            .as("cos")).as("__cand"))
+      .groupBy("anchor")
+      .agg(min_by(col("__cand"), col("__rk")).as("__w"))
+      .select(col("anchor"), col("__w")("id").as(outId),
+        col("__w")("cos").as(outCos))
 
   /** The e/c0/d_i/a_i/m_i/c_i CTE chain mirroring Lloyd.train term for
     * term: quantize (floor of the identical IEEE double product), init =
