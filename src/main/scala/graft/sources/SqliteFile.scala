@@ -34,9 +34,11 @@ import graft.api.FileTypeError
   * Scale note, same as [[SqlDump]]/[[SqliteJdbc]]: a SQLite file is an
   * inherently single-reader, single-node artifact. Rows are decoded
   * driver-side page-by-page (bounded memory per page; the file itself is
-  * never loaded whole) and handed to Spark as a local relation — the
-  * production pattern is ingest-once: open, write each table to parquet,
-  * query that. Schema mapping reuses [[SqlDump.parseDdl]] on the CREATE
+  * never loaded whole). [[open]] hands them to Spark as local relations
+  * and REFUSES files past `maxOpenBytes` (the decoded rows, not the
+  * decode, are what would OOM the driver); past the guard, [[ingest]]
+  * streams each table to parquet in bounded row batches — ingest-once as
+  * an operation, not advice. Schema mapping reuses [[SqlDump.parseDdl]] on the CREATE
   * statements stored in `sqlite_master`, so a `.db` and its `.dump` twin
   * open with IDENTICAL schemas (hash-compared in SqliteFileSpec) — except
   * BLOB columns, which the binary reader can represent faithfully as
@@ -44,9 +46,79 @@ import graft.api.FileTypeError
   */
 object SqliteFile {
 
-  def open(spark: SparkSession, path: String): Map[String, DataFrame] = {
+  /** Above this file size, [[open]] refuses to materialize driver-side
+    * local relations and directs the caller to [[ingest]] — decoded rows
+    * for a multi-GB file would OOM the driver long before the
+    * "ingest-once to parquet" advice in the scaladoc could apply.
+    * Overridable per call; 256 MB keeps every plausible fixture/config
+    * database under the fast path.
+    */
+  val DefaultMaxOpenBytes: Long = 256L << 20
+
+  def open(spark: SparkSession, path: String,
+      maxOpenBytes: Long = DefaultMaxOpenBytes): Map[String, DataFrame] = {
+    val fileLen = new java.io.File(path).length()
+    if (fileLen > maxOpenBytes)
+      throw new FileTypeError(
+        s"'$path' is $fileLen bytes (> $maxOpenBytes): opening would " +
+          "materialize every row on the driver. Ingest it to parquet " +
+          "instead — graft.sources.SqliteFile.ingest(spark, path, outDir) " +
+          "streams the decode in bounded row batches and returns " +
+          "parquet-backed DataFrames (or raise maxOpenBytes explicitly " +
+          "if the driver heap really has room).")
+    openUnchecked(spark, path)
+  }
+
+  private def openUnchecked(spark: SparkSession, path: String):
+      Map[String, DataFrame] = {
     val db = new Reader(path)
     try {
+      import scala.jdk.CollectionConverters._
+      tableIterators(db, path).map { case (name, schema, rowIt) =>
+        name -> spark.createDataFrame(rowIt.toSeq.asJava, schema)
+      }.toMap
+    } finally db.close()
+  }
+
+  /** Ingest-once made real: decode each table STREAMING — `batchRows`
+    * rows on the driver at a time, each batch appended to
+    * `outDir/<table>/` as parquet — and return parquet-backed
+    * DataFrames. This is the path for `.db` files past [[open]]'s
+    * size guard: driver memory is bounded by one batch regardless of
+    * file size (the page decoder underneath was always incremental;
+    * this stops the driver from holding the DECODED rows whole).
+    * Any prior ingest of the same table dir is replaced.
+    */
+  def ingest(spark: SparkSession, path: String, outDir: String,
+      batchRows: Int = 500000): Map[String, DataFrame] = {
+    require(batchRows > 0, s"batchRows must be positive, got $batchRows")
+    val db = new Reader(path)
+    try {
+      import scala.jdk.CollectionConverters._
+      tableIterators(db, path).map { case (name, schema, rowIt) =>
+        val dir = s"${outDir.stripSuffix("/")}/$name"
+        graft.ops.Layout.deleteRecursively(new java.io.File(dir))
+        var wrote = false
+        rowIt.grouped(batchRows).foreach { chunk =>
+          spark.createDataFrame(chunk.asJava, schema)
+            .write.mode("append").parquet(dir)
+          wrote = true
+        }
+        if (!wrote) // empty table still lands with its schema
+          spark.createDataFrame(
+            java.util.Collections.emptyList[Row](), schema)
+            .write.mode("overwrite").parquet(dir)
+        name -> spark.read.parquet(dir)
+      }.toMap
+    } finally db.close()
+  }
+
+  /** Per-table (name, schema, streaming row iterator) for every table in
+    * the file. Iterators decode lazily off the open [[Reader]] — the
+    * caller must fully consume them BEFORE closing it.
+    */
+  private def tableIterators(db: Reader, path: String):
+      Seq[(String, StructType, Iterator[Row])] = {
       val tables = db.masterTables()
       tables.map { case (name, rootPage, createSql) =>
         // split the DDL at the paren that CLOSES the column-list body
@@ -86,7 +158,7 @@ object SqliteFile {
         // them (NULL when none). Mirror that: pre-decode each column's
         // DEFAULT literal from the DDL once.
         val defaults: Seq[Any] = cols.map(c => defaultLiteral(c.sqlType))
-        val rows: Seq[Row] =
+        val rows: Iterator[Row] =
           if (withoutRowid) {
             // Index-b-tree layout: each entry's record holds the PRIMARY
             // KEY columns first (in PK-declaration order), then the
@@ -113,7 +185,7 @@ object SqliteFile {
                 coerce(raw, f.dataType, name, f.name, db.textCharset)
               }
               Row.fromSeq(vals)
-            }.toSeq
+            }
           } else {
             val ipkIdx = rowidAliasIndex(cols, createSql)
             db.tableRows(rootPage).map { case (rowid, rec) =>
@@ -125,12 +197,10 @@ object SqliteFile {
                 coerce(raw, f.dataType, name, f.name, db.textCharset)
               }
               Row.fromSeq(vals)
-            }.toSeq
+            }
           }
-        import scala.jdk.CollectionConverters._
-        name -> spark.createDataFrame(rows.asJava, schema)
-      }.toMap
-    } finally db.close()
+        (name, schema, rows)
+      }
   }
 
   /** The `CREATE VIEW` statements stored in the file, parsed to
