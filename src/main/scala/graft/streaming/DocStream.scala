@@ -338,8 +338,8 @@ object DocStream {
     * are allocated per WRITE, so a replayed micro-batch (failure between
     * write and checkpoint commit) appends again under a NEW id —
     * at-least-once, like the other append sinks here; consumers needing
-    * exactly-once dedup the replay by content key downstream
-    * ([[graft.ops.Layout.ingest]]'s screen composes for that).
+    * exactly-once dedup the replay by content key downstream, or write
+    * through [[ingestSink]] which builds that screen into the sink.
     */
   def versionedSink(streamDocs: DataFrame, dir: String, checkpointDir: String,
       partitionCol: String, sortCols: Seq[String]):
@@ -348,6 +348,32 @@ object DocStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         graft.ops.Layout.appendBatch(batch, dir, partitionCol, sortCols)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** Stream → EXACTLY-ONCE-content store: each micro-batch lands through
+    * [[graft.ops.Layout.ingest]]'s key screen instead of a plain append,
+    * so a micro-batch REPLAYED after a crash between the store write and
+    * the checkpoint commit re-arrives with every key already present and
+    * appends nothing — the at-least-once replay the other sinks document
+    * ([[versionedSink]]) is absorbed by content addressing, turning
+    * at-least-once delivery into exactly-once CONTENT. The same screen
+    * also drops late cross-batch duplicates (same key, later arrival),
+    * which is the crawl-ingest contract; a key whose PAYLOAD legitimately
+    * changes needs [[graft.ops.Layout.merge]] semantics, not ingest.
+    * Crash-simulated in StreamingSpec (kill after write, replay, count
+    * once) and gated end-to-end as q_stream_replay_ingest.
+    */
+  def ingestSink(streamDocs: DataFrame, dir: String, checkpointDir: String,
+      partitionCol: String, sortCols: Seq[String],
+      keyExpr: org.apache.spark.sql.Column):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    streamDocs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.Layout.ingest(batch, dir, partitionCol, sortCols, keyExpr)
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -265,6 +265,85 @@ class StreamingSpec extends SparkSuite {
     assert(!spark.read.parquet(outDir).columns.contains("__fp"))
   }
 
+  test("ingestSink: a micro-batch replayed after a crash between write and commit lands exactly once") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions.col
+    val srcDir = Files.createTempDirectory("graftreplay_src").toString
+    val store = Files.createTempDirectory("graftreplay_st").toString + "/store"
+    val ckpt = Files.createTempDirectory("graftreplay_ck").toString
+    def doc(id: Long, text: String) =
+      s"""{"doc_id":$id,"text":"$text","lang":"en","source":"s","n_chars":${text.length}}"""
+    val seenBatches = scala.collection.mutable.ArrayBuffer.empty[Long]
+    // the SAME store write ingestSink's foreachBatch makes, plus an
+    // injected crash AFTER the write and BEFORE Spark can record the
+    // batch commit in the checkpoint — the exact failure window the
+    // at-least-once scaladocs describe
+    def run(crashAfterWrite: Boolean): Unit = {
+      val q = DocStream.readDocs(spark, srcDir).writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          seenBatches += id
+          graft.ops.Layout.ingest(b, store, "lang", Seq("doc_id"), col("doc_id"))
+          if (crashAfterWrite)
+            throw new RuntimeException("simulated crash after write, before commit")
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    Files.write(java.nio.file.Paths.get(srcDir, "b1.json"),
+      Seq(doc(1, "alpha"), doc(2, "beta")).mkString("\n").getBytes)
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      run(crashAfterWrite = true)
+    }
+    // the write DID land before the crash — that is the hazard
+    assert(spark.read.parquet(store).count() === 2L)
+    // restart: offsets exist for batch 0 but no commit, so Spark REPLAYS
+    // it — the ingest screen must absorb the duplicate delivery
+    run(crashAfterWrite = false)
+    assert(seenBatches.count(_ == 0L) === 2L,
+      s"batch 0 was not replayed (seen=$seenBatches) — the test lost its hazard")
+    val afterReplay = spark.read.parquet(store)
+    assert(afterReplay.count() === 2L, "replayed batch appended again")
+    assert(afterReplay.select("doc_id").distinct().count() === 2L)
+    // a later batch re-sending doc 1's key plus a new doc: only the new
+    // one lands (the same screen is the cross-batch dedup)
+    Files.write(java.nio.file.Paths.get(srcDir, "b2.json"),
+      Seq(doc(1, "alpha"), doc(3, "gamma")).mkString("\n").getBytes)
+    run(crashAfterWrite = false)
+    val finalRows = spark.read.parquet(store)
+    assert(finalRows.count() === 3L)
+    assert(finalRows.select("doc_id").collect().map(_.getLong(0)).toSet ===
+      Set(1L, 2L, 3L))
+    // negative control: the plain versioned (append) sink under the SAME
+    // crash sequence double-lands the replayed batch — proving the replay
+    // is real and the screen, not luck, is what absorbed it above
+    val store2 = Files.createTempDirectory("graftreplay_s2").toString + "/st"
+    val ckpt2 = Files.createTempDirectory("graftreplay_c2").toString
+    val src2 = Files.createTempDirectory("graftreplay_r2").toString
+    Files.write(java.nio.file.Paths.get(src2, "b1.json"),
+      Seq(doc(1, "alpha"), doc(2, "beta")).mkString("\n").getBytes)
+    def runAppend(crash: Boolean): Unit = {
+      val q = DocStream.readDocs(spark, src2).writeStream
+        .option("checkpointLocation", ckpt2)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          graft.ops.Layout.appendBatch(b, store2, "lang", Seq("doc_id"))
+          if (crash) throw new RuntimeException("crash")
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      runAppend(crash = true)
+    }
+    runAppend(crash = false)
+    assert(spark.read.parquet(store2).count() === 4L,
+      "at-least-once append should have double-landed the replayed batch")
+  }
+
   test("state-store dedup: null-text documents all pass through, never deduped") {
     val srcDir = Files.createTempDirectory("graftssn_src").toString
     val outDir = Files.createTempDirectory("graftssn_out").toString + "/out"
