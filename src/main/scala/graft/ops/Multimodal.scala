@@ -339,6 +339,121 @@ object Multimodal {
   def dHashDistance(hi1: Long, lo1: Long, hi2: Long, lo2: Long): Int =
     java.lang.Long.bitCount(hi1 ^ hi2) + java.lang.Long.bitCount(lo1 ^ lo2)
 
+  // ---- pHash: DCT low-frequency perceptual hash ------------------------
+
+  /** pHash geometry: a 16×16 nearest-neighbor sample of the decoded
+    * intensities, its 2D DCT's top-left 8×8 low-frequency block, cosines
+    * in 2^14 fixed point. The cosine table is computed ONCE here and the
+    * SAME integer constants are inlined verbatim into the oracle SQL
+    * (TextOps builds the literal from this array), so both engines run
+    * identical integer arithmetic end to end — a floating-point DCT
+    * would leave the bit-for-bit replay hostage to libm ulp differences
+    * between the JVM and DuckDB.
+    */
+  private[graft] val PhGrid = 16
+  private[graft] val PhBlock = 8
+  private[graft] lazy val phCosTable: Array[Array[Long]] =
+    Array.tabulate(PhBlock, PhGrid) { (u, x) =>
+      math.round(
+        math.cos(math.Pi * (2 * x + 1) * u / (2.0 * PhGrid)) * (1L << 14))
+    }
+
+  /** The 64 pHash bits of a decoded intensity grid: sample 16×16
+    * (truncating-integer nearest neighbor, [[dHashBits]]' convention),
+    * rescale intensities to exact 0..255 integers, integer-DCT the grid,
+    * keep the 8×8 low-frequency block, and set bit `u·8+v` iff its
+    * coefficient exceeds the MEDIAN (32nd smallest — deterministic, no
+    * even-count averaging) of the 63 non-DC coefficients. The DC bit is
+    * pinned 0: it carries overall brightness, not structure. Where dHash
+    * fingerprints local row gradients (cheap, edit-sensitive), the DCT
+    * block sees global low-frequency structure — stable under small
+    * pixel edits, re-encoding and resizing; the two families disagree
+    * exactly where that distinction matters (measured in OpsSpec).
+    */
+  private[ops] def pHashBits(pix: Array[Double], w: Int, h: Int): Array[Boolean] = {
+    require(w > 0 && h > 0 && pix.length >= w * h,
+      s"pHash: need a positive ${w}x$h pixel grid, got ${pix.length} pixels")
+    val g = new Array[Long](PhGrid * PhGrid)
+    var r = 0
+    while (r < PhGrid) {
+      val sr = r * h / PhGrid
+      var c = 0
+      while (c < PhGrid) {
+        // exact for the stub codec's b/255.0 pixels (rint recovers b) and
+        // a stable 0..255 quantization for real decoded luma
+        g(r * PhGrid + c) =
+          math.rint(pix(sr * w + c * w / PhGrid) * 255.0).toLong
+        c += 1
+      }
+      r += 1
+    }
+    // integer 2D DCT, top-left 8×8: |ct|<=2^14, pixel<=255, 256 terms —
+    // max |coeff| ~ 1.8e13, far inside Long
+    val coeffs = new Array[Long](PhBlock * PhBlock)
+    var u = 0
+    while (u < PhBlock) {
+      var v = 0
+      while (v < PhBlock) {
+        var acc = 0L
+        var rr = 0
+        while (rr < PhGrid) {
+          val cu = phCosTable(u)(rr)
+          var cc = 0
+          while (cc < PhGrid) {
+            acc += cu * phCosTable(v)(cc) * g(rr * PhGrid + cc)
+            cc += 1
+          }
+          rr += 1
+        }
+        coeffs(u * PhBlock + v) = acc
+        v += 1
+      }
+      u += 1
+    }
+    val nonDc = coeffs.drop(1).sorted
+    val med = nonDc(31)
+    val bits = new Array[Boolean](64)
+    var i = 1
+    while (i < 64) { bits(i) = coeffs(i) > med; i += 1 }
+    bits
+  }
+
+  /** Per-image 64-bit pHash as two 32-bit halves (`media_id`, `phash_hi`,
+    * `phash_lo`) — same packing, decode pass, and distributed shape as
+    * [[dHash]]; see [[pHashBits]] for the hash itself.
+    */
+  def pHash(media: Dataset[MediaRow],
+      codec: MediaCodec = StubCodec): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, pix) = codec.decode(r.payload, r.width, r.height)
+        val bits = pHashBits(pix, w, h)
+        var hi = 0L
+        var lo = 0L
+        var i = 0
+        while (i < bits.length) {
+          if (bits(i)) {
+            if (i >= 32) hi |= 1L << (i - 32) else lo |= 1L << i
+          }
+          i += 1
+        }
+        (r.media_id, hi, lo)
+      }
+    }.toDF("media_id", "phash_hi", "phash_lo")
+  }
+
+  /** [[dHashNearDupPairs]] over a [[pHash]] table — identical 4×16-band
+    * machinery and pigeonhole guarantee (the banding never looks inside
+    * the bits), just the other hash family's columns.
+    */
+  def pHashNearDupPairs(hashes: DataFrame, idCol: String,
+      maxDist: Int = 3): DataFrame =
+    dHashNearDupPairs(
+      hashes.withColumnRenamed("phash_hi", "dhash_hi")
+        .withColumnRenamed("phash_lo", "dhash_lo"),
+      idCol, maxDist)
+
   /** Near-duplicate image pairs at Hamming distance <= `maxDist` over a
     * [[dHash]] table `(idCol, dhash_hi, dhash_lo)` — the pairing half of
     * perceptual dedup, O(candidates) not O(n²): the 64 bits split into

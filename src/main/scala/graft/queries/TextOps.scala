@@ -761,6 +761,84 @@ object TextOps {
         |  cast(list_sum([ bits[i + 1] * (1::BIGINT << i) for i in range(0, 32) ]) AS BIGINT) AS dhash_lo
         |FROM b ORDER BY media_id""".stripMargin),
 
+    // -- SECOND perceptual family: pHash — 16×16 sample → integer 2D DCT
+    //    → 8×8 low-frequency block → bits vs the median coefficient
+    //    (Multimodal.pHashBits). The DCT runs in 2^14 fixed point off a
+    //    cosine table computed once in Scala and inlined into this very
+    //    SQL (phCt below) — identical integer arithmetic on both engines,
+    //    so the oracle replays every bit exactly like the dHash gate ----
+    ("q_image_phash",
+      (s: SparkSession, d: String) => {
+        val media = graft.ops.Multimodal.syntheticMediaTable(s,
+          t(s, d, "documents")
+            .filter(col("doc_id") < 200 && length(col("text")) > 0),
+          "doc_id", "text")
+        graft.ops.Multimodal.pHash(media).orderBy("media_id")
+      },
+      s"""WITH m AS (
+         |  SELECT doc_id AS media_id, text,
+         |    (doc_id % 64) + 32 AS w, (doc_id % 48) + 24 AS h,
+         |    octet_length(encode(text)) AS len
+         |  FROM documents WHERE doc_id < 200 AND length(text) > 0),
+         |$phHashCtes
+         |SELECT media_id,
+         |  cast(list_sum([ bits[i + 33] * (1::BIGINT << i) for i in range(0, 32) ]) AS BIGINT) AS phash_hi,
+         |  cast(list_sum([ bits[i + 1] * (1::BIGINT << i) for i in range(0, 32) ]) AS BIGINT) AS phash_lo
+         |FROM b ORDER BY media_id""".stripMargin),
+
+    // -- pHash near-dup PAIRING under the gate: same fixture as
+    //    q_image_neardup (copy +1000, one-char edit +2000), paired via
+    //    the SAME 4×16 band join (the banding never looks inside the
+    //    bits), verified against brute-force all-pairs Hamming over the
+    //    replayed pHashes — completeness proven for the second family
+    //    too. The low-frequency block shrugs off the one-char edit that
+    //    dHash's local gradients register, so the confirmed pair set is
+    //    a superset of dHash's on this fixture (disagreement measured in
+    //    OpsSpec on real re-encoded images) ------------------------------
+    ("q_image_phash_pairs",
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        val base = t(s, d, "documents")
+          .filter(col("doc_id") < 200 && length(col("text")) >= 20)
+          .select(col("doc_id"), col("text"),
+            (pmod(col("doc_id"), lit(64)) + 32).cast("int").as("width"),
+            (pmod(col("doc_id"), lit(48)) + 24).cast("int").as("height"))
+        val media = base.select(col("doc_id").as("media_id"),
+            col("text"), col("width"), col("height"))
+          .unionByName(base.select((col("doc_id") + 1000L).as("media_id"),
+            col("text"), col("width"), col("height")))
+          .unionByName(base.select((col("doc_id") + 2000L).as("media_id"),
+            expr("substr(text, 1, 9) || 'Z' || substr(text, 11)").as("text"),
+            col("width"), col("height")))
+          .select(col("media_id"), col("text").cast("binary").as("payload"),
+            lit("fakeimg").as("format"), col("width"), col("height"))
+          .as[graft.ops.Multimodal.MediaRow]
+        graft.ops.Multimodal.pHashNearDupPairs(
+            graft.ops.Multimodal.pHash(media), "media_id", maxDist = 3)
+          .orderBy("a", "b")
+      },
+      s"""WITH src AS (
+         |  SELECT doc_id, text, (doc_id % 64) + 32 AS w, (doc_id % 48) + 24 AS h
+         |  FROM documents WHERE doc_id < 200 AND length(text) >= 20),
+         |m AS (
+         |  SELECT doc_id AS media_id, text, w, h, octet_length(encode(text)) AS len FROM src
+         |  UNION ALL
+         |  SELECT doc_id + 1000, text, w, h, octet_length(encode(text)) FROM src
+         |  UNION ALL
+         |  SELECT doc_id + 2000, substr(text, 1, 9) || 'Z' || substr(text, 11), w, h,
+         |    octet_length(encode(substr(text, 1, 9) || 'Z' || substr(text, 11))) FROM src),
+         |$phHashCtes,
+         |hx AS (
+         |  SELECT media_id,
+         |    cast(list_sum([ bits[i + 33] * (1::BIGINT << i) for i in range(0, 32) ]) AS BIGINT) AS hi,
+         |    cast(list_sum([ bits[i + 1] * (1::BIGINT << i) for i in range(0, 32) ]) AS BIGINT) AS lo
+         |  FROM b)
+         |SELECT a, b, dist FROM (
+         |  SELECT h1.media_id AS a, h2.media_id AS b,
+         |    cast(bit_count(xor(h1.hi, h2.hi)) + bit_count(xor(h1.lo, h2.lo)) AS BIGINT) AS dist
+         |  FROM hx h1 JOIN hx h2 ON h1.media_id < h2.media_id)
+         |WHERE dist <= 3 ORDER BY a, b""".stripMargin),
+
     // -- perceptual near-dup PAIRING under the gate: the corpus plus an
     //    exact copy (+1000, same declared dims) and a one-character edit
     //    (+2000) per doc, dHashed, then paired via the 4×16-bit band join
@@ -986,4 +1064,36 @@ object TextOps {
         |  cast(length(t0) - length(regexp_replace(t0, '[\x{0400}-\x{04ff}]', '', 'g')) AS BIGINT) AS n_cyrillic
         |FROM e ORDER BY doc_id""".stripMargin)
   )
+
+  /** The shared pHash CTE chain for the q_image_phash* oracles. Expects an
+    * upstream CTE `m(media_id, text, w, h, len)`; yields `b(media_id,
+    * bits)`. Mirrors [[graft.ops.Multimodal.pHashBits]] term for term:
+    * 16×16 truncating nearest-neighbor sample of the stub pixels (byte ==
+    * ord, corpus is ASCII), integer DCT via the INLINED fixed-point cosine
+    * table — the same `Multimodal.phCosTable` longs the Spark kernel
+    * multiplies, so there is no cross-engine cos() to disagree — 8×8
+    * low-frequency block, bit = coefficient > 32nd-smallest non-DC
+    * coefficient, DC bit pinned 0.
+    */
+  private lazy val phHashCtes: String = {
+    val ct = graft.ops.Multimodal.phCosTable.flatten.mkString("[", ", ", "]")
+    s"""t AS (SELECT $ct AS ct),
+       |gg AS (
+       |  SELECT media_id,
+       |    [ ord(substr(text, ((((p // 16) * h) // 16) * w + (((p % 16) * w) // 16)) % len + 1, 1))
+       |      for p in range(0, 256) ] AS g
+       |  FROM m),
+       |co AS (
+       |  SELECT media_id,
+       |    [ list_sum([ cast(ct[((uv // 8) * 16) + (i // 16) + 1] AS BIGINT) * ct[((uv % 8) * 16) + (i % 16) + 1] * g[i + 1]
+       |                 for i in range(0, 256) ])
+       |      for uv in range(0, 64) ] AS c
+       |  FROM gg, t),
+       |md AS (SELECT media_id, c, list_sort(c[2:64])[32] AS med FROM co),
+       |b AS (
+       |  SELECT media_id,
+       |    [ CASE WHEN i = 0 THEN 0 WHEN c[i + 1] > med THEN 1 ELSE 0 END
+       |      for i in range(0, 64) ] AS bits
+       |  FROM md)""".stripMargin
+  }
 }

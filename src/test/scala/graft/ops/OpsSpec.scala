@@ -506,6 +506,88 @@ class OpsSpec extends SparkSuite {
       hs(1L)._1, hs(1L)._2, hs(2L)._1, hs(2L)._2) <= 4)
   }
 
+  test("Multimodal: pHash vs dHash on real re-encodes — copy 0, low-freq stability, inversion far") {
+    import spark.implicits._
+    val base = gradientPng(32, 32)
+    val copy = gradientPng(32, 32)
+    val perturbed = gradientPng(32, 32, perturb = Set((5, 5), (20, 11)))
+    // lossy JPEG re-encode of the same pixels — the canonical "same image,
+    // different bytes" corpus event both families exist for
+    val jpeg = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(base))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val inverted = {
+      val img = new java.awt.image.BufferedImage(32, 32,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 32; x <- 0 until 32) {
+        val v = (31 - x) * 255 / 31
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // genuinely different 2-D content: deterministic pseudo-noise texture
+    val noise = {
+      val img = new java.awt.image.BufferedImage(32, 32,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 32; x <- 0 until 32) {
+        val v = (x * 37 + y * 101 + x * y * 13) % 256
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      Multimodal.MediaRow(1L, base, "png", 32, 32),
+      Multimodal.MediaRow(2L, copy, "png", 32, 32),
+      Multimodal.MediaRow(3L, perturbed, "png", 32, 32),
+      Multimodal.MediaRow(4L, jpeg, "jpg", 32, 32),
+      Multimodal.MediaRow(5L, inverted, "png", 32, 32),
+      Multimodal.MediaRow(6L, noise, "png", 32, 32))
+    val ph = Multimodal.pHash(rows.toDS(), Multimodal.ImageIoCodec)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val dh = Multimodal.dHash(rows.toDS(), Multimodal.ImageIoCodec)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def pd(a: Long, b: Long): Int =
+      Multimodal.dHashDistance(ph(a)._1, ph(a)._2, ph(b)._1, ph(b)._2)
+    def dd(a: Long, b: Long): Int =
+      Multimodal.dHashDistance(dh(a)._1, dh(a)._2, dh(b)._1, dh(b)._2)
+    assert(pd(1L, 2L) == 0, "byte-identical content -> identical pHash")
+    // the families DISAGREE exactly where they should: pixel edits touch
+    // local gradients (dHash) but barely move the low-frequency block
+    assert(pd(1L, 3L) <= dd(1L, 3L),
+      s"pHash ${pd(1L, 3L)} should be at most dHash ${dd(1L, 3L)} on local edits")
+    assert(pd(1L, 3L) <= 3, s"two edited pixels stay pHash-near (${pd(1L, 3L)})")
+    assert(pd(1L, 4L) <= 3, s"JPEG re-encode stays pHash-near (${pd(1L, 4L)})")
+    // the mirrored 1-D gradient lives in ~8 DCT coefficients (odd-u terms
+    // negate, even ones survive), so it clears the near-dup threshold but
+    // not by much — the 1-D blind spot dHash covers (dd(1,5) >= 48 above)
+    assert(pd(1L, 5L) > 3, s"inverted gradient is beyond near-dup (${pd(1L, 5L)})")
+    assert(dd(1L, 5L) >= 48, s"dHash sees the inversion everywhere (${dd(1L, 5L)})")
+    // 2-D content change: far for BOTH families
+    assert(pd(1L, 6L) >= 12, s"noise texture is pHash-far (${pd(1L, 6L)})")
+    assert(dd(1L, 6L) >= 12, s"noise texture is dHash-far (${dd(1L, 6L)})")
+  }
+
+  test("Multimodal: pHash resize invariance") {
+    import spark.implicits._
+    val big = gradientPng(64, 64)
+    val small = Multimodal.resizePng(big, 16, 16)
+    val rows = Seq(
+      Multimodal.MediaRow(1L, big, "png", 64, 64),
+      Multimodal.MediaRow(2L, small, "png", 16, 16))
+    val hs = Multimodal.pHash(rows.toDS(), Multimodal.ImageIoCodec)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(Multimodal.dHashDistance(
+      hs(1L)._1, hs(1L)._2, hs(2L)._1, hs(2L)._2) <= 4)
+  }
+
   test("Multimodal: REAL javax.sound WAV decode — sine features match closed forms") {
     import spark.implicits._
     // a pure sine of amplitude a has RMS a/sqrt(2) and crosses zero 2f
