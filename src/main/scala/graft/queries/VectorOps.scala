@@ -192,6 +192,14 @@ object VectorOps {
   private val KmDim = 64
   private val KmQuant = 1000000L
   private val KmNProbe = 3
+  // PQ params (declared BEFORE `entries`, which evaluates the oracle
+  // builders at object init): 4 subspaces × 16 dims, 4 codes each, 2
+  // exact Lloyd rounds, ADC shortlist of 10 re-ranked to top 5
+  private val PqM = 4
+  private val PqSub = KmDim / PqM
+  private val PqKs = 4
+  private val PqIters = 2
+  private val PqShort = 10
 
   val entries: Seq[(String, Fn, String)] = Seq(
 
@@ -548,6 +556,85 @@ object VectorOps {
          |SELECT qid, vec_id, round(cos, 4) AS cos FROM ranked WHERE rk <= 5
          |ORDER BY qid, vec_id""".stripMargin),
 
+    // -- PQ/ADC under ONE static oracle: per-subvector codebooks trained
+    //    by the SAME exact-integer Lloyd recurrence (4 subspaces × 16
+    //    dims, ks=4, 2 iters), the corpus ENCODED to 4 small codes per
+    //    vector, queries answered via ADC — a broadcast m×ks lookup table
+    //    of exact subspace distances, approximate distance = 4 table
+    //    lookups + adds per corpus row (never dim-length arithmetic in
+    //    the scan) — shortlist top-10 by integer ADC distance, then the
+    //    standard exact-cosine re-rank of the shortlist to top-5. DuckDB
+    //    replays codebooks, codes, tables, shortlist and re-rank
+    //    identically, so the hash compare grades the ENTIRE IVF-PQ-style
+    //    retrieval stack, training included ------------------------------
+    ("q_ann_pq",
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        val emb = t(s, d, "embeddings")
+        val corpus = emb.filter(col("vec_id") >= 3)
+        val model = graft.ops.Pq.train(corpus, "vec_id", "embedding",
+          m = PqM, ks = PqKs, iters = PqIters, quant = KmQuant)
+        val codes = graft.ops.Pq.encode(corpus, "vec_id", "embedding", model)
+        val luts = graft.ops.Lloyd
+          .quantize(emb.filter(col("vec_id") < 3), "vec_id", "embedding", KmQuant)
+          .collect()
+          .map { r => (r.getLong(0),
+            graft.ops.Pq.lookupTable(r.getSeq[Long](1).toArray, model)) }
+          .toSeq.toDF("qid", "lut")
+        // shortlist via the mergeable bounded-heap aggregation, not a
+        // per-query window — see Pq.adcShortlist's scaladoc
+        val short = graft.ops.Pq.adcShortlist(codes, luts, PqKs, PqShort)
+        val w = org.apache.spark.sql.expressions.Window
+        val ce = corpus.select(col("vec_id"), col("embedding").as("v"),
+          sqrt(vecDot(col("embedding"), col("embedding"))).as("nrm"))
+        val qv = emb.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+            sqrt(vecDot(col("embedding"), col("embedding"))).as("qnrm"))
+        // the shortlist (queries × PqShort rows) broadcasts; the corpus
+        // side is filtered map-side, never exchanged
+        ce.join(broadcast(short), "vec_id").join(broadcast(qv), "qid")
+          .select(col("qid"), col("vec_id"),
+            (vecDot(col("v"), col("qv")) / (col("nrm") * col("qnrm")))
+              .as("cos_raw"))
+          .withColumn("rk", row_number().over(
+            w.partitionBy("qid").orderBy(desc("cos_raw"), asc("vec_id"))))
+          .filter(col("rk") <= 5)
+          .select(col("qid"), col("vec_id"), round(col("cos_raw"), 4).as("cos"))
+          .orderBy("qid", "vec_id")
+      },
+      s"""WITH ${(0 until PqM).map(pqSubCtes).mkString(",\n")},
+         |${(0 until PqM).map(pqCodeLutCtes).mkString(",\n")},
+         |adist AS (
+         |  SELECT l0.qid, a0.vec_id, l0.d + l1.d + l2.d + l3.d AS ad
+         |  FROM asn0 a0
+         |  JOIN asn1 a1 USING (vec_id) JOIN asn2 a2 USING (vec_id)
+         |  JOIN asn3 a3 USING (vec_id)
+         |  JOIN lut0 l0 ON l0.cl = a0.code
+         |  JOIN lut1 l1 ON l1.cl = a1.code AND l1.qid = l0.qid
+         |  JOIN lut2 l2 ON l2.cl = a2.code AND l2.qid = l0.qid
+         |  JOIN lut3 l3 ON l3.cl = a3.code AND l3.qid = l0.qid),
+         |short AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id,
+         |      row_number() OVER (PARTITION BY qid ORDER BY ad, vec_id) AS rk
+         |    FROM adist)
+         |  WHERE rk <= $PqShort),
+         |ce AS (SELECT vec_id, [ cast(x AS DOUBLE) for x in embedding ] AS v
+         |       FROM embeddings WHERE vec_id >= 3),
+         |qvv AS (SELECT vec_id AS qid, [ cast(x AS DOUBLE) for x in embedding ] AS qv
+         |        FROM embeddings WHERE vec_id < 3),
+         |scored AS (
+         |  SELECT s.qid, s.vec_id,
+         |    list_dot_product(ce.v, qvv.qv) /
+         |      (sqrt(list_dot_product(ce.v, ce.v)) * sqrt(list_dot_product(qvv.qv, qvv.qv))) AS cos
+         |  FROM short s JOIN ce ON ce.vec_id = s.vec_id JOIN qvv ON qvv.qid = s.qid),
+         |ranked AS (
+         |  SELECT qid, vec_id, cos,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+         |  FROM scored)
+         |SELECT qid, vec_id, round(cos, 4) AS cos FROM ranked WHERE rk <= 5
+         |ORDER BY qid, vec_id""".stripMargin),
+
     // -- contrastive TRIPLET mining for embedding training: per anchor one
     //    same-label positive and one cross-label negative, both picked by
     //    a deterministic md5 rank over (anchor, candidate) — seedless,
@@ -705,4 +792,64 @@ object VectorOps {
        |  SELECT cast(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cl, q AS c, cast(0 AS BIGINT) AS n
        |  FROM (SELECT vec_id, q FROM e ORDER BY vec_id LIMIT $KmK)),
        |${(1 to KmIters).map(kmeansIterCte).mkString(",\n")}""".stripMargin
+
+  // -- PQ oracle: per-subspace replay of the SAME exact-integer Lloyd
+  //    recurrence (kmeansIterCte's structure with subspace-suffixed CTE
+  //    names and the sliced, PqSub-dim vectors), then codes, per-query
+  //    ADC lookup tables, and the table-lookup distance sum ------------
+
+  /** One subspace's e/c0 + unrolled iteration CTEs over the sliced
+    * embedding (`embedding[lo:hi]`, DuckDB 1-based inclusive slice —
+    * matching Spark's `slice(vec, j*sub+1, sub)`).
+    */
+  private def pqSubCtes(j: Int): String = {
+    val lo = j * PqSub + 1
+    val hi = (j + 1) * PqSub
+    val init =
+      s"""e$j AS (
+         |  SELECT vec_id, [ cast(floor(cast(x AS DOUBLE) * $KmQuant) AS BIGINT) for x in embedding[$lo:$hi] ] AS q
+         |  FROM embeddings WHERE vec_id >= 3),
+         |c${j}_0 AS (
+         |  SELECT cast(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cl, q AS c, cast(0 AS BIGINT) AS n
+         |  FROM (SELECT vec_id, q FROM e$j ORDER BY vec_id LIMIT $PqKs))""".stripMargin
+    val iters = (1 to PqIters).map { i =>
+      val prev = s"c${j}_${i - 1}"
+      s"""d${j}_$i AS (
+         |  SELECT e.vec_id, e.q, c.cl,
+         |    cast(list_sum([ (e.q[i]-c.c[i])*(e.q[i]-c.c[i]) for i in range(1, ${PqSub + 1}) ]) AS BIGINT) AS dist
+         |  FROM e$j e CROSS JOIN $prev c),
+         |a${j}_$i AS (
+         |  SELECT vec_id, q, cl FROM (
+         |    SELECT vec_id, q, cl, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rk FROM d${j}_$i)
+         |  WHERE rk = 1),
+         |m${j}_$i AS (
+         |  SELECT cl, pos, cast(sum(val) // count(*) AS BIGINT) AS cval, count(*) AS n
+         |  FROM (SELECT cl, unnest(q) AS val, unnest(range(0, $PqSub)) AS pos FROM a${j}_$i)
+         |  GROUP BY 1, 2),
+         |c${j}_$i AS (
+         |  SELECT cl, list(cval ORDER BY pos) AS c, any_value(n) AS n FROM m${j}_$i GROUP BY 1
+         |  UNION ALL
+         |  SELECT cl, c, 0 AS n FROM $prev WHERE cl NOT IN (SELECT cl FROM a${j}_$i))""".stripMargin
+    }
+    (init +: iters).mkString(",\n")
+  }
+
+  /** One subspace's final code assignment + per-query ADC lookup rows. */
+  private def pqCodeLutCtes(j: Int): String = {
+    val lo = j * PqSub + 1
+    val hi = (j + 1) * PqSub
+    s"""asn$j AS (
+       |  SELECT vec_id, cl AS code FROM (
+       |    SELECT e.vec_id, c.cl,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        cast(list_sum([ (e.q[i]-c.c[i])*(e.q[i]-c.c[i]) for i in range(1, ${PqSub + 1}) ]) AS BIGINT), c.cl) AS rk
+       |    FROM e$j e CROSS JOIN c${j}_$PqIters c) WHERE rk = 1),
+       |qq$j AS (
+       |  SELECT vec_id AS qid, [ cast(floor(cast(x AS DOUBLE) * $KmQuant) AS BIGINT) for x in embedding[$lo:$hi] ] AS q
+       |  FROM embeddings WHERE vec_id < 3),
+       |lut$j AS (
+       |  SELECT qq.qid, c.cl,
+       |    cast(list_sum([ (qq.q[i]-c.c[i])*(qq.q[i]-c.c[i]) for i in range(1, ${PqSub + 1}) ]) AS BIGINT) AS d
+       |  FROM qq$j qq CROSS JOIN c${j}_$PqIters c)""".stripMargin
+  }
 }

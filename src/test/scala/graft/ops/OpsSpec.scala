@@ -588,6 +588,43 @@ class OpsSpec extends SparkSuite {
       hs(1L)._1, hs(1L)._2, hs(2L)._1, hs(2L)._2) <= 4)
   }
 
+  test("Pq: ADC table-lookup distance equals the exact code-to-query distance") {
+    import org.apache.spark.sql.functions._
+    val corpus = emb.filter(col("vec_id") >= 3).limit(100)
+    val model = Pq.train(corpus, "vec_id", "embedding", m = 4, ks = 4, iters = 2)
+    assert(model.m == 4 && model.ks == 4 && model.subDim == 16)
+    val codes = Pq.encode(corpus, "vec_id", "embedding", model)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toArray).toMap
+    // one query, quantized driver-side exactly like Lloyd.quantize
+    val q = Lloyd.quantize(emb.filter(col("vec_id") === 0), "vec_id",
+      "embedding", 1000000L).head().getSeq[Long](1).toArray
+    val lut = Pq.lookupTable(q, model)
+    // Spark-side ADC over the codes column
+    val sp = spark
+    import sp.implicits._
+    val lutDf = Seq((0L, lut.toSeq)).toDF("qid", "lut")
+    val adc = Pq.encode(corpus, "vec_id", "embedding", model)
+      .crossJoin(broadcast(lutDf))
+      .select(col("id"), Pq.adcDistance(col("codes"), col("lut"), model.ks))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // independent recompute: sum of exact subspace distances between the
+    // query slices and each point's ASSIGNED centroids
+    for ((id, cs) <- codes) {
+      val expected = (0 until model.m).map { j =>
+        val cent = model.sub(j).centroids(cs(j))
+        (0 until model.subDim).map { i =>
+          val d = q(j * model.subDim + i) - cent(i)
+          d * d
+        }.sum
+      }.sum
+      assert(adc(id) === expected, s"ADC mismatch for $id")
+    }
+    // the compression claim: codes are m ints per vector, and every code
+    // addresses a real centroid
+    assert(codes.values.forall(cs =>
+      cs.length == model.m && cs.forall(c => c >= 0 && c < model.ks)))
+  }
+
   test("Multimodal: REAL javax.sound WAV decode — sine features match closed forms") {
     import spark.implicits._
     // a pure sine of amplitude a has RMS a/sqrt(2) and crosses zero 2f
