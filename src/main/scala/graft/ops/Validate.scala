@@ -255,6 +255,72 @@ object Validate {
             6)).as("tv"))
   }
 
+  /** Population Stability Index over a [[driftHistogram]] result — the
+    * monitoring pair's log-sensitive half: where TV weighs every count
+    * move linearly, PSI's `(p_cur − p_ref)·ln(p_cur/p_ref)` terms blow up
+    * on buckets whose SHARE collapses or explodes, the "a tail appeared /
+    * vanished" alarm (conventional read: <0.1 stable, 0.1–0.25 drifting,
+    * >0.25 shifted). Add-one smoothing on every bucket count (zero
+    * buckets are expected — underflow/overflow rows — and raw PSI is
+    * undefined there); the ln of each share ratio is rounded to 6 places
+    * (the LmOps convention for cross-engine transcendentals), each term
+    * rounded to 6 and summed as DECIMAL — order-independent, so the
+    * result is partitioning-stable. One row: (n_ref, n_cur, psi).
+    * Degenerate poles mirror [[totalVariation]]: both sides empty → 0;
+    * one side empty → the smoothed formula still applies (finite, large).
+    */
+  def psi(drift: DataFrame): DataFrame = {
+    val totals = drift.agg(sum(col("n_ref")).as("t_ref"),
+      sum(col("n_cur")).as("t_cur"), count(lit(1)).as("nb"))
+    val pr = (col("n_ref") + 1).cast("double") /
+      (col("t_ref") + col("nb")).cast("double")
+    val pc = (col("n_cur") + 1).cast("double") /
+      (col("t_cur") + col("nb")).cast("double")
+    val term = round((pc - pr) * round(log(pc / pr), 6), 6)
+      .cast(org.apache.spark.sql.types.DecimalType(18, 6))
+    drift.crossJoin(broadcast(totals))
+      .agg(coalesce(first(col("t_ref")), lit(0L)).as("n_ref"),
+        coalesce(first(col("t_cur")), lit(0L)).as("n_cur"),
+        round(sum(term).cast("double"), 6).as("psi"))
+      .select(col("n_ref"), col("n_cur"),
+        when(col("n_ref") === 0L && col("n_cur") === 0L, lit(0.0))
+          .otherwise(col("psi")).as("psi"))
+  }
+
+  /** Kolmogorov–Smirnov statistic over a [[driftHistogram]] result: the
+    * maximum CDF gap across bucket boundaries, D = max_b |F_ref(b) −
+    * F_cur(b)| — TV's order-aware sibling (a distribution SHIFT moves
+    * all mass one way and maximizes one cumulative gap; symmetric noise
+    * that TV counts twice partially cancels in the CDF). Exact
+    * cross-multiplied integers until one final rounded division, like
+    * [[totalVariation]]. The cumulative window is partitionless BY
+    * CONSTRUCTION on a buckets-sized aggregate (≤ buckets+2 rows), never
+    * data — same justification as the repr window in Parity. One row:
+    * (n_ref, n_cur, ks); poles as in totalVariation.
+    */
+  def ksStatistic(drift: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(19, 0)
+    val w = org.apache.spark.sql.expressions.Window.orderBy("bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val totals = drift.agg(sum(col("n_ref")).as("t_ref"),
+      sum(col("n_cur")).as("t_cur"))
+    drift
+      .select(col("bucket"),
+        sum(col("n_ref")).over(w).as("c_ref"),
+        sum(col("n_cur")).over(w).as("c_cur"))
+      .crossJoin(broadcast(totals))
+      .agg(coalesce(first(col("t_ref")), lit(0L)).as("n_ref"),
+        coalesce(first(col("t_cur")), lit(0L)).as("n_cur"),
+        max(abs(col("c_ref").cast(dec) * col("t_cur").cast(dec) -
+          col("c_cur").cast(dec) * col("t_ref").cast(dec))).as("gap"))
+      .select(col("n_ref"), col("n_cur"),
+        when(col("n_ref") === 0L && col("n_cur") === 0L, lit(0.0))
+          .when(col("n_ref") === 0L || col("n_cur") === 0L, lit(1.0))
+          .otherwise(round(col("gap").cast("double") /
+            (col("n_ref").cast("double") * col("n_cur").cast("double")),
+            6)).as("ks"))
+  }
+
   def totalVariation(drift: DataFrame): DataFrame = {
     // DECIMAL(19,0) inputs -> exact DECIMAL(38,0) products (counts are
     // < 1e12 even at 100 TB; 19+19 digits never truncates)

@@ -296,6 +296,60 @@ object ProfileOps {
         |  round(cast(l1 AS DOUBLE) / (2.0 * tr * tc), 6) AS tv
         |FROM j, t, l ORDER BY bucket""".stripMargin),
 
+    // -- the standard drift-monitoring TRIPLE on one histogram: exact TV
+    //    (linear mass moves), PSI (log-sensitive share collapse/explosion,
+    //    add-one smoothed, every ln rounded to 6 per the LmOps
+    //    transcendental convention, terms decimal-summed order-free) and
+    //    the KS statistic (max CDF gap — exact cross-multiplied integers
+    //    like TV; its cumulative window runs over the buckets-sized
+    //    aggregate, never data). One buckets-sized frame feeds all three -
+    ("q_drift_psi",
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        val cur = docs.filter(col("n_chars") <= 450)
+          .unionByName(docs.filter(col("n_chars") < 150))
+        val drift = graft.ops.Validate.driftHistogram(
+            docs, cur, "n_chars", lo = 0.0, width = 50.0, buckets = 10)
+          .localCheckpoint(true)
+        graft.ops.Validate.totalVariation(drift)
+          .crossJoin(broadcast(
+            graft.ops.Validate.psi(drift).select(col("psi"))))
+          .crossJoin(broadcast(
+            graft.ops.Validate.ksStatistic(drift).select(col("ks"))))
+      },
+      """WITH ref AS (
+        |  SELECT cast(least(greatest(floor((cast(n_chars AS DOUBLE) - 0.0) / 50.0), -1), 10) AS BIGINT) AS bucket,
+        |         count(*) AS n_ref
+        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+        |cur0 AS (
+        |  SELECT n_chars FROM documents WHERE n_chars <= 450
+        |  UNION ALL SELECT n_chars FROM documents WHERE n_chars < 150),
+        |cur AS (
+        |  SELECT cast(least(greatest(floor((cast(n_chars AS DOUBLE) - 0.0) / 50.0), -1), 10) AS BIGINT) AS bucket,
+        |         count(*) AS n_cur
+        |  FROM cur0 WHERE n_chars IS NOT NULL GROUP BY 1),
+        |j AS (
+        |  SELECT coalesce(r.bucket, c.bucket) AS bucket,
+        |         coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+        |  FROM ref r FULL OUTER JOIN cur c ON r.bucket = c.bucket),
+        |t AS (SELECT cast(sum(n_ref) AS BIGINT) AS tr,
+        |             cast(sum(n_cur) AS BIGINT) AS tc, count(*) AS nb FROM j),
+        |l AS (SELECT sum(abs(cast(n_ref AS HUGEINT) * tc - cast(n_cur AS HUGEINT) * tr)) AS l1
+        |      FROM j, t),
+        |p AS (SELECT round(cast(sum(cast(round(
+        |        ((cast(n_cur + 1 AS DOUBLE) / (tc + nb)) - (cast(n_ref + 1 AS DOUBLE) / (tr + nb))) *
+        |        round(ln((cast(n_cur + 1 AS DOUBLE) / (tc + nb)) / (cast(n_ref + 1 AS DOUBLE) / (tr + nb))), 6)
+        |      , 6) AS DECIMAL(18,6))) AS DOUBLE), 6) AS psi FROM j, t),
+        |cum AS (SELECT bucket, sum(n_ref) OVER (ORDER BY bucket) AS cr,
+        |               sum(n_cur) OVER (ORDER BY bucket) AS cc FROM j),
+        |k AS (SELECT max(abs(cast(cr AS HUGEINT) * tc - cast(cc AS HUGEINT) * tr)) AS gap
+        |      FROM cum, t)
+        |SELECT tr AS n_ref, tc AS n_cur,
+        |  round(cast(l1 AS DOUBLE) / (2.0 * tr * tc), 6) AS tv,
+        |  psi,
+        |  round(cast(gap AS DOUBLE) / (cast(tr AS DOUBLE) * tc), 6) AS ks
+        |FROM t, l, p, k""".stripMargin),
+
     // -- per-group EXACT percentiles (discrete: the value at rank
     //    ceil(p·n)) — the per-source SLA/length report. One shuffle on the
     //    group key; the rank and count windows share that partitioning.
