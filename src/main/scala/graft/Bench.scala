@@ -135,6 +135,31 @@ object Bench {
     val roundSeed: Long = sys.env.get("SPARK_GRAFT_ROUND").flatMap(_.toLongOption)
       .getOrElse(maxBenchRound().getOrElse(0))
     val rng = new scala.util.Random(roundSeed)
+    // Per-query shuffle-WRITE bytes (the ScaleBench listener, brought to
+    // the full suite): wall-clock regressions on this host are routinely
+    // contention noise needing a rerun pass to adjudicate, but shuffle
+    // bytes are a property of the PLAN — a plan regression (lost
+    // broadcast, lost partial agg) shows up as bytes immediately and is
+    // immune to host load. Reported per query as the min over samples
+    // (steady state; a first sample may include one-off cache builds).
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) { shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten); () }
+      }
+    })
+    // the listener bus is async: drain before reading the counter so a
+    // sample's last tasks land in ITS window (reflection on a private
+    // API with a sleep fallback — measurement code, same as ScaleBench)
+    def drainListenerBus(): Unit =
+      try {
+        val sc = spark.sparkContext
+        val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+        bus.getClass.getMethods.find(x =>
+          x.getName == "waitUntilEmpty" && x.getParameterCount == 0)
+          .foreach(_.invoke(bus))
+      } catch { case scala.util.control.NonFatal(_) => Thread.sleep(200) }
     // Materialize EVERY output column via the noop sink. Timing `count()`
     // (rounds 1-8) let Catalyst prune whatever count(1) doesn't reference —
     // aggregate expressions above the grouping keys, final projections,
@@ -152,9 +177,16 @@ object Bench {
     // samples are dropped from the series, counted in `failed`, and a
     // query with zero successes reports value -1 (excluded from total).
     val failed = scala.collection.mutable.Map.empty[String, Int]
-    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
+    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[(Double, Long)] = {
+      drainListenerBus()
+      val b0 = shuffleBytes.get()
       val t0 = System.nanoTime()
-      try { materialize(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
+      try {
+        materialize(fn(spark, sfDir))
+        val wall = (System.nanoTime() - t0) / 1e9
+        drainListenerBus()
+        Some((wall, shuffleBytes.get() - b0))
+      }
       catch {
         case scala.util.control.NonFatal(e) =>
           failed(name) = failed.getOrElse(name, 0) + 1
@@ -163,16 +195,21 @@ object Bench {
           None
       }
     }
-    // samples: name -> the successful run times sorted ascending (up to 3)
+    // samples: name -> successful (wall, shuffle-bytes) sorted by wall (up to 3)
     val samples = SparkEntry.schedule.flatMap { case (names, after) =>
       val rs = rng.shuffle(names).map { name =>
         val fn = SparkEntry.queries(name)
-        name -> Seq.fill(3)(timeOne(name, fn)).flatten.sorted
+        name -> Seq.fill(3)(timeOne(name, fn)).flatten.sortBy(_._1)
       }
       after()
       rs
     }.toMap
-    val results = samples.map { case (k, v) => k -> v.headOption.getOrElse(-1.0) }
+    val results = samples.map { case (k, v) => k -> v.headOption.map(_._1).getOrElse(-1.0) }
+    // per-query steady-state shuffle MB: min over samples (see listener note)
+    val shuffleMb = samples.map { case (k, v) =>
+      k -> (if (v.isEmpty) -1.0
+            else math.round(v.map(_._2).min / 1048.576) / 1000.0)
+    }
     // Suspect re-run pass (round 8): any query whose min-of-3 landed >1.5x
     // its previous-round driver min gets a FRESH min-of-3, out of schedule
     // order, caches cold (every group hook has run by now; each rerun query
@@ -192,7 +229,7 @@ object Bench {
       .flatMap { case (names, after) => names.map(_ -> after) }.toMap
     val rerun: Seq[(String, Seq[Double])] = suspects.map { case (name, _, _) =>
       val fn = SparkEntry.queries(name)
-      val times = Seq.fill(3)(timeOne(name, fn)).flatten.sorted
+      val times = Seq.fill(3)(timeOne(name, fn)).flatten.map(_._1).sorted
       groupHook.get(name).foreach(h => h())
       name -> times
     }
@@ -205,12 +242,15 @@ object Bench {
     // per-query [min, med, max] — makes a contention spike self-evident
     // (max >> min on unchanged code) instead of a round-over-round mystery
     val disp = samples.toSeq.sortBy(_._1).map { case (k, v) =>
-      s""""$k":${seriesJson(v)}"""
+      s""""$k":${seriesJson(v.map(_._1))}"""
+    }.mkString("{", ",", "}")
+    val shufJson = shuffleMb.toSeq.sortBy(_._1).map { case (k, v) =>
+      s""""$k":$v"""
     }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     val failedJson = failed.toSeq.sortBy(_._1)
       .map { case (k, n) => s""""$k":$n""" }.mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"dispersion":$disp,"rerun":$rerunJson,"failed":$failedJson,"seed":$roundSeed,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"dispersion":$disp,"shuffle_mb":$shufJson,"rerun":$rerunJson,"failed":$failedJson,"seed":$roundSeed,"sf":"$sfDir"}"""
     // Durable full-detail copy: every query at full precision, fixed path.
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_last.json"),
       (json + "\n").getBytes("UTF-8"))
@@ -239,6 +279,7 @@ object Bench {
     // host-contention evidence (the min is the steady-state number the
     // round-over-round comparison should use)
     val spread = samples.toSeq
+      .map { case (k, v) => k -> v.map(_._1) }
       .filter { case (_, v) => v.nonEmpty && v.last > v.head * 1.5 + 0.05 }
       .sortBy { case (_, v) => -(v.last / (v.head max 1e-9)) }
       .take(if (rerun.nonEmpty) 4 else 6) // keep the final line under the
