@@ -293,21 +293,24 @@ object Validate {
     * all mass one way and maximizes one cumulative gap; symmetric noise
     * that TV counts twice partially cancels in the CDF). Exact
     * cross-multiplied integers until one final rounded division, like
-    * [[totalVariation]]. The cumulative window is partitionless BY
-    * CONSTRUCTION on a buckets-sized aggregate (≤ buckets+2 rows), never
-    * data — same justification as the repr window in Parity. One row:
+    * [[totalVariation]]. The cumulative sums come from a triangular
+    * self-join of the buckets-sized histogram (bucket' <= bucket), not a
+    * partitionless window — O(buckets²) rows on a <= buckets+2 frame is
+    * nothing, and it keeps the repo's zero-tolerance plan invariant (no
+    * unpartitioned Window anywhere, PlanSpec's sweep) intact. Callers
+    * should hand in a materialized histogram (localCheckpoint, as the
+    * gate query does) since both join sides read it. One row:
     * (n_ref, n_cur, ks); poles as in totalVariation.
     */
   def ksStatistic(drift: DataFrame): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(19, 0)
-    val w = org.apache.spark.sql.expressions.Window.orderBy("bucket")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val totals = drift.agg(sum(col("n_ref")).as("t_ref"),
       sum(col("n_cur")).as("t_cur"))
-    drift
-      .select(col("bucket"),
-        sum(col("n_ref")).over(w).as("c_ref"),
-        sum(col("n_cur")).over(w).as("c_cur"))
+    drift.select(col("bucket"))
+      .join(drift.select(col("bucket").as("b2"), col("n_ref"), col("n_cur")),
+        col("b2") <= col("bucket"))
+      .groupBy(col("bucket"))
+      .agg(sum(col("n_ref")).as("c_ref"), sum(col("n_cur")).as("c_cur"))
       .crossJoin(broadcast(totals))
       .agg(coalesce(first(col("t_ref")), lit(0L)).as("n_ref"),
         coalesce(first(col("t_cur")), lit(0L)).as("n_cur"),
