@@ -592,16 +592,27 @@ class StreamingSpec extends SparkSuite {
       lo = 0.0, width = 50.0, buckets = 10, mon, ckpt)
     q.awaitTermination()
     val rows = spark.read.parquet(mon)
-      .collect().map(r => r.getLong(2) -> r.getDouble(3)).toMap // n_cur -> tv
-    assert(rows.keySet == Set(80L, 40L))
-    assert(rows(80L) == 0.0, "identically-bucketed batch drifts 0")
-    assert(rows(40L) == 1.0, "disjoint batch is maximal drift")
-    // replayability: the streaming alert equals the batch-gate computation
-    val batchTv = graft.ops.Validate.totalVariation(
-      graft.ops.Validate.driftHistogram(ref,
-        (1 to 40).map(i => 400.0 + i % 10).toDF("v"), "v", 0.0, 50.0, 10))
-      .head().getDouble(2)
-    assert(batchTv == rows(40L))
+      .collect()
+      .map(r => r.getLong(2) ->
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(rows.keySet == Set(80L, 40L)) // keyed by n_cur
+    assert(rows(80L)._1 == 0.0, "identically-bucketed batch drifts TV 0")
+    assert(rows(40L)._1 == 1.0, "disjoint batch is maximal TV drift")
+    // the log-sensitive pair agrees directionally: in-distribution batch
+    // far below any alarm threshold, disjoint batch far above
+    assert(rows(80L)._2 < 0.1 && rows(80L)._3 < 0.1,
+      s"in-distribution batch should be quiet (psi/ks = ${rows(80L)})")
+    assert(rows(40L)._2 > 0.25 && rows(40L)._3 > 0.9,
+      s"disjoint batch should alarm on psi and ks (${rows(40L)})")
+    // replayability: the streaming alerts equal the batch-gate computation
+    val curB = (1 to 40).map(i => 400.0 + i % 10).toDF("v")
+    val hist = graft.ops.Validate.driftHistogram(ref, curB, "v", 0.0, 50.0, 10)
+      .localCheckpoint(true)
+    assert(graft.ops.Validate.totalVariation(hist).head().getDouble(2)
+      == rows(40L)._1)
+    assert(graft.ops.Validate.psi(hist).head().getDouble(2) == rows(40L)._2)
+    assert(graft.ops.Validate.ksStatistic(hist).head().getDouble(2)
+      == rows(40L)._3)
   }
 
   test("export hash split runs unchanged on a streaming frame (stateless)") {
