@@ -128,19 +128,31 @@ object Pq {
     * 2^53, far above any real quantization's range (guarded).
     */
   def adcShortlist(codes: DataFrame, luts: DataFrame, ks: Int,
-      k: Int): DataFrame = {
-    val spark = codes.sparkSession
+      k: Int): DataFrame =
+    heapShortlist(
+      codes.crossJoin(broadcast(luts))
+        .select(col("qid"), col("id"),
+          adcDistance(col("codes"), col("lut"), ks).as("adist")),
+      k)
+
+  /** Bottom-k per qid over a `(qid, id, adist)` frame — the shared heap
+    * tail of [[adcShortlist]] and the IVF-PQ composition (which restricts
+    * the scored set to probed cells before handing it here). Same bounded
+    * mergeable aggregation and exactness bound as adcShortlist's scaladoc.
+    */
+  private[graft] def heapShortlist(scored: DataFrame, k: Int): DataFrame = {
+    val spark = scored.sparkSession
     import spark.implicits._
-    val scored = codes.crossJoin(broadcast(luts))
-      .select(col("qid").cast("long").as("qid"), col("id").cast("long").as("id"),
-        adcDistance(col("codes"), col("lut"), ks).as("adist"))
+    scored
+      .select(col("qid").cast("long"), col("id").cast("long"),
+        col("adist").cast("long"))
       .as[(Long, Long, Long)]
       .map { case (qid, id, ad) =>
         require(math.abs(ad) < (1L << 53),
           s"ADC distance $ad exceeds the exact-Double range")
         (qid, Reservoir.WCand(ad.toDouble, id))
       }
-    scored.groupByKey(_._1).mapValues(_._2)
+      .groupByKey(_._1).mapValues(_._2)
       .agg(new Reservoir.BottomKW(k).toColumn.name("cands"))
       .flatMap { case (qid, cands) => cands.map(c => (qid, c.id)) }
       .toDF("qid", "vec_id")

@@ -635,6 +635,117 @@ object VectorOps {
          |SELECT qid, vec_id, round(cos, 4) AS cos FROM ranked WHERE rk <= 5
          |ORDER BY qid, vec_id""".stripMargin),
 
+    // -- the PRODUCTION retrieval composition, IVF-PQ, under one oracle:
+    //    coarse cells from the q_ann_ivf_lloyd k-means, fine codes from
+    //    the q_ann_pq codebooks, queries probe their KmNProbe nearest
+    //    cells and ADC-scan ONLY those cells' codes (at 100 TB the scan
+    //    touches probe-fraction × 4-bytes-per-vector instead of the raw
+    //    table), bounded-heap shortlist, exact-cosine re-rank. DuckDB
+    //    replays BOTH trainings, the cell restriction, the table-lookup
+    //    distances and the re-rank — the deepest single gate entry -------
+    ("q_ann_ivfpq",
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        val emb = t(s, d, "embeddings")
+        val corpus = emb.filter(col("vec_id") >= 3)
+        val ivf = graft.ops.Lloyd.train(corpus, "vec_id", "embedding",
+          k = KmK, iters = KmIters)
+        val cells = corpus.select(col("vec_id").as("id"),
+          graft.functions.VectorExprs.nearestCentroid(
+            transform(col("embedding"),
+              x => floor(x.cast("double") * lit(KmQuant.toDouble))),
+            ivf.centroids).cast("long").as("cluster"))
+        val pq = graft.ops.Pq.train(corpus, "vec_id", "embedding",
+          m = PqM, ks = PqKs, iters = PqIters, quant = KmQuant)
+        val codes = graft.ops.Pq.encode(corpus, "vec_id", "embedding", pq)
+        val qRows = graft.ops.Lloyd
+          .quantize(emb.filter(col("vec_id") < 3), "vec_id", "embedding", KmQuant)
+          .collect()
+        val probes = qRows.toSeq.flatMap { r =>
+          val qid = r.getLong(0)
+          val qv = r.getSeq[Long](1).toArray
+          ivf.centroids.zipWithIndex.map { case (c, j) =>
+            (qid, j.toLong,
+              c.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum)
+          }.sortBy(p => (p._3, p._2)).take(KmNProbe).map(p => (p._1, p._2))
+        }.toDF("qid", "cluster")
+        val luts = qRows.toSeq.map { r => (r.getLong(0),
+          graft.ops.Pq.lookupTable(r.getSeq[Long](1).toArray, pq)) }
+          .toDF("qid", "lut")
+        val scored = codes.join(cells, "id")
+          .join(broadcast(probes), "cluster")
+          .join(broadcast(luts), "qid")
+          .select(col("qid"), col("id"),
+            graft.ops.Pq.adcDistance(col("codes"), col("lut"), PqKs).as("adist"))
+        val short = graft.ops.Pq.heapShortlist(scored, PqShort)
+        val w = org.apache.spark.sql.expressions.Window
+        val ce = corpus.select(col("vec_id"), col("embedding").as("v"),
+          sqrt(vecDot(col("embedding"), col("embedding"))).as("nrm"))
+        val qv = emb.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+            sqrt(vecDot(col("embedding"), col("embedding"))).as("qnrm"))
+        ce.join(broadcast(short), "vec_id").join(broadcast(qv), "qid")
+          .select(col("qid"), col("vec_id"),
+            (vecDot(col("v"), col("qv")) / (col("nrm") * col("qnrm")))
+              .as("cos_raw"))
+          .withColumn("rk", row_number().over(
+            w.partitionBy("qid").orderBy(desc("cos_raw"), asc("vec_id"))))
+          .filter(col("rk") <= 5)
+          .select(col("qid"), col("vec_id"), round(col("cos_raw"), 4).as("cos"))
+          .orderBy("qid", "vec_id")
+      },
+      s"""$kmeansCtes,
+         |asn AS (
+         |  SELECT vec_id, cl FROM (
+         |    SELECT e.vec_id, c.cl,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        cast(list_sum([ (e.q[i]-c.c[i])*(e.q[i]-c.c[i]) for i in range(1, ${KmDim + 1}) ]) AS BIGINT), c.cl) AS rk
+         |    FROM e CROSS JOIN c$KmIters c) WHERE rk = 1),
+         |qq AS (
+         |  SELECT vec_id AS qid,
+         |    [ cast(floor(cast(x AS DOUBLE) * $KmQuant) AS BIGINT) for x in embedding ] AS q
+         |  FROM embeddings WHERE vec_id < 3),
+         |qp AS (
+         |  SELECT qid, cl FROM (
+         |    SELECT qq.qid, c.cl,
+         |      row_number() OVER (PARTITION BY qq.qid ORDER BY
+         |        cast(list_sum([ (qq.q[i]-c.c[i])*(qq.q[i]-c.c[i]) for i in range(1, ${KmDim + 1}) ]) AS BIGINT), c.cl) AS rk
+         |    FROM qq CROSS JOIN c$KmIters c) WHERE rk <= $KmNProbe),
+         |${(0 until PqM).map(pqSubCtes).mkString(",\n")},
+         |${(0 until PqM).map(pqCodeLutCtes).mkString(",\n")},
+         |adist AS (
+         |  SELECT qp.qid, a.vec_id, l0.d + l1.d + l2.d + l3.d AS ad
+         |  FROM asn a JOIN qp ON qp.cl = a.cl
+         |  JOIN asn0 a0 ON a0.vec_id = a.vec_id
+         |  JOIN asn1 a1 ON a1.vec_id = a.vec_id
+         |  JOIN asn2 a2 ON a2.vec_id = a.vec_id
+         |  JOIN asn3 a3 ON a3.vec_id = a.vec_id
+         |  JOIN lut0 l0 ON l0.cl = a0.code AND l0.qid = qp.qid
+         |  JOIN lut1 l1 ON l1.cl = a1.code AND l1.qid = qp.qid
+         |  JOIN lut2 l2 ON l2.cl = a2.code AND l2.qid = qp.qid
+         |  JOIN lut3 l3 ON l3.cl = a3.code AND l3.qid = qp.qid),
+         |short AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id,
+         |      row_number() OVER (PARTITION BY qid ORDER BY ad, vec_id) AS rk
+         |    FROM adist)
+         |  WHERE rk <= $PqShort),
+         |ce AS (SELECT vec_id, [ cast(x AS DOUBLE) for x in embedding ] AS v
+         |       FROM embeddings WHERE vec_id >= 3),
+         |qvv AS (SELECT vec_id AS qid, [ cast(x AS DOUBLE) for x in embedding ] AS qv
+         |        FROM embeddings WHERE vec_id < 3),
+         |scored AS (
+         |  SELECT s.qid, s.vec_id,
+         |    list_dot_product(ce.v, qvv.qv) /
+         |      (sqrt(list_dot_product(ce.v, ce.v)) * sqrt(list_dot_product(qvv.qv, qvv.qv))) AS cos
+         |  FROM short s JOIN ce ON ce.vec_id = s.vec_id JOIN qvv ON qvv.qid = s.qid),
+         |ranked AS (
+         |  SELECT qid, vec_id, cos,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+         |  FROM scored)
+         |SELECT qid, vec_id, round(cos, 4) AS cos FROM ranked WHERE rk <= 5
+         |ORDER BY qid, vec_id""".stripMargin),
+
     // -- contrastive TRIPLET mining for embedding training: per anchor one
     //    same-label positive and one cross-label negative, both picked by
     //    a deterministic md5 rank over (anchor, candidate) — seedless,
