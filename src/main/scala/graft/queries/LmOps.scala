@@ -76,6 +76,68 @@ object LmOps {
         |       FROM b GROUP BY 1, 2)
         |SELECT doc_id, cast(sum(nb) AS BIGINT) AS n_feat,
         |  round(cast(sum(nb * llr) AS DOUBLE), 4) AS logw
-        |FROM db JOIN llr USING (bk) GROUP BY 1 ORDER BY doc_id""".stripMargin)
+        |FROM db JOIN llr USING (bk) GROUP BY 1 ORDER BY doc_id""".stripMargin),
+
+    // -- TRAINED document classifier under the gate: multinomial Naive
+    //    Bayes language ID — model trained on the even-doc_id half
+    //    (per-(lang, bucket) counts + priors, every ln dec6-rounded,
+    //    scores exact decimal sums), the odd half classified by argmax
+    //    (ties to smallest label, decided on exact decimals via min_by —
+    //    no per-document sort), reported as the CONFUSION MATRIX. The
+    //    fixture's lang column is uncorrelated with its (English-ish)
+    //    text, so 2/3 of docs get a deterministic class marker token
+    //    appended on BOTH sides (the q_script_mix convention) — the
+    //    gated matrix then shows the model LEARNING (marked docs on the
+    //    diagonal) and falling back to the majority prior (unmarked
+    //    docs), not just two engines agreeing on a constant. DuckDB
+    //    retrains and reclassifies identically, so the hash compare
+    //    grades model, inference and evaluation at once ------------------
+    ("q_nb_classify",
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+          .withColumn("text", when(pmod(col("doc_id"), lit(3)) =!= 0,
+            concat(col("text"),
+              repeat(concat(lit(" xmark_"), col("lang")), 8)))
+            .otherwise(col("text")))
+        val train = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+        val test = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+        graft.ops.NaiveBayes
+          .classify(train, test, "doc_id", "text", "lang", buckets = 1024)
+          .join(test.select(col("doc_id"), col("lang")), "doc_id")
+          .groupBy(col("lang"), col("pred"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("lang", "pred")
+      },
+      """WITH d0 AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN doc_id % 3 <> 0 THEN text || repeat(' xmark_' || lang, 8)
+        |         ELSE text END AS text
+        |  FROM documents),
+        |train AS (SELECT lang, text FROM d0 WHERE doc_id % 2 = 0),
+        |cls AS (SELECT lang AS cls, count(*) AS n_docs FROM train GROUP BY 1),
+        |tot AS (SELECT cast(sum(n_docs) AS BIGINT) AS n_all FROM cls),
+        |pri AS (SELECT cls, cast(round(ln(cast(n_docs AS DOUBLE) / n_all), 6) AS DECIMAL(18,6)) AS lnprior
+        |        FROM cls, tot),
+        |cnt AS (SELECT cls, bk, count(*) AS c FROM (
+        |          SELECT lang AS cls, ('0x'||substr(md5(w),1,15))::BIGINT % 1024 AS bk
+        |          FROM (SELECT lang, unnest(regexp_extract_all(text, '\S+')) AS w FROM train))
+        |        GROUP BY 1, 2),
+        |ntk AS (SELECT cls, cast(sum(c) AS BIGINT) AS n_tok FROM cnt GROUP BY 1),
+        |feats AS (SELECT doc_id, lang, bk, cast(count(*) AS BIGINT) AS nb FROM (
+        |            SELECT doc_id, lang, ('0x'||substr(md5(w),1,15))::BIGINT % 1024 AS bk
+        |            FROM (SELECT doc_id, lang, unnest(regexp_extract_all(text, '\S+')) AS w
+        |                  FROM d0 WHERE doc_id % 2 = 1))
+        |          GROUP BY 1, 2, 3),
+        |sc AS (SELECT f.doc_id, f.lang, p.cls, p.lnprior +
+        |         sum(f.nb * cast(round(ln(cast(coalesce(c.c, 0) + 1 AS DOUBLE) /
+        |           (n.n_tok + 1024)), 6) AS DECIMAL(18,6))) AS score
+        |       FROM feats f CROSS JOIN pri p JOIN ntk n ON n.cls = p.cls
+        |       LEFT JOIN cnt c ON c.cls = p.cls AND c.bk = f.bk
+        |       GROUP BY 1, 2, 3, p.lnprior),
+        |pred AS (SELECT doc_id, lang, cls AS pred,
+        |           row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cls) AS rk
+        |         FROM sc)
+        |SELECT lang, pred, count(*) AS n FROM pred WHERE rk = 1
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
   )
 }

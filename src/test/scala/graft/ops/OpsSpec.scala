@@ -588,6 +588,32 @@ class OpsSpec extends SparkSuite {
       hs(1L)._1, hs(1L)._2, hs(2L)._1, hs(2L)._2) <= 4)
   }
 
+  test("NaiveBayes: learns a class marker, ties break to the smallest label") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions._
+    val train = Seq(
+      (1L, "a", "common words here marker_a marker_a"),
+      (2L, "a", "more common words marker_a"),
+      (3L, "b", "common words here marker_b marker_b"),
+      (4L, "b", "more common words marker_b")).toDF("id", "label", "text")
+    val test = Seq(
+      (10L, "unseen text with marker_a marker_a"),
+      (11L, "unseen text with marker_b marker_b"),
+      (12L, "common words here")).toDF("id", "text")
+    val pred = NaiveBayes.classify(train, test, "id", "text", "label")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pred(10L) == "a" && pred(11L) == "b")
+    // doc 12: both classes have identical counts for every token and
+    // equal priors — an EXACT score tie, broken to the smallest label
+    assert(pred(12L) == "a")
+    // scores are exact decimals: the tie really is equality, not epsilon
+    val sc = NaiveBayes.scores(train, test.filter(col("id") === 12L),
+      "id", "text", "label")
+      .collect().map(r => r.getString(1) -> r.getDecimal(2)).toMap
+    assert(sc("a") == sc("b"))
+  }
+
   test("Pq: ADC table-lookup distance equals the exact code-to-query distance") {
     import org.apache.spark.sql.functions._
     val corpus = emb.filter(col("vec_id") >= 3).limit(100)
