@@ -115,4 +115,39 @@ object Partitioning {
       .sortWithinPartitions("__z")
       .drop("__za", "__zb", "__z")
   }
+
+  /** Hilbert index on the 2^16 grid — [[zValue]]'s locality-preserving
+    * sibling ([[graft.functions.HilbertIndex]]): consecutive indices are
+    * always grid-adjacent, where the Z curve jumps at power-of-two seams,
+    * so Hilbert-sorted files carry tighter 2-D bounding boxes
+    * (quantified against the Z layout in PartitioningSpec; the curve
+    * itself is cross-engine-pinned by q_hilbert's unrolled-CTE oracle).
+    */
+  def hilbertValue(a: Column, b: Column): Column =
+    graft.functions.HilbertIndex.hilbert(a, b, 16)
+
+  /** [[zOrderLayout]] with the Hilbert index as the clustering key —
+    * identical quantile-normalization and range-partitioned write.
+    */
+  def hilbertLayout(df: DataFrame, aCol: String, bCol: String,
+      partitions: Int): DataFrame = {
+    def bucketed(d: DataFrame, in: String, out: String): DataFrame = {
+      val qs = (1 until 256).map(_ / 256.0).toArray
+      val bounds = d.stat.approxQuantile(in, qs, 0.001)
+        .distinct.sorted
+      val splits = (Double.NegativeInfinity +: bounds :+ Double.PositiveInfinity)
+      val nb = splits.length - 1
+      val b = new org.apache.spark.ml.feature.Bucketizer()
+        .setInputCol(s"__hin_$in").setOutputCol(out).setSplits(splits)
+      b.transform(d.withColumn(s"__hin_$in", col(in).cast("double")))
+        .withColumn(out, floor(col(out).cast("long") * 65535L / lit(nb.toLong)).cast("long"))
+        .drop(s"__hin_$in")
+    }
+    val withCells = bucketed(bucketed(df, aCol, "__ha"), bCol, "__hb")
+    withCells
+      .withColumn("__h", hilbertValue(col("__ha"), col("__hb")))
+      .repartitionByRange(partitions, col("__h"))
+      .sortWithinPartitions("__h")
+      .drop("__ha", "__hb", "__h")
+  }
 }

@@ -435,6 +435,31 @@ object SinkOps {
         |SELECT p_partkey, cast(x | (y << 1) AS BIGINT) AS z FROM s5
         |ORDER BY p_partkey""".stripMargin),
 
+    // -- Hilbert index under the hash gate: the EXACT per-bit-plane fold
+    //    graft.functions.HilbertIndex runs (accumulate s²·((3rx) xor ry),
+    //    rotate/reflect the quadrant), replayed in DuckDB as sixteen
+    //    chained CTEs — one per bit plane, state (x, y, d) as columns, so
+    //    the stateful recurrence stays linear instead of exploding by
+    //    substitution. Same fixture as q_zorder; the layout/skipping
+    //    effect is measured in PartitioningSpec -------------------------
+    ("q_hilbert",
+      (s: SparkSession, d: String) => {
+        val p = t(s, d, "part").filter(col("p_partkey") < 200)
+          .select(col("p_partkey"),
+            col("p_size").cast("long").as("xv"),
+            pmod(col("p_partkey"), lit(1024L)).as("yv"))
+        p.select(col("p_partkey"),
+            graft.ops.Partitioning.hilbertValue(col("xv"), col("yv")).as("h"))
+          .orderBy("p_partkey")
+      },
+      s"""WITH b AS (SELECT p_partkey, cast(p_size AS BIGINT) AS xv,
+         |             p_partkey % 1024 AS yv
+         |           FROM part WHERE p_partkey < 200),
+         |h0 AS (SELECT p_partkey, xv AS x, yv AS y, cast(0 AS BIGINT) AS d FROM b),
+         |${(1 to 16).map(hilbertStepCte).mkString(",\n")}
+         |SELECT p_partkey, cast(d AS BIGINT) AS h FROM h16
+         |ORDER BY p_partkey""".stripMargin),
+
     // -- MERGE (upsert) round trip: documents become the store; an update
     //    batch rewrites every doc_id % 5 row (source → 'merged', n_chars
     //    bumped) and inserts brand-new ids (doc_id + 10M from the % 7
@@ -601,4 +626,27 @@ object SinkOps {
         |  min(doc_id) AS first_id, max(doc_id) AS last_id,
         |  cast(2 AS BIGINT) AS rollup_version
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** One bit-plane step of the Hilbert fold for the q_hilbert oracle:
+    * step `i` handles s = 2^(16-i). The d increment and the
+    * rotate/reflect both read the PREVIOUS step's (x, y) — SQL's
+    * all-from-one-row SELECT gives exactly the simultaneous-assignment
+    * semantics HilbertIndex.compute sequences with a temp variable.
+    * s² × 3 exceeds int32 at the top plane, hence the BIGINT cast.
+    */
+  private def hilbertStepCte(i: Int): String = {
+    val s = 1L << (16 - i)
+    s"""h$i AS (
+       |  SELECT p_partkey,
+       |    d + cast(${s * s} AS BIGINT) *
+       |      xor(3 * (CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END),
+       |          (CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END)) AS d,
+       |    CASE WHEN (y & $s) = 0 THEN
+       |      (CASE WHEN (x & $s) > 0 THEN $s - 1 - y ELSE y END)
+       |    ELSE x END AS x,
+       |    CASE WHEN (y & $s) = 0 THEN
+       |      (CASE WHEN (x & $s) > 0 THEN $s - 1 - x ELSE x END)
+       |    ELSE y END AS y
+       |  FROM h${i - 1})""".stripMargin
+  }
 }
