@@ -135,31 +135,14 @@ object Bench {
     val roundSeed: Long = sys.env.get("SPARK_GRAFT_ROUND").flatMap(_.toLongOption)
       .getOrElse(maxBenchRound().getOrElse(0))
     val rng = new scala.util.Random(roundSeed)
-    // Per-query shuffle-WRITE bytes (the ScaleBench listener, brought to
-    // the full suite): wall-clock regressions on this host are routinely
+    // Per-query shuffle-WRITE bytes ([[ShuffleMeter]], shared with
+    // ScaleBench): wall-clock regressions on this host are routinely
     // contention noise needing a rerun pass to adjudicate, but shuffle
     // bytes are a property of the PLAN — a plan regression (lost
     // broadcast, lost partial agg) shows up as bytes immediately and is
     // immune to host load. Reported per query as the min over samples
     // (steady state; a first sample may include one-off cache builds).
-    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0L)
-    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-        val m = te.taskMetrics
-        if (m != null) { shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten); () }
-      }
-    })
-    // the listener bus is async: drain before reading the counter so a
-    // sample's last tasks land in ITS window (reflection on a private
-    // API with a sleep fallback — measurement code, same as ScaleBench)
-    def drainListenerBus(): Unit =
-      try {
-        val sc = spark.sparkContext
-        val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
-        bus.getClass.getMethods.find(x =>
-          x.getName == "waitUntilEmpty" && x.getParameterCount == 0)
-          .foreach(_.invoke(bus))
-      } catch { case scala.util.control.NonFatal(_) => Thread.sleep(200) }
+    val meter = new ShuffleMeter(spark)
     // Materialize EVERY output column via the noop sink. Timing `count()`
     // (rounds 1-8) let Catalyst prune whatever count(1) doesn't reference —
     // aggregate expressions above the grouping keys, final projections,
@@ -178,14 +161,14 @@ object Bench {
     // query with zero successes reports value -1 (excluded from total).
     val failed = scala.collection.mutable.Map.empty[String, Int]
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[(Double, Long)] = {
-      drainListenerBus()
-      val b0 = shuffleBytes.get()
+      meter.drain()
+      val b0 = meter.shuffleBytes.get()
       val t0 = System.nanoTime()
       try {
         materialize(fn(spark, sfDir))
         val wall = (System.nanoTime() - t0) / 1e9
-        drainListenerBus()
-        Some((wall, shuffleBytes.get() - b0))
+        meter.drain()
+        Some((wall, meter.shuffleBytes.get() - b0))
       }
       catch {
         case scala.util.control.NonFatal(e) =>

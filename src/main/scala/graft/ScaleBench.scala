@@ -52,39 +52,17 @@ object ScaleBench {
     // Shuffle-volume instrumentation: wall-clock linearity on a 32-core box
     // is weak scaling evidence (everything is memory-speed); shuffle WRITE
     // bytes ∝ data is the property that decides whether a plan survives a
-    // real cluster. One listener sums task shuffle-write bytes; per query we
+    // real cluster. The shared [[ShuffleMeter]] sums task shuffle-write
+    // bytes and input (scan) records — recordsRead, not bytesRead: the
+    // local-fs parquet path reports only footer bytes to
+    // inputMetrics.bytesRead, but row counts are exact. Per query we
     // report the minimum over runs (caches warm = the steady-state plan).
-    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0L)
-    // input (scan) ROWS: the decisive metric for incremental-vs-recompute
-    // A/Bs whose work is a map-side aggregate (shuffle ~0 on both sides) —
-    // what scales there is how much of the store each variant READS.
-    // recordsRead, not bytesRead: the local-fs parquet path reports only
-    // footer bytes to inputMetrics.bytesRead, but row counts are exact.
-    val inputRecords = new java.util.concurrent.atomic.AtomicLong(0L)
-    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-        val m = te.taskMetrics
-        if (m != null) {
-          shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
-          inputRecords.addAndGet(m.inputMetrics.recordsRead)
-          ()
-        }
-      }
-    })
+    val meter = new ShuffleMeter(spark)
+    val shuffleBytes = meter.shuffleBytes
+    val inputRecords = meter.inputRecords
     // per-query scan-row readings for sections that opt in (merge/rollup)
     val inputRows = scala.collection.mutable.Map.empty[String, Long]
-    // the listener bus is async: drain it before reading the counter so a
-    // run's last tasks land in ITS window, not the next one's (private API,
-    // so reflection with a sleep fallback — this is measurement code)
-    def drainListenerBus(): Unit =
-      try {
-        val sc = spark.sparkContext
-        val m = sc.getClass.getMethod("listenerBus")
-        val bus = m.invoke(sc)
-        bus.getClass.getMethods.find(x =>
-          x.getName == "waitUntilEmpty" && x.getParameterCount == 0)
-          .foreach(_.invoke(bus))
-      } catch { case scala.util.control.NonFatal(_) => Thread.sleep(200) }
+    def drainListenerBus(): Unit = meter.drain()
     // shared store-teardown helper for the A/B sections below (was four
     // identical local copies)
     def del(f: java.io.File): Unit = {

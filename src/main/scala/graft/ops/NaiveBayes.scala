@@ -60,7 +60,12 @@ object NaiveBayes {
       .withColumn("bk", bucketOf(col("w"), buckets))
       .groupBy("cls", "bk").agg(count(lit(1)).as("c"))
     val classTok = counts.groupBy("cls").agg(sum(col("c")).as("n_tok"))
-    val model = priors.join(broadcast(classTok), "cls")
+    // LEFT join + 0 floor: a class whose training docs carry zero tokens
+    // still exists (prior + all-smoothing likelihoods 1/buckets) — an
+    // inner join would silently drop it from the model and make it
+    // unpredictable with no warning
+    val model = priors.join(broadcast(classTok), Seq("cls"), "left")
+      .withColumn("n_tok", coalesce(col("n_tok"), lit(0L)))
     val feats = score
       .select(col(idCol), explode(toks(col(textCol))).as("w"))
       .withColumn("bk", bucketOf(col("w"), buckets))

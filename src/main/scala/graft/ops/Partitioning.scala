@@ -94,27 +94,8 @@ object Partitioning {
     * benefits.
     */
   def zOrderLayout(df: DataFrame, aCol: String, bCol: String,
-      partitions: Int): DataFrame = {
-    def bucketed(d: DataFrame, in: String, out: String): DataFrame = {
-      val qs = (1 until 256).map(_ / 256.0).toArray
-      val bounds = d.stat.approxQuantile(in, qs, 0.001)
-        .distinct.sorted
-      val splits = (Double.NegativeInfinity +: bounds :+ Double.PositiveInfinity)
-      val nb = splits.length - 1
-      val b = new org.apache.spark.ml.feature.Bucketizer()
-        .setInputCol(s"__zin_$in").setOutputCol(out).setSplits(splits)
-      // scale bucket id onto the full 16-bit grid so both dims weigh equally
-      b.transform(d.withColumn(s"__zin_$in", col(in).cast("double")))
-        .withColumn(out, floor(col(out).cast("long") * 65535L / lit(nb.toLong)).cast("long"))
-        .drop(s"__zin_$in")
-    }
-    val withCells = bucketed(bucketed(df, aCol, "__za"), bCol, "__zb")
-    withCells
-      .withColumn("__z", zValue(col("__za"), col("__zb")))
-      .repartitionByRange(partitions, col("__z"))
-      .sortWithinPartitions("__z")
-      .drop("__za", "__zb", "__z")
-  }
+      partitions: Int): DataFrame =
+    curveLayout(df, aCol, bCol, partitions, zValue)
 
   /** Hilbert index on the 2^16 grid — [[zValue]]'s locality-preserving
     * sibling ([[graft.functions.HilbertIndex]]): consecutive indices are
@@ -130,7 +111,17 @@ object Partitioning {
     * identical quantile-normalization and range-partitioned write.
     */
   def hilbertLayout(df: DataFrame, aCol: String, bCol: String,
-      partitions: Int): DataFrame = {
+      partitions: Int): DataFrame =
+    curveLayout(df, aCol, bCol, partitions, hilbertValue)
+
+  /** The shared layout machinery behind [[zOrderLayout]] and
+    * [[hilbertLayout]]: quantile-normalize both columns onto the 2^16
+    * grid (256 approx-quantile buckets scaled up so both dims weigh
+    * equally), compute the space-filling-curve index with `indexFn`, and
+    * range-partition + sort by it.
+    */
+  private def curveLayout(df: DataFrame, aCol: String, bCol: String,
+      partitions: Int, indexFn: (Column, Column) => Column): DataFrame = {
     def bucketed(d: DataFrame, in: String, out: String): DataFrame = {
       val qs = (1 until 256).map(_ / 256.0).toArray
       val bounds = d.stat.approxQuantile(in, qs, 0.001)
@@ -138,16 +129,15 @@ object Partitioning {
       val splits = (Double.NegativeInfinity +: bounds :+ Double.PositiveInfinity)
       val nb = splits.length - 1
       val b = new org.apache.spark.ml.feature.Bucketizer()
-        .setInputCol(s"__hin_$in").setOutputCol(out).setSplits(splits)
-      b.transform(d.withColumn(s"__hin_$in", col(in).cast("double")))
+        .setInputCol(s"__cin_$in").setOutputCol(out).setSplits(splits)
+      b.transform(d.withColumn(s"__cin_$in", col(in).cast("double")))
         .withColumn(out, floor(col(out).cast("long") * 65535L / lit(nb.toLong)).cast("long"))
-        .drop(s"__hin_$in")
+        .drop(s"__cin_$in")
     }
-    val withCells = bucketed(bucketed(df, aCol, "__ha"), bCol, "__hb")
-    withCells
-      .withColumn("__h", hilbertValue(col("__ha"), col("__hb")))
-      .repartitionByRange(partitions, col("__h"))
-      .sortWithinPartitions("__h")
-      .drop("__ha", "__hb", "__h")
+    bucketed(bucketed(df, aCol, "__ca"), bCol, "__cb")
+      .withColumn("__ci", indexFn(col("__ca"), col("__cb")))
+      .repartitionByRange(partitions, col("__ci"))
+      .sortWithinPartitions("__ci")
+      .drop("__ca", "__cb", "__ci")
   }
 }

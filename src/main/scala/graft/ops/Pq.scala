@@ -47,7 +47,9 @@ object Pq {
   def train(points: DataFrame, idCol: String, vecCol: String, m: Int,
       ks: Int, iters: Int, quant: Long = 1000000L): Model = {
     require(m >= 1, "pq: m must be >= 1")
-    val dim = points.select(size(col(vecCol))).head().getInt(0)
+    val firstDim = points.select(size(col(vecCol))).limit(1).collect()
+    require(firstDim.nonEmpty, "pq: empty training set")
+    val dim = firstDim.head.getInt(0)
     require(dim % m == 0, s"pq: dim $dim must split evenly into m=$m subvectors")
     val subDim = dim / m
     val subs = (0 until m).map { j =>

@@ -584,23 +584,7 @@ object VectorOps {
         // shortlist via the mergeable bounded-heap aggregation, not a
         // per-query window — see Pq.adcShortlist's scaladoc
         val short = graft.ops.Pq.adcShortlist(codes, luts, PqKs, PqShort)
-        val w = org.apache.spark.sql.expressions.Window
-        val ce = corpus.select(col("vec_id"), col("embedding").as("v"),
-          sqrt(vecDot(col("embedding"), col("embedding"))).as("nrm"))
-        val qv = emb.filter(col("vec_id") < 3)
-          .select(col("vec_id").as("qid"), col("embedding").as("qv"),
-            sqrt(vecDot(col("embedding"), col("embedding"))).as("qnrm"))
-        // the shortlist (queries × PqShort rows) broadcasts; the corpus
-        // side is filtered map-side, never exchanged
-        ce.join(broadcast(short), "vec_id").join(broadcast(qv), "qid")
-          .select(col("qid"), col("vec_id"),
-            (vecDot(col("v"), col("qv")) / (col("nrm") * col("qnrm")))
-              .as("cos_raw"))
-          .withColumn("rk", row_number().over(
-            w.partitionBy("qid").orderBy(desc("cos_raw"), asc("vec_id"))))
-          .filter(col("rk") <= 5)
-          .select(col("qid"), col("vec_id"), round(col("cos_raw"), 4).as("cos"))
-          .orderBy("qid", "vec_id")
+        rerankShortlist(emb, short, 5)
       },
       s"""WITH ${(0 until PqM).map(pqSubCtes).mkString(",\n")},
          |${(0 until PqM).map(pqCodeLutCtes).mkString(",\n")},
@@ -619,21 +603,7 @@ object VectorOps {
          |      row_number() OVER (PARTITION BY qid ORDER BY ad, vec_id) AS rk
          |    FROM adist)
          |  WHERE rk <= $PqShort),
-         |ce AS (SELECT vec_id, [ cast(x AS DOUBLE) for x in embedding ] AS v
-         |       FROM embeddings WHERE vec_id >= 3),
-         |qvv AS (SELECT vec_id AS qid, [ cast(x AS DOUBLE) for x in embedding ] AS qv
-         |        FROM embeddings WHERE vec_id < 3),
-         |scored AS (
-         |  SELECT s.qid, s.vec_id,
-         |    list_dot_product(ce.v, qvv.qv) /
-         |      (sqrt(list_dot_product(ce.v, ce.v)) * sqrt(list_dot_product(qvv.qv, qvv.qv))) AS cos
-         |  FROM short s JOIN ce ON ce.vec_id = s.vec_id JOIN qvv ON qvv.qid = s.qid),
-         |ranked AS (
-         |  SELECT qid, vec_id, cos,
-         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
-         |  FROM scored)
-         |SELECT qid, vec_id, round(cos, 4) AS cos FROM ranked WHERE rk <= 5
-         |ORDER BY qid, vec_id""".stripMargin),
+         |$rerankSqlTail""".stripMargin),
 
     // -- the PRODUCTION retrieval composition, IVF-PQ, under one oracle:
     //    coarse cells from the q_ann_ivf_lloyd k-means, fine codes from
@@ -730,21 +700,7 @@ object VectorOps {
          |      row_number() OVER (PARTITION BY qid ORDER BY ad, vec_id) AS rk
          |    FROM adist)
          |  WHERE rk <= $PqShort),
-         |ce AS (SELECT vec_id, [ cast(x AS DOUBLE) for x in embedding ] AS v
-         |       FROM embeddings WHERE vec_id >= 3),
-         |qvv AS (SELECT vec_id AS qid, [ cast(x AS DOUBLE) for x in embedding ] AS qv
-         |        FROM embeddings WHERE vec_id < 3),
-         |scored AS (
-         |  SELECT s.qid, s.vec_id,
-         |    list_dot_product(ce.v, qvv.qv) /
-         |      (sqrt(list_dot_product(ce.v, ce.v)) * sqrt(list_dot_product(qvv.qv, qvv.qv))) AS cos
-         |  FROM short s JOIN ce ON ce.vec_id = s.vec_id JOIN qvv ON qvv.qid = s.qid),
-         |ranked AS (
-         |  SELECT qid, vec_id, cos,
-         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
-         |  FROM scored)
-         |SELECT qid, vec_id, round(cos, 4) AS cos FROM ranked WHERE rk <= 5
-         |ORDER BY qid, vec_id""".stripMargin),
+         |$rerankSqlTail""".stripMargin),
 
     // -- contrastive TRIPLET mining for embedding training: per anchor one
     //    same-label positive and one cross-label negative, both picked by
@@ -944,6 +900,54 @@ object VectorOps {
     }
     (init +: iters).mkString(",\n")
   }
+
+  /** Exact-cosine re-rank of a `(qid, vec_id)` shortlist to top `k` —
+    * the shared tail of q_ann_pq / q_ann_ivfpq: the shortlist (queries ×
+    * shortlist-size rows) broadcasts, the corpus side is filtered
+    * map-side and never exchanged; ranking on the RAW cosine, rounding
+    * only in the output (the rk-boundary tie convention of the other ANN
+    * gates). `def`, not `val`: `entries` evaluates at object init.
+    */
+  private def rerankShortlist(emb: DataFrame, short: DataFrame,
+      k: Int): DataFrame = {
+    val ce = emb.filter(col("vec_id") >= 3)
+      .select(col("vec_id"), col("embedding").as("v"),
+        sqrt(vecDot(col("embedding"), col("embedding"))).as("nrm"))
+    val qv = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        sqrt(vecDot(col("embedding"), col("embedding"))).as("qnrm"))
+    val w = org.apache.spark.sql.expressions.Window
+    ce.join(broadcast(short), "vec_id").join(broadcast(qv), "qid")
+      .select(col("qid"), col("vec_id"),
+        (vecDot(col("v"), col("qv")) / (col("nrm") * col("qnrm")))
+          .as("cos_raw"))
+      .withColumn("rk", row_number().over(
+        w.partitionBy("qid").orderBy(desc("cos_raw"), asc("vec_id"))))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("vec_id"), round(col("cos_raw"), 4).as("cos"))
+      .orderBy("qid", "vec_id")
+  }
+
+  /** [[rerankShortlist]]'s oracle twin: the ce/qvv/scored/ranked tail
+    * shared verbatim by the q_ann_pq and q_ann_ivfpq SQL (expects an
+    * upstream CTE `short(qid, vec_id)`).
+    */
+  private def rerankSqlTail: String =
+    """ce AS (SELECT vec_id, [ cast(x AS DOUBLE) for x in embedding ] AS v
+      |       FROM embeddings WHERE vec_id >= 3),
+      |qvv AS (SELECT vec_id AS qid, [ cast(x AS DOUBLE) for x in embedding ] AS qv
+      |        FROM embeddings WHERE vec_id < 3),
+      |scored AS (
+      |  SELECT s.qid, s.vec_id,
+      |    list_dot_product(ce.v, qvv.qv) /
+      |      (sqrt(list_dot_product(ce.v, ce.v)) * sqrt(list_dot_product(qvv.qv, qvv.qv))) AS cos
+      |  FROM short s JOIN ce ON ce.vec_id = s.vec_id JOIN qvv ON qvv.qid = s.qid),
+      |ranked AS (
+      |  SELECT qid, vec_id, cos,
+      |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+      |  FROM scored)
+      |SELECT qid, vec_id, round(cos, 4) AS cos FROM ranked WHERE rk <= 5
+      |ORDER BY qid, vec_id""".stripMargin
 
   /** One subspace's final code assignment + per-query ADC lookup rows. */
   private def pqCodeLutCtes(j: Int): String = {

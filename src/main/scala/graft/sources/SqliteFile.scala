@@ -92,23 +92,51 @@ object SqliteFile {
   def ingest(spark: SparkSession, path: String, outDir: String,
       batchRows: Int = 500000): Map[String, DataFrame] = {
     require(batchRows > 0, s"batchRows must be positive, got $batchRows")
+    // Crash safety (the graft.ops.Layout convention): batches land in a
+    // dot-prefixed scratch dir — invisible to Spark's file index — and
+    // the finished table swaps in with rename-aside ATOMIC_MOVEs, so a
+    // kill mid-ingest can never leave a partial table readable as
+    // complete. The pre-existing table survives every crash window
+    // except the instant between its aside-move and the scratch move-in
+    // (table ABSENT, never partial; the source .db stays the durable
+    // copy). Stale scratch/aside dirs from a crashed run are cleaned on
+    // the next ingest.
+    import java.nio.file.{Files, StandardCopyOption}
     val db = new Reader(path)
     try {
       import scala.jdk.CollectionConverters._
+      val base = outDir.stripSuffix("/")
       tableIterators(db, path).map { case (name, schema, rowIt) =>
-        val dir = s"${outDir.stripSuffix("/")}/$name"
-        graft.ops.Layout.deleteRecursively(new java.io.File(dir))
+        val finalDir = new java.io.File(s"$base/$name")
+        val scratch = new java.io.File(s"$base/.__ingesting__$name")
+        val aside = new java.io.File(s"$base/.__old__$name")
+        graft.ops.Layout.deleteRecursively(scratch)
+        graft.ops.Layout.deleteRecursively(aside)
         var wrote = false
         rowIt.grouped(batchRows).foreach { chunk =>
           spark.createDataFrame(chunk.asJava, schema)
-            .write.mode("append").parquet(dir)
+            .write.mode("append").parquet(scratch.getAbsolutePath)
           wrote = true
         }
         if (!wrote) // empty table still lands with its schema
           spark.createDataFrame(
             java.util.Collections.emptyList[Row](), schema)
-            .write.mode("overwrite").parquet(dir)
-        name -> spark.read.parquet(dir)
+            .write.mode("overwrite").parquet(scratch.getAbsolutePath)
+        if (finalDir.exists()) {
+          Files.move(finalDir.toPath, aside.toPath,
+            StandardCopyOption.ATOMIC_MOVE)
+          try Files.move(scratch.toPath, finalDir.toPath,
+            StandardCopyOption.ATOMIC_MOVE)
+          catch {
+            case e: Throwable =>
+              Files.move(aside.toPath, finalDir.toPath,
+                StandardCopyOption.ATOMIC_MOVE)
+              throw e
+          }
+          graft.ops.Layout.deleteRecursively(aside)
+        } else Files.move(scratch.toPath, finalDir.toPath,
+          StandardCopyOption.ATOMIC_MOVE)
+        name -> spark.read.parquet(finalDir.getAbsolutePath)
       }.toMap
     } finally db.close()
   }

@@ -134,22 +134,36 @@ object Tar {
     * unique per shard), `payloadCol` (binary). Rows cluster by shard
     * (each value lands in ONE task) and entries are written in name
     * order — deterministic shard bytes. Returns the shard file names.
+    *
+    * Commit protocol: tasks write into a dot-prefixed staging dir and
+    * the export lands in `dir` only after the WHOLE job succeeds (stale
+    * shards deleted, staged files renamed in) — a failed export can
+    * never leave a partial shard SET readable as data (the per-task
+    * cleanup below additionally guarantees no truncated individual
+    * file), and the previous export stays readable until the new one
+    * commits.
     */
   def writeShards(df: DataFrame, dir: String, shardCol: String,
       nameCol: String, payloadCol: String): Seq[String] = {
     val dirF = new java.io.File(dir)
     dirF.mkdirs()
-    // OVERWRITE semantics: stale shard files from a previous export with
-    // a different shard count would otherwise survive and be read back
-    // mixed into the new corpus by readShards' glob
-    Option(dirF.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.matches("shard-\\d+\\.tar"))
-      .foreach(_.delete())
+    val staging = new java.io.File(dirF, ".__staging__")
+    def deleteStaging(): Unit = {
+      def del(f: java.io.File): Unit = {
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(del)
+        f.delete(); ()
+      }
+      del(staging)
+    }
+    deleteStaging() // stale crashed export
+    staging.mkdirs()
+    val stagingPath = staging.getAbsolutePath
     val rows = df.select(col(shardCol).cast("long").as("s"),
         col(nameCol).cast("string").as("n"), col(payloadCol).as("p"))
       .repartition(col("s"))
       .sortWithinPartitions("s", "n")
-    val written = rows.mapPartitions { it =>
+    val staged = rows.mapPartitions { it =>
       // partition holds whole shards, rows sorted (shard, name): stream
       // each shard straight into its file, switching on shard change
       var out: java.io.OutputStream = null
@@ -170,7 +184,7 @@ object Tar {
           val p = r.getAs[Array[Byte]](2)
           if (s != cur) {
             close(); cur = s; lastName = null
-            curFile = new java.io.File(dir, s"shard-$s.tar")
+            curFile = new java.io.File(stagingPath, s"shard-$s.tar")
             files ::= curFile.getName
             out = new java.io.BufferedOutputStream(
               new java.io.FileOutputStream(curFile), 1 << 16)
@@ -191,7 +205,23 @@ object Tar {
           throw e
       }
       files.reverseIterator
-    }(org.apache.spark.sql.Encoders.STRING).collect().toSeq.sorted
+    }(org.apache.spark.sql.Encoders.STRING)
+    val written =
+      try staged.collect().toSeq.sorted
+      catch { case e: Throwable => deleteStaging(); throw e }
+    // COMMIT: only now remove the previous export and rename the staged
+    // shards in (same-filesystem moves — the staging dir lives inside
+    // `dir` precisely so these never degrade to copies)
+    Option(dirF.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.matches("shard-\\d+\\.tar"))
+      .foreach(_.delete())
+    written.foreach { n =>
+      java.nio.file.Files.move(
+        new java.io.File(staging, n).toPath,
+        new java.io.File(dirF, n).toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    deleteStaging()
     written
   }
 

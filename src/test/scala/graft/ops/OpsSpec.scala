@@ -612,6 +612,15 @@ class OpsSpec extends SparkSuite {
       "id", "text", "label")
       .collect().map(r => r.getString(1) -> r.getDecimal(2)).toMap
     assert(sc("a") == sc("b"))
+    // a class whose only training docs carry ZERO tokens must stay in the
+    // model (prior + all-smoothing likelihoods), not silently vanish
+    val trainZ = train.unionByName(
+      Seq((5L, "c", "   ")).toDF("id", "label", "text"))
+    val scZ = NaiveBayes.scores(trainZ, test, "id", "text", "label")
+      .select(col("cls")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(scZ == Set("a", "b", "c"),
+      s"zero-token class dropped from the model: $scZ")
   }
 
   test("Pq: ADC table-lookup distance equals the exact code-to-query distance") {

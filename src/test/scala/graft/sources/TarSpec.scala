@@ -174,5 +174,17 @@ class TarSpec extends SparkSuite {
       .getOrElse(Array.empty).filter(_.getName.endsWith(".tar"))
     assert(leftover.isEmpty,
       s"crashed export left truncated shards: ${leftover.map(_.getName).toSeq}")
+    // staging commit: a failed RE-export must leave the previous export
+    // intact and readable — not a partial set of new shards (some tasks'
+    // complete shards mixed with the old corpus)
+    val before = Tar.readShards(spark, dir1).count()
+    intercept[org.apache.spark.SparkException] {
+      Tar.writeShards(df.withColumn("name", lit("same.txt")),
+        dir1, "shard", "name", "payload")
+    }
+    assert(Tar.readShards(spark, dir1).count() === before,
+      "failed re-export must not disturb the committed shards")
+    assert(!new java.io.File(dir1, ".__staging__").exists(),
+      "failed export must clean its staging dir")
   }
 }
