@@ -279,6 +279,121 @@ object CleanOps {
         |        substr(text, 1, 24) || ' caf' || 'e' || chr(769) ||
         |        ' A' || chr(778) || ' ' || chr(4352) || chr(4449) AS r
         |      FROM documents WHERE doc_id < 300)
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin),
+
+    // -- URL canonicalization under the gate: deterministic synthetic
+    //    URLs per doc (mixed-case scheme/host, default and non-default
+    //    ports, trailing-slash runs, unsorted query params, fragments —
+    //    every case the canonicalizer owns, derived identically on both
+    //    sides) through UrlOps.canonicalUrl/host/registeredDomain —
+    //    address-side dedup's key function, pure Column algebra, no UDF -
+    ("q_url_canonical",
+      (s: SparkSession, d: String) => {
+        val u = syntheticUrl
+        t(s, d, "documents").filter(col("doc_id") < 300)
+          .select(col("doc_id"),
+            graft.ops.UrlOps.canonicalUrl(u).as("canon"),
+            graft.ops.UrlOps.host(u).as("host"),
+            graft.ops.UrlOps.registeredDomain(u).as("domain"))
+          .orderBy("doc_id")
+      },
+      s"""WITH u AS (SELECT doc_id, $syntheticUrlSql AS url
+         |           FROM documents WHERE doc_id < 300),
+         |p AS (
+         |  SELECT doc_id, regexp_replace(url, '#.*$$', '') AS nf FROM u),
+         |q AS (
+         |  SELECT doc_id,
+         |    lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
+         |    lower(regexp_extract(nf, '^[^:/?#]+://([^/?#]*)', 1)) AS hostport,
+         |    regexp_extract(nf, '^[^:/?#]+://[^/?#]*(.*)$$', 1) AS pathqf
+         |  FROM p),
+         |r AS (
+         |  SELECT doc_id, scheme,
+         |    regexp_replace(hostport, ':[0-9]+$$', '') AS h,
+         |    regexp_extract(hostport, ':([0-9]+)$$', 1) AS port,
+         |    regexp_extract(pathqf, '^([^?]*)', 1) AS path,
+         |    regexp_extract(pathqf, '\\?(.*)$$', 1) AS query
+         |  FROM q)
+         |SELECT doc_id,
+         |  scheme || '://' || h ||
+         |  (CASE WHEN port = '' THEN ''
+         |        WHEN scheme = 'http' AND port = '80' THEN ''
+         |        WHEN scheme = 'https' AND port = '443' THEN ''
+         |        ELSE ':' || port END) ||
+         |  (CASE WHEN rtrim(path, '/') = '' THEN '/' ELSE rtrim(path, '/') END) ||
+         |  (CASE WHEN query = '' THEN ''
+         |        ELSE '?' || array_to_string(list_sort(string_split(query, '&')), '&') END)
+         |    AS canon,
+         |  h AS host,
+         |  regexp_replace(h, '^www\\.', '') AS domain
+         |FROM r ORDER BY doc_id""".stripMargin),
+
+    // -- per-domain quota curation: at most 3 docs per registered domain,
+    //    chosen by the repo's deterministic md5 rank through the bounded
+    //    mergeable bottom-k heap (UrlOps.domainQuota = Reservoir.sampleK
+    //    per domain — ≤ k candidates per domain per partition cross the
+    //    exchange). The crawl-balance step that stops one site dominating
+    //    the corpus; oracle = the same rank relationally ------------------
+    ("q_domain_quota",
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), col("n_chars"), syntheticUrl.as("url"))
+        val kept = graft.ops.UrlOps.domainQuota(docs, "url", "doc_id", k = 3)
+        kept.join(docs, "doc_id")
+          .groupBy("domain")
+          .agg(count(lit(1)).as("n_kept"),
+            sum(col("n_chars")).cast("long").as("chars"),
+            min(col("doc_id")).as("first_id"),
+            max(col("doc_id")).as("last_id"))
+          .orderBy("domain")
+      },
+      s"""WITH u AS (SELECT doc_id, n_chars, $syntheticUrlSql AS url FROM documents),
+         |dom AS (
+         |  SELECT doc_id, n_chars,
+         |    regexp_replace(
+         |      regexp_replace(lower(regexp_extract(regexp_replace(url, '#.*$$', ''),
+         |        '^[^:/?#]+://([^/?#]*)', 1)), ':[0-9]+$$', ''),
+         |      '^www\\.', '') AS domain
+         |  FROM u),
+         |ranked AS (
+         |  SELECT domain, doc_id, n_chars,
+         |    row_number() OVER (PARTITION BY domain
+         |      ORDER BY md5(cast(doc_id AS VARCHAR)), doc_id) AS rk
+         |  FROM dom)
+         |SELECT domain, count(*) AS n_kept,
+         |  cast(sum(n_chars) AS BIGINT) AS chars,
+         |  min(doc_id) AS first_id, max(doc_id) AS last_id
+         |FROM ranked WHERE rk <= 3
+         |GROUP BY 1 ORDER BY 1""".stripMargin)
   )
+
+  /** Deterministic synthetic URL per document (both engines build the
+    * identical string): mixed-case scheme/host, default port on http
+    * (stripped) AND https (kept — :80 on https is NOT default), a
+    * non-default port, trailing-slash runs, unsorted query params, and a
+    * fragment, each keyed off doc_id residues.
+    */
+  private def syntheticUrl: org.apache.spark.sql.Column =
+    concat(
+      when(pmod(col("doc_id"), lit(2)) === 0, lit("HTTP")).otherwise(lit("https")),
+      lit("://"),
+      when(pmod(col("doc_id"), lit(2)) === 0, lit("WWW.")).otherwise(lit("www.")),
+      col("source"), lit(".Example.COM"),
+      when(pmod(col("doc_id"), lit(3)) === 0, lit(":80"))
+        .when(pmod(col("doc_id"), lit(3)) === 1, lit(":8080")).otherwise(lit("")),
+      lit("/Path/"), pmod(col("doc_id"), lit(50)).cast("string"),
+      when(pmod(col("doc_id"), lit(4)) === 0, lit("///")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(5)) === 0, lit("?b=2&a=1")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(7)) === 0, lit("#frag")).otherwise(lit("")))
+
+  private def syntheticUrlSql: String =
+    """(CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END) || '://' ||
+      |    (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE 'www.' END) ||
+      |    source || '.Example.COM' ||
+      |    (CASE WHEN doc_id % 3 = 0 THEN ':80'
+      |          WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END) ||
+      |    '/Path/' || cast(doc_id % 50 AS VARCHAR) ||
+      |    (CASE WHEN doc_id % 4 = 0 THEN '///' ELSE '' END) ||
+      |    (CASE WHEN doc_id % 5 = 0 THEN '?b=2&a=1' ELSE '' END) ||
+      |    (CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END)""".stripMargin
 }
