@@ -466,4 +466,41 @@ object Dedup {
       .select(col(idCol), col("n_lines"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"), col("rebuilt"))
   }
+
+  /** BOILERPLATE removal, the frequency rule [[lineDedup]]'s keep-first
+    * rule is not: a line whose distinct-DOCUMENT frequency within its
+    * `groupCol` (site/domain) reaches `minDocs` is template chrome (nav,
+    * footer, cookie banner) and is removed from EVERY document — keeping
+    * one copy, as lineDedup would, still poisons that one doc. Lines
+    * below the threshold survive everywhere, repeated or not.
+    *
+    * Scale shape: the line explode is map-side; one exact shuffle keyed
+    * on (group, line) finds the frequent set (countDistinct docs,
+    * partial-aggregated); the removal is a left_anti equi-join on the
+    * same key; the rebuild is one id-keyed aggregation. The frequent set
+    * is ≤ templates-per-site — tiny — but rides the join as a keyed
+    * frame, never a driver collect. Returns (idCol, n_lines, n_kept,
+    * rebuilt) like lineDedup.
+    */
+  def boilerplate(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String, width: Int = 8, minDocs: Int = 3): DataFrame = {
+    require(minDocs >= 2, s"boilerplate: minDocs must be >= 2, got $minDocs")
+    val lines = docLines(docs, idCol, textCol, width)
+      .join(docs.select(col(idCol), col(groupCol)), idCol)
+    val frequent = lines.groupBy(col(groupCol), col("line"))
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .filter(col("__df") >= minDocs)
+      .select(col(groupCol), col("line"))
+    val kept = lines.join(frequent, Seq(groupCol, "line"), "left_anti")
+    val base = lines.select(col(idCol), col("__nl")).distinct()
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line")), " ").as("rebuilt"))
+    base.select(col(idCol), col("__nl").cast("long").as("n_lines"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"), col("rebuilt"))
+  }
 }

@@ -281,6 +281,56 @@ object CleanOps {
         |      FROM documents WHERE doc_id < 300)
         |ORDER BY doc_id""".stripMargin),
 
+    // -- per-site BOILERPLATE removal under the gate (Dedup.boilerplate):
+    //    a deterministic 8-token nav line is prepended to EVERY doc of a
+    //    source (df = docs-per-source >= 3 → template, stripped from all)
+    //    and a promo line to each doc_id % 11 == 0 doc (df per source
+    //    straddles the threshold, so its fate differs BY SOURCE — the
+    //    frequency rule itself is what the hash compare grades). Rebuilt
+    //    text rides as md5, the q_line_dedup convention; injection is
+    //    exactly 8 tokens so original line boundaries never shift --------
+    ("q_boilerplate",
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents").filter(col("doc_id") < 400)
+          .withColumn("text", concat(
+            when(pmod(col("doc_id"), lit(11)) === 0,
+              concat(lit("promo offer sale deal click buy now "), col("source"),
+                lit(" "))).otherwise(lit("")),
+            lit("nav menu about contact home login search "), col("source"),
+            lit(" "), col("text")))
+        graft.ops.Dedup
+          .boilerplate(docs, "doc_id", "text", "source", width = 8, minDocs = 3)
+          .select(col("doc_id"), col("n_lines"), col("n_kept"),
+            md5(col("rebuilt")).as("rebuilt_md5"))
+          .orderBy("doc_id")
+      },
+      """WITH d0 AS (
+        |  SELECT doc_id, source,
+        |    (CASE WHEN doc_id % 11 = 0
+        |          THEN 'promo offer sale deal click buy now ' || source || ' '
+        |          ELSE '' END) ||
+        |    'nav menu about contact home login search ' || source || ' ' || text AS text
+        |  FROM documents WHERE doc_id < 400),
+        |t AS (SELECT doc_id, source, regexp_extract_all(text, '\S+') AS w FROM d0),
+        |d AS (SELECT doc_id, source, len(w) // 8 AS nl, i - 1 AS pos,
+        |        array_to_string(w[(i-1)*8+1 : (i-1)*8+8], ' ') AS line
+        |      FROM t, unnest(generate_series(1, len(w) // 8)) AS r(i)),
+        |bp AS (SELECT source, line FROM (
+        |         SELECT source, line, count(DISTINCT doc_id) AS df
+        |         FROM d GROUP BY 1, 2)
+        |       WHERE df >= 3),
+        |kept AS (SELECT d.doc_id, d.pos, d.line FROM d
+        |         LEFT JOIN bp ON bp.source = d.source AND bp.line = d.line
+        |         WHERE bp.line IS NULL),
+        |base AS (SELECT doc_id, max(nl) AS n_lines FROM d GROUP BY 1),
+        |reb AS (SELECT doc_id, count(*) AS n_kept,
+        |          md5(string_agg(line, ' ' ORDER BY pos)) AS rebuilt_md5
+        |        FROM kept GROUP BY 1)
+        |SELECT base.doc_id, cast(n_lines AS BIGINT) AS n_lines,
+        |  cast(coalesce(n_kept, 0) AS BIGINT) AS n_kept, rebuilt_md5
+        |FROM base LEFT JOIN reb USING (doc_id)
+        |ORDER BY doc_id""".stripMargin),
+
     // -- URL canonicalization under the gate: deterministic synthetic
     //    URLs per doc (mixed-case scheme/host, default and non-default
     //    ports, trailing-slash runs, unsorted query params, fragments —
