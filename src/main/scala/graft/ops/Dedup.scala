@@ -439,10 +439,21 @@ object Dedup {
         regexp_extract_all(col(textCol), lit("\\S+"), lit(0)).as("__w"))
       .withColumn("__nl", expr(s"size(__w) div $width").cast("int"))
       .filter(col("__nl") >= 1)
-      .withColumn("__lines", transform(sequence(lit(0), col("__nl") - 1),
-        i => array_join(slice(col("__w"), i * width + 1, lit(width)), " ")))
-      .select(col(idCol), col("__nl"),
-        posexplode(col("__lines")).as(Seq("pos", "line")))
+      // explode a cheap INDEX sequence and build each line string AFTER
+      // the Generate — not a precomputed array of line strings. With the
+      // line array as the generator input, InferFiltersFromGenerate
+      // derives size/notnull predicates over the WHOLE array expression,
+      // pushes them below upstream filters, and codegen's subexpression
+      // elimination then evaluates the full per-line build for EVERY
+      // scanned row before any cheap pushed filter can short-circuit —
+      // measured 33 s for a 400-doc slice of a 500k-row table (vs <1 s
+      // here; the inferred predicate over sequence() costs one
+      // size(regexp) per row, which the projection needs anyway)
+      .select(col(idCol), col("__nl"), col("__w"),
+        posexplode(sequence(lit(0), col("__nl") - 1)).as(Seq("pos", "__i")))
+      .select(col(idCol), col("__nl"), col("pos"),
+        array_join(slice(col("__w"), col("pos") * width + 1, lit(width)), " ")
+          .as("line"))
 
   def lineDedup(docs: DataFrame, idCol: String, textCol: String,
       width: Int = 8): DataFrame = {
