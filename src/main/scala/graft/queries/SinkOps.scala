@@ -625,6 +625,69 @@ object SinkOps {
       """SELECT lang, count(*) AS n_rows, cast(sum(n_chars) AS BIGINT) AS chars,
         |  min(doc_id) AS first_id, max(doc_id) AS last_id,
         |  cast(2 AS BIGINT) AS rollup_version
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // -- graft-tar DataSourceV2, full read path: shards written by
+    //    Tar.writeShards, read back through the CONNECTOR
+    //    (spark.read.format("graft-tar")) with a pushed shard_file IN
+    //    filter — only 2 of 8 shard files are ever opened (structural
+    //    assert in TarV2Spec; here the pruned read's DATA lands under the
+    //    gate). Payloads decode back to the exact source text ------------
+    ("q_tar_dsv2",
+      (s: SparkSession, d: String) => {
+        val dir = storeDir("tarv2", d)
+        deleteRecursively(new java.io.File(dir))
+        val df = t(s, d, "documents")
+          .select(pmod(col("doc_id"), lit(8)).as("shard"),
+            concat(col("doc_id").cast("string"), lit(".txt")).as("name"),
+            encode(col("text"), "UTF-8").as("payload"))
+        graft.sources.Tar.writeShards(df, dir, "shard", "name", "payload")
+        s.read.format("graft-tar").load(dir)
+          .filter(col("shard_file").isin("shard-0.tar", "shard-3.tar"))
+          .select(col("shard_file"),
+            regexp_extract(col("name"), "^(\\d+)\\.txt$", 1).cast("long").as("doc_id"),
+            decode(col("payload"), "UTF-8").as("text"))
+          .groupBy("shard_file")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length(col("text")).cast("long")).as("text_chars"),
+            min(col("doc_id")).as("first_id"),
+            max(col("doc_id")).as("last_id"))
+          .orderBy("shard_file")
+      },
+      """SELECT 'shard-' || (doc_id % 8) || '.tar' AS shard_file,
+        |  count(*) AS n_docs,
+        |  cast(sum(length(text)) AS BIGINT) AS text_chars,
+        |  min(doc_id) AS first_id, max(doc_id) AS last_id
+        |FROM documents WHERE doc_id % 8 IN (0, 3)
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // -- graft-tar DataSourceV2, metadata-only path: the projection is
+    //    (shard_file, name, size) — payload is PRUNED, so the reader
+    //    skips every payload's bytes (headers only; asserted in
+    //    TarV2Spec). size comes from tar headers alone and must equal
+    //    the source text's UTF-8 byte length — the manifest-scan shape
+    //    over a 100 TB shard store ---------------------------------------
+    ("q_tar_dsv2_meta",
+      (s: SparkSession, d: String) => {
+        val dir = storeDir("tarv2m", d)
+        deleteRecursively(new java.io.File(dir))
+        val df = t(s, d, "documents")
+          .select(pmod(col("doc_id"), lit(8)).as("shard"),
+            concat(col("doc_id").cast("string"), lit(".txt")).as("name"),
+            encode(col("text"), "UTF-8").as("payload"))
+        graft.sources.Tar.writeShards(df, dir, "shard", "name", "payload")
+        s.read.format("graft-tar").load(dir)
+          .select("shard_file", "name", "size")
+          .groupBy("shard_file")
+          .agg(count(lit(1)).as("n_entries"),
+            sum(col("size")).as("payload_bytes"),
+            min(col("name")).as("first_name"))
+          .orderBy("shard_file")
+      },
+      """SELECT 'shard-' || (doc_id % 8) || '.tar' AS shard_file,
+        |  count(*) AS n_entries,
+        |  cast(sum(strlen(text)) AS BIGINT) AS payload_bytes,
+        |  min(doc_id || '.txt') AS first_name
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin))
 
   /** One bit-plane step of the Hilbert fold for the q_hilbert oracle:

@@ -75,6 +75,33 @@ object Tar {
     out
   }
 
+  /** Validate one 512-byte USTAR header block: verifies the checksum and
+    * decodes (name, payload size, is-regular-file). Returns None on the
+    * end-of-archive zero block. Shared by the inline reader below and the
+    * DataSourceV2 connector ([[graft.sources.tarv2]]), so the two paths
+    * cannot drift on header semantics.
+    */
+  private[sources] def parseHeader(h: Array[Byte],
+      context: String): Option[(String, Long, Boolean)] = {
+    if (h.forall(_ == 0)) return None // end-of-archive
+    val stored = new String(h, 148, 8, "US-ASCII")
+      .takeWhile(c => c >= '0' && c <= '7')
+    val saved = java.util.Arrays.copyOfRange(h, 148, 156)
+    java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+    val sum = h.foldLeft(0L)((a, b) => a + (b & 0xff))
+    System.arraycopy(saved, 0, h, 148, 8)
+    require(java.lang.Long.parseLong(stored, 8) == sum,
+      s"tar header checksum mismatch in $context")
+    // the name field is BYTES 0..99 — a full 100-byte name has no
+    // NUL terminator, so scanning the whole header would run into
+    // the mode field
+    val name = new String(h.take(100).takeWhile(_ != 0), "UTF-8")
+    val size = java.lang.Long.parseLong(
+      new String(h, 124, 12, "US-ASCII").trim.takeWhile(_ != 0), 8)
+    val typeflag = h(156)
+    Some((name, size, typeflag == '0' || typeflag == 0))
+  }
+
   /** Parse every regular-file entry of a tar byte stream, verifying each
     * header checksum — a corrupt or truncated shard fails LOUD, never
     * yields silently clipped samples.
@@ -98,26 +125,16 @@ object Tar {
       private def advance(): Unit = {
         if (done) return
         val h = readFully(BLOCK)
-        if (h.forall(_ == 0)) { done = true; return } // end-of-archive
-        val stored = new String(h, 148, 8, "US-ASCII")
-          .takeWhile(c => c >= '0' && c <= '7')
-        java.util.Arrays.fill(h, 148, 156, ' '.toByte)
-        val sum = h.foldLeft(0L)((a, b) => a + (b & 0xff))
-        require(java.lang.Long.parseLong(stored, 8) == sum,
-          s"tar header checksum mismatch in $context")
-        // the name field is BYTES 0..99 — a full 100-byte name has no
-        // NUL terminator, so scanning the whole header would run into
-        // the mode field
-        val name = new String(h.take(100).takeWhile(_ != 0), "UTF-8")
-        val size = java.lang.Long.parseLong(
-          new String(h, 124, 12, "US-ASCII").trim.takeWhile(_ != 0), 8)
-        require(size <= Int.MaxValue, s"oversized tar entry in $context")
-        val payload = readFully(size.toInt)
-        val pad = ((BLOCK - size % BLOCK) % BLOCK).toInt
-        if (pad > 0) readFully(pad)
-        val typeflag = h(156)
-        if (typeflag == '0' || typeflag == 0) nextEntry = (name, payload)
-        else advance() // skip directories/links, keep scanning
+        parseHeader(h, context) match {
+          case None => done = true // end-of-archive
+          case Some((name, size, isFile)) =>
+            require(size <= Int.MaxValue, s"oversized tar entry in $context")
+            val payload = readFully(size.toInt)
+            val pad = ((BLOCK - size % BLOCK) % BLOCK).toInt
+            if (pad > 0) readFully(pad)
+            if (isFile) nextEntry = (name, payload)
+            else advance() // skip directories/links, keep scanning
+        }
       }
       override def hasNext: Boolean = {
         if (nextEntry == null && !done) advance()

@@ -1,0 +1,249 @@
+package graft.sources.tarv2
+
+import java.util.{Map => JMap}
+
+import scala.jdk.OptionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.sources.{EqualTo, Filter, In, IsNotNull, StringEndsWith, StringStartsWith}
+import org.apache.spark.sql.types.{BinaryType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.Tar
+
+/** WebDataset tar shards as a first-class DataSourceV2 table:
+  * `spark.read.format("graft-tar").load(dir)` — the Catalyst-integrated
+  * sibling of [[graft.sources.Tar.readShards]] (which parallelizes via an
+  * RDD and always materializes payloads).
+  *
+  * What the connector integration buys at 100 TB, beyond the RDD reader:
+  *
+  *  - **Shard pruning**: filters on `shard_file` (=, IN, prefix, suffix)
+  *    are pushed into planning, so excluded shard FILES are never opened —
+  *    the tar analogue of partition pruning. One input partition per
+  *    surviving shard.
+  *  - **Column pruning**: a query that doesn't project `payload` (e.g. a
+  *    manifest scan over name/size) SKIPS every payload's bytes with
+  *    `InputStream.skip` — headers only, no per-entry allocation. Pruning
+  *    reaches the scan, visible as ReadSchema in `.explain("formatted")`.
+  *  - **Entry-name filters**: =, prefix, suffix, IN on `name` are applied
+  *    per header BEFORE the payload read, so a probe for one sample in a
+  *    1 GB shard streams headers and skips every other payload.
+  *  - **Statistics**: `estimateStatistics` reports the summed byte size of
+  *    the surviving shards, so Catalyst can broadcast a small tar join
+  *    side instead of shuffling it.
+  *
+  * Pushed filters are reported via `pushedFilters` (visible in explain as
+  * PushedFilters) but ALSO returned as post-scan residuals, so Spark
+  * re-evaluates them — pruning here is a performance contract, never the
+  * correctness boundary. Tar has no index, so a shard is always ONE
+  * sequential read (exactly the access pattern trainers built the format
+  * for); parallelism comes from the shard count, which is why writers
+  * size shards to ~1 GB.
+  *
+  * Registered as `graft-tar` via DataSourceRegister
+  * (META-INF/services); schema is fixed:
+  * (shard_file string, name string, size long, payload binary).
+  */
+class TarDataSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "graft-tar"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    TarTable.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table = {
+    require(schema == TarTable.Schema,
+      s"graft-tar has a fixed schema ${TarTable.Schema.simpleString}; " +
+        s"user-supplied schema ${schema.simpleString} is not supported")
+    val path = properties.entrySet().stream()
+      .filter(e => e.getKey.equalsIgnoreCase("path"))
+      .map[String](_.getValue).findFirst().toScala
+    new TarTable(path.getOrElse(
+      throw new IllegalArgumentException("graft-tar: .load(path) is required")))
+  }
+}
+
+object TarTable {
+  val Schema: StructType = StructType(Seq(
+    StructField("shard_file", StringType, nullable = false),
+    StructField("name", StringType, nullable = false),
+    StructField("size", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = true)))
+
+  /** Conservative entry predicate from the pushable filter subset: true
+    * unless the filter DEFINITELY excludes the value. Used both for
+    * driver-side shard pruning and per-entry name screening.
+    */
+  private[tarv2] def accepts(filters: Seq[Filter], attr: String, v: String): Boolean =
+    filters.forall {
+      case EqualTo(a, value) if a == attr => value == v
+      case In(a, values) if a == attr => values.contains(v)
+      case StringStartsWith(a, p) if a == attr => v.startsWith(p)
+      case StringEndsWith(a, s) if a == attr => v.endsWith(s)
+      case IsNotNull(a) if a == attr => true // columns are never null
+      case _ => true
+    }
+
+  private[tarv2] def pushable(f: Filter): Boolean = f match {
+    case EqualTo(a, v: String) => (a == "shard_file" || a == "name") && v != null
+    case In(a, vs) => (a == "shard_file" || a == "name") &&
+      vs.forall(_.isInstanceOf[String])
+    case StringStartsWith(a, _) => a == "shard_file" || a == "name"
+    case StringEndsWith(a, _) => a == "shard_file" || a == "name"
+    case IsNotNull(a) => a == "shard_file" || a == "name"
+    case _ => false
+  }
+}
+
+class TarTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"graft-tar:$path"
+  override def schema(): StructType = TarTable.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new TarScanBuilder(path)
+}
+
+class TarScanBuilder(path: String) extends ScanBuilder
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+  private var required: StructType = TarTable.Schema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // keep the fixed field order; Spark may request columns in any order
+    // and expects rows in the order IT named, so project by its schema
+    required = requiredSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(TarTable.pushable)
+    filters // everything re-evaluated post-scan: pruning is perf, not truth
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new TarScan(path, required, pushed.toSeq)
+}
+
+case class TarInputPartition(file: String, shardFile: String) extends InputPartition
+
+class TarScan(path: String, required: StructType, pushed: Seq[Filter])
+    extends Scan with Batch with SupportsReportStatistics {
+
+  private def survivingFiles(): Seq[java.io.File] = {
+    val all = Option(new java.io.File(path).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isFile && f.getName.endsWith(".tar"))
+    require(all.nonEmpty, s"graft-tar: no .tar shards under '$path'")
+    all.filter(f => TarTable.accepts(pushed, "shard_file", f.getName))
+      .sortBy(_.getName).toSeq
+  }
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-tar $path, PushedFilters: [${pushed.mkString(", ")}]"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    survivingFiles()
+      .map(f => TarInputPartition(f.getAbsolutePath, f.getName): InputPartition)
+      .toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    TarReaderFactory(required.fieldNames.toSeq,
+      pushed.filter {
+        case EqualTo(a, _) => a == "name"
+        case In(a, _) => a == "name"
+        case StringStartsWith(a, _) => a == "name"
+        case StringEndsWith(a, _) => a == "name"
+        case _ => false
+      })
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val bytes = survivingFiles().map(_.length()).sum
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(bytes)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.empty()
+  }
+}
+
+case class TarReaderFactory(columns: Seq[String], nameFilters: Seq[Filter])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new TarPartitionReader(partition.asInstanceOf[TarInputPartition], columns, nameFilters)
+}
+
+/** Streams one shard: header → (name screen) → payload read OR skip.
+  * Memory is one entry's payload at most — and zero when `payload` is
+  * pruned or the name screen rejects the entry.
+  */
+class TarPartitionReader(p: TarInputPartition, columns: Seq[String],
+    nameFilters: Seq[Filter]) extends PartitionReader[InternalRow] {
+
+  private val in = new java.io.BufferedInputStream(
+    new java.io.FileInputStream(p.file), 1 << 16)
+  private val wantPayload = columns.contains("payload")
+  private val shardUtf8 = UTF8String.fromString(p.shardFile)
+  private var row: InternalRow = _
+  private var done = false
+
+  private def readFully(n: Int): Array[Byte] = {
+    val b = new Array[Byte](n)
+    var off = 0
+    while (off < n) {
+      val r = in.read(b, off, n - off)
+      if (r < 0) throw new java.io.IOException(
+        s"truncated tar in ${p.file}: wanted $n bytes, got $off")
+      off += r
+    }
+    b
+  }
+
+  private def skipFully(n: Long): Unit = {
+    var left = n
+    while (left > 0) {
+      val s = in.skip(left)
+      if (s > 0) left -= s
+      else if (in.read() < 0) throw new java.io.IOException(
+        s"truncated tar in ${p.file}: $left bytes short while skipping")
+      else left -= 1
+    }
+  }
+
+  override def next(): Boolean = {
+    row = null
+    while (row == null && !done) {
+      val h = readFully(512)
+      Tar.parseHeader(h, p.file) match {
+        case None => done = true
+        case Some((name, size, isFile)) =>
+          require(size <= Int.MaxValue, s"oversized tar entry in ${p.file}")
+          val padded = size + ((512 - size % 512) % 512)
+          val want = isFile && TarTable.accepts(nameFilters, "name", name)
+          if (!want) skipFully(padded)
+          else {
+            val payload = if (wantPayload) {
+              val b = readFully(size.toInt); skipFully(padded - size); b
+            } else { skipFully(padded); null }
+            val values: Array[Any] = columns.map {
+              case "shard_file" => shardUtf8
+              case "name" => UTF8String.fromString(name)
+              case "size" => size
+              case "payload" => payload
+              case other => throw new IllegalStateException(
+                s"graft-tar: unknown projected column '$other'")
+            }.toArray
+            row = new GenericInternalRow(values)
+          }
+      }
+    }
+    row != null
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = in.close()
+}

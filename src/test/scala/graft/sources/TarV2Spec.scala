@@ -1,0 +1,104 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** The graft-tar DataSourceV2 connector vs the RDD reader it mirrors:
+  * identical content, shard pruning reaching planInputPartitions, payload
+  * skipping under column pruning, and per-entry name screens.
+  */
+class TarV2Spec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("graft_tarv2_").toFile.getAbsolutePath
+    val df = (0 until 40).map { i =>
+      (i % 4, f"doc$i%03d.${if (i % 2 == 0) "txt" else "json"}",
+        s"payload-$i-${"x" * i}".getBytes("UTF-8"))
+    }.toDF("shard", "name", "payload")
+    Tar.writeShards(df, d, "shard", "name", "payload")
+    d
+  }
+
+  test("v2 read equals the RDD reader row-for-row") {
+    val v2 = spark.read.format("graft-tar").load(dir)
+      .select("shard_file", "name", "payload")
+    val rdd = Tar.readShards(spark, dir)
+    assert(v2.exceptAll(rdd).isEmpty && rdd.exceptAll(v2).isEmpty)
+    assert(v2.count() == 40)
+  }
+
+  test("size column matches payload length without reading payloads") {
+    val meta = spark.read.format("graft-tar").load(dir)
+      .select("name", "size")
+    val expected = Tar.readShards(spark, dir)
+      .select(col("name"), length(col("payload")).cast("long").as("size"))
+    assert(meta.exceptAll(expected).isEmpty && expected.exceptAll(meta).isEmpty)
+  }
+
+  test("shard_file equality prunes input partitions to one file") {
+    val df = spark.read.format("graft-tar").load(dir)
+      .filter(col("shard_file") === "shard-2.tar")
+    // partition pruning is structural: the scan plans ONE partition
+    assert(df.rdd.getNumPartitions == 1)
+    assert(df.count() == 10)
+    val all = spark.read.format("graft-tar").load(dir)
+    assert(all.rdd.getNumPartitions == 4)
+  }
+
+  test("shard_file IN and prefix filters prune too") {
+    val in2 = spark.read.format("graft-tar").load(dir)
+      .filter(col("shard_file").isin("shard-0.tar", "shard-3.tar"))
+    assert(in2.rdd.getNumPartitions == 2)
+    val pre = spark.read.format("graft-tar").load(dir)
+      .filter(col("shard_file").startsWith("shard-1"))
+    assert(pre.rdd.getNumPartitions == 1)
+  }
+
+  test("name filters screen entries and stay exact") {
+    val txt = spark.read.format("graft-tar").load(dir)
+      .filter(col("name").endsWith(".txt"))
+    assert(txt.count() == 20)
+    val one = spark.read.format("graft-tar").load(dir)
+      .filter(col("name") === "doc007.json")
+      .select(decode(col("payload"), "UTF-8").as("t"))
+      .as[String].collect().toSeq
+    assert(one == Seq("payload-7-" + "x" * 7))
+  }
+
+  test("pushed filters are visible in the explain output") {
+    val df = spark.read.format("graft-tar").load(dir)
+      .filter(col("shard_file") === "shard-2.tar" && col("name").endsWith(".txt"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters"))
+    assert(plan.contains("shard_file"))
+  }
+
+  test("estimateStatistics reports shard bytes so small tars broadcast") {
+    val stats = spark.read.format("graft-tar").load(dir)
+      .queryExecution.optimizedPlan.stats
+    val onDisk = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".tar")).map(_.length()).sum
+    assert(stats.sizeInBytes == BigInt(onDisk))
+  }
+
+  test("user-supplied schema is rejected loud") {
+    val e = intercept[Exception] {
+      spark.read.format("graft-tar")
+        .schema("a INT, b STRING").load(dir).collect()
+    }
+    assert(e.getMessage.contains("fixed schema") ||
+      e.getMessage.toLowerCase.contains("schema"))
+  }
+
+  test("missing path fails loud") {
+    val e = intercept[Exception] {
+      spark.read.format("graft-tar").load(dir + "/nonexistent").collect()
+    }
+    assert(e.getMessage.contains("no .tar shards") ||
+      e.getMessage.toLowerCase.contains("path"))
+  }
+}
