@@ -440,6 +440,115 @@ object EventOps {
       """SELECT lang, count(*) AS n_docs, cast(sum(n_chars) AS BIGINT) AS chars,
         |  count(DISTINCT doc_id) AS n_ids, max(doc_id) AS max_id
         |FROM documents WHERE doc_id % 3 <= 1
-        |GROUP BY 1 ORDER BY 1""".stripMargin)
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // -- SCD type-2 dimension history: each user's event_type stream
+    //    collapses into validity intervals (gaps-and-islands: lag marks
+    //    run starts, a running sum numbers runs, runs aggregate to
+    //    [valid_from, valid_to) with NULL = current). Every window is
+    //    partitioned BY USER — per-key partitions, no global sort, the
+    //    shape that holds when the dimension has 10^9 keys. valid_to
+    //    comes from lead() over the (tiny per user) run table ------------
+    ("q_scd2_history",
+      (s: SparkSession, d: String) => {
+        val byUser = Window.partitionBy("user_id").orderBy("ms", "event_id")
+        val runs = t(s, d, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            nsDiv("ts", NS_PER_MS).as("ms"))
+          .withColumn("prev_t", lag(col("event_type"), 1).over(byUser))
+          .withColumn("st",
+            when(col("prev_t").isNull || col("prev_t") =!= col("event_type"), 1L)
+              .otherwise(0L))
+          .withColumn("grp", sum(col("st")).over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "grp")
+          .agg(min(col("ms")).as("valid_from"), count(lit(1)).as("n_events"),
+            min(col("event_type")).as("event_type"))
+        runs
+          .withColumn("valid_to", lead(col("valid_from"), 1).over(
+            Window.partitionBy("user_id").orderBy("valid_from")))
+          .withColumn("is_current", col("valid_to").isNull)
+          .select("user_id", "event_type", "valid_from", "valid_to",
+            "n_events", "is_current")
+          .orderBy("user_id", "valid_from")
+      },
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS prev_t
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, event_id, event_type, ms,
+        |    sum(CASE WHEN prev_t IS NULL OR prev_t <> event_type THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |  FROM e),
+        |runs AS (
+        |  SELECT user_id, grp, min(ms) AS valid_from, count(*) AS n_events,
+        |    min(event_type) AS event_type
+        |  FROM m GROUP BY 1, 2)
+        |SELECT user_id, event_type, valid_from,
+        |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) AS valid_to,
+        |  n_events,
+        |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) IS NULL AS is_current
+        |FROM runs ORDER BY user_id, valid_from""".stripMargin),
+
+    // -- point-in-time dimension lookup over that history: five probe
+    //    instants (integer fractions of the observed time span) each ask
+    //    "what type was every user at time p?" — the interval containment
+    //    join runs against the BROADCAST 5-row probe frame, so the big
+    //    side never shuffles; at warehouse scale this is the as-of read
+    //    that type-2 tables exist to serve ------------------------------
+    ("q_scd2_asof",
+      (s: SparkSession, d: String) => {
+        val byUser = Window.partitionBy("user_id").orderBy("ms", "event_id")
+        val runs = t(s, d, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            nsDiv("ts", NS_PER_MS).as("ms"))
+          .withColumn("prev_t", lag(col("event_type"), 1).over(byUser))
+          .withColumn("st",
+            when(col("prev_t").isNull || col("prev_t") =!= col("event_type"), 1L)
+              .otherwise(0L))
+          .withColumn("grp", sum(col("st")).over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "grp")
+          .agg(min(col("ms")).as("valid_from"), min(col("event_type")).as("event_type"))
+          .withColumn("valid_to", lead(col("valid_from"), 1).over(
+            Window.partitionBy("user_id").orderBy("valid_from")))
+        val span = t(s, d, "events")
+          .agg(min(nsDiv("ts", NS_PER_MS)).as("lo"), max(nsDiv("ts", NS_PER_MS)).as("hi"))
+        val probes = span.crossJoin(s.range(1, 6).toDF("i"))
+          .select(expr("lo + (i * (hi - lo)) div 6").as("p"))
+        runs.join(broadcast(probes),
+            col("valid_from") <= col("p") &&
+              (col("valid_to").isNull || col("p") < col("valid_to")))
+          .groupBy("p", "event_type")
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy("p", "event_type")
+      },
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS prev_t
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, event_type, ms,
+        |    sum(CASE WHEN prev_t IS NULL OR prev_t <> event_type THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |  FROM e),
+        |runs0 AS (
+        |  SELECT user_id, grp, min(ms) AS valid_from, min(event_type) AS event_type
+        |  FROM m GROUP BY 1, 2),
+        |runs AS (
+        |  SELECT user_id, event_type, valid_from,
+        |    lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) AS valid_to
+        |  FROM runs0),
+        |span AS (SELECT min(epoch_ms(ts)) AS lo, max(epoch_ms(ts)) AS hi FROM events),
+        |probes AS (
+        |  SELECT lo + (i * (hi - lo)) // 6 AS p
+        |  FROM span, (SELECT unnest(range(1, 6)) AS i))
+        |SELECT p, event_type, count(*) AS n_users
+        |FROM runs JOIN probes
+        |  ON valid_from <= p AND (valid_to IS NULL OR p < valid_to)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
   )
 }
