@@ -59,4 +59,42 @@ object Ranking {
       .orderBy(col("bm25").desc, col(idCol))
       .limit(topK)
   }
+
+  /** Exact phrase search through a positional inverted index: documents
+    * containing `phrase` as CONSECUTIVE whitespace-delimited tokens, with
+    * the 1-based word position of the first occurrence and the total
+    * occurrence count (overlapping occurrences counted — the positional
+    * join sees every start position, which char-replace counting cannot).
+    *
+    * Shape: postings (doc, position, term) from one posexplode; the
+    * phrase's terms self-join at fixed offsets, ANCHORED on the phrase's
+    * globally rarest term — every subsequent join keys on (doc, pos), so
+    * candidate rows shrink to the rarest term's postings immediately,
+    * never the commonest. This is the inverted-index plan a search engine
+    * runs; the q_phrase_search oracle checks it against an independent
+    * char-scan (LIKE + replace arithmetic) rather than a replay of the
+    * same join.
+    */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+      phrase: String): DataFrame = {
+    val terms = phrase.trim.split("\\s+").toSeq
+    require(terms.nonEmpty && terms.head.nonEmpty, "phraseSearch needs a non-empty phrase")
+    val tok = docs.select(col(idCol).as("__d"),
+      posexplode(split(col(textCol), " ")).as(Seq("__p", "__t")))
+    // anchor on the rarest term: one tiny count-by-term over the phrase's
+    // terms only (filtered before the shuffle)
+    val counts = tok.filter(col("__t").isin(terms: _*))
+      .groupBy("__t").agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val anchorIdx = terms.zipWithIndex
+      .minBy { case (t, i) => (counts.getOrElse(t, 0L), i) }._2
+    var m = tok.filter(col("__t") === terms(anchorIdx))
+      .select(col("__d"), (col("__p") - anchorIdx).as("__p"))
+    terms.indices.filter(_ != anchorIdx).foreach { i =>
+      m = m.join(tok.filter(col("__t") === terms(i))
+        .select(col("__d"), (col("__p") - i).as("__p")), Seq("__d", "__p"))
+    }
+    m.groupBy(col("__d").as(idCol))
+      .agg((min(col("__p")) + 1).as("first_pos"), count(lit(1)).as("n_occ"))
+  }
 }
