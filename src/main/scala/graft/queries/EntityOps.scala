@@ -8,7 +8,7 @@ import Q._
 /** Entity resolution (record linkage) under the oracle gate: a noisy-
   * record fixture derived deterministically from the documents table
   * (IDENTICAL SQL in both engines), then [[graft.ops.Entity]]'s
-  * prefix-filtered edit-distance join, component closure, and
+  * PassJoin-blocked edit-distance join, component closure, and
   * survivorship election, each hash-compared against DuckDB.
   *
   * Fixture: each document contributes a 24-char lowercase "name"
@@ -19,8 +19,8 @@ import Q._
   * 1-edit and 2-edit true pairs, and (at sf0.01) 62 cross-document
   * collisions — so the gate exercises matching, transitivity, AND the
   * blocking guarantee: the DuckDB oracle is a BRUTE-FORCE all-pairs
-  * levenshtein, so hash equality proves the q-gram prefix filter
-  * dropped no pair (same proof shape as q_image_neardup's banded join).
+  * levenshtein, so hash equality proves the segment blocking dropped
+  * no pair (same proof shape as q_image_neardup's banded join).
   *
   * Names are ASCII by construction ([^a-z ] stripped): Spark's
   * levenshtein counts codepoints, DuckDB's counts bytes, and the two
@@ -89,13 +89,13 @@ object EntityOps {
 
   val entries: Seq[(String, Fn, String)] = Seq(
 
-    // -- blocked edit-distance join: Ed-Join prefix filter (q*k+1 rarest
-    //    grams indexed per record) + length filter + levenshtein verify.
-    //    The oracle is BRUTE-FORCE all-pairs, so equality proves the
-    //    blocking complete, not just the verify correct -------------------
+    // -- blocked edit-distance join: PassJoin segments (k+1 per record,
+    //    probed at ±k alignment shifts) + levenshtein verify. The oracle
+    //    is BRUTE-FORCE all-pairs, so equality proves the blocking
+    //    complete, not just the verify correct ---------------------------
     ("q_entity_pairs",
       (s: SparkSession, d: String) =>
-        graft.ops.Entity.editPairs(records(s, d), "rec_id", "nm", q = 3, k = 2)
+        graft.ops.Entity.editPairs(records(s, d), "rec_id", "nm", k = 2)
           .select(col("a"), col("b"), col("dist").cast("long").as("dist"))
           .orderBy("a", "b"),
       s"""WITH $recordsCte,
@@ -110,7 +110,7 @@ object EntityOps {
     //    brute-force edge list with a recursive CTE ----------------------
     ("q_entity_clusters",
       (s: SparkSession, d: String) =>
-        graft.ops.Entity.resolve(records(s, d), "rec_id", "nm", q = 3, k = 2)
+        graft.ops.Entity.resolve(records(s, d), "rec_id", "nm", k = 2)
           .select(col("rec_id"), col("entity_id"))
           .orderBy("rec_id"),
       s"""WITH RECURSIVE $closureCtes
@@ -120,7 +120,7 @@ object EntityOps {
     //    lexicographic tie-break, member count ---------------------------
     ("q_entity_resolve",
       (s: SparkSession, d: String) => {
-        val resolved = graft.ops.Entity.resolve(records(s, d), "rec_id", "nm", q = 3, k = 2)
+        val resolved = graft.ops.Entity.resolve(records(s, d), "rec_id", "nm", k = 2)
         graft.ops.Entity.canonicalize(resolved, "nm")
           .select(col("entity_id"), col("canonical_name"),
             col("n_members").cast("long").as("n_members"))

@@ -4,11 +4,12 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSuite
 
-/** Entity.editPairs' prefix-filter blocking vs a local brute force — the
-  * completeness guarantee (Ed-Join lemma + degenerate residual) tested on
-  * adversarial inputs the fixture queries don't cover: repetitive strings
-  * with < q·k+1 distinct grams, near-empty strings, exact duplicates, and
-  * a seeded random corpus.
+/** Entity.editPairs' PassJoin segment blocking vs a local brute force —
+  * the completeness guarantee (pigeonhole + ±k alignment windows + the
+  * short-string residual) tested on adversarial inputs the fixture
+  * queries don't cover: repetitive strings, strings too short to
+  * segment, exact duplicates, and a seeded random corpus with mixed
+  * lengths.
   */
 class EntitySpec extends SparkSuite {
   import spark.implicits._
@@ -29,8 +30,8 @@ class EntitySpec extends SparkSuite {
       d = lev(na, nb) if d <= k
     } yield (ia, ib, d)).toSet
 
-  private def viaSpark(recs: Seq[(Long, String)], q: Int, k: Int): Set[(Long, Long, Int)] =
-    Entity.editPairs(recs.toDF("id", "name"), "id", "name", q, k)
+  private def viaSpark(recs: Seq[(Long, String)], k: Int): Set[(Long, Long, Int)] =
+    Entity.editPairs(recs.toDF("id", "name"), "id", "name", k)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
 
   test("editPairs matches brute force on a seeded random corpus") {
@@ -44,23 +45,33 @@ class EntitySpec extends SparkSuite {
       } else base
       (i, s)
     }
-    assert(viaSpark(recs, q = 3, k = 2) == brute(recs, 2))
+    assert(viaSpark(recs, k = 2) == brute(recs, 2))
   }
 
-  test("degenerate records (few distinct grams) are still matched exactly") {
-    // "aaaaaaaa" has ONE distinct 3-gram — outside the prefix-filter
-    // lemma; the broadcast residual path must still pair it correctly
+  test("repetitive and too-short strings are still matched exactly") {
+    // "ab"/"ba" (len < 2*(k+1)) take the broadcast residual path;
+    // "aaaaaaaa" exercises repeated segments; mixed lengths exercise the
+    // ±k length windows of the probe side
     val recs = Seq[(Long, String)](
       (1L, "aaaaaaaa"), (2L, "aaaaaaa"), (3L, "aaabaaaa"),
       (4L, "bbbbbbbb"), (5L, "ab"), (6L, "ba"), (7L, "ab"),
       (8L, "completely different"))
-    assert(viaSpark(recs, q = 3, k = 2) == brute(recs, 2))
+    assert(viaSpark(recs, k = 2) == brute(recs, 2))
+  }
+
+  test("boundary lengths around the residual cutoff stay exact") {
+    // lengths 4..8 straddle minLen = 6 for k = 2: pairs must be found
+    // across the segment/residual boundary in both directions
+    val recs = Seq[(Long, String)](
+      (1L, "abcd"), (2L, "abcde"), (3L, "abcdef"), (4L, "abcdefg"),
+      (5L, "abcdefgh"), (6L, "zbcdef"), (7L, "abqqef"))
+    assert(viaSpark(recs, k = 2) == brute(recs, 2))
   }
 
   test("exact duplicates pair at distance 0 and resolve to one entity") {
     val recs = Seq[(Long, String)]((10L, "same name"), (20L, "same name"),
       (30L, "same namex"), (40L, "other record"))
-    val resolved = Entity.resolve(recs.toDF("id", "name"), "id", "name", 3, 2)
+    val resolved = Entity.resolve(recs.toDF("id", "name"), "id", "name", 2)
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(resolved == Map(10L -> 10L, 20L -> 10L, 30L -> 10L, 40L -> 40L))
   }
@@ -77,7 +88,7 @@ class EntitySpec extends SparkSuite {
   test("null names are ignored, not matched to each other") {
     val recs = Seq((1L, "alpha"), (2L, null), (3L, null), (4L, "alphb"))
       .toDF("id", "name")
-    val pairs = Entity.editPairs(recs, "id", "name", 3, 2)
+    val pairs = Entity.editPairs(recs, "id", "name", 2)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 4L)))
   }
