@@ -442,6 +442,60 @@ object EventOps {
         |FROM documents WHERE doc_id % 3 <= 1
         |GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // -- STREAM-STREAM interval join under the oracle gate: every error
+    //    joined to the same user's purchases in the preceding 30 min,
+    //    executed as a REAL streaming query (two watermarked streams off
+    //    the file source, state-bounded range join, AvailableNow, memory
+    //    sink) and hash-compared against the batch interval join DuckDB
+    //    computes directly. The events table is one parquet file, so the
+    //    AvailableNow run is a single micro-batch and the inner-join
+    //    output is deterministically complete; the per-user aggregation
+    //    happens BATCH-side on the (small) joined result, keeping the
+    //    streaming query single-stateful-op. Correlated purchase sums ride
+    //    the exact-cents convention ---------------------------------------
+    ("q_stream_join",
+      (s: SparkSession, d: String) => {
+        val batchSchema = { ensureNanosReadable(s)
+          s.read.parquet(s"$d/events.parquet").schema }
+        val names = Seq("event_id", "ts", "user_id", "event_type", "value")
+        val fields = names.map(n => batchSchema(batchSchema.fieldIndex(n)))
+        val stream0 = s.readStream
+          .schema(org.apache.spark.sql.types.StructType(fields))
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(d)
+        val tss = fields(1).dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            timestamp_micros(expr("ts div 1000L")) // epoch-nanos generation
+          case _ => col("ts").cast("timestamp") // micros TS/NTZ (UTC session)
+        }
+        val joined = graft.streaming.EventStream.errorsAfterPurchases(
+          stream0.withColumn("ts", tss), windowMinutes = 30)
+        val sink = "graft_stream_join_out"
+        s.catalog.dropTempView(sink)
+        graft.streaming.EventStream.runToMemory(joined, sink,
+          org.apache.spark.sql.streaming.OutputMode.Append)
+        s.table(sink)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_pairs"),
+            countDistinct(col("event_id")).as("n_errors"),
+            sum(cents(col("purchase_value"))).as("purchase_cents"),
+            max(expr("unix_micros(p_ts) div 1000L")).as("last_purchase_ms"))
+          .orderBy("user_id")
+      },
+      """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ms
+        |           FROM events WHERE event_type = 'error'),
+        |p AS (SELECT user_id, epoch_ms(ts) AS ms, value
+        |      FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT e.event_id, e.user_id, p.ms AS p_ms,
+        |        CAST(round(p.value * 100) AS BIGINT) AS cents
+        |      FROM e JOIN p ON e.user_id = p.user_id
+        |        AND p.ms <= e.ms AND p.ms >= e.ms - 30*60*1000)
+        |SELECT user_id, count(*) AS n_pairs,
+        |  count(DISTINCT event_id) AS n_errors,
+        |  sum(cents) AS purchase_cents,
+        |  max(p_ms) AS last_purchase_ms
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // -- SCD type-2 dimension history: each user's event_type stream
     //    collapses into validity intervals (gaps-and-islands: lag marks
     //    run starts, a running sum numbers runs, runs aggregate to
