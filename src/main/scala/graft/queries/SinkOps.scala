@@ -627,21 +627,25 @@ object SinkOps {
         |  cast(2 AS BIGINT) AS rollup_version
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin),
 
-    // -- graft-tar DataSourceV2, full read path: shards written by
-    //    Tar.writeShards, read back through the CONNECTOR
-    //    (spark.read.format("graft-tar")) with a pushed shard_file IN
-    //    filter — only 2 of 8 shard files are ever opened (structural
-    //    assert in TarV2Spec; here the pruned read's DATA lands under the
-    //    gate). Payloads decode back to the exact source text ------------
+    // -- graft-tar DataSourceV2, BOTH directions: shards written through
+    //    the connector's v2 WRITE (whose RequiresDistributionAndOrdering
+    //    makes Catalyst insert the cluster-by-shard exchange + sort; the
+    //    staged-rename commit protocol lands the export atomically), read
+    //    back through the v2 READ with a pushed shard_file IN filter —
+    //    only 2 of 8 shard files are ever opened (structural assert in
+    //    TarV2Spec; here the pruned read's DATA lands under the gate).
+    //    Payloads decode back to the exact source text -------------------
     ("q_tar_dsv2",
       (s: SparkSession, d: String) => {
         val dir = storeDir("tarv2", d)
         deleteRecursively(new java.io.File(dir))
-        val df = t(s, d, "documents")
-          .select(pmod(col("doc_id"), lit(8)).as("shard"),
+        t(s, d, "documents")
+          .select(concat(lit("shard-"), pmod(col("doc_id"), lit(8)),
+              lit(".tar")).as("shard_file"),
             concat(col("doc_id").cast("string"), lit(".txt")).as("name"),
+            length(encode(col("text"), "UTF-8")).cast("long").as("size"),
             encode(col("text"), "UTF-8").as("payload"))
-        graft.sources.Tar.writeShards(df, dir, "shard", "name", "payload")
+          .write.format("graft-tar").mode("overwrite").save(dir)
         s.read.format("graft-tar").load(dir)
           .filter(col("shard_file").isin("shard-0.tar", "shard-3.tar"))
           .select(col("shard_file"),
@@ -671,11 +675,15 @@ object SinkOps {
       (s: SparkSession, d: String) => {
         val dir = storeDir("tarv2m", d)
         deleteRecursively(new java.io.File(dir))
-        val df = t(s, d, "documents")
-          .select(pmod(col("doc_id"), lit(8)).as("shard"),
+        // null size: the writer derives it from the payload (contract:
+        // size must equal octet_length(payload) or be null)
+        t(s, d, "documents")
+          .select(concat(lit("shard-"), pmod(col("doc_id"), lit(8)),
+              lit(".tar")).as("shard_file"),
             concat(col("doc_id").cast("string"), lit(".txt")).as("name"),
+            lit(null).cast("long").as("size"),
             encode(col("text"), "UTF-8").as("payload"))
-        graft.sources.Tar.writeShards(df, dir, "shard", "name", "payload")
+          .write.format("graft-tar").mode("overwrite").save(dir)
         s.read.format("graft-tar").load(dir)
           .select("shard_file", "name", "size")
           .groupBy("shard_file")

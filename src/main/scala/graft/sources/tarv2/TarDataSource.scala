@@ -6,9 +6,11 @@ import scala.jdk.OptionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{EqualTo, Filter, In, IsNotNull, StringEndsWith, StringStartsWith}
 import org.apache.spark.sql.types.{BinaryType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -57,7 +59,10 @@ class TarDataSource extends TableProvider
     TarTable.Schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table = {
-    require(schema == TarTable.Schema,
+    // names+types must match the fixed schema; nullability is ignored so
+    // computed write inputs (nullable by construction) resolve by name
+    require(schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+        TarTable.Schema.fields.map(f => (f.name, f.dataType)).toSeq,
       s"graft-tar has a fixed schema ${TarTable.Schema.simpleString}; " +
         s"user-supplied schema ${schema.simpleString} is not supported")
     val path = properties.entrySet().stream()
@@ -69,10 +74,14 @@ class TarDataSource extends TableProvider
 }
 
 object TarTable {
+  // all-nullable so write inputs (whose computed columns are nullable by
+  // construction) pass by-name output resolution; the reader never emits
+  // nulls (except a pruned payload, which is simply absent) and the
+  // writer REJECTS null shard/name/payload at runtime
   val Schema: StructType = StructType(Seq(
-    StructField("shard_file", StringType, nullable = false),
-    StructField("name", StringType, nullable = false),
-    StructField("size", LongType, nullable = false),
+    StructField("shard_file", StringType, nullable = true),
+    StructField("name", StringType, nullable = true),
+    StructField("size", LongType, nullable = true),
     StructField("payload", BinaryType, nullable = true)))
 
   /** Conservative entry predicate from the pushable filter subset: true
@@ -100,13 +109,16 @@ object TarTable {
   }
 }
 
-class TarTable(path: String) extends Table with SupportsRead {
+class TarTable(path: String) extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft-tar:$path"
   override def schema(): StructType = TarTable.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new TarScanBuilder(path)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new TarWriteBuilder(path, info)
 }
 
 class TarScanBuilder(path: String) extends ScanBuilder
@@ -246,4 +258,149 @@ class TarPartitionReader(p: TarInputPartition, columns: Seq[String],
 
   override def get(): InternalRow = row
   override def close(): Unit = in.close()
+}
+
+/** Batch write: `df.write.format("graft-tar").mode(...).save(dir)` with
+  * columns (shard_file, name, size, payload). The connector DECLARES its
+  * layout needs through [[RequiresDistributionAndOrdering]] — clustered
+  * by shard_file, sorted by (shard_file, name) — so Catalyst inserts the
+  * exchange+sort; each task then streams whole shards sequentially with
+  * no writer-side buffering, and no two tasks ever own the same shard
+  * file. Tasks stage under `.__v2staging__`; the job COMMIT deletes
+  * replaced shards (truncate mode) or checks for collisions (append),
+  * then atomically renames every staged shard in — a failed job never
+  * leaves a partial shard set readable (same protocol as
+  * Tar.writeShards).
+  */
+class TarWriteBuilder(path: String, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new TarWrite(path, doTruncate)
+}
+
+class TarWrite(path: String, truncate: Boolean)
+    extends Write with RequiresDistributionAndOrdering {
+  override def requiredDistribution(): Distribution =
+    Distributions.clustered(Array(Expressions.identity("shard_file")))
+  override def requiredOrdering(): Array[SortOrder] = Array(
+    Expressions.sort(Expressions.identity("shard_file"), SortDirection.ASCENDING),
+    Expressions.sort(Expressions.identity("name"), SortDirection.ASCENDING))
+  override def toBatch: BatchWrite = new TarBatchWrite(path, truncate)
+  override def description(): String =
+    s"graft-tar write $path (truncate=$truncate)"
+}
+
+case class TarWriteCommit(files: Seq[String]) extends WriterCommitMessage
+
+class TarBatchWrite(path: String, truncate: Boolean) extends BatchWrite {
+  private val staging = new java.io.File(path, ".__v2staging__")
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    TarBatchWrite.deleteRec(staging) // stale crashed write
+    new java.io.File(path).mkdirs()
+    require(staging.mkdirs() || staging.isDirectory,
+      s"graft-tar: cannot create staging dir $staging")
+    TarWriterFactory(staging.getAbsolutePath)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val staged = messages.flatMap { case TarWriteCommit(fs) => fs }.sorted
+    val dups = staged.groupBy(identity).collect { case (n, g) if g.size > 1 => n }
+    require(dups.isEmpty, // unreachable under the declared clustering
+      s"graft-tar: shard(s) ${dups.mkString(", ")} written by multiple tasks")
+    val dirF = new java.io.File(path)
+    val existing = Option(dirF.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".tar")).map(_.getName).toSet
+    if (truncate)
+      existing.foreach(n => new java.io.File(dirF, n).delete())
+    else {
+      val clash = staged.filter(existing)
+      require(clash.isEmpty,
+        s"graft-tar: append would overwrite existing shard(s) " +
+          s"${clash.mkString(", ")} — use mode(\"overwrite\") to replace the export")
+    }
+    staged.foreach { n =>
+      java.nio.file.Files.move(
+        new java.io.File(staging, n).toPath, new java.io.File(dirF, n).toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    TarBatchWrite.deleteRec(staging)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    TarBatchWrite.deleteRec(staging)
+}
+
+object TarBatchWrite {
+  private[tarv2] def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
+    f.delete(); ()
+  }
+}
+
+case class TarWriterFactory(stagingPath: String) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new TarDataWriter(stagingPath, partitionId)
+}
+
+/** Streams one partition's rows — whole shards, pre-sorted by the
+  * declared ordering — into staged tar files, one entry in memory at a
+  * time. Defensive checks (sortedness, duplicate names, size==payload
+  * length, shard name shape) fail LOUD: each is guaranteed upstream, and
+  * a silent violation would corrupt an archive.
+  */
+class TarDataWriter(stagingPath: String, partitionId: Int)
+    extends DataWriter[InternalRow] {
+  private var out: java.io.OutputStream = _
+  private var curFile: java.io.File = _
+  private var cur: String = null
+  private var lastName: String = null
+  private var files = List.empty[String]
+
+  private def closeShard(): Unit = if (out != null) {
+    out.write(new Array[Byte](1024)) // end-of-archive blocks
+    out.close(); out = null
+  }
+
+  override def write(row: InternalRow): Unit = {
+    require(!row.isNullAt(0) && !row.isNullAt(1) && !row.isNullAt(3),
+      "graft-tar: shard_file, name and payload must be non-null")
+    val shard = row.getUTF8String(0).toString
+    val name = row.getUTF8String(1).toString
+    val payload = row.getBinary(3)
+    if (!row.isNullAt(2)) require(row.getLong(2) == payload.length.toLong,
+      s"graft-tar: size ${row.getLong(2)} != payload length ${payload.length} " +
+        s"for entry '$name' — size must be octet_length(payload) or null")
+    if (shard != cur) {
+      require(cur == null || shard > cur,
+        s"graft-tar: rows not clustered+sorted by shard_file ('$shard' after '$cur')")
+      require(shard.endsWith(".tar") && !shard.contains("/") && !shard.contains(" "),
+        s"graft-tar: shard_file must be a bare *.tar file name, got '$shard'")
+      closeShard()
+      cur = shard; lastName = null
+      curFile = new java.io.File(stagingPath, shard)
+      files ::= shard
+      out = new java.io.BufferedOutputStream(
+        new java.io.FileOutputStream(curFile), 1 << 16)
+    }
+    require(lastName == null || name > lastName,
+      s"graft-tar: entry names must be strictly increasing per shard " +
+        s"('$name' after '$lastName' in $shard)")
+    lastName = name
+    out.write(Tar.entryBytes(name, payload))
+  }
+
+  override def commit(): WriterCommitMessage = {
+    closeShard()
+    TarWriteCommit(files.reverse)
+  }
+
+  override def abort(): Unit = {
+    if (out != null) { try out.close() catch { case _: Exception => () }; out = null }
+    files.foreach(n => new java.io.File(stagingPath, n).delete())
+  }
+
+  override def close(): Unit = closeShard()
 }

@@ -101,4 +101,77 @@ class TarV2Spec extends SparkSuite {
     assert(e.getMessage.contains("no .tar shards") ||
       e.getMessage.toLowerCase.contains("path"))
   }
+
+  // ---- v2 WRITE path ----
+
+  private def writeInput(n: Int) =
+    (0 until n).map { i =>
+      (s"shard-${i % 3}.tar", f"e$i%03d.txt", null.asInstanceOf[java.lang.Long],
+        s"pay-$i".getBytes("UTF-8"))
+    }.toDF("shard_file", "name", "size", "payload")
+
+  test("v2 write + read round-trips; tar CLI-compatible bytes") {
+    val d = Files.createTempDirectory("graft_tarv2w_").toFile.getAbsolutePath
+    writeInput(30).write.format("graft-tar").mode("overwrite").save(d)
+    val names = new java.io.File(d).listFiles().map(_.getName).filter(_.endsWith(".tar")).sorted
+    assert(names.toSeq == Seq("shard-0.tar", "shard-1.tar", "shard-2.tar"))
+    val back = spark.read.format("graft-tar").load(d)
+      .select(col("shard_file"), col("name"), decode(col("payload"), "UTF-8").as("t"))
+      .as[(String, String, String)].collect().toSet
+    assert(back == (0 until 30).map(i =>
+      (s"shard-${i % 3}.tar", f"e$i%03d.txt", s"pay-$i")).toSet)
+    // the RDD reader parses the v2-written archive too (same USTAR bytes)
+    assert(Tar.readShards(spark, d).count() == 30)
+    // no staging residue
+    assert(!new java.io.File(d, ".__v2staging__").exists())
+  }
+
+  test("overwrite replaces stale shards; append collision fails loud") {
+    val d = Files.createTempDirectory("graft_tarv2w2_").toFile.getAbsolutePath
+    writeInput(30).write.format("graft-tar").mode("overwrite").save(d)
+    // overwrite with a smaller export: the stale shard-2 must disappear
+    writeInput(30).filter(col("shard_file") =!= "shard-2.tar")
+      .write.format("graft-tar").mode("overwrite").save(d)
+    assert(new java.io.File(d).listFiles().map(_.getName).filter(_.endsWith(".tar")).sorted
+      .toSeq == Seq("shard-0.tar", "shard-1.tar"))
+    // append of a colliding shard fails and leaves the export untouched
+    val before = spark.read.format("graft-tar").load(d).count()
+    val e = intercept[Exception] {
+      writeInput(6).write.format("graft-tar").mode("append").save(d)
+    }
+    assert(findCause(e, "append would overwrite existing shard"))
+    assert(spark.read.format("graft-tar").load(d).count() == before)
+    // appending a NEW shard succeeds
+    writeInput(30).filter(col("shard_file") === "shard-2.tar")
+      .write.format("graft-tar").mode("append").save(d)
+    assert(spark.read.format("graft-tar").load(d).count() == 30)
+  }
+
+  test("size mismatch and duplicate entry names fail loud") {
+    val d = Files.createTempDirectory("graft_tarv2w3_").toFile.getAbsolutePath
+    val bad = Seq(("shard-0.tar", "a.txt", 99L, "abc".getBytes("UTF-8")))
+      .toDF("shard_file", "name", "size", "payload")
+    assert(findCause(intercept[Exception] {
+      bad.write.format("graft-tar").mode("overwrite").save(d)
+    }, "size 99 != payload length 3"))
+    val dup = Seq(
+      ("shard-0.tar", "a.txt", null.asInstanceOf[java.lang.Long], "x".getBytes("UTF-8")),
+      ("shard-0.tar", "a.txt", null.asInstanceOf[java.lang.Long], "y".getBytes("UTF-8")))
+      .toDF("shard_file", "name", "size", "payload")
+    assert(findCause(intercept[Exception] {
+      dup.write.format("graft-tar").mode("overwrite").save(d)
+    }, "strictly increasing"))
+    // failed jobs leave no staging residue behind a later successful write
+    writeInput(3).write.format("graft-tar").mode("overwrite").save(d)
+    assert(!new java.io.File(d, ".__v2staging__").exists())
+  }
+
+  private def findCause(e: Throwable, needle: String): Boolean = {
+    var t: Throwable = e
+    while (t != null) {
+      if (t.getMessage != null && t.getMessage.contains(needle)) return true
+      t = t.getCause
+    }
+    false
+  }
 }
