@@ -86,4 +86,56 @@ object Graph {
     }
     ranks.select("node", "pr")
   }
+
+  /** Semi-supervised label propagation (Zhu & Ghahramani 2002, the
+    * clamped-seed variant): seed nodes carry fixed labels; every round,
+    * each unlabeled-or-inferred node adopts the MAJORITY label among its
+    * labeled neighbors (edges traversed both directions; parallel edges
+    * count as weight), ties breaking toward the smaller label; seeds
+    * never change; a node no labeled neighbor has reached keeps its
+    * current (possibly null) label. All-integer and synchronous, so the
+    * fixed round count is exactly SQL-replayable — the oracle unrolls the
+    * same rounds as chained CTEs and the gate hash-compares.
+    *
+    * Scale shape mirrors [[pageRank]]: the per-round cost is one
+    * groupBy(dst, label) over O(|E|) rows plus two node-sized aggregates
+    * for the argmax; labels frames are localCheckpoint'd per round so the
+    * plan never nests. Hub-node skew: the vote aggregation keys on
+    * (node, label), which already splits a hub's inbox by label; for
+    * single-label mega-hubs AQE's skew split applies.
+    */
+  def labelPropagate(edges0: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedNodeCol: String, seedLabelCol: String,
+      iters: Int = 3): DataFrame = {
+    require(iters >= 1, "labelPropagate: iters must be >= 1")
+    val edges = edges0
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint(true)
+    val sym = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    var labels = nodes.join(
+        seeds.select(col(seedNodeCol).as("node"), col(seedLabelCol).as("lbl")),
+        Seq("node"), "left")
+      .select(col("node"), col("lbl"), col("lbl").isNotNull.as("is_seed"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val votes = sym.join(
+          labels.filter(col("lbl").isNotNull)
+            .select(col("node").as("vn"), col("lbl").as("vl")),
+          col("src") === col("vn"))
+        .groupBy(col("dst").as("cand"), col("vl"))
+        .agg(count(lit(1)).as("c"))
+      val mx = votes.groupBy("cand").agg(max(col("c")).as("mc"))
+      val pick = votes.join(mx, Seq("cand")).filter(col("c") === col("mc"))
+        .groupBy("cand").agg(min(col("vl")).as("nl"))
+      labels = labels.join(pick, col("node") === col("cand"), "left")
+        .select(col("node"),
+          when(col("is_seed"), col("lbl"))
+            .otherwise(coalesce(col("nl"), col("lbl"))).as("lbl"),
+          col("is_seed"))
+        .localCheckpoint(true)
+    }
+    labels.select(col("node"), col("lbl").as("label"))
+  }
 }

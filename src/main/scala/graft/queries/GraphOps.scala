@@ -70,6 +70,63 @@ object GraphOps {
          |r0 AS (SELECT node, outdeg,
          |  1000000000000 // (SELECT count(*) FROM base) AS pr FROM base),
          |${oracleIterCtes(Iters)}
-         |SELECT node, CAST(pr AS BIGINT) AS pr FROM r$Iters ORDER BY node""".stripMargin)
+         |SELECT node, CAST(pr AS BIGINT) AS pr FROM r$Iters ORDER BY node""".stripMargin),
+
+    // -- label propagation over the same click graph: pages with
+    //    page % 5 = 0 are seeds labeled page % 3; three clamped
+    //    synchronous rounds of labeled-neighbor majority vote (ties →
+    //    smaller label). The oracle unrolls the SAME integer rounds as
+    //    chained CTEs — two-step argmax (max count, then min label) in
+    //    both engines so ties are deterministic ---------------------------
+    ("q_label_prop",
+      (s: SparkSession, d: String) => {
+        val ev = t(s, d, "events").select(col("user_id"), col("ts"),
+          col("event_id"),
+          regexp_extract(col("props"), "\"k\": ([0-9]+)", 1)
+            .cast("long").as("page"))
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val edges = ev.withColumn("next", lead("page", 1).over(w))
+          .filter(col("next").isNotNull)
+          .select(col("page").as("src"), col("next").as("dst"))
+        val nodes = edges.select(col("src").as("node"))
+          .union(edges.select(col("dst").as("node"))).distinct()
+        val seeds = nodes.filter(col("node") % 5 === 0)
+          .select(col("node"), (col("node") % 3).as("seed_label"))
+        graft.ops.Graph.labelPropagate(edges, "src", "dst",
+            seeds, "node", "seed_label", iters = Iters)
+          .orderBy("node")
+      },
+      s"""WITH ev AS (SELECT user_id, ts, event_id,
+         |  CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS page FROM events),
+         |eg AS (SELECT page AS src,
+         |  lead(page) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst FROM ev),
+         |edges AS (SELECT src, dst FROM eg WHERE dst IS NOT NULL),
+         |sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+         |nodes AS (SELECT DISTINCT node FROM
+         |  (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges) q),
+         |l0 AS (SELECT node,
+         |  CASE WHEN node % 5 = 0 THEN node % 3 END AS lbl,
+         |  node % 5 = 0 AS is_seed FROM nodes),
+         |${lpIterCtes(Iters)}
+         |SELECT node, CAST(lbl AS BIGINT) AS label FROM l$Iters ORDER BY node""".stripMargin)
   )
+
+  /** One label-propagation round for the q_label_prop oracle, mirroring
+    * Graph.labelPropagate term for term: vote counts from labeled
+    * neighbors over the symmetrized edges, two-step deterministic argmax,
+    * clamped seeds, carry-forward when no labeled neighbor voted.
+    */
+  private def lpIterCtes(iters: Int): String =
+    (1 to iters).map { i =>
+      s"""v$i AS (SELECT e.dst AS cand, l.lbl AS vl, count(*) AS c
+         |  FROM sym e JOIN l${i - 1} l ON e.src = l.node
+         |  WHERE l.lbl IS NOT NULL GROUP BY 1, 2),
+         |m$i AS (SELECT cand, max(c) AS mc FROM v$i GROUP BY 1),
+         |p$i AS (SELECT v.cand, min(v.vl) AS nl
+         |  FROM v$i v JOIN m$i m ON v.cand = m.cand AND v.c = m.mc GROUP BY 1),
+         |l$i AS (SELECT b.node,
+         |  CASE WHEN b.is_seed THEN b.lbl ELSE coalesce(p.nl, b.lbl) END AS lbl,
+         |  b.is_seed
+         |  FROM l${i - 1} b LEFT JOIN p$i p ON b.node = p.cand)""".stripMargin
+    }.mkString(",\n")
 }
