@@ -143,14 +143,27 @@ class TarScanBuilder(path: String) extends ScanBuilder
 case class TarInputPartition(file: String, shardFile: String) extends InputPartition
 
 class TarScan(path: String, required: StructType, pushed: Seq[Filter])
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+
+  // dynamic "partition" pruning, tar-style: when this scan joins a small
+  // dimension on shard_file, Spark evaluates the build side first and
+  // hands the observed key set here as an In filter — whole shard FILES
+  // are then never opened. Pruning is conservative (accepts() keeps a
+  // file unless a filter definitely excludes it) and the join itself
+  // still applies, so a missed prune costs time, never rows.
+  private var runtime: Seq[Filter] = Nil
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(Expressions.column("shard_file"))
+  override def filter(filters: Array[Filter]): Unit =
+    runtime = filters.filter(TarTable.pushable).toSeq
 
   private def survivingFiles(): Seq[java.io.File] = {
     val all = Option(new java.io.File(path).listFiles())
       .getOrElse(Array.empty[java.io.File])
       .filter(f => f.isFile && f.getName.endsWith(".tar"))
     require(all.nonEmpty, s"graft-tar: no .tar shards under '$path'")
-    all.filter(f => TarTable.accepts(pushed, "shard_file", f.getName))
+    all.filter(f => TarTable.accepts(pushed ++ runtime, "shard_file", f.getName))
       .sortBy(_.getName).toSeq
   }
 
@@ -193,9 +206,18 @@ case class TarReaderFactory(columns: Seq[String], nameFilters: Seq[Filter])
   * Memory is one entry's payload at most — and zero when `payload` is
   * pruned or the name screen rejects the entry.
   */
+/** Shard-open counter: local-mode observability for specs asserting that
+  * static and RUNTIME pruning really kept files shut (executor-side state,
+  * meaningful in the single-JVM test/local deployments only).
+  */
+object TarMetrics {
+  val openedShards = new java.util.concurrent.atomic.AtomicLong(0L)
+}
+
 class TarPartitionReader(p: TarInputPartition, columns: Seq[String],
     nameFilters: Seq[Filter]) extends PartitionReader[InternalRow] {
 
+  TarMetrics.openedShards.incrementAndGet()
   private val in = new java.io.BufferedInputStream(
     new java.io.FileInputStream(p.file), 1 << 16)
   private val wantPayload = columns.contains("payload")

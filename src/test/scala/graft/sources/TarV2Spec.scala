@@ -102,6 +102,25 @@ class TarV2Spec extends SparkSuite {
       e.getMessage.toLowerCase.contains("path"))
   }
 
+  test("runtime filtering: a selective join opens only the probed shards") {
+    import graft.sources.tarv2.TarMetrics
+    // a FILE-BACKED dimension with a selective predicate (what the DPP
+    // planner rule requires of the build side — a local relation would
+    // constant-fold the filter away): its surviving key set reaches
+    // TarScan.filter(...) at runtime; only that file opens.
+    val dimPath = Files.createTempDirectory("graft_tardim_").toFile.getAbsolutePath
+    (0 until 4).map(i => (s"shard-$i.tar", i)).toDF("sf", "tag")
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath).filter(col("tag") === 2)
+    val tar = spark.read.format("graft-tar").load(dir)
+    val joined = tar.join(dim, tar("shard_file") === dim("sf"))
+    assert(joined.queryExecution.executedPlan.toString.contains("RuntimeFilters:"))
+    val before = TarMetrics.openedShards.get()
+    assert(joined.count() == 10)
+    val opened = TarMetrics.openedShards.get() - before
+    assert(opened == 1, s"expected runtime pruning to open 1 shard, opened $opened")
+  }
+
   // ---- v2 WRITE path ----
 
   private def writeInput(n: Int) =
