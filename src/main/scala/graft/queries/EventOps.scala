@@ -496,6 +496,41 @@ object EventOps {
         |  max(p_ms) AS last_purchase_ms
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // -- Spark's NATIVE session_window operator under the gate: per-user
+    //    30-min-gap sessions via the built-in (merging-session aggregate,
+    //    the streaming-capable operator) — hash-compared against the
+    //    INDEPENDENT gaps-and-islands derivation DuckDB runs (lag + running
+    //    sum), the same contract q_sessionize pins for the manual form.
+    //    Session bounds are [min ts, max ts + gap): the oracle emits
+    //    min/max event times, so the window's gap padding is subtracted
+    //    on the Spark side -----------------------------------------------
+    ("q_session_window",
+      (s: SparkSession, d: String) => {
+        val ev = t(s, d, "events")
+          .select(col("user_id"), nsDiv("ts", NS_PER_MS).as("ms"))
+          .withColumn("tss", timestamp_millis(col("ms")))
+        ev.groupBy(col("user_id"), session_window(col("tss"), "30 minutes"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("user_id"),
+            expr("unix_millis(session_window.start)").as("start_ms"),
+            (expr("unix_millis(session_window.end)") - 1800000L).as("last_ms"),
+            col("n_events"))
+          .orderBy("user_id", "start_ms")
+      },
+      """WITH e AS (
+        |  SELECT user_id, epoch_ms(ts) AS ms,
+        |    lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)) AS prev_ms
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, ms,
+        |    sum(CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ms
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM e)
+        |SELECT user_id, min(ms) AS start_ms, max(ms) AS last_ms,
+        |  count(*) AS n_events
+        |FROM m GROUP BY user_id, sid ORDER BY user_id, start_ms""".stripMargin),
+
     // -- SCD type-2 dimension history: each user's event_type stream
     //    collapses into validity intervals (gaps-and-islands: lag marks
     //    run starts, a running sum numbers runs, runs aggregate to
