@@ -496,8 +496,15 @@ object Dedup {
   def boilerplate(docs: DataFrame, idCol: String, textCol: String,
       groupCol: String, width: Int = 8, minDocs: Int = 3): DataFrame = {
     require(minDocs >= 2, s"boilerplate: minDocs must be >= 2, got $minDocs")
+    // materialize ONCE: `lines` feeds three branches of one plan (the
+    // frequency count, the anti-join probe, and the per-doc base) and
+    // Spark has no common-subplan reuse across differing aggregations —
+    // without this checkpoint the tokenize+explode+join subtree would
+    // execute three times per run (same convention as
+    // ConnectedComponents.components' pair input)
     val lines = docLines(docs, idCol, textCol, width)
       .join(docs.select(col(idCol), col(groupCol)), idCol)
+      .localCheckpoint(true)
     val frequent = lines.groupBy(col(groupCol), col("line"))
       .agg(countDistinct(col(idCol)).as("__df"))
       .filter(col("__df") >= minDocs)

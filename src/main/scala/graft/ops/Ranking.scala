@@ -79,8 +79,14 @@ object Ranking {
       phrase: String): DataFrame = {
     val terms = phrase.trim.split("\\s+").toSeq
     require(terms.nonEmpty && terms.head.nonEmpty, "phraseSearch needs a non-empty phrase")
+    // \S+ extraction, NOT split-on-space: runs of whitespace (double
+    // spaces, tabs, the fixture's embedded newlines) must separate
+    // adjacent tokens — split(" ") would emit empty tokens that shift
+    // every position and break cross-whitespace matches, diverging from
+    // the repo-wide tokenization (bm25TopK, Dedup.docLines, NaiveBayes)
     val tok = docs.select(col(idCol).as("__d"),
-      posexplode(split(col(textCol), " ")).as(Seq("__p", "__t")))
+      posexplode(expr(s"regexp_extract_all($textCol, '\\\\S+', 0)"))
+        .as(Seq("__p", "__t")))
     // anchor on the rarest term: one tiny count-by-term over the phrase's
     // terms only (filtered before the shuffle)
     val counts = tok.filter(col("__t").isin(terms: _*))

@@ -29,6 +29,31 @@ object EventOps {
   private def deleteRecursively(f: java.io.File): Unit =
     graft.ops.Layout.deleteRecursively(f)
 
+  /** The shared SCD2 derivation (gaps-and-islands runs over per-user
+    * event_type changes): one copy serves both q_scd2_history and
+    * q_scd2_asof so the tie-break ordering and run aggregation can never
+    * drift between them. Returns (user_id, event_type, valid_from,
+    * valid_to, n_events); callers drop what they don't need.
+    */
+  private def scd2Runs(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    t(s, d, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        nsDiv("ts", NS_PER_MS).as("ms"))
+      .withColumn("prev_t", lag(col("event_type"), 1).over(byUser))
+      .withColumn("st",
+        when(col("prev_t").isNull || col("prev_t") =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("grp", sum(col("st")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "grp")
+      .agg(min(col("ms")).as("valid_from"), count(lit(1)).as("n_events"),
+        min(col("event_type")).as("event_type"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(
+        Window.partitionBy("user_id").orderBy("valid_from")))
+      .select("user_id", "event_type", "valid_from", "valid_to", "n_events")
+  }
+
   val entries: Seq[(String, Fn, String)] = Seq(
 
     // -- skew-salted shuffle join (graft.ops.Partitioning.saltedJoin): the
@@ -468,8 +493,14 @@ object EventOps {
             timestamp_micros(expr("ts div 1000L")) // epoch-nanos generation
           case _ => col("ts").cast("timestamp") // micros TS/NTZ (UTC session)
         }
+        // floor to MILLISECONDS before the interval join: the oracle
+        // compares epoch_ms truncations, and the fixture's ts carries
+        // sub-ms parts — joining on raw micros would include/exclude
+        // boundary pairs the oracle decides the other way (the same ms
+        // normalization q_sessionize/q_stream_sessionize apply)
         val joined = graft.streaming.EventStream.errorsAfterPurchases(
-          stream0.withColumn("ts", tss), windowMinutes = 30)
+          stream0.withColumn("ts", timestamp_millis(unix_millis(tss))),
+          windowMinutes = 30)
         val sink = "graft_stream_join_out"
         s.catalog.dropTempView(sink)
         graft.streaming.EventStream.runToMemory(joined, sink,
@@ -540,22 +571,7 @@ object EventOps {
     //    comes from lead() over the (tiny per user) run table ------------
     ("q_scd2_history",
       (s: SparkSession, d: String) => {
-        val byUser = Window.partitionBy("user_id").orderBy("ms", "event_id")
-        val runs = t(s, d, "events")
-          .select(col("user_id"), col("event_id"), col("event_type"),
-            nsDiv("ts", NS_PER_MS).as("ms"))
-          .withColumn("prev_t", lag(col("event_type"), 1).over(byUser))
-          .withColumn("st",
-            when(col("prev_t").isNull || col("prev_t") =!= col("event_type"), 1L)
-              .otherwise(0L))
-          .withColumn("grp", sum(col("st")).over(
-            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .groupBy("user_id", "grp")
-          .agg(min(col("ms")).as("valid_from"), count(lit(1)).as("n_events"),
-            min(col("event_type")).as("event_type"))
-        runs
-          .withColumn("valid_to", lead(col("valid_from"), 1).over(
-            Window.partitionBy("user_id").orderBy("valid_from")))
+        scd2Runs(s, d)
           .withColumn("is_current", col("valid_to").isNull)
           .select("user_id", "event_type", "valid_from", "valid_to",
             "n_events", "is_current")
@@ -589,20 +605,7 @@ object EventOps {
     //    that type-2 tables exist to serve ------------------------------
     ("q_scd2_asof",
       (s: SparkSession, d: String) => {
-        val byUser = Window.partitionBy("user_id").orderBy("ms", "event_id")
-        val runs = t(s, d, "events")
-          .select(col("user_id"), col("event_id"), col("event_type"),
-            nsDiv("ts", NS_PER_MS).as("ms"))
-          .withColumn("prev_t", lag(col("event_type"), 1).over(byUser))
-          .withColumn("st",
-            when(col("prev_t").isNull || col("prev_t") =!= col("event_type"), 1L)
-              .otherwise(0L))
-          .withColumn("grp", sum(col("st")).over(
-            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .groupBy("user_id", "grp")
-          .agg(min(col("ms")).as("valid_from"), min(col("event_type")).as("event_type"))
-          .withColumn("valid_to", lead(col("valid_from"), 1).over(
-            Window.partitionBy("user_id").orderBy("valid_from")))
+        val runs = scd2Runs(s, d)
         val span = t(s, d, "events")
           .agg(min(nsDiv("ts", NS_PER_MS)).as("lo"), max(nsDiv("ts", NS_PER_MS)).as("hi"))
         val probes = span.crossJoin(s.range(1, 6).toDF("i"))

@@ -13,14 +13,16 @@ import Q._
   * arithmetic. Hash equality therefore proves index == scan, the property
   * a search index exists to preserve.
   *
-  * The char-scan trick: pad the text as ' ' || replace(text,' ','  ')
-  * || ' ' and double the phrase's internal spaces too. Boundary spaces
-  * then come in pairs, so consecutive phrase occurrences share no
-  * characters and non-overlapping replace() counting is exact (the test
-  * phrases have all-distinct words, so overlapping starts are impossible
-  * — the positional join would count those too, char replace cannot).
-  * The first occurrence's word index falls out of the space count in the
-  * prefix: spaces_before_match = 2·(word−1).
+  * The char-scan trick: strip leading/trailing whitespace, collapse
+  * every internal whitespace RUN (spaces, tabs, the fixture's embedded
+  * newlines — the \S+ token separators) to a double space, pad with one
+  * space each side, and double the phrase's internal spaces too.
+  * Boundary spaces then come in pairs, so consecutive phrase occurrences
+  * share no characters and non-overlapping replace() counting is exact
+  * (the test phrases have all-distinct words, so overlapping starts are
+  * impossible — the positional join would count those too, char replace
+  * cannot). The first occurrence's word index falls out of the space
+  * count in the prefix: spaces_before_match = 1 + 2·(word−1).
   */
 object SearchOps {
 
@@ -39,7 +41,8 @@ object SearchOps {
        |    + 1 AS BIGINT) AS first_pos,
        |  CAST((strlen(d2) - strlen(replace(d2, '$needle', '')))
        |    // strlen('$needle') AS BIGINT) AS n_occ
-       |FROM (SELECT doc_id, ' ' || replace(text, ' ', '  ') || ' ' AS d2
+       |FROM (SELECT doc_id, ' ' || regexp_replace(regexp_replace(text,
+       |        '^\\s+|\\s+$$', '', 'g'), '\\s+', '  ', 'g') || ' ' AS d2
        |      FROM documents)
        |WHERE strpos(d2, '$needle') > 0""".stripMargin
   }

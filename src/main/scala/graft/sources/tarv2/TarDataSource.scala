@@ -159,6 +159,10 @@ class TarScan(path: String, required: StructType, pushed: Seq[Filter])
     runtime = filters.filter(TarTable.pushable).toSeq
 
   private def survivingFiles(): Seq[java.io.File] = {
+    // a marker here means a writer died mid-commit with every staged
+    // byte durable — finish its renames so we list the COMPLETE new
+    // export, never a partial shard set
+    TarCommitProtocol.rollForward(path)
     val all = Option(new java.io.File(path).listFiles())
       .getOrElse(Array.empty[java.io.File])
       .filter(f => f.isFile && f.getName.endsWith(".tar"))
@@ -288,11 +292,17 @@ class TarPartitionReader(p: TarInputPartition, columns: Seq[String],
   * by shard_file, sorted by (shard_file, name) — so Catalyst inserts the
   * exchange+sort; each task then streams whole shards sequentially with
   * no writer-side buffering, and no two tasks ever own the same shard
-  * file. Tasks stage under `.__v2staging__`; the job COMMIT deletes
-  * replaced shards (truncate mode) or checks for collisions (append),
-  * then atomically renames every staged shard in — a failed job never
-  * leaves a partial shard set readable (same protocol as
-  * Tar.writeShards).
+  * file. Each task ATTEMPT stages under its own
+  * `.__v2staging__/task-<partition>-<taskId>/` dir, so retries and
+  * speculative attempts never truncate each other's files and a losing
+  * attempt's abort removes exactly its own bytes. The job COMMIT writes
+  * a `.__commit__` marker (atomic rename) listing every deletion and
+  * staged move, then rolls it FORWARD; the marker only exists once all
+  * staged bytes are durable, so a crash at ANY later point is finished
+  * — not undone — by [[TarCommitProtocol.rollForward]], which both the
+  * reader and the next writer invoke first. A reader therefore sees
+  * either the old export, or (after recovery) the complete new one —
+  * never a partial shard set.
   */
 class TarWriteBuilder(path: String, info: LogicalWriteInfo)
     extends WriteBuilder with SupportsTruncate {
@@ -313,13 +323,54 @@ class TarWrite(path: String, truncate: Boolean)
     s"graft-tar write $path (truncate=$truncate)"
 }
 
-case class TarWriteCommit(files: Seq[String]) extends WriterCommitMessage
+case class TarWriteCommit(taskDir: String, files: Seq[String])
+    extends WriterCommitMessage
+
+/** The crash-recovery half of the export commit (same rename-aside
+  * roll-forward shape as `graft.ops.Layout.recoverSwap`). The
+  * `.__commit__` marker is written by atomic rename only after every
+  * staged shard is fully on disk, and lists the complete commit as
+  * `del <name>` / `new <taskDir> <name>` (tab-separated; shard names are
+  * validated control-char-free). Replay is idempotent: deletions are
+  * plain deletes, installs are POSIX renames (which atomically replace
+  * any old shard of the same name), and an entry whose staged source is
+  * already gone was moved before the crash.
+  */
+object TarCommitProtocol {
+  private[tarv2] val MarkerName = ".__commit__"
+  private[tarv2] val StagingName = ".__v2staging__"
+
+  def rollForward(dir: String): Unit = {
+    val dirF = new java.io.File(dir)
+    val marker = new java.io.File(dirF, MarkerName)
+    if (!marker.exists()) return
+    val staging = new java.io.File(dirF, StagingName)
+    val lines = new String(java.nio.file.Files.readAllBytes(marker.toPath),
+      java.nio.charset.StandardCharsets.UTF_8).split("\n").filter(_.nonEmpty)
+    lines.foreach { l =>
+      l.split("\t", -1) match {
+        case Array("del", n) => new java.io.File(dirF, n).delete(); ()
+        case Array("new", sub, n) =>
+          val src = new java.io.File(new java.io.File(staging, sub), n)
+          if (src.isFile)
+            java.nio.file.Files.move(src.toPath,
+              new java.io.File(dirF, n).toPath,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        case _ => throw new IllegalStateException(
+          s"graft-tar: corrupt commit marker line '$l' in $marker")
+      }
+    }
+    TarBatchWrite.deleteRec(staging)
+    marker.delete(); ()
+  }
+}
 
 class TarBatchWrite(path: String, truncate: Boolean) extends BatchWrite {
-  private val staging = new java.io.File(path, ".__v2staging__")
+  private val staging = new java.io.File(path, TarCommitProtocol.StagingName)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
-    TarBatchWrite.deleteRec(staging) // stale crashed write
+    TarCommitProtocol.rollForward(path) // finish a crashed commit first
+    TarBatchWrite.deleteRec(staging) // stale crashed (pre-commit) write
     new java.io.File(path).mkdirs()
     require(staging.mkdirs() || staging.isDirectory,
       s"graft-tar: cannot create staging dir $staging")
@@ -327,31 +378,44 @@ class TarBatchWrite(path: String, truncate: Boolean) extends BatchWrite {
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val staged = messages.flatMap { case TarWriteCommit(fs) => fs }.sorted
-    val dups = staged.groupBy(identity).collect { case (n, g) if g.size > 1 => n }
-    require(dups.isEmpty, // unreachable under the declared clustering
+    val staged = messages.toSeq
+      .flatMap { case TarWriteCommit(sub, fs) => fs.map(sub -> _) }
+    val dups = staged.groupBy(_._2).collect { case (n, g) if g.size > 1 => n }
+    require(dups.isEmpty, // one committed attempt per partition, shards
+      // clustered — two messages carrying one shard means a layout bug
       s"graft-tar: shard(s) ${dups.mkString(", ")} written by multiple tasks")
     val dirF = new java.io.File(path)
     val existing = Option(dirF.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isFile && f.getName.endsWith(".tar")).map(_.getName).toSet
-    if (truncate)
-      existing.foreach(n => new java.io.File(dirF, n).delete())
-    else {
-      val clash = staged.filter(existing)
+    val newNames = staged.map(_._2).toSet
+    if (!truncate) {
+      val clash = staged.map(_._2).filter(existing).sorted
       require(clash.isEmpty,
         s"graft-tar: append would overwrite existing shard(s) " +
           s"${clash.mkString(", ")} — use mode(\"overwrite\") to replace the export")
     }
-    staged.foreach { n =>
-      java.nio.file.Files.move(
-        new java.io.File(staging, n).toPath, new java.io.File(dirF, n).toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    }
-    TarBatchWrite.deleteRec(staging)
+    // replaced-by-rename shards need no del entry: the install rename
+    // atomically swaps them; only truncate-mode leftovers are deleted
+    val dels = if (truncate) (existing -- newNames).toSeq.sorted else Nil
+    val body = (dels.map(n => s"del\t$n") ++
+      staged.sortBy(_._2).map { case (sub, n) => s"new\t$sub\t$n" })
+      .mkString("\n")
+    val tmp = new java.io.File(dirF, TarCommitProtocol.MarkerName + ".tmp")
+    java.nio.file.Files.write(tmp.toPath,
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp.toPath,
+      new java.io.File(dirF, TarCommitProtocol.MarkerName).toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    TarCommitProtocol.rollForward(path)
   }
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit =
-    TarBatchWrite.deleteRec(staging)
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    // once the marker exists the job is past the point of no return —
+    // finish it; before that, discard the staging dir wholesale
+    if (new java.io.File(path, TarCommitProtocol.MarkerName).exists())
+      TarCommitProtocol.rollForward(path)
+    else TarBatchWrite.deleteRec(staging)
+  }
 }
 
 object TarBatchWrite {
@@ -364,7 +428,7 @@ object TarBatchWrite {
 
 case class TarWriterFactory(stagingPath: String) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new TarDataWriter(stagingPath, partitionId)
+    new TarDataWriter(stagingPath, partitionId, taskId)
 }
 
 /** Streams one partition's rows — whole shards, pre-sorted by the
@@ -373,8 +437,13 @@ case class TarWriterFactory(stagingPath: String) extends DataWriterFactory {
   * length, shard name shape) fail LOUD: each is guaranteed upstream, and
   * a silent violation would corrupt an archive.
   */
-class TarDataWriter(stagingPath: String, partitionId: Int)
+class TarDataWriter(stagingPath: String, partitionId: Int, taskId: Long)
     extends DataWriter[InternalRow] {
+  // per-ATTEMPT dir (taskId is unique per attempt): a retry or
+  // speculative twin of this partition stages beside us, never into the
+  // same files, and abort() removes exactly this attempt's bytes
+  private val sub = s"task-$partitionId-$taskId"
+  private val taskDir = new java.io.File(stagingPath, sub)
   private var out: java.io.OutputStream = _
   private var curFile: java.io.File = _
   private var cur: String = null
@@ -398,11 +467,14 @@ class TarDataWriter(stagingPath: String, partitionId: Int)
     if (shard != cur) {
       require(cur == null || shard > cur,
         s"graft-tar: rows not clustered+sorted by shard_file ('$shard' after '$cur')")
-      require(shard.endsWith(".tar") && !shard.contains("/") && !shard.contains(" "),
+      require(shard.endsWith(".tar") && !shard.contains("/") &&
+        !shard.exists(_ < ' '), // no control chars (NUL, tab, newline) —
+        // also keeps the commit-marker's tab/line framing unambiguous
         s"graft-tar: shard_file must be a bare *.tar file name, got '$shard'")
       closeShard()
       cur = shard; lastName = null
-      curFile = new java.io.File(stagingPath, shard)
+      taskDir.mkdirs()
+      curFile = new java.io.File(taskDir, shard)
       files ::= shard
       out = new java.io.BufferedOutputStream(
         new java.io.FileOutputStream(curFile), 1 << 16)
@@ -416,12 +488,12 @@ class TarDataWriter(stagingPath: String, partitionId: Int)
 
   override def commit(): WriterCommitMessage = {
     closeShard()
-    TarWriteCommit(files.reverse)
+    TarWriteCommit(sub, files.reverse)
   }
 
   override def abort(): Unit = {
     if (out != null) { try out.close() catch { case _: Exception => () }; out = null }
-    files.foreach(n => new java.io.File(stagingPath, n).delete())
+    TarBatchWrite.deleteRec(taskDir)
   }
 
   override def close(): Unit = closeShard()

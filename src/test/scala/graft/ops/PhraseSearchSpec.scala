@@ -42,4 +42,18 @@ class PhraseSearchSpec extends SparkSuite {
   test("phrase absent everywhere yields an empty frame") {
     assert(search(Seq((1L, "a b c")), "x y").isEmpty)
   }
+
+  test("whitespace RUNS — double spaces, tabs, newlines — separate adjacent tokens") {
+    // \S+ tokenization (the repo-wide convention): split-on-single-space
+    // would emit empty tokens that shift positions and break matches
+    // across a double space or the fixture's embedded newlines
+    val docs = Seq(
+      (1L, "deep  learning systems"),   // double space between the terms
+      (2L, "deep\tlearning"),           // tab separator
+      (3L, "intro\ndeep\nlearning"),    // newline separators
+      (4L, "  deep learning"),          // leading whitespace: no pos shift
+      (5L, "deeplearning"))             // no boundary: no match
+    assert(search(docs, "deep learning") ==
+      Map(1L -> ((1, 1L)), 2L -> ((1, 1L)), 3L -> ((2, 1L)), 4L -> ((1, 1L))))
+  }
 }

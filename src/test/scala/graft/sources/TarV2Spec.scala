@@ -185,6 +185,58 @@ class TarV2Spec extends SparkSuite {
     assert(!new java.io.File(d, ".__v2staging__").exists())
   }
 
+  test("marker roll-forward: a reader completes a crashed commit, never sees a partial set") {
+    import java.io.File
+    val d = Files.createTempDirectory("graft_tarv2c_").toFile
+    def entryTar(name: String, payload: Array[Byte]): Array[Byte] =
+      Tar.entryBytes(name, payload) ++ new Array[Byte](1024)
+    // old export: A.tar + B.tar
+    Files.write(new File(d, "A.tar").toPath, entryTar("a.txt", "old-a".getBytes("UTF-8")))
+    Files.write(new File(d, "B.tar").toPath, entryTar("b.txt", "old-b".getBytes("UTF-8")))
+    // crashed truncate-commit of a new export {A' (replaces A), C}:
+    // C.tar was already renamed in, A' is still staged, B's delete and
+    // the staging cleanup never ran — the marker holds the full plan
+    val sub = new File(d, ".__v2staging__/task-0-7"); assert(sub.mkdirs())
+    Files.write(new File(sub, "A.tar").toPath, entryTar("a2.txt", "new-a".getBytes("UTF-8")))
+    Files.write(new File(d, "C.tar").toPath, entryTar("c.txt", "new-c".getBytes("UTF-8")))
+    Files.write(new File(d, ".__commit__").toPath,
+      "del\tB.tar\nnew\ttask-0-7\tA.tar\nnew\ttask-0-7\tC.tar".getBytes("UTF-8"))
+    val rows = spark.read.format("graft-tar").load(d.getAbsolutePath)
+      .select(col("shard_file"), col("name"), decode(col("payload"), "UTF-8").as("t"))
+      .as[(String, String, String)].collect().toSet
+    assert(rows == Set(("A.tar", "a2.txt", "new-a"), ("C.tar", "c.txt", "new-c")))
+    assert(!new File(d, ".__commit__").exists())
+    assert(!new File(d, ".__v2staging__").exists())
+  }
+
+  test("twin attempts of one partition stage apart; the loser's abort spares the winner") {
+    import java.io.File
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.sources.tarv2.{TarBatchWrite, TarDataWriter, TarWriteCommit}
+    val d = Files.createTempDirectory("graft_tarv2s_").toFile
+    val staging = new File(d, ".__v2staging__"); assert(staging.mkdirs())
+    def row(shard: String, name: String, payload: String) =
+      new GenericInternalRow(Array[Any](UTF8String.fromString(shard),
+        UTF8String.fromString(name), null, payload.getBytes("UTF-8")))
+    // speculative twins of partition 0 (distinct taskIds) interleave
+    val w0 = new TarDataWriter(staging.getAbsolutePath, 0, 7L)
+    val w1 = new TarDataWriter(staging.getAbsolutePath, 0, 8L)
+    w0.write(row("s.tar", "a.txt", "attempt0"))
+    w1.write(row("s.tar", "a.txt", "attempt1"))
+    w0.write(row("s.tar", "b.txt", "attempt0-b"))
+    w1.write(row("s.tar", "b.txt", "attempt1-b"))
+    val winner = w1.commit()
+    w0.abort() // must delete ONLY attempt 0's bytes
+    assert(!new File(staging, "task-0-7").exists())
+    new TarBatchWrite(d.getAbsolutePath, true)
+      .commit(Array(winner.asInstanceOf[TarWriteCommit]))
+    val back = spark.read.format("graft-tar").load(d.getAbsolutePath)
+      .select(col("name"), decode(col("payload"), "UTF-8").as("t"))
+      .as[(String, String)].collect().toSet
+    assert(back == Set(("a.txt", "attempt1"), ("b.txt", "attempt1-b")))
+  }
+
   private def findCause(e: Throwable, needle: String): Boolean = {
     var t: Throwable = e
     while (t != null) {
