@@ -74,6 +74,44 @@ object Manifest {
     }
   }
 
+  /** Zonemap file pruning: the absolute paths of files under `path` with
+    * at least one row group whose [min, max] on numeric `column` may
+    * intersect [lo, hi] — the planner-side half of data skipping (parquet
+    * row-group skipping prunes WITHIN the files this returns). Footers are
+    * read distributed (same batching as [[manifest]]); only file names
+    * come back to the driver, so the work is metadata-bound at any store
+    * size. Conservative by construction: a file with no stats, or stats
+    * that don't parse numerically, is always KEPT — pruning may only ever
+    * skip provably-disjoint files, never rows.
+    *
+    * On a [[Partitioning.sortedLayout]] store the survivors of a narrow
+    * range are O(1) files; on an unsorted store every file overlaps and
+    * nothing prunes — [[disjointRanges]] is the health check for that.
+    */
+  def pruneFiles(spark: SparkSession, path: String, column: String,
+      lo: BigDecimal, hi: BigDecimal): Seq[String] = {
+    require(lo <= hi, s"pruneFiles: empty range [$lo, $hi]")
+    val files = listParquet(new java.io.File(path))
+    require(files.nonEmpty, s"no parquet files under '$path'")
+    def num(s: String): Option[BigDecimal] =
+      try Some(BigDecimal(s)) catch { case _: NumberFormatException => None }
+    spark.sparkContext
+      .parallelize(files, math.min(files.size, 32).max(1))
+      .mapPartitions { it =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        it.filter { f =>
+          readFooter(f, column, conf).exists { case (_, _, _, mn, mx) =>
+            if (mn == null || mx == null) true // no stats: can't prove disjoint
+            else (num(mn), num(mx)) match {
+              case (Some(a), Some(b)) => !(b < lo || a > hi)
+              case _ => true // non-numeric stats: cannot prove disjoint
+            }
+          }
+        }
+      }
+      .collect().toSeq.sorted
+  }
+
   private def listParquet(f: java.io.File): Seq[String] =
     if (f.isFile) {
       if (f.getName.endsWith(".parquet")) Seq(f.getAbsolutePath) else Seq.empty

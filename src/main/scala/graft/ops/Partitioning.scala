@@ -22,13 +22,18 @@ object Partitioning {
 
   /** Write `df` as a bucketed+sorted catalog table (parquet). Joins between
     * tables bucketed on the same key with the same bucket count are
-    * exchange-free.
+    * exchange-free. `path` makes it an EXTERNAL table (data at `path`,
+    * bucket metadata in the session catalog) — callers that must keep the
+    * bytes out of the warehouse dir (q_bucketed_join's tmp-rooted stores)
+    * pass it; plain `saveAsTable` otherwise.
     */
   def saveBucketed(df: DataFrame, tableName: String, key: String,
-      buckets: Int, sortCols: Seq[String] = Nil): Unit = {
-    val w = df.write.mode("overwrite").format("parquet")
+      buckets: Int, sortCols: Seq[String] = Nil,
+      path: Option[String] = None): Unit = {
+    val w0 = df.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, key)
-    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+    val w1 = path.fold(w0)(p => w0.option("path", p))
+    (if (sortCols.nonEmpty) w1.sortBy(sortCols.head, sortCols.tail: _*) else w1)
       .saveAsTable(tableName)
   }
 

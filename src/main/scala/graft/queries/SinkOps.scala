@@ -696,7 +696,77 @@ object SinkOps {
         |  count(*) AS n_entries,
         |  cast(sum(strlen(text)) AS BIGINT) AS payload_bytes,
         |  min(doc_id || '.txt') AS first_name
-        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin))
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // -- co-located bucketed join: both sides written bucketed on the join
+    //    key (8 buckets, sorted), so the fact-fact equi-join runs WITHOUT
+    //    an Exchange on either side (structural assert in
+    //    PartitioningSpec; the prompt's "repartition/bucketing for
+    //    co-located joins" knob). At 100 TB this is the difference
+    //    between shuffling the fact table per join and a local merge —
+    //    the layout is paid once at write time, every join reuses it.
+    //    Equality against DuckDB's plain join over the ORIGINAL parquet
+    //    proves the bucketed write+read is lossless ----------------------
+    ("q_bucketed_join",
+      (s: SparkSession, d: String) => {
+        val key = storeDir("bkt", d).replaceAll(".*_", "")
+        val (liT, oT) = (s"graft_li_b_$key", s"graft_o_b_$key")
+        graft.ops.Partitioning.saveBucketed(
+          t(s, d, "lineitem").select("l_orderkey", "l_extendedprice"),
+          liT, "l_orderkey", 8, Seq("l_orderkey"),
+          path = Some(storeDir("bkt_li", d)))
+        graft.ops.Partitioning.saveBucketed(
+          t(s, d, "orders").select("o_orderkey", "o_orderpriority"),
+          oT, "o_orderkey", 8, Seq("o_orderkey"),
+          path = Some(storeDir("bkt_o", d)))
+        s.table(liT)
+          .join(s.table(oT), col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum(cents(col("l_extendedprice"))).as("revenue_cents"))
+          .orderBy("o_orderpriority")
+      },
+      """SELECT o_orderpriority, count(*) AS n,
+        |  cast(sum(cast(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |    AS revenue_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // -- zonemap file pruning (Manifest.pruneFiles): events land as a
+    //    sorted 16-file layout on user_id; a mid-range predicate then
+    //    reads ONLY the files whose footer [min, max] intersects it
+    //    (survivor count asserted in ManifestSpec — here the pruned
+    //    read's DATA is under the gate; the residual filter keeps
+    //    correctness independent of how coarsely files prune). The scan
+    //    stack a 100 TB store needs: metadata chooses files, row-group
+    //    stats prune inside them, the filter does the rest --------------
+    ("q_manifest_prune",
+      (s: SparkSession, d: String) => {
+        val dir = storeDir("mprune", d)
+        deleteRecursively(new java.io.File(dir))
+        val ev = t(s, d, "events")
+          .select("event_id", "user_id", "event_type")
+        graft.ops.Partitioning.sortedLayout(ev, Seq("user_id"), 16)
+          .write.parquet(dir)
+        val mx = ev.agg(max(col("user_id"))).head().getLong(0)
+        val (lo, hi) = (mx * 2 / 10, mx * 4 / 10)
+        val files = graft.ops.Manifest.pruneFiles(s, dir, "user_id",
+          BigDecimal(lo), BigDecimal(hi))
+        s.read.parquet(files: _*)
+          .filter(col("user_id").between(lo, hi))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("user_id")).as("n_users"),
+            sum(col("event_id")).as("id_sum"))
+          .orderBy("event_type")
+      },
+      """SELECT event_type, count(*) AS n,
+        |  count(DISTINCT user_id) AS n_users,
+        |  cast(sum(event_id) AS BIGINT) AS id_sum
+        |FROM events
+        |WHERE user_id BETWEEN (SELECT max(user_id) * 2 // 10 FROM events)
+        |                  AND (SELECT max(user_id) * 4 // 10 FROM events)
+        |GROUP BY 1 ORDER BY 1""".stripMargin))
 
   /** One bit-plane step of the Hilbert fold for the q_hilbert oracle:
     * step `i` handles s = 2^(16-i). The d increment and the

@@ -115,4 +115,39 @@ class ManifestSpec extends SparkSuite {
     val plan = m.queryExecution.executedPlan.toString
     assert(!plan.contains("FileScan parquet"), plan)
   }
+
+  test("pruneFiles skips disjoint files on a sorted layout, keeps statless ones") {
+    val dir = java.nio.file.Files.createTempDirectory("manifest_prune_")
+      .resolve("store").toString
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .select("event_id", "user_id")
+    Partitioning.sortedLayout(ev, Seq("user_id"), 8).write.parquet(dir)
+    val all = Option(new java.io.File(dir).listFiles()).get
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(all >= 6, s"expected a multi-file store, got $all")
+    val mx = ev.agg(max(col("user_id"))).head().getLong(0)
+    val (lo, hi) = (mx * 2 / 10, mx * 4 / 10)
+    val kept = Manifest.pruneFiles(spark, dir, "user_id",
+      BigDecimal(lo), BigDecimal(hi))
+    // a ~20% range over a range-partitioned layout must skip MOST files...
+    assert(kept.nonEmpty && kept.size < all,
+      s"pruning kept ${kept.size} of $all files")
+    // ...and lose no qualifying row: survivors + residual == full scan
+    val expected = ev.filter(col("user_id").between(lo, hi)).count()
+    val got = spark.read.parquet(kept: _*)
+      .filter(col("user_id").between(lo, hi)).count()
+    assert(got === expected)
+    // out-of-domain range: every file provably disjoint
+    assert(Manifest.pruneFiles(spark, dir, "user_id",
+      BigDecimal(mx + 10), BigDecimal(mx + 20)).isEmpty)
+    // a file with no stats for the column can never be pruned: parquet
+    // always writes stats here, so simulate via a column of all NULLs
+    val nullDir = java.nio.file.Files.createTempDirectory("manifest_prune_")
+      .resolve("nulls").toString
+    ev.limit(10).select(col("event_id"),
+      lit(null).cast("long").as("user_id")).write.parquet(nullDir)
+    assert(Manifest.pruneFiles(spark, nullDir, "user_id",
+      BigDecimal(0), BigDecimal(1)).nonEmpty,
+      "statless files must be kept — pruning may only skip provably-disjoint files")
+  }
 }

@@ -27,6 +27,33 @@ class PartitioningSpec extends SparkSuite {
     }
   }
 
+  test("external-path bucketed tables (the q_bucketed_join shape) also join exchange-free") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val root = java.nio.file.Files.createTempDirectory("bkt_ext_")
+    try {
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select("l_orderkey", "l_quantity")
+      val o = spark.read.parquet(s"$sfDir/orders.parquet")
+        .select("o_orderkey", "o_totalprice")
+      Partitioning.saveBucketed(li, "li_be", "l_orderkey", 8,
+        Seq("l_orderkey"), path = Some(root.resolve("li").toString))
+      Partitioning.saveBucketed(o, "o_be", "o_orderkey", 8,
+        Seq("o_orderkey"), path = Some(root.resolve("o").toString))
+      val joined = spark.table("li_be")
+        .join(spark.table("o_be"), col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join should not shuffle:\n$plan")
+      // the bytes really live under the external path, not the warehouse
+      assert(root.resolve("li").toFile.listFiles()
+        .exists(_.getName.endsWith(".parquet")))
+      assert(joined.count() == li.count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS li_be")
+      spark.sql("DROP TABLE IF EXISTS o_be")
+    }
+  }
+
   test("IVF index persisted bucketed by cell: probe joins without shuffling the corpus side") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
     try {
