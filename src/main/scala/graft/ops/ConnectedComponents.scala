@@ -123,4 +123,39 @@ object ConnectedComponents {
     nodes.join(edges.withColumnRenamed("u", "id"), Seq("id"), "left")
       .select(col("id"), coalesce(col("v"), col("id")).as("component"))
   }
+
+  /** Incremental maintenance: fold a batch of NEW pairs into an existing
+    * labeling without re-deriving the old graph. The prior labels enter as
+    * (id → component) star edges — a spanning contraction of everything
+    * already merged, so closing `labelEdges ∪ newPairs` yields exactly the
+    * components of `oldPairs ∪ newPairs` (hash-proven against the full
+    * recompute by q_cc_incremental). Component ids stay canonical: the old
+    * label IS the component minimum, so an untouched component keeps its
+    * id and merged components take the global minimum, same as a rebuild.
+    *
+    * The 100 TB point is what this SKIPS: the pair GENERATION for old
+    * documents (the expensive similarity join) is never redone, the input
+    * graph shrinks from all historical pairs to one star edge per old
+    * node, and star forests re-converge in O(1) contraction rounds — so
+    * per-batch cost follows the batch, not the corpus history. Singleton
+    * labels (component == id) ride through as self-edges `components`
+    * already tolerates, and stay in the output.
+    */
+  def incremental(labels: DataFrame, newPairs: DataFrame,
+      aCol: String, bCol: String, maxIters: Int = 50): DataFrame = {
+    // same integral-id guard as components — casting first would silently
+    // null out string ids before the guard could see them
+    Seq(aCol, bCol).foreach { c =>
+      val dt = newPairs.schema(c).dataType
+      require(Seq("bigint", "int", "smallint", "tinyint").contains(dt.simpleString),
+        s"incremental: id column '$c' must be integral, got ${dt.simpleString}")
+    }
+    val labelEdges = labels
+      .select(col("id").cast("long").as(aCol), col("component").cast("long").as(bCol))
+    components(
+      labelEdges.unionByName(
+        newPairs.select(col(aCol).cast("long").as(aCol),
+          col(bCol).cast("long").as(bCol))),
+      aCol, bCol, maxIters)
+  }
 }

@@ -467,6 +467,99 @@ object EventOps {
         |FROM documents WHERE doc_id % 3 <= 1
         |GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // -- STREAM-STATIC enrichment join under the gate: the events stream
+    //    joined per micro-batch against a broadcast dimension (customer
+    //    segment) — the dimension never shuffles and the stream side needs
+    //    no state (plain inner equi-join, no watermark bookkeeping). The
+    //    standard 100 TB enrichment shape: facts flow, dims broadcast ----
+    ("q_stream_enrich",
+      (s: SparkSession, d: String) => {
+        val batchSchema = { ensureNanosReadable(s)
+          s.read.parquet(s"$d/events.parquet").schema }
+        val fields = Seq("user_id", "event_type", "value")
+          .map(n => batchSchema(batchSchema.fieldIndex(n)))
+        val stream0 = s.readStream
+          .schema(org.apache.spark.sql.types.StructType(fields))
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(d)
+        val dim = broadcast(t(s, d, "customer")
+          .select(col("c_custkey"), col("c_mktsegment")))
+        val agg = stream0
+          .join(dim, col("c_custkey") === col("user_id") + 1)
+          .groupBy("c_mktsegment", "event_type")
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("val_sum"))
+        val sink = "graft_stream_enrich_out"
+        s.catalog.dropTempView(sink)
+        graft.streaming.EventStream.runToMemory(agg, sink,
+          org.apache.spark.sql.streaming.OutputMode.Complete)
+        s.table(sink).orderBy("c_mktsegment", "event_type")
+      },
+      s"SELECT c_mktsegment, event_type, count(*) AS n, " +
+        s"${sqlDsum("value")} AS val_sum " +
+        "FROM events JOIN customer ON c_custkey = user_id + 1 " +
+        "GROUP BY 1, 2 ORDER BY 1, 2"),
+
+    // -- STATE-STORE streaming dedup under the gate: documents (plus a
+    //    re-keyed duplicate of every id%3=0 doc and two null-text rows)
+    //    stream through DocStream.dedupStream — exact fingerprint state,
+    //    null text passing through UNdeduplicated (NULL keys would
+    //    otherwise all collapse into the first row's "duplicate" set; the
+    //    r10 advisory). The gate aggregates only text-derived columns
+    //    (which twin of a duplicate survives is arrival order), compared
+    //    against DuckDB's DISTINCT over the same augmented corpus --------
+    ("q_stream_dedup",
+      (s: SparkSession, d: String) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_stream_dedup")
+        try {
+          val src = s"$tmp/src"
+          val docs = t(s, d, "documents").select("doc_id", "text")
+          docs
+            .unionByName(docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+              .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+            .unionByName(s.range(1, 3)
+              .select((-col("id")).as("doc_id"),
+                lit(null).cast("string").as("text")))
+            .coalesce(2).write.parquet(src)
+          val stream = s.readStream
+            .schema(org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("doc_id",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("text",
+                org.apache.spark.sql.types.StringType))))
+            .option("pathGlobFilter", "*.parquet").parquet(src)
+          val sink = "graft_stream_dedup_out"
+          s.catalog.dropTempView(sink)
+          graft.streaming.EventStream.runToMemory(
+            graft.streaming.DocStream.dedupStream(stream), sink)
+          // the memory sink owns the kept rows, so aggregating after the
+          // finally-delete of src is safe; bucket NULL carries the two
+          // null-text pass-through rows
+          val agg = s.table(sink)
+            .groupBy(substring(md5(col("text")), 1, 1).as("bucket"))
+            .agg(count(lit(1)).as("n_kept"),
+              sum(length(col("text")).cast("long")).as("chars"))
+            .orderBy("bucket")
+          import scala.jdk.CollectionConverters._
+          s.createDataFrame(agg.collect().toSeq.asJava, agg.schema)
+        } finally {
+          deleteRecursively(tmp.toFile)
+        }
+      },
+      """WITH aug AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL SELECT -1, CAST(NULL AS VARCHAR)
+        |  UNION ALL SELECT -2, CAST(NULL AS VARCHAR)),
+        |kept AS (SELECT DISTINCT text FROM aug WHERE text IS NOT NULL)
+        |SELECT substr(md5(text), 1, 1) AS bucket, count(*) AS n_kept,
+        |  cast(sum(length(text)) AS BIGINT) AS chars
+        |FROM kept GROUP BY 1
+        |UNION ALL
+        |SELECT CAST(NULL AS VARCHAR), count(*), CAST(NULL AS BIGINT)
+        |FROM aug WHERE text IS NULL
+        |ORDER BY bucket""".stripMargin),
+
     // -- STREAM-STREAM interval join under the oracle gate: every error
     //    joined to the same user's purchases in the preceding 30 min,
     //    executed as a REAL streaming query (two watermarked streams off

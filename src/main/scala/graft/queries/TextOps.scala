@@ -92,8 +92,8 @@ object TextOps {
     */
   val cacheConsumers: Set[String] =
     Set("q_dedup_ngram", "q_dedup_minhash", "q_dedup_verified",
-      "q_dedup_components", "q_dedup_apply", "q_dedup_e2e",
-      "q_dedup_cc_minhash", "q_index_probe")
+      "q_dedup_components", "q_cc_incremental", "q_dedup_apply",
+      "q_dedup_e2e", "q_dedup_cc_minhash", "q_index_probe")
 
   /** Per-JVM root for q_index_probe's persisted band indexes. A random
     * per-process directory (not a predictable name in the shared tmpdir)
@@ -454,6 +454,39 @@ object TextOps {
         graft.ops.ConnectedComponents.components(pairDf(s, d), "a", "b")
           .withColumnRenamed("id", "doc_id")
           .orderBy("doc_id"),
+      s"""WITH RECURSIVE ${shingleCte.stripPrefix("WITH ")},
+         |p AS (
+         |  SELECT a.doc_id AS a, b.doc_id AS b
+         |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+         |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+         |e AS (SELECT a AS u, b AS v FROM p UNION SELECT b, a FROM p),
+         |walk(u, v) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM e)
+         |  UNION
+         |  SELECT w.u, e.v FROM walk w JOIN e ON w.v = e.u)
+         |SELECT u AS doc_id, min(v) AS component FROM walk GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // -- INCREMENTAL component maintenance: the same pair graph arrives in
+    //    two batches (split by (a+b) parity, so batch 2 both extends and
+    //    MERGES batch-1 components); batch 1 is closed normally, then
+    //    batch 2 is folded into the saved labels via
+    //    ConnectedComponents.incremental — old pairs never re-enter, only
+    //    one (id → component) star edge per old node does. The oracle is
+    //    the FULL-graph closure (identical SQL to q_dedup_components), so
+    //    hash equality proves incremental == rebuild, canonical min-ids
+    //    included — the maintenance path a daily 100 TB ingest needs
+    //    instead of re-walking all historical pairs --------------------------
+    ("q_cc_incremental",
+      (s: SparkSession, d: String) => {
+        val pairs = pairDf(s, d)
+        val batch1 = pairs.filter(pmod(col("a") + col("b"), lit(2)) === 0)
+        val batch2 = pairs.filter(pmod(col("a") + col("b"), lit(2)) === 1)
+        val labels1 = graft.ops.ConnectedComponents.components(batch1, "a", "b")
+        graft.ops.ConnectedComponents.incremental(labels1, batch2, "a", "b")
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id")
+      },
       s"""WITH RECURSIVE ${shingleCte.stripPrefix("WITH ")},
          |p AS (
          |  SELECT a.doc_id AS a, b.doc_id AS b

@@ -72,4 +72,50 @@ class ConnectedComponentsSpec extends SparkSuite {
     assert(ConnectedComponents.components(
       Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b").count() == 0)
   }
+
+  test("incremental batch == full rebuild: merges, extensions, untouched singletons") {
+    import spark.implicits._
+    // batch 1: {1,2} {5,6} {8,9} (three components)
+    val b1 = Seq((1L, 2L), (5L, 6L), (8L, 9L))
+    // batch 2: 2-3 extends {1,2}; 6-8 MERGES {5,6} with {8,9};
+    // 10-10 self-pair introduces a new singleton; {1,2} untouched by merges
+    val b2 = Seq((2L, 3L), (6L, 8L), (10L, 10L))
+    val l1 = ConnectedComponents.components(b1.toDF("a", "b"), "a", "b")
+    val inc = ConnectedComponents
+      .incremental(l1, b2.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // components keeps self-pair nodes in the universe, so the full
+    // rebuild carries 10 -> 10 too
+    assert(inc == run(b1 ++ b2))
+    // canonical min-ids survive: untouched {1,2} keeps component 1,
+    // the merged component takes the global minimum 5
+    assert(inc(3L) == 1L && inc(9L) == 5L && inc(10L) == 10L)
+  }
+
+  test("incremental random graphs, random batch splits, match union-find") {
+    import spark.implicits._
+    val n = 40
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val edges = Seq.fill(80)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      val (b1, b2) = edges.partition(_ => rnd.nextBoolean())
+      val l1 = ConnectedComponents.components(b1.toDF("a", "b"), "a", "b")
+      val inc = ConnectedComponents
+        .incremental(l1, b2.toDF("a", "b"), "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(inc == unionFind(n, edges), s"seed=$seed")
+    }
+  }
+
+  test("incremental rejects non-integral new-pair ids like components does") {
+    import spark.implicits._
+    val l1 = ConnectedComponents.components(
+      Seq((1L, 2L)).toDF("a", "b"), "a", "b")
+    val e = intercept[IllegalArgumentException] {
+      ConnectedComponents.incremental(l1,
+        Seq(("x", "y")).toDF("a", "b"), "a", "b")
+    }
+    assert(e.getMessage.contains("integral"))
+  }
 }
