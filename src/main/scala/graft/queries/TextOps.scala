@@ -305,6 +305,60 @@ object TextOps {
         |SELECT source, rk, word, tf, df, score FROM ranked
         |WHERE rk <= 5 ORDER BY source, rk""".stripMargin),
 
+    // -- PMI collocations: top-20 adjacent-word pairs by pointwise mutual
+    //    information, PMI = ln(c_ab·N₁²/(N₂·c_a·c_b)) on exact BIGINT
+    //    numerator/denominator (one IEEE division + the house dec6-rounded
+    //    ln), min support 5. Counts are three hash aggregations — unigram,
+    //    bigram, totals — all vocab-bounded after the map-side combine, so
+    //    nothing corpus-sized shuffles; the unigram joins hang off the
+    //    vocab-sized count table, never the token stream. The bigram
+    //    generator guards size(w) > 1: Spark's sequence(1, 0) DESCENDS
+    //    ([1, 0]) where DuckDB's range(1, 1) is empty -----------------------
+    ("q_collocations",
+      (s: SparkSession, d: String) => {
+        val tok = t(s, d, "documents")
+          .select(expr("regexp_extract_all(text, '\\\\S+', 0)").as("w"))
+        val uc = tok.select(explode(col("w")).as("t"))
+          .groupBy("t").agg(count(lit(1)).as("c"))
+        val n1 = uc.agg(sum(col("c")).cast("long").as("n_uni"))
+        val bg = tok.filter(size(col("w")) > 1)
+          .select(explode(expr("transform(sequence(1, size(w) - 1), " +
+            "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
+            .as("bigram"))
+        val nb = bg.agg(count(lit(1)).as("n_big"))
+        bg.groupBy("bigram").agg(count(lit(1)).as("n_ab"))
+          .filter(col("n_ab") >= 5)
+          .join(uc.select(col("t").as("__ta"), col("c").as("__ca")),
+            expr("split_part(bigram, ' ', 1)") === col("__ta"))
+          .join(uc.select(col("t").as("__tb"), col("c").as("__cb")),
+            expr("split_part(bigram, ' ', 2)") === col("__tb"))
+          .crossJoin(broadcast(n1)).crossJoin(broadcast(nb))
+          // BIGINT-exact ratio: n_ab·N₁² tops out ~8·10¹⁷ at the 100×
+          // fixture — inside long; one division, dec6-rounded ln
+          .withColumn("pmi", expr("cast(round(ln(" +
+            "cast(n_ab * n_uni * n_uni as double) / " +
+            "cast(n_big * __ca * __cb as double)), 6) as double)"))
+          .select("bigram", "n_ab", "pmi")
+          .orderBy(desc("pmi"), col("bigram")).limit(20)
+      },
+      """WITH tok AS (SELECT regexp_extract_all(text, '\S+') AS w
+        |             FROM documents),
+        |uc AS (SELECT t, CAST(count(*) AS BIGINT) AS c
+        |       FROM (SELECT unnest(w) AS t FROM tok) GROUP BY 1),
+        |n1 AS (SELECT CAST(sum(c) AS BIGINT) AS n_uni FROM uc),
+        |bg AS (SELECT unnest([w[i] || ' ' || w[i+1]
+        |                     for i in range(1, len(w))]) AS bigram FROM tok),
+        |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_big FROM bg),
+        |bc AS (SELECT bigram, CAST(count(*) AS BIGINT) AS n_ab
+        |       FROM bg GROUP BY 1 HAVING count(*) >= 5)
+        |SELECT bigram, n_ab,
+        |  CAST(round(ln(CAST(n_ab * n_uni * n_uni AS DOUBLE) /
+        |    CAST(n_big * ua.c * ub.c AS DOUBLE)), 6) AS DOUBLE) AS pmi
+        |FROM bc CROSS JOIN n1 CROSS JOIN nb
+        |JOIN uc ua ON ua.t = split_part(bc.bigram, ' ', 1)
+        |JOIN uc ub ON ub.t = split_part(bc.bigram, ' ', 2)
+        |ORDER BY pmi DESC, bigram LIMIT 20""".stripMargin),
+
     // -- intra-document repetition filter (the Gopher/RefinedWeb "rep"
     //    rule): fraction of duplicated word 3-grams per doc; docs above the
     //    threshold get flagged for removal. Map-only per doc (the shingle
