@@ -551,7 +551,55 @@ object ScaleBench {
             "squash_consume_incr[post]" -> cPost)
         } finally del(new java.io.File(root))
       } catch { case scala.util.control.NonFatal(_) => Map.empty }
-    val all: Map[String, (Double, Long)] = results ++ prod ++ guard ++ pct ++ ing ++ cmp ++ mrg ++ rup ++ km ++ sqz
+    // Skew-join A/B (pseudo-name "skew"): one hot key holding 60% of the
+    // big side, broadcast disabled so the join MUST shuffle — the shape
+    // where a plain sort-merge join serializes the hot key's whole mass
+    // into one task. Three variants on identical inputs: AQE skew-join ON
+    // (runtime split of the oversized partition — thresholds lowered so
+    // the 10×/100× fixtures actually trip it), AQE skew-join OFF (the
+    // single-straggler control), and Partitioning.saltedJoin (manual
+    // 16-way salt: the pre-AQE tool, and still the one that works for
+    // broadcast-ineligible aggregations). Same aggregate over the joined
+    // rows each time, so wall-clock differences are purely the skew
+    // handling.
+    val skw: Map[String, (Double, Long)] =
+      if (!explicit.contains("skew")) Map.empty
+      else try {
+        import org.apache.spark.sql.functions.{col, count, lit, pmod, sum, when}
+        val big = spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .select(when(pmod(col("l_orderkey"), lit(100)) < 60, 0L)
+              .otherwise(pmod(col("l_orderkey"), lit(100000))).as("k"),
+            col("l_extendedprice").as("v"))
+        val dim = spark.range(0, 100000)
+          .select(col("id").as("k"), (col("id") % 1000).as("w"))
+        def agg(j: org.apache.spark.sql.DataFrame): Unit = {
+          j.agg(count(lit(1)), sum(col("v") + col("w"))).collect(); ()
+        }
+        val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+          "spark.sql.adaptive.skewJoin.enabled",
+          "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+          "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+          "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+        val saved = keys.map(k => k -> spark.conf.getOption(k))
+        try {
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8m")
+          spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+          spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
+          spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+          val on = timeIt { agg(big.join(dim, "k")) }
+          spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+          val off = timeIt { agg(big.join(dim, "k")) }
+          val salted = timeIt {
+            agg(graft.ops.Partitioning.saltedJoin(big, dim, "k", 16)) }
+          Map("skew_join[aqe_on]" -> on, "skew_join[aqe_off]" -> off,
+            "skew_join[salted16]" -> salted)
+        } finally saved.foreach { case (k, v) =>
+          v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+      } catch { case scala.util.control.NonFatal(_) => Map.empty }
+    val all: Map[String, (Double, Long)] = results ++ prod ++ guard ++ pct ++ ing ++ cmp ++ mrg ++ rup ++ km ++ sqz ++ skw
     val qs = all.toSeq.sortBy(_._1)
       .map { case (k, (t, _)) => f""""$k":$t%.3f""" }.mkString("{", ",", "}")
     // per-query min-of-runs shuffle write MB
