@@ -48,10 +48,8 @@ object CartOps {
       featured(s, d).filter(pmod(col("doc_id"), lit(2)) === 0),
       features, "y", depth = 2, maxBins = 32)
 
-  /** The shared oracle prelude: features, label, train split, melt,
-    * per-feature bin widths, and the level-1 split choice.
-    */
-  private val oraclePrelude =
+  /** The shared feature/label CTEs every cart/forest oracle starts with. */
+  private val featureCtes =
     """WITH f0 AS (
       |  SELECT doc_id,
       |    CAST(length(text) - length(replace(text, 'a', '')) AS BIGINT) AS f_a,
@@ -63,69 +61,102 @@ object CartOps {
       |  SELECT doc_id, f_a, f_chars, f_e, f_words,
       |    CAST(CASE WHEN (f_chars > 310 AND f_e > 30) <> (doc_id % 13 = 0)
       |         THEN 1 ELSE 0 END AS BIGINT) AS y
-      |  FROM f0),
-      |tr AS (SELECT * FROM lab WHERE doc_id % 2 = 0),
-      |m1 AS (
-      |  SELECT doc_id, 'f_a' AS f, f_a AS v, y FROM tr UNION ALL
-      |  SELECT doc_id, 'f_chars', f_chars, y FROM tr UNION ALL
-      |  SELECT doc_id, 'f_e', f_e, y FROM tr UNION ALL
-      |  SELECT doc_id, 'f_words', f_words, y FROM tr),
-      |wd AS (SELECT f, CAST(min(v) AS BIGINT) AS mn,
+      |  FROM f0)""".stripMargin
+
+  /** The two-level training unroll, CTE names suffixed `$x` so a forest
+    * oracle can instantiate one copy per bag: train split, melt, bin
+    * widths, prefix-sum split scoring, deterministic argmin, strict-
+    * improvement gates, and final leaf stats.
+    */
+  private def trainCtes(x: String, trainWhere: String): String =
+    s""",
+      |tr$x AS (SELECT * FROM lab WHERE $trainWhere),
+      |m1$x AS (
+      |  SELECT doc_id, 'f_a' AS f, f_a AS v, y FROM tr$x UNION ALL
+      |  SELECT doc_id, 'f_chars', f_chars, y FROM tr$x UNION ALL
+      |  SELECT doc_id, 'f_e', f_e, y FROM tr$x UNION ALL
+      |  SELECT doc_id, 'f_words', f_words, y FROM tr$x),
+      |wd$x AS (SELECT f, CAST(min(v) AS BIGINT) AS mn,
       |         CAST(greatest(1, (max(v) - min(v) + 32) // 32) AS BIGINT) AS w
-      |       FROM m1 GROUP BY 1),
-      |c1 AS (SELECT m1.f, mn + ((v - mn) // w) * w + (w - 1) AS vb,
+      |       FROM m1$x GROUP BY 1),
+      |c1$x AS (SELECT m1$x.f, mn + ((v - mn) // w) * w + (w - 1) AS vb,
       |         CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos
-      |       FROM m1 JOIN wd USING (f) GROUP BY 1, 2),
-      |s1 AS (SELECT f, vb,
+      |       FROM m1$x JOIN wd$x USING (f) GROUP BY 1, 2),
+      |s1$x AS (SELECT f, vb,
       |         CAST(sum(n) OVER (PARTITION BY f ORDER BY vb) AS BIGINT) AS cn,
       |         CAST(sum(pos) OVER (PARTITION BY f ORDER BY vb) AS BIGINT) AS cp,
       |         CAST(sum(n) OVER (PARTITION BY f) AS BIGINT) AS tn,
       |         CAST(sum(pos) OVER (PARTITION BY f) AS BIGINT) AS tp
-      |       FROM c1),
-      |e1 AS (SELECT f, vb, tn, tp,
+      |       FROM c1$x),
+      |e1$x AS (SELECT f, vb, tn, tp,
       |         (cn - greatest(cp, cn - cp)) +
       |         ((tn - cn) - greatest(tp - cp, (tn - cn) - (tp - cp))) AS e
-      |       FROM s1 WHERE cn < tn),
-      |b1 AS (SELECT f, vb, e, tn, tp FROM e1
+      |       FROM s1$x WHERE cn < tn),
+      |b1$x AS (SELECT f, vb, e, tn, tp FROM e1$x
       |       QUALIFY row_number() OVER (ORDER BY e, f, vb) = 1),
-      |b1ok AS (SELECT * FROM b1 WHERE e < tn - greatest(tp, tn - tp)),
-      |a2 AS (
+      |b1ok$x AS (SELECT * FROM b1$x WHERE e < tn - greatest(tp, tn - tp)),
+      |a2$x AS (
       |  SELECT t.*, CAST(CASE WHEN b.f IS NULL THEN 1
       |    WHEN (CASE b.f WHEN 'f_a' THEN t.f_a WHEN 'f_chars' THEN t.f_chars
       |          WHEN 'f_e' THEN t.f_e ELSE t.f_words END) <= b.vb THEN 2
       |    ELSE 3 END AS BIGINT) AS node
-      |  FROM tr t LEFT JOIN b1ok b ON true),
-      |m2 AS (
-      |  SELECT node, 'f_a' AS f, f_a AS v, y FROM a2 UNION ALL
-      |  SELECT node, 'f_chars', f_chars, y FROM a2 UNION ALL
-      |  SELECT node, 'f_e', f_e, y FROM a2 UNION ALL
-      |  SELECT node, 'f_words', f_words, y FROM a2),
-      |c2 AS (SELECT node, m2.f, mn + ((v - mn) // w) * w + (w - 1) AS vb,
+      |  FROM tr$x t LEFT JOIN b1ok$x b ON true),
+      |m2$x AS (
+      |  SELECT node, 'f_a' AS f, f_a AS v, y FROM a2$x UNION ALL
+      |  SELECT node, 'f_chars', f_chars, y FROM a2$x UNION ALL
+      |  SELECT node, 'f_e', f_e, y FROM a2$x UNION ALL
+      |  SELECT node, 'f_words', f_words, y FROM a2$x),
+      |c2$x AS (SELECT node, m2$x.f, mn + ((v - mn) // w) * w + (w - 1) AS vb,
       |         CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos
-      |       FROM m2 JOIN wd USING (f) GROUP BY 1, 2, 3),
-      |s2 AS (SELECT node, f, vb,
+      |       FROM m2$x JOIN wd$x USING (f) GROUP BY 1, 2, 3),
+      |s2$x AS (SELECT node, f, vb,
       |         CAST(sum(n) OVER (PARTITION BY node, f ORDER BY vb) AS BIGINT) AS cn,
       |         CAST(sum(pos) OVER (PARTITION BY node, f ORDER BY vb) AS BIGINT) AS cp,
       |         CAST(sum(n) OVER (PARTITION BY node, f) AS BIGINT) AS tn,
       |         CAST(sum(pos) OVER (PARTITION BY node, f) AS BIGINT) AS tp
-      |       FROM c2),
-      |e2 AS (SELECT node, f, vb, tn, tp,
+      |       FROM c2$x),
+      |e2$x AS (SELECT node, f, vb, tn, tp,
       |         (cn - greatest(cp, cn - cp)) +
       |         ((tn - cn) - greatest(tp - cp, (tn - cn) - (tp - cp))) AS e
-      |       FROM s2 WHERE cn < tn),
-      |b2 AS (SELECT node, f, vb, e, tn, tp FROM e2
+      |       FROM s2$x WHERE cn < tn),
+      |b2$x AS (SELECT node, f, vb, e, tn, tp FROM e2$x
       |       QUALIFY row_number() OVER (PARTITION BY node ORDER BY e, f, vb) = 1),
-      |b2ok AS (SELECT * FROM b2
+      |b2ok$x AS (SELECT * FROM b2$x
       |         WHERE node <> 1 AND e < tn - greatest(tp, tn - tp)),
-      |a3 AS (
-      |  SELECT a2.y, CAST(CASE WHEN b.node IS NULL THEN a2.node
-      |    WHEN (CASE b.f WHEN 'f_a' THEN a2.f_a WHEN 'f_chars' THEN a2.f_chars
-      |          WHEN 'f_e' THEN a2.f_e ELSE a2.f_words END) <= b.vb
-      |    THEN 2 * a2.node ELSE 2 * a2.node + 1 END AS BIGINT) AS leaf
-      |  FROM a2 LEFT JOIN b2ok b ON b.node = a2.node),
-      |leaves AS (SELECT leaf AS node, CAST(count(*) AS BIGINT) AS tn,
+      |a3$x AS (
+      |  SELECT a2$x.y, CAST(CASE WHEN b.node IS NULL THEN a2$x.node
+      |    WHEN (CASE b.f WHEN 'f_a' THEN a2$x.f_a WHEN 'f_chars' THEN a2$x.f_chars
+      |          WHEN 'f_e' THEN a2$x.f_e ELSE a2$x.f_words END) <= b.vb
+      |    THEN 2 * a2$x.node ELSE 2 * a2$x.node + 1 END AS BIGINT) AS leaf
+      |  FROM a2$x LEFT JOIN b2ok$x b ON b.node = a2$x.node),
+      |leaves$x AS (SELECT leaf AS node, CAST(count(*) AS BIGINT) AS tn,
       |             CAST(sum(y) AS BIGINT) AS tp
-      |           FROM a3 GROUP BY 1)""".stripMargin
+      |           FROM a3$x GROUP BY 1)""".stripMargin
+
+  /** Route the shared `te` split through tree `$x`: final leaf + its
+    * majority prediction as `pred$x` keyed by doc_id.
+    */
+  private def routeCtes(x: String): String =
+    s""",
+      |t2$x AS (
+      |  SELECT t.*, CAST(CASE WHEN b.f IS NULL THEN 1
+      |    WHEN (CASE b.f WHEN 'f_a' THEN t.f_a WHEN 'f_chars' THEN t.f_chars
+      |          WHEN 'f_e' THEN t.f_e ELSE t.f_words END) <= b.vb THEN 2
+      |    ELSE 3 END AS BIGINT) AS node
+      |  FROM te t LEFT JOIN b1ok$x b ON true),
+      |t3$x AS (
+      |  SELECT t2$x.doc_id, t2$x.y, CAST(CASE WHEN b.node IS NULL THEN t2$x.node
+      |    WHEN (CASE b.f WHEN 'f_a' THEN t2$x.f_a WHEN 'f_chars' THEN t2$x.f_chars
+      |          WHEN 'f_e' THEN t2$x.f_e ELSE t2$x.f_words END) <= b.vb
+      |    THEN 2 * t2$x.node ELSE 2 * t2$x.node + 1 END AS BIGINT) AS leaf
+      |  FROM t2$x LEFT JOIN b2ok$x b ON b.node = t2$x.node),
+      |pred$x AS (
+      |  SELECT t3$x.doc_id, t3$x.y,
+      |    CAST(CASE WHEN 2 * l.tp > l.tn THEN 1 ELSE 0 END AS BIGINT) AS p
+      |  FROM t3$x JOIN leaves$x l ON l.node = t3$x.leaf)""".stripMargin
+
+  private val oraclePrelude =
+    featureCtes + trainCtes("", "doc_id % 2 = 0")
 
   val entries: Seq[(String, Fn, String)] = Seq(
 
@@ -177,5 +208,47 @@ object CartOps {
           |       FROM leaves)
           |SELECT y, pred, CAST(count(*) AS BIGINT) AS n
           |FROM t3 JOIN pr ON pr.node = t3.leaf
-          |GROUP BY 1, 2 ORDER BY y, pred""".stripMargin))
+          |GROUP BY 1, 2 ORDER BY y, pred""".stripMargin),
+
+    // -- BAGGED FOREST under the gate: three depth-2 trees, each trained
+    //    on a content-addressed 2/3 subbag (md5(doc_id) mod 3 — the house
+    //    hex→int convention, so DuckDB draws the identical bags), held-out
+    //    docs classified by 2-of-3 majority vote. The oracle instantiates
+    //    the two-level training unroll once per bag (suffixed CTEs) and
+    //    re-votes — ensemble training, per-tree inference and the vote all
+    //    under one hash compare. Training scans are per-bag passes over
+    //    the same frame; inference is three stacked when-chains, still
+    //    shuffle-free ------------------------------------------------------
+    ("q_forest_classify",
+      (s: SparkSession, d: String) => {
+        val feats = featured(s, d)
+        val bag = pmod(expr(
+          "conv(substr(md5(cast(doc_id as string)), 1, 15), 16, 10)")
+          .cast("long"), lit(3))
+        val trainAll = feats.filter(pmod(col("doc_id"), lit(2)) === 0)
+        val trees = (0 until 3).map { b =>
+          graft.ops.Cart.train(trainAll.filter(bag =!= b), features, "y",
+            depth = 2, maxBins = 32)
+        }
+        val test = feats.filter(pmod(col("doc_id"), lit(2)) === 1)
+        trees.zipWithIndex.foldLeft(test) { case (df, (tr, i)) =>
+            graft.ops.Cart.classify(df, tr).withColumnRenamed("pred", s"__p$i")
+          }
+          .withColumn("pred",
+            (col("__p0") + col("__p1") + col("__p2") >= 2).cast("long"))
+          .groupBy("y", "pred").agg(count(lit(1)).as("n"))
+          .orderBy("y", "pred")
+      },
+      featureCtes +
+        (0 until 3).map(b => trainCtes(s"_$b",
+          "doc_id % 2 = 0 AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), " +
+            s"1, 15))::BIGINT % 3 <> $b")).mkString +
+        ",\nte AS (SELECT * FROM lab WHERE doc_id % 2 = 1)" +
+        (0 until 3).map(b => routeCtes(s"_$b")).mkString +
+        """
+          |SELECT p0.y AS y,
+          |  CAST(CASE WHEN p0.p + p1.p + p2.p >= 2 THEN 1 ELSE 0 END AS BIGINT) AS pred,
+          |  CAST(count(*) AS BIGINT) AS n
+          |FROM pred_0 p0 JOIN pred_1 p1 USING (doc_id) JOIN pred_2 p2 USING (doc_id)
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 }
