@@ -90,10 +90,13 @@ object Cart {
       features.map(f => f -> mmRow.getAs[Long](s"__mn_$f")).toMap
 
     def bin(f: String): Column = {
-      val v = col(f).cast("long")
       val (m, w) = (lo(f), width(f))
-      if (w == 1L) v
-      else lit(m) + ((v - lit(m)) / lit(w)).cast("long") * lit(w) + lit(w - 1L)
+      if (w == 1L) col(f).cast("long")
+      // integral `div`, not double `/`+cast: beyond 2^53 the double
+      // rounds (v - m) and lands boundary values in the adjacent bin,
+      // diverging from the oracle's exact `//`
+      else expr(s"${m}L + ((CAST(`$f` AS BIGINT) - ${m}L) div ${w}L) * ${w}L" +
+        s" + ${w - 1L}L")
     }
 
     var assigned = df.select(
@@ -103,7 +106,12 @@ object Cart {
     val open = scala.collection.mutable.Set(1L) // nodes still trainable
 
     for (_ <- 1 to depth if open.nonEmpty) {
+      // melt only rows of nodes still OPEN: finalized leaves would be
+      // exploded ×|features| and scored only for the driver to discard
+      // them — at depth > 2 most rows sit in leaves (leafStats reads the
+      // unfiltered frame, so leaf totals are unaffected)
       val melted = assigned
+        .filter(col("__node").isin(open.toSeq: _*))
         .select(col("__node"), col("__y"),
           explode(array(features.map(f =>
             struct(lit(f).as("f"), bin(f).as("vb"))): _*)).as("m"))

@@ -83,9 +83,12 @@ object Ranking {
     // spaces, tabs, the fixture's embedded newlines) must separate
     // adjacent tokens — split(" ") would emit empty tokens that shift
     // every position and break cross-whitespace matches, diverging from
-    // the repo-wide tokenization (bm25TopK, Dedup.docLines, NaiveBayes)
+    // the repo-wide tokenization (bm25TopK, Dedup.docLines, NaiveBayes).
+    // Column-API form, not expr-string interpolation: a caller's column
+    // name with dots/spaces/keywords must resolve as a NAME, never parse
+    // as SQL
     val tok = docs.select(col(idCol).as("__d"),
-      posexplode(expr(s"regexp_extract_all($textCol, '\\\\S+', 0)"))
+      posexplode(regexp_extract_all(col(textCol), lit("\\S+"), lit(0)))
         .as(Seq("__p", "__t")))
     // anchor on the rarest term: one tiny count-by-term over the phrase's
     // terms only (filtered before the shuffle)

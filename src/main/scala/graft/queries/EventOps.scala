@@ -49,8 +49,11 @@ object EventOps {
       .groupBy("user_id", "grp")
       .agg(min(col("ms")).as("valid_from"), count(lit(1)).as("n_events"),
         min(col("event_type")).as("event_type"))
+      // (valid_from, grp) ordering: two runs of one user can START in the
+      // same floored millisecond; grp is the per-user run ordinal, so the
+      // tiebreak is deterministic and identical in the oracle
       .withColumn("valid_to", lead(col("valid_from"), 1).over(
-        Window.partitionBy("user_id").orderBy("valid_from")))
+        Window.partitionBy("user_id").orderBy("valid_from", "grp")))
       .select("user_id", "event_type", "valid_from", "valid_to", "n_events")
   }
 
@@ -685,9 +688,9 @@ object EventOps {
         |    min(event_type) AS event_type
         |  FROM m GROUP BY 1, 2)
         |SELECT user_id, event_type, valid_from,
-        |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) AS valid_to,
+        |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, grp) AS valid_to,
         |  n_events,
-        |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) IS NULL AS is_current
+        |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, grp) IS NULL AS is_current
         |FROM runs ORDER BY user_id, valid_from""".stripMargin),
 
     // -- point-in-time dimension lookup over that history: five probe
@@ -725,7 +728,7 @@ object EventOps {
         |  FROM m GROUP BY 1, 2),
         |runs AS (
         |  SELECT user_id, event_type, valid_from,
-        |    lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) AS valid_to
+        |    lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, grp) AS valid_to
         |  FROM runs0),
         |span AS (SELECT min(epoch_ms(ts)) AS lo, max(epoch_ms(ts)) AS hi FROM events),
         |probes AS (

@@ -333,11 +333,15 @@ object TextOps {
           .join(uc.select(col("t").as("__tb"), col("c").as("__cb")),
             expr("split_part(bigram, ' ', 2)") === col("__tb"))
           .crossJoin(broadcast(n1)).crossJoin(broadcast(nb))
-          // BIGINT-exact ratio: n_ab·N₁² tops out ~8·10¹⁷ at the 100×
-          // fixture — inside long; one division, dec6-rounded ln
+          // promote to DOUBLE BEFORE multiplying: the long products
+          // (n_big·c_a·c_b especially) overflow int64 on ~1e8-token
+          // corpora — Spark would wrap silently where DuckDB raises.
+          // IEEE double products round identically in both engines
+          // (left-assoc, same op order), and the ln is dec6-rounded on
+          // top as usual
           .withColumn("pmi", expr("cast(round(ln(" +
-            "cast(n_ab * n_uni * n_uni as double) / " +
-            "cast(n_big * __ca * __cb as double)), 6) as double)"))
+            "(cast(n_ab as double) * cast(n_uni as double) * cast(n_uni as double)) / " +
+            "(cast(n_big as double) * cast(__ca as double) * cast(__cb as double))), 6) as double)"))
           .select("bigram", "n_ab", "pmi")
           .orderBy(desc("pmi"), col("bigram")).limit(20)
       },
@@ -352,8 +356,10 @@ object TextOps {
         |bc AS (SELECT bigram, CAST(count(*) AS BIGINT) AS n_ab
         |       FROM bg GROUP BY 1 HAVING count(*) >= 5)
         |SELECT bigram, n_ab,
-        |  CAST(round(ln(CAST(n_ab * n_uni * n_uni AS DOUBLE) /
-        |    CAST(n_big * ua.c * ub.c AS DOUBLE)), 6) AS DOUBLE) AS pmi
+        |  CAST(round(ln(
+        |    (CAST(n_ab AS DOUBLE) * CAST(n_uni AS DOUBLE) * CAST(n_uni AS DOUBLE)) /
+        |    (CAST(n_big AS DOUBLE) * CAST(ua.c AS DOUBLE) * CAST(ub.c AS DOUBLE))), 6)
+        |    AS DOUBLE) AS pmi
         |FROM bc CROSS JOIN n1 CROSS JOIN nb
         |JOIN uc ua ON ua.t = split_part(bc.bigram, ' ', 1)
         |JOIN uc ub ON ub.t = split_part(bc.bigram, ' ', 2)

@@ -340,29 +340,75 @@ object TarCommitProtocol {
   private[tarv2] val MarkerName = ".__commit__"
   private[tarv2] val StagingName = ".__v2staging__"
 
-  def rollForward(dir: String): Unit = {
+  // one monitor per canonical path: a reader planning a scan and a writer
+  // finishing its commit (or two readers recovering a crashed one) must
+  // not interleave their check-then-act file ops. In-JVM only — which is
+  // exactly where Spark's planner and committer race on local[*]; across
+  // processes the single-writer contract plus the idempotent, missing-
+  // file-tolerant replay below keeps concurrent recovery safe.
+  private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(dir: String): Object =
+    locks.computeIfAbsent(
+      new java.io.File(dir).getCanonicalPath, _ => new Object)
+
+  /** Fsync a directory's entries (Linux: open the dir and force). */
+  private[tarv2] def fsyncDir(dir: java.io.File): Unit = {
+    val ch = java.nio.channels.FileChannel.open(dir.toPath,
+      java.nio.file.StandardOpenOption.READ)
+    try ch.force(true) finally ch.close()
+  }
+
+  def rollForward(dir: String): Unit = lockFor(dir).synchronized {
     val dirF = new java.io.File(dir)
     val marker = new java.io.File(dirF, MarkerName)
     if (!marker.exists()) return
     val staging = new java.io.File(dirF, StagingName)
-    val lines = new String(java.nio.file.Files.readAllBytes(marker.toPath),
-      java.nio.charset.StandardCharsets.UTF_8).split("\n").filter(_.nonEmpty)
+    val lines = try {
+      new String(java.nio.file.Files.readAllBytes(marker.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).split("\n").filter(_.nonEmpty)
+    } catch {
+      // a concurrent (cross-process) recovery finished and deleted the
+      // marker between exists() and the read — nothing left to do
+      case _: java.nio.file.NoSuchFileException => return
+    }
     lines.foreach { l =>
       l.split("\t", -1) match {
         case Array("del", n) => new java.io.File(dirF, n).delete(); ()
         case Array("new", sub, n) =>
           val src = new java.io.File(new java.io.File(staging, sub), n)
           if (src.isFile)
-            java.nio.file.Files.move(src.toPath,
+            try java.nio.file.Files.move(src.toPath,
               new java.io.File(dirF, n).toPath,
               java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            catch { // moved by a concurrent recovery after our isFile check
+              case _: java.nio.file.NoSuchFileException => ()
+            }
         case _ => throw new IllegalStateException(
           s"graft-tar: corrupt commit marker line '$l' in $marker")
       }
     }
     TarBatchWrite.deleteRec(staging)
-    marker.delete(); ()
+    marker.delete()
+    fsyncDir(dirF)
   }
+
+  /** Write + fsync + atomically install the commit marker. Runs under the
+    * same per-path lock as [[rollForward]] so a planning reader never
+    * observes the marker mid-install.
+    */
+  private[tarv2] def installMarker(dir: java.io.File, body: String): Unit =
+    lockFor(dir.getPath).synchronized {
+      val tmp = new java.io.File(dir, MarkerName + ".tmp")
+      val fos = new java.io.FileOutputStream(tmp)
+      try {
+        fos.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        fos.getFD.sync() // marker bytes durable BEFORE the rename
+      } finally fos.close()
+      java.nio.file.Files.move(tmp.toPath,
+        new java.io.File(dir, MarkerName).toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      fsyncDir(dir) // the rename itself durable before replay deletes
+    }
 }
 
 class TarBatchWrite(path: String, truncate: Boolean) extends BatchWrite {
@@ -387,6 +433,15 @@ class TarBatchWrite(path: String, truncate: Boolean) extends BatchWrite {
     val dirF = new java.io.File(path)
     val existing = Option(dirF.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isFile && f.getName.endsWith(".tar")).map(_.getName).toSet
+    // deletion names go into the tab/line-framed marker too: an
+    // externally-created '*.tar' with a control char in its name would
+    // corrupt the marker AFTER it became durable (wedging every later
+    // read/write at replay) — refuse now, while the store is untouched
+    val foreign = existing.filter(_.exists(_ < ' ')).toSeq.sorted
+    require(foreign.isEmpty,
+      s"graft-tar: existing shard name(s) with control characters " +
+        s"${foreign.map(n => s"'${n.flatMap(c => if (c < ' ') f"\\x$c%02x" else c.toString)}'").mkString(", ")} " +
+        "in the export dir — remove the foreign files before writing")
     val newNames = staged.map(_._2).toSet
     if (!truncate) {
       val clash = staged.map(_._2).filter(existing).sorted
@@ -400,12 +455,12 @@ class TarBatchWrite(path: String, truncate: Boolean) extends BatchWrite {
     val body = (dels.map(n => s"del\t$n") ++
       staged.sortBy(_._2).map { case (sub, n) => s"new\t$sub\t$n" })
       .mkString("\n")
-    val tmp = new java.io.File(dirF, TarCommitProtocol.MarkerName + ".tmp")
-    java.nio.file.Files.write(tmp.toPath,
-      body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    java.nio.file.Files.move(tmp.toPath,
-      new java.io.File(dirF, TarCommitProtocol.MarkerName).toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // staged shard BYTES were fsynced by each task's commit (and the
+    // staging dir entries here): the marker's durability contract — "it
+    // exists only once all staged bytes are durable" — holds under power
+    // loss, not just process crash
+    TarCommitProtocol.fsyncDir(staging)
+    TarCommitProtocol.installMarker(dirF, body)
     TarCommitProtocol.rollForward(path)
   }
 
@@ -445,6 +500,7 @@ class TarDataWriter(stagingPath: String, partitionId: Int, taskId: Long)
   private val sub = s"task-$partitionId-$taskId"
   private val taskDir = new java.io.File(stagingPath, sub)
   private var out: java.io.OutputStream = _
+  private var fos: java.io.FileOutputStream = _
   private var curFile: java.io.File = _
   private var cur: String = null
   private var lastName: String = null
@@ -452,7 +508,9 @@ class TarDataWriter(stagingPath: String, partitionId: Int, taskId: Long)
 
   private def closeShard(): Unit = if (out != null) {
     out.write(new Array[Byte](1024)) // end-of-archive blocks
-    out.close(); out = null
+    out.flush()
+    fos.getFD.sync() // shard bytes durable before the commit marker can be
+    out.close(); out = null; fos = null
   }
 
   override def write(row: InternalRow): Unit = {
@@ -476,8 +534,8 @@ class TarDataWriter(stagingPath: String, partitionId: Int, taskId: Long)
       taskDir.mkdirs()
       curFile = new java.io.File(taskDir, shard)
       files ::= shard
-      out = new java.io.BufferedOutputStream(
-        new java.io.FileOutputStream(curFile), 1 << 16)
+      fos = new java.io.FileOutputStream(curFile)
+      out = new java.io.BufferedOutputStream(fos, 1 << 16)
     }
     require(lastName == null || name > lastName,
       s"graft-tar: entry names must be strictly increasing per shard " +
@@ -488,11 +546,15 @@ class TarDataWriter(stagingPath: String, partitionId: Int, taskId: Long)
 
   override def commit(): WriterCommitMessage = {
     closeShard()
+    if (taskDir.isDirectory) TarCommitProtocol.fsyncDir(taskDir)
     TarWriteCommit(sub, files.reverse)
   }
 
   override def abort(): Unit = {
-    if (out != null) { try out.close() catch { case _: Exception => () }; out = null }
+    if (out != null) {
+      try out.close() catch { case _: Exception => () }
+      out = null; fos = null
+    }
     TarBatchWrite.deleteRec(taskDir)
   }
 
