@@ -296,6 +296,59 @@ object ProfileOps {
         |  round(cast(l1 AS DOUBLE) / (2.0 * tr * tc), 6) AS tv
         |FROM j, t, l ORDER BY bucket""".stripMargin),
 
+    // -- drift TREND: exact total variation of the event_type distribution
+    //    between every pair of CONSECUTIVE days — the time-series form of
+    //    q_drift (one pinned reference there, a rolling day-over-day
+    //    compare here, the alert-on-sudden-shift monitor a daily ingest
+    //    wants). Same exact-integer TV: per-(day, type) counts, the
+    //    next day's histogram shifted onto the previous day by a day-1
+    //    self-join, |n_a·t_b − n_b·t_a| cross-multiplied in integers and
+    //    divided once at the end. Everything after the first groupBy is
+    //    days×types-sized — the corpus is scanned exactly once ------------
+    ("q_drift_trend",
+      (s: SparkSession, d: String) => {
+        val h = t(s, d, "events")
+          .select(expr("ts div 86400000000000L").as("day"), col("event_type"))
+          .groupBy("day", "event_type").agg(count(lit(1)).as("n"))
+          .localCheckpoint(true) // three consumers below; scan events once
+        val tot = h.groupBy("day").agg(sum(col("n")).as("t"))
+        val pairs = tot.select(col("day"), col("t").as("ta"))
+          .join(tot.select((col("day") - 1).as("day"), col("t").as("tb")), "day")
+        val j = h.select(col("day"), col("event_type"), col("n").as("n_a"))
+          .join(h.select((col("day") - 1).as("day"), col("event_type"),
+            col("n").as("n_b")), Seq("day", "event_type"), "full_outer")
+          .select(col("day"), coalesce(col("n_a"), lit(0L)).as("n_a"),
+            coalesce(col("n_b"), lit(0L)).as("n_b"))
+        j.join(pairs, "day")
+          .groupBy("day", "ta", "tb")
+          .agg(sum(abs(col("n_a") * col("tb") - col("n_b") * col("ta"))).as("l1"))
+          .select(col("day"), (col("day") + 1).as("next_day"),
+            col("ta").as("n_day"), col("tb").as("n_next"),
+            round(col("l1").cast("double") / (lit(2.0) * col("ta") * col("tb")), 6)
+              .as("tv"))
+          .orderBy("day")
+      },
+      """WITH h AS (
+        |  SELECT epoch_ms(ts) // 86400000 AS day, event_type,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (SELECT day, CAST(sum(n) AS BIGINT) AS t FROM h GROUP BY 1),
+        |pairs AS (SELECT a.day AS day, a.t AS ta, b.t AS tb
+        |          FROM tot a JOIN tot b ON b.day = a.day + 1),
+        |j AS (
+        |  SELECT coalesce(x.day, y.day) AS day,
+        |         coalesce(x.n, 0) AS n_a, coalesce(y.n, 0) AS n_b
+        |  FROM h x FULL OUTER JOIN
+        |       (SELECT day - 1 AS day, event_type, n FROM h) y
+        |    ON x.day = y.day AND x.event_type = y.event_type),
+        |l AS (
+        |  SELECT day, ta, tb,
+        |         sum(abs(CAST(n_a AS HUGEINT) * tb - CAST(n_b AS HUGEINT) * ta)) AS l1
+        |  FROM j JOIN pairs USING (day) GROUP BY 1, 2, 3)
+        |SELECT day, day + 1 AS next_day, ta AS n_day, tb AS n_next,
+        |  round(CAST(l1 AS DOUBLE) / (2.0 * ta * tb), 6) AS tv
+        |FROM l ORDER BY day""".stripMargin),
+
     // -- the standard drift-monitoring TRIPLE on one histogram: exact TV
     //    (linear mass moves), PSI (log-sensitive share collapse/explosion,
     //    add-one smoothed, every ln rounded to 6 per the LmOps
