@@ -93,7 +93,8 @@ object TextOps {
   val cacheConsumers: Set[String] =
     Set("q_dedup_ngram", "q_dedup_minhash", "q_dedup_verified",
       "q_dedup_components", "q_cc_incremental", "q_dedup_apply",
-      "q_dedup_e2e", "q_dedup_cc_minhash", "q_index_probe")
+      "q_dedup_e2e", "q_dedup_cc_minhash", "q_index_probe",
+      "q_index_incremental")
 
   /** Per-JVM root for q_index_probe's persisted band indexes. A random
     * per-process directory (not a predictable name in the shared tmpdir)
@@ -630,6 +631,45 @@ object TextOps {
         val idx = s.read.parquet(dir).select("doc_id", "j", "bh")
         val probe = bands.filter(col("doc_id") < 50)
         probe.alias("x").join(idx.alias("y"),
+            col("x.j") === col("y.j") && col("x.bh") === col("y.bh"))
+          .select(col("x.doc_id").as("probe_id"), col("y.doc_id").as("corpus_id"))
+          .distinct()
+          .orderBy("probe_id", "corpus_id")
+      },
+      s"""$shingleCte,
+         |$sigCte,
+         |${bandsCte(4, 4)}
+         |SELECT DISTINCT x.doc_id AS probe_id, y.doc_id AS corpus_id
+         |FROM bands x JOIN bands y ON x.j = y.j AND x.bh = y.bh
+         |WHERE x.doc_id < 50
+         |ORDER BY 1, 2""".stripMargin),
+
+    // -- INCREMENTAL index maintenance (the third leg of the maintenance
+    //    trilogy beside q_cc_incremental and q_rollup_incremental): the
+    //    band index is built from two-thirds of the corpus, the remaining
+    //    docs arrive later as a plain partition-aligned APPEND (band rows
+    //    only for the new docs — old docs are never re-shingled), and the
+    //    probe runs against the combined index. The oracle is q_index_
+    //    probe's full-corpus SQL verbatim: hash equality proves
+    //    append-maintained == rebuilt. At 100 TB this is the difference
+    //    between re-hashing the corpus per ingest and banding just the
+    //    delta ---------------------------------------------------------------
+    ("q_index_incremental",
+      (s: SparkSession, d: String) => {
+        val bands = md5BandsDf(s, d, nBands = 4, rows = 4)
+        val dirKey = java.security.MessageDigest.getInstance("MD5")
+          .digest(new java.io.File(d).getAbsolutePath.getBytes("UTF-8"))
+          .take(8).map("%02x".format(_)).mkString + "_incr"
+        val dir = new java.io.File(bandIdxRoot, dirKey).getAbsolutePath
+        // overwrite clears any prior run's index, so the append below can
+        // never stack deltas across reruns
+        bands.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+          .write.mode("overwrite").partitionBy("j").parquet(dir)
+        bands.filter(pmod(col("doc_id"), lit(3)) === 0)
+          .write.mode("append").partitionBy("j").parquet(dir)
+        val idx = s.read.parquet(dir).select("doc_id", "j", "bh")
+        md5BandsDf(s, d, nBands = 4, rows = 4).filter(col("doc_id") < 50)
+          .alias("x").join(idx.alias("y"),
             col("x.j") === col("y.j") && col("x.bh") === col("y.bh"))
           .select(col("x.doc_id").as("probe_id"), col("y.doc_id").as("corpus_id"))
           .distinct()
