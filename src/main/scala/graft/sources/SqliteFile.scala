@@ -69,6 +69,35 @@ object SqliteFile {
     openUnchecked(spark, path)
   }
 
+  /** Streaming access to ONE table for the `graft-sqlite` DSv2 connector
+    * ([[graft.sources.sqlitev2.SqliteDataSource]]): (schema, lazy row
+    * iterator, closer). Unlike [[open]], nothing is materialized — the
+    * connector pulls this iterator EXECUTOR-side, so file size bounds
+    * nothing but the scan's wall-clock (no driver guard needed). The
+    * caller owns the closer and must invoke it after consuming (or
+    * abandoning) the iterator.
+    */
+  private[sources] def streamTable(path: String, table: String)
+      : (org.apache.spark.sql.types.StructType, Iterator[Row], () => Unit) = {
+    val db = new Reader(path)
+    val found = try {
+      val all = tableIterators(db, path)
+      all.find(_._1 == table).getOrElse(
+        throw new FileTypeError(
+          s"table '$table' not found in '$path' — available: " +
+            all.map(_._1).sorted.mkString(", ")))
+    } catch { case e: Throwable => db.close(); throw e }
+    (found._2, found._3, () => db.close())
+  }
+
+  /** Schema of one table, decoded from the file's DDL (no rows read). */
+  private[sources] def tableSchema(path: String, table: String)
+      : org.apache.spark.sql.types.StructType = {
+    val (schema, _, close) = streamTable(path, table)
+    close()
+    schema
+  }
+
   private def openUnchecked(spark: SparkSession, path: String):
       Map[String, DataFrame] = {
     val db = new Reader(path)
@@ -145,7 +174,7 @@ object SqliteFile {
     * the file. Iterators decode lazily off the open [[Reader]] — the
     * caller must fully consume them BEFORE closing it.
     */
-  private def tableIterators(db: Reader, path: String):
+  private[sources] def tableIterators(db: Reader, path: String):
       Seq[(String, StructType, Iterator[Row])] = {
       val tables = db.masterTables()
       tables.map { case (name, rootPage, createSql) =>

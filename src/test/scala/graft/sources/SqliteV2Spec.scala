@@ -1,0 +1,82 @@
+package graft.sources
+
+import org.apache.spark.sql.functions.col
+
+import graft.SparkSuite
+
+/** The `graft-sqlite` DSv2 connector: executor-side streaming decode of
+  * one table, equal row-for-row to the driver-side SqliteFile.open path
+  * (two independent consumers of the same b-tree walker), column pruning
+  * visible in the scan, fail-loud option/table errors.
+  */
+class SqliteV2Spec extends SparkSuite {
+
+  private def res(name: String): String = {
+    val r = getClass.getResource("/" + name)
+    assume(r != null, s"fixture $name missing")
+    r.getPath
+  }
+
+  private def v2(table: String) = spark.read.format("graft-sqlite")
+    .option("table", table).load(res("forestation_subset.db"))
+
+  test("every table reads identically through the connector and through open()") {
+    val opened = SqliteFile.open(spark, res("forestation_subset.db"))
+    for ((name, df) <- opened) {
+      val c = v2(name)
+      assert(c.schema === df.schema, s"schema mismatch in $name")
+      assert(c.count() === df.count(), s"count mismatch in $name")
+      assert(c.exceptAll(df).isEmpty && df.exceptAll(c).isEmpty,
+        s"row set mismatch in $name")
+    }
+    assert(opened.nonEmpty)
+  }
+
+  test("column pruning reaches the scan (readSchema shrinks), projection is correct") {
+    val full = v2("forest_area")
+    val twoCols = full.columns.take(2).toSeq
+    val pruned = full.select(twoCols.map(col): _*)
+    val scanDesc = pruned.queryExecution.executedPlan.toString
+    // the pruned column set appears in the scan description; a dropped
+    // column must not
+    val dropped = full.columns.drop(2).headOption
+    dropped.foreach { d =>
+      assert(!scanDesc.linesIterator.exists(l =>
+          l.contains("graft-sqlite") && l.contains(d)),
+        s"scan should not carry pruned column $d:\n$scanDesc")
+    }
+    assert(pruned.count() === full.count())
+    assert(pruned.exceptAll(
+      SqliteFile.open(spark, res("forestation_subset.db"))("forest_area")
+        .select(twoCols.map(col): _*)).isEmpty)
+  }
+
+  test("filters evaluate correctly on the streamed rows") {
+    val fa = v2("forest_area")
+    val keyCol = fa.columns.head
+    val some = fa.orderBy(col(keyCol)).limit(3).collect()
+    assume(some.length == 3)
+    val probe = some(1).get(0)
+    assert(fa.filter(col(keyCol) === probe).count() >= 1)
+  }
+
+  test("unknown table fails loud and lists what the file holds") {
+    val e = intercept[Exception] {
+      v2("no_such_table").collect()
+    }
+    assert(e.getMessage.contains("no_such_table") &&
+      e.getMessage.contains("available"), e.getMessage)
+  }
+
+  test("missing table option / missing path fail with actionable messages") {
+    val e1 = intercept[IllegalArgumentException] {
+      spark.read.format("graft-sqlite").load(res("forestation_subset.db"))
+    }
+    assert(e1.getMessage.contains("table"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.read.format("graft-sqlite").option("table", "x")
+        .schema(org.apache.spark.sql.types.StructType(Nil)).load()
+    }
+    assert(e2 != null)
+  }
+}
