@@ -322,6 +322,21 @@ def gen_unsupported():
     con.commit()
     con.close()
     print(f"wrote {p3} ({os.path.getsize(p3)} bytes)")
+    # mixed: an ordinary table NEXT TO a virtual one — the graft-sqlite
+    # DSv2 connector must serve the ordinary table per-table even though
+    # whole-file open() rejects the file (SqliteV2Spec)
+    p4 = os.path.join(RES, "sqlite_mixed.db")
+    if os.path.exists(p4):
+        os.remove(p4)
+    con = sqlite3.connect(p4)
+    con.execute("CREATE TABLE docs(id INTEGER PRIMARY KEY, body TEXT, score REAL)")
+    for i in range(25):
+        con.execute("INSERT INTO docs VALUES (?,?,?)", (i, f"doc body {i}", i * 0.5))
+    con.execute("CREATE VIRTUAL TABLE ft USING fts5(body)")
+    con.execute("INSERT INTO ft SELECT body FROM docs")
+    con.commit()
+    con.close()
+    print(f"wrote {p4} ({os.path.getsize(p4)} bytes)")
 
 
 if __name__ == "__main__":

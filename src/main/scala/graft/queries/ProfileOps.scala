@@ -310,22 +310,22 @@ object ProfileOps {
         val h = t(s, d, "events")
           .select(expr("ts div 86400000000000L").as("day"), col("event_type"))
           .groupBy("day", "event_type").agg(count(lit(1)).as("n"))
-          .localCheckpoint(true) // three consumers below; scan events once
-        val tot = h.groupBy("day").agg(sum(col("n")).as("t"))
-        val pairs = tot.select(col("day"), col("t").as("ta"))
-          .join(tot.select((col("day") - 1).as("day"), col("t").as("tb")), "day")
-        val j = h.select(col("day"), col("event_type"), col("n").as("n_a"))
+          .localCheckpoint(true) // several consumers below; scan events once
+        // days with a successor — only consecutive PAIRS get a tv row
+        val paired = h.select(col("day")).distinct()
+          .join(h.select((col("day") - 1).as("day")).distinct(), "day")
+        // (day, per-type ref=day cur=day+1 counts) → the shared per-group
+        // exact-TV machinery (decimal cross-multiply — raw longs would
+        // overflow at warehouse counts; one implementation, not two)
+        val j = h.select(col("day"), col("event_type"), col("n").as("n_ref"))
           .join(h.select((col("day") - 1).as("day"), col("event_type"),
-            col("n").as("n_b")), Seq("day", "event_type"), "full_outer")
-          .select(col("day"), coalesce(col("n_a"), lit(0L)).as("n_a"),
-            coalesce(col("n_b"), lit(0L)).as("n_b"))
-        j.join(pairs, "day")
-          .groupBy("day", "ta", "tb")
-          .agg(sum(abs(col("n_a") * col("tb") - col("n_b") * col("ta"))).as("l1"))
+            col("n").as("n_cur")), Seq("day", "event_type"), "full_outer")
+          .select(col("day"), coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+            coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+          .join(paired, "day")
+        graft.ops.Validate.totalVariationBy(j, "day")
           .select(col("day"), (col("day") + 1).as("next_day"),
-            col("ta").as("n_day"), col("tb").as("n_next"),
-            round(col("l1").cast("double") / (lit(2.0) * col("ta") * col("tb")), 6)
-              .as("tv"))
+            col("n_ref").as("n_day"), col("n_cur").as("n_next"), col("tv"))
           .orderBy("day")
       },
       """WITH h AS (

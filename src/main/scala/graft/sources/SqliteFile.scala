@@ -81,11 +81,11 @@ object SqliteFile {
       : (org.apache.spark.sql.types.StructType, Iterator[Row], () => Unit) = {
     val db = new Reader(path)
     val found = try {
-      val all = tableIterators(db, path)
-      all.find(_._1 == table).getOrElse(
+      tableIterators(db, path, only = Some(table)).headOption.getOrElse(
+        // name listing only — never validates (or decodes) other tables
         throw new FileTypeError(
           s"table '$table' not found in '$path' — available: " +
-            all.map(_._1).sorted.mkString(", ")))
+            db.masterTables().map(_._1).sorted.mkString(", ")))
     } catch { case e: Throwable => db.close(); throw e }
     (found._2, found._3, () => db.close())
   }
@@ -174,9 +174,14 @@ object SqliteFile {
     * the file. Iterators decode lazily off the open [[Reader]] — the
     * caller must fully consume them BEFORE closing it.
     */
-  private[sources] def tableIterators(db: Reader, path: String):
+  private[sources] def tableIterators(db: Reader, path: String,
+      only: Option[String] = None):
       Seq[(String, StructType, Iterator[Row])] = {
+      // `only` restricts BEFORE any per-table validation: the connector's
+      // single-table read must not fail because an UNRELATED table in the
+      // file is virtual / unparseable (FTS shadow tables are common)
       val tables = db.masterTables()
+        .filter(t => only.forall(_ == t._1))
       tables.map { case (name, rootPage, createSql) =>
         // split the DDL at the paren that CLOSES the column-list body
         // (comment/quote-aware — lastIndexOf(')') would be fooled by a

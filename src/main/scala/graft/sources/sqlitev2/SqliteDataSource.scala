@@ -118,13 +118,18 @@ class SqliteRowReader(p: SqlitePartition, required: StructType)
     graft.sources.SqliteFile.streamTable(p.path, p.table)
   private val convert =
     CatalystTypeConverters.createToCatalystConverter(required)
+  private val idx: Array[Int] = p.colIdx // hoisted out of the per-row loop
   private var current: InternalRow = _
 
   override def next(): Boolean =
     if (rows.hasNext) {
       val r = rows.next()
+      val projected = new Array[Any](idx.length)
+      var i = 0
+      while (i < idx.length) { projected(i) = r.get(idx(i)); i += 1 }
       current = convert(org.apache.spark.sql.Row.fromSeq(
-        p.colIdx.toSeq.map(r.get))).asInstanceOf[InternalRow]
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(projected)))
+        .asInstanceOf[InternalRow]
       true
     } else false
 

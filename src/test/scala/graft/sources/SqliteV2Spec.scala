@@ -54,10 +54,28 @@ class SqliteV2Spec extends SparkSuite {
   test("filters evaluate correctly on the streamed rows") {
     val fa = v2("forest_area")
     val keyCol = fa.columns.head
-    val some = fa.orderBy(col(keyCol)).limit(3).collect()
+    // non-null probe: `=== null` would match nothing and fail spuriously
+    val some = fa.filter(col(keyCol).isNotNull)
+      .orderBy(col(keyCol)).limit(3).collect()
     assume(some.length == 3)
     val probe = some(1).get(0)
     assert(fa.filter(col(keyCol) === probe).count() >= 1)
+  }
+
+  test("a readable table next to a virtual table still reads; the virtual one fails loud") {
+    // sqlite_mixed.db: ordinary 'docs' beside FTS5 'ft' (rootpage 0).
+    // open() rejects the whole file; the single-table connector must
+    // serve the decodable table and only fail on the virtual one — a
+    // per-table read may not break because an UNRELATED table is FTS
+    val docs = spark.read.format("graft-sqlite")
+      .option("table", "docs").load(res("sqlite_mixed.db"))
+    assert(docs.count() === 25L)
+    assert(docs.filter(col("body") === "doc body 7").count() === 1L)
+    val e = intercept[Exception] {
+      spark.read.format("graft-sqlite")
+        .option("table", "ft").load(res("sqlite_mixed.db")).collect()
+    }
+    assert(e.getMessage.contains("virtual"), e.getMessage)
   }
 
   test("unknown table fails loud and lists what the file holds") {
