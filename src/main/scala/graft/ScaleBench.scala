@@ -599,7 +599,69 @@ object ScaleBench {
         } finally saved.foreach { case (k, v) =>
           v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
       } catch { case scala.util.control.NonFatal(_) => Map.empty }
-    val all: Map[String, (Double, Long)] = results ++ prod ++ guard ++ pct ++ ing ++ cmp ++ mrg ++ rup ++ km ++ sqz ++ skw
+    // Parquet bloom-filter A/B (pseudo-name "pqbloom"): point lookups on
+    // a HIGH-CARDINALITY UNSORTED key — the case zonemap pruning
+    // (Manifest.pruneFiles / row-group min-max) cannot touch, because an
+    // unsorted key's [min,max] spans the whole domain in every row group,
+    // and a unique key disables dictionary filtering. The same store is
+    // written twice (plain vs parquet.bloom.filter.enabled#event_id) and
+    // probed with an IN of 5 ids; with blooms, non-matching row groups
+    // skip at the reader, visible as input-records collapsing, not just
+    // wall. This is write-time metadata buying every later point lookup —
+    // the complement to sortedLayout+pruneFiles for range predicates.
+    val pqb: Map[String, (Double, Long)] =
+      if (!explicit.contains("pqbloom")) Map.empty
+      else try {
+        import org.apache.spark.sql.functions.{col, count, lit, sum}
+        val ev = spark.read.parquet(s"$sfDir/events.parquet")
+          .select("event_id", "user_id", "value")
+          // repartition alone is NOT unsorted: round-robin preserves the
+          // source's event_id order within each partition, so 4 MB row
+          // groups still carry tight min/max ranges and plain stats prune
+          // (measured: 44% skip). Hash-scramble the order so each group's
+          // [min,max] spans the domain — the honest worst case blooms
+          // exist for
+          .repartition(8)
+          .sortWithinPartitions(org.apache.spark.sql.functions.md5(
+            col("event_id").cast("string")))
+        val root = java.nio.file.Files.createTempDirectory("graft_scale_pqb_")
+          .toFile.getAbsolutePath
+        try {
+          // 4 MB row groups on BOTH variants: skipping granularity is the
+          // row group, and at the default 128 MB a store this size has ~1
+          // group per file — nothing to skip either way. Small groups are
+          // what a point-lookup-heavy store would tune toward anyway.
+          val blk = (4 << 20).toString
+          ev.write.option("parquet.block.size", blk).parquet(s"$root/plain")
+          ev.write.option("parquet.block.size", blk)
+            .option("parquet.bloom.filter.enabled#event_id", "true")
+            // NDV is PER ROW GROUP: sizing it at table cardinality blows
+            // past parquet.bloom.filter.max.bytes, the bitset saturates
+            // and false positives un-skip most groups (measured: 69% ->
+            // 97% skip after right-sizing to ~a 4 MB group's row count)
+            .option("parquet.bloom.filter.expected.ndv#event_id", "400000")
+            .parquet(s"$root/bloom")
+          val n = spark.read.parquet(s"$root/plain")
+            .agg(org.apache.spark.sql.functions.max(col("event_id")))
+            .head().getLong(0)
+          val probes = (1 to 5).map(i => n / 7 * i)
+          def lookup(dir: String): Unit = {
+            spark.read.parquet(dir)
+              .filter(col("event_id").isin(probes: _*))
+              .agg(count(lit(1)), sum(col("value"))).collect()
+            ()
+          }
+          def measured(tag: String, dir: String): ((String, (Double, Long))) = {
+            val r0 = inputRecords.get()
+            val t = timeIt { lookup(dir) }
+            inputRows(s"pqbloom_$tag") = inputRecords.get() - r0
+            s"pqbloom_$tag" -> t
+          }
+          Map(measured("plain", s"$root/plain"),
+            measured("bloom", s"$root/bloom"))
+        } finally del(new java.io.File(root))
+      } catch { case scala.util.control.NonFatal(_) => Map.empty }
+    val all: Map[String, (Double, Long)] = results ++ prod ++ guard ++ pct ++ ing ++ cmp ++ mrg ++ rup ++ km ++ sqz ++ skw ++ pqb
     val qs = all.toSeq.sortBy(_._1)
       .map { case (k, (t, _)) => f""""$k":$t%.3f""" }.mkString("{", ",", "}")
     // per-query min-of-runs shuffle write MB
