@@ -78,6 +78,19 @@ class SqliteV2Spec extends SparkSuite {
     assert(e.getMessage.contains("virtual"), e.getMessage)
   }
 
+  test("federates: a .db table joins a parquet table in one plan") {
+    val docs = spark.read.format("graft-sqlite")
+      .option("table", "docs").load(res("sqlite_mixed.db"))
+    val pq = spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("doc_id % 25 AS id", "n_chars")
+    val j = docs.join(pq, "id")
+      .groupBy("id").count().orderBy("id")
+    // every parquet doc_id maps onto one of the 25 sqlite ids
+    assert(j.count() === 25L)
+    assert(j.agg(org.apache.spark.sql.functions.sum("count")).head().getLong(0)
+      === spark.read.parquet(s"$sfDir/documents.parquet").count())
+  }
+
   test("unknown table fails loud and lists what the file holds") {
     val e = intercept[Exception] {
       v2("no_such_table").collect()
