@@ -53,18 +53,78 @@ object SqlDump {
       StructType(cols.map(c => StructField(c.name, c.sparkType, nullable = true)))
   }
 
+  /** One SQL identifier in any of SQLite's four quoting styles —
+    * `"x"` (standard, `""` escapes), `'x'` (string-literal-as-name, the
+    * form FTS module shadow tables dump with), `` `x` `` (MySQL style),
+    * `[x]` (MS style) — or bare. Non-capturing; embed in larger regexes.
+    */
+  private[sources] val identPat =
+    """(?:"(?:[^"]|"")*"|'(?:[^']|'')*'|`(?:[^`]|``)*`|\[[^\]]*\]|[\w.]+)"""
+
+  /** Strip one level of identifier quoting, collapsing doubled-delimiter
+    * escapes. Bare schema-qualified names keep the last dot component
+    * (quoted names are a single identifier — a dot inside quotes is part
+    * of the name, never a qualifier).
+    */
+  private[sources] def unquoteIdent(raw: String): String = {
+    val t = raw.trim
+    t.headOption match {
+      case Some(q @ ('"' | '\'' | '`')) if t.length >= 2 && t.last == q =>
+        t.substring(1, t.length - 1).replace(s"$q$q", s"$q")
+      case Some('[') if t.length >= 2 && t.last == ']' =>
+        t.substring(1, t.length - 1)
+      case _ => t.split('.').last
+    }
+  }
+
+  /** Split `s` into (leading identifier, remainder) honoring all four
+    * quoting styles — a quoted column name may contain spaces, so a bare
+    * whitespace split would truncate it. Returns the UNQUOTED name plus
+    * whether it was quoted (a quoted `"primary"` is a column named
+    * primary, not a PRIMARY KEY constraint).
+    */
+  private def splitIdent(s: String): (String, String, Boolean) = {
+    val t = s.trim
+    val closeIdx: Int = t.headOption match {
+      case Some(q @ ('"' | '\'' | '`')) =>
+        var i = 1; var end = -1
+        while (i < t.length && end < 0) {
+          if (t.charAt(i) == q) {
+            if (i + 1 < t.length && t.charAt(i + 1) == q) i += 2 else end = i
+          } else i += 1
+        }
+        require(end > 0, s"unterminated quoted identifier in: $t")
+        end
+      case Some('[') =>
+        val e = t.indexOf(']')
+        require(e > 0, s"unterminated [bracketed] identifier in: $t")
+        e
+      case _ => -1
+    }
+    if (closeIdx >= 0)
+      (unquoteIdent(t.substring(0, closeIdx + 1)),
+        t.substring(closeIdx + 1).trim, true)
+    else {
+      val toks = t.split("\\s+", 2)
+      (toks(0), if (toks.length > 1) toks(1) else "", false)
+    }
+  }
+
   /** Parse `CREATE TABLE name ( col type, ... );` blocks from the DDL text
     * (INSERTs already removed). Constraint lines (PRIMARY KEY, FOREIGN KEY,
-    * UNIQUE, CHECK) are skipped; quoted identifiers are unquoted.
+    * UNIQUE, CHECK) are skipped; quoted identifiers are unquoted (any of
+    * the four SQLite quoting styles).
     */
   private[sources] def parseDdl(ddl: String): Seq[TableDef] = {
     // the closing paren may be followed by table options before the ';'
     // (sqlite3 .dump emits them: WITHOUT ROWID, STRICT, or both in either
     // order) — without this alternative the whole table silently vanishes
     // from the parse
-    val create = """(?is)CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?("?[\w.]+"?)\s*\((.*?)\)\s*(?:(?:WITHOUT\s+ROWID|STRICT)\s*(?:,\s*(?:WITHOUT\s+ROWID|STRICT)\s*)*)?;""".r
+    val create = ("""(?is)CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(""" +
+      identPat +
+      """)\s*\((.*?)\)\s*(?:(?:WITHOUT\s+ROWID|STRICT)\s*(?:,\s*(?:WITHOUT\s+ROWID|STRICT)\s*)*)?;""").r
     create.findAllMatchIn(ddl).map { m =>
-      val name = m.group(1).replaceAll("\"", "").split('.').last
+      val name = unquoteIdent(m.group(1))
       // split the column body on commas that sit at paren depth 0
       val body = m.group(2)
       val parts = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -78,11 +138,9 @@ object SqlDump {
       if (cur.nonEmpty) parts += cur.toString
       val constraint = Set("primary", "foreign", "unique", "check", "constraint")
       val cols = parts.map(_.trim).filter(_.nonEmpty)
-        .filterNot(p => constraint(p.split("\\s+")(0).toLowerCase))
-        .map { p =>
-          val toks = p.split("\\s+", 2)
-          ColDef(toks(0).replaceAll("\"", ""), if (toks.length > 1) toks(1) else "text")
-        }
+        .map(splitIdent)
+        .filterNot { case (n, _, quoted) => !quoted && constraint(n.toLowerCase) }
+        .map { case (n, rest, _) => ColDef(n, if (rest.nonEmpty) rest else "text") }
       TableDef(name, cols.toSeq)
     }.toSeq
   }
@@ -110,8 +168,10 @@ object SqlDump {
         def ws(): Unit = { while (i < stmt.length && stmt.charAt(i).isWhitespace) i += 1 }
         def ident(): String = {
           ws()
-          if (i < stmt.length && stmt.charAt(i) == '"') {
-            val end = stmt.indexOf('"', i + 1)
+          val q0 = if (i < stmt.length) stmt.charAt(i) else ' '
+          if (q0 == '"' || q0 == '\'' || q0 == '`' || q0 == '[') {
+            val closeCh = if (q0 == '[') ']' else q0
+            val end = stmt.indexOf(closeCh, i + 1)
             require(end > i, s"unterminated quoted name in: $stmt")
             val n = stmt.substring(i + 1, end); i = end + 1; n
           } else {
@@ -122,9 +182,18 @@ object SqlDump {
             stmt.substring(start, i)
           }
         }
-        // schema-qualified `main.v` keeps the last component, like tables
-        val name = ident().split('.').last
+        // schema-qualified `main.v` (or `main."v"`) keeps the last
+        // component, like tables; a DOT INSIDE a quoted name is part of it
+        def quoteNext(): Boolean =
+          i < stmt.length && "\"'`[".contains(stmt.charAt(i))
         ws()
+        var lastQuoted = quoteNext()
+        var name0 = ident()
+        ws()
+        while (i < stmt.length && stmt.charAt(i) == '.') {
+          i += 1; ws(); lastQuoted = quoteNext(); name0 = ident(); ws()
+        }
+        val name = if (lastQuoted) name0 else name0.split('.').last
         // optional explicit output-column list before AS
         val cols: Seq[String] =
           if (i < stmt.length && stmt.charAt(i) == '(') {
@@ -223,9 +292,10 @@ object SqlDump {
     * or None for the bare positional form.
     */
   private[sources] def insertColumns(stmt: String): Option[Seq[String]] = {
-    val m = """(?is)^\s*INSERT\s+INTO\s+"?[\w.]+"?\s*\(([^)]*)\)\s*VALUES""".r
+    val m = ("""(?is)^\s*INSERT\s+INTO\s+""" + identPat +
+      """\s*\(([^)]*)\)\s*VALUES""").r
     m.findFirstMatchIn(stmt).map(_.group(1).split(',')
-      .map(_.trim.replaceAll("\"", "")).toSeq)
+      .map(c => unquoteIdent(c.trim)).toSeq)
   }
 
   // The VALUES keyword AFTER the table name (and optional column list) —
@@ -233,7 +303,8 @@ object SqlDump {
   // `tvalues` with an explicit column list from starting tuple parsing at
   // the column list and injecting a garbage row.
   private val valuesAnchor =
-    """(?is)^\s*INSERT\s+INTO\s+"?[\w.]+"?\s*(?:\([^)]*\)\s*)?VALUES""".r
+    ("""(?is)^\s*INSERT\s+INTO\s+""" + identPat +
+      """\s*(?:\([^)]*\)\s*)?VALUES""").r
 
   /** Parse the VALUES tuples of one INSERT statement into rows of
     * nullable strings. Handles `''`-escaped quotes inside literals, bare
@@ -387,8 +458,12 @@ object SqlDump {
     require(defs.nonEmpty, s"no CREATE TABLE statements found in '$path'")
 
     defs.map { td =>
-      val prefixes = Seq(s"INSERT INTO ${td.name} ", s"INSERT INTO ${td.name}(",
-        s"""INSERT INTO "${td.name}" """, s"""INSERT INTO "${td.name}"(""")
+      // any of the four quoting styles (the dump's INSERT quoting need not
+      // match its CREATE quoting), plus bare
+      val quotedForms = Seq(td.name, s""""${td.name}"""", s"'${td.name}'",
+        s"`${td.name}`", s"[${td.name}]")
+      val prefixes = quotedForms
+        .flatMap(q => Seq(s"INSERT INTO $q ", s"INSERT INTO $q("))
         .map(_.toUpperCase)
       val arity = td.cols.size
       val ddlOrder = td.cols.map(_.name)

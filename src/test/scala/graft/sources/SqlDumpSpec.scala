@@ -31,6 +31,37 @@ class SqlDumpSpec extends SparkSuite {
       Seq(("amt", "decimal(10,2)"), ("rate", "double"), ("note", "string")))
   }
 
+  test("parseDdl: all four SQLite identifier quoting styles, quoted constraint-keyword columns") {
+    // FTS shadow tables dump with SINGLE-quoted names ('docs_fts_data');
+    // MySQL-style backticks and MS-style brackets are accepted by SQLite
+    // and appear in migrated dumps. A QUOTED "primary" is a column named
+    // primary, not a PRIMARY KEY constraint line.
+    val defs = SqlDump.parseDdl(
+      """CREATE TABLE 'docs_fts_data' (id INTEGER, block BLOB);
+        |CREATE TABLE `metrics` (`when ts` text, [value] real, "primary" integer);
+        |CREATE TABLE [odd names] ("a""b" integer, 'c''d' text);""".stripMargin)
+    assert(defs.map(_.name) == Seq("docs_fts_data", "metrics", "odd names"))
+    assert(defs(0).cols.map(_.name) == Seq("id", "block"))
+    assert(defs(1).cols.map(_.name) == Seq("when ts", "value", "primary"))
+    assert(defs(1).schema.map(_.dataType.simpleString) ==
+      Seq("string", "double", "bigint"))
+    assert(defs(2).cols.map(_.name) == Seq("a\"b", "c'd"))
+  }
+
+  test("single-quoted / backtick / bracket INSERT table names parse end-to-end") {
+    val dir = java.nio.file.Files.createTempDirectory("graftsqlquote").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "q.sql"),
+      """CREATE TABLE 'tq' (a integer, b text);
+        |INSERT INTO 'tq' VALUES (1, 'x');
+        |INSERT INTO `tq` VALUES (2, 'y');
+        |INSERT INTO [tq] ("b", a) VALUES ('z', 3);
+        |INSERT INTO tq VALUES (4, 'w');""".stripMargin.getBytes)
+    val rows = SqlDump.open(spark, dir + "/q.sql")("tq").orderBy("a")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((1L, "x"), (2L, "y"), (3L, "z"), (4L, "w")))
+    SqlDump.release(dir + "/q.sql")
+  }
+
   test("parseValues: quotes, escaped quotes, NULL, multi-tuple statements") {
     val one = SqlDump.parseValues(
       "INSERT INTO t VALUES (1,'O''Brien, Jr. (x)',NULL,'2015-10-06 17:13:58');", 4)
