@@ -98,6 +98,16 @@ object SqliteFile {
     schema
   }
 
+  /** Names of every user table in the file, in sqlite_master order —
+    * schema-page listing only, no per-table validation or decoding (a
+    * virtual table IS listed here; it fails loud on read). Backs the
+    * `graft-sqlite` catalog's `SHOW TABLES`.
+    */
+  private[sources] def tableNames(path: String): Seq[String] = {
+    val db = new Reader(path)
+    try db.masterTables().map(_._1) finally db.close()
+  }
+
   private def openUnchecked(spark: SparkSession, path: String):
       Map[String, DataFrame] = {
     val db = new Reader(path)

@@ -99,6 +99,76 @@ class SqliteV2Spec extends SparkSuite {
       e.getMessage.contains("available"), e.getMessage)
   }
 
+  test("a .db file registers as a TableCatalog: SHOW NAMESPACES/TABLES, pure-SQL SELECT") {
+    spark.conf.set("spark.sql.catalog.forestdb",
+      classOf[graft.sources.sqlitev2.SqliteCatalog].getName)
+    spark.conf.set("spark.sql.catalog.forestdb.path",
+      res("forestation_subset.db"))
+    val ns = spark.sql("SHOW NAMESPACES IN forestdb")
+      .collect().map(_.getString(0)).toSeq
+    assert(ns == Seq("main"))
+    val opened = SqliteFile.open(spark, res("forestation_subset.db"))
+    val tabs = spark.sql("SHOW TABLES IN forestdb.main")
+      .collect().map(_.getString(1)).sorted.toSeq
+    assert(tabs == opened.keys.toSeq.sorted)
+    // pure SQL against the catalog-qualified name — no DataFrame API, no
+    // temp view — returns the same rows the driver-side open() decodes
+    val viaSql = spark.sql("SELECT * FROM forestdb.main.forest_area")
+    assert(viaSql.schema === opened("forest_area").schema)
+    assert(viaSql.exceptAll(opened("forest_area")).isEmpty &&
+      opened("forest_area").exceptAll(viaSql).isEmpty)
+  }
+
+  test("catalog SQL federates: .db JOIN parquet in one SQL statement") {
+    spark.conf.set("spark.sql.catalog.mixeddb",
+      classOf[graft.sources.sqlitev2.SqliteCatalog].getName)
+    spark.conf.set("spark.sql.catalog.mixeddb.path", res("sqlite_mixed.db"))
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .createOrReplaceTempView("docs_pq")
+    val j = spark.sql(
+      """SELECT d.id, count(*) AS n
+        |FROM mixeddb.main.docs d
+        |JOIN docs_pq p ON p.doc_id % 25 = d.id
+        |GROUP BY d.id ORDER BY d.id""".stripMargin)
+    assert(j.count() === 25L)
+    assert(j.agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0)
+      === spark.read.parquet(s"$sfDir/documents.parquet").count())
+    spark.catalog.dropTempView("docs_pq")
+  }
+
+  test("catalog: unknown table/namespace fail as analysis errors; DDL is read-only") {
+    spark.conf.set("spark.sql.catalog.forestdb2",
+      classOf[graft.sources.sqlitev2.SqliteCatalog].getName)
+    spark.conf.set("spark.sql.catalog.forestdb2.path",
+      res("forestation_subset.db"))
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT * FROM forestdb2.main.no_such").collect()
+    }
+    assert(e1.getMessage.contains("no_such"), e1.getMessage)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SHOW TABLES IN forestdb2.aux").collect()
+    }
+    val e3 = intercept[Exception] {
+      spark.sql("DROP TABLE forestdb2.main.regions")
+    }
+    assert(e3.getMessage.contains("read-only"), e3.getMessage)
+    val e4 = intercept[Exception] {
+      spark.sql("CREATE TABLE forestdb2.main.t2 (a INT)")
+    }
+    assert(e4.getMessage.contains("read-only"), e4.getMessage)
+  }
+
+  test("catalog without a path conf fails with the conf key in the message") {
+    spark.conf.set("spark.sql.catalog.nopath",
+      classOf[graft.sources.sqlitev2.SqliteCatalog].getName)
+    val e = intercept[Exception] {
+      spark.sql("SHOW TABLES IN nopath.main").collect()
+    }
+    assert(e.getMessage.contains("spark.sql.catalog.nopath.path") ||
+      Option(e.getCause).exists(_.getMessage.contains("spark.sql.catalog.nopath.path")),
+      e.getMessage)
+  }
+
   test("missing table option / missing path fail with actionable messages") {
     val e1 = intercept[IllegalArgumentException] {
       spark.read.format("graft-sqlite").load(res("forestation_subset.db"))
