@@ -623,6 +623,154 @@ object EventOps {
         |  max(p_ms) AS last_purchase_ms
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // -- STREAM-STREAM **LEFT** interval join under the gate: every error
+    //    emits — with its preceding-30-min purchases when any exist, with
+    //    NULL purchase columns otherwise. The outer side is the part the
+    //    inner join (q_stream_join) cannot exercise: a NULL row may only
+    //    emit once the watermark PROVES no qualifying purchase can still
+    //    arrive, and that happens one micro-batch after the watermark
+    //    passes the error's window. So the source is staged as three
+    //    mtime-ordered files under maxFilesPerTrigger=1 — the real events,
+    //    then two far-future sentinel rows of a type neither join side
+    //    keeps (the watermark sits on the SHARED source, before the
+    //    filters, so the sentinels advance it for both sides) — and the
+    //    final batch flushes every unmatched error. The sentinels are a
+    //    far-future error (user -2) AND purchase (user -1) pair per file:
+    //    they must survive each side's event_type filter, because Catalyst
+    //    pushes those filters through any shared watermark into the scan
+    //    where row-group stats would skip a sentinel-only file before the
+    //    watermark operator ever saw it (see errorsLeftPurchases' doc);
+    //    the reserved negative user ids can never join a real row and are
+    //    dropped after the sink. Hash-compared against DuckDB's batch
+    //    LEFT JOIN: matched pairs AND unmatched nulls both proven, so if
+    //    the engine dropped or duplicated outer rows the gate fails ------
+    ("q_stream_left_join",
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        val tmp = java.nio.file.Files.createTempDirectory("graft_stream_ljoin")
+        try {
+          val src = s"$tmp/src"
+          // ms-floored timestamps (the suite's interval-join convention)
+          val ev = t(s, d, "events")
+            .select(col("event_id"),
+              timestamp_millis(nsDiv("ts", NS_PER_MS)).as("ts"),
+              col("user_id"), col("event_type"), col("value"))
+          ev.coalesce(1).write.mode("append").parquet(src)
+          val maxMs = ev.agg(max(unix_millis(col("ts")))).head().getLong(0)
+          def parts(): Set[java.io.File] =
+            new java.io.File(src).listFiles()
+              .filter(_.getName.endsWith(".parquet")).toSet
+          def writeSentinel(tag: Long, offsetMs: Long): Unit =
+            Seq((tag, new java.sql.Timestamp(maxMs + offsetMs), -2L,
+                "error", 0.0),
+              (tag - 1L, new java.sql.Timestamp(maxMs + offsetMs), -1L,
+                "purchase", 0.0))
+              .toDF("event_id", "ts", "user_id", "event_type", "value")
+              .coalesce(1).write.mode("append").parquet(src)
+          // explicit mtimes sequence the batches: the file source orders
+          // by modification time, and a sentinel landing BEFORE the data
+          // would advance the watermark past it and drop it as late
+          val t0 = System.currentTimeMillis() - 600000L
+          val dataParts = parts()
+          dataParts.foreach(_.setLastModified(t0))
+          writeSentinel(-100L, 7200000L)
+          val s1 = parts() -- dataParts
+          s1.foreach(_.setLastModified(t0 + 60000L))
+          writeSentinel(-200L, 14400000L)
+          (parts() -- dataParts -- s1).foreach(_.setLastModified(t0 + 120000L))
+          val stream = s.readStream.schema(ev.schema)
+            .option("pathGlobFilter", "*.parquet")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+          val joined = graft.streaming.EventStream.errorsLeftPurchases(
+            stream, windowMinutes = 30)
+          val sink = "graft_stream_ljoin_out"
+          s.catalog.dropTempView(sink)
+          graft.streaming.EventStream.runToMemory(joined, sink,
+            org.apache.spark.sql.streaming.OutputMode.Append)
+          // memory sink owns the joined rows — aggregating after the
+          // finally-delete of src is safe
+          s.table(sink)
+            .filter(col("user_id") >= 0) // drop sentinel-key rows
+            .groupBy("user_id")
+            .agg(count(lit(1)).as("n_rows"),
+              countDistinct(col("event_id")).as("n_errors"),
+              count(col("p_ts")).as("n_matched"),
+              sum(when(col("p_ts").isNull, 1L).otherwise(0L))
+                .cast("long").as("n_unmatched"),
+              sum(cents(col("purchase_value"))).as("purchase_cents"),
+              max(expr("unix_micros(p_ts) div 1000L")).as("last_purchase_ms"))
+            .orderBy("user_id")
+        } finally {
+          deleteRecursively(tmp.toFile)
+        }
+      },
+      """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ms
+        |           FROM events WHERE event_type = 'error'),
+        |p AS (SELECT user_id, epoch_ms(ts) AS ms, value
+        |      FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT e.event_id, e.user_id, p.ms AS p_ms,
+        |        CAST(round(p.value * 100) AS BIGINT) AS cents
+        |      FROM e LEFT JOIN p ON e.user_id = p.user_id
+        |        AND p.ms <= e.ms AND p.ms >= e.ms - 30*60*1000)
+        |SELECT user_id, count(*) AS n_rows,
+        |  count(DISTINCT event_id) AS n_errors,
+        |  count(p_ms) AS n_matched,
+        |  CAST(sum(CASE WHEN p_ms IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched,
+        |  sum(cents) AS purchase_cents,
+        |  max(p_ms) AS last_purchase_ms
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // -- RATE-LIMITED BACKFILL under the gate: the whole events backlog
+    //    replayed through the file source with maxFilesPerTrigger=2 over
+    //    six staged files — AvailableNow honors the rate limit, so the
+    //    catch-up runs as >=3 bounded micro-batches instead of one giant
+    //    batch (the knob that keeps a 100 TB backfill's per-batch state,
+    //    shuffle, and checkpoint commit bounded while a live stream waits
+    //    behind it). The run REQUIRES the multi-batch split it claims
+    //    (recentProgress), and the Complete-mode aggregate must equal the
+    //    batch answer regardless of how the backlog was sliced — the
+    //    rate-limit-invariance contract, hash-proven --------------------
+    ("q_stream_backfill",
+      (s: SparkSession, d: String) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_stream_backfill")
+        try {
+          val src = s"$tmp/src"
+          val ev = t(s, d, "events")
+            .select(col("event_id"), col("user_id"), col("event_type"),
+              col("value"))
+          (0 until 6).foreach { i =>
+            ev.filter(pmod(col("event_id"), lit(6)) === i)
+              .coalesce(1).write.mode("append").parquet(src)
+          }
+          val stream = s.readStream.schema(ev.schema)
+            .option("pathGlobFilter", "*.parquet")
+            .option("maxFilesPerTrigger", "2")
+            .parquet(src)
+            .groupBy("event_type")
+            .agg(count(lit(1)).as("n"),
+              sum(col("user_id")).cast("long").as("uid_sum"),
+              dsum(col("value")).as("val_sum"),
+              max(col("event_id")).as("max_id"))
+          val sink = "graft_stream_backfill_out"
+          s.catalog.dropTempView(sink)
+          val q = graft.streaming.EventStream.runToMemory(stream, sink,
+            org.apache.spark.sql.streaming.OutputMode.Complete)
+          val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+          require(dataBatches >= 3,
+            s"rate-limited backfill should need >=3 micro-batches (6 files, " +
+              s"maxFilesPerTrigger=2); observed $dataBatches")
+          s.table(sink).orderBy("event_type")
+        } finally {
+          deleteRecursively(tmp.toFile)
+        }
+      },
+      s"""SELECT event_type, count(*) AS n,
+        |  CAST(sum(user_id) AS BIGINT) AS uid_sum,
+        |  ${sqlDsum("value")} AS val_sum,
+        |  max(event_id) AS max_id
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // -- Spark's NATIVE session_window operator under the gate: per-user
     //    30-min-gap sessions via the built-in (merging-session aggregate,
     //    the streaming-capable operator) — hash-compared against the

@@ -130,6 +130,51 @@ object EventStream {
         col("e_ts"), col("p_ts"), col("purchase_value"))
   }
 
+  /** LEFT-outer stream-stream interval join: every error event emits —
+    * joined to the same user's purchases in the preceding `windowMinutes`
+    * when any exist, with NULL purchase columns otherwise. The outer side
+    * makes watermarking load-bearing in a way the inner join's isn't:
+    * an unmatched error can only be declared unmatched (and its NULL row
+    * emitted) once the watermark proves no qualifying purchase can still
+    * arrive, so null rows surface one micro-batch AFTER the watermark
+    * passes their window — callers replaying a finite backlog must ensure
+    * the watermark advances past the data and at least one further batch
+    * runs (a later-timestamped sentinel file under maxFilesPerTrigger
+    * does it; see q_stream_left_join).
+    *
+    * Sentinels must SURVIVE THE FILTERS — one per side. Placing one
+    * watermark on the shared source above the filters does NOT let a
+    * neither-type sentinel advance it: Catalyst pushes the event_type
+    * predicates through the EventTimeWatermark node into the parquet
+    * scan, where row-group min/max stats skip a sentinel-only file
+    * outright, so the watermark operator never sees the row (measured:
+    * the sentinel batch reports numInputRows=0 and a null event-time
+    * max). The watermark can only be driven by rows each side KEEPS, so
+    * replay harnesses append a sentinel 'error' and a sentinel
+    * 'purchase' under reserved keys that can never join, and drop those
+    * keys after the sink.
+    *
+    * State scale: both sides evict by the interval bound + delay, so
+    * state is O(events in the watermark horizon), independent of stream
+    * length — same as the inner form.
+    */
+  def errorsLeftPurchases(events: DataFrame, windowMinutes: Int = 30): DataFrame = {
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id").as("e_user"), col("ts").as("e_ts"))
+      .withWatermark("e_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("value").as("purchase_value"))
+      .withWatermark("p_ts", "1 hour")
+    errors.join(purchases,
+      col("e_user") === col("p_user") &&
+        col("p_ts") <= col("e_ts") &&
+        col("p_ts") >= col("e_ts") - expr(s"INTERVAL $windowMinutes MINUTES"),
+      "left_outer")
+      .select(col("event_id"), col("e_user").as("user_id"),
+        col("e_ts"), col("p_ts"), col("purchase_value"))
+  }
+
   /** Incremental HLL sketch store: every micro-batch appends its own
     * per-(hour, event_type) user sketch rows to `storePath` — "sketches as
     * incremental state". No streaming aggregation state or watermark is
