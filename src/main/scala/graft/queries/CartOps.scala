@@ -57,25 +57,43 @@ object CartOps {
       |    CAST(length(text) - length(replace(text, 'e', '')) AS BIGINT) AS f_e,
       |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS f_words
       |  FROM documents),
-      |lab AS (
+      |lab AS MATERIALIZED (
       |  SELECT doc_id, f_a, f_chars, f_e, f_words,
       |    CAST(CASE WHEN (f_chars > 310 AND f_e > 30) <> (doc_id % 13 = 0)
       |         THEN 1 ELSE 0 END AS BIGINT) AS y
       |  FROM f0)""".stripMargin
 
-  /** The two-level training unroll, CTE names suffixed `$x` so a forest
-    * oracle can instantiate one copy per bag: train split, melt, bin
-    * widths, prefix-sum split scoring, deterministic argmin, strict-
-    * improvement gates, and final leaf stats.
+  /** UNION-ALL melt of `alias` over the feature columns `fs`:
+    * (`key`, f, v, y) — one arm per feature.
     */
-  private def trainCtes(x: String, trainWhere: String): String =
+  private def melt(fs: Seq[String], key: String, alias: String): String =
+    fs.map(f => s"SELECT $key, '$f' AS f, $f AS v, y FROM $alias")
+      .mkString(" UNION ALL\n  ")
+
+  /** `CASE b.f ... END` dereferencing row-alias `p`'s copy of the chosen
+    * split feature.
+    */
+  private def fcase(fs: Seq[String], p: String): String =
+    "(CASE b.f " + fs.init.map(f => s"WHEN '$f' THEN $p.$f").mkString(" ") +
+      s" ELSE $p.${fs.last} END)"
+
+  /** The two-level training unroll, CTE names suffixed `$x` so a forest
+    * oracle can instantiate one copy per bag — and parameterized over the
+    * feature list and source relation so the STACKED meta-tree trains the
+    * same way on OOB predictions: train split, melt, bin widths,
+    * prefix-sum split scoring, deterministic argmin, strict-improvement
+    * gates, and final leaf stats. Multiply-referenced CTEs are
+    * MATERIALIZED: without it DuckDB re-inlines each reference, and the
+    * stacked oracle's meta level (which references three whole base-tree
+    * DAGs) blows up exponentially — >6 min where the materialized form
+    * runs in seconds.
+    */
+  private def trainCtes(x: String, trainWhere: String,
+      fs: Seq[String] = features, src: String = "lab"): String =
     s""",
-      |tr$x AS (SELECT * FROM lab WHERE $trainWhere),
-      |m1$x AS (
-      |  SELECT doc_id, 'f_a' AS f, f_a AS v, y FROM tr$x UNION ALL
-      |  SELECT doc_id, 'f_chars', f_chars, y FROM tr$x UNION ALL
-      |  SELECT doc_id, 'f_e', f_e, y FROM tr$x UNION ALL
-      |  SELECT doc_id, 'f_words', f_words, y FROM tr$x),
+      |tr$x AS MATERIALIZED (SELECT * FROM $src WHERE $trainWhere),
+      |m1$x AS MATERIALIZED (
+      |  ${melt(fs, "doc_id", s"tr$x")}),
       |wd$x AS (SELECT f, CAST(min(v) AS BIGINT) AS mn,
       |         CAST(greatest(1, (max(v) - min(v) + 32) // 32) AS BIGINT) AS w
       |       FROM m1$x GROUP BY 1),
@@ -94,18 +112,14 @@ object CartOps {
       |       FROM s1$x WHERE cn < tn),
       |b1$x AS (SELECT f, vb, e, tn, tp FROM e1$x
       |       QUALIFY row_number() OVER (ORDER BY e, f, vb) = 1),
-      |b1ok$x AS (SELECT * FROM b1$x WHERE e < tn - greatest(tp, tn - tp)),
-      |a2$x AS (
+      |b1ok$x AS MATERIALIZED (SELECT * FROM b1$x WHERE e < tn - greatest(tp, tn - tp)),
+      |a2$x AS MATERIALIZED (
       |  SELECT t.*, CAST(CASE WHEN b.f IS NULL THEN 1
-      |    WHEN (CASE b.f WHEN 'f_a' THEN t.f_a WHEN 'f_chars' THEN t.f_chars
-      |          WHEN 'f_e' THEN t.f_e ELSE t.f_words END) <= b.vb THEN 2
+      |    WHEN ${fcase(fs, "t")} <= b.vb THEN 2
       |    ELSE 3 END AS BIGINT) AS node
       |  FROM tr$x t LEFT JOIN b1ok$x b ON true),
-      |m2$x AS (
-      |  SELECT node, 'f_a' AS f, f_a AS v, y FROM a2$x UNION ALL
-      |  SELECT node, 'f_chars', f_chars, y FROM a2$x UNION ALL
-      |  SELECT node, 'f_e', f_e, y FROM a2$x UNION ALL
-      |  SELECT node, 'f_words', f_words, y FROM a2$x),
+      |m2$x AS MATERIALIZED (
+      |  ${melt(fs, "node", s"a2$x")}),
       |c2$x AS (SELECT node, m2$x.f, mn + ((v - mn) // w) * w + (w - 1) AS vb,
       |         CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos
       |       FROM m2$x JOIN wd$x USING (f) GROUP BY 1, 2, 3),
@@ -121,39 +135,39 @@ object CartOps {
       |       FROM s2$x WHERE cn < tn),
       |b2$x AS (SELECT node, f, vb, e, tn, tp FROM e2$x
       |       QUALIFY row_number() OVER (PARTITION BY node ORDER BY e, f, vb) = 1),
-      |b2ok$x AS (SELECT * FROM b2$x
+      |b2ok$x AS MATERIALIZED (SELECT * FROM b2$x
       |         WHERE node <> 1 AND e < tn - greatest(tp, tn - tp)),
       |a3$x AS (
-      |  SELECT a2$x.y, CAST(CASE WHEN b.node IS NULL THEN a2$x.node
-      |    WHEN (CASE b.f WHEN 'f_a' THEN a2$x.f_a WHEN 'f_chars' THEN a2$x.f_chars
-      |          WHEN 'f_e' THEN a2$x.f_e ELSE a2$x.f_words END) <= b.vb
-      |    THEN 2 * a2$x.node ELSE 2 * a2$x.node + 1 END AS BIGINT) AS leaf
-      |  FROM a2$x LEFT JOIN b2ok$x b ON b.node = a2$x.node),
-      |leaves$x AS (SELECT leaf AS node, CAST(count(*) AS BIGINT) AS tn,
+      |  SELECT a.y, CAST(CASE WHEN b.node IS NULL THEN a.node
+      |    WHEN ${fcase(fs, "a")} <= b.vb
+      |    THEN 2 * a.node ELSE 2 * a.node + 1 END AS BIGINT) AS leaf
+      |  FROM a2$x a LEFT JOIN b2ok$x b ON b.node = a.node),
+      |leaves$x AS MATERIALIZED (SELECT leaf AS node, CAST(count(*) AS BIGINT) AS tn,
       |             CAST(sum(y) AS BIGINT) AS tp
       |           FROM a3$x GROUP BY 1)""".stripMargin
 
-  /** Route the shared `te` split through tree `$x`: final leaf + its
-    * majority prediction as `pred$x` keyed by doc_id.
+  /** Route relation `src` (doc_id-keyed, carrying `fs` and y) through
+    * tree `$x`: emits CTE `$out` = (doc_id, y, p) with the reached leaf's
+    * majority prediction. `out` names the emitted CTEs so one tree can
+    * route several relations (test split, OOB bag) without collisions.
     */
-  private def routeCtes(x: String): String =
+  private def routeCtes(x: String, out: String, src: String = "te",
+      fs: Seq[String] = features): String =
     s""",
-      |t2$x AS (
+      |${out}_a AS (
       |  SELECT t.*, CAST(CASE WHEN b.f IS NULL THEN 1
-      |    WHEN (CASE b.f WHEN 'f_a' THEN t.f_a WHEN 'f_chars' THEN t.f_chars
-      |          WHEN 'f_e' THEN t.f_e ELSE t.f_words END) <= b.vb THEN 2
+      |    WHEN ${fcase(fs, "t")} <= b.vb THEN 2
       |    ELSE 3 END AS BIGINT) AS node
-      |  FROM te t LEFT JOIN b1ok$x b ON true),
-      |t3$x AS (
-      |  SELECT t2$x.doc_id, t2$x.y, CAST(CASE WHEN b.node IS NULL THEN t2$x.node
-      |    WHEN (CASE b.f WHEN 'f_a' THEN t2$x.f_a WHEN 'f_chars' THEN t2$x.f_chars
-      |          WHEN 'f_e' THEN t2$x.f_e ELSE t2$x.f_words END) <= b.vb
-      |    THEN 2 * t2$x.node ELSE 2 * t2$x.node + 1 END AS BIGINT) AS leaf
-      |  FROM t2$x LEFT JOIN b2ok$x b ON b.node = t2$x.node),
-      |pred$x AS (
-      |  SELECT t3$x.doc_id, t3$x.y,
+      |  FROM $src t LEFT JOIN b1ok$x b ON true),
+      |${out}_b AS (
+      |  SELECT a.doc_id, a.y, CAST(CASE WHEN b.node IS NULL THEN a.node
+      |    WHEN ${fcase(fs, "a")} <= b.vb
+      |    THEN 2 * a.node ELSE 2 * a.node + 1 END AS BIGINT) AS leaf
+      |  FROM ${out}_a a LEFT JOIN b2ok$x b ON b.node = a.node),
+      |$out AS MATERIALIZED (
+      |  SELECT b.doc_id, b.y,
       |    CAST(CASE WHEN 2 * l.tp > l.tn THEN 1 ELSE 0 END AS BIGINT) AS p
-      |  FROM t3$x JOIN leaves$x l ON l.node = t3$x.leaf)""".stripMargin
+      |  FROM ${out}_b b JOIN leaves$x l ON l.node = b.leaf)""".stripMargin
 
   private val oraclePrelude =
     featureCtes + trainCtes("", "doc_id % 2 = 0")
@@ -243,12 +257,93 @@ object CartOps {
         (0 until 3).map(b => trainCtes(s"_$b",
           "doc_id % 2 = 0 AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), " +
             s"1, 15))::BIGINT % 3 <> $b")).mkString +
-        ",\nte AS (SELECT * FROM lab WHERE doc_id % 2 = 1)" +
-        (0 until 3).map(b => routeCtes(s"_$b")).mkString +
+        ",\nte AS MATERIALIZED (SELECT * FROM lab WHERE doc_id % 2 = 1)" +
+        (0 until 3).map(b => routeCtes(s"_$b", s"pred_$b")).mkString +
         """
           |SELECT p0.y AS y,
           |  CAST(CASE WHEN p0.p + p1.p + p2.p >= 2 THEN 1 ELSE 0 END AS BIGINT) AS pred,
           |  CAST(count(*) AS BIGINT) AS n
           |FROM pred_0 p0 JOIN pred_1 p1 USING (doc_id) JOIN pred_2 p2 USING (doc_id)
-          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    // -- STACKED CART (the sixth trained model): a depth-2 meta-tree
+    //    learns when to trust the bagged forest. Base layer = the three
+    //    subbagged trees above; the meta-feature p_base for each TRAINING
+    //    row is its OUT-OF-BAG prediction — with md5(doc_id) mod 3 bags
+    //    every training row is out-of-bag for exactly one tree, so the
+    //    meta-feature is leak-free without a second holdout (a gradient-
+    //    boosted variant would need RATIONAL instance weights and lose
+    //    integer-exactness; stacking keeps every split objective BIGINT).
+    //    Meta-tree trains on (f_chars, f_e, p_base); at inference p_base
+    //    is the forest's 2-of-3 vote. The oracle instantiates the training
+    //    unroll FOUR times (three bags + the meta level over the OOB
+    //    relation), routes the held-out split through base trees and
+    //    meta-tree alike, and the gate hash-compares the (y, p_base,
+    //    pred) confusion cube — base votes AND meta corrections both
+    //    proven. Same scale shape as the forest: per-level bounded-count
+    //    shuffles for training, stacked when-chains (zero shuffle) for
+    //    inference -------------------------------------------------------
+    ("q_stacked_classify",
+      (s: SparkSession, d: String) => {
+        val feats = featured(s, d)
+        val bag = pmod(expr(
+          "conv(substr(md5(cast(doc_id as string)), 1, 15), 16, 10)")
+          .cast("long"), lit(3))
+        val trainAll = feats.filter(pmod(col("doc_id"), lit(2)) === 0)
+        val trees = (0 until 3).map { b =>
+          graft.ops.Cart.train(trainAll.filter(bag =!= b), features, "y",
+            depth = 2, maxBins = 32)
+        }
+        // OOB meta-feature: route each training row through the ONE tree
+        // whose bag excluded it
+        val withBag = trainAll.withColumn("__bag", bag)
+        val oob = (0 until 3).map(b =>
+            graft.ops.Cart.classify(withBag.filter(col("__bag") === b),
+              trees(b)).withColumnRenamed("pred", "p_base"))
+          .reduce(_.unionByName(_))
+        val metaFeatures = Seq("f_chars", "f_e", "p_base")
+        val meta = graft.ops.Cart.train(oob, metaFeatures, "y",
+          depth = 2, maxBins = 32)
+        // inference: forest vote feeds the meta-tree's p_base input
+        val test = feats.filter(pmod(col("doc_id"), lit(2)) === 1)
+        val voted = trees.zipWithIndex.foldLeft(test) { case (df, (tr, i)) =>
+            graft.ops.Cart.classify(df, tr).withColumnRenamed("pred", s"__p$i")
+          }
+          .withColumn("p_base",
+            (col("__p0") + col("__p1") + col("__p2") >= 2).cast("long"))
+        graft.ops.Cart.classify(voted, meta)
+          .groupBy("y", "p_base", "pred").agg(count(lit(1)).as("n"))
+          .orderBy("y", "p_base", "pred")
+      },
+      featureCtes +
+        (0 until 3).map(b => trainCtes(s"_$b",
+          "doc_id % 2 = 0 AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), " +
+            s"1, 15))::BIGINT % 3 <> $b")).mkString +
+        ",\nte AS MATERIALIZED (SELECT * FROM lab WHERE doc_id % 2 = 1)" +
+        (0 until 3).map(b => routeCtes(s"_$b", s"pred_$b")).mkString +
+        (0 until 3).map(b =>
+          s""",
+            |trb_$b AS (SELECT * FROM lab WHERE doc_id % 2 = 0
+            |  AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 3 = $b)""".stripMargin +
+            routeCtes(s"_$b", s"oobp_$b", s"trb_$b")).mkString +
+        """,
+          |oobsrc AS MATERIALIZED (
+          |  SELECT l.doc_id, l.f_chars, l.f_e, p.p AS p_base, l.y
+          |  FROM lab l JOIN (SELECT * FROM oobp_0 UNION ALL
+          |                   SELECT * FROM oobp_1 UNION ALL
+          |                   SELECT * FROM oobp_2) p USING (doc_id))""".stripMargin +
+        trainCtes("_m", "true", Seq("f_chars", "f_e", "p_base"), "oobsrc") +
+        """,
+          |te_m AS MATERIALIZED (
+          |  SELECT te.doc_id, te.y, te.f_chars, te.f_e,
+          |    CAST(CASE WHEN p0.p + p1.p + p2.p >= 2 THEN 1 ELSE 0 END AS BIGINT) AS p_base
+          |  FROM te JOIN pred_0 p0 USING (doc_id)
+          |          JOIN pred_1 p1 USING (doc_id)
+          |          JOIN pred_2 p2 USING (doc_id))""".stripMargin +
+        routeCtes("_m", "pred_m", "te_m", Seq("f_chars", "f_e", "p_base")) +
+        """
+          |SELECT pm.y AS y, tm.p_base AS p_base, pm.p AS pred,
+          |  CAST(count(*) AS BIGINT) AS n
+          |FROM pred_m pm JOIN te_m tm USING (doc_id)
+          |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin))
 }
