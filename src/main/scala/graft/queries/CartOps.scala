@@ -48,6 +48,42 @@ object CartOps {
       featured(s, d).filter(pmod(col("doc_id"), lit(2)) === 0),
       features, "y", depth = 2, maxBins = 32)
 
+  /** md5(doc_id) mod-3 bag id — the house hex→int convention, Spark side. */
+  private def bagCol = pmod(expr(
+    "conv(substr(md5(cast(doc_id as string)), 1, 15), 16, 10)")
+    .cast("long"), lit(3))
+
+  /** The SAME bag id in DuckDB SQL, compared to bag `b` with `op` — the
+    * single source for every oracle bag predicate so tr (op "<>") and its
+    * OOB complement trb (op "=") cannot drift apart.
+    */
+  private def bagSql(b: Int, op: String): String =
+    "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 3 " +
+      s"$op $b"
+
+  /** The forest's base layer: three depth-2 trees, tree b trained on the
+    * even-doc_id rows OUTSIDE bag b. Shared by q_forest_classify and
+    * q_stacked_classify so "base layer = the trees above" is enforced in
+    * code, not just documented.
+    */
+  private def baseTrees(trainAll: DataFrame): Seq[Seq[graft.ops.Cart.TreeNode]] =
+    (0 until 3).map { b =>
+      graft.ops.Cart.train(trainAll.filter(bagCol =!= b), features, "y",
+        depth = 2, maxBins = 32)
+    }
+
+  /** Route `test` through all three trees and add the 2-of-3 majority vote
+    * as column `voteAs`.
+    */
+  private def forestVote(test: DataFrame,
+      trees: Seq[Seq[graft.ops.Cart.TreeNode]], voteAs: String): DataFrame =
+    trees.zipWithIndex.foldLeft(test) { case (df, (tr, i)) =>
+        graft.ops.Cart.classify(df, tr).withColumnRenamed("pred", s"__p$i")
+      }
+      .withColumn(voteAs,
+        (col("__p0") + col("__p1") + col("__p2") >= 2).cast("long"))
+      .drop("__p0", "__p1", "__p2")
+
   /** The shared feature/label CTEs every cart/forest oracle starts with. */
   private val featureCtes =
     """WITH f0 AS (
@@ -73,9 +109,13 @@ object CartOps {
   /** `CASE b.f ... END` dereferencing row-alias `p`'s copy of the chosen
     * split feature.
     */
-  private def fcase(fs: Seq[String], p: String): String =
+  private def fcase(fs: Seq[String], p: String): String = {
+    require(fs.size >= 2,
+      s"fcase needs >= 2 features (got $fs): a single feature would emit " +
+        "'CASE b.f ELSE ... END' with no WHEN arm")
     "(CASE b.f " + fs.init.map(f => s"WHEN '$f' THEN $p.$f").mkString(" ") +
       s" ELSE $p.${fs.last} END)"
+  }
 
   /** The two-level training unroll, CTE names suffixed `$x` so a forest
     * oracle can instantiate one copy per bag — and parameterized over the
@@ -203,26 +243,11 @@ object CartOps {
           .groupBy("y", "pred").agg(count(lit(1)).as("n"))
           .orderBy("y", "pred"),
       oraclePrelude +
-        """,
-          |te AS (SELECT * FROM lab WHERE doc_id % 2 = 1),
-          |t2 AS (
-          |  SELECT t.*, CAST(CASE WHEN b.f IS NULL THEN 1
-          |    WHEN (CASE b.f WHEN 'f_a' THEN t.f_a WHEN 'f_chars' THEN t.f_chars
-          |          WHEN 'f_e' THEN t.f_e ELSE t.f_words END) <= b.vb THEN 2
-          |    ELSE 3 END AS BIGINT) AS node
-          |  FROM te t LEFT JOIN b1ok b ON true),
-          |t3 AS (
-          |  SELECT t2.y, CAST(CASE WHEN b.node IS NULL THEN t2.node
-          |    WHEN (CASE b.f WHEN 'f_a' THEN t2.f_a WHEN 'f_chars' THEN t2.f_chars
-          |          WHEN 'f_e' THEN t2.f_e ELSE t2.f_words END) <= b.vb
-          |    THEN 2 * t2.node ELSE 2 * t2.node + 1 END AS BIGINT) AS leaf
-          |  FROM t2 LEFT JOIN b2ok b ON b.node = t2.node),
-          |pr AS (SELECT node,
-          |         CAST(CASE WHEN 2 * tp > tn THEN 1 ELSE 0 END AS BIGINT) AS pred
-          |       FROM leaves)
-          |SELECT y, pred, CAST(count(*) AS BIGINT) AS n
-          |FROM t3 JOIN pr ON pr.node = t3.leaf
-          |GROUP BY 1, 2 ORDER BY y, pred""".stripMargin),
+        ",\nte AS MATERIALIZED (SELECT * FROM lab WHERE doc_id % 2 = 1)" +
+        routeCtes("", "predc") +
+        """
+          |SELECT y, p AS pred, CAST(count(*) AS BIGINT) AS n
+          |FROM predc GROUP BY 1, 2 ORDER BY y, pred""".stripMargin),
 
     // -- BAGGED FOREST under the gate: three depth-2 trees, each trained
     //    on a content-addressed 2/3 subbag (md5(doc_id) mod 3 — the house
@@ -236,27 +261,15 @@ object CartOps {
     ("q_forest_classify",
       (s: SparkSession, d: String) => {
         val feats = featured(s, d)
-        val bag = pmod(expr(
-          "conv(substr(md5(cast(doc_id as string)), 1, 15), 16, 10)")
-          .cast("long"), lit(3))
-        val trainAll = feats.filter(pmod(col("doc_id"), lit(2)) === 0)
-        val trees = (0 until 3).map { b =>
-          graft.ops.Cart.train(trainAll.filter(bag =!= b), features, "y",
-            depth = 2, maxBins = 32)
-        }
+        val trees = baseTrees(feats.filter(pmod(col("doc_id"), lit(2)) === 0))
         val test = feats.filter(pmod(col("doc_id"), lit(2)) === 1)
-        trees.zipWithIndex.foldLeft(test) { case (df, (tr, i)) =>
-            graft.ops.Cart.classify(df, tr).withColumnRenamed("pred", s"__p$i")
-          }
-          .withColumn("pred",
-            (col("__p0") + col("__p1") + col("__p2") >= 2).cast("long"))
+        forestVote(test, trees, "pred")
           .groupBy("y", "pred").agg(count(lit(1)).as("n"))
           .orderBy("y", "pred")
       },
       featureCtes +
         (0 until 3).map(b => trainCtes(s"_$b",
-          "doc_id % 2 = 0 AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), " +
-            s"1, 15))::BIGINT % 3 <> $b")).mkString +
+          s"doc_id % 2 = 0 AND ${bagSql(b, "<>")}")).mkString +
         ",\nte AS MATERIALIZED (SELECT * FROM lab WHERE doc_id % 2 = 1)" +
         (0 until 3).map(b => routeCtes(s"_$b", s"pred_$b")).mkString +
         """
@@ -286,17 +299,11 @@ object CartOps {
     ("q_stacked_classify",
       (s: SparkSession, d: String) => {
         val feats = featured(s, d)
-        val bag = pmod(expr(
-          "conv(substr(md5(cast(doc_id as string)), 1, 15), 16, 10)")
-          .cast("long"), lit(3))
         val trainAll = feats.filter(pmod(col("doc_id"), lit(2)) === 0)
-        val trees = (0 until 3).map { b =>
-          graft.ops.Cart.train(trainAll.filter(bag =!= b), features, "y",
-            depth = 2, maxBins = 32)
-        }
+        val trees = baseTrees(trainAll)
         // OOB meta-feature: route each training row through the ONE tree
         // whose bag excluded it
-        val withBag = trainAll.withColumn("__bag", bag)
+        val withBag = trainAll.withColumn("__bag", bagCol)
         val oob = (0 until 3).map(b =>
             graft.ops.Cart.classify(withBag.filter(col("__bag") === b),
               trees(b)).withColumnRenamed("pred", "p_base"))
@@ -306,25 +313,20 @@ object CartOps {
           depth = 2, maxBins = 32)
         // inference: forest vote feeds the meta-tree's p_base input
         val test = feats.filter(pmod(col("doc_id"), lit(2)) === 1)
-        val voted = trees.zipWithIndex.foldLeft(test) { case (df, (tr, i)) =>
-            graft.ops.Cart.classify(df, tr).withColumnRenamed("pred", s"__p$i")
-          }
-          .withColumn("p_base",
-            (col("__p0") + col("__p1") + col("__p2") >= 2).cast("long"))
+        val voted = forestVote(test, trees, "p_base")
         graft.ops.Cart.classify(voted, meta)
           .groupBy("y", "p_base", "pred").agg(count(lit(1)).as("n"))
           .orderBy("y", "p_base", "pred")
       },
       featureCtes +
         (0 until 3).map(b => trainCtes(s"_$b",
-          "doc_id % 2 = 0 AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), " +
-            s"1, 15))::BIGINT % 3 <> $b")).mkString +
+          s"doc_id % 2 = 0 AND ${bagSql(b, "<>")}")).mkString +
         ",\nte AS MATERIALIZED (SELECT * FROM lab WHERE doc_id % 2 = 1)" +
         (0 until 3).map(b => routeCtes(s"_$b", s"pred_$b")).mkString +
         (0 until 3).map(b =>
           s""",
             |trb_$b AS (SELECT * FROM lab WHERE doc_id % 2 = 0
-            |  AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 3 = $b)""".stripMargin +
+            |  AND ${bagSql(b, "=")})""".stripMargin +
             routeCtes(s"_$b", s"oobp_$b", s"trb_$b")).mkString +
         """,
           |oobsrc AS MATERIALIZED (
