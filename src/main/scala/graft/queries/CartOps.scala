@@ -347,5 +347,40 @@ object CartOps {
           |SELECT pm.y AS y, tm.p_base AS p_base, pm.p AS pred,
           |  CAST(count(*) AS BIGINT) AS n
           |FROM pred_m pm JOIN te_m tm USING (doc_id)
+          |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin),
+
+    // -- K-FOLD CROSS-VALIDATION (k=3) under the gate: the model-selection
+    //    harness itself, not another model. Folds are the md5 mod-3 bags
+    //    over the WHOLE corpus; fold f's tree trains on the other two
+    //    folds and classifies fold f, and the gate hash-compares the
+    //    per-fold confusion matrices — so fold assignment, three
+    //    trainings, and three routings are all proven at once. At scale
+    //    each fold's training is the same bounded-shuffle shape as
+    //    q_cart_train (≤ nodes×features×bins count rows per level) and
+    //    the k passes are independent jobs over the same cached frame ----
+    ("q_cart_cv",
+      (s: SparkSession, d: String) => {
+        val withFold = featured(s, d).withColumn("__fold", bagCol)
+        (0 until 3).map { f =>
+            val tree = graft.ops.Cart.train(
+              withFold.filter(col("__fold") =!= f), features, "y",
+              depth = 2, maxBins = 32)
+            graft.ops.Cart.classify(withFold.filter(col("__fold") === f), tree)
+              .withColumn("fold", lit(f.toLong))
+          }
+          .reduce(_.unionByName(_))
+          .groupBy("fold", "y", "pred").agg(count(lit(1)).as("n"))
+          .orderBy("fold", "y", "pred")
+      },
+      featureCtes +
+        (0 until 3).map(f => trainCtes(s"_$f", bagSql(f, "<>"))).mkString +
+        (0 until 3).map(f =>
+          s",\nfold_$f AS (SELECT * FROM lab WHERE ${bagSql(f, "=")})" +
+            routeCtes(s"_$f", s"cvp_$f", s"fold_$f")).mkString +
+        """
+          |SELECT fold, y, pred, CAST(count(*) AS BIGINT) AS n FROM (
+          |  SELECT CAST(0 AS BIGINT) AS fold, y, p AS pred FROM cvp_0
+          |  UNION ALL SELECT 1, y, p FROM cvp_1
+          |  UNION ALL SELECT 2, y, p FROM cvp_2)
           |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin))
 }
