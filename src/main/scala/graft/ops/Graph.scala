@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Graph centrality over an edge list — the link-graph quality signal of
@@ -137,5 +137,102 @@ object Graph {
         .localCheckpoint(true)
     }
     labels.select(col("node"), col("lbl").as("label"))
+  }
+
+  /** Per-node triangle counts by degree orientation (the standard
+    * bounded-fanout trick: Schank & Wagner 2005 forward/compact-forward;
+    * also the MPC formulation of Suri & Vassilvitskii 2011). Edges are
+    * first collapsed to canonical undirected simple form (self-loops
+    * dropped, duplicates and reversals merged), then each edge is
+    * oriented from its lower-(degree, id) endpoint to the higher; every
+    * triangle {p,q,r} with rank p<q<r is then found exactly once, as the
+    * wedge (p→q, p→r) closed by the oriented edge q→r.
+    *
+    * Why this survives 100×: a naive neighbor-pair join explodes on hub
+    * nodes (a degree-10^6 page contributes 10^12 wedges). Orientation
+    * caps every node's OUT-degree at O(√|E|) regardless of its true
+    * degree — hubs sit on the receiving end of their edges — so the wedge
+    * join generates at most |E|^1.5 candidates in the worst case and far
+    * fewer on real graphs. All three joins are plain equi-joins on node
+    * ids (hash-partitionable, AQE-splittable); nothing is quadratic in a
+    * single key's neighborhood.
+    *
+    * Returns (node, triangles) for nodes in >= 1 triangle. Integer
+    * counts — SQL-replayable exactly.
+    */
+  def triangles(edges0: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    // canonical undirected simple edges; materialized — read three times
+    val und = edges0.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("a"),
+        greatest(col("u"), col("v")).as("b"))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = und.select(col("a").as("node"))
+      .union(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val withDeg = und
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
+    // total order: rank(n) = (deg(n), n); ids are distinct so no ties
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = withDeg.select(
+        when(aFirst, col("a")).otherwise(col("b")).as("src"),
+        when(aFirst, col("b")).otherwise(col("a")).as("dst"),
+        when(aFirst, col("db")).otherwise(col("da")).as("ddst"))
+      .localCheckpoint(true)
+    val e1 = oriented.select(col("src").as("x"), col("dst").as("y"),
+      col("ddst").as("dy"))
+    val e2 = oriented.select(col("src").as("x2"), col("dst").as("z"),
+      col("ddst").as("dz"))
+    val wedges = e1.join(e2, col("x") === col("x2") &&
+      (col("dy") < col("dz") || (col("dy") === col("dz") && col("y") < col("z"))))
+    val closing = oriented.select(col("src").as("cy"), col("dst").as("cz"))
+    val tris = wedges
+      .join(closing, col("y") === col("cy") && col("z") === col("cz"))
+      .select(col("x"), col("y"), col("z"))
+    tris.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+  }
+
+  /** Single-source BFS hop distances over the symmetrized edge set,
+    * bounded at `iters` rounds (unreached nodes are absent). Frontier
+    * style: round i expands only the nodes first reached at distance
+    * i-1, an anti-join drops already-seen nodes, and the accumulated
+    * (node, dist) frame is localCheckpoint'd per round so lineage never
+    * nests. Per round: one equi-join of the frontier to edges + one
+    * distinct + one anti-join — all O(frontier-adjacent edges), the
+    * textbook distributed-BFS shape (each round touches each edge at
+    * most once, total O(iters·|E|) worst case). Integer distances with a
+    * fixed round count — exactly SQL-replayable as unrolled CTEs.
+    */
+  def bfsLevels(edges0: DataFrame, srcCol: String, dstCol: String,
+      source: Column, iters: Int = 4): DataFrame = {
+    require(iters >= 1, "bfsLevels: iters must be >= 1")
+    val edges = edges0
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint(true)
+    val sym = edges
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    var dist = nodes.filter(col("node") === source)
+      .select(col("node"), lit(0L).as("dist"))
+      .localCheckpoint(true)
+    for (i <- 1 to iters) {
+      val frontier = dist.filter(col("dist") === lit(i - 1L))
+        .select(col("node").as("fn"))
+      val reached = sym.join(frontier, col("src") === col("fn"))
+        .select(col("dst").as("node")).distinct()
+      val fresh = reached
+        .join(dist.select(col("node").as("seen")),
+          col("node") === col("seen"), "left_anti")
+        .select(col("node"), lit(i.toLong).as("dist"))
+      dist = dist.union(fresh).localCheckpoint(true)
+    }
+    dist
   }
 }

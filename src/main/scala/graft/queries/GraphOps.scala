@@ -20,6 +20,28 @@ object GraphOps {
 
   private val Iters = 3
 
+  /** The click graph every entry here shares: per-user consecutive page
+    * visits (props.k) become directed (page → next page) edges.
+    */
+  private def clickEdges(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events").select(col("user_id"), col("ts"),
+      col("event_id"),
+      regexp_extract(col("props"), "\"k\": ([0-9]+)", 1)
+        .cast("long").as("page"))
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev.withColumn("next", lead("page", 1).over(w))
+      .filter(col("next").isNotNull)
+      .select(col("page").as("src"), col("next").as("dst"))
+  }
+
+  /** The same click-graph derivation in DuckDB SQL (CTEs ev/eg/edges). */
+  private val edgeCtes =
+    """WITH ev AS (SELECT user_id, ts, event_id,
+      |  CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS page FROM events),
+      |eg AS (SELECT page AS src,
+      |  lead(page) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst FROM ev),
+      |edges AS (SELECT src, dst FROM eg WHERE dst IS NOT NULL)""".stripMargin
+
   /** The r0 → rN iteration CTEs, mirroring Graph.pageRank term for term
     * (85/100 damping, uniform dangling redistribution, truncating
     * division). Kept in one place so the Scala and SQL sides cannot
@@ -45,23 +67,11 @@ object GraphOps {
     //    integer mass units. One window for edge derivation, then one
     //    shuffle on dst per round -----------------------------------------
     ("q_pagerank",
-      (s: SparkSession, d: String) => {
-        val ev = t(s, d, "events").select(col("user_id"), col("ts"),
-          col("event_id"),
-          regexp_extract(col("props"), "\"k\": ([0-9]+)", 1)
-            .cast("long").as("page"))
-        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-        val edges = ev.withColumn("next", lead("page", 1).over(w))
-          .filter(col("next").isNotNull)
-          .select(col("page").as("src"), col("next").as("dst"))
-        graft.ops.Graph.pageRank(edges, "src", "dst", iters = Iters)
-          .orderBy("node")
-      },
-      s"""WITH ev AS (SELECT user_id, ts, event_id,
-         |  CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS page FROM events),
-         |eg AS (SELECT page AS src,
-         |  lead(page) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst FROM ev),
-         |edges AS (SELECT src, dst FROM eg WHERE dst IS NOT NULL),
+      (s: SparkSession, d: String) =>
+        graft.ops.Graph.pageRank(clickEdges(s, d), "src", "dst", iters = Iters)
+          .orderBy("node"),
+      edgeCtes +
+        s""",
          |nodes AS (SELECT DISTINCT node FROM
          |  (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges) q),
          |od AS (SELECT src AS onode, count(*) AS outdeg FROM edges GROUP BY 1),
@@ -80,14 +90,7 @@ object GraphOps {
     //    both engines so ties are deterministic ---------------------------
     ("q_label_prop",
       (s: SparkSession, d: String) => {
-        val ev = t(s, d, "events").select(col("user_id"), col("ts"),
-          col("event_id"),
-          regexp_extract(col("props"), "\"k\": ([0-9]+)", 1)
-            .cast("long").as("page"))
-        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-        val edges = ev.withColumn("next", lead("page", 1).over(w))
-          .filter(col("next").isNotNull)
-          .select(col("page").as("src"), col("next").as("dst"))
+        val edges = clickEdges(s, d)
         val nodes = edges.select(col("src").as("node"))
           .union(edges.select(col("dst").as("node"))).distinct()
         val seeds = nodes.filter(col("node") % 5 === 0)
@@ -96,11 +99,8 @@ object GraphOps {
             seeds, "node", "seed_label", iters = Iters)
           .orderBy("node")
       },
-      s"""WITH ev AS (SELECT user_id, ts, event_id,
-         |  CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS page FROM events),
-         |eg AS (SELECT page AS src,
-         |  lead(page) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst FROM ev),
-         |edges AS (SELECT src, dst FROM eg WHERE dst IS NOT NULL),
+      edgeCtes +
+        s""",
          |sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
          |nodes AS (SELECT DISTINCT node FROM
          |  (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges) q),
@@ -108,8 +108,78 @@ object GraphOps {
          |  CASE WHEN node % 5 = 0 THEN node % 3 END AS lbl,
          |  node % 5 = 0 AS is_seed FROM nodes),
          |${lpIterCtes(Iters)}
-         |SELECT node, CAST(lbl AS BIGINT) AS label FROM l$Iters ORDER BY node""".stripMargin)
+         |SELECT node, CAST(lbl AS BIGINT) AS label FROM l$Iters ORDER BY node""".stripMargin),
+
+    // -- per-node triangle counts by degree orientation: canonical
+    //    undirected edges, each oriented low-(deg,id) → high, wedges at
+    //    the lowest corner closed by one more oriented-edge join. The
+    //    orientation caps out-degree at O(√|E|) so hub pages can't
+    //    explode the wedge join (see Graph.triangles scaladoc). Both
+    //    engines run the identical plan; integer counts hash-compare ----
+    ("q_triangles",
+      (s: SparkSession, d: String) =>
+        graft.ops.Graph.triangles(clickEdges(s, d), "src", "dst")
+          .orderBy("node"),
+      edgeCtes +
+        """,
+          |und AS MATERIALIZED (
+          |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          |  FROM edges WHERE src <> dst),
+          |dg AS MATERIALIZED (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM
+          |  (SELECT a AS node FROM und UNION ALL SELECT b FROM und) q GROUP BY 1),
+          |ori AS MATERIALIZED (
+          |  SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+          |         THEN u.a ELSE u.b END AS src,
+          |         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+          |         THEN u.b ELSE u.a END AS dst,
+          |         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+          |         THEN db.deg ELSE da.deg END AS ddst
+          |  FROM und u JOIN dg da ON da.node = u.a JOIN dg db ON db.node = u.b),
+          |tri AS (
+          |  SELECT e1.x, e1.y, e2.z
+          |  FROM (SELECT src AS x, dst AS y, ddst AS dy FROM ori) e1
+          |  JOIN (SELECT src AS x, dst AS z, ddst AS dz FROM ori) e2 USING (x)
+          |  JOIN ori c ON c.src = e1.y AND c.dst = e2.z
+          |  WHERE e1.dy < e2.dz OR (e1.dy = e2.dz AND e1.y < e2.z))
+          |SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM
+          |  (SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+          |   UNION ALL SELECT z FROM tri) q
+          |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // -- single-source BFS hop distances from the smallest page id, 4
+    //    bounded rounds over the symmetrized click graph; unreached nodes
+    //    absent. The oracle unrolls the same frontier/anti-join rounds ---
+    ("q_bfs_levels",
+      (s: SparkSession, d: String) => {
+        val edges = clickEdges(s, d)
+        val srcNode = edges.agg(min(least(col("src"), col("dst"))))
+          .head.getLong(0)
+        graft.ops.Graph.bfsLevels(edges, "src", "dst", lit(srcNode),
+            iters = 4)
+          .orderBy("node")
+      },
+      edgeCtes +
+        s""",
+          |sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM
+          |  (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges) q),
+          |d0 AS (SELECT (SELECT min(least(src, dst)) FROM edges) AS node,
+          |       CAST(0 AS BIGINT) AS dist),
+          |${bfsIterCtes(4)}
+          |SELECT node, dist FROM d4 ORDER BY node""".stripMargin)
   )
+
+  /** One BFS round for the q_bfs_levels oracle, mirroring Graph.bfsLevels:
+    * expand only the previous round's frontier, dedupe, anti-join against
+    * everything already reached.
+    */
+  private def bfsIterCtes(iters: Int): String =
+    (1 to iters).map { i =>
+      s"""f$i AS (SELECT DISTINCT e.dst AS node FROM sym e
+         |  JOIN d${i - 1} p ON e.src = p.node AND p.dist = ${i - 1}),
+         |d$i AS MATERIALIZED (SELECT * FROM d${i - 1} UNION ALL
+         |  SELECT node, CAST($i AS BIGINT) FROM f$i
+         |  WHERE node NOT IN (SELECT node FROM d${i - 1}))""".stripMargin
+    }.mkString(",\n")
 
   /** One label-propagation round for the q_label_prop oracle, mirroring
     * Graph.labelPropagate term for term: vote counts from labeled

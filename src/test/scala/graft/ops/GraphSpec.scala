@@ -52,4 +52,47 @@ class GraphSpec extends SparkSuite {
     assert(r.keySet === Set("a", "b", "c"))
     assert(r("c") > r("b")) // c has two in-routes, b one
   }
+
+  /** Brute-force per-node triangle counts on the canonical simple graph:
+    * count node triples with all three edges present.
+    */
+  private def bruteTriangles(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val und = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).toSet
+    val nodes = und.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val tris = for {
+      i <- nodes.indices; j <- (i + 1) until nodes.size; k <- (j + 1) until nodes.size
+      (p, q, r) = (nodes(i), nodes(j), nodes(k))
+      if und((p, q)) && und((p, r)) && und((q, r))
+    } yield Seq(p, q, r)
+    tris.flatten.groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+  }
+
+  test("triangles matches brute force on random sparse graphs (incl. hubs, dups, self-loops)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 5) {
+      val n = 12 + trial * 3
+      val base = Seq.fill(60)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      // a hub wired to everything, plus duplicate and reversed edges
+      val edges = base ++ (1L until n.toLong).map(i => (0L, i)) ++
+        base.take(10).map(_.swap) ++ Seq((3L, 3L))
+      val got = Graph.triangles(edges.toDF("src", "dst"), "src", "dst")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === bruteTriangles(edges), s"trial $trial")
+    }
+  }
+
+  test("bfsLevels matches brute-force hop distances; unreached absent; bounded by iters") {
+    import spark.implicits._
+    // two components: a path 1-2-3-4-5-6 with a chord, and {10,11}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (2L, 4L), (10L, 11L))
+    val got = Graph.bfsLevels(edges.toDF("src", "dst"), "src", "dst",
+        org.apache.spark.sql.functions.lit(1L), iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // dist: 1→0, 2→1, 3→2, 4→2 (via chord), 5→3; 6 needs 4 hops (cut off
+    // by iters=3); 10/11 unreachable
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 3L))
+  }
 }
