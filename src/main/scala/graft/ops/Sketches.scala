@@ -53,6 +53,51 @@ object Sketches {
       .agg(hll_sketch_estimate(hll_sketch_agg(col(valueCol), lit(lgK)))
         .as("approx_distinct"))
 
+  /** Count-min sketch cells (Cormode & Muthukrishnan 2005): `d` hash rows
+    * × `w` buckets; cell (j, h) holds the summed count of all items whose
+    * row-j hash lands on h. The whole sketch is d×w BIGINTs — KBs —
+    * regardless of corpus size, built in ONE groupBy whose key space is
+    * bounded at d·w (map-side partials shrink each partition's
+    * contribution to ≤ d·w rows before the shuffle), and two sketches
+    * merge by cell-wise addition, so per-day/per-shard sketches roll up
+    * without rescans. Hashes are the house md5 hex→int convention keyed
+    * `j:item`, so the sketch is bit-deterministic and SQL-replayable —
+    * the DuckDB oracle builds the identical cells and the gate
+    * hash-compares estimates, not just bounds.
+    */
+  def countMinCells(df: DataFrame, itemCol: String, d: Int = 3,
+      w: Int = 64): DataFrame = {
+    require(d >= 1 && w >= 2, "countMinCells: need d >= 1, w >= 2")
+    df.select(col(itemCol).cast("string").as("item"))
+      .filter(col("item").isNotNull)
+      .select(explode(array((0 until d).map(j => lit(j.toLong)): _*)).as("j"),
+        col("item"))
+      .withColumn("h", cmHash(col("j"), col("item"), w))
+      .groupBy("j", "h").agg(count(lit(1)).as("c"))
+  }
+
+  /** Point-frequency estimates for `items` from a cell table: estimate =
+    * min over the d row cells the item hashes to (each is count +
+    * non-negative collision noise, so min is the tightest upper bound;
+    * never underestimates). One broadcast-sized join against the d×w
+    * cell table — probing never touches the raw corpus.
+    */
+  def countMinEstimate(cells: DataFrame, items: DataFrame, itemCol: String,
+      d: Int = 3, w: Int = 64): DataFrame =
+    items.select(col(itemCol).cast("string").as("item")).distinct()
+      .select(col("item"),
+        explode(array((0 until d).map(j => lit(j.toLong)): _*)).as("j"))
+      .withColumn("h", cmHash(col("j"), col("item"), w))
+      .join(cells, Seq("j", "h"), "left")
+      .groupBy("item").agg(min(coalesce(col("c"), lit(0L))).as("est"))
+
+  /** Row-j bucket of `item`: md5("j:item") first 15 hex digits → BIGINT,
+    * mod w (positive: the 60-bit value is non-negative).
+    */
+  private def cmHash(j: Column, item: Column, w: Int): Column =
+    conv(substring(md5(concat(j.cast("string"), lit(":"), item)), 1, 15),
+      16, 10).cast("long") % w
+
   /** Approximate quantiles via the positional-error sketch behind
     * `percentile_approx`: mergeable the same way (partial per partition,
     * merged on the reducer), bounded memory regardless of input size —

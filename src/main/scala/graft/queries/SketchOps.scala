@@ -174,5 +174,46 @@ object SketchOps {
         |  na.nd + nb.nd - coalesce(ov.n_both, 0) AS either
         |FROM n na JOIN n nb ON na.event_type < nb.event_type
         |LEFT JOIN ov ON ov.dim_a = na.event_type AND ov.dim_b = nb.event_type
-        |ORDER BY 1, 2""".stripMargin))
+        |ORDER BY 1, 2""".stripMargin),
+
+    // -- count-min sketch: point-frequency estimates for every (type, page)
+    //    event key from a 3×64-cell sketch, beside the exact counts so the
+    //    gated rows PROVE est >= exact with bounded overshoot. The cells
+    //    are bit-deterministic (md5 row hashes), so DuckDB replays the
+    //    sketch itself — estimates hash-compare, not just bound-check.
+    //    Scale: the build is one groupBy with a d·w-bounded key space
+    //    (map-side partials make each partition's shuffle ≤ 192 rows);
+    //    probes join the KB-sized cell table, never the corpus ------------
+    ("q_cms_estimate",
+      (s: SparkSession, d: String) => {
+        val keyed = t(s, d, "events").select(
+          concat(col("event_type"), lit("#"),
+            regexp_extract(col("props"), "\"k\": ([0-9]+)", 1)).as("key"))
+        val cells = graft.ops.Sketches.countMinCells(keyed, "key")
+        val exact = keyed.groupBy(col("key").as("item"))
+          .agg(count(lit(1)).as("exact"))
+        graft.ops.Sketches.countMinEstimate(cells, keyed, "key")
+          .join(exact, Seq("item"))
+          .orderBy("item")
+      },
+      """WITH keyed AS (SELECT event_type || '#' ||
+        |    regexp_extract(props, '"k": ([0-9]+)', 1) AS item FROM events),
+        |cells AS MATERIALIZED (
+        |  SELECT j, ('0x' || substr(md5(j || ':' || item), 1, 15))::BIGINT % 64 AS h,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM keyed CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) rows_
+        |  GROUP BY 1, 2),
+        |probes AS (
+        |  SELECT item, j,
+        |    ('0x' || substr(md5(j || ':' || item), 1, 15))::BIGINT % 64 AS h
+        |  FROM (SELECT DISTINCT item FROM keyed)
+        |  CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) rows_),
+        |est AS (SELECT p.item, min(coalesce(c.c, 0)) AS est
+        |  FROM probes p LEFT JOIN cells c ON p.j = c.j AND p.h = c.h
+        |  GROUP BY 1)
+        |SELECT e.item, CAST(e.est AS BIGINT) AS est,
+        |  CAST(x.exact AS BIGINT) AS exact
+        |FROM est e JOIN (SELECT item, count(*) AS exact FROM keyed GROUP BY 1) x
+        |  USING (item)
+        |ORDER BY item""".stripMargin))
 }

@@ -145,4 +145,42 @@ class SketchesSpec extends SparkSuite {
     assert(math.abs(got - n) < n * 5 * rse,
       s"estimate $got outside 5 RSE of $n")
   }
+
+  test("count-min never underestimates; exact when w dwarfs the key space") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val items = Seq.fill(3000)(s"k${rnd.nextInt(40)}").toDF("item")
+    val exact = items.groupBy("item").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // tight sketch: collisions expected → upper bound only
+    val tight = Sketches.countMinEstimate(
+        Sketches.countMinCells(items, "item", d = 3, w = 16),
+        items, "item", d = 3, w = 16)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      assert(tight(k) >= n, s"$k underestimated: ${tight(k)} < $n")
+    }
+    // roomy sketch: 3 rows of 4096 buckets for 40 keys → min is exact
+    val roomy = Sketches.countMinEstimate(
+        Sketches.countMinCells(items, "item", d = 3, w = 4096),
+        items, "item", d = 3, w = 4096)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(roomy === exact)
+  }
+
+  test("count-min cells merge by cell-wise addition == whole-corpus build") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val a = (1 to 500).map(i => s"x${i % 23}").toDF("item")
+    val b = (1 to 700).map(i => s"x${i % 31}").toDF("item")
+    val merged = Sketches.countMinCells(a, "item")
+      .unionByName(Sketches.countMinCells(b, "item"))
+      .groupBy("j", "h").agg(sum("c").as("c"))
+    val whole = Sketches.countMinCells(a.unionByName(b), "item")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sorted.toSeq
+    assert(rows(merged) === rows(whole))
+  }
 }
