@@ -196,6 +196,46 @@ object Graph {
       .groupBy("node").agg(count(lit(1)).as("triangles"))
   }
 
+  /** k-core peeling, `iters` synchronous rounds: repeatedly drop every
+    * node whose degree in the SURVIVING graph is < k (and its edges).
+    * Returns (node, deg) for nodes still alive after `iters` rounds with
+    * their residual degree — a superset of the true k-core that equals it
+    * once a round removes nothing (long peel chains need more rounds;
+    * the fixed count is what makes the rounds exactly SQL-replayable).
+    * The k-core is the standard "densely embedded" filter for link-graph
+    * curation: pages that survive have k neighbors that THEMSELVES
+    * survive, which one-hop degree thresholds can't express.
+    *
+    * Per round: one degree aggregation over surviving edges + two
+    * semi-joins back onto the edge list — all O(|E|) equi-joins keyed on
+    * node ids, edge frame localCheckpoint'd so lineage stays flat. Work
+    * SHRINKS monotonically round over round (edges only ever get
+    * removed), the opposite of a fan-out.
+    */
+  def kCore(edges0: DataFrame, srcCol: String, dstCol: String, k: Int,
+      iters: Int = 4): DataFrame = {
+    require(k >= 1 && iters >= 1, "kCore: need k >= 1, iters >= 1")
+    var live = edges0.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("a"),
+        greatest(col("u"), col("v")).as("b"))
+      .distinct()
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val deg = live.select(col("a").as("node"))
+        .union(live.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select("node")
+      live = live
+        .join(keep.select(col("node").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("node").as("b")), Seq("b"), "left_semi")
+        .localCheckpoint(true)
+    }
+    live.select(col("a").as("node"))
+      .union(live.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+  }
+
   /** Single-source BFS hop distances over the symmetrized edge set,
     * bounded at `iters` rounds (unreached nodes are absent). Frontier
     * style: round i expands only the nodes first reached at distance

@@ -165,8 +165,42 @@ object GraphOps {
           |d0 AS (SELECT (SELECT min(least(src, dst)) FROM edges) AS node,
           |       CAST(0 AS BIGINT) AS dist),
           |${bfsIterCtes(4)}
-          |SELECT node, dist FROM d4 ORDER BY node""".stripMargin)
+          |SELECT node, dist FROM d4 ORDER BY node""".stripMargin),
+
+    // -- k-core peeling (k=3, 4 synchronous rounds): survivors of
+    //    iterated remove-degree-<k, with residual degree — the "densely
+    //    embedded" curation filter one-hop thresholds can't express.
+    //    Work shrinks every round; the oracle unrolls the same rounds ----
+    ("q_kcore",
+      (s: SparkSession, d: String) =>
+        graft.ops.Graph.kCore(clickEdges(s, d), "src", "dst", k = 3,
+            iters = 4)
+          .orderBy("node"),
+      edgeCtes +
+        s""",
+          |live0 AS MATERIALIZED (
+          |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          |  FROM edges WHERE src <> dst),
+          |${kcoreIterCtes(3, 4)}
+          |SELECT node, CAST(count(*) AS BIGINT) AS deg FROM
+          |  (SELECT a AS node FROM live4 UNION ALL SELECT b FROM live4) q
+          |GROUP BY 1 ORDER BY 1""".stripMargin)
   )
+
+  /** One k-core peel round for the q_kcore oracle, mirroring Graph.kCore:
+    * degrees over the surviving edges, keep nodes with deg >= k, keep
+    * edges whose BOTH endpoints survive.
+    */
+  private def kcoreIterCtes(k: Int, iters: Int): String =
+    (1 to iters).map { i =>
+      s"""dg$i AS (SELECT node, count(*) AS deg FROM
+         |  (SELECT a AS node FROM live${i - 1} UNION ALL
+         |   SELECT b FROM live${i - 1}) q GROUP BY 1),
+         |kp$i AS (SELECT node FROM dg$i WHERE deg >= $k),
+         |live$i AS MATERIALIZED (SELECT e.a, e.b FROM live${i - 1} e
+         |  JOIN kp$i x ON e.a = x.node
+         |  JOIN kp$i y ON e.b = y.node)""".stripMargin
+    }.mkString(",\n")
 
   /** One BFS round for the q_bfs_levels oracle, mirroring Graph.bfsLevels:
     * expand only the previous round's frontier, dedupe, anti-join against

@@ -95,4 +95,22 @@ class GraphSpec extends SparkSuite {
     // by iters=3); 10/11 unreachable
     assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 3L))
   }
+
+  test("kCore peels cascades: pendant chain dies round by round, clique survives") {
+    import spark.implicits._
+    def core(edges: Seq[(Long, Long)], k: Int, iters: Int): Map[Long, Long] =
+      Graph.kCore(edges.toDF("src", "dst"), "src", "dst", k, iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // triangle {1,2,3} (every degree 2) + path 3-4-5-6 hanging off it.
+    // k=2: only 6 (deg 1) dies in round 1; 5 drops to deg 1 and dies in
+    // round 2; 4 in round 3 — a genuine cascade, one hop per round.
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+    assert(core(edges, 2, 1).keySet === Set(1L, 2L, 3L, 4L, 5L))
+    assert(core(edges, 2, 2).keySet === Set(1L, 2L, 3L, 4L))
+    val done = core(edges, 2, 3)
+    assert(done.keySet === Set(1L, 2L, 3L))
+    assert(done.values.toSet === Set(2L)) // residual degrees: triangle only
+    // k=3 kills everything (no node has 3 surviving neighbors)
+    assert(core(edges, 3, 4) === Map.empty)
+  }
 }
