@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{BpeOps, CartOps, CleanOps, DiffOps, EntityOps, EventOps, ExportOps, GraphOps, LmOps, MoreOps, MoreOps2, MoreOps3, Parity, ProfileOps, Q, SearchOps, SinkOps, SketchOps, SpanOps, TextOps, TpchOps, TrainOps, VectorOps}
+import graft.queries.{BpeOps, CartOps, CleanOps, DiffOps, EntityOps, EvalOps, EventOps, ExportOps, GraphOps, LmOps, MoreOps, MoreOps2, MoreOps3, Parity, ProfileOps, Q, SearchOps, SinkOps, SketchOps, SpanOps, TextOps, TpchOps, TrainOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -14,7 +14,7 @@ import graft.queries.{BpeOps, CartOps, CleanOps, DiffOps, EntityOps, EventOps, E
 object SparkEntry {
 
   private val modules: Seq[(String, (SparkSession, String) => DataFrame, String)] =
-    Parity.entries ++ EventOps.entries ++ TextOps.entries ++ VectorOps.entries ++ TpchOps.entries ++ MoreOps.entries ++ MoreOps2.entries ++ MoreOps3.entries ++ ProfileOps.entries ++ SketchOps.entries ++ TrainOps.entries ++ CleanOps.entries ++ SpanOps.entries ++ LmOps.entries ++ SinkOps.entries ++ ExportOps.entries ++ GraphOps.entries ++ BpeOps.entries ++ DiffOps.entries ++ EntityOps.entries ++ SearchOps.entries ++ CartOps.entries
+    Parity.entries ++ EventOps.entries ++ TextOps.entries ++ VectorOps.entries ++ TpchOps.entries ++ MoreOps.entries ++ MoreOps2.entries ++ MoreOps3.entries ++ ProfileOps.entries ++ SketchOps.entries ++ TrainOps.entries ++ CleanOps.entries ++ SpanOps.entries ++ LmOps.entries ++ SinkOps.entries ++ ExportOps.entries ++ GraphOps.entries ++ BpeOps.entries ++ DiffOps.entries ++ EntityOps.entries ++ SearchOps.entries ++ CartOps.entries ++ EvalOps.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -29,7 +29,7 @@ object CartOps {
   private val features = Seq("f_a", "f_chars", "f_e", "f_words")
 
   /** doc_id, the four integer features, and the noisy label y. */
-  private def featured(s: SparkSession, d: String): DataFrame =
+  private[queries] def featured(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents").select(
         col("doc_id"),
         (length(col("text")) - length(expr("replace(text, 'a', '')")))
@@ -43,7 +43,7 @@ object CartOps {
         ((col("f_chars") > 310 && col("f_e") > 30) =!=
           (pmod(col("doc_id"), lit(13)) === 0)).cast("long"))
 
-  private def train(s: SparkSession, d: String): Seq[graft.ops.Cart.TreeNode] =
+  private[queries] def train(s: SparkSession, d: String): Seq[graft.ops.Cart.TreeNode] =
     graft.ops.Cart.train(
       featured(s, d).filter(pmod(col("doc_id"), lit(2)) === 0),
       features, "y", depth = 2, maxBins = 32)
@@ -57,7 +57,7 @@ object CartOps {
     * single source for every oracle bag predicate so tr (op "<>") and its
     * OOB complement trb (op "=") cannot drift apart.
     */
-  private def bagSql(b: Int, op: String): String =
+  private[queries] def bagSql(b: Int, op: String): String =
     "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 3 " +
       s"$op $b"
 
@@ -66,7 +66,7 @@ object CartOps {
     * q_stacked_classify so "base layer = the trees above" is enforced in
     * code, not just documented.
     */
-  private def baseTrees(trainAll: DataFrame): Seq[Seq[graft.ops.Cart.TreeNode]] =
+  private[queries] def baseTrees(trainAll: DataFrame): Seq[Seq[graft.ops.Cart.TreeNode]] =
     (0 until 3).map { b =>
       graft.ops.Cart.train(trainAll.filter(bagCol =!= b), features, "y",
         depth = 2, maxBins = 32)
@@ -75,7 +75,7 @@ object CartOps {
   /** Route `test` through all three trees and add the 2-of-3 majority vote
     * as column `voteAs`.
     */
-  private def forestVote(test: DataFrame,
+  private[queries] def forestVote(test: DataFrame,
       trees: Seq[Seq[graft.ops.Cart.TreeNode]], voteAs: String): DataFrame =
     trees.zipWithIndex.foldLeft(test) { case (df, (tr, i)) =>
         graft.ops.Cart.classify(df, tr).withColumnRenamed("pred", s"__p$i")
@@ -85,7 +85,7 @@ object CartOps {
       .drop("__p0", "__p1", "__p2")
 
   /** The shared feature/label CTEs every cart/forest oracle starts with. */
-  private val featureCtes =
+  private[queries] val featureCtes =
     """WITH f0 AS (
       |  SELECT doc_id,
       |    CAST(length(text) - length(replace(text, 'a', '')) AS BIGINT) AS f_a,
@@ -128,7 +128,7 @@ object CartOps {
     * DAGs) blows up exponentially — >6 min where the materialized form
     * runs in seconds.
     */
-  private def trainCtes(x: String, trainWhere: String,
+  private[queries] def trainCtes(x: String, trainWhere: String,
       fs: Seq[String] = features, src: String = "lab"): String =
     s""",
       |tr$x AS MATERIALIZED (SELECT * FROM $src WHERE $trainWhere),
@@ -191,7 +191,7 @@ object CartOps {
     * majority prediction. `out` names the emitted CTEs so one tree can
     * route several relations (test split, OOB bag) without collisions.
     */
-  private def routeCtes(x: String, out: String, src: String = "te",
+  private[queries] def routeCtes(x: String, out: String, src: String = "te",
       fs: Seq[String] = features): String =
     s""",
       |${out}_a AS (
@@ -209,7 +209,7 @@ object CartOps {
       |    CAST(CASE WHEN 2 * l.tp > l.tn THEN 1 ELSE 0 END AS BIGINT) AS p
       |  FROM ${out}_b b JOIN leaves$x l ON l.node = b.leaf)""".stripMargin
 
-  private val oraclePrelude =
+  private[queries] val oraclePrelude =
     featureCtes + trainCtes("", "doc_id % 2 = 0")
 
   val entries: Seq[(String, Fn, String)] = Seq(

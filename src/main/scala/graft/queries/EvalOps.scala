@@ -1,0 +1,88 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Model-evaluation statistics under the oracle gate (graft.ops.Eval):
+  * exact integer AUC and inter-model agreement. These reuse CartOps'
+  * feature/label fixture and its trained models — the eval metrics are
+  * graded against the same DuckDB replay that grades the trainers, so a
+  * drift in either the model or the metric fails the gate.
+  */
+object EvalOps {
+
+  type Fn = (SparkSession, String) => DataFrame
+
+  val entries: Seq[(String, Fn, String)] = Seq(
+
+    // -- exact ROC AUC of the f_chars feature as a scorer for the noisy
+    //    label, by the Mann–Whitney rank-sum identity with midrank ties,
+    //    doubled to stay integral: AUC = u2/den exactly. One corpus-sized
+    //    groupBy(score) + a running sum over the bounded distinct-score
+    //    table — no per-row window, no floats anywhere ---------------------
+    ("q_auc_exact",
+      (s: SparkSession, d: String) =>
+        graft.ops.Eval.aucExact(CartOps.featured(s, d), "f_chars", "y"),
+      CartOps.featureCtes +
+        """,
+          |bys AS (SELECT f_chars AS s, CAST(count(*) AS BIGINT) AS n,
+          |        CAST(sum(y) AS BIGINT) AS pos FROM lab GROUP BY 1),
+          |rk AS (SELECT s, n, pos,
+          |  CAST(coalesce(sum(n) OVER (ORDER BY s
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+          |    AS below
+          |  FROM bys),
+          |ag AS (SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+          |              CAST(sum(n - pos) AS BIGINT) AS n_neg,
+          |              CAST(sum(pos * (2 * below + n + 1)) AS BIGINT) AS r2
+          |       FROM rk)
+          |SELECT n_pos, n_neg, r2 - n_pos * (n_pos + 1) AS u2,
+          |  2 * n_pos * n_neg AS den
+          |FROM ag""".stripMargin),
+
+    // -- Cohen's kappa between TWO gated models — the single q_cart tree
+    //    and the bagged forest's 2-of-3 vote — on the shared held-out
+    //    split, as exact integers (kappa = kappa_num/kappa_den). The
+    //    oracle replays both trainings, both routings, the confusion
+    //    matrix and the marginal product, so model agreement itself is
+    //    hash-graded. One groupBy(pa, pb) over the test split; everything
+    //    after is label²-sized --------------------------------------------
+    ("q_model_agreement",
+      (s: SparkSession, d: String) => {
+        val feats = CartOps.featured(s, d)
+        val tree = CartOps.train(s, d)
+        val trees = CartOps.baseTrees(
+          feats.filter(pmod(col("doc_id"), lit(2)) === 0))
+        val test = feats.filter(pmod(col("doc_id"), lit(2)) === 1)
+        val withTree = graft.ops.Cart.classify(test, tree)
+          .withColumnRenamed("pred", "p_tree")
+        val both = CartOps.forestVote(withTree, trees, "p_forest")
+        graft.ops.Eval.cohensKappa(both, "p_tree", "p_forest")
+      },
+      CartOps.oraclePrelude +
+        (0 until 3).map(b => CartOps.trainCtes(s"_$b",
+          s"doc_id % 2 = 0 AND ${CartOps.bagSql(b, "<>")}")).mkString +
+        ",\nte AS MATERIALIZED (SELECT * FROM lab WHERE doc_id % 2 = 1)" +
+        CartOps.routeCtes("", "predt") +
+        (0 until 3).map(b => CartOps.routeCtes(s"_$b", s"pred_$b")).mkString +
+        """,
+          |pair AS (
+          |  SELECT t.p AS pa,
+          |    CAST(CASE WHEN p0.p + p1.p + p2.p >= 2 THEN 1 ELSE 0 END
+          |      AS BIGINT) AS pb
+          |  FROM predt t JOIN pred_0 p0 USING (doc_id)
+          |       JOIN pred_1 p1 USING (doc_id) JOIN pred_2 p2 USING (doc_id)),
+          |cm AS (SELECT pa, pb, CAST(count(*) AS BIGINT) AS n
+          |       FROM pair GROUP BY 1, 2),
+          |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+          |  CAST(sum(CASE WHEN pa = pb THEN n ELSE 0 END) AS BIGINT) AS agree
+          |  FROM cm),
+          |ma AS (SELECT pa, sum(n) AS na FROM cm GROUP BY 1),
+          |mb AS (SELECT pb, sum(n) AS nb FROM cm GROUP BY 1),
+          |pe AS (SELECT CAST(coalesce(sum(na * nb), 0) AS BIGINT) AS pe_num
+          |       FROM ma JOIN mb ON ma.pa = mb.pb)
+          |SELECT total, agree, pe_num,
+          |  agree * total - pe_num AS kappa_num,
+          |  total * total - pe_num AS kappa_den
+          |FROM tot CROSS JOIN pe""".stripMargin))
+}

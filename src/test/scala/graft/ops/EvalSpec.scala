@@ -1,0 +1,61 @@
+package graft.ops
+
+import graft.SparkSuite
+
+/** [[Eval]] against brute force: AUC by all-pairs comparison (ties = half),
+  * kappa by the textbook formula on a hand-built confusion matrix.
+  */
+class EvalSpec extends SparkSuite {
+
+  private def auc(rows: Seq[(Long, Long)]): (Long, Long) = {
+    import spark.implicits._
+    val r = Eval.aucExact(rows.toDF("score", "y"), "score", "y").head()
+    (r.getAs[Long]("u2"), r.getAs[Long]("den"))
+  }
+
+  /** 2·(number of (pos, neg) pairs where pos outscores neg, ties half). */
+  private def bruteU2(rows: Seq[(Long, Long)]): (Long, Long) = {
+    val pos = rows.filter(_._2 == 1L).map(_._1)
+    val neg = rows.filter(_._2 == 0L).map(_._1)
+    val u2 = (for (p <- pos; n <- neg)
+      yield if (p > n) 2L else if (p == n) 1L else 0L).sum
+    (u2, 2L * pos.size * neg.size)
+  }
+
+  test("aucExact equals all-pairs brute force on random data with heavy ties") {
+    val rnd = new scala.util.Random(3)
+    for (trial <- 1 to 5) {
+      // scores drawn from a tiny domain so ties are everywhere
+      val rows = Seq.fill(300)((rnd.nextInt(8).toLong, rnd.nextInt(2).toLong))
+      assert(auc(rows) === bruteU2(rows), s"trial $trial")
+    }
+  }
+
+  test("aucExact endpoints: perfect scorer = 1, inverted = 0, constant = 1/2") {
+    val perfect = Seq((1L, 0L), (2L, 0L), (9L, 1L), (8L, 1L))
+    assert(auc(perfect) === ((8L, 8L)))
+    val inverted = perfect.map { case (s, y) => (-s, y) }
+    assert(auc(inverted) === ((0L, 8L)))
+    val constant = Seq((5L, 0L), (5L, 1L), (5L, 0L), (5L, 1L))
+    val (u2c, denc) = auc(constant)
+    assert(u2c * 2 === denc) // AUC exactly 1/2
+  }
+
+  test("cohensKappa matches the textbook formula; degenerate marginals handled") {
+    import spark.implicits._
+    // confusion matrix: a=b on 70 of 100, marginals a:(60,40) b:(70,30)
+    val rows = Seq.fill(50)((1L, 1L)) ++ Seq.fill(20)((0L, 0L)) ++
+      Seq.fill(10)((1L, 0L)) ++ Seq.fill(20)((0L, 1L))
+    val r = Eval.cohensKappa(rows.toDF("a", "b"), "a", "b").head()
+    val (total, agree, pe) =
+      (r.getAs[Long]("total"), r.getAs[Long]("agree"), r.getAs[Long]("pe_num"))
+    assert(total === 100L && agree === 70L)
+    assert(pe === 60L * 70L + 40L * 30L) // Σ marginal products
+    assert(r.getAs[Long]("kappa_num") === agree * total - pe)
+    assert(r.getAs[Long]("kappa_den") === total * total - pe)
+    // disjoint label sets: no marginal pair matches → pe_num = 0
+    val disjoint = Seq((1L, 2L), (1L, 2L)).toDF("a", "b")
+    val d = Eval.cohensKappa(disjoint, "a", "b").head()
+    assert(d.getAs[Long]("pe_num") === 0L && d.getAs[Long]("agree") === 0L)
+  }
+}
