@@ -29,7 +29,11 @@ object Eval {
     * corpus size; bin continuous scores first to keep it that way.
     */
   def aucExact(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
-    val byScore = df.groupBy(col(scoreCol).as("s"))
+    // NULL scores are excluded (unrankable): Spark sorts NULLS FIRST and
+    // most SQL engines NULLS LAST, so keeping them would make the running
+    // sum engine-dependent — replayers must filter the same way
+    val byScore = df.filter(col(scoreCol).isNotNull)
+      .groupBy(col(scoreCol).as("s"))
       .agg(count(lit(1)).as("n"), sum(col(labelCol)).as("pos"))
     val w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
     // midranks doubled: every row tied at s has 2·rank = 2·below + n + 1

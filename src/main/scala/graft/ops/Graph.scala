@@ -160,14 +160,22 @@ object Graph {
     * Returns (node, triangles) for nodes in >= 1 triangle. Integer
     * counts — SQL-replayable exactly.
     */
-  def triangles(edges0: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    // canonical undirected simple edges; materialized — read three times
-    val und = edges0.select(col(srcCol).as("u"), col(dstCol).as("v"))
+  /** Canonical undirected simple edge set (a < b): self-loops dropped,
+    * duplicates and reversals collapsed; materialized — every caller
+    * reads it repeatedly. Shared by [[triangles]] and [[kCore]] so the
+    * canonicalization semantics cannot drift between them.
+    */
+  private def canonicalUndirected(edges0: DataFrame, srcCol: String,
+      dstCol: String): DataFrame =
+    edges0.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .filter(col("u") =!= col("v"))
       .select(least(col("u"), col("v")).as("a"),
         greatest(col("u"), col("v")).as("b"))
       .distinct()
       .localCheckpoint(true)
+
+  def triangles(edges0: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = canonicalUndirected(edges0, srcCol, dstCol)
     val deg = und.select(col("a").as("node"))
       .union(und.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -215,12 +223,7 @@ object Graph {
   def kCore(edges0: DataFrame, srcCol: String, dstCol: String, k: Int,
       iters: Int = 4): DataFrame = {
     require(k >= 1 && iters >= 1, "kCore: need k >= 1, iters >= 1")
-    var live = edges0.select(col(srcCol).as("u"), col(dstCol).as("v"))
-      .filter(col("u") =!= col("v"))
-      .select(least(col("u"), col("v")).as("a"),
-        greatest(col("u"), col("v")).as("b"))
-      .distinct()
-      .localCheckpoint(true)
+    var live = canonicalUndirected(edges0, srcCol, dstCol)
     for (_ <- 1 to iters) {
       val deg = live.select(col("a").as("node"))
         .union(live.select(col("b").as("node")))
@@ -246,6 +249,11 @@ object Graph {
     * textbook distributed-BFS shape (each round touches each edge at
     * most once, total O(iters·|E|) worst case). Integer distances with a
     * fixed round count — exactly SQL-replayable as unrolled CTEs.
+    *
+    * `source` must be a literal; it is seeded at distance 0 WITHOUT a
+    * graph-membership check (a full node-set distinct just to validate
+    * one seed row would cost an extra edge-list shuffle) — a source
+    * absent from the graph returns just its own (source, 0) row.
     */
   def bfsLevels(edges0: DataFrame, srcCol: String, dstCol: String,
       source: Column, iters: Int = 4): DataFrame = {
@@ -257,10 +265,8 @@ object Graph {
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint(true)
-    val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node"))).distinct()
-    var dist = nodes.filter(col("node") === source)
-      .select(col("node"), lit(0L).as("dist"))
+    var dist = edges0.sparkSession.range(1)
+      .select(source.as("node"), lit(0L).as("dist"))
       .localCheckpoint(true)
     for (i <- 1 to iters) {
       val frontier = dist.filter(col("dist") === lit(i - 1L))

@@ -83,13 +83,19 @@ object Sketches {
     * cell table — probing never touches the raw corpus.
     */
   def countMinEstimate(cells: DataFrame, items: DataFrame, itemCol: String,
-      d: Int = 3, w: Int = 64): DataFrame =
+      d: Int = 3, w: Int = 64): DataFrame = {
+    require(d >= 1 && w >= 2, "countMinEstimate: need d >= 1, w >= 2")
+    // d and w MUST equal the countMinCells build parameters: probing with
+    // different ones lands on absent (j, h) cells and the coalesce(c, 0)
+    // below would silently UNDERestimate — the one contract violation a
+    // count-min sketch must never commit
     items.select(col(itemCol).cast("string").as("item")).distinct()
       .select(col("item"),
         explode(array((0 until d).map(j => lit(j.toLong)): _*)).as("j"))
       .withColumn("h", cmHash(col("j"), col("item"), w))
       .join(cells, Seq("j", "h"), "left")
       .groupBy("item").agg(min(coalesce(col("c"), lit(0L))).as("est"))
+  }
 
   /** Row-j bucket of `item`: md5("j:item") first 15 hex digits → BIGINT,
     * mod w (positive: the 60-bit value is non-negative).

@@ -26,7 +26,7 @@ object CartOps {
 
   type Fn = (SparkSession, String) => DataFrame
 
-  private val features = Seq("f_a", "f_chars", "f_e", "f_words")
+  private[queries] val features = Seq("f_a", "f_chars", "f_e", "f_words")
 
   /** doc_id, the four integer features, and the noisy label y. */
   private[queries] def featured(s: SparkSession, d: String): DataFrame =
@@ -260,7 +260,9 @@ object CartOps {
     //    shuffle-free ------------------------------------------------------
     ("q_forest_classify",
       (s: SparkSession, d: String) => {
-        val feats = featured(s, d)
+        // one feature-extraction scan: trainings and routings below replay
+        // the frame 6+ times
+        val feats = featured(s, d).localCheckpoint(true)
         val trees = baseTrees(feats.filter(pmod(col("doc_id"), lit(2)) === 0))
         val test = feats.filter(pmod(col("doc_id"), lit(2)) === 1)
         forestVote(test, trees, "pred")
@@ -298,7 +300,7 @@ object CartOps {
     //    inference -------------------------------------------------------
     ("q_stacked_classify",
       (s: SparkSession, d: String) => {
-        val feats = featured(s, d)
+        val feats = featured(s, d).localCheckpoint(true)
         val trainAll = feats.filter(pmod(col("doc_id"), lit(2)) === 0)
         val trees = baseTrees(trainAll)
         // OOB meta-feature: route each training row through the ONE tree
@@ -361,6 +363,7 @@ object CartOps {
     ("q_cart_cv",
       (s: SparkSession, d: String) => {
         val withFold = featured(s, d).withColumn("__fold", bagCol)
+          .localCheckpoint(true)
         (0 until 3).map { f =>
             val tree = graft.ops.Cart.train(
               withFold.filter(col("__fold") =!= f), features, "y",

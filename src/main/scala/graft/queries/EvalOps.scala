@@ -26,7 +26,8 @@ object EvalOps {
       CartOps.featureCtes +
         """,
           |bys AS (SELECT f_chars AS s, CAST(count(*) AS BIGINT) AS n,
-          |        CAST(sum(y) AS BIGINT) AS pos FROM lab GROUP BY 1),
+          |        CAST(sum(y) AS BIGINT) AS pos FROM lab
+          |        WHERE f_chars IS NOT NULL GROUP BY 1),
           |rk AS (SELECT s, n, pos,
           |  CAST(coalesce(sum(n) OVER (ORDER BY s
           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
@@ -49,10 +50,12 @@ object EvalOps {
     //    after is label²-sized --------------------------------------------
     ("q_model_agreement",
       (s: SparkSession, d: String) => {
-        val feats = CartOps.featured(s, d)
-        val tree = CartOps.train(s, d)
-        val trees = CartOps.baseTrees(
-          feats.filter(pmod(col("doc_id"), lit(2)) === 0))
+        // one feature scan for all four trainings + both routings
+        val feats = CartOps.featured(s, d).localCheckpoint(true)
+        val trainHalf = feats.filter(pmod(col("doc_id"), lit(2)) === 0)
+        val tree = graft.ops.Cart.train(trainHalf, CartOps.features, "y",
+          depth = 2, maxBins = 32)
+        val trees = CartOps.baseTrees(trainHalf)
         val test = feats.filter(pmod(col("doc_id"), lit(2)) === 1)
         val withTree = graft.ops.Cart.classify(test, tree)
           .withColumnRenamed("pred", "p_tree")

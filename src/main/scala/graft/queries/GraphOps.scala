@@ -34,6 +34,15 @@ object GraphOps {
       .select(col("page").as("src"), col("next").as("dst"))
   }
 
+  /** Canonical-undirected-simple-edges CTE (mirrors
+    * Graph.canonicalUndirected), named so q_triangles and q_kcore share
+    * one definition on the SQL side too.
+    */
+  private def canonCte(name: String): String =
+    s"""$name AS MATERIALIZED (
+       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM edges WHERE src <> dst)""".stripMargin
+
   /** The same click-graph derivation in DuckDB SQL (CTEs ev/eg/edges). */
   private val edgeCtes =
     """WITH ev AS (SELECT user_id, ts, event_id,
@@ -121,10 +130,8 @@ object GraphOps {
         graft.ops.Graph.triangles(clickEdges(s, d), "src", "dst")
           .orderBy("node"),
       edgeCtes +
-        """,
-          |und AS MATERIALIZED (
-          |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
-          |  FROM edges WHERE src <> dst),
+        s""",
+          |${canonCte("und")},
           |dg AS MATERIALIZED (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM
           |  (SELECT a AS node FROM und UNION ALL SELECT b FROM und) q GROUP BY 1),
           |ori AS MATERIALIZED (
@@ -178,9 +185,7 @@ object GraphOps {
           .orderBy("node"),
       edgeCtes +
         s""",
-          |live0 AS MATERIALIZED (
-          |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
-          |  FROM edges WHERE src <> dst),
+          |${canonCte("live0")},
           |${kcoreIterCtes(3, 4)}
           |SELECT node, CAST(count(*) AS BIGINT) AS deg FROM
           |  (SELECT a AS node FROM live4 UNION ALL SELECT b FROM live4) q
