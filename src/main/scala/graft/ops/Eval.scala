@@ -51,6 +51,35 @@ object Eval {
         (lit(2L) * col("n_pos") * col("n_neg")).as("den"))
   }
 
+  /** The full precision/recall operating curve as exact integers: one row
+    * per distinct score s with the confusion counts of the classifier
+    * "predict positive iff score >= s" — (threshold, tp, fp, fn, tn).
+    * Precision/recall/F1 at any threshold derive exactly from the row;
+    * no float division is baked in.
+    *
+    * Same shape as [[aucExact]]: one corpus-sized groupBy(score), then a
+    * descending running sum over the bounded distinct-score table. NULL
+    * scores are excluded for the same cross-engine ordering reason.
+    */
+  def prCurve(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val byScore = df.filter(col(scoreCol).isNotNull)
+      .groupBy(col(scoreCol).as("threshold"))
+      .agg(count(lit(1)).as("n"), sum(col(labelCol)).as("pos"))
+      .localCheckpoint(true) // read twice: totals + the cumulative pass
+    val totals = byScore.agg(sum(col("pos")).as("npos"),
+      sum(col("n") - col("pos")).as("nneg"))
+    val w = Window.orderBy(col("threshold").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    byScore
+      .withColumn("tp", sum(col("pos")).over(w))
+      .withColumn("pp", sum(col("n")).over(w))
+      .crossJoin(broadcast(totals)) // 1 scalar row
+      .select(col("threshold"), col("tp"),
+        (col("pp") - col("tp")).as("fp"),
+        (col("npos") - col("tp")).as("fn"),
+        (col("nneg") - (col("pp") - col("tp"))).as("tn"))
+  }
+
   /** Cohen's kappa between two categorical prediction columns, exact:
     * one row (total, agree, pe_num, kappa_num, kappa_den) where
     * pe_num = Σ_c rowmarginal_c · colmarginal_c and

@@ -41,6 +41,29 @@ object EvalOps {
           |  2 * n_pos * n_neg AS den
           |FROM ag""".stripMargin),
 
+    // -- the full precision/recall operating curve of the same scorer:
+    //    one row per distinct threshold with exact (tp, fp, fn, tn) —
+    //    any P/R/F1 point derives exactly; same bounded-domain cumsum
+    //    shape as q_auc_exact --------------------------------------------
+    ("q_pr_curve",
+      (s: SparkSession, d: String) =>
+        graft.ops.Eval.prCurve(CartOps.featured(s, d), "f_chars", "y")
+          .orderBy("threshold"),
+      CartOps.featureCtes +
+        """,
+          |bys AS MATERIALIZED (SELECT f_chars AS threshold,
+          |        CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos
+          |        FROM lab WHERE f_chars IS NOT NULL GROUP BY 1),
+          |tot AS (SELECT CAST(sum(pos) AS BIGINT) AS npos,
+          |        CAST(sum(n - pos) AS BIGINT) AS nneg FROM bys),
+          |cum AS (SELECT threshold,
+          |  CAST(sum(pos) OVER (ORDER BY threshold DESC) AS BIGINT) AS tp,
+          |  CAST(sum(n) OVER (ORDER BY threshold DESC) AS BIGINT) AS pp
+          |  FROM bys)
+          |SELECT threshold, tp, pp - tp AS fp, npos - tp AS fn,
+          |  nneg - (pp - tp) AS tn
+          |FROM cum CROSS JOIN tot ORDER BY threshold""".stripMargin),
+
     // -- Cohen's kappa between TWO gated models — the single q_cart tree
     //    and the bagged forest's 2-of-3 vote — on the shared held-out
     //    split, as exact integers (kappa = kappa_num/kappa_den). The

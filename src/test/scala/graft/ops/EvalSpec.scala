@@ -41,6 +41,26 @@ class EvalSpec extends SparkSuite {
     assert(u2c * 2 === denc) // AUC exactly 1/2
   }
 
+  test("prCurve rows match per-threshold brute force; invariants hold everywhere") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val rows = Seq.fill(200)((rnd.nextInt(10).toLong, rnd.nextInt(2).toLong))
+    val got = Eval.prCurve(rows.toDF("score", "y"), "score", "y")
+      .collect()
+      .map(r => r.getAs[Long]("threshold") ->
+        (r.getAs[Long]("tp"), r.getAs[Long]("fp"),
+          r.getAs[Long]("fn"), r.getAs[Long]("tn"))).toMap
+    val npos = rows.count(_._2 == 1L).toLong
+    val nneg = rows.size - npos
+    assert(got.keySet === rows.map(_._1).toSet)
+    got.foreach { case (t, (tp, fp, fn, tn)) =>
+      val btp = rows.count(r => r._1 >= t && r._2 == 1L).toLong
+      val bfp = rows.count(r => r._1 >= t && r._2 == 0L).toLong
+      assert((tp, fp, fn, tn) === ((btp, bfp, npos - btp, nneg - bfp)),
+        s"threshold $t")
+    }
+  }
+
   test("cohensKappa matches the textbook formula; degenerate marginals handled") {
     import spark.implicits._
     // confusion matrix: a=b on 70 of 100, marginals a:(60,40) b:(70,30)
