@@ -637,4 +637,47 @@ class StreamingSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got === batch)
   }
+
+  test("streaming count-min maintenance: per-batch cells merged by addition equal the batch build") {
+    import org.apache.spark.sql.functions._
+    val srcDir = Files.createTempDirectory("graftcms_src").toString
+    val cellDir = Files.createTempDirectory("graftcms_cells").toString + "/cells"
+    val ckpt = Files.createTempDirectory("graftcms_ck").toString
+    def doc(id: Long, text: String) =
+      s"""{"doc_id":$id,"text":"$text","lang":"en","source":"s","n_chars":${text.length}}"""
+    def runOnce(): Unit =
+      DocStream.readDocs(spark, srcDir).writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          // the mergeability contract IS the maintenance strategy: sketch
+          // the batch alone, cell-wise add into the persisted table
+          val delta = graft.ops.Sketches.countMinCells(b, "text")
+          val merged =
+            if (new java.io.File(cellDir).exists())
+              spark.read.parquet(cellDir).unionByName(delta)
+                .groupBy("j", "h").agg(sum("c").as("c"))
+            else delta
+          merged.localCheckpoint(true) // cut self-read before overwrite
+            .write.mode("overwrite").parquet(cellDir)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+    val texts1 = (1 to 30).map(i => s"token${i % 7}")
+    val texts2 = (1 to 20).map(i => s"token${i % 11}")
+    Files.write(java.nio.file.Paths.get(srcDir, "b1.json"),
+      texts1.zipWithIndex.map { case (t, i) => doc(i, t) }.mkString("\n").getBytes)
+    runOnce()
+    Files.write(java.nio.file.Paths.get(srcDir, "b2.json"),
+      texts2.zipWithIndex.map { case (t, i) => doc(100 + i, t) }.mkString("\n").getBytes)
+    runOnce()
+    val spark2 = spark
+    import spark2.implicits._
+    val whole = graft.ops.Sketches.countMinCells(
+      (texts1 ++ texts2).toDF("text"), "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sorted.toSeq
+    assert(rows(spark.read.parquet(cellDir)) === rows(whole))
+  }
 }
