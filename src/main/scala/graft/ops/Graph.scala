@@ -87,6 +87,68 @@ object Graph {
     ranks.select("node", "pr")
   }
 
+  /** Personalized PageRank (topic-sensitive, Haveliwala 2002): identical
+    * integer fixed-point iteration to [[pageRank]], except teleport mass
+    * — and dangling mass — returns to the SEED set (uniform among seeds)
+    * instead of all nodes, so rank measures proximity to the seeds: the
+    * "more like these" relevance signal for seed-anchored curation.
+    * Initial mass also starts entirely on the seeds. Seeds absent from
+    * the graph still receive teleport mass (they are part of the node
+    * set via the outer join) — matching the replayed SQL exactly.
+    *
+    * Same per-round shape and localCheckpoint discipline as pageRank;
+    * the one extra ingredient is the seed count, a driver-side scalar
+    * over the (small) seed frame, baked into the update as a literal.
+    */
+  def personalizedPageRank(edges0: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, iters: Int = 3,
+      dampingNum: Long = 85L, dampingDen: Long = 100L,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1, "personalizedPageRank: iters must be >= 1")
+    val edges = edges0
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint(true)
+    val seedNodes = seeds.select(col(seedCol).as("node")).distinct()
+      .localCheckpoint(true)
+    val ns = seedNodes.count()
+    require(ns > 0, "personalizedPageRank: seed set is empty")
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node")))
+      .union(seedNodes.select(col("node")))
+      .distinct()
+    val outDeg = edges.groupBy(col("src").as("onode"))
+      .agg(count(lit(1)).as("outdeg"))
+    val base = nodes.join(outDeg, col("node") === col("onode"), "left")
+      .join(seedNodes.select(col("node"), lit(true).as("is_seed")),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("outdeg"), lit(0L)).as("outdeg"),
+        coalesce(col("is_seed"), lit(false)).as("is_seed"))
+    var ranks = base
+      .selectExpr("node", "outdeg", "is_seed",
+        s"CASE WHEN is_seed THEN ${scale}L div ${ns}L ELSE 0L END AS pr")
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val scalars = ranks.agg(
+        sum(col("pr")).as("total"),
+        sum(when(col("outdeg") === 0L, col("pr")).otherwise(0L)).as("dangling"))
+      val shares = ranks.filter(col("outdeg") > 0L)
+        .selectExpr("node AS snode", "pr div outdeg AS share")
+      val contrib = edges.join(shares, col("src") === col("snode"))
+        .groupBy(col("dst").as("cnode"))
+        .agg(sum(col("share")).as("contrib"))
+      ranks = ranks.join(contrib, col("node") === col("cnode"), "left")
+        .crossJoin(broadcast(scalars))
+        .selectExpr("node", "outdeg", "is_seed",
+          s"(CASE WHEN is_seed THEN (${dampingDen - dampingNum}L * " +
+            s"(total div ${ns}L)) div ${dampingDen}L ELSE 0L END) + " +
+            s"((${dampingNum}L * (coalesce(contrib, 0L) + " +
+            s"CASE WHEN is_seed THEN dangling div ${ns}L ELSE 0L END)) " +
+            s"div ${dampingDen}L) AS pr")
+        .localCheckpoint(true)
+    }
+    ranks.select("node", "pr")
+  }
+
   /** Semi-supervised label propagation (Zhu & Ghahramani 2002, the
     * clamped-seed variant): seed nodes carry fixed labels; every round,
     * each unlabeled-or-inferred node adopts the MAJORITY label among its

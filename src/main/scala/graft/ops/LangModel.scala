@@ -84,6 +84,31 @@ object LangModel {
   private def bucketOf(c: Column, buckets: Int): Column =
     pmod(conv(substring(md5(c), 1, 15), 16, 10).cast("long"), lit(buckets))
 
+  /** The hashing trick (Weinberger et al. 2009): each document becomes a
+    * fixed-`dims`-dimensional sparse count vector in LONG form —
+    * (idCol, dim, v) with v = Σ sign(token) over tokens hashing to dim,
+    * zero cells absent. Signed hashing makes collisions cancel in
+    * expectation instead of always inflating. Two disjoint md5 substrings
+    * supply them: dim = first-15-hex-digits mod dims, sign = parity of
+    * the 16th hex digit — both pure integer ops, so the vectorizer is
+    * bit-deterministic, engine-replayable, and needs no vocabulary: the
+    * shuffle keys on (id, dim), bounded per doc by dims, and no global
+    * dictionary build or broadcast exists at any scale.
+    */
+  def hashingVectorize(docs: DataFrame, idCol: String, textCol: String,
+      dims: Int = 256): DataFrame = {
+    require(dims >= 2, "hashingVectorize: dims must be >= 2")
+    val hex = md5(col("tok"))
+    docs.select(col(idCol), explode(toks(col(textCol))).as("tok"))
+      .select(col(idCol),
+        pmod(conv(substring(hex, 1, 15), 16, 10).cast("long"),
+          lit(dims.toLong)).as("dim"),
+        when(pmod(conv(substring(hex, 16, 1), 16, 10).cast("long"),
+          lit(2L)) === 0L, lit(1L)).otherwise(lit(-1L)).as("sign"))
+      .groupBy(col(idCol), col("dim")).agg(sum(col("sign")).as("v"))
+      .filter(col("v") =!= 0L)
+  }
+
   /** DSIR log importance weight per document over hashed unigram+bigram
     * features: logw(d) = Σ_f n_d(f) · [ln p_target(bucket(f)) −
     * ln p_raw(bucket(f))] with add-one smoothing over `buckets` buckets,

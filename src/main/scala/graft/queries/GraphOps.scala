@@ -119,6 +119,35 @@ object GraphOps {
          |${lpIterCtes(Iters)}
          |SELECT node, CAST(lbl AS BIGINT) AS label FROM l$Iters ORDER BY node""".stripMargin),
 
+    // -- personalized PageRank: teleport AND dangling mass return to the
+    //    seed pages (page % 7 = 0) so rank measures proximity to the
+    //    seeds — the "more like these" curation signal. Same integer
+    //    fixed point as q_pagerank, seed count baked in as a literal ------
+    ("q_ppr",
+      (s: SparkSession, d: String) => {
+        val edges = clickEdges(s, d)
+        val nodes = edges.select(col("src").as("node"))
+          .union(edges.select(col("dst").as("node"))).distinct()
+        graft.ops.Graph.personalizedPageRank(edges, "src", "dst",
+            nodes.filter(col("node") % 7 === 0), "node", iters = Iters)
+          .orderBy("node")
+      },
+      edgeCtes +
+        s""",
+         |nodes AS (SELECT DISTINCT node FROM
+         |  (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges) q),
+         |sd AS (SELECT node FROM nodes WHERE node % 7 = 0),
+         |ns AS (SELECT count(*) AS ns FROM sd),
+         |od AS (SELECT src AS onode, count(*) AS outdeg FROM edges GROUP BY 1),
+         |base AS (SELECT node, coalesce(outdeg, 0) AS outdeg,
+         |    node % 7 = 0 AS is_seed
+         |  FROM nodes LEFT JOIN od ON node = onode),
+         |r0 AS (SELECT node, outdeg, is_seed,
+         |  CASE WHEN is_seed THEN 1000000000000 // (SELECT ns FROM ns)
+         |       ELSE 0 END AS pr FROM base),
+         |${pprIterCtes(Iters)}
+         |SELECT node, CAST(pr AS BIGINT) AS pr FROM r$Iters ORDER BY node""".stripMargin),
+
     // -- per-node triangle counts by degree orientation: canonical
     //    undirected edges, each oriented low-(deg,id) → high, wedges at
     //    the lowest corner closed by one more oriented-edge join. The
@@ -205,6 +234,26 @@ object GraphOps {
          |live$i AS MATERIALIZED (SELECT e.a, e.b FROM live${i - 1} e
          |  JOIN kp$i x ON e.a = x.node
          |  JOIN kp$i y ON e.b = y.node)""".stripMargin
+    }.mkString(",\n")
+
+  /** One personalized-PageRank round for the q_ppr oracle, mirroring
+    * Graph.personalizedPageRank term for term: teleport and dangling mass
+    * flow to seeds only, contributions to all.
+    */
+  private def pprIterCtes(iters: Int): String =
+    (1 to iters).map { i =>
+      s"""s$i AS (SELECT sum(pr) AS total,
+         |  sum(CASE WHEN outdeg = 0 THEN pr ELSE 0 END) AS dangling FROM r${i - 1}),
+         |c$i AS (SELECT e.dst AS cnode, sum(r.pr // r.outdeg) AS contrib
+         |  FROM edges e JOIN r${i - 1} r ON e.src = r.node WHERE r.outdeg > 0
+         |  GROUP BY 1),
+         |r$i AS (SELECT b.node, b.outdeg, b.is_seed,
+         |  (CASE WHEN b.is_seed
+         |    THEN (15 * (total // (SELECT ns FROM ns))) // 100 ELSE 0 END)
+         |  + ((85 * (coalesce(contrib, 0) +
+         |      CASE WHEN b.is_seed THEN dangling // (SELECT ns FROM ns)
+         |           ELSE 0 END)) // 100) AS pr
+         |  FROM r${i - 1} b LEFT JOIN c$i ON b.node = c$i.cnode CROSS JOIN s$i)""".stripMargin
     }.mkString(",\n")
 
   /** One BFS round for the q_bfs_levels oracle, mirroring Graph.bfsLevels:

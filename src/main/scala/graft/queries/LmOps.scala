@@ -138,6 +138,29 @@ object LmOps {
         |           row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cls) AS rk
         |         FROM sc)
         |SELECT lang, pred, count(*) AS n FROM pred WHERE rk = 1
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    // -- the hashing trick: every document as a fixed-256-dim signed
+    //    sparse count vector in long form (doc_id, dim, v), no vocabulary
+    //    anywhere — dim and sign come from disjoint md5 substrings, so
+    //    DuckDB reproduces the vectors bit-for-bit. The shuffle keys on
+    //    (doc, dim) and the dimension table never exists: the featurizer
+    //    whose memory footprint is independent of corpus vocabulary ------
+    ("q_feature_hash",
+      (s: SparkSession, d: String) =>
+        graft.ops.LangModel.hashingVectorize(
+            t(s, d, "documents").filter(col("doc_id") < 40),
+            "doc_id", "text", dims = 256)
+          .orderBy("doc_id", "dim"),
+      """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w
+        |             FROM documents WHERE doc_id < 40),
+        |sgn AS (SELECT doc_id,
+        |    ('0x' || substr(md5(w), 1, 15))::BIGINT % 256 AS dim,
+        |    CASE WHEN ('0x' || substr(md5(w), 16, 1))::BIGINT % 2 = 0
+        |         THEN 1 ELSE -1 END AS sign
+        |  FROM tok)
+        |SELECT doc_id, dim, CAST(sum(sign) AS BIGINT) AS v
+        |FROM sgn GROUP BY 1, 2 HAVING sum(sign) <> 0
+        |ORDER BY doc_id, dim""".stripMargin)
   )
 }

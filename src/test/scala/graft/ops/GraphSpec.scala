@@ -96,6 +96,26 @@ class GraphSpec extends SparkSuite {
     assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 3L))
   }
 
+  test("personalized PageRank concentrates mass near the seeds") {
+    import spark.implicits._
+    // two symmetric 3-cycles bridged by one edge; seed only in the first
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (6L, 4L)).flatMap(e => Seq(e, e.swap))
+    val seeds = Seq(1L).toDF("node")
+    val r = Graph.personalizedPageRank(edges.toDF("src", "dst"), "src", "dst",
+        seeds, "node", iters = 5)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(1L) > r(3L) && r(3L) > r(5L),
+      s"rank should decay with seed distance: $r")
+    // integer mass bounded by the scale, never negative
+    assert(r.values.forall(_ >= 0L) && r.values.sum <= 1000000000000L)
+    // empty seed set fails fast
+    intercept[IllegalArgumentException] {
+      Graph.personalizedPageRank(edges.toDF("src", "dst"), "src", "dst",
+        Seq.empty[Long].toDF("node"), "node")
+    }
+  }
+
   test("kCore peels cascades: pendant chain dies round by round, clique survives") {
     import spark.implicits._
     def core(edges: Seq[(Long, Long)], k: Int, iters: Int): Map[Long, Long] =
