@@ -1,8 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Exact model-evaluation statistics as integer aggregates — the
   * eval half of a training pipeline (the trainers are Cart/Lloyd/Bpe/
@@ -14,6 +14,50 @@ import org.apache.spark.sql.functions._
   */
 object Eval {
 
+  /** Distributed running sums of `sumCols` over `df` ordered by
+    * `orderCol` — the two-phase prefix sum (per-partition totals, a
+    * #partitions-row offset map on the driver, partition-local
+    * accumulation), NOT a global window: no row ever funnels through one
+    * partition, so the shape survives any input size even though the
+    * callers here feed it distinct-score tables. `orderCol` must be a
+    * total order (the callers' groupBy guarantees distinctness); the
+    * recompute-determinism caveat on Curation.takeTokenBudget applies the
+    * same way. Appends one LongType column per entry of `outCols`,
+    * exclusive (sum of strictly-preceding rows) or inclusive.
+    */
+  private def runningSums(df: DataFrame, orderCol: String, descending: Boolean,
+      sumCols: Seq[String], outCols: Seq[String],
+      inclusive: Boolean): DataFrame = {
+    val spark = df.sparkSession
+    val key = if (descending) col(orderCol).desc else col(orderCol).asc
+    val ordered = df.repartitionByRange(key).sortWithinPartitions(key)
+    val idxs = sumCols.map(ordered.schema.fieldIndex).toArray
+    val rdd = ordered.rdd
+    def cell(r: Row, i: Int): Long = if (r.isNullAt(i)) 0L else r.getLong(i)
+    val partSums = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val s = new Array[Long](idxs.length)
+      it.foreach(r => idxs.indices.foreach(i => s(i) += cell(r, idxs(i))))
+      Iterator((pid, s))
+    }.collect().toMap
+    val offsets = (0 until rdd.getNumPartitions)
+      .scanLeft(new Array[Long](idxs.length)) { (acc, p) =>
+        val s = partSums.getOrElse(p, new Array[Long](idxs.length))
+        acc.indices.map(i => acc(i) + s(i)).toArray
+      }.init.toArray
+    val bOff = spark.sparkContext.broadcast(offsets)
+    val outSchema = outCols.foldLeft(ordered.schema)(
+      (sc, c) => sc.add(c, LongType, nullable = false))
+    val out = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val acc = bOff.value(pid).clone()
+      it.map { r =>
+        val pre = acc.clone()
+        idxs.indices.foreach(i => acc(i) += cell(r, idxs(i)))
+        Row.fromSeq(r.toSeq ++ (if (inclusive) acc.toSeq else pre.toSeq))
+      }
+    }
+    spark.createDataFrame(out, outSchema)
+  }
+
   /** Exact ROC AUC of `scoreCol` against binary `labelCol` (0/1), by the
     * Mann–Whitney rank-sum identity with midrank tie handling — doubled
     * throughout to stay integral: returns one row
@@ -22,11 +66,10 @@ object Eval {
     * definition).
     *
     * Shape: one groupBy(score) over the corpus (the only corpus-sized
-    * shuffle), then a running sum over the DISTINCT-score table ordered
-    * by score. That window is partitionless but runs over distinct
-    * scores, not rows — scores are integer features (or pre-binned
-    * model outputs), so the windowed table is bounded regardless of
-    * corpus size; bin continuous scores first to keep it that way.
+    * shuffle), then a two-phase prefix sum over the DISTINCT-score
+    * table — range-partitioned, never a global window, so even an
+    * unexpectedly huge score domain (skip binning at your peril) cannot
+    * funnel through one partition.
     */
   def aucExact(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
     // NULL scores are excluded (unrankable): Spark sorts NULLS FIRST and
@@ -35,10 +78,9 @@ object Eval {
     val byScore = df.filter(col(scoreCol).isNotNull)
       .groupBy(col(scoreCol).as("s"))
       .agg(count(lit(1)).as("n"), sum(col(labelCol)).as("pos"))
-    val w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
     // midranks doubled: every row tied at s has 2·rank = 2·below + n + 1
-    val ranked = byScore
-      .withColumn("below", coalesce(sum(col("n")).over(w), lit(0L)))
+    val ranked = runningSums(byScore, "s", descending = false,
+        Seq("n"), Seq("below"), inclusive = false)
       .select((col("pos") * (lit(2L) * col("below") + col("n") + lit(1L)))
           .as("r2pos"),
         col("n"), col("pos"))
@@ -58,7 +100,7 @@ object Eval {
     * no float division is baked in.
     *
     * Same shape as [[aucExact]]: one corpus-sized groupBy(score), then a
-    * descending running sum over the bounded distinct-score table. NULL
+    * descending two-phase prefix sum over the distinct-score table. NULL
     * scores are excluded for the same cross-engine ordering reason.
     */
   def prCurve(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
@@ -68,11 +110,8 @@ object Eval {
       .localCheckpoint(true) // read twice: totals + the cumulative pass
     val totals = byScore.agg(sum(col("pos")).as("npos"),
       sum(col("n") - col("pos")).as("nneg"))
-    val w = Window.orderBy(col("threshold").desc)
-      .rowsBetween(Window.unboundedPreceding, 0)
-    byScore
-      .withColumn("tp", sum(col("pos")).over(w))
-      .withColumn("pp", sum(col("n")).over(w))
+    runningSums(byScore, "threshold", descending = true,
+        Seq("pos", "n"), Seq("tp", "pp"), inclusive = true)
       .crossJoin(broadcast(totals)) // 1 scalar row
       .select(col("threshold"), col("tp"),
         (col("pp") - col("tp")).as("fp"),
