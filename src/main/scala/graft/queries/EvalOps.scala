@@ -13,6 +13,40 @@ object EvalOps {
 
   type Fn = (SparkSession, String) => DataFrame
 
+  /** (y, p_tree, p_forest) on the shared held-out split: the single CART
+    * tree and the bagged forest's 2-of-3 vote, one feature scan. Shared
+    * by q_model_agreement and q_mcnemar.
+    */
+  private def treeVsForest(s: SparkSession, d: String): DataFrame = {
+    val feats = CartOps.featured(s, d).localCheckpoint(true)
+    val trainHalf = feats.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val tree = graft.ops.Cart.train(trainHalf, CartOps.features, "y",
+      depth = 2, maxBins = 32)
+    val trees = CartOps.baseTrees(trainHalf)
+    val test = feats.filter(pmod(col("doc_id"), lit(2)) === 1)
+    val withTree = graft.ops.Cart.classify(test, tree)
+      .withColumnRenamed("pred", "p_tree")
+    CartOps.forestVote(withTree, trees, "p_forest")
+  }
+
+  /** The matching oracle prelude: both trainings, both routings, and a
+    * `pair` CTE of (y, pa = tree pred, pb = forest vote) per test doc.
+    */
+  private val treeVsForestCtes: String =
+    CartOps.oraclePrelude +
+      (0 until 3).map(b => CartOps.trainCtes(s"_$b",
+        s"doc_id % 2 = 0 AND ${CartOps.bagSql(b, "<>")}")).mkString +
+      ",\nte AS MATERIALIZED (SELECT * FROM lab WHERE doc_id % 2 = 1)" +
+      CartOps.routeCtes("", "predt") +
+      (0 until 3).map(b => CartOps.routeCtes(s"_$b", s"pred_$b")).mkString +
+      """,
+        |pair AS (
+        |  SELECT t.y, t.p AS pa,
+        |    CAST(CASE WHEN p0.p + p1.p + p2.p >= 2 THEN 1 ELSE 0 END
+        |      AS BIGINT) AS pb
+        |  FROM predt t JOIN pred_0 p0 USING (doc_id)
+        |       JOIN pred_1 p1 USING (doc_id) JOIN pred_2 p2 USING (doc_id))""".stripMargin
+
   val entries: Seq[(String, Fn, String)] = Seq(
 
     // -- exact ROC AUC of the f_chars feature as a scorer for the noisy
@@ -72,32 +106,10 @@ object EvalOps {
     //    hash-graded. One groupBy(pa, pb) over the test split; everything
     //    after is label²-sized --------------------------------------------
     ("q_model_agreement",
-      (s: SparkSession, d: String) => {
-        // one feature scan for all four trainings + both routings
-        val feats = CartOps.featured(s, d).localCheckpoint(true)
-        val trainHalf = feats.filter(pmod(col("doc_id"), lit(2)) === 0)
-        val tree = graft.ops.Cart.train(trainHalf, CartOps.features, "y",
-          depth = 2, maxBins = 32)
-        val trees = CartOps.baseTrees(trainHalf)
-        val test = feats.filter(pmod(col("doc_id"), lit(2)) === 1)
-        val withTree = graft.ops.Cart.classify(test, tree)
-          .withColumnRenamed("pred", "p_tree")
-        val both = CartOps.forestVote(withTree, trees, "p_forest")
-        graft.ops.Eval.cohensKappa(both, "p_tree", "p_forest")
-      },
-      CartOps.oraclePrelude +
-        (0 until 3).map(b => CartOps.trainCtes(s"_$b",
-          s"doc_id % 2 = 0 AND ${CartOps.bagSql(b, "<>")}")).mkString +
-        ",\nte AS MATERIALIZED (SELECT * FROM lab WHERE doc_id % 2 = 1)" +
-        CartOps.routeCtes("", "predt") +
-        (0 until 3).map(b => CartOps.routeCtes(s"_$b", s"pred_$b")).mkString +
+      (s: SparkSession, d: String) =>
+        graft.ops.Eval.cohensKappa(treeVsForest(s, d), "p_tree", "p_forest"),
+      treeVsForestCtes +
         """,
-          |pair AS (
-          |  SELECT t.p AS pa,
-          |    CAST(CASE WHEN p0.p + p1.p + p2.p >= 2 THEN 1 ELSE 0 END
-          |      AS BIGINT) AS pb
-          |  FROM predt t JOIN pred_0 p0 USING (doc_id)
-          |       JOIN pred_1 p1 USING (doc_id) JOIN pred_2 p2 USING (doc_id)),
           |cm AS (SELECT pa, pb, CAST(count(*) AS BIGINT) AS n
           |       FROM pair GROUP BY 1, 2),
           |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total,
@@ -110,5 +122,30 @@ object EvalOps {
           |SELECT total, agree, pe_num,
           |  agree * total - pe_num AS kappa_num,
           |  total * total - pe_num AS kappa_den
-          |FROM tot CROSS JOIN pe""".stripMargin))
+          |FROM tot CROSS JOIN pe""".stripMargin),
+
+    // -- McNemar's paired comparison of the same two models AGAINST the
+    //    label: b = docs only the tree gets right, c = only the forest —
+    //    the discordant pair counts that decide whether the ensemble's
+    //    edge is real, with the exact statistic as the integer ratio
+    //    chi2 = (b−c)²/(b+c). Kappa (above) measures agreement ignoring
+    //    truth; this measures who wins where they disagree ----------------
+    ("q_mcnemar",
+      (s: SparkSession, d: String) =>
+        treeVsForest(s, d).agg(
+            sum(when(col("p_tree") === col("y") &&
+              col("p_forest") =!= col("y"), 1L).otherwise(0L)).as("b"),
+            sum(when(col("p_tree") =!= col("y") &&
+              col("p_forest") === col("y"), 1L).otherwise(0L)).as("c"),
+            count(lit(1)).as("n"))
+          .select(col("b"), col("c"), col("n"),
+            ((col("b") - col("c")) * (col("b") - col("c"))).as("chi2_num"),
+            (col("b") + col("c")).as("chi2_den")),
+      treeVsForestCtes +
+        """
+          |SELECT b, c, n, (b - c) * (b - c) AS chi2_num, b + c AS chi2_den
+          |FROM (SELECT
+          |  CAST(sum(CASE WHEN pa = y AND pb <> y THEN 1 ELSE 0 END) AS BIGINT) AS b,
+          |  CAST(sum(CASE WHEN pa <> y AND pb = y THEN 1 ELSE 0 END) AS BIGINT) AS c,
+          |  CAST(count(*) AS BIGINT) AS n FROM pair) q""".stripMargin))
 }
