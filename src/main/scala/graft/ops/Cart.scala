@@ -210,13 +210,25 @@ object Cart {
     * label). Pure nested `when` chains built from the KB-sized model —
     * codegen'd, no join, no shuffle.
     */
-  def classify(df: DataFrame, tree: Seq[TreeNode]): DataFrame = {
+  def classify(df: DataFrame, tree: Seq[TreeNode]): DataFrame =
+    df.withColumn("pred", route(tree, _.pred))
+
+  /** Route `df` through the tree: appends `leaf` (the reached leaf's node
+    * id) — the granularity for per-leaf diagnostics like calibration.
+    */
+  def routeLeaf(df: DataFrame, tree: Seq[TreeNode]): DataFrame =
+    df.withColumn("leaf", route(tree, _.node))
+
+  /** The shared when-chain: descend from the root, emit `value` of the
+    * reached leaf.
+    */
+  private def route(tree: Seq[TreeNode], value: TreeNode => Long): Column = {
     val byId = tree.map(t => t.node -> t).toMap
     def descend(node: Long): Column = byId(node) match {
-      case t if t.feature == null => lit(t.pred)
+      case t if t.feature == null => lit(value(t))
       case t => when(col(t.feature).cast("long") <= t.threshold,
           descend(2 * t.node)).otherwise(descend(2 * t.node + 1))
     }
-    df.withColumn("pred", descend(1L))
+    descend(1L)
   }
 }

@@ -147,5 +147,40 @@ object EvalOps {
           |FROM (SELECT
           |  CAST(sum(CASE WHEN pa = y AND pb <> y THEN 1 ELSE 0 END) AS BIGINT) AS b,
           |  CAST(sum(CASE WHEN pa <> y AND pb = y THEN 1 ELSE 0 END) AS BIGINT) AS c,
-          |  CAST(count(*) AS BIGINT) AS n FROM pair) q""".stripMargin))
+          |  CAST(count(*) AS BIGINT) AS n FROM pair) q""".stripMargin),
+
+    // -- per-leaf calibration (the reliability table at the model's own
+    //    granularity): each leaf's TRAINING positive rate (its implicit
+    //    predicted probability tp/tn) beside the HELD-OUT empirical rate
+    //    — all exact integers, no binning of a float score needed because
+    //    the tree's leaves are the bins. A well-calibrated leaf has
+    //    test_pos/test_n ≈ train_pos/train_n; the gate proves the table,
+    //    ECE at any weighting derives from it -----------------------------
+    ("q_leaf_calibration",
+      (s: SparkSession, d: String) => {
+        val feats = CartOps.featured(s, d).localCheckpoint(true)
+        val tree = graft.ops.Cart.train(
+          feats.filter(pmod(col("doc_id"), lit(2)) === 0),
+          CartOps.features, "y", depth = 2, maxBins = 32)
+        val leafStats = tree.filter(_.feature == null)
+          .map(t => (t.node, t.n, t.nPos))
+        val spark2 = s
+        import spark2.implicits._
+        val trainSide = leafStats.toDF("leaf", "train_n", "train_pos")
+        graft.ops.Cart.routeLeaf(
+            feats.filter(pmod(col("doc_id"), lit(2)) === 1), tree)
+          .groupBy("leaf")
+          .agg(count(lit(1)).as("test_n"), sum(col("y")).as("test_pos"))
+          .join(broadcast(trainSide), Seq("leaf"))
+          .select("leaf", "train_n", "train_pos", "test_n", "test_pos")
+          .orderBy("leaf")
+      },
+      CartOps.oraclePrelude +
+        ",\nte AS MATERIALIZED (SELECT * FROM lab WHERE doc_id % 2 = 1)" +
+        CartOps.routeCtes("", "predc") +
+        """
+          |SELECT b.leaf, l.tn AS train_n, l.tp AS train_pos,
+          |  CAST(count(*) AS BIGINT) AS test_n, CAST(sum(b.y) AS BIGINT) AS test_pos
+          |FROM predc_b b JOIN leaves l ON l.node = b.leaf
+          |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin))
 }
