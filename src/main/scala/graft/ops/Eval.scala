@@ -77,7 +77,8 @@ object Eval {
     // sum engine-dependent — replayers must filter the same way
     val byScore = df.filter(col(scoreCol).isNotNull)
       .groupBy(col(scoreCol).as("s"))
-      .agg(count(lit(1)).as("n"), sum(col(labelCol)).as("pos"))
+      .agg(count(lit(1)).as("n"), sum(col(labelCol)).cast("long").as("pos"))
+      .localCheckpoint(true) // pin: runningSums reads it across jobs
     // midranks doubled: every row tied at s has 2·rank = 2·below + n + 1
     val ranked = runningSums(byScore, "s", descending = false,
         Seq("n"), Seq("below"), inclusive = false)
@@ -106,7 +107,7 @@ object Eval {
   def prCurve(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
     val byScore = df.filter(col(scoreCol).isNotNull)
       .groupBy(col(scoreCol).as("threshold"))
-      .agg(count(lit(1)).as("n"), sum(col(labelCol)).as("pos"))
+      .agg(count(lit(1)).as("n"), sum(col(labelCol)).cast("long").as("pos"))
       .localCheckpoint(true) // read twice: totals + the cumulative pass
     val totals = byScore.agg(sum(col("pos")).as("npos"),
       sum(col("n") - col("pos")).as("nneg"))

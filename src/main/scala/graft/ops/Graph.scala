@@ -46,45 +46,16 @@ object Graph {
   def pageRank(edges0: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 3, dampingNum: Long = 85L, dampingDen: Long = 100L,
       scale: Long = 1000000000000L): DataFrame = {
-    require(iters >= 1, "pageRank: iters must be >= 1")
-    require(dampingDen > 0 && dampingNum >= 0 && dampingNum <= dampingDen,
-      "pageRank: damping must satisfy 0 <= num <= den")
-    // materialize the edge list once — it is read every round and the
-    // caller's subplan (often a window over the raw events) is expensive
+    // standard PageRank IS the seeds-equal-all-nodes special case of the
+    // personalized update rule (uniform initial mass, teleport and
+    // dangling mass split over n = ns): one shared iteration core, so the
+    // round shape and checkpoint discipline cannot drift between the two
     val edges = edges0
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .localCheckpoint(true)
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node"))).distinct()
-    val outDeg = edges.groupBy(col("src").as("onode"))
-      .agg(count(lit(1)).as("outdeg"))
-    val base = nodes.join(outDeg, col("node") === col("onode"), "left")
-      .select(col("node"), coalesce(col("outdeg"), lit(0L)).as("outdeg"))
-    val n1 = base.agg(count(lit(1)).as("n"))
-    var ranks = base.crossJoin(broadcast(n1))
-      .selectExpr("node", "outdeg", s"${scale}L div n AS pr")
-      .localCheckpoint(true)
-    for (_ <- 1 to iters) {
-      // total mass (shrinks slowly by truncation) and the mass parked on
-      // dangling nodes, both spread uniformly in the update below
-      val scalars = ranks.agg(
-        count(lit(1)).as("n"),
-        sum(col("pr")).as("total"),
-        sum(when(col("outdeg") === 0L, col("pr")).otherwise(0L)).as("dangling"))
-      val shares = ranks.filter(col("outdeg") > 0L)
-        .selectExpr("node AS snode", "pr div outdeg AS share")
-      val contrib = edges.join(shares, col("src") === col("snode"))
-        .groupBy(col("dst").as("cnode"))
-        .agg(sum(col("share")).as("contrib"))
-      ranks = ranks.join(contrib, col("node") === col("cnode"), "left")
-        .crossJoin(broadcast(scalars))
-        .selectExpr("node", "outdeg",
-          s"((${dampingDen - dampingNum}L * (total div n)) div ${dampingDen}L) + " +
-            s"((${dampingNum}L * (coalesce(contrib, 0L) + (dangling div n))) " +
-            s"div ${dampingDen}L) AS pr")
-        .localCheckpoint(true)
-    }
-    ranks.select("node", "pr")
+    personalizedPageRank(edges, "src", "dst", nodes, "node",
+      iters, dampingNum, dampingDen, scale)
   }
 
   /** Personalized PageRank (topic-sensitive, Haveliwala 2002): identical
@@ -105,6 +76,10 @@ object Graph {
       dampingNum: Long = 85L, dampingDen: Long = 100L,
       scale: Long = 1000000000000L): DataFrame = {
     require(iters >= 1, "personalizedPageRank: iters must be >= 1")
+    require(dampingDen > 0 && dampingNum >= 0 && dampingNum <= dampingDen,
+      "personalizedPageRank: damping must satisfy 0 <= num <= den")
+    // materialize the edge list once — it is read every round and the
+    // caller's subplan (often a window over the raw events) is expensive
     val edges = edges0
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .localCheckpoint(true)

@@ -98,13 +98,12 @@ object LangModel {
   def hashingVectorize(docs: DataFrame, idCol: String, textCol: String,
       dims: Int = 256): DataFrame = {
     require(dims >= 2, "hashingVectorize: dims must be >= 2")
-    val hex = md5(col("tok"))
     docs.select(col(idCol), explode(toks(col(textCol))).as("tok"))
       .select(col(idCol),
-        pmod(conv(substring(hex, 1, 15), 16, 10).cast("long"),
-          lit(dims.toLong)).as("dim"),
-        when(pmod(conv(substring(hex, 16, 1), 16, 10).cast("long"),
-          lit(2L)) === 0L, lit(1L)).otherwise(lit(-1L)).as("sign"))
+        bucketOf(col("tok"), dims).as("dim"),
+        when(pmod(conv(substring(md5(col("tok")), 16, 1), 16, 10)
+          .cast("long"), lit(2L)) === 0L, lit(1L))
+          .otherwise(lit(-1L)).as("sign"))
       .groupBy(col(idCol), col("dim")).agg(sum(col("sign")).as("v"))
       .filter(col("v") =!= 0L)
   }
