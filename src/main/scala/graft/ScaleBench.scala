@@ -661,7 +661,61 @@ object ScaleBench {
             measured("bloom", s"$root/bloom"))
         } finally del(new java.io.File(root))
       } catch { case scala.util.control.NonFatal(_) => Map.empty }
-    val all: Map[String, (Double, Long)] = results ++ prod ++ guard ++ pct ++ ing ++ cmp ++ mrg ++ rup ++ km ++ sqz ++ skw ++ pqb
+    // Triangle-counting A/B (pseudo-name "tri"): the degree-orientation
+    // claim measured as a negative control. A hub-skewed graph whose hub
+    // DEGREE GROWS WITH THE FIXTURE (0.3% of lineitem rows wire node -1
+    // to their raw l_partkey — #parts scales 20k→200k→2M across
+    // 1×/10×/100×) is counted two ways on identical inputs:
+    // Graph.triangles (edges oriented low-(deg,id)→high, so the
+    // highest-degree hub ends with OUT-degree zero and contributes no
+    // wedges), and the naive symmetric wedge join that enumerates
+    // neighbor pairs at EVERY center — where the hub alone contributes
+    // deg²/2 candidates. The naive arm is GUARD-CAPPED: it only runs
+    // while the hub's distinct degree stays ≤ 5000, because past that
+    // its candidate count (2×10^8 at 10×, 2×10^12 at 100×) is the
+    // explosion itself — the refusal, with the oriented arm measured at
+    // every scale, IS the result (the percentile-OOM control pattern).
+    val tri: Map[String, (Double, Long)] =
+      if (!explicit.contains("tri")) Map.empty
+      else try {
+        import org.apache.spark.sql.functions.{col, count, greatest, least,
+          lit, pmod, sum, when}
+        // SPARSE background (10% of rows, constant avg degree: both node
+        // domains scale with the fixture) + one hub whose degree grows
+        // with #parts. A fixed-modulus domain would saturate and flatten
+        // the A/B; a dense blob would blow up BOTH arms on dedup alone.
+        val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        val raw = li
+          .filter(pmod(col("l_orderkey"), lit(1000)) < 3 ||
+            pmod(col("l_orderkey"), lit(10)) === 0)
+          .select(
+            when(pmod(col("l_orderkey"), lit(1000)) < 3, lit(-1L))
+              .otherwise(col("l_orderkey")).as("src"),
+            (col("l_partkey") * 8 + 1).as("dst"))
+        val oriented = timeIt {
+          graft.ops.Graph.triangles(raw, "src", "dst")
+            .agg(sum(col("triangles"))).collect(); ()
+        }
+        val hubDeg = raw.filter(col("src") === -1L)
+          .select(col("dst")).distinct().count()
+        inputRows("tri_hub_degree") = hubDeg
+        val naive: Map[String, (Double, Long)] =
+          if (hubDeg > 5000) Map.empty // candidates = hubDeg²/2: refuse
+          else Map("triangles[naive_wedges]" -> timeIt {
+            val und = raw.filter(col("src") =!= col("dst"))
+              .select(least(col("src"), col("dst")).as("a"),
+                greatest(col("src"), col("dst")).as("b"))
+              .distinct().localCheckpoint(true)
+            val adj = und.union(und.select(col("b").as("a"), col("a").as("b")))
+            val w = adj.as("p").join(adj.as("q"),
+                col("p.a") === col("q.a") && col("p.b") < col("q.b"))
+              .select(col("p.b").as("y"), col("q.b").as("z"))
+            w.join(und, col("y") === col("a") && col("z") === col("b"))
+              .agg(count(lit(1))).collect(); ()
+          })
+        Map("triangles[oriented]" -> oriented) ++ naive
+      } catch { case scala.util.control.NonFatal(_) => Map.empty }
+    val all: Map[String, (Double, Long)] = results ++ prod ++ guard ++ pct ++ ing ++ cmp ++ mrg ++ rup ++ km ++ sqz ++ skw ++ pqb ++ tri
     val qs = all.toSeq.sortBy(_._1)
       .map { case (k, (t, _)) => f""""$k":$t%.3f""" }.mkString("{", ",", "}")
     // per-query min-of-runs shuffle write MB
