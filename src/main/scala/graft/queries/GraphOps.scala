@@ -189,7 +189,7 @@ object GraphOps {
       (s: SparkSession, d: String) => {
         val edges = clickEdges(s, d)
         val srcNode = edges.agg(min(least(col("src"), col("dst"))))
-          .head.getLong(0)
+          .head().getLong(0)
         graft.ops.Graph.bfsLevels(edges, "src", "dst", lit(srcNode),
             iters = 4)
           .orderBy("node")
