@@ -131,6 +131,32 @@ object Eval {
     * pairs, tiny), marginals and the Σ product derived from it — the
     * corpus is scanned once.
     */
+  /** Binned calibration table (reliability diagram) with the exact ECE
+    * numerator, over a model probability quantized to parts-per-million
+    * (`probPpmCol`, integer in [0, 1e6]). Equal-width bins:
+    * bin = min(ppm·bins div 1e6, bins−1). Per bin the table carries
+    * (n, pos, conf_ppm = Σppm) and ece_num = |1e6·pos − conf_ppm|, so the
+    * scalar ECE = Σ ece_num / (1e6·N) — exactly, because
+    * |acc_b − conf_b|·(n_b/N) = |1e6·pos_b − Σppm_b| / (1e6·N).
+    *
+    * Quantization to ppm is what keeps the statistic integer-exact and
+    * cross-engine replayable (the model's rational probabilities pass
+    * through one truncating div); the induced error is < 1e-6 per row,
+    * i.e. below any calibration signal. One hash aggregation over the
+    * scored rows — bins-sized output, no sort, no window.
+    */
+  def eceBinned(df: DataFrame, probPpmCol: String, labelCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 1, "eceBinned: bins must be >= 1")
+    df.groupBy(least(expr(s"(cast($probPpmCol AS BIGINT) * ${bins}L) div 1000000L"),
+        lit(bins - 1L)).as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(labelCol)).cast(LongType).as("pos"),
+        sum(col(probPpmCol)).cast(LongType).as("conf_ppm"))
+      .select(col("bin"), col("n"), col("pos"), col("conf_ppm"),
+        abs(lit(1000000L) * col("pos") - col("conf_ppm")).as("ece_num"))
+  }
+
   def cohensKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
     val cm = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
       .agg(count(lit(1)).as("n"))

@@ -124,6 +124,80 @@ object Graph {
     ranks.select("node", "pr")
   }
 
+  /** Edge-weighted PageRank: identical integer fixed-point scheme to
+    * [[pageRank]] (uniform teleport and dangling redistribution over all
+    * nodes), except each out-neighbor receives mass proportional to its
+    * integer edge weight — share(u→v) = (pr(u) * w(u,v)) div wout(u),
+    * wout(u) = Σ w(u,·). The natural weight for a click graph is edge
+    * multiplicity (how often the transition was taken), which [[pageRank]]
+    * only approximates: m parallel edges there contribute
+    * m·(pr div outdeg), a DIFFERENT truncation from (pr·m) div wout, so
+    * the two operators are not interchangeable and stay separate rather
+    * than forcing one through the other's rounding.
+    *
+    * Weights must be positive integers; rows with the same (src, dst) are
+    * pre-summed so each directed pair contributes exactly one truncated
+    * share term — that grouping is what makes the round SQL-replayable
+    * without ordering sensitivity. Overflow is guarded loud: the per-edge
+    * product pr·w is bounded by scale·maxW, so maxW must stay under
+    * Long.MaxValue/scale (~9.2e6 at the default 10^12 scale) — plenty for
+    * multiplicity weights, and a real failure otherwise.
+    *
+    * Per-round shape matches [[pageRank]]: one equi-join of the grouped
+    * edge list to ranks on src, one groupBy(dst) shuffle over O(|E|)
+    * rows, two broadcast scalars, localCheckpoint per round.
+    */
+  def weightedPageRank(edges0: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, iters: Int = 3, dampingNum: Long = 85L,
+      dampingDen: Long = 100L, scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1, "weightedPageRank: iters must be >= 1")
+    require(dampingDen > 0 && dampingNum >= 0 && dampingNum <= dampingDen,
+      "weightedPageRank: damping must satisfy 0 <= num <= den")
+    val edges = edges0
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(weightCol).cast("long").as("w"))
+      .groupBy("src", "dst").agg(sum(col("w")).as("w"))
+      .localCheckpoint(true)
+    val bad = edges.agg(min(col("w")).as("mn"), max(col("w")).as("mx")).head()
+    if (!bad.isNullAt(0)) {
+      require(bad.getLong(0) > 0,
+        s"weightedPageRank: weights must be positive (min ${bad.getLong(0)})")
+      require(bad.getLong(1) <= Long.MaxValue / scale,
+        s"weightedPageRank: max weight ${bad.getLong(1)} would overflow " +
+          s"pr*w at scale $scale — rescale weights or lower scale")
+    }
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    val outW = edges.groupBy(col("src").as("onode"))
+      .agg(sum(col("w")).as("wout"))
+    val base = nodes.join(outW, col("node") === col("onode"), "left")
+      .select(col("node"), coalesce(col("wout"), lit(0L)).as("wout"))
+      .localCheckpoint(true)
+    val n = base.count()
+    var ranks = base
+      .selectExpr("node", "wout", s"${scale}L div ${n}L AS pr")
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val scalars = ranks.agg(
+        sum(col("pr")).as("total"),
+        sum(when(col("wout") === 0L, col("pr")).otherwise(0L)).as("dangling"))
+      val shares = ranks.filter(col("wout") > 0L)
+        .selectExpr("node AS snode", "pr", "wout")
+      val contrib = edges.join(shares, col("src") === col("snode"))
+        .selectExpr("dst", "(pr * w) div wout AS share")
+        .groupBy(col("dst").as("cnode"))
+        .agg(sum(col("share")).as("contrib"))
+      ranks = ranks.join(contrib, col("node") === col("cnode"), "left")
+        .crossJoin(broadcast(scalars))
+        .selectExpr("node", "wout",
+          s"((${dampingDen - dampingNum}L * (total div ${n}L)) div ${dampingDen}L) + " +
+            s"((${dampingNum}L * (coalesce(contrib, 0L) + " +
+            s"(dangling div ${n}L))) div ${dampingDen}L) AS pr")
+        .localCheckpoint(true)
+    }
+    ranks.select("node", "pr")
+  }
+
   /** Semi-supervised label propagation (Zhu & Ghahramani 2002, the
     * clamped-seed variant): seed nodes carry fixed labels; every round,
     * each unlabeled-or-inferred node adopts the MAJORITY label among its

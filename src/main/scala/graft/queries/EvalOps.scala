@@ -149,6 +149,47 @@ object EvalOps {
           |  CAST(sum(CASE WHEN pa <> y AND pb = y THEN 1 ELSE 0 END) AS BIGINT) AS c,
           |  CAST(count(*) AS BIGINT) AS n FROM pair) q""".stripMargin),
 
+    // -- binned-ECE reliability table: the tree's per-leaf training rate
+    //    becomes each held-out doc's predicted probability, quantized to
+    //    integer ppm ((tp*1e6) div tn) and binned equal-width into 10 —
+    //    the standard calibration shape for a score with more levels
+    //    than leaves, complementing q_leaf_calibration's leaf-grained
+    //    table. Per bin: n, empirical positives, summed confidence, and
+    //    the exact ECE numerator |1e6·pos − Σppm| (scalar ECE derives as
+    //    Σece_num/(1e6·N)). One routing pass + one hash agg ---------------
+    ("q_ece",
+      (s: SparkSession, d: String) => {
+        val feats = CartOps.featured(s, d).localCheckpoint(true)
+        val tree = graft.ops.Cart.train(
+          feats.filter(pmod(col("doc_id"), lit(2)) === 0),
+          CartOps.features, "y", depth = 2, maxBins = 32)
+        val leafPpm = tree.filter(_.feature == null)
+          .map(t => (t.node, t.nPos * 1000000L / t.n))
+        val spark2 = s
+        import spark2.implicits._
+        val probs = leafPpm.toDF("leaf", "p_ppm")
+        graft.ops.Eval.eceBinned(
+            graft.ops.Cart.routeLeaf(
+                feats.filter(pmod(col("doc_id"), lit(2)) === 1), tree)
+              .join(broadcast(probs), Seq("leaf")),
+            "p_ppm", "y", bins = 10)
+          .orderBy("bin")
+      },
+      CartOps.oraclePrelude +
+        ",\nte AS MATERIALIZED (SELECT * FROM lab WHERE doc_id % 2 = 1)" +
+        CartOps.routeCtes("", "predc") +
+        """,
+          |pp AS (SELECT b.y, (l.tp * 1000000) // l.tn AS ppm
+          |       FROM predc_b b JOIN leaves l ON l.node = b.leaf),
+          |bb AS (SELECT least((ppm * 10) // 1000000, 9) AS bin,
+          |         CAST(count(*) AS BIGINT) AS n,
+          |         CAST(sum(y) AS BIGINT) AS pos,
+          |         CAST(sum(ppm) AS BIGINT) AS conf_ppm
+          |       FROM pp GROUP BY 1)
+          |SELECT bin, n, pos, conf_ppm,
+          |  abs(1000000 * pos - conf_ppm) AS ece_num
+          |FROM bb ORDER BY bin""".stripMargin),
+
     // -- per-leaf calibration (the reliability table at the model's own
     //    granularity): each leaf's TRAINING positive rate (its implicit
     //    predicted probability tp/tn) beside the HELD-OUT empirical rate

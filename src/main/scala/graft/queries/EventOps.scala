@@ -385,7 +385,11 @@ object EventOps {
           s.catalog.dropTempView(sink)
           graft.streaming.EventStream.runToMemory(sess.toDF(), sink,
             org.apache.spark.sql.streaming.OutputMode.Append)
-          s.table(sink).groupBy("user_id")
+          // at-least-once replay screen (see q_stream_join): a closed
+          // session is uniquely (user_id, start_ms) — two sessions of one
+          // user are >30 min apart, so starts can't collide
+          s.table(sink).dropDuplicates("user_id", "start_ms")
+            .groupBy("user_id")
             .agg(count(lit(1)).as("n_sessions"),
               sum(col("n_events")).as("n_events"))
             .orderBy("user_id")
@@ -536,8 +540,12 @@ object EventOps {
             graft.streaming.DocStream.dedupStream(stream), sink)
           // the memory sink owns the kept rows, so aggregating after the
           // finally-delete of src is safe; bucket NULL carries the two
-          // null-text pass-through rows
+          // null-text pass-through rows. dropDuplicates(doc_id) is the
+          // at-least-once replay screen (see q_stream_join) — doc_id is
+          // unique in the augmented corpus, so it is a no-op on the true
+          // result and absorbs a replayed micro-batch exactly
           val agg = s.table(sink)
+            .dropDuplicates("doc_id")
             .groupBy(substring(md5(col("text")), 1, 1).as("bucket"))
             .agg(count(lit(1)).as("n_kept"),
               sum(length(col("text")).cast("long")).as("chars"))
@@ -601,7 +609,15 @@ object EventOps {
         s.catalog.dropTempView(sink)
         graft.streaming.EventStream.runToMemory(joined, sink,
           org.apache.spark.sql.streaming.OutputMode.Append)
+        // streaming sinks are at-least-once: a micro-batch replayed after
+        // a failure between data delivery and checkpoint commit lands
+        // twice. (event_id, p_event_id) is a true key of the join result
+        // (both ids are unique in the source), so a keyed dedupe makes
+        // the read-back exactly-once with zero semantic change — the r11
+        // driver run flaked here with the duplication signature (rows
+        // matched, one user's n_pairs hash-diverged)
         s.table(sink)
+          .dropDuplicates("event_id", "p_event_id")
           .groupBy("user_id")
           .agg(count(lit(1)).as("n_pairs"),
             countDistinct(col("event_id")).as("n_errors"),
@@ -691,6 +707,11 @@ object EventOps {
           // memory sink owns the joined rows — aggregating after the
           // finally-delete of src is safe
           s.table(sink)
+            // keyed replay screen (see q_stream_join): (event_id,
+            // p_event_id) is a true key — matched rows via unique ids,
+            // the one unmatched NULL row per error via dropDuplicates'
+            // null-safe equality
+            .dropDuplicates("event_id", "p_event_id")
             .filter(col("user_id") >= 0) // drop sentinel-key rows
             .groupBy("user_id")
             .agg(count(lit(1)).as("n_rows"),

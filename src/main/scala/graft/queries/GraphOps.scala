@@ -91,6 +91,34 @@ object GraphOps {
          |${oracleIterCtes(Iters)}
          |SELECT node, CAST(pr AS BIGINT) AS pr FROM r$Iters ORDER BY node""".stripMargin),
 
+    // -- edge-WEIGHTED PageRank: the same click graph but transition
+    //    multiplicity matters — (src,dst) pairs collapse to one weighted
+    //    edge and each out-neighbor's share is (pr*w) div wout, a
+    //    different truncation from q_pagerank's per-parallel-edge form
+    //    (see Graph.weightedPageRank). Round shape unchanged: one
+    //    groupBy(dst) shuffle per round over the grouped edge list -------
+    ("q_pagerank_weighted",
+      (s: SparkSession, d: String) => {
+        val e = clickEdges(s, d)
+          .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+        graft.ops.Graph.weightedPageRank(e, "src", "dst", "w", iters = Iters)
+          .orderBy("node")
+      },
+      edgeCtes +
+        s""",
+         |we AS MATERIALIZED (SELECT src, dst, count(*) AS w
+         |  FROM edges GROUP BY 1, 2),
+         |nodes AS (SELECT DISTINCT node FROM
+         |  (SELECT src AS node FROM we UNION ALL SELECT dst FROM we) q),
+         |ow AS (SELECT src AS onode, sum(w) AS wout FROM we GROUP BY 1),
+         |nn AS (SELECT count(*) AS n FROM nodes),
+         |base AS (SELECT node, coalesce(wout, 0) AS wout
+         |  FROM nodes LEFT JOIN ow ON node = onode),
+         |r0 AS (SELECT node, wout,
+         |  1000000000000 // (SELECT n FROM nn) AS pr FROM base),
+         |${wprIterCtes(Iters)}
+         |SELECT node, CAST(pr AS BIGINT) AS pr FROM r$Iters ORDER BY node""".stripMargin),
+
     // -- label propagation over the same click graph: pages with
     //    page % 5 = 0 are seeds labeled page % 3; three clamped
     //    synchronous rounds of labeled-neighbor majority vote (ties →
@@ -253,6 +281,24 @@ object GraphOps {
          |  + ((85 * (coalesce(contrib, 0) +
          |      CASE WHEN b.is_seed THEN dangling // (SELECT ns FROM ns)
          |           ELSE 0 END)) // 100) AS pr
+         |  FROM r${i - 1} b LEFT JOIN c$i ON b.node = c$i.cnode CROSS JOIN s$i)""".stripMargin
+    }.mkString(",\n")
+
+  /** One weighted-PageRank round for the q_pagerank_weighted oracle,
+    * mirroring Graph.weightedPageRank term for term: weighted shares
+    * (pr*w) // wout per grouped edge, uniform teleport and dangling
+    * redistribution over the fixed node count nn.
+    */
+  private def wprIterCtes(iters: Int): String =
+    (1 to iters).map { i =>
+      s"""s$i AS (SELECT sum(pr) AS total,
+         |  sum(CASE WHEN wout = 0 THEN pr ELSE 0 END) AS dangling FROM r${i - 1}),
+         |c$i AS (SELECT e.dst AS cnode, sum((r.pr * e.w) // r.wout) AS contrib
+         |  FROM we e JOIN r${i - 1} r ON e.src = r.node WHERE r.wout > 0
+         |  GROUP BY 1),
+         |r$i AS (SELECT b.node, b.wout,
+         |  ((15 * (total // (SELECT n FROM nn))) // 100)
+         |  + ((85 * (coalesce(contrib, 0) + (dangling // (SELECT n FROM nn)))) // 100) AS pr
          |  FROM r${i - 1} b LEFT JOIN c$i ON b.node = c$i.cnode CROSS JOIN s$i)""".stripMargin
     }.mkString(",\n")
 

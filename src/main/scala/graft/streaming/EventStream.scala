@@ -113,11 +113,19 @@ object EventStream {
     * purchases within the preceding `windowMinutes`. Both sides carry
     * watermarks so join state is evicted; the time-range predicate bounds
     * how long a purchase is buffered.
+    *
+    * The output carries BOTH sides' event ids (`event_id`, `p_event_id`),
+    * so (event_id, p_event_id) is a true key of the result. That matters
+    * downstream: streaming sinks are at-least-once (a batch replayed
+    * after a failure between data commit and checkpoint commit is
+    * delivered again), and a keyed output is what lets consumers dedupe
+    * replays exactly — the same screen-on-a-key discipline
+    * [[versionedSink]]'s docs prescribe for file sinks.
     */
   def errorsAfterPurchases(events: DataFrame, windowMinutes: Int = 30): DataFrame = {
     val purchases = events.filter(col("event_type") === "purchase")
-      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
-        col("value").as("purchase_value"))
+      .select(col("event_id").as("p_event_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"), col("value").as("purchase_value"))
       .withWatermark("p_ts", "1 hour")
     val errors = events.filter(col("event_type") === "error")
       .select(col("event_id"), col("user_id").as("e_user"), col("ts").as("e_ts"))
@@ -126,7 +134,7 @@ object EventStream {
       col("e_user") === col("p_user") &&
         col("p_ts") <= col("e_ts") &&
         col("p_ts") >= col("e_ts") - expr(s"INTERVAL $windowMinutes MINUTES"))
-      .select(col("event_id"), col("e_user").as("user_id"),
+      .select(col("event_id"), col("p_event_id"), col("e_user").as("user_id"),
         col("e_ts"), col("p_ts"), col("purchase_value"))
   }
 
@@ -163,15 +171,15 @@ object EventStream {
       .select(col("event_id"), col("user_id").as("e_user"), col("ts").as("e_ts"))
       .withWatermark("e_ts", "1 hour")
     val purchases = events.filter(col("event_type") === "purchase")
-      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
-        col("value").as("purchase_value"))
+      .select(col("event_id").as("p_event_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"), col("value").as("purchase_value"))
       .withWatermark("p_ts", "1 hour")
     errors.join(purchases,
       col("e_user") === col("p_user") &&
         col("p_ts") <= col("e_ts") &&
         col("p_ts") >= col("e_ts") - expr(s"INTERVAL $windowMinutes MINUTES"),
       "left_outer")
-      .select(col("event_id"), col("e_user").as("user_id"),
+      .select(col("event_id"), col("p_event_id"), col("e_user").as("user_id"),
         col("e_ts"), col("p_ts"), col("purchase_value"))
   }
 
