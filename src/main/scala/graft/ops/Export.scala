@@ -58,6 +58,54 @@ object Export {
     * scheme with row counts instead of token sums. Both passes map the
     * same shuffled RDD instance, so the sort is computed once.
     */
+  /** Re-shard by SIZE: pack rows, in `orderCols` order (must be a total
+    * order), into consecutive shards of ~`targetBytes` by the exclusive
+    * running total of `sizeCol` — shard = before div targetBytes. The
+    * rebalancing pass a shard store needs when upstream batches left it
+    * fragmented into many small archives (WebDataset-style training reads
+    * want few large sequential shards, not thousands of KB-sized ones) —
+    * compose with [[graft.sources.Tar.writeShards]] on the result.
+    *
+    * Every shard except the last lands in (targetBytes − maxRow,
+    * targetBytes + maxRow): the greedy order-preserving packing, exactly
+    * the assignment a single-threaded repacker would produce, but
+    * computed distributed via [[Curation.takeTokenBudget]]'s two-phase
+    * prefix sum (one range exchange, a #partitions-row collect, no
+    * global window, no one-task funnel). Deterministic given the total
+    * order — SQL-replayable, retry-stable (same caveat as
+    * takeTokenBudget: the order's totality is what makes recomputed
+    * partitions reproduce the layout).
+    */
+  def reshardBySize(df: DataFrame, orderCols: Seq[Column], sizeCol: String,
+      targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val spark = df.sparkSession
+    val ordered = df
+      .repartitionByRange(orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+    val sizeIdx = ordered.schema.fieldIndex(sizeCol)
+    val rdd = ordered.rdd
+    val partSums = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var s = 0L
+      it.foreach(r => s += r.getAs[Number](sizeIdx).longValue)
+      Iterator((pid, s))
+    }.collect().toMap
+    val offsets = (0 until rdd.getNumPartitions)
+      .scanLeft(0L)((acc, p) => acc + partSums.getOrElse(p, 0L)).init.toArray
+    val bOff = spark.sparkContext.broadcast(offsets)
+    val outSchema = ordered.schema.add("shard",
+      org.apache.spark.sql.types.LongType, nullable = false)
+    val out = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var before = bOff.value(pid)
+      it.map { r =>
+        val shard = before / targetBytes
+        before += r.getAs[Number](sizeIdx).longValue
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ shard)
+      }
+    }
+    spark.createDataFrame(out, outSchema)
+  }
+
   def assignShards(df: DataFrame, orderCols: Seq[Column], nShards: Int): DataFrame = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
     val spark = df.sparkSession

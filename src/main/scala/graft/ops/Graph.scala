@@ -315,6 +315,57 @@ object Graph {
       .groupBy("node").agg(count(lit(1)).as("triangles"))
   }
 
+  /** Link prediction over the undirected simple graph: for every
+    * non-adjacent pair (a, b) sharing at least `minCommon` neighbors,
+    * the classic neighborhood scores — common-neighbor count,
+    * Adamic–Adar (Σ 1/ln(deg(x)) over common neighbors x, carried as
+    * round(1e6/ln deg) integer micro-units so the sum is order-free and
+    * SQL-replayable), and both endpoint degrees (Jaccard derives exactly
+    * as common/(deg_a + deg_b − common)). The candidate generation is
+    * wedge enumeration at each shared neighbor — the "people you may
+    * know" / related-page signal of link-graph curation.
+    *
+    * Scale: wedge fan-out is quadratic in the CENTER's degree, and —
+    * unlike [[triangles]] — orientation can't help, because every wedge
+    * is a candidate, not just the closed ones. The standard mitigation
+    * is the same as Dedup's posting-list dfCap: centers with degree >
+    * `maxDeg` are excluded from wedge generation (a hub adjacent to
+    * everyone predicts nothing — its 1/ln(deg) weight is why Adamic–Adar
+    * discounts hubs in the first place), bounding per-center work at
+    * maxDeg² and total candidates at |V|·maxDeg². The cap is an explicit
+    * recall tradeoff: pairs whose ONLY shared neighbors are mega-hubs
+    * are not emitted. Everything else is equi-joins + one hash
+    * aggregation keyed on the pair.
+    */
+  def linkPredict(edges0: DataFrame, srcCol: String, dstCol: String,
+      maxDeg: Long = 1000L, minCommon: Long = 1L): DataFrame = {
+    require(maxDeg >= 2, "linkPredict: maxDeg must be >= 2")
+    val und = canonicalUndirected(edges0, srcCol, dstCol)
+    val deg = und.select(col("a").as("node"))
+      .union(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    val sym = und.select(col("a").as("x"), col("b").as("y"))
+      .union(und.select(col("b").as("x"), col("a").as("y")))
+    // wedge centers: deg in [2, maxDeg] — deg-1 nodes have no wedges,
+    // hubs are capped out (scaladoc); 1/ln(deg) is finite on this range
+    val ctr = sym.join(deg.filter(col("deg") >= 2L && col("deg") <= maxDeg)
+        .select(col("node").as("x"), col("deg")), Seq("x"))
+      .withColumn("aa1", expr("CAST(round(1000000.0 / ln(deg)) AS BIGINT)"))
+    val pairs = ctr.select(col("x"), col("y").as("pa"), col("aa1"))
+      .join(ctr.select(col("x"), col("y").as("pb")),
+        Seq("x"))
+      .filter(col("pa") < col("pb"))
+      .groupBy(col("pa").as("a"), col("pb").as("b"))
+      .agg(count(lit(1)).as("common"), sum(col("aa1")).as("aa_micro"))
+      .filter(col("common") >= minCommon)
+    pairs
+      .join(und, Seq("a", "b"), "left_anti") // only NOT-yet-linked pairs
+      .join(deg.select(col("node").as("a"), col("deg").as("deg_a")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("deg_b")), Seq("b"))
+      .select("a", "b", "common", "aa_micro", "deg_a", "deg_b")
+  }
+
   /** k-core peeling, `iters` synchronous rounds: repeatedly drop every
     * node whose degree in the SURVIVING graph is < k (and its edges).
     * Returns (node, deg) for nodes still alive after `iters` rounds with

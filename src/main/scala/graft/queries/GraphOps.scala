@@ -176,6 +176,53 @@ object GraphOps {
          |${pprIterCtes(Iters)}
          |SELECT node, CAST(pr AS BIGINT) AS pr FROM r$Iters ORDER BY node""".stripMargin),
 
+    // -- link prediction on the click graph: non-adjacent page pairs
+    //    scored by shared neighborhood — common-neighbor count,
+    //    Adamic–Adar in integer micro-units (round(1e6/ln deg) per
+    //    shared neighbor), endpoint degrees (Jaccard derives exactly).
+    //    Wedge centers capped at deg ≤ 25 (the dfCap-style hub guard —
+    //    see Graph.linkPredict's recall note; active at sf0.01, where
+    //    degrees reach 32); pairs need ≥ 2 shared neighbors. The raw
+    //    click graph is near-complete at sf0.01 (nothing left to
+    //    predict), so a deterministic hash keeps every third undirected
+    //    edge — the held-out-edges evaluation setup link prediction is
+    //    actually scored with. Both engines enumerate the same wedges ---
+    ("q_link_predict",
+      (s: SparkSession, d: String) =>
+        graft.ops.Graph.linkPredict(
+            clickEdges(s, d).filter(
+              (least(col("src"), col("dst")) * 31 +
+                greatest(col("src"), col("dst"))) % 3 === 0),
+            "src", "dst", maxDeg = 25L, minCommon = 2L)
+          .orderBy("a", "b"),
+      edgeCtes +
+        s""",
+          |edges_h AS (SELECT src, dst FROM edges
+          |  WHERE (least(src, dst) * 31 + greatest(src, dst)) % 3 = 0),
+          |und AS MATERIALIZED (
+          |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          |  FROM edges_h WHERE src <> dst),
+          |dg AS MATERIALIZED (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM
+          |  (SELECT a AS node FROM und UNION ALL SELECT b FROM und) q GROUP BY 1),
+          |sym AS (SELECT a AS x, b AS y FROM und
+          |        UNION ALL SELECT b, a FROM und),
+          |ctr AS MATERIALIZED (SELECT s.x, s.y,
+          |    CAST(round(1000000.0 / ln(d.deg)) AS BIGINT) AS aa1
+          |  FROM sym s JOIN dg d ON d.node = s.x
+          |  WHERE d.deg BETWEEN 2 AND 25),
+          |wg AS (SELECT c1.y AS a, c2.y AS b,
+          |    CAST(count(*) AS BIGINT) AS common,
+          |    CAST(sum(c1.aa1) AS BIGINT) AS aa_micro
+          |  FROM ctr c1 JOIN ctr c2 ON c1.x = c2.x AND c1.y < c2.y
+          |  GROUP BY 1, 2 HAVING count(*) >= 2)
+          |SELECT w.a, w.b, w.common, w.aa_micro,
+          |  da.deg AS deg_a, db.deg AS deg_b
+          |FROM wg w
+          |JOIN dg da ON da.node = w.a JOIN dg db ON db.node = w.b
+          |WHERE NOT EXISTS (SELECT 1 FROM und e
+          |                  WHERE e.a = w.a AND e.b = w.b)
+          |ORDER BY w.a, w.b""".stripMargin),
+
     // -- per-node triangle counts by degree orientation: canonical
     //    undirected edges, each oriented low-(deg,id) → high, wedges at
     //    the lowest corner closed by one more oriented-edge join. The

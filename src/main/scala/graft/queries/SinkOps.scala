@@ -566,6 +566,64 @@ object SinkOps {
         |  min(doc_id) AS first_id
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // -- tar shard REBALANCING: a store fragmented into 32 small archives
+    //    (the residue of incremental ingest batches) is repacked into
+    //    ~16 KiB sequential shards — read back, size-packed in doc_id
+    //    order by Export.reshardBySize's two-phase prefix sum (one range
+    //    exchange, no global window), rewritten with Tar.writeShards'
+    //    atomic commit. The gate reads the REPACKED store and checks the
+    //    full per-shard layout (membership boundaries, byte sizes, id
+    //    ranges) against DuckDB replaying the same greedy packing — so a
+    //    dropped doc, a split at the wrong byte, or a payload corruption
+    //    all fail the hash. WebDataset stores need exactly this pass:
+    //    trainers stream large sequential shards, not 32 KB fragments ----
+    ("q_tar_reshard",
+      (s: SparkSession, d: String) => {
+        val small = storeDir("tarsmall", d)
+        val packed = storeDir("tarpacked", d)
+        deleteRecursively(new java.io.File(small))
+        deleteRecursively(new java.io.File(packed))
+        val docs = t(s, d, "documents")
+          .select(pmod(col("doc_id"), lit(32)).as("shard"),
+            concat(col("doc_id").cast("string"), lit(".txt")).as("name"),
+            encode(col("text"), "UTF-8").as("payload"))
+        graft.sources.Tar.writeShards(docs, small, "shard", "name", "payload")
+        val members = graft.sources.Tar.readShards(s, small)
+          .select(
+            regexp_extract(col("name"), "^(\\d+)\\.txt$", 1)
+              .cast("long").as("doc_id"),
+            col("name"), col("payload"),
+            length(col("payload")).cast("long").as("sz"))
+        val packedDf = graft.ops.Export.reshardBySize(
+          members, Seq(col("doc_id").asc), "sz", targetBytes = 16384L)
+        graft.sources.Tar.writeShards(packedDf, packed, "shard", "name",
+          "payload")
+        graft.sources.Tar.readShards(s, packed)
+          .select(
+            regexp_extract(col("shard_file"), "^shard-(\\d+)\\.tar$", 1)
+              .cast("long").as("shard"),
+            regexp_extract(col("name"), "^(\\d+)\\.txt$", 1)
+              .cast("long").as("doc_id"),
+            length(col("payload")).cast("long").as("sz"))
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("doc_id")).as("n_ids"),
+            sum(col("sz")).as("bytes"),
+            min(col("doc_id")).as("first_id"),
+            max(col("doc_id")).as("last_id"))
+          .orderBy("shard")
+      },
+      """WITH sz AS (SELECT doc_id, octet_length(encode(text)) AS sz
+        |            FROM documents),
+        |a AS (SELECT doc_id, sz,
+        |  coalesce(sum(sz) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS fore
+        |  FROM sz)
+        |SELECT fore // 16384 AS shard, count(*) AS n_docs,
+        |  count(DISTINCT doc_id) AS n_ids, CAST(sum(sz) AS BIGINT) AS bytes,
+        |  min(doc_id) AS first_id, max(doc_id) AS last_id
+        |FROM a GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // -- parquet-footer manifest (ops/Manifest): row counts and column
     //    min/max decoded from FOOTERS ONLY must agree with the relational
     //    facts computed from the data — the stats a 100 TB store's

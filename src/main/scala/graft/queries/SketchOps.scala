@@ -215,5 +215,83 @@ object SketchOps {
         |  CAST(x.exact AS BIGINT) AS exact
         |FROM est e JOIN (SELECT item, count(*) AS exact FROM keyed GROUP BY 1) x
         |  USING (item)
+        |ORDER BY item""".stripMargin),
+
+    // -- STREAMING count-min maintenance under the gate: the events keys
+    //    arrive as three staged files under maxFilesPerTrigger=1, each
+    //    micro-batch sketches ITSELF and lands its d×w delta cells at an
+    //    idempotent per-batch path (overwrite of cells/batch=<id> — an
+    //    at-least-once replay rewrites the same bytes, the foreachBatch
+    //    twin of q_stream_join's keyed screen), and the final probe runs
+    //    over the cell-wise SUM of the per-batch tables. Count-min cells
+    //    are additive, so the merged sketch is bit-identical to the
+    //    whole-table build — proven here against the SAME DuckDB oracle
+    //    that grades the batch q_cms_estimate, estimates and exacts
+    //    hash-compared. The store pattern is the 100 TB shape: per-window
+    //    KB-sized sketch tables, rollup by addition, no raw-row rescan ----
+    ("q_stream_cms",
+      (s: SparkSession, d: String) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_stream_cms")
+        try {
+          val src = s"$tmp/src"; val cellDir = s"$tmp/cells"
+          val keyed = t(s, d, "events").select(
+            concat(col("event_type"), lit("#"),
+              regexp_extract(col("props"), "\"k\": ([0-9]+)", 1)).as("key"),
+            col("event_id"))
+          (0 until 3).foreach { i =>
+            keyed.filter(pmod(col("event_id"), lit(3)) === i)
+              .coalesce(1).write.mode("append").parquet(src)
+          }
+          val q = s.readStream.schema(keyed.schema)
+            .option("pathGlobFilter", "*.parquet")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .writeStream
+            .option("checkpointLocation", s"$tmp/ckpt")
+            .foreachBatch { (b: DataFrame, id: Long) =>
+              graft.ops.Sketches.countMinCells(b, "key")
+                .coalesce(1).write.mode("overwrite")
+                .parquet(s"$cellDir/batch=$id")
+              ()
+            }
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+          require(dataBatches >= 3, s"staged cms stream should take >=3 " +
+            s"micro-batches (3 files, maxFilesPerTrigger=1); got $dataBatches")
+          val cells = s.read.parquet(cellDir)
+            .groupBy("j", "h").agg(sum(col("c")).as("c"))
+          val exact = keyed.groupBy(col("key").as("item"))
+            .agg(count(lit(1)).as("exact"))
+          val res = graft.ops.Sketches.countMinEstimate(cells, keyed, "key")
+            .join(exact, Seq("item"))
+            .orderBy("item")
+          // materialize (distinct-key-sized) before finally deletes cells
+          import scala.jdk.CollectionConverters._
+          s.createDataFrame(res.collect().toSeq.asJava, res.schema)
+        } finally {
+          graft.ops.Layout.deleteRecursively(tmp.toFile)
+        }
+      },
+      """WITH keyed AS (SELECT event_type || '#' ||
+        |    regexp_extract(props, '"k": ([0-9]+)', 1) AS item FROM events),
+        |cells AS MATERIALIZED (
+        |  SELECT j, ('0x' || substr(md5(j || ':' || item), 1, 15))::BIGINT % 64 AS h,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM keyed CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) rows_
+        |  GROUP BY 1, 2),
+        |probes AS (
+        |  SELECT item, j,
+        |    ('0x' || substr(md5(j || ':' || item), 1, 15))::BIGINT % 64 AS h
+        |  FROM (SELECT DISTINCT item FROM keyed)
+        |  CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) rows_),
+        |est AS (SELECT p.item, min(coalesce(c.c, 0)) AS est
+        |  FROM probes p LEFT JOIN cells c ON p.j = c.j AND p.h = c.h
+        |  GROUP BY 1)
+        |SELECT e.item, CAST(e.est AS BIGINT) AS est,
+        |  CAST(x.exact AS BIGINT) AS exact
+        |FROM est e JOIN (SELECT item, count(*) AS exact FROM keyed GROUP BY 1) x
+        |  USING (item)
         |ORDER BY item""".stripMargin))
 }
