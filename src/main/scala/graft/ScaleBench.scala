@@ -715,7 +715,45 @@ object ScaleBench {
           })
         Map("triangles[oriented]" -> oriented) ++ naive
       } catch { case scala.util.control.NonFatal(_) => Map.empty }
-    val all: Map[String, (Double, Long)] = results ++ prod ++ guard ++ pct ++ ing ++ cmp ++ mrg ++ rup ++ km ++ sqz ++ skw ++ pqb ++ tri
+    // Link-prediction hub-cap A/B (pseudo-name "wedge"): the SAME
+    // hub-skewed fixture as "tri", scored two ways. Unlike triangles,
+    // orientation cannot save link prediction — EVERY wedge is a
+    // candidate pair, not just closed ones — so the only defense against
+    // a growing hub is Graph.linkPredict's maxDeg center cap (the
+    // posting-list dfCap pattern). Capped arm (maxDeg=1000) runs at
+    // every scale; the uncapped arm (maxDeg=Long.MaxValue/2) is
+    // GUARD-CAPPED at hub degree ≤ 5000 — past that its hub alone emits
+    // deg²/2 ~ 10^12 pairs and the refusal is the measurement.
+    val wdg: Map[String, (Double, Long)] =
+      if (!explicit.contains("wedge")) Map.empty
+      else try {
+        import org.apache.spark.sql.functions.{col, count, lit, pmod, when}
+        val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        val raw = li
+          .filter(pmod(col("l_orderkey"), lit(1000)) < 3 ||
+            pmod(col("l_orderkey"), lit(10)) === 0)
+          .select(
+            when(pmod(col("l_orderkey"), lit(1000)) < 3, lit(-1L))
+              .otherwise(col("l_orderkey")).as("src"),
+            (col("l_partkey") * 8 + 1).as("dst"))
+        val capped = timeIt {
+          graft.ops.Graph.linkPredict(raw, "src", "dst",
+              maxDeg = 1000L, minCommon = 2L)
+            .agg(count(lit(1))).collect(); ()
+        }
+        val hubDeg = raw.filter(col("src") === -1L)
+          .select(col("dst")).distinct().count()
+        inputRows("wedge_hub_degree") = hubDeg
+        val uncapped: Map[String, (Double, Long)] =
+          if (hubDeg > 5000) Map.empty // hub emits deg²/2 pairs: refuse
+          else Map("link_predict[uncapped]" -> timeIt {
+            graft.ops.Graph.linkPredict(raw, "src", "dst",
+                maxDeg = Long.MaxValue / 2, minCommon = 2L)
+              .agg(count(lit(1))).collect(); ()
+          })
+        Map("link_predict[capped1000]" -> capped) ++ uncapped
+      } catch { case scala.util.control.NonFatal(_) => Map.empty }
+    val all: Map[String, (Double, Long)] = results ++ prod ++ guard ++ pct ++ ing ++ cmp ++ mrg ++ rup ++ km ++ sqz ++ skw ++ pqb ++ tri ++ wdg
     val qs = all.toSeq.sortBy(_._1)
       .map { case (k, (t, _)) => f""""$k":$t%.3f""" }.mkString("{", ",", "}")
     // per-query min-of-runs shuffle write MB

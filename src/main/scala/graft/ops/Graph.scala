@@ -401,6 +401,52 @@ object Graph {
       .groupBy("node").agg(count(lit(1)).as("deg"))
   }
 
+  /** Single-source shortest paths with positive integer edge weights,
+    * `iters` synchronous Bellman–Ford rounds over the symmetrized edge
+    * set: each round relaxes EVERY edge (dist'(v) = min(dist(v),
+    * min over in-edges (dist(u) + w))), so after k rounds the frame holds
+    * the exact shortest distance among paths of ≤ k hops — the weighted
+    * generalization of [[bfsLevels]] (unreached nodes absent). Integer
+    * distances, fixed round count → exactly SQL-replayable as unrolled
+    * min-union CTEs.
+    *
+    * Per round: one equi-join of the current distance frame to edges +
+    * one min-aggregation keyed on dst — O(|E|) shuffle, hash-partitioned,
+    * AQE-splittable, localCheckpoint'd so lineage stays flat. The
+    * synchronous all-edges relax is deliberate (it is the replayable
+    * form); a production path for large diameters would add a
+    * changed-only frontier (delta stepping), trading SQL replayability
+    * for touching only active edges — same tradeoff [[bfsLevels]]'s
+    * frontier already demonstrates for the unweighted case.
+    */
+  def sssp(edges0: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, source: Column, iters: Int = 4): DataFrame = {
+    require(iters >= 1, "sssp: iters must be >= 1")
+    val edges = edges0
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(weightCol).cast("long").as("w"))
+      .localCheckpoint(true)
+    val neg = edges.filter(col("w") <= 0L).limit(1).collect()
+    require(neg.isEmpty,
+      s"sssp: weights must be positive (found w=${if (neg.nonEmpty) neg(0).getLong(2) else 0})")
+    val sym = edges
+      .union(edges.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      .groupBy("src", "dst").agg(min(col("w")).as("w")) // parallel edges: keep cheapest
+      .localCheckpoint(true)
+    var dist = edges0.sparkSession.range(1)
+      .select(source.as("node"), lit(0L).as("dist"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val relaxed = sym.join(dist.select(col("node").as("sn"), col("dist")),
+          col("src") === col("sn"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      dist = dist.union(relaxed)
+        .groupBy("node").agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+    }
+    dist
+  }
+
   /** Single-source BFS hop distances over the symmetrized edge set,
     * bounded at `iters` rounds (unreached nodes are absent). Frontier
     * style: round i expands only the nodes first reached at distance

@@ -249,6 +249,82 @@ object Multimodal {
     }
   }
 
+  /** 64-bit audio fingerprint: the clip's samples split into `frames`+1
+    * equal windows, per-window energy (Σ|amplitude|), one bit per
+    * adjacent-window comparison (energy rises → 1) — frame-energy delta
+    * coding, the time-axis twin of [[dHash]]'s row gradients and the
+    * core move of published audio fingerprints (threshold the DELTA of
+    * band/frame energies, not their absolute level, so overall gain
+    * cancels out of every bit). Emitted as two 32-bit halves like the
+    * image hashes, so [[audioNearDupPairs]] reuses the same banded
+    * pairing and its pigeonhole guarantee verbatim.
+    *
+    * Formats: "wav" decodes for real through [[decodeWav]]; "fakepcm"
+    * treats payload bytes as unsigned 8-bit samples (energy |b−128|,
+    * all-integer) — the stub that lets the DuckDB oracle replay every
+    * bit from the corpus bytes, exactly [[StubCodec]]'s role for images
+    * (the real-decode half is spec-gated in MultimodalSpec). Same
+    * mapPartitions scale shape as [[extractAudioFeatures]]: payload
+    * never shuffles, only the 17-byte hash row does.
+    */
+  def audioFingerprint(audio: Dataset[AudioRow]): DataFrame = {
+    import audio.sparkSession.implicits._
+    audio.mapPartitions { rows =>
+      rows.map { r =>
+        val energies: Array[Double] = r.format match {
+          case "fakepcm" =>
+            val b = r.payload
+            require(b.length >= 65,
+              s"audioFingerprint: clip ${r.media_id} has ${b.length} fake " +
+                "samples; need >= 65 for 65 windows")
+            frameEnergies(b.length, 65, i => math.abs((b(i) & 0xff) - 128).toDouble)
+          case _ =>
+            val (_, samples) = decodeWav(r.payload)
+            require(samples.length >= 65,
+              s"audioFingerprint: clip ${r.media_id} has ${samples.length} " +
+                "samples; need >= 65 for 65 windows")
+            frameEnergies(samples.length, 65, i => math.abs(samples(i)))
+        }
+        var hi = 0L; var lo = 0L
+        var j = 0
+        while (j < 64) {
+          val bit = if (energies(j + 1) > energies(j)) 1L else 0L
+          if (j < 32) lo |= bit << j else hi |= bit << (j - 32)
+          j += 1
+        }
+        (r.media_id, hi, lo)
+      }
+    }.toDF("media_id", "afp_hi", "afp_lo")
+  }
+
+  /** Σ f(i) over `frames` equal windows of [0, n) — boundaries at
+    * (j·n) div frames, the same floor split the SQL replay uses.
+    */
+  private def frameEnergies(n: Int, frames: Int,
+      f: Int => Double): Array[Double] = {
+    val out = new Array[Double](frames)
+    var j = 0
+    while (j < frames) {
+      var i = j * n / frames
+      val end = (j + 1) * n / frames
+      var s = 0.0
+      while (i < end) { s += f(i); i += 1 }
+      out(j) = s
+      j += 1
+    }
+    out
+  }
+
+  /** [[dHashNearDupPairs]] over an [[audioFingerprint]] table — the same
+    * 4×16-band machinery and pigeonhole guarantee, third hash family.
+    */
+  def audioNearDupPairs(hashes: DataFrame, idCol: String,
+      maxDist: Int = 3): DataFrame =
+    dHashNearDupPairs(
+      hashes.withColumnRenamed("afp_hi", "dhash_hi")
+        .withColumnRenamed("afp_lo", "dhash_lo"),
+      idCol, maxDist)
+
   /** Batched feature extraction: decode → mean intensity, resize dims,
     * frame-sample offsets. One decoder context per partition (the
     * mapPartitions contract production decoders need), payload dropped on

@@ -228,6 +228,127 @@ object EventOps {
         |  ON e.user_id = p.user_id AND e.day = p.day AND e.ms >= p.ms
         |ORDER BY e.event_id""".stripMargin),
 
+    // -- CO-VISITATION: page pairs visited by the same user on the same
+    //    day — the related-items signal session-based recommenders rank
+    //    by. Pair generation is quadratic in a user-day's DISTINCT page
+    //    set, so user-days with > 30 pages are dropped before the
+    //    self-join (the power-user guard — same cap family as
+    //    link_predict's maxDeg and Dedup's dfCap: a user who visits
+    //    everything co-visits nothing informative); support counts
+    //    user-days, pairs need support ≥ 2. All equi-joins on (user,
+    //    day) + one pair-keyed hash agg ------------------------------------
+    ("q_covisit",
+      (s: SparkSession, d: String) => {
+        val visits = t(s, d, "events")
+          .select(col("user_id"), nsDiv("ts", NS_PER_DAY).as("day"),
+            regexp_extract(col("props"), "\"k\": ([0-9]+)", 1)
+              .cast("long").as("page"))
+          .distinct()
+        val small = visits.groupBy("user_id", "day")
+          .agg(count(lit(1)).as("n_pages"))
+          .filter(col("n_pages") <= 30)
+          .select("user_id", "day")
+        val v = visits.join(small, Seq("user_id", "day"), "left_semi")
+        v.select(col("user_id"), col("day"), col("page").as("pa"))
+          .join(v.select(col("user_id"), col("day"), col("page").as("pb")),
+            Seq("user_id", "day"))
+          .filter(col("pa") < col("pb"))
+          .groupBy(col("pa").as("page_a"), col("pb").as("page_b"))
+          .agg(count(lit(1)).as("support"))
+          .filter(col("support") >= 2)
+          .orderBy("page_a", "page_b")
+      },
+      """WITH visits AS (SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day,
+        |    CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS page
+        |  FROM events),
+        |small AS (SELECT user_id, day FROM visits
+        |  GROUP BY 1, 2 HAVING count(*) <= 30),
+        |v AS (SELECT visits.* FROM visits JOIN small USING (user_id, day))
+        |SELECT a.page AS page_a, b.page AS page_b,
+        |  CAST(count(*) AS BIGINT) AS support
+        |FROM v a JOIN v b ON a.user_id = b.user_id AND a.day = b.day
+        |  AND a.page < b.page
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY 1, 2""".stripMargin),
+
+    // -- per-user 7-day ROLLING revenue at each purchase: a rangeBetween
+    //    window PARTITIONED BY USER (per-key partitions — the shape that
+    //    holds at 10^9 users; PlanSpec's ban is on partitionLESS windows),
+    //    exact cents. The running-exposure feature online systems join
+    //    at serve time --------------------------------------------------
+    ("q_rolling_revenue",
+      (s: SparkSession, d: String) => {
+        val p = t(s, d, "events")
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"),
+            nsDiv("ts", NS_PER_MS).as("ms"), cents(col("value")).as("c"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ms")
+          .rangeBetween(-604800000L, 0L)
+        p.select(col("event_id"), col("user_id"), col("ms"),
+            sum(col("c")).over(w).as("roll_cents"))
+          .orderBy("event_id")
+      },
+      """WITH p AS (SELECT event_id, user_id, epoch_ms(ts) AS ms,
+        |    CAST(round(value * 100) AS BIGINT) AS c
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT event_id, user_id, ms,
+        |  sum(c) OVER (PARTITION BY user_id ORDER BY ms
+        |    RANGE BETWEEN 604800000 PRECEDING AND CURRENT ROW) AS roll_cents
+        |FROM p ORDER BY event_id""".stripMargin),
+
+    // -- LAST-TOUCH ATTRIBUTION: each purchase credited to the same
+    //    user's most recent click within a 7-day lookback — the as-of
+    //    join reused as marketing attribution (attach latest-at-or-before
+    //    click, then the lookback filter: if the latest click is outside
+    //    the window, every click is). Ties at one ms resolve to the
+    //    largest page on BOTH engines (AsofJoin's payload tiebreaker ↔
+    //    the oracle's two-step max). Revenue rides exact cents; the
+    //    unattributed remainder reports as page NULL so credit sums to
+    //    total revenue ---------------------------------------------------
+    ("q_attribution",
+      (s: SparkSession, d: String) => {
+        val ev = t(s, d, "events")
+          .select(col("event_id"), col("user_id"),
+            nsDiv("ts", NS_PER_MS).as("ms"), col("event_type"), col("value"),
+            regexp_extract(col("props"), "\"k\": ([0-9]+)", 1)
+              .cast("long").as("page"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ms"), col("value"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ms"), col("page"),
+            col("ms").as("click_ms"))
+        graft.ops.AsofJoin.asof(purchases, clicks, "user_id", "ms", "ms",
+            Seq("page", "click_ms"))
+          .select(col("value"),
+            when(col("click_ms") >= col("ms") - 604800000L, col("page"))
+              .as("page"))
+          .groupBy("page")
+          .agg(count(lit(1)).as("n_purchases"),
+            sum(cents(col("value"))).as("revenue_cents"))
+          .orderBy("page")
+      },
+      """WITH p AS (SELECT event_id, user_id, epoch_ms(ts) AS ms,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, epoch_ms(ts) AS ms,
+        |    CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS page
+        |  FROM events WHERE event_type = 'click'),
+        |cand AS (SELECT p.event_id AS pid, p.cents, c.ms AS cms, c.page
+        |  FROM p JOIN c ON p.user_id = c.user_id
+        |    AND c.ms <= p.ms AND c.ms >= p.ms - 604800000),
+        |best AS (SELECT pid, max(cms) AS bms FROM cand GROUP BY 1),
+        |pick AS (SELECT cand.pid, cand.cents, max(cand.page) AS page
+        |  FROM cand JOIN best ON cand.pid = best.pid AND cand.cms = best.bms
+        |  GROUP BY 1, 2)
+        |SELECT page, count(*) AS n_purchases, sum(cents) AS revenue_cents
+        |FROM pick GROUP BY 1
+        |UNION ALL
+        |SELECT CAST(NULL AS BIGINT), count(*), sum(cents)
+        |FROM p WHERE event_id NOT IN (SELECT pid FROM pick)
+        |HAVING count(*) > 0
+        |ORDER BY page""".stripMargin),
+
     // -- funnel: users progressing view → click → purchase in strict time
     //    order. Each stage is a per-user min-time aggregate joined to the
     //    previous stage's anchor — one shuffle per stage on user_id (all

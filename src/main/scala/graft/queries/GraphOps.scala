@@ -278,6 +278,33 @@ object GraphOps {
           |${bfsIterCtes(4)}
           |SELECT node, dist FROM d4 ORDER BY node""".stripMargin),
 
+    // -- weighted single-source shortest paths (4 Bellman–Ford rounds)
+    //    from the smallest page: transition weight 1+((src*7+dst)%5) as
+    //    synthetic cost, parallel edges keep the cheapest, symmetrized.
+    //    After 4 rounds: exact shortest distance among ≤4-hop paths —
+    //    the weighted twin of q_bfs_levels; the oracle unrolls the same
+    //    min-union relaxation rounds ------------------------------------
+    ("q_sssp",
+      (s: SparkSession, d: String) => {
+        val edges = clickEdges(s, d)
+          .withColumn("w", (col("src") * 7 + col("dst")) % 5 + 1)
+        val srcNode = edges.agg(min(least(col("src"), col("dst"))))
+          .head().getLong(0)
+        graft.ops.Graph.sssp(edges, "src", "dst", "w", lit(srcNode),
+            iters = 4)
+          .orderBy("node")
+      },
+      edgeCtes +
+        s""",
+          |we AS (SELECT src, dst, (src * 7 + dst) % 5 + 1 AS w FROM edges),
+          |sym AS MATERIALIZED (SELECT src, dst, min(w) AS w FROM
+          |  (SELECT src, dst, w FROM we UNION ALL SELECT dst, src, w FROM we) q
+          |  GROUP BY 1, 2),
+          |d0 AS (SELECT (SELECT min(least(src, dst)) FROM edges) AS node,
+          |       CAST(0 AS BIGINT) AS dist),
+          |${ssspIterCtes(4)}
+          |SELECT node, dist FROM d4 ORDER BY node""".stripMargin),
+
     // -- k-core peeling (k=3, 4 synchronous rounds): survivors of
     //    iterated remove-degree-<k, with residual degree — the "densely
     //    embedded" curation filter one-hop thresholds can't express.
@@ -360,6 +387,20 @@ object GraphOps {
          |d$i AS MATERIALIZED (SELECT * FROM d${i - 1} UNION ALL
          |  SELECT node, CAST($i AS BIGINT) FROM f$i
          |  WHERE node NOT IN (SELECT node FROM d${i - 1}))""".stripMargin
+    }.mkString(",\n")
+
+  /** One Bellman–Ford relaxation round for the q_sssp oracle, mirroring
+    * Graph.sssp: min-union of the carried distances with every edge
+    * relaxed from the previous round's frame.
+    */
+  private def ssspIterCtes(iters: Int): String =
+    (1 to iters).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT node, min(dist) AS dist FROM
+         |  (SELECT node, dist FROM d${i - 1}
+         |   UNION ALL
+         |   SELECT e.dst, p.dist + e.w FROM sym e
+         |   JOIN d${i - 1} p ON e.src = p.node) q
+         |  GROUP BY 1)""".stripMargin
     }.mkString(",\n")
 
   /** One label-propagation round for the q_label_prop oracle, mirroring

@@ -1154,6 +1154,108 @@ object TextOps {
         |             ELSE (n//4 - 1) / CAST(n - 1 AS DOUBLE) END, 4) AS zcr
         |FROM q ORDER BY media_id""".stripMargin),
 
+    // -- AUDIO fingerprint (frame-energy delta coding) through the real
+    //    mapPartitions decode shape: 65 equal windows over the sample
+    //    stream, Σ|amplitude| per window, one bit per adjacent-window
+    //    energy rise — the time-axis twin of q_image_dhash's gradients
+    //    (delta coding cancels overall gain out of every bit). The
+    //    fakepcm stub treats corpus bytes as unsigned 8-bit samples
+    //    (energy |b−128|, all-integer), so the oracle replays every bit
+    //    from ord(substr(…)) window sums; the REAL decodeWav half is
+    //    spec-gated in MultimodalSpec like the image codecs -------------
+    ("q_audio_fingerprint",
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        val audio = t(s, d, "documents")
+          .filter(col("doc_id") < 200 && length(col("text")) >= 65)
+          .select(col("doc_id").as("media_id"),
+            encode(col("text"), "UTF-8").as("payload"),
+            lit("fakepcm").as("format"))
+          .as[graft.ops.Multimodal.AudioRow]
+        graft.ops.Multimodal.audioFingerprint(audio).orderBy("media_id")
+      },
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, text, octet_length(encode(text)) AS len
+        |  FROM documents WHERE doc_id < 200 AND length(text) >= 65),
+        |en AS (
+        |  SELECT media_id,
+        |    [ list_sum([ abs(ord(substr(text, p + 1, 1)) - 128)
+        |        for p in range((j * len) // 65, ((j + 1) * len) // 65) ])
+        |      for j in range(0, 65) ] AS en
+        |  FROM m),
+        |b AS (
+        |  SELECT media_id,
+        |    [ CASE WHEN en[j + 2] > en[j + 1] THEN 1 ELSE 0 END
+        |      for j in range(0, 64) ] AS bits
+        |  FROM en)
+        |SELECT media_id,
+        |  cast(list_sum([ bits[i + 33] * (1::BIGINT << i) for i in range(0, 32) ]) AS BIGINT) AS afp_hi,
+        |  cast(list_sum([ bits[i + 1] * (1::BIGINT << i) for i in range(0, 32) ]) AS BIGINT) AS afp_lo
+        |FROM b ORDER BY media_id""".stripMargin),
+
+    // -- audio near-dup PAIRING under the gate: corpus + an exact copy
+    //    (+1000) and a one-byte edit (+2000) per clip, fingerprinted and
+    //    paired via the SAME 4×16 band join as the image families (the
+    //    banding never looks inside the bits — third hash family, zero
+    //    new pairing code). A one-byte edit perturbs ONE window energy,
+    //    so at most its two adjacent delta bits flip — provably within
+    //    the banding's Hamming ≤ 3 pigeonhole guarantee. The oracle is
+    //    brute-force all-pairs Hamming over the replayed fingerprints:
+    //    equality proves the banded join misses nothing -----------------
+    ("q_audio_neardup",
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        val base = t(s, d, "documents")
+          .filter(col("doc_id") < 200 && length(col("text")) >= 65)
+          .select(col("doc_id"), col("text"))
+        val audio = base.select(col("doc_id").as("media_id"), col("text"))
+          .unionByName(base.select((col("doc_id") + 1000L).as("media_id"),
+            col("text")))
+          .unionByName(base.select((col("doc_id") + 2000L).as("media_id"),
+            expr("substr(text, 1, 9) || 'Z' || substr(text, 11)").as("text")))
+          .select(col("media_id"),
+            encode(col("text"), "UTF-8").as("payload"),
+            lit("fakepcm").as("format"))
+          .as[graft.ops.Multimodal.AudioRow]
+        graft.ops.Multimodal.audioNearDupPairs(
+            graft.ops.Multimodal.audioFingerprint(audio), "media_id",
+            maxDist = 3)
+          .orderBy("a", "b")
+      },
+      """WITH src AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE doc_id < 200 AND length(text) >= 65),
+        |m AS (
+        |  SELECT doc_id AS media_id, text, octet_length(encode(text)) AS len
+        |  FROM src
+        |  UNION ALL
+        |  SELECT doc_id + 1000, text, octet_length(encode(text)) FROM src
+        |  UNION ALL
+        |  SELECT doc_id + 2000, substr(text, 1, 9) || 'Z' || substr(text, 11),
+        |    octet_length(encode(substr(text, 1, 9) || 'Z' || substr(text, 11)))
+        |  FROM src),
+        |en AS (
+        |  SELECT media_id,
+        |    [ list_sum([ abs(ord(substr(text, p + 1, 1)) - 128)
+        |        for p in range((j * len) // 65, ((j + 1) * len) // 65) ])
+        |      for j in range(0, 65) ] AS en
+        |  FROM m),
+        |b AS (
+        |  SELECT media_id,
+        |    [ CASE WHEN en[j + 2] > en[j + 1] THEN 1 ELSE 0 END
+        |      for j in range(0, 64) ] AS bits
+        |  FROM en),
+        |hx AS (
+        |  SELECT media_id,
+        |    cast(list_sum([ bits[i + 33] * (1::BIGINT << i) for i in range(0, 32) ]) AS BIGINT) AS hi,
+        |    cast(list_sum([ bits[i + 1] * (1::BIGINT << i) for i in range(0, 32) ]) AS BIGINT) AS lo
+        |  FROM b)
+        |SELECT a, b, dist FROM (
+        |  SELECT h1.media_id AS a, h2.media_id AS b,
+        |    cast(bit_count(xor(h1.hi, h2.hi)) + bit_count(xor(h1.lo, h2.lo)) AS BIGINT) AS dist
+        |  FROM hx h1 JOIN hx h2 ON h1.media_id < h2.media_id)
+        |WHERE dist <= 3 ORDER BY a, b""".stripMargin),
+
     // -- script-mix profile: per-document character counts by Unicode
     //    block (Latin letters, CJK Unified, Cyrillic) — the evidence
     //    column a language-ID pass sanity-checks against, and the router

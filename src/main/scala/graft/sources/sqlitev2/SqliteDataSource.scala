@@ -66,6 +66,47 @@ class SqliteDataSource extends TableProvider
   }
 }
 
+/** Catalog-routed face of the connector (`SupportsCatalogOptions`):
+  *
+  * {{{
+  * spark.conf.set("spark.sql.catalog.forestdb",
+  *   "graft.sources.sqlitev2.SqliteCatalog")
+  * spark.conf.set("spark.sql.catalog.forestdb.path", "data/forestation.db")
+  * spark.read.format("graft-sqlite-catalog")
+  *   .option("catalog", "forestdb").option("table", "forests").load()
+  * }}}
+  *
+  * The reader API resolves through the REGISTERED [[SqliteCatalog]]
+  * (extractCatalog/extractIdentifier) instead of carrying a file path per
+  * read — one configured path, every read against it consistent, and the
+  * same `forestdb.main.forests` identity whether addressed from SQL or
+  * the reader. A SEPARATE short name from `graft-sqlite` on purpose:
+  * Spark routes EVERY `.load()` of a `SupportsCatalogOptions` provider
+  * through a catalog, so mixing the interface into [[SqliteDataSource]]
+  * would break its documented path-based `.load("file.db")` form (no
+  * registered catalog to route to). Two names, two contracts, one table
+  * implementation underneath.
+  */
+class SqliteCatalogSource extends SqliteDataSource
+    with org.apache.spark.sql.connector.catalog.SupportsCatalogOptions {
+  override def shortName(): String = "graft-sqlite-catalog"
+
+  private def need(options: CaseInsensitiveStringMap, key: String): String =
+    Option(options.get(key)).getOrElse(throw new IllegalArgumentException(
+      s"graft-sqlite-catalog: option '$key' is required — this form reads " +
+        "through a registered catalog (spark.sql.catalog.<name> = " +
+        "graft.sources.sqlitev2.SqliteCatalog); use format 'graft-sqlite' " +
+        "with .load(path) for direct file reads"))
+
+  override def extractCatalog(
+      options: CaseInsensitiveStringMap): String = need(options, "catalog")
+
+  override def extractIdentifier(
+      options: CaseInsensitiveStringMap): org.apache.spark.sql.connector.catalog.Identifier =
+    org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array("main"), need(options, "table"))
+}
+
 class SqliteTable(path: String, table: String, schema: StructType)
     extends Table with SupportsRead {
   override def name(): String = s"graft-sqlite $path#$table"

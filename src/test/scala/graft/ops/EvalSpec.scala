@@ -78,4 +78,32 @@ class EvalSpec extends SparkSuite {
     val d = Eval.cohensKappa(disjoint, "a", "b").head()
     assert(d.getAs[Long]("pe_num") === 0L && d.getAs[Long]("agree") === 0L)
   }
+
+  test("eceBinned: bins, counts, and the ECE identity against brute force") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val rows = Seq.fill(300)((rnd.nextInt(1000001).toLong,
+      if (rnd.nextBoolean()) 1L else 0L))
+    val got = Eval.eceBinned(rows.toDF("ppm", "y"), "ppm", "y", bins = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val brute = rows.groupBy { case (p, _) => math.min(p * 10 / 1000000, 9) }
+      .map { case (b, xs) =>
+        val pos = xs.map(_._2).sum; val conf = xs.map(_._1).sum
+        b -> (xs.size.toLong, pos, conf, math.abs(1000000L * pos - conf))
+      }
+    assert(got === brute)
+    // the scalar identity: sum(ece_num)/(1e6*N) == sum over bins of
+    // (n_b/N)*|acc_b - conf_b| computed in doubles (within fp tolerance)
+    val n = rows.size.toDouble
+    val exact = got.values.map(_._4).sum / (1e6 * n)
+    val ref = brute.values.map { case (nb, pos, conf, _) =>
+      (nb / n) * math.abs(pos.toDouble / nb - conf / (1e6 * nb))
+    }.sum
+    assert(math.abs(exact - ref) < 1e-9, s"$exact vs $ref")
+    // ppm = 1e6 lands in the top bin (the min(..., bins-1) clamp)
+    val top = Eval.eceBinned(Seq((1000000L, 1L)).toDF("ppm", "y"),
+      "ppm", "y", bins = 10).head()
+    assert(top.getLong(0) === 9L)
+  }
 }

@@ -65,4 +65,43 @@ class ExportSpec extends SparkSuite {
     val got = assigned.select("doc_id", "shard")
     assert(got.exceptAll(ref).isEmpty && ref.exceptAll(got).isEmpty)
   }
+
+  test("reshardBySize matches the window reference; shard sizes bounded by target + max row") {
+    val target = 4096L
+    val packed = Export.reshardBySize(docs.select("doc_id", "n_chars"),
+      Seq(col("doc_id").asc), "n_chars", target)
+    // semantic twin: exclusive running sum via a no-partition window
+    // (fine at spec scale), shard = before div target
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val ref = docs.select("doc_id", "n_chars")
+      .withColumn("shard",
+        expr(s"coalesce(sum(n_chars) OVER (ORDER BY doc_id ROWS BETWEEN " +
+          s"UNBOUNDED PRECEDING AND 1 PRECEDING), 0) div ${target}L"))
+    assert(packed.select("doc_id", "shard")
+      .exceptAll(ref.select("doc_id", "shard")).isEmpty)
+    // every shard except the last stays within target + one max row, and
+    // shard ids are consecutive from 0
+    val stats = packed.groupBy("shard")
+      .agg(sum(col("n_chars").cast("long")).as("bytes"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val maxRow = docs.agg(max(col("n_chars").cast("long"))).head().getLong(0)
+    assert(stats.map(_._1).toSeq === stats.indices.map(_.toLong))
+    stats.dropRight(1).foreach { case (s, b) =>
+      assert(b <= target + maxRow && b + maxRow >= target, s"shard $s: $b")
+    }
+    // determinism across partitionings (the total-order contract)
+    val re = Export.reshardBySize(
+      docs.select("doc_id", "n_chars").repartition(13),
+      Seq(col("doc_id").asc), "n_chars", target)
+    assert(packed.select("doc_id", "shard")
+      .exceptAll(re.select("doc_id", "shard")).isEmpty)
+  }
+
+  test("reshardBySize rejects a non-positive target") {
+    val e = intercept[IllegalArgumentException] {
+      Export.reshardBySize(docs, Seq(col("doc_id")), "n_chars", 0L)
+    }
+    assert(e.getMessage.contains("positive"), e.getMessage)
+  }
 }

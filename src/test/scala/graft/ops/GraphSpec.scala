@@ -133,4 +133,115 @@ class GraphSpec extends SparkSuite {
     // k=3 kills everything (no node has 3 surviving neighbors)
     assert(core(edges, 3, 4) === Map.empty)
   }
+
+  test("weightedPageRank: weight shifts mass; uniform weights track pageRank's order") {
+    import spark.implicits._
+    // 1 splits between 2 and 3, weight 9:1 — node 2 must far outrank 3
+    val w = Seq((1L, 2L, 9L), (1L, 3L, 1L), (2L, 1L, 1L), (3L, 1L, 1L))
+      .toDF("src", "dst", "w")
+    val r = Graph.weightedPageRank(w, "src", "dst", "w")
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(2L) > 3 * r(3L), r.toString)
+    // total mass stays ~scale (truncation leaks ≤ a few units per node)
+    assert(math.abs(r.values.sum - 1000000000000L) < 100L)
+    // equal weights: same RANKING as pageRank on the simple-graph edges
+    val simple = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L))
+    val uni = Graph.weightedPageRank(
+        simple.map { case (a, b) => (a, b, 1L) }.toDF("src", "dst", "w"),
+        "src", "dst", "w")
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val pr = ranks(simple)
+    assert(uni.toSeq.sortBy(-_._2).map(_._1) === pr.toSeq.sortBy(-_._2).map(_._1))
+  }
+
+  test("weightedPageRank guards: non-positive weight and overflow-scale weights fail loud") {
+    import spark.implicits._
+    val bad = Seq((1L, 2L, 0L)).toDF("src", "dst", "w")
+    val e1 = intercept[IllegalArgumentException] {
+      Graph.weightedPageRank(bad, "src", "dst", "w")
+    }
+    assert(e1.getMessage.contains("positive"), e1.getMessage)
+    val big = Seq((1L, 2L, Long.MaxValue / 1000L)).toDF("src", "dst", "w")
+    val e2 = intercept[IllegalArgumentException] {
+      Graph.weightedPageRank(big, "src", "dst", "w")
+    }
+    assert(e2.getMessage.contains("overflow"), e2.getMessage)
+  }
+
+  test("sssp matches brute-force Dijkstra within the hop bound; parallel edges keep cheapest") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 4) {
+      val n = 10 + trial * 2
+      val edges = Seq.fill(40)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong,
+        1L + rnd.nextInt(9)))
+      val iters = 4
+      val got = Graph.sssp(edges.toDF("src", "dst", "w"), "src", "dst", "w",
+          org.apache.spark.sql.functions.lit(0L), iters = iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // brute force: min cost over all paths of <= iters hops (symmetric)
+      val sym = (edges ++ edges.map(e => (e._2, e._1, e._3)))
+        .filter(e => e._1 != e._2)
+        .groupBy(e => (e._1, e._2)).map { case (k, es) => (k._1, k._2, es.map(_._3).min) }
+      var dist = Map(0L -> 0L)
+      for (_ <- 1 to iters) {
+        val relaxed = sym.flatMap { case (a, b, w) =>
+          dist.get(a).map(da => b -> (da + w)) }
+          .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
+        dist = (dist.toSeq ++ relaxed.toSeq).groupBy(_._1)
+          .map { case (k, vs) => k -> vs.map(_._2).min }
+      }
+      // both sides: node 0 at distance 0 plus everything reached in
+      // <= iters relaxation rounds (self-loops never improve: w > 0)
+      assert(got === dist, s"trial $trial")
+    }
+  }
+
+  test("sssp refuses non-positive weights") {
+    import spark.implicits._
+    val e = intercept[IllegalArgumentException] {
+      Graph.sssp(Seq((1L, 2L, 0L)).toDF("src", "dst", "w"), "src", "dst",
+        "w", org.apache.spark.sql.functions.lit(1L))
+    }
+    assert(e.getMessage.contains("positive"), e.getMessage)
+  }
+
+  test("linkPredict matches brute force; adjacent pairs excluded; hub cap drops hub-only pairs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val n = 14
+    val base = Seq.fill(50)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+    // a hub (99) wired to every node: with maxDeg below n its wedges
+    // must vanish; without the cap it manufactures pairs everywhere
+    val edges = base ++ (0L until n.toLong).map(i => (99L, i))
+    val df = edges.toDF("src", "dst")
+    def brute(maxDeg: Long): Map[(Long, Long), (Long, Long, Long)] = {
+      val und = edges.filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).toSet
+      val nbrs = und.toSeq.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+      val deg = nbrs.map { case (k, v) => k -> v.size.toLong }
+      val cand = for {
+        (x, ys) <- nbrs.toSeq if deg(x) >= 2 && deg(x) <= maxDeg
+        s = ys.toSeq.sorted; i <- s.indices; j <- (i + 1) until s.size
+      } yield (s(i), s(j))
+      cand.groupBy(identity).collect {
+        case (p, xs) if xs.size >= 2 && !und(p) =>
+          p -> (xs.size.toLong, deg(p._1), deg(p._2))
+      }.toMap
+    }
+    for (cap <- Seq(5L, 1000L)) {
+      val got = Graph.linkPredict(df, "src", "dst", maxDeg = cap,
+          minCommon = 2L)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(4), r.getLong(5))).toMap
+      assert(got === brute(cap), s"cap $cap")
+    }
+    // the hub itself can still APPEAR in pairs (as an endpoint), but no
+    // wedge is generated AT it under the cap: capped candidate set is a
+    // strict subset of the uncapped one
+    val capped = Graph.linkPredict(df, "src", "dst", 5L, 1L).count()
+    val full = Graph.linkPredict(df, "src", "dst", 1000L, 1L).count()
+    assert(capped < full)
+  }
 }

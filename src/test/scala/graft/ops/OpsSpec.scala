@@ -687,4 +687,57 @@ class OpsSpec extends SparkSuite {
       Multimodal.decodeWav("definitely not a wav container".getBytes)
     }
   }
+
+  test("Multimodal: audioFingerprint — real WAV path deterministic, copies pair at 0, gain cancels") {
+    import spark.implicits._
+    val wav = Multimodal.sineWav(440.0, 0.5, 0.1)
+    val loud = Multimodal.sineWav(440.0, 0.9, 0.1) // same signal, more gain
+    def fp(rows: Seq[Multimodal.AudioRow]): Map[Long, (Long, Long)] =
+      Multimodal.audioFingerprint(rows.toDS())
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val m = fp(Seq(Multimodal.AudioRow(1L, wav, "wav"),
+      Multimodal.AudioRow(2L, wav, "wav"),
+      Multimodal.AudioRow(3L, loud, "wav")))
+    assert(m(1L) === m(2L)) // byte-identical copy: identical fingerprint
+    assert(m === fp(Seq(Multimodal.AudioRow(1L, wav, "wav"),
+      Multimodal.AudioRow(2L, wav, "wav"),
+      Multimodal.AudioRow(3L, loud, "wav")))) // rerun-deterministic
+    // delta coding cancels uniform gain: 0.9x vs 0.5x amplitude scales
+    // every window energy by ~the same factor, so the comparison bits
+    // agree (quantization can flip near-tie windows of the periodic
+    // sine; allow the banding's own tolerance)
+    def dist(a: (Long, Long), b: (Long, Long)): Int =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+    assert(dist(m(1L), m(3L)) <= 3, s"gain changed ${dist(m(1L), m(3L))} bits")
+    // the banded pairing (shared with the image families) confirms both
+    val pairs = Multimodal.audioNearDupPairs(
+        Multimodal.audioFingerprint(Seq(
+          Multimodal.AudioRow(1L, wav, "wav"),
+          Multimodal.AudioRow(2L, wav, "wav"),
+          Multimodal.AudioRow(3L, loud, "wav")).toDS()),
+        "media_id", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0L))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 3L))
+  }
+
+  test("Multimodal: audioFingerprint fakepcm — one-byte edit flips at most 2 bits; short clip refused") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(9)
+    val base = Array.fill(400)((rnd.nextInt(256) - 128).toByte)
+    val edited = base.clone(); edited(137) = (edited(137) + 90).toByte
+    val m = Multimodal.audioFingerprint(Seq(
+        Multimodal.AudioRow(1L, base, "fakepcm"),
+        Multimodal.AudioRow(2L, edited, "fakepcm")).toDS())
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val d = java.lang.Long.bitCount(m(1L)._1 ^ m(2L)._1) +
+      java.lang.Long.bitCount(m(1L)._2 ^ m(2L)._2)
+    assert(d <= 2, s"one-byte edit flipped $d bits") // one window, two deltas
+    val e = intercept[Exception] {
+      Multimodal.audioFingerprint(Seq(
+        Multimodal.AudioRow(9L, Array.fill(10)(1.toByte), "fakepcm")).toDS())
+        .collect()
+    }
+    assert(e.getMessage.contains("65") || e.getCause.getMessage.contains("65"))
+  }
 }

@@ -169,6 +169,39 @@ class SqliteV2Spec extends SparkSuite {
       e.getMessage)
   }
 
+  test("SupportsCatalogOptions: reader resolves through the registered catalog") {
+    spark.conf.set("spark.sql.catalog.optdb",
+      classOf[graft.sources.sqlitev2.SqliteCatalog].getName)
+    spark.conf.set("spark.sql.catalog.optdb.path",
+      res("forestation_subset.db"))
+    // no .load(path): the catalog owns the file, the read names the table
+    val viaOpts = spark.read.format("graft-sqlite-catalog")
+      .option("catalog", "optdb").option("table", "forest_area").load()
+    val direct = v2("forest_area")
+    assert(viaOpts.schema === direct.schema)
+    assert(viaOpts.exceptAll(direct).isEmpty &&
+      direct.exceptAll(viaOpts).isEmpty)
+    // unknown table surfaces the catalog's not-found, not a decode error
+    val e = intercept[Exception] {
+      spark.read.format("graft-sqlite-catalog")
+        .option("catalog", "optdb").option("table", "nope").load()
+    }
+    assert(e.getMessage.toLowerCase.contains("nope") ||
+      Option(e.getCause).exists(_.getMessage.toLowerCase.contains("nope")),
+      e.getMessage)
+    // missing catalog/table options → actionable message naming the option
+    val e2 = intercept[IllegalArgumentException] {
+      spark.read.format("graft-sqlite-catalog")
+        .option("table", "forest_area").load()
+    }
+    assert(e2.getMessage.contains("catalog"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      spark.read.format("graft-sqlite-catalog")
+        .option("catalog", "optdb").load()
+    }
+    assert(e3.getMessage.contains("table"), e3.getMessage)
+  }
+
   test("missing table option / missing path fail with actionable messages") {
     val e1 = intercept[IllegalArgumentException] {
       spark.read.format("graft-sqlite").load(res("forestation_subset.db"))
