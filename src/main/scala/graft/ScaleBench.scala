@@ -675,29 +675,38 @@ object ScaleBench {
     // its candidate count (2×10^8 at 10×, 2×10^12 at 100×) is the
     // explosion itself — the refusal, with the oriented arm measured at
     // every scale, IS the result (the percentile-OOM control pattern).
+    // The shared hub-skewed fixture of the "tri" and "wedge" A/Bs: SPARSE
+    // background (10% of rows, constant avg degree: both node domains
+    // scale with the fixture) + one hub whose degree grows with #parts.
+    // A fixed-modulus domain would saturate and flatten the A/Bs; a dense
+    // blob would blow up BOTH arms on dedup alone. One definition so the
+    // two controls measure the SAME graph; hubFixtureDegree is the guard
+    // input both arms cap on.
+    def hubFixture(): org.apache.spark.sql.DataFrame = {
+      import org.apache.spark.sql.functions.{col, lit, pmod, when}
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .filter(pmod(col("l_orderkey"), lit(1000)) < 3 ||
+          pmod(col("l_orderkey"), lit(10)) === 0)
+        .select(
+          when(pmod(col("l_orderkey"), lit(1000)) < 3, lit(-1L))
+            .otherwise(col("l_orderkey")).as("src"),
+          (col("l_partkey") * 8 + 1).as("dst"))
+    }
+    def hubFixtureDegree(raw: org.apache.spark.sql.DataFrame): Long = {
+      import org.apache.spark.sql.functions.col
+      raw.filter(col("src") === -1L).select(col("dst")).distinct().count()
+    }
     val tri: Map[String, (Double, Long)] =
       if (!explicit.contains("tri")) Map.empty
       else try {
         import org.apache.spark.sql.functions.{col, count, greatest, least,
-          lit, pmod, sum, when}
-        // SPARSE background (10% of rows, constant avg degree: both node
-        // domains scale with the fixture) + one hub whose degree grows
-        // with #parts. A fixed-modulus domain would saturate and flatten
-        // the A/B; a dense blob would blow up BOTH arms on dedup alone.
-        val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
-        val raw = li
-          .filter(pmod(col("l_orderkey"), lit(1000)) < 3 ||
-            pmod(col("l_orderkey"), lit(10)) === 0)
-          .select(
-            when(pmod(col("l_orderkey"), lit(1000)) < 3, lit(-1L))
-              .otherwise(col("l_orderkey")).as("src"),
-            (col("l_partkey") * 8 + 1).as("dst"))
+          lit, sum}
+        val raw = hubFixture()
         val oriented = timeIt {
           graft.ops.Graph.triangles(raw, "src", "dst")
             .agg(sum(col("triangles"))).collect(); ()
         }
-        val hubDeg = raw.filter(col("src") === -1L)
-          .select(col("dst")).distinct().count()
+        val hubDeg = hubFixtureDegree(raw)
         inputRows("tri_hub_degree") = hubDeg
         val naive: Map[String, (Double, Long)] =
           if (hubDeg > 5000) Map.empty // candidates = hubDeg²/2: refuse
@@ -727,22 +736,14 @@ object ScaleBench {
     val wdg: Map[String, (Double, Long)] =
       if (!explicit.contains("wedge")) Map.empty
       else try {
-        import org.apache.spark.sql.functions.{col, count, lit, pmod, when}
-        val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
-        val raw = li
-          .filter(pmod(col("l_orderkey"), lit(1000)) < 3 ||
-            pmod(col("l_orderkey"), lit(10)) === 0)
-          .select(
-            when(pmod(col("l_orderkey"), lit(1000)) < 3, lit(-1L))
-              .otherwise(col("l_orderkey")).as("src"),
-            (col("l_partkey") * 8 + 1).as("dst"))
+        import org.apache.spark.sql.functions.{count, lit}
+        val raw = hubFixture()
         val capped = timeIt {
           graft.ops.Graph.linkPredict(raw, "src", "dst",
               maxDeg = 1000L, minCommon = 2L)
             .agg(count(lit(1))).collect(); ()
         }
-        val hubDeg = raw.filter(col("src") === -1L)
-          .select(col("dst")).distinct().count()
+        val hubDeg = hubFixtureDegree(raw)
         inputRows("wedge_hub_degree") = hubDeg
         val uncapped: Map[String, (Double, Long)] =
           if (hubDeg > 5000) Map.empty // hub emits deg²/2 pairs: refuse

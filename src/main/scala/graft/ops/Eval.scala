@@ -131,6 +131,22 @@ object Eval {
     * pairs, tiny), marginals and the Σ product derived from it — the
     * corpus is scanned once.
     */
+  def cohensKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cm = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // read thrice below; the frame is label²-sized
+    val totals = cm.agg(sum(col("n")).as("total"),
+      sum(when(col("a") === col("b"), col("n")).otherwise(0L)).as("agree"))
+    val ra = cm.groupBy("a").agg(sum(col("n")).as("na"))
+    val rb = cm.groupBy("b").agg(sum(col("n")).as("nb"))
+    val pe = ra.join(rb, col("a") === col("b"))
+      .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("pe_num"))
+    totals.crossJoin(pe) // 1 row × 1 row
+      .select(col("total"), col("agree"), col("pe_num"),
+        (col("agree") * col("total") - col("pe_num")).as("kappa_num"),
+        (col("total") * col("total") - col("pe_num")).as("kappa_den"))
+  }
+
   /** Binned calibration table (reliability diagram) with the exact ECE
     * numerator, over a model probability quantized to parts-per-million
     * (`probPpmCol`, integer in [0, 1e6]). Equal-width bins:
@@ -155,21 +171,5 @@ object Eval {
         sum(col(probPpmCol)).cast(LongType).as("conf_ppm"))
       .select(col("bin"), col("n"), col("pos"), col("conf_ppm"),
         abs(lit(1000000L) * col("pos") - col("conf_ppm")).as("ece_num"))
-  }
-
-  def cohensKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val cm = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
-      .agg(count(lit(1)).as("n"))
-      .localCheckpoint(true) // read thrice below; the frame is label²-sized
-    val totals = cm.agg(sum(col("n")).as("total"),
-      sum(when(col("a") === col("b"), col("n")).otherwise(0L)).as("agree"))
-    val ra = cm.groupBy("a").agg(sum(col("n")).as("na"))
-    val rb = cm.groupBy("b").agg(sum(col("n")).as("nb"))
-    val pe = ra.join(rb, col("a") === col("b"))
-      .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("pe_num"))
-    totals.crossJoin(pe) // 1 row × 1 row
-      .select(col("total"), col("agree"), col("pe_num"),
-        (col("agree") * col("total") - col("pe_num")).as("kappa_num"),
-        (col("total") * col("total") - col("pe_num")).as("kappa_den"))
   }
 }

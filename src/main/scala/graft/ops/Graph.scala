@@ -153,18 +153,30 @@ object Graph {
     require(iters >= 1, "weightedPageRank: iters must be >= 1")
     require(dampingDen > 0 && dampingNum >= 0 && dampingNum <= dampingDen,
       "weightedPageRank: damping must satisfy 0 <= num <= den")
-    val edges = edges0
+    val cast = edges0
       .select(col(srcCol).as("src"), col(dstCol).as("dst"),
         col(weightCol).cast("long").as("w"))
+    // null-aware fail-loud BEFORE grouping: sum() skips nulls, so a
+    // null-weight row (e.g. a non-castable weight column) would silently
+    // vanish from the walk instead of raising — breaking the documented
+    // contract. Checked on the raw rows, where the null is still visible.
+    val nulls = cast.agg(
+      sum(when(col("w").isNull, 1L).otherwise(0L)).as("nulls")).head()
+    if (!nulls.isNullAt(0) && nulls.getLong(0) > 0)
+      throw new IllegalArgumentException(
+        s"weightedPageRank: ${nulls.getLong(0)} edges have NULL weight " +
+          "(non-castable or missing) — weights must be positive integers")
+    val edges = cast
       .groupBy("src", "dst").agg(sum(col("w")).as("w"))
       .localCheckpoint(true)
+    // bounds on the GROUPED weight — that is what multiplies pr
     val bad = edges.agg(min(col("w")).as("mn"), max(col("w")).as("mx")).head()
     if (!bad.isNullAt(0)) {
       require(bad.getLong(0) > 0,
         s"weightedPageRank: weights must be positive (min ${bad.getLong(0)})")
       require(bad.getLong(1) <= Long.MaxValue / scale,
-        s"weightedPageRank: max weight ${bad.getLong(1)} would overflow " +
-          s"pr*w at scale $scale — rescale weights or lower scale")
+        s"weightedPageRank: max grouped weight ${bad.getLong(1)} would " +
+          s"overflow pr*w at scale $scale — rescale weights or lower scale")
     }
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node"))).distinct()
@@ -426,9 +438,13 @@ object Graph {
       .select(col(srcCol).as("src"), col(dstCol).as("dst"),
         col(weightCol).cast("long").as("w"))
       .localCheckpoint(true)
-    val neg = edges.filter(col("w") <= 0L).limit(1).collect()
-    require(neg.isEmpty,
-      s"sssp: weights must be positive (found w=${if (neg.nonEmpty) neg(0).getLong(2) else 0})")
+    // null-aware: a non-castable weight becomes NULL, which `w <= 0`
+    // would silently pass — and dist + NULL would then emit "reached"
+    // nodes with no distance
+    val neg = edges.filter(col("w").isNull || col("w") <= 0L)
+      .limit(1).collect()
+    require(neg.isEmpty, "sssp: weights must be positive non-null (found " +
+      s"w=${if (neg.nonEmpty && !neg(0).isNullAt(2)) neg(0).getLong(2) else "NULL"})")
     val sym = edges
       .union(edges.select(col("dst").as("src"), col("src").as("dst"), col("w")))
       .groupBy("src", "dst").agg(min(col("w")).as("w")) // parallel edges: keep cheapest

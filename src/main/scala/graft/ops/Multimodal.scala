@@ -305,8 +305,10 @@ object Multimodal {
     val out = new Array[Double](frames)
     var j = 0
     while (j < frames) {
-      var i = j * n / frames
-      val end = (j + 1) * n / frames
+      // long boundary products: j * n overflows Int past ~33.5M samples
+      // (a 13-minute 44.1 kHz clip), which would wrap windows negative
+      var i = (j.toLong * n / frames).toInt
+      val end = ((j + 1).toLong * n / frames).toInt
       var s = 0.0
       while (i < end) { s += f(i); i += 1 }
       out(j) = s

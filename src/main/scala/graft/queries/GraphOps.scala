@@ -98,12 +98,14 @@ object GraphOps {
     //    (see Graph.weightedPageRank). Round shape unchanged: one
     //    groupBy(dst) shuffle per round over the grouped edge list -------
     ("q_pagerank_weighted",
-      (s: SparkSession, d: String) => {
-        val e = clickEdges(s, d)
-          .groupBy("src", "dst").agg(count(lit(1)).as("w"))
-        graft.ops.Graph.weightedPageRank(e, "src", "dst", "w", iters = Iters)
-          .orderBy("node")
-      },
+      (s: SparkSession, d: String) =>
+        // weight 1 per raw transition: the operator's own (src,dst)
+        // grouping sums these into multiplicity weights — no redundant
+        // pre-aggregation on the query side
+        graft.ops.Graph.weightedPageRank(
+            clickEdges(s, d).withColumn("w", lit(1L)),
+            "src", "dst", "w", iters = Iters)
+          .orderBy("node"),
       edgeCtes +
         s""",
          |we AS MATERIALIZED (SELECT src, dst, count(*) AS w

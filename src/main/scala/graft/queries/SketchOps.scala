@@ -20,6 +20,33 @@ object SketchOps {
 
   private val NS_PER_DAY = 24L * 3600L * 1000 * 1000 * 1000
 
+  /** The count-min oracle (build cells, probe, compare to exact) shared
+    * VERBATIM by q_cms_estimate and q_stream_cms — additivity makes the
+    * streaming store's merged cells identical to the batch build, so one
+    * SQL definition grades both and the two gates can never drift.
+    */
+  private val cmsOracleSql: String =
+    """WITH keyed AS (SELECT event_type || '#' ||
+      |    regexp_extract(props, '"k": ([0-9]+)', 1) AS item FROM events),
+      |cells AS MATERIALIZED (
+      |  SELECT j, ('0x' || substr(md5(j || ':' || item), 1, 15))::BIGINT % 64 AS h,
+      |         CAST(count(*) AS BIGINT) AS c
+      |  FROM keyed CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) rows_
+      |  GROUP BY 1, 2),
+      |probes AS (
+      |  SELECT item, j,
+      |    ('0x' || substr(md5(j || ':' || item), 1, 15))::BIGINT % 64 AS h
+      |  FROM (SELECT DISTINCT item FROM keyed)
+      |  CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) rows_),
+      |est AS (SELECT p.item, min(coalesce(c.c, 0)) AS est
+      |  FROM probes p LEFT JOIN cells c ON p.j = c.j AND p.h = c.h
+      |  GROUP BY 1)
+      |SELECT e.item, CAST(e.est AS BIGINT) AS est,
+      |  CAST(x.exact AS BIGINT) AS exact
+      |FROM est e JOIN (SELECT item, count(*) AS exact FROM keyed GROUP BY 1) x
+      |  USING (item)
+      |ORDER BY item""".stripMargin
+
   val entries: Seq[(String, Fn, String)] = Seq(
 
     // -- per-type approx distinct users via HLL sketch + estimate; plans as
@@ -196,26 +223,7 @@ object SketchOps {
           .join(exact, Seq("item"))
           .orderBy("item")
       },
-      """WITH keyed AS (SELECT event_type || '#' ||
-        |    regexp_extract(props, '"k": ([0-9]+)', 1) AS item FROM events),
-        |cells AS MATERIALIZED (
-        |  SELECT j, ('0x' || substr(md5(j || ':' || item), 1, 15))::BIGINT % 64 AS h,
-        |         CAST(count(*) AS BIGINT) AS c
-        |  FROM keyed CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) rows_
-        |  GROUP BY 1, 2),
-        |probes AS (
-        |  SELECT item, j,
-        |    ('0x' || substr(md5(j || ':' || item), 1, 15))::BIGINT % 64 AS h
-        |  FROM (SELECT DISTINCT item FROM keyed)
-        |  CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) rows_),
-        |est AS (SELECT p.item, min(coalesce(c.c, 0)) AS est
-        |  FROM probes p LEFT JOIN cells c ON p.j = c.j AND p.h = c.h
-        |  GROUP BY 1)
-        |SELECT e.item, CAST(e.est AS BIGINT) AS est,
-        |  CAST(x.exact AS BIGINT) AS exact
-        |FROM est e JOIN (SELECT item, count(*) AS exact FROM keyed GROUP BY 1) x
-        |  USING (item)
-        |ORDER BY item""".stripMargin),
+      cmsOracleSql),
 
     // -- STREAMING count-min maintenance under the gate: the events keys
     //    arrive as three staged files under maxFilesPerTrigger=1, each
@@ -274,24 +282,5 @@ object SketchOps {
           graft.ops.Layout.deleteRecursively(tmp.toFile)
         }
       },
-      """WITH keyed AS (SELECT event_type || '#' ||
-        |    regexp_extract(props, '"k": ([0-9]+)', 1) AS item FROM events),
-        |cells AS MATERIALIZED (
-        |  SELECT j, ('0x' || substr(md5(j || ':' || item), 1, 15))::BIGINT % 64 AS h,
-        |         CAST(count(*) AS BIGINT) AS c
-        |  FROM keyed CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) rows_
-        |  GROUP BY 1, 2),
-        |probes AS (
-        |  SELECT item, j,
-        |    ('0x' || substr(md5(j || ':' || item), 1, 15))::BIGINT % 64 AS h
-        |  FROM (SELECT DISTINCT item FROM keyed)
-        |  CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) rows_),
-        |est AS (SELECT p.item, min(coalesce(c.c, 0)) AS est
-        |  FROM probes p LEFT JOIN cells c ON p.j = c.j AND p.h = c.h
-        |  GROUP BY 1)
-        |SELECT e.item, CAST(e.est AS BIGINT) AS est,
-        |  CAST(x.exact AS BIGINT) AS exact
-        |FROM est e JOIN (SELECT item, count(*) AS exact FROM keyed GROUP BY 1) x
-        |  USING (item)
-        |ORDER BY item""".stripMargin))
+      cmsOracleSql))
 }

@@ -1174,20 +1174,10 @@ object TextOps {
           .as[graft.ops.Multimodal.AudioRow]
         graft.ops.Multimodal.audioFingerprint(audio).orderBy("media_id")
       },
-      """WITH m AS (
+      s"""WITH m AS (
         |  SELECT doc_id AS media_id, text, octet_length(encode(text)) AS len
         |  FROM documents WHERE doc_id < 200 AND length(text) >= 65),
-        |en AS (
-        |  SELECT media_id,
-        |    [ list_sum([ abs(ord(substr(text, p + 1, 1)) - 128)
-        |        for p in range((j * len) // 65, ((j + 1) * len) // 65) ])
-        |      for j in range(0, 65) ] AS en
-        |  FROM m),
-        |b AS (
-        |  SELECT media_id,
-        |    [ CASE WHEN en[j + 2] > en[j + 1] THEN 1 ELSE 0 END
-        |      for j in range(0, 64) ] AS bits
-        |  FROM en)
+$audioFpCtes
         |SELECT media_id,
         |  cast(list_sum([ bits[i + 33] * (1::BIGINT << i) for i in range(0, 32) ]) AS BIGINT) AS afp_hi,
         |  cast(list_sum([ bits[i + 1] * (1::BIGINT << i) for i in range(0, 32) ]) AS BIGINT) AS afp_lo
@@ -1222,7 +1212,7 @@ object TextOps {
             maxDist = 3)
           .orderBy("a", "b")
       },
-      """WITH src AS (
+      s"""WITH src AS (
         |  SELECT doc_id, text FROM documents
         |  WHERE doc_id < 200 AND length(text) >= 65),
         |m AS (
@@ -1234,17 +1224,7 @@ object TextOps {
         |  SELECT doc_id + 2000, substr(text, 1, 9) || 'Z' || substr(text, 11),
         |    octet_length(encode(substr(text, 1, 9) || 'Z' || substr(text, 11)))
         |  FROM src),
-        |en AS (
-        |  SELECT media_id,
-        |    [ list_sum([ abs(ord(substr(text, p + 1, 1)) - 128)
-        |        for p in range((j * len) // 65, ((j + 1) * len) // 65) ])
-        |      for j in range(0, 65) ] AS en
-        |  FROM m),
-        |b AS (
-        |  SELECT media_id,
-        |    [ CASE WHEN en[j + 2] > en[j + 1] THEN 1 ELSE 0 END
-        |      for j in range(0, 64) ] AS bits
-        |  FROM en),
+$audioFpCtes,
         |hx AS (
         |  SELECT media_id,
         |    cast(list_sum([ bits[i + 33] * (1::BIGINT << i) for i in range(0, 32) ]) AS BIGINT) AS hi,
@@ -1310,6 +1290,27 @@ object TextOps {
     * low-frequency block, bit = coefficient > 32nd-smallest non-DC
     * coefficient, DC bit pinned 0.
     */
+  /** The audio-fingerprint replay CTEs shared VERBATIM by
+    * q_audio_fingerprint and q_audio_neardup (expects a CTE `m` of
+    * (media_id, text, len)): 65 window-energy sums over the fakepcm
+    * bytes, then the 64 adjacent-delta bits — one definition so the two
+    * gates can never disagree about what the fingerprint is.
+    */
+  // lazy: referenced by `entries` above during object init (same forward
+  // reference phHashCtes handles the same way)
+  private lazy val audioFpCtes: String =
+    """en AS (
+      |  SELECT media_id,
+      |    [ list_sum([ abs(ord(substr(text, p + 1, 1)) - 128)
+      |        for p in range((j * len) // 65, ((j + 1) * len) // 65) ])
+      |      for j in range(0, 65) ] AS en
+      |  FROM m),
+      |b AS (
+      |  SELECT media_id,
+      |    [ CASE WHEN en[j + 2] > en[j + 1] THEN 1 ELSE 0 END
+      |      for j in range(0, 64) ] AS bits
+      |  FROM en)""".stripMargin
+
   private lazy val phHashCtes: String = {
     val ct = graft.ops.Multimodal.phCosTable.flatten.mkString("[", ", ", "]")
     s"""t AS (SELECT $ct AS ct),

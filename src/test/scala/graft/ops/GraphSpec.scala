@@ -166,6 +166,13 @@ class GraphSpec extends SparkSuite {
       Graph.weightedPageRank(big, "src", "dst", "w")
     }
     assert(e2.getMessage.contains("overflow"), e2.getMessage)
+    // NULL weights (e.g. a non-castable weight column) must fail loud,
+    // not silently vanish from the walk — sum() would skip them
+    val withNull = Seq((1L, 2L, "3"), (2L, 1L, "oops")).toDF("src", "dst", "w")
+    val e3 = intercept[IllegalArgumentException] {
+      Graph.weightedPageRank(withNull, "src", "dst", "w")
+    }
+    assert(e3.getMessage.contains("NULL"), e3.getMessage)
   }
 
   test("sssp matches brute-force Dijkstra within the hop bound; parallel edges keep cheapest") {
@@ -197,13 +204,20 @@ class GraphSpec extends SparkSuite {
     }
   }
 
-  test("sssp refuses non-positive weights") {
+  test("sssp refuses non-positive and NULL weights") {
     import spark.implicits._
     val e = intercept[IllegalArgumentException] {
       Graph.sssp(Seq((1L, 2L, 0L)).toDF("src", "dst", "w"), "src", "dst",
         "w", org.apache.spark.sql.functions.lit(1L))
     }
     assert(e.getMessage.contains("positive"), e.getMessage)
+    // a NULL weight would relax to dist + NULL = NULL — a "reached" node
+    // with no distance; the guard must catch it, `w <= 0` alone doesn't
+    val e2 = intercept[IllegalArgumentException] {
+      Graph.sssp(Seq((1L, 2L, "nope")).toDF("src", "dst", "w"), "src",
+        "dst", "w", org.apache.spark.sql.functions.lit(1L))
+    }
+    assert(e2.getMessage.contains("NULL"), e2.getMessage)
   }
 
   test("linkPredict matches brute force; adjacent pairs excluded; hub cap drops hub-only pairs") {
