@@ -172,4 +172,57 @@ object Eval {
       .select(col("bin"), col("n"), col("pos"), col("conf_ppm"),
         abs(lit(1000000L) * col("pos") - col("conf_ppm")).as("ece_num"))
   }
+
+  /** Lift / cumulative-gains table of `scoreCol` against binary
+    * `labelCol`: rows ranked best-score-first are cut into `buckets`
+    * equal-count buckets, and each bucket row carries exact integers
+    * (decile, n, pos, cum_n, cum_pos, lift_num, lift_den) where
+    * lift@decile = lift_num/lift_den =
+    * (cum_pos·N)/(cum_n·P) and gain = cum_pos/P — the campaign-targeting
+    * companion to [[prCurve]]'s threshold table. Ties are broken by
+    * `idCol` (must be unique non-null) so the ranking is a total order
+    * and cross-engine replayable: rank(row) = (#rows with strictly
+    * higher score) + (rank of id within its tie group), identical to
+    * `row_number() OVER (ORDER BY score DESC, id)`.
+    *
+    * Shape: one corpus-sized groupBy(score) + a two-phase prefix sum
+    * over the DISTINCT-score table for the "strictly above" counts
+    * (never a global window), one join back + a per-score-partition
+    * row_number for tie ranks (partitioned by score — bounded per
+    * group by the tie multiplicity, never the corpus unless the score
+    * is constant), then a buckets-sized self-join cumsum. NULL scores
+    * are excluded (the [[aucExact]] NULLS-ordering rationale).
+    */
+  def liftDeciles(df: DataFrame, scoreCol: String, labelCol: String,
+      idCol: String, buckets: Int = 10): DataFrame = {
+    require(buckets >= 1, "liftDeciles: buckets must be >= 1")
+    val rows = df.filter(col(scoreCol).isNotNull)
+      .select(col(scoreCol).as("s"), col(idCol).as("id"),
+        col(labelCol).cast(LongType).as("y"))
+    val byScore = rows.groupBy("s").agg(count(lit(1)).as("n"))
+    val above = runningSums(byScore, "s", descending = true,
+      Seq("n"), Seq("below"), inclusive = false)
+      .select(col("s"), col("below"))
+    val totals = rows.agg(count(lit(1)).as("n_total"),
+      sum(col("y")).cast(LongType).as("pos_total"))
+    val tieW = org.apache.spark.sql.expressions.Window
+      .partitionBy("s").orderBy("id")
+    val dec = rows.join(above, Seq("s"))
+      .withColumn("rk", col("below") + row_number().over(tieW))
+      .crossJoin(broadcast(totals)) // 1 scalar row
+      .groupBy(expr(s"((rk - 1L) * ${buckets}L) div n_total").as("decile"),
+        col("n_total"), col("pos_total"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).cast(LongType).as("pos"))
+      .localCheckpoint(true) // buckets-sized; read twice by the self-join
+    dec.as("a")
+      .join(dec.select(col("decile").as("bd"), col("n").as("bn"),
+        col("pos").as("bpos")), col("bd") <= col("decile"))
+      .groupBy(col("decile"), col("n_total"), col("pos_total"),
+        col("n"), col("pos"))
+      .agg(sum(col("bn")).as("cum_n"), sum(col("bpos")).as("cum_pos"))
+      .select(col("decile"), col("n"), col("pos"), col("cum_n"),
+        col("cum_pos"),
+        (col("cum_pos") * col("n_total")).as("lift_num"),
+        (col("cum_n") * col("pos_total")).as("lift_den"))
+  }
 }

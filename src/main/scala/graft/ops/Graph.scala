@@ -229,12 +229,45 @@ object Graph {
     */
   def labelPropagate(edges0: DataFrame, srcCol: String, dstCol: String,
       seeds: DataFrame, seedNodeCol: String, seedLabelCol: String,
+      iters: Int = 3): DataFrame =
+    weightedLabelPropagate(
+      edges0.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        lit(1L).as("__w")),
+      "src", "dst", "__w", seeds, seedNodeCol, seedLabelCol, iters)
+
+  /** [[labelPropagate]] with integer edge weights: each labeled neighbor's
+    * vote counts `w` instead of 1 (a transition taken 50 times should
+    * outvote one taken once — the natural strength signal on a click or
+    * link graph). Same clamped synchronous rounds, same two-step
+    * deterministic argmax (max summed weight, ties to the smaller
+    * label), same per-round shape: one groupBy(node, label) over
+    * O(|E|) rows + two node-keyed aggregates, localCheckpoint per round.
+    * The unweighted form IS the w=1 special case and delegates here, so
+    * the round semantics cannot drift between the two.
+    *
+    * Weights must be positive non-null (checked loud, the
+    * [[weightedPageRank]] contract); parallel edges pre-sum per
+    * direction, and each undirected edge votes both ways with its
+    * summed weight.
+    */
+  def weightedLabelPropagate(edges0: DataFrame, srcCol: String,
+      dstCol: String, weightCol: String, seeds: DataFrame,
+      seedNodeCol: String, seedLabelCol: String,
       iters: Int = 3): DataFrame = {
-    require(iters >= 1, "labelPropagate: iters must be >= 1")
-    val edges = edges0
-      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    require(iters >= 1, "weightedLabelPropagate: iters must be >= 1")
+    val cast = edges0
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(weightCol).cast("long").as("w"))
+    val bad = cast.filter(col("w").isNull || col("w") <= 0L)
+      .limit(1).collect()
+    require(bad.isEmpty,
+      "weightedLabelPropagate: weights must be positive non-null (found " +
+        s"w=${if (bad.nonEmpty && !bad(0).isNullAt(2)) bad(0).getLong(2) else "NULL"})")
+    val edges = cast
+      .groupBy("src", "dst").agg(sum(col("w")).as("w"))
       .localCheckpoint(true)
-    val sym = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val sym = edges.union(
+      edges.select(col("dst").as("src"), col("src").as("dst"), col("w")))
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node"))).distinct()
     var labels = nodes.join(
@@ -248,7 +281,7 @@ object Graph {
             .select(col("node").as("vn"), col("lbl").as("vl")),
           col("src") === col("vn"))
         .groupBy(col("dst").as("cand"), col("vl"))
-        .agg(count(lit(1)).as("c"))
+        .agg(sum(col("w")).as("c"))
       val mx = votes.groupBy("cand").agg(max(col("c")).as("mc"))
       val pick = votes.join(mx, Seq("cand")).filter(col("c") === col("mc"))
         .groupBy("cand").agg(min(col("vl")).as("nl"))
@@ -505,4 +538,60 @@ object Graph {
     }
     dist
   }
+
+  /** MULTI-source BFS: [[bfsLevels]] run from every row of `seeds` at
+    * once, returning (seed, node, dist) — all sources share each round's
+    * edge scan instead of |seeds| sequential traversals. Per round: one
+    * equi-join of the (seed-keyed) frontier to the symmetrized edges +
+    * one distinct + one anti-join on (seed, node), all keyed shuffles;
+    * state is O(|seeds| · reached), which is exactly why the caller
+    * samples seeds (the Eppstein–Wang estimator: K sampled sources
+    * approximate centrality with error O(1/√K) independent of graph
+    * size) rather than running all-pairs. Like [[bfsLevels]], seeds are
+    * trusted at distance 0 without a membership check.
+    */
+  def multiBfsLevels(edges0: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, iters: Int = 4): DataFrame = {
+    require(iters >= 1, "multiBfsLevels: iters must be >= 1")
+    val edges = edges0
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint(true)
+    val sym = edges
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var dist = seeds
+      .select(col(seedCol).as("seed"), col(seedCol).as("node"),
+        lit(0L).as("dist"))
+      .localCheckpoint(true)
+    for (i <- 1 to iters) {
+      val frontier = dist.filter(col("dist") === lit(i - 1L))
+        .select(col("seed"), col("node").as("fn"))
+      val reached = sym.join(frontier, col("src") === col("fn"))
+        .select(col("seed"), col("dst").as("node")).distinct()
+      val fresh = reached
+        .join(dist.select(col("seed").as("ss"), col("node").as("seen")),
+          col("seed") === col("ss") && col("node") === col("seen"),
+          "left_anti")
+        .select(col("seed"), col("node"), lit(i.toLong).as("dist"))
+      dist = dist.union(fresh).localCheckpoint(true)
+    }
+    dist
+  }
+
+  /** Sampled closeness centrality (Eppstein–Wang): per node, the count
+    * of sample sources that reach it within `iters` hops and the exact
+    * summed hop distance — closeness estimates derive as
+    * (n_sources − 1) / dist_sum (or any preferred normalization) from
+    * the two exact integers, so the SAMPLED statistic itself is
+    * bit-reproducible and SQL-replayable even though it approximates
+    * the all-pairs quantity. One groupBy(node) over the
+    * [[multiBfsLevels]] state.
+    */
+  def closenessSampled(edges0: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, iters: Int = 4): DataFrame =
+    multiBfsLevels(edges0, srcCol, dstCol, seeds, seedCol, iters)
+      .groupBy("node")
+      .agg(count(lit(1)).as("n_sources"),
+        sum(col("dist")).as("dist_sum"))
 }

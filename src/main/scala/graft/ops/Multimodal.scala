@@ -317,6 +317,78 @@ object Multimodal {
     out
   }
 
+  /** Fixed-point cosine table for the 1-D DCT-II behind
+    * [[audioSpectralHash]]: afpCosTable(k)(j) = rint(cos(π(2j+1)(k+1)/130)
+    * · 2^14) — coefficients k+1 = 1..64 over the 65 frame energies (DC
+    * skipped: it carries overall loudness, not spectral shape). Integer
+    * table ⇒ the whole transform is exact Long arithmetic, inlineable
+    * into the DuckDB oracle — the same trick as [[phCosTable]].
+    */
+  private[graft] val afpCosTable: Array[Array[Long]] =
+    Array.tabulate(64, 65) { (k, j) =>
+      math.rint(
+        math.cos(math.Pi * (2 * j + 1) * (k + 1) / 130.0) * (1L << 14)).toLong
+    }
+
+  /** SPECTRAL 64-bit audio fingerprint: the same 65 window energies as
+    * [[audioFingerprint]], but transformed by an integer 1-D DCT-II and
+    * thresholded against the coefficient median (32nd smallest of the 64
+    * non-DC coefficients — pHash's deterministic convention on the time
+    * axis). Where the delta fingerprint sees local energy gradients
+    * (cheap, edit-sensitive), the DCT sees the clip's global envelope
+    * shape — stable under local edits, and exactly GAIN-INVARIANT by
+    * construction: scaling every sample scales every coefficient AND the
+    * median by the same factor, leaving every comparison bit unchanged
+    * (the 2-D analogue is measured in OpsSpec for pHash; here it is an
+    * identity, up to integer quantization of the energies themselves).
+    * Same formats contract and mapPartitions shape as audioFingerprint;
+    * pairing reuses the shared banding via [[audioNearDupPairs]]' column
+    * rename (emit as afp_hi/afp_lo to use it directly).
+    */
+  def audioSpectralHash(audio: Dataset[AudioRow]): DataFrame = {
+    import audio.sparkSession.implicits._
+    audio.mapPartitions { rows =>
+      rows.map { r =>
+        val energies: Array[Double] = r.format match {
+          case "fakepcm" =>
+            val b = r.payload
+            require(b.length >= 65,
+              s"audioSpectralHash: clip ${r.media_id} has ${b.length} fake " +
+                "samples; need >= 65 for 65 windows")
+            frameEnergies(b.length, 65, i => math.abs((b(i) & 0xff) - 128).toDouble)
+          case _ =>
+            val (_, samples) = decodeWav(r.payload)
+            require(samples.length >= 65,
+              s"audioSpectralHash: clip ${r.media_id} has ${samples.length} " +
+                "samples; need >= 65 for 65 windows")
+            // scale to integral units so the Long DCT below stays exact
+            frameEnergies(samples.length, 65,
+              i => math.rint(math.abs(samples(i)) * 32768.0))
+        }
+        val en = energies.map(e => math.rint(e).toLong)
+        val c = new Array[Long](64)
+        var k = 0
+        while (k < 64) {
+          var s = 0L; var j = 0
+          val row = afpCosTable(k)
+          while (j < 65) { s += row(j) * en(j); j += 1 }
+          c(k) = s
+          k += 1
+        }
+        val sorted = c.clone(); java.util.Arrays.sort(sorted)
+        val med = sorted(31) // 32nd smallest, deterministic
+        var hi = 0L; var lo = 0L
+        var i = 0
+        while (i < 64) {
+          val bit = if (c(i) > med) 1L else 0L
+          if (i < 32) lo |= bit << i else hi |= bit << (i - 32)
+          i += 1
+        }
+        (r.media_id, hi, lo)
+      }
+    }.toDF("media_id", "afp_hi", "afp_lo")
+  }
+
   /** [[dHashNearDupPairs]] over an [[audioFingerprint]] table — the same
     * 4×16-band machinery and pigeonhole guarantee, third hash family.
     */

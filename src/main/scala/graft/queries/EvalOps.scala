@@ -190,6 +190,72 @@ object EvalOps {
           |  abs(1000000 * pos - conf_ppm) AS ece_num
           |FROM bb ORDER BY bin""".stripMargin),
 
+    // -- exact Brier score numerator at ppm² scale: Σ(1e6·y − ppm)² over
+    //    the held-out docs (Brier = num / (n·1e12) derives exactly) —
+    //    the proper-scoring-rule companion to q_ece's calibration table,
+    //    on the same ppm-quantized leaf probabilities. Bounded exactly:
+    //    (1e6)² × corpus < 2^63 up to ~9.2e6 rows; corpora past that
+    //    split the sum by a partition key first. One routing pass + one
+    //    scalar aggregate ------------------------------------------------
+    ("q_brier",
+      (s: SparkSession, d: String) => {
+        val feats = CartOps.featured(s, d).localCheckpoint(true)
+        val tree = graft.ops.Cart.train(
+          feats.filter(pmod(col("doc_id"), lit(2)) === 0),
+          CartOps.features, "y", depth = 2, maxBins = 32)
+        val leafPpm = tree.filter(_.feature == null)
+          .map(t => (t.node, t.nPos * 1000000L / t.n))
+        val spark2 = s
+        import spark2.implicits._
+        val probs = leafPpm.toDF("leaf", "p_ppm")
+        graft.ops.Cart.routeLeaf(
+            feats.filter(pmod(col("doc_id"), lit(2)) === 1), tree)
+          .join(broadcast(probs), Seq("leaf"))
+          .agg(count(lit(1)).as("n"),
+            sum(expr("(1000000L * y - p_ppm) * (1000000L * y - p_ppm)"))
+              .cast("long").as("brier_num"))
+      },
+      CartOps.oraclePrelude +
+        ",\nte AS MATERIALIZED (SELECT * FROM lab WHERE doc_id % 2 = 1)" +
+        CartOps.routeCtes("", "predc") +
+        """,
+          |pp AS (SELECT b.y, (l.tp * 1000000) // l.tn AS ppm
+          |       FROM predc_b b JOIN leaves l ON l.node = b.leaf)
+          |SELECT CAST(count(*) AS BIGINT) AS n,
+          |  CAST(sum((1000000 * y - ppm) * (1000000 * y - ppm)) AS BIGINT)
+          |    AS brier_num
+          |FROM pp""".stripMargin),
+
+    // -- lift / cumulative-gains deciles of the f_chars scorer: rows
+    //    ranked best-first (doc_id tiebreak = a total order, so the cut
+    //    is cross-engine exact), 10 equal-count buckets, each carrying
+    //    exact integers incl. lift@decile = lift_num/lift_den =
+    //    (cum_pos·N)/(cum_n·P) — the campaign-targeting companion to
+    //    q_pr_curve. Rank WITHOUT a global window: distinct-score prefix
+    //    sums + per-tie-group row_number (see Eval.liftDeciles) -----------
+    ("q_lift_deciles",
+      (s: SparkSession, d: String) =>
+        graft.ops.Eval.liftDeciles(CartOps.featured(s, d), "f_chars", "y",
+            "doc_id", buckets = 10)
+          .orderBy("decile"),
+      CartOps.featureCtes +
+        """,
+          |rk AS (SELECT doc_id, y,
+          |    row_number() OVER (ORDER BY f_chars DESC, doc_id) AS r
+          |  FROM lab WHERE f_chars IS NOT NULL),
+          |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total,
+          |        CAST(sum(y) AS BIGINT) AS pos_total FROM rk),
+          |dec AS (SELECT CAST(((r - 1) * 10) // n_total AS BIGINT) AS decile,
+          |         CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos
+          |       FROM rk CROSS JOIN tot GROUP BY 1),
+          |cum AS (SELECT decile, n, pos,
+          |  CAST(sum(n) OVER (ORDER BY decile) AS BIGINT) AS cum_n,
+          |  CAST(sum(pos) OVER (ORDER BY decile) AS BIGINT) AS cum_pos
+          |  FROM dec)
+          |SELECT decile, n, pos, cum_n, cum_pos,
+          |  cum_pos * n_total AS lift_num, cum_n * pos_total AS lift_den
+          |FROM cum CROSS JOIN tot ORDER BY decile""".stripMargin),
+
     // -- per-leaf calibration (the reliability table at the model's own
     //    granularity): each leaf's TRAINING positive rate (its implicit
     //    predicted probability tp/tn) beside the HELD-OUT empirical rate

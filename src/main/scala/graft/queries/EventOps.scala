@@ -863,6 +863,105 @@ object EventOps {
         |  max(p_ms) AS last_purchase_ms
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // -- STREAM-STREAM **FULL** outer interval join under the gate: every
+    //    error emits (matched or NULL-purchase), AND every purchase that
+    //    preceded no error within 30 min ALSO emits with NULL error
+    //    columns — the reconciliation side neither the inner nor the left
+    //    gate exercises. Unmatched rows on EITHER side may only emit once
+    //    the watermark proves the other side is closed, so the staged
+    //    sentinel protocol from q_stream_left_join applies symmetrically
+    //    (the sentinel pair already advances both sides' watermarks).
+    //    Hash-compared against DuckDB's batch FULL JOIN: matched pairs,
+    //    NULL-purchase errors, and NULL-error purchases all proven -------
+    ("q_stream_full_join",
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        val tmp = java.nio.file.Files.createTempDirectory("graft_stream_fjoin")
+        try {
+          val src = s"$tmp/src"
+          val ev = t(s, d, "events")
+            .select(col("event_id"),
+              timestamp_millis(nsDiv("ts", NS_PER_MS)).as("ts"),
+              col("user_id"), col("event_type"), col("value"))
+          ev.coalesce(1).write.mode("append").parquet(src)
+          val maxMs = ev.agg(max(unix_millis(col("ts")))).head().getLong(0)
+          def parts(): Set[java.io.File] =
+            new java.io.File(src).listFiles()
+              .filter(_.getName.endsWith(".parquet")).toSet
+          def writeSentinel(tag: Long, offsetMs: Long): Unit =
+            Seq((tag, new java.sql.Timestamp(maxMs + offsetMs), -2L,
+                "error", 0.0),
+              (tag - 1L, new java.sql.Timestamp(maxMs + offsetMs), -1L,
+                "purchase", 0.0))
+              .toDF("event_id", "ts", "user_id", "event_type", "value")
+              .coalesce(1).write.mode("append").parquet(src)
+          val t0 = System.currentTimeMillis() - 600000L
+          val dataParts = parts()
+          dataParts.foreach(_.setLastModified(t0))
+          writeSentinel(-100L, 7200000L)
+          val s1 = parts() -- dataParts
+          s1.foreach(_.setLastModified(t0 + 60000L))
+          writeSentinel(-200L, 14400000L)
+          (parts() -- dataParts -- s1).foreach(_.setLastModified(t0 + 120000L))
+          val stream = s.readStream.schema(ev.schema)
+            .option("pathGlobFilter", "*.parquet")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+          val joined = graft.streaming.EventStream.errorsFullPurchases(
+            stream, windowMinutes = 30)
+          val sink = "graft_stream_fjoin_out"
+          s.catalog.dropTempView(sink)
+          graft.streaming.EventStream.runToMemory(joined, sink,
+            org.apache.spark.sql.streaming.OutputMode.Append)
+          s.table(sink)
+            // keyed replay screen: (event_id, p_event_id) stays a true
+            // key — unmatched rows carry their own side's unique id and a
+            // NULL the null-safe dropDuplicates treats as equal
+            .dropDuplicates("event_id", "p_event_id")
+            .filter(col("user_id") >= 0) // drop sentinel-key rows
+            .groupBy("user_id")
+            .agg(count(lit(1)).as("n_rows"),
+              countDistinct(col("event_id")).as("n_err"),
+              countDistinct(col("p_event_id")).as("n_pur"),
+              sum(when(col("event_id").isNotNull && col("p_event_id").isNotNull,
+                1L).otherwise(0L)).cast("long").as("n_matched"),
+              sum(when(col("p_event_id").isNull, 1L).otherwise(0L))
+                .cast("long").as("n_err_unmatched"),
+              sum(when(col("event_id").isNull, 1L).otherwise(0L))
+                .cast("long").as("n_pur_unmatched"),
+              sum(cents(col("purchase_value"))).as("purchase_cents"),
+              max(expr("unix_micros(e_ts) div 1000L")).as("last_err_ms"),
+              max(expr("unix_micros(p_ts) div 1000L")).as("last_purchase_ms"))
+            .orderBy("user_id")
+        } finally {
+          deleteRecursively(tmp.toFile)
+        }
+      },
+      """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ms
+        |           FROM events WHERE event_type = 'error'),
+        |p AS (SELECT event_id AS p_event_id, user_id, epoch_ms(ts) AS ms,
+        |        value
+        |      FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT e.event_id, p.p_event_id,
+        |        coalesce(e.user_id, p.user_id) AS user_id,
+        |        e.ms AS e_ms, p.ms AS p_ms,
+        |        CAST(round(p.value * 100) AS BIGINT) AS cents
+        |      FROM e FULL JOIN p ON e.user_id = p.user_id
+        |        AND p.ms <= e.ms AND p.ms >= e.ms - 30*60*1000)
+        |SELECT user_id, count(*) AS n_rows,
+        |  count(DISTINCT event_id) AS n_err,
+        |  count(DISTINCT p_event_id) AS n_pur,
+        |  CAST(sum(CASE WHEN event_id IS NOT NULL AND p_event_id IS NOT NULL
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+        |  CAST(sum(CASE WHEN p_event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_err_unmatched,
+        |  CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_pur_unmatched,
+        |  sum(cents) AS purchase_cents,
+        |  max(e_ms) AS last_err_ms,
+        |  max(p_ms) AS last_purchase_ms
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // -- RATE-LIMITED BACKFILL under the gate: the whole events backlog
     //    replayed through the file source with maxFilesPerTrigger=2 over
     //    six staged files — AvailableNow honors the rate limit, so the
@@ -903,6 +1002,76 @@ object EventOps {
             s"rate-limited backfill should need >=3 micro-batches (6 files, " +
               s"maxFilesPerTrigger=2); observed $dataBatches")
           s.table(sink).orderBy("event_type")
+        } finally {
+          deleteRecursively(tmp.toFile)
+        }
+      },
+      s"""SELECT event_type, count(*) AS n,
+        |  CAST(sum(user_id) AS BIGINT) AS uid_sum,
+        |  ${sqlDsum("value")} AS val_sum,
+        |  max(event_id) AS max_id
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // -- UPDATE-mode streaming aggregation under the gate (Complete and
+    //    Append are covered by q_stream_window/q_stream_backfill and the
+    //    join/session gates; Update is the mode a keyed serving store
+    //    consumes). A running per-type aggregate over three rate-limited
+    //    micro-batches emits only the CHANGED keys each batch; every
+    //    batch's update set lands at an idempotent per-batch path (the
+    //    q_stream_cms replay convention), and the serving-store read —
+    //    each key's LATEST update wins — must equal the batch aggregate.
+    //    That checks both halves of the Update contract: emitted rows
+    //    carry the running (not per-batch) state, and the last update
+    //    per key IS the final state ---------------------------------------
+    ("q_stream_update",
+      (s: SparkSession, d: String) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_stream_upd")
+        try {
+          val src = s"$tmp/src"; val upd = s"$tmp/upd"
+          val ev = t(s, d, "events")
+            .select(col("event_id"), col("user_id"), col("event_type"),
+              col("value"))
+          (0 until 3).foreach { i =>
+            ev.filter(pmod(col("event_id"), lit(3)) === i)
+              .coalesce(1).write.mode("append").parquet(src)
+          }
+          val q = s.readStream.schema(ev.schema)
+            .option("pathGlobFilter", "*.parquet")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .groupBy("event_type")
+            .agg(count(lit(1)).as("n"),
+              sum(col("user_id")).cast("long").as("uid_sum"),
+              dsum(col("value")).as("val_sum"),
+              max(col("event_id")).as("max_id"))
+            .writeStream
+            .outputMode(org.apache.spark.sql.streaming.OutputMode.Update)
+            .option("checkpointLocation", s"$tmp/ckpt")
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+              b.coalesce(1).write.mode("overwrite").parquet(s"$upd/batch=$id")
+              ()
+            }
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+          require(dataBatches >= 3, s"staged update stream should take >=3 " +
+            s"micro-batches (3 files, maxFilesPerTrigger=1); got $dataBatches")
+          val updates = s.read.parquet(upd)
+          // Update-mode contract half 1: keys re-emit as later batches
+          // change them (every type appears in every third of event_ids)
+          val multi = updates.groupBy("event_type").count()
+            .filter(col("count") >= 2).count()
+          require(multi > 0, "no key updated across batches — Update mode " +
+            "not exercised")
+          // serving-store read: latest update per key wins
+          val latest = updates.groupBy("event_type")
+            .agg(max(col("batch")).as("batch"))
+          val res = updates.join(latest, Seq("event_type", "batch"))
+            .select("event_type", "n", "uid_sum", "val_sum", "max_id")
+            .orderBy("event_type")
+          import scala.jdk.CollectionConverters._
+          s.createDataFrame(res.collect().toSeq.asJava, res.schema)
         } finally {
           deleteRecursively(tmp.toFile)
         }

@@ -149,6 +149,40 @@ object GraphOps {
          |${lpIterCtes(Iters)}
          |SELECT node, CAST(lbl AS BIGINT) AS label FROM l$Iters ORDER BY node""".stripMargin),
 
+    // -- WEIGHTED label propagation: same seeds and clamped rounds as
+    //    q_label_prop, but each labeled neighbor's vote carries an edge
+    //    strength (per-transition weight 1+(src+dst)%5, q_sssp's
+    //    synthetic-cost convention; parallel transitions add) — a path
+    //    taken often outvotes one taken once. Same two-step
+    //    deterministic argmax; the oracle unrolls the weighted rounds
+    //    over the grouped symmetric edges ---------------------------------
+    ("q_label_prop_weighted",
+      (s: SparkSession, d: String) => {
+        val edges = clickEdges(s, d)
+          .withColumn("w", (col("src") + col("dst")) % 5 + 1)
+        val nodes = edges.select(col("src").as("node"))
+          .union(edges.select(col("dst").as("node"))).distinct()
+        val seeds = nodes.filter(col("node") % 5 === 0)
+          .select(col("node"), (col("node") % 3).as("seed_label"))
+        graft.ops.Graph.weightedLabelPropagate(edges, "src", "dst", "w",
+            seeds, "node", "seed_label", iters = Iters)
+          .orderBy("node")
+      },
+      edgeCtes +
+        s""",
+         |we AS MATERIALIZED (SELECT src, dst,
+         |    CAST(sum((src + dst) % 5 + 1) AS BIGINT) AS w
+         |  FROM edges GROUP BY 1, 2),
+         |sym AS (SELECT src, dst, w FROM we
+         |        UNION ALL SELECT dst, src, w FROM we),
+         |nodes AS (SELECT DISTINCT node FROM
+         |  (SELECT src AS node FROM we UNION ALL SELECT dst FROM we) q),
+         |l0 AS (SELECT node,
+         |  CASE WHEN node % 5 = 0 THEN node % 3 END AS lbl,
+         |  node % 5 = 0 AS is_seed FROM nodes),
+         |${wlpIterCtes(Iters)}
+         |SELECT node, CAST(lbl AS BIGINT) AS label FROM l$Iters ORDER BY node""".stripMargin),
+
     // -- personalized PageRank: teleport AND dangling mass return to the
     //    seed pages (page % 7 = 0) so rank measures proximity to the
     //    seeds — the "more like these" curation signal. Same integer
@@ -280,6 +314,36 @@ object GraphOps {
           |${bfsIterCtes(4)}
           |SELECT node, dist FROM d4 ORDER BY node""".stripMargin),
 
+    // -- SAMPLED closeness centrality (Eppstein–Wang): multi-source BFS
+    //    from the page % 7 = 0 sample over the symmetrized click graph,
+    //    4 bounded rounds — per node, exact (n_sources, dist_sum) from
+    //    the sampled sources; closeness derives as any normalization of
+    //    the pair. All K sources share each round's edge scan (state
+    //    O(K·reached), the reason sampling beats all-pairs at scale);
+    //    the oracle unrolls the same seed-keyed frontier rounds ----------
+    ("q_closeness",
+      (s: SparkSession, d: String) => {
+        val edges = clickEdges(s, d)
+        val seeds = edges.select(col("src").as("node"))
+          .union(edges.select(col("dst").as("node"))).distinct()
+          .filter(col("node") % 7 === 0)
+        graft.ops.Graph.closenessSampled(edges, "src", "dst",
+            seeds, "node", iters = 4)
+          .orderBy("node")
+      },
+      edgeCtes +
+        s""",
+          |sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM
+          |  (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges) q),
+          |nodes AS (SELECT DISTINCT node FROM
+          |  (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges) q),
+          |c0 AS (SELECT node AS seed, node, CAST(0 AS BIGINT) AS dist
+          |       FROM nodes WHERE node % 7 = 0),
+          |${mbfsIterCtes(4)}
+          |SELECT node, CAST(count(*) AS BIGINT) AS n_sources,
+          |  CAST(sum(dist) AS BIGINT) AS dist_sum
+          |FROM c4 GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // -- weighted single-source shortest paths (4 Bellman–Ford rounds)
     //    from the smallest page: transition weight 1+((src*7+dst)%5) as
     //    synthetic cost, parallel edges keep the cheapest, symmetrized.
@@ -378,6 +442,20 @@ object GraphOps {
          |  FROM r${i - 1} b LEFT JOIN c$i ON b.node = c$i.cnode CROSS JOIN s$i)""".stripMargin
     }.mkString(",\n")
 
+  /** One multi-source BFS round for the q_closeness oracle, mirroring
+    * Graph.multiBfsLevels: the seed-keyed frontier expands, dedupes, and
+    * anti-joins against everything that seed already reached.
+    */
+  private def mbfsIterCtes(iters: Int): String =
+    (1 to iters).map { i =>
+      s"""g$i AS (SELECT DISTINCT p.seed, e.dst AS node FROM sym e
+         |  JOIN c${i - 1} p ON e.src = p.node AND p.dist = ${i - 1}),
+         |c$i AS MATERIALIZED (SELECT * FROM c${i - 1} UNION ALL
+         |  SELECT g.seed, g.node, CAST($i AS BIGINT) FROM g$i g
+         |  WHERE NOT EXISTS (SELECT 1 FROM c${i - 1} x
+         |                    WHERE x.seed = g.seed AND x.node = g.node))""".stripMargin
+    }.mkString(",\n")
+
   /** One BFS round for the q_bfs_levels oracle, mirroring Graph.bfsLevels:
     * expand only the previous round's frontier, dedupe, anti-join against
     * everything already reached.
@@ -403,6 +481,25 @@ object GraphOps {
          |   SELECT e.dst, p.dist + e.w FROM sym e
          |   JOIN d${i - 1} p ON e.src = p.node) q
          |  GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+
+  /** One WEIGHTED label-propagation round for q_label_prop_weighted,
+    * mirroring Graph.weightedLabelPropagate: votes sum edge weights
+    * instead of counting rows; argmax and clamping identical to
+    * [[lpIterCtes]].
+    */
+  private def wlpIterCtes(iters: Int): String =
+    (1 to iters).map { i =>
+      s"""v$i AS (SELECT e.dst AS cand, l.lbl AS vl, CAST(sum(e.w) AS BIGINT) AS c
+         |  FROM sym e JOIN l${i - 1} l ON e.src = l.node
+         |  WHERE l.lbl IS NOT NULL GROUP BY 1, 2),
+         |m$i AS (SELECT cand, max(c) AS mc FROM v$i GROUP BY 1),
+         |p$i AS (SELECT v.cand, min(v.vl) AS nl
+         |  FROM v$i v JOIN m$i m ON v.cand = m.cand AND v.c = m.mc GROUP BY 1),
+         |l$i AS (SELECT b.node,
+         |  CASE WHEN b.is_seed THEN b.lbl ELSE coalesce(p.nl, b.lbl) END AS lbl,
+         |  b.is_seed
+         |  FROM l${i - 1} b LEFT JOIN p$i p ON b.node = p.cand)""".stripMargin
     }.mkString(",\n")
 
   /** One label-propagation round for the q_label_prop oracle, mirroring

@@ -716,6 +716,84 @@ object TextOps {
          |  SELECT w.u, e.v FROM walk w JOIN e ON w.v = e.u)
          |SELECT u AS doc_id, min(v) AS component FROM walk GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // -- CLUSTER-QUALITY AUDIT of the LSH→CC pipeline: for every
+    //    non-representative member of a q_dedup_cc_minhash cluster,
+    //    the EXACT 3-gram Jaccard against its cluster representative
+    //    (the min-id member = the component label), rolled up per
+    //    cluster as exact integers: n_checked, n_pass (Jaccard >= 0.5
+    //    via 2·inter >= union — no floats), sum_inter, sum_union.
+    //    Cluster precision = n_pass/n_checked derives; a cluster whose
+    //    members drift from the rep shows up as n_pass < n_checked.
+    //    Member-vs-REP only (spanning-star, |C|−1 pairs), never
+    //    all-pairs within a cluster — the audit itself must not
+    //    reintroduce the O(|C|²) blowup it is auditing for; the shingle
+    //    join touches only docs inside clusters ---------------------------
+    ("q_cluster_audit",
+      (s: SparkSession, d: String) => {
+        val bands = md5BandsDf(s, d, nBands = 8, rows = 2)
+        val pairs = bands.alias("x").join(bands.alias("y"),
+            col("x.j") === col("y.j") && col("x.bh") === col("y.bh") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+          .distinct()
+        val cc = graft.ops.ConnectedComponents.components(pairs, "a", "b")
+          .withColumnRenamed("id", "doc_id")
+        val sh = shingleDf(s, d)
+          .select(col("doc_id"), explode(col("sh")).as("g"))
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+        val members = cc.filter(col("doc_id") =!= col("component"))
+        val inter = members.join(sh, Seq("doc_id"))
+          .join(sh.select(col("doc_id").as("component"), col("g")),
+            Seq("component", "g"))
+          .groupBy("doc_id", "component").agg(count(lit(1)).as("inter"))
+        members
+          .join(sizes, Seq("doc_id"))
+          .join(sizes.select(col("doc_id").as("component"),
+            col("nsh").as("rsh")), Seq("component"))
+          .join(inter, Seq("doc_id", "component"), "left")
+          .withColumn("inter", coalesce(col("inter"), lit(0L)))
+          .withColumn("uni", col("nsh") + col("rsh") - col("inter"))
+          .groupBy("component")
+          .agg(count(lit(1)).as("n_checked"),
+            sum(when(col("inter") * 2 >= col("uni"), 1L).otherwise(0L))
+              .cast("long").as("n_pass"),
+            sum(col("inter")).cast("long").as("sum_inter"),
+            sum(col("uni")).cast("long").as("sum_union"))
+          .orderBy("component")
+      },
+      s"""WITH RECURSIVE ${shingleCte.stripPrefix("WITH ")},
+         |$sigCte,
+         |${bandsCte(8, 2)},
+         |p AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bands x JOIN bands y ON x.j = y.j AND x.bh = y.bh AND x.doc_id < y.doc_id),
+         |e AS (SELECT a AS u, b AS v FROM p UNION SELECT b, a FROM p),
+         |walk(u, v) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM e)
+         |  UNION
+         |  SELECT w.u, e.v FROM walk w JOIN e ON w.v = e.u),
+         |cc AS MATERIALIZED (
+         |  SELECT u AS doc_id, min(v) AS component FROM walk GROUP BY 1),
+         |sz AS MATERIALIZED (
+         |  SELECT doc_id, CAST(len(sh) AS BIGINT) AS nsh FROM s),
+         |g AS MATERIALIZED (SELECT doc_id, unnest(sh) AS g FROM s),
+         |mem AS (SELECT doc_id, component FROM cc WHERE doc_id <> component),
+         |iv AS (SELECT m.doc_id, m.component, CAST(count(*) AS BIGINT) AS inter
+         |       FROM mem m JOIN g a ON a.doc_id = m.doc_id
+         |       JOIN g r ON r.doc_id = m.component AND r.g = a.g
+         |       GROUP BY 1, 2),
+         |au AS (SELECT m.component, sa.nsh, sr.nsh AS rsh,
+         |         CAST(coalesce(iv.inter, 0) AS BIGINT) AS inter
+         |       FROM mem m JOIN sz sa ON sa.doc_id = m.doc_id
+         |       JOIN sz sr ON sr.doc_id = m.component
+         |       LEFT JOIN iv ON iv.doc_id = m.doc_id AND iv.component = m.component)
+         |SELECT component, CAST(count(*) AS BIGINT) AS n_checked,
+         |  CAST(sum(CASE WHEN 2 * inter >= nsh + rsh - inter
+         |       THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+         |  CAST(sum(inter) AS BIGINT) AS sum_inter,
+         |  CAST(sum(nsh + rsh - inter) AS BIGINT) AS sum_union
+         |FROM au GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // -- SimHash fingerprints (60-bit, md5-derived so DuckDB can replay the
     //    identical computation): bit b = sign of sum over distinct tokens of
     //    (2*bit_b(h(tok)) - 1). Library form with xxhash64 + Hamming band
@@ -1182,6 +1260,46 @@ $audioFpCtes
         |  cast(list_sum([ bits[i + 33] * (1::BIGINT << i) for i in range(0, 32) ]) AS BIGINT) AS afp_hi,
         |  cast(list_sum([ bits[i + 1] * (1::BIGINT << i) for i in range(0, 32) ]) AS BIGINT) AS afp_lo
         |FROM b ORDER BY media_id""".stripMargin),
+
+    // -- SPECTRAL audio fingerprint under the gate: the same 65 window
+    //    energies, transformed by the integer 1-D DCT-II (fixed-point
+    //    cosine table inlined into the SQL — the q_image_phash trick on
+    //    the time axis) and thresholded at the coefficient median. The
+    //    envelope-shape twin of q_audio_fingerprint's delta bits, and
+    //    exactly gain-invariant by construction. Both engines run the
+    //    identical Long arithmetic, so the gate hash-compares bits ------
+    ("q_audio_spectral",
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        val audio = t(s, d, "documents")
+          .filter(col("doc_id") < 200 && length(col("text")) >= 65)
+          .select(col("doc_id").as("media_id"),
+            encode(col("text"), "UTF-8").as("payload"),
+            lit("fakepcm").as("format"))
+          .as[graft.ops.Multimodal.AudioRow]
+        graft.ops.Multimodal.audioSpectralHash(audio).orderBy("media_id")
+      },
+      s"""WITH m AS (
+        |  SELECT doc_id AS media_id, text, octet_length(encode(text)) AS len
+        |  FROM documents WHERE doc_id < 200 AND length(text) >= 65),
+        |$audioFpCtes,
+        |tA AS (SELECT ${graft.ops.Multimodal.afpCosTable.flatten.mkString("[", ", ", "]")} AS ct),
+        |co AS (
+        |  SELECT media_id,
+        |    [ list_sum([ cast(ct[k * 65 + j + 1] AS BIGINT) * en[j + 1]
+        |                 for j in range(0, 65) ])
+        |      for k in range(0, 64) ] AS c
+        |  FROM en, tA),
+        |md AS (SELECT media_id, c, list_sort(c)[32] AS med FROM co),
+        |bs AS (
+        |  SELECT media_id,
+        |    [ CASE WHEN c[i + 1] > med THEN 1 ELSE 0 END
+        |      for i in range(0, 64) ] AS bits
+        |  FROM md)
+        |SELECT media_id,
+        |  cast(list_sum([ bits[i + 33] * (1::BIGINT << i) for i in range(0, 32) ]) AS BIGINT) AS afp_hi,
+        |  cast(list_sum([ bits[i + 1] * (1::BIGINT << i) for i in range(0, 32) ]) AS BIGINT) AS afp_lo
+        |FROM bs ORDER BY media_id""".stripMargin),
 
     // -- audio near-dup PAIRING under the gate: corpus + an exact copy
     //    (+1000) and a one-byte edit (+2000) per clip, fingerprinted and

@@ -60,6 +60,79 @@ object TrainOps {
         |  FROM documents)
         |WHERE rk <= 3 ORDER BY lang, doc_id""".stripMargin),
 
+    // -- STREAMING per-stratum reservoir: the same bottom-k-by-hash
+    //    sample maintained incrementally across three rate-limited
+    //    micro-batches. Each batch merges the prior reservoir with its
+    //    own rows and re-takes per-stratum bottom-k — legal because
+    //    bottom-k by (md5, id) is a semilattice merge
+    //    (min-k(min-k(A) ∪ B) = min-k(A ∪ B)), which is the property
+    //    that makes reservoir state O(strata · k) FOREVER regardless of
+    //    stream length. Versions land at idempotent per-batch paths (a
+    //    replayed batch overwrites its own version with identical
+    //    deterministic content — the at-least-once screen); the final
+    //    version must hash-equal the BATCH sample, proving
+    //    order/slicing-invariance of the maintained reservoir ----------
+    ("q_stream_reservoir",
+      (s: SparkSession, d: String) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_stream_resv")
+        try {
+          val src = s"$tmp/src"; val store = s"$tmp/store"
+          val docs = t(s, d, "documents").select(col("lang"), col("doc_id"))
+          (0 until 3).foreach { i =>
+            docs.filter(pmod(col("doc_id"), lit(3)) === i)
+              .coalesce(1).write.mode("append").parquet(src)
+          }
+          def versions(): Seq[Long] = {
+            val fs = Option(new java.io.File(store).listFiles())
+              .getOrElse(Array.empty[java.io.File])
+            fs.filter(_.getName.startsWith("v=")).toSeq
+              .map(_.getName.stripPrefix("v=").toLong)
+          }
+          val q = s.readStream.schema(docs.schema)
+            .option("pathGlobFilter", "*.parquet")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .writeStream
+            .option("checkpointLocation", s"$tmp/ckpt")
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+              // prior = the latest version BELOW this batch id, so a
+              // replayed batch re-derives from the same input state
+              val prior = versions().filter(_ < id).sorted.lastOption
+                .map(v => b.sparkSession.read.parquet(s"$store/v=$v"))
+                .getOrElse(b.sparkSession.createDataFrame(
+                  new java.util.ArrayList[org.apache.spark.sql.Row](), b.schema))
+              graft.ops.Reservoir.sampleK(
+                  prior.unionByName(b.select("lang", "doc_id")),
+                  "lang", "doc_id", k = 3)
+                .coalesce(1).write.mode("overwrite").parquet(s"$store/v=$id")
+              ()
+            }
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+          require(dataBatches >= 3, "staged reservoir stream should take " +
+            s">=3 micro-batches (3 files, maxFilesPerTrigger=1); got $dataBatches")
+          val res = s.read.parquet(s"$store/v=${versions().max}")
+            .orderBy("lang", "doc_id")
+          import scala.jdk.CollectionConverters._
+          s.createDataFrame(res.collect().toSeq.asJava, res.schema)
+        } finally {
+          def del(f: java.io.File): Unit = {
+            if (f.isDirectory)
+              Option(f.listFiles()).getOrElse(Array.empty).foreach(del)
+            f.delete(); ()
+          }
+          del(tmp.toFile)
+        }
+      },
+      """SELECT lang, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(cast(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 3 ORDER BY lang, doc_id""".stripMargin),
+
     // -- sequence packing: assign docs (in stable id order, per language) to
     //    fixed-token-budget shards via the exclusive running token count —
     //    the scan-friendly greedy packer. Partitioned by lang, so the window

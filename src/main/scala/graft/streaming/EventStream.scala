@@ -183,6 +183,38 @@ object EventStream {
         col("e_ts"), col("p_ts"), col("purchase_value"))
   }
 
+  /** [[errorsLeftPurchases]] with BOTH sides outer: every error emits
+    * (with its preceding-window purchases or NULLs), and every purchase
+    * that preceded no error within the window ALSO emits, with NULL
+    * error columns — the full reconciliation view ("which purchases
+    * never produced a follow-up error" is the side a left join cannot
+    * answer). Same state contract, now symmetric: an unmatched row on
+    * EITHER side may only emit once the watermark proves nothing on the
+    * other side can still match it, so the staged-sentinel protocol in
+    * the q_stream_left_join gate applies to both sides. `user_id` is
+    * coalesced across the sides (exactly one is non-null on unmatched
+    * rows); (event_id, p_event_id) remains a true output key — each
+    * unmatched row carries its own side's unique id and NULL for the
+    * other — so the keyed at-least-once replay screen still applies.
+    */
+  def errorsFullPurchases(events: DataFrame, windowMinutes: Int = 30): DataFrame = {
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id").as("e_user"), col("ts").as("e_ts"))
+      .withWatermark("e_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"), col("value").as("purchase_value"))
+      .withWatermark("p_ts", "1 hour")
+    errors.join(purchases,
+      col("e_user") === col("p_user") &&
+        col("p_ts") <= col("e_ts") &&
+        col("p_ts") >= col("e_ts") - expr(s"INTERVAL $windowMinutes MINUTES"),
+      "full_outer")
+      .select(col("event_id"), col("p_event_id"),
+        coalesce(col("e_user"), col("p_user")).as("user_id"),
+        col("e_ts"), col("p_ts"), col("purchase_value"))
+  }
+
   /** Incremental HLL sketch store: every micro-batch appends its own
     * per-(hour, event_type) user sketch rows to `storePath` — "sketches as
     * incremental state". No streaming aggregation state or watermark is

@@ -740,4 +740,33 @@ class OpsSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("65") || e.getCause.getMessage.contains("65"))
   }
+
+  test("Multimodal: audioSpectralHash — exact gain invariance, copy at 0, envelope change far") {
+    import spark.implicits._
+    // fakepcm with an exactly-scalable envelope: samples 128 ± d and
+    // 128 ± 2d have energies in exact ratio 2, so every DCT coefficient
+    // AND the median double together — bits must be IDENTICAL
+    val rnd = new scala.util.Random(13)
+    val deltas = Array.fill(260)(rnd.nextInt(60) + 1)
+    def clip(scale: Int): Array[Byte] =
+      deltas.zipWithIndex.map { case (d, i) =>
+        (128 + (if (i % 2 == 0) d * scale else -d * scale)).toByte }
+    def fp(rows: Seq[Multimodal.AudioRow]): Map[Long, (Long, Long)] =
+      Multimodal.audioSpectralHash(rows.toDS())
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // a different envelope: deltas reversed in time
+    val rev = deltas.reverse.zipWithIndex.map { case (d, i) =>
+      (128 + (if (i % 2 == 0) d else -d)).toByte }
+    val m = fp(Seq(Multimodal.AudioRow(1L, clip(1), "fakepcm"),
+      Multimodal.AudioRow(2L, clip(2), "fakepcm"),
+      Multimodal.AudioRow(3L, clip(1), "fakepcm"),
+      Multimodal.AudioRow(4L, rev, "fakepcm")))
+    assert(m(1L) === m(2L), "2x gain changed spectral bits")
+    assert(m(1L) === m(3L)) // copy
+    assert(m(1L) !== m(4L)) // time-reversed envelope: different shape
+    // real WAV path runs and is rerun-deterministic
+    val wav = Multimodal.sineWav(440.0, 0.5, 0.1)
+    val w1 = fp(Seq(Multimodal.AudioRow(9L, wav, "wav")))
+    assert(w1 === fp(Seq(Multimodal.AudioRow(9L, wav, "wav"))))
+  }
 }
