@@ -579,6 +579,95 @@ object Graph {
     dist
   }
 
+  /** Sampled STRESS centrality — the exact-integer member of the
+    * betweenness family (Brandes 2008, "On variants of shortest-path
+    * betweenness"): stress(v) = Σ_{s,t} σ_st(v), the NUMBER of shortest
+    * paths through v, estimated from the `seeds` sample within an
+    * `iters`-hop horizon. Betweenness proper needs the rational
+    * σ_st(v)/σ_st; stress keeps every quantity a BIGINT, which is what
+    * makes the sampled statistic bit-reproducible and SQL-replayable —
+    * the same reason [[pageRank]] runs on integer mass units.
+    *
+    * Three phases, all O(rounds · |E|) keyed shuffles:
+    *  1. forward multi-source BFS carrying path counts: σ_s(v) = Σ of
+    *     σ over distance-(i−1) predecessors the round v is first
+    *     reached (aggregate-then-anti-join, so ties sum before the
+    *     freshness check);
+    *  2. the shortest-path DAG: sym edges (u→w) with
+    *     dist_w = dist_u + 1 in the same seed's tree;
+    *  3. backward suffix-path counts ψ_s(v) = Σ_{w ∈ succ(v)} (ψ_s(w)+1)
+    *     — the number of shortest paths from v to ANY later node in the
+    *     horizon — peeled level by level from the deepest frontier
+    *     (whose ψ is 0: nothing beyond the horizon is counted).
+    * Then stress(v) = Σ_s σ_s(v)·ψ_s(v) over non-root appearances:
+    * σ·ψ counts exactly the s-rooted shortest paths with v interior.
+    * State is O(|seeds| · reached) like [[multiBfsLevels]] — the
+    * sampling IS the scale plan.
+    */
+  def stressSampled(edges0: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, iters: Int = 3): DataFrame = {
+    require(iters >= 2, "stressSampled: iters must be >= 2")
+    val edges = edges0
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint(true)
+    val sym = edges
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var fw = seeds
+      .select(col(seedCol).as("seed"), col(seedCol).as("node"),
+        lit(0L).as("dist"), lit(1L).as("sigma"))
+      .localCheckpoint(true)
+    for (i <- 1 to iters) {
+      val frontier = fw.filter(col("dist") === lit(i - 1L))
+        .select(col("seed"), col("node").as("fn"), col("sigma"))
+      val cand = sym.join(frontier, col("src") === col("fn"))
+        .groupBy(col("seed"), col("dst").as("node"))
+        .agg(sum(col("sigma")).as("sigma"))
+      val fresh = cand
+        .join(fw.select(col("seed").as("ss"), col("node").as("seen")),
+          col("seed") === col("ss") && col("node") === col("seen"),
+          "left_anti")
+        .select(col("seed"), col("node"), lit(i.toLong).as("dist"),
+          col("sigma"))
+      fw = fw.union(fresh).localCheckpoint(true)
+    }
+    val dag = sym
+      .join(fw.select(col("seed"), col("node").as("u"),
+        col("dist").as("ud")), col("src") === col("u"))
+      .join(fw.select(col("seed").as("ws"), col("node").as("w"),
+        col("dist").as("wd")),
+        col("seed") === col("ws") && col("dst") === col("w") &&
+          col("wd") === col("ud") + 1L)
+      .select(col("seed"), col("u"), col("w"))
+      .localCheckpoint(true)
+    var psi = fw.select(col("seed"), col("node"), col("dist"),
+      lit(0L).as("psi")).localCheckpoint(true)
+    for (i <- (iters - 1) to 1 by -1) {
+      val contrib = dag
+        .join(psi.select(col("seed").as("ps"), col("node").as("pw"),
+          col("psi").as("wpsi")),
+          col("seed") === col("ps") && col("w") === col("pw"))
+        .groupBy(col("seed"), col("u"))
+        .agg(sum(col("wpsi") + 1L).as("sm"))
+      psi = psi
+        .join(contrib.select(col("seed").as("cs"), col("u").as("cn"),
+          col("sm")),
+          col("seed") === col("cs") && col("node") === col("cn"),
+          "left_outer")
+        .select(col("seed"), col("node"), col("dist"),
+          when(col("dist") === lit(i.toLong), coalesce(col("sm"), lit(0L)))
+            .otherwise(col("psi")).as("psi"))
+        .localCheckpoint(true)
+    }
+    fw.join(psi.select(col("seed").as("qs"), col("node").as("qn"),
+        col("psi")),
+        col("seed") === col("qs") && col("node") === col("qn"))
+      .filter(col("node") =!= col("seed"))
+      .groupBy("node")
+      .agg(sum(col("sigma") * col("psi")).as("stress"))
+  }
+
   /** Sampled closeness centrality (Eppstein–Wang): per node, the count
     * of sample sources that reach it within `iters` hops and the exact
     * summed hop distance — closeness estimates derive as

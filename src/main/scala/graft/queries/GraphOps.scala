@@ -344,6 +344,45 @@ object GraphOps {
           |  CAST(sum(dist) AS BIGINT) AS dist_sum
           |FROM c4 GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // -- SAMPLED STRESS centrality (the exact-integer betweenness
+    //    variant, Brandes 2008): from the page % 7 = 0 seed sample,
+    //    3-hop forward BFS carrying path counts σ, the shortest-path
+    //    DAG, and backward suffix counts ψ(v) = Σ_succ(ψ+1); stress(v)
+    //    = Σ_seeds σ·ψ counts the seed-rooted shortest paths with v
+    //    INTERIOR — the "bridge" signal betweenness measures, kept
+    //    BIGINT end to end (betweenness proper would need rational
+    //    σ_st(v)/σ_st). The oracle unrolls all three phases -------------
+    ("q_stress",
+      (s: SparkSession, d: String) => {
+        val edges = clickEdges(s, d)
+        val seeds = edges.select(col("src").as("node"))
+          .union(edges.select(col("dst").as("node"))).distinct()
+          .filter(col("node") % 7 === 0)
+        graft.ops.Graph.stressSampled(edges, "src", "dst",
+            seeds, "node", iters = Iters)
+          .orderBy("node")
+      },
+      edgeCtes +
+        s""",
+          |sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM
+          |  (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges) q),
+          |nodes AS (SELECT DISTINCT node FROM
+          |  (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges) q),
+          |w0 AS (SELECT node AS seed, node, CAST(0 AS BIGINT) AS dist,
+          |       CAST(1 AS BIGINT) AS sigma FROM nodes WHERE node % 7 = 0),
+          |${stressFwdCtes(Iters)},
+          |dg AS MATERIALIZED (SELECT u.seed, u.node AS u, wv.node AS w
+          |  FROM sym e JOIN w$Iters u ON e.src = u.node
+          |  JOIN w$Iters wv ON wv.seed = u.seed AND wv.node = e.dst
+          |    AND wv.dist = u.dist + 1),
+          |p$Iters AS (SELECT seed, node, dist, CAST(0 AS BIGINT) AS psi
+          |  FROM w$Iters),
+          |${stressBwdCtes(Iters)}
+          |SELECT w.node, CAST(sum(w.sigma * p.psi) AS BIGINT) AS stress
+          |FROM w$Iters w JOIN p1 p ON p.seed = w.seed AND p.node = w.node
+          |WHERE w.node <> w.seed
+          |GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // -- weighted single-source shortest paths (4 Bellman–Ford rounds)
     //    from the smallest page: transition weight 1+((src*7+dst)%5) as
     //    synthetic cost, parallel edges keep the cheapest, symmetrized.
@@ -440,6 +479,38 @@ object GraphOps {
          |  ((15 * (total // (SELECT n FROM nn))) // 100)
          |  + ((85 * (coalesce(contrib, 0) + (dangling // (SELECT n FROM nn)))) // 100) AS pr
          |  FROM r${i - 1} b LEFT JOIN c$i ON b.node = c$i.cnode CROSS JOIN s$i)""".stripMargin
+    }.mkString(",\n")
+
+  /** One forward stress round for the q_stress oracle, mirroring
+    * Graph.stressSampled phase 1: σ sums over the previous frontier's
+    * predecessors BEFORE the freshness anti-join, so tied shortest
+    * paths accumulate.
+    */
+  private def stressFwdCtes(iters: Int): String =
+    (1 to iters).map { i =>
+      s"""a$i AS (SELECT p.seed, e.dst AS node, CAST(sum(p.sigma) AS BIGINT) AS sigma
+         |  FROM sym e JOIN w${i - 1} p ON e.src = p.node AND p.dist = ${i - 1}
+         |  GROUP BY 1, 2),
+         |w$i AS MATERIALIZED (SELECT * FROM w${i - 1} UNION ALL
+         |  SELECT a.seed, a.node, CAST($i AS BIGINT), a.sigma FROM a$i a
+         |  WHERE NOT EXISTS (SELECT 1 FROM w${i - 1} x
+         |                    WHERE x.seed = a.seed AND x.node = a.node))""".stripMargin
+    }.mkString(",\n")
+
+  /** One backward stress round (deepest level first), mirroring
+    * Graph.stressSampled phase 3: ψ at distance i = Σ over DAG
+    * successors of (ψ + 1), deeper levels already final.
+    */
+  private def stressBwdCtes(iters: Int): String =
+    ((iters - 1) to 1 by -1).map { i =>
+      s"""sb$i AS (SELECT d.seed, d.u, CAST(sum(p2.psi + 1) AS BIGINT) AS sm
+         |  FROM dg d JOIN p${i + 1} p2 ON p2.seed = d.seed AND p2.node = d.w
+         |  GROUP BY 1, 2),
+         |p$i AS MATERIALIZED (SELECT f.seed, f.node, f.dist,
+         |  CASE WHEN f.dist = $i THEN CAST(coalesce(sb$i.sm, 0) AS BIGINT)
+         |       ELSE f.psi END AS psi
+         |  FROM p${i + 1} f LEFT JOIN sb$i
+         |    ON f.seed = sb$i.seed AND f.node = sb$i.u)""".stripMargin
     }.mkString(",\n")
 
   /** One multi-source BFS round for the q_closeness oracle, mirroring

@@ -106,4 +106,40 @@ class EvalSpec extends SparkSuite {
       "ppm", "y", bins = 10).head()
     assert(top.getLong(0) === 9L)
   }
+
+  test("liftDeciles matches brute-force ranking incl. ties; invariants hold") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    // heavy ties: scores in 0..9 over 200 rows, label correlated with score
+    val rows = (1L to 200L).map { id =>
+      val s = rnd.nextInt(10).toLong
+      (id, s, if (rnd.nextInt(10).toLong < s) 1L else 0L)
+    }
+    val got = Eval.liftDeciles(rows.toDF("id", "s", "y"), "s", "y", "id",
+        buckets = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))).toMap
+    // brute force: sort by (score desc, id), cut into 10 equal buckets
+    val ranked = rows.sortBy { case (id, s, _) => (-s, id) }
+    val n = ranked.size; val pos = ranked.map(_._3).sum
+    val exp = ranked.zipWithIndex
+      .groupBy { case (_, i) => i.toLong * 10 / n }
+      .map { case (d, g) => d -> (g.size.toLong, g.map(_._1._3).sum) }
+    assert(got.keySet === exp.keySet)
+    var cumN = 0L; var cumP = 0L
+    (0L to 9L).foreach { d =>
+      val (en, ep) = exp(d); cumN += en; cumP += ep
+      val (gn, gp, gcn, gcp, lnum, lden) = got(d)
+      assert((gn, gp, gcn, gcp) === ((en, ep, cumN, cumP)), s"decile $d")
+      assert(lnum === cumP * n && lden === cumN * pos)
+    }
+    assert(cumN === n && cumP === pos) // gains reach 100%
+    // perfect scorer: every positive precedes every negative
+    val perf = (1L to 100L).map(id => (id, 100L - id, if (id <= 30) 1L else 0L))
+    val pd = Eval.liftDeciles(perf.toDF("id", "s", "y"), "s", "y", "id", 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(pd(0L) === 10L && pd(1L) === 10L && pd(2L) === 10L) // first 3 deciles all positive
+    assert((3L to 9L).forall(pd(_) === 0L))
+  }
 }

@@ -258,4 +258,61 @@ class GraphSpec extends SparkSuite {
     val full = Graph.linkPredict(df, "src", "dst", 1000L, 1L).count()
     assert(capped < full)
   }
+
+  test("multiBfsLevels/closenessSampled: per-seed distances exact; state keyed by seed") {
+    import spark.implicits._
+    // path 1-2-3-4-5, seeds {1, 5}: node 3 reached by both at dist 2
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val seeds = Seq(1L, 5L).toDF("node")
+    val m = Graph.multiBfsLevels(edges, "src", "dst", seeds, "node", iters = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(m((1L, 3L)) === 2L && m((5L, 3L)) === 2L)
+    assert(m((1L, 5L)) === 4L && m((5L, 1L)) === 4L)
+    val c = Graph.closenessSampled(edges, "src", "dst", seeds, "node", iters = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(c(3L) === ((2L, 4L))) // both seeds, 2 + 2
+    assert(c(1L) === ((2L, 4L))) // itself at 0 + seed 5 at 4
+  }
+
+  test("stressSampled: path and star graphs match hand-computed stress") {
+    import spark.implicits._
+    // undirected path 1-2-3-4-5, ALL nodes seeded, horizon covers the
+    // diameter: stress = ordered-pair counts through each interior node
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val all = Seq(1L, 2L, 3L, 4L, 5L).toDF("node")
+    val s = Graph.stressSampled(path, "src", "dst", all, "node", iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s(3L) === 8L) // {1,2}×{4,5} ordered both ways
+    assert(s(2L) === 6L && s(4L) === 6L) // 1↔{3,4,5}
+    assert(s(1L) === 0L && s(5L) === 0L) // endpoints are never interior
+    // star: center 0 with 4 leaves — center carries every ordered leaf pair
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("src", "dst")
+    val sAll = Seq(0L, 1L, 2L, 3L, 4L).toDF("node")
+    val st = Graph.stressSampled(star, "src", "dst", sAll, "node", iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(st(0L) === 12L) // 4×3 ordered leaf pairs
+    assert((1L to 4L).forall(st(_) === 0L))
+    // horizon truncation: iters=2 on the path counts only <=2-hop pairs
+    val s2 = Graph.stressSampled(path, "src", "dst", all, "node", iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // only trees rooted at 2 and 4 still see a suffix beyond 3 inside
+    // the 2-hop horizon (roots 1 and 5 reach 3 AT the horizon: psi = 0)
+    assert(s2(3L) === 2L)
+    assert(s2(3L) < s(3L))
+  }
+
+  test("stressSampled: tied shortest paths multiply sigma, not duplicate rows") {
+    import spark.implicits._
+    // diamond: 1-2-4, 1-3-4 (two shortest 1→4 paths) plus tail 4-5:
+    // seeds {1}: sigma(4) = 2, so stress(4) from s=1 = sigma·psi = 2·1
+    // (suffix 4→5); nodes 2 and 3 each carry one 1→4 and one 1→5 path
+    val dia = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val st = Graph.stressSampled(dia, "src", "dst", Seq(1L).toDF("node"),
+        "node", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(st(2L) === 2L && st(3L) === 2L) // each: paths to 4 and to 5
+    assert(st(4L) === 2L) // two tied paths continue to 5
+    assert(st(5L) === 0L)
+  }
 }
