@@ -225,4 +225,123 @@ object Eval {
         (col("cum_pos") * col("n_total")).as("lift_num"),
         (col("cum_n") * col("pos_total")).as("lift_den"))
   }
+
+  /** Exact Spearman rank correlation of two integer-valued columns:
+    * Pearson over doubled midranks (2·rank keeps tied average ranks
+    * integral — the q_auc_exact convention), with all moments carried
+    * in DECIMAL(38,0) so the final closed-form double combination is
+    * reduction-order-independent and bit-identical across engines.
+    * Returns one row (n_rows, spearman_rho dec6-rounded).
+    *
+    * Shape: one groupBy per column to its distinct-value table, the
+    * two-phase prefix sum over each (never a global window), one
+    * shuffle join per column to carry ranks back onto the rows, then a
+    * single scalar aggregate. Doubled ranks are ≤ 2n+1, so the decimal
+    * products stay exact far beyond 2^63 row counts; the factors cast
+    * to decimal BEFORE multiplying (a long×long product would wrap past
+    * ~1.5e9 rows).
+    */
+  def spearmanExact(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val base = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(xCol).cast(LongType).as("xv"),
+        col(yCol).cast(LongType).as("yv"))
+      .localCheckpoint(true) // read by both rank derivations + the join
+    def ranks(vc: String): DataFrame = {
+      val byV = base.groupBy(col(vc).as("v")).agg(count(lit(1)).as("n"))
+        .localCheckpoint(true) // runningSums reads it across jobs
+      runningSums(byV, "v", descending = false, Seq("n"), Seq("below"),
+          inclusive = false)
+        .select(col("v"), (lit(2L) * col("below") + col("n") + lit(1L))
+          .as("r2"))
+    }
+    val dec = DecimalType(38, 0)
+    val joined = base
+      .join(ranks("xv").select(col("v").as("xv"), col("r2").as("rx")), Seq("xv"))
+      .join(ranks("yv").select(col("v").as("yv"), col("r2").as("ry")), Seq("yv"))
+    val a = joined.agg(
+      count(lit(1)).cast(dec).as("n"),
+      sum(col("rx").cast(dec)).as("sx"),
+      sum(col("ry").cast(dec)).as("sy"),
+      sum(col("rx").cast(dec) * col("rx").cast(dec)).as("sxx"),
+      sum(col("ry").cast(dec) * col("ry").cast(dec)).as("syy"),
+      sum(col("rx").cast(dec) * col("ry").cast(dec)).as("sxy"))
+    // exact decimal moments; the combination mirrors the oracle SQL's
+    // expression tree op for op (same IEEE doubles → same bits)
+    val nd = col("n").cast("double"); val sxd = col("sx").cast("double")
+    val syd = col("sy").cast("double"); val sxxd = col("sxx").cast("double")
+    val syyd = col("syy").cast("double"); val sxyd = col("sxy").cast("double")
+    a.select(
+      col("n").cast(LongType).as("n_rows"),
+      round((nd * sxyd - sxd * syd) /
+        sqrt((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)), 6)
+        .as("spearman_rho"))
+  }
+
+  /** Full r×c chi-square test of independence between two categorical
+    * columns, including the zero cells the observed contingency omits
+    * (an unobserved (x,y) combination still contributes its expected
+    * mass). Returns one row
+    * (n_rows, dof, chi2, cramers_v) with chi2 = Σ (O·N − R·C)²/(R·C·N)
+    * summed as dec6-rounded DECIMAL(18,6) terms (the q_lm_xent
+    * convention: each per-cell double is the identical expression tree
+    * in both engines, the decimal sum is order-independent).
+    *
+    * Shape: ONE corpus-sized groupBy(x, y); everything downstream is
+    * category-product-sized (marginals broadcast, the full grid is a
+    * broadcast cross join of the two marginal tables).
+    */
+  def chiSquare(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val cells = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(xCol).as("x"), col(yCol).as("y"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // category²-sized; read for marginals + grid
+    val rx = cells.groupBy("x").agg(sum(col("n")).as("nx"))
+    val ry = cells.groupBy("y").agg(sum(col("n")).as("ny"))
+    val tot = cells.agg(sum(col("n")).as("nn"))
+    val dims = rx.agg(count(lit(1)).as("r"))
+      .crossJoin(broadcast(ry.agg(count(lit(1)).as("c"))))
+    val grid = rx.crossJoin(broadcast(ry))
+      .join(broadcast(cells), Seq("x", "y"), "left")
+      .na.fill(0L, Seq("n"))
+      .crossJoin(broadcast(tot)) // 1 scalar row
+    val numd = (col("n") * col("nn") - col("nx") * col("ny")).cast("double")
+    val dend = col("nx").cast("double") * col("ny").cast("double") *
+      col("nn").cast("double")
+    val agg = grid.select(col("nn"),
+        round(numd * numd / dend, 6).cast(DecimalType(18, 6)).as("term"))
+      .groupBy("nn").agg(sum(col("term")).as("chi2s"))
+    agg.crossJoin(broadcast(dims))
+      .select(col("nn").as("n_rows"),
+        ((col("r") - 1L) * (col("c") - 1L)).as("dof"),
+        col("chi2s").cast("double").as("chi2"),
+        round(sqrt(col("chi2s").cast("double") /
+          (col("nn") * least(col("r") - 1L, col("c") - 1L)).cast("double")), 6)
+          .as("cramers_v"))
+  }
+
+  /** Pointwise mutual information table of two categorical columns: one
+    * row per OBSERVED cell (x, y, n_cell, pmi) with
+    * pmi = ln(n·N / (R·C)) dec6-rounded — zero cells carry no mass, so
+    * the scalar MI = Σ n_cell·pmi / N derives exactly from the table.
+    * Same shape as [[chiSquare]]: one corpus-sized groupBy, then
+    * marginal-sized broadcast joins.
+    */
+  def pmiTable(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val cells = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(xCol).as("x"), col(yCol).as("y"))
+      .agg(count(lit(1)).as("n_cell"))
+      .localCheckpoint(true)
+    val rx = cells.groupBy("x").agg(sum(col("n_cell")).as("nx"))
+    val ry = cells.groupBy("y").agg(sum(col("n_cell")).as("ny"))
+    val tot = cells.agg(sum(col("n_cell")).as("nn"))
+    cells.join(broadcast(rx), Seq("x"))
+      .join(broadcast(ry), Seq("y"))
+      .crossJoin(broadcast(tot)) // 1 scalar row
+      .select(col("x"), col("y"), col("n_cell"),
+        round(log((col("n_cell").cast("double") * col("nn").cast("double")) /
+          (col("nx").cast("double") * col("ny").cast("double"))), 6)
+          .as("pmi"))
+  }
 }

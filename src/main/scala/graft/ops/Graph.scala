@@ -295,6 +295,119 @@ object Graph {
     labels.select(col("node"), col("lbl").as("label"))
   }
 
+  /** HITS hubs/authorities (Kleinberg 1999, "Authoritative sources in a
+    * hyperlinked environment") as an exact integer fixed point: per
+    * round, authority(v) = Σ over in-edges of hub(u)·w(u,v), then
+    * hub(u) = Σ over out-edges of authority'(v)·w(u,v), each side
+    * L1-renormalized to total mass `scale` by the truncating division
+    * a' = (a·scale) div Σa — the [[pageRank]] determinism contract, so
+    * both engines replay identical arithmetic and the gate hash-compares
+    * exactly. Parallel edges pre-sum to multiplicity weights (the click
+    * graph's natural strength signal). Returns (node, hub, auth).
+    *
+    * Per round: two O(|E|) equi-join + groupBy shuffles (one keyed on
+    * dst for the authority pass, one on src for the hub pass), two
+    * 1-row scalar sums broadcast into the normalizations,
+    * localCheckpoint per round (each side is read by the next pass and
+    * by the scalar). Overflow bounds: post-normalization values sum to
+    * `scale`, so a raw sum is < scale·maxW ≤ scale·|E|; the
+    * normalization multiply raw·scale runs in DECIMAL(38,0) (a long
+    * product would wrap once Σraw·scale exceeds 2^63 — at the 1e9
+    * default that is any graph past ~9 edges of full mass concentration,
+    * i.e. always).
+    */
+  def hits(edges0: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 3, scale: Long = 1000000000L): DataFrame = {
+    require(iters >= 1, "hits: iters must be >= 1")
+    val we = edges0
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+      .localCheckpoint(true) // read twice per round, every round
+    val nodes = we.select(col("src").as("node"))
+      .union(we.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    // mass-`scale` is what each normalization restores, so any uniform
+    // positive start converges to the same fixed point; 1e6 per node
+    // keeps round 1's raw sums small
+    var hub = nodes.select(col("node"), lit(1000000L).as("h"))
+      .localCheckpoint(true)
+    var auth: DataFrame = null
+    def normalized(raw: DataFrame, vCol: String): DataFrame = {
+      val tot = raw.agg(sum(col("raw")).as("tot"))
+      raw.crossJoin(broadcast(tot)) // 1 scalar row
+        .selectExpr("node",
+          s"CAST((CAST(raw AS DECIMAL(38,0)) * ${scale}L) div tot AS LONG) AS $vCol")
+        .localCheckpoint(true)
+    }
+    for (_ <- 1 to iters) {
+      val araw = nodes.join(
+          we.join(hub.select(col("node").as("hn"), col("h")),
+              col("src") === col("hn"))
+            .groupBy(col("dst").as("node"))
+            .agg(sum(col("h") * col("w")).as("r")),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("r"), lit(0L)).as("raw"))
+      auth = normalized(araw, "a")
+      val hraw = nodes.join(
+          we.join(auth.select(col("node").as("an"), col("a")),
+              col("dst") === col("an"))
+            .groupBy(col("src").as("node"))
+            .agg(sum(col("a") * col("w")).as("r")),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("r"), lit(0L)).as("raw"))
+      hub = normalized(hraw, "h")
+    }
+    hub.join(auth, Seq("node"))
+      .select(col("node"), col("h").as("hub"), col("a").as("auth"))
+  }
+
+  /** Exact Newman modularity audit of a community assignment over the
+    * canonical undirected simple graph: per community c,
+    * Q_c = m_c/m − (D_c/2m)², carried as the exact integer numerator
+    * q_num = 4·m·m_c − D_c² out of denominator 4m² (Σ q_num / 4m² is the
+    * scalar modularity) — the quality gate one runs AFTER label
+    * propagation or CC to decide whether the clustering is worth acting
+    * on. Nodes with a NULL label are unassigned: they join no community
+    * and their edges are never intra (matching how a partial label-prop
+    * run leaves unreached nodes).
+    *
+    * Returns one row per community:
+    * (community, n_nodes, m_intra, deg_total, q_num).
+    *
+    * Shape: canonicalization (one distinct), degree = one groupBy over
+    * 2|E| endpoint rows, two label equi-joins onto the edge list, all
+    * keyed shuffles linear in |E|; output is communities-sized. Overflow:
+    * 4·m·m_c and D_c² stay under 2^63 while m < ~1.5e9; past that carry
+    * the numerators in DECIMAL — fail-loud territory, not silent.
+    */
+  def modularity(edges0: DataFrame, srcCol: String, dstCol: String,
+      labels: DataFrame, nodeCol: String, labelCol: String): DataFrame = {
+    val und = canonicalUndirected(edges0, srcCol, dstCol)
+    val lab = labels.select(col(nodeCol).as("ln"), col(labelCol).as("lbl"))
+      .filter(col("lbl").isNotNull)
+      .localCheckpoint(true) // read three times below
+    val m = und.count()
+    val deg = und.select(col("a").as("ln"))
+      .union(und.select(col("b").as("ln")))
+      .groupBy("ln").agg(count(lit(1)).as("deg"))
+    val intra = und
+      .join(lab.select(col("ln").as("a"), col("lbl").as("la")), Seq("a"))
+      .join(lab.select(col("ln").as("b"), col("lbl").as("lb")), Seq("b"))
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("community"))
+      .agg(count(lit(1)).as("m_intra"))
+    lab.join(deg, Seq("ln"), "left")
+      .groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(coalesce(col("deg"), lit(0L))).as("deg_total"))
+      .join(intra, Seq("community"), "left")
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("m_intra"), lit(0L)).as("m_intra"),
+        col("deg_total"),
+        (lit(4L) * lit(m) * coalesce(col("m_intra"), lit(0L)) -
+          col("deg_total") * col("deg_total")).as("q_num"))
+  }
+
   /** Per-node triangle counts by degree orientation (the standard
     * bounded-fanout trick: Schank & Wagner 2005 forward/compact-forward;
     * also the MPC formulation of Suri & Vassilvitskii 2011). Edges are

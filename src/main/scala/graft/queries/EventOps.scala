@@ -1196,6 +1196,64 @@ object EventOps {
         |SELECT p, event_type, count(*) AS n_users
         |FROM runs JOIN probes
         |  ON valid_from <= p AND (valid_to IS NULL OR p < valid_to)
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    // -- first-order Markov transition matrix of event types: per-user
+    //    consecutive pairs (one user-partitioned window), one
+    //    event-type²-sized aggregation, row-conditional probabilities as
+    //    exact ppm (n·1e6 div row total — truncating, replayable). The
+    //    behavioral fingerprint drift monitors compare release-over-
+    //    release. Row-total join is broadcast (type²-sized) -------------
+    ("q_markov",
+      (s: SparkSession, d: String) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val pairs = t(s, d, "events")
+          .withColumn("next_type", lead("event_type", 1).over(w))
+          .filter(col("next_type").isNotNull)
+          .groupBy(col("event_type").as("src_type"),
+            col("next_type").as("dst_type"))
+          .agg(count(lit(1)).as("n"))
+        val tot = pairs.groupBy("src_type").agg(sum(col("n")).as("tot"))
+        pairs.join(broadcast(tot), Seq("src_type"))
+          .select(col("src_type"), col("dst_type"), col("n"),
+            expr("(n * 1000000L) div tot").as("ppm"))
+          .orderBy("src_type", "dst_type")
+      },
+      """WITH e AS (SELECT user_id, event_type, ts, event_id,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |p AS (SELECT event_type AS src_type, next_type AS dst_type,
+        |        CAST(count(*) AS BIGINT) AS n
+        |      FROM e WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT src_type, CAST(sum(n) AS BIGINT) AS tot FROM p GROUP BY 1)
+        |SELECT p.src_type, p.dst_type, n, (n * 1000000) // tot AS ppm
+        |FROM p JOIN t USING (src_type) ORDER BY 1, 2""".stripMargin),
+
+    // -- top onboarding paths: each user's first 3 event types joined
+    //    '>'-separated (deterministic: the collect_list sorts on the
+    //    row_number taken over the user-partitioned (ts, event_id)
+    //    window), then a path-sized frequency table. The funnel-shape
+    //    discovery query behind q_funnel's fixed-sequence check ----------
+    ("q_top_paths",
+      (s: SparkSession, d: String) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        t(s, d, "events")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .groupBy("user_id")
+          .agg(array_join(
+            transform(
+              array_sort(collect_list(struct(col("rn"), col("event_type")))),
+              x => x.getField("event_type")), ">").as("path"))
+          .groupBy("path").agg(count(lit(1)).as("n_users"))
+          .orderBy(col("n_users").desc, col("path"))
+      },
+      """WITH r AS (SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        |      FROM r WHERE rn <= 3 GROUP BY 1)
+        |SELECT path, CAST(count(*) AS BIGINT) AS n_users FROM p GROUP BY 1
+        |ORDER BY n_users DESC, path""".stripMargin)
   )
 }

@@ -425,8 +425,104 @@ object GraphOps {
           |${kcoreIterCtes(3, 4)}
           |SELECT node, CAST(count(*) AS BIGINT) AS deg FROM
           |  (SELECT a AS node FROM live4 UNION ALL SELECT b FROM live4) q
-          |GROUP BY 1 ORDER BY 1""".stripMargin)
+          |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // -- HITS hubs/authorities over the click graph (Kleinberg 1999) as
+    //    an exact integer fixed point: per round two O(|E|) keyed
+    //    shuffles (authority pass on dst, hub pass on src), each side
+    //    L1-renormalized to 1e9 mass by a truncating division so both
+    //    engines replay identical arithmetic (the q_pagerank contract,
+    //    with the normalization multiply in DECIMAL/HUGEINT — a long
+    //    product of raw·scale wraps). Parallel edges pre-sum to
+    //    multiplicity weights ---------------------------------------------
+    ("q_hits",
+      (s: SparkSession, d: String) =>
+        graft.ops.Graph.hits(clickEdges(s, d), "src", "dst", iters = Iters)
+          .orderBy("node"),
+      edgeCtes +
+        s""",
+          |we AS MATERIALIZED (SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+          |  FROM edges GROUP BY 1, 2),
+          |nodes AS (SELECT DISTINCT node FROM
+          |  (SELECT src AS node FROM we UNION ALL SELECT dst FROM we) q),
+          |h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS h FROM nodes),
+          |${hitsIterCtes(Iters)}
+          |SELECT n.node, h.h AS hub, a.a AS auth
+          |FROM nodes n JOIN h$Iters h ON n.node = h.node
+          |     JOIN a$Iters a ON n.node = a.node
+          |ORDER BY n.node""".stripMargin),
+
+    // -- exact Newman modularity audit of the q_label_prop communities:
+    //    per community the intra-edge count, total degree, and the exact
+    //    integer numerator q_num = 4·m·m_c − D_c² out of 4m² — the
+    //    quality gate that decides whether a clustering is worth acting
+    //    on, composed from the SAME unrolled label-prop rounds the
+    //    oracle already replays. All keyed shuffles linear in |E|;
+    //    output is communities-sized ---------------------------------------
+    ("q_modularity",
+      (s: SparkSession, d: String) => {
+        val edges = clickEdges(s, d).localCheckpoint(true) // read by both
+        val nodes = edges.select(col("src").as("node"))
+          .union(edges.select(col("dst").as("node"))).distinct()
+        val seeds = nodes.filter(col("node") % 5 === 0)
+          .select(col("node"), (col("node") % 3).as("seed_label"))
+        val labels = graft.ops.Graph.labelPropagate(edges, "src", "dst",
+          seeds, "node", "seed_label", iters = Iters)
+        graft.ops.Graph.modularity(edges, "src", "dst",
+            labels, "node", "label")
+          .orderBy("community")
+      },
+      edgeCtes +
+        s""",
+          |sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+          |nodes AS (SELECT DISTINCT node FROM
+          |  (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges) q),
+          |l0 AS (SELECT node,
+          |  CASE WHEN node % 5 = 0 THEN node % 3 END AS lbl,
+          |  node % 5 = 0 AS is_seed FROM nodes),
+          |${lpIterCtes(Iters)},
+          |${canonCte("und")},
+          |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM und),
+          |dg AS (SELECT ln, CAST(count(*) AS BIGINT) AS deg FROM
+          |  (SELECT a AS ln FROM und UNION ALL SELECT b FROM und) q GROUP BY 1),
+          |lab AS MATERIALIZED (SELECT node AS ln, CAST(lbl AS BIGINT) AS lbl
+          |  FROM l$Iters WHERE lbl IS NOT NULL),
+          |intra AS (SELECT la.lbl AS community, CAST(count(*) AS BIGINT) AS m_intra
+          |  FROM und JOIN lab la ON und.a = la.ln JOIN lab lb ON und.b = lb.ln
+          |  WHERE la.lbl = lb.lbl GROUP BY 1),
+          |comm AS (SELECT l.lbl AS community, CAST(count(*) AS BIGINT) AS n_nodes,
+          |    CAST(sum(coalesce(deg, 0)) AS BIGINT) AS deg_total
+          |  FROM lab l LEFT JOIN dg ON l.ln = dg.ln GROUP BY 1)
+          |SELECT community, n_nodes, coalesce(m_intra, 0) AS m_intra, deg_total,
+          |  4 * m * coalesce(m_intra, 0) - deg_total * deg_total AS q_num
+          |FROM comm LEFT JOIN intra USING (community) CROSS JOIN mm
+          |ORDER BY community""".stripMargin)
   )
+
+  /** One HITS round for the q_hits oracle, mirroring Graph.hits term for
+    * term: raw authority = Σ hub·w over in-edges (zero for sink-free
+    * nodes via the nodes LEFT JOIN), L1-renormalize to 1e9 with the
+    * HUGEINT multiply, then the hub pass symmetrically.
+    */
+  private def hitsIterCtes(iters: Int): String =
+    (1 to iters).map { i =>
+      s"""ar$i AS (SELECT e.dst AS node, CAST(sum(h.h * e.w) AS BIGINT) AS raw
+         |  FROM we e JOIN h${i - 1} h ON e.src = h.node GROUP BY 1),
+         |af$i AS (SELECT n.node, coalesce(r.raw, 0) AS raw
+         |  FROM nodes n LEFT JOIN ar$i r ON n.node = r.node),
+         |at$i AS (SELECT CAST(sum(raw) AS HUGEINT) AS tot FROM af$i),
+         |a$i AS (SELECT node,
+         |  CAST((CAST(raw AS HUGEINT) * 1000000000) // tot AS BIGINT) AS a
+         |  FROM af$i CROSS JOIN at$i),
+         |hr$i AS (SELECT e.src AS node, CAST(sum(a.a * e.w) AS BIGINT) AS raw
+         |  FROM we e JOIN a$i a ON e.dst = a.node GROUP BY 1),
+         |hf$i AS (SELECT n.node, coalesce(r.raw, 0) AS raw
+         |  FROM nodes n LEFT JOIN hr$i r ON n.node = r.node),
+         |ht$i AS (SELECT CAST(sum(raw) AS HUGEINT) AS tot FROM hf$i),
+         |h$i AS (SELECT node,
+         |  CAST((CAST(raw AS HUGEINT) * 1000000000) // tot AS BIGINT) AS h
+         |  FROM hf$i CROSS JOIN ht$i)""".stripMargin
+    }.mkString(",\n")
 
   /** One k-core peel round for the q_kcore oracle, mirroring Graph.kCore:
     * degrees over the surviving edges, keep nodes with deg >= k, keep

@@ -523,6 +523,101 @@ object ProfileOps {
         |UNION ALL SELECT 'lang', nulls_lang, ndv_lang, min_lang, max_lang FROM m
         |UNION ALL SELECT 'n_chars', nulls_n_chars, ndv_n_chars, min_n_chars, max_n_chars FROM m
         |UNION ALL SELECT 'source', nulls_source, ndv_source, min_source, max_source FROM m
-        |ORDER BY col_name""".stripMargin)
+        |ORDER BY col_name""".stripMargin),
+
+    // -- chi-square test of independence lang × source over documents,
+    //    INCLUDING the zero cells the observed contingency omits (an
+    //    unobserved pair still contributes its expected mass). One
+    //    corpus-sized groupBy(lang, source); everything after is
+    //    category-product-sized broadcast algebra. Per-cell terms
+    //    (O·N − R·C)²/(R·C·N) are dec6-rounded doubles summed as
+    //    DECIMAL(18,6) — the q_lm_xent convention; Cramér's V derives
+    //    from the same exact sum -----------------------------------------
+    ("q_chisq",
+      (s: SparkSession, d: String) =>
+        graft.ops.Eval.chiSquare(t(s, d, "documents"), "lang", "source"),
+      """WITH cells AS MATERIALIZED (SELECT lang AS x, source AS y,
+        |         CAST(count(*) AS BIGINT) AS n
+        |       FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+        |       GROUP BY 1, 2),
+        |rx AS (SELECT x, CAST(sum(n) AS BIGINT) AS nx FROM cells GROUP BY 1),
+        |ry AS (SELECT y, CAST(sum(n) AS BIGINT) AS ny FROM cells GROUP BY 1),
+        |tt AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM cells),
+        |dims AS (SELECT (SELECT count(*) FROM rx) AS r,
+        |                (SELECT count(*) FROM ry) AS c),
+        |grid AS (SELECT nx, ny, coalesce(cl.n, 0) AS n
+        |         FROM rx CROSS JOIN ry
+        |         LEFT JOIN cells cl ON cl.x = rx.x AND cl.y = ry.y),
+        |terms AS (SELECT nn,
+        |    cast(round(cast(n * nn - nx * ny AS DOUBLE)
+        |               * cast(n * nn - nx * ny AS DOUBLE)
+        |               / (cast(nx AS DOUBLE) * cast(ny AS DOUBLE)
+        |                  * cast(nn AS DOUBLE)), 6) AS DECIMAL(18,6)) AS term
+        |  FROM grid CROSS JOIN tt),
+        |agg AS (SELECT nn, sum(term) AS chi2s FROM terms GROUP BY nn)
+        |SELECT nn AS n_rows,
+        |  (r - 1) * (c - 1) AS dof,
+        |  cast(chi2s AS DOUBLE) AS chi2,
+        |  round(sqrt(cast(chi2s AS DOUBLE)
+        |    / cast(nn * least(r - 1, c - 1) AS DOUBLE)), 6) AS cramers_v
+        |FROM agg CROSS JOIN dims""".stripMargin),
+
+    // -- pointwise mutual information table over the same contingency:
+    //    one row per observed (lang, source) cell with its dec6 PMI —
+    //    scalar MI = Σ n_cell·pmi / N derives exactly. Same one-shuffle
+    //    shape as q_chisq --------------------------------------------------
+    ("q_mutual_info",
+      (s: SparkSession, d: String) =>
+        graft.ops.Eval.pmiTable(t(s, d, "documents"), "lang", "source")
+          .select(col("x").as("lang"), col("y").as("source"),
+            col("n_cell"), col("pmi"))
+          .orderBy("lang", "source"),
+      """WITH cells AS MATERIALIZED (SELECT lang AS x, source AS y,
+        |         CAST(count(*) AS BIGINT) AS n_cell
+        |       FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+        |       GROUP BY 1, 2),
+        |rx AS (SELECT x, CAST(sum(n_cell) AS BIGINT) AS nx FROM cells GROUP BY 1),
+        |ry AS (SELECT y, CAST(sum(n_cell) AS BIGINT) AS ny FROM cells GROUP BY 1),
+        |tt AS (SELECT CAST(sum(n_cell) AS BIGINT) AS nn FROM cells)
+        |SELECT c.x AS lang, c.y AS source, n_cell,
+        |  round(ln((cast(n_cell AS DOUBLE) * cast(nn AS DOUBLE))
+        |           / (cast(nx AS DOUBLE) * cast(ny AS DOUBLE))), 6) AS pmi
+        |FROM cells c JOIN rx ON c.x = rx.x JOIN ry ON c.y = ry.y
+        |CROSS JOIN tt ORDER BY lang, source""".stripMargin),
+
+    // -- exact Spearman rank correlation quantity × price (the monotone
+    //    companion to q_corr's Pearson on the same pair): Pearson over
+    //    doubled midranks, ranks from the two-phase prefix sum over each
+    //    column's distinct-value table (never a global window — the
+    //    oracle's window runs over DuckDB's single node, PlanSpec guards
+    //    only the Spark side), moments exact in DECIMAL(38,0) -------------
+    ("q_spearman",
+      (s: SparkSession, d: String) => {
+        val li = t(s, d, "lineitem")
+          .select(col("l_quantity").cast("long").as("q"),
+            cents(col("l_extendedprice")).as("p"))
+        graft.ops.Eval.spearmanExact(li, "q", "p")
+      },
+      """WITH b AS (SELECT cast(l_quantity AS BIGINT) AS xv,
+        |             cast(round(l_extendedprice * 100) AS BIGINT) AS yv
+        |           FROM lineitem),
+        |bx AS (SELECT xv AS v, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1),
+        |rxm AS (SELECT v, 2 * (sum(n) OVER (ORDER BY v) - n) + n + 1 AS r2 FROM bx),
+        |byv AS (SELECT yv AS v, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1),
+        |rym AS (SELECT v, 2 * (sum(n) OVER (ORDER BY v) - n) + n + 1 AS r2 FROM byv),
+        |j AS (SELECT rx.r2 AS x, ry.r2 AS y
+        |      FROM b JOIN rxm rx ON b.xv = rx.v JOIN rym ry ON b.yv = ry.v),
+        |a AS (SELECT count(*) AS nn,
+        |  cast(count(*) AS DOUBLE) AS n,
+        |  cast(sum(cast(x AS HUGEINT)) AS DOUBLE) AS sx,
+        |  cast(sum(cast(y AS HUGEINT)) AS DOUBLE) AS sy,
+        |  cast(sum(cast(x AS HUGEINT) * cast(x AS HUGEINT)) AS DOUBLE) AS sxx,
+        |  cast(sum(cast(y AS HUGEINT) * cast(y AS HUGEINT)) AS DOUBLE) AS syy,
+        |  cast(sum(cast(x AS HUGEINT) * cast(y AS HUGEINT)) AS DOUBLE) AS sxy
+        |  FROM j)
+        |SELECT CAST(nn AS BIGINT) AS n_rows,
+        |  round((n * sxy - sx * sy)
+        |    / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS spearman_rho
+        |FROM a""".stripMargin)
   )
 }

@@ -142,4 +142,71 @@ class EvalSpec extends SparkSuite {
     assert(pd(0L) === 10L && pd(1L) === 10L && pd(2L) === 10L) // first 3 deciles all positive
     assert((3L to 9L).forall(pd(_) === 0L))
   }
+
+  test("spearmanExact matches brute-force midrank Pearson incl. heavy ties") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 3) {
+      val rows = Seq.fill(200)((rnd.nextInt(6).toLong, rnd.nextInt(9).toLong))
+      val got = Eval.spearmanExact(rows.toDF("x", "y"), "x", "y").head()
+      // brute force: average ranks (1-based), then Pearson
+      def avgRanks(vs: Seq[Long]): Seq[Double] = {
+        val sorted = vs.sorted.zipWithIndex.groupBy(_._1)
+          .map { case (v, g) => v -> g.map(_._2 + 1.0).sum / g.size }
+        vs.map(sorted)
+      }
+      val xr = avgRanks(rows.map(_._1)); val yr = avgRanks(rows.map(_._2))
+      val n = rows.size.toDouble
+      val mx = xr.sum / n; val my = yr.sum / n
+      val cov = xr.zip(yr).map { case (a, b) => (a - mx) * (b - my) }.sum
+      val vx = xr.map(a => (a - mx) * (a - mx)).sum
+      val vy = yr.map(b => (b - my) * (b - my)).sum
+      val expected = cov / math.sqrt(vx * vy)
+      assert(got.getAs[Long]("n_rows") === 200L, s"trial $trial")
+      assert(math.abs(got.getAs[Double]("spearman_rho") - expected) < 1e-6,
+        s"trial $trial: got ${got.getAs[Double]("spearman_rho")} vs $expected")
+    }
+    // monotone transform invariance: rho(x, x^3) = 1 on distinct values
+    val mono = (1L to 50L).map(v => (v, v * v * v))
+    val r1 = Eval.spearmanExact(mono.toDF("x", "y"), "x", "y").head()
+    assert(r1.getAs[Double]("spearman_rho") === 1.0)
+  }
+
+  test("chiSquare matches the textbook statistic incl. zero cells") {
+    import spark.implicits._
+    // 2x3 contingency with one unobserved cell (a,z)
+    val rows = Seq.fill(30)(("a", "x")) ++ Seq.fill(10)(("a", "y")) ++
+      Seq.fill(5)(("b", "x")) ++ Seq.fill(20)(("b", "y")) ++
+      Seq.fill(15)(("b", "z"))
+    val got = Eval.chiSquare(rows.toDF("u", "v"), "u", "v").head()
+    val n = rows.size.toDouble
+    val cellCounts = rows.groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    val rT = rows.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    val cT = rows.groupBy(_._2).view.mapValues(_.size.toDouble).toMap
+    // keys.toSeq: yielding over Sets would DEDUPE equal per-cell terms
+    val expected = (for (r <- rT.keys.toSeq; c <- cT.keys.toSeq) yield {
+      val o = cellCounts.getOrElse((r, c), 0.0)
+      val e = rT(r) * cT(c) / n
+      (o - e) * (o - e) / e
+    }).sum
+    assert(got.getAs[Long]("n_rows") === 80L)
+    assert(got.getAs[Long]("dof") === 2L)
+    assert(math.abs(got.getAs[Double]("chi2") - expected) < 1e-4)
+    val v = math.sqrt(got.getAs[Double]("chi2") / (n * 1.0))
+    assert(math.abs(got.getAs[Double]("cramers_v") - v) < 1e-4)
+  }
+
+  test("pmiTable: independent columns give pmi 0; MI derives from the table") {
+    import spark.implicits._
+    // perfectly independent 2x2 (uniform)
+    val ind = (for (a <- Seq("a", "b"); b <- Seq("x", "y"); _ <- 1 to 10)
+      yield (a, b))
+    val t0 = Eval.pmiTable(ind.toDF("u", "v"), "u", "v").collect()
+    assert(t0.length === 4 && t0.forall(_.getAs[Double]("pmi") === 0.0))
+    // perfectly dependent: MI = ln(2)
+    val dep = Seq.fill(10)(("a", "x")) ++ Seq.fill(10)(("b", "y"))
+    val t1 = Eval.pmiTable(dep.toDF("u", "v"), "u", "v").collect()
+    val mi = t1.map(r => r.getAs[Long]("n_cell") * r.getAs[Double]("pmi")).sum / 20.0
+    assert(math.abs(mi - math.log(2)) < 1e-5)
+  }
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.SparkSuite
+import org.apache.spark.sql.functions._
 
 /** [[Graph.pageRank]] on tiny graphs with hand-checkable structure. The
   * cross-engine exactness claim is gated separately by q_pagerank's DuckDB
@@ -314,5 +315,65 @@ class GraphSpec extends SparkSuite {
     assert(st(2L) === 2L && st(3L) === 2L) // each: paths to 4 and to 5
     assert(st(4L) === 2L) // two tied paths continue to 5
     assert(st(5L) === 0L)
+  }
+
+  test("hits: pure hub and pure authority separate; mass normalizes to scale") {
+    import spark.implicits._
+    // 1 and 2 both point to 3 and 4: {1,2} are pure hubs, {3,4} pure auths
+    val df = Seq((1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L)).toDF("src", "dst")
+    val r = Graph.hits(df, "src", "dst", iters = 3)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r.keySet === Set(1L, 2L, 3L, 4L))
+    assert(r(1L)._1 > 0L && r(1L)._2 === 0L) // hub only
+    assert(r(3L)._1 === 0L && r(3L)._2 > 0L) // authority only
+    assert(r(1L) === r(2L) && r(3L) === r(4L)) // symmetry exact
+    // each side L1-normalized to ~1e9 (truncation loses < #nodes units)
+    val hubTot = r.values.map(_._1).sum; val authTot = r.values.map(_._2).sum
+    assert(hubTot > 1000000000L - 10L && hubTot <= 1000000000L)
+    assert(authTot > 1000000000L - 10L && authTot <= 1000000000L)
+  }
+
+  test("hits: parallel edges act as multiplicity weights; deterministic") {
+    import spark.implicits._
+    // 1→3 twice vs 2→3 once: node 1 is the stronger hub; a second
+    // authority 4 fed only by 1 keeps both passes non-degenerate
+    val df = Seq((1L, 3L), (1L, 3L), (2L, 3L), (1L, 4L)).toDF("src", "dst")
+    val r = Graph.hits(df, "src", "dst", iters = 3)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r(1L)._1 > r(2L)._1)
+    assert(r(3L)._2 > r(4L)._2)
+    val again = Graph.hits(df.repartition(7), "src", "dst", iters = 3)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(again === r)
+  }
+
+  test("modularity: two cliques joined by a bridge score near-maximal; exact terms") {
+    import spark.implicits._
+    // cliques {1,2,3} and {4,5,6} plus bridge 3-4: m = 7
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L)).toDF("src", "dst")
+    val labels = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 1L), (5L, 1L),
+      (6L, 1L)).toDF("node", "label")
+    val rows = Graph.modularity(edges, "src", "dst", labels, "node", "label")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // community 0: 3 intra edges, degrees 2+2+3 = 7 → 4·7·3 − 49 = 35
+    assert(rows(0L) === ((3L, 3L, 7L, 35L)))
+    assert(rows(1L) === ((3L, 3L, 7L, 35L)))
+    // scalar Q = Σq_num/(4m²) = 70/196 ≈ 0.357, the textbook value
+    assert(rows.values.map(_._4).sum === 70L)
+    // one community = zero modularity by definition
+    val one = Graph.modularity(edges, "src", "dst",
+        labels.select(col("node"), lit(0L).as("label")), "node", "label")
+      .collect()
+    assert(one.length === 1 && one(0).getLong(4) === 0L)
+    // NULL-labeled nodes drop out of membership and intra counts
+    val part = Graph.modularity(edges, "src", "dst",
+        labels.select(col("node"),
+          when(col("node") <= 3L, col("label")).as("label")),
+        "node", "label")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(part.keySet === Set(0L) && part(0L)._1 === 3L && part(0L)._2 === 3L)
   }
 }
