@@ -278,6 +278,45 @@ object Eval {
         .as("spearman_rho"))
   }
 
+  /** Exact Gini coefficient of a non-negative integer `valueCol` (one
+    * row per holder, e.g. revenue cents per customer):
+    * G = (2·Σ rank·x − (n+1)·Σx) / (n·Σx) with 1-based ranks over
+    * (value, id) — tie order is irrelevant to the statistic (equal
+    * values commute inside Σ rank·x), the id tiebreak just makes the
+    * rank column itself deterministic. Returns one row
+    * (n_rows, sum_val, gini dec6-rounded).
+    *
+    * Shape: one groupBy(value) to the distinct-value table, the
+    * two-phase prefix sum over it (never a global window), one shuffle
+    * join back, a per-tie row_number partitioned BY VALUE (bounded
+    * groups), then a single scalar aggregate with DECIMAL(38,0)
+    * moments — rank·x products would wrap a long once n·max(x)
+    * approaches 2^63.
+    */
+  def giniExact(df: DataFrame, valueCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val rows = df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast(LongType).as("x"), col(idCol).as("id"))
+      .localCheckpoint(true) // read by the value table and the join
+    val byV = rows.groupBy("x").agg(count(lit(1)).as("n"))
+    val below = runningSums(byV, "x", descending = false,
+      Seq("n"), Seq("below"), inclusive = false)
+    val tieW = org.apache.spark.sql.expressions.Window
+      .partitionBy("x").orderBy("id")
+    val dec = DecimalType(38, 0)
+    val ranked = rows.join(below.select(col("x"), col("below")), Seq("x"))
+      .withColumn("rank", col("below") + row_number().over(tieW))
+    val a = ranked.agg(
+      count(lit(1)).cast(dec).as("n"),
+      sum(col("x").cast(dec)).as("sx"),
+      sum(col("rank").cast(dec) * col("x").cast(dec)).as("srx"))
+    val nd = col("n").cast("double"); val sxd = col("sx").cast("double")
+    val srxd = col("srx").cast("double")
+    a.select(col("n").cast(LongType).as("n_rows"),
+      col("sx").cast(LongType).as("sum_val"),
+      round((lit(2.0) * srxd - (nd + lit(1.0)) * sxd) / (nd * sxd), 6).as("gini"))
+  }
+
   /** Full r×c chi-square test of independence between two categorical
     * columns, including the zero cells the observed contingency omits
     * (an unobserved (x,y) combination still contributes its expected

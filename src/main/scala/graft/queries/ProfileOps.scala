@@ -602,6 +602,7 @@ object ProfileOps {
         |             cast(round(l_extendedprice * 100) AS BIGINT) AS yv
         |           FROM lineitem),
         |bx AS (SELECT xv AS v, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1),
+        |bx AS (SELECT xv AS v, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1),
         |rxm AS (SELECT v, 2 * (sum(n) OVER (ORDER BY v) - n) + n + 1 AS r2 FROM bx),
         |byv AS (SELECT yv AS v, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1),
         |rym AS (SELECT v, 2 * (sum(n) OVER (ORDER BY v) - n) + n + 1 AS r2 FROM byv),
@@ -618,6 +619,110 @@ object ProfileOps {
         |SELECT CAST(nn AS BIGINT) AS n_rows,
         |  round((n * sxy - sx * sy)
         |    / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS spearman_rho
+        |FROM a""".stripMargin),
+
+    // -- Benford first-digit audit of the price column: observed ppm per
+    //    leading digit vs the Benford expectation log10(1+1/d) — the
+    //    classic fabricated-data screen. Leading digit extracted from
+    //    the exact cents integer's decimal rendering (identical in both
+    //    engines; cents > 0 for every lineitem). One scan + one
+    //    9-row hash agg ---------------------------------------------------
+    ("q_benford",
+      (s: SparkSession, d: String) => {
+        val li = t(s, d, "lineitem")
+          .select(substring(cents(col("l_extendedprice")).cast("string"), 1, 1)
+            .cast("long").as("digit"))
+        val counts = li.groupBy("digit").agg(count(lit(1)).as("n"))
+        val tot = counts.agg(sum(col("n")).as("nn"))
+        counts.crossJoin(broadcast(tot)) // 1 scalar row
+          .select(col("digit"), col("n"),
+            expr("(n * 1000000L) div nn").as("ppm"),
+            round(log(10.0, lit(1.0) + lit(1.0) / col("digit").cast("double")) * 1e6)
+              .cast("long").as("exp_ppm"))
+          .withColumn("dev_ppm", abs(col("ppm") - col("exp_ppm")))
+          .orderBy("digit")
+      },
+      """WITH c AS (SELECT CAST(substr(CAST(cast(round(l_extendedprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |           FROM lineitem),
+        |k AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM k)
+        |SELECT digit, n, (n * 1000000) // nn AS ppm,
+        |  CAST(round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) * 1e6) AS BIGINT) AS exp_ppm,
+        |  abs((n * 1000000) // nn
+        |      - CAST(round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) * 1e6) AS BIGINT)) AS dev_ppm
+        |FROM k CROSS JOIN t ORDER BY digit""".stripMargin),
+
+    // -- exact Gini coefficient of per-customer revenue: the inequality
+    //    /skew summary for curation budgeting (how concentrated is the
+    //    corpus on few heavy keys). Ranks via the two-phase prefix sum
+    //    over the distinct-revenue table + per-tie row_number (bounded
+    //    groups), DECIMAL(38,0) moments, dec6 final ratio — tie order
+    //    provably irrelevant to the statistic -----------------------------
+    ("q_gini",
+      (s: SparkSession, d: String) => {
+        val rev = t(s, d, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(sum(cents(col("o_totalprice"))).as("x"))
+        graft.ops.Eval.giniExact(rev, "x", "o_custkey")
+      },
+      """WITH rev AS (SELECT o_custkey,
+        |    CAST(sum(cast(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT x, row_number() OVER (ORDER BY x, o_custkey) AS rank FROM rev),
+        |a AS (SELECT count(*) AS nn,
+        |  cast(count(*) AS DOUBLE) AS n,
+        |  CAST(sum(cast(x AS HUGEINT)) AS BIGINT) AS sxl,
+        |  cast(sum(cast(x AS HUGEINT)) AS DOUBLE) AS sx,
+        |  cast(sum(cast(rank AS HUGEINT) * cast(x AS HUGEINT)) AS DOUBLE) AS srx
+        |  FROM r)
+        |SELECT CAST(nn AS BIGINT) AS n_rows, sxl AS sum_val,
+        |  round((2.0 * srx - (n + 1.0) * sx) / (n * sx), 6) AS gini
+        |FROM a""".stripMargin),
+
+    // -- exact OLS of price-cents on quantity (slope, intercept, R²):
+    //    the q_corr moment machinery closed-form — DECIMAL(38,0) sums,
+    //    identical double expression trees on both sides, dec6. One
+    //    scan, one-row exchange -------------------------------------------
+    ("q_linreg",
+      (s: SparkSession, d: String) => {
+        val li = t(s, d, "lineitem")
+          .select(col("l_quantity").cast("long").as("q"),
+            cents(col("l_extendedprice")).as("p"))
+        val dec = DecimalType(38, 0)
+        val agg = li.agg(
+          count(lit(1)).cast(dec).as("n"),
+          sum(col("q").cast(dec)).as("sq"),
+          sum(col("p").cast(dec)).as("sp"),
+          sum((col("q") * col("q")).cast(dec)).as("sqq"),
+          sum((col("p") * col("p")).cast(dec)).as("spp"),
+          sum((col("q") * col("p")).cast(dec)).as("sqp"))
+        val nd = col("n").cast("double"); val sqd = col("sq").cast("double")
+        val spd = col("sp").cast("double"); val sqqd = col("sqq").cast("double")
+        val sppd = col("spp").cast("double"); val sqpd = col("sqp").cast("double")
+        val slope = (nd * sqpd - sqd * spd) / (nd * sqqd - sqd * sqd)
+        agg.select(
+          col("n").cast("long").as("n_rows"),
+          round(slope, 6).as("slope"),
+          round((spd - slope * sqd) / nd, 6).as("intercept"),
+          round((nd * sqpd - sqd * spd) * (nd * sqpd - sqd * spd) /
+            ((nd * sqqd - sqd * sqd) * (nd * sppd - spd * spd)), 6).as("r2"))
+      },
+      """WITH b AS (SELECT cast(l_quantity AS BIGINT) AS q,
+        |             cast(round(l_extendedprice * 100) AS BIGINT) AS p
+        |           FROM lineitem),
+        |a AS (SELECT count(*) AS nn,
+        |  cast(count(*) AS DOUBLE) AS n,
+        |  cast(sum(cast(q AS DECIMAL(38,0))) AS DOUBLE) AS sq,
+        |  cast(sum(cast(p AS DECIMAL(38,0))) AS DOUBLE) AS sp,
+        |  cast(sum(cast(q * q AS DECIMAL(38,0))) AS DOUBLE) AS sqq,
+        |  cast(sum(cast(p * p AS DECIMAL(38,0))) AS DOUBLE) AS spp,
+        |  cast(sum(cast(q * p AS DECIMAL(38,0))) AS DOUBLE) AS sqp
+        |  FROM b)
+        |SELECT CAST(nn AS BIGINT) AS n_rows,
+        |  round((n * sqp - sq * sp) / (n * sqq - sq * sq), 6) AS slope,
+        |  round((sp - ((n * sqp - sq * sp) / (n * sqq - sq * sq)) * sq) / n, 6) AS intercept,
+        |  round((n * sqp - sq * sp) * (n * sqp - sq * sp)
+        |    / ((n * sqq - sq * sq) * (n * spp - sp * sp)), 6) AS r2
         |FROM a""".stripMargin)
   )
 }

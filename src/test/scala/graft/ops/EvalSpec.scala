@@ -172,6 +172,29 @@ class EvalSpec extends SparkSuite {
     assert(r1.getAs[Double]("spearman_rho") === 1.0)
   }
 
+  test("giniExact matches brute force; endpoints 0 (uniform) and →1 (concentrated)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vals = Seq.fill(150)(rnd.nextInt(1000).toLong + 1L)
+    val rows = vals.zipWithIndex.map { case (v, i) => (v, i.toLong) }
+    val got = Eval.giniExact(rows.toDF("x", "id"), "x", "id").head()
+    val sorted = vals.sorted
+    val n = vals.size.toDouble
+    val srx = sorted.zipWithIndex.map { case (v, i) => (i + 1.0) * v }.sum
+    val expected = (2.0 * srx - (n + 1.0) * sorted.sum) / (n * sorted.sum)
+    assert(got.getAs[Long]("n_rows") === 150L)
+    assert(got.getAs[Long]("sum_val") === vals.sum)
+    assert(math.abs(got.getAs[Double]("gini") - expected) < 1e-6)
+    // perfectly equal values → gini exactly 0
+    val eq = (1L to 40L).map(i => (5L, i))
+    assert(Eval.giniExact(eq.toDF("x", "id"), "x", "id")
+      .head().getAs[Double]("gini") === 0.0)
+    // all mass on one holder of n → gini = (n-1)/n
+    val conc = (1L to 9L).map(i => (0L, i)) :+ (100L, 10L)
+    assert(Eval.giniExact(conc.toDF("x", "id"), "x", "id")
+      .head().getAs[Double]("gini") === 0.9)
+  }
+
   test("chiSquare matches the textbook statistic incl. zero cells") {
     import spark.implicits._
     // 2x3 contingency with one unobserved cell (a,z)

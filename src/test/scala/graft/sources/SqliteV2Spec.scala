@@ -119,6 +119,26 @@ class SqliteV2Spec extends SparkSuite {
       opened("forest_area").exceptAll(viaSql).isEmpty)
   }
 
+  test("catalog: DESCRIBE TABLE and SHOW COLUMNS surface the decoded schema") {
+    spark.conf.set("spark.sql.catalog.forestdesc",
+      classOf[graft.sources.sqlitev2.SqliteCatalog].getName)
+    spark.conf.set("spark.sql.catalog.forestdesc.path",
+      res("forestation_subset.db"))
+    val opened = SqliteFile.open(spark, res("forestation_subset.db"))
+    val expect = opened("forest_area").schema
+    val desc = spark.sql("DESCRIBE TABLE forestdesc.main.forest_area")
+      .collect().map(r => r.getString(0) -> r.getString(1))
+      .filter(_._1.nonEmpty).toMap
+    expect.fields.foreach { f =>
+      assert(desc.get(f.name).contains(f.dataType.simpleString),
+        s"${f.name}: DESCRIBE said ${desc.get(f.name)}, " +
+          s"schema says ${f.dataType.simpleString}")
+    }
+    val cols = spark.sql("SHOW COLUMNS IN forestdesc.main.forest_area")
+      .collect().map(_.getString(0)).toSeq
+    assert(cols == expect.fieldNames.toSeq)
+  }
+
   test("catalog SQL federates: .db JOIN parquet in one SQL statement") {
     spark.conf.set("spark.sql.catalog.mixeddb",
       classOf[graft.sources.sqlitev2.SqliteCatalog].getName)
