@@ -278,6 +278,50 @@ object Eval {
         .as("spearman_rho"))
   }
 
+  /** Retention / survival curve over entity lifetimes: each id's max
+    * `lifeCol` is its churn time; per lifetime value t the table carries
+    * (t, churned, at_risk, retention_ppm, ln_surv_e6) where
+    * at_risk = ids still alive at or after t (a DESCENDING
+    * inclusive prefix sum), retention_ppm = at_risk·1e6 div total ids
+    * (exact), and ln_surv_e6 is the Kaplan–Meier product in log space:
+    * the ASCENDING cumulative sum of the per-day integer micro-nats
+    * round(ln((at_risk − churned)/at_risk)·1e6) — summing these
+    * integers instead of multiplying floats keeps the curve
+    * reduction-order-independent and SQL-replayable (exp(ln_surv_e6/1e6)
+    * recovers S(t) to <1e-6 per step). The final day, where survival
+    * reaches exactly zero (at_risk = churned), emits NULL — ln 0 has no
+    * finite log-space value.
+    *
+    * Shape: one corpus-sized groupBy(id), one lifetime-domain-sized
+    * groupBy, then two two-phase prefix sums over the LIFETIME table
+    * (never a global window) and one broadcast scalar. The lifetime
+    * domain bounds everything downstream of the first aggregation.
+    */
+  def retentionCurve(df: DataFrame, idCol: String, lifeCol: String): DataFrame = {
+    val u = df.filter(col(lifeCol).isNotNull)
+      .groupBy(col(idCol).as("id"))
+      .agg(max(col(lifeCol).cast(LongType)).as("last_t"))
+    val d = u.groupBy(col("last_t").as("t"))
+      .agg(count(lit(1)).as("churned"))
+      .localCheckpoint(true) // runningSums reads it across jobs
+    val withRisk = runningSums(d, "t", descending = true,
+      Seq("churned"), Seq("at_risk"), inclusive = true)
+    val tot = withRisk.agg(sum(col("churned")).as("nu"))
+    val terms = withRisk.crossJoin(broadcast(tot)) // 1 scalar row
+      .withColumn("retention_ppm", expr("(at_risk * 1000000L) div nu"))
+      .withColumn("term",
+        when(col("at_risk") > col("churned"),
+          round(log((col("at_risk") - col("churned")).cast("double") /
+            col("at_risk").cast("double")) * 1e6).cast(LongType)))
+      .localCheckpoint(true) // second prefix sum reads it across jobs
+    runningSums(terms, "t", descending = false,
+        Seq("term"), Seq("cum"), inclusive = true)
+      .select(col("t"), col("churned"), col("at_risk"),
+        col("retention_ppm"),
+        when(col("at_risk") === col("churned"), lit(null).cast(LongType))
+          .otherwise(col("cum")).as("ln_surv_e6"))
+  }
+
   /** Exact Gini coefficient of a non-negative integer `valueCol` (one
     * row per holder, e.g. revenue cents per customer):
     * G = (2·Σ rank·x − (n+1)·Σx) / (n·Σx) with 1-based ranks over

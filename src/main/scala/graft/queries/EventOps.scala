@@ -1254,6 +1254,44 @@ object EventOps {
         |p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
         |      FROM r WHERE rn <= 3 GROUP BY 1)
         |SELECT path, CAST(count(*) AS BIGINT) AS n_users FROM p GROUP BY 1
-        |ORDER BY n_users DESC, path""".stripMargin)
+        |ORDER BY n_users DESC, path""".stripMargin),
+
+    // -- retention / Kaplan–Meier survival curve over user engagement
+    //    lifetimes (lifetime = a user's purchase count, where the
+    //    synthetic corpus actually has spread — wall-clock churn days
+    //    all collapse onto the span's last 3 days): per lifetime t the
+    //    churn count, the at-risk population (descending prefix sum),
+    //    exact retention ppm, and the KM product in log space as
+    //    cumulative integer micro-nats — two two-phase prefix sums over
+    //    the LIFETIME table, never a global window; the t where survival
+    //    hits exactly zero emits NULL (ln 0) -------------------------------
+    ("q_retention_curve",
+      (s: SparkSession, d: String) =>
+        graft.ops.Eval.retentionCurve(
+            t(s, d, "events").filter(col("event_type") === "purchase")
+              .groupBy("user_id")
+              .agg(count(lit(1)).as("n_purchases")),
+            "user_id", "n_purchases")
+          .orderBy("t"),
+      """WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS life
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |d AS (SELECT life AS t, CAST(count(*) AS BIGINT) AS churned
+        |      FROM u GROUP BY 1),
+        |r AS (SELECT t, churned,
+        |    CAST(sum(churned) OVER (ORDER BY t DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS at_risk
+        |  FROM d),
+        |tt AS (SELECT CAST(count(*) AS BIGINT) AS nu FROM u),
+        |t2 AS (SELECT t, churned, at_risk,
+        |    (at_risk * 1000000) // nu AS retention_ppm,
+        |    CASE WHEN at_risk > churned THEN
+        |      CAST(round(ln(cast(at_risk - churned AS DOUBLE)
+        |        / cast(at_risk AS DOUBLE)) * 1e6) AS BIGINT) END AS term
+        |  FROM r CROSS JOIN tt)
+        |SELECT t, churned, at_risk, retention_ppm,
+        |  CASE WHEN at_risk = churned THEN NULL
+        |       ELSE CAST(sum(term) OVER (ORDER BY t
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) END AS ln_surv_e6
+        |FROM t2 ORDER BY t""".stripMargin)
   )
 }

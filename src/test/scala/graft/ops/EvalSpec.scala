@@ -172,6 +172,35 @@ class EvalSpec extends SparkSuite {
     assert(r1.getAs[Double]("spearman_rho") === 1.0)
   }
 
+  test("retentionCurve matches brute-force Kaplan–Meier; zero-survival row is NULL") {
+    import spark.implicits._
+    // lifetimes with ties and gaps; max lifetime 9 → its row hits S=0
+    val lifetimes = Seq(1L, 1L, 2L, 4L, 4L, 4L, 7L, 9L)
+    val rows = lifetimes.zipWithIndex.map { case (l, i) => (i.toLong, l) }
+    val got = Eval.retentionCurve(rows.toDF("id", "life"), "id", "life")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
+    val n = lifetimes.size
+    val distinct = lifetimes.distinct.sorted
+    var logS = 0.0
+    distinct.foreach { t =>
+      val churned = lifetimes.count(_ == t)
+      val atRisk = lifetimes.count(_ >= t)
+      val (gc, gr, gp, gs) = got(t)
+      assert((gc, gr) === ((churned.toLong, atRisk.toLong)), s"t=$t")
+      assert(gp === atRisk.toLong * 1000000L / n, s"t=$t retention")
+      if (atRisk == churned) assert(gs.isEmpty, s"t=$t should be NULL")
+      else {
+        // per-step micro-nats are rounded BEFORE summing, so compare
+        // against the same quantization
+        logS += math.round(math.log((atRisk - churned).toDouble / atRisk) * 1e6).toDouble
+        assert(gs.contains(logS.toLong), s"t=$t log-survival")
+      }
+    }
+    assert(got.keySet === distinct.toSet)
+  }
+
   test("giniExact matches brute force; endpoints 0 (uniform) and →1 (concentrated)") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
