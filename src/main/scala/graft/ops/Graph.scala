@@ -559,6 +559,73 @@ object Graph {
       .groupBy("node").agg(count(lit(1)).as("deg"))
   }
 
+  /** k-truss decomposition (Cohen 2008): iterated removal of edges whose
+    * triangle SUPPORT (number of triangles containing the edge) is below
+    * k−2 — the edge-grained strengthening of [[kCore]]: a k-core keeps a
+    * node for having neighbors, a k-truss keeps an edge only if its
+    * endpoints share enough of them, which is why trusses isolate
+    * actually-cohesive communities where cores still admit hub-glued
+    * fluff. Fixed `iters` synchronous rounds (the SQL-replayable form,
+    * like [[kCore]]); returns the surviving edges
+    * (a, b, support) with each edge's support from its final round.
+    *
+    * Per round, triangle finding reuses [[triangles]]' degree
+    * orientation — each node's out-fanout capped at O(√|E|), so the
+    * wedge join never goes quadratic in a hub's neighborhood — followed
+    * by a 3-way edge explode + one groupBy(a, b) to per-edge support and
+    * a left join back. All keyed shuffles linear in |E| + triangle
+    * count; work SHRINKS every round as edges drop. localCheckpoint per
+    * round keeps lineage flat.
+    */
+  def kTruss(edges0: DataFrame, srcCol: String, dstCol: String, k: Int,
+      iters: Int = 3): DataFrame = {
+    require(k >= 3, "kTruss: k must be >= 3")
+    require(iters >= 1, "kTruss: iters must be >= 1")
+    var live: DataFrame = canonicalUndirected(edges0, srcCol, dstCol)
+      .withColumn("support", lit(0L))
+    for (_ <- 1 to iters) {
+      val edgesNow = live.select("a", "b")
+      val deg = edgesNow.select(col("a").as("node"))
+        .union(edgesNow.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val withDeg = edgesNow
+        .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
+        .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
+      val aFirst = col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b"))
+      val oriented = withDeg.select(
+          when(aFirst, col("a")).otherwise(col("b")).as("src"),
+          when(aFirst, col("b")).otherwise(col("a")).as("dst"),
+          when(aFirst, col("db")).otherwise(col("da")).as("ddst"))
+        .localCheckpoint(true) // read three times by the triangle joins
+      val e1 = oriented.select(col("src").as("x"), col("dst").as("y"),
+        col("ddst").as("dy"))
+      val e2 = oriented.select(col("src").as("x2"), col("dst").as("z"),
+        col("ddst").as("dz"))
+      val tris = e1.join(e2, col("x") === col("x2") &&
+          (col("dy") < col("dz") ||
+            (col("dy") === col("dz") && col("y") < col("z"))))
+        .join(oriented.select(col("src").as("cy"), col("dst").as("cz")),
+          col("y") === col("cy") && col("z") === col("cz"))
+        .select(col("x"), col("y"), col("z"))
+      val sup = tris.select(explode(array(
+          struct(least(col("x"), col("y")).as("a"),
+            greatest(col("x"), col("y")).as("b")),
+          struct(least(col("x"), col("z")).as("a"),
+            greatest(col("x"), col("z")).as("b")),
+          struct(least(col("y"), col("z")).as("a"),
+            greatest(col("y"), col("z")).as("b")))).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("sup"))
+      live = edgesNow.join(sup, Seq("a", "b"), "left")
+        .select(col("a"), col("b"),
+          coalesce(col("sup"), lit(0L)).as("support"))
+        .filter(col("support") >= (k - 2).toLong)
+        .localCheckpoint(true)
+    }
+    live.select("a", "b", "support")
+  }
+
   /** Single-source shortest paths with positive integer edge weights,
     * `iters` synchronous Bellman–Ford rounds over the symmetrized edge
     * set: each round relaxes EVERY edge (dist'(v) = min(dist(v),

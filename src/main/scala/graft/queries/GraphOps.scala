@@ -427,6 +427,23 @@ object GraphOps {
           |  (SELECT a AS node FROM live4 UNION ALL SELECT b FROM live4) q
           |GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // -- k-truss (k=5, 3 peel rounds): iterated removal of edges in
+    //    fewer than k−2 triangles — the edge-grained cohesion filter
+    //    (q_kcore keeps hub-glued fluff a truss rejects). Triangle
+    //    support per round reuses the degree-oriented wedge join (hub
+    //    fanout capped at O(√|E|)); the oracle unrolls the same rounds
+    //    with the orientation and tie-breaks mirrored term for term ------
+    ("q_ktruss",
+      (s: SparkSession, d: String) =>
+        graft.ops.Graph.kTruss(clickEdges(s, d), "src", "dst", k = 5,
+            iters = 3)
+          .orderBy("a", "b"),
+      edgeCtes +
+        s""",
+          |${canonCte("lv0")},
+          |${trussIterCtes(5, 3)}
+          |SELECT a, b, support FROM lv3 ORDER BY a, b""".stripMargin),
+
     // -- HITS hubs/authorities over the click graph (Kleinberg 1999) as
     //    an exact integer fixed point: per round two O(|E|) keyed
     //    shuffles (authority pass on dst, hub pass on src), each side
@@ -498,6 +515,37 @@ object GraphOps {
           |FROM comm LEFT JOIN intra USING (community) CROSS JOIN mm
           |ORDER BY community""".stripMargin)
   )
+
+  /** One k-truss peel round for the q_ktruss oracle, mirroring
+    * Graph.kTruss: degree orientation with the (deg, id) tie-break,
+    * wedge join ordered by the same rank, per-edge support from the
+    * 3-way triangle-edge explode, filter at k−2.
+    */
+  private def trussIterCtes(k: Int, iters: Int): String =
+    (1 to iters).map { i =>
+      s"""dg$i AS (SELECT node, count(*) AS deg FROM
+         |  (SELECT a AS node FROM lv${i - 1} UNION ALL
+         |   SELECT b FROM lv${i - 1}) q GROUP BY 1),
+         |or$i AS MATERIALIZED (SELECT
+         |    CASE WHEN da < db OR (da = db AND a < b) THEN a ELSE b END AS src,
+         |    CASE WHEN da < db OR (da = db AND a < b) THEN b ELSE a END AS dst,
+         |    CASE WHEN da < db OR (da = db AND a < b) THEN db ELSE da END AS ddst
+         |  FROM (SELECT l.a, l.b, x.deg AS da, y.deg AS db
+         |        FROM lv${i - 1} l JOIN dg$i x ON l.a = x.node
+         |             JOIN dg$i y ON l.b = y.node)),
+         |tr$i AS (SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+         |  FROM or$i e1 JOIN or$i e2 ON e1.src = e2.src
+         |    AND (e1.ddst < e2.ddst OR (e1.ddst = e2.ddst AND e1.dst < e2.dst))
+         |  JOIN or$i e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+         |sp$i AS (SELECT a, b, CAST(count(*) AS BIGINT) AS sup FROM (
+         |    SELECT least(x, y) AS a, greatest(x, y) AS b FROM tr$i
+         |    UNION ALL SELECT least(x, z), greatest(x, z) FROM tr$i
+         |    UNION ALL SELECT least(y, z), greatest(y, z) FROM tr$i) q
+         |  GROUP BY 1, 2),
+         |lv$i AS (SELECT l.a, l.b, coalesce(s.sup, 0) AS support
+         |  FROM lv${i - 1} l LEFT JOIN sp$i s ON l.a = s.a AND l.b = s.b
+         |  WHERE coalesce(s.sup, 0) >= ${k - 2})""".stripMargin
+    }.mkString(",\n")
 
   /** One HITS round for the q_hits oracle, mirroring Graph.hits term for
     * term: raw authority = Σ hub·w over in-edges (zero for sink-free

@@ -317,6 +317,32 @@ class GraphSpec extends SparkSuite {
     assert(st(5L) === 0L)
   }
 
+  test("kTruss: cliques survive, bridges and pendants drop, peeling cascades") {
+    import spark.implicits._
+    // two 4-cliques joined by a bridge, plus a pendant edge
+    def clique(ns: Seq[Long]) =
+      for (i <- ns.indices; j <- i + 1 until ns.size) yield (ns(i), ns(j))
+    val edges = (clique(Seq(1L, 2L, 3L, 4L)) ++ clique(Seq(5L, 6L, 7L, 8L)) ++
+      Seq((4L, 5L), (8L, 9L))).toDF("src", "dst")
+    val t4 = Graph.kTruss(edges, "src", "dst", k = 4, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // every 4-clique edge sits in exactly 2 triangles; bridge+pendant gone
+    assert(t4.keySet === (clique(Seq(1L, 2L, 3L, 4L)) ++
+      clique(Seq(5L, 6L, 7L, 8L))).toSet)
+    assert(t4.values.forall(_ === 2L))
+    // k=5 needs support 3 — a 4-clique can't provide it
+    assert(Graph.kTruss(edges, "src", "dst", k = 5, iters = 3).count() === 0L)
+    // cascade: two triangles sharing an edge — round 1 drops the four
+    // support-1 edges, round 2 drops the shared edge (its support fell
+    // to 0 only AFTER the first peel)
+    val twoTri = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("src", "dst")
+    val r1 = Graph.kTruss(twoTri, "src", "dst", k = 4, iters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(r1 === Set((2L, 3L))) // survives round 1 with stale support 2
+    assert(Graph.kTruss(twoTri, "src", "dst", k = 4, iters = 2).count() === 0L)
+  }
+
   test("hits: pure hub and pure authority separate; mass normalizes to scale") {
     import spark.implicits._
     // 1 and 2 both point to 3 and 4: {1,2} are pure hubs, {3,4} pure auths
