@@ -278,6 +278,34 @@ object Eval {
         .as("spearman_rho"))
   }
 
+  /** Global equal-population rank buckets of `valueCol` (the liftDeciles
+    * rank machinery, generalized): returns (id, bucket) with
+    * bucket = ((rank − 1)·buckets) div n, rank 1-based over
+    * (value, id) — floor allocation, NOT SQL ntile's
+    * remainder-to-the-front rule, because the div form replays exactly
+    * from a row_number in any engine. Ranks come from the two-phase
+    * prefix sum over the distinct-value table plus a per-tie row_number
+    * partitioned BY VALUE — never a global window.
+    */
+  def rankBuckets(df: DataFrame, valueCol: String, idCol: String,
+      buckets: Int = 5): DataFrame = {
+    require(buckets >= 1, "rankBuckets: buckets must be >= 1")
+    val rows = df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast(LongType).as("v"), col(idCol).as("id"))
+      .localCheckpoint(true) // read by the value table and the join
+    val byV = rows.groupBy("v").agg(count(lit(1)).as("n"))
+    val below = runningSums(byV, "v", descending = false,
+      Seq("n"), Seq("below"), inclusive = false)
+    val tot = rows.agg(count(lit(1)).as("nn"))
+    val tieW = org.apache.spark.sql.expressions.Window
+      .partitionBy("v").orderBy("id")
+    rows.join(below.select(col("v"), col("below")), Seq("v"))
+      .withColumn("rank", col("below") + row_number().over(tieW))
+      .crossJoin(broadcast(tot)) // 1 scalar row
+      .select(col("id"),
+        expr(s"((rank - 1L) * ${buckets}L) div nn").as("bucket"))
+  }
+
   /** Retention / survival curve over entity lifetimes: each id's max
     * `lifeCol` is its churn time; per lifetime value t the table carries
     * (t, churned, at_risk, retention_ppm, ln_surv_e6) where

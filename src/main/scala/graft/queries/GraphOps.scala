@@ -427,6 +427,47 @@ object GraphOps {
           |  (SELECT a AS node FROM live4 UNION ALL SELECT b FROM live4) q
           |GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // -- TextRank keyword scoring (Mihalcea & Tarau 2004): PageRank over
+    //    the word co-occurrence graph (consecutive-token pairs per doc,
+    //    symmetrized, multiplicity = co-occurrence count) — keyword
+    //    extraction as a pure composition of the tokenizer and the SAME
+    //    integer fixed-point core as q_pagerank, oracle iterations
+    //    reused verbatim. One explode + the per-round O(|E|) shuffles ----
+    ("q_textrank",
+      (s: SparkSession, d: String) => {
+        val tok = t(s, d, "documents")
+          .select(expr("regexp_extract_all(text, '\\\\S+', 0)").as("w"))
+        val pairs = tok.filter(size(col("w")) > 1)
+          .select(explode(expr("transform(sequence(1, size(w) - 1), " +
+            "i -> struct(element_at(w, i) AS src, element_at(w, i + 1) AS dst))"))
+            .as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))
+          .filter(col("src") =!= col("dst"))
+        val sym = pairs.union(
+          pairs.select(col("dst").as("src"), col("src").as("dst")))
+        graft.ops.Graph.pageRank(sym, "src", "dst", iters = Iters)
+          .select(col("node").as("word"), col("pr"))
+          .orderBy("word")
+      },
+      s"""WITH tok AS (SELECT regexp_extract_all(text, '\\S+') AS w
+         |             FROM documents),
+         |bg AS (SELECT unnest([w[i] || ' ' || w[i+1]
+         |                     for i in range(1, len(w))]) AS bigram FROM tok),
+         |e0 AS (SELECT split_part(bigram, ' ', 1) AS src,
+         |              split_part(bigram, ' ', 2) AS dst FROM bg),
+         |e1 AS (SELECT src, dst FROM e0 WHERE src <> dst),
+         |edges AS (SELECT src, dst FROM e1 UNION ALL SELECT dst, src FROM e1),
+         |nodes AS (SELECT DISTINCT node FROM
+         |  (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges) q),
+         |od AS (SELECT src AS onode, count(*) AS outdeg FROM edges GROUP BY 1),
+         |base AS (SELECT node, coalesce(outdeg, 0) AS outdeg
+         |  FROM nodes LEFT JOIN od ON node = onode),
+         |r0 AS (SELECT node, outdeg,
+         |  1000000000000 // (SELECT count(*) FROM base) AS pr FROM base),
+         |${oracleIterCtes(Iters)}
+         |SELECT node AS word, CAST(pr AS BIGINT) AS pr
+         |FROM r$Iters ORDER BY word""".stripMargin),
+
     // -- k-truss (k=5, 3 peel rounds): iterated removal of edges in
     //    fewer than k−2 triangles — the edge-grained cohesion filter
     //    (q_kcore keeps hub-glued fluff a truss rejects). Triangle

@@ -621,6 +621,52 @@ object ProfileOps {
         |    / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS spearman_rho
         |FROM a""".stripMargin),
 
+    // -- RFM segmentation: per customer recency (last order epoch),
+    //    frequency (order count), monetary (exact cents), each bucketed
+    //    into global quintiles by the rank-bucket machinery (two-phase
+    //    prefix-sum ranks — no global window, floor allocation so a
+    //    row_number replays it in any engine), then the 125-cell segment
+    //    matrix with exact revenue. The classic curation/marketing
+    //    customer cube ---------------------------------------------------
+    ("q_rfm",
+      (s: SparkSession, d: String) => {
+        val cust = t(s, d, "orders")
+          .groupBy(col("o_custkey").as("cust"))
+          .agg(max(unix_timestamp(col("o_orderdate"))).as("rec"),
+            count(lit(1)).as("freq"),
+            sum(cents(col("o_totalprice"))).as("mon"))
+          .localCheckpoint(true) // read by three rank passes + the join
+        def q(vc: String, out: String) =
+          graft.ops.Eval.rankBuckets(cust, vc, "cust", 5)
+            .select(col("id").as("cust"), col("bucket").as(out))
+        cust.join(q("rec", "r_q"), Seq("cust"))
+          .join(q("freq", "f_q"), Seq("cust"))
+          .join(q("mon", "m_q"), Seq("cust"))
+          .groupBy("r_q", "f_q", "m_q")
+          .agg(count(lit(1)).as("n_customers"),
+            sum(col("mon")).as("mon_cents"))
+          .orderBy("r_q", "f_q", "m_q")
+      },
+      """WITH c AS (SELECT o_custkey AS cust,
+        |    CAST(max(epoch(o_orderdate)) AS BIGINT) AS rec,
+        |    CAST(count(*) AS BIGINT) AS freq,
+        |    CAST(sum(cast(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS mon
+        |  FROM orders GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM c),
+        |rr AS (SELECT cust,
+        |  ((row_number() OVER (ORDER BY rec, cust) - 1) * 5) // nn AS r_q
+        |  FROM c CROSS JOIN n),
+        |ff AS (SELECT cust,
+        |  ((row_number() OVER (ORDER BY freq, cust) - 1) * 5) // nn AS f_q
+        |  FROM c CROSS JOIN n),
+        |mm AS (SELECT cust,
+        |  ((row_number() OVER (ORDER BY mon, cust) - 1) * 5) // nn AS m_q
+        |  FROM c CROSS JOIN n)
+        |SELECT r_q, f_q, m_q, CAST(count(*) AS BIGINT) AS n_customers,
+        |  CAST(sum(mon) AS BIGINT) AS mon_cents
+        |FROM c JOIN rr USING (cust) JOIN ff USING (cust) JOIN mm USING (cust)
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin),
+
     // -- Benford first-digit audit of the price column: observed ppm per
     //    leading digit vs the Benford expectation log10(1+1/d) — the
     //    classic fabricated-data screen. Leading digit extracted from
