@@ -243,10 +243,13 @@ object Eval {
     */
   def spearmanExact(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
+    // base is CORPUS-sized: recomputing it per read (two rank
+    // derivations + the final join) is one extra scan each — pinning it
+    // with localCheckpoint measured an 8g OOM at 100x (deserialized
+    // row blocks), and at 100 TB pinning the corpus is never an option
     val base = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
       .select(col(xCol).cast(LongType).as("xv"),
         col(yCol).cast(LongType).as("yv"))
-      .localCheckpoint(true) // read by both rank derivations + the join
     def ranks(vc: String): DataFrame = {
       val byV = base.groupBy(col(vc).as("v")).agg(count(lit(1)).as("n"))
         .localCheckpoint(true) // runningSums reads it across jobs
@@ -290,10 +293,12 @@ object Eval {
   def rankBuckets(df: DataFrame, valueCol: String, idCol: String,
       buckets: Int = 5): DataFrame = {
     require(buckets >= 1, "rankBuckets: buckets must be >= 1")
+    // rows recomputes per read (value table, total, join) — never pinned:
+    // the bounded frame is the distinct-value table
     val rows = df.filter(col(valueCol).isNotNull)
       .select(col(valueCol).cast(LongType).as("v"), col(idCol).as("id"))
-      .localCheckpoint(true) // read by the value table and the join
     val byV = rows.groupBy("v").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // runningSums reads it across jobs
     val below = runningSums(byV, "v", descending = false,
       Seq("n"), Seq("below"), inclusive = false)
     val tot = rows.agg(count(lit(1)).as("nn"))
@@ -367,10 +372,13 @@ object Eval {
     */
   def giniExact(df: DataFrame, valueCol: String, idCol: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
+    // rows is input-sized (often per-holder aggregates, still unbounded):
+    // recompute per read rather than pin — the distinct-value table below
+    // is the bounded frame worth materializing
     val rows = df.filter(col(valueCol).isNotNull)
       .select(col(valueCol).cast(LongType).as("x"), col(idCol).as("id"))
-      .localCheckpoint(true) // read by the value table and the join
     val byV = rows.groupBy("x").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // runningSums reads it across jobs
     val below = runningSums(byV, "x", descending = false,
       Seq("n"), Seq("below"), inclusive = false)
     val tieW = org.apache.spark.sql.expressions.Window

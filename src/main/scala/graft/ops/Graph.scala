@@ -102,12 +102,22 @@ object Graph {
       .selectExpr("node", "outdeg", "is_seed",
         s"CASE WHEN is_seed THEN ${scale}L div ${ns}L ELSE 0L END AS pr")
       .localCheckpoint(true)
+    // node count is free off the materialized checkpoint; on a SMALL node
+    // set (e.g. a vocabulary co-occurrence graph whose edge multiplicity
+    // is corpus-sized but whose vertex set is the vocabulary) the
+    // per-round shares frame must BROADCAST into the edge join — the
+    // checkpointed frame carries no size statistics, so without the hint
+    // the planner shuffle-partitions the whole O(|E|) edge list per round
+    // (measured: q_textrank 1.4 GB shuffle-write at 100× vs ~0 hinted)
+    val nNodes = ranks.count()
+    val smallNodeSet = nNodes <= 500000L
     for (_ <- 1 to iters) {
       val scalars = ranks.agg(
         sum(col("pr")).as("total"),
         sum(when(col("outdeg") === 0L, col("pr")).otherwise(0L)).as("dangling"))
-      val shares = ranks.filter(col("outdeg") > 0L)
+      val shares0 = ranks.filter(col("outdeg") > 0L)
         .selectExpr("node AS snode", "pr div outdeg AS share")
+      val shares = if (smallNodeSet) broadcast(shares0) else shares0
       val contrib = edges.join(shares, col("src") === col("snode"))
         .groupBy(col("dst").as("cnode"))
         .agg(sum(col("share")).as("contrib"))
@@ -189,12 +199,17 @@ object Graph {
     var ranks = base
       .selectExpr("node", "wout", s"${scale}L div ${n}L AS pr")
       .localCheckpoint(true)
+    // same small-node-set broadcast policy as [[personalizedPageRank]]:
+    // a vocabulary-sized vertex set must not shuffle the O(|E|) grouped
+    // edge list per round (checkpointed frames carry no size stats)
+    val smallNodeSet = n <= 500000L
     for (_ <- 1 to iters) {
       val scalars = ranks.agg(
         sum(col("pr")).as("total"),
         sum(when(col("wout") === 0L, col("pr")).otherwise(0L)).as("dangling"))
-      val shares = ranks.filter(col("wout") > 0L)
+      val shares0 = ranks.filter(col("wout") > 0L)
         .selectExpr("node AS snode", "pr", "wout")
+      val shares = if (smallNodeSet) broadcast(shares0) else shares0
       val contrib = edges.join(shares, col("src") === col("snode"))
         .selectExpr("dst", "(pr * w) div wout AS share")
         .groupBy(col("dst").as("cnode"))
@@ -332,6 +347,12 @@ object Graph {
     var hub = nodes.select(col("node"), lit(1000000L).as("h"))
       .localCheckpoint(true)
     var auth: DataFrame = null
+    // small-node-set broadcast policy (see [[personalizedPageRank]]): a
+    // vocabulary-sized vertex set must not shuffle the O(|E|) edge list
+    // per pass — checkpointed score frames carry no size statistics
+    val smallNodeSet = nodes.count() <= 500000L
+    def maybeB(df: DataFrame): DataFrame =
+      if (smallNodeSet) broadcast(df) else df
     def normalized(raw: DataFrame, vCol: String): DataFrame = {
       val tot = raw.agg(sum(col("raw")).as("tot"))
       raw.crossJoin(broadcast(tot)) // 1 scalar row
@@ -341,7 +362,7 @@ object Graph {
     }
     for (_ <- 1 to iters) {
       val araw = nodes.join(
-          we.join(hub.select(col("node").as("hn"), col("h")),
+          we.join(maybeB(hub.select(col("node").as("hn"), col("h"))),
               col("src") === col("hn"))
             .groupBy(col("dst").as("node"))
             .agg(sum(col("h") * col("w")).as("r")),
@@ -349,7 +370,7 @@ object Graph {
         .select(col("node"), coalesce(col("r"), lit(0L)).as("raw"))
       auth = normalized(araw, "a")
       val hraw = nodes.join(
-          we.join(auth.select(col("node").as("an"), col("a")),
+          we.join(maybeB(auth.select(col("node").as("an"), col("a"))),
               col("dst") === col("an"))
             .groupBy(col("src").as("node"))
             .agg(sum(col("a") * col("w")).as("r")),

@@ -602,7 +602,6 @@ object ProfileOps {
         |             cast(round(l_extendedprice * 100) AS BIGINT) AS yv
         |           FROM lineitem),
         |bx AS (SELECT xv AS v, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1),
-        |bx AS (SELECT xv AS v, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1),
         |rxm AS (SELECT v, 2 * (sum(n) OVER (ORDER BY v) - n) + n + 1 AS r2 FROM bx),
         |byv AS (SELECT yv AS v, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1),
         |rym AS (SELECT v, 2 * (sum(n) OVER (ORDER BY v) - n) + n + 1 AS r2 FROM byv),
