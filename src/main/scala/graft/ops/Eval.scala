@@ -253,10 +253,15 @@ object Eval {
     def ranks(vc: String): DataFrame = {
       val byV = base.groupBy(col(vc).as("v")).agg(count(lit(1)).as("n"))
         .localCheckpoint(true) // runningSums reads it across jobs
-      runningSums(byV, "v", descending = false, Seq("n"), Seq("below"),
-          inclusive = false)
-        .select(col("v"), (lit(2L) * col("below") + col("n") + lit(1L))
-          .as("r2"))
+      // distinct-value-sized and stat-less (RDD-backed): hint broadcast
+      // under the shared small-frame policy so the corpus side of the
+      // rank join never shuffles on a bounded value domain
+      PlanHints.maybeBroadcastSmall(
+        runningSums(byV, "v", descending = false, Seq("n"), Seq("below"),
+            inclusive = false)
+          .select(col("v"), (lit(2L) * col("below") + col("n") + lit(1L))
+            .as("r2")),
+        byV.count())
     }
     val dec = DecimalType(38, 0)
     val joined = base
@@ -299,12 +304,16 @@ object Eval {
       .select(col(valueCol).cast(LongType).as("v"), col(idCol).as("id"))
     val byV = rows.groupBy("v").agg(count(lit(1)).as("n"))
       .localCheckpoint(true) // runningSums reads it across jobs
-    val below = runningSums(byV, "v", descending = false,
-      Seq("n"), Seq("below"), inclusive = false)
+    // small-frame broadcast policy — see [[PlanHints]]
+    val below = PlanHints.maybeBroadcastSmall(
+      runningSums(byV, "v", descending = false,
+        Seq("n"), Seq("below"), inclusive = false)
+        .select(col("v"), col("below")),
+      byV.count())
     val tot = rows.agg(count(lit(1)).as("nn"))
     val tieW = org.apache.spark.sql.expressions.Window
       .partitionBy("v").orderBy("id")
-    rows.join(below.select(col("v"), col("below")), Seq("v"))
+    rows.join(below, Seq("v"))
       .withColumn("rank", col("below") + row_number().over(tieW))
       .crossJoin(broadcast(tot)) // 1 scalar row
       .select(col("id"),
@@ -379,12 +388,16 @@ object Eval {
       .select(col(valueCol).cast(LongType).as("x"), col(idCol).as("id"))
     val byV = rows.groupBy("x").agg(count(lit(1)).as("n"))
       .localCheckpoint(true) // runningSums reads it across jobs
-    val below = runningSums(byV, "x", descending = false,
-      Seq("n"), Seq("below"), inclusive = false)
+    // small-frame broadcast policy — see [[PlanHints]]
+    val below = PlanHints.maybeBroadcastSmall(
+      runningSums(byV, "x", descending = false,
+        Seq("n"), Seq("below"), inclusive = false)
+        .select(col("x"), col("below")),
+      byV.count())
     val tieW = org.apache.spark.sql.expressions.Window
       .partitionBy("x").orderBy("id")
     val dec = DecimalType(38, 0)
-    val ranked = rows.join(below.select(col("x"), col("below")), Seq("x"))
+    val ranked = rows.join(below, Seq("x"))
       .withColumn("rank", col("below") + row_number().over(tieW))
     val a = ranked.agg(
       count(lit(1)).cast(dec).as("n"),
@@ -425,7 +438,13 @@ object Eval {
       .join(broadcast(cells), Seq("x", "y"), "left")
       .na.fill(0L, Seq("n"))
       .crossJoin(broadcast(tot)) // 1 scalar row
-    val numd = (col("n") * col("nn") - col("nx") * col("ny")).cast("double")
+    // cross-multiplies in DECIMAL(38,0): long*long wraps once the corpus
+    // passes ~3e9 rows (the spearman convention; the oracle carries the
+    // same products in HUGEINT) — the exact integer then casts to the
+    // same double either way
+    val dec = DecimalType(38, 0)
+    val numd = (col("n").cast(dec) * col("nn").cast(dec) -
+      col("nx").cast(dec) * col("ny").cast(dec)).cast("double")
     val dend = col("nx").cast("double") * col("ny").cast("double") *
       col("nn").cast("double")
     val agg = grid.select(col("nn"),

@@ -110,14 +110,13 @@ object Graph {
     // the planner shuffle-partitions the whole O(|E|) edge list per round
     // (measured: q_textrank 1.4 GB shuffle-write at 100× vs ~0 hinted)
     val nNodes = ranks.count()
-    val smallNodeSet = nNodes <= 500000L
     for (_ <- 1 to iters) {
       val scalars = ranks.agg(
         sum(col("pr")).as("total"),
         sum(when(col("outdeg") === 0L, col("pr")).otherwise(0L)).as("dangling"))
-      val shares0 = ranks.filter(col("outdeg") > 0L)
-        .selectExpr("node AS snode", "pr div outdeg AS share")
-      val shares = if (smallNodeSet) broadcast(shares0) else shares0
+      val shares = PlanHints.maybeBroadcastSmall(
+        ranks.filter(col("outdeg") > 0L)
+          .selectExpr("node AS snode", "pr div outdeg AS share"), nNodes)
       val contrib = edges.join(shares, col("src") === col("snode"))
         .groupBy(col("dst").as("cnode"))
         .agg(sum(col("share")).as("contrib"))
@@ -199,17 +198,14 @@ object Graph {
     var ranks = base
       .selectExpr("node", "wout", s"${scale}L div ${n}L AS pr")
       .localCheckpoint(true)
-    // same small-node-set broadcast policy as [[personalizedPageRank]]:
-    // a vocabulary-sized vertex set must not shuffle the O(|E|) grouped
-    // edge list per round (checkpointed frames carry no size stats)
-    val smallNodeSet = n <= 500000L
     for (_ <- 1 to iters) {
       val scalars = ranks.agg(
         sum(col("pr")).as("total"),
         sum(when(col("wout") === 0L, col("pr")).otherwise(0L)).as("dangling"))
-      val shares0 = ranks.filter(col("wout") > 0L)
-        .selectExpr("node AS snode", "pr", "wout")
-      val shares = if (smallNodeSet) broadcast(shares0) else shares0
+      // small-node-set broadcast policy — see [[PlanHints]]
+      val shares = PlanHints.maybeBroadcastSmall(
+        ranks.filter(col("wout") > 0L)
+          .selectExpr("node AS snode", "pr", "wout"), n)
       val contrib = edges.join(shares, col("src") === col("snode"))
         .selectExpr("dst", "(pr * w) div wout AS share")
         .groupBy(col("dst").as("cnode"))
@@ -338,6 +334,19 @@ object Graph {
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .groupBy("src", "dst").agg(count(lit(1)).as("w"))
       .localCheckpoint(true) // read twice per round, every round
+    // loud overflow bounds, the weightedPageRank contract: post-
+    // normalization scores are <= scale, so a per-edge product score*w
+    // needs maxW <= MaxValue/scale; round 1 runs UNNORMALIZED on the 1e6
+    // start mass, where the worst per-node sum is startMass * totalW
+    val wb = we.agg(max(col("w")).as("mx"), sum(col("w")).as("tw")).head()
+    if (!wb.isNullAt(0)) {
+      require(wb.getLong(0) <= Long.MaxValue / scale,
+        s"hits: max edge multiplicity ${wb.getLong(0)} would overflow " +
+          s"score*w at scale $scale — lower scale or pre-scale weights")
+      require(wb.getLong(1) <= Long.MaxValue / 1000000L,
+        s"hits: total edge multiplicity ${wb.getLong(1)} would overflow " +
+          "the unnormalized first-round sums at the 1e6 start mass")
+    }
     val nodes = we.select(col("src").as("node"))
       .union(we.select(col("dst").as("node"))).distinct()
       .localCheckpoint(true)
@@ -347,12 +356,11 @@ object Graph {
     var hub = nodes.select(col("node"), lit(1000000L).as("h"))
       .localCheckpoint(true)
     var auth: DataFrame = null
-    // small-node-set broadcast policy (see [[personalizedPageRank]]): a
-    // vocabulary-sized vertex set must not shuffle the O(|E|) edge list
-    // per pass — checkpointed score frames carry no size statistics
-    val smallNodeSet = nodes.count() <= 500000L
+    // small-node-set broadcast policy — see [[PlanHints]]: a vocabulary-
+    // sized vertex set must not shuffle the O(|E|) edge list per pass
+    val nNodes = nodes.count()
     def maybeB(df: DataFrame): DataFrame =
-      if (smallNodeSet) broadcast(df) else df
+      PlanHints.maybeBroadcastSmall(df, nNodes)
     def normalized(raw: DataFrame, vCol: String): DataFrame = {
       val tot = raw.agg(sum(col("raw")).as("tot"))
       raw.crossJoin(broadcast(tot)) // 1 scalar row
@@ -464,8 +472,17 @@ object Graph {
       .distinct()
       .localCheckpoint(true)
 
-  def triangles(edges0: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val und = canonicalUndirected(edges0, srcCol, dstCol)
+  /** Rank-oriented triangle enumeration over a canonical undirected
+    * simple edge set (a < b): orient each edge from its lower-(deg, id)
+    * endpoint to the higher (capping out-fanout at O(√|E|) — hubs sit on
+    * the receiving end), enumerate wedges at the low-rank apex ordered by
+    * the same rank, close with the oriented edge. Every triangle
+    * {p,q,r} with rank p<q<r appears EXACTLY once as (x=p, y=q, z=r).
+    * Shared by [[triangles]] and [[kTruss]] so the orientation and
+    * tie-break semantics — which both operators' unrolled SQL oracles
+    * mirror term for term — cannot drift between them.
+    */
+  private def orientedTriangles(und: DataFrame): DataFrame = {
     val deg = und.select(col("a").as("node"))
       .union(und.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -479,18 +496,23 @@ object Graph {
         when(aFirst, col("a")).otherwise(col("b")).as("src"),
         when(aFirst, col("b")).otherwise(col("a")).as("dst"),
         when(aFirst, col("db")).otherwise(col("da")).as("ddst"))
-      .localCheckpoint(true)
+      .localCheckpoint(true) // read three times by the joins below
     val e1 = oriented.select(col("src").as("x"), col("dst").as("y"),
       col("ddst").as("dy"))
     val e2 = oriented.select(col("src").as("x2"), col("dst").as("z"),
       col("ddst").as("dz"))
-    val wedges = e1.join(e2, col("x") === col("x2") &&
-      (col("dy") < col("dz") || (col("dy") === col("dz") && col("y") < col("z"))))
-    val closing = oriented.select(col("src").as("cy"), col("dst").as("cz"))
-    val tris = wedges
-      .join(closing, col("y") === col("cy") && col("z") === col("cz"))
+    e1.join(e2, col("x") === col("x2") &&
+        (col("dy") < col("dz") ||
+          (col("dy") === col("dz") && col("y") < col("z"))))
+      .join(oriented.select(col("src").as("cy"), col("dst").as("cz")),
+        col("y") === col("cy") && col("z") === col("cz"))
       .select(col("x"), col("y"), col("z"))
-    tris.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+  }
+
+  def triangles(edges0: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = canonicalUndirected(edges0, srcCol, dstCol)
+    orientedTriangles(und)
+      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("triangles"))
   }
 
@@ -606,29 +628,7 @@ object Graph {
       .withColumn("support", lit(0L))
     for (_ <- 1 to iters) {
       val edgesNow = live.select("a", "b")
-      val deg = edgesNow.select(col("a").as("node"))
-        .union(edgesNow.select(col("b").as("node")))
-        .groupBy("node").agg(count(lit(1)).as("deg"))
-      val withDeg = edgesNow
-        .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
-        .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
-      val aFirst = col("da") < col("db") ||
-        (col("da") === col("db") && col("a") < col("b"))
-      val oriented = withDeg.select(
-          when(aFirst, col("a")).otherwise(col("b")).as("src"),
-          when(aFirst, col("b")).otherwise(col("a")).as("dst"),
-          when(aFirst, col("db")).otherwise(col("da")).as("ddst"))
-        .localCheckpoint(true) // read three times by the triangle joins
-      val e1 = oriented.select(col("src").as("x"), col("dst").as("y"),
-        col("ddst").as("dy"))
-      val e2 = oriented.select(col("src").as("x2"), col("dst").as("z"),
-        col("ddst").as("dz"))
-      val tris = e1.join(e2, col("x") === col("x2") &&
-          (col("dy") < col("dz") ||
-            (col("dy") === col("dz") && col("y") < col("z"))))
-        .join(oriented.select(col("src").as("cy"), col("dst").as("cz")),
-          col("y") === col("cy") && col("z") === col("cz"))
-        .select(col("x"), col("y"), col("z"))
+      val tris = orientedTriangles(edgesNow)
       val sup = tris.select(explode(array(
           struct(least(col("x"), col("y")).as("a"),
             greatest(col("x"), col("y")).as("b")),

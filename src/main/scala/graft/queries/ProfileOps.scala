@@ -549,8 +549,8 @@ object ProfileOps {
         |         FROM rx CROSS JOIN ry
         |         LEFT JOIN cells cl ON cl.x = rx.x AND cl.y = ry.y),
         |terms AS (SELECT nn,
-        |    cast(round(cast(n * nn - nx * ny AS DOUBLE)
-        |               * cast(n * nn - nx * ny AS DOUBLE)
+        |    cast(round(cast(cast(n AS HUGEINT) * nn - cast(nx AS HUGEINT) * ny AS DOUBLE)
+        |               * cast(cast(n AS HUGEINT) * nn - cast(nx AS HUGEINT) * ny AS DOUBLE)
         |               / (cast(nx AS DOUBLE) * cast(ny AS DOUBLE)
         |                  * cast(nn AS DOUBLE)), 6) AS DECIMAL(18,6)) AS term
         |  FROM grid CROSS JOIN tt),

@@ -172,6 +172,31 @@ class EvalSpec extends SparkSuite {
     assert(r1.getAs[Double]("spearman_rho") === 1.0)
   }
 
+  test("rankBuckets: floor allocation, ties split by id, n<buckets, buckets=1") {
+    import spark.implicits._
+    // 10 rows, 5 buckets: exactly 2 per bucket; ties on value split by id
+    val rows = Seq((5L, 1L), (5L, 2L), (5L, 3L), (5L, 4L), (1L, 5L),
+      (9L, 6L), (9L, 7L), (2L, 8L), (2L, 9L), (7L, 10L))
+    val got = Eval.rankBuckets(rows.toDF("v", "id"), "v", "id", 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // brute force the same formula: rank over (v, id), ((rank-1)*5) div 10
+    val expected = rows.sortBy(identity).map(_._2).zipWithIndex
+      .map { case (id, i) => id -> (i.toLong * 5L) / 10L }.toMap
+    assert(got === expected)
+    // the tie group at v=5 (ranks 4..7) straddles buckets 1, 2 and 3 —
+    // deliberately NOT ntile semantics, id order decides
+    assert(Set(got(1L), got(2L), got(3L), got(4L)) === Set(1L, 2L, 3L))
+    // n < buckets: ranks 1..2 over 5 buckets → buckets 0 and 2, never 5
+    val tiny = Eval.rankBuckets(Seq((1L, 1L), (2L, 2L)).toDF("v", "id"),
+        "v", "id", 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tiny === Map(1L -> 0L, 2L -> 2L))
+    // buckets = 1: everything in bucket 0
+    val one = Eval.rankBuckets(rows.toDF("v", "id"), "v", "id", 1)
+      .collect().map(_.getLong(1)).toSet
+    assert(one === Set(0L))
+  }
+
   test("retentionCurve matches brute-force Kaplan–Meier; zero-survival row is NULL") {
     import spark.implicits._
     // lifetimes with ties and gaps; max lifetime 9 → its row hits S=0
