@@ -287,6 +287,44 @@ object Validate {
           .otherwise(col("psi")).as("psi"))
   }
 
+  /** Jensen–Shannon divergence over a [[driftHistogram]] result — the
+    * bounded symmetric member of the drift family: TV weighs count moves
+    * linearly, PSI is log-sensitive but unbounded and needs add-one
+    * smoothing, JS ∈ [0, ln 2] with NO smoothing — a bucket empty on one
+    * side contributes its finite ½·p·ln 2 term, never infinity. Per
+    * bucket ½(p·ln(p/m) + q·ln(q/m)) with m = (p+q)/2, each ln
+    * dec6-rounded and each term dec6-rounded into a DECIMAL(18,6) sum
+    * (the LmOps transcendental convention — cross-engine replayable).
+    * One row (n_ref, n_cur, js); poles: both sides empty → 0, one side
+    * empty → ln 2 (maximal).
+    */
+  def jsDivergence(drift: DataFrame): DataFrame = {
+    val totals = drift.agg(sum(col("n_ref")).as("t_ref"),
+      sum(col("n_cur")).as("t_cur"))
+    // denominators floored at 1 when a side is empty: the pole branches
+    // below decide those cases, but ANSI mode evaluates the aggregate
+    // arguments regardless, and n/0 would abort the job before the CASE
+    val p = col("n_ref").cast("double") /
+      when(col("t_ref") > 0L, col("t_ref")).otherwise(lit(1L)).cast("double")
+    val q = col("n_cur").cast("double") /
+      when(col("t_cur") > 0L, col("t_cur")).otherwise(lit(1L)).cast("double")
+    val m = (p + q) / lit(2.0)
+    val termP = when(col("n_ref") > 0L, p * round(log(p / m), 6))
+      .otherwise(lit(0.0))
+    val termQ = when(col("n_cur") > 0L, q * round(log(q / m), 6))
+      .otherwise(lit(0.0))
+    val term = round((termP + termQ) / lit(2.0), 6)
+      .cast(org.apache.spark.sql.types.DecimalType(18, 6))
+    drift.crossJoin(broadcast(totals))
+      .agg(coalesce(first(col("t_ref")), lit(0L)).as("n_ref"),
+        coalesce(first(col("t_cur")), lit(0L)).as("n_cur"),
+        round(sum(term).cast("double"), 6).as("js0"))
+      .select(col("n_ref"), col("n_cur"),
+        when(col("n_ref") === 0L && col("n_cur") === 0L, lit(0.0))
+          .when(col("n_ref") === 0L || col("n_cur") === 0L, lit(0.693147))
+          .otherwise(col("js0")).as("js"))
+  }
+
   /** Kolmogorov–Smirnov statistic over a [[driftHistogram]] result: the
     * maximum CDF gap across bucket boundaries, D = max_b |F_ref(b) −
     * F_cur(b)| — TV's order-aware sibling (a distribution SHIFT moves

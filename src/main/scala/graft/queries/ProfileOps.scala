@@ -620,6 +620,85 @@ object ProfileOps {
         |    / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS spearman_rho
         |FROM a""".stripMargin),
 
+    // -- Jensen–Shannon drift over the SAME histogram as q_drift_psi:
+    //    the bounded symmetric member of the family (TV linear, PSI
+    //    unbounded+smoothed, KS order-aware, JS ∈ [0, ln 2] smoothing-
+    //    free — zero buckets contribute finite ½·p·ln 2). dec6 lns and
+    //    terms summed as DECIMAL(18,6) -----------------------------------
+    ("q_drift_js",
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        val cur = docs.filter(col("n_chars") <= 450)
+          .unionByName(docs.filter(col("n_chars") < 150))
+        graft.ops.Validate.jsDivergence(
+          graft.ops.Validate.driftHistogram(
+            docs, cur, "n_chars", lo = 0.0, width = 50.0, buckets = 10))
+      },
+      """WITH ref AS (
+        |  SELECT cast(least(greatest(floor((cast(n_chars AS DOUBLE) - 0.0) / 50.0), -1), 10) AS BIGINT) AS bucket,
+        |         count(*) AS n_ref
+        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+        |cur0 AS (
+        |  SELECT n_chars FROM documents WHERE n_chars <= 450
+        |  UNION ALL SELECT n_chars FROM documents WHERE n_chars < 150),
+        |cur AS (
+        |  SELECT cast(least(greatest(floor((cast(n_chars AS DOUBLE) - 0.0) / 50.0), -1), 10) AS BIGINT) AS bucket,
+        |         count(*) AS n_cur
+        |  FROM cur0 WHERE n_chars IS NOT NULL GROUP BY 1),
+        |j AS (
+        |  SELECT coalesce(r.bucket, c.bucket) AS bucket,
+        |         coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+        |  FROM ref r FULL OUTER JOIN cur c ON r.bucket = c.bucket),
+        |t AS (SELECT cast(sum(n_ref) AS BIGINT) AS tr,
+        |             cast(sum(n_cur) AS BIGINT) AS tc FROM j)
+        |SELECT tr AS n_ref, tc AS n_cur,
+        |  CASE WHEN tr = 0 AND tc = 0 THEN 0.0
+        |       WHEN tr = 0 OR tc = 0 THEN 0.693147
+        |       ELSE round(cast(sum(cast(round((
+        |           CASE WHEN n_ref > 0 THEN (cast(n_ref AS DOUBLE) / tr)
+        |             * round(ln((cast(n_ref AS DOUBLE) / tr)
+        |               / ((cast(n_ref AS DOUBLE) / tr + cast(n_cur AS DOUBLE) / tc) / 2.0)), 6)
+        |             ELSE 0.0 END
+        |         + CASE WHEN n_cur > 0 THEN (cast(n_cur AS DOUBLE) / tc)
+        |             * round(ln((cast(n_cur AS DOUBLE) / tc)
+        |               / ((cast(n_ref AS DOUBLE) / tr + cast(n_cur AS DOUBLE) / tc) / 2.0)), 6)
+        |             ELSE 0.0 END) / 2.0, 6) AS DECIMAL(18,6))) AS DOUBLE), 6)
+        |  END AS js
+        |FROM j CROSS JOIN t GROUP BY tr, tc""".stripMargin),
+
+    // -- MAD robust outlier screen: |x − median| > 1.5·MAD on exact
+    //    cents — the heavy-tail-safe companion to q_outliers' z-score
+    //    (one corrupted batch can't inflate a median the way it inflates
+    //    a standard deviation). Both medians run the distributed exact
+    //    selection (StatsOps.exactPercentiles — linear where the
+    //    single-reducer built-in OOMs, SCALE.md:478); thresholds compare
+    //    identical doubles derived from exact integers on both sides ----
+    ("q_mad_outliers",
+      (s: SparkSession, d: String) => {
+        val li = t(s, d, "lineitem")
+          .select(col("l_returnflag"), cents(col("l_extendedprice")).as("p"))
+        val med = graft.ops.StatsOps.exactPercentiles(li, "p", Seq(0.5)).head
+        val dev = li.withColumn("ad", abs(col("p").cast("double") - med))
+        val mad = graft.ops.StatsOps.exactPercentiles(dev, "ad", Seq(0.5)).head
+        dev.filter(col("ad") > lit(1.5) * lit(mad))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_outliers"),
+            min(col("p")).as("min_cents"),
+            max(col("p")).as("max_cents"))
+          .orderBy("l_returnflag")
+      },
+      """WITH b AS (SELECT l_returnflag,
+        |             cast(round(l_extendedprice * 100) AS BIGINT) AS p
+        |           FROM lineitem),
+        |m AS (SELECT median(p) AS med FROM b),
+        |dv AS (SELECT l_returnflag, p, abs(cast(p AS DOUBLE) - med) AS ad
+        |       FROM b CROSS JOIN m),
+        |m2 AS (SELECT median(ad) AS mad FROM dv)
+        |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_outliers,
+        |  min(p) AS min_cents, max(p) AS max_cents
+        |FROM dv CROSS JOIN m2 WHERE ad > 1.5 * mad
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // -- RFM segmentation: per customer recency (last order epoch),
     //    frequency (order count), monetary (exact cents), each bucketed
     //    into global quintiles by the rank-bucket machinery (two-phase

@@ -93,16 +93,37 @@ object DriftStatProperties extends Properties("graft.ops.DriftStats") {
     }
   }
 
-  property("tv/psi/ks equal the driver-side models on random histograms") =
+  private def modelJs(rows: List[(Long, Long, Long)]): Double = {
+    val tr = rows.map(_._2).sum
+    val tc = rows.map(_._3).sum
+    if (tr == 0 && tc == 0) 0.0
+    else if (tr == 0 || tc == 0) 0.693147
+    else {
+      val terms = rows.map { case (_, nr, nc) =>
+        val p = nr.toDouble / tr.toDouble
+        val q = nc.toDouble / tc.toDouble
+        val m = (p + q) / 2.0
+        val tp = if (nr > 0) p * r6(math.log(p / m)) else 0.0
+        val tq = if (nc > 0) q * r6(math.log(q / m)) else 0.0
+        BigDecimal(r6((tp + tq) / 2.0))
+      }
+      r6(terms.sum.toDouble)
+    }
+  }
+
+  property("tv/psi/ks/js equal the driver-side models on random histograms") =
     forAll(histGen) { rows =>
       val df = toDf(rows)
       val tv = Validate.totalVariation(df).head().getAs[Double]("tv")
       val psi = Validate.psi(df).head().getAs[Double]("psi")
       val ks = Validate.ksStatistic(df).head().getAs[Double]("ks")
+      val js = Validate.jsDivergence(df).head().getAs[Double]("js")
       val ok = tv == modelTv(rows) && math.abs(psi - modelPsi(rows)) < 1e-12 &&
-        ks == modelKs(rows)
+        ks == modelKs(rows) && math.abs(js - modelJs(rows)) < 1e-12 &&
+        js >= -1e-12 && js <= 0.693148 // bounded in [0, ln 2] by identity
       if (!ok) println(s"rows=$rows tv=$tv/${modelTv(rows)} " +
-        s"psi=$psi/${modelPsi(rows)} ks=$ks/${modelKs(rows)}")
+        s"psi=$psi/${modelPsi(rows)} ks=$ks/${modelKs(rows)} " +
+        s"js=$js/${modelJs(rows)}")
       ok
     }
 }
