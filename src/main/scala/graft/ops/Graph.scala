@@ -626,7 +626,16 @@ object Graph {
     require(iters >= 1, "kTruss: iters must be >= 1")
     var live: DataFrame = canonicalUndirected(edges0, srcCol, dstCol)
       .withColumn("support", lit(0L))
-    for (_ <- 1 to iters) {
+    // convergence early-stop (the ConnectedComponents discipline): a
+    // round that drops no edge is a fixed point — every further round
+    // recomputes identical supports and filters nothing, so skipping
+    // them changes NO output while saving the dead rounds' triangle
+    // joins. The count is one job over the already-checkpointed frame.
+    var liveCount = live.count()
+    var round = 0
+    var converged = false
+    while (round < iters && !converged) {
+      round += 1
       val edgesNow = live.select("a", "b")
       val tris = orientedTriangles(edgesNow)
       val sup = tris.select(explode(array(
@@ -643,6 +652,11 @@ object Graph {
           coalesce(col("sup"), lit(0L)).as("support"))
         .filter(col("support") >= (k - 2).toLong)
         .localCheckpoint(true)
+      val c = live.count()
+      // a no-drop round still refreshed every edge's `support` column to
+      // its (identical) fixed-point value, so stopping here is exact
+      converged = c == liveCount
+      liveCount = c
     }
     live.select("a", "b", "support")
   }

@@ -287,6 +287,60 @@ object Validate {
           .otherwise(col("psi")).as("psi"))
   }
 
+  /** Change-point scan over a (t, bucket, n) count matrix (time period ×
+    * value bucket, e.g. day × equi-width histogram): for every period
+    * boundary t the exact two-sample KS statistic between the
+    * distribution BEFORE t and AT-OR-AFTER t — the retrospective "when
+    * did the data change" sibling of the prospective ref-vs-cur drift
+    * pair. Returns one row per boundary with a non-empty split:
+    * (t, n_left, n_right, ks), ks = max CDF gap as exact
+    * cross-multiplied integers over one final dec6 division (the
+    * [[ksStatistic]] arithmetic).
+    *
+    * Shape: the caller's corpus-sized groupBy produces the matrix;
+    * everything here is (periods × buckets)-sized — two triangular
+    * self-joins (periods² × buckets and periods × buckets² rows on a
+    * bounded frame), no windows, no corpus re-reads. Callers should hand
+    * in a materialized matrix (localCheckpoint) since it is read by
+    * several subplans.
+    */
+  def changePoints(hist: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(19, 0)
+    val h = hist.select(col("t"), col("bucket"), col("n"))
+    val days = h.select(col("t").as("bt")).distinct()
+    // left counts per (boundary, bucket): Σ n over periods strictly before
+    val lb = days.crossJoin(h)
+      .groupBy(col("bt"), col("bucket"))
+      .agg(sum(when(col("t") < col("bt"), col("n")).otherwise(0L)).as("ln"))
+    // global per-bucket totals and their bucket-order cumulative
+    val tb = h.groupBy("bucket").agg(sum(col("n")).as("tbn"))
+    val tbc = tb
+      .join(tb.select(col("bucket").as("b2"), col("tbn").as("tb2")),
+        col("b2") <= col("bucket"))
+      .groupBy("bucket").agg(sum(col("tb2")).as("ctb"))
+    // bucket-order cumulative of the left side, per boundary
+    val cl = lb
+      .join(lb.select(col("bt").as("bt2"), col("bucket").as("b2"),
+          col("ln").as("ln2")),
+        col("bt2") === col("bt") && col("b2") <= col("bucket"))
+      .groupBy("bt", "bucket").agg(sum(col("ln2")).as("cln"))
+    val lsum = lb.groupBy("bt").agg(sum(col("ln")).as("n_left"))
+    val tt = h.agg(sum(col("n")).as("tcount"))
+    cl.join(tbc, Seq("bucket"))
+      .join(lsum, Seq("bt"))
+      .crossJoin(broadcast(tt)) // 1 scalar row
+      .withColumn("n_right", col("tcount") - col("n_left"))
+      .withColumn("g", abs(col("cln").cast(dec) * col("n_right").cast(dec) -
+        (col("ctb") - col("cln")).cast(dec) * col("n_left").cast(dec)))
+      .groupBy(col("bt").as("t"), col("n_left"), col("n_right"))
+      .agg(max(col("g")).as("gap"))
+      .filter(col("n_left") > 0L && col("n_right") > 0L)
+      .select(col("t"), col("n_left"), col("n_right"),
+        round(col("gap").cast("double") /
+          (col("n_left").cast("double") * col("n_right").cast("double")), 6)
+          .as("ks"))
+  }
+
   /** Jensen–Shannon divergence over a [[driftHistogram]] result — the
     * bounded symmetric member of the drift family: TV weighs count moves
     * linearly, PSI is log-sensitive but unbounded and needs add-one

@@ -1256,6 +1256,48 @@ object EventOps {
         |SELECT path, CAST(count(*) AS BIGINT) AS n_users FROM p GROUP BY 1
         |ORDER BY n_users DESC, path""".stripMargin),
 
+    // -- retrospective change-point scan: per day boundary the exact
+    //    two-sample KS between the value distribution BEFORE and
+    //    AT-OR-AFTER the day ("when did the data change", vs the drift
+    //    family's prospective ref-vs-cur). One corpus groupBy to the
+    //    day × bucket matrix; everything after is (days × buckets)-sized
+    //    triangular algebra — no windows, no corpus re-reads -------------
+    ("q_changepoint",
+      (s: SparkSession, d: String) => {
+        val h = t(s, d, "events").filter(col("value").isNotNull)
+          .select(expr(s"ts div ${NS_PER_DAY}L").as("t"),
+            least(floor(col("value") / 5.0), lit(10.0)).cast("long")
+              .as("bucket"))
+          .groupBy("t", "bucket").agg(count(lit(1)).as("n"))
+          .localCheckpoint(true) // days×buckets-sized, read by 4 subplans
+        graft.ops.Validate.changePoints(h).orderBy("t")
+      },
+      """WITH h AS (SELECT epoch_ms(ts) // 86400000 AS t,
+        |    CAST(least(floor(value / 5.0), 10) AS BIGINT) AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT t AS bt FROM h),
+        |lb AS (SELECT bt, bucket,
+        |    CAST(sum(CASE WHEN h.t < bt THEN n ELSE 0 END) AS BIGINT) AS ln
+        |  FROM days CROSS JOIN h GROUP BY 1, 2),
+        |tb AS (SELECT bucket, CAST(sum(n) AS BIGINT) AS tbn FROM h GROUP BY 1),
+        |tbc AS (SELECT a.bucket, CAST(sum(b.tbn) AS BIGINT) AS ctb
+        |        FROM tb a JOIN tb b ON b.bucket <= a.bucket GROUP BY 1),
+        |cl AS (SELECT a.bt, a.bucket, CAST(sum(b.ln) AS BIGINT) AS cln
+        |       FROM lb a JOIN lb b ON b.bt = a.bt AND b.bucket <= a.bucket
+        |       GROUP BY 1, 2),
+        |ls AS (SELECT bt, CAST(sum(ln) AS BIGINT) AS n_left FROM lb GROUP BY 1),
+        |tt AS (SELECT CAST(sum(n) AS BIGINT) AS tcount FROM h),
+        |gg AS (SELECT cl.bt AS t, n_left, tcount - n_left AS n_right,
+        |    max(abs(cast(cln AS HUGEINT) * (tcount - n_left)
+        |        - cast(ctb - cln AS HUGEINT) * n_left)) AS gap
+        |  FROM cl JOIN tbc USING (bucket) JOIN ls ON ls.bt = cl.bt
+        |  CROSS JOIN tt GROUP BY 1, 2, 3)
+        |SELECT t, n_left, n_right,
+        |  round(cast(gap AS DOUBLE)
+        |    / (cast(n_left AS DOUBLE) * cast(n_right AS DOUBLE)), 6) AS ks
+        |FROM gg WHERE n_left > 0 AND n_right > 0 ORDER BY t""".stripMargin),
+
     // -- retention / Kaplan–Meier survival curve over user engagement
     //    lifetimes (lifetime = a user's purchase count, where the
     //    synthetic corpus actually has spread — wall-clock churn days

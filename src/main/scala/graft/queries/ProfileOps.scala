@@ -620,6 +620,66 @@ object ProfileOps {
         |    / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS spearman_rho
         |FROM a""".stripMargin),
 
+    // -- delete-a-group jackknife standard error of the mean: 32
+    //    deterministic hash groups (o_orderkey % 32), leave-one-out
+    //    means from per-group EXACT cent sums, SE from the dec6-rounded
+    //    deviation squares summed as DECIMAL (order-independent — a raw
+    //    double Σ over groups would differ between engines). The
+    //    uncertainty companion every point estimate in the suite lacks;
+    //    deterministic and SQL-replayable where bootstrap is rand-gated.
+    //    One scan → 32-row algebra ----------------------------------------
+    ("q_jackknife_mean",
+      (s: SparkSession, d: String) => {
+        val g = t(s, d, "orders")
+          .groupBy((col("o_orderkey") % 32).as("grp"))
+          .agg(count(lit(1)).as("n_g"),
+            sum(cents(col("o_totalprice"))).as("s_g"))
+          .localCheckpoint(true) // 32 rows, read by totals + both passes
+        val tot = g.agg(sum(col("n_g")).as("nn"), sum(col("s_g")).as("ss"),
+          count(lit(1)).as("ng"))
+        val m = g.crossJoin(broadcast(tot)) // 1 scalar row
+          .withColumn("mi",
+            round((col("ss") - col("s_g")).cast("double") /
+              (col("nn") - col("n_g")).cast("double"), 6)
+              .cast(DecimalType(18, 6)))
+          .localCheckpoint(true) // 32 rows, read for mdot + the squares
+        val md = m.agg(
+          round(sum(col("mi")).cast("double") /
+            first(col("ng")).cast("double"), 6).as("mdot"))
+        m.crossJoin(broadcast(md)) // 1 scalar row
+          .agg(first(col("nn")).as("n_rows"),
+            first(col("ng")).as("n_groups"),
+            round(first(col("ss")).cast("double") /
+              first(col("nn")).cast("double"), 6).as("mean_cents"),
+            sum(round((col("mi").cast("double") - col("mdot")) *
+                (col("mi").cast("double") - col("mdot")), 6)
+              .cast(DecimalType(18, 6))).as("ssq"),
+            first(col("ng")).as("__g"))
+          .select(col("n_rows"), col("n_groups"), col("mean_cents"),
+            round(sqrt((col("__g") - 1L).cast("double") /
+              col("__g").cast("double") * col("ssq").cast("double")), 6)
+              .as("jack_se"))
+      },
+      """WITH g AS (SELECT o_orderkey % 32 AS grp,
+        |    CAST(count(*) AS BIGINT) AS n_g,
+        |    CAST(sum(cast(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS s_g
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_g) AS BIGINT) AS nn,
+        |             CAST(sum(s_g) AS BIGINT) AS ss,
+        |             CAST(count(*) AS BIGINT) AS ng FROM g),
+        |m AS (SELECT cast(round(cast(ss - s_g AS DOUBLE)
+        |        / cast(nn - n_g AS DOUBLE), 6) AS DECIMAL(18,6)) AS mi
+        |      FROM g CROSS JOIN t),
+        |md AS (SELECT round(cast(sum(mi) AS DOUBLE)
+        |         / cast((SELECT ng FROM t) AS DOUBLE), 6) AS mdot FROM m)
+        |SELECT nn AS n_rows, ng AS n_groups,
+        |  round(cast(ss AS DOUBLE) / cast(nn AS DOUBLE), 6) AS mean_cents,
+        |  round(sqrt(cast(ng - 1 AS DOUBLE) / cast(ng AS DOUBLE)
+        |    * cast((SELECT sum(cast(round(
+        |        (cast(mi AS DOUBLE) - mdot) * (cast(mi AS DOUBLE) - mdot), 6)
+        |        AS DECIMAL(18,6))) FROM m CROSS JOIN md) AS DOUBLE)), 6) AS jack_se
+        |FROM t""".stripMargin),
+
     // -- Jensen–Shannon drift over the SAME histogram as q_drift_psi:
     //    the bounded symmetric member of the family (TV linear, PSI
     //    unbounded+smoothed, KS order-aware, JS ∈ [0, ln 2] smoothing-
