@@ -427,6 +427,53 @@ object GraphOps {
           |  (SELECT a AS node FROM live4 UNION ALL SELECT b FROM live4) q
           |GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // -- double-sweep diameter lower bound (the iFUB/BFS heuristic):
+    //    BFS from the min-id node, re-root at its farthest reached node
+    //    (ties → min id), BFS again — the second eccentricity is the
+    //    classic diameter lower bound, exact on trees and near-tight on
+    //    real graphs. The re-rooting stays IN-PLAN (the argmax feeds the
+    //    second BFS's seed frame — no driver round trip), both sweeps
+    //    share the frontier BFS core, 6-hop horizon. Two rounds of
+    //    O(|E|) keyed shuffles --------------------------------------------
+    ("q_diameter",
+      (s: SparkSession, d: String) => {
+        val edges = clickEdges(s, d).localCheckpoint(true) // both sweeps
+        val nodes = edges.select(col("src").as("node"))
+          .union(edges.select(col("dst").as("node"))).distinct()
+        val start = nodes.agg(min(col("node")).as("node"))
+        val b1 = graft.ops.Graph.multiBfsLevels(edges, "src", "dst",
+          start, "node", iters = 6)
+        val mx1 = b1.agg(max(col("dist")).as("ecc_start"))
+        val far = b1.join(broadcast(mx1), col("dist") === col("ecc_start"))
+          .agg(min(col("node")).as("node"))
+        val b2 = graft.ops.Graph.multiBfsLevels(edges, "src", "dst",
+          far, "node", iters = 6)
+        val mx2 = b2.agg(max(col("dist")).as("diameter_lb"))
+        start.select(col("node").as("start_node"))
+          .crossJoin(broadcast(far.select(col("node").as("far_node"))))
+          .crossJoin(broadcast(mx1))
+          .crossJoin(broadcast(mx2)) // all 1-row frames
+      },
+      edgeCtes +
+        s""",
+          |sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM
+          |  (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges) q),
+          |nodes AS (SELECT DISTINCT node FROM
+          |  (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges) q),
+          |c0 AS (SELECT min(node) AS seed, min(node) AS node,
+          |       CAST(0 AS BIGINT) AS dist FROM nodes),
+          |${mbfsIterCtes(6)},
+          |m1 AS (SELECT max(dist) AS ecc_start FROM c6),
+          |farn AS (SELECT min(node) AS far_node FROM c6 CROSS JOIN m1
+          |         WHERE dist = ecc_start),
+          |d0 AS (SELECT far_node AS seed, far_node AS node,
+          |       CAST(0 AS BIGINT) AS dist FROM farn),
+          |${mbfsIterCtes(6, c = "d", g = "h")},
+          |m2 AS (SELECT max(dist) AS diameter_lb FROM d6)
+          |SELECT (SELECT min(node) FROM nodes) AS start_node,
+          |  far_node, ecc_start, diameter_lb
+          |FROM farn CROSS JOIN m1 CROSS JOIN m2""".stripMargin),
+
     // -- TextRank keyword scoring (Mihalcea & Tarau 2004): PageRank over
     //    the word co-occurrence graph (consecutive-token pairs per doc,
     //    symmetrized, multiplicity = co-occurrence count) — keyword
@@ -702,13 +749,14 @@ object GraphOps {
     * Graph.multiBfsLevels: the seed-keyed frontier expands, dedupes, and
     * anti-joins against everything that seed already reached.
     */
-  private def mbfsIterCtes(iters: Int): String =
+  private def mbfsIterCtes(iters: Int, c: String = "c",
+      g: String = "g"): String =
     (1 to iters).map { i =>
-      s"""g$i AS (SELECT DISTINCT p.seed, e.dst AS node FROM sym e
-         |  JOIN c${i - 1} p ON e.src = p.node AND p.dist = ${i - 1}),
-         |c$i AS MATERIALIZED (SELECT * FROM c${i - 1} UNION ALL
-         |  SELECT g.seed, g.node, CAST($i AS BIGINT) FROM g$i g
-         |  WHERE NOT EXISTS (SELECT 1 FROM c${i - 1} x
+      s"""$g$i AS (SELECT DISTINCT p.seed, e.dst AS node FROM sym e
+         |  JOIN $c${i - 1} p ON e.src = p.node AND p.dist = ${i - 1}),
+         |$c$i AS MATERIALIZED (SELECT * FROM $c${i - 1} UNION ALL
+         |  SELECT g.seed, g.node, CAST($i AS BIGINT) FROM $g$i g
+         |  WHERE NOT EXISTS (SELECT 1 FROM $c${i - 1} x
          |                    WHERE x.seed = g.seed AND x.node = g.node))""".stripMargin
     }.mkString(",\n")
 
