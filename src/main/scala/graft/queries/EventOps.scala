@@ -1256,6 +1256,45 @@ object EventOps {
         |SELECT path, CAST(count(*) AS BIGINT) AS n_users FROM p GROUP BY 1
         |ORDER BY n_users DESC, path""".stripMargin),
 
+    // -- burstiness (Fano factor) of daily event volumes per type:
+    //    variance-to-mean ratio of the per-day counts — ≈1 for a Poisson
+    //    arrival process, ≫1 for bursty types; the one-number "is this
+    //    stream clumping" monitor. Exact DECIMAL moments over the
+    //    day-sized count table (the corpus contributes ONE groupBy);
+    //    sample variance, dec6 double trees mirrored both sides ----------
+    ("q_burstiness",
+      (s: SparkSession, d: String) => {
+        val daily = t(s, d, "events")
+          .groupBy(col("event_type"), expr(s"ts div ${NS_PER_DAY}L").as("day"))
+          .agg(count(lit(1)).as("c"))
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val a = daily.groupBy("event_type").agg(
+          count(lit(1)).as("n_days"),
+          sum(col("c")).as("n_events"),
+          sum(col("c").cast(dec) * col("c").cast(dec)).as("scc"))
+        val nd = col("n_days").cast("double")
+        val sd = col("n_events").cast("double")
+        val sccd = col("scc").cast("double")
+        a.select(col("event_type"), col("n_days"), col("n_events"),
+            round((nd * sccd - sd * sd) / (nd * (nd - 1.0)) / (sd / nd), 6)
+              .as("fano"))
+          .orderBy("event_type")
+      },
+      """WITH daily AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |a AS (SELECT event_type,
+        |    CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(c) AS BIGINT) AS n_events,
+        |    sum(cast(c AS HUGEINT) * cast(c AS HUGEINT)) AS scc
+        |  FROM daily GROUP BY 1)
+        |SELECT event_type, n_days, n_events,
+        |  round((cast(n_days AS DOUBLE) * cast(scc AS DOUBLE)
+        |      - cast(n_events AS DOUBLE) * cast(n_events AS DOUBLE))
+        |    / (cast(n_days AS DOUBLE) * (cast(n_days AS DOUBLE) - 1.0))
+        |    / (cast(n_events AS DOUBLE) / cast(n_days AS DOUBLE)), 6) AS fano
+        |FROM a ORDER BY event_type""".stripMargin),
+
     // -- retrospective change-point scan: per day boundary the exact
     //    two-sample KS between the value distribution BEFORE and
     //    AT-OR-AFTER the day ("when did the data change", vs the drift

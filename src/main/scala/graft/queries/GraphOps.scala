@@ -427,6 +427,67 @@ object GraphOps {
           |  (SELECT a AS node FROM live4 UNION ALL SELECT b FROM live4) q
           |GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // -- degree assortativity (Newman 2002): Pearson correlation of
+    //    endpoint degrees over the canonical undirected edge list, both
+    //    orientations (the undirected convention) — one number telling
+    //    whether hubs link to hubs (>0) or to leaves (<0), the structure
+    //    signal behind crawl-frontier policies. The q_corr exact-moment
+    //    machinery on (deg_a, deg_b) pairs: DECIMAL(38,0) sums, identical
+    //    double trees, dec6 ------------------------------------------------
+    ("q_assortativity",
+      (s: SparkSession, d: String) => {
+        val raw = clickEdges(s, d)
+        val und = raw.filter(col("src") =!= col("dst"))
+          .select(least(col("src"), col("dst")).as("a"),
+            greatest(col("src"), col("dst")).as("b"))
+          .distinct()
+          .localCheckpoint(true) // read by deg + the pair join
+        val deg = und.select(col("a").as("node"))
+          .union(und.select(col("b").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("dg"))
+        val pairs = und
+          .join(deg.select(col("node").as("a"), col("dg").as("da")), Seq("a"))
+          .join(deg.select(col("node").as("b"), col("dg").as("db")), Seq("b"))
+        val sym2 = pairs.select(col("da").as("x"), col("db").as("y"))
+          .union(pairs.select(col("db").as("x"), col("da").as("y")))
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val a = sym2.agg(
+          count(lit(1)).cast(dec).as("n"),
+          sum(col("x").cast(dec)).as("sx"),
+          sum(col("y").cast(dec)).as("sy"),
+          sum((col("x") * col("x")).cast(dec)).as("sxx"),
+          sum((col("y") * col("y")).cast(dec)).as("syy"),
+          sum((col("x") * col("y")).cast(dec)).as("sxy"))
+        val nd = col("n").cast("double"); val sxd = col("sx").cast("double")
+        val syd = col("sy").cast("double"); val sxxd = col("sxx").cast("double")
+        val syyd = col("syy").cast("double"); val sxyd = col("sxy").cast("double")
+        a.select((col("n") / lit(2)).cast("long").as("n_edges"),
+          round((nd * sxyd - sxd * syd) /
+            sqrt((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)), 6)
+            .as("assortativity"))
+      },
+      edgeCtes +
+        s""",
+          |${canonCte("und")},
+          |dg AS (SELECT node, CAST(count(*) AS BIGINT) AS dg FROM
+          |  (SELECT a AS node FROM und UNION ALL SELECT b FROM und) q GROUP BY 1),
+          |pr AS (SELECT x.dg AS da, y.dg AS db
+          |       FROM und JOIN dg x ON und.a = x.node JOIN dg y ON und.b = y.node),
+          |s2 AS (SELECT da AS x, db AS y FROM pr
+          |       UNION ALL SELECT db, da FROM pr),
+          |a AS (SELECT count(*) AS nn,
+          |  cast(count(*) AS DOUBLE) AS n,
+          |  cast(sum(cast(x AS HUGEINT)) AS DOUBLE) AS sx,
+          |  cast(sum(cast(y AS HUGEINT)) AS DOUBLE) AS sy,
+          |  cast(sum(cast(x AS HUGEINT) * cast(x AS HUGEINT)) AS DOUBLE) AS sxx,
+          |  cast(sum(cast(y AS HUGEINT) * cast(y AS HUGEINT)) AS DOUBLE) AS syy,
+          |  cast(sum(cast(x AS HUGEINT) * cast(y AS HUGEINT)) AS DOUBLE) AS sxy
+          |  FROM s2)
+          |SELECT CAST(nn // 2 AS BIGINT) AS n_edges,
+          |  round((n * sxy - sx * sy)
+          |    / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS assortativity
+          |FROM a""".stripMargin),
+
     // -- double-sweep diameter lower bound (the iFUB/BFS heuristic):
     //    BFS from the min-id node, re-root at its farthest reached node
     //    (ties → min id), BFS again — the second eccentricity is the

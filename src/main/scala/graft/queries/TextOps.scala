@@ -1395,7 +1395,57 @@ $audioFpCtes,
         |  cast(length(t0) - length(regexp_replace(t0, '[A-Za-z]', '', 'g')) AS BIGINT) AS n_latin,
         |  cast(length(t0) - length(regexp_replace(t0, '[\x{4e00}-\x{9fff}]', '', 'g')) AS BIGINT) AS n_cjk,
         |  cast(length(t0) - length(regexp_replace(t0, '[\x{0400}-\x{04ff}]', '', 'g')) AS BIGINT) AS n_cyrillic
-        |FROM e ORDER BY doc_id""".stripMargin)
+        |FROM e ORDER BY doc_id""".stripMargin),
+
+    // -- vocabulary growth curve (the Heaps'-law table): cumulative
+    //    distinct vocabulary and token count at each corpus decile —
+    //    the "is new data still adding new language?" curation signal.
+    //    NOT ten scans: each word reduces to its FIRST-occurrence doc
+    //    (one groupBy(word) → min), first occurrences and token counts
+    //    bucket into deciles, and the cumulative is a 10-row triangular
+    //    self-join. Two corpus-sized aggregations total ------------------
+    ("q_vocab_growth",
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        val tok = docs.select(col("doc_id"),
+            explode(expr("regexp_extract_all(text, '\\\\S+', 0)")).as("w"))
+          .localCheckpoint(true) // read by first-occurrence + token counts
+        val nDocs = docs.agg(count(lit(1)).as("nd"))
+        val vocab = tok.groupBy("w").agg(min(col("doc_id")).as("fd"))
+          .crossJoin(broadcast(nDocs))
+          .groupBy(least(expr("(fd * 10L) div nd"), lit(9L)).as("decile"))
+          .agg(count(lit(1)).as("new_vocab"))
+        val toks = tok.crossJoin(broadcast(nDocs))
+          .groupBy(least(expr("(doc_id * 10L) div nd"), lit(9L)).as("decile"))
+          .agg(count(lit(1)).as("new_tokens"))
+        val per = toks.join(vocab, Seq("decile"), "full_outer")
+          .select(col("decile"),
+            coalesce(col("new_tokens"), lit(0L)).as("nt"),
+            coalesce(col("new_vocab"), lit(0L)).as("nv"))
+        per.join(per.select(col("decile").as("d2"), col("nt").as("nt2"),
+            col("nv").as("nv2")), col("d2") <= col("decile"))
+          .groupBy("decile")
+          .agg(sum(col("nt2")).as("n_tokens_cum"),
+            sum(col("nv2")).as("vocab_cum"))
+          .orderBy("decile")
+      },
+      """WITH nd0 AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+        |tok AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w
+        |        FROM documents),
+        |fo AS (SELECT w, min(doc_id) AS fd FROM tok GROUP BY 1),
+        |vc AS (SELECT least((fd * 10) // nd, 9) AS decile,
+        |         CAST(count(*) AS BIGINT) AS nv
+        |       FROM fo CROSS JOIN nd0 GROUP BY 1),
+        |tc AS (SELECT least((doc_id * 10) // nd, 9) AS decile,
+        |         CAST(count(*) AS BIGINT) AS nt
+        |       FROM tok CROSS JOIN nd0 GROUP BY 1),
+        |per AS (SELECT coalesce(tc.decile, vc.decile) AS decile,
+        |          coalesce(nt, 0) AS nt, coalesce(nv, 0) AS nv
+        |        FROM tc FULL OUTER JOIN vc ON tc.decile = vc.decile)
+        |SELECT a.decile, CAST(sum(b.nt) AS BIGINT) AS n_tokens_cum,
+        |  CAST(sum(b.nv) AS BIGINT) AS vocab_cum
+        |FROM per a JOIN per b ON b.decile <= a.decile
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 
   /** The shared pHash CTE chain for the q_image_phash* oracles. Expects an
