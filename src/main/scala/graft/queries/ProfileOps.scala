@@ -620,6 +620,80 @@ object ProfileOps {
         |    / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS spearman_rho
         |FROM a""".stripMargin),
 
+    // -- 5% two-sided trimmed mean of price cents: cutoffs from the
+    //    distributed exact selection (interpolated like DuckDB's
+    //    quantile_cont — the q_median contract), then one filtered exact
+    //    aggregate. The robust location estimate between the mean
+    //    (outlier-dragged) and the median (throws away 98% of the data) -
+    ("q_trimmed_mean",
+      (s: SparkSession, d: String) => {
+        val li = t(s, d, "lineitem")
+          .select(cents(col("l_extendedprice")).as("p"))
+        val cuts = graft.ops.StatsOps.exactPercentiles(li, "p",
+          Seq(0.05, 0.95))
+        li.filter(col("p").cast("double") >= cuts.head &&
+            col("p").cast("double") <= cuts(1))
+          .agg(count(lit(1)).as("n_kept"),
+            sum(col("p")).as("s"))
+          .select(col("n_kept"),
+            round(col("s").cast("double") / col("n_kept").cast("double"), 6)
+              .as("trimmed_mean_cents"))
+      },
+      """WITH b AS (SELECT cast(round(l_extendedprice * 100) AS BIGINT) AS p
+        |           FROM lineitem),
+        |q AS (SELECT quantile_cont(p, 0.05) AS lo,
+        |             quantile_cont(p, 0.95) AS hi FROM b)
+        |SELECT CAST(count(*) AS BIGINT) AS n_kept,
+        |  round(cast(sum(p) AS DOUBLE) / cast(count(*) AS DOUBLE), 6)
+        |    AS trimmed_mean_cents
+        |FROM b CROSS JOIN q
+        |WHERE cast(p AS DOUBLE) >= lo AND cast(p AS DOUBLE) <= hi""".stripMargin),
+
+    // -- Theil–Sen robust slope of price on quantity over deterministic
+    //    within-order consecutive line pairs (a user-partitioned window
+    //    — never all-pairs, which is O(n²)): slope = median of pairwise
+    //    slopes via the distributed exact selection. The outlier-immune
+    //    companion to q_linreg's OLS on the same columns ------------------
+    ("q_theilsen",
+      (s: SparkSession, d: String) => {
+        // (l_orderkey, l_linenumber) is NOT unique in the synthetic
+        // lineitem — order by (linenumber, q, p) so tied rows are
+        // interchangeable FOR THE PAIRING (only q and p feed the slope)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("l_orderkey").orderBy("l_linenumber", "q", "p")
+        val li = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity").cast("long").as("q"),
+            cents(col("l_extendedprice")).as("p"))
+          .withColumn("q2", lead("q", 1).over(w))
+          .withColumn("p2", lead("p", 1).over(w))
+          .filter(col("q2").isNotNull && col("q2") =!= col("q"))
+          .select(((col("p2") - col("p")).cast("double") /
+            (col("q2") - col("q")).cast("double")).as("slope"))
+        val n = li.count()
+        val med = graft.ops.StatsOps.exactPercentiles(li, "slope", Seq(0.5)).head
+        li.sparkSession.range(1).select(
+          lit(n).as("n_pairs"),
+          round(lit(med), 6).as("theil_slope"))
+      },
+      """WITH e AS (SELECT l_orderkey, l_linenumber,
+        |    cast(l_quantity AS BIGINT) AS q,
+        |    cast(round(l_extendedprice * 100) AS BIGINT) AS p,
+        |    lead(cast(l_quantity AS BIGINT))
+        |      OVER (PARTITION BY l_orderkey
+        |            ORDER BY l_linenumber, cast(l_quantity AS BIGINT),
+        |                     cast(round(l_extendedprice * 100) AS BIGINT)) AS q2,
+        |    lead(cast(round(l_extendedprice * 100) AS BIGINT))
+        |      OVER (PARTITION BY l_orderkey
+        |            ORDER BY l_linenumber, cast(l_quantity AS BIGINT),
+        |                     cast(round(l_extendedprice * 100) AS BIGINT)) AS p2
+        |  FROM lineitem),
+        |sl AS (SELECT cast(p2 - p AS DOUBLE) / cast(q2 - q AS DOUBLE) AS slope
+        |       FROM e WHERE q2 IS NOT NULL AND q2 <> q)
+        |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |  round(median(slope), 6) AS theil_slope
+        |FROM sl""".stripMargin),
+
     // -- delete-a-group jackknife standard error of the mean: 32
     //    deterministic hash groups (o_orderkey % 32), leave-one-out
     //    means from per-group EXACT cent sums, SE from the dec6-rounded
