@@ -382,7 +382,7 @@ object DocStream {
   /** STREAMING drift monitor: per micro-batch, the exact total-variation
     * distance of `column`'s equi-width histogram against a PINNED
     * reference histogram, appended as one row
-    * (batch_id, n_ref, n_cur, tv, psi, ks) to `monitorDir` — the alarm wire of a
+    * (batch_id, n_ref, n_cur, tv, psi, ks, js) to `monitorDir` — the alarm wire of a
     * live ingest ("this hour's crawl no longer looks like the accepted
     * corpus"), built from the SAME exact machinery the batch gate uses
     * ([[graft.ops.Validate.driftHistogram]]/totalVariation), so a
@@ -420,14 +420,16 @@ object DocStream {
             coalesce(col("n_ref"), lit(0L)).as("n_ref"),
             coalesce(col("n_cur"), lit(0L)).as("n_cur"))
           .localCheckpoint(true)
-        // the full monitoring triple per micro-batch — TV (linear mass
-        // moves), PSI (share collapse/explosion), KS (max CDF gap) — all
-        // from the same exact machinery the batch gate replays
+        // the full monitoring family per micro-batch — TV (linear mass
+        // moves), PSI (share collapse/explosion), KS (max CDF gap), JS
+        // (bounded symmetric) — all from the same exact machinery the
+        // batch gate replays
         Validate.totalVariation(drift)
           .crossJoin(broadcast(Validate.psi(drift).select(col("psi"))))
           .crossJoin(broadcast(Validate.ksStatistic(drift).select(col("ks"))))
+          .crossJoin(broadcast(Validate.jsDivergence(drift).select(col("js"))))
           .withColumn("batch_id", lit(batchId))
-          .select("batch_id", "n_ref", "n_cur", "tv", "psi", "ks")
+          .select("batch_id", "n_ref", "n_cur", "tv", "psi", "ks", "js")
           .write.mode("append").parquet(monitorDir)
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

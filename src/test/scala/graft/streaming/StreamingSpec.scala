@@ -594,7 +594,7 @@ class StreamingSpec extends SparkSuite {
     val rows = spark.read.parquet(mon)
       .collect()
       .map(r => r.getLong(2) ->
-        (r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))).toMap
     assert(rows.keySet == Set(80L, 40L)) // keyed by n_cur
     assert(rows(80L)._1 == 0.0, "identically-bucketed batch drifts TV 0")
     assert(rows(40L)._1 == 1.0, "disjoint batch is maximal TV drift")
@@ -604,6 +604,10 @@ class StreamingSpec extends SparkSuite {
       s"in-distribution batch should be quiet (psi/ks = ${rows(80L)})")
     assert(rows(40L)._2 > 0.25 && rows(40L)._3 > 0.9,
       s"disjoint batch should alarm on psi and ks (${rows(40L)})")
+    // JS: identical batch exactly 0; disjoint distributions hit the ln 2
+    // pole value (every bucket one-sided -> p*ln 2 terms summing to ln 2)
+    assert(rows(80L)._4 == 0.0, "identical batch has JS 0")
+    assert(rows(40L)._4 > 0.69, s"disjoint batch JS should be ~ln 2 (${rows(40L)._4})")
     // replayability: the streaming alerts equal the batch-gate computation
     val curB = (1 to 40).map(i => 400.0 + i % 10).toDF("v")
     val hist = graft.ops.Validate.driftHistogram(ref, curB, "v", 0.0, 50.0, 10)
@@ -613,6 +617,8 @@ class StreamingSpec extends SparkSuite {
     assert(graft.ops.Validate.psi(hist).head().getDouble(2) == rows(40L)._2)
     assert(graft.ops.Validate.ksStatistic(hist).head().getDouble(2)
       == rows(40L)._3)
+    assert(graft.ops.Validate.jsDivergence(hist).head().getDouble(2)
+      == rows(40L)._4)
   }
 
   test("export hash split runs unchanged on a streaming frame (stateless)") {
