@@ -427,6 +427,32 @@ object GraphOps {
           |  (SELECT a AS node FROM live4 UNION ALL SELECT b FROM live4) q
           |GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // -- reciprocity of the directed click graph: the share of distinct
+    //    directed edges whose reverse also exists — "do transitions flow
+    //    both ways" in one exact ppm number (plus the raw counts). One
+    //    distinct + one self-join on the reversed key -----------------------
+    ("q_reciprocity",
+      (s: SparkSession, d: String) => {
+        val de = clickEdges(s, d).filter(col("src") =!= col("dst"))
+          .distinct()
+          .localCheckpoint(true) // both sides of the reverse join
+        val rev = de.select(col("dst").as("src"), col("src").as("dst"),
+          lit(1L).as("has_rev"))
+        de.join(rev, Seq("src", "dst"), "left")
+          .agg(count(lit(1)).as("n_edges"),
+            sum(coalesce(col("has_rev"), lit(0L))).as("n_reciprocal"))
+          .select(col("n_edges"), col("n_reciprocal"),
+            expr("(n_reciprocal * 1000000L) div n_edges").as("reciprocity_ppm"))
+      },
+      edgeCtes +
+        """,
+          |de AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges WHERE src <> dst)
+          |SELECT CAST(count(*) AS BIGINT) AS n_edges,
+          |  CAST(sum(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_reciprocal,
+          |  (sum(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END) * 1000000)
+          |    // count(*) AS reciprocity_ppm
+          |FROM de LEFT JOIN de r ON de.src = r.dst AND de.dst = r.src""".stripMargin),
+
     // -- degree assortativity (Newman 2002): Pearson correlation of
     //    endpoint degrees over the canonical undirected edge list, both
     //    orientations (the undirected convention) — one number telling

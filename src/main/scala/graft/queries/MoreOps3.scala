@@ -276,6 +276,54 @@ object MoreOps3 {
          |dropped AS (SELECT u FROM walk GROUP BY u HAVING min(v) <> u)
          |SELECT lang, count(*) AS kept FROM documents
          |WHERE doc_id NOT IN (SELECT u FROM dropped)
-         |GROUP BY 1 ORDER BY 1""".stripMargin)
+         |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // -- market-basket association rules over order line items: directed
+    //    part pairs co-bought in one order, with exact integer support,
+    //    ppm confidence (n_ab·1e6 div n_a) and lift numerator carried in
+    //    DECIMAL/HUGEINT (n_ab·N·1e6 wraps a long on ~1e9-order data).
+    //    The pair self-join is keyed on the ORDER and fans out only
+    //    order-size² (TPC-H-ish orders hold ≤ 7 distinct parts) — the
+    //    same boundedness argument as q_covisit's power-user guard, here
+    //    structural. Support ≥ 5 keeps the rule table decision-sized ------
+    ("q_basket_rules",
+      (s: SparkSession, d: String) => {
+        val items = t(s, d, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+          .localCheckpoint(true) // pair join reads it twice + item counts
+        val nOrders = items.select(col("ok")).distinct().count()
+        val cnt = items.groupBy("pk").agg(count(lit(1)).as("n_item"))
+        val pairs = items
+          .join(items.select(col("ok"), col("pk").as("pb")), Seq("ok"))
+          .filter(col("pk") =!= col("pb"))
+          .groupBy(col("pk").as("a"), col("pb").as("b"))
+          .agg(count(lit(1)).as("n_ab"))
+          .filter(col("n_ab") >= 5L)
+        pairs
+          .join(broadcast(cnt.select(col("pk").as("a"), col("n_item").as("n_a"))), Seq("a"))
+          .join(broadcast(cnt.select(col("pk").as("b"), col("n_item").as("n_b"))), Seq("b"))
+          .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+            expr("(n_ab * 1000000L) div n_a").as("conf_ppm"),
+            // truncating integral div on DECIMAL operands — a decimal
+            // DIVISION would round at its result scale before any cast,
+            // disagreeing with the oracle's floor `//` near integers
+            expr(s"(CAST(n_ab AS DECIMAL(38,0)) * ${nOrders}L * 1000000L) " +
+              "div (CAST(n_a AS DECIMAL(38,0)) * n_b)").as("lift_e6"))
+          .orderBy("a", "b")
+      },
+      """WITH it AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |no AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM it),
+        |cnt AS (SELECT pk, CAST(count(*) AS BIGINT) AS n_item FROM it GROUP BY 1),
+        |pr AS (SELECT x.pk AS a, y.pk AS b, CAST(count(*) AS BIGINT) AS n_ab
+        |       FROM it x JOIN it y ON x.ok = y.ok AND x.pk <> y.pk
+        |       GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT a, b, n_ab, ca.n_item AS n_a, cb.n_item AS n_b,
+        |  (n_ab * 1000000) // ca.n_item AS conf_ppm,
+        |  CAST((cast(n_ab AS HUGEINT) * n_orders * 1000000)
+        |    // (cast(ca.n_item AS HUGEINT) * cb.n_item) AS BIGINT) AS lift_e6
+        |FROM pr JOIN cnt ca ON pr.a = ca.pk JOIN cnt cb ON pr.b = cb.pk
+        |CROSS JOIN no ORDER BY a, b""".stripMargin)
   )
 }
