@@ -487,9 +487,14 @@ object GraphOps {
         val nd = col("n").cast("double"); val sxd = col("sx").cast("double")
         val syd = col("sy").cast("double"); val sxxd = col("sxx").cast("double")
         val syyd = col("syy").cast("double"); val sxyd = col("sxy").cast("double")
+        // a regular graph (all degrees equal — e.g. the click graph once
+        // it saturates complete at large SF) has zero degree variance:
+        // assortativity is undefined there, emitted NULL — the lazy CASE
+        // keeps ANSI mode from throwing on the 0/0 before the guard
+        val denom = (nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)
         a.select((col("n") / lit(2)).cast("long").as("n_edges"),
-          round((nd * sxyd - sxd * syd) /
-            sqrt((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)), 6)
+          when(denom > lit(0.0),
+            round((nd * sxyd - sxd * syd) / sqrt(denom), 6))
             .as("assortativity"))
       },
       edgeCtes +
@@ -510,8 +515,10 @@ object GraphOps {
           |  cast(sum(cast(x AS HUGEINT) * cast(y AS HUGEINT)) AS DOUBLE) AS sxy
           |  FROM s2)
           |SELECT CAST(nn // 2 AS BIGINT) AS n_edges,
-          |  round((n * sxy - sx * sy)
-          |    / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS assortativity
+          |  CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0.0
+          |       THEN round((n * sxy - sx * sy)
+          |         / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+          |  END AS assortativity
           |FROM a""".stripMargin),
 
     // -- double-sweep diameter lower bound (the iFUB/BFS heuristic):
