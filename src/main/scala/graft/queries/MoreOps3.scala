@@ -288,10 +288,12 @@ object MoreOps3 {
     //    structural. Support ≥ 5 keeps the rule table decision-sized ------
     ("q_basket_rules",
       (s: SparkSession, d: String) => {
+        // items is CORPUS-sized (one row per distinct order-part): never
+        // pinned — each consumer recomputes the distinct (linear scans);
+        // a localCheckpoint here OOMed the 8g harness at 100x
         val items = t(s, d, "lineitem")
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
           .distinct()
-          .localCheckpoint(true) // pair join reads it twice + item counts
         val nOrders = items.select(col("ok")).distinct().count()
         val cnt = items.groupBy("pk").agg(count(lit(1)).as("n_item"))
         val pairs = items
