@@ -1,19 +1,17 @@
 #!/usr/bin/env python3
-"""Second-oracle spot check: replay representative gate queries against
-SQLITE (the reference's own engine) and compare with the Spark dumps.
+"""SQLite dialect-TWIN spot check — the second half of the second-oracle
+pair (see scripts/sqlite_spotcheck.py, which replays PORTABLE oracle SQL
+verbatim in SQLite; this script covers gate queries whose DuckDB oracle
+is NOT portable — ILIKE, DECIMAL-exact aggregates, window tie rules —
+by hand-translating each to an equivalent SQLite-dialect twin).
 
 Usage: python3 scripts/triple_check.py <sfDir> <verifyOutDir>
 
-The 279-query gate compares Spark against DuckDB; if both engines shared
-a semantic quirk the suite would normalize to it silently. This script
-triangulates: a dozen representative queries — spanning the reference's
-parity-critical semantics (case-insensitive LIKE, NULL-first ASC
-ordering, value_counts ordering, mode ties, null-aware counts) — run in
-stdlib sqlite3 over the same rows and must match the Spark parquet dump
-row for row. Exact compare for ints/strings; floats to 9 significant
-digits (SQLite has no DECIMAL, so the dec4-rounded aggregates take a
-different arithmetic route by design — agreement to 1e-9 is the
-cross-engine *semantic* check, the bit-exact gate stays DuckDB's job).
+Exact compare for ints/strings; floats to 1e-9 relative (SQLite has no
+DECIMAL, so dec4-rounded aggregates take a different arithmetic route by
+design — agreement to 1e-9 is the cross-engine *semantic* check, the
+bit-exact contract stays DuckDB's job). Per-query failures are caught
+and tallied; the script always prints its full pass/fail summary.
 """
 import math
 import sys
@@ -25,53 +23,26 @@ import duckdb
 # (table, columns) actually needed — loaded column-pruned
 LOADS = {
     "lineitem": ["l_orderkey", "l_linenumber", "l_quantity",
-                 "l_extendedprice", "l_returnflag"],
-    "customer": ["c_custkey", "c_name", "c_mktsegment"],
+                 "l_extendedprice"],
     "part": ["p_partkey", "p_name"],
     "orders": ["o_orderkey", "o_orderstatus", "o_totalprice"],
-    "events": ["value"],
 }
 
-# SQLite-dialect twins of the DuckDB oracles (same output column names).
+# SQLite-dialect twins of NON-portable DuckDB oracles (same output column
+# names as the gate entry). Portable oracles are sqlite_spotcheck.py's job.
 QUERIES = {
-    "q_len": "SELECT count(*) AS n_rows FROM lineitem",
+    # DECIMAL-exact in the gate; plain double sums here (tolerance compare)
     "q_sum_avg": """
         SELECT round(sum(l_quantity), 4) AS sum_qty,
                round(sum(l_quantity) / count(l_quantity), 4) AS avg_qty,
                round(sum(l_extendedprice), 4) AS sum_price,
                round(sum(l_extendedprice) / count(l_extendedprice), 4) AS avg_price
         FROM lineitem""",
-    "q_minmax_num": """
-        SELECT min(l_extendedprice) AS mn_price, max(l_extendedprice) AS mx_price,
-               min(l_quantity) AS mn_qty, max(l_quantity) AS mx_qty
-        FROM lineitem""",
-    "q_minmax_text": """
-        SELECT min(c_name) AS mn_name, max(c_name) AS mx_name,
-               min(c_mktsegment) AS mn_seg, max(c_mktsegment) AS mx_seg
-        FROM customer""",
-    "q_value_counts": """
-        SELECT l_returnflag AS value, count(*) AS cnt FROM lineitem
-        WHERE l_returnflag IS NOT NULL
-        GROUP BY 1 ORDER BY cnt DESC, value ASC""",
-    "q_isin": """
-        SELECT c_mktsegment AS seg, count(*) AS cnt FROM customer
-        WHERE c_mktsegment IN ('BUILDING','AUTOMOBILE')
-        GROUP BY 1 ORDER BY seg""",
-    "q_between": """
-        SELECT count(*) AS cnt, round(sum(o_totalprice), 4) AS sm
-        FROM orders WHERE o_totalprice BETWEEN 1000.0 AND 5000.0""",
     # the reference keeps SQLite's ASCII-case-insensitive LIKE — here the
     # check runs on the REAL thing, not DuckDB's ILIKE emulation of it
     "q_like_ci": """
         SELECT p_partkey, p_name FROM part WHERE p_name LIKE '%RING%'
         ORDER BY p_partkey""",
-    "q_filter_eq": """
-        SELECT c_custkey, c_name FROM customer
-        WHERE c_mktsegment = 'BUILDING' ORDER BY c_custkey""",
-    "q_count_nulls": """
-        SELECT count(value) AS cnt,
-               sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS null_cnt
-        FROM events""",
     # NULL-first ASC is SQLite's default, matching Spark — semantic parity
     "q_sort_topk": """
         SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
@@ -79,7 +50,7 @@ QUERIES = {
         LIMIT 100""",
     "q_limit_head": """
         SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
-        ORDER BY l_orderkey, l_linenumber LIMIT 20""",
+        ORDER BY l_orderkey, l_linenumber, l_quantity LIMIT 20""",
     "q_mode": """
         SELECT l_quantity AS value, count(*) AS cnt FROM lineitem
         GROUP BY 1
@@ -120,11 +91,16 @@ def main():
 
     n_pass = n_fail = 0
     for name, sql in QUERIES.items():
-        spark = duck.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-        s_cols, s_rows = canon(spark.fetchall(), spark.columns)
-        cur = lite.execute(sql)
-        l_cols, l_rows = canon(cur.fetchall(),
-                               [d[0] for d in cur.description])
+        try:
+            spark = duck.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            s_cols, s_rows = canon(spark.fetchall(), spark.columns)
+            cur = lite.execute(sql)
+            l_cols, l_rows = canon(cur.fetchall(),
+                                   [d[0] for d in cur.description])
+        except Exception as e:  # missing dump, renamed query, SQL error
+            print(f"✗ {name}: ERROR: {e}")
+            n_fail += 1
+            continue
         if s_cols != l_cols:
             print(f"✗ {name}: COLUMN MISMATCH spark={s_cols} sqlite={l_cols}")
             n_fail += 1
@@ -142,7 +118,8 @@ def main():
                     print(f"    first diff row {i}: spark={g} sqlite={e}")
                     break
             n_fail += 1
-    print(f"\n{n_pass} pass, {n_fail} fail (sqlite second oracle)")
+    print(f"\n{n_pass} pass, {n_fail} fail (sqlite dialect twins; "
+          "portable oracles: scripts/sqlite_spotcheck.py)")
     sys.exit(1 if n_fail else 0)
 
 

@@ -51,7 +51,16 @@ object StatsOps {
     * dropped. Returns one value per requested fraction.
     */
   def exactPercentiles(df: DataFrame, column: String,
-      fracs: Seq[Double]): Seq[Double] = {
+      fracs: Seq[Double]): Seq[Double] =
+    exactPercentilesWithCount(df, column, fracs)._1
+
+  /** [[exactPercentiles]] plus the exact non-null row count the selection
+    * already computes internally — callers that would otherwise run a
+    * separate count() over an expensive subplan (a window, a join) get it
+    * for free.
+    */
+  def exactPercentilesWithCount(df: DataFrame, column: String,
+      fracs: Seq[Double]): (Seq[Double], Long) = {
     val vals = df.select(col(column).cast("double").as("__v"))
       .filter(col("__v").isNotNull)
     val ordered = vals.repartitionByRange(col("__v").asc)
@@ -91,11 +100,11 @@ object StatsOps {
         out.iterator
       }
     }.collect().toMap
-    ranks.map { r =>
+    (ranks.map { r =>
       val lo = picked(r.toLong)
       val hi = picked(math.ceil(r).toLong)
       lo + (hi - lo) * (r - math.floor(r))
-    }
+    }, n)
   }
 
   /** One-pass profile of every column: rows, nulls, min, max, approx

@@ -1275,8 +1275,13 @@ object EventOps {
         val nd = col("n_days").cast("double")
         val sd = col("n_events").cast("double")
         val sccd = col("scc").cast("double")
+        // a type whose events all land on ONE day has no sample variance:
+        // fano is undefined there — NULL through a lazy CASE (the
+        // q_assortativity degenerate-case contract; ANSI would otherwise
+        // throw on the 0/0 before any result)
         a.select(col("event_type"), col("n_days"), col("n_events"),
-            round((nd * sccd - sd * sd) / (nd * (nd - 1.0)) / (sd / nd), 6)
+            when(col("n_days") >= 2L,
+              round((nd * sccd - sd * sd) / (nd * (nd - 1.0)) / (sd / nd), 6))
               .as("fano"))
           .orderBy("event_type")
       },
@@ -1289,10 +1294,12 @@ object EventOps {
         |    sum(cast(c AS HUGEINT) * cast(c AS HUGEINT)) AS scc
         |  FROM daily GROUP BY 1)
         |SELECT event_type, n_days, n_events,
-        |  round((cast(n_days AS DOUBLE) * cast(scc AS DOUBLE)
-        |      - cast(n_events AS DOUBLE) * cast(n_events AS DOUBLE))
-        |    / (cast(n_days AS DOUBLE) * (cast(n_days AS DOUBLE) - 1.0))
-        |    / (cast(n_events AS DOUBLE) / cast(n_days AS DOUBLE)), 6) AS fano
+        |  CASE WHEN n_days >= 2 THEN
+        |    round((cast(n_days AS DOUBLE) * cast(scc AS DOUBLE)
+        |        - cast(n_events AS DOUBLE) * cast(n_events AS DOUBLE))
+        |      / (cast(n_days AS DOUBLE) * (cast(n_days AS DOUBLE) - 1.0))
+        |      / (cast(n_events AS DOUBLE) / cast(n_days AS DOUBLE)), 6)
+        |  END AS fano
         |FROM a ORDER BY event_type""".stripMargin),
 
     // -- retrospective change-point scan: per day boundary the exact

@@ -204,10 +204,13 @@ object Parity {
     // -- O3 head-n in key order (reference table.py:320-329) --------------
     ("q_limit_head",
       (s: SparkSession, d: String) =>
+        // (l_orderkey, l_linenumber) is NOT unique in the synthetic
+        // lineitem — l_quantity joins the sort so the 20-row cut is the
+        // same set in every engine (Spark, DuckDB, and the sqlite twin)
         t(s, d, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
-          .orderBy("l_orderkey", "l_linenumber").limit(20),
+          .orderBy("l_orderkey", "l_linenumber", "l_quantity").limit(20),
       "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem " +
-        "ORDER BY l_orderkey, l_linenumber LIMIT 20"),
+        "ORDER BY l_orderkey, l_linenumber, l_quantity LIMIT 20"),
 
     // -- O5/O6 positional slice rows [1000,1010) over an explicit order
     //    (reference IndexLoc, table.py:58-106). Top-k first, then a window

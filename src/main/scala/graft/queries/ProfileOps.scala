@@ -670,11 +670,13 @@ object ProfileOps {
           .filter(col("q2").isNotNull && col("q2") =!= col("q"))
           .select(((col("p2") - col("p")).cast("double") /
             (col("q2") - col("q")).cast("double")).as("slope"))
-        val n = li.count()
-        val med = graft.ops.StatsOps.exactPercentiles(li, "slope", Seq(0.5)).head
+        // the selection already counts the slopes — a separate count()
+        // would recompute the corpus-sized pair window a third time
+        val (meds, n) = graft.ops.StatsOps.exactPercentilesWithCount(
+          li, "slope", Seq(0.5))
         li.sparkSession.range(1).select(
           lit(n).as("n_pairs"),
-          round(lit(med), 6).as("theil_slope"))
+          round(lit(meds.head), 6).as("theil_slope"))
       },
       """WITH e AS (SELECT l_orderkey, l_linenumber,
         |    cast(l_quantity AS BIGINT) AS q,

@@ -1407,9 +1407,11 @@ $audioFpCtes,
     ("q_vocab_growth",
       (s: SparkSession, d: String) => {
         val docs = t(s, d, "documents")
+        // tok is TOKEN-sized (far past corpus-sized) — never pinned, the
+        // q_basket_rules rule: each of the two consumers re-tokenizes,
+        // a linear CPU pass instead of a token-corpus in block memory
         val tok = docs.select(col("doc_id"),
             explode(expr("regexp_extract_all(text, '\\\\S+', 0)")).as("w"))
-          .localCheckpoint(true) // read by first-occurrence + token counts
         val nDocs = docs.agg(count(lit(1)).as("nd"))
         val vocab = tok.groupBy("w").agg(min(col("doc_id")).as("fd"))
           .crossJoin(broadcast(nDocs))
