@@ -620,6 +620,98 @@ object ProfileOps {
         |    / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS spearman_rho
         |FROM a""".stripMargin),
 
+    // -- corpus source-concentration summary: Herfindahl index
+    //    (Σ share², the concentration number), Shannon diversity
+    //    (−Σ p·ln p via dec6 micro-nats), and the effective source count
+    //    e^H / 1/HHI-style diversity equivalents — the "is this corpus
+    //    secretly one crawl seed" gate. One groupBy(source) then
+    //    sources-sized algebra; HHI numerator in DECIMAL (n² wraps long
+    //    past ~3e9 docs in one source) --------------------------------------
+    ("q_source_diversity",
+      (s: SparkSession, d: String) => {
+        val dec = DecimalType(38, 0)
+        val bySrc = t(s, d, "documents")
+          .groupBy("source").agg(count(lit(1)).as("n"))
+          .localCheckpoint(true) // sources-sized; read by totals + terms
+        val tot = bySrc.agg(sum(col("n")).as("nn"),
+          count(lit(1)).as("n_sources"))
+        bySrc.crossJoin(broadcast(tot)) // 1 scalar row
+          .select(col("n"), col("nn"), col("n_sources"),
+            (col("n").cast(dec) * col("n").cast(dec)).as("n2"),
+            // per-source micro-nat entropy term, pre-rounded (order-free)
+            round((col("n").cast("double") / col("nn").cast("double")) *
+              log(col("n").cast("double") / col("nn").cast("double")) * -1e6)
+              .cast("long").as("h_term"))
+          .groupBy("nn", "n_sources")
+          .agg(sum(col("n2")).as("sn2"), sum(col("h_term")).as("h_e6"))
+          .select(col("nn").as("n_docs"), col("n_sources"),
+            round(col("sn2").cast("double") /
+              (col("nn").cast("double") * col("nn").cast("double")), 6)
+              .as("hhi"),
+            col("h_e6"),
+            round(exp(col("h_e6").cast("double") / 1e6), 6)
+              .as("effective_sources"))
+      },
+      """WITH b AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+        |           FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+        |             CAST(count(*) AS BIGINT) AS n_sources FROM b),
+        |terms AS (SELECT nn, n_sources,
+        |    cast(n AS HUGEINT) * n AS n2,
+        |    CAST(round((cast(n AS DOUBLE) / cast(nn AS DOUBLE))
+        |      * ln(cast(n AS DOUBLE) / cast(nn AS DOUBLE)) * -1e6) AS BIGINT) AS h_term
+        |  FROM b CROSS JOIN t)
+        |SELECT nn AS n_docs, n_sources,
+        |  round(cast(sum(n2) AS DOUBLE)
+        |    / (cast(nn AS DOUBLE) * cast(nn AS DOUBLE)), 6) AS hhi,
+        |  CAST(sum(h_term) AS BIGINT) AS h_e6,
+        |  round(exp(cast(sum(h_term) AS DOUBLE) / 1e6), 6) AS effective_sources
+        |FROM terms GROUP BY nn, n_sources""".stripMargin),
+
+    // -- Lorenz curve of per-customer revenue: cumulative revenue share
+    //    per population decile (exact cents, ranks from the two-phase
+    //    prefix-sum bucket machinery, cumulative via a 10-row triangular
+    //    self-join) — the curve q_gini summarizes to one number --------------
+    ("q_lorenz",
+      (s: SparkSession, d: String) => {
+        val rev = t(s, d, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(sum(cents(col("o_totalprice"))).as("x"))
+          .localCheckpoint(true) // holder-sized; bucketing + the join
+        val b = graft.ops.Eval.rankBuckets(rev, "x", "o_custkey", 10)
+          .select(col("id").as("o_custkey"), col("bucket").as("decile"))
+        val per = rev.join(b, Seq("o_custkey"))
+          .groupBy("decile")
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sum_cents"))
+          .localCheckpoint(true) // 10 rows, both sides of the cumsum
+        val tot = per.agg(sum(col("sum_cents")).as("tc"))
+        per.join(per.select(col("decile").as("d2"),
+            col("sum_cents").as("s2")), col("d2") <= col("decile"))
+          .groupBy("decile", "n", "sum_cents")
+          .agg(sum(col("s2")).as("cum_cents"))
+          .crossJoin(broadcast(tot)) // 1 scalar row
+          .select(col("decile"), col("n"), col("sum_cents"),
+            col("cum_cents"),
+            expr("(cum_cents * 1000000L) div tc").as("cum_share_ppm"))
+          .orderBy("decile")
+      },
+      """WITH rev AS (SELECT o_custkey,
+        |    CAST(sum(cast(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_c FROM rev),
+        |rk AS (SELECT x,
+        |    ((row_number() OVER (ORDER BY x, o_custkey) - 1) * 10) // n_c AS decile
+        |  FROM rev CROSS JOIN nn),
+        |per AS (SELECT decile, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sum_cents
+        |  FROM rk GROUP BY 1),
+        |t AS (SELECT CAST(sum(sum_cents) AS BIGINT) AS tc FROM per)
+        |SELECT a.decile, a.n, a.sum_cents,
+        |  CAST(sum(b.sum_cents) AS BIGINT) AS cum_cents,
+        |  (sum(b.sum_cents) * 1000000) // tc AS cum_share_ppm
+        |FROM per a JOIN per b ON b.decile <= a.decile CROSS JOIN t
+        |GROUP BY a.decile, a.n, a.sum_cents, tc ORDER BY a.decile""".stripMargin),
+
     // -- 5% two-sided trimmed mean of price cents: cutoffs from the
     //    distributed exact selection (interpolated like DuckDB's
     //    quantile_cont — the q_median contract), then one filtered exact
