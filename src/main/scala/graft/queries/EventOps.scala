@@ -29,6 +29,28 @@ object EventOps {
   private def deleteRecursively(f: java.io.File): Unit =
     graft.ops.Layout.deleteRecursively(f)
 
+  /** The shared view→click→purchase funnel stages (first qualifying
+    * event per user per stage, each stage strictly after the previous):
+    * one derivation serving q_funnel (counts) and q_funnel_latency
+    * (time-to-convert distribution) so the stage semantics cannot
+    * drift between them. Returns (v(user_id, t1), c(user_id, t2),
+    * p(user_id, t3)) in epoch millis.
+    */
+  private def funnelStages(s: SparkSession, d: String):
+      (DataFrame, DataFrame, DataFrame) = {
+    val ev = t(s, d, "events")
+      .select(col("user_id"), col("event_type"), nsDiv("ts", NS_PER_MS).as("ms"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ms")).as("t1"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ms") > col("t1"))
+      .groupBy("user_id").agg(min(col("ms")).as("t2"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ms") > col("t2"))
+      .groupBy("user_id").agg(min(col("ms")).as("t3"))
+    (v, c, p)
+  }
+
   /** The shared SCD2 derivation (gaps-and-islands runs over per-user
     * event_type changes): one copy serves both q_scd2_history and
     * q_scd2_asof so the tie-break ordering and run aggregation can never
@@ -356,16 +378,7 @@ object EventOps {
     //    per-user driver loop ----------------------------------------------
     ("q_funnel",
       (s: SparkSession, d: String) => {
-        val ev = t(s, d, "events")
-          .select(col("user_id"), col("event_type"), nsDiv("ts", NS_PER_MS).as("ms"))
-        val v = ev.filter(col("event_type") === "view")
-          .groupBy("user_id").agg(min(col("ms")).as("t1"))
-        val c = ev.filter(col("event_type") === "click")
-          .join(v, "user_id").filter(col("ms") > col("t1"))
-          .groupBy("user_id").agg(min(col("ms")).as("t2"))
-        val p = ev.filter(col("event_type") === "purchase")
-          .join(c, "user_id").filter(col("ms") > col("t2"))
-          .groupBy("user_id").agg(min(col("ms")).as("t3"))
+        val (v, c, p) = funnelStages(s, d)
         v.agg(count(lit(1)).as("n_view"))
           .crossJoin(c.agg(count(lit(1)).as("n_click_after")))
           .crossJoin(p.agg(count(lit(1)).as("n_purchase_after")))
@@ -1255,6 +1268,34 @@ object EventOps {
         |      FROM r WHERE rn <= 3 GROUP BY 1)
         |SELECT path, CAST(count(*) AS BIGINT) AS n_users FROM p GROUP BY 1
         |ORDER BY n_users DESC, path""".stripMargin),
+
+    // -- funnel time-to-convert distribution: for users who complete
+    //    view → click → purchase (the q_funnel stages, one shared
+    //    derivation), the first-view→first-qualifying-purchase latency's
+    //    exact count / median / p90 via the distributed selection — the
+    //    "how long does conversion take" half q_funnel's counts omit ------
+    ("q_funnel_latency",
+      (s: SparkSession, d: String) => {
+        val (v, _, p) = funnelStages(s, d)
+        val lat = p.join(v, "user_id")
+          .select((col("t3") - col("t1")).as("lat_ms"))
+        val (qs, n) = graft.ops.StatsOps.exactPercentilesWithCount(
+          lat, "lat_ms", Seq(0.5, 0.9))
+        lat.sparkSession.range(1).select(
+          lit(n).as("n_converted"),
+          round(lit(qs.head), 4).as("med_ms"),
+          round(lit(qs(1)), 4).as("p90_ms"))
+      },
+      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+        |v AS (SELECT user_id, min(ms) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(ms) AS t2 FROM e JOIN v USING (user_id)
+        |      WHERE event_type = 'click' AND ms > t1 GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(ms) AS t3 FROM e JOIN c USING (user_id)
+        |      WHERE event_type = 'purchase' AND ms > t2 GROUP BY e.user_id)
+        |SELECT CAST(count(*) AS BIGINT) AS n_converted,
+        |  round(quantile_cont(t3 - t1, 0.5), 4) AS med_ms,
+        |  round(quantile_cont(t3 - t1, 0.9), 4) AS p90_ms
+        |FROM p JOIN v USING (user_id)""".stripMargin),
 
     // -- burstiness (Fano factor) of daily event volumes per type:
     //    variance-to-mean ratio of the per-day counts — ≈1 for a Poisson
