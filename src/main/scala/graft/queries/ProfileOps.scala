@@ -692,7 +692,10 @@ object ProfileOps {
           .crossJoin(broadcast(tot)) // 1 scalar row
           .select(col("decile"), col("n"), col("sum_cents"),
             col("cum_cents"),
-            expr("(cum_cents * 1000000L) div tc").as("cum_share_ppm"))
+            // DECIMAL carry: cum_cents·1e6 wraps a long once total
+            // revenue passes ~9e12 cents (measured at the 10x fixture)
+            expr("(CAST(cum_cents AS DECIMAL(38,0)) * 1000000L) div tc")
+              .as("cum_share_ppm"))
           .orderBy("decile")
       },
       """WITH rev AS (SELECT o_custkey,
@@ -708,7 +711,7 @@ object ProfileOps {
         |t AS (SELECT CAST(sum(sum_cents) AS BIGINT) AS tc FROM per)
         |SELECT a.decile, a.n, a.sum_cents,
         |  CAST(sum(b.sum_cents) AS BIGINT) AS cum_cents,
-        |  (sum(b.sum_cents) * 1000000) // tc AS cum_share_ppm
+        |  CAST((cast(sum(b.sum_cents) AS HUGEINT) * 1000000) // tc AS BIGINT) AS cum_share_ppm
         |FROM per a JOIN per b ON b.decile <= a.decile CROSS JOIN t
         |GROUP BY a.decile, a.n, a.sum_cents, tc ORDER BY a.decile""".stripMargin),
 
