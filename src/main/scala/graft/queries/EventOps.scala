@@ -1279,12 +1279,24 @@ object EventOps {
         val (v, _, p) = funnelStages(s, d)
         val lat = p.join(v, "user_id")
           .select((col("t3") - col("t1")).as("lat_ms"))
-        val (qs, n) = graft.ops.StatsOps.exactPercentilesWithCount(
-          lat, "lat_ms", Seq(0.5, 0.9))
-        lat.sparkSession.range(1).select(
-          lit(n).as("n_converted"),
-          round(lit(qs.head), 4).as("med_ms"),
-          round(lit(qs(1)), 4).as("p90_ms"))
+          .localCheckpoint(true) // converted-USERS-sized: count + selection
+        // an empty funnel is representable output, not an error — the
+        // oracle returns (0, NULL, NULL) and so must we (the selection
+        // itself requires n > 0)
+        val n0 = lat.count()
+        if (n0 == 0L)
+          lat.sparkSession.range(1).select(
+            lit(0L).as("n_converted"),
+            lit(null).cast("double").as("med_ms"),
+            lit(null).cast("double").as("p90_ms"))
+        else {
+          val (qs, n) = graft.ops.StatsOps.exactPercentilesWithCount(
+            lat, "lat_ms", Seq(0.5, 0.9))
+          lat.sparkSession.range(1).select(
+            lit(n).as("n_converted"),
+            round(lit(qs.head), 4).as("med_ms"),
+            round(lit(qs(1)), 4).as("p90_ms"))
+        }
       },
       """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
         |v AS (SELECT user_id, min(ms) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),

@@ -15,6 +15,15 @@ object ProfileOps {
 
   type Fn = (SparkSession, String) => DataFrame
 
+  /** Per-customer revenue in exact cents — ONE derivation shared by
+    * q_gini (the scalar) and q_lorenz (the curve) so the two views of
+    * the same distribution cannot drift (the funnelStages rationale).
+    */
+  private def custRevenue(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(cents(col("o_totalprice"))).as("x"))
+
   val entries: Seq[(String, Fn, String)] = Seq(
 
     // -- one-pass validation suite: nine constraints over lineitem in a
@@ -674,9 +683,7 @@ object ProfileOps {
     //    self-join) — the curve q_gini summarizes to one number --------------
     ("q_lorenz",
       (s: SparkSession, d: String) => {
-        val rev = t(s, d, "orders")
-          .groupBy(col("o_custkey"))
-          .agg(sum(cents(col("o_totalprice"))).as("x"))
+        val rev = custRevenue(s, d)
           .localCheckpoint(true) // holder-sized; bucketing + the join
         val b = graft.ops.Eval.rankBuckets(rev, "x", "o_custkey", 10)
           .select(col("id").as("o_custkey"), col("bucket").as("decile"))
@@ -1015,10 +1022,7 @@ object ProfileOps {
     //    provably irrelevant to the statistic -----------------------------
     ("q_gini",
       (s: SparkSession, d: String) => {
-        val rev = t(s, d, "orders")
-          .groupBy(col("o_custkey"))
-          .agg(sum(cents(col("o_totalprice"))).as("x"))
-        graft.ops.Eval.giniExact(rev, "x", "o_custkey")
+        graft.ops.Eval.giniExact(custRevenue(s, d), "x", "o_custkey")
       },
       """WITH rev AS (SELECT o_custkey,
         |    CAST(sum(cast(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
