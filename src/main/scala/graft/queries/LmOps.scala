@@ -42,6 +42,63 @@ object LmOps {
         |  round(cast(-sum(tf * lnp) AS DOUBLE) / sum(tf), 4) AS xent
         |FROM lp GROUP BY 1 ORDER BY doc_id""".stripMargin),
 
+    // -- per-source perplexity drift: the q_lm_xent score aggregated per
+    //    source over two snapshots (even/odd doc_id halves standing in
+    //    for release N / N+1), with the mean xent of each side from
+    //    DECIMAL sums of the dec4 per-doc scores (order-free) and the
+    //    delta — the "which source's text is drifting off-model" monitor
+    //    a reference-LM pipeline tracks release over release. One extra
+    //    source join + one sources-sized agg on top of the shared scorer -
+    ("q_xent_drift",
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        val scored = graft.ops.LangModel.unigramCrossEntropy(
+          docs, "doc_id", "text", refPred = col("lang") === "en")
+        val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+        val j = scored.join(docs.select(col("doc_id"), col("source")), "doc_id")
+          .withColumn("is_ref", pmod(col("doc_id"), lit(2)) === 0)
+        j.groupBy("source").agg(
+            sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref_docs"),
+            sum(when(!col("is_ref"), 1L).otherwise(0L)).as("n_cur_docs"),
+            round(sum(when(col("is_ref"), col("xent").cast(dec))).cast("double") /
+              sum(when(col("is_ref"), 1L)), 4).as("xent_ref"),
+            round(sum(when(!col("is_ref"), col("xent").cast(dec))).cast("double") /
+              sum(when(!col("is_ref"), 1L)), 4).as("xent_cur"))
+          .select(col("source"), col("n_ref_docs"), col("n_cur_docs"),
+            col("xent_ref"), col("xent_cur"),
+            round(col("xent_cur") - col("xent_ref"), 4).as("delta"))
+          .orderBy("source")
+      },
+      """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS word
+        |             FROM documents),
+        |tf AS (SELECT doc_id, word, cast(count(*) AS BIGINT) AS tf
+        |       FROM tok GROUP BY 1, 2),
+        |ref AS (SELECT word, cast(count(*) AS BIGINT) AS wc
+        |        FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS word
+        |              FROM documents WHERE lang = 'en') GROUP BY 1),
+        |stats AS (SELECT cast(sum(wc) AS BIGINT) AS n_ref,
+        |            cast(count(*) AS BIGINT) AS v_ref FROM ref),
+        |lp AS (SELECT tf.doc_id, tf.tf,
+        |         cast(round(ln(cast(coalesce(ref.wc, 0) + 1 AS DOUBLE) /
+        |           cast(n_ref + v_ref + 1 AS DOUBLE)), 6) AS DECIMAL(18,6)) AS lnp
+        |       FROM tf LEFT JOIN ref USING (word) CROSS JOIN stats),
+        |x AS (SELECT doc_id,
+        |        round(cast(-sum(tf * lnp) AS DOUBLE) / sum(tf), 4) AS xent
+        |      FROM lp GROUP BY 1),
+        |jj AS (SELECT x.doc_id, dd.source, x.doc_id % 2 = 0 AS is_ref, xent
+        |       FROM x JOIN documents dd ON x.doc_id = dd.doc_id),
+        |agg AS (SELECT source,
+        |    CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref_docs,
+        |    CAST(sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_cur_docs,
+        |    round(cast(sum(CASE WHEN is_ref THEN cast(xent AS DECIMAL(18,6)) END) AS DOUBLE)
+        |      / sum(CASE WHEN is_ref THEN 1 END), 4) AS xent_ref,
+        |    round(cast(sum(CASE WHEN NOT is_ref THEN cast(xent AS DECIMAL(18,6)) END) AS DOUBLE)
+        |      / sum(CASE WHEN NOT is_ref THEN 1 END), 4) AS xent_cur
+        |  FROM jj GROUP BY 1)
+        |SELECT source, n_ref_docs, n_cur_docs, xent_ref, xent_cur,
+        |  round(xent_cur - xent_ref, 4) AS delta
+        |FROM agg ORDER BY source""".stripMargin),
+
     // -- DSIR importance weights: unigram+bigram features hashed into
     //    1024 buckets (cross-engine 60-bit md5), per-bucket smoothed
     //    target-vs-raw log-likelihood ratio, per-doc decimal-exact sum.
