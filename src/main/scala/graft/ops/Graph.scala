@@ -602,6 +602,47 @@ object Graph {
       .groupBy("node").agg(count(lit(1)).as("deg"))
   }
 
+  /** WEIGHTED k-core peeling: [[kCore]] with the survival test on summed
+    * incident edge WEIGHT instead of edge count — a node stays while its
+    * surviving neighbors connect to it with total strength ≥ k, the
+    * engagement-weighted "densely embedded" filter (a page with two
+    * heavily-trafficked links can outrank one with five trickles).
+    * Weights must be positive non-null (the weightedPageRank contract);
+    * parallel edges pre-sum per canonical undirected pair. Returns
+    * (node, wdeg) for survivors after `iters` synchronous rounds — like
+    * [[kCore]], a superset of the fixed point until a round drops
+    * nothing. Same per-round shape: one weighted-degree aggregation +
+    * two semi-joins, work shrinking monotonically.
+    */
+  def kCoreWeighted(edges0: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, k: Long, iters: Int = 4): DataFrame = {
+    require(k >= 1 && iters >= 1, "kCoreWeighted: need k >= 1, iters >= 1")
+    val cast = edges0.select(col(srcCol).as("u"), col(dstCol).as("v"),
+      col(weightCol).cast("long").as("w"))
+    val bad = cast.filter(col("w").isNull || col("w") <= 0L).limit(1).collect()
+    require(bad.isEmpty,
+      "kCoreWeighted: weights must be positive non-null (found " +
+        s"w=${if (bad.nonEmpty && !bad(0).isNullAt(2)) bad(0).getLong(2) else "NULL"})")
+    var live = cast.filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("a"),
+        greatest(col("u"), col("v")).as("b"), col("w"))
+      .groupBy("a", "b").agg(sum(col("w")).as("w"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val deg = live.select(col("a").as("node"), col("w"))
+        .union(live.select(col("b").as("node"), col("w")))
+        .groupBy("node").agg(sum(col("w")).as("wdeg"))
+      val keep = deg.filter(col("wdeg") >= k).select("node")
+      live = live
+        .join(keep.select(col("node").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("node").as("b")), Seq("b"), "left_semi")
+        .localCheckpoint(true)
+    }
+    live.select(col("a").as("node"), col("w"))
+      .union(live.select(col("b").as("node"), col("w")))
+      .groupBy("node").agg(sum(col("w")).as("wdeg"))
+  }
+
   /** k-truss decomposition (Cohen 2008): iterated removal of edges whose
     * triangle SUPPORT (number of triangles containing the edge) is below
     * k−2 — the edge-grained strengthening of [[kCore]]: a k-core keeps a

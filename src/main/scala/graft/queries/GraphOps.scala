@@ -427,6 +427,27 @@ object GraphOps {
           |  (SELECT a AS node FROM live4 UNION ALL SELECT b FROM live4) q
           |GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // -- WEIGHTED k-core (k=40 total strength, 4 peel rounds): survival
+    //    by summed incident transition weight — the engagement-weighted
+    //    sibling of q_kcore, with the q_sssp synthetic weight convention
+    //    and parallel transitions pre-summed per canonical pair. The
+    //    oracle unrolls the same weighted rounds ---------------------------
+    ("q_kcore_weighted",
+      (s: SparkSession, d: String) =>
+        graft.ops.Graph.kCoreWeighted(
+            clickEdges(s, d).withColumn("w", (col("src") + col("dst")) % 5 + 1),
+            "src", "dst", "w", k = 40L, iters = 4)
+          .orderBy("node"),
+      edgeCtes +
+        s""",
+          |wl0 AS MATERIALIZED (SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+          |    CAST(sum((src + dst) % 5 + 1) AS BIGINT) AS w
+          |  FROM edges WHERE src <> dst GROUP BY 1, 2),
+          |${wkcoreIterCtes(40, 4)}
+          |SELECT node, CAST(sum(w) AS BIGINT) AS wdeg FROM
+          |  (SELECT a AS node, w FROM wl4 UNION ALL SELECT b, w FROM wl4) q
+          |GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // -- reciprocity of the directed click graph: the share of distinct
     //    directed edges whose reverse also exists — "do transitions flow
     //    both ways" in one exact ppm number (plus the raw counts). One
@@ -697,6 +718,22 @@ object GraphOps {
           |FROM comm LEFT JOIN intra USING (community) CROSS JOIN mm
           |ORDER BY community""".stripMargin)
   )
+
+  /** One WEIGHTED k-core peel round for q_kcore_weighted, mirroring
+    * Graph.kCoreWeighted: weighted degrees over surviving edges, keep
+    * nodes with total strength >= k, keep edges whose BOTH endpoints
+    * survive.
+    */
+  private def wkcoreIterCtes(k: Long, iters: Int): String =
+    (1 to iters).map { i =>
+      s"""wdg$i AS (SELECT node, CAST(sum(w) AS BIGINT) AS wdeg FROM
+         |  (SELECT a AS node, w FROM wl${i - 1} UNION ALL
+         |   SELECT b, w FROM wl${i - 1}) q GROUP BY 1),
+         |wkp$i AS (SELECT node FROM wdg$i WHERE wdeg >= $k),
+         |wl$i AS MATERIALIZED (SELECT e.a, e.b, e.w FROM wl${i - 1} e
+         |  JOIN wkp$i x ON e.a = x.node
+         |  JOIN wkp$i y ON e.b = y.node)""".stripMargin
+    }.mkString(",\n")
 
   /** One k-truss peel round for the q_ktruss oracle, mirroring
     * Graph.kTruss: degree orientation with the (deg, id) tie-break,
