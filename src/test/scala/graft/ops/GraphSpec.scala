@@ -317,6 +317,32 @@ class GraphSpec extends SparkSuite {
     assert(st(5L) === 0L)
   }
 
+  test("kCoreWeighted: strength threshold, parallel-edge pre-sum, cascade") {
+    import spark.implicits._
+    // triangle with weights 5,5,1 plus a pendant of weight 3:
+    // wdeg: 1:(5+5)=10, 2:(5+1)=6, 3:(5+1+3)=9, 4:3
+    val edges = Seq((1L, 2L, 5L), (1L, 3L, 5L), (2L, 3L, 1L), (3L, 4L, 3L))
+      .toDF("src", "dst", "w")
+    val k7 = Graph.kCoreWeighted(edges, "src", "dst", "w", k = 7L, iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // round 1 drops 2 (6<7) and 4 (3<7); then 1-3 alone: wdeg 5 each -> all gone
+    assert(k7.isEmpty)
+    val k5 = Graph.kCoreWeighted(edges, "src", "dst", "w", k = 5L, iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // round 1 drops only 4 (3<5); survivors' wdeg: 1:10, 2:6, 3:6 — stable
+    assert(k5 === Map(1L -> 10L, 2L -> 6L, 3L -> 6L))
+    // parallel edges pre-sum: two w=3 copies act as one w=6 edge
+    val par = Seq((1L, 2L, 3L), (2L, 1L, 3L)).toDF("src", "dst", "w")
+    val p6 = Graph.kCoreWeighted(par, "src", "dst", "w", k = 6L, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(p6 === Map(1L -> 6L, 2L -> 6L))
+    // positivity guard fails loud
+    intercept[IllegalArgumentException] {
+      Graph.kCoreWeighted(Seq((1L, 2L, 0L)).toDF("src", "dst", "w"),
+        "src", "dst", "w", k = 1L, iters = 1)
+    }
+  }
+
   test("kTruss: cliques survive, bridges and pendants drop, peeling cascades") {
     import spark.implicits._
     // two 4-cliques joined by a bridge, plus a pendant edge
