@@ -18,6 +18,29 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# Intended (spark_parquet_type, duckdb_oracle_type) divergences the driver's
+# hash tolerates. Everything else — notably HUGEINT where Spark writes
+# BIGINT, the r11/r12 failure class — is a local failure.
+TYPE_ALLOW = set()
+
+
+def type_key(t):
+    return str(t).upper()
+
+
+def check_types(con, rd, exp):
+    """DuckDB view of the Spark parquet schema vs the oracle result types,
+    aligned by sorted column name. Returns list of (col, spark_t, duck_t)
+    mismatches not in TYPE_ALLOW."""
+    desc = con.sql(f"DESCRIBE SELECT * FROM '{rd}/*.parquet'").fetchall()
+    got_t = {r[0]: type_key(r[1]) for r in desc}
+    exp_t = {c: type_key(t) for c, t in zip(exp.columns, exp.types)}
+    bad = []
+    for c in sorted(set(got_t) & set(exp_t)):
+        if got_t[c] != exp_t[c] and (got_t[c], exp_t[c]) not in TYPE_ALLOW:
+            bad.append((c, got_t[c], exp_t[c]))
+    return bad
+
 
 def canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
@@ -53,6 +76,12 @@ def main():
             continue
         if got_cols != exp_cols:
             print(f"✗ {name}: COLUMN MISMATCH spark={got_cols} duckdb={exp_cols}")
+            n_fail += 1
+            continue
+        type_bad = check_types(con, rd, exp)
+        if type_bad:
+            print(f"✗ {name}: TYPE MISMATCH " + ", ".join(
+                f"{c}: spark={g} duckdb={e}" for c, g, e in type_bad))
             n_fail += 1
             continue
         if got_rows == exp_rows:

@@ -754,7 +754,48 @@ object ScaleBench {
           })
         Map("link_predict[capped1000]" -> capped) ++ uncapped
       } catch { case scala.util.control.NonFatal(_) => Map.empty }
-    val all: Map[String, (Double, Long)] = results ++ prod ++ guard ++ pct ++ ing ++ cmp ++ mrg ++ rup ++ km ++ sqz ++ skw ++ pqb ++ tri ++ wdg
+    // Peel-checkpoint A/B (pseudo-name "peel"): the edge-peeling family's
+    // pin-vs-spill guard measured on a corpus-scaled edge list (lineitem
+    // orderkey→partkey pairs — |E| grows with the fixture). Three arms on
+    // identical inputs: memory-pinned localCheckpoint rounds (the default
+    // under PeelMaxPinnedEdges), reliable-checkpoint rounds (budget forced
+    // to 1, checkpoint dir set — what a corpus-sized graph must use), and
+    // the GUARD arm (budget 1, no dir): recorded as edge count only — the
+    // loud refusal BEFORE round 1 is the measurement, the exact
+    // corpus-pinning-OOM class SCALE.md documents for q_spearman.
+    val peel: Map[String, (Double, Long)] =
+      if (!explicit.contains("peel")) Map.empty
+      else try {
+        import org.apache.spark.sql.functions.{col, pmod, lit}
+        val raw = spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .select(col("l_orderkey").as("src"), col("l_partkey").as("dst"))
+        val nEdges = raw.select(
+          org.apache.spark.sql.functions.least(col("src"), col("dst")),
+          org.apache.spark.sql.functions.greatest(col("src"), col("dst")))
+          .distinct().count()
+        inputRows("peel_edges") = nEdges
+        val pinned = timeIt {
+          graft.ops.Graph.kCore(raw, "src", "dst", k = 3, iters = 3)
+            .agg(org.apache.spark.sql.functions.count(lit(1))).collect(); ()
+        }
+        val guardFired =
+          try { graft.ops.Graph.kCore(raw, "src", "dst", k = 3, iters = 3,
+              maxPinnedEdges = 1L); 0L }
+          catch { case _: IllegalArgumentException => 1L }
+        inputRows("peel_guard_fired") = guardFired
+        val ckptDir = java.nio.file.Files.createTempDirectory("graft_peel_ck")
+        spark.sparkContext.setCheckpointDir(ckptDir.toString)
+        val spilled = try timeIt {
+          graft.ops.Graph.kCore(raw, "src", "dst", k = 3, iters = 3,
+              maxPinnedEdges = 1L)
+            .agg(org.apache.spark.sql.functions.count(lit(1))).collect(); ()
+        } finally {
+          spark.sparkContext.setCheckpointDir(null)
+          del(ckptDir.toFile)
+        }
+        Map("kcore[pinned]" -> pinned, "kcore[reliable_ckpt]" -> spilled)
+      } catch { case scala.util.control.NonFatal(_) => Map.empty }
+    val all: Map[String, (Double, Long)] = results ++ prod ++ guard ++ pct ++ ing ++ cmp ++ mrg ++ rup ++ km ++ sqz ++ skw ++ pqb ++ tri ++ wdg ++ peel
     val qs = all.toSeq.sortBy(_._1)
       .map { case (k, (t, _)) => f""""$k":$t%.3f""" }.mkString("{", ",", "}")
     // per-query min-of-runs shuffle write MB

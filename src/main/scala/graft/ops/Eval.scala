@@ -94,6 +94,93 @@ object Eval {
         (lit(2L) * col("n_pos") * col("n_neg")).as("den"))
   }
 
+  /** Deterministic leave-one-group-out JACKKNIFE standard error for the
+    * exact AUC — the SQL-replayable variance estimate bootstrap CIs can't
+    * give (resampling is rand-gated). Rows are assigned to `nGroups`
+    * deterministic groups by `groupCol % nGroups`; for each group g the
+    * full Mann–Whitney AUC_{−g} over ALL OTHER rows is computed EXACTLY
+    * by inclusion–exclusion on doubled pair counts — never by re-scanning
+    * the corpus per group:
+    *
+    *   u2_{−g} = u2_total − A_g − B_g + C_g, where A_g counts pairs whose
+    *   POSITIVE is in g (Σ_s pos_{g,s}·(2·negbelow_s + neg_s)), B_g pairs
+    *   whose NEGATIVE is in g (Σ_s neg_{g,s}·(2·posabove_s + pos_s)), and
+    *   C_g the doubly-subtracted within-group pairs
+    *   (Σ_s pos_{g,s}·(2·negbelow_{g,s} + neg_{g,s})).
+    *
+    * Then jack_se = sqrt((G−1)/G · Σ_g (auc_{−g} − mean)²) with the
+    * q_jackknife_mean dec6 convention (each auc_{−g} and each squared
+    * deviation rounded to 6 places and summed as DECIMAL(18,6)).
+    *
+    * Shape: ONE corpus-sized groupBy(grp, score); everything after runs
+    * on the bounded (nGroups × |distinct scores|) table — a two-phase
+    * global prefix sum (never a partitionless window), one grp-PARTITIONED
+    * window for the within-group prefix, a broadcast join of the
+    * distinct-score stats, and G-row scalar algebra. NULL scores excluded
+    * as in [[aucExact]]. One row:
+    * (n_pos, n_neg, auc, n_groups, jack_se).
+    */
+  def aucJackknife(df: DataFrame, scoreCol: String, labelCol: String,
+      groupCol: String, nGroups: Int = 16): DataFrame = {
+    require(nGroups >= 2, "aucJackknife: need nGroups >= 2")
+    val byGS = df.filter(col(scoreCol).isNotNull)
+      .groupBy(pmod(col(groupCol), lit(nGroups.toLong)).as("grp"),
+        col(scoreCol).as("s"))
+      .agg(count(lit(1)).as("n_gs"), sum(col(labelCol)).cast("long").as("pos_gs"))
+      .withColumn("neg_gs", col("n_gs") - col("pos_gs"))
+      .localCheckpoint(true) // bounded: nGroups × |scores|, read 3× below
+    val byS = byGS.groupBy("s")
+      .agg(sum(col("n_gs")).as("n"), sum(col("pos_gs")).as("pos"))
+      .withColumn("neg", col("n") - col("pos"))
+      .localCheckpoint(true) // bounded distinct-score table
+    val totals = byS.agg(sum(col("pos")).as("n_pos"), sum(col("neg")).as("n_neg"))
+    val preT = runningSums(byS, "s", descending = false,
+        Seq("neg", "pos"), Seq("negbelow", "posbelow"), inclusive = false)
+      .crossJoin(broadcast(totals)) // 1 scalar row
+      .select(col("s"), col("pos"), col("neg"), col("negbelow"),
+        (col("n_pos") - col("posbelow") - col("pos")).as("posabove"))
+      .localCheckpoint(true) // bounded, read by u2 + the group join
+    val u2 = preT.agg(sum(col("pos") * (lit(2L) * col("negbelow") + col("neg")))
+      .as("u2"))
+    val wg = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy("s")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val perG = byGS
+      .withColumn("negbelow_gs", coalesce(sum(col("neg_gs")).over(wg), lit(0L)))
+      .join(broadcast(preT.withColumnRenamed("pos", "pos_s")
+        .withColumnRenamed("neg", "neg_s")), Seq("s"))
+      .groupBy("grp")
+      .agg(sum(col("pos_gs")).as("pos_g"), sum(col("neg_gs")).as("neg_g"),
+        sum(col("pos_gs") * (lit(2L) * col("negbelow") + col("neg_s"))).as("a_g"),
+        sum(col("neg_gs") * (lit(2L) * col("posabove") + col("pos_s"))).as("b_g"),
+        sum(col("pos_gs") * (lit(2L) * col("negbelow_gs") + col("neg_gs"))).as("c_g"))
+    val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val aj = perG.crossJoin(broadcast(totals)).crossJoin(broadcast(u2))
+      .select(round((col("u2") - col("a_g") - col("b_g") + col("c_g"))
+          .cast("double") /
+        (lit(2L) * (col("n_pos") - col("pos_g")) *
+          (col("n_neg") - col("neg_g"))).cast("double"), 6)
+        .cast(dec6).as("aucg"))
+      .localCheckpoint(true) // G rows, read for the mean + the squares
+    val md = aj.agg(count(lit(1)).as("ng"),
+      round(sum(col("aucg")).cast("double") /
+        count(lit(1)).cast("double"), 6).as("adot"))
+    aj.crossJoin(broadcast(md)) // G rows × 1 scalar row
+      .agg(first(col("ng")).as("n_groups"),
+        sum(round((col("aucg").cast("double") - col("adot")) *
+            (col("aucg").cast("double") - col("adot")), 6).cast(dec6))
+          .as("ssq"),
+        first(col("adot")).as("__adot"))
+      .crossJoin(broadcast(totals)).crossJoin(broadcast(u2))
+      .select(col("n_pos"), col("n_neg"),
+        round(col("u2").cast("double") /
+          (lit(2L) * col("n_pos") * col("n_neg")).cast("double"), 6).as("auc"),
+        col("n_groups"),
+        round(sqrt((col("n_groups") - 1L).cast("double") /
+          col("n_groups").cast("double") * col("ssq").cast("double")), 6)
+          .as("jack_se"))
+  }
+
   /** The full precision/recall operating curve as exact integers: one row
     * per distinct score s with the confusion counts of the classifier
     * "predict positive iff score >= s" — (threshold, tp, fp, fn, tn).

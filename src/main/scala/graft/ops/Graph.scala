@@ -22,6 +22,44 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Default edge-pin budget for the peeling family ([[kCore]] /
+    * [[kCoreWeighted]] / [[kTruss]]): 50M canonical edges ≈ 1–2 GB of
+    * deserialized pinned blocks — comfortable on the 8g local harness,
+    * proportional on a real cluster's executor storage.
+    */
+  val PeelMaxPinnedEdges: Long = 50000000L
+
+  /** Checkpoint strategy for edge-peeling rounds. Each peeling round
+    * localCheckpoints the full SURVIVING edge list; work shrinks
+    * monotonically, so the INITIAL canonical edge count bounds every
+    * round's pin. On the gated fixtures that's thousands of rows; on a
+    * corpus-sized graph (web-scale link graph) the pinned deserialized
+    * blocks are exactly the executor-storage failure mode SCALE.md
+    * documents for q_spearman's 100× OOM. Guard: count the canonical
+    * edge list once up front; at or under `maxPinnedEdges` use
+    * memory-pinned localCheckpoint (fastest, lineage-flat); above it
+    * fall back to RELIABLE checkpoint — rounds spill to the configured
+    * checkpoint dir instead of executor memory — and if no checkpoint
+    * dir is set, fail loudly BEFORE the peel starts rather than OOM
+    * mid-iteration.
+    */
+  private def peelCheckpointer(op: String, edges: DataFrame,
+      maxPinnedEdges: Long): DataFrame => DataFrame = {
+    val n = edges.count()
+    if (n <= maxPinnedEdges) { df => df.localCheckpoint(true) }
+    else {
+      val sc = edges.sparkSession.sparkContext
+      require(sc.getCheckpointDir.isDefined,
+        s"$op: $n canonical edges exceed maxPinnedEdges=$maxPinnedEdges; " +
+          "per-round localCheckpoint would pin the surviving edge list " +
+          "in executor storage (the SCALE.md corpus-pinning OOM class). " +
+          "Raise maxPinnedEdges deliberately, or set " +
+          "spark.sparkContext.setCheckpointDir(...) so rounds spill to " +
+          "reliable checkpoints instead of memory.")
+      df => df.checkpoint(true)
+    }
+  }
+
   /** PageRank by `iters` rounds of power iteration over `edges` (one row
     * per edge; parallel edges weight naturally). Returns (node, pr) with
     * `pr` the integer rank mass out of ~`scale`.
@@ -584,18 +622,19 @@ object Graph {
     * removed), the opposite of a fan-out.
     */
   def kCore(edges0: DataFrame, srcCol: String, dstCol: String, k: Int,
-      iters: Int = 4): DataFrame = {
+      iters: Int = 4,
+      maxPinnedEdges: Long = PeelMaxPinnedEdges): DataFrame = {
     require(k >= 1 && iters >= 1, "kCore: need k >= 1, iters >= 1")
     var live = canonicalUndirected(edges0, srcCol, dstCol)
+    val ckpt = peelCheckpointer("kCore", live, maxPinnedEdges)
     for (_ <- 1 to iters) {
       val deg = live.select(col("a").as("node"))
         .union(live.select(col("b").as("node")))
         .groupBy("node").agg(count(lit(1)).as("deg"))
       val keep = deg.filter(col("deg") >= k).select("node")
-      live = live
+      live = ckpt(live
         .join(keep.select(col("node").as("a")), Seq("a"), "left_semi")
-        .join(keep.select(col("node").as("b")), Seq("b"), "left_semi")
-        .localCheckpoint(true)
+        .join(keep.select(col("node").as("b")), Seq("b"), "left_semi"))
     }
     live.select(col("a").as("node"))
       .union(live.select(col("b").as("node")))
@@ -615,7 +654,8 @@ object Graph {
     * two semi-joins, work shrinking monotonically.
     */
   def kCoreWeighted(edges0: DataFrame, srcCol: String, dstCol: String,
-      weightCol: String, k: Long, iters: Int = 4): DataFrame = {
+      weightCol: String, k: Long, iters: Int = 4,
+      maxPinnedEdges: Long = PeelMaxPinnedEdges): DataFrame = {
     require(k >= 1 && iters >= 1, "kCoreWeighted: need k >= 1, iters >= 1")
     val cast = edges0.select(col(srcCol).as("u"), col(dstCol).as("v"),
       col(weightCol).cast("long").as("w"))
@@ -623,20 +663,20 @@ object Graph {
     require(bad.isEmpty,
       "kCoreWeighted: weights must be positive non-null (found " +
         s"w=${if (bad.nonEmpty && !bad(0).isNullAt(2)) bad(0).getLong(2) else "NULL"})")
-    var live = cast.filter(col("u") =!= col("v"))
+    val presum = cast.filter(col("u") =!= col("v"))
       .select(least(col("u"), col("v")).as("a"),
         greatest(col("u"), col("v")).as("b"), col("w"))
       .groupBy("a", "b").agg(sum(col("w")).as("w"))
-      .localCheckpoint(true)
+    val ckpt = peelCheckpointer("kCoreWeighted", presum, maxPinnedEdges)
+    var live = ckpt(presum)
     for (_ <- 1 to iters) {
       val deg = live.select(col("a").as("node"), col("w"))
         .union(live.select(col("b").as("node"), col("w")))
         .groupBy("node").agg(sum(col("w")).as("wdeg"))
       val keep = deg.filter(col("wdeg") >= k).select("node")
-      live = live
+      live = ckpt(live
         .join(keep.select(col("node").as("a")), Seq("a"), "left_semi")
-        .join(keep.select(col("node").as("b")), Seq("b"), "left_semi")
-        .localCheckpoint(true)
+        .join(keep.select(col("node").as("b")), Seq("b"), "left_semi"))
     }
     live.select(col("a").as("node"), col("w"))
       .union(live.select(col("b").as("node"), col("w")))
@@ -662,11 +702,14 @@ object Graph {
     * round keeps lineage flat.
     */
   def kTruss(edges0: DataFrame, srcCol: String, dstCol: String, k: Int,
-      iters: Int = 3): DataFrame = {
+      iters: Int = 3,
+      maxPinnedEdges: Long = PeelMaxPinnedEdges): DataFrame = {
     require(k >= 3, "kTruss: k must be >= 3")
     require(iters >= 1, "kTruss: iters must be >= 1")
     var live: DataFrame = canonicalUndirected(edges0, srcCol, dstCol)
       .withColumn("support", lit(0L))
+    val ckpt = peelCheckpointer("kTruss", live.select("a", "b"),
+      maxPinnedEdges)
     // convergence early-stop (the ConnectedComponents discipline): a
     // round that drops no edge is a fixed point — every further round
     // recomputes identical supports and filters nothing, so skipping
@@ -688,11 +731,10 @@ object Graph {
             greatest(col("y"), col("z")).as("b")))).as("e"))
         .select(col("e.a").as("a"), col("e.b").as("b"))
         .groupBy("a", "b").agg(count(lit(1)).as("sup"))
-      live = edgesNow.join(sup, Seq("a", "b"), "left")
+      live = ckpt(edgesNow.join(sup, Seq("a", "b"), "left")
         .select(col("a"), col("b"),
           coalesce(col("sup"), lit(0L)).as("support"))
-        .filter(col("support") >= (k - 2).toLong)
-        .localCheckpoint(true)
+        .filter(col("support") >= (k - 2).toLong))
       val c = live.count()
       // a no-drop round still refreshed every edge's `support` column to
       // its (identical) fixed-point value, so stopping here is exact

@@ -748,6 +748,262 @@ object Layout {
     rewritten
   }
 
+  /** PARTITION EVOLUTION: re-key an existing `fromCol=value/` store onto
+    * `toCol=value/` directories, INCREMENTALLY and resumably — the
+    * operation a 100 TB store needs when the original partitioning stops
+    * matching the read pattern (a corpus laid out by `source` that is now
+    * always filtered by `lang`). A whole-store `writePartitioned` redo is
+    * one giant shuffle with nothing readable until it finishes; this
+    * processes ONE source partition directory at a time:
+    *
+    *  1. scratch root `dir__evolving` accumulates the NEW layout; a
+    *     dot-prefixed `._evolve_done` progress file lists completed
+    *     source directories (updated by atomic tmp-file swap after each).
+    *  2. per source dir: read it (with basePath, so `fromCol` survives as
+    *     a data column — evolution must not lose the old key), cluster by
+    *     `toCol`, write to a dot-prefixed staging dir, then MOVE each
+    *     staged file into its `toCol=value/` target under a name prefixed
+    *     `src-<md5(sourceDir)>-` — so a crash mid-source is recovered by
+    *     deleting exactly that source's files and redoing it. All other
+    *     completed sources' work is kept.
+    *  3. when every source is listed done, the whole scratch is swapped
+    *     into place with [[compact]]'s rename-aside protocol (live dir
+    *     renamed to `dir__old`, scratch renamed live, `dir__old` dropped).
+    *
+    * The ORIGINAL store stays live and readable until the final atomic
+    * swap; a crash anywhere loses at most one source partition's rewrite.
+    * [[recoverEvolve]] (run automatically on entry) rolls an interrupted
+    * swap forward/back and prunes partial source output, after which a
+    * re-run resumes from `._evolve_done`. Scale: per-increment work is
+    * one source partition's rows (bounded), never the corpus; the final
+    * swap is two renames.
+    *
+    * Returns the source directory names processed THIS call (empty =
+    * everything was already done and only the swap was pending).
+    */
+  def evolvePartitions(spark: SparkSession, dir: String, fromCol: String,
+      toCol: String, sortCols: Seq[String]): Seq[String] = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    recoverEvolve(dir)
+    val base = dir.stripSuffix("/")
+    val scratch = base + "__evolving"
+    val doneFile = new java.io.File(scratch, "._evolve_done")
+    new java.io.File(scratch).mkdirs()
+    val done: Set[String] =
+      if (doneFile.exists())
+        scala.io.Source.fromFile(doneFile, "UTF-8").getLines().toSet
+      else Set.empty
+    val sources = Option(new java.io.File(base).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(fromCol + "="))
+      .map(_.getName).sorted.toSeq
+    require(sources.nonEmpty,
+      s"evolvePartitions: no '$fromCol=' partition directories under $dir")
+    val todo = sources.filterNot(done)
+    todo.foreach { srcDir =>
+      val enc = srcEnc(srcDir)
+      val stage = s"$scratch/.__stage__$enc"
+      spark.read.option("basePath", base).parquet(s"$base/$srcDir")
+        .repartition(col(toCol))
+        .sortWithinPartitions((toCol +: sortCols).map(col): _*)
+        .write.mode("overwrite").partitionBy(toCol).parquet(stage)
+      Option(new java.io.File(stage).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith(toCol + "="))
+        .foreach { td =>
+          val target = new java.io.File(scratch, td.getName)
+          target.mkdirs()
+          Option(td.listFiles()).getOrElse(Array.empty)
+            .filter(_.getName.endsWith(".parquet")).zipWithIndex
+            .foreach { case (f, i) =>
+              Files.move(f.toPath,
+                new java.io.File(target, s"src-$enc-$i.parquet").toPath,
+                StandardCopyOption.ATOMIC_MOVE)
+            }
+        }
+      deleteRecursively(new java.io.File(stage))
+      // commit this source: rewrite the done file via atomic tmp swap so
+      // a crash mid-write never truncates the progress log
+      val tmp = new java.io.File(scratch, "._evolve_done.tmp")
+      val w = new java.io.PrintWriter(tmp, "UTF-8")
+      try (done ++ todo.takeWhile(_ != srcDir) + srcDir)
+        .toSeq.sorted.foreach(w.println)
+      finally w.close()
+      Files.move(tmp.toPath, doneFile.toPath,
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    }
+    // every source committed -> atomic whole-store swap (rename-aside)
+    val dirP = Paths.get(base)
+    val oldP = Paths.get(base + "__old")
+    Files.move(dirP, oldP, StandardCopyOption.ATOMIC_MOVE)
+    try Files.move(Paths.get(scratch), dirP, StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case e: Throwable =>
+        Files.move(oldP, dirP, StandardCopyOption.ATOMIC_MOVE)
+        throw e
+    }
+    deleteRecursively(oldP.toFile)
+    new java.io.File(base, "._evolve_done").delete()
+    todo
+  }
+
+  /** Filesystem-safe token for a source partition directory name (it can
+    * carry `=` and arbitrary partition values): 8-byte md5 hex.
+    */
+  private def srcEnc(srcDir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(srcDir.getBytes("UTF-8")).take(8)
+      .map("%02x".format(_)).mkString
+
+  /** Roll an interrupted [[evolvePartitions]] to a resumable state. Run
+    * automatically on entry; safe on a healthy store (no-op). Cases:
+    *  - `dir__old` present: the final swap was interrupted. `dir` present
+    *    → swap completed, drop `dir__old` (and the migrated progress
+    *    marker); `dir` missing → roll back (`dir__old` becomes live
+    *    again; any complete scratch is kept and the next run goes
+    *    straight to the swap).
+    *  - scratch present with a progress file: delete staging leftovers
+    *    and every `src-<enc>-*` file belonging to sources NOT in the
+    *    progress file (partial output of the crashed increment) — the
+    *    next run redoes exactly those sources.
+    */
+  def recoverEvolve(dir: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val base = dir.stripSuffix("/")
+    val dirP = Paths.get(base)
+    val oldP = Paths.get(base + "__old")
+    if (Files.exists(oldP)) {
+      if (Files.exists(dirP)) deleteRecursively(oldP.toFile)
+      else Files.move(oldP, dirP, StandardCopyOption.ATOMIC_MOVE)
+    }
+    // a completed swap leaves the progress marker inside the live dir
+    new java.io.File(base, "._evolve_done").delete()
+    val scratch = new java.io.File(base + "__evolving")
+    if (scratch.isDirectory) {
+      val doneFile = new java.io.File(scratch, "._evolve_done")
+      val done: Set[String] =
+        if (doneFile.exists())
+          scala.io.Source.fromFile(doneFile, "UTF-8").getLines().toSet
+        else Set.empty
+      val keep = done.map(srcEnc)
+      Option(scratch.listFiles()).getOrElse(Array.empty).foreach { f =>
+        if (f.getName.startsWith(".__stage__")) deleteRecursively(f)
+        else if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).foreach { df =>
+            val n = df.getName
+            if (n.startsWith("src-") && n.endsWith(".parquet") &&
+                !keep.exists(e => n.startsWith(s"src-$e-")))
+              df.delete()
+          }
+      }
+      new java.io.File(scratch, "._evolve_done.tmp").delete()
+    }
+    ()
+  }
+
+  /** TTL / RETENTION VACUUM: delete every row whose `tsCol` value is
+    * below `cutoff` from a partitioned store — the retention sweep a
+    * 100 TB events store runs nightly. Three tiers, cheapest first, and
+    * the data is never read unless a directory actually straddles the
+    * boundary:
+    *
+    *  - EXPIRED directories (footer-level max(tsCol) < cutoff for every
+    *    row group): deleted outright. No data read — parquet footers
+    *    only, the [[Manifest]] trick. Deleting expired rows is
+    *    idempotent, so directory deletion needs no staging.
+    *  - LIVE directories (footer min(tsCol) ≥ cutoff everywhere):
+    *    untouched — not read, not rewritten, not opened past the footer.
+    *  - BOUNDARY directories (straddle the cutoff): rewritten with the
+    *    `tsCol >= cutoff` filter to one sorted file and swapped in with
+    *    [[compactPartitions]]' per-directory rename-aside protocol — at
+    *    every instant a complete copy of the surviving rows exists on
+    *    disk, and [[recoverVacuum]] (run automatically on entry) rolls an
+    *    interrupted swap forward or back. A rewrite that drops EVERY row
+    *    removes the directory (empty partition dirs poison readers).
+    *
+    * Files without `tsCol` stats are treated as boundary (rewritten —
+    * correct, just not skipped). Scale: cost is proportional to the
+    * boundary partitions only; on a day-partitioned store that is ONE
+    * directory per sweep regardless of corpus size.
+    *
+    * Returns (deleted directory names, rewritten directory names).
+    */
+  def vacuumRetention(spark: SparkSession, dir: String, tsCol: String,
+      cutoff: Long, sortCols: Seq[String]): (Seq[String], Seq[String]) = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    recoverVacuum(dir)
+    val base = dir.stripSuffix("/")
+    val parts = Option(new java.io.File(base).listFiles())
+      .getOrElse(Array.empty).filter(isPartitionDir).map(_.getName).sorted
+    val deleted = scala.collection.mutable.ArrayBuffer[String]()
+    val rewritten = scala.collection.mutable.ArrayBuffer[String]()
+    parts.foreach { pd =>
+      val sub = s"$base/$pd"
+      // footer sweep: (every group max < cutoff, every group min >= cutoff)
+      val stats = Manifest.manifest(spark, sub, tsCol)
+        .select("min_value", "max_value").collect()
+      def num(s: String): Option[Long] =
+        try Some(BigDecimal(s).toLongExact) catch { case _: Exception => None }
+      val allExpired = stats.nonEmpty && stats.forall { r =>
+        !r.isNullAt(1) && num(r.getString(1)).exists(_ < cutoff) }
+      val allLive = stats.nonEmpty && stats.forall { r =>
+        !r.isNullAt(0) && num(r.getString(0)).exists(_ >= cutoff) }
+      if (allExpired) {
+        deleteRecursively(new java.io.File(sub))
+        deleted += pd
+      } else if (!allLive) {
+        val tmp = s"$base/.__vacuuming__$pd"
+        val survivors = spark.read.parquet(sub)
+          .filter(col(tsCol) >= lit(cutoff))
+        survivors.repartition(1)
+          .sortWithinPartitions(sortCols.map(col): _*)
+          .write.mode("overwrite").parquet(tmp)
+        val anyRow = Option(new java.io.File(tmp).listFiles())
+          .getOrElse(Array.empty).exists(_.getName.endsWith(".parquet")) &&
+          spark.read.parquet(tmp).limit(1).count() > 0
+        val subP = Paths.get(sub)
+        val oldP = Paths.get(s"$base/.__old__$pd")
+        Files.move(subP, oldP, StandardCopyOption.ATOMIC_MOVE)
+        if (anyRow) {
+          try Files.move(Paths.get(tmp), subP, StandardCopyOption.ATOMIC_MOVE)
+          catch {
+            case e: Throwable =>
+              Files.move(oldP, subP, StandardCopyOption.ATOMIC_MOVE)
+              throw e
+          }
+          rewritten += pd
+        } else {
+          deleteRecursively(new java.io.File(tmp))
+          deleted += pd
+        }
+        deleteRecursively(oldP.toFile)
+      }
+    }
+    (deleted.toSeq, rewritten.toSeq)
+  }
+
+  /** Roll interrupted [[vacuumRetention]] swaps forward or back from
+    * their dot-prefixed leftovers — same state machine as
+    * [[recoverPartitions]] with the `.__vacuuming__` scratch prefix. Run
+    * automatically on entry; safe on a healthy store.
+    */
+  def recoverVacuum(dir: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val base = dir.stripSuffix("/")
+    val entries = Option(new java.io.File(base).listFiles())
+      .getOrElse(Array.empty).map(_.getName)
+    entries.filter(_.startsWith(".__old__")).foreach { n =>
+      val pd = n.stripPrefix(".__old__")
+      val live = Paths.get(s"$base/$pd")
+      val oldP = Paths.get(s"$base/$n")
+      if (Files.exists(live)) deleteRecursively(oldP.toFile)
+      else Files.move(oldP, live, StandardCopyOption.ATOMIC_MOVE)
+    }
+    entries.filter(_.startsWith(".__vacuuming__")).foreach { n =>
+      deleteRecursively(new java.io.File(s"$base/$n"))
+    }
+    ()
+  }
+
   /** Data files per partition directory — the compaction health metric.
     * Dot/underscore-prefixed entries are skipped, matching Spark's file
     * index (they are metadata or compaction scratch, never partitions).

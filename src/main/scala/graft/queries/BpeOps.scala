@@ -50,7 +50,8 @@ object BpeOps {
          |  WHERE regexp_full_match(tok, '[a-z]+')
          |  GROUP BY 1),
          |${iterCtes(Merges)}
-         |SELECT step, a AS lhs, b AS rhs, CAST(pf AS BIGINT) AS pair_freq
+         |SELECT CAST(step AS BIGINT) AS step, a AS lhs, b AS rhs,
+         |  CAST(pf AS BIGINT) AS pair_freq
          |FROM (${(1 to Merges).map(i =>
                 s"SELECT $i AS step, a, b, pf FROM b$i").mkString("\n  UNION ALL ")}) u
          |ORDER BY step""".stripMargin)

@@ -470,8 +470,8 @@ object GraphOps {
           |de AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges WHERE src <> dst)
           |SELECT CAST(count(*) AS BIGINT) AS n_edges,
           |  CAST(sum(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_reciprocal,
-          |  (sum(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END) * 1000000)
-          |    // count(*) AS reciprocity_ppm
+          |  CAST((sum(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END) * 1000000)
+          |    // count(*) AS BIGINT) AS reciprocity_ppm
           |FROM de LEFT JOIN de r ON de.src = r.dst AND de.dst = r.src""".stripMargin),
 
     // -- degree assortativity (Newman 2002): Pearson correlation of
@@ -588,6 +588,71 @@ object GraphOps {
           |SELECT (SELECT min(node) FROM nodes) AS start_node,
           |  far_node, ecc_start, diameter_lb
           |FROM farn CROSS JOIN m1 CROSS JOIN m2""".stripMargin),
+
+    // -- MULTI-SOURCE approximate diameter: the q_diameter double sweep
+    //    generalized to K=4 hash-spread sources. One shared multi-BFS
+    //    computes all four forward eccentricities at one sweep's edge-
+    //    scan cost, each source re-roots at its farthest node (ties →
+    //    min id), and one more shared sweep from the (deduped) far set
+    //    yields backward eccentricities — diameter_lb = max over all
+    //    eight, never below the single double-sweep's bound and usually
+    //    tighter. Seeds picked by md5 order (deterministic, spread,
+    //    SQL-replayable); per-seed rows keep the gate informative -------
+    ("q_diameter_multi",
+      (s: SparkSession, d: String) => {
+        val edges = clickEdges(s, d).localCheckpoint(true) // both sweeps
+        val nodes = edges.select(col("src").as("node"))
+          .union(edges.select(col("dst").as("node"))).distinct()
+        val seeds = nodes
+          .withColumn("h", expr(
+            "conv(substr(md5(cast(node as string)), 1, 15), 16, 10)")
+            .cast("long"))
+          .orderBy(col("h"), col("node")).limit(4).select("node")
+        val b1 = graft.ops.Graph.multiBfsLevels(edges, "src", "dst",
+          seeds, "node", iters = 6)
+        val ecc1 = b1.groupBy("seed").agg(max(col("dist")).as("ecc_fwd"))
+        val far = b1
+          .join(broadcast(ecc1), Seq("seed"))
+          .filter(col("dist") === col("ecc_fwd"))
+          .groupBy("seed").agg(min(col("node")).as("far_node"))
+        val seeds2 = far.select(col("far_node").as("node")).distinct()
+        val b2 = graft.ops.Graph.multiBfsLevels(edges, "src", "dst",
+          seeds2, "node", iters = 6)
+        val ecc2 = b2.groupBy(col("seed").as("far_node"))
+          .agg(max(col("dist")).as("ecc_back"))
+        val per = far.join(broadcast(ecc1), Seq("seed"))
+          .join(broadcast(ecc2), Seq("far_node"))
+        val lb = per.agg(max(greatest(col("ecc_fwd"), col("ecc_back")))
+          .as("diameter_lb"))
+        per.crossJoin(broadcast(lb))
+          .select("seed", "ecc_fwd", "far_node", "ecc_back", "diameter_lb")
+          .orderBy("seed")
+      },
+      edgeCtes +
+        s""",
+          |sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM
+          |  (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges) q),
+          |nodes AS (SELECT DISTINCT node FROM
+          |  (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges) q),
+          |c0 AS (SELECT node AS seed, node, CAST(0 AS BIGINT) AS dist
+          |       FROM (SELECT node FROM nodes
+          |             ORDER BY ('0x' || substr(md5(cast(node AS VARCHAR)), 1, 15))::BIGINT,
+          |               node LIMIT 4) q),
+          |${mbfsIterCtes(6)},
+          |e1 AS (SELECT seed, max(dist) AS ecc_fwd FROM c6 GROUP BY 1),
+          |fr AS (SELECT c6.seed, min(c6.node) AS far_node
+          |       FROM c6 JOIN e1 ON c6.seed = e1.seed AND c6.dist = e1.ecc_fwd
+          |       GROUP BY 1),
+          |d0 AS (SELECT far_node AS seed, far_node AS node,
+          |       CAST(0 AS BIGINT) AS dist FROM (SELECT DISTINCT far_node FROM fr) q),
+          |${mbfsIterCtes(6, c = "d", g = "h")},
+          |e2 AS (SELECT seed AS far_node, max(dist) AS ecc_back FROM d6 GROUP BY 1),
+          |per AS (SELECT fr.seed, e1.ecc_fwd, fr.far_node, e2.ecc_back
+          |        FROM fr JOIN e1 ON fr.seed = e1.seed
+          |        JOIN e2 ON fr.far_node = e2.far_node),
+          |lb AS (SELECT max(greatest(ecc_fwd, ecc_back)) AS diameter_lb FROM per)
+          |SELECT seed, ecc_fwd, far_node, ecc_back, diameter_lb
+          |FROM per CROSS JOIN lb ORDER BY seed""".stripMargin),
 
     // -- TextRank keyword scoring (Mihalcea & Tarau 2004): PageRank over
     //    the word co-occurrence graph (consecutive-token pairs per doc,

@@ -63,11 +63,11 @@ object ProfileOps {
         |FROM lineitem)
         |SELECT * FROM (
         |  SELECT 'completeness:l_returnflag' AS check_name, completeness_rf AS observed,
-        |    CASE WHEN completeness_rf >= 1.0 THEN 1 ELSE 0 END AS passed FROM m
+        |    CAST(CASE WHEN completeness_rf >= 1.0 THEN 1 ELSE 0 END AS BIGINT) AS passed FROM m
         |  UNION ALL SELECT 'uniqueness:l_orderkey', uniq_ok,
-        |    CASE WHEN uniq_ok >= 1.0 THEN 1 ELSE 0 END FROM m
+        |    CAST(CASE WHEN uniq_ok >= 1.0 THEN 1 ELSE 0 END AS BIGINT) FROM m
         |  UNION ALL SELECT 'min:l_quantity', min_qty,
-        |    CASE WHEN min_qty >= 1.0 THEN 1 ELSE 0 END FROM m
+        |    CAST(CASE WHEN min_qty >= 1.0 THEN 1 ELSE 0 END AS BIGINT) FROM m
         |  UNION ALL SELECT 'max:l_discount', max_disc,
         |    CASE WHEN max_disc <= 0.11 THEN 1 ELSE 0 END FROM m
         |  UNION ALL SELECT 'mean:l_tax', mean_tax,
@@ -207,11 +207,11 @@ object ProfileOps {
         |FROM documents GROUP BY 1)
         |SELECT * FROM (
         |  SELECT source, 'completeness:text' AS check_name, compl AS observed,
-        |    CASE WHEN compl >= 1.0 THEN 1 ELSE 0 END AS passed FROM m
+        |    CAST(CASE WHEN compl >= 1.0 THEN 1 ELSE 0 END AS BIGINT) AS passed FROM m
         |  UNION ALL SELECT source, 'mean:n_chars', mean_nc,
-        |    CASE WHEN mean_nc >= 100.0 AND mean_nc <= 2000.0 THEN 1 ELSE 0 END FROM m
+        |    CAST(CASE WHEN mean_nc >= 100.0 AND mean_nc <= 2000.0 THEN 1 ELSE 0 END AS BIGINT) FROM m
         |  UNION ALL SELECT source, 'uniqueness:doc_id', uniq,
-        |    CASE WHEN uniq >= 1.0 THEN 1 ELSE 0 END FROM m
+        |    CAST(CASE WHEN uniq >= 1.0 THEN 1 ELSE 0 END AS BIGINT) FROM m
         |) ORDER BY source, check_name""".stripMargin),
 
     // -- z-score outlier screen from the same exact-moment machinery as

@@ -619,7 +619,7 @@ object SinkOps {
         |  coalesce(sum(sz) OVER (ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS fore
         |  FROM sz)
-        |SELECT fore // 16384 AS shard, count(*) AS n_docs,
+        |SELECT CAST(fore // 16384 AS BIGINT) AS shard, count(*) AS n_docs,
         |  count(DISTINCT doc_id) AS n_ids, CAST(sum(sz) AS BIGINT) AS bytes,
         |  min(doc_id) AS first_id, max(doc_id) AS last_id
         |FROM a GROUP BY 1 ORDER BY 1""".stripMargin),
@@ -824,6 +824,76 @@ object SinkOps {
         |FROM events
         |WHERE user_id BETWEEN (SELECT max(user_id) * 2 // 10 FROM events)
         |                  AND (SELECT max(user_id) * 4 // 10 FROM events)
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // -- PARTITION EVOLUTION under the hash gate: documents laid out by
+    //    source, evolved incrementally onto lang=XX/ directories (one
+    //    source dir per increment, original store live until the final
+    //    atomic swap), then read back PRUNED on the new key with the old
+    //    key surviving as a data column. Equality against the original
+    //    table proves the re-key was lossless; crash/resume is spec'd
+    //    structurally in LayoutSpec --------------------------------------
+    ("q_partition_evolve",
+      (s: SparkSession, d: String) => {
+        val dir = storeDir("evolve", d)
+        deleteRecursively(new java.io.File(dir))
+        graft.ops.Layout.writePartitioned(
+          t(s, d, "documents"), dir, "source", Seq("doc_id"))
+        graft.ops.Layout.evolvePartitions(s, dir, "source", "lang",
+          Seq("doc_id"))
+        s.read.parquet(dir)
+          .filter(col("lang").isin("en", "de"))
+          .groupBy("lang", "source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("chars"),
+            min(col("doc_id")).as("first_id"),
+            max(col("doc_id")).as("last_id"))
+          .orderBy("lang", "source")
+      },
+      """SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars,
+        |  min(doc_id) AS first_id, max(doc_id) AS last_id
+        |FROM documents WHERE lang IN ('en', 'de')
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    // -- TTL RETENTION VACUUM under the hash gate: events laid out by
+    //    day, rows older than the mid-span cutoff vacuumed — expired day
+    //    dirs deleted from FOOTERS ONLY, live dirs untouched, the one
+    //    boundary dir rewritten with the crash-safe swap. The read-back
+    //    must equal the oracle's WHERE ms >= cutoff over the original
+    //    table: any over-deletion (a live row lost) or under-deletion
+    //    (an expired row kept) breaks the hash ---------------------------
+    ("q_retention_vacuum",
+      (s: SparkSession, d: String) => {
+        val dir = storeDir("vacuum", d)
+        deleteRecursively(new java.io.File(dir))
+        val ev = t(s, d, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            expr("ts div 1000000").as("ms"), col("value"))
+          .withColumn("day", expr("ms div 86400000"))
+        graft.ops.Layout.writePartitioned(ev, dir, "day", Seq("event_id"))
+        val b = ev.agg(min(col("ms")), max(col("ms"))).head()
+        val cutoff = (b.getLong(0) + b.getLong(1)) / 2
+        graft.ops.Layout.vacuumRetention(s, dir, "ms", cutoff,
+          Seq("event_id"))
+        s.read.parquet(dir)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("user_id")).as("n_users"),
+            sum(cents(col("value"))).as("val_cents"),
+            min(col("ms")).as("first_ms"),
+            max(col("ms")).as("last_ms"))
+          .orderBy("event_type")
+      },
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |    epoch_ms(ts) AS ms, value FROM events),
+        |b AS (SELECT (min(ms) + max(ms)) // 2 AS cutoff FROM e)
+        |SELECT event_type, count(*) AS n,
+        |  count(DISTINCT user_id) AS n_users,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS val_cents,
+        |  min(ms) AS first_ms, max(ms) AS last_ms
+        |FROM e, b WHERE e.ms >= b.cutoff
         |GROUP BY 1 ORDER BY 1""".stripMargin))
 
   /** One bit-plane step of the Hilbert fold for the q_hilbert oracle:

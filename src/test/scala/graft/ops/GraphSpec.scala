@@ -343,6 +343,41 @@ class GraphSpec extends SparkSuite {
     }
   }
 
+  test("peel pin guard: over-budget edge list fails loud without a " +
+      "checkpoint dir, spills to reliable checkpoints with one") {
+    import spark.implicits._
+    val edges = (1L to 40L).map(i => (i % 7, (i * 3) % 7)).toDF("src", "dst")
+    // canonical edge count exceeds maxPinnedEdges=3 and no checkpoint dir
+    // is set -> the guard must fire BEFORE any peeling round
+    val prior = spark.sparkContext.getCheckpointDir
+    assert(prior.isEmpty)
+    val e1 = intercept[IllegalArgumentException] {
+      Graph.kCore(edges, "src", "dst", k = 2, iters = 2, maxPinnedEdges = 3L)
+    }
+    assert(e1.getMessage.contains("maxPinnedEdges"))
+    intercept[IllegalArgumentException] {
+      Graph.kTruss(edges, "src", "dst", k = 3, iters = 1, maxPinnedEdges = 3L)
+    }
+    intercept[IllegalArgumentException] {
+      Graph.kCoreWeighted(edges.withColumn("w", lit(2L)), "src", "dst", "w",
+        k = 2L, iters = 2, maxPinnedEdges = 3L)
+    }
+    // with a checkpoint dir the reliable-checkpoint path produces the
+    // SAME result as the pinned path
+    val dir = java.nio.file.Files.createTempDirectory("graft-peel-ckpt")
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    try {
+      val pinned = Graph.kCore(edges, "src", "dst", k = 2, iters = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val spilled = Graph.kCore(edges, "src", "dst", k = 2, iters = 3,
+          maxPinnedEdges = 3L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(spilled === pinned && pinned.nonEmpty)
+    } finally {
+      spark.sparkContext.setCheckpointDir(null)
+    }
+  }
+
   test("kTruss: cliques survive, bridges and pendants drop, peeling cascades") {
     import spark.implicits._
     // two 4-cliques joined by a bridge, plus a pendant edge

@@ -472,6 +472,116 @@ class LayoutSpec extends SparkSuite {
     assert(Layout.readAsOf(spark, freshDir() + "/absent", 5L).isEmpty)
   }
 
+  test("evolvePartitions re-keys losslessly, keeps the old key, prunes on the new one") {
+    val dir = freshDir()
+    Layout.writePartitioned(docs, dir, "source", Seq("doc_id"))
+    val processed = Layout.evolvePartitions(spark, dir, "source", "lang", Seq("doc_id"))
+    assert(processed.nonEmpty)
+    val back = spark.read.parquet(dir)
+    // new layout: lang= dirs, source survives as a data column
+    assert(Layout.filesPerPartition(dir).keys.forall(_.startsWith("lang=")))
+    assert(back.columns.contains("source") && back.columns.contains("lang"))
+    val orig = docs.select(back.columns.map(col): _*)
+    assert(back.count() === orig.count())
+    assert(back.exceptAll(orig).isEmpty && orig.exceptAll(back).isEmpty)
+    // no scratch/marker leftovers
+    assert(!new java.io.File(dir + "__evolving").exists())
+    assert(!new java.io.File(dir, "._evolve_done").exists())
+  }
+
+  test("evolvePartitions resumes after a mid-increment crash without duplicating") {
+    val dir = freshDir()
+    Layout.writePartitioned(docs, dir, "source", Seq("doc_id"))
+    val expected = docs.count()
+    // simulate a crash mid-way: run the FIRST increment by hand (evolve one
+    // source dir into scratch, commit it to ._evolve_done), then also leave
+    // a PARTIAL uncommitted source (files present, not in the done file) —
+    // the exact disk state of a crash during the second increment
+    val sources = Option(new java.io.File(dir).listFiles()).get
+      .filter(f => f.isDirectory && f.getName.startsWith("source="))
+      .map(_.getName).sorted
+    assert(sources.length >= 2, "need >=2 source dirs for the crash sim")
+    val scratch = new java.io.File(dir + "__evolving")
+    scratch.mkdirs()
+    // partial output of an UNCOMMITTED source: a junk parquet file that a
+    // correct recovery must delete (it would double rows otherwise)
+    val junkTarget = new java.io.File(scratch, "lang=en")
+    junkTarget.mkdirs()
+    val enc = java.security.MessageDigest.getInstance("MD5")
+      .digest(sources.head.getBytes("UTF-8")).take(8)
+      .map("%02x".format(_)).mkString
+    spark.read.option("basePath", dir).parquet(s"$dir/${sources.head}")
+      .limit(3).drop("lang")
+      .write.mode("overwrite").parquet(new java.io.File(scratch, ".__stage__junk").getAbsolutePath)
+    Option(new java.io.File(scratch, ".__stage__junk").listFiles()).get
+      .filter(_.getName.endsWith(".parquet")).zipWithIndex.foreach { case (f, i) =>
+        java.nio.file.Files.move(f.toPath,
+          new java.io.File(junkTarget, s"src-$enc-$i.parquet").toPath)
+      }
+    // no ._evolve_done at all -> NOTHING is committed; recovery must wipe
+    // the partial files and the stage dir, then evolve redoes everything
+    val done = Layout.evolvePartitions(spark, dir, "source", "lang", Seq("doc_id"))
+    assert(done.toSet === sources.toSet)
+    val back = spark.read.parquet(dir)
+    assert(back.count() === expected, "crash leftovers must not duplicate rows")
+    assert(back.columns.contains("source"))
+  }
+
+  test("vacuumRetention: expired dirs dropped via footers, boundary rewritten, live untouched") {
+    val dir = freshDir()
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("unix_micros(cast(ts AS TIMESTAMP)) div 1000").as("ms"))
+      .withColumn("day", expr("ms div 86400000"))
+    Layout.writePartitioned(ev, dir, "day", Seq("event_id"))
+    val b = ev.agg(min(col("ms")), max(col("ms"))).head()
+    val cutoff = (b.getLong(0) + b.getLong(1)) / 2
+    val liveDirsBefore = Layout.filesPerPartition(dir).keys
+      .filter(_.stripPrefix("day=").toLong > cutoff / 86400000L).toSet
+    val mtimes = liveDirsBefore.map { pd =>
+      pd -> new java.io.File(dir, pd).lastModified()
+    }.toMap
+    val (deleted, rewrittenDirs) =
+      Layout.vacuumRetention(spark, dir, "ms", cutoff, Seq("event_id"))
+    assert(deleted.nonEmpty, "mid-span cutoff must expire whole day dirs")
+    // every surviving row is >= cutoff and none were lost
+    val back = spark.read.parquet(dir)
+    assert(back.filter(col("ms") < cutoff).count() === 0L)
+    assert(back.count() === ev.filter(col("ms") >= cutoff).count())
+    // fully-live dirs were not rewritten (same files, untouched mtime)
+    assert(rewrittenDirs.toSet.intersect(liveDirsBefore).isEmpty)
+    liveDirsBefore.foreach { pd =>
+      assert(new java.io.File(dir, pd).lastModified() === mtimes(pd),
+        s"live dir $pd was touched")
+    }
+    // idempotent: a second sweep deletes and rewrites nothing
+    val (d2, r2) = Layout.vacuumRetention(spark, dir, "ms", cutoff, Seq("event_id"))
+    assert(d2.isEmpty && r2.isEmpty)
+  }
+
+  test("vacuumRetention swap is crash-recoverable") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = freshDir()
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_id"),
+        expr("unix_micros(cast(ts AS TIMESTAMP)) div 1000").as("ms"))
+      .withColumn("day", expr("ms div 86400000"))
+    Layout.writePartitioned(ev, dir, "day", Seq("event_id"))
+    val total = ev.count()
+    val pd = Layout.filesPerPartition(dir).keys.min
+    // phase-2 crash: boundary dir renamed aside, rewrite not yet in place
+    Files.move(Paths.get(s"$dir/$pd"), Paths.get(s"$dir/.__old__$pd"),
+      StandardCopyOption.ATOMIC_MOVE)
+    Layout.recoverVacuum(dir)
+    assert(Files.exists(Paths.get(s"$dir/$pd")))
+    assert(spark.read.parquet(dir).count() === total)
+    // orphan rewrite scratch is dropped
+    Files.createDirectories(Paths.get(s"$dir/.__vacuuming__$pd"))
+    Layout.recoverVacuum(dir)
+    assert(!Files.exists(Paths.get(s"$dir/.__vacuuming__$pd")))
+    assert(spark.read.parquet(dir).count() === total)
+  }
+
   test("ORC round trip preserves rows and schema") {
     val dir = freshDir()
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
