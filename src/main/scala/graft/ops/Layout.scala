@@ -981,6 +981,84 @@ object Layout {
     (deleted.toSeq, rewritten.toSeq)
   }
 
+  /** SCHEMA EVOLUTION with backfill: add `colName` = `sqlExpr` (a Spark
+    * SQL expression over the store's existing columns) to every row of a
+    * partitioned store, one partition directory at a time — the other
+    * half of store evolution next to [[evolvePartitions]] (new key) and
+    * the schema-drift guard on [[append]] (which refuses a batch carrying
+    * a column the store lacks until the store is evolved first).
+    *
+    * Incremental + idempotent: each directory is rewritten with the new
+    * column and swapped in with [[compactPartitions]]' per-directory
+    * rename-aside protocol; a directory whose files ALREADY carry
+    * `colName` is skipped (one footer-only schema read), which is what
+    * makes a crashed run resumable by just re-running — completed
+    * directories skip, the interrupted one is rolled forward/back by
+    * [[recoverAddColumn]] (run automatically on entry), the rest redo.
+    * At every instant every directory holds one complete copy of its
+    * rows, and readers see old-schema or new-schema files per directory,
+    * never a torn one. Scale: cost is one read+write of each directory,
+    * resumable at directory granularity — a 100 TB backfill that dies at
+    * 60% restarts at 60%.
+    *
+    * Returns the directories rewritten THIS call (skipped ones absent).
+    */
+  def addColumn(spark: SparkSession, dir: String, colName: String,
+      sqlExpr: String, sortCols: Seq[String]): Seq[String] = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    recoverAddColumn(dir)
+    val base = dir.stripSuffix("/")
+    val parts = Option(new java.io.File(base).listFiles())
+      .getOrElse(Array.empty).filter(isPartitionDir).map(_.getName).sorted
+    require(parts.nonEmpty, s"addColumn: no partition directories under $dir")
+    val done = scala.collection.mutable.ArrayBuffer[String]()
+    parts.foreach { pd =>
+      val sub = s"$base/$pd"
+      val existing = spark.read.parquet(sub)
+      if (!existing.columns.contains(colName)) {
+        val tmp = s"$base/.__addcol__$pd"
+        existing.withColumn(colName, expr(sqlExpr))
+          .repartition(1)
+          .sortWithinPartitions(sortCols.map(col): _*)
+          .write.mode("overwrite").parquet(tmp)
+        val subP = Paths.get(sub)
+        val oldP = Paths.get(s"$base/.__old__$pd")
+        Files.move(subP, oldP, StandardCopyOption.ATOMIC_MOVE)
+        try Files.move(Paths.get(tmp), subP, StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          case e: Throwable =>
+            Files.move(oldP, subP, StandardCopyOption.ATOMIC_MOVE)
+            throw e
+        }
+        deleteRecursively(oldP.toFile)
+        done += pd
+      }
+    }
+    done.toSeq
+  }
+
+  /** Roll interrupted [[addColumn]] swaps forward or back from their
+    * dot-prefixed leftovers — the [[recoverPartitions]] state machine
+    * with the `.__addcol__` scratch prefix. Safe on a healthy store.
+    */
+  def recoverAddColumn(dir: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val base = dir.stripSuffix("/")
+    val entries = Option(new java.io.File(base).listFiles())
+      .getOrElse(Array.empty).map(_.getName)
+    entries.filter(_.startsWith(".__old__")).foreach { n =>
+      val pd = n.stripPrefix(".__old__")
+      val live = Paths.get(s"$base/$pd")
+      val oldP = Paths.get(s"$base/$n")
+      if (Files.exists(live)) deleteRecursively(oldP.toFile)
+      else Files.move(oldP, live, StandardCopyOption.ATOMIC_MOVE)
+    }
+    entries.filter(_.startsWith(".__addcol__")).foreach { n =>
+      deleteRecursively(new java.io.File(s"$base/$n"))
+    }
+    ()
+  }
+
   /** Roll interrupted [[vacuumRetention]] swaps forward or back from
     * their dot-prefixed leftovers — same state machine as
     * [[recoverPartitions]] with the `.__vacuuming__` scratch prefix. Run

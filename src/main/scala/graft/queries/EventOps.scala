@@ -199,6 +199,42 @@ object EventOps {
          |round(cast(sum(cast(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE), 4) AS purchase_value
          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // -- DAY-OF-WEEK SEASONAL SPLIT: each day's purchase revenue
+    //    decomposed against its weekday mean (epoch-day % 7 — calendar-
+    //    free, engine-identical) — the STL-less seasonality baseline a
+    //    pipeline needs before calling a day anomalous (Mondays are
+    //    always low; a low MONDAY is news only against the Monday mean).
+    //    Shape: one corpus groupBy(day) with map-side combine, then all
+    //    algebra on the days-sized table (7-row weekday means broadcast
+    //    back). Exact cents; means/residuals dec6 -----------------------
+    ("q_seasonal_dow",
+      (s: SparkSession, d: String) => {
+        val byDay = t(s, d, "events")
+          .filter(col("event_type") === "purchase")
+          .select(nsDiv("ts", NS_PER_DAY).as("day"), cents(col("value")).as("c"))
+          .groupBy("day").agg(sum(col("c")).as("day_cents"))
+          .withColumn("dow", pmod(col("day"), lit(7L)))
+          .localCheckpoint(true) // days-sized, read by the mean + the join
+        val byDow = byDay.groupBy("dow")
+          .agg(round(sum(col("day_cents")).cast("double") /
+            count(lit(1)).cast("double"), 6).as("dow_mean"))
+        byDay.join(broadcast(byDow), Seq("dow"))
+          .select(col("day"), col("dow"), col("day_cents"), col("dow_mean"),
+            round(col("day_cents").cast("double") - col("dow_mean"), 6)
+              .as("resid"))
+          .orderBy("day")
+      },
+      """WITH bd AS (SELECT epoch_ms(ts) // 86400000 AS day,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS day_cents
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |bw AS (SELECT day % 7 AS dow,
+        |    round(cast(sum(day_cents) AS DOUBLE) / count(*), 6) AS dow_mean
+        |  FROM bd GROUP BY 1)
+        |SELECT day, day % 7 AS dow, day_cents, dow_mean,
+        |  round(cast(day_cents AS DOUBLE) - dow_mean, 6) AS resid
+        |FROM bd JOIN bw ON bd.day % 7 = bw.dow
+        |ORDER BY day""".stripMargin),
+
     // -- as-of join: for each error event, the user's most recent prior (or
     //    simultaneous) purchase value. Spark side = graft.ops.AsofJoin
     //    (union + LOCF window, one shuffle); oracle = DuckDB's native
@@ -1144,38 +1180,81 @@ object EventOps {
     //    monitor scores every CLOSING session's distribution against the
     //    corpus-wide reference with Jensen–Shannon divergence — computed
     //    INSIDE the stream (select after the session aggregate), so a
-    //    drifted session is visible the micro-batch it closes. Complete
-    //    mode keeps the gate deterministic under any AvailableNow file
-    //    slicing. The reference is 5 bounded scalars folded in as
-    //    literals (a 100 TB monitor broadcasts its reference histogram
-    //    the same way). dec6 ln / dec6 terms summed as DECIMAL(18,6) —
-    //    the jsDivergence convention, replayed per session --------------
+    //    drifted session is visible the micro-batch it closes. Append
+    //    mode + watermark over a time-staged replay (four chronologically
+    //    disjoint files + two far-future watermark sentinels, the
+    //    q_stream_left_join mtime protocol) keeps SESSION STATE BOUNDED
+    //    by one slice's span instead of the whole corpus — the first
+    //    Complete-mode form of this gate held every session in state and
+    //    OOM'd the driver at 100× (SCALE.md round 13, this round's
+    //    measured negative control); each session emits exactly once
+    //    when the watermark proves it closed. The reference is 5 bounded
+    //    scalars folded in as literals (a 100 TB monitor broadcasts its
+    //    reference histogram the same way). dec6 ln / dec6 terms summed
+    //    as DECIMAL(18,6) — the jsDivergence convention per session ----
     ("q_stream_session_drift",
       (s: SparkSession, d: String) => {
+        import s.implicits._
         val types = Seq("click", "error", "purchase", "signup", "view")
-        val ev = t(s, d, "events")
-        val refRows = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+        val ev0 = t(s, d, "events")
+        val refRows = ev0.groupBy("event_type").agg(count(lit(1)).as("n"))
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-        val total = ev.count()
-        val batchSchema = { ensureNanosReadable(s)
-          s.read.parquet(s"$d/events.parquet").schema }
-        val fields = Seq("ts", "user_id", "event_type")
-          .map(n => batchSchema(batchSchema.fieldIndex(n)))
-        val stream0 = s.readStream
-          .schema(org.apache.spark.sql.types.StructType(fields))
-          .option("pathGlobFilter", "events.parquet")
-          .parquet(d)
-        val tss = fields.head.dataType match {
-          case org.apache.spark.sql.types.LongType =>
-            timestamp_micros(expr("ts div 1000L"))
-          case _ => col("ts").cast("timestamp")
-        }
-        val aggs = count(lit(1)).as("n_events") +:
-          types.zipWithIndex.map { case (tp, i) =>
-            sum(when(col("event_type") === tp, 1L).otherwise(0L)).as(s"c$i") }
-        val sess = stream0.withColumn("tss", tss)
-          .groupBy(col("user_id"), session_window(col("tss"), "30 minutes"))
-          .agg(aggs.head, aggs.tail: _*)
+        val total = ev0.count()
+        val tmp = java.nio.file.Files.createTempDirectory("graft_sess_drift")
+        val src = s"$tmp/src"
+        val ev = ev0.select(nsDiv("ts", NS_PER_MS).as("ms"),
+          col("user_id"), col("event_type"))
+        val b = ev.agg(min(col("ms")), max(col("ms"))).head()
+        val (loMs, maxMs) = (b.getLong(0), b.getLong(1))
+        try {
+          // four chronologically DISJOINT slices, mtime-ordered: the file
+          // source replays them as separate micro-batches, the watermark
+          // advances between batches, and closed sessions EVICT — state
+          // is bounded by one slice's open sessions, never the corpus
+          val span = maxMs - loMs + 1L
+          (0 until 4).foreach { i =>
+            ev.filter(col("ms") >= loMs + i * span / 4 &&
+                col("ms") < loMs + (i + 1) * span / 4)
+              .select(timestamp_millis(col("ms")).as("ts"),
+                col("user_id"), col("event_type"))
+              .coalesce(1).write.mode("append").parquet(src)
+            new java.io.File(src).listFiles()
+              .filter(f => f.getName.endsWith(".parquet") &&
+                f.lastModified() > System.currentTimeMillis() - 60000L)
+              .foreach(_.setLastModified(
+                System.currentTimeMillis() - 600000L + i * 60000L))
+          }
+          // two watermark sentinels (user -1, a type no counter counts):
+          // the first advances the watermark past every real session's
+          // end, the SECOND batch then evicts + emits them all
+          Seq(1, 2).foreach { k =>
+            Seq((new java.sql.Timestamp(maxMs + k * 7200000L), -1L, "flush"))
+              .toDF("ts", "user_id", "event_type")
+              .coalesce(1).write.mode("append").parquet(src)
+            new java.io.File(src).listFiles()
+              .filter(f => f.getName.endsWith(".parquet") &&
+                f.lastModified() > System.currentTimeMillis() - 60000L)
+              .foreach(_.setLastModified(
+                System.currentTimeMillis() - 600000L + (3 + k) * 60000L))
+          }
+          val schema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("ts",
+              org.apache.spark.sql.types.TimestampType),
+            org.apache.spark.sql.types.StructField("user_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("event_type",
+              org.apache.spark.sql.types.StringType)))
+          val stream0 = s.readStream.schema(schema)
+            .option("pathGlobFilter", "*.parquet")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+          val aggs = count(lit(1)).as("n_events") +:
+            types.zipWithIndex.map { case (tp, i) =>
+              sum(when(col("event_type") === tp, 1L).otherwise(0L)).as(s"c$i") }
+          val sess = stream0.withColumn("tss", col("ts"))
+            .withWatermark("tss", "1 minute")
+            .groupBy(col("user_id"), session_window(col("tss"), "30 minutes"))
+            .agg(aggs.head, aggs.tail: _*)
         val n = col("n_events").cast("double")
         val terms = types.zipWithIndex.map { case (tp, i) =>
           val refCnt = refRows.getOrElse(tp, 0L)
@@ -1196,8 +1275,16 @@ object EventOps {
         val sink = "graft_stream_session_drift_out"
         s.catalog.dropTempView(sink)
         graft.streaming.EventStream.runToMemory(scored, sink,
-          org.apache.spark.sql.streaming.OutputMode.Complete)
-        s.table(sink).orderBy("user_id", "start_ms")
+          org.apache.spark.sql.streaming.OutputMode.Append)
+        // (user_id, start_ms) is a true session key — the standard
+        // at-least-once replay screen; sentinel sessions (user -1) drop.
+        // The memory sink owns the rows — reading after the
+        // finally-delete of the staged src is safe
+        s.table(sink)
+          .dropDuplicates("user_id", "start_ms")
+          .filter(col("user_id") >= 0L)
+          .orderBy("user_id", "start_ms")
+        } finally deleteRecursively(tmp.toFile)
       },
       {
         val types = Seq("click", "error", "purchase", "signup", "view")

@@ -894,7 +894,39 @@ object SinkOps {
         |    AS val_cents,
         |  min(ms) AS first_ms, max(ms) AS last_ms
         |FROM e, b WHERE e.ms >= b.cutoff
-        |GROUP BY 1 ORDER BY 1""".stripMargin))
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // -- SCHEMA EVOLUTION with backfill under the hash gate: documents
+    //    laid out by lang, a derived n_words column backfilled one
+    //    directory at a time (per-dir crash-safe swap, already-evolved
+    //    dirs skip — the resumability contract), then the EVOLVED store
+    //    aggregated on the new column. The oracle computes the same
+    //    expression from the original table: any directory missed,
+    //    double-written, or torn mid-swap breaks the hash --------------
+    ("q_schema_evolve",
+      (s: SparkSession, d: String) => {
+        val dir = storeDir("schemev", d)
+        deleteRecursively(new java.io.File(dir))
+        graft.ops.Layout.writePartitioned(
+          t(s, d, "documents"), dir, "lang", Seq("doc_id"))
+        graft.ops.Layout.addColumn(s, dir, "n_words",
+          "CAST(size(regexp_extract_all(text, '\\\\S+', 0)) AS BIGINT)",
+          Seq("doc_id"))
+        s.read.parquet(dir)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_words")).as("words"),
+            max(col("n_words")).as("max_words"),
+            sum(col("n_chars")).as("chars"))
+          .orderBy("lang")
+      },
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT))
+        |    AS BIGINT) AS words,
+        |  CAST(max(CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT))
+        |    AS BIGINT) AS max_words,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin))
 
   /** One bit-plane step of the Hilbert fold for the q_hilbert oracle:
     * step `i` handles s = 2^(16-i). The d increment and the

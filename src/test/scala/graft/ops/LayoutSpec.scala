@@ -582,6 +582,34 @@ class LayoutSpec extends SparkSuite {
     assert(spark.read.parquet(dir).count() === total)
   }
 
+  test("addColumn backfills per directory, skips evolved dirs, recovers from a crash") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = freshDir()
+    Layout.writePartitioned(docs, dir, "lang", Seq("doc_id"))
+    val total = docs.count()
+    val dirs = Layout.filesPerPartition(dir).keys.toSeq.sorted
+    assert(dirs.size >= 2)
+    // first run evolves every directory
+    val r1 = Layout.addColumn(spark, dir, "n2", "n_chars * 2", Seq("doc_id"))
+    assert(r1.toSet === dirs.toSet)
+    val back = spark.read.parquet(dir)
+    assert(back.count() === total)
+    assert(back.filter(col("n2") =!= col("n_chars") * 2).count() === 0L)
+    // idempotent: second run skips everything
+    assert(Layout.addColumn(spark, dir, "n2", "n_chars * 2", Seq("doc_id")).isEmpty)
+    // crash sim: one dir renamed aside mid-swap; recovery restores it and
+    // a re-run of a NEW backfill still covers every directory exactly once
+    val pd = dirs.head
+    Files.move(Paths.get(s"$dir/$pd"), Paths.get(s"$dir/.__old__$pd"),
+      StandardCopyOption.ATOMIC_MOVE)
+    Files.createDirectories(Paths.get(s"$dir/.__addcol__$pd"))
+    val r2 = Layout.addColumn(spark, dir, "n3", "n_chars + 1", Seq("doc_id"))
+    assert(r2.toSet === dirs.toSet)
+    val back2 = spark.read.parquet(dir)
+    assert(back2.count() === total)
+    assert(back2.filter(col("n3") =!= col("n_chars") + 1).count() === 0L)
+  }
+
   test("ORC round trip preserves rows and schema") {
     val dir = freshDir()
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
