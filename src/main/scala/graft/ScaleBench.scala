@@ -769,11 +769,10 @@ object ScaleBench {
         import org.apache.spark.sql.functions.{col, pmod, lit}
         val raw = spark.read.parquet(s"$sfDir/lineitem.parquet")
           .select(col("l_orderkey").as("src"), col("l_partkey").as("dst"))
-        val nEdges = raw.select(
-          org.apache.spark.sql.functions.least(col("src"), col("dst")),
-          org.apache.spark.sql.functions.greatest(col("src"), col("dst")))
-          .distinct().count()
-        inputRows("peel_edges") = nEdges
+        // RAW edge rows — the exact quantity the guard compares to
+        // maxPinnedEdges (a cheap scan-count upper bound on the
+        // canonical list; see Graph.peelCheckpointer)
+        inputRows("peel_edges") = raw.count()
         val pinned = timeIt {
           graft.ops.Graph.kCore(raw, "src", "dst", k = 3, iters = 3)
             .agg(org.apache.spark.sql.functions.count(lit(1))).collect(); ()

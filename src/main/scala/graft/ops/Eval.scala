@@ -155,7 +155,21 @@ object Eval {
         sum(col("neg_gs") * (lit(2L) * col("posabove") + col("pos_s"))).as("b_g"),
         sum(col("pos_gs") * (lit(2L) * col("negbelow_gs") + col("neg_gs"))).as("c_g"))
     val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
-    val aj = perG.crossJoin(broadcast(totals)).crossJoin(broadcast(u2))
+    // a group holding ALL positives (or ALL negatives) makes its
+    // leave-one-out AUC undefined (0 pairs remain): without this guard
+    // the double division yields Infinity, the DECIMAL cast silently
+    // NULLs it, and jack_se comes out biased with no error — fail loud
+    // instead (pin the bounded G-row frame first: it is read here, by
+    // the scoring join, and recomputing it re-runs the corpus groupBy)
+    val perGP = perG.localCheckpoint(true)
+    val degenerate = perGP.crossJoin(broadcast(totals))
+      .filter(col("pos_g") === col("n_pos") || col("neg_g") === col("n_neg"))
+      .limit(1).collect()
+    require(degenerate.isEmpty,
+      "aucJackknife: a group holds every positive (or every negative) " +
+        "row — leave-one-group-out AUC is undefined there; use more or " +
+        "finer-grained groups")
+    val aj = perGP.crossJoin(broadcast(totals)).crossJoin(broadcast(u2))
       .select(round((col("u2") - col("a_g") - col("b_g") + col("c_g"))
           .cast("double") /
         (lit(2L) * (col("n_pos") - col("pos_g")) *

@@ -29,28 +29,34 @@ object Graph {
     */
   val PeelMaxPinnedEdges: Long = 50000000L
 
-  /** Checkpoint strategy for edge-peeling rounds. Each peeling round
-    * localCheckpoints the full SURVIVING edge list; work shrinks
-    * monotonically, so the INITIAL canonical edge count bounds every
-    * round's pin. On the gated fixtures that's thousands of rows; on a
-    * corpus-sized graph (web-scale link graph) the pinned deserialized
-    * blocks are exactly the executor-storage failure mode SCALE.md
-    * documents for q_spearman's 100× OOM. Guard: count the canonical
-    * edge list once up front; at or under `maxPinnedEdges` use
-    * memory-pinned localCheckpoint (fastest, lineage-flat); above it
-    * fall back to RELIABLE checkpoint — rounds spill to the configured
-    * checkpoint dir instead of executor memory — and if no checkpoint
-    * dir is set, fail loudly BEFORE the peel starts rather than OOM
-    * mid-iteration.
+  /** Checkpoint strategy for edge-peeling rounds. Every checkpoint of
+    * the peel — the round-0 canonical list included — pins the full
+    * SURVIVING edge list; work shrinks monotonically, so the initial
+    * count bounds every round's pin. On the gated fixtures that's
+    * thousands of rows; on a corpus-sized graph (web-scale link graph)
+    * the pinned deserialized blocks are exactly the executor-storage
+    * failure mode SCALE.md documents for q_spearman's 100× OOM.
+    *
+    * Guard input: the RAW edge-ROW count (one scan-count, no shuffle,
+    * nothing materialized) — an upper bound on the canonical list, so
+    * the pin-vs-spill decision lands BEFORE any corpus-sized frame is
+    * pinned (a heavily-duplicated multigraph may spill when its
+    * canonical form would have fit; conservative by design). At or
+    * under `maxPinnedEdges`: memory-pinned localCheckpoint (fastest,
+    * lineage-flat, the single-pass entry cost). Above it: RELIABLE
+    * checkpoints — every round INCLUDING round 0 spills to the
+    * configured checkpoint dir instead of executor memory — and with no
+    * checkpoint dir set, fail loudly before round 0 rather than OOM
+    * mid-peel.
     */
-  private def peelCheckpointer(op: String, edges: DataFrame,
+  private def peelCheckpointer(op: String, rawEdges: DataFrame,
       maxPinnedEdges: Long): DataFrame => DataFrame = {
-    val n = edges.count()
+    val n = rawEdges.count()
     if (n <= maxPinnedEdges) { df => df.localCheckpoint(true) }
     else {
-      val sc = edges.sparkSession.sparkContext
+      val sc = rawEdges.sparkSession.sparkContext
       require(sc.getCheckpointDir.isDefined,
-        s"$op: $n canonical edges exceed maxPinnedEdges=$maxPinnedEdges; " +
+        s"$op: $n edge rows exceed maxPinnedEdges=$maxPinnedEdges; " +
           "per-round localCheckpoint would pin the surviving edge list " +
           "in executor storage (the SCALE.md corpus-pinning OOM class). " +
           "Raise maxPinnedEdges deliberately, or set " +
@@ -503,12 +509,20 @@ object Graph {
     */
   private def canonicalUndirected(edges0: DataFrame, srcCol: String,
       dstCol: String): DataFrame =
+    canonicalUndirectedLazy(edges0, srcCol, dstCol).localCheckpoint(true)
+
+  /** [[canonicalUndirected]] WITHOUT the eager pin — for the peeling
+    * family, whose [[peelCheckpointer]] must decide pin-vs-spill BEFORE
+    * any corpus-sized frame is materialized into executor storage (the
+    * round-0 pin is the largest of the whole peel).
+    */
+  private def canonicalUndirectedLazy(edges0: DataFrame, srcCol: String,
+      dstCol: String): DataFrame =
     edges0.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .filter(col("u") =!= col("v"))
       .select(least(col("u"), col("v")).as("a"),
         greatest(col("u"), col("v")).as("b"))
       .distinct()
-      .localCheckpoint(true)
 
   /** Rank-oriented triangle enumeration over a canonical undirected
     * simple edge set (a < b): orient each edge from its lower-(deg, id)
@@ -625,8 +639,9 @@ object Graph {
       iters: Int = 4,
       maxPinnedEdges: Long = PeelMaxPinnedEdges): DataFrame = {
     require(k >= 1 && iters >= 1, "kCore: need k >= 1, iters >= 1")
-    var live = canonicalUndirected(edges0, srcCol, dstCol)
-    val ckpt = peelCheckpointer("kCore", live, maxPinnedEdges)
+    val ckpt = peelCheckpointer("kCore",
+      edges0.select(col(srcCol), col(dstCol)), maxPinnedEdges)
+    var live = ckpt(canonicalUndirectedLazy(edges0, srcCol, dstCol))
     for (_ <- 1 to iters) {
       val deg = live.select(col("a").as("node"))
         .union(live.select(col("b").as("node")))
@@ -667,7 +682,7 @@ object Graph {
       .select(least(col("u"), col("v")).as("a"),
         greatest(col("u"), col("v")).as("b"), col("w"))
       .groupBy("a", "b").agg(sum(col("w")).as("w"))
-    val ckpt = peelCheckpointer("kCoreWeighted", presum, maxPinnedEdges)
+    val ckpt = peelCheckpointer("kCoreWeighted", cast, maxPinnedEdges)
     var live = ckpt(presum)
     for (_ <- 1 to iters) {
       val deg = live.select(col("a").as("node"), col("w"))
@@ -706,10 +721,11 @@ object Graph {
       maxPinnedEdges: Long = PeelMaxPinnedEdges): DataFrame = {
     require(k >= 3, "kTruss: k must be >= 3")
     require(iters >= 1, "kTruss: iters must be >= 1")
-    var live: DataFrame = canonicalUndirected(edges0, srcCol, dstCol)
+    val ckpt = peelCheckpointer("kTruss",
+      edges0.select(col(srcCol), col(dstCol)), maxPinnedEdges)
+    var live: DataFrame = ckpt(
+      canonicalUndirectedLazy(edges0, srcCol, dstCol))
       .withColumn("support", lit(0L))
-    val ckpt = peelCheckpointer("kTruss", live.select("a", "b"),
-      maxPinnedEdges)
     // convergence early-stop (the ConnectedComponents discipline): a
     // round that drops no edge is a fixed point — every further round
     // recomputes identical supports and filters nothing, so skipping

@@ -788,17 +788,27 @@ object Layout {
     val base = dir.stripSuffix("/")
     val scratch = base + "__evolving"
     val doneFile = new java.io.File(scratch, "._evolve_done")
+    val sources = Option(new java.io.File(base).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(fromCol + "="))
+      .map(_.getName).sorted.toSeq
+    if (sources.isEmpty) {
+      // a crash AFTER the final swap leaves the live dir already evolved
+      // (recoverEvolve just rolled it forward): re-running is the
+      // documented recovery path and must be a no-op, not an error
+      val alreadyEvolved = Option(new java.io.File(base).listFiles())
+        .getOrElse(Array.empty)
+        .exists(f => f.isDirectory && f.getName.startsWith(toCol + "="))
+      require(alreadyEvolved,
+        s"evolvePartitions: no '$fromCol=' partition directories under $dir")
+      deleteRecursively(new java.io.File(scratch))
+      return Seq.empty
+    }
     new java.io.File(scratch).mkdirs()
     val done: Set[String] =
       if (doneFile.exists())
         scala.io.Source.fromFile(doneFile, "UTF-8").getLines().toSet
       else Set.empty
-    val sources = Option(new java.io.File(base).listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith(fromCol + "="))
-      .map(_.getName).sorted.toSeq
-    require(sources.nonEmpty,
-      s"evolvePartitions: no '$fromCol=' partition directories under $dir")
     val todo = sources.filterNot(done)
     todo.foreach { srcDir =>
       val enc = srcEnc(srcDir)
@@ -940,20 +950,29 @@ object Layout {
       val sub = s"$base/$pd"
       // footer sweep: (every group max < cutoff, every group min >= cutoff)
       val stats = Manifest.manifest(spark, sub, tsCol)
-        .select("min_value", "max_value").collect()
+        .select("min_value", "max_value", "n_nulls", "n_rows").collect()
       def num(s: String): Option[Long] =
         try Some(BigDecimal(s).toLongExact) catch { case _: Exception => None }
+      // NULL tsCol is NOT below the cutoff: a dir is only whole-deleted
+      // when every group's max < cutoff AND it holds zero null rows
+      // (null counts come from the same footers); a rewrite keeps nulls.
+      // A group is untouchable-live when nothing in it can expire:
+      // min >= cutoff, or every row is null (all-null groups must read
+      // live, or a rewritten null-only directory would re-rewrite on
+      // every later sweep)
       val allExpired = stats.nonEmpty && stats.forall { r =>
-        !r.isNullAt(1) && num(r.getString(1)).exists(_ < cutoff) }
+        !r.isNullAt(1) && num(r.getString(1)).exists(_ < cutoff) &&
+          r.getLong(2) == 0L }
       val allLive = stats.nonEmpty && stats.forall { r =>
-        !r.isNullAt(0) && num(r.getString(0)).exists(_ >= cutoff) }
+        (!r.isNullAt(0) && num(r.getString(0)).exists(_ >= cutoff)) ||
+          (r.getLong(2) >= 0L && r.getLong(2) == r.getLong(3)) }
       if (allExpired) {
         deleteRecursively(new java.io.File(sub))
         deleted += pd
       } else if (!allLive) {
         val tmp = s"$base/.__vacuuming__$pd"
         val survivors = spark.read.parquet(sub)
-          .filter(col(tsCol) >= lit(cutoff))
+          .filter(col(tsCol) >= lit(cutoff) || col(tsCol).isNull)
         survivors.repartition(1)
           .sortWithinPartitions(sortCols.map(col): _*)
           .write.mode("overwrite").parquet(tmp)

@@ -38,7 +38,8 @@ object Manifest {
         val conf = new org.apache.hadoop.conf.Configuration()
         it.flatMap(f => readFooter(f, column, conf))
       }
-      .toDF("file", "row_group", "n_rows", "min_value", "max_value")
+      .toDF("file", "row_group", "n_rows", "min_value", "max_value",
+        "n_nulls")
       .orderBy("file", "row_group")
   }
 
@@ -100,7 +101,7 @@ object Manifest {
       .mapPartitions { it =>
         val conf = new org.apache.hadoop.conf.Configuration()
         it.filter { f =>
-          readFooter(f, column, conf).exists { case (_, _, _, mn, mx) =>
+          readFooter(f, column, conf).exists { case (_, _, _, mn, mx, _) =>
             if (mn == null || mx == null) true // no stats: can't prove disjoint
             else (num(mn), num(mx)) match {
               case (Some(a), Some(b)) => !(b < lo || a > hi)
@@ -122,7 +123,7 @@ object Manifest {
 
   private def readFooter(file: String, column: String,
       conf: org.apache.hadoop.conf.Configuration)
-      : Seq[(String, Int, Long, String, String)] = {
+      : Seq[(String, Int, Long, String, String, Long)] = {
     // Path-from-URI, not string concat: "file://$file" mis-parses paths
     // carrying URI-special characters (spaces, %, #)
     val in = org.apache.parquet.hadoop.util.HadoopInputFile
@@ -141,7 +142,11 @@ object Manifest {
           val (mn, mx) =
             if (st == null || !st.hasNonNullValue) (null, null)
             else (statString(st.genericGetMin), statString(st.genericGetMax))
-          (name, i, block.getRowCount, mn, mx)
+          // footer null count for the column; -1 = footer doesn't carry it
+          // (consumers must treat unknown as "may hold nulls")
+          val nulls =
+            if (st == null || !st.isNumNullsSet) -1L else st.getNumNulls
+          (name, i, block.getRowCount, mn, mx, nulls)
       }
     } finally reader.close()
   }

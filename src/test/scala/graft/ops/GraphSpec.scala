@@ -347,10 +347,11 @@ class GraphSpec extends SparkSuite {
       "checkpoint dir, spills to reliable checkpoints with one") {
     import spark.implicits._
     val edges = (1L to 40L).map(i => (i % 7, (i * 3) % 7)).toDF("src", "dst")
-    // canonical edge count exceeds maxPinnedEdges=3 and no checkpoint dir
-    // is set -> the guard must fire BEFORE any peeling round
-    val prior = spark.sparkContext.getCheckpointDir
-    assert(prior.isEmpty)
+    // edge rows exceed maxPinnedEdges=3 and no checkpoint dir is set ->
+    // the guard must fire BEFORE any peeling round. Force the shared
+    // context into the no-dir state rather than asserting it (another
+    // suite may have set one)
+    spark.sparkContext.setCheckpointDir(null)
     val e1 = intercept[IllegalArgumentException] {
       Graph.kCore(edges, "src", "dst", k = 2, iters = 2, maxPinnedEdges = 3L)
     }
@@ -375,6 +376,7 @@ class GraphSpec extends SparkSuite {
       assert(spilled === pinned && pinned.nonEmpty)
     } finally {
       spark.sparkContext.setCheckpointDir(null)
+      graft.ops.Layout.deleteRecursively(dir.toFile)
     }
   }
 

@@ -534,6 +534,15 @@ class LayoutSpec extends SparkSuite {
         expr("unix_micros(cast(ts AS TIMESTAMP)) div 1000").as("ms"))
       .withColumn("day", expr("ms div 86400000"))
     Layout.writePartitioned(ev, dir, "day", Seq("event_id"))
+    // NULL tsCol is NOT below any cutoff: rows with NULL ms must survive
+    // the sweep no matter which directory they share — including a
+    // directory whose non-null stats read fully expired
+    val firstDay = ev.agg(min(col("day"))).head().getLong(0)
+    val nullRows = ev.limit(2)
+      .select((col("event_id") + 1000000000L).as("event_id"),
+        col("user_id"), col("event_type"),
+        lit(null).cast("long").as("ms"), lit(firstDay).as("day"))
+    Layout.append(nullRows, dir, "day", Seq("event_id"))
     val b = ev.agg(min(col("ms")), max(col("ms"))).head()
     val cutoff = (b.getLong(0) + b.getLong(1)) / 2
     val liveDirsBefore = Layout.filesPerPartition(dir).keys
@@ -544,10 +553,14 @@ class LayoutSpec extends SparkSuite {
     val (deleted, rewrittenDirs) =
       Layout.vacuumRetention(spark, dir, "ms", cutoff, Seq("event_id"))
     assert(deleted.nonEmpty, "mid-span cutoff must expire whole day dirs")
-    // every surviving row is >= cutoff and none were lost
+    // every surviving non-null row is >= cutoff, none were lost, and BOTH
+    // NULL-ms rows survived (their host dir was otherwise fully expired,
+    // so it was rewritten down to just them, not deleted)
     val back = spark.read.parquet(dir)
     assert(back.filter(col("ms") < cutoff).count() === 0L)
-    assert(back.count() === ev.filter(col("ms") >= cutoff).count())
+    assert(back.filter(col("ms").isNull).count() === 2L)
+    assert(back.count() === ev.filter(col("ms") >= cutoff).count() + 2L)
+    assert(!deleted.contains(s"day=$firstDay"))
     // fully-live dirs were not rewritten (same files, untouched mtime)
     assert(rewrittenDirs.toSet.intersect(liveDirsBefore).isEmpty)
     liveDirsBefore.foreach { pd =>
