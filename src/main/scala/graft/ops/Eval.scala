@@ -205,6 +205,119 @@ object Eval {
     * descending two-phase prefix sum over the distinct-score table. NULL
     * scores are excluded for the same cross-engine ordering reason.
     */
+  /** Shared jackknife tail: given a G-row frame of DECIMAL(18,6)
+    * leave-one-group-out statistics, return one row
+    * (n_groups, jack_se) with the q_jackknife_mean dec6 convention
+    * (dec6 mean, dec6-rounded squared deviations summed as decimal,
+    * sqrt((G−1)/G·ssq) rounded dec6). Pins the bounded input (read for
+    * the mean and again for the squares).
+    */
+  private def jackknifeTail(aj0: DataFrame, statCol: String): DataFrame = {
+    val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val aj = aj0.localCheckpoint(true)
+    val md = aj.agg(count(lit(1)).as("ng"),
+      round(sum(col(statCol)).cast("double") /
+        count(lit(1)).cast("double"), 6).as("adot"))
+    aj.crossJoin(broadcast(md))
+      .agg(first(col("ng")).as("n_groups"),
+        sum(round((col(statCol).cast("double") - col("adot")) *
+            (col(statCol).cast("double") - col("adot")), 6).cast(dec6))
+          .as("ssq"))
+      .select(col("n_groups"),
+        round(sqrt((col("n_groups") - 1L).cast("double") /
+          col("n_groups").cast("double") * col("ssq").cast("double")), 6)
+          .as("jack_se"))
+  }
+
+  /** Deterministic leave-one-group-out JACKKNIFE standard error for the
+    * exact GINI coefficient — [[aucJackknife]]'s inclusion–exclusion
+    * pattern applied to the other canonical pair-count statistic:
+    * G = S / (n·T) where S = Σ_{i<j} |x_i − x_j| (the mean-absolute-
+    * difference form; identical to the rank formula [[giniExact]] uses).
+    * Doubled throughout to stay integral (2S carried in DECIMAL(38,0) —
+    * pair sums overflow BIGINT on a large corpus):
+    *
+    *   for a row at value v, f(v) = v·cntBelow − sumBelow + sumAbove −
+    *   v·cntAbove is its summed |diff| against ALL rows, so
+    *   2S = Σ_v cnt_v·f(v). With A_g = Σ_{i∈g} f(x_i) (every pair with a
+    *   g-side, within-g pairs counted twice) and B_g the same sum against
+    *   group-local prefixes (= 2·within-g pairs):
+    *   2S_{−g} = 2S − 2·A_g + B_g, and
+    *   G_{−g} = 2S_{−g} / (2·(n − n_g)·(T − T_g)).
+    *
+    * Shape: one corpus groupBy(grp, value); then a two-phase global
+    * prefix sum over the distinct-value table, one grp-PARTITIONED
+    * window for the group-local prefixes, a broadcast join of the global
+    * prefix stats, and G-row scalar algebra — never a partitionless
+    * window, never a per-group corpus re-scan. Values must be
+    * non-negative longs (revenue cents). One row:
+    * (n_rows, sum_val, gini, n_groups, jack_se).
+    */
+  def giniJackknife(df: DataFrame, valCol: String, groupCol: String,
+      nGroups: Int = 12): DataFrame = {
+    require(nGroups >= 2, "giniJackknife: need nGroups >= 2")
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val byGV = df.filter(col(valCol).isNotNull)
+      .groupBy(pmod(col(groupCol), lit(nGroups.toLong)).as("grp"),
+        col(valCol).cast("long").as("v"))
+      .agg(count(lit(1)).as("c_gv"))
+      .withColumn("s_gv", col("v") * col("c_gv"))
+      .localCheckpoint(true) // bounded: nGroups × |distinct values|
+    val byV = byGV.groupBy("v")
+      .agg(sum(col("c_gv")).as("c"), sum(col("s_gv")).as("s"))
+      .localCheckpoint(true) // bounded distinct-value table
+    val totals = byV.agg(sum(col("c")).as("n_all"), sum(col("s")).as("t_all"))
+    val preT = runningSums(byV, "v", descending = false,
+        Seq("c", "s"), Seq("cb", "sb"), inclusive = false)
+      .crossJoin(broadcast(totals)) // 1 scalar row
+      .select(col("v"), col("c"), col("cb"), col("sb"),
+        (col("n_all") - col("cb") - col("c")).as("ca"),
+        (col("t_all") - col("sb") - col("s")).as("sa"))
+      .localCheckpoint(true) // bounded, read by 2S + the group join
+    def fGlobal = col("v") * col("cb") - col("sb") +
+      col("sa") - col("v") * col("ca")
+    val s2 = preT.agg(sum(fGlobal.cast(dec38) * col("c")).as("s2"))
+    val wg = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy("v")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val gtot = org.apache.spark.sql.expressions.Window.partitionBy("grp")
+    val withPre = byGV
+      .withColumn("cbg", coalesce(sum(col("c_gv")).over(wg), lit(0L)))
+      .withColumn("sbg", coalesce(sum(col("s_gv")).over(wg), lit(0L)))
+      .withColumn("n_g", sum(col("c_gv")).over(gtot))
+      .withColumn("t_g", sum(col("s_gv")).over(gtot))
+      .join(broadcast(preT.select(col("v"), col("cb"), col("sb"),
+        col("ca"), col("sa"))), Seq("v"))
+    val fg = col("v") * col("cbg") - col("sbg") +
+      (col("t_g") - col("sbg") - col("s_gv")) -
+      col("v") * (col("n_g") - col("cbg") - col("c_gv"))
+    val perG = withPre.groupBy("grp")
+      .agg(first(col("n_g")).as("n_g"), first(col("t_g")).as("t_g"),
+        sum(fGlobal.cast(dec38) * col("c_gv")).as("a_g"),
+        sum(fg.cast(dec38) * col("c_gv")).as("b_g"))
+      .localCheckpoint(true) // G rows, read by the guard + the scoring
+    val degenerate = perG.crossJoin(broadcast(totals))
+      .filter(col("n_g") === col("n_all") || col("t_g") === col("t_all"))
+      .limit(1).collect()
+    require(degenerate.isEmpty,
+      "giniJackknife: a group holds every row (or all the mass) — " +
+        "leave-one-group-out Gini is undefined there; use more groups")
+    val aj = perG.crossJoin(broadcast(totals)).crossJoin(broadcast(s2))
+      .select(round((col("s2") - lit(2) * col("a_g") + col("b_g"))
+          .cast("double") /
+        (lit(2.0) * (col("n_all") - col("n_g")).cast("double") *
+          (col("t_all") - col("t_g")).cast("double")), 6)
+        .cast(dec6).as("ginig"))
+    jackknifeTail(aj, "ginig")
+      .crossJoin(broadcast(totals)).crossJoin(broadcast(s2))
+      .select(col("n_all").as("n_rows"), col("t_all").as("sum_val"),
+        round(col("s2").cast("double") /
+          (lit(2.0) * col("n_all").cast("double") *
+            col("t_all").cast("double")), 6).as("gini"),
+        col("n_groups"), col("jack_se"))
+  }
+
   def prCurve(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
     val byScore = df.filter(col(scoreCol).isNotNull)
       .groupBy(col(scoreCol).as("threshold"))

@@ -235,6 +235,132 @@ object EventOps {
         |FROM bd JOIN bw ON bd.day % 7 = bw.dow
         |ORDER BY day""".stripMargin),
 
+    // -- DE-SEASONALIZED CHANGE-POINT scan: q_changepoint's two-sample
+    //    KS at every day boundary, run on q_seasonal_dow's RESIDUALS
+    //    instead of raw values — a revenue regime shift is visible only
+    //    after the weekly rhythm is subtracted (a Monday always looks
+    //    like a drop against the raw series). Residuals are bucketed by
+    //    RATIO to the weekday mean (clamped floor((r/m)·10) ∈ [−10, 10])
+    //    so the bucket domain stays 21 cells at any corpus scale; the KS
+    //    algebra is (days × 21)-sized ------------------------------------
+    ("q_changepoint_deseason",
+      (s: SparkSession, d: String) => {
+        val byDay = t(s, d, "events")
+          .filter(col("event_type") === "purchase")
+          .select(nsDiv("ts", NS_PER_DAY).as("day"), cents(col("value")).as("c"))
+          .groupBy("day").agg(sum(col("c")).as("day_cents"))
+          .withColumn("dow", pmod(col("day"), lit(7L)))
+          .localCheckpoint(true) // days-sized, read by the mean + the join
+        val byDow = byDay.groupBy("dow")
+          .agg(round(sum(col("day_cents")).cast("double") /
+            count(lit(1)).cast("double"), 6).as("dow_mean"))
+        val h = byDay.join(broadcast(byDow), Seq("dow"))
+          .select(col("day").as("t"),
+            greatest(lit(-10L), least(lit(10L),
+              floor((col("day_cents").cast("double") - col("dow_mean")) /
+                col("dow_mean") * lit(10.0)))).as("bucket"))
+          .groupBy("t", "bucket").agg(count(lit(1)).as("n"))
+          .localCheckpoint(true) // days×21-sized, read by 4 subplans
+        graft.ops.Validate.changePoints(h).orderBy("t")
+      },
+      """WITH bd AS (SELECT epoch_ms(ts) // 86400000 AS day,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS day_cents
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |bw AS (SELECT day % 7 AS dow,
+        |    round(cast(sum(day_cents) AS DOUBLE) / cast(count(*) AS DOUBLE), 6)
+        |      AS dow_mean
+        |  FROM bd GROUP BY 1),
+        |h AS (SELECT day AS t,
+        |    CAST(greatest(-10, least(10,
+        |      floor((cast(day_cents AS DOUBLE) - dow_mean) / dow_mean * 10.0)))
+        |      AS BIGINT) AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM bd JOIN bw ON bd.day % 7 = bw.dow GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT t AS bt FROM h),
+        |lb AS (SELECT bt, bucket,
+        |    CAST(sum(CASE WHEN h.t < bt THEN n ELSE 0 END) AS BIGINT) AS ln
+        |  FROM days CROSS JOIN h GROUP BY 1, 2),
+        |tb AS (SELECT bucket, CAST(sum(n) AS BIGINT) AS tbn FROM h GROUP BY 1),
+        |tbc AS (SELECT a.bucket, CAST(sum(b.tbn) AS BIGINT) AS ctb
+        |        FROM tb a JOIN tb b ON b.bucket <= a.bucket GROUP BY 1),
+        |cl AS (SELECT a.bt, a.bucket, CAST(sum(b.ln) AS BIGINT) AS cln
+        |       FROM lb a JOIN lb b ON b.bt = a.bt AND b.bucket <= a.bucket
+        |       GROUP BY 1, 2),
+        |ls AS (SELECT bt, CAST(sum(ln) AS BIGINT) AS n_left FROM lb GROUP BY 1),
+        |tt AS (SELECT CAST(sum(n) AS BIGINT) AS tcount FROM h),
+        |gg AS (SELECT cl.bt AS t, n_left, tcount - n_left AS n_right,
+        |    max(abs(cast(cln AS HUGEINT) * (tcount - n_left)
+        |        - cast(ctb - cln AS HUGEINT) * n_left)) AS gap
+        |  FROM cl JOIN tbc USING (bucket) JOIN ls ON ls.bt = cl.bt
+        |  CROSS JOIN tt GROUP BY 1, 2, 3)
+        |SELECT t, n_left, n_right,
+        |  round(cast(gap AS DOUBLE)
+        |    / (cast(n_left AS DOUBLE) * cast(n_right AS DOUBLE)), 6) AS ks
+        |FROM gg WHERE n_left > 0 AND n_right > 0 ORDER BY t""".stripMargin),
+
+    // -- WEEKLY SEASONALITY STRENGTH per event type: variance explained
+    //    by the weekday means, 1 − SS_resid/SS_total over the daily count
+    //    series — the scalar that says whether q_seasonal_dow's split is
+    //    even worth applying to a stream (≈0: no weekly pattern, fit the
+    //    grand mean; →1: day-of-week explains everything). One corpus
+    //    groupBy(type, day); all variance algebra on the days×types
+    //    table. dec6 means; dec6 squared deviations summed as
+    //    DECIMAL(18,6) ------------------------------------------------
+    ("q_seasonal_strength",
+      (s: SparkSession, d: String) => {
+        val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+        val daily = t(s, d, "events")
+          .groupBy(col("event_type"), nsDiv("ts", NS_PER_DAY).as("day"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("dow", pmod(col("day"), lit(7L)))
+          .localCheckpoint(true) // days×types-sized, read by both means
+        val tm = daily.groupBy("event_type")
+          .agg(round(sum(col("c")).cast("double") /
+            count(lit(1)).cast("double"), 6).as("m"),
+            count(lit(1)).as("n_days"))
+        val dm = daily.groupBy("event_type", "dow")
+          .agg(round(sum(col("c")).cast("double") /
+            count(lit(1)).cast("double"), 6).as("mdow"))
+        daily.join(broadcast(dm), Seq("event_type", "dow"))
+          .join(broadcast(tm), Seq("event_type"))
+          .groupBy("event_type")
+          .agg(max(col("n_days")).as("n_days"),
+            sum(round((col("c").cast("double") - col("m")) *
+              (col("c").cast("double") - col("m")), 6).cast(dec6)).as("sst"),
+            sum(round((col("c").cast("double") - col("mdow")) *
+              (col("c").cast("double") - col("mdow")), 6).cast(dec6)).as("ssr"))
+          .select(col("event_type"), col("n_days"),
+            when(col("sst").cast("double") > 0.0,
+              round(lit(1.0) -
+                col("ssr").cast("double") / col("sst").cast("double"), 6))
+              .as("strength"))
+          .orderBy("event_type")
+      },
+      """WITH daily AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |d2 AS (SELECT event_type, day % 7 AS dow, c FROM daily),
+        |tm AS (SELECT event_type,
+        |    round(cast(sum(c) AS DOUBLE) / cast(count(*) AS DOUBLE), 6) AS m,
+        |    CAST(count(*) AS BIGINT) AS n_days
+        |  FROM d2 GROUP BY 1),
+        |dm AS (SELECT event_type, dow,
+        |    round(cast(sum(c) AS DOUBLE) / cast(count(*) AS DOUBLE), 6) AS mdow
+        |  FROM d2 GROUP BY 1, 2),
+        |j AS (SELECT d2.event_type, c, m, mdow, n_days
+        |      FROM d2 JOIN dm USING (event_type, dow) JOIN tm USING (event_type)),
+        |a AS (SELECT event_type, CAST(max(n_days) AS BIGINT) AS n_days,
+        |  sum(cast(round((cast(c AS DOUBLE) - m) * (cast(c AS DOUBLE) - m), 6)
+        |      AS DECIMAL(18,6))) AS sst,
+        |  sum(cast(round((cast(c AS DOUBLE) - mdow) * (cast(c AS DOUBLE) - mdow), 6)
+        |      AS DECIMAL(18,6))) AS ssr
+        |  FROM j GROUP BY 1)
+        |SELECT event_type, n_days,
+        |  CASE WHEN cast(sst AS DOUBLE) > 0.0
+        |       THEN round(1.0 - cast(ssr AS DOUBLE) / cast(sst AS DOUBLE), 6)
+        |  END AS strength
+        |FROM a ORDER BY 1""".stripMargin),
+
     // -- as-of join: for each error event, the user's most recent prior (or
     //    simultaneous) purchase value. Spark side = graft.ops.AsofJoin
     //    (union + LOCF window, one shuffle); oracle = DuckDB's native

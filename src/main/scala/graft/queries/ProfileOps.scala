@@ -1038,6 +1038,73 @@ object ProfileOps {
         |  round((2.0 * srx - (n + 1.0) * sx) / (n * sx), 6) AS gini
         |FROM a""".stripMargin),
 
+    // -- leave-one-group-out JACKKNIFE SE for that same Gini (custkey %
+    //    12 groups) — the aucJackknife inclusion–exclusion pattern on the
+    //    other canonical pair-count statistic: G = S/(n·T) with S the sum
+    //    of |x_i − x_j| over pairs; each group's held-out Gini from
+    //    2S − 2·A_g + B_g (pair sums in DECIMAL(38,0)/HUGEINT — they
+    //    overflow BIGINT on a large corpus). One corpus groupBy(grp, v);
+    //    bounded-table algebra after ---------------------------------------
+    ("q_gini_jackknife",
+      (s: SparkSession, d: String) =>
+        graft.ops.Eval.giniJackknife(custRevenue(s, d), "x", "o_custkey",
+          nGroups = 12),
+      """WITH rev AS (SELECT o_custkey,
+        |    CAST(sum(cast(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |b AS (SELECT o_custkey % 12 AS grp, x AS v FROM rev),
+        |gv AS MATERIALIZED (SELECT grp, v, CAST(count(*) AS BIGINT) AS c_gv,
+        |      CAST(v * count(*) AS BIGINT) AS s_gv FROM b GROUP BY 1, 2),
+        |bv AS MATERIALIZED (SELECT v, CAST(sum(c_gv) AS BIGINT) AS c,
+        |      CAST(sum(s_gv) AS BIGINT) AS s FROM gv GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_all,
+        |        CAST(sum(s) AS BIGINT) AS t_all FROM bv),
+        |pre AS (SELECT v, c, s,
+        |  CAST(coalesce(sum(c) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb,
+        |  CAST(coalesce(sum(s) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS sb
+        |  FROM bv),
+        |preT AS MATERIALIZED (SELECT v, c, cb, sb,
+        |  n_all - cb - c AS ca, t_all - sb - s AS sa
+        |  FROM pre CROSS JOIN tot),
+        |s2 AS (SELECT sum(cast(v*cb - sb + sa - v*ca AS HUGEINT) * c) AS s2
+        |       FROM preT),
+        |g1 AS (SELECT g.grp, g.v, g.c_gv, g.s_gv,
+        |  CAST(coalesce(sum(g.c_gv) OVER (PARTITION BY g.grp ORDER BY g.v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cbg,
+        |  CAST(coalesce(sum(g.s_gv) OVER (PARTITION BY g.grp ORDER BY g.v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS sbg,
+        |  CAST(sum(g.c_gv) OVER (PARTITION BY g.grp) AS BIGINT) AS n_g,
+        |  CAST(sum(g.s_gv) OVER (PARTITION BY g.grp) AS BIGINT) AS t_g,
+        |  p.cb, p.sb, p.ca, p.sa
+        |  FROM gv g JOIN preT p USING (v)),
+        |per AS (SELECT grp, CAST(max(n_g) AS BIGINT) AS n_g,
+        |  CAST(max(t_g) AS BIGINT) AS t_g,
+        |  sum(cast(v*cb - sb + sa - v*ca AS HUGEINT) * c_gv) AS a_g,
+        |  sum(cast(v*cbg - sbg + (t_g - sbg - s_gv)
+        |      - v*(n_g - cbg - c_gv) AS HUGEINT) * c_gv) AS b_g
+        |  FROM g1 GROUP BY 1),
+        |aj AS MATERIALIZED (SELECT grp,
+        |  cast(round(cast(s2 - 2*a_g + b_g AS DOUBLE)
+        |    / (2.0 * cast(n_all - n_g AS DOUBLE)
+        |       * cast(t_all - t_g AS DOUBLE)), 6) AS DECIMAL(18,6)) AS ginig
+        |  FROM per CROSS JOIN tot CROSS JOIN s2),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS ng FROM aj),
+        |md AS (SELECT round(cast(sum(ginig) AS DOUBLE)
+        |         / cast((SELECT ng FROM st) AS DOUBLE), 6) AS adot FROM aj)
+        |SELECT n_all AS n_rows, t_all AS sum_val,
+        |  round(cast(s2 AS DOUBLE)
+        |    / (2.0 * cast(n_all AS DOUBLE) * cast(t_all AS DOUBLE)), 6) AS gini,
+        |  (SELECT ng FROM st) AS n_groups,
+        |  round(sqrt(cast((SELECT ng FROM st) - 1 AS DOUBLE)
+        |    / cast((SELECT ng FROM st) AS DOUBLE)
+        |    * cast((SELECT sum(cast(round(
+        |        (cast(ginig AS DOUBLE) - adot) * (cast(ginig AS DOUBLE) - adot),
+        |        6) AS DECIMAL(18,6))) FROM aj CROSS JOIN md) AS DOUBLE)), 6)
+        |    AS jack_se
+        |FROM tot CROSS JOIN s2""".stripMargin),
+
     // -- exact OLS of price-cents on quantity (slope, intercept, R²):
     //    the q_corr moment machinery closed-form — DECIMAL(38,0) sums,
     //    identical double expression trees on both sides, dec6. One
