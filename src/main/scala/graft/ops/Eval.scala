@@ -212,7 +212,7 @@ object Eval {
     * sqrt((G−1)/G·ssq) rounded dec6). Pins the bounded input (read for
     * the mean and again for the squares).
     */
-  private def jackknifeTail(aj0: DataFrame, statCol: String): DataFrame = {
+  private[ops] def jackknifeTail(aj0: DataFrame, statCol: String): DataFrame = {
     val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
     val aj = aj0.localCheckpoint(true)
     val md = aj.agg(count(lit(1)).as("ng"),

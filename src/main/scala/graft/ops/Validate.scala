@@ -341,6 +341,91 @@ object Validate {
           .as("ks"))
   }
 
+  /** Deterministic leave-one-group-out JACKKNIFE standard error for the
+    * two-sample KS drift statistic — "how stable is this drift score
+    * against any one shard of the data": rows of BOTH sides are assigned
+    * to `nGroups` groups by `groupCol % nGroups`, and for each group g
+    * the full KS between (ref − g) and (cur − g) is recomputed EXACTLY
+    * from per-group bucket histograms (bounded algebra — never a corpus
+    * re-scan): cumulative counts subtract per group, the CDF gap stays a
+    * cross-multiplied integer in DECIMAL(38,0) ([[ksStatistic]]'s
+    * convention), and the G held-out scores feed the shared dec6
+    * jackknife tail. Bucketing matches [[driftHistogram]] exactly.
+    *
+    * Shape: one groupBy(grp, bucket) per side; everything after runs on
+    * the (nGroups × buckets) table — triangular bucket joins (the
+    * ksStatistic argument: O(buckets²) on a bounded frame beats any
+    * window), one broadcast grid completion, G-row scalar algebra. One
+    * row: (n_ref, n_cur, ks, n_groups, jack_se).
+    */
+  def ksJackknife(ref: DataFrame, cur: DataFrame, column: String,
+      groupCol: String, lo: Double, width: Double, buckets: Int,
+      nGroups: Int = 12): DataFrame = {
+    require(nGroups >= 2, "ksJackknife: need nGroups >= 2")
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    def grp(df: DataFrame) =
+      df.withColumn("__grp", pmod(col(groupCol), lit(nGroups.toLong)))
+    val hg = driftHistogramBy(grp(ref), grp(cur), "__grp", column,
+        lo, width, buckets)
+      .withColumnRenamed("__grp", "grp")
+      .localCheckpoint(true) // bounded: nGroups × buckets, read 4× below
+    val hb = hg.groupBy("bucket")
+      .agg(sum(col("n_ref")).as("n_ref"), sum(col("n_cur")).as("n_cur"))
+      .localCheckpoint(true) // buckets-sized
+    val totals = hb.agg(sum(col("n_ref")).as("t_ref"),
+      sum(col("n_cur")).as("t_cur"))
+    // cumulative global counts at every bucket boundary (triangular join)
+    val cumB = hb.select(col("bucket").as("b"))
+      .join(hb, col("bucket") <= col("b"))
+      .groupBy("b").agg(sum(col("n_ref")).as("cr"), sum(col("n_cur")).as("cc"))
+      .localCheckpoint(true)
+    // per-group cumulative counts at every GLOBAL bucket boundary: the
+    // (bucket × grp) grid completed with zeros so a group with no mass
+    // at-or-below a boundary still contributes a row
+    val grid = hb.select(col("bucket").as("b"))
+      .crossJoin(broadcast(hg.select(col("grp").as("gg")).distinct()))
+    val cumG = grid
+      .join(hg, hg("bucket") <= grid("b") && hg("grp") === grid("gg"), "left")
+      .groupBy(col("b"), col("gg").as("grp"))
+      .agg(coalesce(sum(col("n_ref")), lit(0L)).as("gr"),
+        coalesce(sum(col("n_cur")), lit(0L)).as("gc"))
+    val gt = hg.groupBy("grp")
+      .agg(sum(col("n_ref")).as("g_ref"), sum(col("n_cur")).as("g_cur"))
+      .localCheckpoint(true) // G rows
+    val degenerate = gt.crossJoin(broadcast(totals))
+      .filter(col("g_ref") === col("t_ref") || col("g_cur") === col("t_cur"))
+      .limit(1).collect()
+    require(degenerate.isEmpty,
+      "ksJackknife: a group holds one side's every row — leave-one-" +
+        "group-out KS is undefined there; use more groups")
+    val aj = cumG
+      .join(broadcast(cumB), Seq("b"))
+      .join(broadcast(gt), Seq("grp"))
+      .crossJoin(broadcast(totals))
+      .select(col("grp"),
+        abs((col("cr") - col("gr")).cast(dec38) *
+            (col("t_cur") - col("g_cur")) -
+          (col("cc") - col("gc")).cast(dec38) *
+            (col("t_ref") - col("g_ref"))).as("gap"),
+        ((col("t_ref") - col("g_ref")) *
+          (col("t_cur") - col("g_cur"))).as("den"))
+      .groupBy("grp")
+      .agg(round(max(col("gap")).cast("double") /
+        first(col("den")).cast("double"), 6).cast(dec6).as("ksg"))
+    val overall = cumB.crossJoin(broadcast(totals))
+      .agg(coalesce(first(col("t_ref")), lit(0L)).as("n_ref"),
+        coalesce(first(col("t_cur")), lit(0L)).as("n_cur"),
+        round(max(abs(col("cr").cast(dec38) * col("t_cur") -
+            col("cc").cast(dec38) * col("t_ref"))).cast("double") /
+          (first(col("t_ref")).cast("double") *
+            first(col("t_cur")).cast("double")), 6).as("ks"))
+    Eval.jackknifeTail(aj, "ksg")
+      .crossJoin(broadcast(overall))
+      .select(col("n_ref"), col("n_cur"), col("ks"),
+        col("n_groups"), col("jack_se"))
+  }
+
   /** Jensen–Shannon divergence over a [[driftHistogram]] result — the
     * bounded symmetric member of the drift family: TV weighs count moves
     * linearly, PSI is log-sensitive but unbounded and needs add-one

@@ -654,6 +654,53 @@ object GraphOps {
           |SELECT seed, ecc_fwd, far_node, ecc_back, diameter_lb
           |FROM per CROSS JOIN lb ORDER BY seed""".stripMargin),
 
+    // -- WEIGHTED diameter lower bound: the q_diameter double sweep on
+    //    the WEIGHTED click graph (q_sssp's synthetic per-edge costs) —
+    //    two Bellman–Ford sweeps through the shared sssp core instead of
+    //    BFS, so the bound is in accumulated edge WEIGHT (latency-like),
+    //    not hops. Re-root at the max-distance node (ties → min id);
+    //    the two scalar re-roots are 1-row collects (the q_sssp start
+    //    convention). 5 relaxation rounds bound path length in hops ------
+    ("q_diameter_weighted",
+      (s: SparkSession, d: String) => {
+        val edges = clickEdges(s, d)
+          .withColumn("w", (col("src") * 7 + col("dst")) % 5 + 1)
+          .localCheckpoint(true) // both sweeps
+        val srcNode = edges.agg(min(least(col("src"), col("dst"))))
+          .head().getLong(0)
+        val d1 = graft.ops.Graph.sssp(edges, "src", "dst", "w",
+            lit(srcNode), iters = 5)
+          .localCheckpoint(true) // node-table-sized, read twice
+        val ecc1 = d1.agg(max(col("dist"))).head().getLong(0)
+        val far = d1.filter(col("dist") === ecc1)
+          .agg(min(col("node"))).head().getLong(0)
+        val d2 = graft.ops.Graph.sssp(edges, "src", "dst", "w",
+          lit(far), iters = 5)
+        val ecc2 = d2.agg(max(col("dist"))).head().getLong(0)
+        import s.implicits._
+        Seq((srcNode, ecc1, far, math.max(ecc1, ecc2)))
+          .toDF("start_node", "ecc_start", "far_node", "wdiameter_lb")
+      },
+      edgeCtes +
+        s""",
+          |we AS (SELECT src, dst, (src * 7 + dst) % 5 + 1 AS w FROM edges),
+          |sym AS MATERIALIZED (SELECT src, dst, min(w) AS w FROM
+          |  (SELECT src, dst, w FROM we UNION ALL SELECT dst, src, w FROM we) q
+          |  GROUP BY 1, 2),
+          |d0 AS (SELECT (SELECT min(least(src, dst)) FROM edges) AS node,
+          |       CAST(0 AS BIGINT) AS dist),
+          |${ssspIterCtes(5)},
+          |m1 AS (SELECT max(dist) AS ecc_start FROM d5),
+          |farn AS (SELECT min(node) AS far_node FROM d5 CROSS JOIN m1
+          |         WHERE dist = ecc_start),
+          |e0 AS (SELECT far_node AS node, CAST(0 AS BIGINT) AS dist FROM farn),
+          |${ssspIterCtes(5, c = "e")},
+          |m2 AS (SELECT max(dist) AS ecc_back FROM e5)
+          |SELECT (SELECT min(least(src, dst)) FROM edges) AS start_node,
+          |  ecc_start, far_node,
+          |  greatest(ecc_start, ecc_back) AS wdiameter_lb
+          |FROM farn CROSS JOIN m1 CROSS JOIN m2""".stripMargin),
+
     // -- TextRank keyword scoring (Mihalcea & Tarau 2004): PageRank over
     //    the word co-occurrence graph (consecutive-token pairs per doc,
     //    symmetrized, multiplicity = co-occurrence count) — keyword
@@ -973,13 +1020,13 @@ object GraphOps {
     * Graph.sssp: min-union of the carried distances with every edge
     * relaxed from the previous round's frame.
     */
-  private def ssspIterCtes(iters: Int): String =
+  private def ssspIterCtes(iters: Int, c: String = "d"): String =
     (1 to iters).map { i =>
-      s"""d$i AS MATERIALIZED (SELECT node, min(dist) AS dist FROM
-         |  (SELECT node, dist FROM d${i - 1}
+      s"""$c$i AS MATERIALIZED (SELECT node, min(dist) AS dist FROM
+         |  (SELECT node, dist FROM $c${i - 1}
          |   UNION ALL
          |   SELECT e.dst, p.dist + e.w FROM sym e
-         |   JOIN d${i - 1} p ON e.src = p.node) q
+         |   JOIN $c${i - 1} p ON e.src = p.node) q
          |  GROUP BY 1)""".stripMargin
     }.mkString(",\n")
 

@@ -911,6 +911,80 @@ object ProfileOps {
     //    selection (StatsOps.exactPercentiles — linear where the
     //    single-reducer built-in OOMs, SCALE.md:478); thresholds compare
     //    identical doubles derived from exact integers on both sides ----
+    // -- leave-one-group-out JACKKNIFE SE for the KS drift statistic
+    //    (doc_id % 12 groups, same histogram spec as q_drift_psi/js):
+    //    "is this drift score an artifact of one shard?" — each group's
+    //    held-out KS recomputed exactly from per-group bucket histograms
+    //    (cumulatives subtract per group; cross-multiplied integer gaps
+    //    in DECIMAL(38,0)/HUGEINT). Bounded (12 × buckets) algebra after
+    //    one groupBy(grp, bucket) per side ---------------------------------
+    ("q_ks_jackknife",
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        val cur = docs.filter(col("n_chars") <= 450)
+          .unionByName(docs.filter(col("n_chars") < 150))
+        graft.ops.Validate.ksJackknife(docs, cur, "n_chars", "doc_id",
+          lo = 0.0, width = 50.0, buckets = 10, nGroups = 12)
+      },
+      """WITH refs AS (SELECT doc_id % 12 AS grp,
+        |    cast(least(greatest(floor((cast(n_chars AS DOUBLE) - 0.0) / 50.0), -1), 10) AS BIGINT) AS bucket
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |curs0 AS (SELECT doc_id, n_chars FROM documents WHERE n_chars <= 450
+        |  UNION ALL SELECT doc_id, n_chars FROM documents WHERE n_chars < 150),
+        |curs AS (SELECT doc_id % 12 AS grp,
+        |    cast(least(greatest(floor((cast(n_chars AS DOUBLE) - 0.0) / 50.0), -1), 10) AS BIGINT) AS bucket
+        |  FROM curs0 WHERE n_chars IS NOT NULL),
+        |hr AS (SELECT grp, bucket, CAST(count(*) AS BIGINT) AS n_ref
+        |       FROM refs GROUP BY 1, 2),
+        |hc AS (SELECT grp, bucket, CAST(count(*) AS BIGINT) AS n_cur
+        |       FROM curs GROUP BY 1, 2),
+        |hg AS MATERIALIZED (SELECT coalesce(hr.grp, hc.grp) AS grp,
+        |  coalesce(hr.bucket, hc.bucket) AS bucket,
+        |  coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+        |  FROM hr FULL OUTER JOIN hc
+        |  ON hr.grp = hc.grp AND hr.bucket = hc.bucket),
+        |hb AS MATERIALIZED (SELECT bucket, CAST(sum(n_ref) AS BIGINT) AS n_ref,
+        |  CAST(sum(n_cur) AS BIGINT) AS n_cur FROM hg GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_ref) AS BIGINT) AS t_ref,
+        |        CAST(sum(n_cur) AS BIGINT) AS t_cur FROM hb),
+        |cumB AS MATERIALIZED (SELECT a.bucket AS b,
+        |  CAST(sum(x.n_ref) AS BIGINT) AS cr, CAST(sum(x.n_cur) AS BIGINT) AS cc
+        |  FROM hb a JOIN hb x ON x.bucket <= a.bucket GROUP BY 1),
+        |grid AS (SELECT b, grp FROM (SELECT DISTINCT b FROM cumB) gb
+        |         CROSS JOIN (SELECT DISTINCT grp FROM hg) gg),
+        |cumG AS MATERIALIZED (SELECT grid.b, grid.grp,
+        |  CAST(coalesce(sum(hg.n_ref), 0) AS BIGINT) AS gr,
+        |  CAST(coalesce(sum(hg.n_cur), 0) AS BIGINT) AS gc
+        |  FROM grid LEFT JOIN hg
+        |  ON hg.grp = grid.grp AND hg.bucket <= grid.b
+        |  GROUP BY 1, 2),
+        |gt AS (SELECT grp, CAST(sum(n_ref) AS BIGINT) AS g_ref,
+        |       CAST(sum(n_cur) AS BIGINT) AS g_cur FROM hg GROUP BY 1),
+        |aj AS MATERIALIZED (SELECT cumG.grp,
+        |  cast(round(cast(max(abs(cast(cr - gr AS HUGEINT) * (t_cur - g_cur)
+        |      - cast(cc - gc AS HUGEINT) * (t_ref - g_ref))) AS DOUBLE)
+        |    / cast((t_ref - g_ref) * (t_cur - g_cur) AS DOUBLE), 6)
+        |    AS DECIMAL(18,6)) AS ksg
+        |  FROM cumG JOIN cumB USING (b) JOIN gt ON gt.grp = cumG.grp
+        |  CROSS JOIN tot
+        |  GROUP BY cumG.grp, t_ref, t_cur, g_ref, g_cur),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS ng FROM aj),
+        |md AS (SELECT round(cast(sum(ksg) AS DOUBLE)
+        |         / cast((SELECT ng FROM st) AS DOUBLE), 6) AS adot FROM aj),
+        |ov AS (SELECT t_ref AS n_ref, t_cur AS n_cur,
+        |  round(cast(max(abs(cast(cr AS HUGEINT) * t_cur
+        |      - cast(cc AS HUGEINT) * t_ref)) AS DOUBLE)
+        |    / (cast(t_ref AS DOUBLE) * cast(t_cur AS DOUBLE)), 6) AS ks
+        |  FROM cumB CROSS JOIN tot GROUP BY t_ref, t_cur)
+        |SELECT n_ref, n_cur, ks, (SELECT ng FROM st) AS n_groups,
+        |  round(sqrt(cast((SELECT ng FROM st) - 1 AS DOUBLE)
+        |    / cast((SELECT ng FROM st) AS DOUBLE)
+        |    * cast((SELECT sum(cast(round(
+        |        (cast(ksg AS DOUBLE) - adot) * (cast(ksg AS DOUBLE) - adot),
+        |        6) AS DECIMAL(18,6))) FROM aj CROSS JOIN md) AS DOUBLE)), 6)
+        |    AS jack_se
+        |FROM ov""".stripMargin),
+
     ("q_mad_outliers",
       (s: SparkSession, d: String) => {
         val li = t(s, d, "lineitem")
