@@ -1023,8 +1023,22 @@ object Layout {
     * Returns the directories rewritten THIS call (skipped ones absent).
     */
   def addColumn(spark: SparkSession, dir: String, colName: String,
-      sqlExpr: String, sortCols: Seq[String]): Seq[String] = {
+      sqlExpr: String, sortCols: Seq[String]): Seq[String] =
+    addColumns(spark, dir, Seq(colName -> sqlExpr), sortCols)
+
+  /** Multi-column [[addColumn]]: backfill SEVERAL (name, expression)
+    * pairs in ONE read+write of each directory — N columns cost the same
+    * directory rewrite as one. A directory already carrying EVERY
+    * requested column skips (the resume contract); a directory carrying
+    * some-but-not-all gets the missing ones added (columns it already
+    * has keep their stored values — expressions are not re-applied).
+    */
+  def addColumns(spark: SparkSession, dir: String,
+      cols: Seq[(String, String)], sortCols: Seq[String]): Seq[String] = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
+    require(cols.nonEmpty, "addColumns: no columns to add")
+    require(cols.map(_._1).distinct.size == cols.size,
+      "addColumns: duplicate column names")
     recoverAddColumn(dir)
     val base = dir.stripSuffix("/")
     val parts = Option(new java.io.File(base).listFiles())
@@ -1034,9 +1048,12 @@ object Layout {
     parts.foreach { pd =>
       val sub = s"$base/$pd"
       val existing = spark.read.parquet(sub)
-      if (!existing.columns.contains(colName)) {
+      val missing = cols.filterNot { case (n, _) =>
+        existing.columns.contains(n) }
+      if (missing.nonEmpty) {
         val tmp = s"$base/.__addcol__$pd"
-        existing.withColumn(colName, expr(sqlExpr))
+        missing.foldLeft(existing) { case (df, (n, e)) =>
+            df.withColumn(n, expr(e)) }
           .repartition(1)
           .sortWithinPartitions(sortCols.map(col): _*)
           .write.mode("overwrite").parquet(tmp)

@@ -79,6 +79,170 @@ object EventOps {
       .select("user_id", "event_type", "valid_from", "valid_to", "n_events")
   }
 
+  /** The streaming session-window JS drift monitor shared by
+    * q_stream_session_drift (every session scored) and
+    * q_stream_drift_alert (only sessions whose score crosses the
+    * threshold reach the sink — the alert predicate runs IN-STREAM).
+    * Append mode + watermark over a time-staged replay (four
+    * chronologically disjoint slice files + two far-future sentinels,
+    * the q_stream_left_join mtime protocol): session state is bounded
+    * by one slice's open sessions — the first Complete-mode form held
+    * every session in state and OOM'd the driver at 100× (SCALE.md
+    * round 13's measured negative control). Reference distribution = 5
+    * bounded scalars folded in as literals; dec6 ln / dec6 terms summed
+    * as DECIMAL(18,6) (the jsDivergence convention per session).
+    */
+  private def sessionDriftGate(s: SparkSession, d: String,
+      alertMin: Option[Double], sink: String): DataFrame = {
+    import s.implicits._
+    val types = Seq("click", "error", "purchase", "signup", "view")
+
+
+        val ev0 = t(s, d, "events")
+        val refRows = ev0.groupBy("event_type").agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val total = ev0.count()
+        val tmp = java.nio.file.Files.createTempDirectory("graft_sess_drift")
+        val src = s"$tmp/src"
+        val ev = ev0.select(nsDiv("ts", NS_PER_MS).as("ms"),
+          col("user_id"), col("event_type"))
+        val b = ev.agg(min(col("ms")), max(col("ms"))).head()
+        val (loMs, maxMs) = (b.getLong(0), b.getLong(1))
+        try {
+          // four chronologically DISJOINT slices, mtime-ordered: the file
+          // source replays them as separate micro-batches, the watermark
+          // advances between batches, and closed sessions EVICT — state
+          // is bounded by one slice's open sessions, never the corpus
+          val span = maxMs - loMs + 1L
+          (0 until 4).foreach { i =>
+            ev.filter(col("ms") >= loMs + i * span / 4 &&
+                col("ms") < loMs + (i + 1) * span / 4)
+              .select(timestamp_millis(col("ms")).as("ts"),
+                col("user_id"), col("event_type"))
+              .coalesce(1).write.mode("append").parquet(src)
+            new java.io.File(src).listFiles()
+              .filter(f => f.getName.endsWith(".parquet") &&
+                f.lastModified() > System.currentTimeMillis() - 60000L)
+              .foreach(_.setLastModified(
+                System.currentTimeMillis() - 600000L + i * 60000L))
+          }
+          // two watermark sentinels (user -1, a type no counter counts):
+          // the first advances the watermark past every real session's
+          // end, the SECOND batch then evicts + emits them all
+          Seq(1, 2).foreach { k =>
+            Seq((new java.sql.Timestamp(maxMs + k * 7200000L), -1L, "flush"))
+              .toDF("ts", "user_id", "event_type")
+              .coalesce(1).write.mode("append").parquet(src)
+            new java.io.File(src).listFiles()
+              .filter(f => f.getName.endsWith(".parquet") &&
+                f.lastModified() > System.currentTimeMillis() - 60000L)
+              .foreach(_.setLastModified(
+                System.currentTimeMillis() - 600000L + (3 + k) * 60000L))
+          }
+          val schema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("ts",
+              org.apache.spark.sql.types.TimestampType),
+            org.apache.spark.sql.types.StructField("user_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("event_type",
+              org.apache.spark.sql.types.StringType)))
+          val stream0 = s.readStream.schema(schema)
+            .option("pathGlobFilter", "*.parquet")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+          val aggs = count(lit(1)).as("n_events") +:
+            types.zipWithIndex.map { case (tp, i) =>
+              sum(when(col("event_type") === tp, 1L).otherwise(0L)).as(s"c$i") }
+          val sess = stream0.withColumn("tss", col("ts"))
+            .withWatermark("tss", "1 minute")
+            .groupBy(col("user_id"), session_window(col("tss"), "30 minutes"))
+            .agg(aggs.head, aggs.tail: _*)
+        val n = col("n_events").cast("double")
+        val terms = types.zipWithIndex.map { case (tp, i) =>
+          val refCnt = refRows.getOrElse(tp, 0L)
+          val p = col(s"c$i").cast("double") / n
+          val q = lit(refCnt.toDouble / total.toDouble)
+          val m = (p + q) / lit(2.0)
+          val tP = when(col(s"c$i") > 0L, p * round(log(p / m), 6))
+            .otherwise(lit(0.0))
+          val tQ = if (refCnt > 0L) q * round(log(q / m), 6) else lit(0.0)
+          round((tP + tQ) / lit(2.0), 6)
+            .cast(org.apache.spark.sql.types.DecimalType(18, 6))
+        }
+        val scored = sess.select(col("user_id"),
+          expr("unix_millis(session_window.start)").as("start_ms"),
+          (expr("unix_millis(session_window.end)") - 1800000L).as("last_ms"),
+          col("n_events"),
+          round(terms.reduce(_ + _).cast("double"), 6).as("js"))
+        val flow = alertMin.map(thr => scored.filter(col("js") >= thr))
+          .getOrElse(scored)
+        s.catalog.dropTempView(sink)
+        graft.streaming.EventStream.runToMemory(flow, sink,
+          org.apache.spark.sql.streaming.OutputMode.Append)
+        // (user_id, start_ms) is a true session key — the standard
+        // at-least-once replay screen; sentinel sessions (user -1) drop.
+        // The memory sink owns the rows — reading after the
+        // finally-delete of the staged src is safe
+        s.table(sink)
+          .dropDuplicates("user_id", "start_ms")
+          .filter(col("user_id") >= 0L)
+          .orderBy("user_id", "start_ms")
+        } finally deleteRecursively(tmp.toFile)
+  }
+
+  /** The matching DuckDB oracle: full score table, optionally filtered
+    * by the same alert predicate the stream applies.
+    */
+  private def sessionDriftOracle(alertPred: Option[String]): String = {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val refCols = types.zipWithIndex.map { case (tp, i) =>
+          s"cast(sum(CASE WHEN event_type = '$tp' THEN 1 ELSE 0 END) AS DOUBLE)" +
+            s" / count(*) AS q$i" }.mkString(",\n        |    ")
+        val cntCols = types.zipWithIndex.map { case (tp, i) =>
+          s"sum(CASE WHEN event_type = '$tp' THEN 1 ELSE 0 END) AS c$i" }
+          .mkString(",\n        |    ")
+        val terms = types.indices.map { i =>
+          s"""cast(round((
+             |      CASE WHEN c$i > 0 THEN (cast(c$i AS DOUBLE) / cast(n_events AS DOUBLE))
+             |        * round(ln((cast(c$i AS DOUBLE) / cast(n_events AS DOUBLE))
+             |          / ((cast(c$i AS DOUBLE) / cast(n_events AS DOUBLE) + q$i) / 2.0)), 6)
+             |        ELSE 0.0 END
+             |    + CASE WHEN q$i > 0 THEN q$i
+             |        * round(ln(q$i
+             |          / ((cast(c$i AS DOUBLE) / cast(n_events AS DOUBLE) + q$i) / 2.0)), 6)
+             |        ELSE 0.0 END) / 2.0, 6) AS DECIMAL(18,6))""".stripMargin
+        }.mkString("\n        |  + ")
+        val wherePred = alertPred.map(p => s"WHERE $p").getOrElse("")
+        s"""WITH e AS (
+        |  SELECT user_id, epoch_ms(ts) AS ms, event_type,
+        |    lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)) AS prev_ms
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, ms, event_type,
+        |    sum(CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ms
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM e),
+        |r AS (SELECT
+        |    $refCols
+        |  FROM events),
+        |sess AS (
+        |  SELECT user_id, min(ms) AS start_ms, max(ms) AS last_ms,
+        |    count(*) AS n_events,
+        |    $cntCols
+        |  FROM m GROUP BY user_id, sid),
+        |scored AS (
+        |  SELECT user_id, start_ms, last_ms, n_events,
+        |    round(cast(
+        |      $terms
+        |    AS DOUBLE), 6) AS js
+        |  FROM sess CROSS JOIN r)
+        |SELECT * FROM scored
+        |$wherePred
+        |ORDER BY user_id, start_ms""".stripMargin
+  }
+
+
   val entries: Seq[(String, Fn, String)] = Seq(
 
     // -- skew-salted shuffle join (graft.ops.Partitioning.saltedJoin): the
@@ -1319,143 +1483,23 @@ object EventOps {
     //    reference histogram the same way). dec6 ln / dec6 terms summed
     //    as DECIMAL(18,6) — the jsDivergence convention per session ----
     ("q_stream_session_drift",
-      (s: SparkSession, d: String) => {
-        import s.implicits._
-        val types = Seq("click", "error", "purchase", "signup", "view")
-        val ev0 = t(s, d, "events")
-        val refRows = ev0.groupBy("event_type").agg(count(lit(1)).as("n"))
-          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-        val total = ev0.count()
-        val tmp = java.nio.file.Files.createTempDirectory("graft_sess_drift")
-        val src = s"$tmp/src"
-        val ev = ev0.select(nsDiv("ts", NS_PER_MS).as("ms"),
-          col("user_id"), col("event_type"))
-        val b = ev.agg(min(col("ms")), max(col("ms"))).head()
-        val (loMs, maxMs) = (b.getLong(0), b.getLong(1))
-        try {
-          // four chronologically DISJOINT slices, mtime-ordered: the file
-          // source replays them as separate micro-batches, the watermark
-          // advances between batches, and closed sessions EVICT — state
-          // is bounded by one slice's open sessions, never the corpus
-          val span = maxMs - loMs + 1L
-          (0 until 4).foreach { i =>
-            ev.filter(col("ms") >= loMs + i * span / 4 &&
-                col("ms") < loMs + (i + 1) * span / 4)
-              .select(timestamp_millis(col("ms")).as("ts"),
-                col("user_id"), col("event_type"))
-              .coalesce(1).write.mode("append").parquet(src)
-            new java.io.File(src).listFiles()
-              .filter(f => f.getName.endsWith(".parquet") &&
-                f.lastModified() > System.currentTimeMillis() - 60000L)
-              .foreach(_.setLastModified(
-                System.currentTimeMillis() - 600000L + i * 60000L))
-          }
-          // two watermark sentinels (user -1, a type no counter counts):
-          // the first advances the watermark past every real session's
-          // end, the SECOND batch then evicts + emits them all
-          Seq(1, 2).foreach { k =>
-            Seq((new java.sql.Timestamp(maxMs + k * 7200000L), -1L, "flush"))
-              .toDF("ts", "user_id", "event_type")
-              .coalesce(1).write.mode("append").parquet(src)
-            new java.io.File(src).listFiles()
-              .filter(f => f.getName.endsWith(".parquet") &&
-                f.lastModified() > System.currentTimeMillis() - 60000L)
-              .foreach(_.setLastModified(
-                System.currentTimeMillis() - 600000L + (3 + k) * 60000L))
-          }
-          val schema = org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("ts",
-              org.apache.spark.sql.types.TimestampType),
-            org.apache.spark.sql.types.StructField("user_id",
-              org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("event_type",
-              org.apache.spark.sql.types.StringType)))
-          val stream0 = s.readStream.schema(schema)
-            .option("pathGlobFilter", "*.parquet")
-            .option("maxFilesPerTrigger", "1")
-            .parquet(src)
-          val aggs = count(lit(1)).as("n_events") +:
-            types.zipWithIndex.map { case (tp, i) =>
-              sum(when(col("event_type") === tp, 1L).otherwise(0L)).as(s"c$i") }
-          val sess = stream0.withColumn("tss", col("ts"))
-            .withWatermark("tss", "1 minute")
-            .groupBy(col("user_id"), session_window(col("tss"), "30 minutes"))
-            .agg(aggs.head, aggs.tail: _*)
-        val n = col("n_events").cast("double")
-        val terms = types.zipWithIndex.map { case (tp, i) =>
-          val refCnt = refRows.getOrElse(tp, 0L)
-          val p = col(s"c$i").cast("double") / n
-          val q = lit(refCnt.toDouble / total.toDouble)
-          val m = (p + q) / lit(2.0)
-          val tP = when(col(s"c$i") > 0L, p * round(log(p / m), 6))
-            .otherwise(lit(0.0))
-          val tQ = if (refCnt > 0L) q * round(log(q / m), 6) else lit(0.0)
-          round((tP + tQ) / lit(2.0), 6)
-            .cast(org.apache.spark.sql.types.DecimalType(18, 6))
-        }
-        val scored = sess.select(col("user_id"),
-          expr("unix_millis(session_window.start)").as("start_ms"),
-          (expr("unix_millis(session_window.end)") - 1800000L).as("last_ms"),
-          col("n_events"),
-          round(terms.reduce(_ + _).cast("double"), 6).as("js"))
-        val sink = "graft_stream_session_drift_out"
-        s.catalog.dropTempView(sink)
-        graft.streaming.EventStream.runToMemory(scored, sink,
-          org.apache.spark.sql.streaming.OutputMode.Append)
-        // (user_id, start_ms) is a true session key — the standard
-        // at-least-once replay screen; sentinel sessions (user -1) drop.
-        // The memory sink owns the rows — reading after the
-        // finally-delete of the staged src is safe
-        s.table(sink)
-          .dropDuplicates("user_id", "start_ms")
-          .filter(col("user_id") >= 0L)
-          .orderBy("user_id", "start_ms")
-        } finally deleteRecursively(tmp.toFile)
-      },
-      {
-        val types = Seq("click", "error", "purchase", "signup", "view")
-        val refCols = types.zipWithIndex.map { case (tp, i) =>
-          s"cast(sum(CASE WHEN event_type = '$tp' THEN 1 ELSE 0 END) AS DOUBLE)" +
-            s" / count(*) AS q$i" }.mkString(",\n        |    ")
-        val cntCols = types.zipWithIndex.map { case (tp, i) =>
-          s"sum(CASE WHEN event_type = '$tp' THEN 1 ELSE 0 END) AS c$i" }
-          .mkString(",\n        |    ")
-        val terms = types.indices.map { i =>
-          s"""cast(round((
-             |      CASE WHEN c$i > 0 THEN (cast(c$i AS DOUBLE) / cast(n_events AS DOUBLE))
-             |        * round(ln((cast(c$i AS DOUBLE) / cast(n_events AS DOUBLE))
-             |          / ((cast(c$i AS DOUBLE) / cast(n_events AS DOUBLE) + q$i) / 2.0)), 6)
-             |        ELSE 0.0 END
-             |    + CASE WHEN q$i > 0 THEN q$i
-             |        * round(ln(q$i
-             |          / ((cast(c$i AS DOUBLE) / cast(n_events AS DOUBLE) + q$i) / 2.0)), 6)
-             |        ELSE 0.0 END) / 2.0, 6) AS DECIMAL(18,6))""".stripMargin
-        }.mkString("\n        |  + ")
-        s"""WITH e AS (
-        |  SELECT user_id, epoch_ms(ts) AS ms, event_type,
-        |    lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)) AS prev_ms
-        |  FROM events),
-        |m AS (
-        |  SELECT user_id, ms, event_type,
-        |    sum(CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END)
-        |      OVER (PARTITION BY user_id ORDER BY ms
-        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-        |  FROM e),
-        |r AS (SELECT
-        |    $refCols
-        |  FROM events),
-        |sess AS (
-        |  SELECT user_id, min(ms) AS start_ms, max(ms) AS last_ms,
-        |    count(*) AS n_events,
-        |    $cntCols
-        |  FROM m GROUP BY user_id, sid)
-        |SELECT user_id, start_ms, last_ms, n_events,
-        |  round(cast(
-        |    $terms
-        |  AS DOUBLE), 6) AS js
-        |FROM sess CROSS JOIN r
-        |ORDER BY user_id, start_ms""".stripMargin
-      }),
+      (s: SparkSession, d: String) =>
+        sessionDriftGate(s, d, alertMin = None,
+          sink = "graft_stream_session_drift_out"),
+      sessionDriftOracle(alertPred = None)),
+
+    // -- STREAMING DRIFT ALERTING: the same session-drift monitor with
+    //    the alert predicate pushed INTO the stream — only sessions whose
+    //    JS score crosses the threshold reach the sink (the shape a
+    //    100 TB monitor actually ships: the sink sees alerts, not every
+    //    session). Same staged-replay protocol; the filter runs on the
+    //    stream side, the oracle re-derives the full score table and
+    //    applies the identical predicate -------------------------------
+    ("q_stream_drift_alert",
+      (s: SparkSession, d: String) =>
+        sessionDriftGate(s, d, alertMin = Some(0.35),
+          sink = "graft_stream_drift_alert_out"),
+      sessionDriftOracle(alertPred = Some("js >= 0.35"))),
 
     // -- SCD type-2 dimension history: each user's event_type stream
     //    collapses into validity intervals (gaps-and-islands: lag marks

@@ -621,6 +621,25 @@ class LayoutSpec extends SparkSuite {
     val back2 = spark.read.parquet(dir)
     assert(back2.count() === total)
     assert(back2.filter(col("n3") =!= col("n_chars") + 1).count() === 0L)
+    // multi-column backfill: one rewrite adds both; the already-present
+    // n2 keeps its STORED values (expressions not re-applied to it)
+    val r3 = Layout.addColumns(spark, dir,
+      Seq("n4" -> "n_chars * 3", "n2" -> "n_chars * 99"), Seq("doc_id"))
+    assert(r3.toSet === dirs.toSet)
+    val back3 = spark.read.parquet(dir)
+    assert(back3.filter(col("n4") =!= col("n_chars") * 3).count() === 0L)
+    assert(back3.filter(col("n2") =!= col("n_chars") * 2).count() === 0L,
+      "existing column must keep stored values")
+    // evolve → compactPartitions composition: an evolved store (one file
+    // per source per target dir) compacts back to one file per dir with
+    // no row lost
+    val dir2 = freshDir()
+    Layout.writePartitioned(docs, dir2, "source", Seq("doc_id"))
+    Layout.evolvePartitions(spark, dir2, "source", "lang", Seq("doc_id"))
+    assert(Layout.filesPerPartition(dir2).values.max > 1)
+    Layout.compactPartitions(spark, dir2, Seq("doc_id"))
+    assert(Layout.filesPerPartition(dir2).values.forall(_ == 1))
+    assert(spark.read.parquet(dir2).count() === total)
   }
 
   test("ORC round trip preserves rows and schema") {
