@@ -175,24 +175,12 @@ object Eval {
         (lit(2L) * (col("n_pos") - col("pos_g")) *
           (col("n_neg") - col("neg_g"))).cast("double"), 6)
         .cast(dec6).as("aucg"))
-      .localCheckpoint(true) // G rows, read for the mean + the squares
-    val md = aj.agg(count(lit(1)).as("ng"),
-      round(sum(col("aucg")).cast("double") /
-        count(lit(1)).cast("double"), 6).as("adot"))
-    aj.crossJoin(broadcast(md)) // G rows × 1 scalar row
-      .agg(first(col("ng")).as("n_groups"),
-        sum(round((col("aucg").cast("double") - col("adot")) *
-            (col("aucg").cast("double") - col("adot")), 6).cast(dec6))
-          .as("ssq"),
-        first(col("adot")).as("__adot"))
+    jackknifeTail(aj, "aucg")
       .crossJoin(broadcast(totals)).crossJoin(broadcast(u2))
       .select(col("n_pos"), col("n_neg"),
         round(col("u2").cast("double") /
           (lit(2L) * col("n_pos") * col("n_neg")).cast("double"), 6).as("auc"),
-        col("n_groups"),
-        round(sqrt((col("n_groups") - 1L).cast("double") /
-          col("n_groups").cast("double") * col("ssq").cast("double")), 6)
-          .as("jack_se"))
+        col("n_groups"), col("jack_se"))
   }
 
   /** The full precision/recall operating curve as exact integers: one row
@@ -275,9 +263,11 @@ object Eval {
         (col("n_all") - col("cb") - col("c")).as("ca"),
         (col("t_all") - col("sb") - col("s")).as("sa"))
       .localCheckpoint(true) // bounded, read by 2S + the group join
-    def fGlobal = col("v") * col("cb") - col("sb") +
-      col("sa") - col("v") * col("ca")
-    val s2 = preT.agg(sum(fGlobal.cast(dec38) * col("c")).as("s2"))
+    // products in DECIMAL(38,0) BEFORE the subtraction — v·cb alone can
+    // wrap a long on a large corpus, not just the Σ
+    def fGlobal = col("v").cast(dec38) * col("cb") - col("sb") +
+      col("sa") - col("v").cast(dec38) * col("ca")
+    val s2 = preT.agg(sum(fGlobal * col("c")).as("s2"))
     val wg = org.apache.spark.sql.expressions.Window
       .partitionBy("grp").orderBy("v")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
@@ -289,13 +279,13 @@ object Eval {
       .withColumn("t_g", sum(col("s_gv")).over(gtot))
       .join(broadcast(preT.select(col("v"), col("cb"), col("sb"),
         col("ca"), col("sa"))), Seq("v"))
-    val fg = col("v") * col("cbg") - col("sbg") +
+    val fg = col("v").cast(dec38) * col("cbg") - col("sbg") +
       (col("t_g") - col("sbg") - col("s_gv")) -
-      col("v") * (col("n_g") - col("cbg") - col("c_gv"))
+      col("v").cast(dec38) * (col("n_g") - col("cbg") - col("c_gv"))
     val perG = withPre.groupBy("grp")
       .agg(first(col("n_g")).as("n_g"), first(col("t_g")).as("t_g"),
-        sum(fGlobal.cast(dec38) * col("c_gv")).as("a_g"),
-        sum(fg.cast(dec38) * col("c_gv")).as("b_g"))
+        sum(fGlobal * col("c_gv")).as("a_g"),
+        sum(fg * col("c_gv")).as("b_g"))
       .localCheckpoint(true) // G rows, read by the guard + the scoring
     val degenerate = perG.crossJoin(broadcast(totals))
       .filter(col("n_g") === col("n_all") || col("t_g") === col("t_all"))

@@ -370,6 +370,14 @@ object Validate {
         lo, width, buckets)
       .withColumnRenamed("__grp", "grp")
       .localCheckpoint(true) // bounded: nGroups × buckets, read 4× below
+    // empty-input pole (the ksStatistic convention): both sides empty →
+    // (0, 0, ks 0.0, 0 groups, NULL se), never a one-row null frame
+    if (hg.limit(1).collect().isEmpty) {
+      import ref.sparkSession.implicits._
+      return Seq((0L, 0L, 0.0, 0L))
+        .toDF("n_ref", "n_cur", "ks", "n_groups")
+        .withColumn("jack_se", lit(null).cast("double"))
+    }
     val hb = hg.groupBy("bucket")
       .agg(sum(col("n_ref")).as("n_ref"), sum(col("n_cur")).as("n_cur"))
       .localCheckpoint(true) // buckets-sized
@@ -408,11 +416,13 @@ object Validate {
             (col("t_cur") - col("g_cur")) -
           (col("cc") - col("gc")).cast(dec38) *
             (col("t_ref") - col("g_ref"))).as("gap"),
-        ((col("t_ref") - col("g_ref")) *
-          (col("t_cur") - col("g_cur"))).as("den"))
+        // double product, not long*long: the raw product wraps silently
+        // past ~3e9 rows/side where the dec38 gap above survives
+        ((col("t_ref") - col("g_ref")).cast("double") *
+          (col("t_cur") - col("g_cur")).cast("double")).as("den"))
       .groupBy("grp")
       .agg(round(max(col("gap")).cast("double") /
-        first(col("den")).cast("double"), 6).cast(dec6).as("ksg"))
+        first(col("den")), 6).cast(dec6).as("ksg"))
     val overall = cumB.crossJoin(broadcast(totals))
       .agg(coalesce(first(col("t_ref")), lit(0L)).as("n_ref"),
         coalesce(first(col("t_cur")), lit(0L)).as("n_cur"),

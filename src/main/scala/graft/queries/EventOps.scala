@@ -92,6 +92,12 @@ object EventOps {
     * bounded scalars folded in as literals; dec6 ln / dec6 terms summed
     * as DECIMAL(18,6) (the jsDivergence convention per session).
     */
+  /** The ONE alert threshold both sides of q_stream_drift_alert read —
+    * a literal typed twice would let the stream and its oracle silently
+    * compare different gates.
+    */
+  private val DriftAlertMin = 0.35
+
   private def sessionDriftGate(s: SparkSession, d: String,
       alertMin: Option[Double], sink: String): DataFrame = {
     import s.implicits._
@@ -1497,9 +1503,9 @@ object EventOps {
     //    applies the identical predicate -------------------------------
     ("q_stream_drift_alert",
       (s: SparkSession, d: String) =>
-        sessionDriftGate(s, d, alertMin = Some(0.35),
+        sessionDriftGate(s, d, alertMin = Some(DriftAlertMin),
           sink = "graft_stream_drift_alert_out"),
-      sessionDriftOracle(alertPred = Some("js >= 0.35"))),
+      sessionDriftOracle(alertPred = Some(s"js >= $DriftAlertMin"))),
 
     // -- SCD type-2 dimension history: each user's event_type stream
     //    collapses into validity intervals (gaps-and-islands: lag marks

@@ -963,7 +963,7 @@ object ProfileOps {
         |aj AS MATERIALIZED (SELECT cumG.grp,
         |  cast(round(cast(max(abs(cast(cr - gr AS HUGEINT) * (t_cur - g_cur)
         |      - cast(cc - gc AS HUGEINT) * (t_ref - g_ref))) AS DOUBLE)
-        |    / cast((t_ref - g_ref) * (t_cur - g_cur) AS DOUBLE), 6)
+        |    / (cast(t_ref - g_ref AS DOUBLE) * cast(t_cur - g_cur AS DOUBLE)), 6)
         |    AS DECIMAL(18,6)) AS ksg
         |  FROM cumG JOIN cumB USING (b) JOIN gt ON gt.grp = cumG.grp
         |  CROSS JOIN tot
@@ -1142,7 +1142,8 @@ object ProfileOps {
         |preT AS MATERIALIZED (SELECT v, c, cb, sb,
         |  n_all - cb - c AS ca, t_all - sb - s AS sa
         |  FROM pre CROSS JOIN tot),
-        |s2 AS (SELECT sum(cast(v*cb - sb + sa - v*ca AS HUGEINT) * c) AS s2
+        |s2 AS (SELECT sum((cast(v AS HUGEINT)*cb - sb + sa
+        |         - cast(v AS HUGEINT)*ca) * c) AS s2
         |       FROM preT),
         |g1 AS (SELECT g.grp, g.v, g.c_gv, g.s_gv,
         |  CAST(coalesce(sum(g.c_gv) OVER (PARTITION BY g.grp ORDER BY g.v
@@ -1155,9 +1156,10 @@ object ProfileOps {
         |  FROM gv g JOIN preT p USING (v)),
         |per AS (SELECT grp, CAST(max(n_g) AS BIGINT) AS n_g,
         |  CAST(max(t_g) AS BIGINT) AS t_g,
-        |  sum(cast(v*cb - sb + sa - v*ca AS HUGEINT) * c_gv) AS a_g,
-        |  sum(cast(v*cbg - sbg + (t_g - sbg - s_gv)
-        |      - v*(n_g - cbg - c_gv) AS HUGEINT) * c_gv) AS b_g
+        |  sum((cast(v AS HUGEINT)*cb - sb + sa
+        |     - cast(v AS HUGEINT)*ca) * c_gv) AS a_g,
+        |  sum((cast(v AS HUGEINT)*cbg - sbg + (t_g - sbg - s_gv)
+        |     - cast(v AS HUGEINT)*(n_g - cbg - c_gv)) * c_gv) AS b_g
         |  FROM g1 GROUP BY 1),
         |aj AS MATERIALIZED (SELECT grp,
         |  cast(round(cast(s2 - 2*a_g + b_g AS DOUBLE)
