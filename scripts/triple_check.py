@@ -25,7 +25,10 @@ LOADS = {
     "lineitem": ["l_orderkey", "l_linenumber", "l_quantity",
                  "l_extendedprice"],
     "part": ["p_partkey", "p_name"],
-    "orders": ["o_orderkey", "o_orderstatus", "o_totalprice"],
+    "orders": ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"],
+    # entries may be "duckdb_expr AS name" — DuckDB evaluates the
+    # expression during the load, SQLite stores the aliased column
+    "events": ["epoch_ms(ts) AS ms", "event_type", "value"],
 }
 
 # SQLite-dialect twins of NON-portable DuckDB oracles (same output column
@@ -57,6 +60,84 @@ QUERIES = {
         HAVING count(*) = (SELECT count(*) AS c FROM lineitem
                            GROUP BY l_quantity ORDER BY c DESC LIMIT 1)
         ORDER BY value""",
+    # round-13 twins — the seasonal split, its strength scalar, and the
+    # Gini jackknife (windows + sqrt; floats under the tolerance compare,
+    # where the gate's DECIMAL conventions have no SQLite counterpart)
+    "q_seasonal_dow": """
+        WITH bd AS (SELECT ms/86400000 AS day,
+            CAST(sum(CAST(round(value*100) AS INTEGER)) AS INTEGER) AS day_cents
+          FROM events WHERE event_type='purchase' GROUP BY 1),
+        bw AS (SELECT day % 7 AS dow,
+            round(CAST(sum(day_cents) AS REAL)/count(*), 6) AS dow_mean
+          FROM bd GROUP BY 1)
+        SELECT day, day % 7 AS dow, day_cents, dow_mean,
+          round(day_cents - dow_mean, 6) AS resid
+        FROM bd JOIN bw ON bd.day % 7 = bw.dow ORDER BY day""",
+    "q_seasonal_strength": """
+        WITH daily AS (SELECT event_type, ms/86400000 AS day,
+            count(*) AS c FROM events GROUP BY 1, 2),
+        d2 AS (SELECT event_type, day % 7 AS dow, c FROM daily),
+        tm AS (SELECT event_type,
+            round(CAST(sum(c) AS REAL)/count(*), 6) AS m,
+            count(*) AS n_days FROM d2 GROUP BY 1),
+        dm AS (SELECT event_type, dow,
+            round(CAST(sum(c) AS REAL)/count(*), 6) AS mdow
+          FROM d2 GROUP BY 1, 2),
+        j AS (SELECT d2.event_type, c, m, mdow, n_days
+          FROM d2 JOIN dm ON d2.event_type = dm.event_type AND d2.dow = dm.dow
+          JOIN tm ON d2.event_type = tm.event_type),
+        a AS (SELECT event_type, max(n_days) AS n_days,
+          sum(round((c-m)*(c-m), 6)) AS sst,
+          sum(round((c-mdow)*(c-mdow), 6)) AS ssr
+          FROM j GROUP BY 1)
+        SELECT event_type, n_days,
+          CASE WHEN sst > 0.0 THEN round(1.0 - ssr/sst, 6) END AS strength
+        FROM a ORDER BY 1""",
+    "q_gini_jackknife": """
+        WITH rev AS (SELECT o_custkey,
+            CAST(sum(CAST(round(o_totalprice*100) AS INTEGER)) AS INTEGER) AS x
+          FROM orders GROUP BY 1),
+        b AS (SELECT o_custkey % 12 AS grp, x AS v FROM rev),
+        gv AS (SELECT grp, v, count(*) AS c_gv, v*count(*) AS s_gv
+               FROM b GROUP BY 1, 2),
+        bv AS (SELECT v, sum(c_gv) AS c, sum(s_gv) AS s FROM gv GROUP BY 1),
+        tot AS (SELECT sum(c) AS n_all, sum(s) AS t_all FROM bv),
+        pre AS (SELECT v, c, s,
+          coalesce(sum(c) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+          coalesce(sum(s) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS sb
+          FROM bv),
+        preT AS (SELECT v, c, cb, sb, n_all - cb - c AS ca,
+          t_all - sb - s AS sa FROM pre CROSS JOIN tot),
+        s2 AS (SELECT sum((v*cb - sb + sa - v*ca) * c) AS s2 FROM preT),
+        g1 AS (SELECT g.grp, g.v, g.c_gv, g.s_gv,
+          coalesce(sum(g.c_gv) OVER (PARTITION BY g.grp ORDER BY g.v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cbg,
+          coalesce(sum(g.s_gv) OVER (PARTITION BY g.grp ORDER BY g.v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS sbg,
+          sum(g.c_gv) OVER (PARTITION BY g.grp) AS n_g,
+          sum(g.s_gv) OVER (PARTITION BY g.grp) AS t_g,
+          p.cb, p.sb, p.ca, p.sa
+          FROM gv g JOIN preT p ON g.v = p.v),
+        per AS (SELECT grp, max(n_g) AS n_g, max(t_g) AS t_g,
+          sum((v*cb - sb + sa - v*ca) * c_gv) AS a_g,
+          sum((v*cbg - sbg + (t_g - sbg - s_gv)
+             - v*(n_g - cbg - c_gv)) * c_gv) AS b_g
+          FROM g1 GROUP BY 1),
+        aj AS (SELECT grp, round(CAST(s2 - 2*a_g + b_g AS REAL)
+            / (2.0*(n_all - n_g)*(t_all - t_g)), 6) AS ginig
+          FROM per CROSS JOIN tot CROSS JOIN s2),
+        st AS (SELECT count(*) AS ng FROM aj),
+        md AS (SELECT round(CAST(sum(ginig) AS REAL)/(SELECT ng FROM st), 6)
+               AS adot FROM aj)
+        SELECT n_all AS n_rows, t_all AS sum_val,
+          round(CAST(s2 AS REAL)/(2.0*n_all*t_all), 6) AS gini,
+          (SELECT ng FROM st) AS n_groups,
+          round(sqrt(CAST((SELECT ng FROM st)-1 AS REAL)/(SELECT ng FROM st)
+            * (SELECT sum(round((ginig-adot)*(ginig-adot), 6))
+               FROM aj CROSS JOIN md)), 6) AS jack_se
+        FROM tot CROSS JOIN s2""",
 }
 
 
@@ -82,10 +163,12 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     duck = duckdb.connect()
     lite = sqlite3.connect(":memory:")
+    lite.create_function("sqrt", 1, math.sqrt)
     for t, cols in LOADS.items():
         rows = duck.sql(
             f"SELECT {', '.join(cols)} FROM '{sf_dir}/{t}.parquet'").fetchall()
-        lite.execute(f"CREATE TABLE {t} ({', '.join(cols)})")
+        names = [c.split(" AS ")[-1] for c in cols]
+        lite.execute(f"CREATE TABLE {t} ({', '.join(names)})")
         lite.executemany(
             f"INSERT INTO {t} VALUES ({', '.join('?' * len(cols))})", rows)
 
