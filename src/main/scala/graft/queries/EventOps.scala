@@ -942,6 +942,80 @@ object EventOps {
         |FROM documents WHERE doc_id % 3 <= 1
         |GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // -- STREAMING INGEST + RETENTION MAINTENANCE under the gate: the
+    //    events backlog replays in three mtime-ordered time slices
+    //    (maxFilesPerTrigger=1) and EVERY micro-batch's foreachBatch does
+    //    what a production ingest does — append into the day-partitioned
+    //    store, then run the TTL vacuum inline. Batch 1 is entirely
+    //    expired (the vacuum empties the young store), batch 2 straddles
+    //    the cutoff (boundary rewrite), batch 3 is live (vacuum no-ops on
+    //    clean dirs — idempotence exercised under the gate, not just the
+    //    spec). Final store must equal the oracle's ms >= cutoff set:
+    //    over-deletion, under-deletion, or an append/vacuum interaction
+    //    bug all break the hash ----------------------------------------
+    ("q_stream_ingest_vacuum",
+      (s: SparkSession, d: String) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_stream_vac")
+        try {
+          val src = s"$tmp/src"; val store = s"$tmp/store"
+          val ckpt = s"$tmp/ckpt"
+          val ev = t(s, d, "events")
+            .select(col("event_id"), col("user_id"), col("event_type"),
+              expr("ts div 1000000").as("ms"), col("value"))
+            .withColumn("day", expr("ms div 86400000"))
+          val b = ev.agg(min(col("ms")), max(col("ms"))).head()
+          val (lo, hi) = (b.getLong(0), b.getLong(1))
+          val cutoff = (lo + hi) / 2
+          val span = hi - lo + 1L
+          (0 until 3).foreach { i =>
+            ev.filter(col("ms") >= lo + i * span / 3 &&
+                col("ms") < lo + (i + 1) * span / 3)
+              .coalesce(1).write.mode("append").parquet(src)
+            new java.io.File(src).listFiles()
+              .filter(f => f.getName.endsWith(".parquet") &&
+                f.lastModified() > System.currentTimeMillis() - 60000L)
+              .foreach(_.setLastModified(
+                System.currentTimeMillis() - 600000L + i * 60000L))
+          }
+          val stream = s.readStream.schema(ev.schema)
+            .option("pathGlobFilter", "*.parquet")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+          val q = stream.writeStream
+            .option("checkpointLocation", ckpt)
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+              graft.ops.Layout.append(batch, store, "day", Seq("event_id"))
+              graft.ops.Layout.vacuumRetention(s, store, "ms", cutoff,
+                Seq("event_id"))
+              ()
+            }
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          val agg = s.read.parquet(store)
+            .groupBy("event_type")
+            .agg(count(lit(1)).as("n"),
+              countDistinct(col("user_id")).as("n_users"),
+              sum(cents(col("value"))).as("val_cents"),
+              min(col("ms")).as("first_ms"),
+              max(col("ms")).as("last_ms"))
+            .orderBy("event_type")
+          // materialize before the finally deletes the store
+          import scala.jdk.CollectionConverters._
+          s.createDataFrame(agg.collect().toSeq.asJava, agg.schema)
+        } finally deleteRecursively(tmp.toFile)
+      },
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |    epoch_ms(ts) AS ms, value FROM events),
+        |b AS (SELECT (min(ms) + max(ms)) // 2 AS cutoff FROM e)
+        |SELECT event_type, count(*) AS n,
+        |  count(DISTINCT user_id) AS n_users,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS val_cents,
+        |  min(ms) AS first_ms, max(ms) AS last_ms
+        |FROM e, b WHERE e.ms >= b.cutoff
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // -- STREAM-STATIC enrichment join under the gate: the events stream
     //    joined per micro-batch against a broadcast dimension (customer
     //    segment) — the dimension never shuffles and the stream side needs
