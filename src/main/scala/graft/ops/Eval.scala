@@ -123,8 +123,22 @@ object Eval {
   def aucJackknife(df: DataFrame, scoreCol: String, labelCol: String,
       groupCol: String, nGroups: Int = 16): DataFrame = {
     require(nGroups >= 2, "aucJackknife: need nGroups >= 2")
+    aucJackknifeBy(df, scoreCol, labelCol,
+      pmod(col(groupCol), lit(nGroups.toLong)))
+  }
+
+  /** [[aucJackknife]] STRATIFIED by an arbitrary grouping expression —
+    * leave-one-SOURCE-out instead of leave-one-hash-shard-out: the
+    * variance estimate that answers "how much does the AUC lean on any
+    * single corpus source", the deployment question hash groups
+    * deliberately average away. Group count = distinct values of
+    * `groupExpr` (must be ≥ 2 and no group may hold every positive or
+    * every negative — the loud-guard contract).
+    */
+  def aucJackknifeBy(df: DataFrame, scoreCol: String, labelCol: String,
+      groupExpr: org.apache.spark.sql.Column): DataFrame = {
     val byGS = df.filter(col(scoreCol).isNotNull)
-      .groupBy(pmod(col(groupCol), lit(nGroups.toLong)).as("grp"),
+      .groupBy(groupExpr.as("grp"),
         col(scoreCol).as("s"))
       .agg(count(lit(1)).as("n_gs"), sum(col(labelCol)).cast("long").as("pos_gs"))
       .withColumn("neg_gs", col("n_gs") - col("pos_gs"))
