@@ -31,6 +31,66 @@ class EvalSpec extends SparkSuite {
     }
   }
 
+  /** dec6 convention replicated for the brute jackknife tails —
+    * BigDecimal.valueOf (Double.toString canonical form), matching
+    * Spark's Round expression, NOT the exact-binary new BigDecimal(x).
+    */
+  private def r6(x: Double): Double =
+    BigDecimal(java.math.BigDecimal.valueOf(x))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private def bruteJackSe(stats: Seq[Double]): Double = {
+    val g = stats.size
+    val adot = r6(stats.map(r6).sum / g)
+    val ssq = stats.map(r6).map(v => r6((v - adot) * (v - adot))).sum
+    r6(math.sqrt((g - 1).toDouble / g * ssq))
+  }
+
+  test("aucJackknife matches the brute leave-one-group-out recompute") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.tabulate(400)(i =>
+      (i.toLong, rnd.nextInt(8).toLong, rnd.nextInt(2).toLong))
+    val df = rows.toDF("id", "score", "y")
+    val got = Eval.aucJackknife(df, "score", "y", "id", nGroups = 5).head()
+    // brute: per group, recompute AUC over every OTHER row from scratch
+    val aucs = (0 until 5).map { g =>
+      val rest = rows.filter(_._1 % 5 != g).map(r => (r._2, r._3))
+      val (u2, den) = bruteU2(rest)
+      r6(u2.toDouble / den)
+    }
+    val (u2all, denall) = bruteU2(rows.map(r => (r._2, r._3)))
+    assert(got.getAs[Long]("n_groups") === 5L)
+    assert(got.getAs[Double]("auc") === r6(u2all.toDouble / denall))
+    assert(got.getAs[Double]("jack_se") === bruteJackSe(aucs))
+    // degenerate guard: one group holds every positive
+    val degen = Seq.tabulate(60)(i =>
+      (i.toLong * 2, i.toLong, if (i % 2 == 0) 1L else 0L)) // pos ids all even
+    intercept[IllegalArgumentException] {
+      Eval.aucJackknife(degen.toDF("id", "score", "y"), "score", "y",
+        "id", nGroups = 2).collect()
+    }
+  }
+
+  test("giniJackknife matches the brute leave-one-group-out recompute") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val rows = Seq.tabulate(200)(i => (i.toLong, (rnd.nextInt(50) + 1).toLong))
+    val df = rows.toDF("id", "x")
+    val got = Eval.giniJackknife(df, "x", "id", nGroups = 4).head()
+    def bruteGini(vs: Seq[Long]): Double = {
+      val s = (for (a <- vs; b <- vs) yield math.abs(a - b)).sum / 2.0
+      r6(s / (vs.size.toDouble * vs.sum.toDouble))
+    }
+    val ginis = (0 until 4).map { g =>
+      bruteGini(rows.filter(_._1 % 4 != g).map(_._2))
+    }
+    assert(got.getAs[Long]("n_rows") === 200L)
+    assert(got.getAs[Long]("sum_val") === rows.map(_._2).sum)
+    assert(got.getAs[Double]("gini") === bruteGini(rows.map(_._2)))
+    assert(got.getAs[Double]("jack_se") === bruteJackSe(ginis))
+  }
+
   test("aucExact endpoints: perfect scorer = 1, inverted = 0, constant = 1/2") {
     val perfect = Seq((1L, 0L), (2L, 0L), (9L, 1L), (8L, 1L))
     assert(auc(perfect) === ((8L, 8L)))

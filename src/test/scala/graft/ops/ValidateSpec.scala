@@ -141,4 +141,32 @@ class ValidateSpec extends SparkSuite {
       Validate.driftHistogram(ref, cur, "x", 0.0, 10.0, 9)).head().getDouble(2)
     assert(math.abs(tv - 4.0 / 6.0) < 1e-6)
   }
+
+  test("ksJackknife: empty pole, degenerate guard, sane on a real split") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("id", "v")
+    val pole = Validate.ksJackknife(empty, empty, "v", "id",
+      lo = 0.0, width = 10.0, buckets = 5).head()
+    assert(pole.getAs[Long]("n_ref") === 0L && pole.getAs[Long]("n_cur") === 0L)
+    assert(pole.getAs[Double]("ks") === 0.0)
+    assert(pole.getAs[Long]("n_groups") === 0L && pole.isNullAt(4))
+    // degenerate: every cur row in ONE group -> loud refusal
+    val ref = (1L to 60L).map(i => (i, i % 40)).toDF("id", "v")
+    val cur1 = (1L to 30L).map(i => (i * 4, i % 40)).toDF("id", "v") // all grp 0
+    intercept[IllegalArgumentException] {
+      Validate.ksJackknife(ref, cur1, "v", "id",
+        lo = 0.0, width = 10.0, buckets = 5, nGroups = 4).collect()
+    }
+    // healthy split: overall ks matches ksStatistic on the same histogram,
+    // se non-negative, groups counted
+    val cur = (1L to 60L).map(i => (i, (i * 7) % 40)).toDF("id", "v")
+    val got = Validate.ksJackknife(ref, cur, "v", "id",
+      lo = 0.0, width = 10.0, buckets = 5, nGroups = 4).head()
+    val ksRef = Validate.ksStatistic(
+      Validate.driftHistogram(ref, cur, "v", 0.0, 10.0, 5)
+        .localCheckpoint(true)).head().getAs[Double]("ks")
+    assert(got.getAs[Double]("ks") === ksRef)
+    assert(got.getAs[Long]("n_groups") === 4L)
+    assert(got.getAs[Double]("jack_se") >= 0.0)
+  }
 }
