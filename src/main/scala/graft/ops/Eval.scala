@@ -136,13 +136,24 @@ object Eval {
     * every negative — the loud-guard contract).
     */
   def aucJackknifeBy(df: DataFrame, scoreCol: String, labelCol: String,
-      groupExpr: org.apache.spark.sql.Column): DataFrame = {
+      groupExpr: org.apache.spark.sql.Column,
+      maxGroups: Long = 10000L): DataFrame = {
+    // the (groups × scores) frame below is PINNED (localCheckpoint) and
+    // every downstream step is sized by it: a high-cardinality grouping
+    // (user_id instead of a source/shard key) would make it corpus-sized
+    // — the round-12 corpus-pinning OOM class. Loud guard BEFORE anything
+    // materializes; the old pmod form prevented this structurally.
+    val nGroups = df.select(groupExpr.as("grp")).distinct().count()
+    require(nGroups >= 2 && nGroups <= maxGroups,
+      s"aucJackknifeBy: $nGroups distinct groups (need 2..$maxGroups) — " +
+        "jackknife groups must be shard/source-grained, not row-grained; " +
+        "raise maxGroups deliberately if the group table is truly bounded")
     val byGS = df.filter(col(scoreCol).isNotNull)
       .groupBy(groupExpr.as("grp"),
         col(scoreCol).as("s"))
       .agg(count(lit(1)).as("n_gs"), sum(col(labelCol)).cast("long").as("pos_gs"))
       .withColumn("neg_gs", col("n_gs") - col("pos_gs"))
-      .localCheckpoint(true) // bounded: nGroups × |scores|, read 3× below
+      .localCheckpoint(true) // bounded by the guard: groups × |scores|
     val byS = byGS.groupBy("s")
       .agg(sum(col("n_gs")).as("n"), sum(col("pos_gs")).as("pos"))
       .withColumn("neg", col("n") - col("pos"))

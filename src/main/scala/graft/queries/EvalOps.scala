@@ -47,6 +47,65 @@ object EvalOps {
         |  FROM predt t JOIN pred_0 p0 USING (doc_id)
         |       JOIN pred_1 p1 USING (doc_id) JOIN pred_2 p2 USING (doc_id))""".stripMargin
 
+  /** The jackknife oracle tail shared by q_auc_jackknife and
+    * q_auc_jackknife_src — everything downstream of the `b` CTE (grp, s,
+    * y rows) is grouping-agnostic; ONE copy so a convention fix (a cast,
+    * the dec6 tail) can never reach only one of the two gates.
+    */
+  private val aucJackknifeOracleTail: String =
+    """
+        |gs AS MATERIALIZED (SELECT grp, s, CAST(count(*) AS BIGINT) AS n_gs,
+        |      CAST(sum(y) AS BIGINT) AS pos_gs,
+        |      CAST(count(*) - sum(y) AS BIGINT) AS neg_gs
+        |      FROM b GROUP BY 1, 2),
+        |bys AS (SELECT s, CAST(sum(pos_gs) AS BIGINT) AS pos,
+        |        CAST(sum(neg_gs) AS BIGINT) AS neg FROM gs GROUP BY 1),
+        |tot AS (SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+        |        CAST(sum(neg) AS BIGINT) AS n_neg FROM bys),
+        |pre AS MATERIALIZED (SELECT s, pos, neg,
+        |  CAST(coalesce(sum(neg) OVER (ORDER BY s
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS negbelow,
+        |  CAST((SELECT n_pos FROM tot)
+        |    - coalesce(sum(pos) OVER (ORDER BY s
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    - pos AS BIGINT) AS posabove
+        |  FROM bys),
+        |u AS (SELECT CAST(sum(pos * (2 * negbelow + neg)) AS BIGINT) AS u2
+        |      FROM pre),
+        |g1 AS (SELECT g.grp, g.pos_gs, g.neg_gs,
+        |  CAST(coalesce(sum(g.neg_gs) OVER (PARTITION BY g.grp ORDER BY g.s
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS negbelow_gs,
+        |  p.pos, p.neg, p.negbelow, p.posabove
+        |  FROM gs g JOIN pre p USING (s)),
+        |per AS (SELECT grp,
+        |  CAST(sum(pos_gs) AS BIGINT) AS pos_g,
+        |  CAST(sum(neg_gs) AS BIGINT) AS neg_g,
+        |  CAST(sum(pos_gs * (2 * negbelow + neg)) AS BIGINT) AS a_g,
+        |  CAST(sum(neg_gs * (2 * posabove + pos)) AS BIGINT) AS b_g,
+        |  CAST(sum(pos_gs * (2 * negbelow_gs + neg_gs)) AS BIGINT) AS c_g
+        |  FROM g1 GROUP BY 1),
+        |aj AS MATERIALIZED (SELECT
+        |  cast(round(cast(u2 - a_g - b_g + c_g AS DOUBLE)
+        |    / cast(2 * (n_pos - pos_g) * (n_neg - neg_g) AS DOUBLE), 6)
+        |    AS DECIMAL(18,6)) AS aucg
+        |  FROM per CROSS JOIN tot CROSS JOIN u),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS ng FROM aj),
+        |md AS (SELECT round(cast(sum(aucg) AS DOUBLE)
+        |         / cast((SELECT ng FROM st) AS DOUBLE), 6) AS adot FROM aj)
+        |SELECT n_pos, n_neg,
+        |  round(cast(u2 AS DOUBLE) / cast(2 * n_pos * n_neg AS DOUBLE), 6)
+        |    AS auc,
+        |  (SELECT ng FROM st) AS n_groups,
+        |  round(sqrt(cast((SELECT ng FROM st) - 1 AS DOUBLE)
+        |    / cast((SELECT ng FROM st) AS DOUBLE)
+        |    * cast((SELECT sum(cast(round(
+        |        (cast(aucg AS DOUBLE) - adot) * (cast(aucg AS DOUBLE) - adot),
+        |        6) AS DECIMAL(18,6))) FROM aj CROSS JOIN md) AS DOUBLE)), 6)
+        |    AS jack_se
+        |FROM tot CROSS JOIN u""".stripMargin.stripPrefix("\n")
+
   val entries: Seq[(String, Fn, String)] = Seq(
 
     // -- exact ROC AUC of the f_chars feature as a scorer for the noisy
@@ -88,58 +147,8 @@ object EvalOps {
       CartOps.featureCtes +
         """,
           |b AS (SELECT doc_id % 16 AS grp, f_chars AS s, y FROM lab
-          |      WHERE f_chars IS NOT NULL),
-          |gs AS MATERIALIZED (SELECT grp, s, CAST(count(*) AS BIGINT) AS n_gs,
-          |      CAST(sum(y) AS BIGINT) AS pos_gs,
-          |      CAST(count(*) - sum(y) AS BIGINT) AS neg_gs
-          |      FROM b GROUP BY 1, 2),
-          |bys AS (SELECT s, CAST(sum(pos_gs) AS BIGINT) AS pos,
-          |        CAST(sum(neg_gs) AS BIGINT) AS neg FROM gs GROUP BY 1),
-          |tot AS (SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
-          |        CAST(sum(neg) AS BIGINT) AS n_neg FROM bys),
-          |pre AS MATERIALIZED (SELECT s, pos, neg,
-          |  CAST(coalesce(sum(neg) OVER (ORDER BY s
-          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-          |    AS negbelow,
-          |  CAST((SELECT n_pos FROM tot)
-          |    - coalesce(sum(pos) OVER (ORDER BY s
-          |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-          |    - pos AS BIGINT) AS posabove
-          |  FROM bys),
-          |u AS (SELECT CAST(sum(pos * (2 * negbelow + neg)) AS BIGINT) AS u2
-          |      FROM pre),
-          |g1 AS (SELECT g.grp, g.pos_gs, g.neg_gs,
-          |  CAST(coalesce(sum(g.neg_gs) OVER (PARTITION BY g.grp ORDER BY g.s
-          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-          |    AS negbelow_gs,
-          |  p.pos, p.neg, p.negbelow, p.posabove
-          |  FROM gs g JOIN pre p USING (s)),
-          |per AS (SELECT grp,
-          |  CAST(sum(pos_gs) AS BIGINT) AS pos_g,
-          |  CAST(sum(neg_gs) AS BIGINT) AS neg_g,
-          |  CAST(sum(pos_gs * (2 * negbelow + neg)) AS BIGINT) AS a_g,
-          |  CAST(sum(neg_gs * (2 * posabove + pos)) AS BIGINT) AS b_g,
-          |  CAST(sum(pos_gs * (2 * negbelow_gs + neg_gs)) AS BIGINT) AS c_g
-          |  FROM g1 GROUP BY 1),
-          |aj AS MATERIALIZED (SELECT
-          |  cast(round(cast(u2 - a_g - b_g + c_g AS DOUBLE)
-          |    / cast(2 * (n_pos - pos_g) * (n_neg - neg_g) AS DOUBLE), 6)
-          |    AS DECIMAL(18,6)) AS aucg
-          |  FROM per CROSS JOIN tot CROSS JOIN u),
-          |st AS (SELECT CAST(count(*) AS BIGINT) AS ng FROM aj),
-          |md AS (SELECT round(cast(sum(aucg) AS DOUBLE)
-          |         / cast((SELECT ng FROM st) AS DOUBLE), 6) AS adot FROM aj)
-          |SELECT n_pos, n_neg,
-          |  round(cast(u2 AS DOUBLE) / cast(2 * n_pos * n_neg AS DOUBLE), 6)
-          |    AS auc,
-          |  (SELECT ng FROM st) AS n_groups,
-          |  round(sqrt(cast((SELECT ng FROM st) - 1 AS DOUBLE)
-          |    / cast((SELECT ng FROM st) AS DOUBLE)
-          |    * cast((SELECT sum(cast(round(
-          |        (cast(aucg AS DOUBLE) - adot) * (cast(aucg AS DOUBLE) - adot),
-          |        6) AS DECIMAL(18,6))) FROM aj CROSS JOIN md) AS DOUBLE)), 6)
-          |    AS jack_se
-          |FROM tot CROSS JOIN u""".stripMargin),
+          |      WHERE f_chars IS NOT NULL),""".stripMargin + "\n" +
+        aucJackknifeOracleTail),
 
     // -- the SAME jackknife STRATIFIED by corpus source (leave-one-
     //    SOURCE-out): "how much does this AUC lean on any single crawl
@@ -157,58 +166,8 @@ object EvalOps {
         """,
           |b AS (SELECT d.source AS grp, f_chars AS s, y
           |      FROM lab JOIN documents d USING (doc_id)
-          |      WHERE f_chars IS NOT NULL),
-          |gs AS MATERIALIZED (SELECT grp, s, CAST(count(*) AS BIGINT) AS n_gs,
-          |      CAST(sum(y) AS BIGINT) AS pos_gs,
-          |      CAST(count(*) - sum(y) AS BIGINT) AS neg_gs
-          |      FROM b GROUP BY 1, 2),
-          |bys AS (SELECT s, CAST(sum(pos_gs) AS BIGINT) AS pos,
-          |        CAST(sum(neg_gs) AS BIGINT) AS neg FROM gs GROUP BY 1),
-          |tot AS (SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
-          |        CAST(sum(neg) AS BIGINT) AS n_neg FROM bys),
-          |pre AS MATERIALIZED (SELECT s, pos, neg,
-          |  CAST(coalesce(sum(neg) OVER (ORDER BY s
-          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-          |    AS negbelow,
-          |  CAST((SELECT n_pos FROM tot)
-          |    - coalesce(sum(pos) OVER (ORDER BY s
-          |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-          |    - pos AS BIGINT) AS posabove
-          |  FROM bys),
-          |u AS (SELECT CAST(sum(pos * (2 * negbelow + neg)) AS BIGINT) AS u2
-          |      FROM pre),
-          |g1 AS (SELECT g.grp, g.pos_gs, g.neg_gs,
-          |  CAST(coalesce(sum(g.neg_gs) OVER (PARTITION BY g.grp ORDER BY g.s
-          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-          |    AS negbelow_gs,
-          |  p.pos, p.neg, p.negbelow, p.posabove
-          |  FROM gs g JOIN pre p USING (s)),
-          |per AS (SELECT grp,
-          |  CAST(sum(pos_gs) AS BIGINT) AS pos_g,
-          |  CAST(sum(neg_gs) AS BIGINT) AS neg_g,
-          |  CAST(sum(pos_gs * (2 * negbelow + neg)) AS BIGINT) AS a_g,
-          |  CAST(sum(neg_gs * (2 * posabove + pos)) AS BIGINT) AS b_g,
-          |  CAST(sum(pos_gs * (2 * negbelow_gs + neg_gs)) AS BIGINT) AS c_g
-          |  FROM g1 GROUP BY 1),
-          |aj AS MATERIALIZED (SELECT
-          |  cast(round(cast(u2 - a_g - b_g + c_g AS DOUBLE)
-          |    / cast(2 * (n_pos - pos_g) * (n_neg - neg_g) AS DOUBLE), 6)
-          |    AS DECIMAL(18,6)) AS aucg
-          |  FROM per CROSS JOIN tot CROSS JOIN u),
-          |st AS (SELECT CAST(count(*) AS BIGINT) AS ng FROM aj),
-          |md AS (SELECT round(cast(sum(aucg) AS DOUBLE)
-          |         / cast((SELECT ng FROM st) AS DOUBLE), 6) AS adot FROM aj)
-          |SELECT n_pos, n_neg,
-          |  round(cast(u2 AS DOUBLE) / cast(2 * n_pos * n_neg AS DOUBLE), 6)
-          |    AS auc,
-          |  (SELECT ng FROM st) AS n_groups,
-          |  round(sqrt(cast((SELECT ng FROM st) - 1 AS DOUBLE)
-          |    / cast((SELECT ng FROM st) AS DOUBLE)
-          |    * cast((SELECT sum(cast(round(
-          |        (cast(aucg AS DOUBLE) - adot) * (cast(aucg AS DOUBLE) - adot),
-          |        6) AS DECIMAL(18,6))) FROM aj CROSS JOIN md) AS DOUBLE)), 6)
-          |    AS jack_se
-          |FROM tot CROSS JOIN u""".stripMargin),
+          |      WHERE f_chars IS NOT NULL),""".stripMargin + "\n" +
+        aucJackknifeOracleTail),
 
     // -- the full precision/recall operating curve of the same scorer:
     //    one row per distinct threshold with exact (tp, fp, fn, tn) —
