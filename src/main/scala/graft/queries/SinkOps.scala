@@ -652,6 +652,30 @@ object SinkOps {
         |FROM lineitem
         |ORDER BY tbl""".stripMargin),
 
+    // -- parquet-footer NULL COUNTS (the Manifest column vacuumRetention's
+    //    never-delete-NULLs classification rides on) against relational
+    //    ground truth: footer-decoded null totals must equal
+    //    count(*) − count(col) — one table with real NULLs (events.value)
+    //    and one without (lineitem.l_quantity), so both the zero and the
+    //    non-zero decode paths are hash-graded --------------------------
+    ("q_manifest_nulls",
+      (s: SparkSession, d: String) => {
+        def one(tbl: String, c: String) =
+          graft.ops.Manifest.manifest(s, s"$d/$tbl.parquet", c)
+            .agg(sum(col("n_rows")).as("n_rows"),
+              sum(col("n_nulls")).as("n_nulls"))
+            .withColumn("tbl", lit(tbl))
+            .select("tbl", "n_rows", "n_nulls")
+        one("events", "value")
+          .unionByName(one("lineitem", "l_quantity"))
+          .orderBy("tbl")
+      },
+      """SELECT 'events' AS tbl, count(*) AS n_rows,
+        |  count(*) - count(value) AS n_nulls FROM events
+        |UNION ALL SELECT 'lineitem', count(*),
+        |  count(*) - count(l_quantity) FROM lineitem
+        |ORDER BY tbl""".stripMargin),
+
     // -- incrementally-maintained rollup: the store grows in three
     //    batches, the per-lang summary is refreshed after EACH batch
     //    (three folds, each reading only the new batch + the tiny rollup),
