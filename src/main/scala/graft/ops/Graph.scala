@@ -893,6 +893,114 @@ object Graph {
     dist
   }
 
+  /** STRONGLY connected components via forward–backward min-label rounds
+    * (the FW-BW / coloring family — Fleischer, Hendrickson & Pınar 2000;
+    * Orzan 2004): per OUTER round on the residual graph, f(v) = min id
+    * that REACHES v within `inner` hops (min-label propagation along edge
+    * direction, self included) and b(v) = min id v REACHES within `inner`
+    * hops (against it). f(v) = b(v) = m is a PATH CERTIFICATE m →* v →* m,
+    * so v settles with scc = m — sound regardless of horizon. Settled
+    * nodes leave the residual; each round settles at least the SCC of the
+    * residual's min node, because f and b are CONSTANT on an SCC once
+    * `inner` covers its internal reach (members share reaching/reachable
+    * sets), so an SCC settles whole or waits whole — no fragmentation
+    * while `inner` ≥ the residual's directed reach diameter. Under a too-
+    * small horizon the split is still deterministic (both engines replay
+    * the same rounds; production use sizes `inner` to the graph or loops
+    * to fixpoint). Nodes unsettled after `outer` rounds return NULL scc —
+    * a horizon verdict, not an error. Each round opens with `trim`
+    * passes of the standard TRIM step: a node with no residual in-edges
+    * or no out-edges cannot lie on a cycle and settles immediately as
+    * its own SCC — without it every DAG node waits on the peel.
+    *
+    * Shape: per inner step one O(|E|) edge⋈label shuffle + one node-keyed
+    * min; per outer round 2·inner of those plus two residual semi-joins;
+    * residual-sized label frames localCheckpoint per step (the pageRank
+    * loop contract). Early-exits when the residual empties.
+    * Returns (node, scc, settled_round 1-based).
+    */
+  def scc(edges0: DataFrame, srcCol: String, dstCol: String,
+      outer: Int = 3, inner: Int = 8, trim: Int = 4): DataFrame = {
+    require(outer >= 1 && inner >= 1 && trim >= 0,
+      "scc: outer and inner must be >= 1, trim >= 0")
+    val edgesAll = edges0
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    var residual = edgesAll.select(col("src").as("node"))
+      .union(edgesAll.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    var edges = edgesAll
+    var settled: DataFrame = null
+    def minLabels(e: DataFrame): DataFrame = {
+      var l = residual.select(col("node"), col("node").as("lbl"))
+        .localCheckpoint(true)
+      for (_ <- 1 to inner) {
+        val in = e.join(l.select(col("node").as("src"), col("lbl")), "src")
+          .groupBy(col("dst").as("node")).agg(min(col("lbl")).as("inlbl"))
+        l = l.join(in, Seq("node"), "left")
+          .select(col("node"),
+            least(col("lbl"), coalesce(col("inlbl"), col("lbl"))).as("lbl"))
+          .localCheckpoint(true)
+      }
+      l
+    }
+    def keep(settledNow: DataFrame, r: Int): Unit = {
+      settled = if (settled == null) settledNow.localCheckpoint(true)
+        else settled.union(settledNow).localCheckpoint(true)
+    }
+    var r = 1
+    var done = false
+    while (r <= outer && !done) {
+      // TRIM: a node with no residual in-edges or no residual out-edges
+      // cannot lie on a cycle — it is its own SCC. Each pass exposes the
+      // next layer of the DAG fringe; without this the f=b test leaves
+      // every DAG node waiting on the peel (the FW-BW-Trim step).
+      var t = 1
+      var trimDone = false
+      while (t <= trim && !trimDone) {
+        val kept = residual
+          .join(edges.select(col("src").as("node")).distinct(),
+            Seq("node"), "left_semi")
+          .join(edges.select(col("dst").as("node")).distinct(),
+            Seq("node"), "left_semi")
+          .localCheckpoint(true)
+        val trimmed = residual.join(kept, Seq("node"), "left_anti")
+          .select(col("node"), col("node").as("scc"),
+            lit(r).as("settled_round"))
+        if (trimmed.isEmpty) trimDone = true
+        else {
+          keep(trimmed, r)
+          residual = kept
+          edges = edges
+            .join(kept.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+            .join(kept.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+            .localCheckpoint(true)
+        }
+        t += 1
+      }
+      val f = minLabels(edges).withColumnRenamed("lbl", "flbl")
+      val b = minLabels(edges.select(col("dst").as("src"), col("src").as("dst")))
+        .withColumnRenamed("lbl", "blbl")
+      val lab = f.join(b, Seq("node")).localCheckpoint(true)
+      keep(lab.filter(col("flbl") === col("blbl"))
+        .select(col("node"), col("flbl").as("scc"),
+          lit(r).as("settled_round")), r)
+      residual = lab.filter(col("flbl") =!= col("blbl")).select("node")
+        .localCheckpoint(true)
+      if (residual.isEmpty) done = true
+      else edges = edges
+        .join(residual.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+        .join(residual.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+        .localCheckpoint(true)
+      r += 1
+    }
+    settled.union(residual
+      .select(col("node"), lit(null).cast("long").as("scc"),
+        lit(null).cast("int").as("settled_round")))
+  }
+
   /** Sampled STRESS centrality — the exact-integer member of the
     * betweenness family (Brandes 2008, "On variants of shortest-path
     * betweenness"): stress(v) = Σ_{s,t} σ_st(v), the NUMBER of shortest

@@ -856,6 +856,70 @@ object Layout {
     todo
   }
 
+  /** ONE-PASS partition evolution + compaction: re-key the store from
+    * `fromCol=value/` onto `toCol=value/` directories AND leave exactly one
+    * sorted file per target directory, in a single read + single shuffle +
+    * single write. The composition [[evolvePartitions]] →
+    * [[compactPartitions]] reads and writes the corpus TWICE (evolve lands
+    * one `src-*` file per source dir per target dir — a store with S
+    * sources fragments every target S ways — and the compaction pass
+    * re-reads all of it); this form shuffles each row once to its final
+    * task, where `repartition(col(toCol))` guarantees all rows of a target
+    * value share one task and the dynamic-partition writer emits one file
+    * per value.
+    *
+    * Trade-off vs the incremental form: [[evolvePartitions]] is resumable
+    * per source directory (a crash redoes one source); this is
+    * all-or-nothing — the scratch store is one job, and a crash before the
+    * final swap discards it (recovery = rerun from the intact live store,
+    * which stays readable throughout). Choose this form inside a
+    * maintenance window where one shuffle round is affordable; choose the
+    * incremental form when redoing the whole rewrite on failure is not.
+    * Both end in the same atomic whole-store rename-aside swap;
+    * [[recoverSwap]] (run on entry) rolls an interrupted swap forward or
+    * back.
+    *
+    * Returns the target partition directory names created.
+    */
+  def evolveCompact(spark: SparkSession, dir: String, fromCol: String,
+      toCol: String, sortCols: Seq[String]): Seq[String] = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    recoverSwap(dir, "__evolvecompact")
+    val base = dir.stripSuffix("/")
+    val scratch = base + "__evolvecompact"
+    val sources = Option(new java.io.File(base).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(fromCol + "="))
+    if (sources.isEmpty) {
+      // crash after the swap: live dir is already evolved — rerun no-ops
+      val alreadyEvolved = Option(new java.io.File(base).listFiles())
+        .getOrElse(Array.empty)
+        .exists(f => f.isDirectory && f.getName.startsWith(toCol + "="))
+      require(alreadyEvolved,
+        s"evolveCompact: no '$fromCol=' partition directories under $dir")
+      return Seq.empty
+    }
+    spark.read.option("basePath", base).parquet(base)
+      .repartition(col(toCol))
+      .sortWithinPartitions((toCol +: sortCols).map(col): _*)
+      .write.mode("overwrite").partitionBy(toCol).parquet(scratch)
+    val created = Option(new java.io.File(scratch).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(toCol + "="))
+      .map(_.getName).sorted.toSeq
+    val dirP = Paths.get(base)
+    val oldP = Paths.get(base + "__old")
+    Files.move(dirP, oldP, StandardCopyOption.ATOMIC_MOVE)
+    try Files.move(Paths.get(scratch), dirP, StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case e: Throwable =>
+        Files.move(oldP, dirP, StandardCopyOption.ATOMIC_MOVE)
+        throw e
+    }
+    deleteRecursively(oldP.toFile)
+    created
+  }
+
   /** Filesystem-safe token for a source partition directory name (it can
     * carry `=` and arbitrary partition values): 8-byte md5 hex.
     */

@@ -79,6 +79,33 @@ object Privacy {
       .filter(col("group_size") >= k)
       .drop("group_size")
 
+  /** Adds `l_div`: how many DISTINCT `sensitiveCol` values the row's
+    * quasi-identifier group carries — the l-diversity measure (Machanava-
+    * jjhala et al. 2007): a k-anonymous group whose members all share one
+    * sensitive value still leaks it (the homogeneity attack), so release
+    * gates require l ≥ threshold distinct values per group. count(DISTINCT)
+    * has no window form, so this is a groupBy + equi-join back — the join
+    * keys on the same columns the groupBy hashed, so AQE plans one
+    * exchange reuse, not a second full shuffle.
+    */
+  def lDiversity(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String): DataFrame = {
+    val groups = df.groupBy(quasiCols.map(col): _*)
+      .agg(org.apache.spark.sql.functions
+        .countDistinct(col(sensitiveCol)).as("l_div"))
+    df.join(groups, quasiCols)
+  }
+
+  /** Rows whose quasi-identifier group carries at least `l` distinct
+    * sensitive values — [[suppressSmallGroups]]' l-diversity analogue.
+    * The helper column does not survive.
+    */
+  def suppressLowDiversity(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, l: Long): DataFrame =
+    lDiversity(df, quasiCols, sensitiveCol)
+      .filter(col("l_div") >= l)
+      .drop("l_div")
+
   /** Deterministic keyed pseudonymization of an identifier column:
     * sha256(secret ‖ length-framed value), hex. The same value under the
     * same secret always maps to the same token, so tokenized datasets

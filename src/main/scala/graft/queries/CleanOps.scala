@@ -247,6 +247,42 @@ object CleanOps {
         |  cast(sum(cast(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents
         |FROM a GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // -- l-diversity release gate (ops/Privacy.lDiversity): k-anonymity's
+    //    homogeneity-attack fix — a (nationkey, mktsegment) group whose
+    //    members all sit in ONE account-balance band leaks the band even
+    //    at k=1000, so groups carrying < 3 distinct $2000 bands are suppressed.
+    //    Shape: one groupBy on the quasi keys + an equi-join back on the
+    //    same keys (no second shuffle under AQE exchange reuse); the
+    //    audit is the survivors per nation incl. the min surviving l -----
+    ("q_l_diversity",
+      (s: SparkSession, d: String) => {
+        val banded = t(s, d, "customer")
+          .withColumn("band", expr(
+            "cast(round(c_acctbal * 100) AS BIGINT) div 200000"))
+        graft.ops.Privacy.lDiversity(banded,
+            Seq("c_nationkey", "c_mktsegment"), "band")
+          .filter(col("l_div") >= 3L)
+          .groupBy("c_nationkey")
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("c_mktsegment")).as("n_segments"),
+            min(col("l_div")).as("min_l"),
+            sum(col("band")).as("band_sum"))
+          .orderBy("c_nationkey")
+      },
+      """WITH g AS (SELECT *, cast(round(c_acctbal * 100) AS BIGINT) // 200000 AS band
+        |           FROM customer),
+        |ld AS (SELECT c_nationkey, c_mktsegment,
+        |         CAST(count(DISTINCT band) AS BIGINT) AS l_div
+        |       FROM g GROUP BY 1, 2),
+        |a AS (SELECT g.*, ld.l_div FROM g
+        |      JOIN ld USING (c_nationkey, c_mktsegment)
+        |      WHERE l_div >= 3)
+        |SELECT c_nationkey, count(*) AS n_rows,
+        |  count(DISTINCT c_mktsegment) AS n_segments,
+        |  min(l_div) AS min_l,
+        |  CAST(sum(band) AS BIGINT) AS band_sum
+        |FROM a GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // -- Unicode NFC normalization (functions.NormalizeText) pinned
     //    cross-engine against DuckDB's utf8proc nfc_normalize: each doc's
     //    text gets a decomposed/combining suffix appended (built from

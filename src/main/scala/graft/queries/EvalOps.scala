@@ -243,6 +243,54 @@ object EvalOps {
           |  CAST(sum(CASE WHEN pa <> y AND pb = y THEN 1 ELSE 0 END) AS BIGINT) AS c,
           |  CAST(count(*) AS BIGINT) AS n FROM pair) q""".stripMargin),
 
+    // -- Matthews correlation coefficient of the forest vote against the
+    //    label: the chance-robust single-number summary of the full
+    //    confusion matrix (Matthews 1975), exact integer numerator
+    //    tp·tn − fp·fn plus the double MCC with per-marginal sqrt
+    //    factoring — num/(√m1·√m2·√m3·√m4) instead of √(m1·m2·m3·m4),
+    //    which would overflow a BIGINT product at ~3e6 held-out rows (the
+    //    q_brier bound note). Any empty marginal → NULL (MCC undefined).
+    //    One groupBy-free scalar aggregate over the shared pair scan ------
+    ("q_mcc",
+      (s: SparkSession, d: String) => {
+        val cm = treeVsForest(s, d).agg(
+          sum(when(col("y") === 1L && col("p_forest") === 1L, 1L)
+            .otherwise(0L)).as("tp"),
+          sum(when(col("y") === 0L && col("p_forest") === 1L, 1L)
+            .otherwise(0L)).as("fp"),
+          sum(when(col("y") === 1L && col("p_forest") === 0L, 1L)
+            .otherwise(0L)).as("fn"),
+          sum(when(col("y") === 0L && col("p_forest") === 0L, 1L)
+            .otherwise(0L)).as("tn"))
+        cm.select(col("tp"), col("fp"), col("fn"), col("tn"),
+          (col("tp") * col("tn") - col("fp") * col("fn")).as("mcc_num"),
+          when((col("tp") + col("fp")) > 0L && (col("tp") + col("fn")) > 0L &&
+            (col("tn") + col("fp")) > 0L && (col("tn") + col("fn")) > 0L,
+            round((col("tp") * col("tn") - col("fp") * col("fn"))
+              .cast("double") /
+              (sqrt((col("tp") + col("fp")).cast("double")) *
+                sqrt((col("tp") + col("fn")).cast("double")) *
+                sqrt((col("tn") + col("fp")).cast("double")) *
+                sqrt((col("tn") + col("fn")).cast("double"))), 6))
+            .as("mcc"))
+      },
+      treeVsForestCtes +
+        """,
+          |cm AS (SELECT
+          |  CAST(sum(CASE WHEN y = 1 AND pb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+          |  CAST(sum(CASE WHEN y = 0 AND pb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+          |  CAST(sum(CASE WHEN y = 1 AND pb = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+          |  CAST(sum(CASE WHEN y = 0 AND pb = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+          |  FROM pair)
+          |SELECT tp, fp, fn, tn, tp * tn - fp * fn AS mcc_num,
+          |  CASE WHEN tp + fp > 0 AND tp + fn > 0
+          |        AND tn + fp > 0 AND tn + fn > 0
+          |       THEN round(CAST(tp * tn - fp * fn AS DOUBLE) /
+          |         (sqrt(CAST(tp + fp AS DOUBLE)) * sqrt(CAST(tp + fn AS DOUBLE)) *
+          |          sqrt(CAST(tn + fp AS DOUBLE)) * sqrt(CAST(tn + fn AS DOUBLE))), 6)
+          |  END AS mcc
+          |FROM cm""".stripMargin),
+
     // -- binned-ECE reliability table: the tree's per-leaf training rate
     //    becomes each held-out doc's predicted probability, quantized to
     //    integer ppm ((tp*1e6) div tn) and binned equal-width into 10 —

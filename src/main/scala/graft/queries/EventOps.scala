@@ -405,6 +405,45 @@ object EventOps {
         |FROM bd JOIN bw ON bd.day % 7 = bw.dow
         |ORDER BY day""".stripMargin),
 
+    // -- EXACT EWMA (α = 1/2, 20-day horizon): the exponential smoother
+    //    every anomaly monitor runs, made bit-exact by scaling — weights
+    //    2^-(k+1) over the day lag k make EWMA·2^20 = Σ cents_{t-k}·2^(19-k)
+    //    a pure BIGINT (cents ~1e9 × 2^19 < 2^63), so the gate compares
+    //    integers and the double is derived once at the end. Missing days
+    //    contribute nothing (weight attaches to calendar distance, not
+    //    row order). Shape: corpus → days table (one groupBy), then a
+    //    bounded 20-wide band self-join on that table — day count grows
+    //    with the horizon, not the corpus --------------------------------
+    ("q_ewma",
+      (s: SparkSession, d: String) => {
+        val byDay = t(s, d, "events")
+          .filter(col("event_type") === "purchase")
+          .select(nsDiv("ts", NS_PER_DAY).as("day"), cents(col("value")).as("c"))
+          .groupBy("day").agg(sum(col("c")).as("day_cents"))
+          .localCheckpoint(true) // days-sized, both sides of the band join
+        val hist = byDay.select(col("day").as("hd"), col("day_cents").as("hc"))
+        byDay.join(hist,
+            col("hd") <= col("day") && col("hd") > col("day") - 20L)
+          .groupBy("day", "day_cents")
+          .agg(sum(expr(
+            "hc * shiftleft(1L, cast(19 - (day - hd) AS INT))"))
+            .as("ewma_scaled"))
+          .select(col("day"), col("day_cents"), col("ewma_scaled"),
+            round(col("ewma_scaled").cast("double") / 1048576.0, 6).as("ewma"))
+          .orderBy("day")
+      },
+      """WITH bd AS (SELECT epoch_ms(ts) // 86400000 AS day,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS day_cents
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |w AS (SELECT a.day, a.day_cents,
+        |    CAST(sum(b.day_cents * (1::BIGINT << CAST(19 - (a.day - b.day) AS INTEGER)))
+        |      AS BIGINT) AS ewma_scaled
+        |  FROM bd a JOIN bd b ON b.day <= a.day AND b.day > a.day - 20
+        |  GROUP BY 1, 2)
+        |SELECT day, day_cents, ewma_scaled,
+        |  round(CAST(ewma_scaled AS DOUBLE) / 1048576.0, 6) AS ewma
+        |FROM w ORDER BY day""".stripMargin),
+
     // -- DE-SEASONALIZED CHANGE-POINT scan: q_changepoint's two-sample
     //    KS at every day boundary, run on q_seasonal_dow's RESIDUALS
     //    instead of raw values — a revenue regime shift is visible only
@@ -804,6 +843,56 @@ object EventOps {
       s"SELECT cast(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type, " +
         s"count(*) AS cnt, ${sqlDsum("value")} AS val_sum FROM events " +
         "GROUP BY 1, 2 ORDER BY 1, 2"),
+
+    // -- STREAMING MinHash content fingerprint per hour window: 4 banded
+    //    min-hashes over the pages seen in each window — the sketch a
+    //    cross-window near-dup monitor keeps per micro-batch (two windows
+    //    sharing bands likely saw the same content mix). min() is the
+    //    textbook streaming-mergeable aggregate, so Complete mode's state
+    //    is O(#windows × 4 longs); hashes are the house md5 15-hex-digit
+    //    form, band-salted, and the batch oracle replays them exactly ----
+    ("q_stream_minhash",
+      (s: SparkSession, d: String) => {
+        val batchSchema = { ensureNanosReadable(s)
+          s.read.parquet(s"$d/events.parquet").schema }
+        val fields = Seq("ts", "props")
+          .map(n => batchSchema(batchSchema.fieldIndex(n)))
+        val stream0 = s.readStream
+          .schema(org.apache.spark.sql.types.StructType(fields))
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(d)
+        val tss = fields.head.dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            timestamp_micros(expr("ts div 1000L"))
+          case _ => col("ts").cast("timestamp")
+        }
+        val page = regexp_extract(col("props"), "\"k\": ([0-9]+)", 1)
+        def h(b: Int) =
+          conv(substring(md5(concat(lit(s"$b|"), page)), 1, 15), 16, 10)
+            .cast("long")
+        val stream = stream0
+          .withColumn("tss", tss)
+          .withWatermark("tss", "1 hour")
+          .groupBy(window(col("tss"), "1 hour"))
+          .agg(count(lit(1)).as("n"),
+            min(h(0)).as("mh0"), min(h(1)).as("mh1"),
+            min(h(2)).as("mh2"), min(h(3)).as("mh3"))
+          .select(expr("unix_micros(window.start) div 1000000L").as("hour_epoch"),
+            col("n"), col("mh0"), col("mh1"), col("mh2"), col("mh3"))
+        val sink = "graft_stream_minhash_out"
+        s.catalog.dropTempView(sink)
+        graft.streaming.EventStream.runToMemory(stream, sink,
+          org.apache.spark.sql.streaming.OutputMode.Complete)
+        s.table(sink).orderBy("hour_epoch")
+      },
+      {
+        def oh(b: Int) =
+          s"min(('0x' || substr(md5('$b|' || " +
+            s"regexp_extract(props, '\"k\": ([0-9]+)', 1)), 1, 15))::BIGINT) AS mh$b"
+        "SELECT cast(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, " +
+          s"count(*) AS n, ${oh(0)}, ${oh(1)}, ${oh(2)}, ${oh(3)} " +
+          "FROM events GROUP BY 1 ORDER BY 1"
+      }),
 
     // -- STATEFUL streaming under the oracle gate: gap sessionization via
     //    flatMapGroupsWithState (custom per-user state, event-time

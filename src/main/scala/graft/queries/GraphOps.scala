@@ -654,6 +654,186 @@ object GraphOps {
           |SELECT seed, ecc_fwd, far_node, ecc_back, diameter_lb
           |FROM per CROSS JOIN lb ORDER BY seed""".stripMargin),
 
+    // -- RANK-BIASED OVERLAP (Webber et al. 2010) between the PageRank
+    //    top-20 and the in-degree top-20 — the indefinite-rank agreement
+    //    measure for comparing two rankers (does the cheap degree proxy
+    //    order pages like the expensive fixed point?). p = 1/2 makes
+    //    every weight a dyadic rational, so rbo_scaled = Σ_d ov_d ·
+    //    2^(20−d) · (lcm(1..20)/d) is EXACT in BIGINT and the double
+    //    derives once. Ranks by count-of-better self-join on the BOUNDED
+    //    node table (no partitionless window); depth sweep is a 20-row
+    //    frame --------------------------------------------------------
+    ("q_rbo",
+      (s: SparkSession, d: String) => {
+        val edges = clickEdges(s, d).localCheckpoint(true)
+        val pr = graft.ops.Graph.pageRank(edges, "src", "dst", iters = Iters)
+          .localCheckpoint(true) // node-table-sized, self-joined for ranks
+        val deg = edges.groupBy(col("dst").as("node"))
+          .agg(count(lit(1)).as("deg")).localCheckpoint(true)
+        def top20(dfx: DataFrame, v: String, rkName: String): DataFrame = {
+          val o = dfx.select(col("node").as("n2"), col(v).as("v2"))
+          dfx.join(o,
+              col("v2") > col(v) ||
+                (col("v2") === col(v) && col("n2") < col("node")), "left")
+            .groupBy("node").agg((count(col("n2")) + 1L).as(rkName))
+            .filter(col(rkName) <= 20L)
+        }
+        val j = top20(pr, "pr", "rka")
+          .join(top20(deg, "deg", "rkb"), Seq("node"))
+          .localCheckpoint(true) // <= 20 rows, read by every depth
+        val depths = s.range(1, 21).select(col("id").as("d"))
+        val ov = depths.join(j,
+            col("rka") <= col("d") && col("rkb") <= col("d"), "left")
+          .groupBy("d").agg(count(col("node")).as("ov"))
+        ov.agg(sum(expr(
+            "ov * shiftleft(1L, cast(20 - d AS INT)) * (232792560L div d)"))
+            .as("rbo_scaled"))
+          .select(col("rbo_scaled"),
+            round(col("rbo_scaled").cast("double") /
+              (1048576.0 * 232792560.0), 6).as("rbo"))
+      },
+      edgeCtes +
+        s""",
+          |nodes AS (SELECT DISTINCT node FROM
+          |  (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges) q),
+          |od AS (SELECT src AS onode, count(*) AS outdeg FROM edges GROUP BY 1),
+          |base AS (SELECT node, coalesce(outdeg, 0) AS outdeg
+          |  FROM nodes LEFT JOIN od ON node = onode),
+          |r0 AS (SELECT node, outdeg,
+          |  1000000000000 // (SELECT count(*) FROM base) AS pr FROM base),
+          |${oracleIterCtes(Iters)},
+          |prt AS MATERIALIZED (SELECT node, CAST(pr AS BIGINT) AS pr FROM r$Iters),
+          |dg AS MATERIALIZED (SELECT dst AS node, CAST(count(*) AS BIGINT) AS deg
+          |  FROM edges GROUP BY 1),
+          |ra AS (SELECT a.node, CAST(count(b.node) + 1 AS BIGINT) AS rka
+          |  FROM prt a LEFT JOIN prt b
+          |    ON b.pr > a.pr OR (b.pr = a.pr AND b.node < a.node)
+          |  GROUP BY 1 HAVING count(b.node) + 1 <= 20),
+          |rb AS (SELECT a.node, CAST(count(b.node) + 1 AS BIGINT) AS rkb
+          |  FROM dg a LEFT JOIN dg b
+          |    ON b.deg > a.deg OR (b.deg = a.deg AND b.node < a.node)
+          |  GROUP BY 1 HAVING count(b.node) + 1 <= 20),
+          |jj AS (SELECT ra.node, rka, rkb FROM ra JOIN rb USING (node)),
+          |ov AS (SELECT d, CAST(count(jj.node) AS BIGINT) AS ov
+          |  FROM range(1, 21) r(d) LEFT JOIN jj ON rka <= d AND rkb <= d
+          |  GROUP BY 1),
+          |agg AS (SELECT CAST(sum(ov * (1::BIGINT << CAST(20 - d AS INTEGER))
+          |    * (232792560 // d)) AS BIGINT) AS rbo_scaled FROM ov)
+          |SELECT rbo_scaled,
+          |  round(CAST(rbo_scaled AS DOUBLE) / (1048576.0 * 232792560.0), 6)
+          |    AS rbo
+          |FROM agg""".stripMargin),
+
+    // -- STRONGLY connected components via forward-backward min-label
+    //    rounds (FW-BW coloring — Fleischer et al. 2000): f(v)=b(v)=m is
+    //    a path certificate m →* v →* m, so the settle decision is sound
+    //    at any horizon; settled SCCs peel off and the residual re-runs,
+    //    each round opening with 4 TRIM passes (degree-0 nodes = their
+    //    own SCC — the DAG fringe settles without waiting on the peel).
+    //    3 outer × 8 inner rounds on the DIRECTED click graph (the CC
+    //    family above is undirected — direction is what makes page A→B
+    //    without B→A two components here). Gated as the component size
+    //    census incl. the unsettled-horizon row; scc id = min member.
+    //    Per inner step one O(|E|) keyed shuffle; DuckDB replays the
+    //    identical rounds -------------------------------------------------
+    ("q_scc",
+      (s: SparkSession, d: String) =>
+        // the raw click graph is one giant SCC at every SF (measured) —
+        // hash-thin forward edges and keep 1-in-7 back edges so the gate
+        // exercises multi-component peeling, not a single round-1 settle
+        graft.ops.Graph.scc(clickEdges(s, d).filter(
+            (col("src") < col("dst") &&
+              (col("src") * 13 + col("dst")) % 4 === 0) ||
+            (col("src") > col("dst") &&
+              (col("src") * 7 + col("dst")) % 7 === 0)),
+            "src", "dst", outer = 3, inner = 8)
+          .groupBy("scc", "settled_round")
+          .agg(count(lit(1)).as("n_nodes"))
+          .select("scc", "n_nodes", "settled_round")
+          .orderBy("scc"),
+      edgeCtes +
+        s""",
+          |ed AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges
+          |  WHERE src <> dst AND
+          |    ((src < dst AND (src * 13 + dst) % 4 = 0) OR
+          |     (src > dst AND (src * 7 + dst) % 7 = 0))),
+          |n1 AS (SELECT DISTINCT node FROM
+          |  (SELECT src AS node FROM ed UNION ALL SELECT dst FROM ed) q),
+          |er1 AS (SELECT src, dst FROM ed),
+          |${(1 to 3).map(r => sccRoundCtes(r, 8, 4)).mkString(",\n")},
+          |allset AS (
+          |  SELECT * FROM done1 UNION ALL SELECT * FROM done2
+          |  UNION ALL SELECT * FROM done3
+          |  UNION ALL SELECT node, CAST(NULL AS BIGINT),
+          |    CAST(NULL AS INTEGER) FROM n4)
+          |SELECT scc, CAST(count(*) AS BIGINT) AS n_nodes, settled_round
+          |FROM allset GROUP BY scc, settled_round ORDER BY scc""".stripMargin),
+
+    // -- iFUB diameter refinement (Crescenzi et al. 2013, "On computing
+    //    the diameter of real-world undirected graphs"): BFS from the
+    //    HIGHEST-DEGREE node (the published root heuristic), then
+    //    eccentricities of the ENTIRE deepest level set F_k via one
+    //    shared multi-BFS — after level k is exhausted, lb = max ecc over
+    //    F_k and the diameter is EXACT iff lb ≥ 2(k−1) (every node in a
+    //    shallower level has ecc ≤ dist(root)+k ≤ 2(k−1)); otherwise
+    //    ub = 2(k−1), already tighter than the trivial 2k. Unlike the
+    //    double-sweep LOWER bound, this certifies from ABOVE. Cost: two
+    //    shared sweeps; multi-BFS state is O(|F_k|·reached) — on
+    //    real-world graphs the deepest level is a thin fringe, but a
+    //    corpus-scale run should iterate levels k, k−1, … with a per-level
+    //    seed cap the way the paper processes them incrementally ---------
+    ("q_diameter_ifub",
+      (s: SparkSession, d: String) => {
+        val edges = clickEdges(s, d).localCheckpoint(true) // both sweeps
+        val sym = edges.union(
+            edges.select(col("dst").as("src"), col("src").as("dst")))
+          .distinct()
+        val deg = sym.groupBy(col("src").as("node"))
+          .agg(count(lit(1)).as("deg"))
+        val root = deg.orderBy(col("deg").desc, col("node")).limit(1)
+          .localCheckpoint(true) // 1 row, read by BFS seed + final select
+        val b1 = graft.ops.Graph.multiBfsLevels(edges, "src", "dst",
+          root.select("node"), "node", iters = 6)
+        val k = b1.agg(max(col("dist")).as("ecc_root"))
+        val fringe = b1.join(broadcast(k), col("dist") === col("ecc_root"))
+          .select("node")
+        val b2 = graft.ops.Graph.multiBfsLevels(edges, "src", "dst",
+          fringe, "node", iters = 6)
+        val eccs = b2.groupBy("seed").agg(max(col("dist")).as("ecc"))
+        val lbx = eccs.agg(max(col("ecc")).as("lb"),
+          count(lit(1)).as("fringe_size"))
+        root.select(col("node").as("root_node"), col("deg").as("root_deg"))
+          .crossJoin(broadcast(k))
+          .crossJoin(broadcast(lbx))
+          .select(col("root_node"), col("root_deg"), col("ecc_root"),
+            col("fringe_size"), col("lb"),
+            when(col("lb") >= (col("ecc_root") - 1) * 2, col("lb"))
+              .otherwise((col("ecc_root") - 1) * 2).as("ub"),
+            (col("lb") >= (col("ecc_root") - 1) * 2).as("exact"))
+      },
+      edgeCtes +
+        s""",
+          |sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM
+          |  (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges) q),
+          |deg AS (SELECT src AS node, cast(count(*) AS BIGINT) AS deg
+          |        FROM sym GROUP BY 1),
+          |root AS (SELECT node, deg FROM deg ORDER BY deg DESC, node LIMIT 1),
+          |c0 AS (SELECT node AS seed, node, CAST(0 AS BIGINT) AS dist FROM root),
+          |${mbfsIterCtes(6)},
+          |k AS (SELECT max(dist) AS ecc_root FROM c6),
+          |fringe AS (SELECT c6.node FROM c6 CROSS JOIN k WHERE dist = ecc_root),
+          |d0 AS (SELECT node AS seed, node, CAST(0 AS BIGINT) AS dist FROM fringe),
+          |${mbfsIterCtes(6, c = "d", g = "h")},
+          |e AS (SELECT seed, max(dist) AS ecc FROM d6 GROUP BY 1),
+          |lbx AS (SELECT max(ecc) AS lb, cast(count(*) AS BIGINT) AS fringe_size
+          |        FROM e)
+          |SELECT root.node AS root_node, root.deg AS root_deg, ecc_root,
+          |  fringe_size, lb,
+          |  CASE WHEN lb >= 2 * (ecc_root - 1) THEN lb
+          |       ELSE 2 * (ecc_root - 1) END AS ub,
+          |  lb >= 2 * (ecc_root - 1) AS exact
+          |FROM root CROSS JOIN k CROSS JOIN lbx""".stripMargin),
+
     // -- WEIGHTED diameter lower bound: the q_diameter double sweep on
     //    the WEIGHTED click graph (q_sssp's synthetic per-edge costs) —
     //    two Bellman–Ford sweeps through the shared sssp core instead of
@@ -1002,6 +1182,57 @@ object GraphOps {
          |  WHERE NOT EXISTS (SELECT 1 FROM $c${i - 1} x
          |                    WHERE x.seed = g.seed AND x.node = g.node))""".stripMargin
     }.mkString(",\n")
+
+  /** One OUTER round of the q_scc oracle, mirroring Graph.scc: `inner`
+    * min-label steps along the residual edges (f side) and against them
+    * (b side), nodes with f = b settle, the rest become round r+1's
+    * residual. Expects n$r (residual nodes) and er$r (residual edges) to
+    * exist; emits done$r plus n${r+1}/er${r+1}.
+    */
+  private def sccRoundCtes(r: Int, inner: Int, trim: Int): String = {
+    // every step CTE is MATERIALIZED: each references its predecessor
+    // twice, so inlining would re-expand the whole chain exponentially
+    // across 3 rounds × (trim + 2·inner) steps — the hang is real
+    val trimCtes =
+      s"k${r}_0 AS MATERIALIZED (SELECT node FROM n$r),\n" +
+        s"e${r}_0 AS MATERIALIZED (SELECT src, dst FROM er$r),\n" +
+        (1 to trim).map { t =>
+          s"""k${r}_$t AS MATERIALIZED (SELECT node FROM k${r}_${t - 1}
+             |  WHERE node IN (SELECT src FROM e${r}_${t - 1})
+             |    AND node IN (SELECT dst FROM e${r}_${t - 1})),
+             |e${r}_$t AS MATERIALIZED (SELECT e.src, e.dst FROM e${r}_${t - 1} e
+             |  JOIN k${r}_$t ka ON e.src = ka.node
+             |  JOIN k${r}_$t kb ON e.dst = kb.node)""".stripMargin
+        }.mkString(",\n") +
+        s""",
+           |trimdone$r AS MATERIALIZED (SELECT node, node AS scc,
+           |  CAST($r AS INTEGER) AS settled_round FROM n$r
+           |  WHERE node NOT IN (SELECT node FROM k${r}_$trim))""".stripMargin
+    def side(tag: String, sc: String, dc: String): String =
+      s"${tag}${r}_0 AS MATERIALIZED (SELECT node, node AS lbl FROM k${r}_$trim),\n" +
+        (1 to inner).map { i =>
+          s"""${tag}c${r}_$i AS MATERIALIZED (SELECT e.$dc AS node, min(p.lbl) AS inlbl
+             |  FROM e${r}_$trim e JOIN ${tag}${r}_${i - 1} p ON e.$sc = p.node
+             |  GROUP BY 1),
+             |${tag}${r}_$i AS MATERIALIZED (
+             |  SELECT n.node, least(n.lbl, coalesce(c.inlbl, n.lbl)) AS lbl
+             |  FROM ${tag}${r}_${i - 1} n
+             |  LEFT JOIN ${tag}c${r}_$i c USING (node))""".stripMargin
+        }.mkString(",\n")
+    trimCtes + ",\n" +
+      side("f", "src", "dst") + ",\n" + side("b", "dst", "src") +
+      s""",
+         |lab$r AS MATERIALIZED (SELECT f.node, f.lbl AS flbl, b.lbl AS blbl
+         |  FROM f${r}_$inner f JOIN b${r}_$inner b USING (node)),
+         |done$r AS MATERIALIZED (SELECT node, flbl AS scc,
+         |  CAST($r AS INTEGER) AS settled_round
+         |  FROM lab$r WHERE flbl = blbl
+         |  UNION ALL SELECT node, scc, settled_round FROM trimdone$r),
+         |n${r + 1} AS MATERIALIZED (SELECT node FROM lab$r WHERE flbl <> blbl),
+         |er${r + 1} AS MATERIALIZED (SELECT e.src, e.dst FROM e${r}_$trim e
+         |  JOIN n${r + 1} a ON e.src = a.node
+         |  JOIN n${r + 1} b2 ON e.dst = b2.node)""".stripMargin
+  }
 
   /** One BFS round for the q_bfs_levels oracle, mirroring Graph.bfsLevels:
     * expand only the previous round's frontier, dedupe, anti-join against

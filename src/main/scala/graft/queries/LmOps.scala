@@ -99,6 +99,68 @@ object LmOps {
         |  round(xent_cur - xent_ref, 4) AS delta
         |FROM agg ORDER BY source""".stripMargin),
 
+    // -- PER-SOURCE SEASONAL XENT: q_xent_drift's monitor crossed with
+    //    q_seasonal_dow's weekday split — per (source, crawl-day-of-week)
+    //    mean reference-LM cross-entropy plus each weekday's deviation
+    //    from its source's overall mean (the "is Saturday's crawl slice
+    //    systematically off-model for this source" signal). doc_id % 7
+    //    stands in for the crawl weekday exactly as q_xent_drift's
+    //    doc_id % 2 stands in for release halves. Shape: the shared
+    //    scorer + one sources×7-sized agg; the per-source mean is
+    //    re-derived from the SAME dec6 sums, so the deviation is exact --
+    ("q_xent_seasonal",
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        val scored = graft.ops.LangModel.unigramCrossEntropy(
+          docs, "doc_id", "text", refPred = col("lang") === "en")
+        val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+        val j = scored.join(docs.select(col("doc_id"), col("source")), "doc_id")
+          .withColumn("dow", pmod(col("doc_id"), lit(7L)))
+        val byDow = j.groupBy("source", "dow").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("xent").cast(dec)).as("xsum"))
+        val bySrc = byDow.groupBy("source").agg(
+          (sum(col("xsum")).cast("double") / sum(col("n_docs"))).as("src_raw"))
+        byDow.join(broadcast(bySrc), Seq("source"))
+          .select(col("source"), col("dow"), col("n_docs"),
+            round(col("xsum").cast("double") / col("n_docs"), 4).as("xent_dow"),
+            round(col("src_raw"), 4).as("xent_src"),
+            // + 0.0 folds IEEE -0.0 to +0.0 (a dev of -0.00004 rounds to
+            // the SIGNED zero; the gate's canonical row sort is stringly)
+            (round(col("xsum").cast("double") / col("n_docs") - col("src_raw"), 4)
+              + lit(0.0)).as("dev"))
+          .orderBy("source", "dow")
+      },
+      """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS word
+        |             FROM documents),
+        |tf AS (SELECT doc_id, word, cast(count(*) AS BIGINT) AS tf
+        |       FROM tok GROUP BY 1, 2),
+        |ref AS (SELECT word, cast(count(*) AS BIGINT) AS wc
+        |        FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS word
+        |              FROM documents WHERE lang = 'en') GROUP BY 1),
+        |stats AS (SELECT cast(sum(wc) AS BIGINT) AS n_ref,
+        |            cast(count(*) AS BIGINT) AS v_ref FROM ref),
+        |lp AS (SELECT tf.doc_id, tf.tf,
+        |         cast(round(ln(cast(coalesce(ref.wc, 0) + 1 AS DOUBLE) /
+        |           cast(n_ref + v_ref + 1 AS DOUBLE)), 6) AS DECIMAL(18,6)) AS lnp
+        |       FROM tf LEFT JOIN ref USING (word) CROSS JOIN stats),
+        |x AS (SELECT doc_id,
+        |        round(cast(-sum(tf * lnp) AS DOUBLE) / sum(tf), 4) AS xent
+        |      FROM lp GROUP BY 1),
+        |jj AS (SELECT x.doc_id, dd.source, x.doc_id % 7 AS dow, xent
+        |       FROM x JOIN documents dd ON x.doc_id = dd.doc_id),
+        |bd AS (SELECT source, dow, cast(count(*) AS BIGINT) AS n_docs,
+        |         sum(cast(xent AS DECIMAL(18,6))) AS xsum
+        |       FROM jj GROUP BY 1, 2),
+        |bs AS (SELECT source,
+        |         cast(sum(xsum) AS DOUBLE) / sum(n_docs) AS src_raw
+        |       FROM bd GROUP BY 1)
+        |SELECT source, dow, n_docs,
+        |  round(cast(xsum AS DOUBLE) / n_docs, 4) AS xent_dow,
+        |  round(src_raw, 4) AS xent_src,
+        |  round(cast(xsum AS DOUBLE) / n_docs - src_raw, 4) + 0.0 AS dev
+        |FROM bd JOIN bs USING (source) ORDER BY source, dow""".stripMargin),
+
     // -- DSIR importance weights: unigram+bigram features hashed into
     //    1024 buckets (cross-engine 60-bit md5), per-bucket smoothed
     //    target-vs-raw log-likelihood ratio, per-doc decimal-exact sum.

@@ -326,6 +326,88 @@ object MoreOps3 {
         |  CAST((cast(n_ab AS HUGEINT) * n_orders * 1000000)
         |    // (cast(ca.n_item AS HUGEINT) * cb.n_item) AS BIGINT) AS lift_e6
         |FROM pr JOIN cnt ca ON pr.a = ca.pk JOIN cnt cb ON pr.b = cb.pk
-        |CROSS JOIN no ORDER BY a, b""".stripMargin)
+        |CROSS JOIN no ORDER BY a, b""".stripMargin),
+
+    // -- exact Kendall tau-b between daily purchase revenue and daily
+    //    event volume: the rank statistic that q_spearman's midranks
+    //    approximate, computed from EXACT concordant/discordant/tie pair
+    //    counts. Scale shape: the corpus reduces to the DAYS table first
+    //    (one groupBy with map-side combine), and the O(days²) pair join
+    //    runs on that BOUNDED table — day count grows with the time
+    //    horizon, not the corpus, so 100× data is the same pair count.
+    //    Concordance decided by sign comparison (no diff products — cents
+    //    × count diffs would be fine today but the comparison form never
+    //    overflows); tau-b denominator per-factor sqrt'd ------------------
+    ("q_kendall",
+      (s: SparkSession, d: String) => {
+        val byDay = t(s, d, "events")
+          .select(expr("ts div 86400000000000").as("day"), col("event_type"),
+            cents(col("value")).as("c"))
+          .groupBy("day")
+          .agg(sum(when(col("event_type") === "purchase", col("c"))
+            .otherwise(0L)).as("x"),
+            count(lit(1)).as("y"))
+          .localCheckpoint(true) // days-sized, read by pairs + the count
+        val a = byDay.select(col("day").as("di"), col("x").as("xi"),
+          col("y").as("yi"))
+        val b = byDay.select(col("day").as("dj"), col("x").as("xj"),
+          col("y").as("yj"))
+        val cnt = pairsAgg(a.join(b, col("di") < col("dj")))
+        cnt.crossJoin(broadcast(byDay.agg(count(lit(1)).as("n_days"))))
+          .select(col("n_days"), col("nc"), col("nd"),
+            col("tx"), col("ty"), col("txy"),
+            when((col("nc") + col("nd") + col("ty")) > 0L &&
+              (col("nc") + col("nd") + col("tx")) > 0L,
+              round((col("nc") - col("nd")).cast("double") /
+                (sqrt((col("nc") + col("nd") + col("ty")).cast("double")) *
+                  sqrt((col("nc") + col("nd") + col("tx")).cast("double"))), 6))
+              .as("tau_b"))
+      },
+      """WITH bd AS (SELECT epoch_ms(ts) // 86400000 AS day,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |                  THEN CAST(round(value * 100) AS BIGINT)
+        |                  ELSE 0 END) AS BIGINT) AS x,
+        |    CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |pr AS (SELECT
+        |    CAST(sum(CASE WHEN (a.x < b.x AND a.y < b.y)
+        |                    OR (a.x > b.x AND a.y > b.y)
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+        |    CAST(sum(CASE WHEN (a.x < b.x AND a.y > b.y)
+        |                    OR (a.x > b.x AND a.y < b.y)
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS nd,
+        |    CAST(sum(CASE WHEN a.x = b.x AND a.y <> b.y
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+        |    CAST(sum(CASE WHEN a.y = b.y AND a.x <> b.x
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS ty,
+        |    CAST(sum(CASE WHEN a.x = b.x AND a.y = b.y
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS txy
+        |  FROM bd a JOIN bd b ON a.day < b.day),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM bd)
+        |SELECT n_days, nc, nd, tx, ty, txy,
+        |  CASE WHEN nc + nd + ty > 0 AND nc + nd + tx > 0
+        |       THEN round(CAST(nc - nd AS DOUBLE) /
+        |         (sqrt(CAST(nc + nd + ty AS DOUBLE)) *
+        |          sqrt(CAST(nc + nd + tx AS DOUBLE))), 6)
+        |  END AS tau_b
+        |FROM pr CROSS JOIN nn""".stripMargin)
   )
+
+  /** Exact Kendall pair-count aggregate over a (xi, yi) × (xj, yj) pair
+    * frame: concordant, discordant, x-only ties, y-only ties, both-tied.
+    */
+  private def pairsAgg(pairs: DataFrame): DataFrame =
+    pairs.agg(
+      sum(when((col("xi") < col("xj") && col("yi") < col("yj")) ||
+        (col("xi") > col("xj") && col("yi") > col("yj")), 1L)
+        .otherwise(0L)).as("nc"),
+      sum(when((col("xi") < col("xj") && col("yi") > col("yj")) ||
+        (col("xi") > col("xj") && col("yi") < col("yj")), 1L)
+        .otherwise(0L)).as("nd"),
+      sum(when(col("xi") === col("xj") && col("yi") =!= col("yj"), 1L)
+        .otherwise(0L)).as("tx"),
+      sum(when(col("yi") === col("yj") && col("xi") =!= col("xj"), 1L)
+        .otherwise(0L)).as("ty"),
+      sum(when(col("xi") === col("xj") && col("yi") === col("yj"), 1L)
+        .otherwise(0L)).as("txy"))
 }

@@ -636,6 +636,64 @@ object ProfileOps {
     //    secretly one crawl seed" gate. One groupBy(source) then
     //    sources-sized algebra; HHI numerator in DECIMAL (n² wraps long
     //    past ~3e9 docs in one source) --------------------------------------
+    // -- deterministic POISSON BOOTSTRAP standard error of the mean doc
+    //    length: 32 hash-seeded resamples (per-(doc, b) weight ~Poisson(1)
+    //    via the md5 ‰-table 3679/7358/9197/9810 — the cumulative pmf at
+    //    0..3), per-resample means dec6-rounded so the across-resample
+    //    moments are EXACT decimal sums, SE from the closed form. This is
+    //    how a pipeline attaches uncertainty to corpus stats without
+    //    sampling nondeterminism: one explode ×32 (map-side, linear), one
+    //    32-group agg, algebra on 32 rows ---------------------------------
+    ("q_bootstrap_se",
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents").select(col("doc_id"), col("n_chars"))
+        val rs = docs
+          .select(col("doc_id"), col("n_chars"),
+            explode(expr("sequence(0, 31)")).as("b"))
+          .withColumn("h", expr("cast(conv(substr(md5(concat(" +
+            "cast(doc_id AS STRING), '|', cast(b AS STRING))), 1, 15), " +
+            "16, 10) AS BIGINT) % 10000"))
+          .withColumn("w", when(col("h") < 3679, 0L)
+            .when(col("h") < 7358, 1L).when(col("h") < 9197, 2L)
+            .when(col("h") < 9810, 3L).otherwise(4L))
+        val means = rs.groupBy("b").agg(
+            sum(col("w")).as("n_eff"),
+            sum(col("w") * col("n_chars")).as("xsum"))
+          .select(round(col("xsum").cast("double") / col("n_eff"), 6)
+            .cast(DecimalType(18, 6)).as("m"))
+        val bm = means.agg(sum(col("m")).as("sm"),
+          sum(col("m") * col("m")).as("sm2"))
+        val full = docs.agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("xs"))
+        full.crossJoin(broadcast(bm)) // two 1-row frames
+          .select(col("n_docs"),
+            round(col("xs").cast("double") / col("n_docs"), 6).as("mean_full"),
+            round(col("sm").cast("double") / 32.0, 6).as("boot_mean"),
+            round(sqrt((col("sm2").cast("double") -
+              col("sm").cast("double") * col("sm").cast("double") / 32.0)
+              / 31.0), 6).as("boot_se"))
+      },
+      """WITH rs AS (SELECT doc_id, n_chars, b,
+        |    ('0x' || substr(md5(doc_id || '|' || b), 1, 15))::BIGINT % 10000 AS h
+        |  FROM documents, range(0, 32) r(b)),
+        |ws AS (SELECT b, n_chars,
+        |    CASE WHEN h < 3679 THEN 0 WHEN h < 7358 THEN 1
+        |         WHEN h < 9197 THEN 2 WHEN h < 9810 THEN 3 ELSE 4 END AS w
+        |  FROM rs),
+        |means AS (SELECT CAST(round(CAST(sum(w * n_chars) AS DOUBLE)
+        |    / sum(w), 6) AS DECIMAL(18,6)) AS m
+        |  FROM ws GROUP BY b),
+        |bm AS (SELECT sum(m) AS sm, sum(m * m) AS sm2 FROM means),
+        |f AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS xs FROM documents)
+        |SELECT n_docs,
+        |  round(CAST(xs AS DOUBLE) / n_docs, 6) AS mean_full,
+        |  round(CAST(sm AS DOUBLE) / 32.0, 6) AS boot_mean,
+        |  round(sqrt((CAST(sm2 AS DOUBLE)
+        |    - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE) / 32.0) / 31.0), 6)
+        |    AS boot_se
+        |FROM f CROSS JOIN bm""".stripMargin),
+
     ("q_source_diversity",
       (s: SparkSession, d: String) => {
         val dec = DecimalType(38, 0)

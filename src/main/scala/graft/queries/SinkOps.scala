@@ -950,7 +950,40 @@ object SinkOps {
         |  CAST(max(CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT))
         |    AS BIGINT) AS max_words,
         |  CAST(sum(n_chars) AS BIGINT) AS chars
-        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin))
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // -- ONE-PASS EVOLVE+COMPACT under the hash gate: the same re-key as
+    //    q_partition_evolve but via Layout.evolveCompact — one read, one
+    //    shuffle, one write, and exactly ONE sorted file per target dir.
+    //    max_files (computed from the on-disk store) is gated at literal 1:
+    //    any fragmentation regression breaks the hash alongside any data
+    //    loss. Crash-at-swap recovery shares recoverSwap's protocol -------
+    ("q_evolve_compact",
+      (s: SparkSession, d: String) => {
+        val dir = storeDir("evocomp", d)
+        deleteRecursively(new java.io.File(dir))
+        graft.ops.Layout.writePartitioned(
+          t(s, d, "documents"), dir, "source", Seq("doc_id"))
+        graft.ops.Layout.evolveCompact(s, dir, "source", "lang",
+          Seq("doc_id"))
+        val maxFiles = graft.ops.Layout.filesPerPartition(dir)
+          .values.max
+        s.read.parquet(dir)
+          .filter(col("lang").isin("en", "de"))
+          .groupBy("lang", "source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("chars"),
+            min(col("doc_id")).as("first_id"),
+            max(col("doc_id")).as("last_id"))
+          .withColumn("max_files", lit(maxFiles))
+          .orderBy("lang", "source")
+      },
+      """SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars,
+        |  min(doc_id) AS first_id, max(doc_id) AS last_id,
+        |  CAST(1 AS INTEGER) AS max_files
+        |FROM documents WHERE lang IN ('en', 'de')
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
   /** One bit-plane step of the Hilbert fold for the q_hilbert oracle:
     * step `i` handles s = 2^(16-i). The d increment and the

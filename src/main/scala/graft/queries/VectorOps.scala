@@ -249,6 +249,68 @@ object VectorOps {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |ORDER BY cos DESC, a, b LIMIT 20""".stripMargin),
 
+    // -- ColBERT-style MaxSim late interaction (Khattab & Zaharia 2020):
+    //    each 64-dim embedding chunked into 4 16-dim "token" vectors;
+    //    score(q, doc) = Σ_i max_j cos(q_i, doc_j) — the retrieval scorer
+    //    that keeps per-token granularity without an all-token join
+    //    blowup. Shape: the bounded query-token frame BROADCASTS against
+    //    the corpus token stream (16 pairs per doc — linear in corpus);
+    //    per-token maxes are plain doubles (bitwise-deterministic), the
+    //    4-term sum dec6-rounded first so accumulation order is free.
+    //    Top-5 per query by exact decimal score, window over the bounded
+    //    query partitions only ---------------------------------------------
+    ("q_maxsim",
+      (s: SparkSession, d: String) => {
+        val toks = t(s, d, "embeddings")
+          .select(col("vec_id"), explode(expr(
+            "transform(sequence(0, 3), c -> " +
+              "struct(c AS ti, slice(embedding, c * 16 + 1, 16) AS tv))"))
+            .as("tk"))
+          .select(col("vec_id"), col("tk.ti").as("ti"), col("tk.tv").as("tv"))
+          .withColumn("nrm", sqrt(vecDot(col("tv"), col("tv"))))
+        val qt = toks.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("qid"), col("ti").as("qi"),
+            col("tv").as("qv"), col("nrm").as("qn"))
+        val dt = toks.filter(col("vec_id") >= 3)
+          .select(col("vec_id").as("did"), col("tv").as("dv"),
+            col("nrm").as("dn"))
+        val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+        val best = dt.crossJoin(broadcast(qt))
+          .groupBy("qid", "did", "qi")
+          .agg(max(vecDot(col("qv"), col("dv")) / (col("qn") * col("dn")))
+            .as("mx"))
+        val scored = best.groupBy("qid", "did")
+          .agg(sum(round(col("mx"), 6).cast(dec)).as("score"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(desc("score"), asc("did"))
+        scored.withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 5L)
+          .select(col("qid"), col("rk"), col("did"),
+            round(col("score").cast("double"), 4).as("maxsim"))
+          .orderBy("qid", "rk")
+      },
+      """WITH e AS (SELECT vec_id, [cast(x AS DOUBLE) for x in embedding] AS v
+        |           FROM embeddings),
+        |tok AS (SELECT vec_id, c AS ti, v[c*16+1 : c*16+16] AS tv
+        |        FROM e, range(0, 4) r(c)),
+        |tn AS (SELECT vec_id, ti, tv, sqrt(list_dot_product(tv, tv)) AS nrm
+        |       FROM tok),
+        |qt AS (SELECT vec_id AS qid, ti AS qi, tv AS qv, nrm AS qn
+        |       FROM tn WHERE vec_id < 3),
+        |dt AS (SELECT vec_id AS did, tv AS dv, nrm AS dn
+        |       FROM tn WHERE vec_id >= 3),
+        |best AS (SELECT qid, did, qi,
+        |           max(list_dot_product(qv, dv) / (qn * dn)) AS mx
+        |         FROM qt, dt GROUP BY 1, 2, 3),
+        |sc AS (SELECT qid, did,
+        |         sum(cast(round(mx, 6) AS DECIMAL(18,6))) AS score
+        |       FROM best GROUP BY 1, 2),
+        |rk AS (SELECT qid, did, score,
+        |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, did) AS rk
+        |       FROM sc)
+        |SELECT qid, rk, did, round(cast(score AS DOUBLE), 4) AS maxsim
+        |FROM rk WHERE rk <= 5 ORDER BY qid, rk""".stripMargin),
+
     // -- per-label embedding stats (norm distribution) --------------------
     ("q_embed_stats",
       (s: SparkSession, d: String) => {

@@ -465,4 +465,68 @@ class GraphSpec extends SparkSuite {
         (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
     assert(part.keySet === Set(0L) && part(0L)._1 === 3L && part(0L)._2 === 3L)
   }
+
+  test("scc: cycles settle whole with min-member ids, DAG nodes trim as " +
+      "singletons, direction matters") {
+    import spark.implicits._
+    // 1→2→3→1 (SCC {1,2,3}), 3→4→5 (DAG tail), 5→6, 6→5 (SCC {5,6}),
+    // 7→3 (DAG head). Undirected CC would be ONE component.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
+      (5L, 6L), (6L, 5L), (7L, 3L)).toDF("src", "dst")
+    val got = Graph.scc(edges, "src", "dst", outer = 3, inner = 8)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L))
+    // deterministic across reruns
+    val again = Graph.scc(edges, "src", "dst", outer = 3, inner = 8)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(again === got)
+    // two disjoint 3-cycles never merge (no path between them)
+    val two = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (10L, 11L), (11L, 12L), (12L, 10L)).toDF("src", "dst")
+    val t2 = Graph.scc(two, "src", "dst").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(t2 === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
+  test("iFUB certification: fringe eccentricities from a high-degree root " +
+      "prove the exact diameter on a path, bracket it on a lollipop") {
+    import spark.implicits._
+    // q_diameter_ifub's composition over multiBfsLevels, hand-checkable:
+    // lb = max ecc over the deepest level set F_k of the root's BFS,
+    // exact iff lb >= 2(k-1) (Crescenzi et al. 2013, Thm 3 specialized
+    // to processing level k only).
+    def ifub(edges: Seq[(Long, Long)]): (Long, Long, Long, Boolean) = {
+      val df = edges.toDF("src", "dst")
+      val sym = df.union(df.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+      val root = sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+        .orderBy(col("deg").desc, col("node")).limit(1).select("node")
+      val b1 = Graph.multiBfsLevels(df, "src", "dst", root, "node", iters = 8)
+      val k = b1.agg(max(col("dist"))).head().getLong(0)
+      val fringe = b1.filter(col("dist") === k).select("node")
+      val lb = Graph.multiBfsLevels(df, "src", "dst", fringe, "node", iters = 8)
+        .groupBy("seed").agg(max(col("dist")).as("ecc"))
+        .agg(max(col("ecc"))).head().getLong(0)
+      val exact = lb >= 2 * (k - 1)
+      (k, lb, if (exact) lb else 2 * (k - 1), exact)
+    }
+    // path 1-2-3-4-5: root ties resolve to node 2 (deg 2), ecc=3,
+    // fringe={5}, ecc(5)=4 = diameter; 4 >= 2*(3-1) certifies EXACT
+    val (k1, lb1, ub1, ex1) = ifub(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)))
+    assert(k1 === 3L && lb1 === 4L && ub1 === 4L && ex1)
+    // lollipop: 4-clique {1..4} + tail 4-5-6-7. Root = 4 (deg 4), ecc=3,
+    // fringe={7}, ecc(7)=4 = true diameter, certified exact again
+    val clique = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val (k2, lb2, ub2, ex2) =
+      ifub(clique ++ Seq((4L, 5L), (5L, 6L), (6L, 7L)))
+    assert(k2 === 3L && lb2 === 4L && ub2 === 4L && ex2)
+    // star: root = center, k=1 -> fringe is ALL leaves, lb=2 >= 2(k-1)=0,
+    // exact diameter 2 at one level's cost
+    val (k3, lb3, ub3, ex3) = ifub((2L to 9L).map(i => (1L, i)))
+    assert(k3 === 1L && lb3 === 2L && ub3 === 2L && ex3)
+  }
 }

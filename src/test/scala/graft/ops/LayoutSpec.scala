@@ -527,6 +527,56 @@ class LayoutSpec extends SparkSuite {
     assert(back.columns.contains("source"))
   }
 
+  test("evolveCompact re-keys losslessly in ONE pass and leaves one file per target dir") {
+    val dir = freshDir()
+    // fragment the source layout first (two appends per source value) so
+    // single-file-ness of the RESULT is a real claim, not an accident.
+    // Split on doc_id % 40 < 20, NOT parity: the fixture's source cycles
+    // with doc_id % 20, so any split that subsets residues mod 20 would
+    // touch disjoint dirs; half-blocks of 40 hit every source twice
+    Layout.writePartitioned(docs.filter(pmod(col("doc_id"), lit(40)) < 20),
+      dir, "source", Seq("doc_id"))
+    Layout.append(docs.filter(pmod(col("doc_id"), lit(40)) >= 20),
+      dir, "source", Seq("doc_id"))
+    assert(Layout.filesPerPartition(dir).values.exists(_ > 1),
+      "need a fragmented source store for the compaction claim")
+    val created = Layout.evolveCompact(spark, dir, "source", "lang", Seq("doc_id"))
+    assert(created.nonEmpty && created.forall(_.startsWith("lang=")))
+    val fpp = Layout.filesPerPartition(dir)
+    assert(fpp.keys.forall(_.startsWith("lang=")))
+    assert(fpp.values.forall(_ == 1), s"expected 1 file/dir, got $fpp")
+    val back = spark.read.parquet(dir)
+    assert(back.columns.contains("source") && back.columns.contains("lang"))
+    val orig = docs.select(back.columns.map(col): _*)
+    assert(back.exceptAll(orig).isEmpty && orig.exceptAll(back).isEmpty)
+    assert(!new java.io.File(dir + "__evolvecompact").exists())
+    assert(!new java.io.File(dir + "__old").exists())
+  }
+
+  test("evolveCompact rolls a crash at the swap back and a rerun completes") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = freshDir()
+    Layout.writePartitioned(docs, dir, "source", Seq("doc_id"))
+    val expected = docs.count()
+    // crash state BETWEEN the two swap renames: live moved aside to __old,
+    // a complete scratch present but not yet renamed live
+    spark.read.option("basePath", dir).parquet(dir)
+      .repartition(col("lang"))
+      .write.mode("overwrite").partitionBy("lang")
+      .parquet(dir + "__evolvecompact")
+    Files.move(Paths.get(dir), Paths.get(dir + "__old"),
+      StandardCopyOption.ATOMIC_MOVE)
+    // recovery rolls __old back live, discards scratch, rerun re-evolves
+    val created = Layout.evolveCompact(spark, dir, "source", "lang", Seq("doc_id"))
+    assert(created.nonEmpty)
+    val back = spark.read.parquet(dir)
+    assert(back.count() === expected, "crash leftovers must not duplicate or lose rows")
+    assert(Layout.filesPerPartition(dir).keys.forall(_.startsWith("lang=")))
+    // rerun AFTER success (no fromCol dirs left) is a documented no-op
+    assert(Layout.evolveCompact(spark, dir, "source", "lang", Seq("doc_id")).isEmpty)
+    assert(back.count() === expected)
+  }
+
   test("vacuumRetention: expired dirs dropped via footers, boundary rewritten, live untouched") {
     val dir = freshDir()
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
