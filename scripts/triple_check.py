@@ -29,6 +29,7 @@ LOADS = {
     # entries may be "duckdb_expr AS name" — DuckDB evaluates the
     # expression during the load, SQLite stores the aliased column
     "events": ["epoch_ms(ts) AS ms", "event_type", "value"],
+    "documents": ["lang", "n_chars"],
 }
 
 # SQLite-dialect twins of NON-portable DuckDB oracles (same output column
@@ -138,6 +139,65 @@ QUERIES = {
             * (SELECT sum(round((ginig-adot)*(ginig-adot), 6))
                FROM aj CROSS JOIN md)), 6) AS jack_se
         FROM tot CROSS JOIN s2""",
+    # round-13 cont.: exact Kendall pair counts (pure integers + sqrt)
+    "q_kendall": """
+        WITH bd AS (SELECT ms/86400000 AS day,
+            CAST(sum(CASE WHEN event_type='purchase'
+                 THEN CAST(round(value*100) AS INTEGER) ELSE 0 END)
+              AS INTEGER) AS x,
+            count(*) AS y
+          FROM events GROUP BY 1),
+        pr AS (SELECT
+            sum(CASE WHEN (a.x<b.x AND a.y<b.y) OR (a.x>b.x AND a.y>b.y)
+                THEN 1 ELSE 0 END) AS nc,
+            sum(CASE WHEN (a.x<b.x AND a.y>b.y) OR (a.x>b.x AND a.y<b.y)
+                THEN 1 ELSE 0 END) AS nd,
+            sum(CASE WHEN a.x=b.x AND a.y<>b.y THEN 1 ELSE 0 END) AS tx,
+            sum(CASE WHEN a.y=b.y AND a.x<>b.x THEN 1 ELSE 0 END) AS ty,
+            sum(CASE WHEN a.x=b.x AND a.y=b.y THEN 1 ELSE 0 END) AS txy
+          FROM bd a JOIN bd b ON a.day < b.day),
+        nn AS (SELECT count(*) AS n_days FROM bd)
+        SELECT n_days, nc, nd, tx, ty, txy,
+          CASE WHEN nc+nd+ty > 0 AND nc+nd+tx > 0 THEN
+            round(CAST(nc-nd AS REAL)/(sqrt(nc+nd+ty)*sqrt(nc+nd+tx)), 6)
+          END AS tau_b
+        FROM pr CROSS JOIN nn""",
+    # exact dyadic EWMA — SQLite's << replays the integer-scaled form
+    "q_ewma": """
+        WITH bd AS (SELECT ms/86400000 AS day,
+            CAST(sum(CAST(round(value*100) AS INTEGER)) AS INTEGER)
+              AS day_cents
+          FROM events WHERE event_type='purchase' GROUP BY 1),
+        w AS (SELECT a.day, a.day_cents,
+            sum(b.day_cents * (1 << (19 - (a.day - b.day)))) AS ewma_scaled
+          FROM bd a JOIN bd b ON b.day <= a.day AND b.day > a.day - 20
+          GROUP BY 1, 2)
+        SELECT day, day_cents, ewma_scaled,
+          round(CAST(ewma_scaled AS REAL)/1048576.0, 6) AS ewma
+        FROM w ORDER BY day""",
+    # Welch's t — REAL sums of squares under the tolerance compare (the
+    # gate's DECIMAL(38,0) moments have no SQLite counterpart)
+    "q_welch_t": """
+        WITH m AS (SELECT
+            sum(CASE WHEN lang='en' THEN 1 ELSE 0 END) AS na,
+            sum(CASE WHEN lang='en' THEN n_chars ELSE 0 END) AS sa,
+            sum(CASE WHEN lang='en' THEN CAST(n_chars AS REAL)*n_chars
+                ELSE 0 END) AS qa,
+            sum(CASE WHEN lang='de' THEN 1 ELSE 0 END) AS nb,
+            sum(CASE WHEN lang='de' THEN n_chars ELSE 0 END) AS sb,
+            sum(CASE WHEN lang='de' THEN CAST(n_chars AS REAL)*n_chars
+                ELSE 0 END) AS qb
+          FROM documents WHERE lang IN ('en','de')),
+        e AS (SELECT na, nb,
+            CAST(sa AS REAL)/na AS ma, CAST(sb AS REAL)/nb AS mb,
+            (qa - CAST(sa AS REAL)*sa/na)/(na-1)/na AS s2a,
+            (qb - CAST(sb AS REAL)*sb/nb)/(nb-1)/nb AS s2b
+          FROM m)
+        SELECT na, nb, round(ma,6) AS mean_a, round(mb,6) AS mean_b,
+          round((ma-mb)/sqrt(s2a+s2b),6) AS t_stat,
+          round((s2a+s2b)*(s2a+s2b)
+            /(s2a*s2a/(na-1)+s2b*s2b/(nb-1)),6) AS df
+        FROM e""",
 }
 
 

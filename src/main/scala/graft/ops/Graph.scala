@@ -1105,4 +1105,24 @@ object Graph {
       .groupBy("node")
       .agg(count(lit(1)).as("n_sources"),
         sum(col("dist")).as("dist_sum"))
+
+  /** Sampled HARMONIC centrality (Boldi & Vigna 2014, "Axioms for
+    * centrality" — the closeness variant that handles disconnection
+    * gracefully): per node, Σ over reaching sample sources of 1/d,
+    * scaled by lcm(1..`iters`) so every reciprocal is an INTEGER and the
+    * sampled statistic stays bit-reproducible (the [[closenessSampled]]
+    * contract; for the default iters = 4 the scale is 12 and 1/d ∈
+    * {12, 6, 4, 3}). Unreached pairs contribute 0 — exactly the property
+    * closeness lacks. Returns (node, n_reached, harmonic scaled).
+    */
+  def harmonicSampled(edges0: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, iters: Int = 4): DataFrame = {
+    val scale = (1 to iters).foldLeft(1L)((a, b) =>
+      a * b / BigInt(a).gcd(BigInt(b)).toLong)
+    multiBfsLevels(edges0, srcCol, dstCol, seeds, seedCol, iters)
+      .filter(col("dist") >= 1L)
+      .groupBy("node")
+      .agg(count(lit(1)).as("n_reached"),
+        sum(expr(s"${scale}L div dist")).as(s"harmonic$scale"))
+  }
 }

@@ -42,6 +42,72 @@ object LangModel {
   private def dec6(c: Column): Column =
     round(c, LnScale).cast(org.apache.spark.sql.types.DecimalType(18, 6))
 
+  /** Per-document cross-entropy under an INTERPOLATED bigram LM (λ = 1/2
+    * Jelinek–Mercer mix of add-one bigram and add-one unigram), trained on
+    * the `refPred` slice — one modeling step up from
+    * [[unigramCrossEntropy]] toward CCNet's KenLM 5-gram while staying
+    * exactly SQL-replayable. Position 1 scores by the unigram alone (no
+    * context); position i ≥ 2 by
+    * −ln( ((c_bi(prev,cur)+1)/(c_ctx(prev)+V+1) + p_uni(cur)) / 2 ).
+    * Unseen contexts take c_ctx = 0 (the add-one floor), so OOV text
+    * degrades smoothly instead of zeroing. Same determinism contract as
+    * the unigram form: every ln dec6-rounded, per-doc sums exact.
+    *
+    * Scale shape: the bigram explode is map-side; per-doc pair counts
+    * shuffle once on (id, prev, cur); the model side is two ref-vocabulary
+    * tables (bigrams + contexts) that broadcast — still nothing keyed on
+    * corpus size but the doc id.
+    */
+  def bigramCrossEntropy(docs: DataFrame, idCol: String, textCol: String,
+      refPred: Column): DataFrame = {
+    // tokenize ONCE into a materialized column — a HOF lambda re-evaluates
+    // inlined expressions per element, so tokenizing inside the transform
+    // would re-run the regex per POSITION: O(len²) per doc (measured 784 s
+    // at 100× before this; the q_line_filter lesson)
+    val pos = docs
+      .select(col(idCol), toks(col(textCol)).as("w"))
+      .select(col(idCol), explode(expr(
+        "transform(sequence(1, size(w)), i -> struct(" +
+          "element_at(w, i) AS cur, " +
+          "CASE WHEN i > 1 THEN element_at(w, i - 1) END AS prev))"))
+        .as("p"))
+      .select(col(idCol), col("p.cur").as("cur"), col("p.prev").as("prev"))
+    val pairs = pos.groupBy(idCol, "prev", "cur")
+      .agg(count(lit(1)).as("cnt"))
+    val refIds = docs.filter(refPred).select(col(idCol))
+    val refPos = pos.join(refIds, Seq(idCol), "left_semi")
+    // the bigram vocabulary grows ~quadratically faster than the unigram
+    // one on natural text, so its broadcast is GUARDED: small model →
+    // broadcast, big model → keyed shuffle join (the correct large shape)
+    val rb = refPos.filter(col("prev").isNotNull)
+      .groupBy("prev", "cur").agg(count(lit(1)).as("bc"))
+      .localCheckpoint(true) // model-sized; counted, grouped, joined
+    val nRb = rb.count()
+    val rc = rb.groupBy("prev").agg(sum(col("bc")).as("pc"))
+    val vocab = refPos.groupBy(col("cur").as("word"))
+      .agg(count(lit(1)).as("wc"))
+      .localCheckpoint(true) // model-sized; aggregated + joined
+    val stats = vocab.agg(sum(col("wc")).as("n_ref"),
+      count(lit(1)).as("v_ref"))
+    val pu = (coalesce(col("wc"), lit(0L)) + lit(1)).cast("double") /
+      (col("n_ref") + col("v_ref") + lit(1)).cast("double")
+    val pb = (coalesce(col("bc"), lit(0L)) + lit(1)).cast("double") /
+      (coalesce(col("pc"), lit(0L)) + col("v_ref") + lit(1)).cast("double")
+    pairs
+      .join(PlanHints.maybeBroadcastSmall(rb, nRb), Seq("prev", "cur"), "left")
+      .join(PlanHints.maybeBroadcastSmall(rc, nRb), Seq("prev"), "left")
+      .join(PlanHints.maybeBroadcastSmall(vocab, nRb),
+        col("cur") === col("word"), "left")
+      .crossJoin(broadcast(stats))
+      .withColumn("lnp",
+        when(col("prev").isNull, dec6(log(pu)))
+          .otherwise(dec6(log((pb + pu) / 2.0))))
+      .groupBy(idCol)
+      .agg(sum(col("cnt")).as("n_tok"),
+        round((-sum(col("cnt") * col("lnp"))).cast("double") / sum(col("cnt")), 4)
+          .as("xent"))
+  }
+
   /** Per-document cross-entropy (nats/token) under an add-one-smoothed
     * unigram LM trained on the `refPred` slice of `docs`:
     * p(w) = (c_ref(w) + 1) / (N_ref + V_ref + 1), OOV words take the

@@ -117,16 +117,24 @@ object Layout {
     * [[compact]] (per directory: at least one complete copy on disk at
     * every instant; [[recover]] on the subdirectory rolls an interrupted
     * swap forward or back). Untouched directories are not read, not
-    * written, not even opened.
+    * written, not even opened. `maxDirs` bounds one pass to the worst
+    * offenders (budgeted maintenance window); repeated passes converge.
     *
     * Returns the partition directory names that were compacted.
     */
   def compactPartitions(spark: SparkSession, dir: String, sortCols: Seq[String],
-      maxFiles: Int = 1): Seq[String] = {
+      maxFiles: Int = 1, maxDirs: Int = Int.MaxValue): Seq[String] = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
+    require(maxDirs >= 1, "compactPartitions: maxDirs must be >= 1")
     recoverPartitions(dir)
     val base = dir.stripSuffix("/")
-    val fragmented = filesPerPartition(dir).filter(_._2 > maxFiles).keys.toSeq.sorted
+    // maxDirs caps the pass to the WORST offenders (file count desc, then
+    // name) — the maintenance-window form: a nightly job with a time
+    // budget compacts the most fragmented directories first and converges
+    // over successive nights instead of rewriting everything at once
+    val fragmented = filesPerPartition(dir).filter(_._2 > maxFiles).toSeq
+      .sortBy { case (name, n) => (-n, name) }
+      .take(maxDirs).map(_._1).sorted
     fragmented.foreach { pd =>
       val sub = s"$base/$pd"
       // scratch names are DOT-prefixed so Spark's file index ignores them:

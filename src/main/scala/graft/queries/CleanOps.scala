@@ -247,6 +247,112 @@ object CleanOps {
         |  cast(sum(cast(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents
         |FROM a GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // -- QUALITY-FILTER FUNNEL: cumulative attrition per source through
+    //    three successive gates — length band, char entropy ≥ 3 nats,
+    //    repetition (top token ≤ 1/5 of tokens) — the "which filter kills
+    //    what, where" report a curation pipeline reads before tuning
+    //    thresholds. Per-doc stats from two keyed shuffles ((doc, char)
+    //    and (doc, word), both linear), funnel counts one groupBy --------
+    ("q_quality_funnel",
+      (s: SparkSession, d: String) => {
+        val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+        val docs = t(s, d, "documents")
+        val ent = docs
+          .select(col("doc_id"),
+            explode(regexp_extract_all(col("text"), lit("."), lit(0))).as("ch"))
+          .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id")
+          .agg((log(sum(col("c")).cast("double")) -
+            sum(col("c") * round(log(col("c").cast("double")), 6).cast(dec))
+              .cast("double") / sum(col("c"))).as("h"))
+        val rep = docs
+          .select(col("doc_id"),
+            explode(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+              .as("wd"))
+          .groupBy("doc_id", "wd").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id")
+          .agg(max(col("c")).as("maxtf"), sum(col("c")).as("nw"))
+        docs.select(col("doc_id"), col("source"), col("n_chars"))
+          .join(ent, Seq("doc_id")).join(rep, Seq("doc_id"))
+          .select(col("source"),
+            (col("n_chars") >= 50 && col("n_chars") <= 100000).as("r1"),
+            (col("h") >= 3.0).as("r2"),
+            (col("maxtf") * 5 <= col("nw")).as("r3"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("r1"), 1L).otherwise(0L)).as("k1"),
+            sum(when(col("r1") && col("r2"), 1L).otherwise(0L)).as("k12"),
+            sum(when(col("r1") && col("r2") && col("r3"), 1L).otherwise(0L))
+              .as("k123"))
+          .orderBy("source")
+      },
+      """WITH ent AS (SELECT doc_id,
+        |    ln(CAST(sum(c) AS DOUBLE)) -
+        |      CAST(sum(c * CAST(round(ln(CAST(c AS DOUBLE)), 6)
+        |        AS DECIMAL(18,6))) AS DOUBLE) / sum(c) AS h
+        |  FROM (SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+        |        FROM (SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS ch
+        |              FROM documents) GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |rep AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS maxtf,
+        |    CAST(sum(c) AS BIGINT) AS nw
+        |  FROM (SELECT doc_id, wd, CAST(count(*) AS BIGINT) AS c
+        |        FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS wd
+        |              FROM documents) GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |r AS (SELECT d.source,
+        |    d.n_chars BETWEEN 50 AND 100000 AS r1,
+        |    ent.h >= 3.0 AS r2,
+        |    rep.maxtf * 5 <= rep.nw AS r3
+        |  FROM documents d JOIN ent USING (doc_id) JOIN rep USING (doc_id))
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN r1 THEN 1 ELSE 0 END) AS BIGINT) AS k1,
+        |  CAST(sum(CASE WHEN r1 AND r2 THEN 1 ELSE 0 END) AS BIGINT) AS k12,
+        |  CAST(sum(CASE WHEN r1 AND r2 AND r3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS k123
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // -- CHARACTER-ENTROPY quality filter: Shannon entropy of each doc's
+    //    character distribution — the gibberish/repetition detector that
+    //    catches what length heuristics miss (aaaa... has perfect length
+    //    and zero entropy). H = ln(n) − (Σ c·ln c)/n with every ln
+    //    dec6-rounded so the per-doc sum is exact; flag = H below the
+    //    3-nat floor. Shape: one char explode (map-side, linear in
+    //    corpus bytes) + one (doc, char) shuffle -------------------------
+    ("q_char_entropy",
+      (s: SparkSession, d: String) => {
+        val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+        val cc = t(s, d, "documents").filter(col("doc_id") < 400)
+          .select(col("doc_id"),
+            explode(regexp_extract_all(col("text"), lit("."), lit(0))).as("ch"))
+          .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+        cc.groupBy("doc_id")
+          .agg(sum(col("c")).as("n"),
+            count(lit(1)).as("n_distinct"),
+            sum(col("c") * round(log(col("c").cast("double")), 6).cast(dec))
+              .as("clnc"))
+          .select(col("doc_id"), col("n"), col("n_distinct"),
+            round(log(col("n").cast("double")) -
+              col("clnc").cast("double") / col("n"), 4).as("h"),
+            (log(col("n").cast("double")) -
+              col("clnc").cast("double") / col("n") < 3.0).as("low_entropy"))
+          .orderBy("doc_id")
+      },
+      """WITH cc AS (SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS ch
+        |        FROM documents WHERE doc_id < 400)
+        |  GROUP BY 1, 2),
+        |a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS n_distinct,
+        |    sum(c * CAST(round(ln(CAST(c AS DOUBLE)), 6) AS DECIMAL(18,6)))
+        |      AS clnc
+        |  FROM cc GROUP BY 1)
+        |SELECT doc_id, n, n_distinct,
+        |  round(ln(CAST(n AS DOUBLE)) - CAST(clnc AS DOUBLE) / n, 4) AS h,
+        |  ln(CAST(n AS DOUBLE)) - CAST(clnc AS DOUBLE) / n < 3.0
+        |    AS low_entropy
+        |FROM a ORDER BY doc_id""".stripMargin),
+
     // -- l-diversity release gate (ops/Privacy.lDiversity): k-anonymity's
     //    homogeneity-attack fix — a (nationkey, mktsegment) group whose
     //    members all sit in ONE account-balance band leaks the band even

@@ -844,6 +844,58 @@ object EventOps {
         s"count(*) AS cnt, ${sqlDsum("value")} AS val_sum FROM events " +
         "GROUP BY 1, 2 ORDER BY 1, 2"),
 
+    // -- STREAMING per-window TOP-K pages: Complete-mode (window, page)
+    //    counts — state bounded by hours × the page universe, NOT the
+    //    event count — with the top-3 rank taken batch-side on the memory
+    //    sink (rank is not streaming-mergeable; counts are; splitting
+    //    them along that line is the textbook decomposition). Window
+    //    partitioned per hour, bounded partitions --------------------------
+    ("q_stream_topk",
+      (s: SparkSession, d: String) => {
+        val batchSchema = { ensureNanosReadable(s)
+          s.read.parquet(s"$d/events.parquet").schema }
+        val fields = Seq("ts", "props")
+          .map(n => batchSchema(batchSchema.fieldIndex(n)))
+        val stream0 = s.readStream
+          .schema(org.apache.spark.sql.types.StructType(fields))
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(d)
+        val tss = fields.head.dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            timestamp_micros(expr("ts div 1000L"))
+          case _ => col("ts").cast("timestamp")
+        }
+        val stream = stream0
+          .withColumn("tss", tss)
+          .withColumn("page",
+            regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast("long"))
+          .withWatermark("tss", "1 hour")
+          .groupBy(window(col("tss"), "1 hour"), col("page"))
+          .agg(count(lit(1)).as("cnt"))
+          .select(expr("unix_micros(window.start) div 1000000L").as("hour_epoch"),
+            col("page"), col("cnt"))
+        val sink = "graft_stream_topk_out"
+        s.catalog.dropTempView(sink)
+        graft.streaming.EventStream.runToMemory(stream, sink,
+          org.apache.spark.sql.streaming.OutputMode.Complete)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("hour_epoch").orderBy(desc("cnt"), asc("page"))
+        s.table(sink)
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 3L)
+          .orderBy("hour_epoch", "rk")
+      },
+      """WITH c AS (SELECT cast(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+        |    CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS page,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT hour_epoch, page, cnt,
+        |    row_number() OVER (PARTITION BY hour_epoch
+        |                       ORDER BY cnt DESC, page) AS rk
+        |  FROM c)
+        |SELECT hour_epoch, page, cnt, rk FROM r WHERE rk <= 3
+        |ORDER BY hour_epoch, rk""".stripMargin),
+
     // -- STREAMING MinHash content fingerprint per hour window: 4 banded
     //    min-hashes over the pages seen in each window — the sketch a
     //    cross-window near-dup monitor keeps per micro-batch (two windows

@@ -654,6 +654,34 @@ object GraphOps {
           |SELECT seed, ecc_fwd, far_node, ecc_back, diameter_lb
           |FROM per CROSS JOIN lb ORDER BY seed""".stripMargin),
 
+    // -- sampled HARMONIC centrality (Boldi & Vigna 2014): Σ 1/d over
+    //    reaching sample sources, ×lcm(1..4)=12 so every reciprocal is
+    //    an integer — the disconnection-robust closeness (unreached
+    //    pairs contribute 0 instead of poisoning the sum). Same sampled
+    //    multi-BFS frame and %7 seed convention as q_closeness ----------
+    ("q_harmonic",
+      (s: SparkSession, d: String) => {
+        val edges = clickEdges(s, d)
+        val seeds = edges.select(col("src").as("node"))
+          .union(edges.select(col("dst").as("node"))).distinct()
+          .filter(col("node") % 7 === 0)
+        graft.ops.Graph.harmonicSampled(edges, "src", "dst",
+            seeds, "node", iters = 4)
+          .orderBy("node")
+      },
+      edgeCtes +
+        s""",
+          |sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM
+          |  (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges) q),
+          |nodes AS (SELECT DISTINCT node FROM
+          |  (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges) q),
+          |c0 AS (SELECT node AS seed, node, CAST(0 AS BIGINT) AS dist
+          |       FROM nodes WHERE node % 7 = 0),
+          |${mbfsIterCtes(4)}
+          |SELECT node, CAST(count(*) AS BIGINT) AS n_reached,
+          |  CAST(sum(12 // dist) AS BIGINT) AS harmonic12
+          |FROM c4 WHERE dist >= 1 GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // -- RANK-BIASED OVERLAP (Webber et al. 2010) between the PageRank
     //    top-20 and the in-degree top-20 — the indefinite-rank agreement
     //    measure for comparing two rankers (does the cheap degree proxy

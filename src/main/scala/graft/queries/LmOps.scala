@@ -99,6 +99,60 @@ object LmOps {
         |  round(xent_cur - xent_ref, 4) AS delta
         |FROM agg ORDER BY source""".stripMargin),
 
+    // -- INTERPOLATED BIGRAM cross-entropy (λ = 1/2 Jelinek–Mercer over
+    //    add-one bigram + unigram): one modeling step toward CCNet's
+    //    KenLM n-gram while staying exactly replayable — position 1
+    //    scores by the unigram, later positions by the mixed bigram.
+    //    The oracle carries bigrams as 'prev cur' strings (tokens are
+    //    \S+ so the space split is unambiguous — the q_dsir convention);
+    //    model tables broadcast, per-doc pair counts shuffle once -------
+    ("q_lm_xent_bigram",
+      (s: SparkSession, d: String) =>
+        graft.ops.LangModel.bigramCrossEntropy(
+            t(s, d, "documents"), "doc_id", "text",
+            refPred = col("lang") === "en")
+          .orderBy("doc_id"),
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w
+        |             FROM documents),
+        |f AS (SELECT doc_id, w[1] AS cur FROM tok WHERE len(w) >= 1),
+        |bg AS (SELECT doc_id,
+        |         unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS b
+        |       FROM tok),
+        |bp AS (SELECT doc_id, split_part(b, ' ', 1) AS prev,
+        |         split_part(b, ' ', 2) AS cur,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |       FROM bg GROUP BY 1, 2, 3),
+        |ref AS (SELECT word, cast(count(*) AS BIGINT) AS wc
+        |        FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS word
+        |              FROM documents WHERE lang = 'en') GROUP BY 1),
+        |stats AS (SELECT cast(sum(wc) AS BIGINT) AS n_ref,
+        |            cast(count(*) AS BIGINT) AS v_ref FROM ref),
+        |rb AS (SELECT split_part(b, ' ', 1) AS prev,
+        |         split_part(b, ' ', 2) AS cur,
+        |         cast(count(*) AS BIGINT) AS bc
+        |       FROM bg JOIN documents USING (doc_id)
+        |       WHERE lang = 'en' GROUP BY 1, 2),
+        |rc AS (SELECT prev, cast(sum(bc) AS BIGINT) AS pc FROM rb GROUP BY 1),
+        |lf AS (SELECT f.doc_id, CAST(1 AS BIGINT) AS cnt,
+        |         cast(round(ln(cast(coalesce(wc, 0) + 1 AS DOUBLE) /
+        |           cast(n_ref + v_ref + 1 AS DOUBLE)), 6) AS DECIMAL(18,6)) AS lnp
+        |       FROM f LEFT JOIN ref ON f.cur = ref.word CROSS JOIN stats),
+        |lb AS (SELECT bp.doc_id, bp.cnt,
+        |         cast(round(ln((
+        |             cast(coalesce(bc, 0) + 1 AS DOUBLE) /
+        |               cast(coalesce(pc, 0) + v_ref + 1 AS DOUBLE)
+        |           + cast(coalesce(wc, 0) + 1 AS DOUBLE) /
+        |               cast(n_ref + v_ref + 1 AS DOUBLE)) / 2.0), 6)
+        |           AS DECIMAL(18,6)) AS lnp
+        |       FROM bp LEFT JOIN rb USING (prev, cur)
+        |       LEFT JOIN rc USING (prev)
+        |       LEFT JOIN ref ON bp.cur = ref.word CROSS JOIN stats),
+        |allt AS (SELECT doc_id, cnt, lnp FROM lf
+        |         UNION ALL SELECT doc_id, cnt, lnp FROM lb)
+        |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tok,
+        |  round(cast(-sum(cnt * lnp) AS DOUBLE) / sum(cnt), 4) AS xent
+        |FROM allt GROUP BY 1 ORDER BY doc_id""".stripMargin),
+
     // -- PER-SOURCE SEASONAL XENT: q_xent_drift's monitor crossed with
     //    q_seasonal_dow's weekday split — per (source, crawl-day-of-week)
     //    mean reference-LM cross-entropy plus each weekday's deviation

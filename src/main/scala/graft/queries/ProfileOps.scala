@@ -636,6 +636,68 @@ object ProfileOps {
     //    secretly one crawl seed" gate. One groupBy(source) then
     //    sources-sized algebra; HHI numerator in DECIMAL (n² wraps long
     //    past ~3e9 docs in one source) --------------------------------------
+    // -- WELCH's unequal-variance t-test: are English and German docs the
+    //    same mean length? Moments are EXACT integer sums (squares in
+    //    DECIMAL(38,0) — n_chars² · corpus wraps a BIGINT past ~2e8 rows),
+    //    the t statistic and Welch–Satterthwaite df derive in identical
+    //    double expressions. One conditional-aggregate corpus scan --------
+    ("q_welch_t",
+      (s: SparkSession, d: String) => {
+        val dec = DecimalType(38, 0)
+        val x = col("n_chars")
+        val isA = col("lang") === "en"
+        val isB = col("lang") === "de"
+        val m = t(s, d, "documents").filter(isA || isB).agg(
+          sum(when(isA, 1L).otherwise(0L)).as("na"),
+          sum(when(isA, x).otherwise(0L)).as("sa"),
+          sum(when(isA, x.cast(dec) * x.cast(dec)).otherwise(lit(0).cast(dec)))
+            .as("qa"),
+          sum(when(isB, 1L).otherwise(0L)).as("nb"),
+          sum(when(isB, x).otherwise(0L)).as("sb"),
+          sum(when(isB, x.cast(dec) * x.cast(dec)).otherwise(lit(0).cast(dec)))
+            .as("qb"))
+        val ma = col("sa").cast("double") / col("na")
+        val mb = col("sb").cast("double") / col("nb")
+        val va = (col("qa").cast("double") -
+          col("sa").cast("double") * col("sa").cast("double") / col("na")) /
+          (col("na") - 1)
+        val vb = (col("qb").cast("double") -
+          col("sb").cast("double") * col("sb").cast("double") / col("nb")) /
+          (col("nb") - 1)
+        val se2a = va / col("na")
+        val se2b = vb / col("nb")
+        m.select(col("na"), col("nb"),
+          round(ma, 6).as("mean_a"), round(mb, 6).as("mean_b"),
+          round((ma - mb) / sqrt(se2a + se2b), 6).as("t_stat"),
+          round((se2a + se2b) * (se2a + se2b) /
+            (se2a * se2a / (col("na") - 1) + se2b * se2b / (col("nb") - 1)), 6)
+            .as("df"))
+      },
+      """WITH m AS (SELECT
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN n_chars ELSE 0 END) AS BIGINT) AS sa,
+        |    sum(CASE WHEN lang = 'en'
+        |        THEN CAST(n_chars AS DECIMAL(38,0)) * n_chars
+        |        ELSE CAST(0 AS DECIMAL(38,0)) END) AS qa,
+        |    CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+        |    CAST(sum(CASE WHEN lang = 'de' THEN n_chars ELSE 0 END) AS BIGINT) AS sb,
+        |    sum(CASE WHEN lang = 'de'
+        |        THEN CAST(n_chars AS DECIMAL(38,0)) * n_chars
+        |        ELSE CAST(0 AS DECIMAL(38,0)) END) AS qb
+        |  FROM documents WHERE lang IN ('en', 'de')),
+        |e AS (SELECT na, nb,
+        |    CAST(sa AS DOUBLE) / na AS ma, CAST(sb AS DOUBLE) / nb AS mb,
+        |    (CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / na)
+        |      / (na - 1) / na AS s2a,
+        |    (CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / nb)
+        |      / (nb - 1) / nb AS s2b
+        |  FROM m)
+        |SELECT na, nb, round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+        |  round((ma - mb) / sqrt(s2a + s2b), 6) AS t_stat,
+        |  round((s2a + s2b) * (s2a + s2b) /
+        |    (s2a * s2a / (na - 1) + s2b * s2b / (nb - 1)), 6) AS df
+        |FROM e""".stripMargin),
+
     // -- deterministic POISSON BOOTSTRAP standard error of the mean doc
     //    length: 32 hash-seeded resamples (per-(doc, b) weight ~Poisson(1)
     //    via the md5 ‰-table 3679/7358/9197/9810 — the cumulative pmf at

@@ -952,6 +952,53 @@ object SinkOps {
         |  CAST(sum(n_chars) AS BIGINT) AS chars
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // -- BUDGETED compaction under the hash gate: every source dir
+    //    fragmented (two appends), then compacted 3 directories per pass
+    //    (the nightly-maintenance-window form of compactPartitions) until
+    //    clean. Gated: the pass count must equal ceil(n_dirs / 3) (any
+    //    pass doing less than its budget or failing to converge shifts
+    //    it), final store one file per dir, data lossless ----------------
+    ("q_compact_budget",
+      (s: SparkSession, d: String) => {
+        val dir = storeDir("budget", d)
+        deleteRecursively(new java.io.File(dir))
+        val docs = t(s, d, "documents")
+        // half-blocks of 40 hit every source twice (source cycles with
+        // doc_id % 20, so parity/mod-4 splits would touch disjoint dirs)
+        graft.ops.Layout.writePartitioned(
+          docs.filter(pmod(col("doc_id"), lit(40)) < 20),
+          dir, "source", Seq("doc_id"))
+        graft.ops.Layout.append(
+          docs.filter(pmod(col("doc_id"), lit(40)) >= 20),
+          dir, "source", Seq("doc_id"))
+        var passes = 0
+        var doneDirs = Seq.empty[String]
+        var go = true
+        while (go) {
+          val n = graft.ops.Layout.compactPartitions(s, dir, Seq("doc_id"),
+            maxFiles = 1, maxDirs = 3)
+          if (n.isEmpty) go = false
+          else { passes += 1; doneDirs ++= n }
+        }
+        val maxFiles = graft.ops.Layout.filesPerPartition(dir).values.max
+        s.read.parquet(dir)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("chars"),
+            min(col("doc_id")).as("first_id"))
+          .withColumn("n_passes", lit(passes.toLong))
+          .withColumn("max_files", lit(maxFiles))
+          .orderBy("source")
+      },
+      """WITH np AS (SELECT (count(DISTINCT source) + 2) // 3 AS n_passes
+        |            FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars,
+        |  min(doc_id) AS first_id,
+        |  n_passes, CAST(1 AS INTEGER) AS max_files
+        |FROM documents CROSS JOIN np
+        |GROUP BY source, n_passes ORDER BY source""".stripMargin),
+
     // -- ONE-PASS EVOLVE+COMPACT under the hash gate: the same re-key as
     //    q_partition_evolve but via Layout.evolveCompact — one read, one
     //    shuffle, one write, and exactly ONE sorted file per target dir.
