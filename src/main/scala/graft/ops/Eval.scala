@@ -711,4 +711,85 @@ object Eval {
           (col("nx").cast("double") * col("ny").cast("double"))), 6)
           .as("pmi"))
   }
+
+  /** Zipf rank-frequency fit: weighted OLS of ln(frequency) on
+    * ln(midrank) over the DISTINCT-FREQUENCY classes of a token stream —
+    * the exponent every tokenizer-design discussion starts from. The
+    * vocabulary-sized rank problem collapses to the frequency-CLASS
+    * table (ties share a midrank, carried with weight = class size), so
+    * ranks come from the [[runningSums]] prefix machinery — no global
+    * window — and all ln/ln² terms are dec6-rounded before the exact
+    * decimal weighted sums ([[spearmanExact]] contract). Returns one row
+    * (n_types, n_tokens, slope ≈ −zipf exponent, intercept).
+    */
+  def zipfFit(tokens: DataFrame, tokenCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(18, 6)
+    val wc = tokens.groupBy(col(tokenCol).as("w")).agg(count(lit(1)).as("n"))
+    val byN = wc.groupBy(col("n").as("nv")).agg(count(lit(1)).as("cw"))
+      .localCheckpoint(true) // class-table-sized; runningSums + agg
+    val ranked = runningSums(byN, "nv", descending = true,
+        Seq("cw"), Seq("before"), inclusive = false)
+      .withColumn("midrank",
+        (lit(2L) * col("before") + col("cw") + lit(1L)).cast("double") / 2.0)
+    val lnm = log(col("midrank"))
+    val lnf = log(col("nv").cast("double"))
+    val terms = ranked.select(col("cw"), col("nv"),
+      round(lnm, 6).cast(dec).as("x"),
+      round(lnf, 6).cast(dec).as("y"),
+      round(lnm * lnm, 6).cast(dec).as("xx"),
+      round(lnm * lnf, 6).cast(dec).as("xy"))
+    val a = terms.agg(
+      sum(col("cw")).as("n_types"),
+      sum(col("nv") * col("cw")).as("n_tokens"),
+      sum(col("cw") * col("x")).as("sx"),
+      sum(col("cw") * col("y")).as("sy"),
+      sum(col("cw") * col("xx")).as("sxx"),
+      sum(col("cw") * col("xy")).as("sxy"))
+    val wv = col("n_types").cast("double")
+    val sx = col("sx").cast("double"); val sy = col("sy").cast("double")
+    val sxx = col("sxx").cast("double"); val sxy = col("sxy").cast("double")
+    val slope = (wv * sxy - sx * sy) / (wv * sxx - sx * sx)
+    a.select(col("n_types"), col("n_tokens"),
+      round(slope, 6).as("slope"),
+      round((sy - slope * sx) / wv, 6).as("intercept"))
+  }
+
+  /** Vocabulary coverage curve: for each budget k, the EXACT number of
+    * corpus tokens a top-k-by-frequency vocabulary covers (the "how big
+    * must the tokenizer vocab be" table). Works entirely on the
+    * frequency-class table with exclusive prefix sums: a budget's
+    * boundary class contributes (k − types_before)·freq partially; ties
+    * beyond the budget are cut deterministically. Budgets larger than
+    * the vocabulary cover everything. Returns (k, n_types, covered,
+    * total, coverage_ppm) per budget, all BIGINT.
+    */
+  def vocabCoverage(tokens: DataFrame, tokenCol: String,
+      budgets: Seq[Long]): DataFrame = {
+    val spark = tokens.sparkSession
+    import spark.implicits._
+    val wc = tokens.groupBy(col(tokenCol).as("w")).agg(count(lit(1)).as("n"))
+    val byN = wc.groupBy(col("n").as("nv")).agg(count(lit(1)).as("cw"))
+      .withColumn("tok", col("nv") * col("cw"))
+      .localCheckpoint(true) // class-table-sized
+    val pre = runningSums(byN, "nv", descending = true,
+      Seq("cw", "tok"), Seq("types_before", "tokens_before"),
+      inclusive = false)
+    val tot = byN.agg(sum(col("cw")).as("n_types"),
+      sum(col("tok")).as("total"))
+    val ks = budgets.toDF("k")
+    ks.join(pre,
+        col("types_before") < col("k") &&
+          col("k") <= col("types_before") + col("cw"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("k"), col("n_types"),
+        coalesce(col("tokens_before") +
+          (col("k") - col("types_before")) * col("nv"), col("total"))
+          .as("covered"),
+        col("total"))
+      .withColumn("coverage_ppm",
+        // DECIMAL(38,0) cross-multiply: covered·1e6 wraps a BIGINT past
+        // ~9e12 tokens (a few 100 TB of text) — the house convention
+        expr("cast(cast(covered AS DECIMAL(38,0)) * 1000000 div total AS BIGINT)"))
+  }
 }

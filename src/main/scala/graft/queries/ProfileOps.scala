@@ -636,6 +636,85 @@ object ProfileOps {
     //    secretly one crawl seed" gate. One groupBy(source) then
     //    sources-sized algebra; HHI numerator in DECIMAL (n² wraps long
     //    past ~3e9 docs in one source) --------------------------------------
+    // -- ZIPF rank-frequency fit (Eval.zipfFit): weighted OLS of ln f on
+    //    ln midrank over the DISTINCT-FREQUENCY classes — the exponent a
+    //    tokenizer-vocab discussion starts from. Ranks from the prefix-
+    //    sum machinery (no global window); ln/ln² terms dec6 before the
+    //    exact weighted sums -----------------------------------------------
+    ("q_zipf_fit",
+      (s: SparkSession, d: String) =>
+        graft.ops.Eval.zipfFit(
+          t(s, d, "documents")
+            .select(explode(expr("regexp_extract_all(text, '\\\\S+', 0)"))
+              .as("w")), "w"),
+      """WITH tok AS (SELECT unnest(regexp_extract_all(text, '\S+')) AS w
+        |             FROM documents),
+        |wc AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+        |bn AS (SELECT n AS nv, CAST(count(*) AS BIGINT) AS cw FROM wc GROUP BY 1),
+        |rk AS (SELECT nv, cw,
+        |    CAST(2 * coalesce(sum(cw) OVER (ORDER BY nv DESC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + cw + 1 AS DOUBLE) / 2.0 AS midrank
+        |  FROM bn),
+        |tm AS (SELECT cw, nv,
+        |    CAST(round(ln(midrank), 6) AS DECIMAL(18,6)) AS x,
+        |    CAST(round(ln(CAST(nv AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y,
+        |    CAST(round(ln(midrank) * ln(midrank), 6) AS DECIMAL(18,6)) AS xx,
+        |    CAST(round(ln(midrank) * ln(CAST(nv AS DOUBLE)), 6)
+        |      AS DECIMAL(18,6)) AS xy
+        |  FROM rk),
+        |a AS (SELECT CAST(sum(cw) AS BIGINT) AS n_types,
+        |    CAST(sum(nv * cw) AS BIGINT) AS n_tokens,
+        |    CAST(sum(cw) AS DOUBLE) AS wv,
+        |    CAST(sum(cw * x) AS DOUBLE) AS sx,
+        |    CAST(sum(cw * y) AS DOUBLE) AS sy,
+        |    CAST(sum(cw * xx) AS DOUBLE) AS sxx,
+        |    CAST(sum(cw * xy) AS DOUBLE) AS sxy
+        |  FROM tm)
+        |SELECT n_types, n_tokens,
+        |  round((wv * sxy - sx * sy) / (wv * sxx - sx * sx), 6) AS slope,
+        |  round((sy - (wv * sxy - sx * sy) / (wv * sxx - sx * sx) * sx) / wv, 6)
+        |    AS intercept
+        |FROM a""".stripMargin),
+
+    // -- VOCABULARY COVERAGE curve (Eval.vocabCoverage): exact tokens
+    //    covered by a top-k vocab for k ∈ {100, 1k, 10k} — boundary
+    //    frequency classes contribute partially, ties cut
+    //    deterministically; all algebra on the frequency-class table,
+    //    ppm via the DECIMAL(38,0) cross-multiply ------------------------
+    ("q_vocab_coverage",
+      (s: SparkSession, d: String) =>
+        graft.ops.Eval.vocabCoverage(
+          t(s, d, "documents")
+            .select(explode(expr("regexp_extract_all(text, '\\\\S+', 0)"))
+              .as("w")), "w", Seq(100L, 1000L, 10000L))
+          .orderBy("k"),
+      """WITH tok AS (SELECT unnest(regexp_extract_all(text, '\S+')) AS w
+        |             FROM documents),
+        |wc AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+        |bn AS (SELECT n AS nv, CAST(count(*) AS BIGINT) AS cw FROM wc GROUP BY 1),
+        |pre AS (SELECT nv, cw,
+        |    CAST(coalesce(sum(cw) OVER (ORDER BY nv DESC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS types_before,
+        |    CAST(coalesce(sum(nv * cw) OVER (ORDER BY nv DESC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS tokens_before
+        |  FROM bn),
+        |tot AS (SELECT CAST(sum(cw) AS BIGINT) AS n_types,
+        |    CAST(sum(nv * cw) AS BIGINT) AS total FROM bn),
+        |ks AS (SELECT CAST(unnest([100, 1000, 10000]) AS BIGINT) AS k),
+        |j AS (SELECT k, n_types,
+        |    coalesce(tokens_before + (k - types_before) * nv, total) AS covered,
+        |    total
+        |  FROM ks LEFT JOIN pre
+        |    ON types_before < k AND k <= types_before + cw
+        |  CROSS JOIN tot)
+        |SELECT k, n_types, covered, total,
+        |  CAST(cast(covered AS HUGEINT) * 1000000 // total AS BIGINT)
+        |    AS coverage_ppm
+        |FROM j ORDER BY k""".stripMargin),
+
     // -- WELCH's unequal-variance t-test: are English and German docs the
     //    same mean length? Moments are EXACT integer sums (squares in
     //    DECIMAL(38,0) — n_chars² · corpus wraps a BIGINT past ~2e8 rows),
