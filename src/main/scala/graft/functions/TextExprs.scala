@@ -137,6 +137,91 @@ object WinnowFingerprints {
   }
 }
 
+/** Single-pass character-entropy statistics of a string: (n, n_distinct,
+  * clnc_micros) where clnc_micros = Σ_c count(c) · round(ln count(c), 6)·10⁶
+  * as an exact long — bit-identical to the relational form
+  * `sum(cnt * CAST(round(ln(cnt), 6) AS DECIMAL(18,6)))` over a
+  * (doc, char) explode (the micros value IS the decimal's unscaled value,
+  * and both sides use BigDecimal.valueOf(ln)·setScale(6, HALF_UP)), but
+  * computed map-side in one pass with NO exchange. Exists because the
+  * explode→groupBy(doc, char) form shuffles one row per corpus character:
+  * measured 120 s / 547 MB at 100× where this is a pure scan. Characters
+  * are code points excluding line terminators — the `.` regex class both
+  * engines use. Entropy derives as ln(n) − (clnc_micros/10⁶)/n.
+  */
+case class CharEntropyStats(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.{StructField, StructType}
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("clnc_micros", LongType, nullable = false)))
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"char_entropy_stats expects string, got ${t.sql}")
+    }
+
+  /** Public so generated code can call back into it. */
+  def compute(input: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val s = input.toString
+    val counts = new java.util.HashMap[Integer, Array[Long]]()
+    var i = 0
+    var n = 0L
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      i += Character.charCount(cp)
+      // the regex `.` class: any code point except line terminators
+      if (cp != '\n' && cp != '\r' && cp != 0x85 &&
+          cp != 0x2028 && cp != 0x2029) {
+        n += 1
+        val cell = counts.get(cp)
+        if (cell == null) counts.put(cp, Array(1L)) else cell(0) += 1
+      }
+    }
+    var clnc = 0L
+    // memoize the dec6 ln per distinct COUNT value (counts repeat a lot)
+    val lnCache = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next()(0)
+      var m = lnCache.get(c: java.lang.Long)
+      if (m == null) {
+        // EXACT mirror of Spark/DuckDB round(ln(c), 6) → DECIMAL(18,6):
+        // BigDecimal.valueOf uses the shortest double repr, HALF_UP at
+        // scale 6; the unscaled value is the micros long
+        m = java.math.BigDecimal.valueOf(Math.log(c.toDouble))
+          .setScale(6, java.math.RoundingMode.HALF_UP)
+          .unscaledValue().longValueExact()
+        lnCache.put(c, m)
+      }
+      clnc += c * m
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n, counts.size.toLong, clnc))
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val self = ctx.addReferenceObj("charEntropyExpr", this,
+        classOf[CharEntropyStats].getName)
+      s"${ev.value} = $self.compute($v);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExprs {
   /** Winnowing fingerprints of a string column. `md5Mode` switches the
     * k-gram hash from the fast Rabin-Karp rolling hash to the 60-bit
@@ -145,4 +230,10 @@ object TextExprs {
   def winnowFingerprints(c: Column, k: Int = 5, w: Int = 4,
       md5Mode: Boolean = false): Column =
     GraftBridge.column(WinnowFingerprints(GraftBridge.expression(c), k, w, md5Mode))
+
+  /** One-pass char-entropy stats struct (n, n_distinct, clnc_micros) of a
+    * string column — see [[CharEntropyStats]].
+    */
+  def charEntropyStats(c: Column): Column =
+    GraftBridge.column(CharEntropyStats(GraftBridge.expression(c)))
 }

@@ -255,16 +255,17 @@ object CleanOps {
     //    and (doc, word), both linear), funnel counts one groupBy --------
     ("q_quality_funnel",
       (s: SparkSession, d: String) => {
-        val dec = org.apache.spark.sql.types.DecimalType(18, 6)
         val docs = t(s, d, "documents")
+        // map-side expression, no (doc, char) exchange — the 100× spill
+        // fix measured in SCALE.md (functions.CharEntropyStats)
         val ent = docs
           .select(col("doc_id"),
-            explode(regexp_extract_all(col("text"), lit("."), lit(0))).as("ch"))
-          .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
-          .groupBy("doc_id")
-          .agg((log(sum(col("c")).cast("double")) -
-            sum(col("c") * round(log(col("c").cast("double")), 6).cast(dec))
-              .cast("double") / sum(col("c"))).as("h"))
+            graft.functions.TextExprs.charEntropyStats(col("text")).as("st"))
+          .filter(col("st.n") >= 1L)
+          .select(col("doc_id"),
+            (log(col("st.n").cast("double")) -
+              col("st.clnc_micros").cast("double") / 1e6 / col("st.n"))
+              .as("h"))
         val rep = docs
           .select(col("doc_id"),
             explode(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
@@ -321,21 +322,20 @@ object CleanOps {
     //    corpus bytes) + one (doc, char) shuffle -------------------------
     ("q_char_entropy",
       (s: SparkSession, d: String) => {
-        val dec = org.apache.spark.sql.types.DecimalType(18, 6)
-        val cc = t(s, d, "documents").filter(col("doc_id") < 400)
+        // ONE-PASS codegen'd expression (functions.CharEntropyStats) — no
+        // (doc, char) exchange; clnc_micros/1e6 is bit-identical to the
+        // oracle's DECIMAL(18,6) sum (the micros long IS its unscaled
+        // value). Empty docs filtered like the explode form dropped them
+        val h = (log(col("st.n").cast("double")) -
+          col("st.clnc_micros").cast("double") / 1e6 / col("st.n"))
+        t(s, d, "documents").filter(col("doc_id") < 400)
           .select(col("doc_id"),
-            explode(regexp_extract_all(col("text"), lit("."), lit(0))).as("ch"))
-          .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
-        cc.groupBy("doc_id")
-          .agg(sum(col("c")).as("n"),
-            count(lit(1)).as("n_distinct"),
-            sum(col("c") * round(log(col("c").cast("double")), 6).cast(dec))
-              .as("clnc"))
-          .select(col("doc_id"), col("n"), col("n_distinct"),
-            round(log(col("n").cast("double")) -
-              col("clnc").cast("double") / col("n"), 4).as("h"),
-            (log(col("n").cast("double")) -
-              col("clnc").cast("double") / col("n") < 3.0).as("low_entropy"))
+            graft.functions.TextExprs.charEntropyStats(col("text")).as("st"))
+          .filter(col("st.n") >= 1L)
+          .select(col("doc_id"), col("st.n").as("n"),
+            col("st.n_distinct").as("n_distinct"),
+            round(h, 4).as("h"),
+            (h < 3.0).as("low_entropy"))
           .orderBy("doc_id")
       },
       """WITH cc AS (SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
