@@ -222,6 +222,65 @@ case class CharEntropyStats(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Single-pass word-repetition statistics of a string: (nw, maxtf) — the
+  * token count and the most frequent token's count, the two integers the
+  * Gopher repetition rule (maxtf·5 ≤ nw) needs. Same tokenization as the
+  * relational `regexp_extract_all(text, '\S+')` explode ([[Tok.words]]'
+  * spec-asserted `\s` class), but map-side with NO (doc, word) exchange —
+  * the word-path twin of [[CharEntropyStats]]. Pure integers, so
+  * equivalence is exact by construction.
+  */
+case class WordRepStats(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.{StructField, StructType}
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("nw", LongType, nullable = false),
+    StructField("maxtf", LongType, nullable = false)))
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"word_rep_stats expects string, got ${t.sql}")
+    }
+
+  /** Public so generated code can call back into it. */
+  def compute(input: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val toks = Tok.words(input.toString)
+    val counts = new java.util.HashMap[String, Array[Long]]()
+    var i = 0
+    var maxtf = 0L
+    while (i < toks.length) {
+      val cell = counts.get(toks(i))
+      val c = if (cell == null) {
+        counts.put(toks(i), Array(1L)); 1L
+      } else { cell(0) += 1; cell(0) }
+      if (c > maxtf) maxtf = c
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](toks.length.toLong, maxtf))
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val self = ctx.addReferenceObj("wordRepExpr", this,
+        classOf[WordRepStats].getName)
+      s"${ev.value} = $self.compute($v);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExprs {
   /** Winnowing fingerprints of a string column. `md5Mode` switches the
     * k-gram hash from the fast Rabin-Karp rolling hash to the 60-bit
@@ -236,4 +295,10 @@ object TextExprs {
     */
   def charEntropyStats(c: Column): Column =
     GraftBridge.column(CharEntropyStats(GraftBridge.expression(c)))
+
+  /** One-pass word-repetition stats struct (nw, maxtf) of a string
+    * column — see [[WordRepStats]].
+    */
+  def wordRepStats(c: Column): Column =
+    GraftBridge.column(WordRepStats(GraftBridge.expression(c)))
 }

@@ -256,29 +256,20 @@ object CleanOps {
     ("q_quality_funnel",
       (s: SparkSession, d: String) => {
         val docs = t(s, d, "documents")
-        // map-side expression, no (doc, char) exchange — the 100× spill
-        // fix measured in SCALE.md (functions.CharEntropyStats)
-        val ent = docs
-          .select(col("doc_id"),
-            graft.functions.TextExprs.charEntropyStats(col("text")).as("st"))
-          .filter(col("st.n") >= 1L)
-          .select(col("doc_id"),
-            (log(col("st.n").cast("double")) -
-              col("st.clnc_micros").cast("double") / 1e6 / col("st.n"))
-              .as("h"))
-        val rep = docs
-          .select(col("doc_id"),
-            explode(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
-              .as("wd"))
-          .groupBy("doc_id", "wd").agg(count(lit(1)).as("c"))
-          .groupBy("doc_id")
-          .agg(max(col("c")).as("maxtf"), sum(col("c")).as("nw"))
-        docs.select(col("doc_id"), col("source"), col("n_chars"))
-          .join(ent, Seq("doc_id")).join(rep, Seq("doc_id"))
+        // BOTH per-doc stat structs in ONE map-side select (functions.
+        // CharEntropyStats + WordRepStats): no (doc, char)/(doc, word)
+        // exchanges AND no doc_id joins — the whole funnel is a scan plus
+        // one sources-sized agg (the 100× spill fix, measured in SCALE.md)
+        val h = log(col("st.n").cast("double")) -
+          col("st.clnc_micros").cast("double") / 1e6 / col("st.n")
+        docs.select(col("source"), col("n_chars"),
+            graft.functions.TextExprs.charEntropyStats(col("text")).as("st"),
+            graft.functions.TextExprs.wordRepStats(col("text")).as("ws"))
+          .filter(col("st.n") >= 1L && col("ws.nw") >= 1L)
           .select(col("source"),
             (col("n_chars") >= 50 && col("n_chars") <= 100000).as("r1"),
-            (col("h") >= 3.0).as("r2"),
-            (col("maxtf") * 5 <= col("nw")).as("r3"))
+            (h >= 3.0).as("r2"),
+            (col("ws.maxtf") * 5 <= col("ws.nw")).as("r3"))
           .groupBy("source")
           .agg(count(lit(1)).as("n_docs"),
             sum(when(col("r1"), 1L).otherwise(0L)).as("k1"),

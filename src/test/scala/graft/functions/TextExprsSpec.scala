@@ -53,6 +53,27 @@ class TextExprsSpec extends SparkSuite {
       Seq(0, 1, 2).forall(r(3).isNullAt))
   }
 
+  test("word_rep_stats equals the explode/groupBy formulation; hand values") {
+    import spark.implicits._
+    val rel = docs.filter(col("doc_id") < 200)
+      .select(col("doc_id"),
+        explode(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).as("wd"))
+      .groupBy("doc_id", "wd").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(max(col("c")).as("maxtf"), sum(col("c")).as("nw"))
+      .select("doc_id", "nw", "maxtf")
+    val fast = docs.filter(col("doc_id") < 200)
+      .select(col("doc_id"), TextExprs.wordRepStats(col("text")).as("ws"))
+      .select(col("doc_id"), col("ws.nw").as("nw"), col("ws.maxtf").as("maxtf"))
+    assert(rel.exceptAll(fast).isEmpty && fast.exceptAll(rel).isEmpty)
+    val r = Seq("a b a  a\tc", " ", null: String).toDF("t")
+      .select(TextExprs.wordRepStats(col("t")).as("ws"))
+      .select(col("ws.nw"), col("ws.maxtf")).collect()
+    assert(r(0).getLong(0) === 5L && r(0).getLong(1) === 3L)
+    assert(r(1).getLong(0) === 0L && r(1).getLong(1) === 0L)
+    assert(Seq(0, 1).forall(r(2).isNullAt))
+  }
+
   test("char_entropy_stats plans with no exchange on the stats path") {
     val fast = docs
       .select(TextExprs.charEntropyStats(col("text")).as("st"))
