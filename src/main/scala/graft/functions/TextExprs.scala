@@ -146,8 +146,10 @@ object WinnowFingerprints {
   * computed map-side in one pass with NO exchange. Exists because the
   * explode→groupBy(doc, char) form shuffles one row per corpus character:
   * measured 120 s / 547 MB at 100× where this is a pure scan. Characters
-  * are code points excluding line terminators — the `.` regex class both
-  * engines use. Entropy derives as ln(n) − (clnc_micros/10⁶)/n.
+  * are code points excluding the five Java line terminators (\n \r U+0085
+  * U+2028 U+2029 — Java's `.` class; RE2's `.` excludes only \n, so the
+  * DuckDB oracles pin the explicit class [^\n\r\x{85}\x{2028}\x{2029}]).
+  * Entropy derives as ln(n) − (clnc_micros/10⁶)/n.
   */
 case class CharEntropyStats(child: Expression) extends UnaryExpression {
   import org.apache.spark.sql.types.{StructField, StructType}

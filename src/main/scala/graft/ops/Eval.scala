@@ -750,9 +750,13 @@ object Eval {
     val sx = col("sx").cast("double"); val sy = col("sy").cast("double")
     val sxx = col("sxx").cast("double"); val sxy = col("sxy").cast("double")
     val slope = (wv * sxy - sx * sy) / (wv * sxx - sx * sx)
+    // a single frequency class (e.g. all tokens unique) has zero x
+    // variance: the fit is undefined — NULL, not the NaN a raw 0/0 gives
+    // (DuckDB's 0.0/0.0 is NULL, so the raw form also splits the engines)
+    val defined = wv * sxx - sx * sx > 0.0
     a.select(col("n_types"), col("n_tokens"),
-      round(slope, 6).as("slope"),
-      round((sy - slope * sx) / wv, 6).as("intercept"))
+      when(defined, round(slope, 6)).as("slope"),
+      when(defined, round((sy - slope * sx) / wv, 6)).as("intercept"))
   }
 
   /** Vocabulary coverage curve: for each budget k, the EXACT number of

@@ -946,7 +946,7 @@ object Graph {
       }
       l
     }
-    def keep(settledNow: DataFrame, r: Int): Unit = {
+    def keep(settledNow: DataFrame): Unit = {
       settled = if (settled == null) settledNow.localCheckpoint(true)
         else settled.union(settledNow).localCheckpoint(true)
     }
@@ -971,7 +971,7 @@ object Graph {
             lit(r).as("settled_round"))
         if (trimmed.isEmpty) trimDone = true
         else {
-          keep(trimmed, r)
+          keep(trimmed)
           residual = kept
           edges = edges
             .join(kept.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
@@ -986,7 +986,7 @@ object Graph {
       val lab = f.join(b, Seq("node")).localCheckpoint(true)
       keep(lab.filter(col("flbl") === col("blbl"))
         .select(col("node"), col("flbl").as("scc"),
-          lit(r).as("settled_round")), r)
+          lit(r).as("settled_round")))
       residual = lab.filter(col("flbl") =!= col("blbl")).select("node")
         .localCheckpoint(true)
       if (residual.isEmpty) done = true

@@ -64,8 +64,12 @@ object LangModel {
     // inlined expressions per element, so tokenizing inside the transform
     // would re-run the regex per POSITION: O(len²) per doc (measured 784 s
     // at 100× before this; the q_line_filter lesson)
+    // empty/whitespace-only docs tokenize to size(w) = 0, where
+    // sequence(1, 0) yields the DESCENDING [1, 0] and element_at(w, 0)
+    // throws — filter them out (they have no positions to score anyway)
     val pos = docs
       .select(col(idCol), toks(col(textCol)).as("w"))
+      .filter(size(col("w")) >= 1)
       .select(col(idCol), explode(expr(
         "transform(sequence(1, size(w)), i -> struct(" +
           "element_at(w, i) AS cur, " +
@@ -75,18 +79,26 @@ object LangModel {
     val pairs = pos.groupBy(idCol, "prev", "cur")
       .agg(count(lit(1)).as("cnt"))
     val refIds = docs.filter(refPred).select(col(idCol))
-    val refPos = pos.join(refIds, Seq(idCol), "left_semi")
+    // ONE ref-slice scan feeds the whole model side: the aggregated
+    // (prev, cur, bc) table is model-sized and pins safely; rb/rc/vocab
+    // derive from it without re-tokenizing (vocab = Σ bc per cur, because
+    // every position appears exactly once as `cur` — first tokens as the
+    // prev-NULL rows). Without this the tokenize+explode ran 3× per call.
+    // DISK_ONLY, not localCheckpoint: on an adversarial corpus (every
+    // token unique) the "model" is itself corpus-sized, and pinning it
+    // in deserialized memory blocks is the q_spearman OOM shape — disk
+    // blocks spill gracefully and the three readers still share one scan
+    val refAgg = pos.join(refIds, Seq(idCol), "left_semi")
+      .groupBy("prev", "cur").agg(count(lit(1)).as("bc"))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     // the bigram vocabulary grows ~quadratically faster than the unigram
     // one on natural text, so its broadcast is GUARDED: small model →
     // broadcast, big model → keyed shuffle join (the correct large shape)
-    val rb = refPos.filter(col("prev").isNotNull)
-      .groupBy("prev", "cur").agg(count(lit(1)).as("bc"))
-      .localCheckpoint(true) // model-sized; counted, grouped, joined
+    val rb = refAgg.filter(col("prev").isNotNull)
     val nRb = rb.count()
     val rc = rb.groupBy("prev").agg(sum(col("bc")).as("pc"))
-    val vocab = refPos.groupBy(col("cur").as("word"))
-      .agg(count(lit(1)).as("wc"))
-      .localCheckpoint(true) // model-sized; aggregated + joined
+    val vocab = refAgg.groupBy(col("cur").as("word"))
+      .agg(sum(col("bc")).as("wc"))
     val stats = vocab.agg(sum(col("wc")).as("n_ref"),
       count(lit(1)).as("v_ref"))
     val pu = (coalesce(col("wc"), lit(0L)) + lit(1)).cast("double") /

@@ -84,16 +84,24 @@ object Privacy {
     * jjhala et al. 2007): a k-anonymous group whose members all share one
     * sensitive value still leaks it (the homogeneity attack), so release
     * gates require l ≥ threshold distinct values per group. count(DISTINCT)
-    * has no window form, so this is a groupBy + equi-join back — the join
-    * keys on the same columns the groupBy hashed, so AQE plans one
-    * exchange reuse, not a second full shuffle.
+    * has no window form, so this is a groupBy + join back — NULL-SAFE on
+    * the quasi columns, because [[kAnonymity]]'s window treats a NULL
+    * quasi value as a group and a plain equi-join would silently DROP
+    * those rows instead (neither annotated nor suppressed — the worst
+    * outcome for a privacy gate). The join keys on the same columns the
+    * groupBy hashed, so AQE plans one exchange reuse, not a second full
+    * shuffle.
     */
   def lDiversity(df: DataFrame, quasiCols: Seq[String],
       sensitiveCol: String): DataFrame = {
     val groups = df.groupBy(quasiCols.map(col): _*)
       .agg(org.apache.spark.sql.functions
         .countDistinct(col(sensitiveCol)).as("l_div"))
-    df.join(groups, quasiCols)
+    val renamed = quasiCols.foldLeft(groups)(
+      (g, c) => g.withColumnRenamed(c, s"__q_$c"))
+    df.join(renamed,
+        quasiCols.map(c => col(c) <=> col(s"__q_$c")).reduce(_ && _))
+      .drop(quasiCols.map(c => s"__q_$c"): _*)
   }
 
   /** Rows whose quasi-identifier group carries at least `l` distinct

@@ -283,7 +283,7 @@ object CleanOps {
         |      CAST(sum(c * CAST(round(ln(CAST(c AS DOUBLE)), 6)
         |        AS DECIMAL(18,6))) AS DOUBLE) / sum(c) AS h
         |  FROM (SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
-        |        FROM (SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS ch
+        |        FROM (SELECT doc_id, unnest(regexp_extract_all(text, '[^\n\r\x{85}\x{2028}\x{2029}]')) AS ch
         |              FROM documents) GROUP BY 1, 2)
         |  GROUP BY 1),
         |rep AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS maxtf,
@@ -330,7 +330,7 @@ object CleanOps {
           .orderBy("doc_id")
       },
       """WITH cc AS (SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
-        |  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS ch
+        |  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '[^\n\r\x{85}\x{2028}\x{2029}]')) AS ch
         |        FROM documents WHERE doc_id < 400)
         |  GROUP BY 1, 2),
         |a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,

@@ -29,6 +29,33 @@ object EventOps {
   private def deleteRecursively(f: java.io.File): Unit =
     graft.ops.Layout.deleteRecursively(f)
 
+  /** Shared streaming read of the events table: the requested columns'
+    * schema from one batch footer read, pathGlobFilter pinning the table
+    * file, plus the event-time Column normalized across the two physical
+    * `ts` generations (the Q.t contract's streaming side — see the
+    * TESTDATA gotcha). ONE definition for every q_stream_* entry so the
+    * generation dispatch cannot drift between sites; callers that carry
+    * no `ts` just ignore the second element.
+    */
+  private def eventStream(s: SparkSession, d: String,
+      cols: Seq[String]): (DataFrame, Column) = {
+    val batchSchema = { ensureNanosReadable(s)
+      s.read.parquet(s"$d/events.parquet").schema }
+    val fields = cols.map(n => batchSchema(batchSchema.fieldIndex(n)))
+    val stream0 = s.readStream
+      .schema(org.apache.spark.sql.types.StructType(fields))
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d)
+    val tss =
+      if (!cols.contains("ts")) lit(null).cast("timestamp")
+      else batchSchema(batchSchema.fieldIndex("ts")).dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          timestamp_micros(expr("ts div 1000L")) // epoch-nanos generation
+        case _ => col("ts").cast("timestamp") // micros TS/NTZ (UTC session)
+      }
+    (stream0, tss)
+  }
+
   /** The shared view→click→purchase funnel stages (first qualifying
     * event per user per stage, each stage strictly after the previous):
     * one derivation serving q_funnel (counts) and q_funnel_latency
@@ -811,21 +838,8 @@ object EventOps {
         // time column adapt. Complete mode's final state is independent of
         // how AvailableNow slices the input into micro-batches, so a
         // multi-file source is fine too
-        val batchSchema = { ensureNanosReadable(s)
-          s.read.parquet(s"$d/events.parquet").schema }
-        val fields = Seq("ts", "event_type", "value")
-          .map(n => batchSchema(batchSchema.fieldIndex(n)))
-        // the file source wants a DIRECTORY; the dataset dir + a glob on
-        // the table's file name streams exactly the events table
-        val stream0 = s.readStream
-          .schema(org.apache.spark.sql.types.StructType(fields))
-          .option("pathGlobFilter", "events.parquet")
-          .parquet(d)
-        val tss = fields.head.dataType match {
-          case org.apache.spark.sql.types.LongType =>
-            timestamp_micros(expr("ts div 1000L")) // epoch-nanos generation
-          case _ => col("ts").cast("timestamp") // micros TS/NTZ (UTC session)
-        }
+        val (stream0, tss) = eventStream(s, d,
+          Seq("ts", "event_type", "value"))
         val stream = stream0
           .withColumn("tss", tss)
           .withWatermark("tss", "1 hour")
@@ -852,19 +866,7 @@ object EventOps {
     //    partitioned per hour, bounded partitions --------------------------
     ("q_stream_topk",
       (s: SparkSession, d: String) => {
-        val batchSchema = { ensureNanosReadable(s)
-          s.read.parquet(s"$d/events.parquet").schema }
-        val fields = Seq("ts", "props")
-          .map(n => batchSchema(batchSchema.fieldIndex(n)))
-        val stream0 = s.readStream
-          .schema(org.apache.spark.sql.types.StructType(fields))
-          .option("pathGlobFilter", "events.parquet")
-          .parquet(d)
-        val tss = fields.head.dataType match {
-          case org.apache.spark.sql.types.LongType =>
-            timestamp_micros(expr("ts div 1000L"))
-          case _ => col("ts").cast("timestamp")
-        }
+        val (stream0, tss) = eventStream(s, d, Seq("ts", "props"))
         val stream = stream0
           .withColumn("tss", tss)
           .withColumn("page",
@@ -905,19 +907,7 @@ object EventOps {
     //    form, band-salted, and the batch oracle replays them exactly ----
     ("q_stream_minhash",
       (s: SparkSession, d: String) => {
-        val batchSchema = { ensureNanosReadable(s)
-          s.read.parquet(s"$d/events.parquet").schema }
-        val fields = Seq("ts", "props")
-          .map(n => batchSchema(batchSchema.fieldIndex(n)))
-        val stream0 = s.readStream
-          .schema(org.apache.spark.sql.types.StructType(fields))
-          .option("pathGlobFilter", "events.parquet")
-          .parquet(d)
-        val tss = fields.head.dataType match {
-          case org.apache.spark.sql.types.LongType =>
-            timestamp_micros(expr("ts div 1000L"))
-          case _ => col("ts").cast("timestamp")
-        }
+        val (stream0, tss) = eventStream(s, d, Seq("ts", "props"))
         val page = regexp_extract(col("props"), "\"k\": ([0-9]+)", 1)
         def h(b: Int) =
           conv(substring(md5(concat(lit(s"$b|"), page)), 1, 15), 16, 10)
@@ -1164,14 +1154,8 @@ object EventOps {
     //    standard 100 TB enrichment shape: facts flow, dims broadcast ----
     ("q_stream_enrich",
       (s: SparkSession, d: String) => {
-        val batchSchema = { ensureNanosReadable(s)
-          s.read.parquet(s"$d/events.parquet").schema }
-        val fields = Seq("user_id", "event_type", "value")
-          .map(n => batchSchema(batchSchema.fieldIndex(n)))
-        val stream0 = s.readStream
-          .schema(org.apache.spark.sql.types.StructType(fields))
-          .option("pathGlobFilter", "events.parquet")
-          .parquet(d)
+        val (stream0, _) = eventStream(s, d,
+          Seq("user_id", "event_type", "value"))
         val dim = broadcast(t(s, d, "customer")
           .select(col("c_custkey"), col("c_mktsegment")))
         val agg = stream0
@@ -1267,19 +1251,8 @@ object EventOps {
     //    the exact-cents convention ---------------------------------------
     ("q_stream_join",
       (s: SparkSession, d: String) => {
-        val batchSchema = { ensureNanosReadable(s)
-          s.read.parquet(s"$d/events.parquet").schema }
-        val names = Seq("event_id", "ts", "user_id", "event_type", "value")
-        val fields = names.map(n => batchSchema(batchSchema.fieldIndex(n)))
-        val stream0 = s.readStream
-          .schema(org.apache.spark.sql.types.StructType(fields))
-          .option("pathGlobFilter", "events.parquet")
-          .parquet(d)
-        val tss = fields(1).dataType match {
-          case org.apache.spark.sql.types.LongType =>
-            timestamp_micros(expr("ts div 1000L")) // epoch-nanos generation
-          case _ => col("ts").cast("timestamp") // micros TS/NTZ (UTC session)
-        }
+        val (stream0, tss) = eventStream(s, d,
+          Seq("event_id", "ts", "user_id", "event_type", "value"))
         // floor to MILLISECONDS before the interval join: the oracle
         // compares epoch_ms truncations, and the fixture's ts carries
         // sub-ms parts — joining on raw micros would include/exclude

@@ -802,9 +802,13 @@ object GraphOps {
     //    HIGHEST-DEGREE node (the published root heuristic), then
     //    eccentricities of the ENTIRE deepest level set F_k via one
     //    shared multi-BFS — after level k is exhausted, lb = max ecc over
-    //    F_k and the diameter is EXACT iff lb ≥ 2(k−1) (every node in a
-    //    shallower level has ecc ≤ dist(root)+k ≤ 2(k−1)); otherwise
-    //    ub = 2(k−1), already tighter than the trivial 2k. Unlike the
+    //    F_k and the diameter is EXACT iff lb ≥ 2(k−1) (remaining pairs
+    //    both sit at depth ≤ k−1, so ≤ 2(k−1) apart); otherwise
+    //    ub = 2(k−1), already tighter than the trivial 2k. The claim
+    //    holds only when both sweeps EXHAUST (max dist < the 6-round
+    //    cap — a capped ecc understates and could certify falsely, the
+    //    GraphSpec two-paths regression), else ub/exact degrade to
+    //    NULL/false. Unlike the
     //    double-sweep LOWER bound, this certifies from ABOVE. Cost: two
     //    shared sweeps; multi-BFS state is O(|F_k|·reached) — on
     //    real-world graphs the deepest level is a thin fringe, but a
@@ -830,14 +834,21 @@ object GraphOps {
         val eccs = b2.groupBy("seed").agg(max(col("dist")).as("ecc"))
         val lbx = eccs.agg(max(col("ecc")).as("lb"),
           count(lit(1)).as("fringe_size"))
+        // the iFUB certificate is only sound when BOTH sweeps EXHAUSTED
+        // their frontiers: an ecc that merely hit the iteration cap (= 6)
+        // understates the true eccentricity, and lb >= 2(k-1) could then
+        // certify a FALSE diameter. max dist < cap proves the last round
+        // added nothing, i.e. the BFS completed; otherwise ub is unknown
+        val complete = col("ecc_root") < 6L && col("lb") < 6L
         root.select(col("node").as("root_node"), col("deg").as("root_deg"))
           .crossJoin(broadcast(k))
           .crossJoin(broadcast(lbx))
           .select(col("root_node"), col("root_deg"), col("ecc_root"),
             col("fringe_size"), col("lb"),
-            when(col("lb") >= (col("ecc_root") - 1) * 2, col("lb"))
-              .otherwise((col("ecc_root") - 1) * 2).as("ub"),
-            (col("lb") >= (col("ecc_root") - 1) * 2).as("exact"))
+            when(complete,
+              when(col("lb") >= (col("ecc_root") - 1) * 2, col("lb"))
+                .otherwise((col("ecc_root") - 1) * 2)).as("ub"),
+            (complete && col("lb") >= (col("ecc_root") - 1) * 2).as("exact"))
       },
       edgeCtes +
         s""",
@@ -857,9 +868,11 @@ object GraphOps {
           |        FROM e)
           |SELECT root.node AS root_node, root.deg AS root_deg, ecc_root,
           |  fringe_size, lb,
-          |  CASE WHEN lb >= 2 * (ecc_root - 1) THEN lb
-          |       ELSE 2 * (ecc_root - 1) END AS ub,
-          |  lb >= 2 * (ecc_root - 1) AS exact
+          |  CASE WHEN ecc_root < 6 AND lb < 6 THEN
+          |    CASE WHEN lb >= 2 * (ecc_root - 1) THEN lb
+          |         ELSE 2 * (ecc_root - 1) END
+          |  END AS ub,
+          |  ecc_root < 6 AND lb < 6 AND lb >= 2 * (ecc_root - 1) AS exact
           |FROM root CROSS JOIN k CROSS JOIN lbx""".stripMargin),
 
     // -- WEIGHTED diameter lower bound: the q_diameter double sweep on

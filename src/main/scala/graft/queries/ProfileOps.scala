@@ -672,9 +672,13 @@ object ProfileOps {
         |    CAST(sum(cw * xy) AS DOUBLE) AS sxy
         |  FROM tm)
         |SELECT n_types, n_tokens,
-        |  round((wv * sxy - sx * sy) / (wv * sxx - sx * sx), 6) AS slope,
-        |  round((sy - (wv * sxy - sx * sy) / (wv * sxx - sx * sx) * sx) / wv, 6)
-        |    AS intercept
+        |  CASE WHEN wv * sxx - sx * sx > 0.0 THEN
+        |    round((wv * sxy - sx * sy) / (wv * sxx - sx * sx), 6)
+        |  END AS slope,
+        |  CASE WHEN wv * sxx - sx * sx > 0.0 THEN
+        |    round((sy - (wv * sxy - sx * sy) / (wv * sxx - sx * sx) * sx)
+        |      / wv, 6)
+        |  END AS intercept
         |FROM a""".stripMargin),
 
     // -- VOCABULARY COVERAGE curve (Eval.vocabCoverage): exact tokens
@@ -745,12 +749,19 @@ object ProfileOps {
           (col("nb") - 1)
         val se2a = va / col("na")
         val se2b = vb / col("nb")
+        // undefined below 2 samples per side or with zero pooled
+        // variance: NULL, not the Inf/NaN a raw division gives (DuckDB's
+        // x/0 is NULL — the q_mcc/q_kendall guard convention)
+        val defined = col("na") > 1L && col("nb") > 1L
         m.select(col("na"), col("nb"),
-          round(ma, 6).as("mean_a"), round(mb, 6).as("mean_b"),
-          round((ma - mb) / sqrt(se2a + se2b), 6).as("t_stat"),
-          round((se2a + se2b) * (se2a + se2b) /
-            (se2a * se2a / (col("na") - 1) + se2b * se2b / (col("nb") - 1)), 6)
-            .as("df"))
+          when(col("na") > 0L, round(ma, 6)).as("mean_a"),
+          when(col("nb") > 0L, round(mb, 6)).as("mean_b"),
+          when(defined && se2a + se2b > 0.0,
+            round((ma - mb) / sqrt(se2a + se2b), 6)).as("t_stat"),
+          when(defined && se2a * se2a + se2b * se2b > 0.0,
+            round((se2a + se2b) * (se2a + se2b) /
+              (se2a * se2a / (col("na") - 1) + se2b * se2b / (col("nb") - 1)),
+              6)).as("df"))
       },
       """WITH m AS (SELECT
         |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS na,
@@ -771,10 +782,14 @@ object ProfileOps {
         |    (CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / nb)
         |      / (nb - 1) / nb AS s2b
         |  FROM m)
-        |SELECT na, nb, round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
-        |  round((ma - mb) / sqrt(s2a + s2b), 6) AS t_stat,
-        |  round((s2a + s2b) * (s2a + s2b) /
-        |    (s2a * s2a / (na - 1) + s2b * s2b / (nb - 1)), 6) AS df
+        |SELECT na, nb,
+        |  CASE WHEN na > 0 THEN round(ma, 6) END AS mean_a,
+        |  CASE WHEN nb > 0 THEN round(mb, 6) END AS mean_b,
+        |  CASE WHEN na > 1 AND nb > 1 AND s2a + s2b > 0.0 THEN
+        |    round((ma - mb) / sqrt(s2a + s2b), 6) END AS t_stat,
+        |  CASE WHEN na > 1 AND nb > 1 AND s2a * s2a + s2b * s2b > 0.0 THEN
+        |    round((s2a + s2b) * (s2a + s2b) /
+        |      (s2a * s2a / (na - 1) + s2b * s2b / (nb - 1)), 6) END AS df
         |FROM e""".stripMargin),
 
     // -- deterministic POISSON BOOTSTRAP standard error of the mean doc

@@ -499,19 +499,22 @@ class GraphSpec extends SparkSuite {
     // lb = max ecc over the deepest level set F_k of the root's BFS,
     // exact iff lb >= 2(k-1) (Crescenzi et al. 2013, Thm 3 specialized
     // to processing level k only).
-    def ifub(edges: Seq[(Long, Long)]): (Long, Long, Long, Boolean) = {
+    def ifub(edges: Seq[(Long, Long)], iters: Int = 8)
+        : (Long, Long, Long, Boolean) = {
       val df = edges.toDF("src", "dst")
       val sym = df.union(df.select(col("dst").as("src"), col("src").as("dst")))
         .distinct()
       val root = sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
         .orderBy(col("deg").desc, col("node")).limit(1).select("node")
-      val b1 = Graph.multiBfsLevels(df, "src", "dst", root, "node", iters = 8)
+      val b1 = Graph.multiBfsLevels(df, "src", "dst", root, "node", iters)
       val k = b1.agg(max(col("dist"))).head().getLong(0)
       val fringe = b1.filter(col("dist") === k).select("node")
-      val lb = Graph.multiBfsLevels(df, "src", "dst", fringe, "node", iters = 8)
+      val lb = Graph.multiBfsLevels(df, "src", "dst", fringe, "node", iters)
         .groupBy("seed").agg(max(col("dist")).as("ecc"))
         .agg(max(col("ecc"))).head().getLong(0)
-      val exact = lb >= 2 * (k - 1)
+      // the certificate needs BOTH sweeps frontier-exhausted (< cap)
+      val complete = k < iters && lb < iters
+      val exact = complete && lb >= 2 * (k - 1)
       (k, lb, if (exact) lb else 2 * (k - 1), exact)
     }
     // path 1-2-3-4-5: root ties resolve to node 2 (deg 2), ecc=3,
@@ -528,5 +531,17 @@ class GraphSpec extends SparkSuite {
     // exact diameter 2 at one level's cost
     val (k3, lb3, ub3, ex3) = ifub((2L to 9L).map(i => (1L, i)))
     assert(k3 === 1L && lb3 === 2L && ub3 === 2L && ex3)
+    // FALSE-CERTIFICATE regression: hub with two length-4 paths, true
+    // diameter 8. At iters=6 the fringe eccs truncate to 6 = 2(k-1),
+    // which would certify exact WITHOUT the frontier-exhaustion guard —
+    // the guard must refuse (lb hit the cap)
+    val twoPaths = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (1L, 6L), (6L, 7L), (7L, 8L), (8L, 9L))
+    val (k4, lb4, _, ex4) = ifub(twoPaths, iters = 6)
+    assert(k4 === 4L && lb4 === 6L && !ex4,
+      "capped sweep must not certify exactness")
+    // with enough iterations the same graph certifies the true diameter
+    val (k5, lb5, ub5, ex5) = ifub(twoPaths, iters = 9)
+    assert(k5 === 4L && lb5 === 8L && ub5 === 8L && ex5)
   }
 }

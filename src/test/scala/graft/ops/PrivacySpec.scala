@@ -85,4 +85,26 @@ class PrivacySpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"))
   }
+
+  test("lDiversity keeps NULL-quasi rows (null-safe join) and counts per group") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // NULL region is a GROUP (the kAnonymity semantics), not a dropped row
+    val df = Seq(
+      ("a", "r1", 1L), ("b", "r1", 2L), ("c", "r1", 2L),
+      ("d", null, 5L), ("e", null, 6L), ("f", null, 6L))
+      .toDF("id", "region", "band")
+    val ld = Privacy.lDiversity(df, Seq("region"), "band")
+    assert(ld.count() === 6L, "no row may vanish on a NULL quasi value")
+    val byId = ld.select("id", "l_div").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byId("a") === 2L && byId("d") === 2L)
+    // suppression at l >= 3 drops BOTH groups here; at l >= 2 keeps all
+    assert(Privacy.suppressLowDiversity(df, Seq("region"), "band", 3L).isEmpty)
+    assert(Privacy.suppressLowDiversity(df, Seq("region"), "band", 2L)
+      .count() === 6L)
+    // the helper column must not survive suppression
+    assert(!Privacy.suppressLowDiversity(df, Seq("region"), "band", 2L)
+      .columns.contains("l_div"))
+  }
 }
