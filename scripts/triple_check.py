@@ -175,6 +175,48 @@ QUERIES = {
         SELECT day, day_cents, ewma_scaled,
           round(CAST(ewma_scaled AS REAL)/1048576.0, 6) AS ewma
         FROM w ORDER BY day""",
+    # leave-one-group-out tau-b jackknife — the pair-class cell table and
+    # inclusion-exclusion replicated in SQLite (floats under tolerance)
+    "q_tau_jackknife": """
+        WITH bd AS (SELECT day, x, y, day % 6 AS g FROM (
+            SELECT ms/86400000 AS day,
+              CAST(sum(CASE WHEN event_type='purchase'
+                   THEN CAST(round(value*100) AS INTEGER) ELSE 0 END)
+                AS INTEGER) AS x,
+              count(*) AS y
+            FROM events GROUP BY 1)),
+        cls AS (SELECT a.g AS gi, b.g AS gj,
+            sum(CASE WHEN (a.x<b.x AND a.y<b.y) OR (a.x>b.x AND a.y>b.y)
+                THEN 1 ELSE 0 END) AS nc,
+            sum(CASE WHEN (a.x<b.x AND a.y>b.y) OR (a.x>b.x AND a.y<b.y)
+                THEN 1 ELSE 0 END) AS nd,
+            sum(CASE WHEN a.x=b.x AND a.y<>b.y THEN 1 ELSE 0 END) AS tx,
+            sum(CASE WHEN a.y=b.y AND a.x<>b.x THEN 1 ELSE 0 END) AS ty
+          FROM bd a JOIN bd b ON a.day < b.day GROUP BY 1, 2),
+        tot AS (SELECT sum(nc) AS nc, sum(nd) AS nd,
+            sum(tx) AS tx, sum(ty) AS ty FROM cls),
+        gs AS (SELECT DISTINCT g FROM bd),
+        loo AS (SELECT gs.g, sum(nc) AS nc, sum(nd) AS nd,
+            sum(tx) AS tx, sum(ty) AS ty
+          FROM gs JOIN cls ON cls.gi <> gs.g AND cls.gj <> gs.g
+          GROUP BY 1),
+        aj AS (SELECT taug FROM (
+            SELECT CASE WHEN nc+nd+ty > 0 AND nc+nd+tx > 0 THEN
+              round(CAST(nc-nd AS REAL)/(sqrt(nc+nd+ty)*sqrt(nc+nd+tx)), 6)
+            END AS taug FROM loo) q
+          WHERE taug IS NOT NULL),
+        st AS (SELECT count(*) AS ng,
+            round(CAST(sum(taug) AS REAL)/count(*), 6) AS adot FROM aj),
+        dev AS (SELECT ng, sum(round((taug-adot)*(taug-adot), 6)) AS ssq
+          FROM aj CROSS JOIN st GROUP BY 1),
+        nn AS (SELECT count(*) AS n_days FROM bd)
+        SELECT n_days, nc, nd,
+          CASE WHEN nc+nd+ty > 0 AND nc+nd+tx > 0 THEN
+            round(CAST(nc-nd AS REAL)/(sqrt(nc+nd+ty)*sqrt(nc+nd+tx)), 6)
+          END AS tau_b,
+          ng AS n_groups,
+          round(sqrt(CAST(ng-1 AS REAL)/ng*ssq), 6) AS jack_se
+        FROM tot CROSS JOIN nn CROSS JOIN dev""",
     # Welch's t — REAL sums of squares under the tolerance compare (the
     # gate's DECIMAL(38,0) moments have no SQLite counterpart)
     "q_welch_t": """

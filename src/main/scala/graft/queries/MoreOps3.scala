@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import Q._
@@ -64,7 +64,9 @@ object MoreOps3 {
       .select("a", "b", "jac")
   }
 
-  val entries: Seq[(String, Fn, String)] = Seq(
+  val entries: Seq[(String, Fn, String)] = moreEntries :+ tjq
+
+  private lazy val moreEntries: Seq[(String, Fn, String)] = Seq(
 
     // -- TPC-H Q1 analogue: the pricing summary — one scan, map-side partial
     //    agg over a 6-value grouping key, every aggregate in a single pass --
@@ -356,11 +358,7 @@ object MoreOps3 {
         cnt.crossJoin(broadcast(byDay.agg(count(lit(1)).as("n_days"))))
           .select(col("n_days"), col("nc"), col("nd"),
             col("tx"), col("ty"), col("txy"),
-            when((col("nc") + col("nd") + col("ty")) > 0L &&
-              (col("nc") + col("nd") + col("tx")) > 0L,
-              round((col("nc") - col("nd")).cast("double") /
-                (sqrt((col("nc") + col("nd") + col("ty")).cast("double")) *
-                  sqrt((col("nc") + col("nd") + col("tx")).cast("double"))), 6))
+            round(tauB(col("nc"), col("nd"), col("tx"), col("ty")), 6)
               .as("tau_b"))
       },
       """WITH bd AS (SELECT epoch_ms(ts) // 86400000 AS day,
@@ -393,21 +391,146 @@ object MoreOps3 {
         |FROM pr CROSS JOIN nn""".stripMargin)
   )
 
-  /** Exact Kendall pair-count aggregate over a (xi, yi) × (xj, yj) pair
-    * frame: concordant, discordant, x-only ties, y-only ties, both-tied.
+  // LEAVE-ONE-GROUP-OUT Kendall tau-b jackknife: the q_auc_jackknife
+  // inclusion-exclusion pattern applied to the tau pair counts — pair
+  // classes are counted once per (gi, gj) group-pair CELL (<= 36 rows),
+  // so every replicate is pure algebra on that bounded table; replicate
+  // taus dec6 -> exact deviation moments -> the standard jackknife SE.
+  // Lazy so the entries val (declared earlier) can append it safely.
+  private lazy val tjq: (String, Fn, String) = (
+    "q_tau_jackknife",
+    (s: SparkSession, d: String) => {
+      val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+      val byDay = t(s, d, "events")
+        .select(expr("ts div 86400000000000").as("day"), col("event_type"),
+          cents(col("value")).as("c"))
+        .groupBy("day")
+        .agg(sum(when(col("event_type") === "purchase", col("c"))
+          .otherwise(0L)).as("x"),
+          count(lit(1)).as("y"))
+        .withColumn("g", pmod(col("day"), lit(6L)))
+        .localCheckpoint(true) // days-sized; pairs + groups + count
+      val a = byDay.select(col("day").as("di"), col("g").as("gi"),
+        col("x").as("xi"), col("y").as("yi"))
+      val b = byDay.select(col("day").as("dj"), col("g").as("gj"),
+        col("x").as("xj"), col("y").as("yj"))
+      // pair classes per (gi, gj) CELL — ≤36 rows; every leave-one-out
+      // replicate is then pure algebra on this bounded table
+      val cls = a.join(b, col("di") < col("dj"))
+        .groupBy("gi", "gj").agg(kendallCounts.head, kendallCounts.tail: _*)
+        .localCheckpoint(true)
+      val tot = cls.agg(sum(col("nc")).as("nc"), sum(col("nd")).as("nd"),
+        sum(col("tx")).as("tx"), sum(col("ty")).as("ty"),
+        sum(col("txy")).as("txy"))
+      val groups = byDay.select(col("g")).distinct()
+      val loo = groups.join(cls, col("gi") =!= col("g") && col("gj") =!= col("g"))
+        .groupBy("g")
+        .agg(sum(col("nc")).as("nc"), sum(col("nd")).as("nd"),
+          sum(col("tx")).as("tx"), sum(col("ty")).as("ty"))
+      val aj = loo
+        .select(round(tauB(col("nc"), col("nd"), col("tx"), col("ty")), 6)
+          .cast(dec).as("taug"))
+        .filter(col("taug").isNotNull)
+        .localCheckpoint(true) // ≤6 rows, read by st + md + the dev sum
+      val st = aj.agg(count(lit(1)).as("ng"),
+        round(sum(col("taug")).cast("double") / count(lit(1)), 6).as("adot"))
+      val dev = aj.crossJoin(broadcast(st))
+        .select(round((col("taug").cast("double") - col("adot")) *
+          (col("taug").cast("double") - col("adot")), 6).cast(dec).as("d2"),
+          col("ng"))
+        .groupBy("ng").agg(sum(col("d2")).as("ssq"))
+      tot.crossJoin(broadcast(byDay.agg(count(lit(1)).as("n_days"))))
+        .crossJoin(broadcast(dev))
+        .select(col("n_days"), col("nc"), col("nd"),
+          round(tauB(col("nc"), col("nd"), col("tx"), col("ty")), 6)
+            .as("tau_b"),
+          col("ng").as("n_groups"),
+          round(sqrt((col("ng") - 1).cast("double") / col("ng") *
+            col("ssq").cast("double")), 6).as("jack_se"))
+    },
+    """WITH bd AS (SELECT day, x, y, day % 6 AS g FROM (
+      |    SELECT epoch_ms(ts) // 86400000 AS day,
+      |      CAST(sum(CASE WHEN event_type = 'purchase'
+      |                    THEN CAST(round(value * 100) AS BIGINT)
+      |                    ELSE 0 END) AS BIGINT) AS x,
+      |      CAST(count(*) AS BIGINT) AS y
+      |    FROM events GROUP BY 1)),
+      |cls AS MATERIALIZED (SELECT a.g AS gi, b.g AS gj,
+      |    CAST(sum(CASE WHEN (a.x < b.x AND a.y < b.y)
+      |                    OR (a.x > b.x AND a.y > b.y)
+      |                  THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+      |    CAST(sum(CASE WHEN (a.x < b.x AND a.y > b.y)
+      |                    OR (a.x > b.x AND a.y < b.y)
+      |                  THEN 1 ELSE 0 END) AS BIGINT) AS nd,
+      |    CAST(sum(CASE WHEN a.x = b.x AND a.y <> b.y
+      |                  THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+      |    CAST(sum(CASE WHEN a.y = b.y AND a.x <> b.x
+      |                  THEN 1 ELSE 0 END) AS BIGINT) AS ty,
+      |    CAST(sum(CASE WHEN a.x = b.x AND a.y = b.y
+      |                  THEN 1 ELSE 0 END) AS BIGINT) AS txy
+      |  FROM bd a JOIN bd b ON a.day < b.day GROUP BY 1, 2),
+      |tot AS (SELECT CAST(sum(nc) AS BIGINT) AS nc,
+      |    CAST(sum(nd) AS BIGINT) AS nd, CAST(sum(tx) AS BIGINT) AS tx,
+      |    CAST(sum(ty) AS BIGINT) AS ty FROM cls),
+      |gs AS (SELECT DISTINCT g FROM bd),
+      |loo AS (SELECT gs.g, CAST(sum(nc) AS BIGINT) AS nc,
+      |    CAST(sum(nd) AS BIGINT) AS nd, CAST(sum(tx) AS BIGINT) AS tx,
+      |    CAST(sum(ty) AS BIGINT) AS ty
+      |  FROM gs JOIN cls ON cls.gi <> gs.g AND cls.gj <> gs.g
+      |  GROUP BY 1),
+      |aj AS MATERIALIZED (SELECT taug FROM (
+      |    SELECT CAST(round(
+      |      CASE WHEN nc + nd + ty > 0 AND nc + nd + tx > 0 THEN
+      |        CAST(nc - nd AS DOUBLE) / (sqrt(CAST(nc + nd + ty AS DOUBLE))
+      |          * sqrt(CAST(nc + nd + tx AS DOUBLE))) END, 6)
+      |      AS DECIMAL(18,6)) AS taug
+      |    FROM loo) q
+      |  WHERE taug IS NOT NULL),
+      |st AS (SELECT CAST(count(*) AS BIGINT) AS ng,
+      |    round(CAST(sum(taug) AS DOUBLE) / count(*), 6) AS adot FROM aj),
+      |dev AS (SELECT ng, sum(CAST(round((CAST(taug AS DOUBLE) - adot)
+      |      * (CAST(taug AS DOUBLE) - adot), 6) AS DECIMAL(18,6))) AS ssq
+      |  FROM aj CROSS JOIN st GROUP BY 1),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM bd)
+      |SELECT n_days, nc, nd,
+      |  round(CASE WHEN nc + nd + ty > 0 AND nc + nd + tx > 0 THEN
+      |    CAST(nc - nd AS DOUBLE) / (sqrt(CAST(nc + nd + ty AS DOUBLE))
+      |      * sqrt(CAST(nc + nd + tx AS DOUBLE))) END, 6) AS tau_b,
+      |  ng AS n_groups,
+      |  round(sqrt(CAST(ng - 1 AS DOUBLE) / ng * CAST(ssq AS DOUBLE)), 6)
+      |    AS jack_se
+      |FROM tot CROSS JOIN nn CROSS JOIN dev""".stripMargin)
+
+  /** The five exact Kendall pair-class count columns over a
+    * (xi, yi) × (xj, yj) pair frame: concordant, discordant, x-only
+    * ties, y-only ties, both-tied — shared by the global aggregate
+    * (q_kendall) and the per-group-pair table (q_tau_jackknife).
     */
+  private def kendallCounts: Seq[Column] = Seq(
+    sum(when((col("xi") < col("xj") && col("yi") < col("yj")) ||
+      (col("xi") > col("xj") && col("yi") > col("yj")), 1L)
+      .otherwise(0L)).as("nc"),
+    sum(when((col("xi") < col("xj") && col("yi") > col("yj")) ||
+      (col("xi") > col("xj") && col("yi") < col("yj")), 1L)
+      .otherwise(0L)).as("nd"),
+    sum(when(col("xi") === col("xj") && col("yi") =!= col("yj"), 1L)
+      .otherwise(0L)).as("tx"),
+    sum(when(col("yi") === col("yj") && col("xi") =!= col("xj"), 1L)
+      .otherwise(0L)).as("ty"),
+    sum(when(col("xi") === col("xj") && col("yi") === col("yj"), 1L)
+      .otherwise(0L)).as("txy"))
+
+  /** Exact Kendall pair-count aggregate (global form). */
   private def pairsAgg(pairs: DataFrame): DataFrame =
-    pairs.agg(
-      sum(when((col("xi") < col("xj") && col("yi") < col("yj")) ||
-        (col("xi") > col("xj") && col("yi") > col("yj")), 1L)
-        .otherwise(0L)).as("nc"),
-      sum(when((col("xi") < col("xj") && col("yi") > col("yj")) ||
-        (col("xi") > col("xj") && col("yi") < col("yj")), 1L)
-        .otherwise(0L)).as("nd"),
-      sum(when(col("xi") === col("xj") && col("yi") =!= col("yj"), 1L)
-        .otherwise(0L)).as("tx"),
-      sum(when(col("yi") === col("yj") && col("xi") =!= col("xj"), 1L)
-        .otherwise(0L)).as("ty"),
-      sum(when(col("xi") === col("xj") && col("yi") === col("yj"), 1L)
-        .otherwise(0L)).as("txy"))
+    pairs.agg(kendallCounts.head, kendallCounts.tail: _*)
+
+  /** The tau-b double from the five counts — ONE expression tree shared
+    * by the full statistic and every jackknife replicate, NULL-guarded
+    * on empty denominators.
+    */
+  private def tauB(nc: Column, nd: Column, tx: Column, ty: Column): Column =
+    when((nc + nd + ty) > 0L && (nc + nd + tx) > 0L,
+      (nc - nd).cast("double") /
+        (sqrt((nc + nd + ty).cast("double")) *
+          sqrt((nc + nd + tx).cast("double"))))
 }
