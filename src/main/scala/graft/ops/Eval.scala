@@ -770,6 +770,12 @@ object Eval {
     */
   def vocabCoverage(tokens: DataFrame, tokenCol: String,
       budgets: Seq[Long]): DataFrame = {
+    // a budget k <= 0 matches NO frequency class (types_before < k is
+    // never true), and the coalesce(..., total) no-match branch would
+    // then claim FULL coverage for an empty vocabulary — refuse instead,
+    // so that branch only ever means "budget beyond the vocabulary"
+    require(budgets.forall(_ >= 1L),
+      s"vocabCoverage: budgets must be >= 1, got ${budgets.filter(_ < 1L)}")
     val spark = tokens.sparkSession
     import spark.implicits._
     val wc = tokens.groupBy(col(tokenCol).as("w")).agg(count(lit(1)).as("n"))

@@ -899,19 +899,23 @@ object Graph {
     * that REACHES v within `inner` hops (min-label propagation along edge
     * direction, self included) and b(v) = min id v REACHES within `inner`
     * hops (against it). f(v) = b(v) = m is a PATH CERTIFICATE m →* v →* m,
-    * so v settles with scc = m — sound regardless of horizon. Settled
-    * nodes leave the residual; each round settles at least the SCC of the
-    * residual's min node, because f and b are CONSTANT on an SCC once
-    * `inner` covers its internal reach (members share reaching/reachable
-    * sets), so an SCC settles whole or waits whole — no fragmentation
-    * while `inner` ≥ the residual's directed reach diameter. Under a too-
-    * small horizon the split is still deterministic (both engines replay
-    * the same rounds; production use sizes `inner` to the graph or loops
-    * to fixpoint). Nodes unsettled after `outer` rounds return NULL scc —
-    * a horizon verdict, not an error. Each round opens with `trim`
-    * passes of the standard TRIM step: a node with no residual in-edges
-    * or no out-edges cannot lie on a cycle and settles immediately as
-    * its own SCC — without it every DAG node waits on the peel.
+    * so v settles with scc = m — sound regardless of horizon. The min-
+    * label propagation LOOPS TO FIXPOINT (labels are monotone non-
+    * increasing over a finite lattice, so a fixpoint within ≤|V| steps is
+    * guaranteed; each step is checked for stability and the loop stops
+    * the first stable step). At fixpoint f and b are CONSTANT on an SCC
+    * (members share reaching/reachable sets), so an SCC settles whole or
+    * waits whole — NO fragmentation ever: a fixed horizon would peel the
+    * residual minimum out of a longer cycle (f=b=m holds trivially for m
+    * itself) and shatter the rest into singletons, silently. `inner` is
+    * the per-round STEP CAP, a loud-refusal guard: hitting it while
+    * labels still change throws instead of emitting wrong components
+    * (size it ≥ the graph's directed reach diameter). Nodes unsettled
+    * after `outer` rounds return NULL scc — a horizon verdict, not an
+    * error. Each round opens with `trim` passes of the standard TRIM
+    * step: a node with no residual in-edges or no out-edges cannot lie
+    * on a cycle and settles immediately as its own SCC — without it
+    * every DAG node waits on the peel.
     *
     * Shape: per inner step one O(|E|) edge⋈label shuffle + one node-keyed
     * min; per outer round 2·inner of those plus two residual semi-joins;
@@ -920,7 +924,7 @@ object Graph {
     * Returns (node, scc, settled_round 1-based).
     */
   def scc(edges0: DataFrame, srcCol: String, dstCol: String,
-      outer: Int = 3, inner: Int = 8, trim: Int = 4): DataFrame = {
+      outer: Int = 3, inner: Int = 64, trim: Int = 4): DataFrame = {
     require(outer >= 1 && inner >= 1 && trim >= 0,
       "scc: outer and inner must be >= 1, trim >= 0")
     val edgesAll = edges0
@@ -936,13 +940,27 @@ object Graph {
     def minLabels(e: DataFrame): DataFrame = {
       var l = residual.select(col("node"), col("node").as("lbl"))
         .localCheckpoint(true)
-      for (_ <- 1 to inner) {
+      var step = 0
+      var stable = false
+      while (!stable) {
+        step += 1
+        // loud refusal beats silent fragmentation: a capped horizon would
+        // settle the residual min as a singleton out of a longer cycle
+        if (step > inner) throw new IllegalStateException(
+          s"scc: min-label propagation did not reach fixpoint within " +
+            s"inner=$inner steps — raise `inner` past the graph's " +
+            "directed reach diameter (wrong components otherwise)")
         val in = e.join(l.select(col("node").as("src"), col("lbl")), "src")
           .groupBy(col("dst").as("node")).agg(min(col("lbl")).as("inlbl"))
-        l = l.join(in, Seq("node"), "left")
-          .select(col("node"),
-            least(col("lbl"), coalesce(col("inlbl"), col("lbl"))).as("lbl"))
+        val nxt = l.withColumnRenamed("lbl", "old")
+          .join(in, Seq("node"), "left")
+          .select(col("node"), col("old"),
+            least(col("old"), coalesce(col("inlbl"), col("old"))).as("lbl"))
           .localCheckpoint(true)
+        // stability probe on the checkpointed frame: one residual-sized
+        // scan; monotone labels mean "no row changed" IS the fixpoint
+        stable = nxt.filter(col("lbl") =!= col("old")).isEmpty
+        l = nxt.select("node", "lbl")
       }
       l
     }

@@ -105,7 +105,7 @@ object LangModel {
       (col("n_ref") + col("v_ref") + lit(1)).cast("double")
     val pb = (coalesce(col("bc"), lit(0L)) + lit(1)).cast("double") /
       (coalesce(col("pc"), lit(0L)) + col("v_ref") + lit(1)).cast("double")
-    pairs
+    val out = pairs
       .join(PlanHints.maybeBroadcastSmall(rb, nRb), Seq("prev", "cur"), "left")
       .join(PlanHints.maybeBroadcastSmall(rc, nRb), Seq("prev"), "left")
       .join(PlanHints.maybeBroadcastSmall(vocab, nRb),
@@ -118,6 +118,14 @@ object LangModel {
       .agg(sum(col("cnt")).as("n_tok"),
         round((-sum(col("cnt") * col("lnp"))).cast("double") / sum(col("cnt")), 4)
           .as("xent"))
+      // eager-materialize the RESULT (one 3-col row per doc — orders of
+      // magnitude under the text it scores, spillable) so refAgg can be
+      // released HERE: returning lazily would leak one DISK_ONLY cached
+      // RDD per invocation for the life of the session (the verify
+      // driver runs hundreds of queries in one session)
+      .localCheckpoint(true)
+    refAgg.unpersist(false)
+    out
   }
 
   /** Per-document cross-entropy (nats/token) under an add-one-smoothed

@@ -774,7 +774,12 @@ object GraphOps {
               (col("src") * 13 + col("dst")) % 4 === 0) ||
             (col("src") > col("dst") &&
               (col("src") * 7 + col("dst")) % 7 === 0)),
-            "src", "dst", outer = 3, inner = 8)
+            // inner is now a loud-refusal STEP CAP: the engine loops min-
+            // label propagation to fixpoint (extra steps are idempotent,
+            // so the oracle's fixed unroll stays a valid mirror as long
+            // as it covers the fixture's depth — measured 7 at sf0.01/
+            // sf0.001, unrolled 10 for margin)
+            "src", "dst", outer = 3, inner = 64)
           .groupBy("scc", "settled_round")
           .agg(count(lit(1)).as("n_nodes"))
           .select("scc", "n_nodes", "settled_round")
@@ -788,7 +793,7 @@ object GraphOps {
           |n1 AS (SELECT DISTINCT node FROM
           |  (SELECT src AS node FROM ed UNION ALL SELECT dst FROM ed) q),
           |er1 AS (SELECT src, dst FROM ed),
-          |${(1 to 3).map(r => sccRoundCtes(r, 8, 4)).mkString(",\n")},
+          |${(1 to 3).map(r => sccRoundCtes(r, 10, 4)).mkString(",\n")},
           |allset AS (
           |  SELECT * FROM done1 UNION ALL SELECT * FROM done2
           |  UNION ALL SELECT * FROM done3

@@ -275,9 +275,13 @@ object VectorOps {
           .select(col("vec_id").as("did"), col("tv").as("dv"),
             col("nrm").as("dn"))
         val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+        // zero-norm guard: an all-zero 16-dim chunk gives 0/0 = NaN in
+        // Spark but NULL in DuckDB (the q_welch_t/q_zipf_fit engine
+        // split) — NULL both sides; max/sum then skip the term alike
         val best = dt.crossJoin(broadcast(qt))
           .groupBy("qid", "did", "qi")
-          .agg(max(vecDot(col("qv"), col("dv")) / (col("qn") * col("dn")))
+          .agg(max(when(col("qn") * col("dn") > 0.0,
+            vecDot(col("qv"), col("dv")) / (col("qn") * col("dn"))))
             .as("mx"))
         val scored = best.groupBy("qid", "did")
           .agg(sum(round(col("mx"), 6).cast(dec)).as("score"))
@@ -300,7 +304,8 @@ object VectorOps {
         |dt AS (SELECT vec_id AS did, tv AS dv, nrm AS dn
         |       FROM tn WHERE vec_id >= 3),
         |best AS (SELECT qid, did, qi,
-        |           max(list_dot_product(qv, dv) / (qn * dn)) AS mx
+        |           max(CASE WHEN qn * dn > 0 THEN
+        |                 list_dot_product(qv, dv) / (qn * dn) END) AS mx
         |         FROM qt, dt GROUP BY 1, 2, 3),
         |sc AS (SELECT qid, did,
         |         sum(cast(round(mx, 6) AS DECIMAL(18,6))) AS score

@@ -492,6 +492,21 @@ class GraphSpec extends SparkSuite {
       10L -> 10L, 11L -> 10L, 12L -> 10L))
   }
 
+  test("scc: a cycle longer than any fixed horizon settles WHOLE " +
+      "(fixpoint labels), and an insufficient step cap refuses loudly") {
+    import spark.implicits._
+    // a 12-cycle: under the old fixed 8-step horizon node 1 would peel
+    // as a singleton (f=b=1 trivially) and shatter the rest
+    val ring = (1L to 12L).map(i => (i, i % 12 + 1)).toDF("src", "dst")
+    val got = Graph.scc(ring, "src", "dst", outer = 1, inner = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === (1L to 12L).map(_ -> 1L).toMap)
+    val ex = intercept[IllegalStateException] {
+      Graph.scc(ring, "src", "dst", outer = 1, inner = 4).collect()
+    }
+    assert(ex.getMessage.contains("fixpoint"))
+  }
+
   test("iFUB certification: fringe eccentricities from a high-degree root " +
       "prove the exact diameter on a path, bracket it on a lollipop") {
     import spark.implicits._
