@@ -308,6 +308,71 @@ object ScaleBench {
             "compact_partitions[1_hot_lang]" -> part)
         } finally del(new java.io.File(root)) // full-corpus copies — never leak
       } catch { case scala.util.control.NonFatal(_) => Map.empty }
+    // Hot-split A/B (pseudo-name "hotsplit"): the SAME fragmented hot
+    // directory compacted through ONE task (targetFileBytes = 0, the
+    // classic one-file contract) vs size-targeted parallel rewrite
+    // (repartitionByRange into ~8 sorted runs). At 100x the hot `lang=en`
+    // dir is the largest single directory in the store; the single-task
+    // form is bounded by one core's sort+write throughput while the
+    // parallel form spreads the same bytes over the cluster — the gap is
+    // the evidence that a multi-TB hot value doesn't serialize a 100 TB
+    // maintenance window.
+    val hsp: Map[String, (Double, Long)] =
+      if (!explicit.contains("hotsplit")) Map.empty
+      else try {
+        import org.apache.spark.sql.functions.col
+        val hot = spark.read.parquet(s"$sfDir/documents.parquet")
+          .filter(col("lang") === "en")
+        val hotRows = hot.count()
+        val root = java.nio.file.Files.createTempDirectory("graft_scale_hsp_")
+          .toFile.getAbsolutePath
+        // ONE hot directory fragmented ~32 ways (an append-heavy value) —
+        // both arms rewrite exactly this directory's bytes
+        def seeded(dir: String): Unit = {
+          del(new java.io.File(dir))
+          graft.ops.Layout.writePartitioned(hot, dir, "lang", Seq("doc_id"),
+            maxRecordsPerFile = math.max(1L, hotRows / 32L))
+        }
+        def hotBytes(dir: String): Long =
+          Option(new java.io.File(s"$dir/lang=en").listFiles())
+            .getOrElse(Array.empty)
+            .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+        def sample(dir: String)(body: => Unit): (Double, Long) = {
+          var failed = false
+          val samples = Seq.fill(runs) {
+            seeded(dir)
+            drainListenerBus()
+            val b0 = shuffleBytes.get()
+            val t0 = System.nanoTime()
+            try body catch {
+              case e: Throwable =>
+                failed = true
+                System.err.println(
+                  s"[scalebench] hotsplit FAILED: ${e.getClass.getName}: ${e.getMessage}")
+            }
+            val t = (System.nanoTime() - t0) / 1e9
+            drainListenerBus()
+            (t, shuffleBytes.get() - b0)
+          }
+          if (failed) (-1.0, 0L)
+          else (samples.map(_._1).min, samples.map(_._2).min)
+        }
+        try {
+          val single = sample(s"$root/single") {
+            graft.ops.Layout.compactPartitions(spark, s"$root/single",
+              Seq("doc_id"))
+            ()
+          }
+          val par = sample(s"$root/par") {
+            val tgt = math.max(1L, hotBytes(s"$root/par") / 8L)
+            graft.ops.Layout.compactPartitions(spark, s"$root/par",
+              Seq("doc_id"), targetFileBytes = tgt)
+            ()
+          }
+          Map("hotsplit_single_task[hot_lang]" -> single,
+            "hotsplit_parallel_8way[hot_lang]" -> par)
+        } finally del(new java.io.File(root)) // full-corpus copies — never leak
+      } catch { case scala.util.control.NonFatal(_) => Map.empty }
     // Merge A/B (pseudo-name "merge"): partition-pruned Layout.merge vs
     // the full-store rewrite a store WITHOUT an update primitive pays for
     // the same upsert. The store carries a 50-value synthetic shard
@@ -794,7 +859,7 @@ object ScaleBench {
         }
         Map("kcore[pinned]" -> pinned, "kcore[reliable_ckpt]" -> spilled)
       } catch { case scala.util.control.NonFatal(_) => Map.empty }
-    val all: Map[String, (Double, Long)] = results ++ prod ++ guard ++ pct ++ ing ++ cmp ++ mrg ++ rup ++ km ++ sqz ++ skw ++ pqb ++ tri ++ wdg ++ peel
+    val all: Map[String, (Double, Long)] = results ++ prod ++ guard ++ pct ++ ing ++ cmp ++ hsp ++ mrg ++ rup ++ km ++ sqz ++ skw ++ pqb ++ tri ++ wdg ++ peel
     val qs = all.toSeq.sortBy(_._1)
       .map { case (k, (t, _)) => f""""$k":$t%.3f""" }.mkString("{", ",", "}")
     // per-query min-of-runs shuffle write MB

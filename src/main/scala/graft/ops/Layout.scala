@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -13,6 +14,12 @@ import org.apache.spark.sql.functions._
   * sort key — no index structure to maintain, just layout. Complements
   * [[Partitioning.saveBucketed]] (bucketed layout for exchange-free joins)
   * and [[Partitioning.zOrderLayout]] (two-dimensional skipping).
+  *
+  * Every filesystem touch goes through [[Fs]] (the Hadoop `FileSystem`
+  * API), so the same store and the same crash-safe maintenance protocol
+  * work on `file:` paths in CI and on HDFS in production unchanged —
+  * rename is atomic on both; [[Fs.rename]] refuses the object-store
+  * schemes where it is not (see [[Fs]] scaladoc for the full stance).
   *
   * Reference scope: pandas-db reads whole SQLite tables (table.py's
   * SELECT-from-table model); a partition-pruned parquet store is the
@@ -49,29 +56,28 @@ object Layout {
     * renamed into place, and only then is `dir__old` dropped. At every
     * instant at least one complete copy of the data exists on disk, and
     * [[recover]] (run automatically at the start of compact) rolls any
-    * interrupted swap forward or back from the leftovers. Renames use
-    * ATOMIC_MOVE; if the second rename fails the live dir is restored
-    * from `dir__old` before rethrowing. (Local-FS protocol; on an object
-    * store this would be the committer's two-phase commit instead.)
+    * interrupted swap forward or back from the leftovers. Renames are
+    * single `FileSystem.rename` calls — atomic on HDFS and POSIX; if the
+    * second rename fails the live dir is restored from `dir__old` before
+    * rethrowing. ([[Fs.rename]] refuses non-atomic object-store schemes.)
     */
   def compact(spark: SparkSession, dir: String, partitionCol: String,
       sortCols: Seq[String]): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
     recover(dir)
     val tmp = dir.stripSuffix("/") + "__compacting"
     writePartitioned(spark.read.parquet(dir), tmp, partitionCol, sortCols)
-    val dirP = Paths.get(dir)
-    val tmpP = Paths.get(tmp)
-    val oldP = Paths.get(dir.stripSuffix("/") + "__old")
-    Files.move(dirP, oldP, StandardCopyOption.ATOMIC_MOVE)
-    try Files.move(tmpP, dirP, StandardCopyOption.ATOMIC_MOVE)
+    val dirP = Fs.path(dir.stripSuffix("/"))
+    val tmpP = Fs.path(tmp)
+    val oldP = Fs.path(dir.stripSuffix("/") + "__old")
+    Fs.rename(dirP, oldP)
+    try Fs.rename(tmpP, dirP)
     catch {
       case e: Throwable =>
         // restore the live dir so the store is intact before we rethrow
-        Files.move(oldP, dirP, StandardCopyOption.ATOMIC_MOVE)
+        Fs.rename(oldP, dirP)
         throw e
     }
-    deleteRecursively(oldP.toFile)
+    Fs.deleteRecursively(oldP)
     ()
   }
 
@@ -95,16 +101,15 @@ object Layout {
     * it did, and discard any scratch leftovers.
     */
   private[ops] def recoverSwap(dir: String, scratchSuffix: String): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
     val base = dir.stripSuffix("/")
-    val dirP = Paths.get(base)
-    val oldP = Paths.get(base + "__old")
-    val tmpP = Paths.get(base + scratchSuffix)
-    if (Files.exists(oldP)) {
-      if (Files.exists(dirP)) deleteRecursively(oldP.toFile)
-      else Files.move(oldP, dirP, StandardCopyOption.ATOMIC_MOVE)
+    val dirP = Fs.path(base)
+    val oldP = Fs.path(base + "__old")
+    val tmpP = Fs.path(base + scratchSuffix)
+    if (Fs.exists(oldP)) {
+      if (Fs.exists(dirP)) Fs.deleteRecursively(oldP)
+      else Fs.rename(oldP, dirP)
     }
-    if (Files.exists(tmpP)) deleteRecursively(tmpP.toFile)
+    if (Fs.exists(tmpP)) Fs.deleteRecursively(tmpP)
     ()
   }
 
@@ -112,27 +117,49 @@ object Layout {
     * `maxFiles` — the 100 TB form of [[compact]]: a store with thousands
     * of partition values accumulates appends unevenly, and rewriting the
     * whole store to fix a handful of hot directories is a full-corpus
-    * write. Each fragmented directory is rewritten to one sorted file
-    * and swapped with the same crash-safe rename-aside protocol as
-    * [[compact]] (per directory: at least one complete copy on disk at
-    * every instant; [[recover]] on the subdirectory rolls an interrupted
-    * swap forward or back). Untouched directories are not read, not
-    * written, not even opened. `maxDirs` bounds one pass to the worst
-    * offenders (budgeted maintenance window); repeated passes converge.
+    * write. Each fragmented directory is rewritten sorted and swapped
+    * with the same crash-safe rename-aside protocol as [[compact]] (per
+    * directory: at least one complete copy on disk at every instant;
+    * [[recover]] on the subdirectory rolls an interrupted swap forward
+    * or back). Untouched directories are not read, not written, not even
+    * opened. `maxDirs` bounds one pass to the worst offenders (budgeted
+    * maintenance window); repeated passes converge.
+    *
+    * `targetFileBytes` = 0 keeps the classic one-file-per-directory
+    * contract — which funnels each directory through ONE task, fine for
+    * long-tail values, wrong for a hot one (`lang=en` at 100 TB is
+    * multi-TB). With `targetFileBytes` > 0 a directory rewrites as
+    * ceil(bytes / target) PARALLEL range-partitioned sorted runs (each
+    * file still carries tight sort-key min/max), and a directory already
+    * within that file count counts as compacted, so passes converge on
+    * size-targeted stores too. Bytes come from the directory listing —
+    * no footer is opened (row-count targeting would have to open every
+    * footer of every directory, breaking the untouched-dirs contract).
     *
     * Returns the partition directory names that were compacted.
     */
   def compactPartitions(spark: SparkSession, dir: String, sortCols: Seq[String],
-      maxFiles: Int = 1, maxDirs: Int = Int.MaxValue): Seq[String] = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
+      maxFiles: Int = 1, maxDirs: Int = Int.MaxValue,
+      targetFileBytes: Long = 0L): Seq[String] = {
     require(maxDirs >= 1, "compactPartitions: maxDirs must be >= 1")
     recoverPartitions(dir)
     val base = dir.stripSuffix("/")
+    // size-targeted mode (targetFileBytes > 0): a directory is COMPACTED
+    // once its file count is within what a size-targeted layout needs —
+    // ceil(bytes / target) files — so a hot directory rewritten to k
+    // parallel sorted runs does not re-select forever; byte sizes come
+    // from the same listing as the file counts (no footer opened, the
+    // untouched-dirs-never-opened contract holds)
+    def needed(pd: String): Int =
+      if (targetFileBytes <= 0L) maxFiles
+      else math.max(maxFiles,
+        targetFiles(dirDataBytes(Fs.path(s"$base/$pd")), targetFileBytes))
     // maxDirs caps the pass to the WORST offenders (file count desc, then
     // name) — the maintenance-window form: a nightly job with a time
     // budget compacts the most fragmented directories first and converges
     // over successive nights instead of rewriting everything at once
-    val fragmented = filesPerPartition(dir).filter(_._2 > maxFiles).toSeq
+    val fragmented = filesPerPartition(dir).filter { case (pd, n) =>
+        n > needed(pd) }.toSeq
       .sortBy { case (name, n) => (-n, name) }
       .take(maxDirs).map(_._1).sorted
     fragmented.foreach { pd =>
@@ -145,44 +172,86 @@ object Layout {
       // the partition column lives in the DIRECTORY NAME, not the files —
       // reading the subdir yields the data columns only, which is exactly
       // what the rewritten files must contain
-      spark.read.parquet(sub)
-        .repartition(1)
-        .sortWithinPartitions(sortCols.map(col): _*)
+      clusterForRewrite(spark.read.parquet(sub), sortCols,
+          targetFiles(dirDataBytes(Fs.path(sub)), targetFileBytes))
         .write.mode("overwrite").parquet(tmp)
-      val subP = Paths.get(sub)
-      val tmpP = Paths.get(tmp)
-      val oldP = Paths.get(old)
-      Files.move(subP, oldP, StandardCopyOption.ATOMIC_MOVE)
-      try Files.move(tmpP, subP, StandardCopyOption.ATOMIC_MOVE)
+      val subP = Fs.path(sub)
+      val tmpP = Fs.path(tmp)
+      val oldP = Fs.path(old)
+      Fs.rename(subP, oldP)
+      try Fs.rename(tmpP, subP)
       catch {
         case e: Throwable =>
-          Files.move(oldP, subP, StandardCopyOption.ATOMIC_MOVE)
+          Fs.rename(oldP, subP)
           throw e
       }
-      deleteRecursively(oldP.toFile)
+      Fs.deleteRecursively(oldP)
     }
     fragmented
   }
+
+  /** Total data-file bytes under a partition directory (one listing —
+    * no footer is opened), the input to size-targeted rewrites.
+    */
+  private def dirDataBytes(p: Path): Long =
+    Fs.list(p).iterator.map { f =>
+      if (f.isFile) {
+        if (f.getPath.getName.endsWith(".parquet") ||
+            f.getPath.getName.endsWith(".orc")) f.getLen else 0L
+      } else dirDataBytes(f.getPath)
+    }.sum
+
+  /** Files a size-targeted rewrite of `bytes` aims for: 1 when no target
+    * is set (the classic one-file contract), else ceil(bytes / target).
+    */
+  private def targetFiles(bytes: Long, targetFileBytes: Long): Int =
+    if (targetFileBytes <= 0L) 1
+    else math.max(1L, (bytes + targetFileBytes - 1L) / targetFileBytes)
+      .min(Int.MaxValue.toLong).toInt
+
+  /** Cluster one partition directory's rows for rewrite: a single sorted
+    * task when `numFiles` = 1; otherwise the merge path's
+    * `repartitionByRange + sortWithinPartitions` shape — `numFiles`
+    * PARALLEL tasks whose outputs are disjoint sorted runs on the sort
+    * key, so every emitted file still carries tight min/max. This is what
+    * keeps a hot multi-TB directory from funneling through one task at
+    * 100 TB (the `repartition(1)` form rewrites `lang=en` single-threaded
+    * no matter how many executors are idle).
+    */
+  private def clusterForRewrite(df: DataFrame, sortCols: Seq[String],
+      numFiles: Int): DataFrame =
+    if (numFiles <= 1) df.repartition(1)
+      .sortWithinPartitions(sortCols.map(col): _*)
+    else if (sortCols.isEmpty) df.repartition(numFiles)
+    else df.repartitionByRange(numFiles, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
 
   /** Roll interrupted [[compactPartitions]] swaps forward or back from
     * their dot-prefixed scratch leftovers — the per-directory analogue of
     * [[recover]], run automatically at the start of compactPartitions.
     * Safe on a healthy store (no-op).
     */
-  def recoverPartitions(dir: String): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
+  def recoverPartitions(dir: String): Unit =
+    recoverDotSwaps(dir, ".__compacting__")
+
+  /** The shared per-directory recovery state machine behind
+    * [[recoverPartitions]]/[[recoverVacuum]]/[[recoverAddColumn]]:
+    * `.__old__X` present + live `X` present → swap completed, drop the
+    * aside; aside present + live missing → roll back; any `scratchPrefix`
+    * leftover → incomplete rewrite, drop it.
+    */
+  private def recoverDotSwaps(dir: String, scratchPrefix: String): Unit = {
     val base = dir.stripSuffix("/")
-    val entries = Option(new java.io.File(base).listFiles())
-      .getOrElse(Array.empty).map(_.getName)
+    val entries = Fs.list(Fs.path(base)).map(_.getPath.getName)
     entries.filter(_.startsWith(".__old__")).foreach { n =>
       val pd = n.stripPrefix(".__old__")
-      val live = Paths.get(s"$base/$pd")
-      val oldP = Paths.get(s"$base/$n")
-      if (Files.exists(live)) deleteRecursively(oldP.toFile)
-      else Files.move(oldP, live, StandardCopyOption.ATOMIC_MOVE)
+      val live = Fs.path(s"$base/$pd")
+      val oldP = Fs.path(s"$base/$n")
+      if (Fs.exists(live)) Fs.deleteRecursively(oldP)
+      else Fs.rename(oldP, live)
     }
-    entries.filter(_.startsWith(".__compacting__")).foreach { n =>
-      deleteRecursively(new java.io.File(s"$base/$n"))
+    entries.filter(_.startsWith(scratchPrefix)).foreach { n =>
+      Fs.deleteRecursively(Fs.path(s"$base/$n"))
     }
     ()
   }
@@ -217,16 +286,16 @@ object Layout {
     * (`_SUCCESS`, `_graft_checkpoints`) or compaction scratch (dot
     * prefix) — the ONE definition every store listing shares.
     */
-  private def isPartitionDir(f: java.io.File): Boolean =
-    f.isDirectory && f.getName.contains("=") &&
-      !f.getName.startsWith(".") && !f.getName.startsWith("_")
+  private def isPartitionDir(f: FileStatus): Boolean =
+    f.isDirectory && f.getPath.getName.contains("=") &&
+      !f.getPath.getName.startsWith(".") && !f.getPath.getName.startsWith("_")
 
   /** True when the store holds any data file or partition directory —
     * "exists" is not enough (a checkpoint sidecar creates the dir).
     */
   private def hasData(dir: String): Boolean =
-    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
-      .exists(f => isPartitionDir(f) || f.getName.endsWith(".parquet"))
+    Fs.list(Fs.path(dir)).exists(f =>
+      isPartitionDir(f) || f.getPath.getName.endsWith(".parquet"))
 
   /** Fail-loud guard: the batch's (name → type) map must equal the
     * store's. No-op when the store does not exist yet. Column ORDER is
@@ -305,12 +374,13 @@ object Layout {
     * no file is opened.
     */
   def nextBatchId(dir: String): Long = {
-    val parts = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
-      .filter(isPartitionDir)
+    val parts = Fs.list(Fs.path(dir)).filter(isPartitionDir)
     val ids = parts.flatMap(p =>
-      Option(p.listFiles()).getOrElse(Array.empty)
-        .filter(b => b.isDirectory && b.getName.startsWith("ingest_batch="))
-        .flatMap(b => b.getName.stripPrefix("ingest_batch=").toLongOption))
+      Fs.list(p.getPath)
+        .filter(b => b.isDirectory &&
+          b.getPath.getName.startsWith("ingest_batch="))
+        .flatMap(b =>
+          b.getPath.getName.stripPrefix("ingest_batch=").toLongOption))
     if (ids.isEmpty) 0L else ids.max + 1L
   }
 
@@ -323,20 +393,22 @@ object Layout {
     * surfaces this as upTo = -1).
     */
   def readSince(spark: SparkSession, dir: String, fromBatch: Long): DataFrame =
-    if (!new java.io.File(dir).exists()) spark.emptyDataFrame
+    if (!Fs.exists(Fs.path(dir))) spark.emptyDataFrame
     else spark.read.parquet(dir).filter(col("ingest_batch") >= fromBatch)
 
   // ---- per-consumer checkpoints on a versioned store --------------------
   // A named consumer records the last batch it fully processed; its next
   // run reads exactly the batches it has not seen. The records live in an
   // UNDERSCORE-prefixed sidecar dir (readers ignore it, like _SUCCESS),
-  // one file per consumer, written atomically (tmp + ATOMIC_MOVE) so a
-  // crash mid-commit leaves the previous checkpoint intact.
+  // one file per consumer, written atomically (tmp + rename-replace) so a
+  // crash mid-write leaves the previous checkpoint intact; a crash inside
+  // the replace itself can only LOSE the file, which reads as "never
+  // committed" and costs re-consumption, never corruption (Fs scaladoc).
 
-  private def checkpointFile(dir: String, consumer: String): java.io.File = {
+  private def checkpointFile(dir: String, consumer: String): Path = {
     require(consumer.matches("[A-Za-z0-9._-]+"),
       s"consumer name '$consumer' must be a plain token (it names a file)")
-    new java.io.File(s"${dir.stripSuffix("/")}/_graft_checkpoints/$consumer")
+    Fs.path(s"${dir.stripSuffix("/")}/_graft_checkpoints/$consumer")
   }
 
   /** Last batch id `consumer` committed for this store, or -1 for a
@@ -344,9 +416,8 @@ object Layout {
     */
   def lastCheckpoint(dir: String, consumer: String): Long = {
     val f = checkpointFile(dir, consumer)
-    if (!f.isFile) -1L
-    else new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-      .trim.toLong
+    if (!Fs.isFile(f)) -1L
+    else Fs.readUTF8(f).trim.toLong
   }
 
   /** Record that `consumer` has fully processed batches up to and
@@ -354,14 +425,9 @@ object Layout {
     * different names and never contend.
     */
   def commitCheckpoint(dir: String, consumer: String, batch: Long): Unit = {
-    import java.nio.file.{Files, StandardCopyOption}
     val f = checkpointFile(dir, consumer)
-    Files.createDirectories(f.getParentFile.toPath)
-    val tmp = new java.io.File(f.getParentFile, s".${f.getName}.tmp").toPath
-    Files.write(tmp, batch.toString.getBytes("UTF-8"))
-    Files.move(tmp, f.toPath, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-    ()
+    Fs.mkdirs(f.getParent)
+    Fs.writeUTF8Atomic(f, batch.toString)
   }
 
   /** The batches `consumer` has not yet processed (empty frame when none),
@@ -410,7 +476,7 @@ object Layout {
   def ingest(batch: DataFrame, dir: String, partitionCol: String,
       sortCols: Seq[String], keyExpr: org.apache.spark.sql.Column): Unit = {
     val spark = batch.sparkSession
-    if (!new java.io.File(dir).exists()) {
+    if (!Fs.exists(Fs.path(dir))) {
       append(batch, dir, partitionCol, sortCols); return
     }
     val existingKeys = spark.read.parquet(dir)
@@ -443,7 +509,7 @@ object Layout {
       sortCols: Seq[String], keyExpr: org.apache.spark.sql.Column,
       fpp: Double = 0.01): Unit = {
     val spark = batch.sparkSession
-    if (!new java.io.File(dir).exists()) {
+    if (!Fs.exists(Fs.path(dir))) {
       append(batch, dir, partitionCol, sortCols); return
     }
     val k = coalesce(keyExpr.cast("string"), lit("\u0000__graft_null_key__"))
@@ -463,17 +529,18 @@ object Layout {
     * later than the snapshot is never opened.
     */
   def readAsOf(spark: SparkSession, dir: String, upToBatch: Long): DataFrame =
-    if (!new java.io.File(dir).exists()) spark.emptyDataFrame
+    if (!Fs.exists(Fs.path(dir))) spark.emptyDataFrame
     else spark.read.parquet(dir).filter(col("ingest_batch") <= upToBatch)
 
   /** Every consumer with a committed checkpoint on this store, with its
     * last committed batch id.
     */
   def consumers(dir: String): Map[String, Long] = {
-    val d = new java.io.File(s"${dir.stripSuffix("/")}/_graft_checkpoints")
-    Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && !f.getName.startsWith("."))
-      .map(f => f.getName -> lastCheckpoint(dir, f.getName)).toMap
+    val d = Fs.path(s"${dir.stripSuffix("/")}/_graft_checkpoints")
+    Fs.list(d)
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("."))
+      .map(f => f.getPath.getName -> lastCheckpoint(dir, f.getPath.getName))
+      .toMap
   }
 
   /** HISTORY RETENTION for a batch-versioned store: consolidate every
@@ -519,17 +586,17 @@ object Layout {
     * Returns the partition directory names that were squashed.
     */
   def squashHistory(spark: SparkSession, dir: String, upTo: Long,
-      sortCols: Seq[String] = Seq.empty): Seq[String] = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
+      sortCols: Seq[String] = Seq.empty,
+      targetFileBytes: Long = 0L): Seq[String] = {
     recoverSquash(dir)
     val base = dir.stripSuffix("/")
-    val parts = Option(new java.io.File(base).listFiles())
-      .getOrElse(Array.empty).filter(isPartitionDir)
-    def batchIds(p: java.io.File): Seq[Long] =
-      Option(p.listFiles()).getOrElse(Array.empty)
-        .filter(b => b.isDirectory && b.getName.startsWith("ingest_batch="))
-        .flatMap(b => b.getName.stripPrefix("ingest_batch=").toLongOption)
-        .toSeq
+    val parts = Fs.list(Fs.path(base)).filter(isPartitionDir)
+    def batchIds(p: FileStatus): Seq[Long] =
+      Fs.list(p.getPath)
+        .filter(b => b.isDirectory &&
+          b.getPath.getName.startsWith("ingest_batch="))
+        .flatMap(b =>
+          b.getPath.getName.stripPrefix("ingest_batch=").toLongOption)
     val allIds = parts.flatMap(batchIds).filter(_ <= upTo)
     if (allIds.isEmpty) return Seq.empty
     val s = allIds.max
@@ -544,26 +611,30 @@ object Layout {
       // a partition already holding exactly one dir labeled S is done
       if (ids.isEmpty || ids == Seq(s)) None
       else {
-        val pd = p.getName
+        val pd = p.getPath.getName
         val tmp = s"$base/.__squashtmp__$pd"
-        val mark = Paths.get(s"$base/.__squashmark__$pd")
+        val mark = Fs.path(s"$base/.__squashmark__$pd")
         val srcs = ids.map(i => s"$base/$pd/ingest_batch=$i")
         // the partition cols live in directory names; the merged files
-        // must carry data columns only, exactly like compactPartitions
-        var merged = spark.read.parquet(srcs: _*).repartition(1)
-        if (sortCols.nonEmpty)
-          merged = merged.sortWithinPartitions(sortCols.map(col): _*)
-        merged.write.mode("overwrite").parquet(tmp)
-        // commit point: marker lists the ids being replaced + the target
-        val tmpMark = Paths.get(s"$base/.__squashmark__$pd.tmp")
-        Files.write(tmpMark,
-          (s.toString +: ids.map(_.toString)).mkString("\n").getBytes("UTF-8"))
-        Files.move(tmpMark, mark, StandardCopyOption.ATOMIC_MOVE)
+        // must carry data columns only, exactly like compactPartitions.
+        // Size-targeted split: the squashed mass of a hot partition can
+        // be a whole year of batches — rewrite it in parallel sorted runs
+        val nf = targetFiles(
+          ids.map(i => dirDataBytes(
+            Fs.path(s"$base/$pd/ingest_batch=$i"))).sum, targetFileBytes)
+        clusterForRewrite(spark.read.parquet(srcs: _*), sortCols, nf)
+          .write.mode("overwrite").parquet(tmp)
+        // commit point: marker lists the ids being replaced + the target.
+        // Written via tmp + rename onto a NONEXISTENT name — fully atomic
+        // (no replace window): the marker either exists complete or not
+        val tmpMark = Fs.path(s"$base/.__squashmark__$pd.tmp")
+        Fs.writeUTF8(tmpMark,
+          (s.toString +: ids.map(_.toString)).mkString("\n"))
+        Fs.rename(tmpMark, mark)
         ids.foreach(i =>
-          deleteRecursively(new java.io.File(s"$base/$pd/ingest_batch=$i")))
-        Files.move(Paths.get(tmp), Paths.get(s"$base/$pd/ingest_batch=$s"),
-          StandardCopyOption.ATOMIC_MOVE)
-        Files.delete(mark)
+          Fs.deleteRecursively(Fs.path(s"$base/$pd/ingest_batch=$i")))
+        Fs.rename(Fs.path(tmp), Fs.path(s"$base/$pd/ingest_batch=$s"))
+        Fs.deleteFile(mark)
         Some(pd)
       }
     }
@@ -574,44 +645,39 @@ object Layout {
     * markers; sweep pre-commit scratch. Safe on a healthy store (no-op).
     */
   def recoverSquash(dir: String): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
     val base = dir.stripSuffix("/")
-    val entries = Option(new java.io.File(base).listFiles())
-      .getOrElse(Array.empty).map(_.getName)
+    val entries = Fs.list(Fs.path(base)).map(_.getPath.getName)
     entries.filter(n => n.startsWith(".__squashmark__") && !n.endsWith(".tmp"))
       .foreach { n =>
         val pd = n.stripPrefix(".__squashmark__")
-        val lines = new String(
-          Files.readAllBytes(Paths.get(s"$base/$n")), "UTF-8").trim
-          .split("\n").toSeq
+        val lines = Fs.readUTF8(Fs.path(s"$base/$n")).trim.split("\n").toSeq
         val target = lines.head.toLong
         val ids = lines.tail.map(_.toLong)
-        val tmp = Paths.get(s"$base/.__squashtmp__$pd")
-        if (Files.exists(tmp)) {
+        val tmp = Fs.path(s"$base/.__squashtmp__$pd")
+        if (Fs.exists(tmp)) {
           // deletes may be partial; the move has not happened (scratch is
           // the only complete copy) — redo both
           ids.foreach(i =>
-            deleteRecursively(new java.io.File(s"$base/$pd/ingest_batch=$i")))
-          Files.move(tmp, Paths.get(s"$base/$pd/ingest_batch=$target"),
-            StandardCopyOption.ATOMIC_MOVE)
+            Fs.deleteRecursively(Fs.path(s"$base/$pd/ingest_batch=$i")))
+          Fs.rename(tmp, Fs.path(s"$base/$pd/ingest_batch=$target"))
         } else {
           // move completed: the target dir holds the squashed data — finish
           // deleting the replaced ids EXCEPT the target itself
           ids.filter(_ != target).foreach(i =>
-            deleteRecursively(new java.io.File(s"$base/$pd/ingest_batch=$i")))
+            Fs.deleteRecursively(Fs.path(s"$base/$pd/ingest_batch=$i")))
         }
-        Files.delete(Paths.get(s"$base/$n"))
+        Fs.deleteFile(Fs.path(s"$base/$n"))
         ()
       }
     // markerless scratch = crash before the commit point: originals intact
     entries.filter(_.startsWith(".__squashtmp__")).foreach { n =>
-      if (!Files.exists(Paths.get(
+      if (!Fs.exists(Fs.path(
           s"$base/.__squashmark__${n.stripPrefix(".__squashtmp__")}")))
-        deleteRecursively(new java.io.File(s"$base/$n"))
+        Fs.deleteRecursively(Fs.path(s"$base/$n"))
     }
     // half-written markers from a crash inside the marker write
     entries.filter(n => n.startsWith(".__squashmark__") && n.endsWith(".tmp"))
-      .foreach(n => Files.deleteIfExists(Paths.get(s"$base/$n")))
+      .foreach(n => Fs.deleteFile(Fs.path(s"$base/$n")))
     ()
   }
 
@@ -659,7 +725,6 @@ object Layout {
     */
   def merge(batch: DataFrame, dir: String, partitionCol: String,
       keyCols: Seq[String], sortCols: Seq[String]): Seq[String] = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
     require(keyCols.nonEmpty, "merge needs at least one key column")
     val spark = batch.sparkSession
     if (!hasData(dir)) { // first write: plain partitioned layout
@@ -672,8 +737,9 @@ object Layout {
     requireSchemaMatch(batch, dir, partitionCol)
     recoverPartitions(dir)
     val base = dir.stripSuffix("/")
-    val scratch = new java.io.File(s"$base/.__merging__")
-    if (scratch.exists()) deleteRecursively(scratch) // stale crashed merge
+    val scratch = s"$base/.__merging__"
+    val scratchP = Fs.path(scratch)
+    if (Fs.exists(scratchP)) Fs.deleteRecursively(scratchP) // stale crashed merge
     // screen pass 1 (per partition value): touched values + null screens.
     // The key-dup count is NOT taken from these per-value groups — a key
     // appearing under TWO partition values would count distinct in each —
@@ -732,27 +798,27 @@ object Layout {
       .repartitionByRange((partitionCol +: sortCols).map(col): _*)
       .sortWithinPartitions((partitionCol +: sortCols).map(col): _*)
       .write.mode("overwrite").partitionBy(partitionCol)
-      .parquet(scratch.getAbsolutePath)
+      .parquet(scratch)
     // swap each rewritten directory into place, one crash-safe rename
     // pair at a time (new partition values just move in — no live dir)
-    val rewritten = Option(scratch.listFiles()).getOrElse(Array.empty)
-      .filter(isPartitionDir).map(_.getName).sorted.toSeq
+    val rewritten = Fs.list(scratchP)
+      .filter(isPartitionDir).map(_.getPath.getName).sorted
     rewritten.foreach { pd =>
-      val liveP = Paths.get(s"$base/$pd")
-      val tmpP = Paths.get(s"${scratch.getAbsolutePath}/$pd")
-      val oldP = Paths.get(s"$base/.__old__$pd")
-      if (Files.exists(liveP)) {
-        Files.move(liveP, oldP, StandardCopyOption.ATOMIC_MOVE)
-        try Files.move(tmpP, liveP, StandardCopyOption.ATOMIC_MOVE)
+      val liveP = Fs.path(s"$base/$pd")
+      val tmpP = Fs.path(s"$scratch/$pd")
+      val oldP = Fs.path(s"$base/.__old__$pd")
+      if (Fs.exists(liveP)) {
+        Fs.rename(liveP, oldP)
+        try Fs.rename(tmpP, liveP)
         catch {
           case e: Throwable =>
-            Files.move(oldP, liveP, StandardCopyOption.ATOMIC_MOVE)
+            Fs.rename(oldP, liveP)
             throw e
         }
-        deleteRecursively(oldP.toFile)
-      } else Files.move(tmpP, liveP, StandardCopyOption.ATOMIC_MOVE)
+        Fs.deleteRecursively(oldP)
+      } else Fs.rename(tmpP, liveP)
     }
-    deleteRecursively(scratch)
+    Fs.deleteRecursively(scratchP)
     rewritten
   }
 
@@ -791,31 +857,28 @@ object Layout {
     */
   def evolvePartitions(spark: SparkSession, dir: String, fromCol: String,
       toCol: String, sortCols: Seq[String]): Seq[String] = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
     recoverEvolve(dir)
     val base = dir.stripSuffix("/")
     val scratch = base + "__evolving"
-    val doneFile = new java.io.File(scratch, "._evolve_done")
-    val sources = Option(new java.io.File(base).listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith(fromCol + "="))
-      .map(_.getName).sorted.toSeq
+    val doneFile = Fs.path(s"$scratch/._evolve_done")
+    val sources = Fs.list(Fs.path(base))
+      .filter(f => f.isDirectory && f.getPath.getName.startsWith(fromCol + "="))
+      .map(_.getPath.getName).sorted
     if (sources.isEmpty) {
       // a crash AFTER the final swap leaves the live dir already evolved
       // (recoverEvolve just rolled it forward): re-running is the
       // documented recovery path and must be a no-op, not an error
-      val alreadyEvolved = Option(new java.io.File(base).listFiles())
-        .getOrElse(Array.empty)
-        .exists(f => f.isDirectory && f.getName.startsWith(toCol + "="))
+      val alreadyEvolved = Fs.list(Fs.path(base))
+        .exists(f => f.isDirectory && f.getPath.getName.startsWith(toCol + "="))
       require(alreadyEvolved,
         s"evolvePartitions: no '$fromCol=' partition directories under $dir")
-      deleteRecursively(new java.io.File(scratch))
+      Fs.deleteRecursively(Fs.path(scratch))
       return Seq.empty
     }
-    new java.io.File(scratch).mkdirs()
+    Fs.mkdirs(Fs.path(scratch))
     val done: Set[String] =
-      if (doneFile.exists())
-        scala.io.Source.fromFile(doneFile, "UTF-8").getLines().toSet
+      if (Fs.exists(doneFile))
+        Fs.readUTF8(doneFile).linesIterator.toSet
       else Set.empty
     val todo = sources.filterNot(done)
     todo.foreach { srcDir =>
@@ -825,42 +888,37 @@ object Layout {
         .repartition(col(toCol))
         .sortWithinPartitions((toCol +: sortCols).map(col): _*)
         .write.mode("overwrite").partitionBy(toCol).parquet(stage)
-      Option(new java.io.File(stage).listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isDirectory && f.getName.startsWith(toCol + "="))
+      Fs.list(Fs.path(stage))
+        .filter(f => f.isDirectory && f.getPath.getName.startsWith(toCol + "="))
         .foreach { td =>
-          val target = new java.io.File(scratch, td.getName)
-          target.mkdirs()
-          Option(td.listFiles()).getOrElse(Array.empty)
-            .filter(_.getName.endsWith(".parquet")).zipWithIndex
+          val target = s"$scratch/${td.getPath.getName}"
+          Fs.mkdirs(Fs.path(target))
+          Fs.list(td.getPath)
+            .filter(_.getPath.getName.endsWith(".parquet")).zipWithIndex
             .foreach { case (f, i) =>
-              Files.move(f.toPath,
-                new java.io.File(target, s"src-$enc-$i.parquet").toPath,
-                StandardCopyOption.ATOMIC_MOVE)
+              Fs.rename(f.getPath, Fs.path(s"$target/src-$enc-$i.parquet"))
             }
         }
-      deleteRecursively(new java.io.File(stage))
+      Fs.deleteRecursively(Fs.path(stage))
       // commit this source: rewrite the done file via atomic tmp swap so
-      // a crash mid-write never truncates the progress log
-      val tmp = new java.io.File(scratch, "._evolve_done.tmp")
-      val w = new java.io.PrintWriter(tmp, "UTF-8")
-      try (done ++ todo.takeWhile(_ != srcDir) + srcDir)
-        .toSeq.sorted.foreach(w.println)
-      finally w.close()
-      Files.move(tmp.toPath, doneFile.toPath,
-        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      // a crash mid-write never truncates the progress log (a LOST done
+      // file only redoes work — recoverEvolve prunes and the run resumes)
+      Fs.writeUTF8Atomic(doneFile,
+        (done ++ todo.takeWhile(_ != srcDir) + srcDir)
+          .toSeq.sorted.mkString("\n") + "\n")
     }
     // every source committed -> atomic whole-store swap (rename-aside)
-    val dirP = Paths.get(base)
-    val oldP = Paths.get(base + "__old")
-    Files.move(dirP, oldP, StandardCopyOption.ATOMIC_MOVE)
-    try Files.move(Paths.get(scratch), dirP, StandardCopyOption.ATOMIC_MOVE)
+    val dirP = Fs.path(base)
+    val oldP = Fs.path(base + "__old")
+    Fs.rename(dirP, oldP)
+    try Fs.rename(Fs.path(scratch), dirP)
     catch {
       case e: Throwable =>
-        Files.move(oldP, dirP, StandardCopyOption.ATOMIC_MOVE)
+        Fs.rename(oldP, dirP)
         throw e
     }
-    deleteRecursively(oldP.toFile)
-    new java.io.File(base, "._evolve_done").delete()
+    Fs.deleteRecursively(oldP)
+    Fs.deleteFile(Fs.path(s"$base/._evolve_done"))
     todo
   }
 
@@ -891,18 +949,15 @@ object Layout {
     */
   def evolveCompact(spark: SparkSession, dir: String, fromCol: String,
       toCol: String, sortCols: Seq[String]): Seq[String] = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
     recoverSwap(dir, "__evolvecompact")
     val base = dir.stripSuffix("/")
     val scratch = base + "__evolvecompact"
-    val sources = Option(new java.io.File(base).listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith(fromCol + "="))
+    val sources = Fs.list(Fs.path(base))
+      .filter(f => f.isDirectory && f.getPath.getName.startsWith(fromCol + "="))
     if (sources.isEmpty) {
       // crash after the swap: live dir is already evolved — rerun no-ops
-      val alreadyEvolved = Option(new java.io.File(base).listFiles())
-        .getOrElse(Array.empty)
-        .exists(f => f.isDirectory && f.getName.startsWith(toCol + "="))
+      val alreadyEvolved = Fs.list(Fs.path(base))
+        .exists(f => f.isDirectory && f.getPath.getName.startsWith(toCol + "="))
       require(alreadyEvolved,
         s"evolveCompact: no '$fromCol=' partition directories under $dir")
       return Seq.empty
@@ -911,20 +966,19 @@ object Layout {
       .repartition(col(toCol))
       .sortWithinPartitions((toCol +: sortCols).map(col): _*)
       .write.mode("overwrite").partitionBy(toCol).parquet(scratch)
-    val created = Option(new java.io.File(scratch).listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith(toCol + "="))
-      .map(_.getName).sorted.toSeq
-    val dirP = Paths.get(base)
-    val oldP = Paths.get(base + "__old")
-    Files.move(dirP, oldP, StandardCopyOption.ATOMIC_MOVE)
-    try Files.move(Paths.get(scratch), dirP, StandardCopyOption.ATOMIC_MOVE)
+    val created = Fs.list(Fs.path(scratch))
+      .filter(f => f.isDirectory && f.getPath.getName.startsWith(toCol + "="))
+      .map(_.getPath.getName).sorted
+    val dirP = Fs.path(base)
+    val oldP = Fs.path(base + "__old")
+    Fs.rename(dirP, oldP)
+    try Fs.rename(Fs.path(scratch), dirP)
     catch {
       case e: Throwable =>
-        Files.move(oldP, dirP, StandardCopyOption.ATOMIC_MOVE)
+        Fs.rename(oldP, dirP)
         throw e
     }
-    deleteRecursively(oldP.toFile)
+    Fs.deleteRecursively(oldP)
     created
   }
 
@@ -949,35 +1003,34 @@ object Layout {
     *    next run redoes exactly those sources.
     */
   def recoverEvolve(dir: String): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
     val base = dir.stripSuffix("/")
-    val dirP = Paths.get(base)
-    val oldP = Paths.get(base + "__old")
-    if (Files.exists(oldP)) {
-      if (Files.exists(dirP)) deleteRecursively(oldP.toFile)
-      else Files.move(oldP, dirP, StandardCopyOption.ATOMIC_MOVE)
+    val dirP = Fs.path(base)
+    val oldP = Fs.path(base + "__old")
+    if (Fs.exists(oldP)) {
+      if (Fs.exists(dirP)) Fs.deleteRecursively(oldP)
+      else Fs.rename(oldP, dirP)
     }
     // a completed swap leaves the progress marker inside the live dir
-    new java.io.File(base, "._evolve_done").delete()
-    val scratch = new java.io.File(base + "__evolving")
-    if (scratch.isDirectory) {
-      val doneFile = new java.io.File(scratch, "._evolve_done")
+    Fs.deleteFile(Fs.path(s"$base/._evolve_done"))
+    val scratch = Fs.path(base + "__evolving")
+    if (Fs.isDir(scratch)) {
+      val doneFile = Fs.path(s"${base}__evolving/._evolve_done")
       val done: Set[String] =
-        if (doneFile.exists())
-          scala.io.Source.fromFile(doneFile, "UTF-8").getLines().toSet
+        if (Fs.exists(doneFile)) Fs.readUTF8(doneFile).linesIterator.toSet
         else Set.empty
       val keep = done.map(srcEnc)
-      Option(scratch.listFiles()).getOrElse(Array.empty).foreach { f =>
-        if (f.getName.startsWith(".__stage__")) deleteRecursively(f)
+      Fs.list(scratch).foreach { f =>
+        val name = f.getPath.getName
+        if (name.startsWith(".__stage__")) Fs.deleteRecursively(f.getPath)
         else if (f.isDirectory)
-          Option(f.listFiles()).getOrElse(Array.empty).foreach { df =>
-            val n = df.getName
+          Fs.list(f.getPath).foreach { df =>
+            val n = df.getPath.getName
             if (n.startsWith("src-") && n.endsWith(".parquet") &&
                 !keep.exists(e => n.startsWith(s"src-$e-")))
-              df.delete()
+              Fs.deleteFile(df.getPath)
           }
       }
-      new java.io.File(scratch, "._evolve_done.tmp").delete()
+      Fs.deleteFile(Fs.path(s"${base}__evolving/._evolve_done.tmp"))
     }
     ()
   }
@@ -1010,12 +1063,12 @@ object Layout {
     * Returns (deleted directory names, rewritten directory names).
     */
   def vacuumRetention(spark: SparkSession, dir: String, tsCol: String,
-      cutoff: Long, sortCols: Seq[String]): (Seq[String], Seq[String]) = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
+      cutoff: Long, sortCols: Seq[String],
+      targetFileBytes: Long = 0L): (Seq[String], Seq[String]) = {
     recoverVacuum(dir)
     val base = dir.stripSuffix("/")
-    val parts = Option(new java.io.File(base).listFiles())
-      .getOrElse(Array.empty).filter(isPartitionDir).map(_.getName).sorted
+    val parts = Fs.list(Fs.path(base)).filter(isPartitionDir)
+      .map(_.getPath.getName).sorted
     val deleted = scala.collection.mutable.ArrayBuffer[String]()
     val rewritten = scala.collection.mutable.ArrayBuffer[String]()
     parts.foreach { pd =>
@@ -1039,34 +1092,36 @@ object Layout {
         (!r.isNullAt(0) && num(r.getString(0)).exists(_ >= cutoff)) ||
           (r.getLong(2) >= 0L && r.getLong(2) == r.getLong(3)) }
       if (allExpired) {
-        deleteRecursively(new java.io.File(sub))
+        Fs.deleteRecursively(Fs.path(sub))
         deleted += pd
       } else if (!allLive) {
         val tmp = s"$base/.__vacuuming__$pd"
         val survivors = spark.read.parquet(sub)
           .filter(col(tsCol) >= lit(cutoff) || col(tsCol).isNull)
-        survivors.repartition(1)
-          .sortWithinPartitions(sortCols.map(col): _*)
+        // survivors <= the directory's bytes: the pre-filter size is a
+        // safe (over-)estimate for the parallel-split width
+        clusterForRewrite(survivors, sortCols,
+            targetFiles(dirDataBytes(Fs.path(sub)), targetFileBytes))
           .write.mode("overwrite").parquet(tmp)
-        val anyRow = Option(new java.io.File(tmp).listFiles())
-          .getOrElse(Array.empty).exists(_.getName.endsWith(".parquet")) &&
+        val anyRow = Fs.list(Fs.path(tmp))
+          .exists(_.getPath.getName.endsWith(".parquet")) &&
           spark.read.parquet(tmp).limit(1).count() > 0
-        val subP = Paths.get(sub)
-        val oldP = Paths.get(s"$base/.__old__$pd")
-        Files.move(subP, oldP, StandardCopyOption.ATOMIC_MOVE)
+        val subP = Fs.path(sub)
+        val oldP = Fs.path(s"$base/.__old__$pd")
+        Fs.rename(subP, oldP)
         if (anyRow) {
-          try Files.move(Paths.get(tmp), subP, StandardCopyOption.ATOMIC_MOVE)
+          try Fs.rename(Fs.path(tmp), subP)
           catch {
             case e: Throwable =>
-              Files.move(oldP, subP, StandardCopyOption.ATOMIC_MOVE)
+              Fs.rename(oldP, subP)
               throw e
           }
           rewritten += pd
         } else {
-          deleteRecursively(new java.io.File(tmp))
+          Fs.deleteRecursively(Fs.path(tmp))
           deleted += pd
         }
-        deleteRecursively(oldP.toFile)
+        Fs.deleteRecursively(oldP)
       }
     }
     (deleted.toSeq, rewritten.toSeq)
@@ -1095,8 +1150,9 @@ object Layout {
     * Returns the directories rewritten THIS call (skipped ones absent).
     */
   def addColumn(spark: SparkSession, dir: String, colName: String,
-      sqlExpr: String, sortCols: Seq[String]): Seq[String] =
-    addColumns(spark, dir, Seq(colName -> sqlExpr), sortCols)
+      sqlExpr: String, sortCols: Seq[String],
+      targetFileBytes: Long = 0L): Seq[String] =
+    addColumns(spark, dir, Seq(colName -> sqlExpr), sortCols, targetFileBytes)
 
   /** Multi-column [[addColumn]]: backfill SEVERAL (name, expression)
     * pairs in ONE read+write of each directory — N columns cost the same
@@ -1106,15 +1162,15 @@ object Layout {
     * has keep their stored values — expressions are not re-applied).
     */
   def addColumns(spark: SparkSession, dir: String,
-      cols: Seq[(String, String)], sortCols: Seq[String]): Seq[String] = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
+      cols: Seq[(String, String)], sortCols: Seq[String],
+      targetFileBytes: Long = 0L): Seq[String] = {
     require(cols.nonEmpty, "addColumns: no columns to add")
     require(cols.map(_._1).distinct.size == cols.size,
       "addColumns: duplicate column names")
     recoverAddColumn(dir)
     val base = dir.stripSuffix("/")
-    val parts = Option(new java.io.File(base).listFiles())
-      .getOrElse(Array.empty).filter(isPartitionDir).map(_.getName).sorted
+    val parts = Fs.list(Fs.path(base)).filter(isPartitionDir)
+      .map(_.getPath.getName).sorted
     require(parts.nonEmpty, s"addColumn: no partition directories under $dir")
     val done = scala.collection.mutable.ArrayBuffer[String]()
     parts.foreach { pd =>
@@ -1124,21 +1180,22 @@ object Layout {
         existing.columns.contains(n) }
       if (missing.nonEmpty) {
         val tmp = s"$base/.__addcol__$pd"
-        missing.foldLeft(existing) { case (df, (n, e)) =>
-            df.withColumn(n, expr(e)) }
-          .repartition(1)
-          .sortWithinPartitions(sortCols.map(col): _*)
+        clusterForRewrite(
+            missing.foldLeft(existing) { case (df, (n, e)) =>
+              df.withColumn(n, expr(e)) },
+            sortCols,
+            targetFiles(dirDataBytes(Fs.path(sub)), targetFileBytes))
           .write.mode("overwrite").parquet(tmp)
-        val subP = Paths.get(sub)
-        val oldP = Paths.get(s"$base/.__old__$pd")
-        Files.move(subP, oldP, StandardCopyOption.ATOMIC_MOVE)
-        try Files.move(Paths.get(tmp), subP, StandardCopyOption.ATOMIC_MOVE)
+        val subP = Fs.path(sub)
+        val oldP = Fs.path(s"$base/.__old__$pd")
+        Fs.rename(subP, oldP)
+        try Fs.rename(Fs.path(tmp), subP)
         catch {
           case e: Throwable =>
-            Files.move(oldP, subP, StandardCopyOption.ATOMIC_MOVE)
+            Fs.rename(oldP, subP)
             throw e
         }
-        deleteRecursively(oldP.toFile)
+        Fs.deleteRecursively(oldP)
         done += pd
       }
     }
@@ -1149,59 +1206,33 @@ object Layout {
     * dot-prefixed leftovers — the [[recoverPartitions]] state machine
     * with the `.__addcol__` scratch prefix. Safe on a healthy store.
     */
-  def recoverAddColumn(dir: String): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    val base = dir.stripSuffix("/")
-    val entries = Option(new java.io.File(base).listFiles())
-      .getOrElse(Array.empty).map(_.getName)
-    entries.filter(_.startsWith(".__old__")).foreach { n =>
-      val pd = n.stripPrefix(".__old__")
-      val live = Paths.get(s"$base/$pd")
-      val oldP = Paths.get(s"$base/$n")
-      if (Files.exists(live)) deleteRecursively(oldP.toFile)
-      else Files.move(oldP, live, StandardCopyOption.ATOMIC_MOVE)
-    }
-    entries.filter(_.startsWith(".__addcol__")).foreach { n =>
-      deleteRecursively(new java.io.File(s"$base/$n"))
-    }
-    ()
-  }
+  def recoverAddColumn(dir: String): Unit =
+    recoverDotSwaps(dir, ".__addcol__")
 
   /** Roll interrupted [[vacuumRetention]] swaps forward or back from
     * their dot-prefixed leftovers — same state machine as
     * [[recoverPartitions]] with the `.__vacuuming__` scratch prefix. Run
     * automatically on entry; safe on a healthy store.
     */
-  def recoverVacuum(dir: String): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    val base = dir.stripSuffix("/")
-    val entries = Option(new java.io.File(base).listFiles())
-      .getOrElse(Array.empty).map(_.getName)
-    entries.filter(_.startsWith(".__old__")).foreach { n =>
-      val pd = n.stripPrefix(".__old__")
-      val live = Paths.get(s"$base/$pd")
-      val oldP = Paths.get(s"$base/$n")
-      if (Files.exists(live)) deleteRecursively(oldP.toFile)
-      else Files.move(oldP, live, StandardCopyOption.ATOMIC_MOVE)
-    }
-    entries.filter(_.startsWith(".__vacuuming__")).foreach { n =>
-      deleteRecursively(new java.io.File(s"$base/$n"))
-    }
-    ()
-  }
+  def recoverVacuum(dir: String): Unit =
+    recoverDotSwaps(dir, ".__vacuuming__")
 
   /** Data files per partition directory — the compaction health metric.
     * Dot/underscore-prefixed entries are skipped, matching Spark's file
     * index (they are metadata or compaction scratch, never partitions).
     */
   def filesPerPartition(dir: String): Map[String, Int] =
-    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
-      .filter(isPartitionDir)
-      .map(d => d.getName ->
-        Option(d.listFiles()).getOrElse(Array.empty)
-          .count(f => f.getName.endsWith(".parquet") || f.getName.endsWith(".orc")))
+    Fs.list(Fs.path(dir)).filter(isPartitionDir)
+      .map(d => d.getPath.getName ->
+        Fs.list(d.getPath).count(f =>
+          f.getPath.getName.endsWith(".parquet") ||
+            f.getPath.getName.endsWith(".orc")))
       .toMap
 
+  /** Local-path recursive delete, kept for the query/test scaffolding
+    * that builds scratch stores under /tmp (the STORE protocol itself
+    * goes through [[Fs]]).
+    */
   private[graft] def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory)
       Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)

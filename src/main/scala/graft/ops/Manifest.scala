@@ -31,11 +31,12 @@ object Manifest {
     */
   def manifest(spark: SparkSession, path: String, column: String): DataFrame = {
     import spark.implicits._
-    val files = listParquet(new java.io.File(path))
+    val files = listParquet(Fs.path(path))
     require(files.nonEmpty, s"no parquet files under '$path'")
+    val confProps = hadoopConfProps(spark)
     spark.sparkContext.parallelize(files, math.min(files.size, 32).max(1))
       .mapPartitions { it =>
-        val conf = new org.apache.hadoop.conf.Configuration()
+        val conf = confFrom(confProps)
         it.flatMap(f => readFooter(f, column, conf))
       }
       .toDF("file", "row_group", "n_rows", "min_value", "max_value",
@@ -92,14 +93,15 @@ object Manifest {
   def pruneFiles(spark: SparkSession, path: String, column: String,
       lo: BigDecimal, hi: BigDecimal): Seq[String] = {
     require(lo <= hi, s"pruneFiles: empty range [$lo, $hi]")
-    val files = listParquet(new java.io.File(path))
+    val files = listParquet(Fs.path(path))
     require(files.nonEmpty, s"no parquet files under '$path'")
     def num(s: String): Option[BigDecimal] =
       try Some(BigDecimal(s)) catch { case _: NumberFormatException => None }
+    val confProps = hadoopConfProps(spark)
     spark.sparkContext
       .parallelize(files, math.min(files.size, 32).max(1))
       .mapPartitions { it =>
-        val conf = new org.apache.hadoop.conf.Configuration()
+        val conf = confFrom(confProps)
         it.filter { f =>
           readFooter(f, column, conf).exists { case (_, _, _, mn, mx, _) =>
             if (mn == null || mx == null) true // no stats: can't prove disjoint
@@ -113,25 +115,47 @@ object Manifest {
       .collect().toSeq.sorted
   }
 
-  private def listParquet(f: java.io.File): Seq[String] =
-    if (f.isFile) {
-      if (f.getName.endsWith(".parquet")) Seq(f.getAbsolutePath) else Seq.empty
-    } else
-      Option(f.listFiles()).getOrElse(Array.empty).toSeq
-        .filterNot(c => c.getName.startsWith(".") || c.getName.startsWith("_"))
-        .flatMap(listParquet)
+  // the session's resolved Hadoop conf as a serializable property list —
+  // executor-side footer reads must see the driver's fs.* settings
+  // (credentials, endpoints) or any non-default scheme fails to resolve
+  private def hadoopConfProps(spark: SparkSession): Array[(String, String)] = {
+    val hc = spark.sessionState.newHadoopConf()
+    val it = hc.iterator()
+    val buf = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    while (it.hasNext) { val e = it.next(); buf += e.getKey -> e.getValue }
+    buf.toArray
+  }
+
+  private def confFrom(props: Array[(String, String)])
+      : org.apache.hadoop.conf.Configuration = {
+    val c = new org.apache.hadoop.conf.Configuration(false)
+    props.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+
+  private def listParquet(p: org.apache.hadoop.fs.Path): Seq[String] = {
+    val f = Fs.fs(p)
+    def walk(st: org.apache.hadoop.fs.FileStatus): Seq[String] =
+      if (st.isFile) {
+        if (st.getPath.getName.endsWith(".parquet")) Seq(st.getPath.toString)
+        else Seq.empty
+      } else f.listStatus(st.getPath).toSeq
+        .filterNot(c => c.getPath.getName.startsWith(".") ||
+          c.getPath.getName.startsWith("_"))
+        .flatMap(walk)
+    if (!f.exists(p)) Seq.empty else walk(f.getFileStatus(p))
+  }
 
   private def readFooter(file: String, column: String,
       conf: org.apache.hadoop.conf.Configuration)
       : Seq[(String, Int, Long, String, String, Long)] = {
-    // Path-from-URI, not string concat: "file://$file" mis-parses paths
-    // carrying URI-special characters (spaces, %, #)
-    val in = org.apache.parquet.hadoop.util.HadoopInputFile
-      .fromPath(
-        new org.apache.hadoop.fs.Path(new java.io.File(file).toURI), conf)
+    // `file` is a FileSystem listing's Path.toString — already a
+    // round-trippable Hadoop path form, whatever the scheme
+    val p = new org.apache.hadoop.fs.Path(file)
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
     try {
-      val name = new java.io.File(file).getName
+      val name = p.getName
       reader.getFooter.getBlocks.asScala.toSeq.zipWithIndex.map {
         case (block, i) =>
           val cc = block.getColumns.asScala

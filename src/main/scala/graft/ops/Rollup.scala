@@ -41,10 +41,9 @@ object Rollup {
     * absent/never-maintained rollup.
     */
   def version(dir: String): Long = {
-    val f = new java.io.File(dir, VERSION_FILE)
-    if (!f.isFile) -1L
-    else new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-      .trim.toLong
+    val f = Fs.path(s"${dir.stripSuffix("/")}/$VERSION_FILE")
+    if (!Fs.isFile(f)) -1L
+    else Fs.readUTF8(f).trim.toLong
   }
 
   /** Roll an interrupted [[maintain]] swap forward or back — the one
@@ -67,7 +66,6 @@ object Rollup {
     */
   def maintain(spark: SparkSession, storeDir: String, rollupDir: String,
       groupCols: Seq[String], sumCols: Seq[String]): Long = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
     require(groupCols.nonEmpty, "rollup needs at least one group column")
     recover(rollupDir)
     val v = version(rollupDir)
@@ -81,22 +79,22 @@ object Rollup {
       if (v < 0L) partial
       else merge(spark.read.parquet(base).unionByName(partial),
         groupCols, sumCols)
-    val nextP = Paths.get(base + "__next")
-    combined.write.mode("overwrite").parquet(nextP.toString)
-    Files.write(nextP.resolve(VERSION_FILE),
-      latest.toString.getBytes("UTF-8"))
-    val dirP = Paths.get(base)
-    val oldP = Paths.get(base + "__old")
-    if (Files.exists(dirP)) {
-      Files.move(dirP, oldP, StandardCopyOption.ATOMIC_MOVE)
-      try Files.move(nextP, dirP, StandardCopyOption.ATOMIC_MOVE)
+    val next = base + "__next"
+    combined.write.mode("overwrite").parquet(next)
+    Fs.writeUTF8(Fs.path(s"$next/$VERSION_FILE"), latest.toString)
+    val nextP = Fs.path(next)
+    val dirP = Fs.path(base)
+    val oldP = Fs.path(base + "__old")
+    if (Fs.exists(dirP)) {
+      Fs.rename(dirP, oldP)
+      try Fs.rename(nextP, dirP)
       catch {
         case e: Throwable =>
-          Files.move(oldP, dirP, StandardCopyOption.ATOMIC_MOVE)
+          Fs.rename(oldP, dirP)
           throw e
       }
-      Layout.deleteRecursively(oldP.toFile)
-    } else Files.move(nextP, dirP, StandardCopyOption.ATOMIC_MOVE)
+      Fs.deleteRecursively(oldP)
+    } else Fs.rename(nextP, dirP)
     latest
   }
 

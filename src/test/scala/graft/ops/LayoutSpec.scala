@@ -692,6 +692,103 @@ class LayoutSpec extends SparkSuite {
     assert(spark.read.parquet(dir2).count() === total)
   }
 
+  test("size-targeted compaction splits a hot directory into parallel " +
+      "disjoint sorted runs and converges") {
+    val dir = freshDir()
+    // fragment heavily: many small files per lang dir
+    Layout.writePartitioned(docs, dir, "lang", Seq("doc_id"),
+      maxRecordsPerFile = 8L)
+    val before = Layout.filesPerPartition(dir)
+    assert(before.values.max > 3, s"need real fragmentation, got $before")
+    val total = spark.read.parquet(dir).count()
+    // target ~1/3 of the hottest directory's bytes per file → every dir
+    // rewrites as >=2 parallel range-partitioned runs (if big enough)
+    val hot = before.maxBy(_._2)._1
+    val hotBytes = Option(new java.io.File(s"$dir/$hot").listFiles())
+      .getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    val target = math.max(1L, hotBytes / 3L)
+    val done = Layout.compactPartitions(spark, dir, Seq("doc_id"),
+      targetFileBytes = target)
+    assert(done.contains(hot))
+    val after = Layout.filesPerPartition(dir)
+    assert(after(hot) >= 2 && after(hot) < before(hot),
+      s"expected 2..${before(hot) - 1} files for $hot, got ${after(hot)}")
+    assert(spark.read.parquet(dir).count() === total, "rows lost in re-split")
+    // the parallel runs are DISJOINT sorted ranges on the sort key — the
+    // property that keeps per-file min/max tight for later skipping
+    val ranges = Option(new java.io.File(s"$dir/$hot").listFiles())
+      .getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")).toSeq.map { f =>
+        val ids = spark.read.parquet(f.getAbsolutePath).select("doc_id")
+          .collect().map(_.getLong(0))
+        assert(ids.sameElements(ids.sorted), s"${f.getName} not sorted")
+        (ids.min, ids.max)
+      }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo, _)) =>
+        assert(hi < lo, s"overlapping file ranges: $ranges")
+      case _ =>
+    }
+    // convergence: passes strictly shrink until a fixpoint (compacting
+    // overhead-dominated tiny files SHRINKS bytes, so the first pass can
+    // legitimately re-select; realistic large files are byte-stable and
+    // converge in one), and the fixpoint is STABLE — a size-targeted
+    // multi-file layout is treated as compacted, not re-grabbed forever
+    var lastCount = after.values.sum
+    var passes = 0
+    var sel = Layout.compactPartitions(spark, dir, Seq("doc_id"),
+      targetFileBytes = target)
+    while (sel.nonEmpty && passes < 4) {
+      val now = Layout.filesPerPartition(dir).values.sum
+      assert(now < lastCount, s"pass did not shrink: $lastCount -> $now")
+      lastCount = now
+      passes += 1
+      sel = Layout.compactPartitions(spark, dir, Seq("doc_id"),
+        targetFileBytes = target)
+    }
+    assert(sel.isEmpty, "size-targeted compaction did not reach a fixpoint")
+    assert(spark.read.parquet(dir).count() === total)
+    // recovery on the healthy multi-file store is a no-op
+    Layout.recoverPartitions(dir)
+    assert(spark.read.parquet(dir).count() === total)
+  }
+
+  test("the whole maintenance cycle runs through a scheme-qualified " +
+      "file: path (the Hadoop FileSystem protocol, not java.nio)") {
+    val local = freshDir()
+    val dir = "file:" + local // scheme-qualified from here on
+    Layout.writePartitioned(docs, dir, "lang", Seq("doc_id"))
+    val total = spark.read.parquet(dir).count()
+    // append + fragmentation + per-dir compaction
+    Layout.append(docs.limit(50), dir, "lang", Seq("doc_id"))
+    assert(Layout.filesPerPartition(dir).values.max > 1)
+    val compacted = Layout.compactPartitions(spark, dir, Seq("doc_id"))
+    assert(compacted.nonEmpty)
+    assert(Layout.filesPerPartition(dir).values.forall(_ == 1))
+    assert(spark.read.parquet(dir).count() === total + 50L)
+    // whole-store compact (rename-aside swap through the Hadoop API)
+    Layout.compact(spark, dir, "lang", Seq("doc_id"))
+    assert(spark.read.parquet(dir).count() === total + 50L)
+    // batch-versioned store + consumer checkpoints on file: paths
+    val vdir = "file:" + freshDir()
+    val b0 = Layout.appendBatch(docs.limit(20), vdir, "lang", Seq("doc_id"))
+    val b1 = Layout.appendBatch(docs.limit(10), vdir, "lang", Seq("doc_id"))
+    assert(b0 === 0L && b1 === 1L)
+    val (fresh, upTo) = Layout.readNew(spark, vdir, "c1")
+    assert(upTo === 1L && fresh.count() === 30L)
+    Layout.commitCheckpoint(vdir, "c1", upTo)
+    assert(Layout.lastCheckpoint(vdir, "c1") === 1L)
+    assert(Layout.consumers(vdir) === Map("c1" -> 1L))
+    val (fresh2, _) = Layout.readNew(spark, vdir, "c1")
+    assert(fresh2.count() === 0L)
+    // retention vacuum through the scheme-qualified path
+    val (del, rew) = Layout.vacuumRetention(spark, dir, "doc_id",
+      cutoff = 5L, Seq("doc_id"))
+    assert(del.nonEmpty || rew.nonEmpty)
+    assert(spark.read.parquet(dir).filter(col("doc_id") < 5L).count() === 0L)
+  }
+
   test("ORC round trip preserves rows and schema") {
     val dir = freshDir()
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
