@@ -28,6 +28,13 @@ object Verify {
         }
       }
       after()
+      // free dropped localCheckpoint blocks NOW: ContextCleaner only
+      // releases a checkpointed RDD's blocks after the JVM collects the
+      // frame, so a 330-query session otherwise accumulates pinned blocks
+      // for a whole round — ambient pressure on every later query (the
+      // r13 ~1.3x suite-wide inflation suspect). One GC per group is
+      // noise-level cost next to the group itself.
+      System.gc()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -66,8 +66,8 @@ class BenchLogicSpec extends AnyFunSuite {
       "mid" -> 0.9, // 2.25x and +500 ms — suspect
       "slow" -> 2.4, // +400 ms but only 1.2x — not a suspect
       "new" -> 5.0) // no prior record — the no-prior arm picks it up
-    val s = Bench.pickSuspects(results, prior)
-    assert(s.map(_._1) == Seq("mid", "new"))
+    val (s, sk) = Bench.pickSuspects(results, prior)
+    assert(s.map(_._1) == Seq("mid", "new") && sk.isEmpty)
     assert(s.head._2 == 0.9 && s.head._3 == 0.4)
     assert(s(1)._3 == -1.0) // no-prior marker
   }
@@ -75,13 +75,15 @@ class BenchLogicSpec extends AnyFunSuite {
   test("pickSuspects no-prior arm: slow new queries rerun, trivial ones don't") {
     val results = Map("new_slow" -> 2.4, "new_slower" -> 5.0,
       "new_fast" -> 0.1) // under the 0.3 s floor — never worth a rerun slot
-    val s = Bench.pickSuspects(results, Map.empty)
+    val (s, _) = Bench.pickSuspects(results, Map.empty)
     assert(s.map(_._1) == Seq("new_slower", "new_slow")) // slowest first
     assert(s.forall(_._3 == -1.0))
-    // regressed queries outrank no-prior ones within the cap
-    val s2 = Bench.pickSuspects(
+    // regressed queries outrank no-prior ones within the cap, and the
+    // capped-out one is REPORTED, not silently dropped
+    val (s2, sk2) = Bench.pickSuspects(
       Map("reg" -> 1.0, "brand_new" -> 9.9), Map("reg" -> 0.2), cap = 1)
     assert(s2.map(_._1) == Seq("reg"))
+    assert(sk2 == Seq("brand_new"))
   }
 
   test("localPriorMins reads bench_last.json under the same sf guard") {
@@ -97,9 +99,33 @@ class BenchLogicSpec extends AnyFunSuite {
   test("pickSuspects ranks worst relative offenders first and caps the pass") {
     val prior = (1 to 12).map(i => s"q$i" -> 0.1).toMap
     val results = (1 to 12).map(i => s"q$i" -> (0.1 * (i + 1))).toMap
-    val s = Bench.pickSuspects(results, prior, cap = 8)
+    val (s, sk) = Bench.pickSuspects(results, prior, cap = 8)
     assert(s.size == 8)
     assert(s.head._1 == "q12") // 13x, the worst
     assert(s.map(t => t._2 / t._3).sliding(2).forall(w => w(0) >= w(1)))
+    assert(sk.size == 4) // all 12 regressed, 8 kept, 4 reported
+  }
+
+  test("pickSuspects: headline regressions are NEVER dropped by the cap") {
+    // 10 huge non-headline offenders + 2 modest headline ones; cap = 4.
+    // Round 13's failure mode: the headline rows lost their slots to the
+    // bigger ratios and shipped unadjudicated.
+    val prior = ((1 to 10).map(i => s"big$i" -> 0.1) ++
+      Seq("q_tpch_q3" -> 0.4, "q_dedup_components" -> 0.7)).toMap
+    val results = ((1 to 10).map(i => s"big$i" -> 10.0) ++
+      Seq("q_tpch_q3" -> 0.8, "q_dedup_components" -> 2.8)).toMap
+    val (s, sk) = Bench.pickSuspects(results, prior, cap = 4,
+      headline = Set("q_tpch_q3", "q_dedup_components"))
+    assert(s.map(_._1).take(2).toSet ==
+      Set("q_tpch_q3", "q_dedup_components"),
+      s"headline rows must come first, got ${s.map(_._1)}")
+    assert(s.size == 4) // 2 headline + 2 non-headline within the cap
+    assert(sk.size == 8)
+    // even when headline regressions alone EXCEED the cap, all are kept
+    val hp = (1 to 6).map(i => s"h$i" -> 0.5).toMap
+    val hr = (1 to 6).map(i => s"h$i" -> 2.0).toMap
+    val (s2, _) = Bench.pickSuspects(hr, hp, cap = 4,
+      headline = hp.keySet)
+    assert(s2.size == 6)
   }
 }
