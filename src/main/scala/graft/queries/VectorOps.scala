@@ -36,7 +36,8 @@ object VectorOps {
   /** Query names that read the persisted IVF index — see
     * TextOps.cacheConsumers for the scheduling contract.
     */
-  val cacheConsumers: Set[String] = Set("q_ann_ivf", "q_ann_ivf_exhaustive")
+  val cacheConsumers: Set[String] =
+    Set("q_ann_ivf", "q_ann_ivf_exhaustive", "q_ann_recall_ivf")
 
   /** Unpersist + drop the cached IVF assignments (idempotent). */
   def clearCaches(): Unit = {
@@ -184,8 +185,57 @@ object VectorOps {
     */
   def dynamicOracles: Map[String, String] =
     if (capturedCentroids.nonEmpty)
-      Map("q_ann_ivf" -> ivfProdOracle(capturedCentroids))
+      Map("q_ann_ivf" -> ivfProdOracle(capturedCentroids),
+        "q_ann_recall_ivf" -> ivfRecallOracle(capturedCentroids))
     else Map.empty
+
+  /** Generated oracle for q_ann_recall_ivf: the [[ivfProdOracle]] pipeline
+    * (captured centroids, nProbe = 4 of 16) overlapped per probe against
+    * brute-force exact top-5 — the IVF twin of q_ann_recall's LSH gate.
+    */
+  private def ivfRecallOracle(cents: Array[(Int, Array[Double])]): String = {
+    val values = cents.map { case (i, c) => s"($i, ${planeLit(c)})" }
+      .mkString(",\n    ")
+    s"""WITH e AS (SELECT vec_id, [cast(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+       |u AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+       |        [x / sqrt(list_dot_product(v, v)) for x in v] AS unit FROM e),
+       |cents AS (SELECT * FROM (VALUES
+       |    $values) AS c(cell, cv)),
+       |assigned AS (
+       |  SELECT vec_id, v, nrm, cell FROM (
+       |    SELECT u.vec_id, u.v, u.nrm, c.cell,
+       |      row_number() OVER (PARTITION BY u.vec_id
+       |        ORDER BY list_distance(u.unit, c.cv), c.cell) AS rk
+       |    FROM u CROSS JOIN cents c WHERE u.vec_id >= 3) WHERE rk = 1),
+       |probed AS (
+       |  SELECT qid, qv, qnrm, cell FROM (
+       |    SELECT u.vec_id AS qid, u.v AS qv, u.nrm AS qnrm, c.cell,
+       |      row_number() OVER (PARTITION BY u.vec_id
+       |        ORDER BY -list_dot_product(u.unit, c.cv), c.cell) AS pr
+       |    FROM u CROSS JOIN cents c WHERE u.vec_id < 3) WHERE pr <= 4),
+       |scored AS (
+       |  SELECT p.qid, a.vec_id, list_dot_product(a.v, p.qv) / (a.nrm * p.qnrm) AS cos
+       |  FROM assigned a JOIN probed p USING (cell)),
+       |ivf AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id,
+       |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+       |    FROM scored) WHERE rk <= 5),
+       |q0 AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM u WHERE vec_id < 3),
+       |bscored AS (
+       |  SELECT q0.qid, c.vec_id, list_dot_product(c.v, q0.qv) / (c.nrm * q0.qnrm) AS cos
+       |  FROM u c, q0 WHERE c.vec_id >= 3),
+       |brute AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id,
+       |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+       |    FROM bscored) WHERE rk <= 5),
+       |hits AS (SELECT qid, count(*) AS h
+       |         FROM ivf JOIN brute USING (qid, vec_id) GROUP BY 1)
+       |SELECT q0.qid, CAST(coalesce(h.h, 0) AS BIGINT) AS hits,
+       |  CAST(coalesce(h.h, 0) * 100 // 5 AS BIGINT) AS recall_pct
+       |FROM q0 LEFT JOIN hits h USING (qid) ORDER BY qid""".stripMargin
+  }
 
   private val KmK = 8
   private val KmIters = 3
@@ -355,6 +405,77 @@ object VectorOps {
       },
       lshProdOracle),
 
+    // -- ANN RECALL@K gate: the production-parameter LSH top-5 overlapped
+    //    against brute-force exact top-5, per probe — the approximation
+    //    QUALITY measured, not asserted (the engine ships approximate
+    //    operators; this is the differential-oracle pattern applied to
+    //    recall). 20 probes for statistics; hits and recall_pct are exact
+    //    integers (hits*100 div 5), so the gate is hash-stable. The oracle
+    //    replays BOTH pipelines in DuckDB: the LSH side from the same
+    //    seeded plane literals (the lshProdOracle VALUES table), the exact
+    //    side as plain brute-force cosine top-k — the overlap count is
+    //    computed independently end-to-end ---------------------------------
+    ("q_ann_recall",
+      (s: SparkSession, d: String) => {
+        val emb = t(s, d, "embeddings")
+        val queries = emb.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("embedding"))
+        val corpus = emb.filter(col("vec_id") >= 20)
+          .select("vec_id", "embedding")
+        val approx = graft.ops.Similarity.lshTopK(corpus, queries, "vec_id",
+            "qid", "embedding", k = 5, tables = lshProdTables,
+            bits = lshProdBits, seed = 42L, dim = lshOracleDim)
+          .select(col("qid"), col("vec_id"))
+        val exact = graft.ops.Similarity.bruteTopK(corpus, queries, "vec_id",
+            "qid", "embedding", k = 5)
+          .select(col("qid"), col("vec_id"))
+        val hits = approx.join(exact, Seq("qid", "vec_id"))
+          .groupBy("qid").agg(count(lit(1)).as("h"))
+        queries.select("qid").join(hits, Seq("qid"), "left")
+          .select(col("qid"), coalesce(col("h"), lit(0L)).as("hits"))
+          .withColumn("recall_pct",
+            expr("cast(hits * 100 div 5 AS BIGINT)"))
+          .orderBy("qid")
+      },
+      s"""WITH e AS (SELECT vec_id, [cast(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+         |planes AS (SELECT * FROM (VALUES
+         |    ${planesValues(lshProdPlanes)}) AS p(t, b, pl)),
+         |q0 AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 20),
+         |c0 AS (SELECT vec_id, v FROM e WHERE vec_id >= 20),
+         |cs AS (SELECT c0.vec_id, p.t,
+         |         cast(sum(CASE WHEN list_dot_product(p.pl, c0.v) >= 0 THEN (1 << p.b) ELSE 0 END) AS INTEGER) AS sig
+         |       FROM c0 CROSS JOIN planes p GROUP BY 1, 2),
+         |cb AS (SELECT cs.vec_id, c0.v, cs.t, cs.sig FROM cs JOIN c0 USING (vec_id)),
+         |qs AS (SELECT q0.qid, p.t,
+         |         cast(sum(CASE WHEN list_dot_product(p.pl, q0.qv) >= 0 THEN (1 << p.b) ELSE 0 END) AS INTEGER) AS sig
+         |       FROM q0 CROSS JOIN planes p GROUP BY 1, 2),
+         |qb AS (SELECT qs.qid, q0.qv, qs.t, qs.sig FROM qs JOIN q0 USING (qid)),
+         |cand AS (
+         |  SELECT DISTINCT qb.qid, cb.vec_id,
+         |    list_dot_product(cb.v, qb.qv) /
+         |      (sqrt(list_dot_product(cb.v, cb.v)) * sqrt(list_dot_product(qb.qv, qb.qv))) AS cos
+         |  FROM cb JOIN qb ON cb.t = qb.t AND cb.sig = qb.sig),
+         |lsh AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id,
+         |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+         |    FROM cand) WHERE rk <= 5),
+         |bscored AS (
+         |  SELECT q0.qid, c0.vec_id,
+         |    list_dot_product(c0.v, q0.qv) /
+         |      (sqrt(list_dot_product(c0.v, c0.v)) * sqrt(list_dot_product(q0.qv, q0.qv))) AS cos
+         |  FROM c0, q0),
+         |brute AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id,
+         |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+         |    FROM bscored) WHERE rk <= 5),
+         |hits AS (SELECT qid, count(*) AS h
+         |         FROM lsh JOIN brute USING (qid, vec_id) GROUP BY 1)
+         |SELECT q0.qid, CAST(coalesce(h.h, 0) AS BIGINT) AS hits,
+         |  CAST(coalesce(h.h, 0) * 100 // 5 AS BIGINT) AS recall_pct
+         |FROM q0 LEFT JOIN hits h USING (qid) ORDER BY qid""".stripMargin),
+
     // -- random-hyperplane LSH with the planes embedded in the oracle SQL
     //    as double literals: the full LSH pipeline (fused signature expr →
     //    (table, bucket) equi-join → exact re-rank → per-query top-k) under
@@ -492,6 +613,34 @@ object VectorOps {
             "embedding", k = 5, nProbe = 4)
           .select(col("qid"), col("vec_id"), round(col("cos"), 4).as("cos"))
           .orderBy("qid", "vec_id")
+      },
+      null),
+
+    // -- IVF recall@k: the production probe (nProbe = 4 of 16 cells)
+    //    overlapped per query against brute-force exact top-5 — the IVF
+    //    twin of q_ann_recall. Oracle is GENERATED (captured centroids as
+    //    literals, dynamicOracles) and recomputes both pipelines plus the
+    //    overlap in DuckDB ------------------------------------------------
+    ("q_ann_recall_ivf",
+      (s: SparkSession, d: String) => {
+        val emb = t(s, d, "embeddings")
+        val queries = emb.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("qid"), col("embedding"))
+        val corpus = emb.filter(col("vec_id") >= 3)
+          .select("vec_id", "embedding")
+        val approx = graft.ops.Similarity.ivfTopK(ivfIdx(s, d), queries,
+            "vec_id", "qid", "embedding", k = 5, nProbe = 4)
+          .select(col("qid"), col("vec_id"))
+        val exact = graft.ops.Similarity.bruteTopK(corpus, queries, "vec_id",
+            "qid", "embedding", k = 5)
+          .select(col("qid"), col("vec_id"))
+        val hits = approx.join(exact, Seq("qid", "vec_id"))
+          .groupBy("qid").agg(count(lit(1)).as("h"))
+        queries.select("qid").join(hits, Seq("qid"), "left")
+          .select(col("qid"), coalesce(col("h"), lit(0L)).as("hits"))
+          .withColumn("recall_pct",
+            expr("cast(hits * 100 div 5 AS BIGINT)"))
+          .orderBy("qid")
       },
       null),
 
