@@ -29,12 +29,49 @@ LOADS = {
     # entries may be "duckdb_expr AS name" — DuckDB evaluates the
     # expression during the load, SQLite stores the aliased column
     "events": ["epoch_ms(ts) AS ms", "event_type", "value"],
-    "documents": ["lang", "n_chars"],
+    "documents": ["doc_id", "lang", "n_chars"],
 }
 
 # SQLite-dialect twins of NON-portable DuckDB oracles (same output column
 # names as the gate entry). Portable oracles are sqlite_spotcheck.py's job.
 QUERIES = {
+    # calibrationFit's binning + weighted-logit-OLS algebra on the
+    # closed-form probability gate (q_calibration_heur): SQLite has no
+    # DECIMAL, so the dec6 terms ride as doubles — tolerance compare
+    "q_calibration_heur": """
+        WITH pp AS (SELECT (n_chars * 1000000) / (n_chars + 300) AS ppm,
+                      (CASE WHEN (n_chars > 310) <> (doc_id % 13 = 0)
+                            THEN 1 ELSE 0 END) AS y
+                    FROM documents),
+        bb AS (SELECT min((ppm * 10) / 1000000, 9) AS bin,
+                 count(*) AS n, sum(y) AS pos, sum(ppm) AS conf_ppm
+               FROM pp GROUP BY 1),
+        us AS (SELECT n, pos, conf_ppm,
+                 ln(CAST(conf_ppm AS REAL) /
+                    CAST(1000000 * n - conf_ppm AS REAL)) AS xr,
+                 ln(CAST(pos AS REAL) / CAST(n - pos AS REAL)) AS yr
+               FROM bb
+               WHERE pos > 0 AND pos < n
+                 AND conf_ppm > 0 AND conf_ppm < 1000000 * n),
+        tm AS (SELECT n, round(xr, 6) AS x, round(yr, 6) AS y,
+                 round(xr * xr, 6) AS xx, round(xr * yr, 6) AS xy
+               FROM us),
+        a AS (SELECT count(*) AS n_bins,
+                coalesce(sum(n), 0) AS n_rows,
+                CAST(coalesce(sum(n), 0) AS REAL) AS wv,
+                sum(n * x) AS sx, sum(n * y) AS sy,
+                sum(n * xx) AS sxx, sum(n * xy) AS sxy
+              FROM tm)
+        SELECT n_bins, n_rows,
+          CASE WHEN wv * sxx - sx * sx > 0.0 THEN
+            round((wv * sxy - sx * sy) / (wv * sxx - sx * sx), 6)
+          END AS slope,
+          CASE WHEN wv * sxx - sx * sx > 0.0 THEN
+            round((sy - (wv * sxy - sx * sy) / (wv * sxx - sx * sx) * sx)
+              / wv, 6)
+          END AS intercept
+        FROM a""",
+
     # DECIMAL-exact in the gate; plain double sums here (tolerance compare)
     "q_sum_avg": """
         SELECT round(sum(l_quantity), 4) AS sum_qty,

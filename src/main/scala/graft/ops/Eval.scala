@@ -402,6 +402,59 @@ object Eval {
         abs(lit(1000000L) * col("pos") - col("conf_ppm")).as("ece_num"))
   }
 
+  /** Calibration SLOPE/INTERCEPT beyond [[eceBinned]]'s table: weighted
+    * OLS of observed log-odds on predicted log-odds over the same
+    * equal-width ppm bins — the binned analogue of Cox's calibration
+    * regression (slope 1, intercept 0 = perfectly calibrated; slope < 1 =
+    * overconfident). Per usable bin b: x_b = logit(mean predicted) =
+    * ln(conf_ppm / (1e6·n − conf_ppm)), y_b = logit(observed rate) =
+    * ln(pos / (n − pos)) — both logs of EXACT integer ratios, so the
+    * doubles are cross-engine deterministic; each per-bin term is dec6-
+    * rounded before the weighted (w = n) sums, the zipfFit/q_jackknife
+    * discipline that makes accumulation order irrelevant. Bins where
+    * either logit is undefined (pos ∈ {0, n} or conf_ppm ∈ {0, 1e6·n})
+    * are dropped — the standard binned-fit treatment; they are visible in
+    * the [[eceBinned]] table this derives from. Zero x-variance (< 2
+    * usable bins, or all bins at one predicted level) → NULL fit, not
+    * NaN (the 0/0 engine-split convention).
+    *
+    * Returns ONE row: (n_bins, n_rows, slope, intercept), n_rows = rows
+    * in usable bins. Shape: one hash aggregation to the bins table, then
+    * a bins-sized reduction — nothing corpus-sized past the first agg.
+    */
+  def calibrationFit(df: DataFrame, probPpmCol: String, labelCol: String,
+      bins: Int = 10): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(18, 6)
+    val usable = eceBinned(df, probPpmCol, labelCol, bins)
+      .filter(col("pos") > 0L && col("pos") < col("n") &&
+        col("conf_ppm") > 0L && col("conf_ppm") < lit(1000000L) * col("n"))
+    val xb = log(col("conf_ppm").cast("double") /
+      (lit(1000000L) * col("n") - col("conf_ppm")).cast("double"))
+    val yb = log(col("pos").cast("double") /
+      (col("n") - col("pos")).cast("double"))
+    val terms = usable.select(col("n"),
+      round(xb, 6).cast(dec).as("x"),
+      round(yb, 6).cast(dec).as("y"),
+      round(xb * xb, 6).cast(dec).as("xx"),
+      round(xb * yb, 6).cast(dec).as("xy"))
+    val a = terms.agg(
+      count(lit(1)).as("n_bins"),
+      sum(col("n")).as("n_rows"),
+      sum(col("n") * col("x")).as("sx"),
+      sum(col("n") * col("y")).as("sy"),
+      sum(col("n") * col("xx")).as("sxx"),
+      sum(col("n") * col("xy")).as("sxy"))
+    val wv = col("n_rows").cast("double")
+    val sx = col("sx").cast("double"); val sy = col("sy").cast("double")
+    val sxx = col("sxx").cast("double"); val sxy = col("sxy").cast("double")
+    val slope = (wv * sxy - sx * sy) / (wv * sxx - sx * sx)
+    val defined = wv * sxx - sx * sx > 0.0
+    a.select(col("n_bins"), coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+      when(defined, round(slope, 6)).as("slope"),
+      when(defined, round((sy - slope * sx) / wv, 6)).as("intercept"))
+  }
+
   /** Lift / cumulative-gains table of `scoreCol` against binary
     * `labelCol`: rows ranked best-score-first are cut into `buckets`
     * equal-count buckets, and each bucket row carries exact integers

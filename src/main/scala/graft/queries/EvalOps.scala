@@ -332,6 +332,124 @@ object EvalOps {
           |  abs(1000000 * pos - conf_ppm) AS ece_num
           |FROM bb ORDER BY bin""".stripMargin),
 
+    // -- calibration SLOPE/INTERCEPT (Eval.calibrationFit): weighted OLS
+    //    of observed log-odds on predicted log-odds over q_ece's ppm bins
+    //    — Cox-style calibration regression, binned. Both logits are ln of
+    //    exact integer ratios (conf_ppm/(1e6n−conf_ppm), pos/(n−pos)), per-
+    //    bin terms dec6 before the n-weighted sums, degenerate bins
+    //    dropped, zero-x-variance → NULL (the q_zipf_fit conventions) ------
+    ("q_calibration_fit",
+      (s: SparkSession, d: String) => {
+        val feats = CartOps.featured(s, d).localCheckpoint(true)
+        val tree = graft.ops.Cart.train(
+          feats.filter(pmod(col("doc_id"), lit(2)) === 0),
+          CartOps.features, "y", depth = 2, maxBins = 32)
+        val leafPpm = tree.filter(_.feature == null)
+          .map(t => (t.node, t.nPos * 1000000L / t.n))
+        val spark2 = s
+        import spark2.implicits._
+        val probs = leafPpm.toDF("leaf", "p_ppm")
+        graft.ops.Eval.calibrationFit(
+          graft.ops.Cart.routeLeaf(
+              feats.filter(pmod(col("doc_id"), lit(2)) === 1), tree)
+            .join(broadcast(probs), Seq("leaf")),
+          "p_ppm", "y", bins = 10)
+      },
+      CartOps.oraclePrelude +
+        ",\nte AS MATERIALIZED (SELECT * FROM lab WHERE doc_id % 2 = 1)" +
+        CartOps.routeCtes("", "predc") +
+        """,
+          |pp AS (SELECT b.y, (l.tp * 1000000) // l.tn AS ppm
+          |       FROM predc_b b JOIN leaves l ON l.node = b.leaf),
+          |bb AS (SELECT least((ppm * 10) // 1000000, 9) AS bin,
+          |         CAST(count(*) AS BIGINT) AS n,
+          |         CAST(sum(y) AS BIGINT) AS pos,
+          |         CAST(sum(ppm) AS BIGINT) AS conf_ppm
+          |       FROM pp GROUP BY 1),
+          |us AS (SELECT n, pos, conf_ppm,
+          |         ln(CAST(conf_ppm AS DOUBLE) /
+          |            CAST(1000000 * n - conf_ppm AS DOUBLE)) AS xr,
+          |         ln(CAST(pos AS DOUBLE) / CAST(n - pos AS DOUBLE)) AS yr
+          |       FROM bb
+          |       WHERE pos > 0 AND pos < n
+          |         AND conf_ppm > 0 AND conf_ppm < 1000000 * n),
+          |tm AS (SELECT n,
+          |         CAST(round(xr, 6) AS DECIMAL(18,6)) AS x,
+          |         CAST(round(yr, 6) AS DECIMAL(18,6)) AS y,
+          |         CAST(round(xr * xr, 6) AS DECIMAL(18,6)) AS xx,
+          |         CAST(round(xr * yr, 6) AS DECIMAL(18,6)) AS xy
+          |       FROM us),
+          |a AS (SELECT CAST(count(*) AS BIGINT) AS n_bins,
+          |        CAST(coalesce(sum(n), 0) AS BIGINT) AS n_rows,
+          |        CAST(coalesce(sum(n), 0) AS DOUBLE) AS wv,
+          |        CAST(sum(n * x) AS DOUBLE) AS sx,
+          |        CAST(sum(n * y) AS DOUBLE) AS sy,
+          |        CAST(sum(n * xx) AS DOUBLE) AS sxx,
+          |        CAST(sum(n * xy) AS DOUBLE) AS sxy
+          |      FROM tm)
+          |SELECT n_bins, n_rows,
+          |  CASE WHEN wv * sxx - sx * sx > 0.0 THEN
+          |    round((wv * sxy - sx * sy) / (wv * sxx - sx * sx), 6)
+          |  END AS slope,
+          |  CASE WHEN wv * sxx - sx * sx > 0.0 THEN
+          |    round((sy - (wv * sxy - sx * sy) / (wv * sxx - sx * sx) * sx)
+          |      / wv, 6)
+          |  END AS intercept
+          |FROM a""".stripMargin),
+
+    // -- calibrationFit on a CLOSED-FORM probability (ppm = n_chars·1e6
+    //    div (n_chars+300), label from the q_ece fixture rule) — the
+    //    SQLite-triangulable twin of q_calibration_fit: same binning + OLS
+    //    algebra with no CART prelude, so scripts/triple_check.py can
+    //    replay it in a third engine (the mirrored-oracle mitigation) -----
+    ("q_calibration_heur",
+      (s: SparkSession, d: String) =>
+        graft.ops.Eval.calibrationFit(
+          Q.t(s, d, "documents").select(
+            expr("cast((n_chars * 1000000) div (n_chars + 300) AS BIGINT)")
+              .as("p_ppm"),
+            ((col("n_chars") > 310) =!= (pmod(col("doc_id"), lit(13)) === 0))
+              .cast("long").as("y")),
+          "p_ppm", "y", bins = 10),
+      """WITH pp AS (SELECT (n_chars * 1000000) // (n_chars + 300) AS ppm,
+        |              CAST((n_chars > 310) <> (doc_id % 13 = 0) AS BIGINT) AS y
+        |            FROM documents),
+        |bb AS (SELECT least((ppm * 10) // 1000000, 9) AS bin,
+        |         CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(y) AS BIGINT) AS pos,
+        |         CAST(sum(ppm) AS BIGINT) AS conf_ppm
+        |       FROM pp GROUP BY 1),
+        |us AS (SELECT n, pos, conf_ppm,
+        |         ln(CAST(conf_ppm AS DOUBLE) /
+        |            CAST(1000000 * n - conf_ppm AS DOUBLE)) AS xr,
+        |         ln(CAST(pos AS DOUBLE) / CAST(n - pos AS DOUBLE)) AS yr
+        |       FROM bb
+        |       WHERE pos > 0 AND pos < n
+        |         AND conf_ppm > 0 AND conf_ppm < 1000000 * n),
+        |tm AS (SELECT n,
+        |         CAST(round(xr, 6) AS DECIMAL(18,6)) AS x,
+        |         CAST(round(yr, 6) AS DECIMAL(18,6)) AS y,
+        |         CAST(round(xr * xr, 6) AS DECIMAL(18,6)) AS xx,
+        |         CAST(round(xr * yr, 6) AS DECIMAL(18,6)) AS xy
+        |       FROM us),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n_bins,
+        |        CAST(coalesce(sum(n), 0) AS BIGINT) AS n_rows,
+        |        CAST(coalesce(sum(n), 0) AS DOUBLE) AS wv,
+        |        CAST(sum(n * x) AS DOUBLE) AS sx,
+        |        CAST(sum(n * y) AS DOUBLE) AS sy,
+        |        CAST(sum(n * xx) AS DOUBLE) AS sxx,
+        |        CAST(sum(n * xy) AS DOUBLE) AS sxy
+        |      FROM tm)
+        |SELECT n_bins, n_rows,
+        |  CASE WHEN wv * sxx - sx * sx > 0.0 THEN
+        |    round((wv * sxy - sx * sy) / (wv * sxx - sx * sx), 6)
+        |  END AS slope,
+        |  CASE WHEN wv * sxx - sx * sx > 0.0 THEN
+        |    round((sy - (wv * sxy - sx * sy) / (wv * sxx - sx * sx) * sx)
+        |      / wv, 6)
+        |  END AS intercept
+        |FROM a""".stripMargin),
+
     // -- exact Brier score numerator at ppm² scale: Σ(1e6·y − ppm)² over
     //    the held-out docs (Brier = num / (n·1e12) derives exactly) —
     //    the proper-scoring-rule companion to q_ece's calibration table,
