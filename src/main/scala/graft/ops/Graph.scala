@@ -1047,6 +1047,42 @@ object Graph {
   def stressSampled(edges0: DataFrame, srcCol: String, dstCol: String,
       seeds: DataFrame, seedCol: String, iters: Int = 3): DataFrame = {
     require(iters >= 2, "stressSampled: iters must be >= 2")
+    val (fw, dag) = brandesForward(edges0, srcCol, dstCol, seeds, seedCol, iters)
+    var psi = fw.select(col("seed"), col("node"), col("dist"),
+      lit(0L).as("psi")).localCheckpoint(true)
+    for (i <- (iters - 1) to 1 by -1) {
+      val contrib = dag
+        .join(psi.select(col("seed").as("ps"), col("node").as("pw"),
+          col("psi").as("wpsi")),
+          col("seed") === col("ps") && col("w") === col("pw"))
+        .groupBy(col("seed"), col("u"))
+        .agg(sum(col("wpsi") + 1L).as("sm"))
+      psi = psi
+        .join(contrib.select(col("seed").as("cs"), col("u").as("cn"),
+          col("sm")),
+          col("seed") === col("cs") && col("node") === col("cn"),
+          "left_outer")
+        .select(col("seed"), col("node"), col("dist"),
+          when(col("dist") === lit(i.toLong), coalesce(col("sm"), lit(0L)))
+            .otherwise(col("psi")).as("psi"))
+        .localCheckpoint(true)
+    }
+    fw.join(psi.select(col("seed").as("qs"), col("node").as("qn"),
+        col("psi")),
+        col("seed") === col("qs") && col("node") === col("qn"))
+      .filter(col("node") =!= col("seed"))
+      .groupBy("node")
+      .agg(sum(col("sigma") * col("psi")).as("stress"))
+  }
+
+  /** Shared phases 1–2 of the Brandes family ([[stressSampled]],
+    * [[betweennessSampled]]): the seed-keyed forward BFS carrying exact
+    * path counts sigma, and the shortest-path DAG it induces. One
+    * definition so the two statistics can never diverge on the tree.
+    */
+  private def brandesForward(edges0: DataFrame, srcCol: String,
+      dstCol: String, seeds: DataFrame, seedCol: String,
+      iters: Int): (DataFrame, DataFrame) = {
     val edges = edges0
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .localCheckpoint(true)
@@ -1081,31 +1117,76 @@ object Graph {
           col("wd") === col("ud") + 1L)
       .select(col("seed"), col("u"), col("w"))
       .localCheckpoint(true)
-    var psi = fw.select(col("seed"), col("node"), col("dist"),
-      lit(0L).as("psi")).localCheckpoint(true)
+    (fw, dag)
+  }
+
+  /** Sampled BETWEENNESS proper (Brandes 2001 accumulation): the
+    * rational-dependency sibling of [[stressSampled]] — delta_s(v) =
+    * SUM over DAG successors w of (sigma_v / sigma_w) * (1 + delta_s(w)),
+    * peeled from the horizon's deepest level, and betweenness(v) =
+    * SUM over sampled seeds s of delta_s(v) for v interior (v != s).
+    * Within the horizon each pair (s, t) contributes exactly
+    * sigma_st(v)/sigma_st through the recursion — the fraction of s-t
+    * shortest paths passing THROUGH v, the statistic stress's integer
+    * path counts deliberately avoid.
+    *
+    * PURE-INTEGER arithmetic at ppm scale (the [[pageRank]] integer-mass
+    * discipline): delta is carried as delta_ppm = delta * 1e6, and each
+    * dependency term is the truncating integral division
+    * (sigma_u * (1e6 + delta_ppm_w)) div sigma_w — the product widened
+    * through DECIMAL(38,0) (HUGEINT in the oracle) so it cannot wrap.
+    * No doubles anywhere: a dec6-rounded double form was measured to
+    * split the engines on exact half-boundary rationals (sigma ratios
+    * times dec6 deltas land on x.xxxxx5 exactly, where Spark's
+    * BigDecimal.valueOf round and DuckDB's C round disagree on the
+    * nearest-double side). Truncation bias < 1e-6 per term sits far
+    * below the sampling + horizon error this estimator carries by
+    * construction. Returns (node, bc_ppm BIGINT) — exact; callers derive
+    * bc = bc_ppm / 1e6 at whatever precision they want.
+    *
+    * Shape: forward phases shared with stress; backward = one DAG-sized
+    * join + keyed sum per level. State O(|seeds| x reached), the
+    * [[multiBfsLevels]] contract.
+    */
+  def betweennessSampled(edges0: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, iters: Int = 3): DataFrame = {
+    require(iters >= 2, "betweennessSampled: iters must be >= 2")
+    val (fw, dag) = brandesForward(edges0, srcCol, dstCol, seeds, seedCol, iters)
+    // sigma is static — attach it to the DAG once, not once per level
+    val dagS = dag
+      .join(fw.select(col("seed").as("s1"), col("node").as("n1"),
+        col("sigma").as("sig_u")),
+        col("seed") === col("s1") && col("u") === col("n1"))
+      .join(fw.select(col("seed").as("s2"), col("node").as("n2"),
+        col("sigma").as("sig_w")),
+        col("seed") === col("s2") && col("w") === col("n2"))
+      .select(col("seed"), col("u"), col("w"), col("sig_u"), col("sig_w"))
+      .localCheckpoint(true)
+    var delta = fw.select(col("seed"), col("node"), col("dist"),
+      lit(0L).as("delta")).localCheckpoint(true)
     for (i <- (iters - 1) to 1 by -1) {
-      val contrib = dag
-        .join(psi.select(col("seed").as("ps"), col("node").as("pw"),
-          col("psi").as("wpsi")),
-          col("seed") === col("ps") && col("w") === col("pw"))
+      val contrib = dagS
+        .join(delta.select(col("seed").as("ds"), col("node").as("dw"),
+          col("delta").as("wdelta")),
+          col("seed") === col("ds") && col("w") === col("dw"))
         .groupBy(col("seed"), col("u"))
-        .agg(sum(col("wpsi") + 1L).as("sm"))
-      psi = psi
+        .agg(sum(expr(
+          "cast(cast(sig_u AS DECIMAL(38,0)) * (1000000L + wdelta) " +
+            "div cast(sig_w AS DECIMAL(38,0)) AS BIGINT)")).as("sm"))
+      delta = delta
         .join(contrib.select(col("seed").as("cs"), col("u").as("cn"),
           col("sm")),
           col("seed") === col("cs") && col("node") === col("cn"),
           "left_outer")
         .select(col("seed"), col("node"), col("dist"),
-          when(col("dist") === lit(i.toLong), coalesce(col("sm"), lit(0L)))
-            .otherwise(col("psi")).as("psi"))
+          when(col("dist") === lit(i.toLong),
+            coalesce(col("sm"), lit(0L)))
+            .otherwise(col("delta")).as("delta"))
         .localCheckpoint(true)
     }
-    fw.join(psi.select(col("seed").as("qs"), col("node").as("qn"),
-        col("psi")),
-        col("seed") === col("qs") && col("node") === col("qn"))
-      .filter(col("node") =!= col("seed"))
+    delta.filter(col("node") =!= col("seed"))
       .groupBy("node")
-      .agg(sum(col("sigma") * col("psi")).as("stress"))
+      .agg(sum(col("delta")).cast("long").as("bc_ppm"))
   }
 
   /** Sampled closeness centrality (Eppstein–Wang): per node, the count

@@ -383,6 +383,49 @@ object GraphOps {
           |WHERE w.node <> w.seed
           |GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // -- sampled BETWEENNESS proper (Brandes 2001): the rational
+    //    sigma_st(v)/sigma_st dependency over the same seed sample,
+    //    forward sigma/DAG phases shared with q_stress, backward
+    //    dependency carried as INTEGER ppm — each term is the truncating
+    //    (sigma_u*(1e6+delta_ppm_w)) div sigma_w through a DECIMAL(38,0)/
+    //    HUGEINT widening, so the whole statistic is BIGINT end to end
+    //    (a dec6-double form split the engines on exact half-boundary
+    //    rationals). Output per interior node: bc_ppm = sum over seeds ----
+    ("q_betweenness",
+      (s: SparkSession, d: String) => {
+        val edges = clickEdges(s, d)
+        val seeds = edges.select(col("src").as("node"))
+          .union(edges.select(col("dst").as("node"))).distinct()
+          .filter(col("node") % 7 === 0)
+        graft.ops.Graph.betweennessSampled(edges, "src", "dst",
+            seeds, "node", iters = Iters)
+          .orderBy("node")
+      },
+      edgeCtes +
+        s""",
+          |sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM
+          |  (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges) q),
+          |nodes AS (SELECT DISTINCT node FROM
+          |  (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges) q),
+          |w0 AS (SELECT node AS seed, node, CAST(0 AS BIGINT) AS dist,
+          |       CAST(1 AS BIGINT) AS sigma FROM nodes WHERE node % 7 = 0),
+          |${stressFwdCtes(Iters)},
+          |dg AS MATERIALIZED (SELECT u.seed, u.node AS u, wv.node AS w
+          |  FROM sym e JOIN w$Iters u ON e.src = u.node
+          |  JOIN w$Iters wv ON wv.seed = u.seed AND wv.node = e.dst
+          |    AND wv.dist = u.dist + 1),
+          |dgs AS MATERIALIZED (SELECT d.seed, d.u, d.w,
+          |  su.sigma AS sig_u, sw.sigma AS sig_w
+          |  FROM dg d
+          |  JOIN w$Iters su ON su.seed = d.seed AND su.node = d.u
+          |  JOIN w$Iters sw ON sw.seed = d.seed AND sw.node = d.w),
+          |q$Iters AS (SELECT seed, node, dist,
+          |  CAST(0 AS BIGINT) AS delta FROM w$Iters),
+          |${betwBwdCtes(Iters)}
+          |SELECT node, CAST(sum(delta) AS BIGINT) AS bc_ppm
+          |FROM q1 WHERE node <> seed
+          |GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // -- weighted single-source shortest paths (4 Bellman–Ford rounds)
     //    from the smallest page: transition weight 1+((src*7+dst)%5) as
     //    synthetic cost, parallel edges keep the cheapest, symmetrized.
@@ -802,6 +845,76 @@ object GraphOps {
           |SELECT scc, CAST(count(*) AS BIGINT) AS n_nodes, settled_round
           |FROM allset GROUP BY scc, settled_round ORDER BY scc""".stripMargin),
 
+    // -- CONDENSATION-DAG stats over the scc output: contract every
+    //    settled component to one node, keep inter-component edges of the
+    //    same thinned click graph, and report per component its size and
+    //    condensation in/out degree (distinct neighbor components) — the
+    //    "which page clusters feed which" link-curation view; the
+    //    condensation of a digraph is a DAG by construction. Unsettled
+    //    (NULL-scc) nodes and their edges are excluded. Oracle replays
+    //    the same scc rounds (fixpoint-covered unroll, see q_scc) then
+    //    contracts relationally ------------------------------------------
+    ("q_scc_condensation",
+      (s: SparkSession, d: String) => {
+        val edges = clickEdges(s, d).filter(
+            (col("src") < col("dst") &&
+              (col("src") * 13 + col("dst")) % 4 === 0) ||
+            (col("src") > col("dst") &&
+              (col("src") * 7 + col("dst")) % 7 === 0))
+          .filter(col("src") =!= col("dst")).distinct()
+          .localCheckpoint(true)
+        val comp = graft.ops.Graph.scc(edges, "src", "dst",
+            outer = 3, inner = 64)
+          .filter(col("scc").isNotNull)
+          .select(col("node"), col("scc"))
+          .localCheckpoint(true)
+        val contracted = edges
+          .join(comp.select(col("node").as("src"), col("scc").as("cs")), "src")
+          .join(comp.select(col("node").as("dst"), col("scc").as("cd")), "dst")
+          .filter(col("cs") =!= col("cd"))
+          .select(col("cs"), col("cd")).distinct()
+          .localCheckpoint(true)
+        val sizes = comp.groupBy(col("scc")).agg(count(lit(1)).as("n_nodes"))
+        sizes
+          .join(contracted.groupBy(col("cs").as("scc"))
+            .agg(count(lit(1)).as("out_comps")), Seq("scc"), "left")
+          .join(contracted.groupBy(col("cd").as("scc"))
+            .agg(count(lit(1)).as("in_comps")), Seq("scc"), "left")
+          .select(col("scc"), col("n_nodes"),
+            coalesce(col("out_comps"), lit(0L)).as("out_comps"),
+            coalesce(col("in_comps"), lit(0L)).as("in_comps"))
+          .orderBy("scc")
+      },
+      edgeCtes +
+        s""",
+          |ed AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges
+          |  WHERE src <> dst AND
+          |    ((src < dst AND (src * 13 + dst) % 4 = 0) OR
+          |     (src > dst AND (src * 7 + dst) % 7 = 0))),
+          |n1 AS (SELECT DISTINCT node FROM
+          |  (SELECT src AS node FROM ed UNION ALL SELECT dst FROM ed) q),
+          |er1 AS (SELECT src, dst FROM ed),
+          |${(1 to 3).map(r => sccRoundCtes(r, 10, 4)).mkString(",\n")},
+          |comp AS MATERIALIZED (
+          |  SELECT node, scc FROM (
+          |    SELECT * FROM done1 UNION ALL SELECT * FROM done2
+          |    UNION ALL SELECT * FROM done3) q),
+          |contracted AS (SELECT DISTINCT a.scc AS cs, b.scc AS cd
+          |  FROM ed JOIN comp a ON ed.src = a.node
+          |  JOIN comp b ON ed.dst = b.node
+          |  WHERE a.scc <> b.scc),
+          |sizes AS (SELECT scc, CAST(count(*) AS BIGINT) AS n_nodes
+          |          FROM comp GROUP BY 1),
+          |od AS (SELECT cs AS scc, CAST(count(*) AS BIGINT) AS out_comps
+          |       FROM contracted GROUP BY 1),
+          |id2 AS (SELECT cd AS scc, CAST(count(*) AS BIGINT) AS in_comps
+          |        FROM contracted GROUP BY 1)
+          |SELECT s.scc, s.n_nodes,
+          |  CAST(coalesce(od.out_comps, 0) AS BIGINT) AS out_comps,
+          |  CAST(coalesce(id2.in_comps, 0) AS BIGINT) AS in_comps
+          |FROM sizes s LEFT JOIN od USING (scc) LEFT JOIN id2 USING (scc)
+          |ORDER BY scc""".stripMargin),
+
     // -- iFUB diameter refinement (Crescenzi et al. 2013, "On computing
     //    the diameter of real-world undirected graphs"): BFS from the
     //    HIGHEST-DEGREE node (the published root heuristic), then
@@ -1212,6 +1325,25 @@ object GraphOps {
          |       ELSE f.psi END AS psi
          |  FROM p${i + 1} f LEFT JOIN sb$i
          |    ON f.seed = sb$i.seed AND f.node = sb$i.u)""".stripMargin
+    }.mkString(",\n")
+
+  /** One backward BETWEENNESS round (deepest level first), mirroring
+    * Graph.betweennessSampled: delta_ppm at distance i = the truncating
+    * HUGEINT-widened per-successor terms summed; deeper levels final.
+    */
+  private def betwBwdCtes(iters: Int): String =
+    ((iters - 1) to 1 by -1).map { i =>
+      s"""db$i AS (SELECT g.seed, g.u,
+         |  CAST(sum((CAST(g.sig_u AS HUGEINT) * (1000000 + p.delta))
+         |    // g.sig_w) AS BIGINT) AS sm
+         |  FROM dgs g JOIN q${i + 1} p ON p.seed = g.seed AND p.node = g.w
+         |  GROUP BY 1, 2),
+         |q$i AS MATERIALIZED (SELECT f.seed, f.node, f.dist,
+         |  CASE WHEN f.dist = $i
+         |       THEN CAST(coalesce(db$i.sm, 0) AS BIGINT)
+         |       ELSE f.delta END AS delta
+         |  FROM q${i + 1} f LEFT JOIN db$i
+         |    ON f.seed = db$i.seed AND f.node = db$i.u)""".stripMargin
     }.mkString(",\n")
 
   /** One multi-source BFS round for the q_closeness oracle, mirroring

@@ -492,6 +492,29 @@ class GraphSpec extends SparkSuite {
       10L -> 10L, 11L -> 10L, 12L -> 10L))
   }
 
+  test("betweennessSampled: hand-computed Brandes dependencies on a path " +
+      "and a diamond (rational sigma ratios, exact dec6 sums)") {
+    import spark.implicits._
+    def bc(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+      val e = edges.toDF("src", "dst")
+      val seeds = e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct()
+      Graph.betweennessSampled(e, "src", "dst", seeds, "node", iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    // path 1-2-3: only the (1,3) pair crosses node 2, once per direction
+    val path = bc(Seq((1L, 2L), (2L, 3L)), iters = 2)
+    assert(path(2L) == 2000000L)
+    assert(path(1L) == 0L && path(3L) == 0L)
+    // diamond 1-2-4, 1-3-4: the (1,4) pair splits sigma=2 ways, so each
+    // middle node carries 1/2 per direction (+ the side pairs' halves) —
+    // every node lands at exactly 1.0 = 1e6 ppm; the halves exercise the
+    // rational sigma_v/sigma_w ratio stress's integer counts can't express
+    val diamond = bc(Seq((1L, 2L), (2L, 4L), (1L, 3L), (3L, 4L)), iters = 2)
+    assert(Seq(1L, 2L, 3L, 4L).forall(n => diamond(n) == 1000000L),
+      s"got $diamond")
+  }
+
   test("scc: a cycle longer than any fixed horizon settles WHOLE " +
       "(fixpoint labels), and an insufficient step cap refuses loudly") {
     import spark.implicits._
