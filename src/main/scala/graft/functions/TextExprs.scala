@@ -128,13 +128,113 @@ object WinnowFingerprints {
   /** MessageDigest is stateful and not thread-safe; expression instances
     * are shared across local-mode task threads.
     */
-  private val digest = new ThreadLocal[java.security.MessageDigest] {
+  private[functions] val digest = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
   }
-  private val digestBuf = new ThreadLocal[Array[Byte]] {
+  private[functions] val digestBuf = new ThreadLocal[Array[Byte]] {
     override def initialValue(): Array[Byte] = new Array[Byte](16)
   }
+}
+
+/** [[WinnowFingerprints]] with POSITIONS: array<struct<pos int, f long>>
+  * of the selected (0-based gram offset, fingerprint hash) pairs — the
+  * span-granular form cross-document substring dedup needs (a value-only
+  * fingerprint can say two docs overlap, not WHERE). Selection is robust
+  * winnowing with the RIGHTMOST-min tie-break in every branch (the main
+  * loop's rule, applied to the short-document branch too so one SQL
+  * formulation mirrors both); the selected position is non-decreasing
+  * across windows, so consecutive-dedup equals distinct positions.
+  */
+case class WinnowFingerprintPositions(child: Expression, k: Int, w: Int,
+    md5Mode: Boolean = false)
+    extends UnaryExpression with CodegenFallback {
+  import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("pos", IntegerType, nullable = false),
+    StructField("f", LongType, nullable = false))), containsNull = false)
+
+  private val BASE = 257L
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val n = bytes.length
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val nh = n - k + 1
+    val hashes =
+      if (md5Mode) md5Hashes(bytes, nh) else rollingHashes(bytes, nh)
+    def row(pos: Int, f: Long) =
+      org.apache.spark.sql.catalyst.InternalRow(pos, f)
+    if (nh <= w) {
+      // one window covering everything; rightmost min, like the main loop
+      var mnPos = 0
+      var i = 1
+      while (i < nh) {
+        if (unsignedLt(hashes(i), hashes(mnPos)) ||
+          hashes(i) == hashes(mnPos)) mnPos = i
+        i += 1
+      }
+      return new GenericArrayData(Array[Any](row(mnPos, hashes(mnPos))))
+    }
+    val out = Array.newBuilder[Any]
+    var lastPos = -1
+    var i = 0
+    while (i + w <= nh) {
+      var mnPos = i
+      var jj = i + 1
+      while (jj < i + w) {
+        if (unsignedLt(hashes(jj), hashes(mnPos)) ||
+          (hashes(jj) == hashes(mnPos) && jj > mnPos)) mnPos = jj
+        jj += 1
+      }
+      if (mnPos != lastPos) { out += row(mnPos, hashes(mnPos)); lastPos = mnPos }
+      i += 1
+    }
+    new GenericArrayData(out.result())
+  }
+
+  private def rollingHashes(bytes: Array[Byte], nh: Int): Array[Long] = {
+    var pow = 1L
+    var j = 1
+    while (j < k) { pow *= BASE; j += 1 }
+    val hashes = new Array[Long](nh)
+    var h = 0L
+    var i = 0
+    while (i < k) { h = h * BASE + (bytes(i) & 0xff); i += 1 }
+    hashes(0) = h
+    i = 1
+    while (i < nh) {
+      h = (h - (bytes(i - 1) & 0xff) * pow) * BASE + (bytes(i + k - 1) & 0xff)
+      hashes(i) = h
+      i += 1
+    }
+    hashes
+  }
+
+  private def md5Hashes(bytes: Array[Byte], nh: Int): Array[Long] = {
+    val md = WinnowFingerprints.digest.get()
+    val d = WinnowFingerprints.digestBuf.get()
+    val hashes = new Array[Long](nh)
+    var i = 0
+    while (i < nh) {
+      md.reset()
+      md.update(bytes, i, k)
+      md.digest(d, 0, 16)
+      var v = 0L
+      var b = 0
+      while (b < 7) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+      hashes(i) = (v << 4) | ((d(7) >> 4) & 0xfL)
+      i += 1
+    }
+    hashes
+  }
+
+  private def unsignedLt(a: Long, b: Long): Boolean =
+    java.lang.Long.compareUnsigned(a, b) < 0
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Single-pass character-entropy statistics of a string: (n, n_distinct,
@@ -291,6 +391,14 @@ object TextExprs {
   def winnowFingerprints(c: Column, k: Int = 5, w: Int = 4,
       md5Mode: Boolean = false): Column =
     GraftBridge.column(WinnowFingerprints(GraftBridge.expression(c), k, w, md5Mode))
+
+  /** Winnowing fingerprints WITH 0-based positions
+    * (array<struct<pos, f>>) — see [[WinnowFingerprintPositions]].
+    */
+  def winnowFingerprintPositions(c: Column, k: Int = 5, w: Int = 4,
+      md5Mode: Boolean = false): Column =
+    GraftBridge.column(
+      WinnowFingerprintPositions(GraftBridge.expression(c), k, w, md5Mode))
 
   /** One-pass char-entropy stats struct (n, n_distinct, clnc_micros) of a
     * string column — see [[CharEntropyStats]].

@@ -320,6 +320,74 @@ object Dedup {
       .filter(col("shared_fp") >= minShared)
   }
 
+  /** CROSS-DOCUMENT span-level substring dedup (the Pile 32-gram recipe,
+    * Lee et al. 2021, at fingerprint granularity): matching SPANS between
+    * document pairs, candidates strictly from winnowing-fingerprint
+    * buckets — never all-pairs.
+    *
+    *  1. per doc: winnowing fingerprints WITH positions
+    *     ([[graft.functions.WinnowFingerprintPositions]]) — any shared
+    *     substring of length >= w + k - 1 shares >= 1 fingerprint at the
+    *     same offset within the copied region;
+    *  2. fingerprint-bucket join (x.f = y.f, a < b) yields matched
+    *     occurrences (a, pa, b, pb); a true copied substring puts all its
+    *     matches on ONE DIAGONAL (pb - pa constant) — the plagiarism-
+    *     chain alignment trick;
+    *  3. gaps-and-islands per (a, b, diagonal) over pa (gap <= mergeGap,
+    *     default w + k - 1: winnowing picks >= 1 fingerprint per w-window
+    *     inside a copied region, so true spans never break) merges
+    *     matches into maximal spans; spans shorter than `minSpanChars`
+    *     (default w + k - 1, the detection-guarantee floor) drop —
+    *     including every single-fingerprint island (k < w + k - 1), which
+    *     also kills the off-diagonal noise from repeated fingerprint
+    *     values inside a doc.
+    *
+    * Returns (a, b, a_start, b_start, n_fp, span_chars), starts 1-BASED
+    * (the SQL substr convention), span_chars = last matched gram start +
+    * k - first. Scale: the only join key is the fingerprint — d rows per
+    * fingerprint, never d² docs; `dfCap` (like [[containmentPairs]])
+    * drops boilerplate fingerprints hotter than the cap on adversarial
+    * corpora.
+    */
+  def crossDocSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 20, w: Int = 8, mergeGap: Int = 0, minSpanChars: Int = 0,
+      md5Mode: Boolean = false, dfCap: Long = 0L): DataFrame = {
+    val gap = if (mergeGap > 0) mergeGap else w + k - 1
+    val minChars = if (minSpanChars > 0) minSpanChars else w + k - 1
+    val spread = docs.repartition(
+      docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
+    val occ0 = spread.select(col(idCol),
+        explode(graft.functions.TextExprs.winnowFingerprintPositions(
+          col(textCol), k, w, md5Mode)).as("o"))
+      .select(col(idCol), (col("o.pos") + 1).cast("long").as("pos"),
+        col("o.f").as("f"))
+    val occ =
+      if (dfCap <= 0L) occ0
+      else occ0.join(
+        occ0.groupBy("f").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > dfCap).select("f"),
+        Seq("f"), "left_anti")
+    val m = occ.alias("x").join(occ.alias("y"),
+        col("x.f") === col("y.f") && col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"),
+        col("x.pos").as("pa"), col("y.pos").as("pb"),
+        (col("y.pos") - col("x.pos")).as("diag"))
+      .distinct() // repeated equal fingerprints in one doc can re-derive a pair
+    val byDiag = org.apache.spark.sql.expressions.Window
+      .partitionBy("a", "b", "diag").orderBy("pa")
+    m.withColumn("bk",
+        when(col("pa") - lag(col("pa"), 1).over(byDiag) <= gap.toLong, 0L)
+          .otherwise(1L))
+      .withColumn("island", sum(col("bk")).over(
+        byDiag.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("a", "b", "diag", "island")
+      .agg(min(col("pa")).as("a_start"), min(col("pb")).as("b_start"),
+        count(lit(1)).as("n_fp"),
+        (max(col("pa")) + k.toLong - min(col("pa"))).as("span_chars"))
+      .filter(col("span_chars") >= minChars.toLong)
+      .select("a", "b", "a_start", "b_start", "n_fp", "span_chars")
+  }
+
   /** 64-bit SimHash fingerprint per document from distinct-token hashes:
     * bit b of the fingerprint is the sign of Σ_tokens (2·bit_b(h(token))−1).
     *

@@ -19,6 +19,11 @@ object EventOps {
 
   type Fn = (SparkSession, String) => DataFrame
 
+  /** Typed row of q_stream_ewma's staged replay (named case class so the
+    * Dataset encoder resolves by field name).
+    */
+  case class EwmaEvt(ts: java.sql.Timestamp, event_type: String, cents: Long)
+
   private val NS_PER_HOUR = 3600L * 1000 * 1000 * 1000
   private val NS_PER_DAY = 24L * NS_PER_HOUR
   private val NS_PER_MS = 1000000L
@@ -830,6 +835,133 @@ object EventOps {
     //    Append semantics are spec-gated in StreamingSpec). val_sum rides
     //    the decimal-exact dsum convention — streaming partial aggregation
     //    order differs from batch, decimal makes the sum order-free --------
+    // -- STATEFUL per-key EWMA via flatMapGroupsWithState (EventTime
+    //    timeout): the state-store operator gate — every other streaming
+    //    entry here uses built-in operators; this one carries CUSTOM state
+    //    (a per-event_type map of day -> cents) across micro-batches and
+    //    relies on watermark-driven TIMEOUT for emission + eviction. The
+    //    staged replay (4 chronologically disjoint mtime-ordered slices +
+    //    2 far-future sentinels) advances the watermark between batches; a
+    //    day split across two slices accumulates through state, which a
+    //    per-batch aggregation would get WRONG — that is what makes this a
+    //    stateful test and not a rerun of q_stream_window. Dyadic
+    //    exactness carried as state: EWMA·2^20 = sum cents_{d-k}·2^(19-k)
+    //    is a pure BIGINT (the q_ewma identity), so the gate compares
+    //    integers end to end. State per key = one (day -> cents) map
+    //    bounded by the CALENDAR span, never the corpus ---------------------
+    ("q_stream_ewma",
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        val sink = "q_stream_ewma_sink"
+        val ev = t(s, d, "events")
+          .select(nsDiv("ts", NS_PER_MS).as("ms"), col("event_type"),
+            coalesce(cents(col("value")), lit(0L)).as("cents"))
+        val b = ev.agg(min(col("ms")), max(col("ms"))).head()
+        val (loMs, maxMs) = (b.getLong(0), b.getLong(1))
+        val tmp = java.nio.file.Files.createTempDirectory("graft_stream_ewma")
+        val src = s"$tmp/src"
+        try {
+          val span = maxMs - loMs + 1L
+          (0 until 4).foreach { i =>
+            ev.filter(col("ms") >= loMs + i * span / 4 &&
+                col("ms") < loMs + (i + 1) * span / 4)
+              .select(timestamp_millis(col("ms")).as("ts"),
+                col("event_type"), col("cents"))
+              .coalesce(1).write.mode("append").parquet(src)
+            new java.io.File(src).listFiles()
+              .filter(f => f.getName.endsWith(".parquet") &&
+                f.lastModified() > System.currentTimeMillis() - 60000L)
+              .foreach(_.setLastModified(
+                System.currentTimeMillis() - 600000L + i * 60000L))
+          }
+          // sentinel 1 advances the watermark past every real timeout;
+          // sentinel 2's batch then FIRES the timeouts (timeout checks run
+          // against the previous batch's watermark)
+          Seq(1, 2).foreach { k =>
+            Seq((new java.sql.Timestamp(maxMs + k * 7200000L), "__flush", 0L))
+              .toDF("ts", "event_type", "cents")
+              .coalesce(1).write.mode("append").parquet(src)
+            new java.io.File(src).listFiles()
+              .filter(f => f.getName.endsWith(".parquet") &&
+                f.lastModified() > System.currentTimeMillis() - 60000L)
+              .foreach(_.setLastModified(
+                System.currentTimeMillis() - 600000L + (3 + k) * 60000L))
+          }
+          val schema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("ts",
+              org.apache.spark.sql.types.TimestampType),
+            org.apache.spark.sql.types.StructField("event_type",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("cents",
+              org.apache.spark.sql.types.LongType)))
+          val typed = s.readStream.schema(schema)
+            .option("pathGlobFilter", "*.parquet")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .withWatermark("ts", "1 minute")
+            .as[EwmaEvt]
+          val flow = typed.groupByKey(_.event_type)
+            .flatMapGroupsWithState[Map[Long, Long], (String, Long, Long, Long)](
+              org.apache.spark.sql.streaming.OutputMode.Append,
+              org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout) {
+              (key, rows, st) =>
+                if (st.hasTimedOut) {
+                  // watermark passed this key's horizon: every day is
+                  // final — emit the whole dyadic-exact series and EVICT
+                  val days = st.get
+                  st.remove()
+                  days.keys.toSeq.sorted.iterator.map { day =>
+                    var e = 0L
+                    var kk = 0
+                    while (kk < 20) {
+                      e += days.getOrElse(day - kk, 0L) << (19 - kk); kk += 1
+                    }
+                    (key, day, days(day), e)
+                  }
+                } else {
+                  // fold the batch into per-day cents; a boundary day that
+                  // spans two slices accumulates across batches HERE
+                  var m = if (st.exists) st.get else Map.empty[Long, Long]
+                  var mx = Long.MinValue
+                  rows.foreach { r =>
+                    val ms = r.ts.getTime
+                    val day = Math.floorDiv(ms, 86400000L)
+                    m = m.updated(day, m.getOrElse(day, 0L) + r.cents)
+                    if (ms > mx) mx = ms
+                  }
+                  st.update(m)
+                  if (mx != Long.MinValue)
+                    st.setTimeoutTimestamp(mx + 3600000L)
+                  Iterator.empty
+                }
+            }.toDF("event_type", "day", "day_cents", "ewma_scaled")
+          s.catalog.dropTempView(sink)
+          graft.streaming.EventStream.runToMemory(flow, sink,
+            org.apache.spark.sql.streaming.OutputMode.Append)
+          // (event_type, day) is a true key — the standard at-least-once
+          // replay screen; the sentinel key's own series drops. The memory
+          // sink owns the rows, so reading after the staged-src delete is
+          // safe
+          s.table(sink)
+            .filter(col("event_type") =!= "__flush")
+            .dropDuplicates("event_type", "day")
+            .orderBy("event_type", "day")
+        } finally deleteRecursively(tmp.toFile)
+      },
+      """WITH bd AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+        |    CAST(sum(CAST(round(coalesce(value, 0) * 100) AS BIGINT)) AS BIGINT)
+        |      AS day_cents
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT a.event_type, a.day, a.day_cents,
+        |    CAST(sum(b.day_cents *
+        |      (1::BIGINT << CAST(19 - (a.day - b.day) AS INTEGER)))
+        |      AS BIGINT) AS ewma_scaled
+        |  FROM bd a JOIN bd b ON b.event_type = a.event_type
+        |    AND b.day <= a.day AND b.day > a.day - 20
+        |  GROUP BY 1, 2, 3)
+        |SELECT event_type, day, day_cents, ewma_scaled
+        |FROM w ORDER BY event_type, day""".stripMargin),
+
     ("q_stream_window",
       (s: SparkSession, d: String) => {
         // stream the SOURCE parquet directly — no normalization copy. The

@@ -54,6 +54,59 @@ object SpanOps {
       spanCte +
         "\nSELECT doc_id, span_start, span_tokens FROM spans ORDER BY doc_id, span_start"),
 
+    // -- CROSS-DOC span-level substring dedup (Dedup.crossDocSpans):
+    //    winnowing fingerprints WITH positions (k=20, w=8, md5 gram hash),
+    //    candidates from fingerprint buckets (never all-pairs), matches
+    //    merged per (pair, diagonal) into maximal spans >= 27 chars — the
+    //    Pile recipe at fingerprint granularity, reporting WHERE two docs
+    //    share verbatim text. The oracle recomputes robust winnowing
+    //    relationally: window-min + rightmost-argmin join, then the same
+    //    diagonal gaps-and-islands ------------------------------------------
+    ("q_dup_spans_xdoc",
+      (s: SparkSession, d: String) =>
+        graft.ops.Dedup.crossDocSpans(
+            t(s, d, "documents").select(col("doc_id"), col("text")),
+            "doc_id", "text", k = 20, w = 8, md5Mode = true)
+          .orderBy("a", "b", "a_start", "b_start"),
+      """WITH g AS (
+        |  SELECT doc_id, i,
+        |    ('0x'||substr(md5(substr(text, cast(i AS BIGINT), 20)),1,15))::BIGINT AS h
+        |  FROM (SELECT doc_id, text, unnest(range(1, len(text)-20+2)) AS i
+        |        FROM documents WHERE len(text) >= 20)),
+        |wm AS (
+        |  SELECT doc_id, i,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS f,
+        |    count(*) OVER (PARTITION BY doc_id) AS nh
+        |  FROM g),
+        |sel AS (
+        |  SELECT wm.doc_id, wm.i AS wi, wm.f, max(g2.i) AS pos
+        |  FROM wm JOIN g g2 ON g2.doc_id = wm.doc_id
+        |    AND g2.i >= wm.i AND g2.i <= wm.i + 7 AND g2.h = wm.f
+        |  WHERE wm.i <= greatest(wm.nh - 8 + 1, 1)
+        |  GROUP BY 1, 2, 3),
+        |occ AS (SELECT DISTINCT doc_id, pos, f FROM sel),
+        |m AS (
+        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+        |    x.pos AS pa, y.pos AS pb, y.pos - x.pos AS diag
+        |  FROM occ x JOIN occ y ON x.f = y.f AND x.doc_id < y.doc_id),
+        |brk AS (SELECT a, b, diag, pa, pb,
+        |          CASE WHEN pa - lag(pa) OVER (PARTITION BY a, b, diag
+        |            ORDER BY pa) <= 27 THEN 0 ELSE 1 END AS bk
+        |        FROM m),
+        |isl AS (SELECT a, b, diag, pa, pb,
+        |          sum(bk) OVER (PARTITION BY a, b, diag ORDER BY pa) AS island
+        |        FROM brk),
+        |spans AS (SELECT a, b,
+        |            cast(min(pa) AS BIGINT) AS a_start,
+        |            cast(min(pb) AS BIGINT) AS b_start,
+        |            cast(count(*) AS BIGINT) AS n_fp,
+        |            cast(max(pa) + 20 - min(pa) AS BIGINT) AS span_chars
+        |          FROM isl GROUP BY a, b, diag, island
+        |          HAVING max(pa) + 20 - min(pa) >= 27)
+        |SELECT a, b, a_start, b_start, n_fp, span_chars
+        |FROM spans ORDER BY a, b, a_start, b_start""".stripMargin),
+
     // -- the apply side: per-doc removal stats. Islands are disjoint by
     //    construction, so summed span_tokens = tokens a span-removal pass
     //    would drop; keep_ratio is what survives ---------------------------
