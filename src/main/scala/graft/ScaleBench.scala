@@ -321,8 +321,13 @@ object ScaleBench {
       if (!explicit.contains("hotsplit")) Map.empty
       else try {
         import org.apache.spark.sql.functions.col
-        val hot = spark.read.parquet(s"$sfDir/documents.parquet")
-          .filter(col("lang") === "en")
+        // lineitem, not documents: the hot directory must be big enough
+        // (~0.5 GB at 100x) that one task's sort+write throughput is the
+        // visible bottleneck — documents' hot lang is only ~40 MB there
+        val hot = spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .filter(col("l_returnflag") === "N")
+          .select("l_returnflag", "l_orderkey", "l_partkey", "l_suppkey",
+            "l_quantity", "l_extendedprice")
         val hotRows = hot.count()
         val root = java.nio.file.Files.createTempDirectory("graft_scale_hsp_")
           .toFile.getAbsolutePath
@@ -330,11 +335,12 @@ object ScaleBench {
         // both arms rewrite exactly this directory's bytes
         def seeded(dir: String): Unit = {
           del(new java.io.File(dir))
-          graft.ops.Layout.writePartitioned(hot, dir, "lang", Seq("doc_id"),
+          graft.ops.Layout.writePartitioned(hot, dir, "l_returnflag",
+            Seq("l_orderkey"),
             maxRecordsPerFile = math.max(1L, hotRows / 32L))
         }
         def hotBytes(dir: String): Long =
-          Option(new java.io.File(s"$dir/lang=en").listFiles())
+          Option(new java.io.File(s"$dir/l_returnflag=N").listFiles())
             .getOrElse(Array.empty)
             .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
         def sample(dir: String)(body: => Unit): (Double, Long) = {
@@ -360,18 +366,44 @@ object ScaleBench {
         try {
           val single = sample(s"$root/single") {
             graft.ops.Layout.compactPartitions(spark, s"$root/single",
-              Seq("doc_id"))
+              Seq("l_orderkey"))
             ()
           }
           val par = sample(s"$root/par") {
             val tgt = math.max(1L, hotBytes(s"$root/par") / 8L)
             graft.ops.Layout.compactPartitions(spark, s"$root/par",
-              Seq("doc_id"), targetFileBytes = tgt)
+              Seq("l_orderkey"), targetFileBytes = tgt)
             ()
           }
           Map("hotsplit_single_task[hot_lang]" -> single,
             "hotsplit_parallel_8way[hot_lang]" -> par)
         } finally del(new java.io.File(root)) // full-corpus copies — never leak
+      } catch { case scala.util.control.NonFatal(_) => Map.empty }
+    // Cross-doc span-dedup guard (pseudo-name "xdocguard"): the dfCap'd
+    // PRODUCTION forms of Dedup.crossDocSpans on the same corpus where the
+    // uncapped md5 gate form explodes (the gen_sf1 suffix fixture makes
+    // whole-copy boilerplate char-grams: df ∝ copy size, match fan-out
+    // Σ df² — measured: uncapped at 100x fills the disk with shuffle spill;
+    // that failure IS the negative control, like the peel-guard arm). The
+    // cap bounds any fingerprint's bucket to dfCap occurrences, so the
+    // join fan-out is ≤ dfCap × |occ| regardless of boilerplate.
+    val xdg: Map[String, (Double, Long)] =
+      if (!explicit.contains("xdocguard")) Map.empty
+      else try {
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select("doc_id", "text")
+        val rolling = timeIt {
+          graft.ops.Dedup.crossDocSpans(docs, "doc_id", "text", k = 20,
+              w = 8, md5Mode = false, dfCap = 50L)
+            .write.format("noop").mode("overwrite").save()
+        }
+        val md5c = timeIt {
+          graft.ops.Dedup.crossDocSpans(docs, "doc_id", "text", k = 20,
+              w = 8, md5Mode = true, dfCap = 50L)
+            .write.format("noop").mode("overwrite").save()
+        }
+        Map("xdoc_spans_capped[rolling,dfCap=50]" -> rolling,
+          "xdoc_spans_capped[md5,dfCap=50]" -> md5c)
       } catch { case scala.util.control.NonFatal(_) => Map.empty }
     // Merge A/B (pseudo-name "merge"): partition-pruned Layout.merge vs
     // the full-store rewrite a store WITHOUT an update primitive pays for
@@ -859,7 +891,7 @@ object ScaleBench {
         }
         Map("kcore[pinned]" -> pinned, "kcore[reliable_ckpt]" -> spilled)
       } catch { case scala.util.control.NonFatal(_) => Map.empty }
-    val all: Map[String, (Double, Long)] = results ++ prod ++ guard ++ pct ++ ing ++ cmp ++ hsp ++ mrg ++ rup ++ km ++ sqz ++ skw ++ pqb ++ tri ++ wdg ++ peel
+    val all: Map[String, (Double, Long)] = results ++ prod ++ guard ++ pct ++ ing ++ cmp ++ hsp ++ xdg ++ mrg ++ rup ++ km ++ sqz ++ skw ++ pqb ++ tri ++ wdg ++ peel
     val qs = all.toSeq.sortBy(_._1)
       .map { case (k, (t, _)) => f""""$k":$t%.3f""" }.mkString("{", ",", "}")
     // per-query min-of-runs shuffle write MB
