@@ -274,9 +274,29 @@ object Bench {
     val total = results.values.filter(_ >= 0).sum
     val failedJson = failed.toSeq.sortBy(_._1)
       .map { case (k, n) => s""""$k":$n""" }.mkString("{", ",", "}")
+    // DuckDB absolute yardstick (BENCH.md round 7): scripts/duckbench.py
+    // times each headline query's oracle SQL on the same sf0.1 parquet and
+    // writes BASELINE_DUCKDB.json; pass it through so the per-round record
+    // carries the duckdb column. Negative value = hit the 120 s cap (the
+    // all-pairs oracle forms). Absent file → omitted.
+    val duck: String =
+      try {
+        // the baseline was measured at sf0.1 — attach it only when the dir
+        // IS sf0.1 (basename match, not substring: "/tmp/sf0.1_x10" is a
+        // different scale and must not inherit these numbers)
+        if (sfDir.stripSuffix("/").split('/').lastOption != Some("sf0.1"))
+          throw new RuntimeException("sf mismatch")
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("BASELINE_DUCKDB.json")), "UTF-8")
+        val kv = """"([A-Za-z0-9_]+)":\s*(-?[0-9.]+)""".r
+        val entries = kv.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble)
+          .filter { case (k, _) => results.contains(k) }
+          .map { case (k, v) => f""""$k":$v%.2f""" }.toSeq
+        if (entries.isEmpty) "" else entries.mkString(""","duckdb":{""", ",", "}")
+      } catch { case scala.util.control.NonFatal(_) => "" }
     val skippedJson = skippedSuspects.map(n => s""""$n"""")
       .mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"dispersion":$disp,"shuffle_mb":$shufJson,"rerun":$rerunJson,"skipped_suspects":$skippedJson,"failed":$failedJson,"seed":$roundSeed,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"dispersion":$disp,"shuffle_mb":$shufJson,"rerun":$rerunJson,"skipped_suspects":$skippedJson$duck,"failed":$failedJson,"seed":$roundSeed,"sf":"$sfDir"}"""
     // Durable full-detail copy: every query at full precision, fixed path.
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_last.json"),
       (json + "\n").getBytes("UTF-8"))
@@ -305,32 +325,40 @@ object Bench {
     val rerunHead = rerun.take(6).map { case (k, v) =>
       s""""$k":${v.map(x => f"$x%.2f").mkString("[", ",", "]")}"""
     }.mkString("{", ",", "}")
-    // DuckDB absolute yardstick (BENCH.md round 7): scripts/duckbench.py
-    // times each headline query's oracle SQL on the same sf0.1 parquet and
-    // writes BASELINE_DUCKDB.json; pass it through so the per-round record
-    // carries the duckdb column. Negative value = hit the 120 s cap (the
-    // all-pairs oracle forms). Absent file → omitted.
-    val duck: String =
-      try {
-        // the baseline was measured at sf0.1 — attach it only when the dir
-        // IS sf0.1 (basename match, not substring: "/tmp/sf0.1_x10" is a
-        // different scale and must not inherit these numbers)
-        if (sfDir.stripSuffix("/").split('/').lastOption != Some("sf0.1"))
-          throw new RuntimeException("sf mismatch")
-        val txt = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get("BASELINE_DUCKDB.json")), "UTF-8")
-        val kv = """"([A-Za-z0-9_]+)":\s*(-?[0-9.]+)""".r
-        val entries = kv.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble)
-          .filter { case (k, _) => results.contains(k) }
-          .map { case (k, v) => f""""$k":$v%.2f""" }.toSeq
-        if (entries.isEmpty) "" else entries.mkString(""","duckdb":{""", ",", "}")
-      } catch { case scala.util.control.NonFatal(_) => "" }
     val failHead = if (failed.isEmpty) "" else s""","failed":$failedJson"""
     // dropped suspects ride in the tail-parsed line too: a capped-out
-    // offender must be VISIBLE, not silently unadjudicated
+    // offender must be VISIBLE, not silently unadjudicated. Capped at 6
+    // names + a count — the full list is in bench_last.json (on a fresh
+    // prior file EVERY query is "unseen" and the list is suite-sized).
     val skipHead = if (skippedSuspects.isEmpty) ""
-      else s""","skipped_suspects":$skippedJson"""
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$hq,"spread_minmax":$spread,"rerun":$rerunHead$duck%s$failHead%s$skipHead%s,"n_queries":${results.size}%d,"seed":$roundSeed%d,"full":"bench_last.json","sf":"$sfDir"}""")
+      else {
+        val shown = skippedSuspects.take(6).map(n => s""""$n"""")
+          .mkString("[", ",", "]")
+        s""","skipped_n":${skippedSuspects.size},"skipped_suspects":$shown"""
+      }
+    // The driver parses the LAST 2000 captured-stdout chars; a line that
+    // overflows parses as NOTHING (BENCH_r13's parsed: null — the r13 line
+    // was ~2.3 KB and the whole round's bench record degraded to a tail
+    // fragment). Compose the line, then drop the lowest-priority blocks
+    // until it fits with margin: duckdb first (static BASELINE_DUCKDB.json
+    // — the judge reads the file), then spread, then the rerun map
+    // (bench_last.json keeps all three in full).
+    def line(withDuck: Boolean, withSpread: Boolean, withRerun: Boolean) =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$hq""" +
+        (if (withSpread) s""","spread_minmax":$spread""" else "") +
+        (if (withRerun) s""","rerun":$rerunHead""" else "") +
+        (if (withDuck) duck else "") +
+        f"""$failHead%s$skipHead%s,"n_queries":${results.size}%d,"seed":$roundSeed%d,"full":"bench_last.json","sf":"$sfDir"}"""
+    val budget = 1900
+    val out = Seq(
+      line(withDuck = true, withSpread = true, withRerun = true),
+      line(withDuck = false, withSpread = true, withRerun = true),
+      line(withDuck = false, withSpread = false, withRerun = true),
+      line(withDuck = false, withSpread = false, withRerun = false))
+      .find(_.length <= budget)
+      .getOrElse(line(withDuck = false, withSpread = false, withRerun = false))
+    println(out)
+    System.out.flush()
     spark.stop()
   }
 }
