@@ -344,7 +344,14 @@ object Dedup {
     *
     * Returns (a, b, a_start, b_start, n_fp, span_chars), starts 1-BASED
     * (the SQL substr convention), span_chars = last matched gram start +
-    * k - first. Scale: the only join key is the fingerprint — d rows per
+    * k - first. OFFSET UNIT: positions and lengths are UTF-8 BYTE offsets
+    * (WinnowFingerprintPositions walks `UTF8String.getBytes`), which equal
+    * character offsets only on ASCII text. On multibyte corpora the
+    * numbers are still correct byte spans — safe for byte-wise slicing or
+    * re-detection — but must NOT be fed to character-indexed `substr`;
+    * convert first (or slice the UTF-8 bytes), exactly as the md5Mode
+    * scoping note on [[Dedup.crossDocApply]]'s oracle does. Scale: the
+    * only join key is the fingerprint — d rows per
     * fingerprint, never d² docs; `dfCap` (like [[containmentPairs]])
     * drops boilerplate fingerprints hotter than the cap on adversarial
     * corpora.
@@ -392,6 +399,72 @@ object Dedup {
         (max(col("pa")) + k.toLong - min(col("pa"))).as("span_chars"))
       .filter(col("span_chars") >= minChars.toLong)
       .select("a", "b", "a_start", "b_start", "n_fp", "span_chars")
+  }
+
+  /** The APPLY half of [[crossDocSpans]] — the second step of the Lee et
+    * al. 2021 (arXiv:2107.06499) exact-substring recipe: the detected
+    * cross-document spans are REMOVED under a keep-first policy (each
+    * reported span survives in the lower-id doc `a`, is cut from the
+    * higher-id doc `b` — one copy of every duplicated passage remains in
+    * the corpus), and the surviving text is reported per affected doc.
+    *
+    * Algebra, all relational and linear in span count:
+    *  1. b-side intervals [b_start, b_start + span_chars - 1] (1-based
+    *     inclusive, SAME byte-offset unit as crossDocSpans — see its
+    *     offset-unit scaladoc);
+    *  2. per-doc interval MERGE (overlapping or adjacent spans from
+    *     different partners coalesce): gaps-and-islands over a running
+    *     max(end) window — a new island starts when this start exceeds
+    *     every previous end + 1;
+    *  3. the kept text is rebuilt by a cursor fold (`aggregate` HOF) over
+    *     the doc's sorted merged intervals — concat of the inter-island
+    *     segments; the oracle rebuilds it INDEPENDENTLY as the
+    *     complement-segment string_agg, so the gate cross-checks two
+    *     different constructions of the same string.
+    *
+    * Returns one row per AFFECTED doc: (idCol, n_spans [merged],
+    * dup_chars, kept_chars, kept_tokens [surviving \\S+ runs],
+    * kept_md5i [md5 prefix of the rebuilt text as BIGINT]). Docs with no
+    * b-side span are untouched and not reported. Scale: interval merge is
+    * a per-doc window over span rows (not text), the rebuild touches each
+    * affected doc's text once — both map-side next to the crossDocSpans
+    * cost itself.
+    */
+  def crossDocApply(docs: DataFrame, idCol: String, textCol: String,
+      spans: DataFrame): DataFrame = {
+    val iv = spans.select(col("b").as(idCol), col("b_start").as("s"),
+      (col("b_start") + col("span_chars") - 1L).as("e"))
+    val w = Window.partitionBy(idCol).orderBy("s")
+    val runMax = max(col("e")).over(
+      w.rowsBetween(Window.unboundedPreceding, -1))
+    val merged = iv
+      .withColumn("bk",
+        when(col("s") <= runMax + 1L, 0L).otherwise(1L)) // null runMax → 1
+      .withColumn("g", sum(col("bk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("g"))
+      .agg(min(col("s")).as("ms"), max(col("e")).as("me"))
+    val byDoc = merged.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_spans"),
+      sum(col("me") - col("ms") + 1L).as("dup_chars"),
+      array_sort(collect_list(struct(col("ms"), col("me")))).as("ivs"))
+    docs.join(byDoc, idCol)
+      .withColumn("kept_text", expr(
+        s"""aggregate(ivs,
+           |  named_struct('cur', cast(1 as bigint), 'acc', ''),
+           |  (a, iv) -> named_struct(
+           |    'cur', iv.me + 1L,
+           |    'acc', concat(a.acc, substring($textCol,
+           |             cast(a.cur as int), cast(iv.ms - a.cur as int)))),
+           |  a -> concat(a.acc,
+           |         substring($textCol, cast(a.cur as int), 2147483647)))
+           |""".stripMargin))
+      .select(col(idCol), col("n_spans"), col("dup_chars"),
+        length(col("kept_text")).cast("long").as("kept_chars"),
+        size(regexp_extract_all(col("kept_text"), lit("\\S+"), lit(0)))
+          .cast("long").as("kept_tokens"),
+        conv(substring(md5(col("kept_text")), 1, 15), 16, 10)
+          .cast("long").as("kept_md5i"))
   }
 
   /** 64-bit SimHash fingerprint per document from distinct-token hashes:

@@ -455,6 +455,88 @@ object Eval {
       when(defined, round((sy - slope * sx) / wv, 6)).as("intercept"))
   }
 
+  /** LEAVE-ONE-BIN-OUT jackknife SE for [[calibrationFit]]'s slope and
+    * intercept — the sampling-uncertainty companion the point estimates
+    * need before anyone compares two models' calibration: how much does
+    * the fitted line lean on any single probability bin?
+    *
+    * Replicate algebra on the BOUNDED bins table (never the corpus): the
+    * fit's weighted sums (W, SX, SY, SXX, SXY) are decimal-exact; each
+    * replicate subtracts one bin's contribution by inclusion–exclusion
+    * (exact decimal differences, cast to double only at the final ratio —
+    * the q_auc_jackknife discipline), slope/intercept replicates dec6,
+    * SE = sqrt((g−1)/g · Σ dec6((rep − mean)²)). Replicates whose
+    * leave-out x-variance degenerates (≤ 0) drop, mirroring the full
+    * fit's NULL convention; g counts the survivors. SE is NULL below
+    * g = 2.
+    *
+    * Returns ONE row: (n_bins, slope, intercept [the full fit, same
+    * numbers as calibrationFit], n_reps, slope_se, intercept_se). Shape:
+    * one corpus hash-agg to <= `bins` rows, then bins-sized algebra —
+    * the replicate count never touches the data again, so the 100 TB
+    * cost is the one scan [[eceBinned]] already pays.
+    */
+  def calibrationJackknife(df: DataFrame, probPpmCol: String,
+      labelCol: String, bins: Int = 10): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(18, 6)
+    val usable = eceBinned(df, probPpmCol, labelCol, bins)
+      .filter(col("pos") > 0L && col("pos") < col("n") &&
+        col("conf_ppm") > 0L && col("conf_ppm") < lit(1000000L) * col("n"))
+    val xb = log(col("conf_ppm").cast("double") /
+      (lit(1000000L) * col("n") - col("conf_ppm")).cast("double"))
+    val yb = log(col("pos").cast("double") /
+      (col("n") - col("pos")).cast("double"))
+    val terms = usable.select(col("n"),
+      round(xb, 6).cast(dec).as("x"),
+      round(yb, 6).cast(dec).as("y"),
+      round(xb * xb, 6).cast(dec).as("xx"),
+      round(xb * yb, 6).cast(dec).as("xy"))
+    val tot = terms.agg(
+      sum(col("n")).as("w"),
+      sum(col("n") * col("x")).as("sx"),
+      sum(col("n") * col("y")).as("sy"),
+      sum(col("n") * col("xx")).as("sxx"),
+      sum(col("n") * col("xy")).as("sxy"))
+    // leave-one-bin-out sums: decimal-exact differences, double at the ratio
+    val wd = (col("w") - col("n")).cast("double")
+    val sxd = (col("sx") - col("n") * col("x")).cast("double")
+    val syd = (col("sy") - col("n") * col("y")).cast("double")
+    val sxxd = (col("sxx") - col("n") * col("xx")).cast("double")
+    val sxyd = (col("sxy") - col("n") * col("xy")).cast("double")
+    val den = wd * sxxd - sxd * sxd
+    val slopeR = (wd * sxyd - sxd * syd) / den
+    val reps = terms.crossJoin(broadcast(tot))
+      .filter(den > 0.0)
+      .select(round(slopeR, 6).cast(dec).as("sl"),
+        round((syd - slopeR * sxd) / wd, 6).cast(dec).as("ic"))
+    val means = reps.agg(count(lit(1)).as("g"),
+      sum(col("sl")).as("ssl"), sum(col("ic")).as("sic"))
+      .select(col("g"),
+        round(col("ssl").cast("double") / col("g").cast("double"), 6).as("msl"),
+        round(col("sic").cast("double") / col("g").cast("double"), 6).as("mic"))
+    val dsl = col("sl").cast("double") - col("msl")
+    val dic = col("ic").cast("double") - col("mic")
+    // global agg (one row even with zero replicates), g joined back from
+    // `means` — a groupBy(g) would return NO row on an empty replicate set
+    // and drop the fit row with it
+    val sq = reps.crossJoin(broadcast(means))
+      .select(round(dsl * dsl, 6).cast(dec).as("qsl"),
+        round(dic * dic, 6).cast(dec).as("qic"))
+      .agg(sum(col("qsl")).as("vsl"), sum(col("qic")).as("vic"))
+    val gd = col("g").cast("double")
+    val scale = (gd - 1.0) / gd
+    val se = means.crossJoin(broadcast(sq))
+      .select(col("g").as("n_reps"),
+        when(col("g") >= 2L,
+          round(sqrt(scale * col("vsl").cast("double")), 6)).as("slope_se"),
+        when(col("g") >= 2L,
+          round(sqrt(scale * col("vic").cast("double")), 6)).as("intercept_se"))
+    calibrationFit(df, probPpmCol, labelCol, bins)
+      .select("n_bins", "slope", "intercept")
+      .crossJoin(broadcast(se))
+  }
+
   /** Lift / cumulative-gains table of `scoreCol` against binary
     * `labelCol`: rows ranked best-score-first are cut into `buckets`
     * equal-count buckets, and each bucket row carries exact integers

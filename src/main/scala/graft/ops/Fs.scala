@@ -144,6 +144,36 @@ private[graft] object Fs {
           "fronts an atomic metadata layer (see Fs scaladoc).")
   }
 
+  /** File move for data NOT YET REFERENCED by any commit pointer — the
+    * [[PointerStore]] staging→store move. Unlike [[rename]] this does NOT
+    * assert rename atomicity, because the protocol doesn't need it here: a
+    * torn or half-copied `dst` is an unreferenced orphan until a commit
+    * file names it, invisible to every reader and reaped by
+    * [[PointerStore.vacuumOrphans]]. The commit that publishes `dst`
+    * happens only AFTER this call returns (write fully landed). Falls back
+    * to stream-copy + delete where the FS rejects the rename (some object
+    * stores reject cross-"directory" renames outright).
+    */
+  def moveFileUncommitted(src: Path, dst: Path): Unit = {
+    val f = fs(src)
+    if (f.exists(dst))
+      throw new IOException(s"move target $dst already exists")
+    val parent = dst.getParent
+    if (parent != null && !f.exists(parent)) f.mkdirs(parent)
+    val renamed = try f.rename(src, dst) catch { case _: IOException => false }
+    if (!renamed) {
+      val in = f.open(src)
+      val out = f.create(dst, false)
+      try {
+        val buf = new Array[Byte](1 << 16)
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      } finally { in.close(); out.close() }
+      f.delete(src, false)
+      ()
+    }
+  }
+
   def readUTF8(p: Path): String = {
     val f = fs(p)
     val in = f.open(p)
@@ -156,19 +186,46 @@ private[graft] object Fs {
     } finally in.close()
   }
 
-  def writeUTF8(p: Path, s: String): Unit = {
+  def writeUTF8(p: Path, s: String): Unit =
+    writeBytes(p, s.getBytes("UTF-8"))
+
+  def writeBytes(p: Path, bytes: Array[Byte]): Unit = {
     val f = fs(p)
     val out = f.create(p, true)
-    try out.write(s.getBytes("UTF-8")) finally out.close()
+    try out.write(bytes) finally out.close()
+  }
+
+  def readBytes(p: Path): Array[Byte] = {
+    val f = fs(p)
+    val in = f.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](1 << 16)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      out.toByteArray
+    } finally in.close()
   }
 
   /** Atomic(-enough) replace-write: land in a dot-prefixed `.name.tmp`
     * sibling, then [[renameReplace]] into place — a crash mid-write
     * leaves the previous file intact; a crash mid-replace loses it
     * (benign, see [[renameReplace]]).
+    *
+    * A target that is ALREADY dot-prefixed (the evolve `._evolve_done`
+    * progress log) keeps its own dot rather than gaining a second one:
+    * `.._evolve_done.tmp` escaped every `._evolve_done*`-shaped recovery
+    * sweep and rode a whole-store swap into the live directory as a stray
+    * dotfile (round-15 advice). [[tmpFor]] is the single naming rule so
+    * recovery sweeps and the writer can never disagree again.
     */
+  def tmpFor(p: Path): Path = {
+    val dot = if (p.getName.startsWith(".")) "" else "."
+    new Path(p.getParent, s"$dot${p.getName}.tmp")
+  }
+
   def writeUTF8Atomic(p: Path, s: String): Unit = {
-    val tmp = new Path(p.getParent, s".${p.getName}.tmp")
+    val tmp = tmpFor(p)
     writeUTF8(tmp, s)
     renameReplace(tmp, p)
   }

@@ -1149,7 +1149,19 @@ object Graph {
     * [[multiBfsLevels]] contract.
     */
   def betweennessSampled(edges0: DataFrame, srcCol: String, dstCol: String,
-      seeds: DataFrame, seedCol: String, iters: Int = 3): DataFrame = {
+      seeds: DataFrame, seedCol: String, iters: Int = 3): DataFrame =
+    brandesDeltas(edges0, srcCol, dstCol, seeds, seedCol, iters)
+      .filter(col("node") =!= col("seed"))
+      .groupBy("node")
+      .agg(sum(col("delta")).cast("long").as("bc_ppm"))
+
+  /** The Brandes accumulation itself, per (seed, node): the delta_ppm
+    * frame [[betweennessSampled]] sums over seeds and
+    * [[betweennessJackknife]] sums per seed STRATUM. See
+    * [[betweennessSampled]] for the integer-ppm arithmetic contract.
+    */
+  private def brandesDeltas(edges0: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, iters: Int): DataFrame = {
     require(iters >= 2, "betweennessSampled: iters must be >= 2")
     val (fw, dag) = brandesForward(edges0, srcCol, dstCol, seeds, seedCol, iters)
     // sigma is static — attach it to the DAG once, not once per level
@@ -1184,9 +1196,61 @@ object Graph {
             .otherwise(col("delta")).as("delta"))
         .localCheckpoint(true)
     }
-    delta.filter(col("node") =!= col("seed"))
-      .groupBy("node")
-      .agg(sum(col("delta")).cast("long").as("bc_ppm"))
+    delta
+  }
+
+  /** SAMPLING ERROR of [[betweennessSampled]]: delete-one-STRATUM jackknife
+    * over the seed sample, integer end to end. Seeds partition into
+    * `nStrata` strata by `seed mod nStrata`; per node v the per-stratum
+    * totals c_g(v) are additive in the seeds, so the estimator is the
+    * group total T(v) = Σ_g c_g(v) (= bc_ppm, identical to
+    * betweennessSampled) and the standard delete-group replicate is the
+    * rescaled T̂_(−g) = G/(G−1) · (T − c_g), whose replicate mean is
+    * exactly T. The SE then collapses to integers:
+    * SE² = (G−1)/G · Σ_g (T̂_(−g) − T)² = Σ_g (T − G·c_g)² / (G·(G−1)) —
+    * the squared numerators are exact BIGINTs (widened through
+    * DECIMAL(38,0) like the dependency products; a stratum with no
+    * contribution to v is a legitimate zero replicate, contributing T²).
+    * Floating point appears ONLY in the final reported
+    * se_ppm = floor(sqrt(se2_num / (G·(G−1)))) — deterministic IEEE ops on
+    * identical inputs, no round() tie-break anywhere (the q_betweenness
+    * half-boundary lesson).
+    *
+    * G counts the strata PRESENT in the seed set (an empty stratum is
+    * not a sample group). Returns per interior node:
+    * (node, bc_ppm, n_strata, se2_num, se_ppm); se_ppm NULL below G = 2.
+    * Shape: the Brandes phases unchanged (the expensive part), then ONE
+    * extra keyed aggregation at (node, stratum) granularity — G-bounded
+    * fan-out, no new data-sized shuffle.
+    */
+  def betweennessJackknife(edges0: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, nStrata: Int = 3,
+      iters: Int = 3): DataFrame = {
+    require(nStrata >= 2, "betweennessJackknife: need >= 2 strata")
+    val g = seeds.select(pmod(col(seedCol), lit(nStrata.toLong)).as("g"))
+      .distinct().count()
+    val per = brandesDeltas(edges0, srcCol, dstCol, seeds, seedCol, iters)
+      .filter(col("node") =!= col("seed"))
+      .groupBy(col("node"), pmod(col("seed"), lit(nStrata.toLong)).as("g"))
+      .agg(sum(col("delta")).cast("long").as("c"))
+    val tot = per.groupBy("node").agg(
+      sum(col("c")).cast("long").as("bc_ppm"),
+      count(lit(1)).as("np"))
+    val bcD = expr("cast(bc_ppm AS DECIMAL(38,0))")
+    val term = expr(
+      s"cast((cast(bc_ppm AS DECIMAL(38,0)) - ${g}L * cast(c AS DECIMAL(38,0))) * " +
+        s"(cast(bc_ppm AS DECIMAL(38,0)) - ${g}L * cast(c AS DECIMAL(38,0))) " +
+        "AS DECIMAL(38,0))")
+    per.join(tot, "node")
+      .groupBy(col("node"), col("bc_ppm"), col("np"))
+      .agg(sum(term).as("sqp"))
+      .select(col("node"), col("bc_ppm"), lit(g).as("n_strata"),
+        (col("sqp") + (lit(g) - col("np")) * bcD * bcD)
+          .cast("long").as("se2_num"), col("np"))
+      .select(col("node"), col("bc_ppm"), col("n_strata"), col("se2_num"),
+        when(lit(g) >= 2L,
+          floor(sqrt(col("se2_num").cast("double") /
+            lit((g * (g - 1)).toDouble))).cast("long")).as("se_ppm"))
   }
 
   /** Sampled closeness centrality (Eppstein–Wang): per node, the count

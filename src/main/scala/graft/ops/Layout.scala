@@ -1030,7 +1030,16 @@ object Layout {
               Fs.deleteFile(df.getPath)
           }
       }
-      Fs.deleteFile(Fs.path(s"${base}__evolving/._evolve_done.tmp"))
+      // crash-leftover atomic-write temps in the scratch root: sweep by
+      // the ACTUAL naming rule (Fs.tmpFor — no double-dotting) plus any
+      // legacy `.*.tmp` stragglers a pre-r15 writer may have left, so the
+      // final whole-store swap can never carry a stray dotfile live
+      Fs.deleteFile(Fs.tmpFor(doneFile))
+      Fs.list(scratch).foreach { f =>
+        val n = f.getPath.getName
+        if (!f.isDirectory && n.startsWith(".") && n.endsWith(".tmp"))
+          Fs.deleteFile(f.getPath)
+      }
     }
     ()
   }

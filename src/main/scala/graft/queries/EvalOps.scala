@@ -450,6 +450,100 @@ object EvalOps {
         |  END AS intercept
         |FROM a""".stripMargin),
 
+    // -- leave-one-BIN-out jackknife SE for the calibration slope/
+    //    intercept (Eval.calibrationJackknife) on the same closed-form
+    //    fixture as q_calibration_heur: replicate sums by inclusion–
+    //    exclusion on the decimal-exact bin terms (double only at each
+    //    final ratio), replicates dec6, SE = sqrt((g−1)/g · Σ dec6(Δ²))
+    //    — the q_auc_jackknife discipline applied to the fitted line.
+    //    Bins-sized algebra end to end: the corpus is touched exactly
+    //    once (the q_ece binning scan) ------------------------------------
+    ("q_calibration_jackknife",
+      (s: SparkSession, d: String) =>
+        graft.ops.Eval.calibrationJackknife(
+          Q.t(s, d, "documents").select(
+            expr("cast((n_chars * 1000000) div (n_chars + 300) AS BIGINT)")
+              .as("p_ppm"),
+            ((col("n_chars") > 310) =!= (pmod(col("doc_id"), lit(13)) === 0))
+              .cast("long").as("y")),
+          "p_ppm", "y", bins = 10),
+      """WITH pp AS (SELECT (n_chars * 1000000) // (n_chars + 300) AS ppm,
+        |              CAST((n_chars > 310) <> (doc_id % 13 = 0) AS BIGINT) AS y
+        |            FROM documents),
+        |bb AS (SELECT least((ppm * 10) // 1000000, 9) AS bin,
+        |         CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(y) AS BIGINT) AS pos,
+        |         CAST(sum(ppm) AS BIGINT) AS conf_ppm
+        |       FROM pp GROUP BY 1),
+        |us AS (SELECT n, pos, conf_ppm,
+        |         ln(CAST(conf_ppm AS DOUBLE) /
+        |            CAST(1000000 * n - conf_ppm AS DOUBLE)) AS xr,
+        |         ln(CAST(pos AS DOUBLE) / CAST(n - pos AS DOUBLE)) AS yr
+        |       FROM bb
+        |       WHERE pos > 0 AND pos < n
+        |         AND conf_ppm > 0 AND conf_ppm < 1000000 * n),
+        |tm AS MATERIALIZED (SELECT n,
+        |         CAST(round(xr, 6) AS DECIMAL(18,6)) AS x,
+        |         CAST(round(yr, 6) AS DECIMAL(18,6)) AS y,
+        |         CAST(round(xr * xr, 6) AS DECIMAL(18,6)) AS xx,
+        |         CAST(round(xr * yr, 6) AS DECIMAL(18,6)) AS xy
+        |       FROM us),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n_bins,
+        |        CAST(coalesce(sum(n), 0) AS BIGINT) AS n_rows,
+        |        CAST(coalesce(sum(n), 0) AS DOUBLE) AS wv,
+        |        CAST(sum(n * x) AS DOUBLE) AS sx,
+        |        CAST(sum(n * y) AS DOUBLE) AS sy,
+        |        CAST(sum(n * xx) AS DOUBLE) AS sxx,
+        |        CAST(sum(n * xy) AS DOUBLE) AS sxy
+        |      FROM tm),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS w,
+        |        sum(n * x) AS tsx, sum(n * y) AS tsy,
+        |        sum(n * xx) AS tsxx, sum(n * xy) AS tsxy FROM tm),
+        |lo AS (SELECT
+        |         CAST(w - n AS DOUBLE) AS wd,
+        |         CAST(tsx - n * x AS DOUBLE) AS sxd,
+        |         CAST(tsy - n * y AS DOUBLE) AS syd,
+        |         CAST(tsxx - n * xx AS DOUBLE) AS sxxd,
+        |         CAST(tsxy - n * xy AS DOUBLE) AS sxyd
+        |       FROM tm CROSS JOIN tot),
+        |rep AS MATERIALIZED (SELECT
+        |         CAST(round((wd * sxyd - sxd * syd)
+        |           / (wd * sxxd - sxd * sxd), 6) AS DECIMAL(18,6)) AS sl,
+        |         CAST(round((syd - (wd * sxyd - sxd * syd)
+        |             / (wd * sxxd - sxd * sxd) * sxd) / wd, 6)
+        |           AS DECIMAL(18,6)) AS ic
+        |       FROM lo WHERE wd * sxxd - sxd * sxd > 0.0),
+        |means AS (SELECT CAST(count(*) AS BIGINT) AS g,
+        |         round(CAST(sum(sl) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        |           AS msl,
+        |         round(CAST(sum(ic) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        |           AS mic
+        |       FROM rep),
+        |sq AS (SELECT
+        |         CAST(sum(CAST(round((CAST(sl AS DOUBLE) - msl)
+        |           * (CAST(sl AS DOUBLE) - msl), 6) AS DECIMAL(18,6)))
+        |           AS DOUBLE) AS vsl,
+        |         CAST(sum(CAST(round((CAST(ic AS DOUBLE) - mic)
+        |           * (CAST(ic AS DOUBLE) - mic), 6) AS DECIMAL(18,6)))
+        |           AS DOUBLE) AS vic
+        |       FROM rep CROSS JOIN means)
+        |SELECT a.n_bins,
+        |  CASE WHEN wv * sxx - sx * sx > 0.0 THEN
+        |    round((wv * sxy - sx * sy) / (wv * sxx - sx * sx), 6)
+        |  END AS slope,
+        |  CASE WHEN wv * sxx - sx * sx > 0.0 THEN
+        |    round((sy - (wv * sxy - sx * sy) / (wv * sxx - sx * sx) * sx)
+        |      / wv, 6)
+        |  END AS intercept,
+        |  m.g AS n_reps,
+        |  CASE WHEN m.g >= 2 THEN
+        |    round(sqrt((CAST(m.g AS DOUBLE) - 1) / CAST(m.g AS DOUBLE)
+        |      * s.vsl), 6) END AS slope_se,
+        |  CASE WHEN m.g >= 2 THEN
+        |    round(sqrt((CAST(m.g AS DOUBLE) - 1) / CAST(m.g AS DOUBLE)
+        |      * s.vic), 6) END AS intercept_se
+        |FROM a CROSS JOIN means m CROSS JOIN sq s""".stripMargin),
+
     // -- exact Brier score numerator at ppm² scale: Σ(1e6·y − ppm)² over
     //    the held-out docs (Brier = num / (n·1e12) derives exactly) —
     //    the proper-scoring-rule companion to q_ece's calibration table,

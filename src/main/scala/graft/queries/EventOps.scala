@@ -930,8 +930,19 @@ object EventOps {
                     if (ms > mx) mx = ms
                   }
                   st.update(m)
+                  // timeout anchored on the GLOBAL horizon, not this key's
+                  // last event (r15 advice): with per-key mx + 1h, an
+                  // event_type absent from one middle quarter-slice whose
+                  // span exceeds 1h would time out MID-stream, emit, and be
+                  // re-seeded by later slices with its prior-day EWMA
+                  // contributions lost — a data-dependent fragility. maxMs
+                  // + 1h precedes sentinel 1 (maxMs + 2h), so eviction
+                  // still fires exactly once the sentinels pass; max(mx, ·)
+                  // keeps the sentinel key's own timeout ahead of the
+                  // already-advanced watermark (setTimeoutTimestamp throws
+                  // below it).
                   if (mx != Long.MinValue)
-                    st.setTimeoutTimestamp(mx + 3600000L)
+                    st.setTimeoutTimestamp(math.max(mx, maxMs) + 3600000L)
                   Iterator.empty
                 }
             }.toDF("event_type", "day", "day_cents", "ewma_scaled")
@@ -961,6 +972,105 @@ object EventOps {
         |  GROUP BY 1, 2, 3)
         |SELECT event_type, day, day_cents, ewma_scaled
         |FROM w ORDER BY event_type, day""".stripMargin),
+
+    // -- MID-STREAM EXPIRING STATE (the claim q_stream_ewma can't make:
+    //    its horizon-anchored timeouts all fire at the end-of-replay
+    //    sentinel): per-user session state under the STAGED replay — 4
+    //    chronological quarter-slices, maxFilesPerTrigger=1 — where a
+    //    session's EventTimeTimeout (last event + 30 min) falls INSIDE the
+    //    replay whenever the user goes quiet, so state expires, emits, and
+    //    is EVICTED between micro-batches while later slices still arrive
+    //    (premature closes are impossible: the 1 h watermark delay exceeds
+    //    the 30 min gap, so the watermark can never pass a live session's
+    //    timeout before its next event's slice is processed).
+    //    StreamExpireSpec asserts the mid-stream emission structurally
+    //    (sink rows appear in pre-sentinel batches); THIS gate proves the
+    //    emitted sessions are exactly the batch gaps-and-islands table,
+    //    session-granular --------------------------------------------------
+    ("q_stream_session_expire",
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        val ev = t(s, d, "events")
+          .select(col("event_id"), expr("ts div 1000000L").as("ms"),
+            col("user_id"), col("event_type"),
+            coalesce(col("value"), lit(0.0)).as("value"))
+        val b = ev.agg(min(col("ms")), max(col("ms"))).head()
+        val (loMs, maxMs) = (b.getLong(0), b.getLong(1))
+        val tmp = java.nio.file.Files.createTempDirectory("graft_stream_sessx")
+        val src = s"$tmp/src"
+        try {
+          val span = maxMs - loMs + 1L
+          (0 until 4).foreach { i =>
+            ev.filter(col("ms") >= loMs + i * span / 4 &&
+                col("ms") < loMs + (i + 1) * span / 4)
+              .coalesce(1).write.mode("append").parquet(src)
+            new java.io.File(src).listFiles()
+              .filter(f => f.getName.endsWith(".parquet") &&
+                f.lastModified() > System.currentTimeMillis() - 60000L)
+              .foreach(_.setLastModified(
+                System.currentTimeMillis() - 600000L + i * 60000L))
+          }
+          // sentinel 1 advances the watermark past every real session's
+          // timeout; sentinel 2's batch fires the remaining ones (timeouts
+          // check the PREVIOUS batch's watermark)
+          Seq(1, 2).foreach { k =>
+            Seq((-1L, maxMs + k * 7200000L, -1L, "flush", 0.0))
+              .toDF("event_id", "ms", "user_id", "event_type", "value")
+              .coalesce(1).write.mode("append").parquet(src)
+            new java.io.File(src).listFiles()
+              .filter(f => f.getName.endsWith(".parquet") &&
+                f.lastModified() > System.currentTimeMillis() - 60000L)
+              .foreach(_.setLastModified(
+                System.currentTimeMillis() - 600000L + (3 + k) * 60000L))
+          }
+          val schema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("event_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("ms",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("user_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("event_type",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("value",
+              org.apache.spark.sql.types.DoubleType)))
+          val stream = s.readStream.schema(schema)
+            .option("pathGlobFilter", "*.parquet")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .select(col("event_id"), timestamp_millis(col("ms")).as("ts"),
+              col("user_id"), col("event_type"), col("value"))
+            .as[graft.streaming.EventStream.Event]
+          val sess = graft.streaming.EventStream.sessionize(stream)
+          val sink = "q_stream_session_expire_sink"
+          s.catalog.dropTempView(sink)
+          graft.streaming.EventStream.runToMemory(sess.toDF(), sink,
+            org.apache.spark.sql.streaming.OutputMode.Append)
+          // (user_id, start_ms) is a true session key (two sessions of one
+          // user are > 30 min apart) — the at-least-once replay screen; the
+          // sentinel user's own never-closed session is filtered
+          s.table(sink)
+            .filter(col("user_id") >= 0L)
+            .dropDuplicates("user_id", "start_ms")
+            .select(col("user_id"), col("start_ms"), col("end_ms"),
+              col("n_events"))
+            .orderBy("user_id", "start_ms")
+        } finally deleteRecursively(tmp.toFile)
+      },
+      """WITH e AS (
+        |  SELECT user_id, epoch_ms(ts) AS ms,
+        |         lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ms
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ms,
+        |         sum(CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000
+        |             THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id ORDER BY ms ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM e)
+        |SELECT user_id, CAST(min(ms) AS BIGINT) AS start_ms,
+        |  CAST(max(ms) AS BIGINT) AS end_ms,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, start_ms""".stripMargin),
 
     ("q_stream_window",
       (s: SparkSession, d: String) => {

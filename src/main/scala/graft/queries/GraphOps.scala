@@ -426,6 +426,63 @@ object GraphOps {
           |FROM q1 WHERE node <> seed
           |GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // -- SAMPLING ERROR of that betweenness estimate: delete-one-stratum
+    //    jackknife over the seed sample (seed % 3 strata), integer end to
+    //    end — SE² numerator Σ(T − G·c_g)² exact via HUGEINT/DECIMAL(38,0)
+    //    widening, doubles only in the final floor(sqrt(·)) (no round()
+    //    tie-break anywhere — the q_betweenness half-boundary lesson).
+    //    Same Brandes phases; one extra (node, stratum) aggregation -------
+    ("q_betweenness_se",
+      (s: SparkSession, d: String) => {
+        val edges = clickEdges(s, d)
+        val seeds = edges.select(col("src").as("node"))
+          .union(edges.select(col("dst").as("node"))).distinct()
+          .filter(col("node") % 7 === 0)
+        graft.ops.Graph.betweennessJackknife(edges, "src", "dst",
+            seeds, "node", nStrata = 3, iters = Iters)
+          .orderBy("node")
+      },
+      edgeCtes +
+        s""",
+          |sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM
+          |  (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges) q),
+          |nodes AS (SELECT DISTINCT node FROM
+          |  (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges) q),
+          |w0 AS (SELECT node AS seed, node, CAST(0 AS BIGINT) AS dist,
+          |       CAST(1 AS BIGINT) AS sigma FROM nodes WHERE node % 7 = 0),
+          |${stressFwdCtes(Iters)},
+          |dg AS MATERIALIZED (SELECT u.seed, u.node AS u, wv.node AS w
+          |  FROM sym e JOIN w$Iters u ON e.src = u.node
+          |  JOIN w$Iters wv ON wv.seed = u.seed AND wv.node = e.dst
+          |    AND wv.dist = u.dist + 1),
+          |dgs AS MATERIALIZED (SELECT d.seed, d.u, d.w,
+          |  su.sigma AS sig_u, sw.sigma AS sig_w
+          |  FROM dg d
+          |  JOIN w$Iters su ON su.seed = d.seed AND su.node = d.u
+          |  JOIN w$Iters sw ON sw.seed = d.seed AND sw.node = d.w),
+          |q$Iters AS (SELECT seed, node, dist,
+          |  CAST(0 AS BIGINT) AS delta FROM w$Iters),
+          |${betwBwdCtes(Iters)},
+          |per AS MATERIALIZED (SELECT node, seed % 3 AS g,
+          |    CAST(sum(delta) AS BIGINT) AS c
+          |  FROM q1 WHERE node <> seed GROUP BY 1, 2),
+          |gs AS (SELECT CAST(count(DISTINCT node % 3) AS BIGINT) AS gg
+          |       FROM nodes WHERE node % 7 = 0),
+          |tot AS (SELECT node, CAST(sum(c) AS BIGINT) AS bc_ppm,
+          |        CAST(count(*) AS BIGINT) AS np FROM per GROUP BY 1),
+          |se AS (SELECT t.node, t.bc_ppm, gs.gg, t.np,
+          |   CAST(sum((CAST(t.bc_ppm AS HUGEINT) - gs.gg * CAST(p.c AS HUGEINT))
+          |          * (CAST(t.bc_ppm AS HUGEINT) - gs.gg * CAST(p.c AS HUGEINT)))
+          |     + (gs.gg - t.np) * CAST(t.bc_ppm AS HUGEINT)
+          |       * CAST(t.bc_ppm AS HUGEINT)
+          |     AS BIGINT) AS se2_num
+          |   FROM per p JOIN tot t USING (node) CROSS JOIN gs
+          |   GROUP BY 1, 2, 3, 4)
+          |SELECT node, bc_ppm, gg AS n_strata, se2_num,
+          |  CASE WHEN gg >= 2 THEN CAST(floor(sqrt(CAST(se2_num AS DOUBLE)
+          |    / CAST(gg * (gg - 1) AS DOUBLE))) AS BIGINT) END AS se_ppm
+          |FROM se ORDER BY node""".stripMargin),
+
     // -- weighted single-source shortest paths (4 Bellman–Ford rounds)
     //    from the smallest page: transition weight 1+((src*7+dst)%5) as
     //    synthetic cost, parallel edges keep the cheapest, symmetrized.

@@ -143,6 +143,66 @@ object SinkOps {
         |  count(DISTINCT doc_id) AS n_ids
         |FROM store GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // -- MANIFEST-POINTER commit layer under the hash gate: the full
+    //    maintenance cycle (adopt a fragmented store → append the odd half
+    //    → compact → retire orphans) where every publish is ONE pointer-
+    //    file write and NO directory rename exists anywhere — the object-
+    //    store-safe protocol (PointerStoreSpec proves the scheme refusal /
+    //    crash / vacuum claims; this gate proves the data path is
+    //    byte-lossless through all four commits) --------------------------
+    ("q_pointer_roundtrip",
+      (s: SparkSession, d: String) => {
+        val dir = storeDir("pointer", d)
+        val docs = t(s, d, "documents")
+        deleteRecursively(new java.io.File(dir))
+        val perFile = (docs.count() / 40L + 1L) max 16L
+        graft.ops.Layout.writePartitioned(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 0), dir, "lang",
+          Seq("doc_id"), maxRecordsPerFile = perFile)
+        graft.ops.PointerStore.init(dir)
+        graft.ops.PointerStore.append(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 1), dir, "lang",
+          Seq("doc_id"))
+        graft.ops.PointerStore.compact(s, dir, Seq("doc_id"))
+        graft.ops.PointerStore.vacuumOrphans(dir, keepCommits = 1)
+        graft.ops.PointerStore.read(s, dir)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("chars"),
+            min(col("doc_id")).as("first_id"),
+            max(col("doc_id")).as("last_id"))
+          .orderBy("lang")
+      },
+      """SELECT lang, count(*) AS n_docs, cast(sum(n_chars) AS BIGINT) AS chars,
+        |  min(doc_id) AS first_id, max(doc_id) AS last_id
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // -- whole-store re-partition as a pointer FLIP: lang= layout rewritten
+    //    to source= and cut over by one commit-file write (the op that
+    //    needs a store-wide directory swap in Layout.evolvePartitions);
+    //    old files retired by the version-window vacuum. countDistinct over
+    //    the ex-partition column proves the lang VALUES survived the move
+    //    from directory names to data pages ------------------------------
+    ("q_pointer_rewrite",
+      (s: SparkSession, d: String) => {
+        val dir = storeDir("pointerrw", d)
+        val docs = t(s, d, "documents")
+        deleteRecursively(new java.io.File(dir))
+        graft.ops.Layout.writePartitioned(docs, dir, "lang", Seq("doc_id"))
+        graft.ops.PointerStore.init(dir)
+        graft.ops.PointerStore.rewriteAll(s, dir, "source", Seq("doc_id"))
+        graft.ops.PointerStore.vacuumOrphans(dir, keepCommits = 1)
+        graft.ops.PointerStore.read(s, dir)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("chars"),
+            countDistinct(col("lang")).as("n_langs"))
+          .orderBy("source")
+      },
+      """SELECT source, count(*) AS n_docs, cast(sum(n_chars) AS BIGINT) AS chars,
+        |  count(DISTINCT lang) AS n_langs
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // -- dedup-screened incremental ingest: seed the store with the even
     //    half of the corpus, re-ingest the WHOLE corpus keyed on md5(text)
     //    — evens drop (self-match), odds drop iff their text already

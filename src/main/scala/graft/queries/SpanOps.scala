@@ -38,6 +38,51 @@ object SpanOps {
       |          FROM isl GROUP BY doc_id, island
       |          HAVING max(p) + 5 - min(p) >= 8)""".stripMargin
 
+  /** Robust-winnowing span detection, relationally (the q_dup_spans_xdoc
+    * oracle): positioned 20-char md5 grams → window-min + rightmost-argmin
+    * selection → cross-doc fingerprint matches → per-(pair, diagonal)
+    * gaps-and-islands spans. Shared verbatim by the detect and apply
+    * gates, so the apply oracle removes EXACTLY the spans the detect gate
+    * verified.
+    */
+  private val xdocCte =
+      """WITH g AS (
+        |  SELECT doc_id, i,
+        |    ('0x'||substr(md5(substr(text, cast(i AS BIGINT), 20)),1,15))::BIGINT AS h
+        |  FROM (SELECT doc_id, text, unnest(range(1, len(text)-20+2)) AS i
+        |        FROM documents WHERE len(text) >= 20)),
+        |wm AS (
+        |  SELECT doc_id, i,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS f,
+        |    count(*) OVER (PARTITION BY doc_id) AS nh
+        |  FROM g),
+        |sel AS (
+        |  SELECT wm.doc_id, wm.i AS wi, wm.f, max(g2.i) AS pos
+        |  FROM wm JOIN g g2 ON g2.doc_id = wm.doc_id
+        |    AND g2.i >= wm.i AND g2.i <= wm.i + 7 AND g2.h = wm.f
+        |  WHERE wm.i <= greatest(wm.nh - 8 + 1, 1)
+        |  GROUP BY 1, 2, 3),
+        |occ AS (SELECT DISTINCT doc_id, pos, f FROM sel),
+        |m AS (
+        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+        |    x.pos AS pa, y.pos AS pb, y.pos - x.pos AS diag
+        |  FROM occ x JOIN occ y ON x.f = y.f AND x.doc_id < y.doc_id),
+        |brk AS (SELECT a, b, diag, pa, pb,
+        |          CASE WHEN pa - lag(pa) OVER (PARTITION BY a, b, diag
+        |            ORDER BY pa) <= 27 THEN 0 ELSE 1 END AS bk
+        |        FROM m),
+        |isl AS (SELECT a, b, diag, pa, pb,
+        |          sum(bk) OVER (PARTITION BY a, b, diag ORDER BY pa) AS island
+        |        FROM brk),
+        |spans AS MATERIALIZED (SELECT a, b,
+        |            cast(min(pa) AS BIGINT) AS a_start,
+        |            cast(min(pb) AS BIGINT) AS b_start,
+        |            cast(count(*) AS BIGINT) AS n_fp,
+        |            cast(max(pa) + 20 - min(pa) AS BIGINT) AS span_chars
+        |          FROM isl GROUP BY a, b, diag, island
+        |          HAVING max(pa) + 20 - min(pa) >= 27)""".stripMargin
+
   val entries: Seq[(String, Fn, String)] = Seq(
 
     // -- exact-substring duplicate spans: maximal token runs whose 5-grams
@@ -68,45 +113,62 @@ object SpanOps {
             t(s, d, "documents").select(col("doc_id"), col("text")),
             "doc_id", "text", k = 20, w = 8, md5Mode = true)
           .orderBy("a", "b", "a_start", "b_start"),
-      """WITH g AS (
-        |  SELECT doc_id, i,
-        |    ('0x'||substr(md5(substr(text, cast(i AS BIGINT), 20)),1,15))::BIGINT AS h
-        |  FROM (SELECT doc_id, text, unnest(range(1, len(text)-20+2)) AS i
-        |        FROM documents WHERE len(text) >= 20)),
-        |wm AS (
-        |  SELECT doc_id, i,
-        |    min(h) OVER (PARTITION BY doc_id ORDER BY i
-        |      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS f,
-        |    count(*) OVER (PARTITION BY doc_id) AS nh
-        |  FROM g),
-        |sel AS (
-        |  SELECT wm.doc_id, wm.i AS wi, wm.f, max(g2.i) AS pos
-        |  FROM wm JOIN g g2 ON g2.doc_id = wm.doc_id
-        |    AND g2.i >= wm.i AND g2.i <= wm.i + 7 AND g2.h = wm.f
-        |  WHERE wm.i <= greatest(wm.nh - 8 + 1, 1)
-        |  GROUP BY 1, 2, 3),
-        |occ AS (SELECT DISTINCT doc_id, pos, f FROM sel),
-        |m AS (
-        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
-        |    x.pos AS pa, y.pos AS pb, y.pos - x.pos AS diag
-        |  FROM occ x JOIN occ y ON x.f = y.f AND x.doc_id < y.doc_id),
-        |brk AS (SELECT a, b, diag, pa, pb,
-        |          CASE WHEN pa - lag(pa) OVER (PARTITION BY a, b, diag
-        |            ORDER BY pa) <= 27 THEN 0 ELSE 1 END AS bk
-        |        FROM m),
-        |isl AS (SELECT a, b, diag, pa, pb,
-        |          sum(bk) OVER (PARTITION BY a, b, diag ORDER BY pa) AS island
-        |        FROM brk),
-        |spans AS (SELECT a, b,
-        |            cast(min(pa) AS BIGINT) AS a_start,
-        |            cast(min(pb) AS BIGINT) AS b_start,
-        |            cast(count(*) AS BIGINT) AS n_fp,
-        |            cast(max(pa) + 20 - min(pa) AS BIGINT) AS span_chars
-        |          FROM isl GROUP BY a, b, diag, island
-        |          HAVING max(pa) + 20 - min(pa) >= 27)
-        |SELECT a, b, a_start, b_start, n_fp, span_chars
-        |FROM spans ORDER BY a, b, a_start, b_start""".stripMargin),
+      xdocCte +
+        "\nSELECT a, b, a_start, b_start, n_fp, span_chars" +
+        "\nFROM spans ORDER BY a, b, a_start, b_start"),
 
+    // -- the APPLY half (Lee et al. recipe step 2): every detected span is
+    //    cut from the HIGHER-id doc (keep-first — one copy survives),
+    //    per-doc intervals merged, and the surviving text REBUILT. The two
+    //    engines rebuild it by different constructions (Spark: cursor fold
+    //    over sorted intervals; DuckDB: complement-segment string_agg), so
+    //    the md5 column cross-checks the strings character-for-character,
+    //    with surviving token counts alongside ---------------------------
+    ("q_dup_spans_apply",
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val spans = graft.ops.Dedup.crossDocSpans(
+          docs, "doc_id", "text", k = 20, w = 8, md5Mode = true)
+        graft.ops.Dedup.crossDocApply(docs, "doc_id", "text", spans)
+          .orderBy("doc_id")
+      },
+      xdocCte + """,
+        |iv AS (SELECT b AS doc_id, b_start AS s,
+        |         b_start + span_chars - 1 AS e FROM spans),
+        |r AS (SELECT doc_id, s, e,
+        |        max(e) OVER (PARTITION BY doc_id ORDER BY s
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |      FROM iv),
+        |i2 AS (SELECT doc_id, s, e,
+        |         sum(CASE WHEN pm IS NOT NULL AND s <= pm + 1
+        |             THEN 0 ELSE 1 END)
+        |           OVER (PARTITION BY doc_id ORDER BY s) AS g2
+        |       FROM r),
+        |mg AS MATERIALIZED (SELECT doc_id, min(s) AS ms, max(e) AS me
+        |      FROM i2 GROUP BY doc_id, g2),
+        |summary AS (SELECT doc_id, cast(count(*) AS BIGINT) AS n_spans,
+        |              cast(sum(me - ms + 1) AS BIGINT) AS dup_chars
+        |            FROM mg GROUP BY 1),
+        |segs AS (
+        |  SELECT doc_id,
+        |    coalesce(lag(me) OVER (PARTITION BY doc_id ORDER BY ms), 0) + 1 AS ss,
+        |    ms - 1 AS se
+        |  FROM mg
+        |  UNION ALL
+        |  SELECT mg.doc_id, max(mg.me) + 1 AS ss, max(len(d.text)) AS se
+        |  FROM mg JOIN documents d USING (doc_id) GROUP BY mg.doc_id),
+        |kept AS (SELECT segs.doc_id,
+        |           string_agg(substr(d.text, cast(ss AS BIGINT),
+        |             cast(se - ss + 1 AS BIGINT)), '' ORDER BY ss) AS kt
+        |         FROM segs JOIN documents d USING (doc_id)
+        |         WHERE se >= ss GROUP BY 1)
+        |SELECT s.doc_id, s.n_spans, s.dup_chars,
+        |  cast(len(coalesce(k.kt, '')) AS BIGINT) AS kept_chars,
+        |  cast(len(regexp_extract_all(coalesce(k.kt, ''), '\S+')) AS BIGINT)
+        |    AS kept_tokens,
+        |  ('0x'||substr(md5(coalesce(k.kt, '')),1,15))::BIGINT AS kept_md5i
+        |FROM summary s LEFT JOIN kept k USING (doc_id)
+        |ORDER BY doc_id""".stripMargin),
     // -- the apply side: per-doc removal stats. Islands are disjoint by
     //    construction, so summed span_tokens = tokens a span-removal pass
     //    would drop; keep_ratio is what survives ---------------------------

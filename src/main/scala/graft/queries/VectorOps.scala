@@ -239,6 +239,8 @@ object VectorOps {
 
   private val KmK = 8
   private val KmIters = 3
+  /** q_ann_recall_sweep probe widths — must stay <= KmK. */
+  private val SweepProbes = Seq(1, 2, 4)
   private val KmDim = 64
   private val KmQuant = 1000000L
   private val KmNProbe = 3
@@ -771,6 +773,124 @@ object VectorOps {
          |  FROM scored)
          |SELECT qid, vec_id, round(cos, 4) AS cos FROM ranked WHERE rk <= 5
          |ORDER BY qid, vec_id""".stripMargin),
+
+    // -- RECALL-vs-nPROBE SWEEP: recall@5 as a FUNCTION of probe width
+    //    (1 / 2 / 4 of the 8 Lloyd cells), one brute-force top-5 reused as
+    //    the measuring stick for every point — the recall/latency trade-off
+    //    as a measured monotone curve instead of the single operating point
+    //    q_ann_recall_ivf gates. Same exact-integer Lloyd codebook as
+    //    q_ann_ivf_lloyd, so the WHOLE sweep (training included) sits under
+    //    one STATIC oracle. Scale: the corpus is scanned once for cell
+    //    assignment and once for the brute twin (the yardstick, bounded to
+    //    3 probes by design); the sweep itself only widens the tiny
+    //    query-side probe list — candidates ride the same broadcast join,
+    //    so probe width never reshuffles the corpus -----------------------
+    ("q_ann_recall_sweep",
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        val emb = t(s, d, "embeddings")
+        val corpus = emb.filter(col("vec_id") >= 3)
+        val m = graft.ops.Lloyd.train(corpus, "vec_id", "embedding",
+          k = KmK, iters = KmIters)
+        val withCell = corpus.select(col("vec_id"), col("embedding"),
+          graft.functions.VectorExprs.nearestCentroid(
+            transform(col("embedding"),
+              x => floor(x.cast("double") * lit(KmQuant.toDouble))),
+            m.centroids).cast("long").as("cluster"))
+        // probe RANKS driver-side (3 queries x 8 cells), then one row per
+        // (sweep point, qid, probed cell)
+        val probes = graft.ops.Lloyd
+          .quantize(emb.filter(col("vec_id") < 3), "vec_id", "embedding", KmQuant)
+          .collect()
+          .flatMap { r =>
+            val qid = r.getLong(0)
+            val qv = r.getSeq[Long](1).toArray
+            m.centroids.zipWithIndex.map { case (c, j) =>
+              (qid, j.toLong,
+                c.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum)
+            }.sortBy(t => (t._3, t._2)).zipWithIndex.flatMap {
+              case ((q, cl, _), i) =>
+                SweepProbes.filter(np => i < np).map(np => (np.toLong, q, cl))
+            }
+          }.toSeq.toDF("nprobe", "qid", "cluster")
+        val queries = emb.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+            sqrt(vecDot(col("embedding"), col("embedding"))).as("qnrm"))
+        def top5(df: org.apache.spark.sql.DataFrame, part: Seq[String]) =
+          df.withColumn("rk", row_number().over(
+              org.apache.spark.sql.expressions.Window
+                .partitionBy(part.map(col): _*)
+                .orderBy(desc("cos_raw"), asc("vec_id"))))
+            .filter(col("rk") <= 5)
+        val cosCol = (vecDot(col("embedding"), col("qv")) /
+          (sqrt(vecDot(col("embedding"), col("embedding"))) * col("qnrm")))
+          .as("cos_raw")
+        val approx = top5(
+          withCell.join(broadcast(probes), "cluster")
+            .join(broadcast(queries), "qid")
+            .select(col("nprobe"), col("qid"), col("vec_id"), cosCol),
+          Seq("nprobe", "qid")).select("nprobe", "qid", "vec_id")
+        val exact = top5(
+          corpus.crossJoin(broadcast(queries))
+            .select(col("qid"), col("vec_id"), cosCol),
+          Seq("qid")).select("qid", "vec_id")
+        val hits = approx.join(exact, Seq("qid", "vec_id"))
+          .groupBy("nprobe").agg(count(lit(1)).as("h"))
+        SweepProbes.map(_.toLong).toDF("nprobe")
+          .join(hits, Seq("nprobe"), "left")
+          .select(col("nprobe"), coalesce(col("h"), lit(0L)).as("hits"))
+          .withColumn("recall_pct",
+            expr("cast(hits * 100 div 15 AS BIGINT)"))
+          .orderBy("nprobe")
+      },
+      s"""$kmeansCtes,
+         |asn AS (
+         |  SELECT vec_id, cl FROM (
+         |    SELECT e.vec_id, c.cl,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        cast(list_sum([ (e.q[i]-c.c[i])*(e.q[i]-c.c[i]) for i in range(1, ${KmDim + 1}) ]) AS BIGINT), c.cl) AS rk
+         |    FROM e CROSS JOIN c$KmIters c) WHERE rk = 1),
+         |qq AS (
+         |  SELECT vec_id AS qid,
+         |    [ cast(floor(cast(x AS DOUBLE) * $KmQuant) AS BIGINT) for x in embedding ] AS q,
+         |    [ cast(x AS DOUBLE) for x in embedding ] AS qv
+         |  FROM embeddings WHERE vec_id < 3),
+         |qpr AS (
+         |  SELECT qid, cl, rk FROM (
+         |    SELECT qq.qid, c.cl,
+         |      row_number() OVER (PARTITION BY qq.qid ORDER BY
+         |        cast(list_sum([ (qq.q[i]-c.c[i])*(qq.q[i]-c.c[i]) for i in range(1, ${KmDim + 1}) ]) AS BIGINT), c.cl) AS rk
+         |    FROM qq CROSS JOIN c$KmIters c)),
+         |sweep AS (SELECT cast(unnest([${SweepProbes.mkString(", ")}]) AS BIGINT) AS nprobe),
+         |qp AS (SELECT s.nprobe, q.qid, q.cl FROM qpr q JOIN sweep s ON q.rk <= s.nprobe),
+         |ce AS (SELECT vec_id, [ cast(x AS DOUBLE) for x in embedding ] AS v
+         |       FROM embeddings WHERE vec_id >= 3),
+         |scored AS (
+         |  SELECT qp.nprobe, qp.qid, a.vec_id,
+         |    list_dot_product(ce.v, qq.qv) /
+         |      (sqrt(list_dot_product(ce.v, ce.v)) * sqrt(list_dot_product(qq.qv, qq.qv))) AS cos
+         |  FROM qp JOIN asn a USING (cl) JOIN ce ON ce.vec_id = a.vec_id
+         |  JOIN qq ON qq.qid = qp.qid),
+         |ivf AS (
+         |  SELECT nprobe, qid, vec_id FROM (
+         |    SELECT nprobe, qid, vec_id,
+         |      row_number() OVER (PARTITION BY nprobe, qid ORDER BY cos DESC, vec_id) AS rk
+         |    FROM scored) WHERE rk <= 5),
+         |bscored AS (
+         |  SELECT qq.qid, ce.vec_id,
+         |    list_dot_product(ce.v, qq.qv) /
+         |      (sqrt(list_dot_product(ce.v, ce.v)) * sqrt(list_dot_product(qq.qv, qq.qv))) AS cos
+         |  FROM ce CROSS JOIN qq),
+         |brute AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id,
+         |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+         |    FROM bscored) WHERE rk <= 5),
+         |hits AS (SELECT nprobe, count(*) AS h
+         |         FROM ivf JOIN brute USING (qid, vec_id) GROUP BY 1)
+         |SELECT s.nprobe, CAST(coalesce(h.h, 0) AS BIGINT) AS hits,
+         |  CAST(coalesce(h.h, 0) * 100 // 15 AS BIGINT) AS recall_pct
+         |FROM sweep s LEFT JOIN hits h USING (nprobe) ORDER BY nprobe""".stripMargin),
 
     // -- PQ/ADC under ONE static oracle: per-subvector codebooks trained
     //    by the SAME exact-integer Lloyd recurrence (4 subspaces × 16

@@ -81,7 +81,8 @@ class BenchLogicSpec extends AnyFunSuite {
     // regressed queries outrank no-prior ones within the cap, and the
     // capped-out one is REPORTED, not silently dropped
     val (s2, sk2) = Bench.pickSuspects(
-      Map("reg" -> 1.0, "brand_new" -> 9.9), Map("reg" -> 0.2), cap = 1)
+      Map("reg" -> 1.0, "brand_new" -> 9.9), Map("reg" -> 0.2), cap = 1,
+      minRest = 1)
     assert(s2.map(_._1) == Seq("reg"))
     assert(sk2 == Seq("brand_new"))
   }
@@ -96,14 +97,24 @@ class BenchLogicSpec extends AnyFunSuite {
     assert(Bench.localPriorMins("/root/testdata/sf0.1", tmpDir()).isEmpty)
   }
 
-  test("pickSuspects ranks worst relative offenders first and caps the pass") {
+  test("pickSuspects ranks worst offenders first and caps the pass") {
     val prior = (1 to 12).map(i => s"q$i" -> 0.1).toMap
     val results = (1 to 12).map(i => s"q$i" -> (0.1 * (i + 1))).toMap
     val (s, sk) = Bench.pickSuspects(results, prior, cap = 8)
     assert(s.size == 8)
-    assert(s.head._1 == "q12") // 13x, the worst
-    assert(s.map(t => t._2 / t._3).sliding(2).forall(w => w(0) >= w(1)))
+    assert(s.head._1 == "q12") // +1.2 s excess, the worst
+    assert(s.map(t => t._2 - t._3).sliding(2).forall(w => w(0) >= w(1)))
     assert(sk.size == 4) // all 12 regressed, 8 kept, 4 reported
+  }
+
+  test("pickSuspects ranks by absolute excess, not ratio (r14 outlier)") {
+    // Round 14's unadjudicated outlier: q_label_prop_weighted at 121.8 s
+    // vs 1.79 s prior (+120 s) lost its slot to smaller-excess entries.
+    // A 3x-but-tiny regression must rank BELOW a 68x-and-huge one.
+    val prior = Map("tiny" -> 0.2, "huge" -> 1.79)
+    val results = Map("tiny" -> 0.9, "huge" -> 121.8) // 4.5x vs 68x
+    val (s, _) = Bench.pickSuspects(results, prior, cap = 8)
+    assert(s.map(_._1) == Seq("huge", "tiny"))
   }
 
   test("pickSuspects: headline regressions are NEVER dropped by the cap") {
@@ -119,13 +130,32 @@ class BenchLogicSpec extends AnyFunSuite {
     assert(s.map(_._1).take(2).toSet ==
       Set("q_tpch_q3", "q_dedup_components"),
       s"headline rows must come first, got ${s.map(_._1)}")
-    assert(s.size == 4) // 2 headline + 2 non-headline within the cap
-    assert(sk.size == 8)
+    assert(s.size == 6) // 2 headline + the guaranteed 4-slot rest share
+    assert(sk.size == 6)
     // even when headline regressions alone EXCEED the cap, all are kept
     val hp = (1 to 6).map(i => s"h$i" -> 0.5).toMap
     val hr = (1 to 6).map(i => s"h$i" -> 2.0).toMap
     val (s2, _) = Bench.pickSuspects(hr, hp, cap = 4,
       headline = hp.keySet)
     assert(s2.size == 6)
+  }
+
+  test("pickSuspects: headline regressions cannot STARVE the rest pool") {
+    // Round 14's failure mode inverted: 8 headline regressions filled the
+    // cap and a +120 s non-headline outlier shipped unadjudicated. The
+    // rest pool must keep its minRest slots regardless of head size.
+    val head = (1 to 8).map(i => s"q_h$i").toSet
+    val prior = (head.map(_ -> 1.0) + ("q_label_prop" -> 1.79)).toMap
+    val results = (head.map(_ -> 2.0) + ("q_label_prop" -> 121.8)).toMap
+    val (s, sk) = Bench.pickSuspects(results, prior, cap = 8,
+      headline = head)
+    assert(s.map(_._1).contains("q_label_prop"),
+      s"the +120 s outlier must be adjudicated, got ${s.map(_._1)}")
+    assert(s.size == 9 && sk.isEmpty)
+    // ...and when the rest pool is empty, no phantom slots appear
+    val (s2, sk2) = Bench.pickSuspects(
+      head.map(_ -> 2.0).toMap, head.map(_ -> 1.0).toMap,
+      cap = 8, headline = head)
+    assert(s2.size == 8 && sk2.isEmpty)
   }
 }

@@ -527,6 +527,30 @@ class LayoutSpec extends SparkSuite {
     assert(back.columns.contains("source"))
   }
 
+  test("atomic-write temps of dot-prefixed files are single-dotted and reaped by recovery") {
+    // r15 advice: `.` + `._evolve_done` + `.tmp` = `.._evolve_done.tmp`,
+    // which recoverEvolve's `._evolve_done.tmp` delete missed — a crash
+    // between writeUTF8 and renameReplace then rode the whole-store swap
+    // into the live dir as a stray dotfile.
+    val p = Fs.path(new java.io.File(freshDir(), "._evolve_done").getAbsolutePath)
+    assert(Fs.tmpFor(p).getName === "._evolve_done.tmp") // no double dot
+    assert(Fs.tmpFor(Fs.path("/x/manifest.json")).getName === ".manifest.json.tmp")
+    val dir = freshDir()
+    Layout.writePartitioned(docs, dir, "source", Seq("doc_id"))
+    val expected = docs.count()
+    val scratch = new java.io.File(dir + "__evolving")
+    scratch.mkdirs()
+    // crash leftovers: the tmpFor name AND a legacy double-dotted one
+    java.nio.file.Files.write(new java.io.File(scratch, "._evolve_done.tmp").toPath,
+      "partial".getBytes("UTF-8"))
+    java.nio.file.Files.write(new java.io.File(scratch, ".._evolve_done.tmp").toPath,
+      "partial".getBytes("UTF-8"))
+    Layout.recoverEvolve(dir)
+    assert(Option(scratch.listFiles()).getOrElse(Array.empty)
+      .forall(f => !f.getName.endsWith(".tmp")), "recovery must reap .*.tmp")
+    assert(spark.read.parquet(dir).count() === expected)
+  }
+
   test("evolveCompact re-keys losslessly in ONE pass and leaves one file per target dir") {
     val dir = freshDir()
     // fragment the source layout first (two appends per source value) so
