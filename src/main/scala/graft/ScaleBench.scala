@@ -405,6 +405,100 @@ object ScaleBench {
         Map("xdoc_spans_capped[rolling,dfCap=50]" -> rolling,
           "xdoc_spans_capped[md5,dfCap=50]" -> md5c)
       } catch { case scala.util.control.NonFatal(_) => Map.empty }
+    // Span APPLY at scale (pseudo-name "xdocapply"): detection via the
+    // dfCap'd production form (same guard as xdocguard — the uncapped gate
+    // form is the negative control at 100x), then the keep-first removal +
+    // rebuild of Dedup.crossDocApply. Measures what the apply half ADDS on
+    // top of guarded detection: an interval window over span rows + one
+    // rebuild pass over affected docs.
+    val xda: Map[String, (Double, Long)] =
+      if (!explicit.contains("xdocapply")) Map.empty
+      else try {
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select("doc_id", "text")
+        val applied = timeIt {
+          val spans = graft.ops.Dedup.crossDocSpans(docs, "doc_id", "text",
+            k = 20, w = 8, md5Mode = false, dfCap = 50L)
+          graft.ops.Dedup.crossDocApply(docs, "doc_id", "text", spans)
+            .write.format("noop").mode("overwrite").save()
+        }
+        Map("xdoc_apply_capped[rolling,dfCap=50]" -> applied)
+      } catch { case scala.util.control.NonFatal(_) => Map.empty }
+    // Mid-stream session expiry at scale (pseudo-name "sessexpire"): the
+    // q_stream_session_expire OPERATOR (staged 4-slice replay, per-user
+    // flatMapGroupsWithState, EventTimeTimeout expiring between batches)
+    // under a PRODUCTION sink — foreachBatch → noop — instead of the
+    // gate's memory sink, whose driver-side collect of every emitted
+    // session is test scaffolding and OOMs an 8 g heap at 100× while the
+    // operator itself streams its output. State stays per-user bounded at
+    // any corpus size.
+    val sxp: Map[String, (Double, Long)] =
+      if (!explicit.contains("sessexpire")) Map.empty
+      else try {
+        import spark.implicits._
+        // events ts has shipped in two physical generations — read via Q.t
+        // (the gate's normalization) so ms arithmetic is fixture-proof
+        val evn = graft.queries.Q.t(spark, sfDir, "events")
+          .selectExpr("event_id", "ts div 1000000L as ms", "user_id",
+            "event_type", "coalesce(value, 0.0d) as value")
+        val b = evn.selectExpr("min(ms)", "max(ms)").head()
+        val (loMs, maxMs) = (b.getLong(0), b.getLong(1))
+        val tmp = java.nio.file.Files.createTempDirectory("graft_sessx_scale")
+        val src = s"$tmp/src"
+        try {
+          val span = maxMs - loMs + 1L
+          (0 until 4).foreach { i =>
+            evn.filter(org.apache.spark.sql.functions.col("ms") >= loMs + i * span / 4 &&
+                org.apache.spark.sql.functions.col("ms") < loMs + (i + 1) * span / 4)
+              .coalesce(1).write.mode("append").parquet(src)
+            new java.io.File(src).listFiles()
+              .filter(f => f.getName.endsWith(".parquet") &&
+                f.lastModified() > System.currentTimeMillis() - 60000L)
+              .foreach(_.setLastModified(
+                System.currentTimeMillis() - 600000L + i * 60000L))
+          }
+          Seq(1, 2).foreach { k =>
+            Seq((-1L, maxMs + k * 7200000L, -1L, "flush", 0.0))
+              .toDF("event_id", "ms", "user_id", "event_type", "value")
+              .coalesce(1).write.mode("append").parquet(src)
+            new java.io.File(src).listFiles()
+              .filter(f => f.getName.endsWith(".parquet") &&
+                f.lastModified() > System.currentTimeMillis() - 60000L)
+              .foreach(_.setLastModified(
+                System.currentTimeMillis() - 600000L + (3 + k) * 60000L))
+          }
+          val schema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("event_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("ms",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("user_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("event_type",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("value",
+              org.apache.spark.sql.types.DoubleType)))
+          val run = timeIt {
+            val stream = spark.readStream.schema(schema)
+              .option("pathGlobFilter", "*.parquet")
+              .option("maxFilesPerTrigger", "1")
+              .parquet(src)
+              .selectExpr("event_id", "timestamp_millis(ms) as ts",
+                "user_id", "event_type", "value")
+              .as[graft.streaming.EventStream.Event]
+            val q = graft.streaming.EventStream.sessionize(stream).toDF()
+              .writeStream
+              .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+                batch.write.format("noop").mode("overwrite").save()
+              }
+              .option("checkpointLocation", s"$tmp/ckpt_${System.nanoTime()}")
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start()
+            q.awaitTermination()
+          }
+          Map("session_expire_noop_sink" -> run)
+        } finally del(new java.io.File(tmp.toString))
+      } catch { case scala.util.control.NonFatal(_) => Map.empty }
     // Merge A/B (pseudo-name "merge"): partition-pruned Layout.merge vs
     // the full-store rewrite a store WITHOUT an update primitive pays for
     // the same upsert. The store carries a 50-value synthetic shard
@@ -891,7 +985,7 @@ object ScaleBench {
         }
         Map("kcore[pinned]" -> pinned, "kcore[reliable_ckpt]" -> spilled)
       } catch { case scala.util.control.NonFatal(_) => Map.empty }
-    val all: Map[String, (Double, Long)] = results ++ prod ++ guard ++ pct ++ ing ++ cmp ++ hsp ++ xdg ++ mrg ++ rup ++ km ++ sqz ++ skw ++ pqb ++ tri ++ wdg ++ peel
+    val all: Map[String, (Double, Long)] = results ++ prod ++ guard ++ pct ++ ing ++ cmp ++ hsp ++ xdg ++ xda ++ sxp ++ mrg ++ rup ++ km ++ sqz ++ skw ++ pqb ++ tri ++ wdg ++ peel
     val qs = all.toSeq.sortBy(_._1)
       .map { case (k, (t, _)) => f""""$k":$t%.3f""" }.mkString("{", ",", "}")
     // per-query min-of-runs shuffle write MB

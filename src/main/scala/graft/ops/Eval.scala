@@ -455,6 +455,58 @@ object Eval {
       when(defined, round((sy - slope * sx) / wv, 6)).as("intercept"))
   }
 
+  /** [[calibrationFit]] STRATIFIED by a group column — per-source
+    * calibration drift: "is the model calibrated on every crawl source,
+    * or does the pooled slope hide an overconfident shard?" (the
+    * q_auc_jackknife_src deployment question asked of the calibration
+    * line). Identical binning + dec6-weighted-OLS algebra, every
+    * aggregation keyed by `groupCol`; degenerate groups (zero x-variance,
+    * < 2 usable bins) report NULL fits rather than NaN. Returns one row
+    * per group: (groupCol, n_bins, n_rows, slope, intercept). Shape: ONE
+    * hash aggregation over the scored rows to groups × bins rows, then
+    * group-keyed reductions — nothing data-sized past the first agg.
+    */
+  def calibrationFitBy(df: DataFrame, groupCol: String, probPpmCol: String,
+      labelCol: String, bins: Int = 10): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(bins >= 1, "calibrationFitBy: bins must be >= 1")
+    val dec = DecimalType(18, 6)
+    val binned = df.groupBy(col(groupCol),
+        least(expr(s"(cast($probPpmCol AS BIGINT) * ${bins}L) div 1000000L"),
+          lit(bins - 1L)).as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(labelCol)).cast(LongType).as("pos"),
+        sum(col(probPpmCol)).cast(LongType).as("conf_ppm"))
+    val usable = binned
+      .filter(col("pos") > 0L && col("pos") < col("n") &&
+        col("conf_ppm") > 0L && col("conf_ppm") < lit(1000000L) * col("n"))
+    val xb = log(col("conf_ppm").cast("double") /
+      (lit(1000000L) * col("n") - col("conf_ppm")).cast("double"))
+    val yb = log(col("pos").cast("double") /
+      (col("n") - col("pos")).cast("double"))
+    val terms = usable.select(col(groupCol), col("n"),
+      round(xb, 6).cast(dec).as("x"),
+      round(yb, 6).cast(dec).as("y"),
+      round(xb * xb, 6).cast(dec).as("xx"),
+      round(xb * yb, 6).cast(dec).as("xy"))
+    val a = terms.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n_bins"),
+      sum(col("n")).as("n_rows"),
+      sum(col("n") * col("x")).as("sx"),
+      sum(col("n") * col("y")).as("sy"),
+      sum(col("n") * col("xx")).as("sxx"),
+      sum(col("n") * col("xy")).as("sxy"))
+    val wv = col("n_rows").cast("double")
+    val sx = col("sx").cast("double"); val sy = col("sy").cast("double")
+    val sxx = col("sxx").cast("double"); val sxy = col("sxy").cast("double")
+    val slope = (wv * sxy - sx * sy) / (wv * sxx - sx * sx)
+    val defined = wv * sxx - sx * sx > 0.0
+    a.select(col(groupCol), col("n_bins"),
+      coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+      when(defined, round(slope, 6)).as("slope"),
+      when(defined, round((sy - slope * sx) / wv, 6)).as("intercept"))
+  }
+
   /** LEAVE-ONE-BIN-OUT jackknife SE for [[calibrationFit]]'s slope and
     * intercept — the sampling-uncertainty companion the point estimates
     * need before anyone compares two models' calibration: how much does

@@ -168,6 +168,22 @@ object PointerStore {
   private def stageDir(dir: String, v: Long, tag: String): String =
     s"${base(dir)}/_stage_v$v$tag"
 
+  /** TIME TRAVEL: the read path pinned to an explicit committed version —
+    * what the retention window of [[vacuumOrphans]] exists to serve.
+    * Because data files are immutable and every commit lists its full
+    * live set, reading "as of v" is just resolving v's pointer; no
+    * snapshot copy, no log replay. Throws on a version that is absent,
+    * torn, or already retired past the vacuum window.
+    */
+  def readVersion(spark: SparkSession, dir: String, v: Long): DataFrame = {
+    val files = parseCommit(dir, v).getOrElse(
+      throw new IllegalArgumentException(
+        s"no complete commit v$v under $dir/_commits — retired by vacuum, " +
+          "torn, or never written"))
+    val b = base(dir)
+    spark.read.option("basePath", b).parquet(files.map(f => s"$b/$f"): _*)
+  }
+
   /** Stage `df` as new partition-dir parquet under `stage`, then move
     * every staged file into the store under its partition-relative name.
     * Returns the moved files' store-relative paths. Nothing here is

@@ -75,6 +75,58 @@ object Ranking {
     * char-scan (LIKE + replace arithmetic) rather than a replay of the
     * same join.
     */
+  /** RAKE keyword phrases (Rose et al. 2010, "Automatic keyword
+    * extraction from individual documents"), corpus-level: candidate
+    * phrases are maximal stopword-free token runs (tokens =
+    * `[a-z]+` over the lowercased text — a punctuation-insensitive
+    * simplification of RAKE's phrase breaks, applied identically in the
+    * oracle), capped at `maxLen` words; word scores are the classic
+    * degree/frequency ratio with deg(w) = Σ |phrase| over w's candidate
+    * occurrences — carried as INTEGER ppm via truncating division (the
+    * rational-score discipline: round(double) forms split engines on
+    * half-boundaries); a phrase scores the sum of its words' ppm, and the
+    * corpus keeps the top `topK` distinct phrase texts (ties broken by
+    * the phrase string).
+    *
+    * Returns (phrase, n [instances], score_ppm), best first. Scale: one
+    * tokenize explode (linear), a doc-partitioned window for the
+    * stopword-split, one groupBy(word) for stats, keyed joins — no
+    * doc-pair term anywhere; the only global step is the final top-K.
+    */
+  def rakePhrases(docs: DataFrame, idCol: String, textCol: String,
+      stopwords: Seq[String], maxLen: Int = 4, topK: Int = 20): DataFrame = {
+    val toks = docs.select(col(idCol),
+      posexplode(expr(s"regexp_extract_all(lower($textCol), '[a-z]+', 0)"))
+        .as(Seq("p", "word")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("p")
+    val runs = toks
+      .withColumn("st",
+        when(col("word").isin(stopwords: _*), 1L).otherwise(0L))
+      .withColumn("sid", sum(col("st")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .filter(col("st") === 0L)
+    val plen = runs.groupBy(col(idCol), col("sid"))
+      .agg(count(lit(1)).as("plen"))
+    val cand = runs.join(plen, Seq(idCol, "sid"))
+      .filter(col("plen") <= maxLen.toLong)
+    val wordPpm = cand.groupBy("word")
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+      .select(col("word"), expr("(deg * 1000000L) div freq").as("wppm"))
+    val inst = cand.join(wordPpm, "word")
+      .groupBy(col(idCol), col("sid"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("p"), col("word")))),
+          x => x.getField("word")), " ").as("phrase"),
+        sum(col("wppm")).cast("long").as("score_ppm"))
+    inst.groupBy("phrase")
+      .agg(count(lit(1)).as("n"), max(col("score_ppm")).as("score_ppm"))
+      .orderBy(desc("score_ppm"), asc("phrase"))
+      .limit(topK)
+  }
+
   def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
       phrase: String): DataFrame = {
     val terms = phrase.trim.split("\\s+").toSeq

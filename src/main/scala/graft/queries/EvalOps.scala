@@ -450,6 +450,62 @@ object EvalOps {
         |  END AS intercept
         |FROM a""".stripMargin),
 
+    // -- calibration drift BY SOURCE (Eval.calibrationFitBy): the heur
+    //    fixture's slope/intercept fitted per crawl source — the
+    //    q_auc_jackknife_src deployment question ("which shard is the
+    //    pooled line hiding?") asked of calibration. Same binning + dec6
+    //    weighted-OLS algebra, all aggregations source-keyed --------------
+    ("q_calibration_by_source",
+      (s: SparkSession, d: String) =>
+        graft.ops.Eval.calibrationFitBy(
+          Q.t(s, d, "documents").select(
+            col("source"),
+            expr("cast((n_chars * 1000000) div (n_chars + 300) AS BIGINT)")
+              .as("p_ppm"),
+            ((col("n_chars") > 310) =!= (pmod(col("doc_id"), lit(13)) === 0))
+              .cast("long").as("y")),
+          "source", "p_ppm", "y", bins = 10)
+          .orderBy("source"),
+      """WITH pp AS (SELECT source,
+        |              (n_chars * 1000000) // (n_chars + 300) AS ppm,
+        |              CAST((n_chars > 310) <> (doc_id % 13 = 0) AS BIGINT) AS y
+        |            FROM documents),
+        |bb AS (SELECT source, least((ppm * 10) // 1000000, 9) AS bin,
+        |         CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(y) AS BIGINT) AS pos,
+        |         CAST(sum(ppm) AS BIGINT) AS conf_ppm
+        |       FROM pp GROUP BY 1, 2),
+        |us AS (SELECT source, n, pos, conf_ppm,
+        |         ln(CAST(conf_ppm AS DOUBLE) /
+        |            CAST(1000000 * n - conf_ppm AS DOUBLE)) AS xr,
+        |         ln(CAST(pos AS DOUBLE) / CAST(n - pos AS DOUBLE)) AS yr
+        |       FROM bb
+        |       WHERE pos > 0 AND pos < n
+        |         AND conf_ppm > 0 AND conf_ppm < 1000000 * n),
+        |tm AS (SELECT source, n,
+        |         CAST(round(xr, 6) AS DECIMAL(18,6)) AS x,
+        |         CAST(round(yr, 6) AS DECIMAL(18,6)) AS y,
+        |         CAST(round(xr * xr, 6) AS DECIMAL(18,6)) AS xx,
+        |         CAST(round(xr * yr, 6) AS DECIMAL(18,6)) AS xy
+        |       FROM us),
+        |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_bins,
+        |        CAST(coalesce(sum(n), 0) AS BIGINT) AS n_rows,
+        |        CAST(coalesce(sum(n), 0) AS DOUBLE) AS wv,
+        |        CAST(sum(n * x) AS DOUBLE) AS sx,
+        |        CAST(sum(n * y) AS DOUBLE) AS sy,
+        |        CAST(sum(n * xx) AS DOUBLE) AS sxx,
+        |        CAST(sum(n * xy) AS DOUBLE) AS sxy
+        |      FROM tm GROUP BY 1)
+        |SELECT source, n_bins, n_rows,
+        |  CASE WHEN wv * sxx - sx * sx > 0.0 THEN
+        |    round((wv * sxy - sx * sy) / (wv * sxx - sx * sx), 6)
+        |  END AS slope,
+        |  CASE WHEN wv * sxx - sx * sx > 0.0 THEN
+        |    round((sy - (wv * sxy - sx * sy) / (wv * sxx - sx * sx) * sx)
+        |      / wv, 6)
+        |  END AS intercept
+        |FROM a ORDER BY source""".stripMargin),
+
     // -- leave-one-BIN-out jackknife SE for the calibration slope/
     //    intercept (Eval.calibrationJackknife) on the same closed-form
     //    fixture as q_calibration_heur: replicate sums by inclusion–

@@ -203,6 +203,35 @@ object SinkOps {
         |  count(DISTINCT lang) AS n_langs
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // -- TIME TRAVEL through the pointer log: after the append commit, the
+    //    PREVIOUS version still resolves to exactly its old live set
+    //    (immutable files + full-list commits = as-of reads are pointer
+    //    resolution, no snapshot copy). The oracle recomputes v1's content
+    //    (the even half) from the source table — equality proves the old
+    //    version is byte-stable under later commits ------------------------
+    ("q_pointer_timetravel",
+      (s: SparkSession, d: String) => {
+        val dir = storeDir("pointertt", d)
+        val docs = t(s, d, "documents")
+        deleteRecursively(new java.io.File(dir))
+        graft.ops.Layout.writePartitioned(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 0), dir, "lang",
+          Seq("doc_id"))
+        graft.ops.PointerStore.init(dir)
+        graft.ops.PointerStore.append(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 1), dir, "lang",
+          Seq("doc_id"))
+        graft.ops.PointerStore.readVersion(s, dir, 1L)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("chars"),
+            max(col("doc_id")).as("last_id"))
+          .orderBy("lang")
+      },
+      """SELECT lang, count(*) AS n_docs, cast(sum(n_chars) AS BIGINT) AS chars,
+        |  max(doc_id) AS last_id
+        |FROM documents WHERE doc_id % 2 = 0 GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // -- dedup-screened incremental ingest: seed the store with the even
     //    half of the corpus, re-ingest the WHOLE corpus keyed on md5(text)
     //    — evens drop (self-match), odds drop iff their text already

@@ -174,6 +174,15 @@ object TextOps {
        |  FROM sig, unnest([$js]) AS u(j))""".stripMargin
   }
 
+  /** q_rake_phrases stopword list — one literal shared by the Spark call
+    * and (interpolated) the DuckDB oracle so they can never drift.
+    */
+  private val RakeStop: Seq[String] = Seq(
+    "the", "of", "and", "a", "an", "in", "to", "is", "are", "was", "were",
+    "for", "on", "with", "as", "by", "at", "it", "this", "that", "be",
+    "or", "from", "not", "but", "have", "has", "had", "they", "we", "you",
+    "their", "its", "i")
+
   val entries: Seq[(String, Fn, String)] = Seq(
 
     // -- token counting + per-language stats ------------------------------
@@ -315,6 +324,48 @@ object TextOps {
     //    vocab-sized count table, never the token stream. The bigram
     //    generator guards size(w) > 1: Spark's sequence(1, 0) DESCENDS
     //    ([1, 0]) where DuckDB's range(1, 1) is empty -----------------------
+    // -- RAKE keyword phrases (Rose et al. 2010), corpus-level: maximal
+    //    stopword-free token runs (<= 4 words) scored by the classic
+    //    degree/frequency word ratio — carried as INTEGER ppm via
+    //    truncating div (rational-score discipline), phrase score = sum of
+    //    word ppm, top-20 distinct phrases with phrase-string tie-break.
+    //    The oracle replays the same stopword-split gaps-and-islands -------
+    ("q_rake_phrases",
+      (s: SparkSession, d: String) =>
+        graft.ops.Ranking.rakePhrases(t(s, d, "documents"), "doc_id",
+          "text", stopwords = RakeStop, maxLen = 4, topK = 20),
+      s"""WITH t AS (SELECT doc_id,
+         |       regexp_extract_all(lower(text), '[a-z]+') AS w
+         |     FROM documents),
+         |g AS (SELECT doc_id, p, w[p] AS word
+         |      FROM (SELECT doc_id, w, unnest(range(1, len(w)+1)) AS p FROM t)),
+         |m AS (SELECT doc_id, p, word,
+         |        CASE WHEN word IN (${RakeStop.map(s0 => s"'$s0'").mkString(", ")})
+         |        THEN 1 ELSE 0 END AS st
+         |      FROM g),
+         |s AS (SELECT doc_id, p, word, st,
+         |        sum(st) OVER (PARTITION BY doc_id ORDER BY p
+         |          ROWS UNBOUNDED PRECEDING) AS sid
+         |      FROM m),
+         |c AS (SELECT doc_id, sid, p, word FROM s WHERE st = 0),
+         |pl AS (SELECT doc_id, sid, CAST(count(*) AS BIGINT) AS plen
+         |       FROM c GROUP BY 1, 2),
+         |cc AS (SELECT c.doc_id, c.sid, c.p, c.word, pl.plen
+         |       FROM c JOIN pl USING (doc_id, sid) WHERE pl.plen <= 4),
+         |ws AS (SELECT word, CAST(count(*) AS BIGINT) AS freq,
+         |         CAST(sum(plen) AS BIGINT) AS deg
+         |       FROM cc GROUP BY 1),
+         |wp AS (SELECT word, (deg * 1000000) // freq AS wppm FROM ws),
+         |pi AS (SELECT cc.doc_id, cc.sid,
+         |         string_agg(cc.word, ' ' ORDER BY cc.p) AS phrase,
+         |         CAST(sum(wp.wppm) AS BIGINT) AS score_ppm
+         |       FROM cc JOIN wp USING (word) GROUP BY 1, 2),
+         |ag AS (SELECT phrase, CAST(count(*) AS BIGINT) AS n,
+         |         CAST(max(score_ppm) AS BIGINT) AS score_ppm
+         |       FROM pi GROUP BY 1)
+         |SELECT phrase, n, score_ppm FROM ag
+         |ORDER BY score_ppm DESC, phrase LIMIT 20""".stripMargin),
+
     ("q_collocations",
       (s: SparkSession, d: String) => {
         val tok = t(s, d, "documents")

@@ -97,6 +97,25 @@ class PointerStoreSpec extends SparkSuite {
     assertSameData(dir, docs)
   }
 
+  test("readVersion time-travels within the vacuum retention window") {
+    val dir = freshDir()
+    val evens = docs.filter(col("doc_id") % 2 === 0)
+    Layout.writePartitioned(evens, dir, "lang", Seq("doc_id"))
+    PointerStore.init(dir)
+    PointerStore.append(docs.filter(col("doc_id") % 2 =!= 0),
+      dir, "lang", Seq("doc_id"))
+    // v1 = evens, v2 = everything — both resolvable while retained
+    assert(PointerStore.readVersion(spark, dir, 1L).count() === evens.count())
+    assert(PointerStore.readVersion(spark, dir, 2L).count() === docs.count())
+    val v1 = PointerStore.readVersion(spark, dir, 1L)
+    assert(v1.exceptAll(evens.select(v1.columns.map(col): _*)).isEmpty)
+    // past the window, the version is gone LOUDLY (not empty-silently)
+    PointerStore.vacuumOrphans(dir, keepCommits = 1)
+    intercept[IllegalArgumentException](
+      PointerStore.readVersion(spark, dir, 1L))
+    assert(PointerStore.readVersion(spark, dir, 2L).count() === docs.count())
+  }
+
   test("crash mid-commit: torn pointer is ignored, recovered, and retryable") {
     val dir = freshDir()
     Layout.writePartitioned(docs, dir, "lang", Seq("doc_id"))
