@@ -268,12 +268,19 @@ object Bench {
       else if (headlineSet(name)) 3
       else 2
     val budgetCut = scala.collection.mutable.ArrayBuffer.empty[String]
-    // samples: name -> successful (wall, shuffle-bytes) sorted by wall
+    // samples: name -> successful (wall, shuffle-bytes) sorted by wall.
+    // Two-tier budget: past budgetS remaining queries drop to one sample
+    // (headline two); past 2x budgetS they are SKIPPED outright (empty
+    // series -> value -1, names in budget_cut) — on a host contended
+    // enough to double the pass, even the singles tail (~200 queries)
+    // would stretch it past the driver's window, and a -1 with the name
+    // recorded beats an erased record (r14's rc 124).
     val samples = SparkEntry.schedule.flatMap { case (names, after) =>
       val rs = rng.shuffle(names).map { name =>
         val fn = SparkEntry.queries(name)
         val n =
-          if (elapsedS > budgetS) {
+          if (elapsedS > budgetS * 2) { budgetCut += name; 0 }
+          else if (elapsedS > budgetS) {
             budgetCut += name
             if (headlineSet(name)) 2 else 1
           } else plannedSamples(name)
