@@ -506,6 +506,132 @@ object EvalOps {
         |  END AS intercept
         |FROM a ORDER BY source""".stripMargin),
 
+    // -- calibration drift ALERT: each source's slope compared against the
+    //    POOLED slope at 2x the pooled leave-one-bin-out jackknife SE —
+    //    the composition of q_calibration_by_source and
+    //    q_calibration_jackknife into the deployment decision ("which
+    //    shard drifted beyond sampling noise?"). All inputs are the two
+    //    verified gates' own dec6 values, so the strict-> comparison is
+    //    deterministic; a NULL comparison (degenerate source fit) flags 0
+    //    in both engines (when().otherwise(0) ≡ CASE WHEN ... ELSE 0) -----
+    ("q_calibration_drift_alert",
+      (s: SparkSession, d: String) => {
+        val fx = Q.t(s, d, "documents").select(
+          col("source"),
+          expr("cast((n_chars * 1000000) div (n_chars + 300) AS BIGINT)")
+            .as("p_ppm"),
+          ((col("n_chars") > 310) =!= (pmod(col("doc_id"), lit(13)) === 0))
+            .cast("long").as("y"))
+        val by = graft.ops.Eval.calibrationFitBy(fx, "source", "p_ppm", "y",
+            bins = 10)
+          .select(col("source"), col("slope").as("src_slope"))
+        val jk = graft.ops.Eval.calibrationJackknife(fx.drop("source"),
+            "p_ppm", "y", bins = 10)
+          .select(col("slope").as("pooled_slope"), col("slope_se"))
+        by.crossJoin(broadcast(jk))
+          .select(col("source"), col("src_slope"), col("pooled_slope"),
+            col("slope_se"),
+            when(abs(col("src_slope") - col("pooled_slope")) >
+                lit(2.0) * col("slope_se"), 1L).otherwise(0L)
+              .as("drift_flag"))
+          .orderBy("source")
+      },
+      """WITH pp AS (SELECT source,
+        |              (n_chars * 1000000) // (n_chars + 300) AS ppm,
+        |              CAST((n_chars > 310) <> (doc_id % 13 = 0) AS BIGINT) AS y
+        |            FROM documents),
+        |bb AS (SELECT source, least((ppm * 10) // 1000000, 9) AS bin,
+        |         CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(y) AS BIGINT) AS pos,
+        |         CAST(sum(ppm) AS BIGINT) AS conf_ppm
+        |       FROM pp GROUP BY 1, 2),
+        |us AS (SELECT source, n, pos, conf_ppm,
+        |         ln(CAST(conf_ppm AS DOUBLE) /
+        |            CAST(1000000 * n - conf_ppm AS DOUBLE)) AS xr,
+        |         ln(CAST(pos AS DOUBLE) / CAST(n - pos AS DOUBLE)) AS yr
+        |       FROM bb
+        |       WHERE pos > 0 AND pos < n
+        |         AND conf_ppm > 0 AND conf_ppm < 1000000 * n),
+        |tm AS (SELECT source, n,
+        |         CAST(round(xr, 6) AS DECIMAL(18,6)) AS x,
+        |         CAST(round(yr, 6) AS DECIMAL(18,6)) AS y,
+        |         CAST(round(xr * xr, 6) AS DECIMAL(18,6)) AS xx,
+        |         CAST(round(xr * yr, 6) AS DECIMAL(18,6)) AS xy
+        |       FROM us),
+        |a AS (SELECT source,
+        |        CAST(coalesce(sum(n), 0) AS DOUBLE) AS wv,
+        |        CAST(sum(n * x) AS DOUBLE) AS sx,
+        |        CAST(sum(n * y) AS DOUBLE) AS sy,
+        |        CAST(sum(n * xx) AS DOUBLE) AS sxx,
+        |        CAST(sum(n * xy) AS DOUBLE) AS sxy
+        |      FROM tm GROUP BY 1),
+        |srcfit AS (SELECT source,
+        |  CASE WHEN wv * sxx - sx * sx > 0.0 THEN
+        |    round((wv * sxy - sx * sy) / (wv * sxx - sx * sx), 6)
+        |  END AS src_slope
+        |  FROM a),
+        |jbb AS (SELECT least((ppm * 10) // 1000000, 9) AS bin,
+        |         CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(y) AS BIGINT) AS pos,
+        |         CAST(sum(ppm) AS BIGINT) AS conf_ppm
+        |       FROM pp GROUP BY 1),
+        |jus AS (SELECT n, pos, conf_ppm,
+        |         ln(CAST(conf_ppm AS DOUBLE) /
+        |            CAST(1000000 * n - conf_ppm AS DOUBLE)) AS xr,
+        |         ln(CAST(pos AS DOUBLE) / CAST(n - pos AS DOUBLE)) AS yr
+        |       FROM jbb
+        |       WHERE pos > 0 AND pos < n
+        |         AND conf_ppm > 0 AND conf_ppm < 1000000 * n),
+        |jtm AS MATERIALIZED (SELECT n,
+        |         CAST(round(xr, 6) AS DECIMAL(18,6)) AS x,
+        |         CAST(round(yr, 6) AS DECIMAL(18,6)) AS y,
+        |         CAST(round(xr * xr, 6) AS DECIMAL(18,6)) AS xx,
+        |         CAST(round(xr * yr, 6) AS DECIMAL(18,6)) AS xy
+        |       FROM jus),
+        |ja AS (SELECT
+        |        CAST(coalesce(sum(n), 0) AS DOUBLE) AS wv,
+        |        CAST(sum(n * x) AS DOUBLE) AS sx,
+        |        CAST(sum(n * y) AS DOUBLE) AS sy,
+        |        CAST(sum(n * xx) AS DOUBLE) AS sxx,
+        |        CAST(sum(n * xy) AS DOUBLE) AS sxy
+        |      FROM jtm),
+        |jtot AS (SELECT CAST(sum(n) AS BIGINT) AS w,
+        |        sum(n * x) AS tsx, sum(n * y) AS tsy,
+        |        sum(n * xx) AS tsxx, sum(n * xy) AS tsxy FROM jtm),
+        |jlo AS (SELECT
+        |         CAST(w - n AS DOUBLE) AS wd,
+        |         CAST(tsx - n * x AS DOUBLE) AS sxd,
+        |         CAST(tsy - n * y AS DOUBLE) AS syd,
+        |         CAST(tsxx - n * xx AS DOUBLE) AS sxxd,
+        |         CAST(tsxy - n * xy AS DOUBLE) AS sxyd
+        |       FROM jtm CROSS JOIN jtot),
+        |jrep AS MATERIALIZED (SELECT
+        |         CAST(round((wd * sxyd - sxd * syd)
+        |           / (wd * sxxd - sxd * sxd), 6) AS DECIMAL(18,6)) AS sl
+        |       FROM jlo WHERE wd * sxxd - sxd * sxd > 0.0),
+        |jmeans AS (SELECT CAST(count(*) AS BIGINT) AS g,
+        |         round(CAST(sum(sl) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        |           AS msl
+        |       FROM jrep),
+        |jsq AS (SELECT
+        |         CAST(sum(CAST(round((CAST(sl AS DOUBLE) - msl)
+        |           * (CAST(sl AS DOUBLE) - msl), 6) AS DECIMAL(18,6)))
+        |           AS DOUBLE) AS vsl
+        |       FROM jrep CROSS JOIN jmeans),
+        |pooled AS (SELECT
+        |  CASE WHEN wv * sxx - sx * sx > 0.0 THEN
+        |    round((wv * sxy - sx * sy) / (wv * sxx - sx * sx), 6)
+        |  END AS pooled_slope,
+        |  CASE WHEN m.g >= 2 THEN
+        |    round(sqrt((CAST(m.g AS DOUBLE) - 1) / CAST(m.g AS DOUBLE)
+        |      * s.vsl), 6) END AS slope_se
+        |  FROM ja CROSS JOIN jmeans m CROSS JOIN jsq s)
+        |SELECT f.source, f.src_slope, p.pooled_slope, p.slope_se,
+        |  CAST(CASE WHEN abs(f.src_slope - p.pooled_slope) > 2 * p.slope_se
+        |       THEN 1 ELSE 0 END AS BIGINT) AS drift_flag
+        |FROM srcfit f CROSS JOIN pooled p
+        |ORDER BY f.source""".stripMargin),
+
     // -- leave-one-BIN-out jackknife SE for the calibration slope/
     //    intercept (Eval.calibrationJackknife) on the same closed-form
     //    fixture as q_calibration_heur: replicate sums by inclusion–
