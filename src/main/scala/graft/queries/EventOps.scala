@@ -34,6 +34,16 @@ object EventOps {
   private def deleteRecursively(f: java.io.File): Unit =
     graft.ops.Layout.deleteRecursively(f)
 
+  /** Gate-scoped streaming tuning (see [[graft.streaming.StreamTune]]):
+    * scale-adaptive state partitions derived from the gate's table bytes
+    * + no checkpoint checksums on the per-run temp checkpoint. Wraps only
+    * the start→await section; the session conf is restored before the
+    * gate's batch aggregation plans.
+    */
+  private def gated[T](s: SparkSession, d: String)(body: => T): T =
+    graft.streaming.StreamTune.withGateConfAt(s,
+      Seq(s"$d/events.parquet", s"$d/documents.parquet"))(body)
+
   /** Shared streaming read of the events table: the requested columns'
     * schema from one batch footer read, pathGlobFilter pinning the table
     * file, plus the event-time Column normalized across the two physical
@@ -215,8 +225,10 @@ object EventOps {
         val flow = alertMin.map(thr => scored.filter(col("js") >= thr))
           .getOrElse(scored)
         s.catalog.dropTempView(sink)
-        graft.streaming.EventStream.runToMemory(flow, sink,
-          org.apache.spark.sql.streaming.OutputMode.Append)
+        gated(s, d) {
+          graft.streaming.EventStream.runToMemory(flow, sink,
+            org.apache.spark.sql.streaming.OutputMode.Append)
+        }
         // (user_id, start_ms) is a true session key — the standard
         // at-least-once replay screen; sentinel sessions (user -1) drop.
         // The memory sink owns the rows — reading after the
@@ -947,8 +959,10 @@ object EventOps {
                 }
             }.toDF("event_type", "day", "day_cents", "ewma_scaled")
           s.catalog.dropTempView(sink)
-          graft.streaming.EventStream.runToMemory(flow, sink,
-            org.apache.spark.sql.streaming.OutputMode.Append)
+          gated(s, d) {
+            graft.streaming.EventStream.runToMemory(flow, sink,
+              org.apache.spark.sql.streaming.OutputMode.Append)
+          }
           // (event_type, day) is a true key — the standard at-least-once
           // replay screen; the sentinel key's own series drops. The memory
           // sink owns the rows, so reading after the staged-src delete is
@@ -1044,8 +1058,10 @@ object EventOps {
           val sess = graft.streaming.EventStream.sessionize(stream)
           val sink = "q_stream_session_expire_sink"
           s.catalog.dropTempView(sink)
-          graft.streaming.EventStream.runToMemory(sess.toDF(), sink,
-            org.apache.spark.sql.streaming.OutputMode.Append)
+          gated(s, d) {
+            graft.streaming.EventStream.runToMemory(sess.toDF(), sink,
+              org.apache.spark.sql.streaming.OutputMode.Append)
+          }
           // (user_id, start_ms) is a true session key (two sessions of one
           // user are > 30 min apart) — the at-least-once replay screen; the
           // sentinel user's own never-closed session is filtered
@@ -1091,8 +1107,10 @@ object EventOps {
             col("event_type"), col("cnt"), col("val_sum"))
         val sink = "graft_stream_window_out"
         s.catalog.dropTempView(sink)
-        graft.streaming.EventStream.runToMemory(stream, sink,
-          org.apache.spark.sql.streaming.OutputMode.Complete)
+        gated(s, d) {
+          graft.streaming.EventStream.runToMemory(stream, sink,
+            org.apache.spark.sql.streaming.OutputMode.Complete)
+        }
         // the memory sink holds only the O(#windows × #types) result
         s.table(sink).orderBy("hour_epoch", "event_type")
       },
@@ -1120,8 +1138,10 @@ object EventOps {
             col("page"), col("cnt"))
         val sink = "graft_stream_topk_out"
         s.catalog.dropTempView(sink)
-        graft.streaming.EventStream.runToMemory(stream, sink,
-          org.apache.spark.sql.streaming.OutputMode.Complete)
+        gated(s, d) {
+          graft.streaming.EventStream.runToMemory(stream, sink,
+            org.apache.spark.sql.streaming.OutputMode.Complete)
+        }
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("hour_epoch").orderBy(desc("cnt"), asc("page"))
         s.table(sink)
@@ -1165,8 +1185,10 @@ object EventOps {
             col("n"), col("mh0"), col("mh1"), col("mh2"), col("mh3"))
         val sink = "graft_stream_minhash_out"
         s.catalog.dropTempView(sink)
-        graft.streaming.EventStream.runToMemory(stream, sink,
-          org.apache.spark.sql.streaming.OutputMode.Complete)
+        gated(s, d) {
+          graft.streaming.EventStream.runToMemory(stream, sink,
+            org.apache.spark.sql.streaming.OutputMode.Complete)
+        }
         s.table(sink).orderBy("hour_epoch")
       },
       {
@@ -1224,8 +1246,10 @@ object EventOps {
           val sess = graft.streaming.EventStream.sessionize(stream)
           val sink = "graft_stream_sess_out"
           s.catalog.dropTempView(sink)
-          graft.streaming.EventStream.runToMemory(sess.toDF(), sink,
-            org.apache.spark.sql.streaming.OutputMode.Append)
+          gated(s, d) {
+            graft.streaming.EventStream.runToMemory(sess.toDF(), sink,
+              org.apache.spark.sql.streaming.OutputMode.Append)
+          }
           // at-least-once replay screen (see q_stream_join): a closed
           // session is uniquely (user_id, start_ms) — two sessions of one
           // user are >30 min apart, so starts can't collide
@@ -1271,30 +1295,32 @@ object EventOps {
             .coalesce(1).write.mode("append").parquet(src)
           val stream = () => s.readStream.schema(docs.schema)
             .option("pathGlobFilter", "*.parquet").parquet(src)
-          // run 1: the sink's exact store write, crashing after it and
-          // before Spark records the batch commit
-          val crashed = stream().writeStream
-            .option("checkpointLocation", ckpt)
-            .foreachBatch {
-              (b: org.apache.spark.sql.DataFrame, _: Long) =>
-                graft.ops.Layout.ingest(b, store, "lang", Seq("doc_id"),
-                  col("doc_id"))
-                throw new RuntimeException("crash between write and commit")
+          gated(s, d) {
+            // run 1: the sink's exact store write, crashing after it and
+            // before Spark records the batch commit
+            val crashed = stream().writeStream
+              .option("checkpointLocation", ckpt)
+              .foreachBatch {
+                (b: org.apache.spark.sql.DataFrame, _: Long) =>
+                  graft.ops.Layout.ingest(b, store, "lang", Seq("doc_id"),
+                    col("doc_id"))
+                  throw new RuntimeException("crash between write and commit")
+              }
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start()
+            try crashed.awaitTermination()
+            catch {
+              case _: org.apache.spark.sql.streaming.StreamingQueryException => ()
             }
-            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-            .start()
-          try crashed.awaitTermination()
-          catch {
-            case _: org.apache.spark.sql.streaming.StreamingQueryException => ()
+            // run 2 (restart): replays batch 0 through the shipped sink
+            graft.streaming.DocStream.ingestSink(stream(), store, ckpt,
+              "lang", Seq("doc_id"), col("doc_id")).awaitTermination()
+            // run 3: a new file re-sending batch 0's keys plus id%3=1
+            docs.filter(pmod(col("doc_id"), lit(3)) <= 1)
+              .coalesce(1).write.mode("append").parquet(src)
+            graft.streaming.DocStream.ingestSink(stream(), store, ckpt,
+              "lang", Seq("doc_id"), col("doc_id")).awaitTermination()
           }
-          // run 2 (restart): replays batch 0 through the shipped sink
-          graft.streaming.DocStream.ingestSink(stream(), store, ckpt,
-            "lang", Seq("doc_id"), col("doc_id")).awaitTermination()
-          // run 3: a new file re-sending batch 0's keys plus id%3=1
-          docs.filter(pmod(col("doc_id"), lit(3)) <= 1)
-            .coalesce(1).write.mode("append").parquet(src)
-          graft.streaming.DocStream.ingestSink(stream(), store, ckpt,
-            "lang", Seq("doc_id"), col("doc_id")).awaitTermination()
           val agg = s.read.parquet(store)
             .groupBy("lang")
             .agg(count(lit(1)).as("n_docs"),
@@ -1354,17 +1380,19 @@ object EventOps {
             .option("pathGlobFilter", "*.parquet")
             .option("maxFilesPerTrigger", "1")
             .parquet(src)
-          val q = stream.writeStream
-            .option("checkpointLocation", ckpt)
-            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-              graft.ops.Layout.append(batch, store, "day", Seq("event_id"))
-              graft.ops.Layout.vacuumRetention(s, store, "ms", cutoff,
-                Seq("event_id"))
-              ()
-            }
-            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-            .start()
-          q.awaitTermination()
+          gated(s, d) {
+            val q = stream.writeStream
+              .option("checkpointLocation", ckpt)
+              .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+                graft.ops.Layout.append(batch, store, "day", Seq("event_id"))
+                graft.ops.Layout.vacuumRetention(s, store, "ms", cutoff,
+                  Seq("event_id"))
+                ()
+              }
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start()
+            q.awaitTermination()
+          }
           val agg = s.read.parquet(store)
             .groupBy("event_type")
             .agg(count(lit(1)).as("n"),
@@ -1406,8 +1434,10 @@ object EventOps {
           .agg(count(lit(1)).as("n"), dsum(col("value")).as("val_sum"))
         val sink = "graft_stream_enrich_out"
         s.catalog.dropTempView(sink)
-        graft.streaming.EventStream.runToMemory(agg, sink,
-          org.apache.spark.sql.streaming.OutputMode.Complete)
+        gated(s, d) {
+          graft.streaming.EventStream.runToMemory(agg, sink,
+            org.apache.spark.sql.streaming.OutputMode.Complete)
+        }
         s.table(sink).orderBy("c_mktsegment", "event_type")
       },
       s"SELECT c_mktsegment, event_type, count(*) AS n, " +
@@ -1445,8 +1475,10 @@ object EventOps {
             .option("pathGlobFilter", "*.parquet").parquet(src)
           val sink = "graft_stream_dedup_out"
           s.catalog.dropTempView(sink)
-          graft.streaming.EventStream.runToMemory(
-            graft.streaming.DocStream.dedupStream(stream), sink)
+          gated(s, d) {
+            graft.streaming.EventStream.runToMemory(
+              graft.streaming.DocStream.dedupStream(stream), sink)
+          }
           // the memory sink owns the kept rows, so aggregating after the
           // finally-delete of src is safe; bucket NULL carries the two
           // null-text pass-through rows. dropDuplicates(doc_id) is the
@@ -1505,8 +1537,10 @@ object EventOps {
           windowMinutes = 30)
         val sink = "graft_stream_join_out"
         s.catalog.dropTempView(sink)
-        graft.streaming.EventStream.runToMemory(joined, sink,
-          org.apache.spark.sql.streaming.OutputMode.Append)
+        gated(s, d) {
+          graft.streaming.EventStream.runToMemory(joined, sink,
+            org.apache.spark.sql.streaming.OutputMode.Append)
+        }
         // streaming sinks are at-least-once: a micro-batch replayed after
         // a failure between data delivery and checkpoint commit lands
         // twice. (event_id, p_event_id) is a true key of the join result
@@ -1605,8 +1639,10 @@ object EventOps {
             stream, windowMinutes = 30)
           val sink = "graft_stream_ljoin_out"
           s.catalog.dropTempView(sink)
-          graft.streaming.EventStream.runToMemory(joined, sink,
-            org.apache.spark.sql.streaming.OutputMode.Append)
+          gated(s, d) {
+            graft.streaming.EventStream.runToMemory(joined, sink,
+              org.apache.spark.sql.streaming.OutputMode.Append)
+          }
           // memory sink owns the joined rows — aggregating after the
           // finally-delete of src is safe
           s.table(sink)
@@ -1693,8 +1729,10 @@ object EventOps {
             stream, windowMinutes = 30)
           val sink = "graft_stream_fjoin_out"
           s.catalog.dropTempView(sink)
-          graft.streaming.EventStream.runToMemory(joined, sink,
-            org.apache.spark.sql.streaming.OutputMode.Append)
+          gated(s, d) {
+            graft.streaming.EventStream.runToMemory(joined, sink,
+              org.apache.spark.sql.streaming.OutputMode.Append)
+          }
           s.table(sink)
             // keyed replay screen: (event_id, p_event_id) stays a true
             // key — unmatched rows carry their own side's unique id and a
@@ -1777,8 +1815,10 @@ object EventOps {
               max(col("event_id")).as("max_id"))
           val sink = "graft_stream_backfill_out"
           s.catalog.dropTempView(sink)
-          val q = graft.streaming.EventStream.runToMemory(stream, sink,
-            org.apache.spark.sql.streaming.OutputMode.Complete)
+          val q = gated(s, d) {
+            graft.streaming.EventStream.runToMemory(stream, sink,
+              org.apache.spark.sql.streaming.OutputMode.Complete)
+          }
           val dataBatches = q.recentProgress.count(_.numInputRows > 0)
           require(dataBatches >= 3,
             s"rate-limited backfill should need >=3 micro-batches (6 files, " +
@@ -1817,25 +1857,28 @@ object EventOps {
             ev.filter(pmod(col("event_id"), lit(3)) === i)
               .coalesce(1).write.mode("append").parquet(src)
           }
-          val q = s.readStream.schema(ev.schema)
-            .option("pathGlobFilter", "*.parquet")
-            .option("maxFilesPerTrigger", "1")
-            .parquet(src)
-            .groupBy("event_type")
-            .agg(count(lit(1)).as("n"),
-              sum(col("user_id")).cast("long").as("uid_sum"),
-              dsum(col("value")).as("val_sum"),
-              max(col("event_id")).as("max_id"))
-            .writeStream
-            .outputMode(org.apache.spark.sql.streaming.OutputMode.Update)
-            .option("checkpointLocation", s"$tmp/ckpt")
-            .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
-              b.coalesce(1).write.mode("overwrite").parquet(s"$upd/batch=$id")
-              ()
-            }
-            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-            .start()
-          q.awaitTermination()
+          val q = gated(s, d) {
+            val q0 = s.readStream.schema(ev.schema)
+              .option("pathGlobFilter", "*.parquet")
+              .option("maxFilesPerTrigger", "1")
+              .parquet(src)
+              .groupBy("event_type")
+              .agg(count(lit(1)).as("n"),
+                sum(col("user_id")).cast("long").as("uid_sum"),
+                dsum(col("value")).as("val_sum"),
+                max(col("event_id")).as("max_id"))
+              .writeStream
+              .outputMode(org.apache.spark.sql.streaming.OutputMode.Update)
+              .option("checkpointLocation", s"$tmp/ckpt")
+              .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+                b.coalesce(1).write.mode("overwrite").parquet(s"$upd/batch=$id")
+                ()
+              }
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start()
+            q0.awaitTermination()
+            q0
+          }
           val dataBatches = q.recentProgress.count(_.numInputRows > 0)
           require(dataBatches >= 3, s"staged update stream should take >=3 " +
             s"micro-batches (3 files, maxFilesPerTrigger=1); got $dataBatches")

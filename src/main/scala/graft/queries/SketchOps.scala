@@ -250,21 +250,25 @@ object SketchOps {
             keyed.filter(pmod(col("event_id"), lit(3)) === i)
               .coalesce(1).write.mode("append").parquet(src)
           }
-          val q = s.readStream.schema(keyed.schema)
-            .option("pathGlobFilter", "*.parquet")
-            .option("maxFilesPerTrigger", "1")
-            .parquet(src)
-            .writeStream
-            .option("checkpointLocation", s"$tmp/ckpt")
-            .foreachBatch { (b: DataFrame, id: Long) =>
-              graft.ops.Sketches.countMinCells(b, "key")
-                .coalesce(1).write.mode("overwrite")
-                .parquet(s"$cellDir/batch=$id")
-              ()
-            }
-            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-            .start()
-          q.awaitTermination()
+          val q = graft.streaming.StreamTune.withGateConfAt(s,
+              Seq(s"$d/events.parquet")) {
+            val q0 = s.readStream.schema(keyed.schema)
+              .option("pathGlobFilter", "*.parquet")
+              .option("maxFilesPerTrigger", "1")
+              .parquet(src)
+              .writeStream
+              .option("checkpointLocation", s"$tmp/ckpt")
+              .foreachBatch { (b: DataFrame, id: Long) =>
+                graft.ops.Sketches.countMinCells(b, "key")
+                  .coalesce(1).write.mode("overwrite")
+                  .parquet(s"$cellDir/batch=$id")
+                ()
+              }
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start()
+            q0.awaitTermination()
+            q0
+          }
           val dataBatches = q.recentProgress.count(_.numInputRows > 0)
           require(dataBatches >= 3, s"staged cms stream should take >=3 " +
             s"micro-batches (3 files, maxFilesPerTrigger=1); got $dataBatches")

@@ -88,28 +88,32 @@ object TrainOps {
             fs.filter(_.getName.startsWith("v=")).toSeq
               .map(_.getName.stripPrefix("v=").toLong)
           }
-          val q = s.readStream.schema(docs.schema)
-            .option("pathGlobFilter", "*.parquet")
-            .option("maxFilesPerTrigger", "1")
-            .parquet(src)
-            .writeStream
-            .option("checkpointLocation", s"$tmp/ckpt")
-            .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
-              // prior = the latest version BELOW this batch id, so a
-              // replayed batch re-derives from the same input state
-              val prior = versions().filter(_ < id).sorted.lastOption
-                .map(v => b.sparkSession.read.parquet(s"$store/v=$v"))
-                .getOrElse(b.sparkSession.createDataFrame(
-                  new java.util.ArrayList[org.apache.spark.sql.Row](), b.schema))
-              graft.ops.Reservoir.sampleK(
-                  prior.unionByName(b.select("lang", "doc_id")),
-                  "lang", "doc_id", k = 3)
-                .coalesce(1).write.mode("overwrite").parquet(s"$store/v=$id")
-              ()
-            }
-            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-            .start()
-          q.awaitTermination()
+          val q = graft.streaming.StreamTune.withGateConfAt(s,
+              Seq(s"$d/documents.parquet")) {
+            val q0 = s.readStream.schema(docs.schema)
+              .option("pathGlobFilter", "*.parquet")
+              .option("maxFilesPerTrigger", "1")
+              .parquet(src)
+              .writeStream
+              .option("checkpointLocation", s"$tmp/ckpt")
+              .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+                // prior = the latest version BELOW this batch id, so a
+                // replayed batch re-derives from the same input state
+                val prior = versions().filter(_ < id).sorted.lastOption
+                  .map(v => b.sparkSession.read.parquet(s"$store/v=$v"))
+                  .getOrElse(b.sparkSession.createDataFrame(
+                    new java.util.ArrayList[org.apache.spark.sql.Row](), b.schema))
+                graft.ops.Reservoir.sampleK(
+                    prior.unionByName(b.select("lang", "doc_id")),
+                    "lang", "doc_id", k = 3)
+                  .coalesce(1).write.mode("overwrite").parquet(s"$store/v=$id")
+                ()
+              }
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start()
+            q0.awaitTermination()
+            q0
+          }
           val dataBatches = q.recentProgress.count(_.numInputRows > 0)
           require(dataBatches >= 3, "staged reservoir stream should take " +
             s">=3 micro-batches (3 files, maxFilesPerTrigger=1); got $dataBatches")
