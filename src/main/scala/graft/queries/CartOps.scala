@@ -53,6 +53,13 @@ object CartOps {
     "conv(substr(md5(cast(doc_id as string)), 1, 15), 16, 10)")
     .cast("long"), lit(3))
 
+  /** Out-of-bag membership for bag `b` (rows whose bag id differs) — the
+    * subset column EvalOps' fused tree+forest training passes to
+    * Cart.trainMany.
+    */
+  private[queries] def oobBag(b: Int): org.apache.spark.sql.Column =
+    bagCol =!= b
+
   /** The SAME bag id in DuckDB SQL, compared to bag `b` with `op` — the
     * single source for every oracle bag predicate so tr (op "<>") and its
     * OOB complement trb (op "=") cannot drift apart.
@@ -67,10 +74,10 @@ object CartOps {
     * code, not just documented.
     */
   private[queries] def baseTrees(trainAll: DataFrame): Seq[Seq[graft.ops.Cart.TreeNode]] =
-    (0 until 3).map { b =>
-      graft.ops.Cart.train(trainAll.filter(bagCol =!= b), features, "y",
-        depth = 2, maxBins = 32)
-    }
+    // the three out-of-bag subsets train in ONE level-synchronous pass
+    // (Cart.trainMany) — bit-identical trees, a third of the scans/jobs
+    graft.ops.Cart.trainMany(trainAll, (0 until 3).map(b => bagCol =!= b),
+      features, "y", depth = 2, maxBins = 32)
 
   /** Route `test` through all three trees and add the 2-of-3 majority vote
     * as column `voteAs`.
@@ -364,11 +371,13 @@ object CartOps {
       (s: SparkSession, d: String) => {
         val withFold = featured(s, d).withColumn("__fold", bagCol)
           .localCheckpoint(true)
+        // the three fold-complement trainings run in ONE trainMany pass
+        val trees = graft.ops.Cart.trainMany(withFold,
+          (0 until 3).map(f => col("__fold") =!= f), features, "y",
+          depth = 2, maxBins = 32)
         (0 until 3).map { f =>
-            val tree = graft.ops.Cart.train(
-              withFold.filter(col("__fold") =!= f), features, "y",
-              depth = 2, maxBins = 32)
-            graft.ops.Cart.classify(withFold.filter(col("__fold") === f), tree)
+            graft.ops.Cart.classify(withFold.filter(col("__fold") === f),
+                trees(f))
               .withColumn("fold", lit(f.toLong))
           }
           .reduce(_.unionByName(_))

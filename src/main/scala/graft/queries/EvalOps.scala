@@ -20,9 +20,12 @@ object EvalOps {
   private def treeVsForest(s: SparkSession, d: String): DataFrame = {
     val feats = CartOps.featured(s, d).localCheckpoint(true)
     val trainHalf = feats.filter(pmod(col("doc_id"), lit(2)) === 0)
-    val tree = graft.ops.Cart.train(trainHalf, CartOps.features, "y",
-      depth = 2, maxBins = 32)
-    val trees = CartOps.baseTrees(trainHalf)
+    // main tree + the three out-of-bag trees in ONE trainMany pass
+    // (bit-identical to four Cart.train calls — CartSpec)
+    val all = graft.ops.Cart.trainMany(trainHalf,
+      lit(true) +: (0 until 3).map(b => CartOps.oobBag(b)),
+      CartOps.features, "y", depth = 2, maxBins = 32)
+    val (tree, trees) = (all.head, all.tail)
     val test = feats.filter(pmod(col("doc_id"), lit(2)) === 1)
     val withTree = graft.ops.Cart.classify(test, tree)
       .withColumnRenamed("pred", "p_tree")

@@ -77,4 +77,28 @@ class CartSpec extends SparkSuite {
     assert(tree.count(_.feature != null) == 3)
     assert(tree.count(_.feature == null) == 4)
   }
+
+  test("trainMany over overlapping subsets == per-subset train, node for node") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    // deterministic pseudo-random rows with a learnable-but-noisy rule and
+    // id-keyed subsets that OVERLAP (each row is in 2 of 3 complements +
+    // the full set) — the fused pass must keep every subset's counts,
+    // per-subset binning (different min/max per subset) and tie order
+    // fully isolated from its siblings
+    val rows = (0L until 240L).map { i =>
+      val fa = (i * 37L) % 101L
+      val fb = (i * 61L) % 53L
+      val y = if ((fa > 50L) != (i % 11L == 0L)) 1L else 0L
+      (i, fa, fb, y)
+    }
+    val df = rows.toDF("id", "fa", "fb", "y")
+    val subsets = lit(true) +: (0 until 3).map(b => pmod(col("id"), lit(3)) =!= b)
+    val fused = Cart.trainMany(df, subsets, Seq("fa", "fb"), "y",
+      depth = 2, maxBins = 8)
+    val solo = Seq(df) ++ (0 until 3).map(b => df.filter(pmod(col("id"), lit(3)) =!= b))
+    solo.zipWithIndex.foreach { case (sub, i) =>
+      assert(fused(i) == Cart.train(sub, Seq("fa", "fb"), "y",
+        depth = 2, maxBins = 8), s"subset $i diverged")
+    }
+  }
 }
