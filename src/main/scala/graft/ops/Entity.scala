@@ -58,9 +58,20 @@ object Entity {
     require(k >= 0, s"editPairs: distance threshold k must be >= 0, got $k")
     val nSeg = k + 1
     val minLen = 2 * nSeg // below this, 1-char segments would post under letters
+    // spread the record rows across the session's full width before the
+    // per-row-heavy segment/probe explodes and the levenshtein verify (the
+    // Dedup.scala convention): the records frame is typically a union of a
+    // few single-file scans (3 partitions here), the index side broadcasts,
+    // and so the WHOLE pipeline — explodes, substring windows, banded-DP
+    // verify — would otherwise run at the input's partition count no
+    // matter how many cores the session has. The exchanged rows are just
+    // (id, name) — KBs per million records — so the spread costs nothing
+    // next to the verify it parallelizes.
     val recs = records
       .select(col(idCol).as("__id"), col(nameCol).as("__nm"))
       .filter(col("__nm").isNotNull)
+      .repartition(records.sparkSession.sparkContext.defaultParallelism,
+        col("__id"))
       .withColumn("__len", length(col("__nm")))
     val long = recs.filter(col("__len") >= minLen)
     val short = recs.filter(col("__len") < minLen)
