@@ -138,6 +138,46 @@ object Layout {
     *
     * Returns the partition directory names that were compacted.
     */
+  /** Run per-directory rewrite bodies CONCURRENTLY (optimization round 15,
+    * guide §2.6 "overlap independent jobs"): the maintenance family's
+    * per-partition rewrites are driver-sequenced Spark jobs over disjoint
+    * directories, so a store with P fragmented/expiring dirs paid P full
+    * job round-trips back to back while most of the cluster idled through
+    * each job's tail. Each body keeps its own per-directory crash-safe
+    * rename protocol (the recover state machines roll ANY subset of
+    * completed dirs forward, so concurrent completion order changes
+    * nothing); a small pool merely lets the next directory's job back-fill
+    * executors the current one no longer saturates. Results come back in
+    * ITEM order, the first failure propagates with its original exception
+    * (unwrapped), and `spark.graft.layout.maxConcurrentRewrites` (default
+    * 4 — the guide's "2-3 jobs in flight is plenty" plus one) bounds the
+    * in-flight jobs so production-sized directory rewrites don't fight for
+    * executors.
+    */
+  private def forEachRewrite[T, R](spark: SparkSession, items: Seq[T])(
+      body: T => R): Seq[R] = {
+    val conc = math.min(items.size,
+      spark.conf.get("spark.graft.layout.maxConcurrentRewrites", "4").toInt)
+    if (conc <= 1) items.map(body)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(conc)
+      try {
+        val fs = items.map { i =>
+          pool.submit(new java.util.concurrent.Callable[R] {
+            override def call(): R = body(i)
+          })
+        }
+        fs.map { f =>
+          try f.get()
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              throw e.getCause
+          }
+        }
+      } finally pool.shutdownNow()
+    }
+  }
+
   def compactPartitions(spark: SparkSession, dir: String, sortCols: Seq[String],
       maxFiles: Int = 1, maxDirs: Int = Int.MaxValue,
       targetFileBytes: Long = 0L): Seq[String] = {
@@ -162,7 +202,7 @@ object Layout {
         n > needed(pd) }.toSeq
       .sortBy { case (name, n) => (-n, name) }
       .take(maxDirs).map(_._1).sorted
-    fragmented.foreach { pd =>
+    forEachRewrite(spark, fragmented) { pd =>
       val sub = s"$base/$pd"
       // scratch names are DOT-prefixed so Spark's file index ignores them:
       // a concurrent reader of the store mid-compact must never see a
@@ -606,7 +646,7 @@ object Layout {
         s"${lagging.keys.toSeq.sorted.mkString(",")} are checkpointed below " +
         s"batch $s and would re-consume the squashed history; advance or " +
         "drop their checkpoints first")
-    val touched = parts.flatMap { p =>
+    val touched = forEachRewrite(spark, parts.toSeq) { p =>
       val ids = batchIds(p).filter(_ <= upTo).sorted
       // a partition already holding exactly one dir labeled S is done
       if (ids.isEmpty || ids == Seq(s)) None
@@ -638,7 +678,7 @@ object Layout {
         Some(pd)
       }
     }
-    touched.toSeq.sorted
+    touched.flatten.sorted
   }
 
   /** Roll interrupted [[squashHistory]] swaps forward from their commit
@@ -881,7 +921,15 @@ object Layout {
         Fs.readUTF8(doneFile).linesIterator.toSet
       else Set.empty
     val todo = sources.filterNot(done)
-    todo.foreach { srcDir =>
+    // per-source rewrites are independent (staged under per-source scratch,
+    // target file names carry the source encoding so two sources never
+    // collide in a shared target dir; Fs.mkdirs is idempotent) — only the
+    // progress log is shared, so its accumulate+write is synchronized. The
+    // logged set is exactly the COMPLETED sources whatever the completion
+    // order, which a crash resume (recoverEvolve prune + rerun) already
+    // tolerates by construction.
+    val committed = scala.collection.mutable.Set[String]() ++ done
+    forEachRewrite(spark, todo) { srcDir =>
       val enc = srcEnc(srcDir)
       val stage = s"$scratch/.__stage__$enc"
       spark.read.option("basePath", base).parquet(s"$base/$srcDir")
@@ -903,9 +951,11 @@ object Layout {
       // commit this source: rewrite the done file via atomic tmp swap so
       // a crash mid-write never truncates the progress log (a LOST done
       // file only redoes work — recoverEvolve prunes and the run resumes)
-      Fs.writeUTF8Atomic(doneFile,
-        (done ++ todo.takeWhile(_ != srcDir) + srcDir)
-          .toSeq.sorted.mkString("\n") + "\n")
+      committed.synchronized {
+        committed += srcDir
+        Fs.writeUTF8Atomic(doneFile,
+          committed.toSeq.sorted.mkString("\n") + "\n")
+      }
     }
     // every source committed -> atomic whole-store swap (rename-aside)
     val dirP = Fs.path(base)
@@ -1078,9 +1128,12 @@ object Layout {
     val base = dir.stripSuffix("/")
     val parts = Fs.list(Fs.path(base)).filter(isPartitionDir)
       .map(_.getPath.getName).sorted
-    val deleted = scala.collection.mutable.ArrayBuffer[String]()
-    val rewritten = scala.collection.mutable.ArrayBuffer[String]()
-    parts.foreach { pd =>
+    // per-dir outcomes collected concurrently (order restored below)
+    sealed trait Outcome
+    object Kept extends Outcome
+    object Deleted extends Outcome
+    object Rewritten extends Outcome
+    val outcomes = forEachRewrite(spark, parts) { pd =>
       val sub = s"$base/$pd"
       // footer sweep: (every group max < cutoff, every group min >= cutoff)
       val stats = Manifest.manifest(spark, sub, tsCol)
@@ -1102,7 +1155,7 @@ object Layout {
           (r.getLong(2) >= 0L && r.getLong(2) == r.getLong(3)) }
       if (allExpired) {
         Fs.deleteRecursively(Fs.path(sub))
-        deleted += pd
+        Deleted
       } else if (!allLive) {
         val tmp = s"$base/.__vacuuming__$pd"
         val survivors = spark.read.parquet(sub)
@@ -1118,22 +1171,26 @@ object Layout {
         val subP = Fs.path(sub)
         val oldP = Fs.path(s"$base/.__old__$pd")
         Fs.rename(subP, oldP)
-        if (anyRow) {
-          try Fs.rename(Fs.path(tmp), subP)
-          catch {
-            case e: Throwable =>
-              Fs.rename(oldP, subP)
-              throw e
+        val out: Outcome =
+          if (anyRow) {
+            try Fs.rename(Fs.path(tmp), subP)
+            catch {
+              case e: Throwable =>
+                Fs.rename(oldP, subP)
+                throw e
+            }
+            Rewritten
+          } else {
+            Fs.deleteRecursively(Fs.path(tmp))
+            Deleted
           }
-          rewritten += pd
-        } else {
-          Fs.deleteRecursively(Fs.path(tmp))
-          deleted += pd
-        }
         Fs.deleteRecursively(oldP)
-      }
+        out
+      } else Kept
     }
-    (deleted.toSeq, rewritten.toSeq)
+    val byDir = parts.zip(outcomes)
+    (byDir.collect { case (pd, Deleted) => pd },
+      byDir.collect { case (pd, Rewritten) => pd })
   }
 
   /** SCHEMA EVOLUTION with backfill: add `colName` = `sqlExpr` (a Spark
@@ -1181,8 +1238,7 @@ object Layout {
     val parts = Fs.list(Fs.path(base)).filter(isPartitionDir)
       .map(_.getPath.getName).sorted
     require(parts.nonEmpty, s"addColumn: no partition directories under $dir")
-    val done = scala.collection.mutable.ArrayBuffer[String]()
-    parts.foreach { pd =>
+    val flags = forEachRewrite(spark, parts) { pd =>
       val sub = s"$base/$pd"
       val existing = spark.read.parquet(sub)
       val missing = cols.filterNot { case (n, _) =>
@@ -1205,10 +1261,10 @@ object Layout {
             throw e
         }
         Fs.deleteRecursively(oldP)
-        done += pd
-      }
+        true
+      } else false
     }
-    done.toSeq
+    parts.zip(flags).collect { case (pd, true) => pd }
   }
 
   /** Roll interrupted [[addColumn]] swaps forward or back from their
