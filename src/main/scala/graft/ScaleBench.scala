@@ -48,6 +48,14 @@ object ScaleBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // optional conf overrides for A/B arms (the StreamProbe convention):
+    // SPARK_GRAFT_PROBE_CONF="k=v;k2=v2"
+    sys.env.get("SPARK_GRAFT_PROBE_CONF").foreach { kvs =>
+      kvs.split(";").map(_.split("=", 2)).foreach {
+        case Array(k, v) => spark.conf.set(k, v); println(s"[probe] set $k=$v")
+        case _ => ()
+      }
+    }
     spark.range(1000000).selectExpr("sum(id)").collect()
     // Shuffle-volume instrumentation: wall-clock linearity on a 32-core box
     // is weak scaling evidence (everything is memory-speed); shuffle WRITE

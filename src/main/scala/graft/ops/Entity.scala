@@ -54,24 +54,41 @@ object Entity {
     * column and a string name column; null names are ignored.
     */
   def editPairs(records: DataFrame, idCol: String, nameCol: String,
-      k: Int = 2): DataFrame = {
+      k: Int = 2, inputBytes: Long = -1L): DataFrame = {
     require(k >= 0, s"editPairs: distance threshold k must be >= 0, got $k")
     val nSeg = k + 1
     val minLen = 2 * nSeg // below this, 1-char segments would post under letters
-    // spread the record rows across the session's full width before the
-    // per-row-heavy segment/probe explodes and the levenshtein verify (the
-    // Dedup.scala convention): the records frame is typically a union of a
-    // few single-file scans (3 partitions here), the index side broadcasts,
-    // and so the WHOLE pipeline — explodes, substring windows, banded-DP
-    // verify — would otherwise run at the input's partition count no
-    // matter how many cores the session has. The exchanged rows are just
-    // (id, name) — KBs per million records — so the spread costs nothing
-    // next to the verify it parallelizes.
-    val recs = records
+    // SMALL inputs: spread the record rows across the session's full width
+    // before the per-row-heavy segment/probe explodes and the levenshtein
+    // verify (the Dedup.scala convention): a records frame built as a
+    // union of single-file scans arrives as a handful of partitions, the
+    // index side broadcasts, and so the WHOLE pipeline — explodes,
+    // substring windows, banded-DP verify — runs at the input's partition
+    // count no matter how many cores the session has (measured 3 tasks
+    // carrying 15 s of task time at sf0.1). LARGE inputs already split
+    // wide at the scan and the extra exchange is a pure full pass of the
+    // name rows — measured at 100× the unconditional spread ADDED ~115 MB
+    // of shuffle and lost ~25% wall — so the spread fires only below a
+    // size threshold (`spark.graft.entity.spreadMaxBytes`, default
+    // 256 MB), exactly the regime where the exchange is cheap and the
+    // under-parallelism is the bottleneck. Size signal: caller-supplied
+    // `inputBytes` (the source table's real file bytes — plan stats can't
+    // serve here, Spark's default string-column estimate is 20 B/row so a
+    // TB text table "estimates" small); unknown (-1) falls back to the
+    // stats estimate, biased toward spreading on exactly those
+    // underestimated unions.
+    val spreadMax = records.sparkSession.conf
+      .get("spark.graft.entity.spreadMaxBytes", (256L << 20).toString).toLong
+    val small = (if (inputBytes >= 0L) inputBytes
+      else records.queryExecution.optimizedPlan.stats.sizeInBytes
+        .min(BigInt(Long.MaxValue)).toLong) <= spreadMax
+    val recs0 = records
       .select(col(idCol).as("__id"), col(nameCol).as("__nm"))
       .filter(col("__nm").isNotNull)
-      .repartition(records.sparkSession.sparkContext.defaultParallelism,
-        col("__id"))
+    val recs = (if (small)
+        recs0.repartition(records.sparkSession.sparkContext.defaultParallelism,
+          col("__id"))
+      else recs0)
       .withColumn("__len", length(col("__nm")))
     val long = recs.filter(col("__len") >= minLen)
     val short = recs.filter(col("__len") < minLen)
@@ -150,8 +167,8 @@ object Entity {
     * to themselves). Output: (idCol, nameCol, entity_id).
     */
   def resolve(records: DataFrame, idCol: String, nameCol: String,
-      k: Int = 2): DataFrame = {
-    val pairs = editPairs(records, idCol, nameCol, k)
+      k: Int = 2, inputBytes: Long = -1L): DataFrame = {
+    val pairs = editPairs(records, idCol, nameCol, k, inputBytes)
     val comp = ConnectedComponents.components(pairs, "a", "b")
     records.select(col(idCol), col(nameCol))
       .join(comp.withColumnRenamed("id", idCol), Seq(idCol), "left")

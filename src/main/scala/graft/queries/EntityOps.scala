@@ -54,6 +54,13 @@ object EntityOps {
     baseRec.union(del).union(sub)
   }
 
+  /** Real file bytes of the fixture's source table — the spread-decision
+    * signal Entity.editPairs takes (plan stats underestimate text columns;
+    * see the scaladoc there).
+    */
+  private def srcBytes(s: SparkSession, d: String): Long =
+    graft.streaming.StreamTune.pathBytes(s, Seq(s"$d/documents.parquet"))
+
   /** The fixture as a DuckDB CTE — term-for-term the Spark plan above. */
   private val recordsCte =
     """b AS (
@@ -95,7 +102,8 @@ object EntityOps {
     //    complete, not just the verify correct ---------------------------
     ("q_entity_pairs",
       (s: SparkSession, d: String) =>
-        graft.ops.Entity.editPairs(records(s, d), "rec_id", "nm", k = 2)
+        graft.ops.Entity.editPairs(records(s, d), "rec_id", "nm", k = 2,
+            inputBytes = srcBytes(s, d))
           .select(col("a"), col("b"), col("dist").cast("long").as("dist"))
           .orderBy("a", "b"),
       s"""WITH $recordsCte,
@@ -110,7 +118,8 @@ object EntityOps {
     //    brute-force edge list with a recursive CTE ----------------------
     ("q_entity_clusters",
       (s: SparkSession, d: String) =>
-        graft.ops.Entity.resolve(records(s, d), "rec_id", "nm", k = 2)
+        graft.ops.Entity.resolve(records(s, d), "rec_id", "nm", k = 2,
+            inputBytes = srcBytes(s, d))
           .select(col("rec_id"), col("entity_id"))
           .orderBy("rec_id"),
       s"""WITH RECURSIVE $closureCtes
@@ -120,7 +129,8 @@ object EntityOps {
     //    lexicographic tie-break, member count ---------------------------
     ("q_entity_resolve",
       (s: SparkSession, d: String) => {
-        val resolved = graft.ops.Entity.resolve(records(s, d), "rec_id", "nm", k = 2)
+        val resolved = graft.ops.Entity.resolve(records(s, d), "rec_id", "nm",
+          k = 2, inputBytes = srcBytes(s, d))
         graft.ops.Entity.canonicalize(resolved, "nm")
           .select(col("entity_id"), col("canonical_name"),
             col("n_members").cast("long").as("n_members"))
