@@ -88,6 +88,17 @@ object Bench {
     (kept, skipped)
   }
 
+  /** The results eligible for suspect selection: failed queries (-1) and
+    * budget-cut queries are OUT — a budget-cut query's single cold sample
+    * regressing on its prior is the EXPECTED signature of the cut, not a
+    * plan suspect (r15; pinned by BenchLogicSpec so a future driver run
+    * under contention cannot flood the rerun pass with known-inflated
+    * singles).
+    */
+  private[graft] def suspectPool(results: Map[String, Double],
+      cut: Set[String]): Map[String, Double] =
+    results.filter { case (k, v) => v >= 0 && !cut(k) }
+
   /** Per-query mins from the LAST LOCAL run's `bench_last.json` (full
     * detail, every query) — the fallback prior for queries the driver's
     * BENCH_r{N}.json headline never carried (its tail-truncated line only
@@ -419,8 +430,7 @@ object Bench {
     // prior is the EXPECTED signature of the cut, not a plan suspect.
     val cutSet = budgetCut.toSet
     val (suspects, skippedSuspects) =
-      pickSuspects(
-        results.filter { case (k, v) => v >= 0 && !cutSet(k) },
+      pickSuspects(suspectPool(results, cutSet),
         prior, headline = headlineSet)
     // PROVISIONAL record: if the driver's wall-clock kills the rerun pass
     // (BENCH_r14's rc 124), the tail still ends with a parseable headline

@@ -31,7 +31,9 @@ object StreamProbe {
         val counts = scala.collection.mutable.Map.empty[String, Int]
         import scala.jdk.CollectionConverters._
         Thread.getAllStackTraces.asScala.foreach { case (t, st) =>
-          if (t.getName.startsWith("Executor task launch") && st.nonEmpty) {
+          if ((t.getName.startsWith("Executor task launch") ||
+              t.getName.startsWith("stream execution thread") ||
+              t.getName == "main") && st.nonEmpty) {
             // signature: topmost 3 interesting frames
             val sig = st.iterator
               .filter(f => f.getClassName.startsWith("org.apache") ||
@@ -42,7 +44,9 @@ object StreamProbe {
               .take(4)
               .map(f => s"${f.getClassName.split('.').takeRight(2).mkString(".")}.${f.getMethodName}:${f.getLineNumber}")
               .mkString(" <- ")
-            counts(sig) = counts.getOrElse(sig, 0) + 1
+            val tag = if (t.getName.startsWith("Executor")) "exec"
+              else if (t.getName == "main") "main" else "strm"
+            counts(s"[$tag] $sig") = counts.getOrElse(s"[$tag] $sig", 0) + 1
           }
         }
         if (counts.nonEmpty) {

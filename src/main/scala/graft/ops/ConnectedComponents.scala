@@ -22,9 +22,9 @@ import org.apache.spark.sql.functions._
   * exponentially.
   *
   * Convergence is detected by an order-insensitive edge-set checksum
-  * (count + sum of xxhash64(u, v)) — two tiny driver-side aggregates per
-  * round; intermediate edge sets are persisted per round and the previous
-  * round unpersisted.
+  * (count + sum of xxhash64(u, v)), observed on the per-round checkpoint
+  * job itself (no separate probe job); intermediate edge sets are
+  * persisted per round and the previous round unpersisted.
   */
 object ConnectedComponents {
 
@@ -55,11 +55,19 @@ object ConnectedComponents {
     * The hash is bounded below 2³⁰ before summing so the sum cannot
     * overflow a long (ANSI mode throws on overflow) until ~2³³ edges,
     * far past any converged star forest this runs on.
+    *
+    * Computed as OBSERVED metrics of the per-round checkpoint job itself
+    * ([[Ckpt.withMetrics]], optimization round 16): the old shape paid a
+    * second full job per round just to re-aggregate the rows the
+    * checkpoint had just materialized — one job per contraction round
+    * instead of two, same exact values.
     */
-  private def checksum(e: DataFrame): (Long, Long) = {
-    val r = e.agg(count(lit(1)),
-      coalesce(sum(pmod(xxhash64(col("u"), col("v")), lit(1000000007L))), lit(0L))).head()
-    (r.getLong(0), r.getLong(1))
+  private def checkpointWithChecksum(e: DataFrame): (DataFrame, (Long, Long)) = {
+    val (out, m) = Ckpt.withMetrics(e, Seq(
+      count(lit(1)).as("n"),
+      coalesce(sum(pmod(xxhash64(col("u"), col("v")), lit(1000000007L))),
+        lit(0L)).as("h")))
+    (out, (m("n").asInstanceOf[Long], m("h").asInstanceOf[Long]))
   }
 
   /** Component label (the minimum member id) for every node appearing in
@@ -95,13 +103,11 @@ object ConnectedComponents {
     // (blocks are reclaimed by the ContextCleaner once a round's frame is
     // unreferenced); on a cluster with lossy executors use reliable
     // checkpoint dirs instead.
-    var edges = e0.localCheckpoint(true)
-    var sig = checksum(edges)
+    var (edges, sig) = checkpointWithChecksum(e0)
     var converged = false
     var iters = 0
     while (!converged && iters < maxIters) {
-      val next = smallStar(largeStar(edges)).localCheckpoint(true)
-      val nextSig = checksum(next)
+      val (next, nextSig) = checkpointWithChecksum(smallStar(largeStar(edges)))
       // checksum equality is probabilistic; this path's whole point is
       // EXACT cluster closure, so confirm with a set-equality check on the
       // two (converged, tiny, already-materialized) frames. Both are

@@ -380,11 +380,22 @@ object Dedup {
     // 1.8x over linear at 10x before this. (id, pos, f) rows only —
     // ~24 B per selected fingerprint, a small fraction of the corpus.
     val occ = occ1.localCheckpoint(true)
+    // ONE exchange for the dedup + the island window (optimization round
+    // 16, guide §2.4 "two operations keyed the same way can share one
+    // exchange"): the matched occurrences used to shuffle twice — once for
+    // distinct's 5-column hash (a, b, pa, pb, diag) and once for the
+    // window's (a, b, diag) — and the matched-occurrence stream is THE
+    // volume of this operator (10.1 GB at the 100× arm, SCALE.md). An
+    // explicit repartition on (a, b, diag) satisfies BOTH: distinct's
+    // clustered distribution (its keys are a superset of the partition
+    // keys, so every duplicate group is already co-located) and the
+    // window's exact partitioning. Plan: 2 Exchanges of m → 1.
     val m = occ.alias("x").join(occ.alias("y"),
         col("x.f") === col("y.f") && col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"),
         col("x.pos").as("pa"), col("y.pos").as("pb"),
         (col("y.pos") - col("x.pos")).as("diag"))
+      .repartition(col("a"), col("b"), col("diag"))
       .distinct() // repeated equal fingerprints in one doc can re-derive a pair
     val byDiag = org.apache.spark.sql.expressions.Window
       .partitionBy("a", "b", "diag").orderBy("pa")

@@ -74,14 +74,16 @@ object Entity {
     // under-parallelism is the bottleneck. Size signal: caller-supplied
     // `inputBytes` (the source table's real file bytes — plan stats can't
     // serve here, Spark's default string-column estimate is 20 B/row so a
-    // TB text table "estimates" small); unknown (-1) falls back to the
-    // stats estimate, biased toward spreading on exactly those
-    // underestimated unions.
+    // TB text table "estimates" small); unknown (-1) means NO spread —
+    // the spread only fires on an affirmative small signal (r15 advice:
+    // the old plan-stats fallback was biased toward spreading on exactly
+    // the underestimated large unions where the spread was measured to
+    // ADD ~115 MB shuffle and ~25% wall at 100×). Callers that want the
+    // small-input parallelism must pass the real source bytes, as the
+    // three entity gates do.
     val spreadMax = records.sparkSession.conf
       .get("spark.graft.entity.spreadMaxBytes", (256L << 20).toString).toLong
-    val small = (if (inputBytes >= 0L) inputBytes
-      else records.queryExecution.optimizedPlan.stats.sizeInBytes
-        .min(BigInt(Long.MaxValue)).toLong) <= spreadMax
+    val small = inputBytes >= 0L && inputBytes <= spreadMax
     val recs0 = records
       .select(col(idCol).as("__id"), col(nameCol).as("__nm"))
       .filter(col("__nm").isNotNull)

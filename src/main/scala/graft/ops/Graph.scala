@@ -127,9 +127,12 @@ object Graph {
     val edges = edges0
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .localCheckpoint(true)
-    val seedNodes = seeds.select(col(seedCol).as("node")).distinct()
-      .localCheckpoint(true)
-    val ns = seedNodes.count()
+    // seed count observed on the seed checkpoint job (Ckpt.withMetrics,
+    // optimization round 16 — one job, not two); same for nNodes below
+    val (seedNodes, sm) = Ckpt.withMetrics(
+      seeds.select(col(seedCol).as("node")).distinct(),
+      Seq(count(lit(1)).as("n")))
+    val ns = sm("n").asInstanceOf[Long]
     require(ns > 0, "personalizedPageRank: seed set is empty")
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node")))
@@ -142,18 +145,19 @@ object Graph {
         Seq("node"), "left")
       .select(col("node"), coalesce(col("outdeg"), lit(0L)).as("outdeg"),
         coalesce(col("is_seed"), lit(false)).as("is_seed"))
-    var ranks = base
-      .selectExpr("node", "outdeg", "is_seed",
-        s"CASE WHEN is_seed THEN ${scale}L div ${ns}L ELSE 0L END AS pr")
-      .localCheckpoint(true)
-    // node count is free off the materialized checkpoint; on a SMALL node
+    // node count observed on the ranks checkpoint; on a SMALL node
     // set (e.g. a vocabulary co-occurrence graph whose edge multiplicity
     // is corpus-sized but whose vertex set is the vocabulary) the
     // per-round shares frame must BROADCAST into the edge join — the
     // checkpointed frame carries no size statistics, so without the hint
     // the planner shuffle-partitions the whole O(|E|) edge list per round
     // (measured: q_textrank 1.4 GB shuffle-write at 100× vs ~0 hinted)
-    val nNodes = ranks.count()
+    val (ranks0, rm) = Ckpt.withMetrics(base
+      .selectExpr("node", "outdeg", "is_seed",
+        s"CASE WHEN is_seed THEN ${scale}L div ${ns}L ELSE 0L END AS pr"),
+      Seq(count(lit(1)).as("n")))
+    var ranks = ranks0
+    val nNodes = rm("n").asInstanceOf[Long]
     for (_ <- 1 to iters) {
       val scalars = ranks.agg(
         sum(col("pr")).as("total"),
@@ -235,10 +239,11 @@ object Graph {
       .union(edges.select(col("dst").as("node"))).distinct()
     val outW = edges.groupBy(col("src").as("onode"))
       .agg(sum(col("w")).as("wout"))
-    val base = nodes.join(outW, col("node") === col("onode"), "left")
-      .select(col("node"), coalesce(col("wout"), lit(0L)).as("wout"))
-      .localCheckpoint(true)
-    val n = base.count()
+    val (base, bm) = Ckpt.withMetrics(
+      nodes.join(outW, col("node") === col("onode"), "left")
+        .select(col("node"), coalesce(col("wout"), lit(0L)).as("wout")),
+      Seq(count(lit(1)).as("n")))
+    val n = bm("n").asInstanceOf[Long]
     var ranks = base
       .selectExpr("node", "wout", s"${scale}L div ${n}L AS pr")
       .localCheckpoint(true)
@@ -374,26 +379,31 @@ object Graph {
   def hits(edges0: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 3, scale: Long = 1000000000L): DataFrame = {
     require(iters >= 1, "hits: iters must be >= 1")
-    val we = edges0
-      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
-      .localCheckpoint(true) // read twice per round, every round
+    // overflow-guard scalars observed on the weighted-edge checkpoint job
+    // (Ckpt.withMetrics, optimization round 16 — one job, not two)
+    val (we, wm) = Ckpt.withMetrics(
+      edges0
+        .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .groupBy("src", "dst").agg(count(lit(1)).as("w")),
+      Seq(max(col("w")).as("mx"), sum(col("w")).as("tw")))
     // loud overflow bounds, the weightedPageRank contract: post-
     // normalization scores are <= scale, so a per-edge product score*w
     // needs maxW <= MaxValue/scale; round 1 runs UNNORMALIZED on the 1e6
     // start mass, where the worst per-node sum is startMass * totalW
-    val wb = we.agg(max(col("w")).as("mx"), sum(col("w")).as("tw")).head()
-    if (!wb.isNullAt(0)) {
-      require(wb.getLong(0) <= Long.MaxValue / scale,
-        s"hits: max edge multiplicity ${wb.getLong(0)} would overflow " +
+    if (wm("mx") != null) {
+      require(wm("mx").asInstanceOf[Long] <= Long.MaxValue / scale,
+        s"hits: max edge multiplicity ${wm("mx")} would overflow " +
           s"score*w at scale $scale — lower scale or pre-scale weights")
-      require(wb.getLong(1) <= Long.MaxValue / 1000000L,
-        s"hits: total edge multiplicity ${wb.getLong(1)} would overflow " +
+      require(wm("tw").asInstanceOf[Long] <= Long.MaxValue / 1000000L,
+        s"hits: total edge multiplicity ${wm("tw")} would overflow " +
           "the unnormalized first-round sums at the 1e6 start mass")
     }
-    val nodes = we.select(col("src").as("node"))
-      .union(we.select(col("dst").as("node"))).distinct()
-      .localCheckpoint(true)
+    // node count observed on the node-list checkpoint (Ckpt.withMetrics,
+    // optimization round 16 — one job, not two)
+    val (nodes, nm) = Ckpt.withMetrics(
+      we.select(col("src").as("node"))
+        .union(we.select(col("dst").as("node"))).distinct(),
+      Seq(count(lit(1)).as("n")))
     // mass-`scale` is what each normalization restores, so any uniform
     // positive start converges to the same fixed point; 1e6 per node
     // keeps round 1's raw sums small
@@ -402,7 +412,7 @@ object Graph {
     var auth: DataFrame = null
     // small-node-set broadcast policy — see [[PlanHints]]: a vocabulary-
     // sized vertex set must not shuffle the O(|E|) edge list per pass
-    val nNodes = nodes.count()
+    val nNodes = nm("n").asInstanceOf[Long]
     def maybeB(df: DataFrame): DataFrame =
       PlanHints.maybeBroadcastSmall(df, nNodes)
     def normalized(raw: DataFrame, vCol: String): DataFrame = {
@@ -455,11 +465,14 @@ object Graph {
     */
   def modularity(edges0: DataFrame, srcCol: String, dstCol: String,
       labels: DataFrame, nodeCol: String, labelCol: String): DataFrame = {
-    val und = canonicalUndirected(edges0, srcCol, dstCol)
+    // |E| observed on the canonical-edge checkpoint job (one job, not two)
+    val (und, um) = Ckpt.withMetrics(
+      canonicalUndirectedLazy(edges0, srcCol, dstCol),
+      Seq(count(lit(1)).as("n")))
     val lab = labels.select(col(nodeCol).as("ln"), col(labelCol).as("lbl"))
       .filter(col("lbl").isNotNull)
       .localCheckpoint(true) // read three times below
-    val m = und.count()
+    val m = um("n").asInstanceOf[Long]
     val deg = und.select(col("a").as("ln"))
       .union(und.select(col("b").as("ln")))
       .groupBy("ln").agg(count(lit(1)).as("deg"))
@@ -641,15 +654,31 @@ object Graph {
     require(k >= 1 && iters >= 1, "kCore: need k >= 1, iters >= 1")
     val ckpt = peelCheckpointer("kCore",
       edges0.select(col(srcCol), col(dstCol)), maxPinnedEdges)
-    var live = ckpt(canonicalUndirectedLazy(edges0, srcCol, dstCol))
-    for (_ <- 1 to iters) {
+    val cnt = Seq(count(lit(1)).as("n"))
+    val (live1, km0) = Ckpt.withMetrics(
+      canonicalUndirectedLazy(edges0, srcCol, dstCol), cnt, ckpt)
+    var live = live1
+    // convergence early-stop via counts observed on the round's own
+    // checkpoint job (the kTruss discipline, optimization round 16):
+    // edge survival is monotone, so a round that drops no edge is the
+    // fixed point and every further round recomputes identical degrees
+    // and filters nothing — skipping them changes NO output
+    var liveCount = km0("n").asInstanceOf[Long]
+    var converged = false
+    var round = 0
+    while (round < iters && !converged) {
+      round += 1
       val deg = live.select(col("a").as("node"))
         .union(live.select(col("b").as("node")))
         .groupBy("node").agg(count(lit(1)).as("deg"))
       val keep = deg.filter(col("deg") >= k).select("node")
-      live = ckpt(live
+      val (liveN, kmN) = Ckpt.withMetrics(live
         .join(keep.select(col("node").as("a")), Seq("a"), "left_semi")
-        .join(keep.select(col("node").as("b")), Seq("b"), "left_semi"))
+        .join(keep.select(col("node").as("b")), Seq("b"), "left_semi"),
+        cnt, ckpt)
+      live = liveN
+      converged = kmN("n").asInstanceOf[Long] == liveCount
+      liveCount = kmN("n").asInstanceOf[Long]
     }
     live.select(col("a").as("node"))
       .union(live.select(col("b").as("node")))
@@ -683,15 +712,27 @@ object Graph {
         greatest(col("u"), col("v")).as("b"), col("w"))
       .groupBy("a", "b").agg(sum(col("w")).as("w"))
     val ckpt = peelCheckpointer("kCoreWeighted", cast, maxPinnedEdges)
-    var live = ckpt(presum)
-    for (_ <- 1 to iters) {
+    val cnt = Seq(count(lit(1)).as("n"))
+    val (live1, km0) = Ckpt.withMetrics(presum, cnt, ckpt)
+    var live = live1
+    // same observed-count early-stop as [[kCore]] (edge survival is
+    // monotone; a no-drop round is the fixed point)
+    var liveCount = km0("n").asInstanceOf[Long]
+    var converged = false
+    var round = 0
+    while (round < iters && !converged) {
+      round += 1
       val deg = live.select(col("a").as("node"), col("w"))
         .union(live.select(col("b").as("node"), col("w")))
         .groupBy("node").agg(sum(col("w")).as("wdeg"))
       val keep = deg.filter(col("wdeg") >= k).select("node")
-      live = ckpt(live
+      val (liveN, kmN) = Ckpt.withMetrics(live
         .join(keep.select(col("node").as("a")), Seq("a"), "left_semi")
-        .join(keep.select(col("node").as("b")), Seq("b"), "left_semi"))
+        .join(keep.select(col("node").as("b")), Seq("b"), "left_semi"),
+        cnt, ckpt)
+      live = liveN
+      converged = kmN("n").asInstanceOf[Long] == liveCount
+      liveCount = kmN("n").asInstanceOf[Long]
     }
     live.select(col("a").as("node"), col("w"))
       .union(live.select(col("b").as("node"), col("w")))
@@ -723,15 +764,17 @@ object Graph {
     require(iters >= 1, "kTruss: iters must be >= 1")
     val ckpt = peelCheckpointer("kTruss",
       edges0.select(col(srcCol), col(dstCol)), maxPinnedEdges)
-    var live: DataFrame = ckpt(
-      canonicalUndirectedLazy(edges0, srcCol, dstCol))
-      .withColumn("support", lit(0L))
+    val cnt = Seq(count(lit(1)).as("n"))
+    val (live0, lm0) = Ckpt.withMetrics(
+      canonicalUndirectedLazy(edges0, srcCol, dstCol), cnt, ckpt)
+    var live: DataFrame = live0.withColumn("support", lit(0L))
     // convergence early-stop (the ConnectedComponents discipline): a
     // round that drops no edge is a fixed point — every further round
     // recomputes identical supports and filters nothing, so skipping
     // them changes NO output while saving the dead rounds' triangle
-    // joins. The count is one job over the already-checkpointed frame.
-    var liveCount = live.count()
+    // joins. The count rides each round's checkpoint job as an observed
+    // metric (Ckpt.withMetrics, optimization round 16) — no probe job.
+    var liveCount = lm0("n").asInstanceOf[Long]
     var round = 0
     var converged = false
     while (round < iters && !converged) {
@@ -747,11 +790,13 @@ object Graph {
             greatest(col("y"), col("z")).as("b")))).as("e"))
         .select(col("e.a").as("a"), col("e.b").as("b"))
         .groupBy("a", "b").agg(count(lit(1)).as("sup"))
-      live = ckpt(edgesNow.join(sup, Seq("a", "b"), "left")
-        .select(col("a"), col("b"),
-          coalesce(col("sup"), lit(0L)).as("support"))
-        .filter(col("support") >= (k - 2).toLong))
-      val c = live.count()
+      val (liveN, lmN) = Ckpt.withMetrics(
+        edgesNow.join(sup, Seq("a", "b"), "left")
+          .select(col("a"), col("b"),
+            coalesce(col("sup"), lit(0L)).as("support"))
+          .filter(col("support") >= (k - 2).toLong), cnt, ckpt)
+      live = liveN
+      val c = lmN("n").asInstanceOf[Long]
       // a no-drop round still refreshed every edge's `support` column to
       // its (identical) fixed-point value, so stopping here is exact
       converged = c == liveCount
@@ -932,9 +977,17 @@ object Graph {
       .filter(col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint(true)
-    var residual = edgesAll.select(col("src").as("node"))
-      .union(edgesAll.select(col("dst").as("node"))).distinct()
-      .localCheckpoint(true)
+    // residual row count rides every residual checkpoint as an observed
+    // metric (Ckpt.withMetrics, optimization round 16): the trim loop's
+    // "did this round settle anything" test and the outer loop's
+    // emptiness test become count comparisons with zero extra jobs
+    // (kept ⊆ residual by construction, so |kept| = |residual| ⟺ the
+    // anti-join is empty — same decision the old isEmpty probes made).
+    val cnt = Seq(count(lit(1)).as("n"))
+    var (residual, m0) = Ckpt.withMetrics(
+      edgesAll.select(col("src").as("node"))
+        .union(edgesAll.select(col("dst").as("node"))).distinct(), cnt)
+    var residualCount = m0("n").asInstanceOf[Long]
     var edges = edgesAll
     var settled: DataFrame = null
     def minLabels(e: DataFrame): DataFrame = {
@@ -952,14 +1005,17 @@ object Graph {
             "directed reach diameter (wrong components otherwise)")
         val in = e.join(l.select(col("node").as("src"), col("lbl")), "src")
           .groupBy(col("dst").as("node")).agg(min(col("lbl")).as("inlbl"))
-        val nxt = l.withColumnRenamed("lbl", "old")
-          .join(in, Seq("node"), "left")
-          .select(col("node"), col("old"),
-            least(col("old"), coalesce(col("inlbl"), col("old"))).as("lbl"))
-          .localCheckpoint(true)
-        // stability probe on the checkpointed frame: one residual-sized
-        // scan; monotone labels mean "no row changed" IS the fixpoint
-        stable = nxt.filter(col("lbl") =!= col("old")).isEmpty
+        // stability probe OBSERVED on the checkpoint job (Ckpt.withMetrics,
+        // optimization round 16): monotone labels mean "no row changed" IS
+        // the fixpoint, and counting the changed rows during
+        // materialization saves the old one-probe-job-per-step
+        val (nxt, m) = Ckpt.withMetrics(
+          l.withColumnRenamed("lbl", "old")
+            .join(in, Seq("node"), "left")
+            .select(col("node"), col("old"),
+              least(col("old"), coalesce(col("inlbl"), col("old"))).as("lbl")),
+          Seq(count(when(col("lbl") =!= col("old"), lit(1))).as("changed")))
+        stable = m("changed").asInstanceOf[Long] == 0L
         l = nxt.select("node", "lbl")
       }
       l
@@ -978,19 +1034,21 @@ object Graph {
       var t = 1
       var trimDone = false
       while (t <= trim && !trimDone) {
-        val kept = residual
+        val (kept, km) = Ckpt.withMetrics(residual
           .join(edges.select(col("src").as("node")).distinct(),
             Seq("node"), "left_semi")
           .join(edges.select(col("dst").as("node")).distinct(),
-            Seq("node"), "left_semi")
-          .localCheckpoint(true)
-        val trimmed = residual.join(kept, Seq("node"), "left_anti")
-          .select(col("node"), col("node").as("scc"),
-            lit(r).as("settled_round"))
-        if (trimmed.isEmpty) trimDone = true
+            Seq("node"), "left_semi"), cnt)
+        val keptCount = km("n").asInstanceOf[Long]
+        // kept ⊆ residual (semi-joins only drop), so equal counts ⟺ the
+        // trimmed anti-join is empty — no probe job needed
+        if (keptCount == residualCount) trimDone = true
         else {
-          keep(trimmed)
+          keep(residual.join(kept, Seq("node"), "left_anti")
+            .select(col("node"), col("node").as("scc"),
+              lit(r).as("settled_round")))
           residual = kept
+          residualCount = keptCount
           edges = edges
             .join(kept.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
             .join(kept.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
@@ -1005,9 +1063,11 @@ object Graph {
       keep(lab.filter(col("flbl") === col("blbl"))
         .select(col("node"), col("flbl").as("scc"),
           lit(r).as("settled_round")))
-      residual = lab.filter(col("flbl") =!= col("blbl")).select("node")
-        .localCheckpoint(true)
-      if (residual.isEmpty) done = true
+      val (res2, rm) = Ckpt.withMetrics(
+        lab.filter(col("flbl") =!= col("blbl")).select("node"), cnt)
+      residual = res2
+      residualCount = rm("n").asInstanceOf[Long]
+      if (residualCount == 0L) done = true
       else edges = edges
         .join(residual.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
         .join(residual.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")

@@ -156,8 +156,12 @@ object Layout {
     */
   private def forEachRewrite[T, R](spark: SparkSession, items: Seq[T])(
       body: T => R): Seq[R] = {
+    // malformed / non-positive conf falls back to the default instead of
+    // throwing from every maintenance entry point; 1 is the documented
+    // sequential escape hatch (r15 advice)
     val conc = math.min(items.size,
-      spark.conf.get("spark.graft.layout.maxConcurrentRewrites", "4").toInt)
+      spark.conf.get("spark.graft.layout.maxConcurrentRewrites", "4")
+        .toIntOption.filter(_ >= 1).getOrElse(4))
     if (conc <= 1) items.map(body)
     else {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(conc)
@@ -167,13 +171,24 @@ object Layout {
             override def call(): R = body(i)
           })
         }
-        fs.map { f =>
-          try f.get()
+        // DRAIN before propagating a failure (r15 advice): shutdownNow()
+        // would interrupt sibling rewrites mid rename-protocol, leaving
+        // up to `conc` directories in the rename-away window at once and
+        // several needing recover after one bad directory. Letting every
+        // in-flight (and queued) body run to its own completion keeps the
+        // old sequential guarantee — at most the failed directory needs
+        // recovery — and the bodies are small per-directory rewrites, so
+        // the drain is bounded. First failure still propagates unwrapped,
+        // in item order.
+        val outcomes = fs.map { f =>
+          try Right(f.get())
           catch {
             case e: java.util.concurrent.ExecutionException =>
-              throw e.getCause
+              Left(e.getCause)
           }
         }
+        outcomes.collectFirst { case Left(e) => e }.foreach(throw _)
+        outcomes.collect { case Right(r) => r }
       } finally pool.shutdownNow()
     }
   }
@@ -637,7 +652,11 @@ object Layout {
           b.getPath.getName.startsWith("ingest_batch="))
         .flatMap(b =>
           b.getPath.getName.stripPrefix("ingest_batch=").toLongOption)
-    val allIds = parts.flatMap(batchIds).filter(_ <= upTo)
+    // one listing per partition dir, shared by the floor computation AND
+    // the per-partition rewrite bodies (optimization round 16 — the body
+    // used to re-list the directory it had just been screened from)
+    val partIds = parts.map(p => p -> batchIds(p).filter(_ <= upTo).sorted)
+    val allIds = partIds.flatMap(_._2)
     if (allIds.isEmpty) return Seq.empty
     val s = allIds.max
     val lagging = consumers(dir).filter { case (_, c) => c >= 0 && c < s }
@@ -646,8 +665,7 @@ object Layout {
         s"${lagging.keys.toSeq.sorted.mkString(",")} are checkpointed below " +
         s"batch $s and would re-consume the squashed history; advance or " +
         "drop their checkpoints first")
-    val touched = forEachRewrite(spark, parts.toSeq) { p =>
-      val ids = batchIds(p).filter(_ <= upTo).sorted
+    val touched = forEachRewrite(spark, partIds.toSeq) { case (p, ids) =>
       // a partition already holding exactly one dir labeled S is done
       if (ids.isEmpty || ids == Seq(s)) None
       else {

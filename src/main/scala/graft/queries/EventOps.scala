@@ -160,33 +160,27 @@ object EventOps {
           // four chronologically DISJOINT slices, mtime-ordered: the file
           // source replays them as separate micro-batches, the watermark
           // advances between batches, and closed sessions EVICT — state
-          // is bounded by one slice's open sessions, never the corpus
-          val span = maxMs - loMs + 1L
-          (0 until 4).foreach { i =>
-            ev.filter(col("ms") >= loMs + i * span / 4 &&
-                col("ms") < loMs + (i + 1) * span / 4)
-              .select(timestamp_millis(col("ms")).as("ts"),
-                col("user_id"), col("event_type"))
-              .coalesce(1).write.mode("append").parquet(src)
-            new java.io.File(src).listFiles()
-              .filter(f => f.getName.endsWith(".parquet") &&
-                f.lastModified() > System.currentTimeMillis() - 60000L)
-              .foreach(_.setLastModified(
-                System.currentTimeMillis() - 600000L + i * 60000L))
-          }
-          // two watermark sentinels (user -1, a type no counter counts):
+          // is bounded by one slice's open sessions, never the corpus.
+          // Two watermark sentinels (user -1, a type no counter counts):
           // the first advances the watermark past every real session's
-          // end, the SECOND batch then evicts + emits them all
-          Seq(1, 2).foreach { k =>
-            Seq((new java.sql.Timestamp(maxMs + k * 7200000L), -1L, "flush"))
-              .toDF("ts", "user_id", "event_type")
-              .coalesce(1).write.mode("append").parquet(src)
-            new java.io.File(src).listFiles()
-              .filter(f => f.getName.endsWith(".parquet") &&
-                f.lastModified() > System.currentTimeMillis() - 60000L)
-              .foreach(_.setLastModified(
-                System.currentTimeMillis() - 600000L + (3 + k) * 60000L))
-          }
+          // end, the SECOND batch then evicts + emits them all. All six
+          // slices staged in ONE job (StagedSource, optimization round
+          // 16); the boundary literals use the same integer arithmetic
+          // as the old per-slice filters, so slice contents are identical
+          val span = maxMs - loMs + 1L
+          val bnd = (1 to 3).map(i => loMs + i * span / 4)
+          val data = ev
+            .withColumn("__slice",
+              when(col("ms") < bnd(0), 0L).when(col("ms") < bnd(1), 1L)
+                .when(col("ms") < bnd(2), 2L).otherwise(3L))
+            .select(timestamp_millis(col("ms")).as("ts"),
+              col("user_id"), col("event_type"), col("__slice"))
+          val sentinels = Seq(
+              (new java.sql.Timestamp(maxMs + 7200000L), -1L, "flush", 4L),
+              (new java.sql.Timestamp(maxMs + 14400000L), -1L, "flush", 5L))
+            .toDF("ts", "user_id", "event_type", "__slice")
+          graft.streaming.StagedSource.write(
+            data.unionByName(sentinels), "__slice", src)
           val schema = org.apache.spark.sql.types.StructType(Seq(
             org.apache.spark.sql.types.StructField("ts",
               org.apache.spark.sql.types.TimestampType),
@@ -873,32 +867,24 @@ object EventOps {
         val tmp = java.nio.file.Files.createTempDirectory("graft_stream_ewma")
         val src = s"$tmp/src"
         try {
-          val span = maxMs - loMs + 1L
-          (0 until 4).foreach { i =>
-            ev.filter(col("ms") >= loMs + i * span / 4 &&
-                col("ms") < loMs + (i + 1) * span / 4)
-              .select(timestamp_millis(col("ms")).as("ts"),
-                col("event_type"), col("cents"))
-              .coalesce(1).write.mode("append").parquet(src)
-            new java.io.File(src).listFiles()
-              .filter(f => f.getName.endsWith(".parquet") &&
-                f.lastModified() > System.currentTimeMillis() - 60000L)
-              .foreach(_.setLastModified(
-                System.currentTimeMillis() - 600000L + i * 60000L))
-          }
           // sentinel 1 advances the watermark past every real timeout;
           // sentinel 2's batch then FIRES the timeouts (timeout checks run
-          // against the previous batch's watermark)
-          Seq(1, 2).foreach { k =>
-            Seq((new java.sql.Timestamp(maxMs + k * 7200000L), "__flush", 0L))
-              .toDF("ts", "event_type", "cents")
-              .coalesce(1).write.mode("append").parquet(src)
-            new java.io.File(src).listFiles()
-              .filter(f => f.getName.endsWith(".parquet") &&
-                f.lastModified() > System.currentTimeMillis() - 60000L)
-              .foreach(_.setLastModified(
-                System.currentTimeMillis() - 600000L + (3 + k) * 60000L))
-          }
+          // against the previous batch's watermark). 4 quarter-slices + 2
+          // sentinels staged in ONE job (StagedSource, optimization round
+          // 16); boundary literals = the old per-slice filters' arithmetic
+          val span = maxMs - loMs + 1L
+          val bnd = (1 to 3).map(i => loMs + i * span / 4)
+          val data = ev.withColumn("__slice",
+              when(col("ms") < bnd(0), 0L).when(col("ms") < bnd(1), 1L)
+                .when(col("ms") < bnd(2), 2L).otherwise(3L))
+            .select(timestamp_millis(col("ms")).as("ts"),
+              col("event_type"), col("cents"), col("__slice"))
+          val sentinels = Seq(
+              (new java.sql.Timestamp(maxMs + 7200000L), "__flush", 0L, 4L),
+              (new java.sql.Timestamp(maxMs + 14400000L), "__flush", 0L, 5L))
+            .toDF("ts", "event_type", "cents", "__slice")
+          graft.streaming.StagedSource.write(
+            data.unionByName(sentinels), "__slice", src)
           val schema = org.apache.spark.sql.types.StructType(Seq(
             org.apache.spark.sql.types.StructField("ts",
               org.apache.spark.sql.types.TimestampType),
@@ -1013,30 +999,23 @@ object EventOps {
         val tmp = java.nio.file.Files.createTempDirectory("graft_stream_sessx")
         val src = s"$tmp/src"
         try {
-          val span = maxMs - loMs + 1L
-          (0 until 4).foreach { i =>
-            ev.filter(col("ms") >= loMs + i * span / 4 &&
-                col("ms") < loMs + (i + 1) * span / 4)
-              .coalesce(1).write.mode("append").parquet(src)
-            new java.io.File(src).listFiles()
-              .filter(f => f.getName.endsWith(".parquet") &&
-                f.lastModified() > System.currentTimeMillis() - 60000L)
-              .foreach(_.setLastModified(
-                System.currentTimeMillis() - 600000L + i * 60000L))
-          }
           // sentinel 1 advances the watermark past every real session's
           // timeout; sentinel 2's batch fires the remaining ones (timeouts
-          // check the PREVIOUS batch's watermark)
-          Seq(1, 2).foreach { k =>
-            Seq((-1L, maxMs + k * 7200000L, -1L, "flush", 0.0))
-              .toDF("event_id", "ms", "user_id", "event_type", "value")
-              .coalesce(1).write.mode("append").parquet(src)
-            new java.io.File(src).listFiles()
-              .filter(f => f.getName.endsWith(".parquet") &&
-                f.lastModified() > System.currentTimeMillis() - 60000L)
-              .foreach(_.setLastModified(
-                System.currentTimeMillis() - 600000L + (3 + k) * 60000L))
-          }
+          // check the PREVIOUS batch's watermark). 4 quarter-slices + 2
+          // sentinels staged in ONE job (StagedSource, optimization round
+          // 16); boundary literals = the old per-slice filters' arithmetic
+          val span = maxMs - loMs + 1L
+          val bnd = (1 to 3).map(i => loMs + i * span / 4)
+          val data = ev.withColumn("__slice",
+            when(col("ms") < bnd(0), 0L).when(col("ms") < bnd(1), 1L)
+              .when(col("ms") < bnd(2), 2L).otherwise(3L))
+          val sentinels = Seq(
+              (-1L, maxMs + 7200000L, -1L, "flush", 0.0, 4L),
+              (-1L, maxMs + 14400000L, -1L, "flush", 0.0, 5L))
+            .toDF("event_id", "ms", "user_id", "event_type", "value",
+              "__slice")
+          graft.streaming.StagedSource.write(
+            data.unionByName(sentinels), "__slice", src)
           val schema = org.apache.spark.sql.types.StructType(Seq(
             org.apache.spark.sql.types.StructField("event_id",
               org.apache.spark.sql.types.LongType),
@@ -1366,16 +1345,14 @@ object EventOps {
           val (lo, hi) = (b.getLong(0), b.getLong(1))
           val cutoff = (lo + hi) / 2
           val span = hi - lo + 1L
-          (0 until 3).foreach { i =>
-            ev.filter(col("ms") >= lo + i * span / 3 &&
-                col("ms") < lo + (i + 1) * span / 3)
-              .coalesce(1).write.mode("append").parquet(src)
-            new java.io.File(src).listFiles()
-              .filter(f => f.getName.endsWith(".parquet") &&
-                f.lastModified() > System.currentTimeMillis() - 60000L)
-              .foreach(_.setLastModified(
-                System.currentTimeMillis() - 600000L + i * 60000L))
-          }
+          // three time slices staged in ONE job (StagedSource,
+          // optimization round 16); boundary literals = the old
+          // per-slice filters' integer arithmetic
+          graft.streaming.StagedSource.write(
+            ev.withColumn("__slice",
+              when(col("ms") < lo + span / 3, 0L)
+                .when(col("ms") < lo + 2 * span / 3, 1L).otherwise(2L)),
+            "__slice", src)
           val stream = s.readStream.schema(ev.schema)
             .option("pathGlobFilter", "*.parquet")
             .option("maxFilesPerTrigger", "1")
@@ -1608,29 +1585,24 @@ object EventOps {
             .select(col("event_id"),
               timestamp_millis(nsDiv("ts", NS_PER_MS)).as("ts"),
               col("user_id"), col("event_type"), col("value"))
-          ev.coalesce(1).write.mode("append").parquet(src)
           val maxMs = ev.agg(max(unix_millis(col("ts")))).head().getLong(0)
-          def parts(): Set[java.io.File] =
-            new java.io.File(src).listFiles()
-              .filter(_.getName.endsWith(".parquet")).toSet
-          def writeSentinel(tag: Long, offsetMs: Long): Unit =
-            Seq((tag, new java.sql.Timestamp(maxMs + offsetMs), -2L,
-                "error", 0.0),
-              (tag - 1L, new java.sql.Timestamp(maxMs + offsetMs), -1L,
-                "purchase", 0.0))
-              .toDF("event_id", "ts", "user_id", "event_type", "value")
-              .coalesce(1).write.mode("append").parquet(src)
-          // explicit mtimes sequence the batches: the file source orders
-          // by modification time, and a sentinel landing BEFORE the data
-          // would advance the watermark past it and drop it as late
-          val t0 = System.currentTimeMillis() - 600000L
-          val dataParts = parts()
-          dataParts.foreach(_.setLastModified(t0))
-          writeSentinel(-100L, 7200000L)
-          val s1 = parts() -- dataParts
-          s1.foreach(_.setLastModified(t0 + 60000L))
-          writeSentinel(-200L, 14400000L)
-          (parts() -- dataParts -- s1).foreach(_.setLastModified(t0 + 120000L))
+          // data + two sentinel pairs staged in ONE job (StagedSource,
+          // optimization round 16). Slice mtimes sequence the batches:
+          // the file source orders by modification time, and a sentinel
+          // landing BEFORE the data would advance the watermark past it
+          // and drop it as late
+          def sentinelPair(tag: Long, offsetMs: Long, slice: Long) = Seq(
+            (tag, new java.sql.Timestamp(maxMs + offsetMs), -2L,
+              "error", 0.0, slice),
+            (tag - 1L, new java.sql.Timestamp(maxMs + offsetMs), -1L,
+              "purchase", 0.0, slice))
+          graft.streaming.StagedSource.write(
+            ev.withColumn("__slice", lit(0L)).unionByName(
+              (sentinelPair(-100L, 7200000L, 1L) ++
+                sentinelPair(-200L, 14400000L, 2L))
+                .toDF("event_id", "ts", "user_id", "event_type", "value",
+                  "__slice")),
+            "__slice", src)
           val stream = s.readStream.schema(ev.schema)
             .option("pathGlobFilter", "*.parquet")
             .option("maxFilesPerTrigger", "1")
@@ -1701,26 +1673,21 @@ object EventOps {
             .select(col("event_id"),
               timestamp_millis(nsDiv("ts", NS_PER_MS)).as("ts"),
               col("user_id"), col("event_type"), col("value"))
-          ev.coalesce(1).write.mode("append").parquet(src)
           val maxMs = ev.agg(max(unix_millis(col("ts")))).head().getLong(0)
-          def parts(): Set[java.io.File] =
-            new java.io.File(src).listFiles()
-              .filter(_.getName.endsWith(".parquet")).toSet
-          def writeSentinel(tag: Long, offsetMs: Long): Unit =
-            Seq((tag, new java.sql.Timestamp(maxMs + offsetMs), -2L,
-                "error", 0.0),
-              (tag - 1L, new java.sql.Timestamp(maxMs + offsetMs), -1L,
-                "purchase", 0.0))
-              .toDF("event_id", "ts", "user_id", "event_type", "value")
-              .coalesce(1).write.mode("append").parquet(src)
-          val t0 = System.currentTimeMillis() - 600000L
-          val dataParts = parts()
-          dataParts.foreach(_.setLastModified(t0))
-          writeSentinel(-100L, 7200000L)
-          val s1 = parts() -- dataParts
-          s1.foreach(_.setLastModified(t0 + 60000L))
-          writeSentinel(-200L, 14400000L)
-          (parts() -- dataParts -- s1).foreach(_.setLastModified(t0 + 120000L))
+          // data + two sentinel pairs staged in ONE job, slice mtimes
+          // sequencing the batches (StagedSource — see q_stream_left_join)
+          def sentinelPair(tag: Long, offsetMs: Long, slice: Long) = Seq(
+            (tag, new java.sql.Timestamp(maxMs + offsetMs), -2L,
+              "error", 0.0, slice),
+            (tag - 1L, new java.sql.Timestamp(maxMs + offsetMs), -1L,
+              "purchase", 0.0, slice))
+          graft.streaming.StagedSource.write(
+            ev.withColumn("__slice", lit(0L)).unionByName(
+              (sentinelPair(-100L, 7200000L, 1L) ++
+                sentinelPair(-200L, 14400000L, 2L))
+                .toDF("event_id", "ts", "user_id", "event_type", "value",
+                  "__slice")),
+            "__slice", src)
           val stream = s.readStream.schema(ev.schema)
             .option("pathGlobFilter", "*.parquet")
             .option("maxFilesPerTrigger", "1")
@@ -1800,10 +1767,11 @@ object EventOps {
           val ev = t(s, d, "events")
             .select(col("event_id"), col("user_id"), col("event_type"),
               col("value"))
-          (0 until 6).foreach { i =>
-            ev.filter(pmod(col("event_id"), lit(6)) === i)
-              .coalesce(1).write.mode("append").parquet(src)
-          }
+          // six hash slices staged in ONE job (StagedSource, optimization
+          // round 16) — same per-file rows as the old 6 append jobs
+          graft.streaming.StagedSource.write(
+            ev.withColumn("__slice", pmod(col("event_id"), lit(6))),
+            "__slice", src)
           val stream = s.readStream.schema(ev.schema)
             .option("pathGlobFilter", "*.parquet")
             .option("maxFilesPerTrigger", "2")
@@ -1853,10 +1821,11 @@ object EventOps {
           val ev = t(s, d, "events")
             .select(col("event_id"), col("user_id"), col("event_type"),
               col("value"))
-          (0 until 3).foreach { i =>
-            ev.filter(pmod(col("event_id"), lit(3)) === i)
-              .coalesce(1).write.mode("append").parquet(src)
-          }
+          // three hash slices staged in ONE job (StagedSource,
+          // optimization round 16) — same per-file rows as before
+          graft.streaming.StagedSource.write(
+            ev.withColumn("__slice", pmod(col("event_id"), lit(3))),
+            "__slice", src)
           val q = gated(s, d) {
             val q0 = s.readStream.schema(ev.schema)
               .option("pathGlobFilter", "*.parquet")

@@ -246,10 +246,11 @@ object SketchOps {
             concat(col("event_type"), lit("#"),
               regexp_extract(col("props"), "\"k\": ([0-9]+)", 1)).as("key"),
             col("event_id"))
-          (0 until 3).foreach { i =>
-            keyed.filter(pmod(col("event_id"), lit(3)) === i)
-              .coalesce(1).write.mode("append").parquet(src)
-          }
+          // three hash slices staged in ONE job (StagedSource,
+          // optimization round 16) — same per-file rows as before
+          graft.streaming.StagedSource.write(
+            keyed.withColumn("__slice", pmod(col("event_id"), lit(3))),
+            "__slice", src)
           val q = graft.streaming.StreamTune.withGateConfAt(s,
               Seq(s"$d/events.parquet")) {
             val q0 = s.readStream.schema(keyed.schema)

@@ -78,10 +78,11 @@ object TrainOps {
         try {
           val src = s"$tmp/src"; val store = s"$tmp/store"
           val docs = t(s, d, "documents").select(col("lang"), col("doc_id"))
-          (0 until 3).foreach { i =>
-            docs.filter(pmod(col("doc_id"), lit(3)) === i)
-              .coalesce(1).write.mode("append").parquet(src)
-          }
+          // three hash slices staged in ONE job (StagedSource,
+          // optimization round 16) — same per-file rows as before
+          graft.streaming.StagedSource.write(
+            docs.withColumn("__slice", pmod(col("doc_id"), lit(3))),
+            "__slice", src)
           def versions(): Seq[Long] = {
             val fs = Option(new java.io.File(store).listFiles())
               .getOrElse(Array.empty[java.io.File])

@@ -19,7 +19,7 @@ import org.apache.spark.sql.SparkSession
   *      coalesce a batch shuffle this small to one partition, but AQE is
   *      disabled for stateful streaming, so the partition count must be
   *      chosen here. [[statePartitions]] derives it from the INPUT SIZE
-  *      (bytes / 8 MB, min 2), capped by the session's configured shuffle
+  *      (bytes/8MB + 2, min 2), capped by the session's configured shuffle
   *      partitions: tiny gate replays get 2, the 100× fixture gets ~20,
   *      and a production session configured with thousands of shuffle
   *      partitions over TB inputs keeps them. Explicit override:
@@ -61,11 +61,14 @@ object StreamTune {
       } catch { case scala.util.control.NonFatal(_) => 0L }
     }.sum
 
-  /** Scale-adaptive state partition count: input bytes / 8 MB, clamped to
-    * [2, session shuffle partitions]. The cap keeps a production session's
-    * own sizing authoritative (it configured thousands of partitions for a
-    * reason); the floor keeps two-way parallelism so the gate still
-    * exercises multi-partition state.
+  /** Scale-adaptive state partition count: `bytes/8MB + 2`, clamped to
+    * [2, session shuffle partitions] (the +2 keeps a small headroom above
+    * the pure ratio so an input just past a boundary doesn't run
+    * single-partition-per-store; r15 advice: doc now matches the code).
+    * The cap keeps a production session's own sizing authoritative (it
+    * configured thousands of partitions for a reason); the floor keeps
+    * two-way parallelism so the gate still exercises multi-partition
+    * state.
     */
   def statePartitions(s: SparkSession, inputBytes: Long): Int = {
     val conf = s.sessionState.conf

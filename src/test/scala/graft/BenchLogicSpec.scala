@@ -158,4 +158,18 @@ class BenchLogicSpec extends AnyFunSuite {
       cap = 8, headline = head)
     assert(s2.size == 8 && sk2.isEmpty)
   }
+
+  test("suspectPool: budget-cut and failed queries never reach suspect selection") {
+    // The wall-budget contract (r15/r16): a budget-cut query ships a
+    // single known-cold sample — its "regression" on the prior is the
+    // expected signature of the cut, and a -1 is a failure, not a time.
+    // Neither may consume a rerun slot or pollute PERF's comparison set.
+    val results = Map("q_ok" -> 2.0, "q_cut" -> 9.0, "q_failed" -> -1.0)
+    val pool = Bench.suspectPool(results, Set("q_cut"))
+    assert(pool == Map("q_ok" -> 2.0))
+    val prior = Map("q_ok" -> 1.0, "q_cut" -> 1.0, "q_failed" -> 1.0)
+    val (s, _) = Bench.pickSuspects(pool, prior)
+    assert(s.map(_._1) == Seq("q_ok"),
+      s"only the un-cut regression may rerun, got ${s.map(_._1)}")
+  }
 }

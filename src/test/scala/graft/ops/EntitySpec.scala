@@ -92,4 +92,19 @@ class EntitySpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 4L)))
   }
+
+  test("input spread fires only on an affirmative small inputBytes signal") {
+    // r15 advice / r16: unknown bytes (-1, the default) must NOT spread —
+    // the old plan-stats fallback under-estimated text columns and fired
+    // the spread on exactly the large unions where it costs a full extra
+    // pass. Affirmative small input spreads; affirmative large does not.
+    val recs = (0L until 40L).map(i => (i, s"record name $i"))
+      .toDF("id", "name")
+    def spreads(inputBytes: Long): Boolean =
+      Entity.editPairs(recs, "id", "name", 2, inputBytes)
+        .queryExecution.executedPlan.toString.contains("REPARTITION_BY_NUM")
+    assert(!spreads(-1L), "unknown input size must not trigger the spread")
+    assert(spreads(1024L), "small input must spread to session parallelism")
+    assert(!spreads(Long.MaxValue / 4), "large input must not spread")
+  }
 }
