@@ -86,6 +86,12 @@ object ScaleBench {
     def timeIt(body: => Unit): (Double, Long) = {
       var failed = false
       val samples = Seq.fill(runs) {
+        // free the PREVIOUS arm's dropped localCheckpoint blocks before
+        // sampling (the Bench per-group discipline): ContextCleaner only
+        // releases a checkpointed RDD's storage after the JVM collects
+        // the frame, so back-to-back 100× arms otherwise stack pinned
+        // occurrence indexes until the second arm OOMs (measured r16)
+        System.gc()
         drainListenerBus()
         val b0 = shuffleBytes.get()
         val t0 = System.nanoTime()

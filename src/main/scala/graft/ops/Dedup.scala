@@ -363,9 +363,15 @@ object Dedup {
     val minChars = if (minSpanChars > 0) minSpanChars else w + k - 1
     val spread = docs.repartition(
       docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
+    // array_distinct BEFORE the explode: map-side (zero-shuffle) source
+    // dedup of the (pos, f) selections — one position carries exactly one
+    // fingerprint (the k-gram hash is a function of the position), so
+    // this makes every occ row unique, which in turn makes the matched
+    // pair rows below unique by construction (see the m note)
     val occ0 = spread.select(col(idCol),
-        explode(graft.functions.TextExprs.winnowFingerprintPositions(
-          col(textCol), k, w, md5Mode)).as("o"))
+        explode(array_distinct(
+          graft.functions.TextExprs.winnowFingerprintPositions(
+            col(textCol), k, w, md5Mode))).as("o"))
       .select(col(idCol), (col("o.pos") + 1).cast("long").as("pos"),
         col("o.f").as("f"))
     val occ1 =
@@ -380,23 +386,24 @@ object Dedup {
     // 1.8x over linear at 10x before this. (id, pos, f) rows only —
     // ~24 B per selected fingerprint, a small fraction of the corpus.
     val occ = occ1.localCheckpoint(true)
-    // ONE exchange for the dedup + the island window (optimization round
-    // 16, guide §2.4 "two operations keyed the same way can share one
-    // exchange"): the matched occurrences used to shuffle twice — once for
-    // distinct's 5-column hash (a, b, pa, pb, diag) and once for the
-    // window's (a, b, diag) — and the matched-occurrence stream is THE
-    // volume of this operator (10.1 GB at the 100× arm, SCALE.md). An
-    // explicit repartition on (a, b, diag) satisfies BOTH: distinct's
-    // clustered distribution (its keys are a superset of the partition
-    // keys, so every duplicate group is already co-located) and the
-    // window's exact partitioning. Plan: 2 Exchanges of m → 1.
+    // NO pair-level distinct (optimization round 16, guide §2.3 "shuffle
+    // fewer bytes"): `occ` above is deduplicated at the SOURCE, so one
+    // (id, pos) carries exactly one fingerprint and the join output
+    // (a, b, pa, pb) is unique BY CONSTRUCTION — f is a function of
+    // (a, pa), so two match rows could only collide by duplicating an occ
+    // row. The old `.distinct()` here shuffled the full matched-occurrence
+    // stream — THE volume of this operator, 10.1 GB at the 100× arm
+    // (SCALE.md r14) — a second time just to re-prove that uniqueness;
+    // m now flows straight into the island window's (a, b, diag)
+    // exchange. (An attempted alternative — repartition(a, b, diag) +
+    // distinct sharing one exchange — was measured at 100× and REVERTED:
+    // it dropped the map-side partial dedup and concentrated hot
+    // document-pairs into single aggregate partitions, OOMing the arm.)
     val m = occ.alias("x").join(occ.alias("y"),
         col("x.f") === col("y.f") && col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"),
         col("x.pos").as("pa"), col("y.pos").as("pb"),
         (col("y.pos") - col("x.pos")).as("diag"))
-      .repartition(col("a"), col("b"), col("diag"))
-      .distinct() // repeated equal fingerprints in one doc can re-derive a pair
     val byDiag = org.apache.spark.sql.expressions.Window
       .partitionBy("a", "b", "diag").orderBy("pa")
     m.withColumn("bk",

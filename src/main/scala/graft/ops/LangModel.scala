@@ -209,9 +209,21 @@ object LangModel {
       df.select(cols :+ explode(concat(toks(col(textCol)),
         ShingleExpr.orderedShingles(col(textCol), 2))).as("feat"): _*)
         .withColumn("bk", bucketOf(col("feat"), buckets))
-    val raw = feats(docs).groupBy("bk").agg(count(lit(1)).as("cr"))
-    val tgt = feats(docs.filter(targetPred)).groupBy("bk")
-      .agg(count(lit(1)).as("ct"))
+    // ONE tokenize+shingle pass over the corpus (optimization round 16,
+    // guide §1.2 "remove unnecessary passes": raw counts, target counts
+    // and the per-doc bucket counts each re-derived the exploded feature
+    // stream — three full corpus tokenizations). The (doc, bucket) count
+    // frame with the target flag is everything downstream needs, and it
+    // is doc×occupied-bucket sized — far below the exploded stream — so
+    // it checkpoints cheaply. The target flag is constant per doc
+    // (targetPred is a document predicate), so (id, bk) stays a key.
+    val db = feats(docs, col(idCol), targetPred.as("__t"))
+      .groupBy(col(idCol), col("__t"), col("bk"))
+      .agg(count(lit(1)).as("nb"))
+      .localCheckpoint(true)
+    val raw = db.groupBy("bk").agg(sum(col("nb")).as("cr"))
+    // filter(__t) drops nulls exactly like docs.filter(targetPred) did
+    val tgt = db.filter(col("__t")).groupBy("bk").agg(sum(col("nb")).as("ct"))
     val nr = raw.agg(sum(col("cr")).as("nr"))
     val nt = tgt.agg(sum(col("ct")).as("nt"))
     // raw covers every occupied bucket (target ⊆ raw), so the llr table
@@ -223,8 +235,7 @@ object LangModel {
           (col("nt") + lit(buckets)).cast("double"))) -
          dec6(log((col("cr") + lit(1)).cast("double") /
            (col("nr") + lit(buckets)).cast("double")))).as("llr"))
-    feats(docs, col(idCol)).groupBy(idCol, "bk")
-      .agg(count(lit(1)).as("nb"))
+    db.select(col(idCol), col("bk"), col("nb"))
       .join(broadcast(llr), "bk")
       .groupBy(idCol)
       .agg(sum(col("nb")).as("n_feat"),

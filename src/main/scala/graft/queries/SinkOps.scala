@@ -882,14 +882,25 @@ object SinkOps {
       (s: SparkSession, d: String) => {
         val key = storeDir("bkt", d).replaceAll(".*_", "")
         val (liT, oT) = (s"graft_li_b_$key", s"graft_o_b_$key")
-        graft.ops.Partitioning.saveBucketed(
-          t(s, d, "lineitem").select("l_orderkey", "l_extendedprice"),
-          liT, "l_orderkey", 8, Seq("l_orderkey"),
-          path = Some(storeDir("bkt_li", d)))
-        graft.ops.Partitioning.saveBucketed(
-          t(s, d, "orders").select("o_orderkey", "o_orderpriority"),
-          oT, "o_orderkey", 8, Seq("o_orderkey"),
-          path = Some(storeDir("bkt_o", d)))
+        // the two bucketed saves are independent tables — overlap them
+        // from a 2-thread pool (guide §2.6, the Layout.forEachRewrite
+        // discipline: the second save's tasks back-fill executors the
+        // first's tail no longer saturates). Optimization round 16.
+        locally {
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.ExecutionContext.Implicits.global
+          import scala.concurrent.duration.Duration
+          val fLi = Future(graft.ops.Partitioning.saveBucketed(
+            t(s, d, "lineitem").select("l_orderkey", "l_extendedprice"),
+            liT, "l_orderkey", 8, Seq("l_orderkey"),
+            path = Some(storeDir("bkt_li", d))))
+          val fO = Future(graft.ops.Partitioning.saveBucketed(
+            t(s, d, "orders").select("o_orderkey", "o_orderpriority"),
+            oT, "o_orderkey", 8, Seq("o_orderkey"),
+            path = Some(storeDir("bkt_o", d))))
+          Await.result(fLi, Duration.Inf)
+          Await.result(fO, Duration.Inf)
+        }
         s.table(liT)
           .join(s.table(oT), col("l_orderkey") === col("o_orderkey"))
           .groupBy("o_orderpriority")

@@ -7,7 +7,7 @@ import org.apache.spark.sql.SparkSession
 /** Dump `explain("formatted")` for named queries into
   * `plans/r15/<query>_<tag>.txt` — the optimization round's before/after
   * plan evidence. Usage:
-  * `sbt "runMain graft.OptPlans <tag> q_a,q_b[,...]"`
+  * `sbt "Test/runMain graft.OptPlans <tag> q_a,q_b[,...]"` (test scope)
   * (SPARK_GRAFT_SF_DIR defaults to sf0.1 like Bench; the session mirrors
   * Bench's conf so the plans are the ones the bench actually runs.)
   */

@@ -11,7 +11,7 @@ import org.apache.spark.sql.SparkSession
   * a specific pass (a training level, a CC round, a staging write) instead
   * of guessed at. Not part of the driver contract — a local tool.
   *
-  * Usage: `sbt "runMain graft.OptProfile q_a,q_b [reps]"`
+  * Usage: `sbt "Test/runMain graft.OptProfile q_a,q_b [reps]"` (test scope — not in the driver artifact; r15 advice)
   * (SPARK_GRAFT_SF_DIR / SPARK_GRAFT_CPUS as in Bench).
   */
 object OptProfile {
